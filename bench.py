@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full plan
+runs, nothing collects to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fintech_lakehouse_spark.plans import QUERIES
+from fintech_lakehouse_spark.session import get_spark
+
+# Headline set: one per operator family (joins/aggs, windows, as-of,
+# sessionization, DQ, dedup, text, vectors) — the queries whose plans
+# matter at 100 TB.
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "daily_order_metrics",
+    "customer_360",
+    "supplier_performance",
+    "top_customers",
+    "latest_order_per_customer",
+    "user_velocity_24h",
+    "purchase_asof_click",
+    "user_sessions",
+    "dq_lineitem_report",
+    "dq_quarantine_split",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "doc_quality_scores",
+    "knn_bruteforce_cosine",
+    "lsh_bucketed_neighbors",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    start = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(
+        "fintech-lakehouse-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": cpus},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup on the smallest SF so measured times are query
+    # cost, not first-job setup.
+    try:
+        run_query(spark, "top_customers", "/root/testdata/sf0.001")
+    except Exception:
+        pass
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""Query plan library: every operator from SURVEY.md §2 exposed as a
+named query over the driver test lake, each with a DuckDB oracle twin
+where SQL can express it (driver contract in __spark_entry__.py)."""
+
+from fintech_lakehouse_spark.plans.registry import QUERIES, ORACLES, register
+
+# Importing the domain modules populates the registry.
+from fintech_lakehouse_spark.plans import relational  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import windows  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import events  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import quality  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import text  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import vectors  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,153 @@
+"""Event-stream queries, batch form (SURVEY.md §2.12 [NEW] + §2.8
+from_json). The streaming module (fintech_lakehouse_spark.streaming)
+runs the same logic with readStream/watermarks; these batch twins are
+what the DuckDB oracle can check — the driver contract requires
+batch-over-events equivalents (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+PROPS_SCHEMA = StructType([StructField("k", IntegerType(), True)])
+
+
+@register(
+    "event_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                                   AS n_events,
+           SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)) AS total_k,
+           ROUND(AVG(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: from_json on the events.props JSON
+    string (SURVEY §2.8 [NEW] — the reference has no JSON functions but
+    the events table demands them). JSON parse happens once in the
+    scan stage; the aggregate is then plain codegen."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("props_s", F.from_json("props", PROPS_SCHEMA))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("props_s.k")).alias("total_k"),
+            F.round(F.avg(F.col("props_s.k")), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "hourly_event_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)               AS n_events,
+           ROUND(SUM(value), 4)   AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation — batch twin of the streaming
+    windowed agg (SURVEY §2.12). F.window() emits the same aligned
+    buckets the streaming engine produces; window.start ≡ SQL
+    date_trunc('hour')."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — batch
+    session_window (SURVEY §2.12). One shuffle on user_id; the oracle
+    proves the semantics via the classic gaps-and-islands rewrite.
+
+    Session identity: (user_id, session start). Events exactly 30min
+    apart continue a session in Spark's session_window (gap is
+    exclusive: next event < start+gap extends) — LAG > INTERVAL '30m'
+    (strictly greater) matches that."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "event_dedup_first",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_users
+    FROM (
+        SELECT event_type, user_id FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    )
+    GROUP BY event_type
+    """,
+)
+def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch dedup per (user, event_type) then rollup — the
+    streaming dropDuplicates shape in batch form (SURVEY §2.12)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(window))
+        .filter(F.col("_rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )

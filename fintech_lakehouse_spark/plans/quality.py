@@ -1,0 +1,176 @@
+"""Data-quality queries (SURVEY.md §2.9) — the reference's signature
+surface, rebuilt as ONE-PASS conditional aggregation instead of its
+one-Spark-job-per-check loop (anti-pattern, SURVEY §4.1,
+ref: src/utils/data_quality.py:515-518).
+
+The library implementation lives in fintech_lakehouse_spark.quality;
+these registry entries prove the semantics against SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+# The rule set mirrors the reference's check families over lineitem:
+# completeness (Q1), range (Q4), set-membership (Q3), custom
+# cross-column (Q5), uniqueness (Q2). Built lazily — Column exprs need
+# an active session.
+def _rules() -> dict[str, "F.Column"]:
+    return {
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "qty_out_of_range": F.col("l_quantity").isNotNull()
+        & ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 45)),
+        "discount_out_of_range": F.col("l_discount").isNotNull()
+        & ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)),
+        "bad_returnflag": F.col("l_returnflag").isNotNull()
+        & ~F.col("l_returnflag").isin("A", "N", "R"),
+        "nonpositive_price": F.col("l_extendedprice").isNotNull()
+        & (F.col("l_extendedprice") <= 0),
+    }
+
+
+_RULES_SQL = {
+    "null_orderkey": "l_orderkey IS NULL",
+    "qty_out_of_range": "l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 45)",
+    "discount_out_of_range": "l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08)",
+    "bad_returnflag": "l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')",
+    "nonpositive_price": "l_extendedprice IS NOT NULL AND l_extendedprice <= 0",
+}
+
+
+@register(
+    "dq_lineitem_report",
+    oracle=f"""
+    SELECT
+        (SELECT COUNT(*) FROM lineitem) AS total_rows,
+        {", ".join(f"(SELECT COUNT(*) FILTER (WHERE {sql}) FROM lineitem) AS {name}" for name, sql in _RULES_SQL.items())},
+        (SELECT COUNT(*) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS duplicate_pk_groups
+    """,
+)
+def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass DQ report: N checks = ONE scan via sum(when(cond,1))
+    conditional aggregation (the SURVEY §4.1 rewrite of the reference's
+    N-scan loop). Uniqueness needs its own shuffle (it is a group-by),
+    joined back as a 1×1 broadcast."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    stats = lineitem.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in _rules().items()
+        ],
+    )
+    dup_groups = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(F.count(F.lit(1)).alias("duplicate_pk_groups"))
+    )
+    return stats.crossJoin(F.broadcast(dup_groups))
+
+
+@register(
+    "dq_quarantine_split",
+    oracle=f"""
+    SELECT COALESCE(NOT ({" OR ".join(f"({sql})" for sql in _RULES_SQL.values())}), TRUE) AS is_valid,
+           COUNT(*)                       AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid/quarantine split semantics (ref get_valid_invalid_dfs,
+    src/utils/data_quality.py:570-634 / SURVEY §2.9 Q7): tag rows
+    against every rule in one projection, aggregate per validity.
+    The library version materializes both sides from one cached scan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    any_violation = None
+    for cond in _rules().values():
+        any_violation = cond if any_violation is None else (any_violation | cond)
+    is_valid = ~F.coalesce(any_violation, F.lit(False))
+    return (
+        lineitem.withColumn("is_valid", is_valid)
+        .groupBy("is_valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "freshness_check",
+    oracle="""
+    SELECT CAST(MAX(ts) AS TIMESTAMP)  AS latest_ts,
+           COUNT(*)                    AS n_rows,
+           CAST(FLOOR(EXTRACT(EPOCH FROM (TIMESTAMP '2024-02-01 00:00:00' - MAX(ts))) / 3600) AS BIGINT) AS hours_stale
+    FROM events
+    """,
+)
+def freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitoring query (ref check_data_freshness,
+    src/utils/monitoring.py:317-384 / SURVEY §2.10 M2), pinned to a
+    fixed 'now' so the result is deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    return events.agg(
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.floor(
+                (F.unix_timestamp(now) - F.unix_timestamp(F.max("ts"))) / 3600
+            ).cast("long")
+        ).alias("hours_stale"),
+    )
+
+
+@register(
+    "daily_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS row_count
+        FROM events GROUP BY 1
+    )
+    SELECT event_date, row_count,
+           ROUND(AVG(row_count) OVER (ORDER BY event_date
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS trailing_avg,
+           CASE WHEN AVG(row_count) OVER (ORDER BY event_date
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) IS NULL THEN NULL
+                ELSE ROUND(100.0 * (row_count - AVG(row_count) OVER (ORDER BY event_date
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                     / AVG(row_count) OVER (ORDER BY event_date
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+           END AS pct_change
+    FROM daily
+    """,
+)
+def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection (ref check_volume_anomaly,
+    src/utils/monitoring.py:392-468 / SURVEY §2.10 M3) — but fully
+    distributed: trailing-mean %-change via a window over the daily
+    rollup instead of the reference's driver-side collect() loop
+    (anti-pattern, SURVEY §4.4). The window is over ~30 daily rows
+    (post-agg), so the unpartitioned frame is fine."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("row_count")
+    )
+    trailing = Window.orderBy("event_date").rowsBetween(-7, -1)
+    avg_prev = F.avg("row_count").over(trailing)
+    return daily.select(
+        "event_date",
+        "row_count",
+        F.round(avg_prev, 4).alias("trailing_avg"),
+        F.round(100.0 * (F.col("row_count") - avg_prev) / avg_prev, 4).alias(
+            "pct_change"
+        ),
+    )

@@ -1,0 +1,204 @@
+"""Similarity-search queries over `embeddings` (SURVEY.md §7.6 [NEW]):
+brute-force cosine top-k as the exact baseline, an LSH-bucketed
+approximate variant as the scale path, embedding near-dup, and
+per-label vector stats.
+
+Dot products run JVM-side via zip_with/aggregate over array<double> —
+no Python in the loop. Embeddings are cast float→double once at scan
+so both engines accumulate in double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (all codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q   AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+         c   AS (SELECT vec_id AS neighbor_id, v AS cv FROM emb WHERE vec_id >= 10),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   AS cos
+            FROM q CROSS JOIN c
+         )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors (SURVEY §7.6
+    ANN baseline). The query side is tiny → broadcast cross join, so
+    the corpus streams once with no shuffle; per-query top-k via a
+    keyed window. At 100 TB the same plan holds for any small query
+    batch; large query batches go through lsh_bucketed_neighbors."""
+    emb = _embeddings_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    topk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(topk))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"))
+    )
+
+
+@register(
+    "embedding_near_duplicates",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cosine_sim
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.60
+    """,
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SURVEY §7.6 dedup family):
+    all pairs with cosine > 0.60. Exact O(n²) formulation as ground
+    truth — the LSH-bucketed variant below is the corpus-scale path."""
+    emb = _embeddings_double(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos > 0.60)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim"))
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+           ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS max_norm,
+           ROUND(AVG(embedding[1]), 6) AS avg_dim0
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector profile: norms + first-component mean —
+    array-native aggregation (SURVEY §2.13: built-ins, no UDF)."""
+    emb = _embeddings_double(spark, sf_dir)
+    norm = l2_norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+        F.round(F.avg(F.col("embedding").getItem(0)), 6).alias("avg_dim0"),
+    )
+
+
+# Fixed random hyperplanes for LSH: deterministic (seeded) and small
+# enough to inline as literals (16 planes × 64 dims).
+def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+@register("lsh_bucketed_neighbors")  # approximate → rows-only check
+def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH
+    (SURVEY §7.6 scale path): 16-bit sign signature per vector →
+    bucket join on signature → exact cosine within bucket, top-3 per
+    query.
+
+    Same-bucket candidates only: the join is linear in corpus size for
+    bounded bucket occupancy, vs the O(n²) brute force. Recall is
+    tunable by planes/bands; approximation ⇒ no SQL oracle (rows-only
+    driver check)."""
+    planes = _hyperplanes()
+    emb = _embeddings_double(spark, sf_dir)
+    plane_cols = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    )
+    signature = F.concat_ws(
+        "",
+        *[
+            F.when(dot(F.col("embedding"), plane_cols[i]) >= 0, "1").otherwise("0")
+            for i in range(len(planes))
+        ],
+    )
+    signed = emb.select("vec_id", "embedding", signature.alias("bucket"))
+    a = signed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    b = signed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    topk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(topk))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,251 @@
+"""Window-function queries (SURVEY.md §2.5): dedup-by-key, rank,
+running frames, lag/lead, time-range velocity windows, as-of joins.
+
+Every window here is partitioned (by customer/user) — the unpartitioned
+single-task window is the reference anti-pattern we refuse to copy
+(SURVEY §4.2, ref: src/utils/spark_utils.py:510).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(o_totalprice, 2)    AS total_price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup (ref: deduplicate_by_key,
+    src/utils/spark_utils.py:442-483 / SURVEY §2.5 W1): row_number over a
+    keyed window, orderkey as the deterministic tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    window = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(window))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame + sequence number per customer (SURVEY §2.5 W4:
+    explicit rowsBetween frame)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    cumulative = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sequence = Window.partitionBy("o_custkey").orderBy(*ordering)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(cumulative), 2).alias("running_spend"),
+        F.row_number().over(sequence).alias("order_seq"),
+    )
+
+
+@register(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           DATEDIFF('day',
+                    LAG(o_orderdate) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap — the repeat-purchase-latency shape
+    (SURVEY §2.5 W4)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    window = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(window)
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "user_velocity_24h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w                    AS events_24h,
+           ROUND(SUM(value) OVER w, 4)        AS value_24h
+    FROM events
+    WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24h velocity window — the AML velocity/structuring
+    detector the reference's fraud indicators imply (SURVEY §2.5 W3,
+    ref: src/data_generator/generator.py:214, config threshold
+    src/config/base.py:50). rangeBetween on epoch seconds ≡ SQL RANGE
+    INTERVAL frame."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    window = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(window).alias("events_24h"),
+        F.round(F.sum("value").over(window), 4).alias("value_24h"),
+    )
+
+
+@register(
+    "purchase_asof_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(p.value, 4)        AS purchase_value,
+           ROUND(c.click_value, 4)  AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 J4 — the currency-conversion shape:
+    each fact row joins the most recent dimension row at or before its
+    timestamp).
+
+    Spark has no ASOF JOIN operator; the scalable realization is
+    union-the-streams + last(ignorenulls) over a keyed time window —
+    ONE shuffle on (user_id), no range-explosion, no skewed
+    interval join. Clicks are pre-deduped to one row per (user, ts) so
+    tie behavior is deterministic on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", "click_value", F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("value"), F.lit(0).alias("_stream"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        "value",
+        F.lit(1).alias("_stream"),
+    )
+    # clicks sort before purchases at equal ts (_stream 0 < 1) ⇒ a click
+    # at exactly the purchase ts is visible, matching ASOF `>=`.
+    window = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("_stream"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("_asof_click", F.last("click_value", ignorenulls=True).over(window))
+        .filter(F.col("_stream") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("value", 4).alias("purchase_value"),
+            F.round("_asof_click", 4).alias("last_click_value"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_rank",
+    oracle="""
+    WITH nat AS (
+        SELECT n_name, r_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name, revenue,
+           RANK()       OVER (PARTITION BY r_name ORDER BY revenue DESC) AS rank_in_region,
+           DENSE_RANK() OVER (ORDER BY revenue DESC)                     AS global_rank,
+           NTILE(4)     OVER (ORDER BY revenue DESC)                     AS quartile
+    FROM nat
+    """,
+)
+def nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over an aggregated frame (SURVEY §2.5
+    W4). The global windows run over ≤25 nation rows — post-aggregation,
+    where a single-task window is correct and cheap."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    by_region = Window.partitionBy("r_name").orderBy(F.col("revenue").desc())
+    global_w = Window.orderBy(F.col("revenue").desc())
+    return nat.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        F.rank().over(by_region).alias("rank_in_region"),
+        F.dense_rank().over(global_w).alias("global_rank"),
+        F.ntile(4).over(global_w).alias("quartile"),
+    )

@@ -1,0 +1,23 @@
+from fintech_lakehouse_spark.sources.readers import (
+    load_table,
+    load_tables,
+    read_csv_to_df,
+    read_json_to_df,
+    read_parquet_to_df,
+)
+from fintech_lakehouse_spark.sources.writers import (
+    read_lake_table,
+    upsert_lake_table,
+    write_lake_table,
+)
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_csv_to_df",
+    "read_json_to_df",
+    "read_parquet_to_df",
+    "read_lake_table",
+    "upsert_lake_table",
+    "write_lake_table",
+]

@@ -1,0 +1,123 @@
+"""Batch sources (ref: src/utils/spark_utils.py:60-195, S1-S3 in SURVEY §2.1).
+
+Schema-on-read everywhere: explicit StructType when the caller has one
+(skips the inference scan), PERMISSIVE mode with a ``_corrupt_record``
+column instead of fail-fast, so a bad row quarantines rather than kills
+a 100 TB job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_RECORD_COLUMN = "_corrupt_record"
+
+# The driver-generated test lake (TESTDATA.md): one parquet per table.
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _with_corrupt_column(schema: StructType | None) -> StructType | None:
+    """PERMISSIVE mode only captures bad rows if the schema carries the
+    corrupt-record column; add it to explicit schemas transparently."""
+    if schema is None:
+        return None
+    if CORRUPT_RECORD_COLUMN in schema.fieldNames():
+        return schema
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_RECORD_COLUMN, StringType(), True)]
+    )
+
+
+def read_csv_to_df(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """CSV scan (ref: src/utils/spark_utils.py:60-112)."""
+    reader = (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_RECORD_COLUMN)
+    )
+    schema = _with_corrupt_column(schema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for key, value in (options or {}).items():
+        reader = reader.option(key, value)
+    return reader.load(path)
+
+
+def read_json_to_df(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """JSON scan, JSON-Lines by default (ref: src/utils/spark_utils.py:115-157)."""
+    reader = (
+        spark.read.format("json")
+        .option("multiLine", str(multiline).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_RECORD_COLUMN)
+    )
+    schema = _with_corrupt_column(schema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for key, value in (options or {}).items():
+        reader = reader.option(key, value)
+    return reader.load(path)
+
+
+def read_parquet_to_df(
+    spark: SparkSession, path: str, options: dict[str, str] | None = None
+) -> DataFrame:
+    """Parquet scan — [NEW] vs the reference (SURVEY §2.1 S12); the test
+    lake and any serious 100 TB deployment are columnar."""
+    reader = spark.read.format("parquet")
+    for key, value in (options or {}).items():
+        reader = reader.option(key, value)
+    return reader.load(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver test table (TESTDATA.md): ``{sf_dir}/{name}.parquet``.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark reads only as LongType nanos (legacy.parquet.nanosAsLong) —
+    convert back to a proper timestamp (microsecond precision, the data
+    has no sub-microsecond components)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """All (or selected) driver test tables as lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in names}

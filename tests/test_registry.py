@@ -1,0 +1,69 @@
+"""Registry smoke + spot oracle-parity tests (the driver runs the full
+parity sweep; these keep `pytest` self-sufficient and fast)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from fintech_lakehouse_spark.plans import ORACLES, QUERIES
+from fintech_lakehouse_spark.sources.readers import TESTDATA_TABLES
+
+# Fast queries worth checking end-to-end in unit tests.
+SPOT_CHECKED = [
+    "pricing_summary",
+    "daily_order_metrics",
+    "latest_order_per_customer",
+    "purchase_asof_click",
+    "user_sessions",
+    "dq_lineitem_report",
+    "knn_bruteforce_cosine",
+]
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 30
+    # every oracle key must have a query
+    assert set(ORACLES) <= set(QUERIES)
+    # the vast majority of queries must be oracle-checked
+    assert len(ORACLES) >= 0.75 * len(QUERIES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for table in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SPOT_CHECKED)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["r_name", "n_name", "revenue", "n_items"]
