@@ -1,0 +1,173 @@
+"""Pipeline monitoring (ref: src/utils/monitoring.py — SURVEY §2.10).
+
+PipelineMonitor records per-stage metrics rows; freshness and volume
+checks are small Spark jobs. Differences from the reference at scale
+(SURVEY §4.4): the volume-anomaly trailing mean is computed IN Spark
+via a window over the daily rollup, not a driver-side loop over
+collect() — only the verdict row comes back.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("pipeline_name", StringType(), False),
+        StructField("stage_name", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("started_at", TimestampType(), True),
+        StructField("ended_at", TimestampType(), True),
+        StructField("duration_seconds", DoubleType(), True),
+        StructField("rows_read", LongType(), True),
+        StructField("rows_written", LongType(), True),
+        StructField("rows_quarantined", LongType(), True),
+        StructField("error_message", StringType(), True),
+    ]
+)
+
+
+@dataclass
+class _Stage:
+    name: str
+    started_at: datetime
+    t0: float
+    status: str = "RUNNING"
+
+
+@dataclass
+class PipelineMonitor:
+    """Stage tracker (ref: PipelineMonitor, src/utils/monitoring.py:
+    97-235). ``metrics_table`` may be a metastore name or a path; when
+    None, metrics accumulate in-memory only (``finish()`` returns
+    them)."""
+
+    spark: SparkSession
+    pipeline_name: str
+    metrics_table: str | None = None
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
+    _stages: dict[str, _Stage] = field(default_factory=dict)
+    _rows: list[dict] = field(default_factory=list)
+
+    def start_stage(self, stage_name: str) -> None:
+        self._stages[stage_name] = _Stage(
+            name=stage_name,
+            started_at=datetime.now(timezone.utc),
+            t0=time.monotonic(),
+        )
+
+    def end_stage(
+        self,
+        stage_name: str,
+        status: str = "SUCCESS",
+        rows_read: int | None = None,
+        rows_written: int | None = None,
+        rows_quarantined: int | None = None,
+        error_message: str | None = None,
+    ) -> dict:
+        stage = self._stages.pop(stage_name)
+        row = {
+            "run_id": self.run_id,
+            "pipeline_name": self.pipeline_name,
+            "stage_name": stage_name,
+            "status": status,
+            "started_at": stage.started_at,
+            "ended_at": datetime.now(timezone.utc),
+            "duration_seconds": time.monotonic() - stage.t0,
+            "rows_read": rows_read,
+            "rows_written": rows_written,
+            "rows_quarantined": rows_quarantined,
+            "error_message": error_message,
+        }
+        self._rows.append(row)
+        if self.metrics_table:
+            # Append failure must not kill the pipeline
+            # (ref: monitoring.py:233-235).
+            try:
+                df = self.spark.createDataFrame([row], METRICS_SCHEMA)
+                df.write.format("parquet").mode("append").save(self.metrics_table)
+            except Exception:
+                pass
+        return row
+
+    def finish(self) -> dict:
+        """Driver-side summary (ref: monitoring.py:237-281)."""
+        return {
+            "run_id": self.run_id,
+            "pipeline": self.pipeline_name,
+            "stages": len(self._rows),
+            "failed_stages": [
+                r["stage_name"] for r in self._rows if r["status"] != "SUCCESS"
+            ],
+            "total_duration_seconds": sum(
+                r["duration_seconds"] or 0 for r in self._rows
+            ),
+            "rows": self._rows,
+        }
+
+
+def check_data_freshness(
+    df: DataFrame,
+    timestamp_column: str,
+    max_age_hours: float = 24,
+    now: datetime | None = None,
+) -> dict:
+    """M2 (ref: check_data_freshness, src/utils/monitoring.py:317-384):
+    max(ts) vs now; stale if older than the SLA. One tiny agg job."""
+    now = now or datetime.now(timezone.utc)
+    row = df.agg(F.max(timestamp_column).alias("latest")).collect()[0]
+    latest = row["latest"]
+    if latest is None:
+        return {"fresh": False, "latest": None, "age_hours": None}
+    if latest.tzinfo is None:
+        latest = latest.replace(tzinfo=timezone.utc)
+    age_hours = (now - latest).total_seconds() / 3600
+    return {
+        "fresh": age_hours <= max_age_hours,
+        "latest": latest,
+        "age_hours": age_hours,
+    }
+
+
+def check_volume_anomaly(
+    df: DataFrame,
+    date_column: str,
+    threshold_percent: float = 50,
+    lookback_days: int = 7,
+) -> DataFrame:
+    """M3 (ref: check_volume_anomaly, src/utils/monitoring.py:392-468)
+    — distributed rewrite: daily rollup → trailing-mean window →
+    anomaly flag. Returns the flagged daily DataFrame (callers filter
+    ``is_anomaly``); nothing collects until the caller decides to."""
+    daily = df.groupBy(F.col(date_column).cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("row_count")
+    )
+    trailing = Window.orderBy("event_date").rowsBetween(-lookback_days, -1)
+    avg_prev = F.avg("row_count").over(trailing)
+    return daily.select(
+        "event_date",
+        "row_count",
+        avg_prev.alias("trailing_avg"),
+        (100.0 * (F.col("row_count") - avg_prev) / avg_prev).alias("pct_change"),
+    ).withColumn(
+        "is_anomaly",
+        F.when(F.col("pct_change").isNull(), F.lit(False)).otherwise(
+            F.abs(F.col("pct_change")) > threshold_percent
+        ),
+    )

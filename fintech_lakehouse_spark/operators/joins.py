@@ -1,0 +1,80 @@
+"""As-of join operator (SURVEY §2.3 J4 — the currency-conversion
+shape: each left row picks the most recent right row at or before its
+timestamp, per key).
+
+Spark has no ASOF JOIN; the scalable realization is union-the-streams
++ last(ignorenulls) over a keyed time-ordered window: ONE shuffle on
+the key, no interval-join row explosion, no skew amplification. This
+is the same rewrite the plans registry proves against DuckDB's native
+ASOF JOIN (plans/windows.py::purchase_asof_click).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_columns: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` matching the key columns ``on``.
+
+    ``value_columns``: right columns to carry (default: all non-key,
+    non-time). Right rows tied on (key, time) are reduced with max()
+    first so the result is deterministic."""
+    if value_columns is None:
+        value_columns = [
+            c for c in right.columns if c not in set(on) and c != right_time
+        ]
+    # Deterministic: one right row per (key, time).
+    right_dedup = right.groupBy(*on, F.col(right_time).alias("_t")).agg(
+        *[F.max(c).alias(c) for c in value_columns]
+    )
+    right_stream = right_dedup.select(
+        *on,
+        F.col("_t"),
+        F.lit(0).alias("_stream"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_columns],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    left_stream = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_stream"),
+        *[F.lit(None).cast(right_dedup.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_columns],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # Right rows sort before left rows at equal time (_stream 0 < 1):
+    # a right row at exactly the left timestamp is visible (<=).
+    window = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_stream")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = right_stream.unionByName(left_stream)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True)
+            .over(window)
+            .alias(f"_f_{c}")
+            for c in value_columns
+        ],
+    )
+    return filled.filter(F.col("_stream") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_columns],
+    )

@@ -1,0 +1,147 @@
+"""DQ checker tests (pattern from reference tests/unit/
+test_data_quality.py: completeness/uniqueness/range/set/split)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.quality import (
+    DataQualityChecker,
+    DQSeverity,
+    quick_quality_check,
+)
+
+
+@pytest.fixture()
+def txns(spark):
+    return spark.createDataFrame(
+        [
+            ("TXN1", "C1", 100.0, "USD", "COMPLETED"),
+            ("TXN2", "C2", 250.0, "EUR", "COMPLETED"),
+            ("TXN3", None, 50.0, "USD", "PENDING"),  # null customer
+            ("TXN4", "C4", -5.0, "XXX", "COMPLETED"),  # bad amount+currency
+            ("TXN4", "C5", 75.0, "USD", "WEIRD"),  # dup id, bad status
+        ],
+        ["transaction_id", "customer_id", "amount", "currency", "status"],
+    )
+
+
+def test_completeness(txns):
+    report = (
+        DataQualityChecker(txns, "txns")
+        .check_completeness(["customer_id"], threshold=0.95)
+        .run()
+    )
+    result = report.results[0]
+    assert result.failed_records == 1
+    assert result.pass_rate == pytest.approx(0.8)
+    assert not result.passed  # 0.8 < 0.95
+    assert not report.passed  # CRITICAL failure
+
+
+def test_completeness_threshold_pass(txns):
+    report = (
+        DataQualityChecker(txns, "txns")
+        .check_completeness(["customer_id"], threshold=0.75)
+        .run()
+    )
+    assert report.results[0].passed
+    assert report.passed
+
+
+def test_uniqueness(txns):
+    report = (
+        DataQualityChecker(txns, "txns").check_uniqueness(["transaction_id"]).run()
+    )
+    result = report.results[0]
+    assert result.failed_records == 1  # 5 rows, 4 distinct ids
+    assert not result.passed
+
+
+def test_range_and_set(txns):
+    report = (
+        DataQualityChecker(txns, "txns")
+        .check_range("amount", 0.01, 100_000)
+        .check_values_in_set("currency", ["USD", "EUR"])
+        .run()
+    )
+    by_name = {r.check_name: r for r in report.results}
+    assert by_name["range_amount"].failed_records == 1  # -5.0
+    assert by_name["values_in_set_currency"].failed_records == 1  # XXX
+    # set check defaults to WARNING → report still fails on range only
+    assert by_name["values_in_set_currency"].severity == DQSeverity.WARNING
+
+
+def test_custom_and_one_pass(txns):
+    """5 registered checks must produce 5 results from one scan."""
+    report = (
+        DataQualityChecker(txns, "txns")
+        .check_completeness(["transaction_id", "customer_id"])
+        .check_range("amount", 0.01, 100_000)
+        .check_values_in_set("status", ["COMPLETED", "PENDING", "FAILED"])
+        .check_custom("nonneg", F.col("amount") < 0, "NEGATIVE_AMOUNT")
+        .run()
+    )
+    assert report.total_checks == 5
+    assert {r.check_name for r in report.results} == {
+        "completeness_transaction_id",
+        "completeness_customer_id",
+        "range_amount",
+        "values_in_set_status",
+        "nonneg",
+    }
+
+
+def test_referential(spark, txns):
+    customers = spark.createDataFrame(
+        [("C1",), ("C2",), ("C4",)], ["customer_id"]
+    )
+    report = (
+        DataQualityChecker(txns, "txns")
+        .check_referential(customers, ["customer_id"])
+        .run()
+    )
+    # C5 is orphaned; NULL customer_id also has no parent
+    assert report.results[0].failed_records == 2
+
+
+def test_valid_invalid_split(txns):
+    checker = (
+        DataQualityChecker(txns, "txns")
+        .check_completeness(["customer_id"])
+        .check_range("amount", 0.01, 100_000)
+        .check_values_in_set("currency", ["USD", "EUR"])
+    )
+    valid, invalid = checker.get_valid_invalid_dfs()
+    assert valid.count() == 3
+    assert invalid.count() == 2
+    assert "_validation_failures" not in valid.columns
+    reasons = {
+        r["transaction_id"]: set(r["_validation_failures"])
+        for r in invalid.collect()
+    }
+    assert reasons["TXN3"] == {"NULL_OR_EMPTY_CUSTOMER_ID"}
+    assert reasons["TXN4"] == {"OUT_OF_RANGE_AMOUNT", "INVALID_VALUE_CURRENCY"}
+    assert invalid.collect()[0]["_quarantine_timestamp"] is not None
+
+
+def test_quick_quality_check(txns):
+    report = quick_quality_check(
+        txns, "txns", pk_columns=["transaction_id"], required_columns=["customer_id"]
+    )
+    assert report.total_checks == 2
+    assert not report.passed
+
+
+def test_timeliness(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-30 00:00:00",)], ["ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    report = (
+        DataQualityChecker(df, "events")
+        .check_timeliness("ts", max_age_hours=48, now="2024-01-31 00:00:00")
+        .run()
+    )
+    assert report.results[0].failed_records == 1  # the January 1 row

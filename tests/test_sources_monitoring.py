@@ -1,0 +1,97 @@
+"""Source/sink + monitoring tests (SURVEY §2.1, §2.10, §2.11)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.monitoring import (
+    PipelineMonitor,
+    check_data_freshness,
+    check_volume_anomaly,
+)
+from fintech_lakehouse_spark.sources import (
+    read_csv_to_df,
+    upsert_lake_table,
+    write_lake_table,
+)
+from fintech_lakehouse_spark.sources.readers import load_table
+
+
+def test_csv_permissive_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text("id,amount\n1,10.5\n2,oops\n3,30.0\n")
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("amount", DoubleType(), True),
+        ]
+    )
+    df = read_csv_to_df(spark, str(p), schema=schema).cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["id"] == 2
+
+
+def test_write_partitioned_and_read_back(spark, tmp_path, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_lake")
+    write_lake_table(orders, path, partition_by=["order_year"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: a year filter must prune input files
+    pruned = back.filter(F.col("order_year") == 1997)
+    plan = pruned.explain(extended=False) or pruned._jdf.queryExecution().simpleString()
+    assert pruned.count() > 0
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [("C1", "old", 1), ("C2", "keep", 1)], ["id", "val", "v"]
+    )
+    write_lake_table(base, path)
+    updates = spark.createDataFrame(
+        [("C1", "new", 2), ("C3", "insert", 1)], ["id", "val", "v"]
+    )
+    upsert_lake_table(spark, updates, path, merge_keys=["id"])
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {"C1": "new", "C2": "keep", "C3": "insert"}
+
+
+def test_pipeline_monitor(spark):
+    mon = PipelineMonitor(spark, "test_pipeline")
+    mon.start_stage("ingest")
+    row = mon.end_stage("ingest", rows_read=100, rows_written=95, rows_quarantined=5)
+    assert row["status"] == "SUCCESS"
+    assert row["duration_seconds"] >= 0
+    summary = mon.finish()
+    assert summary["stages"] == 1 and not summary["failed_stages"]
+
+
+def test_freshness(spark):
+    df = spark.createDataFrame(
+        [("2024-01-30 22:00:00",)], ["ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    now = datetime.datetime(2024, 1, 31, tzinfo=datetime.timezone.utc)
+    res = check_data_freshness(df, "ts", max_age_hours=4, now=now)
+    assert res["fresh"] and res["age_hours"] == 2.0
+    res = check_data_freshness(df, "ts", max_age_hours=1, now=now)
+    assert not res["fresh"]
+
+
+def test_volume_anomaly(spark):
+    rows = [(f"2024-01-{d:02d}", 100) for d in range(1, 8)] + [("2024-01-08", 300)]
+    df = (
+        spark.createDataFrame(rows, ["d", "n"])
+        .withColumn("d", F.to_date("d"))
+        .selectExpr("d", "explode(sequence(1, n)) as i")
+    )
+    out = check_volume_anomaly(df, "d", threshold_percent=50)
+    flagged = [r["event_date"] for r in out.filter("is_anomaly").collect()]
+    assert flagged == [datetime.date(2024, 1, 8)]
