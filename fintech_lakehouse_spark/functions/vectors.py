@@ -1,0 +1,88 @@
+"""Vector / embedding building blocks (SURVEY §7.6 similarity search).
+
+JVM-side array arithmetic (zip_with / aggregate) — Arrow-free, UDF-free
+— so the dot product lives inside whole-stage codegen. For very wide
+embeddings (≥1k dims) a vectorized pandas_udf can win; at 64-256 dims
+the built-ins are faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize once at write time so downstream cosine = dot —
+    the 100 TB trick: normalizing the corpus once turns every query's
+    cosine into a single fused multiply-add pass."""
+    return F.transform(a, lambda x: x / l2_norm(a))
+
+
+def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(embedding: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string: bit i = sign(embedding · plane_i).
+    Vectors with equal signatures are cosine-close with probability
+    rising in signature length — the bucket key for approximate NN."""
+    plane_arrays = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    )
+    return F.concat_ws(
+        "",
+        *[
+            F.when(dot(embedding, plane_arrays[i]) >= 0, "1").otherwise("0")
+            for i in range(len(planes))
+        ],
+    )
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "neighbor_id",
+    query_id: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the (small) query batch,
+    stream the corpus once, per-query top-k via keyed window. No
+    corpus shuffle — the only wide op is the final tiny top-k."""
+    from pyspark.sql.window import Window
+
+    scored = corpus.select(
+        F.col(corpus_id), F.col(vec).alias("_cv")
+    ).crossJoin(
+        F.broadcast(queries.select(F.col(query_id), F.col(vec).alias("_qv")))
+    ).select(
+        query_id, corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+    )
+    topk = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(topk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -12,26 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_lakehouse_spark.functions.text import (
+    language_best_guess,
+    lsh_band_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash64,
+    word_shingles,
+)
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
-
-
-def _word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingles: array<string>) — distinct word n-grams.
-
-    Guarded so docs shorter than n tokens yield no shingles (Spark's
-    sequence(0, negative) would count downward, not return empty)."""
-    tokens = F.split(F.col("text"), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.concat_ws(" ", *[tokens[i + j] for j in range(n)]),
-    )
-    shingles = F.when(F.size(tokens) >= n, F.array_distinct(ngrams)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return documents.select("doc_id", shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
 
 
 @register(
@@ -154,7 +144,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ever meet — no O(n²) cross join). Hot shingles would skew
     the join at corpus scale; minhash_lsh_pairs is the production path."""
     documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
-    shingled = _word_shingles(documents, n=3)
+    shingled = word_shingles(documents, n=3)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
     a = exploded.alias("a")
@@ -184,55 +174,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates (SURVEY §7.6) — the
     scale path for ngram_jaccard_pairs.
 
-    shingle → K minhashes (xxhash64 with per-permutation seeds) → B
-    bands of R rows → band-signature bucket join. Only same-bucket docs
-    pair up, so the join is linear in corpus size for bounded bucket
-    width. K=32, B=8, R=4 targets the Jaccard~0.5+ region. No SQL
-    oracle: signatures depend on Spark's xxhash64."""
-    documents = load_table(spark, sf_dir, "documents")
-    n_hashes, n_bands = 32, 8
-    rows_per_band = n_hashes // n_bands
-    shingled = _word_shingles(documents, n=3)
-    # minhash k = min over shingles of xxhash64(shingle, seed=k)
-    sig = shingled.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(k)))
-            ).alias(f"mh{k}")
-            for k in range(n_hashes)
-        ],
+    shingle → K minhashes (xxhash64, per-permutation seeds) → B bands
+    of R rows → band-signature bucket join; only same-bucket docs pair
+    up, so the join is linear in corpus size for bounded bucket width.
+    K=32, B=8, R=4 targets the Jaccard≳0.5 region. The signature
+    computation explodes shingles once and collapses in a map-side
+    partial aggregate (see functions/text.py::minhash_signatures).
+    No SQL oracle: signatures depend on Spark's xxhash64."""
+    documents = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"mh{band * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    signatures = minhash_signatures(shingle_rows(documents, n=3), n_hashes=32)
+    return lsh_band_pairs(signatures, n_hashes=32, n_bands=8)
 
 
 @register("simhash_fingerprints")  # Spark-hash-specific → rows-only check
@@ -240,62 +193,20 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash document fingerprints (SURVEY §7.6): per token,
     xxhash64 → ±1 vote per bit position weighted by term frequency;
     fingerprint bit b = sign of the vote sum. Near-dups differ in few
-    bits (compare via hamming distance on fingerprint halves).
-
-    Built entirely from array/bitwise built-ins — the explode is per
-    token but collapses immediately in a partial aggregate."""
+    bits (hamming64 in functions/text.py is the pairing metric)."""
     documents = load_table(spark, sf_dir, "documents")
-    token = F.explode(F.split(F.col("text"), " ")).alias("token")
-    toks = documents.select("doc_id", token)
-    hashed = toks.withColumn("h", F.xxhash64("token"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{bit}")
-            for bit in range(64)
-        ]
-    )
-    fingerprint = None
-    for bit in range(64):
-        contrib = F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(2**bit).cast("long") if bit < 63 else F.when(
-            F.col(f"v{bit}") > 0, F.lit(-(2**63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = contrib if fingerprint is None else fingerprint + contrib
-    return votes.select("doc_id", fingerprint.alias("simhash64"))
+    return simhash64(documents)
 
 
 @register("lang_id_heuristic")  # heuristic scorer → rows-only check
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (SURVEY §7.6): score each doc against
     per-language stopword marker sets via array intersection, predict
-    argmax. A real corpus would use char-n-gram profiles; the mechanism
-    (token-set overlap, argmax over struct array) is the same and stays
-    JVM-side."""
-    markers = {
-        "en": ["the", "a", "and", "of", "to"],
-        "de": ["der", "die", "und", "das", "ist"],
-        "es": ["el", "la", "los", "que", "de"],
-        "fr": ["le", "la", "les", "et", "est"],
-        "zh": ["de5", "shi4", "le5", "zai4", "he2"],
-    }
+    argmax (functions/text.py::language_best_guess). A real corpus
+    would use char-n-gram profiles; the mechanism (token-set overlap,
+    argmax over struct array) is the same and stays JVM-side."""
     documents = load_table(spark, sf_dir, "documents")
-    tokens = F.array_distinct(F.split(F.col("text"), " "))
-    scores = F.array(
-        *[
-            F.struct(
-                F.size(
-                    F.array_intersect(tokens, F.array(*[F.lit(m) for m in ms]))
-                ).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, ms in markers.items()
-        ]
-    )
-    best = F.array_max(scores)
+    best = language_best_guess()
     return documents.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

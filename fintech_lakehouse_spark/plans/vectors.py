@@ -10,29 +10,20 @@ so both engines accumulate in double precision.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fintech_lakehouse_spark.functions.vectors import (
+    brute_force_knn,
+    cosine,
+    dot,
+    hyperplanes,
+    l2_norm,
+    lsh_signature,
+)
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (all codegen'd)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,23 +62,13 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; large query batches go through lsh_bucketed_neighbors."""
     emb = _embeddings_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("neighbor_id"), "embedding"
     )
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
-    )
-    topk = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(topk))
-        .filter(F.col("_rn") <= 5)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"))
+    return brute_force_knn(corpus, queries, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim")
     )
 
 
@@ -144,15 +125,6 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixed random hyperplanes for LSH: deterministic (seeded) and small
-# enough to inline as literals (16 planes × 64 dims).
-def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
-    import numpy as np
-
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((n_planes, dim)).tolist()
-
-
 @register("lsh_bucketed_neighbors")  # approximate → rows-only check
 def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH
@@ -164,19 +136,11 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded bucket occupancy, vs the O(n²) brute force. Recall is
     tunable by planes/bands; approximation ⇒ no SQL oracle (rows-only
     driver check)."""
-    planes = _hyperplanes()
+    planes = hyperplanes(n_planes=16, dim=64, seed=42)
     emb = _embeddings_double(spark, sf_dir)
-    plane_cols = F.array(
-        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    signed = emb.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding"), planes).alias("bucket")
     )
-    signature = F.concat_ws(
-        "",
-        *[
-            F.when(dot(F.col("embedding"), plane_cols[i]) >= 0, "1").otherwise("0")
-            for i in range(len(planes))
-        ],
-    )
-    signed = emb.select("vec_id", "embedding", signature.alias("bucket"))
     a = signed.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

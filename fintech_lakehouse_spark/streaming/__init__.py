@@ -1,0 +1,15 @@
+from fintech_lakehouse_spark.streaming.events import (
+    dedup_events_stream,
+    foreach_batch_upsert,
+    read_events_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "dedup_events_stream",
+    "foreach_batch_upsert",
+    "read_events_stream",
+    "sessionize_stream",
+    "windowed_event_counts",
+]

@@ -1,0 +1,145 @@
+"""Text/vector/multimodal function tests (SURVEY §7.6 surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.functions.multimodal import (
+    ASSET_SCHEMA,
+    extract_image_features,
+    sample_video_frames,
+)
+from fintech_lakehouse_spark.functions.text import (
+    hamming64,
+    lsh_band_pairs,
+    minhash_signatures,
+    shingle_rows,
+    simhash64,
+    word_shingles,
+)
+from fintech_lakehouse_spark.functions.vectors import (
+    brute_force_knn,
+    cosine,
+    l2_norm,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different content about spark query engines at scale ok"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base), (5, "too short")],
+        ["doc_id", "text"],
+    )
+
+
+def test_word_shingles(docs):
+    rows = {r["doc_id"]: r["shingles"] for r in word_shingles(docs, 3).collect()}
+    assert 5 not in rows  # 2 tokens < n
+    assert "the quick brown" in rows[1]
+    assert len(rows[1]) == 11  # 13 tokens → 11 trigrams (all distinct)
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = minhash_signatures(shingle_rows(docs, 3), n_hashes=16)
+    rows = {r["doc_id"]: tuple(r[f"mh{k}"] for k in range(16)) for r in sig.collect()}
+    assert rows[1] == rows[4]  # identical text
+    shared = sum(a == b for a, b in zip(rows[1], rows[2]))
+    assert shared >= 8  # near-dup: most minhashes agree
+    shared_far = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert shared_far <= 4  # unrelated docs
+
+
+def test_lsh_band_pairs_finds_near_dups(docs):
+    sig = minhash_signatures(shingle_rows(docs, 3), n_hashes=16)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_band_pairs(sig, n_hashes=16, n_bands=8).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup collides in some band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup_hamming(docs):
+    fp = simhash64(docs)
+    paired = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            hamming64(F.col("a.simhash64"), F.col("b.simhash64")).alias("ham"),
+        )
+    )
+    ham = {(r["da"], r["db"]): r["ham"] for r in paired.collect()}
+    assert ham[(1, 4)] == 0  # identical
+    assert ham[(1, 2)] < ham[(1, 3)]  # near-dup closer than unrelated
+
+
+def test_cosine_and_knn(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    sim = emb.select(
+        cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))).alias(
+            "c"
+        ),
+        "vec_id",
+    ).collect()
+    by_id = {r["vec_id"]: r["c"] for r in sim}
+    assert by_id[0] == pytest.approx(1.0)
+    assert by_id[3] == pytest.approx(-1.0)
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    corpus = emb.filter("vec_id > 0").selectExpr("vec_id as neighbor_id", "embedding")
+    top2 = brute_force_knn(corpus, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in top2] == [1, 2]
+
+
+def test_l2_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    assert df.select(l2_norm(F.col("v")).alias("n")).collect()[0]["n"] == 5.0
+
+
+@pytest.fixture()
+def assets(spark):
+    return spark.createDataFrame(
+        [
+            (1, "image", "png", bytearray(b"fake-png-bytes"), 14),
+            (2, "image", "jpg", bytearray(b"other-bytes"), 11),
+            (3, "video", "mp4", bytearray(b"vid"), 3),
+        ],
+        ASSET_SCHEMA,
+    )
+
+
+def test_image_feature_plumbing(assets):
+    feats = extract_image_features(assets.filter("modality = 'image'"))
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["width"] >= 64 and rows[1]["height"] >= 64
+    assert rows[1]["n_bytes"] == 14
+    assert len(rows[1]["content_digest"]) == 64  # deterministic sha256
+    # deterministic: same payload → same features
+    again = {r["asset_id"]: r for r in extract_image_features(assets).collect()}
+    assert again[1]["width"] == rows[1]["width"]
+
+
+def test_real_decode_raises(assets):
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        extract_image_features(assets, decode="real").collect()
+
+
+def test_video_frame_sampling(assets):
+    frames = sample_video_frames(assets, every_n_seconds=5).collect()
+    assert all(r["asset_id"] == 3 for r in frames)
+    assert [r["frame_ts_sec"] for r in frames] == [5 * r["frame_no"] for r in frames]

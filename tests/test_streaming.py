@@ -1,0 +1,126 @@
+"""Streaming correctness: run each streaming operator over a closed
+file source (availableNow trigger) and compare against the batch
+recomputation — the only trustworthy oracle for streaming semantics
+(SURVEY §7.4 risk 5)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.sources.readers import load_table
+from fintech_lakehouse_spark.streaming import (
+    dedup_events_stream,
+    foreach_batch_upsert,
+    read_events_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events table as a landing directory (2 files so the
+    stream sees multiple source splits)."""
+    path = tmp_path_factory.mktemp("events_landing")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch.repartition(2).write.mode("overwrite").parquet(str(path / "data"))
+    return str(path / "data")
+
+
+def _run_to_memory(spark, stream_df, name: str, mode: str = "complete"):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.table(name)
+
+
+def _norm(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, windowed_event_counts(stream), "windowed_counts"
+    )
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(expected, cols)
+
+
+def test_sessionize_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, sessionize_stream(stream), "sessions_stream")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    expected = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    assert _norm(got, cols) == _norm(expected, cols)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate event_ids across files collapse to one row each."""
+    base = load_table(spark, "/root/testdata/sf0.001", "events").limit(50)
+    landing = str(tmp_path / "dup_landing")
+    base.write.mode("overwrite").parquet(landing)
+    base.write.mode("append").parquet(landing)  # exact duplicates
+    stream = read_events_stream(spark, landing)
+    got = _run_to_memory(
+        spark, dedup_events_stream(stream), "dedup_stream", mode="append"
+    )
+    assert got.count() == 50
+    assert got.select("event_id").distinct().count() == 50
+
+
+def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
+    """Stream → foreachBatch MERGE sink: lake table ends up with one
+    row per event_id; replaying the stream is idempotent."""
+    target = str(tmp_path / "events_lake")
+    for _ in range(2):  # second run replays the same data → idempotent
+        stream = read_events_stream(spark, events_dir)
+        query = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_upsert(target, merge_keys=["event_id"])
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{_}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    lake = spark.read.parquet(target)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert lake.count() == batch.count()
+    assert lake.select("event_id").distinct().count() == batch.count()
