@@ -1,0 +1,144 @@
+"""End-to-end medallion pipeline orchestration (SURVEY §3.2-3.4):
+bronze ingestion → DQ gate + quarantine → silver → gold star schema,
+with stage monitoring. This is the composed flow the reference's
+utilities imply but never assemble (its orchestrating notebooks are
+absent from the repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fintech_lakehouse_spark.config import (
+    MAX_TRANSACTION_AMOUNT,
+    MIN_TRANSACTION_AMOUNT,
+    VALID_CURRENCIES,
+    VALID_TRANSACTION_STATUSES,
+    EngineConfig,
+)
+from fintech_lakehouse_spark.monitoring import PipelineMonitor
+from fintech_lakehouse_spark.operators.gold import (
+    build_agg_customer_360,
+    build_agg_daily_metrics,
+    build_agg_merchant_performance,
+    build_dim_customer,
+    build_dim_date,
+    build_dim_merchant,
+    build_fact_transactions,
+)
+from fintech_lakehouse_spark.operators.medallion import bronze_to_silver
+from fintech_lakehouse_spark.operators.metadata import (
+    add_ingestion_metadata,
+    add_processing_metadata,
+)
+from fintech_lakehouse_spark.quality import DataQualityChecker
+from fintech_lakehouse_spark.sources.writers import write_lake_table
+
+
+class MedallionPipeline:
+    """bronze (raw strings) → silver (typed + validated + quarantine)
+    → gold (star schema + aggregates), each layer written to the lake.
+
+    DQ gate behavior follows the environment config: in prod a CRITICAL
+    check failure aborts (ref DQ_FAIL_ON_CRITICAL, src/config/prod.py:50);
+    in dev it proceeds with the quarantine split.
+    """
+
+    def __init__(self, spark: SparkSession, config: EngineConfig):
+        self.spark = spark
+        self.config = config
+        self.monitor = PipelineMonitor(spark, f"medallion_{config.env}")
+
+    def ingest_bronze(self, table: str, raw_df: DataFrame) -> DataFrame:
+        """Raw → bronze: stamp lineage, persist as-is (SURVEY §3.2)."""
+        self.monitor.start_stage(f"bronze_{table}")
+        bronze = add_ingestion_metadata(raw_df)
+        write_lake_table(bronze, self.config.layer_path("bronze", table))
+        n = bronze.count()
+        self.monitor.end_stage(f"bronze_{table}", rows_read=n, rows_written=n)
+        return bronze
+
+    def _transaction_checker(self, df: DataFrame) -> DataQualityChecker:
+        """The reference's canonical transaction rule set
+        (ref: src/config/base.py:19-50 business rules)."""
+        return (
+            DataQualityChecker(df, "transactions")
+            .check_completeness(["transaction_id", "customer_id", "merchant_id", "amount"])
+            .check_uniqueness(["transaction_id"])
+            .check_range("amount", MIN_TRANSACTION_AMOUNT, MAX_TRANSACTION_AMOUNT)
+            .check_values_in_set("currency", VALID_CURRENCIES)
+            .check_values_in_set("status", VALID_TRANSACTION_STATUSES)
+        )
+
+    def promote_silver(self, table: str, bronze: DataFrame) -> DataFrame:
+        """Bronze → silver: cast/derive, DQ gate, quarantine split,
+        persist valid side partitioned by the date column when present
+        (SURVEY §3.3)."""
+        self.monitor.start_stage(f"silver_{table}")
+        typed = add_processing_metadata(bronze_to_silver(bronze, table))
+        checker = (
+            self._transaction_checker(typed)
+            if table == "transactions"
+            else DataQualityChecker(typed, table).check_completeness(
+                [f"{table[:-1]}_id"] if table.endswith("s") else []
+            )
+        )
+        report = checker.run()
+        if self.config.dq_fail_on_critical and not report.passed:
+            self.monitor.end_stage(
+                f"silver_{table}", status="FAILED",
+                error_message=str(report.summary()["critical_failures"]),
+            )
+            raise RuntimeError(f"DQ CRITICAL failure on {table}: {report.summary()}")
+        valid, invalid = checker.get_valid_invalid_dfs()
+        partition = ["transaction_date"] if table == "transactions" else None
+        write_lake_table(
+            valid, self.config.layer_path("silver", table), partition_by=partition
+        )
+        n_invalid = invalid.count()
+        if n_invalid:
+            write_lake_table(
+                invalid, self.config.layer_path("quarantine", table)
+            )
+        n_valid = valid.count()
+        self.monitor.end_stage(
+            f"silver_{table}",
+            rows_read=n_valid + n_invalid,
+            rows_written=n_valid,
+            rows_quarantined=n_invalid,
+        )
+        return self.spark.read.parquet(self.config.layer_path("silver", table))
+
+    def build_gold(
+        self,
+        transactions: DataFrame,
+        customers: DataFrame,
+        merchants: DataFrame,
+    ) -> dict[str, DataFrame]:
+        """Silver → gold star schema + aggregates (SURVEY §2.4 A6-A8)."""
+        self.monitor.start_stage("gold")
+        dim_customer = build_dim_customer(customers)
+        dim_merchant = build_dim_merchant(merchants)
+        dim_date = build_dim_date(transactions)
+        fact = build_fact_transactions(transactions, dim_customer, dim_merchant)
+        gold = {
+            "dim_date": dim_date,
+            "dim_customer": dim_customer,
+            "dim_merchant": dim_merchant,
+            "fact_transactions": fact,
+            "agg_daily_metrics": build_agg_daily_metrics(fact),
+            "agg_customer_360": build_agg_customer_360(fact, dim_customer),
+            "agg_merchant_performance": build_agg_merchant_performance(
+                fact, dim_merchant
+            ),
+        }
+        for name, df in gold.items():
+            partition = ["transaction_date"] if name == "fact_transactions" else None
+            write_lake_table(
+                df, self.config.layer_path("gold", name), partition_by=partition
+            )
+        self.monitor.end_stage("gold")
+        return {
+            name: self.spark.read.parquet(self.config.layer_path("gold", name))
+            for name in gold
+        }

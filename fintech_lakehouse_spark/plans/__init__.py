@@ -5,6 +5,7 @@ where SQL can express it (driver contract in __spark_entry__.py)."""
 from fintech_lakehouse_spark.plans.registry import QUERIES, ORACLES, register
 
 # Importing the domain modules populates the registry.
+from fintech_lakehouse_spark.plans import analytics  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import relational  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import windows  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import events  # noqa: E402,F401

@@ -1,0 +1,202 @@
+"""Second-wave analytics coverage (SURVEY §2.4 A9, §2.5 W3, §2.8):
+cube/grouping sets, exact percentiles, AML structuring detection,
+regexp extraction, conditional aggregation pivots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fintech_lakehouse_spark.plans._num import dsum, money, sql_dsum, sql_money
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+
+@register(
+    "order_status_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)   AS grp_status,
+           GROUPING(o_orderpriority) AS grp_priority,
+           COUNT(*)                  AS n_orders,
+           {sql_dsum(sql_money('o_totalprice'))} AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE with GROUPING() indicators (SURVEY §2.4 A9 — grouping
+    sets were [ABSENT] in the reference): all 2^2 aggregation levels in
+    one pass; grouping flags disambiguate subtotal rows from genuine
+    NULL group keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("grp_status"),
+        F.grouping("o_orderpriority").cast("long").alias("grp_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice")).alias("total_value"),
+    )
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           MIN(l_quantity) AS q_min,
+           MAX(l_quantity) AS q_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (SURVEY §2.4) — integer-valued quantity keeps
+    the linear interpolation exactly representable in doubles, so the
+    engines agree bit-for-bit. At 100 TB use approx_percentile (KLL/
+    GK sketch); exact kept here because the oracle is exact."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
+
+
+@register(
+    "aml_structuring_alerts",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               COUNT(*) FILTER (WHERE o_totalprice BETWEEN 9000 AND 100000) OVER w
+                 AS near_threshold_30d,
+               COUNT(*) OVER w AS orders_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey AS custkey,
+           o_orderkey AS orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(o_totalprice, 2) AS total_price,
+           near_threshold_30d, orders_30d
+    FROM flagged
+    WHERE near_threshold_30d >= 2
+      AND o_totalprice BETWEEN 9000 AND 100000
+    """,
+)
+def aml_structuring_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AML structuring detector (SURVEY §2.5 W3): the reference's fraud
+    config implies flagging repeated just-under-CTR-threshold amounts
+    (STRUCTURING_THRESHOLD at ref src/config/base.py:50, simulated
+    9-10k pattern in its generator:511-515; band/window here widened
+    to fire on the synthetic lake's price distribution). Realized as a
+    per-customer 30-day RANGE window counting near-threshold orders —
+    conditional count inside the frame, one shuffle on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    near = F.col("o_totalprice").between(9000, 100000)
+    window = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.sum(F.when(near, 1).otherwise(0)).over(window).alias(
+                "near_threshold_30d"
+            ),
+            F.count(F.lit(1)).over(window).alias("orders_30d"),
+            near.alias("_near"),
+        )
+        .filter((F.col("near_threshold_30d") >= 2) & F.col("_near"))
+        .drop("_near")
+    )
+
+
+@register(
+    "priority_class_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(o_orderpriority, '^(\\d+)-', 1) AS INT) AS priority_num,
+           upper(regexp_extract(o_orderpriority, '^\\d+-(.*)$', 1))    AS priority_label,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def priority_class_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions (SURVEY §2.8 — [ABSENT] in reference,
+    required surface for text-bearing lakes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.regexp_extract("o_orderpriority", r"^(\d+)-", 1)
+            .cast("int")
+            .alias("priority_num"),
+            F.upper(F.regexp_extract("o_orderpriority", r"^\d+-(.*)$", 1)).alias(
+                "priority_label"
+            ),
+        )
+        .groupBy("priority_num", "priority_label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "status_pivot_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           {sql_dsum(f"CASE WHEN o_orderstatus = 'F' THEN {sql_money('o_totalprice')} ELSE CAST(0 AS DECIMAL(12,2)) END")} AS fulfilled_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def status_pivot_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (SURVEY §2.4) — the
+    shape groupBy().pivot() produces, written explicitly so the column
+    set is static (pivot() fires an extra distinct-values job unless
+    values are pre-declared; at scale always declare them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    is_f = F.col("o_orderstatus") == "F"
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(is_f, 1).otherwise(0)).alias("n_fulfilled"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+                "n_open"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias(
+                "n_pending"
+            ),
+            dsum(
+                F.when(is_f, money("o_totalprice")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).alias("fulfilled_value"),
+        )
+    )
+
+
+@register("approx_distinct_users")  # sketch-based → rows-only check
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB replacement
+    for exact distinct counts (SURVEY §7.4 note 6). Sketches are
+    engine-specific ⇒ no SQL oracle; the driver records rows-only."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
