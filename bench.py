@@ -37,8 +37,11 @@ HEADLINE = [
     "user_sessions",
     "dq_lineitem_report",
     "dq_quarantine_split",
+    "aml_structuring_alerts",
+    "order_status_cube",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "doc_quality_scores",
     "knn_bruteforce_cosine",
     "lsh_bucketed_neighbors",
