@@ -8,6 +8,8 @@ the built-ins are faster than the Arrow round-trip.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +58,30 @@ def lsh_signature(embedding: Column, planes: list[list[float]]) -> Column:
             for i in range(len(planes))
         ],
     )
+
+
+def cosine_to_query_pandas_udf(query_vec: list[float]):
+    """Arrow-vectorized cosine against a fixed query vector — the
+    pandas-UDF path for WIDE embeddings (SURVEY §2.13: built-ins
+    first; when dims reach thousands the JVM fold loses to one numpy
+    matmul per Arrow batch, and this is the right escape hatch).
+
+    Returns a pandas_udf usable as a Column expression; numerically
+    equivalent to cosine() (verified in tests)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_norm = float(np.linalg.norm(q))
+
+    @pandas_udf("double")
+    def _cos(embeddings: pd.Series) -> pd.Series:
+        mat = np.vstack(embeddings.to_numpy())  # (batch, dim)
+        dots = mat @ q
+        norms = np.linalg.norm(mat, axis=1)
+        return pd.Series(dots / (norms * q_norm))
+
+    return _cos
 
 
 def brute_force_knn(

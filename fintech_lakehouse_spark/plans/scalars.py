@@ -1,0 +1,134 @@
+"""Scalar-function surface + SQL-API queries (SURVEY §2.8).
+
+The gallery query exercises the string/date/math/conditional scalar
+set in one narrow projection; the SQL-API query runs through
+``spark.sql`` over registered temp views — the engine's second query
+surface (the reference registers tables in a metastore and queries by
+name, src/utils/spark_utils.py:248-282).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+
+@register(
+    "scalar_function_gallery",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           lower(c_mktsegment)                             AS segment_lower,
+           length(c_name)                                  AS name_len,
+           substring(c_name, 1, 8)                         AS name_prefix,
+           replace(c_name, 'Customer#', 'C-')              AS name_short,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')       AS key_padded,
+           CAST(c_custkey % 7 AS BIGINT)                   AS key_mod,
+           ABS(c_acctbal)                                  AS bal_abs,
+           ROUND(SQRT(ABS(c_acctbal)), 4)                  AS bal_sqrt,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT)         AS bal_k,
+           CASE WHEN c_acctbal < 0 THEN 'OVERDRAWN'
+                WHEN c_acctbal < 1000 THEN 'LOW'
+                ELSE 'OK' END                              AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'B') AS seg_coalesced,
+           c_custkey IN (1, 2, 3)                          AS is_vip
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar coverage (SURVEY §2.8) in one
+    whole-stage-codegen projection — upper/lower/length/substring/
+    replace/lpad, mod/abs/sqrt/floor, CASE, COALESCE/NULLIF, IN."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias(
+            "name_short"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("long").alias("key_mod"),
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.round(F.sqrt(F.abs("c_acctbal")), 4).alias("bal_sqrt"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+        F.when(F.col("c_acctbal") < 0, "OVERDRAWN")
+        .when(F.col("c_acctbal") < 1000, "LOW")
+        .otherwise("OK")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("B")).alias(
+            "seg_coalesced"
+        ),
+        F.col("c_custkey").isin(1, 2, 3).alias("is_vip"),
+    )
+
+
+@register(
+    "event_props_json_path",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_value,
+           CAST(props->>'$.k' AS INT) % 10 AS k_bucket
+    FROM events
+    WHERE CAST(props->>'$.k' AS INT) >= 90
+    """,
+)
+def event_props_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object JSON-path extraction (SURVEY §2.8 [NEW]) — the
+    schemaless sibling of from_json: no parse schema, per-path access.
+    Use from_json when extracting several fields (one parse); this
+    when grabbing one."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select(
+            "event_id",
+            k.alias("k_value"),
+            F.pmod(k, F.lit(10)).alias("k_bucket"),
+        )
+        .filter(F.col("k_value") >= 90)
+    )
+
+
+@register(
+    "sql_api_revenue",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    HAVING COUNT(DISTINCT o_orderkey) > 10
+    ORDER BY revenue DESC
+    """,
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: identical text runs on Spark SQL and
+    DuckDB (registered temp views stand in for the metastore tables
+    the reference registers — SURVEY §2.1 S5). Exercises HAVING +
+    ORDER BY through spark.sql."""
+    for name in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        HAVING COUNT(DISTINCT o_orderkey) > 10
+        ORDER BY revenue DESC
+        """
+    )
