@@ -146,6 +146,64 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs
+    (doc_a, doc_b): every document in a dup cluster maps to the
+    cluster's minimum doc_id, the canonical survivor.
+
+    Iterative min-label propagation: each round joins every node's
+    current label against its neighbors' and keeps the minimum;
+    converges in O(log(diameter)) rounds (dup clusters are tiny, so
+    2-3 rounds in practice; ``max_iterations`` bounds pathological
+    chains). Caching each round keeps lineage short. This is the one
+    genuinely iterative operator in the engine — inexpressible in
+    single-pass SQL (SURVEY §7.6: rows-only driver check)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # undirected: propagate both ways
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neighbor_cluster"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 LANGUAGE_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "and", "of", "to"],
     "de": ["der", "die", "und", "das", "ist"],

@@ -1,0 +1,57 @@
+"""Skew mitigation operators (SURVEY §4 / 100 TB design note).
+
+AQE's skew-join handling covers sort-merge joins at runtime; these
+utilities cover the cases AQE can't: skewed AGGREGATIONS (two-phase
+salted rollup) and broadcast-salted joins where one hot key would
+otherwise pin a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (key, random salt) so a hot key spreads over
+    ``n_salts`` reducers; phase 2 merges the partials. Only
+    decomposable aggregates belong here (sum/count/min/max — pass the
+    *partial* expression; the merge is sum/min/max of partials).
+
+    ``aggs``: output_name → (phase-1 aggregate Column). Phase 2 re-sums
+    numeric partials; for min/max pass merge="min"/"max" by naming the
+    column `min_*`/`max_*`.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    phase1 = salted.groupBy(*group_cols, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+    def merge(name: str) -> Column:
+        if name.startswith("min_"):
+            return F.min(name).alias(name)
+        if name.startswith("max_"):
+            return F.max(name).alias(name)
+        return F.sum(name).alias(name)
+
+    return phase1.groupBy(*group_cols).agg(*[merge(name) for name in aggs])
+
+
+def broadcast_salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact to a small dim without a shuffle at all:
+    broadcast the dim. This is the first-choice skew fix — a broadcast
+    join has no partitioning by key, so key skew is irrelevant; only
+    use salted shuffle joins when the dim is too big to broadcast."""
+    return skewed.join(F.broadcast(small), on, how)

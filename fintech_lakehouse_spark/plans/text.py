@@ -213,3 +213,21 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("lang").alias("predicted_lang"),
         best.getField("score").alias("marker_hits"),
     )
+
+
+@register("duplicate_clusters")  # iterative, non-SQL-expressible → rows-only
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: MinHash-LSH candidate pairs → connected
+    components → (doc_id, cluster_id) with cluster_id = canonical
+    (minimum) doc_id. The full near-dedup pipeline a training-data
+    run executes before dropping non-canonical rows (SURVEY §7.6).
+    Iterative min-label propagation — see functions/text.py::
+    dedup_clusters."""
+    from fintech_lakehouse_spark.functions.text import dedup_clusters
+
+    documents = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    signatures = minhash_signatures(shingle_rows(documents, n=3), n_hashes=32)
+    pairs = lsh_band_pairs(signatures, n_hashes=32, n_bands=8)
+    return dedup_clusters(pairs).orderBy("doc_id")

@@ -147,3 +147,23 @@ def vacuum_lake_table(spark: SparkSession, path: str, retention_hours: int = 168
 def table_exists(spark: SparkSession, database: str, table: str) -> bool:
     """Metastore introspection (ref: src/utils/spark_utils.py:596-650, T3)."""
     return spark.catalog.tableExists(f"{database}.{table}")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (SURVEY §4 co-located joins): both sides
+    of a recurring equi-join bucketed on the join key with the same
+    bucket count join WITHOUT a shuffle — the exchange disappears from
+    the plan. The write pays one clustering pass; every subsequent
+    join/aggregation on the key is exchange-free. This is the batch
+    answer to 'this join is the bottleneck at 100 TB'."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -1,0 +1,149 @@
+"""Scale-pattern tests: plan-quality assertions (pushdown/broadcast/
+top-k locked in against regressions), skew salting, bucketed
+shuffle-free joins, schema evolution, dedup clustering."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.functions.text import dedup_clusters
+from fintech_lakehouse_spark.operators.skew import (
+    broadcast_salted_join,
+    salted_aggregate,
+)
+from fintech_lakehouse_spark.plans import QUERIES
+from fintech_lakehouse_spark.sources.readers import load_table
+from fintech_lakehouse_spark.sources.writers import write_bucketed_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "query,required",
+    [
+        ("shipping_priority", ["PushedFilters: [IsNotNull", "TakeOrderedAndProject"]),
+        ("regional_revenue", ["BroadcastHashJoin"]),
+        ("top_customers", ["TakeOrderedAndProject"]),
+        ("priority_returned_orders", ["LeftSemi"]),
+        ("customers_without_orders", ["LeftAnti"]),
+        ("supplier_performance", ["BroadcastHashJoin"]),
+    ],
+)
+def test_plan_shapes(spark, sf_dir, query, required):
+    """The plans the engine promises at scale (SURVEY §4): filters
+    pushed to scans, dims broadcast, top-k never a full sort."""
+    plan = _plan(QUERIES[query](spark, sf_dir))
+    for fragment in required:
+        assert fragment in plan, f"{query}: missing {fragment}\n{plan[:2000]}"
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read the full lineitem schema."""
+    plan = _plan(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    )
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r["o_orderstatus"]: (r["n"], round(r["total"], 2))
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: (r["n"], round(r["total"], 2))
+        for r in salted_aggregate(
+            orders,
+            ["o_orderstatus"],
+            {"n": F.count(F.lit(1)), "total": F.sum("o_totalprice")},
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_broadcast_salted_join_plan(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = broadcast_salted_join(orders, customer, "o_custkey")
+    assert "BroadcastHashJoin" in _plan(joined)
+    assert joined.count() == orders.count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → no Exchange in the join
+    plan (the co-located-join contract of write_bucketed_table)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "bkt.orders_b", ["o_orderkey"], 8)
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt.lineitem_b",
+        ["o_orderkey"],
+        8,
+    )
+    # Force the sort-merge path (tiny test tables would broadcast and
+    # bypass bucketing — at scale SMJ is what bucketing accelerates).
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt.orders_b").join(
+            spark.table("bkt.lineitem_b"), "o_orderkey"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:3000]  # bucket-co-located: no shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE bkt.orders_b")
+        spark.sql("DROP TABLE bkt.lineitem_b")
+        spark.sql("DROP DATABASE bkt")
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Additive schema evolution in the parquet fallback: new columns
+    appear, old rows read NULL (ref mergeSchema behavior,
+    src/utils/spark_utils.py:233-235)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2"]).write.mode(
+        "append"
+    ).parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r["v2"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_dedup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,          # chain collapses to min
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
