@@ -231,3 +231,60 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures = minhash_signatures(shingle_rows(documents, n=3), n_hashes=32)
     pairs = lsh_band_pairs(signatures, n_hashes=32, n_bands=8)
     return dedup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "doc_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                            AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           len(regexp_extract_all(text, '[0-9]+'))                 AS numeric_tokens,
+           len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS vocab_size
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (SURVEY §7.6): whitespace split and a
+    BPE-ish regex lexer (runs of alphanumerics + single punctuation
+    marks — the pre-tokenization most BPE vocabularies apply). Both
+    stay in JVM regexp engines; identical regex dialect on the oracle
+    side."""
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)).alias(
+            "numeric_tokens"
+        ),
+        F.size(
+            F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0))
+        ).alias("vocab_size"),
+    )
+
+
+@register("doc_rolling_fingerprints")  # Spark-hash-specific → rows-only
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (SURVEY §7.6
+    fingerprinting): fold over tokens with h = h*31 + xxhash64(token).
+    Order-sensitive (unlike MinHash/SimHash) — equal fingerprints mean
+    equal token SEQUENCES, the strictest near-zero-cost dedup key after
+    md5. Wrapping 64-bit arithmetic keeps it a pure codegen fold."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # Chain hashing instead of acc*31+h: multiplication overflows under
+    # ANSI mode; xxhash64(acc, token) is equally order-sensitive.
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.xxhash64(acc, x),
+    )
+    return documents.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.md5(F.col("text").cast("binary")).alias("md5_hash"),
+    )

@@ -3,6 +3,7 @@ from fintech_lakehouse_spark.streaming.events import (
     foreach_batch_upsert,
     read_events_stream,
     sessionize_stream,
+    stateful_user_totals,
     windowed_event_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "foreach_batch_upsert",
     "read_events_stream",
     "sessionize_stream",
+    "stateful_user_totals",
     "windowed_event_counts",
 ]

@@ -117,6 +117,58 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+STATEFUL_TOTALS_SCHEMA = (
+    "user_id long, events_seen long, total_value double, batch_events long"
+)
+_STATE_SCHEMA = "events_seen long, total_value double"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.12: applyInPandasWithState
+    — the escape hatch when built-in windows can't express the state
+    machine): per-user running totals that persist across micro-batches
+    in the state store.
+
+    Each invocation receives the user's Arrow batches for this
+    micro-batch plus their persisted state; emits one row per user per
+    batch with lifetime totals. The same pattern carries fraud
+    velocity counters, session enrichment, or per-entity model state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        batch_events = 0
+        batch_value = 0.0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            batch_value += float(pdf["value"].fillna(0.0).sum())
+        if state.exists:
+            seen, total = state.get
+        else:
+            seen, total = 0, 0.0
+        seen += batch_events
+        total += batch_value
+        state.update((seen, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "events_seen": [seen],
+                "total_value": [round(total, 4)],
+                "batch_events": [batch_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(target_path: str, merge_keys: list[str]):
     """foreachBatch sink: MERGE each micro-batch into a lake table —
     idempotent under replay (micro-batch reprocessing upserts the same

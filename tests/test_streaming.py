@@ -124,3 +124,40 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     batch = load_table(spark, "/root/testdata/sf0.001", "events")
     assert lake.count() == batch.count()
     assert lake.select("event_id").distinct().count() == batch.count()
+
+
+def test_stateful_user_totals_state_persists(spark, events_dir):
+    """applyInPandasWithState: state must accumulate ACROSS
+    micro-batches (maxFilesPerTrigger=1 over 2 files → 2 batches);
+    the final per-user totals must equal the batch aggregate."""
+    from fintech_lakehouse_spark.streaming import stateful_user_totals
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, stateful_user_totals(stream), "stateful_totals", mode="append"
+    )
+    # Last emitted row per user carries the lifetime totals.
+    final = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy(F.col("events_seen").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .select("user_id", "events_seen", "total_value")
+    )
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "events_seen", "total_value"]
+    assert _norm(final, cols) == _norm(batch, cols)
+    # more than one emission per user proves multi-batch state updates
+    assert got.count() > batch.count()
