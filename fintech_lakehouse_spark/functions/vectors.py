@@ -29,11 +29,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def l2_normalize(a: Column) -> Column:
-    """Unit-normalize once at write time so downstream cosine = dot —
+def l2_normalize(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Unit-normalize a vector column once so downstream cosine = dot —
     the 100 TB trick: normalizing the corpus once turns every query's
-    cosine into a single fused multiply-add pass."""
-    return F.transform(a, lambda x: x / l2_norm(a))
+    cosine into a single fused multiply-add pass.
+
+    Two-step on purpose: the norm materializes in its own column
+    before the divide — a `transform(v, x -> x / l2_norm(v))` lambda
+    re-evaluates the norm fold PER ELEMENT (the same Catalyst
+    no-CSE-into-lambdas trap as word_shingles)."""
+    return (
+        df.withColumn("_norm", l2_norm(F.col(vec)))
+        .withColumn(
+            vec,
+            F.when(
+                F.col("_norm") > 0,
+                F.transform(F.col(vec), lambda x: x / F.col("_norm")),
+            ).otherwise(F.col(vec)),
+        )
+        .drop("_norm")
+    )
 
 
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> list[list[float]]:
@@ -94,15 +109,21 @@ def brute_force_knn(
 ) -> DataFrame:
     """Exact top-k cosine neighbors: broadcast the (small) query batch,
     stream the corpus once, per-query top-k via keyed window. No
-    corpus shuffle — the only wide op is the final tiny top-k."""
+    corpus shuffle — the only wide op is the final tiny top-k.
+
+    Both sides are unit-normalized BEFORE the cross join, so the
+    per-pair work is one dot product instead of dot + two norm folds
+    (3× fewer array passes in the O(corpus × queries) hot loop)."""
     from pyspark.sql.window import Window
 
-    scored = corpus.select(
+    corpus_n = l2_normalize(corpus.select(F.col(corpus_id), F.col(vec)), vec)
+    queries_n = l2_normalize(queries.select(F.col(query_id), F.col(vec)), vec)
+    scored = corpus_n.select(
         F.col(corpus_id), F.col(vec).alias("_cv")
     ).crossJoin(
-        F.broadcast(queries.select(F.col(query_id), F.col(vec).alias("_qv")))
+        F.broadcast(queries_n.select(F.col(query_id), F.col(vec).alias("_qv")))
     ).select(
-        query_id, corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        query_id, corpus_id, dot(F.col("_qv"), F.col("_cv")).alias("cos")
     )
     topk = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id)

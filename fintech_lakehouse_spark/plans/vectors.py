@@ -20,6 +20,7 @@ from fintech_lakehouse_spark.functions.vectors import (
     dot,
     hyperplanes,
     l2_norm,
+    l2_normalize,
     lsh_signature,
 )
 from fintech_lakehouse_spark.plans.registry import register
@@ -89,10 +90,10 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (SURVEY §7.6 dedup family):
     all pairs with cosine > 0.60. Exact O(n²) formulation as ground
     truth — the LSH-bucketed variant below is the corpus-scale path."""
-    emb = _embeddings_double(spark, sf_dir)
+    emb = l2_normalize(_embeddings_double(spark, sf_dir))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb"))  # unit vectors: cosine == dot
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos > 0.60)
@@ -137,7 +138,7 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunable by planes/bands; approximation ⇒ no SQL oracle (rows-only
     driver check)."""
     planes = hyperplanes(n_planes=16, dim=64, seed=42)
-    emb = _embeddings_double(spark, sf_dir)
+    emb = l2_normalize(_embeddings_double(spark, sf_dir))
     signed = emb.select(
         "vec_id", "embedding", lsh_signature(F.col("embedding"), planes).alias("bucket")
     )
@@ -155,7 +156,7 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos")
         )
     )
     topk = Window.partitionBy("query_id").orderBy(

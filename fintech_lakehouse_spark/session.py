@@ -63,6 +63,13 @@ def get_spark(
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
+        if master.startswith("local") and not (extra_conf or {}).get(
+            "spark.driver.memory"
+        ):
+            # In local mode the driver JVM IS the cluster; the 1g
+            # default OOMs on any multi-GB shuffle. Static conf — only
+            # effective for the session that launches the JVM.
+            builder = builder.config("spark.driver.memory", "16g")
     for key, value in _SCALE_DEFAULTS.items():
         builder = builder.config(key, value)
     if extra_conf:
