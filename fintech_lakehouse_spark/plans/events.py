@@ -151,3 +151,45 @@ def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
+
+
+@register(
+    "sliding_event_windows",
+    oracle="""
+    WITH starts AS (
+        SELECT unnest([
+            time_bucket(INTERVAL 30 MINUTES, ts),
+            time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES
+        ]) AS window_start, event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM starts
+    WHERE window_start <= (SELECT max(ts) FROM events)
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window agg (1h window, 30m slide — SURVEY §2.12): each
+    event lands in two overlapping windows. The oracle reconstructs
+    the window-assignment rule (starts on the 30m grid covering ts);
+    the trailing filter mirrors Spark emitting only windows whose
+    start ≤ max event time."""
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .filter(F.col("w.start") <= F.lit(max_ts))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -249,3 +249,36 @@ def nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(global_w).alias("global_rank"),
         F.ntile(4).over(global_w).alias("quartile"),
     )
+
+
+@register(
+    "customer_order_bookends",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_value_price,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_orderkey
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit full-frame
+    specs (SURVEY §2.5 W4 leftovers). last_value needs the UNBOUNDED
+    FOLLOWING frame on both engines — the default frame ends at the
+    current row."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    running = Window.partitionBy("o_custkey").orderBy(*ordering)
+    full = running.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(running).alias("first_orderkey"),
+        F.last("o_orderkey").over(full).alias("last_orderkey"),
+        F.round(F.first("o_totalprice").over(running), 2).alias("first_value_price"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_orderkey"),
+    ).distinct()

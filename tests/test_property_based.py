@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) — randomized inputs against
+independent Python models. The reference has none (SURVEY §5.5);
+these pin the operators whose edge cases hand-written fixtures miss:
+dedup tie-breaking, as-of boundary behavior, decimal-sum exactness.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.operators import asof_join, deduplicate_by_key
+
+SETTINGS = dict(
+    max_examples=12,  # each example spins Spark jobs — keep bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.integers(0, 10),  # version (ties allowed)
+            st.integers(0, 3),  # tiebreak id
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, t) for k, v, t in rows], ["k", "v", "t"]
+    )
+    got = {
+        (r["k"], r["v"], r["t"])
+        for r in deduplicate_by_key(
+            df, ["k"], "v", order_ascending=False, tie_breakers=["t"]
+        ).collect()
+    }
+    # model: per key keep max version; among ties the min tiebreak
+    expected = set()
+    for key in {k for k, _, _ in rows}:
+        group = [(v, t) for k, v, t in rows if k == key]
+        vmax = max(v for v, _ in group)
+        tmin = min(t for v, t in group if v == vmax)
+        expected.add((key, vmax, tmin))
+    assert got == expected
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                              st.integers(0, 99)),
+                    min_size=0, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in rights], ["k", "ts", "v"]
+    ) if rights else spark.createDataFrame([], "k int, ts int, v int")
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_time="ts", right_time="ts"
+        ).collect()
+    }
+    # model: latest right at ts' <= ts for same key; ties on (k, ts')
+    # reduce to max(v) (asof_join's documented dedup rule)
+    expected = {}
+    for i, (k, ts) in enumerate(lefts):
+        candidates = [(rts, v) for rk, rts, v in rights if rk == k and rts <= ts]
+        if not candidates:
+            expected[i] = None
+        else:
+            best_ts = max(rts for rts, _ in candidates)
+            expected[i] = max(v for rts, v in candidates if rts == best_ts)
+    assert got == expected
+    assert len(got) == len(lefts)  # left join preserves every left row
+
+
+@given(
+    cents=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=50)
+)
+@settings(**SETTINGS)
+def test_decimal_sum_exact(spark, cents):
+    """The _num.py premise: decimal sums equal exact integer math
+    regardless of partitioning/order."""
+    df = spark.createDataFrame(
+        [(c / 100,) for c in cents], ["x"]
+    ).repartition(4)
+    got = df.agg(
+        F.sum(F.col("x").cast("decimal(12,2)")).alias("s")
+    ).collect()[0]["s"]
+    assert got == Decimal(sum(cents)) / 100

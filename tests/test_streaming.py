@@ -161,3 +161,48 @@ def test_stateful_user_totals_state_persists(spark, events_dir):
     assert _norm(final, cols) == _norm(batch, cols)
     # more than one emission per user proves multi-batch state updates
     assert got.count() > batch.count()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy (SURVEY §7.4 risk 5): an event older than
+    watermark behind the stream's max ts must NOT reopen a finalized
+    window in append mode."""
+    from pyspark.sql.types import Row
+    import datetime as dt
+
+    landing = str(tmp_path / "late_landing")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, mode):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=base + dt.timedelta(minutes=m), user_id=1,
+                 event_type="click", value=1.0, props="{}")
+             for i, m in rows],
+            schema="event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string",
+        ).coalesce(1).write.mode(mode).parquet(landing)
+
+    ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_sink")
+
+    def run_once():
+        stream = read_events_stream(spark, landing)
+        agg = windowed_event_counts(stream, watermark="10 minutes")
+        q = (agg.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1: events at minute 5 and minute 600 → watermark advances to
+    # ~9:50, finalizing and emitting the hour-0 window.
+    mk([(1, 5), (2, 600)], "overwrite")
+    run_once()
+    # run 2 (same checkpoint → watermark persisted): a late event back
+    # in hour 0 arrives; it must be dropped, not re-emitted.
+    mk([(3, 7)], "append")
+    run_once()
+    out = {
+        r["window_start"]: r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert out.get(base) == 1  # only the on-time event; late one dropped
