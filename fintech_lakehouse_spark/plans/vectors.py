@@ -20,8 +20,8 @@ from fintech_lakehouse_spark.functions.vectors import (
     dot,
     hyperplanes,
     l2_norm,
-    l2_normalize,
     lsh_signature,
+    with_norm,
 )
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
@@ -90,10 +90,16 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (SURVEY §7.6 dedup family):
     all pairs with cosine > 0.60. Exact O(n²) formulation as ground
     truth — the LSH-bucketed variant below is the corpus-scale path."""
-    emb = l2_normalize(_embeddings_double(spark, sf_dir))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = dot(F.col("va"), F.col("vb"))  # unit vectors: cosine == dot
+    emb = _embeddings_double(spark, sf_dir)
+    a = with_norm(
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")),
+        "va", "na",
+    )
+    b = with_norm(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")),
+        "vb", "nb",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos > 0.60)
@@ -138,25 +144,33 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunable by planes/bands; approximation ⇒ no SQL oracle (rows-only
     driver check)."""
     planes = hyperplanes(n_planes=16, dim=64, seed=42)
-    emb = l2_normalize(_embeddings_double(spark, sf_dir))
+    # Sign signatures are scale-invariant: bucket on the RAW vectors
+    # (normalizing first is pure waste), carry norms as columns for the
+    # in-bucket cosine.
+    emb = with_norm(_embeddings_double(spark, sf_dir), "embedding", "_n")
     signed = emb.select(
-        "vec_id", "embedding", lsh_signature(F.col("embedding"), planes).alias("bucket")
+        "vec_id", "embedding", "_n",
+        lsh_signature(F.col("embedding"), planes).alias("bucket"),
     )
     a = signed.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("_n").alias("qn"),
         "bucket",
     )
     b = signed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        F.col("_n").alias("cn"),
         "bucket",
     )
     scored = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     topk = Window.partitionBy("query_id").orderBy(

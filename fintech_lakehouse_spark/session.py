@@ -67,9 +67,14 @@ def get_spark(
             "spark.driver.memory"
         ):
             # In local mode the driver JVM IS the cluster; the 1g
-            # default OOMs on any multi-GB shuffle. Static conf — only
-            # effective for the session that launches the JVM.
-            builder = builder.config("spark.driver.memory", "16g")
+            # default OOMs on any multi-GB shuffle. 4g, not bigger:
+            # an oversized heap (16g) measurably degrades long
+            # sessions — GC runs too rarely for the ContextCleaner,
+            # and the codegen-heavy queries slowed 6× mid-bench.
+            # Heavy jobs pass spark.driver.memory via extra_conf.
+            # Static conf — only effective for the session that
+            # launches the JVM.
+            builder = builder.config("spark.driver.memory", "4g")
     for key, value in _SCALE_DEFAULTS.items():
         builder = builder.config(key, value)
     if extra_conf:
