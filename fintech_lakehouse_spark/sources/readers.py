@@ -106,13 +106,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark reads only as LongType nanos (legacy.parquet.nanosAsLong) —
     convert back to a proper timestamp (microsecond precision, the data
-    has no sub-microsecond components)."""
+    has no sub-microsecond components). The conf is runtime-settable,
+    so set it here too: callers may hand us a session built without
+    fintech_lakehouse_spark.session.get_spark (e.g. the verify
+    driver's own session), which would otherwise fail the read with
+    PARQUET_TYPE_ILLEGAL."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The engine's time semantics are UTC (session.py); pin it here
+        # too so the nanos→timestamp conversion and window alignment
+        # are correct even on caller-supplied sessions.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # NTZ, like every other timestamp in the lake: TimestampType
+            # values are rendered through the OS timezone at collect(),
+            # so a non-UTC host would shift results; NTZ is
+            # tz-independent end to end. (The TIMESTAMP→NTZ cast uses
+            # the session tz, pinned to UTC above, so the wall time is
+            # exactly the stored UTC instant.)
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 
