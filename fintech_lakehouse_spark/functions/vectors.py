@@ -81,6 +81,80 @@ def lsh_signature(embedding: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_lists: int = 16,
+    vec: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer (SURVEY §7.6 'IVF or LSH-bucketed'
+    variant): k-means centroids partition the corpus into inverted
+    lists; search only probes the closest lists.
+
+    Returns (corpus with ``list_id``, centroid vectors). Training uses
+    spark.ml KMeans (seeded); at 100 TB you train on a sample and
+    assign the full corpus with a broadcast of the k centroids —
+    exactly what this does, since assignment is the transform step."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    featurized = emb.withColumn("_features", array_to_vector(F.col(vec)))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id"
+    ).fit(featurized)
+    assigned = model.transform(featurized).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probes`` nearest inverted lists per query, exact
+    cosine within them, top-k. Work ≈ (n_probes / n_lists) of brute
+    force; recall grows with n_probes. Queries (with their probe-list
+    assignments, computed driver-side against the tiny centroid set)
+    broadcast to the corpus — the corpus itself never shuffles."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    cent = np.asarray(centroids)
+    q_rows = queries.select(query_id, vec).collect()
+    probes = []
+    for row in q_rows:
+        qv = np.asarray(row[vec])
+        dists = ((cent - qv) ** 2).sum(axis=1)
+        for list_id in np.argsort(dists)[:n_probes]:
+            probes.append((row[query_id], int(list_id), [float(x) for x in qv]))
+    probe_df = assigned.sparkSession.createDataFrame(
+        probes, f"{query_id} long, list_id int, _qv array<double>"
+    )
+    corpus_n = with_norm(
+        assigned.select(corpus_id, "list_id", F.col(vec).alias("_cv")), "_cv", "_cn"
+    )
+    probe_n = with_norm(probe_df, "_qv", "_qn")
+    scored = corpus_n.join(F.broadcast(probe_n), "list_id").select(
+        query_id,
+        corpus_id,
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos"
+        ),
+    )
+    topk = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(topk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_to_query_pandas_udf(query_vec: list[float]):
     """Arrow-vectorized cosine against a fixed query vector — the
     pandas-UDF path for WIDE embeddings (SURVEY §2.13: built-ins

@@ -181,3 +181,22 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine_sim"))
     )
+
+
+@register("ivf_approx_neighbors")  # approximate + kmeans-dependent → rows-only
+def ivf_approx_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (SURVEY §7.6 scale path #2):
+    k-means inverted lists, probe the 2 closest of 16 lists per query,
+    exact cosine within ≈1/8th of the corpus. Complements
+    lsh_bucketed_neighbors (no training vs trained quantizer).
+    See functions/vectors.py::ivf_assign/ivf_search."""
+    from fintech_lakehouse_spark.functions.vectors import ivf_assign, ivf_search
+
+    emb = _embeddings_double(spark, sf_dir)
+    assigned, centroids = ivf_assign(emb, n_lists=16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search(
+        assigned.filter(F.col("vec_id") >= 10), centroids, queries, k=5, n_probes=2
+    ).select("query_id", "vec_id", F.round("cos", 4).alias("cosine_sim"))

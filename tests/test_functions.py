@@ -143,3 +143,34 @@ def test_video_frame_sampling(assets):
     frames = sample_video_frames(assets, every_n_seconds=5).collect()
     assert all(r["asset_id"] == 3 for r in frames)
     assert [r["frame_ts_sec"] for r in frames] == [5 * r["frame_no"] for r in frames]
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with 2/16 probes must recover most of the exact top-5
+    (random 64-dim data is an adversarial case for partition pruning;
+    ≥40% recall while scanning ~1/8th of the corpus is the win)."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.functions.vectors import (
+        ivf_assign,
+        ivf_search,
+    )
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 10").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 10")
+    exact = brute_force_knn(
+        corpus.selectExpr("vec_id as neighbor_id", "embedding"), queries, k=5
+    )
+    assigned, centroids = ivf_assign(corpus, n_lists=16)
+    approx = ivf_search(assigned, centroids, queries, k=5, n_probes=2)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert len(approx_pairs) == 50  # 10 queries × k=5
+    assert recall >= 0.4, f"recall {recall}"
