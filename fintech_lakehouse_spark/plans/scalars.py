@@ -132,3 +132,40 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC
         """
     )
+
+
+@register(
+    "weighted_event_scores",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           ROUND(SUM(value * CASE event_type
+                 WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                 WHEN 'click' THEN 1.0 WHEN 'view' THEN 2.0
+                 ELSE -2.0 END), 4)            AS weighted_score,
+           COUNT(*)                            AS n_events
+    FROM events
+    GROUP BY user_id % 100
+    """,
+)
+def weighted_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed lookup (SURVEY §2.8 — MapType was unused in the
+    reference): a literal create_map scores event types; element_at
+    resolves per row inside codegen. The oracle expresses the same
+    lookup as a CASE (values, not constructs, are compared)."""
+    # Integral weights on purpose: value is 4-decimal, so products
+    # stay multiples of 1e-4 and ROUND(,4) never sits on a midpoint
+    # (a 0.5 weight would put true sums exactly on the boundary).
+    weights = {"purchase": 5.0, "signup": 3.0, "click": 1.0, "view": 2.0}
+    events = load_table(spark, sf_dir, "events")
+    weight_map = F.create_map(
+        *[F.lit(x) for pair in weights.items() for x in pair]
+    )
+    weight = F.coalesce(
+        F.element_at(weight_map, F.col("event_type")), F.lit(-2.0)
+    )
+    return events.groupBy(
+        F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket")
+    ).agg(
+        F.round(F.sum(F.col("value") * weight), 4).alias("weighted_score"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -198,13 +198,38 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(documents)
 
 
-@register("lang_id_heuristic")  # heuristic scorer → rows-only check
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, labeled_lang,
+               len(list_intersect(toks, ['the', 'a', 'and', 'of', 'to'])) AS s_en,
+               len(list_intersect(toks, ['der', 'die', 'und', 'das', 'ist'])) AS s_de,
+               len(list_intersect(toks, ['el', 'la', 'los', 'que', 'de'])) AS s_es,
+               len(list_intersect(toks, ['le', 'la', 'les', 'et', 'est'])) AS s_fr,
+               len(list_intersect(toks, ['de5', 'shi4', 'le5', 'zai4', 'he2'])) AS s_zh
+        FROM scored
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN s_zh = best THEN 'zh' WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' END AS predicted_lang,
+           best AS marker_hits
+    FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
+    """,
+)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (SURVEY §7.6): score each doc against
     per-language stopword marker sets via array intersection, predict
     argmax (functions/text.py::language_best_guess). A real corpus
     would use char-n-gram profiles; the mechanism (token-set overlap,
-    argmax over struct array) is the same and stays JVM-side."""
+    argmax over struct array) is the same and stays JVM-side.
+
+    Oracle replicates Spark's array_max(struct(score, lang)) argmax
+    exactly: max score, ties broken by the greatest language code
+    (the CASE tests languages in descending order)."""
     documents = load_table(spark, sf_dir, "documents")
     best = language_best_guess()
     return documents.select(
