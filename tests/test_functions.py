@@ -174,3 +174,49 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert len(approx_pairs) == 50  # 10 queries × k=5
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_label_centroids_applyinpandas(spark, sf_dir):
+    """Grouped applyInPandas (UDAF shape): centroid must equal the
+    exploded-builtin computation."""
+    from fintech_lakehouse_spark.functions.python_udfs import label_centroids
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    got = {r["label"]: r["centroid"] for r in label_centroids(emb).collect()}
+    expected = {
+        r["label"]: r["centroid"]
+        for r in emb.select("label", F.posexplode("embedding"))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x.getField("v")).alias("centroid"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for label in got:
+        assert got[label] == pytest.approx(expected[label], abs=1e-12)
+
+
+def test_split_sentences_udtf(spark, sf_dir):
+    """Python UDTF: every doc fans out to ceil(tokens/12) rows with
+    consecutive sentence numbers."""
+    from fintech_lakehouse_spark.functions.python_udfs import split_sentences
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    out = split_sentences(docs)
+    rows = out.collect()
+    assert all(r["n_tokens"] >= 1 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["sentence_no"])
+    token_counts = {
+        r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()
+    }
+    for doc_id, nos in by_doc.items():
+        assert sorted(nos) == list(range(len(nos)))
+        assert len(nos) == -(-token_counts[doc_id] // 12)  # ceil
