@@ -169,3 +169,46 @@ def weighted_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * weight), 4).alias("weighted_score"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "date_function_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                            AS order_date,
+           CAST(o_orderdate AS DATE) + 30                       AS due_date,
+           CAST(o_orderdate AS DATE) - 7                        AS week_before,
+           last_day(CAST(o_orderdate AS DATE))                  AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE)       AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)     AS quarter_start,
+           CAST(quarter(o_orderdate) AS INT)                    AS q,
+           CAST(dayofyear(o_orderdate) AS INT)                  AS doy,
+           (2026 - CAST(EXTRACT(year FROM o_orderdate) AS INT)) * 12 +
+           (8 - CAST(EXTRACT(month FROM o_orderdate) AS INT))   AS months_ago_whole
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def date_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/calendar scalar coverage (SURVEY §2.8 P13 family):
+    date_add/sub, last_day, trunc to month/quarter, quarter/dayofyear,
+    whole-month age — the silver-layer derivation vocabulary.
+    (months_between is fractional with engine-specific day-fraction
+    rules; the whole-month formulation is the portable semantic.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_sub(d, 7).alias("week_before"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        # pinned 'now' (2026-08): current_date on both engines risks a
+        # midnight race between the side-by-side runs
+        ((F.lit(2026) - F.year(d)) * 12 + (F.lit(8) - F.month(d))).alias(
+            "months_ago_whole"
+        ),
+    )
