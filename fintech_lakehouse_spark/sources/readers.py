@@ -100,6 +100,17 @@ def read_parquet_to_df(
     return reader.load(path)
 
 
+def read_orc_to_df(
+    spark: SparkSession, path: str, options: dict[str, str] | None = None
+) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships natively
+    (same pushdown/pruning machinery as parquet; SURVEY §2.1 S12)."""
+    reader = spark.read.format("orc")
+    for key, value in (options or {}).items():
+        reader = reader.option(key, value)
+    return reader.load(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver test table (TESTDATA.md): ``{sf_dir}/{name}.parquet``.
 

@@ -101,3 +101,47 @@ def test_pandas_udf_cosine_matches_jvm(spark, sf_dir):
         F.max(F.abs(F.col("a.c") - F.col("b.c"))).alias("d")
     ).collect()[0]["d"]
     assert max_diff < 1e-12
+
+
+def test_orc_roundtrip(spark, tmp_path, sf_dir):
+    from fintech_lakehouse_spark.sources.readers import read_orc_to_df
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.format("orc").save(path)
+    back = read_orc_to_df(spark, path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+
+def test_clustered_zstd_write(spark, tmp_path, sf_dir):
+    """cluster_by + zstd: rows sorted on the cluster key within files,
+    codec honored (file extension), and a range predicate still reads
+    correct results."""
+    import glob
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_clustered")
+    write_lake_table(
+        lineitem, path, cluster_by=["l_shipdate"], compression="zstd"
+    )
+    files = glob.glob(f"{path}/*.zstd.parquet") or glob.glob(f"{path}/*zstd*")
+    assert files, "zstd codec not reflected in files"
+    back = spark.read.parquet(path)
+    assert back.count() == lineitem.count()
+    # within-file sortedness on the cluster key
+    from pyspark.sql.window import Window
+
+    by_file = (
+        back.withColumn("_f", F.input_file_name())
+        .withColumn(
+            "_prev",
+            F.lag("l_shipdate").over(
+                Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .filter(F.col("_prev") > F.col("l_shipdate"))
+    )
+    assert by_file.count() == 0
+    want = lineitem.filter("l_shipdate >= '2000-01-01'").count()
+    assert back.filter("l_shipdate >= '2000-01-01'").count() == want
