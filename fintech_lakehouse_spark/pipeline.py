@@ -61,6 +61,10 @@ class MedallionPipeline:
     def _transaction_checker(self, df: DataFrame) -> DataQualityChecker:
         """The reference's canonical transaction rule set
         (ref: src/config/base.py:19-50 business rules)."""
+        from pyspark.sql import functions as F
+
+        from fintech_lakehouse_spark.quality import DQCheckType
+
         return (
             DataQualityChecker(df, "transactions")
             .check_completeness(["transaction_id", "customer_id", "merchant_id", "amount"])
@@ -68,6 +72,15 @@ class MedallionPipeline:
             .check_range("amount", MIN_TRANSACTION_AMOUNT, MAX_TRANSACTION_AMOUNT)
             .check_values_in_set("currency", VALID_CURRENCIES)
             .check_values_in_set("status", VALID_TRANSACTION_STATUSES)
+            # CONSISTENCY (Q9, the reference's canonical example at
+            # src/utils/data_quality.py:470): net ≠ amount − fee is bad.
+            .check_custom(
+                "net_amount_consistency",
+                F.col("net_amount").isNotNull()
+                & (F.col("net_amount") != F.col("amount_usd") - F.col("fee_amount")),
+                failure_reason="NET_AMOUNT_MISMATCH",
+                check_type=DQCheckType.CONSISTENCY,
+            )
         )
 
     def promote_silver(self, table: str, bronze: DataFrame) -> DataFrame:
