@@ -59,16 +59,22 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(string_split(text, ' ')), 4)                 AS unique_ratio,
            ROUND(CAST(length(text) AS DOUBLE)
                  / len(string_split(text, ' ')), 4)                 AS avg_token_len,
-           length(text)                                             AS n_chars_actual
+           length(text)                                             AS n_chars_actual,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4)                                 AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)                 AS stopword_ratio
     FROM documents
     WHERE doc_id < 100
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (SURVEY §7.6 quality scoring):
-    token count, type/token (unique) ratio, mean token length — the
-    standard cheap filters a pretraining pipeline applies before
-    expensive dedup. Narrow projection, zero shuffle."""
+    token count, type/token (unique) ratio, mean token length,
+    punctuation ratio, stopword ratio — the standard cheap filters a
+    pretraining pipeline applies before expensive dedup. Narrow
+    projection, zero shuffle."""
     documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tokens = F.split(F.col("text"), " ")
     n_tokens = F.size(tokens)
@@ -82,6 +88,24 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
         F.length("text").alias("n_chars_actual"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(
+                F.filter(
+                    tokens,
+                    lambda x: x.isin("the", "a", "and", "of", "to", "is", "in"),
+                )
+            ).cast("double")
+            / n_tokens,
+            4,
+        ).alias("stopword_ratio"),
     )
 
 
