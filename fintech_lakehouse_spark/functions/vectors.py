@@ -68,7 +68,11 @@ def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> list[list[
 def lsh_signature(embedding: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature string: bit i = sign(embedding · plane_i).
     Vectors with equal signatures are cosine-close with probability
-    rising in signature length — the bucket key for approximate NN."""
+    rising in signature length — the bucket key for approximate NN.
+
+    Pure-JVM formulation; for more than a handful of planes prefer
+    lsh_signature_pandas — this literal tree (planes × dim constants)
+    is expensive to codegen."""
     plane_arrays = F.array(
         *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
     )
@@ -79,6 +83,28 @@ def lsh_signature(embedding: Column, planes: list[list[float]]) -> Column:
             for i in range(len(planes))
         ],
     )
+
+
+def lsh_signature_pandas(planes: list[list[float]]):
+    """Arrow-vectorized signature: one numpy matmul per batch instead
+    of a planes×dim literal expression tree (the JVM version spends
+    more compiling codegen than computing at small plane counts, and
+    scales worse at large ones). Returns a pandas_udf Column factory.
+    Bit i = sign(v · plane_i), identical to lsh_signature."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, planes)
+
+    @pandas_udf("string")
+    def _sig(embeddings: pd.Series) -> pd.Series:
+        vecs = np.vstack(embeddings.to_numpy())  # (batch, dim)
+        bits = (vecs @ mat) >= 0  # (batch, planes)
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits]
+        )
+
+    return _sig
 
 
 def ivf_assign(

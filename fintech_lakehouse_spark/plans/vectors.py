@@ -20,7 +20,7 @@ from fintech_lakehouse_spark.functions.vectors import (
     dot,
     hyperplanes,
     l2_norm,
-    lsh_signature,
+    lsh_signature_pandas,
     with_norm,
 )
 from fintech_lakehouse_spark.plans.registry import register
@@ -148,9 +148,9 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (normalizing first is pure waste), carry norms as columns for the
     # in-bucket cosine.
     emb = with_norm(_embeddings_double(spark, sf_dir), "embedding", "_n")
+    sig = lsh_signature_pandas(planes)
     signed = emb.select(
-        "vec_id", "embedding", "_n",
-        lsh_signature(F.col("embedding"), planes).alias("bucket"),
+        "vec_id", "embedding", "_n", sig("embedding").alias("bucket")
     )
     a = signed.select(
         F.col("vec_id").alias("query_id"),
