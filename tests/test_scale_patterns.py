@@ -147,3 +147,38 @@ def test_dedup_clusters_connected_components(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew-join (SURVEY §4: 'skewed keys → salting or AQE'):
+    with one key holding ~99% of rows and thresholds tuned for test
+    scale, the final adaptive plan must mark the sort-merge join as
+    skew-handled (hot partition split into parallel subtasks)."""
+    skewed = spark.range(300_000).selectExpr(
+        "CASE WHEN id % 100 < 99 THEN 0 ELSE id % 1000 END AS k", "id AS payload"
+    )
+    dim = spark.range(1_000).selectExpr("id AS k", "id * 2 AS attr")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = skewed.join(dim, "k")
+        # collect() executes THIS DataFrame's queryExecution (count()
+        # would build a different query and leave this plan unfinalized)
+        assert len(joined.collect()) == 300_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
