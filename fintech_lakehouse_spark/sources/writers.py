@@ -59,6 +59,10 @@ def write_lake_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+    # Invalidate cached file listings (path readers AND registered
+    # tables over this location) — without this, a catalog table read
+    # after an overwrite resolves to deleted files.
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def read_lake_table(spark: SparkSession, path: str) -> DataFrame:
@@ -134,6 +138,7 @@ def upsert_lake_table(
     spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
         target_path
     )
+    spark.catalog.refreshByPath(target_path)
 
 
 def optimize_lake_table(
