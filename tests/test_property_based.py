@@ -103,3 +103,44 @@ def test_decimal_sum_exact(spark, cents):
         F.sum(F.col("x").cast("decimal(12,2)")).alias("s")
     ).collect()[0]["s"]
     assert got == Decimal(sum(cents)) / 100
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-1000, 1000, allow_nan=False)),
+            st.sampled_from(["USD", "EUR", "XXX", None]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_one_pass_dq_matches_per_check_model(spark, rows):
+    """One-pass conditional aggregation must equal the reference's
+    per-check filter counts for every rule family on randomized data
+    (nulls, out-of-range, bad enums)."""
+    from fintech_lakehouse_spark.quality import DataQualityChecker
+
+    df = spark.createDataFrame(rows, "amount double, currency string")
+    report = (
+        DataQualityChecker(df, "t")
+        .check_completeness(["amount"], threshold=1.0)
+        .check_range("amount", 0, 500)
+        .check_values_in_set("currency", ["USD", "EUR"])
+        .run()
+    )
+    got = {r.check_name: r.failed_records for r in report.results}
+    amounts = [a for a, _ in rows]
+    currencies = [c for _, c in rows]
+    expected = {
+        "completeness_amount": sum(a is None for a in amounts),
+        "range_amount": sum(
+            a is not None and (a < 0 or a > 500) for a in amounts
+        ),
+        "values_in_set_currency": sum(
+            c is not None and c not in ("USD", "EUR") for c in currencies
+        ),
+    }
+    assert got == expected
+    assert report.results[0].total_records == len(rows)
