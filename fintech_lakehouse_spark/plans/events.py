@@ -193,3 +193,52 @@ def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "purchase_click_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.event_id)    AS n_prior_clicks_30m,
+           ROUND(COALESCE(SUM(c.value), 0), 4) AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTES
+     AND c.ts <= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join — the batch twin of the stream-stream
+    join (SURVEY §2.12): each purchase pairs with same-user clicks in
+    the preceding 30 minutes. The equality key (user_id) carries the
+    shuffle; the time bound filters within groups, so this does NOT
+    explode into a cross product. streaming/events.py::
+    purchase_click_stream_join runs the same condition with
+    watermarked state."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_prior_clicks_30m"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias(
+            "prior_click_value"
+        ),
+    )

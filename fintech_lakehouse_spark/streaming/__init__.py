@@ -1,6 +1,7 @@
 from fintech_lakehouse_spark.streaming.events import (
     dedup_events_stream,
     foreach_batch_upsert,
+    purchase_click_stream_join,
     read_events_stream,
     sessionize_stream,
     stateful_user_totals,
@@ -10,6 +11,7 @@ from fintech_lakehouse_spark.streaming.events import (
 __all__ = [
     "dedup_events_stream",
     "foreach_batch_upsert",
+    "purchase_click_stream_join",
     "read_events_stream",
     "sessionize_stream",
     "stateful_user_totals",

@@ -117,6 +117,43 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def purchase_click_stream_join(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.12): purchases pair with
+    same-user clicks from the preceding ``lookback``. Watermarks on
+    BOTH sides + the time-bound condition let the engine evict click
+    state once no future purchase can match it — unbounded joins are
+    refused in streaming. Batch twin (oracle-checked):
+    plans/events.py::purchase_click_interval_join."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts", "c_value")
+
+
 STATEFUL_TOTALS_SCHEMA = (
     "user_id long, events_seen long, total_value double, batch_events long"
 )

@@ -206,3 +206,31 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert out.get(base) == 1  # only the on-time event; late one dropped
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join emits exactly the (purchase, click)
+    pairs the batch interval join produces over the closed input."""
+    from fintech_lakehouse_spark.streaming import purchase_click_stream_join
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, purchase_click_stream_join(stream), "ss_join", mode="append"
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = events.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS pu", "ts AS p_ts"
+    )
+    c = events.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS c_ts"
+    )
+    expected = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    exp_pairs = {(r["purchase_id"], r["click_id"]) for r in expected.collect()}
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 0
