@@ -35,6 +35,7 @@ HEADLINE = [
     "user_velocity_24h",
     "purchase_asof_click",
     "user_sessions",
+    "purchase_click_interval_join",
     "dq_lineitem_report",
     "dq_quarantine_split",
     "aml_structuring_alerts",
