@@ -161,10 +161,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    # undirected: propagate both ways
+    # undirected: propagate both ways; cached — reused every iteration
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).cache()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -177,6 +177,8 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neighbor_cluster"))
         )
+        # new label + changed flag in ONE pass (a separate join-back
+        # to detect convergence would double the per-iteration jobs)
         updated = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.src, "left"
@@ -187,20 +189,21 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
             )
             .cache()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = updated.agg(
+            F.sum(F.col("_changed").cast("int")).alias("n")
+        ).collect()[0]["n"]
         labels.unpersist()
-        labels = updated
-        if changed == 0:
+        labels = updated.drop("_changed")
+        if not changed:
             break
+    sym.unpersist()
     return labels
 
 
