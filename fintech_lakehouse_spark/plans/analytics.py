@@ -208,7 +208,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            list_sort(list(DISTINCT c_nationkey))            AS nation_keys,
            len(list(DISTINCT c_nationkey))                  AS n_nations,
-           list_sort(list(DISTINCT c_nationkey))[1]         AS min_nation
+           list_sort(list(DISTINCT c_nationkey))[1]         AS min_nation,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -224,4 +225,39 @@ def segment_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.alias("nation_keys"),
         F.size(F.collect_set("c_nationkey")).alias("n_nations"),
         arr.getItem(0).alias("min_nation"),
+        # string_agg / listagg shape: sorted so deterministic
+        F.array_join(arr, ",").alias("nations_csv"),
+    )
+
+
+@register(
+    "priority_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE)                              AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value,
+               ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2)           AS max_value
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, total_value, max_value))
+    """,
+)
+def priority_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt/unpivot (SURVEY §2.4 — the inverse of pivot, [ABSENT] in
+    the reference): wide per-priority metrics → long (metric, value)
+    rows, the shape metric stores and chart layers consume."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum(money("o_totalprice")).alias("total_value"),
+        F.round(F.max("o_totalprice"), 2).alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
     )
