@@ -178,14 +178,20 @@ def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing filter mirrors Spark emitting only windows whose
     start ≤ max event time."""
     events = load_table(spark, sf_dir, "events")
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # Keep the max-ts bound INSIDE the plan as an NTZ scalar (broadcast
+    # 1-row cross join): collecting it to a naive Python datetime and
+    # re-creating a literal shifts on non-UTC hosts — lit() and the
+    # NTZ cast do not use the same zone.
+    max_ts = F.broadcast(events.agg(F.max("ts").alias("_max_ts")))
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        .filter(F.col("w.start") <= F.lit(max_ts))
+        .crossJoin(max_ts)
+        .filter(F.col("w.start") <= F.col("_max_ts"))
+        .drop("_max_ts")
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
