@@ -51,6 +51,11 @@ class EngineConfig:
     dq_fail_on_critical: bool = False  # dev.py:48 / prod.py:50
     enable_optimization: bool = False  # dev.py:61 / prod.py:64
     batch_size: int = 10_000  # dev.py:60 / prod.py:63
+    # Writer parallelism for date-partitioned facts: 1 minimizes file
+    # count (small lakes); raise when rows-per-date is large relative
+    # to executor count (5x write throughput at 10M rows/90 dates
+    # with 8 - see BASELINE.md §3).
+    fact_files_per_partition: int = 1
     checkpoint_path: str = field(default="")
 
     def __post_init__(self) -> None:

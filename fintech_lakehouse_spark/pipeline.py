@@ -106,7 +106,10 @@ class MedallionPipeline:
         valid, invalid = checker.get_valid_invalid_dfs()
         partition = ["transaction_date"] if table == "transactions" else None
         write_lake_table(
-            valid, self.config.layer_path("silver", table), partition_by=partition
+            valid,
+            self.config.layer_path("silver", table),
+            partition_by=partition,
+            files_per_partition=self.config.fact_files_per_partition,
         )
         n_invalid = invalid.count()
         if n_invalid:
@@ -148,7 +151,10 @@ class MedallionPipeline:
         for name, df in gold.items():
             partition = ["transaction_date"] if name == "fact_transactions" else None
             write_lake_table(
-                df, self.config.layer_path("gold", name), partition_by=partition
+                df,
+                self.config.layer_path("gold", name),
+                partition_by=partition,
+                files_per_partition=self.config.fact_files_per_partition,
             )
         self.monitor.end_stage("gold")
         return {

@@ -32,6 +32,7 @@ def write_lake_table(
     merge_schema: bool = True,
     cluster_by: list[str] | None = None,
     compression: str | None = None,
+    files_per_partition: int = 1,
 ) -> None:
     """Partitioned lake write (ref: src/utils/spark_utils.py:203-245).
 
@@ -50,12 +51,15 @@ def write_lake_table(
         df = df.repartitionByRange(*[F.col(c) for c in cluster_by])
         df = df.sortWithinPartitions(*[F.col(c) for c in cluster_by])
     elif partition_by:
-        # One shuffle so each output task holds whole partition values:
+        # One shuffle so output tasks hold whole partition values:
         # without this, every input task writes a file into every
         # partition dir (tasks × values small files — measured 4× wall
-        # on the gold fact write). AQE splits any oversized partition
-        # value back up.
-        df = df.repartition(*[F.col(c) for c in partition_by])
+        # on the gold fact write). ``files_per_partition`` salts the
+        # shuffle so heavy partition values still write in parallel —
+        # raise it when rows-per-value is large relative to executors
+        # (at 10M rows / 90 dates, 8 salts restored full parallelism).
+        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        df = df.repartition(*[F.col(c) for c in partition_by], salt)
     writer = df.write.format(lake_format()).mode(mode)
     if compression:
         writer = writer.option("compression", compression)
