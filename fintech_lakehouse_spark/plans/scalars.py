@@ -212,3 +212,37 @@ def date_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "months_ago_whole"
         ),
     )
+
+
+@register(
+    "above_customer_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+      AND o_custkey <= 300
+    """,
+)
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY §2.8 escape hatch — Catalyst
+    decorrelates it into an aggregate + join): orders 50% above their
+    own customer's average. Identical SQL text runs on both engines;
+    the per-customer average is a single deterministic double (exact
+    sum order per group after decorrelation).
+
+    At scale prefer the explicit window formulation (one shuffle,
+    no decorrelation surprises) — this query exists to pin the
+    subquery surface itself."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+          AND o_custkey <= 300
+        """
+    )
