@@ -69,6 +69,23 @@ def davg(colname: str, scale: int = 4) -> Column:
     )
 
 
+def davg_int(expr: str, scale: int = 4) -> Column:
+    """Exact average of a non-negative integer SQL expression, floor-
+    divided at ``scale`` decimals.
+
+    Same midpoint rationale as :func:`davg` but for integer inputs
+    (token counts, extracted JSON ints): ``SUM(x)/n`` lands exactly on
+    round()-midpoints whenever ``SUM(x)*10^scale % n == n/2``, and the
+    engines round those doubles differently. Integer floor-division has
+    no midpoint. Spark ``DIV`` and DuckDB ``//`` both truncate toward
+    zero, which equals floor for the non-negative inputs used here."""
+    f = 10 ** scale
+    return F.expr(
+        f"CAST((SUM(CAST(({expr}) AS BIGINT)) * {f})"
+        f" DIV COUNT({expr}) AS DOUBLE) / {f}"
+    )
+
+
 # SQL twins for the DuckDB oracles (same widths ⇒ same exact values).
 SQL_MONEY = "DECIMAL(12,2)"
 SQL_RATE = "DECIMAL(4,2)"
@@ -96,4 +113,12 @@ def sql_davg(colname: str, scale: int = 4) -> str:
     return (
         f"(CAST((SUM({cents}) * {factor}) // COUNT({colname}) AS DOUBLE)"
         f" / {10 ** scale})"
+    )
+
+
+def sql_davg_int(expr: str, scale: int = 4) -> str:
+    f = 10 ** scale
+    return (
+        f"(CAST((SUM(CAST(({expr}) AS BIGINT)) * {f})"
+        f" // COUNT({expr}) AS DOUBLE) / {f})"
     )

@@ -206,7 +206,6 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_nation_arrays",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey))            AS nation_keys,
            len(list(DISTINCT c_nationkey))                  AS n_nations,
            list_sort(list(DISTINCT c_nationkey))[1]         AS min_nation,
            array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv
@@ -217,17 +216,29 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segment_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (SURVEY §2.4/§2.8): collect_set → sort_array
     — the list-building aggregate a feature-engineering pipeline uses
-    for per-entity histories. Sorted so the array value is
-    deterministic for the oracle hash."""
+    for per-entity histories. The driver-facing output carries the
+    array only in scalar encodings (CSV join, size, first element) —
+    the driver's value-hasher cannot hash raw list cells. The raw
+    array form lives in segment_nation_key_arrays() below
+    (unit-tested, not driver-registered)."""
     customer = load_table(spark, sf_dir, "customer")
     arr = F.sort_array(F.collect_set("c_nationkey"))
     return customer.groupBy("c_mktsegment").agg(
-        arr.alias("nation_keys"),
         F.size(F.collect_set("c_nationkey")).alias("n_nations"),
         arr.getItem(0).alias("min_nation"),
         # string_agg / listagg shape: sorted so deterministic
         F.array_join(arr, ",").alias("nations_csv"),
     )
+
+
+def segment_nation_key_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-array variant of segment_nation_arrays: the sorted
+    array<int> column itself, for consumers that want the list value
+    (feature stores). Kept out of the driver registry — list cells are
+    unhashable for the driver's comparator."""
+    customer = load_table(spark, sf_dir, "customer")
+    arr = F.sort_array(F.collect_set("c_nationkey"))
+    return customer.groupBy("c_mktsegment").agg(arr.alias("nation_keys"))
 
 
 @register(

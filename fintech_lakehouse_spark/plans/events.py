@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
+from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
@@ -19,12 +20,16 @@ PROPS_SCHEMA = StructType([StructField("k", IntegerType(), True)])
 
 @register(
     "event_props_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           COUNT(*)                                                   AS n_events,
-           SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)) AS total_k,
-           ROUND(AVG(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)), 4) AS avg_k
-    FROM events
+           COUNT(*)   AS n_events,
+           SUM(k)     AS total_k,
+           {sql_davg_int('k')} AS avg_k
+    FROM (
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT) AS k
+        FROM events
+    )
     GROUP BY event_type
     """,
 )
@@ -32,15 +37,17 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: from_json on the events.props JSON
     string (SURVEY §2.8 [NEW] — the reference has no JSON functions but
     the events table demands them). JSON parse happens once in the
-    scan stage; the aggregate is then plain codegen."""
+    scan stage; the aggregate is then plain codegen. avg_k uses the
+    exact integer floor-division average (plans/_num.py) — the k values
+    are small ints whose true averages hit round() midpoints."""
     events = load_table(spark, sf_dir, "events")
     return (
-        events.withColumn("props_s", F.from_json("props", PROPS_SCHEMA))
+        events.withColumn("k", F.from_json("props", PROPS_SCHEMA).getField("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("props_s.k")).alias("total_k"),
-            F.round(F.avg(F.col("props_s.k")), 4).alias("avg_k"),
+            F.sum(F.col("k")).alias("total_k"),
+            davg_int("k").alias("avg_k"),
         )
     )
 

@@ -20,32 +20,40 @@ from fintech_lakehouse_spark.functions.text import (
     simhash64,
     word_shingles,
 )
+from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
 
 @register(
     "doc_stats_by_lang",
-    oracle="""
+    oracle=f"""
     SELECT lang, source,
-           COUNT(*)                                              AS n_docs,
-           ROUND(AVG(n_chars), 4)                                AS avg_chars,
-           ROUND(AVG(len(string_split(text, ' '))), 4)           AS avg_tokens,
-           SUM(len(string_split(text, ' ')))                     AS total_tokens
-    FROM documents
+           COUNT(*)                     AS n_docs,
+           {sql_davg_int('n_chars')}    AS avg_chars,
+           {sql_davg_int('n_tokens')}   AS avg_tokens,
+           SUM(n_tokens)                AS total_tokens
+    FROM (
+        SELECT lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
     GROUP BY lang, source
     """,
 )
 def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per (lang, source): whitespace token counting
-    (SURVEY §7.6 text stats)."""
-    documents = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    (SURVEY §7.6 text stats). Averages use the exact integer
+    floor-division pattern (plans/_num.py) — char/token counts are
+    ints whose true averages hit round() midpoints."""
+    documents = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
     return documents.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
-        F.sum(n_tokens).alias("total_tokens"),
+        davg_int("n_chars").alias("avg_chars"),
+        davg_int("n_tokens").alias("avg_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
 
 

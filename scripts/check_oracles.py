@@ -22,15 +22,30 @@ from fintech_lakehouse_spark.session import get_spark
 from fintech_lakehouse_spark.sources.readers import TESTDATA_TABLES
 
 
+class UnhashableCell(TypeError):
+    """A cell value the driver's pandas-based hasher cannot hash."""
+
+
 def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
-    """Sort columns by name, stringify values, sort rows."""
+    """Sort columns by name, stringify values, sort rows.
+
+    Mirrors the driver's comparator: FULL-precision float reprs (the
+    round-1 gate rounded to 6dp, which masked last-ulp ROUND(AVG)
+    divergences the driver catches) and a hard failure on list/dict/
+    set/bytearray cells (the driver's pandas value-hasher raises
+    `unhashable type` on those — see CORRECTNESS_r01
+    segment_nation_arrays)."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def norm_val(v):
-        if isinstance(v, float):
-            return f"{v:.6f}"
+        if isinstance(v, (list, dict, set, bytearray)):
+            raise UnhashableCell(
+                f"driver-unhashable cell type {type(v).__name__}: {v!r:.80}"
+            )
         if isinstance(v, bool):
             return str(bool(v))
+        if isinstance(v, float):
+            return repr(v)
         return str(v)
 
     return sorted(tuple(norm_val(row[i]) for i in order) for row in rows)
@@ -82,11 +97,15 @@ def main() -> int:
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
         if not problems:
-            a = normalize(spark_rows, spark_cols)
-            b = normalize(duck_rows, duck_cols)
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+            try:
+                a = normalize(spark_rows, spark_cols)
+                b = normalize(duck_rows, duck_cols)
+            except UnhashableCell as e:
+                problems.append(str(e))
+            else:
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")
