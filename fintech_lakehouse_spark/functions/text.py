@@ -108,6 +108,172 @@ def lsh_band_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable (engine-independent) hash family.
+#
+# xxhash64 is Spark-specific, so the signatures above can only get a
+# rows-only driver check. The md5-based family below computes the SAME
+# values in Spark and DuckDB (both render md5 of a UTF-8 string as the
+# same 32-char hex), so the full MinHash/LSH/SimHash/rolling-hash
+# pipelines become SQL-expressible and get real value-hash oracles.
+# Cost: one md5 per shingle/token instead of one xxhash64 — but the K
+# MinHash permutations derive from TWO 48-bit halves of that single
+# md5 (g_k = h1 + k·h2, the standard double-hashing construction,
+# Kirsch & Mitzenmacher 2006), so the portable MinHash is actually
+# CHEAPER than K independent xxhash64 calls. 48-bit halves keep
+# h1 + 31·h2 < 2^53, inside exact BIGINT range in both engines under
+# ANSI mode.
+# ---------------------------------------------------------------------------
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def md5_hex(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def minhash_signatures_md5(shingle_rows_df: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) — portable MinHash: one md5 per shingle,
+    K permutations via g_k = h1 + k*h2 over the two 48-bit hex halves.
+    Same map-side-combine shape as minhash_signatures: shuffle volume
+    is K·docs, not K·shingles."""
+    hexed = shingle_rows_df.select("doc_id", md5_hex("shingle").alias("hx"))
+    halves = hexed.select(
+        "doc_id",
+        F.conv(F.substring("hx", 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("hx", 13, 12), 16, 10).cast("long").alias("h2"),
+    )
+    return halves.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + k * F.col("h2")).alias(f"mh{k}")
+            for k in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_pairs_md5(
+    signatures: DataFrame, n_hashes: int = 32, n_bands: int = 8
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from md5-banded signatures. The
+    band index is baked into the band-signature hash input, so the
+    bucket join needs only one equality key."""
+    rows_per_band = n_hashes // n_bands
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(band)),
+                            *[
+                                F.col(f"mh{band * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).cast("binary")
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band_sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard_pairs(
+    documents: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact-Jaccard verification of LSH
+    candidate pairs, the second half of the production near-dedup
+    pipeline: LSH generates candidates linearly, then the exact check
+    runs ONLY on candidate docs (bounded by candidate count, never
+    all-pairs). The jaccard column is a single int/int IEEE division —
+    deterministic across engines, unlike a rounded value."""
+    shingled = word_shingles(documents, n=n)
+    sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    shared = (
+        candidates.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jaccard = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jaccard >= threshold)
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+    )
+
+
+def simhash_hex_md5(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash_hex) — portable 64-bit SimHash rendered as a
+    16-char hex string (a BIGINT rendering would need the sign bit;
+    hex strings compare and hamming-count identically in both
+    engines). Bit b (= 4*j + t for md5 hex char j, low bit t) votes
+    ±1 per token occurrence; fingerprint bit = sign of the vote sum."""
+    toks = documents.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    hexed = toks.select("doc_id", md5_hex("token").alias("hx"))
+    nibbles = hexed.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
+            for j in range(16)
+        ],
+    )
+    votes = nibbles.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    chars = []
+    for j in range(16):
+        nib: Column | None = None
+        for t in range(4):
+            bit = F.when(F.col(f"v{4 * j + t}") > 0, F.lit(2**t)).otherwise(F.lit(0))
+            nib = bit if nib is None else nib + bit
+        chars.append(F.substring(F.lit(HEX_DIGITS), nib + 1, F.lit(1)))
+    return votes.select("doc_id", F.concat(*chars).alias("simhash_hex"))
+
+
+def rolling_md5_chain(text_col: str | Column = "text") -> Column:
+    """Order-sensitive rolling fingerprint: fold md5(acc || '|' || tok)
+    over the token sequence, seeded with ''. Equal values ⇒ equal token
+    SEQUENCES. DuckDB twin: list_reduce(list_prepend('', tokens), ...)."""
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(""),
+        lambda acc, x: F.md5(F.concat_ws("|", acc, x).cast("binary")),
+    )
+
+
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash64) — 64-bit SimHash fingerprint: per token,
     ±1 vote per bit position (term-frequency weighted); bit b of the

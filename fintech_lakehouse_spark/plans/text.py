@@ -14,10 +14,13 @@ from pyspark.sql import functions as F
 
 from fintech_lakehouse_spark.functions.text import (
     language_best_guess,
-    lsh_band_pairs,
-    minhash_signatures,
+    lsh_band_pairs_md5,
+    md5_hex,
+    minhash_signatures_md5,
+    rolling_md5_chain,
     shingle_rows,
-    simhash64,
+    simhash_hex_md5,
+    verified_jaccard_pairs,
     word_shingles,
 )
 from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int
@@ -201,33 +204,151 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_lsh_pairs")  # Spark-hash-specific → rows-only check
+def _minhash_cte_sql(n_hashes: int = 32, n_bands: int = 8) -> str:
+    """DuckDB CTE chain `toks → shing → halves → sigs → bands → cand →
+    pairs` computing EXACTLY what minhash_signatures_md5 +
+    lsh_band_pairs_md5 + verified_jaccard_pairs compute (one md5 per
+    3-gram shingle; g_k = h1 + k*h2 over the two 48-bit hex halves;
+    band index baked into the band md5; candidates verified by exact
+    Jaccard ≥ 0.5 over distinct shingles). The jaccard double is a
+    single int/int IEEE division — bit-identical across engines."""
+    rows_per_band = n_hashes // n_bands
+    mins = ",\n               ".join(
+        f"MIN(h1 + {k} * h2) AS mh{k}" for k in range(n_hashes)
+    )
+    band_sigs = ",\n            ".join(
+        "md5('{}' || '|' || {})".format(
+            band,
+            " || '|' || ".join(
+                f"mh{band * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for band in range(n_bands)
+    )
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shing AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    halves AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 12))::BIGINT  AS h1,
+               ('0x' || substr(md5(shingle), 13, 12))::BIGINT AS h2
+        FROM shing
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM halves GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, unnest([
+            {band_sigs}
+        ]) AS band_sig
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    dshing AS (SELECT DISTINCT doc_id, shingle FROM shing),
+    dsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dshing GROUP BY doc_id),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN dshing a ON a.doc_id = c.doc_a
+        JOIN dshing b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT s.doc_a, s.doc_b,
+               CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+        FROM shared s
+        JOIN dsizes sa ON sa.doc_id = s.doc_a
+        JOIN dsizes sb ON sb.doc_id = s.doc_b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+    )"""
+
+
+def _simhash_oracle_sql() -> str:
+    nibbles = ",\n               ".join(
+        f"('0x' || substr(h, {j + 1}, 1))::INT AS n{j}" for j in range(16)
+    )
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (n{b // 4} // {2 ** (b % 4)}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    chars = " ||\n           ".join(
+        "substr('0123456789abcdef', 1 + "
+        + " + ".join(
+            f"{2 ** t} * (CASE WHEN v{4 * j + t} > 0 THEN 1 ELSE 0 END)"
+            for t in range(4)
+        )
+        + ", 1)"
+        for j in range(16)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hx AS (SELECT doc_id, md5(token) AS h FROM toks),
+    nib AS (
+        SELECT doc_id,
+               {nibbles}
+        FROM hx
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM nib GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {chars} AS simhash_hex
+    FROM votes
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"WITH {_minhash_cte_sql()}\nSELECT doc_a, doc_b, jaccard FROM pairs",
+)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates (SURVEY §7.6) — the
+    """MinHash + LSH near-dup pairs, verified (SURVEY §7.6) — the
     scale path for ngram_jaccard_pairs.
 
-    shingle → K minhashes (xxhash64, per-permutation seeds) → B bands
-    of R rows → band-signature bucket join; only same-bucket docs pair
-    up, so the join is linear in corpus size for bounded bucket width.
-    K=32, B=8, R=4 targets the Jaccard≳0.5 region. The signature
-    computation explodes shingles once and collapses in a map-side
-    partial aggregate (see functions/text.py::minhash_signatures).
-    No SQL oracle: signatures depend on Spark's xxhash64."""
+    shingle → K minhashes → B bands of R rows → band-signature bucket
+    join (linear in corpus size for bounded bucket width) → exact
+    Jaccard ≥ 0.5 verification on the CANDIDATE SET ONLY. K=32, B=8,
+    R=4 targets the Jaccard≳0.5 region. Uses the portable md5 hash
+    family (functions/text.py) — one md5 per shingle, K permutations
+    via h1 + k*h2 — so the DuckDB oracle verifies the exact pair set
+    end-to-end; the map-side partial agg still collapses shingles to
+    K·docs before the shuffle, and the verification join touches only
+    candidate docs, never all-pairs."""
     documents = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    signatures = minhash_signatures(shingle_rows(documents, n=3), n_hashes=32)
-    return lsh_band_pairs(signatures, n_hashes=32, n_bands=8)
+    signatures = minhash_signatures_md5(shingle_rows(documents, n=3), n_hashes=32)
+    candidates = lsh_band_pairs_md5(signatures, n_hashes=32, n_bands=8)
+    return verified_jaccard_pairs(documents, candidates, n=3, threshold=0.5)
 
 
-@register("simhash_fingerprints")  # Spark-hash-specific → rows-only check
+@register("simhash_fingerprints", oracle=_simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash document fingerprints (SURVEY §7.6): per token,
-    xxhash64 → ±1 vote per bit position weighted by term frequency;
-    fingerprint bit b = sign of the vote sum. Near-dups differ in few
-    bits (hamming64 in functions/text.py is the pairing metric)."""
+    md5 → ±1 vote per bit position weighted by term frequency;
+    fingerprint bit b = sign of the vote sum, rendered as 16 hex chars
+    (engine-portable — see functions/text.py::simhash_hex_md5, which
+    documents why hex-string output beats a sign-bit-laden BIGINT).
+    Near-dups differ in few bits; the xxhash64 variant simhash64 +
+    hamming64 stays the in-engine pairing path."""
     documents = load_table(spark, sf_dir, "documents")
-    return simhash64(documents)
+    return simhash_hex_md5(documents)
 
 
 @register(
@@ -272,21 +393,44 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("duplicate_clusters")  # iterative, non-SQL-expressible → rows-only
+@register(
+    "duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: MinHash-LSH candidate pairs → connected
     components → (doc_id, cluster_id) with cluster_id = canonical
     (minimum) doc_id. The full near-dedup pipeline a training-data
     run executes before dropping non-canonical rows (SURVEY §7.6).
-    Iterative min-label propagation — see functions/text.py::
-    dedup_clusters."""
+    Iterative min-label propagation (functions/text.py::
+    dedup_clusters); the oracle reaches the same fixpoint with a
+    recursive CTE over the portable md5-LSH verified pair set — fine
+    at oracle SF, while the Spark side's bounded-iteration label
+    propagation is the 100 TB path. Clustering runs on VERIFIED pairs
+    (exact Jaccard ≥ 0.5 on candidates), not raw LSH candidates —
+    false-positive edges would chain unrelated docs into one giant
+    cluster."""
     from fintech_lakehouse_spark.functions.text import dedup_clusters
 
     documents = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    signatures = minhash_signatures(shingle_rows(documents, n=3), n_hashes=32)
-    pairs = lsh_band_pairs(signatures, n_hashes=32, n_bands=8)
+    signatures = minhash_signatures_md5(shingle_rows(documents, n=3), n_hashes=32)
+    candidates = lsh_band_pairs_md5(signatures, n_hashes=32, n_bands=8)
+    pairs = verified_jaccard_pairs(documents, candidates, n=3, threshold=0.5)
     return dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -324,24 +468,28 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_rolling_fingerprints")  # Spark-hash-specific → rows-only
+@register(
+    "doc_rolling_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend('', string_split(text, ' ')),
+                       (acc, x) -> md5(acc || '|' || x)) AS rolling_md5,
+           md5(text) AS md5_hash
+    FROM documents
+    """,
+)
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash document fingerprint (SURVEY §7.6
-    fingerprinting): fold over tokens with h = h*31 + xxhash64(token).
+    """Rolling-hash document fingerprint (SURVEY §7.6 fingerprinting):
+    fold md5(acc || '|' || token) over the token sequence.
     Order-sensitive (unlike MinHash/SimHash) — equal fingerprints mean
     equal token SEQUENCES, the strictest near-zero-cost dedup key after
-    md5. Wrapping 64-bit arithmetic keeps it a pure codegen fold."""
+    whole-text md5. Chain hashing instead of acc*31+h: multiplication
+    overflows under ANSI mode; the md5 chain is equally order-sensitive
+    and engine-portable (DuckDB list_reduce computes the same fold —
+    see functions/text.py::rolling_md5_chain)."""
     documents = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # Chain hashing instead of acc*31+h: multiplication overflows under
-    # ANSI mode; xxhash64(acc, token) is equally order-sensitive.
-    rolling = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, x: F.xxhash64(acc, x),
-    )
     return documents.select(
         "doc_id",
-        rolling.alias("rolling_hash"),
-        F.md5(F.col("text").cast("binary")).alias("md5_hash"),
+        rolling_md5_chain("text").alias("rolling_md5"),
+        md5_hex("text").alias("md5_hash"),
     )

@@ -13,9 +13,14 @@ from fintech_lakehouse_spark.functions.multimodal import (
 from fintech_lakehouse_spark.functions.text import (
     hamming64,
     lsh_band_pairs,
+    lsh_band_pairs_md5,
     minhash_signatures,
+    minhash_signatures_md5,
+    rolling_md5_chain,
     shingle_rows,
     simhash64,
+    simhash_hex_md5,
+    verified_jaccard_pairs,
     word_shingles,
 )
 from fintech_lakehouse_spark.functions.vectors import (
@@ -62,6 +67,46 @@ def test_lsh_band_pairs_finds_near_dups(docs):
     assert (1, 4) in pairs  # exact dup always collides
     assert (1, 2) in pairs  # near dup collides in some band
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_portable_minhash_verified_pipeline(docs):
+    """The md5 hash family end-to-end: signatures agree for identical
+    docs, LSH candidates include the true dups, and exact-Jaccard
+    verification keeps only real near-dups with the right value."""
+    sig = minhash_signatures_md5(shingle_rows(docs, 3), n_hashes=16)
+    rows = {r["doc_id"]: tuple(r[f"mh{k}"] for k in range(16)) for r in sig.collect()}
+    assert rows[1] == rows[4]
+    cand = lsh_band_pairs_md5(sig, n_hashes=16, n_bands=8)
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in verified_jaccard_pairs(docs, cand, n=3, threshold=0.5).collect()
+    }
+    assert verified[(1, 4)] == 1.0  # exact dup
+    assert 0.5 <= verified[(1, 2)] < 1.0  # near dup: 1-token diff
+    assert not any(3 in p for p in verified)  # unrelated never survives
+
+
+def test_portable_simhash_and_rolling(docs, spark):
+    fp = {r["doc_id"]: r["simhash_hex"] for r in simhash_hex_md5(docs).collect()}
+    assert fp[1] == fp[4] and len(fp[1]) == 16
+    ham_near = sum(a != b for a, b in zip(fp[1], fp[2]))
+    ham_far = sum(a != b for a, b in zip(fp[1], fp[3]))
+    assert ham_near < ham_far
+    rolled = {
+        r["doc_id"]: r["rh"]
+        for r in docs.select(
+            "doc_id", rolling_md5_chain("text").alias("rh")
+        ).collect()
+    }
+    assert rolled[1] == rolled[4] and rolled[1] != rolled[2]
+    # order sensitivity: same tokens, different sequence → different hash
+    swapped = spark.createDataFrame([(9, "b a")], ["doc_id", "text"]).select(
+        rolling_md5_chain("text").alias("rh")
+    )
+    orig = spark.createDataFrame([(8, "a b")], ["doc_id", "text"]).select(
+        rolling_md5_chain("text").alias("rh")
+    )
+    assert swapped.collect()[0]["rh"] != orig.collect()[0]["rh"]
 
 
 def test_simhash_near_dup_hamming(docs):
