@@ -92,28 +92,46 @@ def register_lake_table(
     )
 
 
+# Above this many touched partitions a selective upsert stops paying:
+# the per-partition filter expression and per-dir commits outweigh a
+# straight full rewrite.
+MAX_SELECTIVE_PARTITIONS = 1000
+
+
 def upsert_lake_table(
     spark: SparkSession,
     source_df: DataFrame,
     target_path: str,
     merge_keys: list[str],
     order_by: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """MERGE upsert (ref: src/utils/spark_utils.py:285-344, S6).
 
     Delta mode: ``whenMatchedUpdateAll / whenNotMatchedInsertAll`` on the
     conjunctive key equality — a co-partitioned join under the hood.
 
-    Parquet mode: read target, unionByName with source (source rows
-    ranked first), keep one row per key. ``order_by`` breaks ties among
-    source rows; the source-over-target preference is exact MERGE
-    semantics for updates, and new keys insert. Full rewrite — fine for
-    dims, wrong for a 100 TB fact (use Delta there).
+    Parquet mode: unionByName source-over-target, keep one row per key
+    (``order_by`` breaks ties among source rows) — exact MERGE
+    semantics for updates, and new keys insert.
+
+    When ``partition_by`` names the target's partition columns, the
+    rewrite is SELECTIVE: only partitions that hold source rows or
+    matched keys are merged and replaced (dynamic partition overwrite);
+    untouched partition directories are never read for the merge nor
+    rewritten. Affected partitions are found from (a) the source's
+    partition values and (b) a key-columns-only semi-join against the
+    target — a column-pruned scan of the keys, not the data — so a
+    key whose partition value CHANGES still gets its old row replaced.
+    This is the 100 TB shape: cost proportional to touched partitions,
+    not table size. Without ``partition_by`` the fallback is a
+    documented full rewrite (fine for dims).
     """
     try:
         existing = read_lake_table(spark, target_path)
     except Exception:
-        write_lake_table(source_df, target_path, mode="overwrite")
+        write_lake_table(source_df, target_path, mode="overwrite",
+                         partition_by=partition_by)
         return
 
     if lake_format() == "delta":
@@ -130,6 +148,37 @@ def upsert_lake_table(
         )
         return
 
+    selective = bool(partition_by)
+    if selective:
+        # Touched partitions = source partition values ∪ target
+        # partitions holding a matching key. Both sides are
+        # partition-count-bounded collects, never row-scale.
+        src_parts = source_df.select(*partition_by).distinct()
+        matched_parts = (
+            existing.join(
+                source_df.select(*merge_keys).distinct(), merge_keys, "left_semi"
+            )
+            .select(*partition_by)
+            .distinct()
+        )
+        affected = (
+            src_parts.unionByName(matched_parts).distinct()
+            .limit(MAX_SELECTIVE_PARTITIONS + 1)
+            .collect()
+        )
+        if len(affected) > MAX_SELECTIVE_PARTITIONS:
+            selective = False
+        else:
+            part_filter = None
+            for row in affected:
+                clause = None
+                for c in partition_by:
+                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
+                    clause = eq if clause is None else clause & eq
+                part_filter = clause if part_filter is None else part_filter | clause
+            # Partition pruning: only affected dirs are scanned.
+            existing = existing.filter(part_filter)
+
     tagged_source = source_df.withColumn("_merge_rank", F.lit(0))
     tagged_target = existing.withColumn("_merge_rank", F.lit(1))
     order_cols = [F.col("_merge_rank").asc()]
@@ -145,10 +194,51 @@ def upsert_lake_table(
     # Parquet can't atomically overwrite a path it is reading; stage
     # through a temp dir next to the target.
     staging = target_path.rstrip("/") + "__staging"
-    merged.write.format("parquet").mode("overwrite").save(staging)
-    spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
-        target_path
-    )
+    if selective:
+        merged.repartition(*[F.col(c) for c in partition_by]).write.format(
+            "parquet"
+        ).mode("overwrite").partitionBy(*partition_by).save(staging)
+        staged = spark.read.parquet(staging)
+        # Dynamic overwrite replaces ONLY the partition dirs present in
+        # the staged data; untouched partitions keep their files.
+        (
+            staged.write.format("parquet")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .save(target_path)
+        )
+        # An affected partition can end up EMPTY (every key moved to a
+        # new partition value); dynamic overwrite never sees it, so the
+        # stale dir must be dropped explicitly.
+        remaining = {
+            tuple(row[c] for c in partition_by)
+            for row in staged.select(*partition_by).distinct().collect()
+        }
+        emptied = [
+            row
+            for row in affected
+            if tuple(row[c] for c in partition_by) not in remaining
+        ]
+        if emptied:
+            sc = spark.sparkContext
+            jvm = sc._jvm
+            hconf = sc._jsc.hadoopConfiguration()
+            fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+                jvm.java.net.URI.create(target_path), hconf
+            )
+            for row in emptied:
+                subdir = "/".join(f"{c}={row[c]}" for c in partition_by)
+                p = jvm.org.apache.hadoop.fs.Path(
+                    target_path.rstrip("/") + "/" + subdir
+                )
+                if fs.exists(p):
+                    fs.delete(p, True)
+    else:
+        merged.write.format("parquet").mode("overwrite").save(staging)
+        spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
+            target_path
+        )
     spark.catalog.refreshByPath(target_path)
 
 

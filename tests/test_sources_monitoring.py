@@ -64,6 +64,67 @@ def test_upsert_merge_semantics(spark, tmp_path):
     assert got == {"C1": "new", "C2": "keep", "C3": "insert"}
 
 
+def test_upsert_selective_partition_overwrite(spark, tmp_path):
+    """Partition-pruned upsert: only partitions holding source rows or
+    matched keys are rewritten — untouched partition dirs keep their
+    exact files (same paths AND mtimes)."""
+    import os
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [
+            ("K1", "2024-01-01", "old"),
+            ("K2", "2024-01-02", "keep"),
+            ("K3", "2024-01-03", "keep"),
+        ],
+        ["id", "dt", "val"],
+    )
+    write_lake_table(base, path, partition_by=["dt"])
+
+    def files(day):
+        d = os.path.join(path, f"dt={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_before = {d: files(d) for d in ("2024-01-02", "2024-01-03")}
+    updates = spark.createDataFrame(
+        [("K1", "2024-01-01", "new"), ("K4", "2024-01-04", "insert")],
+        ["id", "dt", "val"],
+    )
+    upsert_lake_table(
+        spark, updates, path, merge_keys=["id"], partition_by=["dt"]
+    )
+    # partition values come back date-inferred; compare as strings
+    got = {r["id"]: (str(r["dt"]), r["val"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        "K1": ("2024-01-01", "new"),
+        "K2": ("2024-01-02", "keep"),
+        "K3": ("2024-01-03", "keep"),
+        "K4": ("2024-01-04", "insert"),
+    }
+    for day, before in untouched_before.items():
+        assert files(day) == before, f"partition dt={day} was rewritten"
+
+
+def test_upsert_selective_handles_partition_move(spark, tmp_path):
+    """A key whose partition value changes must lose its old row (the
+    old partition is found via the key semi-join, not the source's
+    partition values)."""
+    path = str(tmp_path / "fact_move")
+    base = spark.createDataFrame(
+        [("K1", "2024-01-01", "old"), ("K2", "2024-01-02", "keep")],
+        ["id", "dt", "val"],
+    )
+    write_lake_table(base, path, partition_by=["dt"])
+    moved = spark.createDataFrame([("K1", "2024-01-05", "moved")], ["id", "dt", "val"])
+    upsert_lake_table(spark, moved, path, merge_keys=["id"], partition_by=["dt"])
+    rows = [(r["id"], str(r["dt"]), r["val"]) for r in spark.read.parquet(path).collect()]
+    assert sorted(rows) == [("K1", "2024-01-05", "moved"), ("K2", "2024-01-02", "keep")]
+
+
 def test_pipeline_monitor(spark):
     mon = PipelineMonitor(spark, "test_pipeline")
     mon.start_stage("ingest")
