@@ -152,6 +152,20 @@ def ivf_search(
     from pyspark.sql.window import Window
 
     cent = np.asarray(centroids)
+    # The query batch is collected to compute probe assignments against
+    # the (tiny) centroid set driver-side. Guard the collect: a caller
+    # accidentally passing the CORPUS as `queries` would OOM the
+    # driver. Real query batches are 10^2-10^4 rows; beyond the cap,
+    # compute assignments distributed (broadcast centroids) instead.
+    MAX_QUERY_BATCH = 100_000
+    n_queries = queries.limit(MAX_QUERY_BATCH + 1).count()
+    if n_queries > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"ivf_search query batch exceeds {MAX_QUERY_BATCH} rows; "
+            "this collect is driver-side by design for small query "
+            "batches — for corpus-scale probing, assign probe lists "
+            "distributed via a broadcast centroid join."
+        )
     q_rows = queries.select(query_id, vec).collect()
     probes = []
     for row in q_rows:

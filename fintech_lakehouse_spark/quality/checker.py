@@ -251,12 +251,16 @@ class DataQualityChecker:
         At scale the parent key set is usually broadcast-able (dims)."""
         mapping = {k: k for k in keys} if isinstance(keys, list) else dict(keys)
         child_cols = list(mapping.keys())
+        # Unique tag column per registration: two referential checks on
+        # one checker would otherwise both add `_dq_parent_hit` and hit
+        # an ambiguous-reference AnalysisException at run().
+        hit_col = f"_dq_parent_hit_{len(self._row_checks)}"
         parent_keys = (
             parent_df.select(
                 *[F.col(p).alias(c) for c, p in mapping.items()]
             )
             .distinct()
-            .withColumn("_dq_parent_hit", F.lit(True))
+            .withColumn(hit_col, F.lit(True))
         )
         # Tag by joining once here (lazy); the condition column reads
         # the tag. Kept as a row check so it folds into the one pass.
@@ -267,7 +271,7 @@ class DataQualityChecker:
                 name=name or f"referential_{'_'.join(child_cols)}",
                 check_type=DQCheckType.REFERENTIAL,
                 severity=severity,
-                condition=F.col("_dq_parent_hit").isNull(),
+                condition=F.col(hit_col).isNull(),
                 threshold=1.0,
                 failure_reason=f"ORPHAN_{'_'.join(child_cols).upper()}",
             )
@@ -302,14 +306,28 @@ class DataQualityChecker:
     # -- execution ----------------------------------------------------
 
     def run(self) -> DQReport:
-        """Execute all checks. ONE Spark job for every row-predicate
-        check + total count (single-scan conditional aggregation,
-        SURVEY §4.1); one extra job per uniqueness check (group-by)."""
+        """Execute all checks in ONE Spark job: every row-predicate
+        check is a conditional sum and every uniqueness check a
+        countDistinct in the SAME single-scan aggregate (SURVEY §4.1).
+        Catalyst plans the mixed distinct/non-distinct aggregate with
+        one Expand, so N primary-key checks no longer cost N extra
+        jobs (the reference runs two jobs per check,
+        data_quality.py:544-547)."""
         report = DQReport(table_name=self.table_name)
         aggs = [F.count(F.lit(1)).alias("_dq_total")]
         for i, check in enumerate(self._row_checks):
             aggs.append(
                 F.sum(F.when(check.condition, 1).otherwise(0)).alias(f"_dq_{i}")
+            )
+        for i, (columns, _severity) in enumerate(self._uniqueness_checks):
+            # struct wrapper: bare countDistinct silently DROPS rows
+            # with a NULL key column, inflating the duplicate count; a
+            # struct is never null, so null keys form their own group
+            # (two NULL-keyed rows still count as duplicates).
+            aggs.append(
+                F.countDistinct(
+                    F.struct(*[F.col(c) for c in columns])
+                ).alias(f"_dq_u{i}")
             )
         row = self.df.agg(*aggs).collect()[0]
         total = row["_dq_total"]
@@ -328,25 +346,18 @@ class DataQualityChecker:
                     details=f"threshold={check.threshold}",
                 )
             )
-        for columns, severity in self._uniqueness_checks:
-            # total − countDistinct in one aggregate (the reference
-            # runs two jobs: dup-groups count + distinct count,
-            # data_quality.py:544-547).
-            urow = self.df.agg(
-                F.count(F.lit(1)).alias("_t"),
-                F.countDistinct(*[F.col(c) for c in columns]).alias("_d"),
-            ).collect()[0]
-            utotal, distinct = urow["_t"], urow["_d"]
-            failed = utotal - distinct
+        for i, (columns, severity) in enumerate(self._uniqueness_checks):
+            distinct = int(row[f"_dq_u{i}"] or 0)
+            failed = total - distinct
             report.results.append(
                 DQCheckResult(
                     check_name=f"uniqueness_{'_'.join(columns)}",
                     check_type=DQCheckType.UNIQUENESS,
                     severity=severity,
                     passed=failed == 0,
-                    total_records=utotal,
+                    total_records=total,
                     failed_records=failed,
-                    pass_rate=1.0 if utotal == 0 else distinct / utotal,
+                    pass_rate=1.0 if total == 0 else distinct / total,
                     details=f"distinct={distinct}",
                 )
             )

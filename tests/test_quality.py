@@ -107,6 +107,58 @@ def test_referential(spark, txns):
     assert report.results[0].failed_records == 2
 
 
+def test_two_referential_checks_one_checker(spark, txns):
+    """Two referential registrations used to both add _dq_parent_hit
+    and crash run() with an ambiguous reference."""
+    customers = spark.createDataFrame([("C1",), ("C2",), ("C4",)], ["customer_id"])
+    statuses = spark.createDataFrame(
+        [("COMPLETED",), ("PENDING",)], ["status"]
+    )
+    report = (
+        DataQualityChecker(txns, "txns")
+        .check_referential(customers, ["customer_id"])
+        .check_referential(statuses, ["status"])
+        .run()
+    )
+    by_name = {r.check_name: r for r in report.results}
+    assert by_name["referential_customer_id"].failed_records == 2  # C5 + NULL
+    assert by_name["referential_status"].failed_records == 1  # WEIRD
+
+
+def test_all_checks_single_action(spark, txns, monkeypatch):
+    """Row checks AND multiple uniqueness checks must run as ONE
+    aggregate action (single-scan mixed distinct/non-distinct
+    aggregate) — N primary-key checks must not add N jobs. Job counts
+    are AQE-noisy, so assert one collect() on one single-scan plan."""
+    try:  # PySpark 4: the concrete class lives under sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - PySpark 3.x
+        from pyspark.sql import DataFrame
+
+    checker = (
+        DataQualityChecker(txns, "txns")
+        .check_completeness(["customer_id"])
+        .check_range("amount", 0.01, 100_000)
+        .check_uniqueness(["transaction_id"])
+        .check_uniqueness(["transaction_id", "customer_id"])
+        .check_uniqueness(["currency"], severity=DQSeverity.WARNING)
+    )
+    calls = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append(self) or real_collect(self)
+    )
+    report = checker.run()
+    assert len(calls) == 1, f"expected 1 action, saw {len(calls)}"
+    # and that one action reads the source exactly once
+    plan = calls[0]._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+    by_name = {r.check_name: r for r in report.results}
+    assert by_name["uniqueness_transaction_id"].failed_records == 1
+    assert by_name["uniqueness_transaction_id_customer_id"].failed_records == 0
+    assert by_name["uniqueness_currency"].failed_records == 2  # 5 rows, 3 ccys
+
+
 def test_valid_invalid_split(txns):
     checker = (
         DataQualityChecker(txns, "txns")
