@@ -37,6 +37,14 @@ from fintech_lakehouse_spark.quality import (  # noqa: F401
     quick_quality_check,
 )
 from fintech_lakehouse_spark.session import get_spark  # noqa: F401
+from fintech_lakehouse_spark.alerting import (  # noqa: F401
+    Alert,
+    AlertManager,
+    Severity,
+    send_dq_failure_alert,
+    send_freshness_alert,
+    send_pipeline_failure_alert,
+)
 from fintech_lakehouse_spark.sources.readers import (  # noqa: F401
     read_csv_to_df,
     read_json_to_df,
