@@ -4,7 +4,9 @@ from fintech_lakehouse_spark.streaming.events import (
     purchase_click_stream_join,
     read_events_stream,
     sessionize_stream,
+    sessionize_with_timeout,
     stateful_user_totals,
+    user_value_ema,
     windowed_event_counts,
 )
 
@@ -14,6 +16,8 @@ __all__ = [
     "purchase_click_stream_join",
     "read_events_stream",
     "sessionize_stream",
+    "sessionize_with_timeout",
     "stateful_user_totals",
+    "user_value_ema",
     "windowed_event_counts",
 ]

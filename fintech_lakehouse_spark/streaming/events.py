@@ -206,6 +206,165 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_CLOSE_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, session_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "start_ms long, last_ms long, n_events long, total_value double"
+)
+
+
+def sessionize_with_timeout(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom sessionization via applyInPandasWithState with an
+    EVENT-TIME TIMEOUT (SURVEY §2.12 extension): a user's session
+    closes — and emits exactly one row — when the watermark passes
+    last_event + gap, even if the user never sends another event.
+
+    This is what session_window cannot give you: session CLOSE events
+    (for downstream triggers) and a state machine you can enrich with
+    arbitrary per-session logic. Gap semantics match session_window /
+    user_sessions: an event exactly ``gap`` after the last one still
+    extends the session.
+
+    State: (start_us, last_us, n_events, total_value) epoch-MICROsecond
+    longs — event timestamps carry µs precision, so an epoch-ms state
+    would truncate session_start and break exact equality with the
+    batch recomputation (verified in tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+
+        def emit(start_us, last_us, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(last_us, unit="us")],
+                    "n_events": [n],
+                    "session_value": [round(total, 4)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, total)
+            return
+
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1_000).to_list()
+        values = rows["value"].fillna(0.0).to_list()
+
+        # Fold batch events into sessions, seeded with persisted state.
+        if state.exists:
+            cur = list(state.get)
+        else:
+            cur = [ts_us[0], ts_us[0], 0, 0.0]
+            # first event starts the session; loop below adds it
+        for t, v in zip(ts_us, values):
+            if t <= cur[1] + gap_us:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(v)
+            else:
+                yield emit(*cur)
+                cur = [t, t, 1, float(v)]
+        state.update(tuple(cur))
+        # Close when the event-time watermark passes last + gap. The
+        # timeout timestamp (milliseconds) must sit beyond the current
+        # watermark.
+        state.setTimeoutTimestamp(
+            max((cur[1] + gap_us) // 1_000 + 1, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+EMA_SCHEMA = (
+    "user_id long, n_events long, ema_value double, n_spikes long"
+)
+_EMA_STATE_SCHEMA = "n_events long, ema double, n_spikes long"
+
+
+def user_value_ema(
+    events: DataFrame, alpha: float = 0.3, spike_factor: float = 3.0
+) -> DataFrame:
+    """Per-key model state (SURVEY §2.12 extension): an exponentially
+    weighted moving average of each user's event values, persisted in
+    the state store across micro-batches — the fraud-scoring shape
+    where each key carries a tiny online model.
+
+    Within each invocation events fold in event-time order:
+    ema ← α·value + (1−α)·ema (first event seeds the EMA). An event
+    more than ``spike_factor``× the prior EMA counts as a spike — the
+    alert signal a fraud pipeline would route to alerting.py. Emits
+    one row per user per micro-batch with lifetime counters; the last
+    row per user equals the batch recomputation (verified in
+    tests/test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches).sort_values("ts")
+        if state.exists:
+            n, ema, spikes = state.get
+        else:
+            n, ema, spikes = 0, None, 0
+        for v in rows["value"].fillna(0.0).to_list():
+            v = float(v)
+            if ema is None:
+                ema = v
+            else:
+                if ema > 0 and v > spike_factor * ema:
+                    spikes += 1
+                ema = alpha * v + (1 - alpha) * ema
+            n += 1
+        state.update((n, float(ema), spikes))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "ema_value": [round(float(ema), 6)],
+                "n_spikes": [spikes],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EMA_SCHEMA,
+        stateStructType=_EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(target_path: str, merge_keys: list[str]):
     """foreachBatch sink: MERGE each micro-batch into a lake table —
     idempotent under replay (micro-batch reprocessing upserts the same

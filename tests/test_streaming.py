@@ -234,3 +234,120 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     exp_pairs = {(r["purchase_id"], r["click_id"]) for r in expected.collect()}
     assert got_pairs == exp_pairs
     assert len(got_pairs) > 0
+
+
+def test_sessionize_with_timeout_matches_batch(spark, tmp_path):
+    """Event-time-timeout sessionization: once the watermark passes a
+    user's last event + gap, the session closes and emits. A far-future
+    sentinel event advances the watermark so every real session closes;
+    the emitted sessions must equal the batch session_window result."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.streaming import sessionize_with_timeout
+
+    landing = str(tmp_path / "sess_landing")
+    base = load_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    sentinel_ts = dt.datetime(2030, 1, 1)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, sentinel_ts, -1, "flush", 0.0, "{}")],
+        schema="event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string",
+    )
+    base.select(*sentinel.columns).unionByName(sentinel).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    stream = read_events_stream(spark, landing)
+    got = _run_to_memory(
+        spark,
+        sessionize_with_timeout(stream, gap_minutes=30),
+        "sessions_timeout",
+        mode="append",
+    ).filter("user_id >= 0")
+    expected = (
+        base.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    assert _norm(got, cols) == _norm(expected, cols)
+    assert got.count() > 0
+
+
+def test_user_value_ema_matches_batch(spark, tmp_path):
+    """Per-key EMA state across micro-batches: two time-ordered files
+    processed one per trigger must produce the same final EMA as a
+    single time-ordered fold over all events (batch recomputation in
+    pandas)."""
+    import os
+
+    from fintech_lakehouse_spark.streaming import user_value_ema
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .limit(600)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+    )
+    pdf = events.toPandas()
+    cut = pdf["ts"].median()
+    landing = tmp_path / "ema_landing"
+    landing.mkdir()
+    early, late = pdf[pdf["ts"] <= cut], pdf[pdf["ts"] > cut]
+    f0, f1 = str(landing / "part-000.parquet"), str(landing / "part-001.parquet")
+    # coerce to µs: pandas defaults to TIMESTAMP(NANOS), which the
+    # streaming schema (TimestampType) refuses to read
+    early.to_parquet(f0, index=False, coerce_timestamps="us")
+    late.to_parquet(f1, index=False, coerce_timestamps="us")
+    # force source ordering: older mtime processes first
+    now = 1_700_000_000
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 100, now + 100))
+
+    stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, user_value_ema(stream, alpha=0.3), "ema_stream", mode="append"
+    )
+    # last emission per user = lifetime state
+    from pyspark.sql.window import Window
+
+    final = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .select("user_id", "n_events", "ema_value", "n_spikes")
+    )
+    # batch oracle: time-ordered pandas fold
+    alpha, spike_factor = 0.3, 3.0
+    expected = {}
+    for user_id, grp in pdf.sort_values("ts").groupby("user_id"):
+        ema, n, spikes = None, 0, 0
+        for v in grp["value"].fillna(0.0):
+            v = float(v)
+            if ema is None:
+                ema = v
+            else:
+                if ema > 0 and v > spike_factor * ema:
+                    spikes += 1
+                ema = alpha * v + (1 - alpha) * ema
+            n += 1
+        expected[user_id] = (n, round(ema, 6), spikes)
+    got_map = {
+        r["user_id"]: (r["n_events"], r["ema_value"], r["n_spikes"])
+        for r in final.collect()
+    }
+    assert got_map == expected
+    # state visibly persisted across >1 micro-batch for at least some users
+    assert got.count() > final.count()
