@@ -22,21 +22,23 @@ def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> D
     The token array is materialized in its own projection first:
     inlining ``split(text)`` into the shingle lambda makes Catalyst
     re-split the document for every element access (measured ~20×
-    slower on the corpus). Guarded so docs shorter than n tokens yield
-    no shingles (Spark's sequence(0, negative) counts downward instead
-    of returning [])."""
+    slower on the corpus). Short docs are dropped by filtering on the
+    CHEAP token count BEFORE the shingle transform — a post-shingle
+    ``size(shingles) > 0`` filter gets pushed down into the parquet
+    scan's data filter, where it re-derives the whole shingle
+    transform (with split() inlined per element) for every row of the
+    corpus (measured 10ms/doc vs 0.5ms/doc). The >= n filter also
+    guards Spark's sequence(0, negative), which counts downward
+    instead of returning []."""
     toks = F.col("_toks")
-    tokenized = documents.select("doc_id", tokens(text_col).alias("_toks"))
+    tokenized = documents.select("doc_id", tokens(text_col).alias("_toks")).filter(
+        F.size(F.col("_toks")) >= n
+    )
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
     )
-    shingles = F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return tokenized.select("doc_id", shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    return tokenized.select("doc_id", F.array_distinct(ngrams).alias("shingles"))
 
 
 def shingle_rows(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -116,13 +118,20 @@ def lsh_band_pairs(
 # values in Spark and DuckDB (both render md5 of a UTF-8 string as the
 # same 32-char hex), so the full MinHash/LSH/SimHash/rolling-hash
 # pipelines become SQL-expressible and get real value-hash oracles.
-# Cost: one md5 per shingle/token instead of one xxhash64 — but the K
-# MinHash permutations derive from TWO 48-bit halves of that single
-# md5 (g_k = h1 + k·h2, the standard double-hashing construction,
-# Kirsch & Mitzenmacher 2006), so the portable MinHash is actually
-# CHEAPER than K independent xxhash64 calls. 48-bit halves keep
-# h1 + 31·h2 < 2^53, inside exact BIGINT range in both engines under
-# ANSI mode.
+#
+# The K MinHash permutations are the four 32-bit CHUNKS of K/4
+# seed-salted md5s — chunks of a cryptographic hash are independent
+# random functions. Do NOT substitute linear/polynomial combinations
+# of fewer hashes (h1 + k·h2 double hashing): a shingle whose value is
+# minimal at the anchor chunks dominates every k by linearity, which
+# correlates the K permutations and floods LSH with false candidates
+# (measured at sf0.1: 15,513 candidate pairs vs 256 with independent
+# chunks, and false "similar" pairs at true Jaccard < 0.01).
+#
+# Each minhash is kept as its 8-char hex substring: fixed-width hex
+# compares lexicographically exactly as it does numerically in BOTH
+# engines, and skipping 32 conv() calls per shingle halves signature
+# cost.
 # ---------------------------------------------------------------------------
 
 HEX_DIGITS = "0123456789abcdef"
@@ -134,21 +143,31 @@ def md5_hex(col: str | Column) -> Column:
 
 
 def minhash_signatures_md5(shingle_rows_df: DataFrame, n_hashes: int = 32) -> DataFrame:
-    """(doc_id, mh0..mh{K-1}) — portable MinHash: one md5 per shingle,
-    K permutations via g_k = h1 + k*h2 over the two 48-bit hex halves.
-    Same map-side-combine shape as minhash_signatures: shuffle volume
-    is K·docs, not K·shingles."""
-    hexed = shingle_rows_df.select("doc_id", md5_hex("shingle").alias("hx"))
-    halves = hexed.select(
+    """(doc_id, mh0..mh{K-1}) — portable MinHash over independent
+    32-bit chunk hashes (see the hash-family note above). ``n_hashes``
+    must be a multiple of 4 (four chunks per md5). Same
+    map-side-combine shape as minhash_signatures: shuffle volume is
+    K·docs, not K·shingles."""
+    if n_hashes % 4:
+        raise ValueError("n_hashes must be a multiple of 4 (4 chunks per md5)")
+    hexed = shingle_rows_df.select(
         "doc_id",
-        F.conv(F.substring("hx", 1, 12), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("hx", 13, 12), 16, 10).cast("long").alias("h2"),
-    )
-    return halves.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h1") + k * F.col("h2")).alias(f"mh{k}")
+            F.md5(
+                F.concat_ws("|", F.lit(str(j)), F.col("shingle")).cast("binary")
+            ).alias(f"hx{j}")
+            for j in range(n_hashes // 4)
+        ],
+    )
+    chunks = hexed.select(
+        "doc_id",
+        *[
+            F.substring(f"hx{k // 4}", 1 + 8 * (k % 4), 8).alias(f"h{k}")
             for k in range(n_hashes)
-        ]
+        ],
+    )
+    return chunks.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(n_hashes)]
     )
 
 
@@ -169,7 +188,7 @@ def lsh_band_pairs_md5(
                             "|",
                             F.lit(str(band)),
                             *[
-                                F.col(f"mh{band * rows_per_band + r}").cast("string")
+                                F.col(f"mh{band * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
                         ).cast("binary")
@@ -202,26 +221,52 @@ def verified_jaccard_pairs(
     pipeline: LSH generates candidates linearly, then the exact check
     runs ONLY on candidate docs (bounded by candidate count, never
     all-pairs). The jaccard column is a single int/int IEEE division —
-    deterministic across engines, unlike a rounded value."""
-    shingled = word_shingles(documents, n=n)
-    sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
-    shared = (
-        candidates.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    deterministic across engines, unlike a rounded value.
+
+    Docs are semi-joined down to the candidate set BEFORE re-shingling:
+    near-dup candidates are a tiny fraction of the corpus, so the
+    verification scan is bounded by candidates, not corpus size (a
+    full-corpus re-shingle here measured 4× the whole pipeline at
+    bench SF). Signature-estimate filtering is NOT a substitute: with
+    K permutations derived from one md5 per shingle, a shingle minimal
+    at the anchor chunks dominates every k by linearity, so unrelated
+    docs sharing one hot shingle fake est≈1 (measured: 80+ false pairs
+    at true Jaccard < 0.01).
+
+    NOTE: verification assumes candidate membership; a pair absent
+    from ``candidates`` is never checked (that's LSH recall, tuned by
+    K/bands)."""
+    # The candidate set feeds two branches (the id semi-join and the
+    # pair join); uncached, Spark recomputes the entire signature
+    # pipeline per branch (measured 2× the whole query). It is a tiny
+    # (long, long) table — cache and materialize it once. At cluster
+    # scale this is the natural checkpoint between the LSH stage and
+    # the verify stage.
+    candidates = candidates.cache()
+    candidates.count()
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand_docs = documents.join(cand_ids, "doc_id", "left_semi")
+    shingled = word_shingles(cand_docs, n=n)
+    # Shingle ARRAYS join directly onto the pairs (array_intersect for
+    # the overlap, array sizes for the union) — bounded to candidate
+    # docs, this beats the explode-and-rejoin formulation by ~6 shuffle
+    # stages of fixed overhead. Exploded shingles only make sense when
+    # the pair set is unbounded; here LSH already bounded it.
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sh_a")
     )
-    jaccard = F.col("n_shared").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    jaccard = inter.cast("double") / (
+        F.size("_sh_a") + F.size("_sh_b") - inter
     )
     return (
-        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .filter(jaccard >= threshold)
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
     )

@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting queries over `documents`
+(SURVEY §7.6 extension — training-data prep: stratified corpus
+sampling and leakage-safe train/val/test splits).
+
+All decisions come from the portable md5 hash bucket
+(functions/sampling.py), so the DuckDB oracles verify EXACT
+membership, not just statistical shape — rand()-based sampling could
+never be oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.functions.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+    sql_hash_bucket,
+)
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+# Downsample the dominant language, keep all of the rarest — the
+# class-rebalancing move every pretraining corpus makes.
+STRATA_RATES = {"en": 0.25, "zh": 1.0}
+DEFAULT_RATE = 0.5
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _sql_strata_threshold() -> str:
+    return (
+        "CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END"
+    )
+
+
+@register(
+    "stratified_sample_rates",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN {sql_hash_bucket('doc_id', 'sample')}
+                         < {_sql_strata_threshold()}
+                    THEN 1 ELSE 0 END) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum realized sampling counts: one scan, the in-sample
+    decision is a hash-bucket comparison against a CASE threshold —
+    no shuffle beyond the final small aggregate, no rand(), exact
+    membership the oracle can recompute."""
+    documents = load_table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", 2500)
+        .when(F.col("lang") == "zh", 10000)
+        .otherwise(5000)
+    )
+    in_sample = hash_bucket("doc_id", "sample") < threshold
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+@register(
+    "deterministic_sample_members",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id < 200
+      AND {sql_hash_bucket('doc_id', 'sample')} < 3000
+    """,
+)
+def deterministic_sample_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sample membership (30% of doc_id < 200): the oracle
+    checks the EXACT surviving rows, proving the bucket arithmetic is
+    engine-identical — the property that makes the sample reproducible
+    across runs, retries, and engines."""
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return deterministic_sample(documents, 0.3, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "train_test_split_counts",
+    oracle=f"""
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN {sql_hash_bucket('doc_id', 'split')} < 8000 THEN 'train'
+                    WHEN {sql_hash_bucket('doc_id', 'split')} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash split × language: a document's split assignment is
+    a pure function of its id, so train/test membership can never leak
+    across runs (the guarantee rand() splits do not give). Output is
+    the (split, lang) contingency table."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(documents, "doc_id", SPLIT_WEIGHTS)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -205,16 +205,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_cte_sql(n_hashes: int = 32, n_bands: int = 8) -> str:
-    """DuckDB CTE chain `toks → shing → halves → sigs → bands → cand →
+    """DuckDB CTE chain `toks → shing → chunks → sigs → bands → cand →
     pairs` computing EXACTLY what minhash_signatures_md5 +
-    lsh_band_pairs_md5 + verified_jaccard_pairs compute (one md5 per
-    3-gram shingle; g_k = h1 + k*h2 over the two 48-bit hex halves;
-    band index baked into the band md5; candidates verified by exact
-    Jaccard ≥ 0.5 over distinct shingles). The jaccard double is a
-    single int/int IEEE division — bit-identical across engines."""
+    lsh_band_pairs_md5 + verified_jaccard_pairs compute (K/4
+    seed-salted md5s per 3-gram shingle, minhash = lexicographic MIN
+    of each independent 8-hex chunk — functions/text.py documents why
+    chunks, not linear combinations; band index baked into the band
+    md5; candidates verified by exact Jaccard ≥ 0.5 over distinct
+    shingles). The jaccard double is a single int/int IEEE division —
+    bit-identical across engines."""
     rows_per_band = n_hashes // n_bands
+    hexes = ",\n               ".join(
+        f"md5('{j}' || '|' || shingle) AS hx{j}" for j in range(n_hashes // 4)
+    )
+    chunk_cols = ",\n               ".join(
+        f"substr(hx{k // 4}, {1 + 8 * (k % 4)}, 8) AS h{k}"
+        for k in range(n_hashes)
+    )
     mins = ",\n               ".join(
-        f"MIN(h1 + {k} * h2) AS mh{k}" for k in range(n_hashes)
+        f"MIN(h{k}) AS mh{k}" for k in range(n_hashes)
     )
     band_sigs = ",\n            ".join(
         "md5('{}' || '|' || {})".format(
@@ -233,16 +242,20 @@ def _minhash_cte_sql(n_hashes: int = 32, n_bands: int = 8) -> str:
                        FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS shingle
         FROM toks WHERE len(t) >= 3
     ),
-    halves AS (
+    hx AS (
         SELECT doc_id,
-               ('0x' || substr(md5(shingle), 1, 12))::BIGINT  AS h1,
-               ('0x' || substr(md5(shingle), 13, 12))::BIGINT AS h2
+               {hexes}
         FROM shing
+    ),
+    chunks AS (
+        SELECT doc_id,
+               {chunk_cols}
+        FROM hx
     ),
     sigs AS (
         SELECT doc_id,
                {mins}
-        FROM halves GROUP BY doc_id
+        FROM chunks GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, unnest([

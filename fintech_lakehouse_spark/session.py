@@ -34,6 +34,17 @@ _SCALE_DEFAULTS: dict[str, str] = {
     # Parquet scans: vectorized reader is default-on; keep partition file
     # sizes bounded so a 100 TB table still yields right-sized tasks.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
+    # explode(arr) and pushes it into the scan as a data filter. When
+    # `arr` is an expensive derived expression (the 3-gram shingle
+    # transform), the pushed filter re-derives it per scan row with
+    # split() inlined per element — measured 5-8× on every
+    # shingle-explode query (the rule predates cost awareness for
+    # generator inputs). The explicit cheap filters in word_shingles /
+    # shingle_rows already bound the generator input.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
