@@ -482,6 +482,183 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hof_token_metrics",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                x -> length(x))), (a, b) -> a + b) AS BIGINT)        AS total_token_chars,
+           len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS n_long_tokens,
+           list_has_any(list_transform(string_split(text, ' '),
+                x -> regexp_matches(x, '[0-9]')), [true])            AS has_numeric_token,
+           CAST(list_reduce(list_prepend(0,
+                [ (i + 1) * length(string_split(text, ' ')[i + 1])
+                  FOR i IN range(0, len(string_split(text, ' '))) ]),
+                (a, b) -> a + b) AS BIGINT)                          AS pos_weighted_chars
+    FROM documents
+    WHERE doc_id < 150
+    """,
+)
+def hof_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function gallery (SURVEY §2.8 [NEW]): aggregate
+    (fold), filter, exists, and the indexed transform lambda — all
+    JVM-side array lambdas, zero UDFs, zero explodes. The shapes a
+    feature pipeline uses to reduce array columns without paying a
+    Generate + re-aggregate round trip."""
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = F.split(F.col("text"), " ")
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("long")
+    n_long = F.size(F.filter(toks, lambda x: F.length(x) > 5))
+    has_num = F.exists(toks, lambda x: x.rlike("[0-9]"))
+    pos_weighted = F.aggregate(
+        F.transform(toks, lambda x, i: (i + 1) * F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        total.alias("total_token_chars"),
+        n_long.alias("n_long_tokens"),
+        has_num.alias("has_numeric_token"),
+        pos_weighted.alias("pos_weighted_chars"),
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
+    FROM counts
+    ORDER BY vocab_rank LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building (SURVEY §7.6 extension): global token
+    frequencies → top-100 by count — the first step of every tokenizer
+    / vocab-pruning pipeline. The explode collapses in a map-side
+    partial aggregate (shuffle carries one row per distinct token per
+    partition, not per occurrence); the final top-k is a
+    TakeOrdered, never a full sort. Ties break on the token so the
+    ranking is total and oracle-stable."""
+    documents = load_table(spark, sf_dir, "documents")
+    counts = (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = counts.withColumn(
+        "vocab_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        ),
+    )
+    return ranked.orderBy("vocab_rank").limit(100)
+
+
+@register(
+    "corpus_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clusters AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS n_survivors
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.lang
+    """,
+)
+def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dedup pipeline (SURVEY §7.6): per language,
+    how many documents survive after dropping non-canonical cluster
+    members (cluster survivor = minimum doc_id). LSH → exact verify →
+    connected components → anti-join back onto the corpus — exactly
+    what a pretraining run executes before writing shards. The
+    anti-join side is only the dropped ids (tiny), so the corpus scan
+    stays single-pass."""
+    from fintech_lakehouse_spark.functions.text import dedup_clusters
+
+    documents = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    signatures = minhash_signatures_md5(shingle_rows(documents, n=3), n_hashes=32)
+    candidates = lsh_band_pairs_md5(signatures, n_hashes=32, n_bands=8)
+    pairs = verified_jaccard_pairs(documents, candidates, n=3, threshold=0.5)
+    dropped = dedup_clusters(pairs).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    survivors = documents.join(dropped, "doc_id", "left_anti")
+    return (
+        documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            survivors.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_survivors")
+            ),
+            "lang",
+        )
+    )
+
+
+@register(
+    "shard_token_budgets",
+    oracle="""
+    SELECT ('0x' || substr(md5('shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def shard_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output sharding for training-data writes (SURVEY §7.6
+    extension): assign every document to one of 8 shards by portable
+    hash, report per-shard doc and token totals — the balance check
+    before writing tokenized shards. Hash sharding keeps assignment
+    deterministic and join-free; the aggregate shows the (tight, by
+    uniformity) token spread across shards."""
+    documents = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat_ws("|", F.lit("shard"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    shard = (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % 8).alias("shard")
+    return documents.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+    )
+
+
+@register(
     "doc_rolling_fingerprints",
     oracle="""
     SELECT doc_id,
