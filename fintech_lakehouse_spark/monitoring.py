@@ -13,6 +13,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
+from enum import Enum
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +42,58 @@ METRICS_SCHEMA = StructType(
         StructField("error_message", StringType(), True),
     ]
 )
+
+
+class PipelineStatus(Enum):
+    """Run states (ref: src/utils/monitoring.py:48-54)."""
+
+    RUNNING = "RUNNING"
+    SUCCESS = "SUCCESS"
+    FAILED = "FAILED"
+    PARTIAL = "PARTIAL"
+
+
+@dataclass
+class StageMetrics:
+    """Per-stage metrics record (ref: src/utils/monitoring.py:57-78) —
+    the public row shape; PipelineMonitor emits dicts with these
+    fields (plus the engine's column names in METRICS_SCHEMA)."""
+
+    run_id: str
+    pipeline_name: str
+    stage_name: str
+    status: str = "RUNNING"
+    start_time: datetime | None = None
+    end_time: datetime | None = None
+    duration_seconds: float | None = None
+    records_read: int = 0
+    records_written: int = 0
+    records_quarantined: int = 0
+    error_message: str | None = None
+
+
+def create_metrics_table(spark: SparkSession, table_name: str) -> None:
+    """Metrics table DDL (ref: src/utils/monitoring.py:284-312);
+    parquet here, Delta when the package is present."""
+    from fintech_lakehouse_spark.sources.writers import lake_format
+
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table_name} (
+            run_id STRING,
+            pipeline_name STRING,
+            stage_name STRING,
+            status STRING,
+            started_at TIMESTAMP,
+            ended_at TIMESTAMP,
+            duration_seconds DOUBLE,
+            rows_read BIGINT,
+            rows_written BIGINT,
+            rows_quarantined BIGINT,
+            error_message STRING
+        ) USING {lake_format().upper()}
+        """
+    )
 
 
 @dataclass

@@ -98,14 +98,50 @@ def test_convenience_senders(mock_post: MagicMock):
 
 
 def test_compat_exposes_reference_names():
+    """Every public name from the reference's src/ modules resolves in
+    compat — the 'switch your imports and run' contract."""
     from fintech_lakehouse_spark import compat
 
-    for name in (
-        "AlertManager",
-        "Severity",
-        "Alert",
-        "send_pipeline_failure_alert",
-        "send_dq_failure_alert",
-        "send_freshness_alert",
-    ):
-        assert hasattr(compat, name)
+    reference_public_api = [
+        # spark_utils.py
+        "get_spark", "read_csv_to_df", "read_json_to_df", "read_delta_table",
+        "write_delta_table", "register_delta_table", "upsert_delta_table",
+        "add_ingestion_metadata", "add_processing_metadata",
+        "add_surrogate_key", "deduplicate_by_key",
+        "standardize_string_columns", "optimize_delta_table",
+        "vacuum_delta_table", "table_exists", "delta_table_exists",
+        "get_table_row_count",
+        # data_quality.py
+        "DataQualityChecker", "DQCheckResult", "DQCheckType", "DQReport",
+        "DQSeverity", "quick_quality_check",
+        # monitoring.py
+        "PipelineMonitor", "PipelineStatus", "StageMetrics",
+        "check_data_freshness", "check_volume_anomaly",
+        "create_metrics_table",
+        # alerting.py
+        "AlertManager", "Severity", "Alert", "send_pipeline_failure_alert",
+        "send_dq_failure_alert", "send_freshness_alert",
+        # config/
+        "BaseConfig", "DevConfig", "ProdConfig", "BusinessRules",
+        "DataQualityThresholds", "get_config", "get_config_for_env",
+        # data_generator/
+        "DataGenerator", "GeneratorConfig",
+    ]
+    missing = [n for n in reference_public_api if not hasattr(compat, n)]
+    assert not missing, f"compat missing reference names: {missing}"
+
+
+def test_config_compat_semantics():
+    from fintech_lakehouse_spark import compat
+
+    dev = compat.get_config_for_env("dev")
+    prod = compat.get_config_for_env("prod")
+    assert dev.ENVIRONMENT == "dev" and not dev.DQ_FAIL_ON_CRITICAL
+    assert prod.ENVIRONMENT == "prod" and prod.DQ_FAIL_ON_CRITICAL
+    assert dev.get_database("gold") == "fintech_gold_dev"
+    assert prod.get_database("gold") == "fintech_gold"
+    assert dev.get_table_path("silver", "transactions").endswith(
+        "silver/transactions"
+    )
+    assert dev.business_rules.STRUCTURING_THRESHOLD == 9_000.00
+    assert dev.dq_thresholds.COMPLETENESS_THRESHOLD == 0.95
