@@ -144,3 +144,82 @@ def test_one_pass_dq_matches_per_check_model(spark, rows):
     }
     assert got == expected
     assert report.results[0].total_records == len(rows)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cd",  # tiny alphabet → frequent shingle overlap
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_portable_minhash_matches_python_model(spark, texts):
+    """The portable chunked-md5 MinHash against an exact Python
+    reimplementation: same md5 chunk values, same per-doc minima —
+    the property that makes the DuckDB oracles trustworthy."""
+    import hashlib
+
+    from fintech_lakehouse_spark.functions.text import (
+        minhash_signatures_md5,
+        shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sig = minhash_signatures_md5(shingle_rows(docs, n=2), n_hashes=8)
+    got = {
+        r["doc_id"]: tuple(r[f"mh{k}"] for k in range(8)) for r in sig.collect()
+    }
+    expected = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) < 2:
+            continue
+        shingles = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        mins = []
+        for k in range(8):
+            hexes = [
+                hashlib.md5(f"{k // 4}|{s}".encode()).hexdigest()[
+                    8 * (k % 4) : 8 * (k % 4) + 8
+                ]
+                for s in shingles
+            ]
+            mins.append(min(hexes))
+        expected[i] = tuple(mins)
+    assert got == expected
+
+
+@given(
+    n=st.integers(50, 300),
+    rate_pct=st.integers(1, 99),
+    salt=st.sampled_from(["a", "b", "sample"]),
+)
+@settings(**SETTINGS)
+def test_hash_sampling_properties(spark, n, rate_pct, salt):
+    """Sampling invariants for arbitrary rates/salts: membership is a
+    pure function of (key, salt); samples are NESTED across rates
+    (rate r1 < r2 ⇒ sample(r1) ⊆ sample(r2)); realized rate tracks the
+    nominal rate."""
+    from fintech_lakehouse_spark.functions.sampling import deterministic_sample
+
+    df = spark.range(n).withColumnRenamed("id", "k")
+    rate = rate_pct / 100
+    s = {r["k"] for r in deterministic_sample(df, rate, "k", salt).collect()}
+    s2 = {r["k"] for r in deterministic_sample(df, rate, "k", salt).collect()}
+    assert s == s2
+    bigger = {
+        r["k"]
+        for r in deterministic_sample(df, min(1.0, rate + 0.3), "k", salt).collect()
+    }
+    assert s <= bigger
+    # loose bound: binomial 4-sigma
+    import math
+
+    sigma = math.sqrt(n * rate * (1 - rate))
+    assert abs(len(s) - n * rate) <= 4 * sigma + 1
