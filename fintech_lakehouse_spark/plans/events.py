@@ -209,6 +209,68 @@ def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.first_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (SURVEY §2.12 analytics shape):
+    view → later click → later purchase, per user, counted per stage.
+    Three stacked conditional-min windows over ONE user_id partition —
+    a single shuffle carries all three stages (the oracle's join
+    cascade re-derives the same minima)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    staged = events.withColumn(
+        "first_view", F.min(F.when(typ == "view", ts)).over(w)
+    )
+    staged = staged.withColumn(
+        "first_click",
+        F.min(
+            F.when((typ == "click") & (ts > F.col("first_view")), ts)
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "first_purchase",
+        F.min(
+            F.when((typ == "purchase") & (ts > F.col("first_click")), ts)
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("first_view").alias("fv"),
+        F.max("first_click").alias("fc"),
+        F.max("first_purchase").alias("fp"),
+    )
+    return per_user.agg(
+        F.count("fv").alias("n_viewed"),
+        F.count("fc").alias("n_clicked_after_view"),
+        F.count("fp").alias("n_purchased_after_click"),
+    )
+
+
+@register(
     "purchase_click_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id,

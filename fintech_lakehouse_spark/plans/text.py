@@ -526,6 +526,132 @@ def hof_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_filters",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < 300
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+1], ' ')
+                       FOR i IN range(1, greatest(len(t) - 1, 0) + 1)]) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    gram_counts AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    gram_stats AS (
+        SELECT doc_id, MAX(c) AS top_2gram_count, SUM(c) AS n_2grams
+        FROM gram_counts GROUP BY doc_id
+    ),
+    tok_counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+        SELECT doc_id, MAX(c) AS top_token_count, SUM(c) AS n_tokens
+        FROM tok_counts GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           g.top_2gram_count,
+           CAST(g.top_2gram_count AS DOUBLE) / g.n_2grams AS top_2gram_frac,
+           t.top_token_count,
+           CAST(t.top_token_count AS DOUBLE) / t.n_tokens AS top_token_frac,
+           (CAST(g.top_2gram_count AS DOUBLE) / g.n_2grams) > 0.20
+               AS flag_repetitive
+    FROM gram_stats g JOIN tok_stats t ON g.doc_id = t.doc_id
+    """,
+)
+def doc_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (SURVEY §7.6 quality scoring —
+    the Gopher-rules shape: fraction of mass in the most frequent
+    token / 2-gram flags boilerplate and degenerate text). Two
+    explode→count→max/sum chains joined on doc_id; every fraction is a
+    single int/int IEEE division so both engines agree bit-exactly."""
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = documents.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = shingle_rows(documents, n=2).groupBy(
+        "doc_id", "shingle"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    gram_stats = grams.groupBy("doc_id").agg(
+        F.max("c").alias("top_2gram_count"), F.sum("c").alias("n_2grams")
+    )
+    tok_counts = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_token_count"), F.sum("c").alias("n_tokens")
+    )
+    g2 = F.col("top_2gram_count").cast("double") / F.col("n_2grams")
+    tf = F.col("top_token_count").cast("double") / F.col("n_tokens")
+    return gram_stats.join(tok_stats, "doc_id").select(
+        "doc_id",
+        "top_2gram_count",
+        g2.alias("top_2gram_frac"),
+        "top_token_count",
+        tf.alias("top_token_frac"),
+        (g2 > 0.20).alias("flag_repetitive"),
+    )
+
+
+@register(
+    "quality_above_mean_prune",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               (len(list_distinct(string_split(text, ' '))) * 1000000)
+                   // len(string_split(text, ' ')) AS uscore
+        FROM documents
+    ),
+    m AS (SELECT SUM(uscore) // COUNT(*) AS mean_score FROM scored)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN uscore >= mean_score THEN 1 ELSE 0 END) AS n_kept
+    FROM scored, m
+    GROUP BY lang
+    """,
+)
+def quality_above_mean_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pruning by a GLOBAL quality threshold (SURVEY §7.6): keep
+    documents whose type/token ratio beats the corpus mean. The mean is
+    a 1-row aggregate broadcast back over the scan (crossJoin of a
+    single row — the scale-safe way to apply a global statistic; a
+    global-order window would serialize into one task). All arithmetic
+    is scaled-integer (ppm score, floor-division mean): a double AVG
+    wobbles at the last ulp between engines, and a >= threshold test
+    is exactly the comparison an ulp can flip."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " DIV size(split(text, ' '))"
+        ).alias("uscore"),
+    )
+    mean_row = F.broadcast(
+        scored.agg(
+            F.expr("SUM(uscore) DIV COUNT(*)").alias("mean_score")
+        )
+    )
+    return (
+        scored.crossJoin(mean_row)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("uscore") >= F.col("mean_score"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
+@register(
     "vocab_top_tokens",
     oracle="""
     WITH tok AS (
