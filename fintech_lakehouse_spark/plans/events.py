@@ -209,6 +209,46 @@ def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT f.cohort_date,
+           a.active_date - f.cohort_date AS day_offset,
+           COUNT(DISTINCT a.user_id)     AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    WHERE a.active_date - f.cohort_date BETWEEN 0 AND 7
+    GROUP BY f.cohort_date, day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (SURVEY §2.4 analytics shape): users grouped by
+    first-seen date, counted on each of their first 8 active days.
+    Both sides aggregate per user BEFORE the join, so the join carries
+    one row per (user, active day) — never raw events — and the
+    cohort table is the smaller side."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("active_date")
+    ).distinct()
+    offset = F.datediff("active_date", "cohort_date")
+    return (
+        activity.join(firsts, "user_id")
+        .filter(offset.between(0, 7))
+        .groupBy("cohort_date", offset.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
     "purchase_funnel",
     oracle="""
     WITH v AS (
