@@ -128,6 +128,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # too so the nanos→timestamp conversion and window alignment
         # are correct even on caller-supplied sessions.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "documents":
+        # Perf self-heal for caller-supplied sessions (the verify
+        # driver builds its own): InferFiltersFromGenerate pushes the
+        # derived shingle array into scan filters — 5-8× on every
+        # shingle-explode query (see session.py). Runtime-settable;
+        # correctness is unaffected either way.
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType
