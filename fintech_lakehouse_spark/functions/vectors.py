@@ -145,36 +145,31 @@ def ivf_search(
 ) -> DataFrame:
     """Probe the ``n_probes`` nearest inverted lists per query, exact
     cosine within them, top-k. Work ≈ (n_probes / n_lists) of brute
-    force; recall grows with n_probes. Queries (with their probe-list
-    assignments, computed driver-side against the tiny centroid set)
-    broadcast to the corpus — the corpus itself never shuffles."""
+    force; recall grows with n_probes. Probe assignment is DISTRIBUTED:
+    the (tiny) centroid matrix closes over an Arrow-batched pandas_udf,
+    so the query side never collects to the driver — query batches can
+    be corpus-sized. The assigned queries then broadcast into the
+    corpus join; the corpus itself never shuffles."""
     import numpy as np
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
-    cent = np.asarray(centroids)
-    # The query batch is collected to compute probe assignments against
-    # the (tiny) centroid set driver-side. Guard the collect: a caller
-    # accidentally passing the CORPUS as `queries` would OOM the
-    # driver. Real query batches are 10^2-10^4 rows; beyond the cap,
-    # compute assignments distributed (broadcast centroids) instead.
-    MAX_QUERY_BATCH = 100_000
-    n_queries = queries.limit(MAX_QUERY_BATCH + 1).count()
-    if n_queries > MAX_QUERY_BATCH:
-        raise ValueError(
-            f"ivf_search query batch exceeds {MAX_QUERY_BATCH} rows; "
-            "this collect is driver-side by design for small query "
-            "batches — for corpus-scale probing, assign probe lists "
-            "distributed via a broadcast centroid join."
-        )
-    q_rows = queries.select(query_id, vec).collect()
-    probes = []
-    for row in q_rows:
-        qv = np.asarray(row[vec])
-        dists = ((cent - qv) ** 2).sum(axis=1)
-        for list_id in np.argsort(dists)[:n_probes]:
-            probes.append((row[query_id], int(list_id), [float(x) for x in qv]))
-    probe_df = assigned.sparkSession.createDataFrame(
-        probes, f"{query_id} long, list_id int, _qv array<double>"
+    cent = np.asarray(centroids, dtype=np.float64)  # (k, dim) — tiny
+    cent_sq = (cent**2).sum(axis=1)  # ||c||² per centroid
+
+    @pandas_udf("array<int>")
+    def _probe_lists(embs: pd.Series) -> pd.Series:
+        V = np.vstack(embs.to_numpy())  # (batch, dim)
+        # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² is rank-constant
+        # per row, so argsort needs only the cross and centroid terms.
+        d = cent_sq[None, :] - 2.0 * (V @ cent.T)  # (batch, k)
+        idx = np.argsort(d, axis=1)[:, :n_probes]
+        return pd.Series([row.tolist() for row in idx])
+
+    probe_df = queries.select(
+        query_id,
+        F.col(vec).alias("_qv"),
+        F.explode(_probe_lists(F.col(vec))).alias("list_id"),
     )
     corpus_n = with_norm(
         assigned.select(corpus_id, "list_id", F.col(vec).alias("_cv")), "_cv", "_cn"

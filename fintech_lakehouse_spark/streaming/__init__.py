@@ -6,6 +6,7 @@ from fintech_lakehouse_spark.streaming.events import (
     sessionize_stream,
     sessionize_with_timeout,
     stateful_user_totals,
+    user_funnel_state,
     user_value_ema,
     windowed_event_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "sessionize_stream",
     "sessionize_with_timeout",
     "stateful_user_totals",
+    "user_funnel_state",
     "user_value_ema",
     "windowed_event_counts",
 ]

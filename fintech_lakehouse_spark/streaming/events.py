@@ -365,6 +365,73 @@ def user_value_ema(
     )
 
 
+FUNNEL_SCHEMA = (
+    "user_id long, funnel_stage int, first_view timestamp, "
+    "first_click timestamp, first_purchase timestamp"
+)
+_FUNNEL_STATE_SCHEMA = "v_us long, c_us long, p_us long"
+
+
+def user_funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming conversion funnel (SURVEY §2.12 extension): per user,
+    track view → later click → later purchase as a persistent state
+    machine. Emits the user's current funnel stage (0-3) each
+    micro-batch; the batch twin is plans/events.py::purchase_funnel's
+    per-user staged minima.
+
+    State is three epoch-µs longs (-1 = stage not reached). Events
+    fold in event-time order within each batch, so with a time-ordered
+    source the first qualifying event at each stage IS the minimum —
+    matching the batch conditional-min semantics exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches).sort_values("ts")
+        if state.exists:
+            v, c, p = state.get
+        else:
+            v, c, p = -1, -1, -1
+        for ts, typ in zip(
+            (rows["ts"].astype("int64") // 1_000).to_list(),
+            rows["event_type"].to_list(),
+        ):
+            if typ == "view" and v < 0:
+                v = ts
+            elif typ == "click" and v >= 0 and ts > v and c < 0:
+                c = ts
+            elif typ == "purchase" and c >= 0 and ts > c and p < 0:
+                p = ts
+        state.update((v, c, p))
+
+        def t(us):
+            return pd.to_datetime(us, unit="us") if us >= 0 else pd.NaT
+
+        stage = 3 if p >= 0 else 2 if c >= 0 else 1 if v >= 0 else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "funnel_stage": [stage],
+                "first_view": [t(v)],
+                "first_click": [t(c)],
+                "first_purchase": [t(p)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(target_path: str, merge_keys: list[str]):
     """foreachBatch sink: MERGE each micro-batch into a lake table —
     idempotent under replay (micro-batch reprocessing upserts the same

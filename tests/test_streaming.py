@@ -351,3 +351,61 @@ def test_user_value_ema_matches_batch(spark, tmp_path):
     assert got_map == expected
     # state visibly persisted across >1 micro-batch for at least some users
     assert got.count() > final.count()
+
+
+def test_user_funnel_state_matches_batch(spark, tmp_path):
+    """Streaming funnel state machine over two time-ordered
+    micro-batches equals the batch conditional-min funnel stages."""
+    import os
+
+    from fintech_lakehouse_spark.streaming import user_funnel_state
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .limit(800)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+    )
+    pdf = events.toPandas()
+    cut = pdf["ts"].median()
+    landing = tmp_path / "funnel_landing"
+    landing.mkdir()
+    f0 = str(landing / "part-000.parquet")
+    f1 = str(landing / "part-001.parquet")
+    pdf[pdf["ts"] <= cut].to_parquet(f0, index=False, coerce_timestamps="us")
+    pdf[pdf["ts"] > cut].to_parquet(f1, index=False, coerce_timestamps="us")
+    now = 1_700_000_000
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 100, now + 100))
+
+    stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(spark, user_funnel_state(stream), "funnel_stream", "append")
+    final = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy(F.col("funnel_stage").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .select("user_id", "funnel_stage")
+    )
+    got_map = {r["user_id"]: r["funnel_stage"] for r in final.collect()}
+
+    # batch model in pandas: first view, first click after, first
+    # purchase after — per user over the SAME 800 events
+    expected = {}
+    for user_id, grp in pdf.sort_values("ts").groupby("user_id"):
+        v = c = p = None
+        for ts, typ in zip(grp["ts"], grp["event_type"]):
+            if typ == "view" and v is None:
+                v = ts
+            elif typ == "click" and v is not None and ts > v and c is None:
+                c = ts
+            elif typ == "purchase" and c is not None and ts > c and p is None:
+                p = ts
+        expected[user_id] = 3 if p is not None else 2 if c is not None else 1 if v is not None else 0
+    assert got_map == expected
+    assert max(expected.values()) >= 2  # the fixture actually converts
