@@ -432,15 +432,27 @@ def user_funnel_state(events: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_upsert(target_path: str, merge_keys: list[str]):
+def foreach_batch_upsert(
+    target_path: str,
+    merge_keys: list[str],
+    partition_by: list[str] | None = None,
+):
     """foreachBatch sink: MERGE each micro-batch into a lake table —
     idempotent under replay (micro-batch reprocessing upserts the same
-    keys). Reuses the batch upsert operator (SURVEY §2.1 S6)."""
+    keys). Reuses the batch upsert operator (SURVEY §2.1 S6); with
+    ``partition_by`` the merge rewrites only the partitions a
+    micro-batch touches (selective overwrite) — the shape a continuous
+    100 TB ingest needs, since each micro-batch lands in one or two
+    date partitions."""
     from fintech_lakehouse_spark.sources.writers import upsert_lake_table
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         upsert_lake_table(
-            batch_df.sparkSession, batch_df, target_path, merge_keys=merge_keys
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            merge_keys=merge_keys,
+            partition_by=partition_by,
         )
 
     return _write

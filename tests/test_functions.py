@@ -109,6 +109,30 @@ def test_portable_simhash_and_rolling(docs, spark):
     assert swapped.collect()[0]["rh"] != orig.collect()[0]["rh"]
 
 
+def test_segment_nation_key_arrays(spark, sf_dir):
+    """The raw-array variant (kept out of the driver registry because
+    the driver comparator cannot hash list cells) must agree with the
+    registered scalar encodings."""
+    from fintech_lakehouse_spark.plans.analytics import (
+        segment_nation_arrays,
+        segment_nation_key_arrays,
+    )
+
+    arrays = {
+        r["c_mktsegment"]: r["nation_keys"]
+        for r in segment_nation_key_arrays(spark, sf_dir).collect()
+    }
+    scalars = {
+        r["c_mktsegment"]: (r["n_nations"], r["min_nation"], r["nations_csv"])
+        for r in segment_nation_arrays(spark, sf_dir).collect()
+    }
+    assert arrays.keys() == scalars.keys()
+    for seg, keys in arrays.items():
+        n, mn, csv = scalars[seg]
+        assert keys == sorted(keys)
+        assert (len(keys), keys[0], ",".join(map(str, keys))) == (n, mn, csv)
+
+
 def test_simhash_near_dup_hamming(docs):
     fp = simhash64(docs)
     paired = (
