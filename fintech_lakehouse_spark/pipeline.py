@@ -32,7 +32,10 @@ from fintech_lakehouse_spark.operators.metadata import (
     add_processing_metadata,
 )
 from fintech_lakehouse_spark.quality import DataQualityChecker
-from fintech_lakehouse_spark.sources.writers import write_lake_table
+from fintech_lakehouse_spark.sources.writers import (
+    upsert_lake_table,
+    write_lake_table,
+)
 
 
 class MedallionPipeline:
@@ -161,3 +164,52 @@ class MedallionPipeline:
             name: self.spark.read.parquet(self.config.layer_path("gold", name))
             for name in gold
         }
+
+    def incremental_fact_update(
+        self,
+        transactions: DataFrame,
+        customers: DataFrame,
+        merchants: DataFrame,
+    ) -> None:
+        """Steady-state gold refresh (SURVEY §3.2 at day N): a new
+        silver batch MERGEs into fact_transactions with the
+        partition-pruned selective overwrite (only the dates present in
+        the batch — or holding a restated key — are rewritten), and
+        agg_daily_metrics is recomputed ONLY for the affected dates via
+        a partition-pruned fact read. Cost is proportional to the
+        batch's date span, not table size — the property that makes a
+        daily refresh of a 100 TB fact affordable."""
+        from pyspark.sql import functions as F
+
+        self.monitor.start_stage("gold_incremental")
+        dim_customer = build_dim_customer(customers)
+        dim_merchant = build_dim_merchant(merchants)
+        fact_delta = build_fact_transactions(
+            transactions, dim_customer, dim_merchant
+        )
+        fact_path = self.config.layer_path("gold", "fact_transactions")
+        upsert_lake_table(
+            self.spark,
+            fact_delta,
+            fact_path,
+            merge_keys=["transaction_id"],
+            partition_by=["transaction_date"],
+        )
+        # Affected dates: bounded collect (dates in the batch).
+        dates = [
+            r["transaction_date"]
+            for r in fact_delta.select("transaction_date").distinct().collect()
+        ]
+        fact_touched = self.spark.read.parquet(fact_path).filter(
+            F.col("transaction_date").isin(dates)  # partition-pruned scan
+        )
+        upsert_lake_table(
+            self.spark,
+            build_agg_daily_metrics(fact_touched),
+            self.config.layer_path("gold", "agg_daily_metrics"),
+            merge_keys=["transaction_date"],
+        )
+        n = fact_delta.count()
+        self.monitor.end_stage(
+            "gold_incremental", rows_read=n, rows_written=n
+        )

@@ -148,6 +148,21 @@ def upsert_lake_table(
         )
         return
 
+    # MERGE semantics: the TARGET's schema wins. Without this cast, a
+    # source batch with a drifted column type (e.g. a decimal widened
+    # by arithmetic) flows through unionByName's type widening and the
+    # selective path writes SOME partitions with a different parquet
+    # physical type than the rest of the table — which then fails every
+    # full-table read. New columns (absent from the target) pass
+    # through for mergeSchema-style evolution.
+    target_types = {f.name: f.dataType for f in existing.schema.fields}
+    source_df = source_df.select(
+        *[
+            F.col(c).cast(target_types[c]) if c in target_types else F.col(c)
+            for c in source_df.columns
+        ]
+    )
+
     selective = bool(partition_by)
     if selective:
         # Touched partitions = source partition values ∪ target

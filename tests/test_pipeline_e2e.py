@@ -97,3 +97,66 @@ def test_fx_rates_shape(spark):
     fx = generate_exchange_rates(spark, days=10)
     assert fx.count() == 80  # 10 days × 8 currencies
     assert fx.select("rate_date").distinct().count() == 10
+
+
+def test_incremental_fact_update_touches_only_batch_dates(lake, spark):
+    """Day-N refresh: a one-date incremental batch must update the
+    fact and daily metrics for that date only — untouched fact date
+    partitions keep their exact files."""
+    import os
+
+    config = lake["config"]
+    pipe = lake["pipe"]
+    fact_path = config.layer_path("gold", "fact_transactions")
+
+    # pick a date present in the fact and build a batch restating one
+    # existing transaction (bigger amount) + one brand-new transaction
+    silver = lake["silver"]["transactions"]
+    some = silver.orderBy("transaction_id").limit(1).collect()[0]
+    target_date = some["transaction_date"]
+    batch = silver.filter(F.col("transaction_id") == some["transaction_id"])
+    restated = batch.withColumn(
+        "amount_usd", (F.col("amount_usd") * 2).cast("decimal(18,2)")
+    )
+    new_row = batch.withColumn(
+        "transaction_id", F.concat(F.col("transaction_id"), F.lit("_NEW"))
+    )
+    delta = restated.unionByName(new_row)
+
+    def part_files():
+        out = {}
+        for d in os.listdir(fact_path):
+            if d.startswith("transaction_date=") and str(target_date) not in d:
+                full = os.path.join(fact_path, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    untouched_before = part_files()
+    before_count = spark.read.parquet(fact_path).count()
+
+    pipe.incremental_fact_update(
+        delta, lake["silver"]["customers"], lake["silver"]["merchants"]
+    )
+
+    fact = spark.read.parquet(fact_path)
+    assert fact.count() == before_count + 1  # one insert, one update
+    doubled = fact.filter(
+        F.col("transaction_id") == some["transaction_id"]
+    ).collect()[0]
+    assert float(doubled["amount_usd"]) == pytest.approx(
+        2 * float(some["amount_usd"])
+    )
+    assert part_files() == untouched_before  # other dates untouched
+
+    # daily metrics refreshed for the touched date, others preserved
+    daily = spark.read.parquet(config.layer_path("gold", "agg_daily_metrics"))
+    row = daily.filter(F.col("transaction_date") == target_date).collect()[0]
+    expect = fact.filter(F.col("transaction_date") == target_date).count()
+    assert row["n_transactions"] == expect
+    assert daily.select("transaction_date").distinct().count() == (
+        fact.select("transaction_date").distinct().count()
+    )

@@ -125,6 +125,26 @@ def test_upsert_selective_handles_partition_move(spark, tmp_path):
     assert sorted(rows) == [("K1", "2024-01-05", "moved"), ("K2", "2024-01-02", "keep")]
 
 
+def test_upsert_aligns_source_types_to_target(spark, tmp_path):
+    """A source batch with a drifted (widened) column type must not
+    change the target's physical schema — MERGE semantics: the
+    target's schema wins."""
+    path = str(tmp_path / "typed")
+    base = spark.createDataFrame(
+        [("K1", "2024-01-01", 10.50), ("K2", "2024-01-02", 20.25)],
+        "id string, dt string, amt string",
+    ).selectExpr("id", "dt", "CAST(amt AS DECIMAL(18,2)) AS amt")
+    write_lake_table(base, path, partition_by=["dt"])
+    drifted = spark.createDataFrame(
+        [("K1", "2024-01-01", 21.00)], "id string, dt string, amt double"
+    ).selectExpr("id", "dt", "CAST(amt AS DECIMAL(20,4)) AS amt")
+    upsert_lake_table(spark, drifted, path, merge_keys=["id"], partition_by=["dt"])
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["amt"] == "decimal(18,2)"
+    got = {r["id"]: float(r["amt"]) for r in back.collect()}
+    assert got == {"K1": 21.0, "K2": 20.25}
+
+
 def test_pipeline_monitor(spark):
     mon = PipelineMonitor(spark, "test_pipeline")
     mon.start_stage("ingest")
