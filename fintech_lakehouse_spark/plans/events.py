@@ -280,7 +280,12 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade re-derives the same minima)."""
     from pyspark.sql.window import Window
 
-    events = load_table(spark, sf_dir, "events")
+    # Non-funnel event types can never contribute to a conditional
+    # min; filtering first pushes the IN-predicate into the scan and
+    # shrinks the window input.
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     w = Window.partitionBy("user_id")
     ts, typ = F.col("ts"), F.col("event_type")
     staged = events.withColumn(
