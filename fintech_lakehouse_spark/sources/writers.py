@@ -254,22 +254,84 @@ def upsert_lake_table(
         spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
             target_path
         )
+    # Drop the staging dir — otherwise every upsert leaves a full copy
+    # of the merged partitions on disk.
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(staging), sc._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     spark.catalog.refreshByPath(target_path)
 
 
 def optimize_lake_table(
-    spark: SparkSession, path: str, z_order_columns: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    z_order_columns: list[str] | None = None,
+    max_files_per_partition: int = 4,
 ) -> bool:
     """Compaction + Z-order (ref: src/utils/spark_utils.py:519-555, T1).
 
-    No-op (returns False) in parquet mode — data skipping / clustering
-    is a Delta capability.
+    Delta mode: real OPTIMIZE [ZORDER BY].
+
+    Parquet mode: selective small-file compaction — each top-level
+    partition directory (or the table root when unpartitioned) holding
+    more than ``max_files_per_partition`` parquet files is rewritten to
+    one file; directories already compact are NOT touched (their files
+    keep their timestamps). ``z_order_columns`` become a
+    sort-within-partitions during the rewrite, tightening per-row-group
+    min/max stats so scans skip row groups on those predicates — the
+    parquet analog of Z-ordering (same rationale as write_lake_table's
+    cluster_by). Returns True when any maintenance ran.
     """
-    if lake_format() != "delta":
+    if lake_format() == "delta":
+        zorder = (
+            f" ZORDER BY ({', '.join(z_order_columns)})" if z_order_columns else ""
+        )
+        spark.sql(f"OPTIMIZE delta.`{path}`{zorder}")
+        return True
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), hconf
+    )
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(root):
         return False
-    zorder = f" ZORDER BY ({', '.join(z_order_columns)})" if z_order_columns else ""
-    spark.sql(f"OPTIMIZE delta.`{path}`{zorder}")
-    return True
+
+    def parquet_count(dir_path) -> int:
+        n = 0
+        for st in fs.listStatus(dir_path):
+            if st.isFile() and st.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    part_dirs = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    compacted = False
+    targets = part_dirs if part_dirs else [root]
+    for d in targets:
+        if parquet_count(d) <= max_files_per_partition:
+            continue
+        df = spark.read.parquet(d.toString()).coalesce(1)
+        if z_order_columns:
+            df = df.sortWithinPartitions(*z_order_columns)
+        staging = d.toString().rstrip("/") + "__compact"
+        df.write.format("parquet").mode("overwrite").save(staging)
+        spark.read.parquet(staging).coalesce(1).write.format("parquet").mode(
+            "overwrite"
+        ).save(d.toString())
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        compacted = True
+    if compacted:
+        spark.catalog.refreshByPath(path)
+    return compacted
 
 
 def vacuum_lake_table(spark: SparkSession, path: str, retention_hours: int = 168) -> bool:

@@ -50,15 +50,63 @@ def test_register_and_table_exists(spark, tmp_path, sf_dir):
 
 
 def test_maintenance_gated_without_delta(spark, tmp_path, sf_dir):
-    """OPTIMIZE/VACUUM are Delta features; in parquet fallback they
-    must no-op (False) instead of failing."""
+    """Parquet mode: OPTIMIZE compacts only where needed (already-
+    compact tables return False untouched); VACUUM stays a Delta-only
+    no-op."""
     path = str(tmp_path / "maint")
     write_lake_table(load_table(spark, sf_dir, "region"), path)
     if lake_format() == "parquet":
+        # a single-file table is already compact — nothing to do
         assert optimize_lake_table(spark, path, ["r_name"]) is False
         assert vacuum_lake_table(spark, path) is False
     else:  # pragma: no cover - delta-enabled environments
         assert optimize_lake_table(spark, path, ["r_name"]) is True
+
+
+def test_optimize_compacts_small_files(spark, tmp_path, sf_dir):
+    """Parquet OPTIMIZE: partitions with many small files rewrite to
+    one file; compact partitions keep their exact files; data
+    survives byte-identical; z_order column sorts within the file."""
+    import os
+
+    path = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    # fragment every partition: 6 small append batches (the steady
+    # drip of an incremental ingest)
+    write_lake_table(orders.limit(200), path, partition_by=["order_year"])
+    for _ in range(5):
+        write_lake_table(
+            orders.limit(200), path, mode="append", partition_by=["order_year"]
+        )
+
+    def files(d):
+        full = os.path.join(path, d)
+        return {
+            f: os.path.getmtime(os.path.join(full, f))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+
+    parts = [d for d in os.listdir(path) if d.startswith("order_year=")]
+    assert any(len(files(d)) > 4 for d in parts)
+    before = spark.read.parquet(path)
+    before_rows = sorted(
+        (r["o_orderkey"], str(r["order_year"])) for r in before.collect()
+    )
+    assert optimize_lake_table(spark, path, ["o_custkey"]) is True
+    for d in parts:
+        assert len(files(d)) == 1  # compacted
+    after = spark.read.parquet(path)
+    after_rows = sorted(
+        (r["o_orderkey"], str(r["order_year"])) for r in after.collect()
+    )
+    assert after_rows == before_rows
+    # second run: everything compact → False, files untouched
+    snapshot = {d: files(d) for d in parts}
+    assert optimize_lake_table(spark, path, ["o_custkey"]) is False
+    assert {d: files(d) for d in parts} == snapshot
 
 
 def test_csv_bronze_ingestion_roundtrip(spark, tmp_path):
