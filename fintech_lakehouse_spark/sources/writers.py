@@ -335,11 +335,45 @@ def optimize_lake_table(
 
 
 def vacuum_lake_table(spark: SparkSession, path: str, retention_hours: int = 168) -> bool:
-    """Unreferenced-file cleanup (ref: src/utils/spark_utils.py:558-588, T2)."""
-    if lake_format() != "delta":
-        return False
-    spark.sql(f"VACUUM delta.`{path}` RETAIN {retention_hours} HOURS")
-    return True
+    """Unreferenced-file cleanup (ref: src/utils/spark_utils.py:558-588, T2).
+
+    Delta mode: real VACUUM. Parquet mode: every file under a plain
+    parquet table IS referenced, so the only unreferenced data is
+    crash-leftover ``__staging`` / ``__compact`` working directories
+    (an upsert or compaction killed between its staging write and its
+    cleanup). Remove those siblings once they are older than the
+    retention window; returns True when anything was deleted."""
+    if lake_format() == "delta":
+        spark.sql(f"VACUUM delta.`{path}` RETAIN {retention_hours} HOURS")
+        return True
+    import time as _time
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), sc._jsc.hadoopConfiguration()
+    )
+    base = path.rstrip("/")
+    cutoff_ms = int((_time.time() - retention_hours * 3600) * 1000)
+    deleted = False
+    for suffix in ("__staging", "__compact"):
+        p = jvm.org.apache.hadoop.fs.Path(base + suffix)
+        if fs.exists(p) and fs.getFileStatus(p).getModificationTime() < cutoff_ms:
+            fs.delete(p, True)
+            deleted = True
+    # partition-level compaction leftovers live INSIDE the table dir
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and (name.endswith("__staging") or name.endswith("__compact"))
+                and st.getModificationTime() < cutoff_ms
+            ):
+                fs.delete(st.getPath(), True)
+                deleted = True
+    return deleted
 
 
 def table_exists(spark: SparkSession, database: str, table: str) -> bool:

@@ -59,6 +59,22 @@ def test_maintenance_gated_without_delta(spark, tmp_path, sf_dir):
         # a single-file table is already compact — nothing to do
         assert optimize_lake_table(spark, path, ["r_name"]) is False
         assert vacuum_lake_table(spark, path) is False
+
+        # vacuum removes crash-leftover staging dirs past retention
+        import os
+        import time
+
+        stale = path + "__staging"
+        os.makedirs(stale, exist_ok=True)
+        old = time.time() - 8 * 24 * 3600
+        os.utime(stale, (old, old))
+        assert vacuum_lake_table(spark, path, retention_hours=168) is True
+        assert not os.path.exists(stale)
+        # fresh leftovers survive the retention window
+        fresh = path + "__compact"
+        os.makedirs(fresh, exist_ok=True)
+        assert vacuum_lake_table(spark, path, retention_hours=168) is False
+        assert os.path.exists(fresh)
     else:  # pragma: no cover - delta-enabled environments
         assert optimize_lake_table(spark, path, ["r_name"]) is True
 
