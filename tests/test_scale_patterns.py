@@ -182,3 +182,34 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sampling_plans_are_scan_local(spark, sf_dir):
+    """Deterministic sampling must stay a scan-side filter: no
+    exchange before the (optional) final aggregate, and the doc_id
+    range predicate pushed into the parquet scan."""
+    plan = _plan(QUERIES["deterministic_sample_members"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]  # pure filter+project
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+
+    plan = _plan(QUERIES["shard_token_budgets"](spark, sf_dir))
+    # one shuffle: the 8-group aggregate; map-side partial agg first
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:3000]
+    assert "HashAggregate" in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """All three funnel stages ride ONE user_id exchange; the type
+    filter reaches the scan."""
+    plan = _plan(QUERIES["purchase_funnel"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan[:3000]
+    assert "In(event_type, [click,purchase,view])" in plan
+
+
+def test_minhash_verify_is_candidate_bounded(spark, sf_dir):
+    """The verify stage must re-shingle only candidate docs (a semi
+    join below word_shingles), and the plan must contain no cartesian
+    product anywhere."""
+    plan = _plan(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, plan[:3000]
