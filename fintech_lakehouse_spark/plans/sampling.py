@@ -84,6 +84,48 @@ def deterministic_sample_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "consistent_sample_join",
+    oracle=f"""
+    WITH sc AS (
+        SELECT c_custkey FROM customer
+        WHERE {sql_hash_bucket('c_custkey', 'cust')} < 3000
+    ),
+    so AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE {sql_hash_bucket('o_custkey', 'cust')} < 3000
+    )
+    SELECT (SELECT COUNT(*) FROM sc) AS n_sampled_customers,
+           (SELECT COUNT(*) FROM so) AS n_sampled_orders,
+           (SELECT COUNT(*) FROM so
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM sc)) AS n_orphan_orders
+    """,
+)
+def consistent_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table sampling consistency (functions/sampling.py's core
+    guarantee): sampling CUSTOMERS by c_custkey and ORDERS by o_custkey
+    with the same salt keeps every sampled order's customer in the
+    sample — n_orphan_orders is structurally zero. rand()-based
+    sampling cannot give this; it is what makes a 30% development
+    slice of a 100 TB lake referentially intact."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sc = deterministic_sample(customer, 0.3, "c_custkey", salt="cust").select(
+        "c_custkey"
+    )
+    so = deterministic_sample(orders, 0.3, "o_custkey", salt="cust").select(
+        "o_orderkey", "o_custkey"
+    )
+    orphans = so.join(
+        sc, so.o_custkey == sc.c_custkey, "left_anti"
+    )
+    return (
+        sc.agg(F.count(F.lit(1)).alias("n_sampled_customers"))
+        .crossJoin(so.agg(F.count(F.lit(1)).alias("n_sampled_orders")))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphan_orders")))
+    )
+
+
+@register(
     "train_test_split_counts",
     oracle=f"""
     SELECT split, lang, COUNT(*) AS n_docs
