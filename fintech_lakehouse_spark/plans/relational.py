@@ -462,3 +462,52 @@ def lineitem_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
     )
+
+
+@register(
+    "brand_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand,
+           substr(p.p_type, 1, 6)          AS type_prefix,
+           COUNT(DISTINCT l.l_suppkey)     AS n_suppliers,
+           COUNT(DISTINCT p.p_partkey)     AS n_parts
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 10
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, type_prefix
+    """,
+)
+def brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to the test lake (SURVEY §2.3/§2.4):
+    how many distinct suppliers serve each (brand, type-prefix) —
+    excluding deadbeat suppliers via an anti join. Part is the
+    broadcast side; the NOT IN compiles to a broadcast anti join on a
+    key-only projection (suppliers with negative balances), never a
+    per-row subquery. Multiple distinct aggregates plan through one
+    Expand."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    bad_suppliers = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        lineitem.join(bad_suppliers, "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(
+                part.select("p_partkey", "p_brand", "p_type")
+            ),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand", F.substring("p_type", 1, 6).alias("type_prefix")
+        )
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
