@@ -688,13 +688,17 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    ranked = counts.withColumn(
+    # Top-k FIRST (TakeOrderedAndProject — distributed), THEN rank the
+    # 100 survivors. Ranking before limiting would put the entire
+    # vocabulary through one global-window task; the total order (count
+    # desc, token) makes the two formulations identical.
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(100)
+    return top.withColumn(
         "vocab_rank",
         F.row_number().over(
             Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
         ),
     )
-    return ranked.orderBy("vocab_rank").limit(100)
 
 
 @register(
