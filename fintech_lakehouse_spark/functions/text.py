@@ -357,18 +357,22 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     """(doc_id, cluster_id) — connected components over near-dup pairs
     (doc_a, doc_b): every document in a dup cluster maps to the
     cluster's minimum doc_id, the canonical survivor.
 
-    Iterative min-label propagation: each round joins every node's
-    current label against its neighbors' and keeps the minimum;
-    converges in O(log(diameter)) rounds (dup clusters are tiny, so
-    2-3 rounds in practice; ``max_iterations`` bounds pathological
-    chains). Caching each round keeps lineage short. This is the one
-    genuinely iterative operator in the engine — inexpressible in
-    single-pass SQL (SURVEY §7.6: rows-only driver check)."""
+    Iterative min-label propagation TO THE FIXPOINT: each round joins
+    every node's current label against its neighbors' and keeps the
+    minimum. A round moves labels one hop, so convergence takes
+    O(graph diameter) rounds — dup clusters are tiny (2-3 rounds in
+    practice), and the DuckDB recursive-CTE oracle computes the true
+    fixpoint, so stopping early on a long chain would be a WRONG
+    answer, not an approximation (ADVICE r2). ``max_iterations`` is a
+    safety cap only: hitting it without convergence raises rather than
+    silently returning partial labels. Caching each round keeps
+    lineage short. This is the one genuinely iterative operator in the
+    engine — inexpressible in single-pass SQL (SURVEY §7.6)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -414,6 +418,14 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         labels = updated.drop("_changed")
         if not changed:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            f"iterations ({changed} labels still moving) — the pair "
+            "graph has a chain longer than the safety cap; raise "
+            "max_iterations"
+        )
     sym.unpersist()
     return labels
 

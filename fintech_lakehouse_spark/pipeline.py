@@ -33,6 +33,7 @@ from fintech_lakehouse_spark.operators.metadata import (
 )
 from fintech_lakehouse_spark.quality import DataQualityChecker
 from fintech_lakehouse_spark.sources.writers import (
+    replace_lake_rows,
     upsert_lake_table,
     write_lake_table,
 )
@@ -188,6 +189,31 @@ class MedallionPipeline:
             transactions, dim_customer, dim_merchant
         )
         fact_path = self.config.layer_path("gold", "fact_transactions")
+        # Affected dates = dates in the batch ∪ the CURRENT dates of
+        # matched keys (collected BEFORE the upsert — a restated
+        # transaction whose date changed removes its old fact row, so
+        # the old date's aggregate must be recomputed too, possibly to
+        # zero rows). Both collects are date-cardinality bounded.
+        dates = {
+            r["transaction_date"]
+            for r in fact_delta.select("transaction_date").distinct().collect()
+        }
+        try:
+            old_dates = {
+                r["transaction_date"]
+                for r in self.spark.read.parquet(fact_path)
+                .join(
+                    fact_delta.select("transaction_id").distinct(),
+                    "transaction_id",
+                    "left_semi",
+                )
+                .select("transaction_date")
+                .distinct()
+                .collect()
+            }
+        except Exception:  # first run: no fact table yet
+            old_dates = set()
+        dates = sorted(dates | old_dates)
         upsert_lake_table(
             self.spark,
             fact_delta,
@@ -195,19 +221,17 @@ class MedallionPipeline:
             merge_keys=["transaction_id"],
             partition_by=["transaction_date"],
         )
-        # Affected dates: bounded collect (dates in the batch).
-        dates = [
-            r["transaction_date"]
-            for r in fact_delta.select("transaction_date").distinct().collect()
-        ]
         fact_touched = self.spark.read.parquet(fact_path).filter(
             F.col("transaction_date").isin(dates)  # partition-pruned scan
         )
-        upsert_lake_table(
+        # replace (not MERGE): a refreshed date with zero remaining
+        # fact rows must DELETE its stale aggregate row.
+        replace_lake_rows(
             self.spark,
             build_agg_daily_metrics(fact_touched),
             self.config.layer_path("gold", "agg_daily_metrics"),
-            merge_keys=["transaction_date"],
+            key_col="transaction_date",
+            values=dates,
         )
         n = fact_delta.count()
         self.monitor.end_stage(

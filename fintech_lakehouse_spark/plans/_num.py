@@ -116,6 +116,19 @@ def sql_davg(colname: str, scale: int = 4) -> str:
     )
 
 
+def sql_isum(expr: str) -> str:
+    """Integer SUM for DuckDB oracles, forced back to BIGINT.
+
+    DuckDB types ``SUM(int)`` as HUGEINT, which ``duckdb.df()`` converts
+    to pandas float64 — while Spark's ``sum(int)`` arrives as int64. The
+    driver's value hash is dtype-sensitive, so ``5.0`` vs ``5`` is a
+    mismatch even though the values are equal (VERDICT r2 defect #1 —
+    both red rows and four latent ones). CAST back to BIGINT makes
+    ``.df()`` emit int64, matching Spark. Use for EVERY integer-typed
+    final column produced by SUM in an oracle."""
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
 def sql_davg_int(expr: str, scale: int = 4) -> str:
     f = 10 ** scale
     return (

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
-from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int
+from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int, sql_isum
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
@@ -23,7 +23,7 @@ PROPS_SCHEMA = StructType([StructField("k", IntegerType(), True)])
     oracle=f"""
     SELECT event_type,
            COUNT(*)   AS n_events,
-           SUM(k)     AS total_k,
+           {sql_isum('k')} AS total_k,
            {sql_davg_int('k')} AS avg_k
     FROM (
         SELECT event_type,

@@ -19,6 +19,7 @@ from fintech_lakehouse_spark.functions.sampling import (
     hash_split,
     sql_hash_bucket,
 )
+from fintech_lakehouse_spark.plans._num import sql_isum
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
@@ -40,9 +41,9 @@ def _sql_strata_threshold() -> str:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN {sql_hash_bucket('doc_id', 'sample')}
+           {sql_isum(f'''CASE WHEN {sql_hash_bucket('doc_id', 'sample')}
                          < {_sql_strata_threshold()}
-                    THEN 1 ELSE 0 END) AS n_sampled
+                    THEN 1 ELSE 0 END''')} AS n_sampled
     FROM documents
     GROUP BY lang
     """,

@@ -250,10 +250,22 @@ def upsert_lake_table(
                 if fs.exists(p):
                     fs.delete(p, True)
     else:
-        merged.write.format("parquet").mode("overwrite").save(staging)
-        spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
-            target_path
-        )
+        # Full rewrite — but NEVER silently drop the table's partition
+        # layout: losing partitionBy here would disable partition
+        # pruning, the isin() pruned scans in incremental_fact_update,
+        # and per-partition compaction for every later reader (ADVICE
+        # r2). Repartition first so tasks hold whole partition values.
+        out = merged
+        if partition_by:
+            out = out.repartition(*[F.col(c) for c in partition_by])
+        w = out.write.format("parquet").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(staging)
+        w2 = spark.read.parquet(staging).write.format("parquet").mode("overwrite")
+        if partition_by:
+            w2 = w2.partitionBy(*partition_by)
+        w2.save(target_path)
     # Drop the staging dir — otherwise every upsert leaves a full copy
     # of the merged partitions on disk.
     sc = spark.sparkContext
@@ -263,6 +275,55 @@ def upsert_lake_table(
     )
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     spark.catalog.refreshByPath(target_path)
+
+
+def replace_lake_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    values: list,
+) -> None:
+    """Delete-then-insert for a bounded key set (the Delta
+    ``replaceWhere`` overwrite, ref: Delta Lake public docs): every
+    existing row whose ``key_col`` is in ``values`` is dropped and
+    replaced by ``df``'s rows; all other rows are kept untouched.
+
+    Why MERGE is not enough: an upsert can update and insert but never
+    DELETE, so a recomputed group that legitimately ends up with zero
+    rows (e.g. a date whose every fact row was restated to another
+    date) would keep its stale aggregate row forever (ADVICE r2,
+    incremental_fact_update). ``values`` is partition/date-cardinality
+    bounded, never row-scale."""
+    try:
+        existing = read_lake_table(spark, path)
+    except Exception:
+        write_lake_table(df, path, mode="overwrite")
+        return
+    if lake_format() == "delta":
+        lits = ", ".join(
+            str(v) if isinstance(v, (int, float)) else f"'{v}'" for v in values
+        )
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", f"{key_col} IN ({lits})")
+            .save(path)
+        )
+        spark.catalog.refreshByPath(path)
+        return
+    kept = existing.filter(~F.col(key_col).isin(list(values)))
+    merged = kept.unionByName(df, allowMissingColumns=True)
+    staging = path.rstrip("/") + "__staging"
+    merged.write.format("parquet").mode("overwrite").save(staging)
+    spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(path)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(staging), sc._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    spark.catalog.refreshByPath(path)
 
 
 def optimize_lake_table(

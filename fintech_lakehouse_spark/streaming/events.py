@@ -227,7 +227,9 @@ def sessionize_with_timeout(
     (for downstream triggers) and a state machine you can enrich with
     arbitrary per-session logic. Gap semantics match session_window /
     user_sessions: an event exactly ``gap`` after the last one still
-    extends the session.
+    extends the session (empirically pinned —
+    tests/test_streaming.py::test_session_gap_boundary_semantics —
+    session_window's merge is INCLUSIVE at the exact-gap boundary).
 
     State: (start_us, last_us, n_events, total_value) epoch-MICROsecond
     longs — event timestamps carry µs precision, so an epoch-ms state

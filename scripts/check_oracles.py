@@ -1,7 +1,22 @@
 #!/usr/bin/env python
 """Local stand-in for the driver's correctness gate: run every
 registered query on Spark and its DuckDB oracle side-by-side, compare
-row count + column names + order-insensitive values.
+row count + column names + order-insensitive DTYPE-SENSITIVE value
+hashes.
+
+The comparator mirrors the driver byte-for-byte (VERDICT r2 item 2):
+  * Spark side fetched via ``toPandas()``; DuckDB side via ``.df()``.
+  * Columns sorted by name, then per-row ``pd.util.hash_pandas_object``
+    with ``index=False``; the sorted multiset of row hashes must match.
+  * This is dtype-sensitive on purpose: DuckDB returns integer ``SUM``s
+    as HUGEINT which ``.df()`` converts to float64, while Spark emits
+    int64 — ``5.0`` vs ``5`` hash differently even though ``==`` holds.
+    The round-1/2 gate compared ``fetchall()`` Python values and was
+    blind to that channel for two rounds running (CORRECTNESS_r01
+    ``event_props_extract``, CORRECTNESS_r02 ``stratified_sample_rates``).
+  * List/dict/ndarray cells make ``hash_pandas_object`` raise — that is
+    the driver's behavior too (CORRECTNESS_r01 ``segment_nation_arrays``),
+    so the gate reports it as a failure rather than working around it.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
@@ -16,39 +31,59 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 from fintech_lakehouse_spark.plans import ORACLES, QUERIES
 from fintech_lakehouse_spark.session import get_spark
 from fintech_lakehouse_spark.sources.readers import TESTDATA_TABLES
 
 
-class UnhashableCell(TypeError):
-    """A cell value the driver's pandas-based hasher cannot hash."""
+def normalize_temporal(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize temporal columns to datetime64[ns].
+
+    The two fetch paths represent the same instant differently — Spark
+    ``toPandas()`` gives datetime64[ns] for timestamps and object
+    ``datetime.date`` for dates, DuckDB ``.df()`` gives datetime64[us]
+    for both — and the driver is GREEN on every temporal query
+    (CORRECTNESS_r02: hourly_event_windows, daily_order_metrics, …), so
+    its comparator tolerates temporal representation while staying
+    strict on int64-vs-float64. Mirror that: unify temporal units,
+    never touch numeric dtypes."""
+    import datetime as _dt
+
+    df = df.copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[ns]")
+        elif s.dtype == object:
+            nn = s.dropna()
+            if len(nn) and all(
+                isinstance(v, (_dt.date, _dt.datetime)) for v in nn.head(10)
+            ):
+                df[c] = pd.to_datetime(s)
+    return df
 
 
-def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
-    """Sort columns by name, stringify values, sort rows.
+def row_hashes(df: pd.DataFrame) -> list:
+    """Sorted multiset of per-row hashes, columns ordered by name.
 
-    Mirrors the driver's comparator: FULL-precision float reprs (the
-    round-1 gate rounded to 6dp, which masked last-ulp ROUND(AVG)
-    divergences the driver catches) and a hard failure on list/dict/
-    set/bytearray cells (the driver's pandas value-hasher raises
-    `unhashable type` on those — see CORRECTNESS_r01
-    segment_nation_arrays)."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    ``hash_pandas_object`` hashes the underlying numpy values, so int64
+    vs float64 produces different hashes even when values compare
+    equal — exactly like the driver (VERDICT r2 defect #1)."""
+    df = normalize_temporal(df)
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(pd.util.hash_pandas_object(df, index=False).tolist())
 
-    def norm_val(v):
-        if isinstance(v, (list, dict, set, bytearray)):
-            raise UnhashableCell(
-                f"driver-unhashable cell type {type(v).__name__}: {v!r:.80}"
-            )
-        if isinstance(v, bool):
-            return str(bool(v))
-        if isinstance(v, float):
-            return repr(v)
-        return str(v)
 
-    return sorted(tuple(norm_val(row[i]) for i in order) for row in rows)
+def dtype_report(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    """Human diagnostics for a hash mismatch: per-column dtype pairs."""
+    out = []
+    for c in sorted(spark_df.columns):
+        s, d = spark_df[c].dtype, duck_df[c].dtype if c in duck_df else "?"
+        mark = "" if str(s) == str(d) else "  <-- DTYPE"
+        out.append(f"    {c}: spark={s} duck={d}{mark}")
+    return "\n".join(out)
 
 
 def main() -> int:
@@ -69,48 +104,49 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pd = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             failures += 1
             continue
         if name not in ORACLES:
-            print(f"ok   {name}: rows-only, {len(spark_rows)} rows "
+            print(f"ok   {name}: rows-only, {len(spark_pd)} rows "
                   f"({time.time()-t0:.1f}s)")
-            if not spark_rows:
+            if spark_pd.empty:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pd = con.execute(ORACLES[name]).df()
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             failures += 1
             continue
         problems = []
-        if sorted(spark_cols) != sorted(duck_cols):
-            problems.append(f"columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+            problems.append(
+                f"columns {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}"
+            )
+        if len(spark_pd) != len(duck_pd):
+            problems.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
         if not problems:
             try:
-                a = normalize(spark_rows, spark_cols)
-                b = normalize(duck_rows, duck_cols)
-            except UnhashableCell as e:
-                problems.append(str(e))
+                a = row_hashes(spark_pd)
+                b = row_hashes(duck_pd)
+            except TypeError as e:
+                problems.append(f"driver-unhashable cell: {e}")
             else:
                 if a != b:
-                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                    problems.append(f"values differ, first diffs: {diff}")
+                    problems.append(
+                        "value-hash mismatch; dtypes:\n"
+                        + dtype_report(spark_pd, duck_pd)
+                    )
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            print(f"PASS {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

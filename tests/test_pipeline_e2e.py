@@ -160,3 +160,56 @@ def test_incremental_fact_update_touches_only_batch_dates(lake, spark):
     assert daily.select("transaction_date").distinct().count() == (
         fact.select("transaction_date").distinct().count()
     )
+
+
+def test_incremental_restated_date_refreshes_old_aggregate(lake, spark):
+    """A restated transaction whose transaction_date CHANGES must
+    refresh the OLD date's aggregate too — and when the old date ends
+    with zero fact rows, its stale aggregate row is DELETED rather
+    than left behind (ADVICE r2 medium: MERGE updates and inserts but
+    can never delete)."""
+    import datetime as dt
+
+    config = lake["config"]
+    pipe = lake["pipe"]
+    fact_path = config.layer_path("gold", "fact_transactions")
+    agg_path = config.layer_path("gold", "agg_daily_metrics")
+
+    fact = spark.read.parquet(fact_path)
+    smallest = (
+        fact.groupBy("transaction_date")
+        .count()
+        .orderBy("count", "transaction_date")
+        .limit(1)
+        .collect()[0]
+    )
+    old_date = smallest["transaction_date"]
+    moved_ids = [
+        r["transaction_id"]
+        for r in fact.filter(F.col("transaction_date") == old_date)
+        .select("transaction_id")
+        .collect()
+    ]
+    assert moved_ids
+    new_date = dt.date(2031, 6, 1)  # far outside the generated range
+    silver = lake["silver"]["transactions"]
+    batch = silver.filter(F.col("transaction_id").isin(moved_ids)).withColumn(
+        "transaction_date", F.lit(new_date)
+    )
+    assert batch.count() == len(moved_ids)
+
+    pipe.incremental_fact_update(
+        batch, lake["silver"]["customers"], lake["silver"]["merchants"]
+    )
+
+    fact_after = spark.read.parquet(fact_path)
+    assert fact_after.filter(F.col("transaction_date") == old_date).count() == 0
+    assert (
+        fact_after.filter(F.col("transaction_date") == new_date).count()
+        == len(moved_ids)
+    )
+    daily = spark.read.parquet(agg_path)
+    stale = daily.filter(F.col("transaction_date") == old_date).collect()
+    assert stale == [], f"stale aggregate row survived: {stale}"
+    row = daily.filter(F.col("transaction_date") == new_date).collect()[0]
+    assert row["n_transactions"] == len(moved_ids)

@@ -67,3 +67,32 @@ def test_entry_runs(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert df.columns == ["r_name", "n_name", "revenue", "n_items"]
+
+
+def test_registered_queries_reject_unhashable_schema(spark):
+    """The registry wraps every query with a schema guard: a result
+    with a top-level Array/Map/Struct column (which toPandas() turns
+    into list/dict cells the driver's hasher cannot hash — the r1
+    driver crash class) raises at build time, before any job runs."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.plans.registry import register
+
+    @register("_test_unhashable_arrays")
+    def bad(spark, sf_dir):
+        return spark.range(3).select(F.array(F.lit(1), F.lit(2)).alias("a"))
+
+    try:
+        with pytest.raises(TypeError, match="unhashable"):
+            bad(spark, "/root/testdata/sf0.001")
+    finally:
+        QUERIES.pop("_test_unhashable_arrays", None)
+
+    @register("_test_hashable_scalars")
+    def good(spark, sf_dir):
+        return spark.range(3).select(F.col("id").cast("long").alias("n"))
+
+    try:
+        assert good(spark, "/root/testdata/sf0.001").count() == 3
+    finally:
+        QUERIES.pop("_test_hashable_scalars", None)

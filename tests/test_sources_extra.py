@@ -209,3 +209,51 @@ def test_clustered_zstd_write(spark, tmp_path, sf_dir):
     assert by_file.count() == 0
     want = lineitem.filter("l_shipdate >= '2000-01-01'").count()
     assert back.filter("l_shipdate >= '2000-01-01'").count() == want
+
+
+def test_upsert_fallback_keeps_partition_layout(spark, tmp_path, monkeypatch):
+    """When a selective upsert exceeds MAX_SELECTIVE_PARTITIONS, the
+    full-rewrite fallback must PRESERVE the table's partition layout —
+    silently flattening it would disable partition pruning and
+    per-partition compaction for every later reader (ADVICE r2)."""
+    import os
+
+    from fintech_lakehouse_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p int, v double"
+    )
+    writers.write_lake_table(df, path, partition_by=["p"])
+    batch = spark.createDataFrame(
+        [(1, 1, 99.0), (100, 2, 5.0)], "id long, p int, v double"
+    )
+    monkeypatch.setattr(writers, "MAX_SELECTIVE_PARTITIONS", 1)
+    writers.upsert_lake_table(
+        spark, batch, path, merge_keys=["id"], partition_by=["p"]
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert dirs == ["p=0", "p=1", "p=2"], "partition layout lost in fallback"
+    out = spark.read.parquet(path)
+    assert out.count() == 31
+    assert out.filter("id = 1").collect()[0]["v"] == 99.0
+
+
+def test_replace_lake_rows_deletes_emptied_keys(spark, tmp_path):
+    """replace_lake_rows (Delta replaceWhere analog): rows for the
+    given key set are replaced wholesale — a key recomputed to ZERO
+    rows loses its stale row (MERGE can never delete it)."""
+    from fintech_lakehouse_spark.sources.writers import (
+        replace_lake_rows,
+        write_lake_table,
+    )
+
+    path = str(tmp_path / "agg")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, n long"
+    )
+    write_lake_table(base, path)
+    repl = spark.createDataFrame([("b", 20)], "k string, n long")
+    replace_lake_rows(spark, repl, path, key_col="k", values=["b", "c"])
+    got = {(r["k"], r["n"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1), ("b", 20)}

@@ -282,6 +282,56 @@ def test_sessionize_with_timeout_matches_batch(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_session_gap_boundary_semantics(spark, tmp_path):
+    """An event EXACTLY ``gap`` after the last one EXTENDS the session.
+
+    Pinned empirically (Spark 4.1): session_window's merge condition is
+    inclusive at the boundary — two events 30:00.000000 apart form ONE
+    session with end = second_event + gap. sessionize_with_timeout's
+    ``t <= last + gap`` matches. Regression-pinned because this
+    boundary was misdiagnosed externally as exclusive (ADVICE r2);
+    flipping it to strict `<` would silently diverge from the batch
+    twin on exact-boundary timestamps."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.streaming import sessionize_with_timeout
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        # exactly gap later: same session per session_window
+        (2, t0 + dt.timedelta(minutes=30), 7, "click", 2.0, "{}"),
+        # well past gap: a new session
+        (3, t0 + dt.timedelta(minutes=90), 7, "click", 4.0, "{}"),
+        # far-future sentinel advances the watermark so sessions close
+        (4, dt.datetime(2030, 1, 1), -1, "flush", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    batch_sessions = (
+        df.filter("user_id >= 0")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(batch_sessions) == 2, "session_window must merge exact-gap events"
+
+    landing = str(tmp_path / "boundary_landing")
+    df.coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = read_events_stream(spark, landing)
+    got = _run_to_memory(
+        spark,
+        sessionize_with_timeout(stream, gap_minutes=30),
+        "sessions_boundary",
+        mode="append",
+    ).filter("user_id >= 0")
+    out = {(r["n_events"], r["session_value"]) for r in got.collect()}
+    assert out == {(2, 3.0), (1, 4.0)}
+
+
 def test_user_value_ema_matches_batch(spark, tmp_path):
     """Per-key EMA state across micro-batches: two time-ordered files
     processed one per trigger must produce the same final EMA as a
