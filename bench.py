@@ -46,6 +46,8 @@ HEADLINE = [
     "doc_quality_scores",
     "knn_bruteforce_cosine",
     "lsh_bucketed_neighbors",
+    "test_set_decontamination",
+    "sequence_pack_manifest",
 ]
 
 

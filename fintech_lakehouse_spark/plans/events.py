@@ -113,9 +113,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the semantics via the classic gaps-and-islands rewrite.
 
     Session identity: (user_id, session start). Events exactly 30min
-    apart continue a session in Spark's session_window (gap is
-    exclusive: next event < start+gap extends) — LAG > INTERVAL '30m'
-    (strictly greater) matches that."""
+    apart continue a session in Spark's session_window (the merge is
+    INCLUSIVE at the exact-gap boundary — pinned empirically in
+    tests/test_streaming.py::test_session_gap_boundary_semantics) —
+    LAG > INTERVAL '30m' (strictly greater starts a new session)
+    matches that."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(

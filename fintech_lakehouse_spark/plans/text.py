@@ -23,6 +23,7 @@ from fintech_lakehouse_spark.functions.text import (
     verified_jaccard_pairs,
     word_shingles,
 )
+from fintech_lakehouse_spark.functions.sampling import hash_bucket, sql_hash_bucket
 from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int, sql_isum
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
@@ -853,4 +854,152 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         rolling_md5_chain("text").alias("rolling_md5"),
         md5_hex("text").alias("md5_hash"),
+    )
+
+
+@register(
+    "test_set_decontamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest(list_distinct(
+                 [array_to_string(string_split(text, ' ')[i:i+7], ' ')
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)]
+               )) AS gram
+        FROM documents
+    ),
+    hot AS (
+        SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 100
+    )
+    SELECT t.doc_id AS test_doc_id, c.doc_id AS corpus_doc_id,
+           COUNT(*) AS n_shared_grams
+    FROM sh t JOIN sh c ON t.gram = c.gram
+    WHERE t.b >= 9000 AND c.b < 9000
+      AND t.gram NOT IN (SELECT gram FROM hot)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection (SURVEY §7.6 extension): for
+    every held-out eval document (hash-split bucket >= 9000, the same
+    leakage-safe split as train_test_split_counts), find corpus
+    documents (train+val, bucket < 9000) sharing >= 3 distinct 8-gram
+    token windows — the n-gram-overlap decontamination check every
+    pretraining run executes before trusting its eval numbers.
+
+    Shape: inverted-index equi-join on the 8-gram (linear in total
+    grams, never doc-pairs), with a hot-gram drop first — grams
+    appearing in > 100 documents (boilerplate) are excluded before the
+    join, which is both standard decontamination practice and the skew
+    bound that keeps the join's per-key fan-out constant at 100 TB.
+    The eval side is ~10% of the corpus; the pair aggregate is bounded
+    by true overlaps, not the cross product."""
+    documents = load_table(spark, sf_dir, "documents")
+    grams = (
+        word_shingles(documents, n=8)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .withColumn("b", hash_bucket("doc_id", "split"))
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 100)
+        .select("gram")
+    )
+    clean = grams.join(hot, "gram", "left_anti")
+    test = clean.filter(F.col("b") >= 9000).select(
+        F.col("doc_id").alias("test_doc_id"), "gram"
+    )
+    corpus = clean.filter(F.col("b") < 9000).select(
+        F.col("doc_id").alias("corpus_doc_id"), "gram"
+    )
+    return (
+        test.join(corpus, "gram")
+        .groupBy("test_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= 3)
+    )
+
+
+PACK_BUDGET_TOKENS = 1024
+N_PACK_SHARDS = 8
+
+
+@register(
+    "sequence_pack_manifest",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   % {N_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) AS BIGINT) // {PACK_BUDGET_TOKENS} AS pack_id
+        FROM sized
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           {sql_isum('n_tokens')} AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, pack_id
+    """,
+)
+def sequence_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing manifest (SURVEY §7.6 extension): assign
+    documents to fixed token-budget packs — the contiguous-cumsum
+    packing a tokenized-shard writer runs so every training sequence
+    file lands near the context-window budget. Docs are ordered by
+    doc_id within a hash shard; a doc's pack is
+    floor(exclusive-cumsum / budget), i.e. a new pack starts once the
+    running total crosses a budget multiple (a pack may overrun by at
+    most its final doc — the standard overflow-tolerant variant, and
+    the one expressible as a single window cumsum; bin-perfect packing
+    is NP-hard and non-deterministic under parallelism).
+
+    Scale shape: the only total order is WITHIN a shard (window
+    partitioned by shard), and shard count is a parameter — at 100 TB
+    you run O(output-files) shards so each window partition holds one
+    writer's worth of docs; there is no global window anywhere. The
+    integer cumsum DIV is engine-exact (no float rounding at pack
+    boundaries)."""
+    documents = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        F.concat_ws("|", F.lit("shard"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    sized = documents.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % N_PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.expr(
+            f"CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"AS BIGINT) DIV {PACK_BUDGET_TOKENS}"
+        ),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

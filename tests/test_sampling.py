@@ -78,3 +78,71 @@ def test_hash_split_partition_and_leakage(spark):
     train = {d for d, s in m1.items() if s == "train"}
     overlap = len(sampled & train) / len(sampled)
     assert 0.7 < overlap < 0.9  # ≈ P(train), not 1.0 or 0.5-correlated
+
+
+def test_sequence_pack_manifest_invariants(spark, sf_dir):
+    """Pack manifest invariants: per shard, pack ids are contiguous
+    from 0; every pack except possibly the last held at most one
+    budget-crossing doc (exclusive-cumsum property: total_tokens minus
+    the final doc's tokens stays under the budget ceiling for that
+    pack); totals reconcile with the corpus."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.text import PACK_BUDGET_TOKENS
+
+    manifest = QUERIES["sequence_pack_manifest"](spark, sf_dir)
+    rows = manifest.collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, packs in by_shard.items():
+        ids = sorted(p["pack_id"] for p in packs)
+        assert ids == list(range(len(ids))), f"shard {shard} pack ids not contiguous"
+    # every doc is in exactly one pack; token totals reconcile
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    total_docs = docs.count()
+    total_tokens = docs.agg(F.sum("n")).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    assert sum(r["total_tokens"] for r in rows) == total_tokens
+    # non-final packs crossed the budget with their last doc at most:
+    # exclusive cumsum < (pack_id+1)*budget held when the last doc was
+    # admitted, so total - (tokens of last doc) < budget per pack.
+    # Without per-doc data here, check the aggregate consequence: mean
+    # pack total is near the budget for non-final packs.
+    nonfinal = [
+        p for shard, packs in by_shard.items()
+        for p in packs
+        if p["pack_id"] < max(q["pack_id"] for q in packs)
+    ]
+    if nonfinal:
+        for p in nonfinal:
+            assert p["total_tokens"] >= PACK_BUDGET_TOKENS - 100  # max doc len < 100
+            assert p["total_tokens"] < PACK_BUDGET_TOKENS + 100
+
+
+def test_decontamination_pairs_are_cross_split(spark, sf_dir):
+    """Every reported contamination pair is (test-side, corpus-side)
+    under the SAME hash split used by train_test_split_counts, and the
+    reported overlap meets the >= 3 distinct-8-gram threshold."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.functions.sampling import hash_bucket
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    pairs = QUERIES["test_set_decontamination"](spark, sf_dir).collect()
+    assert pairs  # non-vacuous at every sf (probed in plans/text.py)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", hash_bucket("doc_id", "split").alias("b")
+    )
+    buckets = {r["doc_id"]: r["b"] for r in docs.collect()}
+    for p in pairs:
+        assert buckets[p["test_doc_id"]] >= 9000
+        assert buckets[p["corpus_doc_id"]] < 9000
+        assert p["n_shared_grams"] >= 3
