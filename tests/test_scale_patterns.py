@@ -36,6 +36,14 @@ def _plan(df) -> str:
         ("priority_returned_orders", ["LeftSemi"]),
         ("customers_without_orders", ["LeftAnti"]),
         ("supplier_performance", ["BroadcastHashJoin"]),
+        # Q18-shape: the HAVING-pruned aggregate broadcasts to both
+        # dimension joins; the only fact shuffle is the groupBy.
+        ("large_order_details", ["BroadcastHashJoin"]),
+        # Q14-shape: part is a broadcast dim — no shuffle on lineitem.
+        ("promo_revenue_monthly", ["BroadcastHashJoin"]),
+        # Q22-shape: the 1-row global aggregate broadcasts (no global
+        # window), the order-count join shuffles on the key.
+        ("sales_opportunity_segments", ["BroadcastNestedLoopJoin"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
