@@ -2,6 +2,7 @@ from fintech_lakehouse_spark.streaming.events import (
     dedup_events_stream,
     foreach_batch_upsert,
     purchase_click_stream_join,
+    purchase_click_stream_join_outer,
     read_events_stream,
     sessionize_stream,
     sessionize_with_timeout,
@@ -15,6 +16,7 @@ __all__ = [
     "dedup_events_stream",
     "foreach_batch_upsert",
     "purchase_click_stream_join",
+    "purchase_click_stream_join_outer",
     "read_events_stream",
     "sessionize_stream",
     "sessionize_with_timeout",

@@ -154,6 +154,46 @@ def purchase_click_stream_join(
     ).select("purchase_id", "click_id", "p_ts", "c_ts", "c_value")
 
 
+def purchase_click_stream_join_outer(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (SURVEY §2.12): like
+    :func:`purchase_click_stream_join` but a purchase with NO matching
+    prior click still emits — with null click columns — once the
+    watermark passes its join window, i.e. when the engine can PROVE
+    no late click can ever match. That proof is why outer stream-stream
+    joins demand watermarks on both sides plus a two-sided time-range
+    condition: without an upper bound on click lateness the null row
+    could never be finalized. Conversion funnels need exactly this
+    (the un-attributed purchase IS the signal)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts", "c_value")
+
+
 STATEFUL_TOTALS_SCHEMA = (
     "user_id long, events_seen long, total_value double, batch_events long"
 )

@@ -459,3 +459,81 @@ def test_user_funnel_state_matches_batch(spark, tmp_path):
         expected[user_id] = 3 if p is not None else 2 if c is not None else 1 if v is not None else 0
     assert got_map == expected
     assert max(expected.values()) >= 2  # the fixture actually converts
+
+
+def test_stream_stream_outer_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched pairs equal the
+    batch interval join AND purchases with no prior click emit a
+    null-click row once the watermark proves no late match can arrive.
+
+    Outer-null finalization needs watermark ADVANCES ACROSS BATCHES
+    (the watermark used in batch N is computed from batch N-1), so the
+    landing dir is written as several files consumed one per trigger,
+    ending with two far-future sentinel files that push the watermark
+    past every real purchase's join window."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.streaming import (
+        purchase_click_stream_join_outer,
+        read_events_stream,
+    )
+
+    landing = tmp_path / "outer_landing"
+    landing.mkdir()
+    base = load_table(spark, "/root/testdata/sf0.001", "events").limit(300)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+        str(landing / "f0")
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    for i, sent_ts in enumerate(
+        [dt.datetime(2030, 1, 1), dt.datetime(2030, 1, 2)], start=1
+    ):
+        sent = spark.createDataFrame(
+            [
+                (9_000_000 + i, sent_ts, -1, "purchase", 0.0, "{}"),
+                (9_100_000 + i, sent_ts, -1, "click", 0.0, "{}"),
+            ],
+            schema=schema,
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(str(landing / f"f{i}"))
+    # flatten: the file source reads a directory of parquet files
+    import glob
+    import shutil
+
+    for sub in sorted(landing.iterdir()):
+        if sub.is_dir():
+            for j, f in enumerate(glob.glob(str(sub / "*.parquet"))):
+                shutil.move(f, str(landing / f"{sub.name}_{j}.parquet"))
+            shutil.rmtree(sub)
+
+    stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        purchase_click_stream_join_outer(stream),
+        "ss_outer_join",
+        mode="append",
+    ).filter("purchase_id < 9000000")
+
+    events = base
+    p = events.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS pu", "ts AS p_ts"
+    )
+    c = events.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS c_ts"
+    )
+    expected = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    exp_pairs = {(r["purchase_id"], r["click_id"]) for r in expected.collect()}
+    assert got_pairs == exp_pairs
+    assert any(cid is None for _, cid in exp_pairs), "need unmatched purchases"
+    assert len(got_pairs) > 0
