@@ -221,3 +221,56 @@ def test_minhash_verify_is_candidate_bounded(spark, sf_dir):
     plan = _plan(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, plan[:3000]
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime Bloom-filter semi-join reduction (the 100 TB shuffle
+    saver): with a selective dimension filter, Spark injects a
+    bloom_filter_agg on the creation side and a might_contain filter
+    on the fact scan, pruning fact rows BEFORE the join shuffle.
+
+    The defaults gate the rule on a >= 10 GB application-side scan —
+    i.e. it self-activates in exactly the regime this engine targets
+    and stays out of the way at test SF — so the test drops that
+    threshold to 0 to pin plan shape + result parity. The session conf
+    (runtime.bloomFilter.enabled) is Spark's, not ours: the assertion
+    protects against a future session.py change silently disabling
+    it."""
+    from fintech_lakehouse_spark.session import get_spark
+
+    bspark = get_spark(
+        "bloom-pattern",
+        master="local[4]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    lineitem = load_table(bspark, sf_dir, "lineitem")
+    orders = load_table(bspark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
+    # result parity with the plain (broadcast-allowed) join
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
