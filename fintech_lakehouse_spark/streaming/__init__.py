@@ -9,6 +9,7 @@ from fintech_lakehouse_spark.streaming.events import (
     stateful_user_totals,
     user_funnel_state,
     user_value_ema,
+    user_value_ema_tws,
     windowed_event_counts,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "stateful_user_totals",
     "user_funnel_state",
     "user_value_ema",
+    "user_value_ema_tws",
     "windowed_event_counts",
 ]

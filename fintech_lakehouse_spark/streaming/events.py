@@ -407,6 +407,87 @@ def user_value_ema(
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol (the driver-side schema worker dies with ImportError
+    otherwise). protobuf is absent from this container and cannot be
+    installed offline — same env-gate category as delta-spark
+    (ROUND_NOTES r3)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_value_ema_tws(
+    events: DataFrame, alpha: float = 0.3, spike_factor: float = 3.0
+) -> DataFrame:
+    """:func:`user_value_ema` re-expressed on transformWithStateInPandas
+    (Spark 4's current-generation arbitrary-state API, SURVEY §2.12):
+    the same per-key online EMA model, but state lives in a named
+    ValueState handle instead of a single opaque tuple — the API shape
+    that supports multiple typed state variables, TTL, and timers per
+    key. Semantically identical to the classic operator (test asserts
+    equivalence when the API's protobuf dependency is present; see
+    :func:`tws_available`) so either API can serve the pipeline; on
+    clusters with protobuf new code should prefer this one,
+    applyInPandasWithState is the legacy path."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires protobuf, which is not "
+            "installed in this environment — use user_value_ema "
+            "(applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ema", _EMA_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            user_id = key[0]
+            batches = [pdf for pdf in rows if len(pdf)]
+            if not batches:
+                return
+            frame = pd.concat(batches).sort_values("ts")
+            if self._state.exists():
+                n, ema, spikes = self._state.get()
+            else:
+                n, ema, spikes = 0, None, 0
+            for v in frame["value"].fillna(0.0).to_list():
+                v = float(v)
+                if ema is None:
+                    ema = v
+                else:
+                    if ema > 0 and v > spike_factor * ema:
+                        spikes += 1
+                    ema = alpha * v + (1 - alpha) * ema
+                n += 1
+            self._state.update((n, float(ema), spikes))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "ema_value": [round(float(ema), 6)],
+                    "n_spikes": [spikes],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EmaProcessor(),
+        outputStructType=EMA_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 FUNNEL_SCHEMA = (
     "user_id long, funnel_stage int, first_view timestamp, "
     "first_click timestamp, first_purchase timestamp"

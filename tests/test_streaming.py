@@ -537,3 +537,84 @@ def test_stream_stream_outer_join_matches_batch(spark, tmp_path):
     assert got_pairs == exp_pairs
     assert any(cid is None for _, cid in exp_pairs), "need unmatched purchases"
     assert len(got_pairs) > 0
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "fintech_lakehouse_spark.streaming.events", fromlist=["tws_available"]
+    ).tws_available(),
+    reason="transformWithStateInPandas needs protobuf (absent offline)",
+)
+def test_user_value_ema_tws_matches_classic(spark, tmp_path):
+    """transformWithStateInPandas EMA (Spark 4 arbitrary-state API)
+    must produce the same final per-user state as the classic
+    applyInPandasWithState operator over the same multi-batch input —
+    the two APIs are interchangeable implementations of one
+    operator contract. Skipped when the API's protobuf dependency is
+    missing (this container); the operator raises a documented error
+    there."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from fintech_lakehouse_spark.streaming import (
+        user_value_ema,
+        user_value_ema_tws,
+    )
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .limit(400)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+    )
+    pdf = events.toPandas()
+    cut = pdf["ts"].median()
+    landing = tmp_path / "tws_landing"
+    landing.mkdir()
+    early, late = pdf[pdf["ts"] <= cut], pdf[pdf["ts"] > cut]
+    f0, f1 = str(landing / "part-000.parquet"), str(landing / "part-001.parquet")
+    early.to_parquet(f0, index=False, coerce_timestamps="us")
+    late.to_parquet(f1, index=False, coerce_timestamps="us")
+    now = 1_700_000_000
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 100, now + 100))
+
+    def final_states(op, name):
+        stream = read_events_stream(spark, str(landing), max_files_per_trigger=1)
+        got = _run_to_memory(spark, op(stream, alpha=0.3), name, mode="append")
+        final = (
+            got.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+                ),
+            )
+            .filter("_rn = 1")
+            .select("user_id", "n_events", "ema_value", "n_spikes")
+        )
+        return {
+            r["user_id"]: (r["n_events"], r["ema_value"], r["n_spikes"])
+            for r in final.collect()
+        }
+
+    classic = final_states(user_value_ema, "ema_classic_cmp")
+    tws = final_states(user_value_ema_tws, "ema_tws_cmp")
+    assert tws == classic
+    assert len(tws) > 0
+
+
+def test_user_value_ema_tws_gated_without_protobuf(spark):
+    """When protobuf is absent the TWS operator fails FAST with a
+    clear message instead of crashing the streaming query mid-run."""
+    from fintech_lakehouse_spark.streaming.events import tws_available
+    from fintech_lakehouse_spark.streaming import user_value_ema_tws
+
+    if tws_available():
+        pytest.skip("protobuf present - gate inactive")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet("/root/testdata/sf0.001")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        user_value_ema_tws(stream)
