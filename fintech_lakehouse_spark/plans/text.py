@@ -1003,3 +1003,43 @@ def sequence_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register("approx_token_heavy_hitters")
+def approx_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-20 tokens
+    (SURVEY §7.6 extension; rows-only — the sketch's hash family is
+    not SQL-replicable, so the exact/approx agreement is asserted in
+    tests/test_functions.py instead of a DuckDB twin).
+
+    Shape: ONE distributed sketch aggregate over the exploded tokens
+    (mergeable partials, ~100 KB to the driver) + the exact top-k for
+    reference; the estimate column demonstrates the production path a
+    100 TB corpus uses when the full token shuffle is too expensive to
+    keep online. Deterministic: fixed seed, exact tie-broken ranking.
+    Guarantee: exact <= estimate <= exact + eps*N (one-sided)."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        build_count_min_sketch,
+        query_count_min_sketch,
+    )
+
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("token")
+    )
+    sketch = build_count_min_sketch(toks, "token", eps=0.001, seed=42)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+        .collect()
+    )
+    est = query_count_min_sketch(spark, sketch, [r["token"] for r in top])
+    return spark.createDataFrame(
+        [
+            (r["token"], r["exact_count"], est[r["token"]])
+            for r in top
+        ],
+        "token string, exact_count long, cms_estimate long",
+    )

@@ -289,3 +289,49 @@ def test_split_sentences_udtf(spark, sf_dir):
     for doc_id, nos in by_doc.items():
         assert sorted(nos) == list(range(len(nos)))
         assert len(nos) == -(-token_counts[doc_id] // 12)  # ceil
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS one-sided guarantee on real corpus tokens: for every
+    queried token, exact <= estimate <= exact + eps * N; rebuilds with
+    the same seed are bit-deterministic."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.functions.sketches import (
+        build_count_min_sketch,
+        query_count_min_sketch,
+    )
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("token")
+    )
+    eps = 0.001
+    n_total = toks.count()
+    exact = dict(
+        toks.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), "token")
+        .limit(30)
+        .collect()
+    )
+    sk1 = build_count_min_sketch(toks, "token", eps=eps, seed=42)
+    sk2 = build_count_min_sketch(toks, "token", eps=eps, seed=42)
+    assert sk1 == sk2  # deterministic build
+    est = query_count_min_sketch(spark, sk1, list(exact))
+    for token, true_count in exact.items():
+        assert est[token] >= true_count, (token, est[token], true_count)
+        assert est[token] <= true_count + eps * n_total, (
+            token, est[token], true_count, n_total,
+        )
+
+
+def test_approx_token_heavy_hitters_query(spark, sf_dir):
+    """Registry query: 20 rows, estimates bracket exact counts."""
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    rows = QUERIES["approx_token_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"]
