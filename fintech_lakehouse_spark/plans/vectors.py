@@ -23,6 +23,7 @@ from fintech_lakehouse_spark.functions.vectors import (
     lsh_signature_pandas,
     with_norm,
 )
+from fintech_lakehouse_spark.plans._num import davg_int, sql_davg_int
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
@@ -205,3 +206,46 @@ def ivf_approx_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         assigned.filter(F.col("vec_id") >= 10), centroids, queries, k=5, n_probes=2
     ).select("query_id", "vec_id", F.round("cos", 4).alias("cosine_sim"))
+
+
+@register(
+    "label_text_profile",
+    oracle=f"""
+    SELECT e.label,
+           COUNT(*) AS n_docs,
+           {sql_davg_int("len(string_split(d.text, ' '))")} AS avg_tokens,
+           ROUND(AVG(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS avg_norm,
+           COUNT(DISTINCT d.lang) AS n_langs
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal profile (SURVEY §7.6): join the text table to its
+    embedding table on doc_id = vec_id and profile each embedding
+    label by its TEXT characteristics — the sanity check a curation
+    pipeline runs to confirm semantic clusters align with surface
+    statistics (token length, language spread).
+
+    Shape: two fact-scale tables equi-join on the id — at 100 TB both
+    sides shuffle-partition on the key (or pre-bucket via
+    write_bucketed_table and skip the exchange); the aggregate is
+    10-label cardinality, so everything after the join is map-side.
+    avg_tokens uses exact integer floor-division (plans/_num.py);
+    avg_norm rounds a double mean of norms (never midpoint-aligned,
+    same pattern as embedding_label_stats)."""
+    emb = _embeddings_double(spark, sf_dir)
+    documents = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("_n_tokens")
+    )
+    norm = l2_norm(F.col("embedding"))
+    return (
+        emb.join(documents, emb.vec_id == documents.doc_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg_int("_n_tokens").alias("avg_tokens"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
