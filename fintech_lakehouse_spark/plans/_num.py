@@ -47,8 +47,18 @@ def one_plus(col: str | Column) -> Column:
 
 
 def dsum(expr: Column, scale: int = 2) -> Column:
-    """Exact decimal sum → double → round: order-independent."""
-    return F.round(F.sum(expr).cast("double"), scale)
+    """Exact decimal sum → round IN DECIMAL → double.
+
+    The rounding must happen while the value is still exact: both
+    engines round decimals half-away-from-zero identically, but they
+    round DOUBLES differently at midpoints (verified: DuckDB
+    ROUND(536532.315::DOUBLE, 2) = .31, Spark = .32, while both give
+    .32 for the DECIMAL) — and a scale-4 sum of money*(1-disc)
+    products lands on a 2-dp midpoint in ~1/1000 groups
+    (nation_trade_volume found 4 of 4188). The final cast of the
+    rounded 2-dp decimal to double is exact for any money total under
+    2^53."""
+    return F.round(F.sum(expr), scale).cast("double")
 
 
 def davg(colname: str, scale: int = 4) -> Column:
@@ -104,7 +114,8 @@ def sql_one_plus(col: str) -> str:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"ROUND(CAST(SUM({expr}) AS DOUBLE), {scale})"
+    # round in DECIMAL, then cast — see dsum() for why the order matters
+    return f"CAST(ROUND(SUM({expr}), {scale}) AS DOUBLE)"
 
 
 def sql_davg(colname: str, scale: int = 4) -> str:

@@ -696,3 +696,60 @@ def sales_opportunity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("c_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           COUNT(*) AS n_lineitems,
+           {sql_dsum(_SQL_DISC_PRICE)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation trade: discounted revenue between
+    every (supplier nation, customer nation) pair per ship year. Six
+    relations; the two big sides (lineitem, orders) shuffle on their
+    join keys while supplier/customer/nation (twice, aliased) all
+    broadcast — at 100 TB exactly one fact-fact exchange pair
+    survives, everything else is map-side. The same-nation filter
+    applies AFTER the dim joins on broadcast columns, costing nothing
+    extra. Revenue is the exact decimal sum (plans/_num.py)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(_DISC_PRICE()).alias("revenue"),
+        )
+    )
