@@ -44,6 +44,9 @@ def _plan(df) -> str:
         # Q22-shape: the 1-row global aggregate broadcasts (no global
         # window), the order-count join shuffles on the key.
         ("sales_opportunity_segments", ["BroadcastNestedLoopJoin"]),
+        # Q7-shape: supplier/customer/nation dims broadcast; the only
+        # fact-fact exchange is lineitem-orders.
+        ("nation_trade_volume", ["BroadcastHashJoin"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
