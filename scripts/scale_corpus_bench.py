@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Corpus scale-up experiment for the round-3 training-data operators
+(BASELINE.md §3 protocol, same construction as the round-2 dedup
+scale-up): multiply the sf0.1 documents table k× with every copy
+token-suffixed so copies share NO n-grams (cross-copy contamination
+stays zero, per-copy structure is preserved), then time
+test_set_decontamination and sequence_pack_manifest at each scale.
+
+Usage: python scripts/scale_corpus_bench.py [k ...]   (default 1 4 16)
+Writes multiplied corpora under /tmp/scale_corpus/, prints one
+markdown table row per (query, k).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.plans import QUERIES
+from fintech_lakehouse_spark.session import get_spark
+from fintech_lakehouse_spark.sources.readers import load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_corpus"
+QUERY_NAMES = ["test_set_decontamination", "sequence_pack_manifest"]
+
+
+def build(spark, k: int) -> str:
+    out = f"{WORK}/x{k}"
+    if os.path.exists(f"{out}/documents.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = load_table(spark, BASE_SF, "documents")
+    copies = []
+    for i in range(k):
+        if i == 0:
+            copies.append(base)
+            continue
+        suffixed = F.array_join(
+            F.transform(F.split("text", " "), lambda x: F.concat(x, F.lit(f"_{i}"))),
+            " ",
+        )
+        copies.append(
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                "lang",
+                "source",
+                "n_chars",
+                suffixed.alias("text"),
+            ).select(*base.columns)
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark(
+        "scale-corpus",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={"spark.sql.shuffle.partitions": "32"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in QUERY_NAMES:
+        # codegen warmup at the smallest sf
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    print("| query | k | docs | wall | rows |")
+    print("|---|---|---|---|---|")
+    for k in ks:
+        sf_dir = build(spark, k)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            wall = time.time() - t0
+            print(f"| {name} | {k}x | {n_docs} | {wall:.2f} s | {n} |")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
