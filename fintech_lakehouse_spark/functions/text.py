@@ -362,17 +362,29 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     (doc_a, doc_b): every document in a dup cluster maps to the
     cluster's minimum doc_id, the canonical survivor.
 
-    Iterative min-label propagation TO THE FIXPOINT: each round joins
-    every node's current label against its neighbors' and keeps the
-    minimum. A round moves labels one hop, so convergence takes
-    O(graph diameter) rounds — dup clusters are tiny (2-3 rounds in
-    practice), and the DuckDB recursive-CTE oracle computes the true
-    fixpoint, so stopping early on a long chain would be a WRONG
-    answer, not an approximation (ADVICE r2). ``max_iterations`` is a
-    safety cap only: hitting it without convergence raises rather than
-    silently returning partial labels. Caching each round keeps
-    lineage short. This is the one genuinely iterative operator in the
-    engine — inexpressible in single-pass SQL (SURVEY §7.6)."""
+    Iterative min-label propagation WITH POINTER DOUBLING, run to the
+    fixpoint: each round a node takes the minimum of (its label, its
+    neighbors' labels, its LABEL'S label). The neighbor step moves
+    labels one hop; the label-of-label jump doubles the distance a
+    minimum has already traveled, so convergence is O(log diameter)
+    instead of O(diameter) — a 60-hop dup chain converges in ~7 rounds
+    rather than 59 (ADVICE r2's large-star/small-star suggestion; the
+    jump preserves the invariant that a node's label is always a
+    member of its own component, so the fixpoint is the same). The
+    DuckDB recursive-CTE oracle computes the true fixpoint, so
+    stopping early would be a WRONG answer, not an approximation.
+    ``max_iterations`` is a safety cap only: hitting it without
+    convergence raises rather than silently returning partial labels.
+
+    Each round ends in an eager ``localCheckpoint()``: the pointer
+    jump references ``labels`` twice, so WITHOUT lineage truncation
+    the logical plan doubles per iteration and planning itself OOMs
+    around round 10 (measured — the heap died generating the plan
+    tree string, not executing). Checkpointing materializes the ~one
+    row per clustered doc and resets the plan to a leaf — the
+    standard Spark shape for iterative algorithms. This is the one
+    genuinely iterative operator in the engine — inexpressible in
+    single-pass SQL (SURVEY §7.6)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -384,7 +396,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -392,29 +404,32 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neighbor_cluster"))
         )
+        # pointer jump: the label of my current label
+        lbl2 = labels.select(
+            F.col("doc_id").alias("_l_doc"), F.col("cluster_id").alias("_l_lbl")
+        )
         # new label + changed flag in ONE pass (a separate join-back
         # to detect convergence would double the per-iteration jobs)
+        new_label = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id")),
+            F.coalesce(F.col("_l_lbl"), F.col("cluster_id")),
+        )
         updated = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.src, "left"
             )
+            .join(lbl2, labels.cluster_id == lbl2._l_doc, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                (
-                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("_changed"),
+                new_label.alias("cluster_id"),
+                (new_label < F.col("cluster_id")).alias("_changed"),
             )
-            .cache()
+            .localCheckpoint()  # eager: runs the round, truncates lineage
         )
         changed = updated.agg(
             F.sum(F.col("_changed").cast("int")).alias("n")
         ).collect()[0]["n"]
-        labels.unpersist()
         labels = updated.drop("_changed")
         if not changed:
             break

@@ -277,3 +277,18 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         .count()
     )
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_dedup_clusters_long_chain_pointer_doubling(spark):
+    """A 60-hop dup chain must converge to a single cluster WELL under
+    the iteration cap: pointer doubling makes convergence O(log
+    diameter), so the chain that plain one-hop propagation would need
+    59 rounds for (beyond the safety cap) finishes in <= 10."""
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(
+        pairs, max_iterations=10
+    ).collect()}
+    assert got == {i: 0 for i in range(n)}
