@@ -292,3 +292,43 @@ def test_dedup_clusters_long_chain_pointer_doubling(spark):
         pairs, max_iterations=10
     ).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Randomized cross-check: on seeded random pair graphs, the
+    distributed min-label/pointer-doubling CC must equal a Python
+    union-find ground truth (same canonical min-id labeling)."""
+    import random
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        comp = {}
+        for v in touched:
+            comp.setdefault(find(v), []).append(v)
+        expected = {
+            v: min(members) for members in comp.values() for v in members
+        }
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs).collect()
+        }
+        assert got == expected, f"seed {seed}"
