@@ -512,244 +512,3 @@ def brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_partkey").alias("n_parts"),
         )
     )
-
-
-@register(
-    "small_qty_avg_revenue",
-    oracle="""
-    WITH pa AS (
-        SELECT l_partkey,
-               SUM(CAST(l_quantity AS BIGINT)) AS s,
-               COUNT(*) AS c
-        FROM lineitem GROUP BY l_partkey
-    )
-    SELECT COUNT(*) AS n_small_lines,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7,
-                 2) AS avg_yearly
-    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
-    WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.c < pa.s
-    """,
-)
-def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17-shaped correlated aggregate: revenue from lineitems
-    whose quantity is below 20% of their part's average quantity.
-    The correlated subquery decorrelates into a per-part aggregate
-    joined back on l_partkey — both sides shuffle-partition on the
-    SAME key, so the join is co-partitioned with the agg (one exchange
-    reused). The 20%-of-average test runs in exact integer arithmetic
-    (5*qty*count < sum) — a double avg threshold comparison could flip
-    at representation boundaries between engines."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("long")
-    pa = lineitem.groupBy("l_partkey").agg(
-        F.sum(qty).alias("s"), F.count(F.lit(1)).alias("c")
-    )
-    return (
-        lineitem.join(pa, "l_partkey")
-        .filter(F.lit(5) * qty * F.col("c") < F.col("s"))
-        .agg(
-            F.count(F.lit(1)).alias("n_small_lines"),
-            F.round(
-                F.sum(money("l_extendedprice")).cast("double") / 7, 2
-            ).alias("avg_yearly"),
-        )
-    )
-
-
-@register(
-    "large_order_details",
-    oracle=f"""
-    WITH big AS (
-        SELECT l_orderkey,
-               {sql_isum('CAST(l_quantity AS BIGINT)')} AS total_qty
-        FROM lineitem
-        GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
-    )
-    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           big.total_qty
-    FROM big
-    JOIN orders o ON o.o_orderkey = big.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    """,
-)
-def large_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-shaped large-volume orders: orders whose lineitem
-    quantity total exceeds 300, joined back to order and customer
-    detail. The HAVING prunes the aggregate to a tiny survivor set
-    BEFORE any join, so both dimension joins broadcast the survivors —
-    at 100 TB the expensive side is one co-partitioned groupBy on
-    l_orderkey and nothing else shuffles."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    big = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
-        .filter(F.col("total_qty") > 300)
-    )
-    return (
-        F.broadcast(big)
-        .join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
-    )
-
-
-@register(
-    "promo_revenue_monthly",
-    oracle=f"""
-    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
-           ROUND(100 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                     THEN {_SQL_DISC_PRICE} ELSE CAST(0 AS DECIMAL(12,2)) END)
-                 AS DOUBLE)
-                 / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE), 4) AS promo_pct,
-           {sql_dsum(_SQL_DISC_PRICE)} AS total_revenue
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    GROUP BY date_trunc('month', l.l_shipdate)
-    """,
-)
-def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped promotion share, widened to a monthly series:
-    per ship month, the percentage of discounted revenue from PROMO
-    parts. part is a broadcast dimension (no shuffle on the fact);
-    conditional aggregation folds both sums into ONE scan pass. The
-    ratio divides two exact decimal sums cast to double — both engines
-    divide identical operands, so the 4-dp round is deterministic."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    disc = _DISC_PRICE()
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
-        F.lit(0).cast("decimal(12,2)")
-    )
-    return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
-        .agg(
-            F.round(
-                F.lit(100) * F.sum(promo).cast("double")
-                / F.sum(disc).cast("double"),
-                4,
-            ).alias("promo_pct"),
-            dsum(disc).alias("total_revenue"),
-        )
-    )
-
-
-@register(
-    "sales_opportunity_segments",
-    oracle="""
-    WITH m AS (
-        SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s,
-               COUNT(*) AS c
-        FROM customer WHERE c_acctbal > 0
-    ),
-    oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
-    cu AS (
-        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
-               COALESCE(oc.n, 0) AS n_orders
-        FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
-    )
-    SELECT c_mktsegment,
-           COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
-               AS total_acctbal
-    FROM cu, m
-    WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * m.c > m.s
-      AND n_orders < 6
-    GROUP BY c_mktsegment
-    """,
-)
-def sales_opportunity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-shaped sales opportunity: customers whose balance
-    beats the positive-balance average but who placed fewer than six
-    orders, grouped by market segment. The global average is a 1-row
-    aggregate broadcast back over the scan (crossJoin of one row — the
-    scale-safe way to apply a global statistic), and the above-average
-    test runs in exact integer cents (cents * count > sum_cents): a
-    double avg threshold is exactly the comparison an ulp difference
-    between engines can flip."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    cents = (money("c_acctbal") * 100).cast("long")
-    m = F.broadcast(
-        customer.filter(F.col("c_acctbal") > 0).agg(
-            F.sum(cents).alias("s"), F.count(F.lit(1)).alias("c")
-        )
-    )
-    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
-    cu = (
-        customer.join(oc, customer.c_custkey == oc.o_custkey, "left")
-        .select(
-            "c_custkey",
-            "c_acctbal",
-            "c_mktsegment",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
-        )
-    )
-    return (
-        cu.crossJoin(m)
-        .filter((cents * F.col("c") > F.col("s")) & (F.col("n_orders") < 6))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            dsum(money("c_acctbal")).alias("total_acctbal"),
-        )
-    )
-
-
-@register(
-    "nation_trade_volume",
-    oracle=f"""
-    SELECT ns.n_name AS supp_nation,
-           nc.n_name AS cust_nation,
-           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
-           COUNT(*) AS n_lineitems,
-           {sql_dsum(_SQL_DISC_PRICE)} AS revenue
-    FROM lineitem l
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
-    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
-    WHERE ns.n_nationkey <> nc.n_nationkey
-    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
-    """,
-)
-def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7-shaped cross-nation trade: discounted revenue between
-    every (supplier nation, customer nation) pair per ship year. Six
-    relations; the two big sides (lineitem, orders) shuffle on their
-    join keys while supplier/customer/nation (twice, aliased) all
-    broadcast — at 100 TB exactly one fact-fact exchange pair
-    survives, everything else is map-side. The same-nation filter
-    applies AFTER the dim joins on broadcast columns, costing nothing
-    extra. Revenue is the exact decimal sum (plans/_num.py)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    ns = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    nc = nation.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    return (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
-        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .filter(F.col("s_nk") != F.col("c_nk"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("ship_year"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_lineitems"),
-            dsum(_DISC_PRICE()).alias("revenue"),
-        )
-    )
