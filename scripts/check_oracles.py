@@ -19,14 +19,20 @@ The comparator mirrors the driver byte-for-byte (VERDICT r2 item 2):
     so the gate reports it as a failure rather than working around it.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Env:   CHECK_ORACLES_JOBS=N  run N queries concurrently (default 1;
+       4 roughly halves the full-registry wall — Spark schedules the
+       concurrent actions fairly, DuckDB gets one connection per
+       thread). Output order becomes nondeterministic above 1.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -86,67 +92,80 @@ def dtype_report(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     return "\n".join(out)
 
 
+def check_one(spark, sf_dir: str, name, fn, local) -> tuple[str, bool]:
+    """Run one query + oracle compare; returns (report line, ok)."""
+    t0 = time.time()
+    try:
+        spark_pd = fn(spark, sf_dir).toPandas()
+    except Exception:
+        return f"FAIL {name}: spark error\n{traceback.format_exc()}", False
+    if name not in ORACLES:
+        line = (f"ok   {name}: rows-only, {len(spark_pd)} rows "
+                f"({time.time()-t0:.1f}s)")
+        if spark_pd.empty:
+            line += f"\nWARN {name}: zero rows"
+        return line, True
+    # one DuckDB connection per thread (connections are not thread-safe)
+    con = getattr(local, "con", None)
+    if con is None:
+        con = duckdb.connect()
+        for table in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {table} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+            )
+        local.con = con
+    try:
+        duck_pd = con.execute(ORACLES[name]).df()
+    except Exception:
+        return f"FAIL {name}: duckdb error\n{traceback.format_exc()}", False
+    problems = []
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        problems.append(
+            f"columns {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}"
+        )
+    if len(spark_pd) != len(duck_pd):
+        problems.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
+    if not problems:
+        try:
+            a = row_hashes(spark_pd)
+            b = row_hashes(duck_pd)
+        except TypeError as e:
+            problems.append(f"driver-unhashable cell: {e}")
+        else:
+            if a != b:
+                problems.append(
+                    "value-hash mismatch; dtypes:\n"
+                    + dtype_report(spark_pd, duck_pd)
+                )
+    if problems:
+        return f"FAIL {name}: {'; '.join(problems)}", False
+    return f"PASS {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s)", True
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    jobs = int(os.environ.get("CHECK_ORACLES_JOBS", "1"))
     spark = get_spark("oracle-check", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "8"})
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for table in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-        )
+    local = threading.local()
+    todo = [(n, f) for n, f in QUERIES.items() if not only or n in only]
     failures = 0
-    for name, fn in QUERIES.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            spark_pd = sdf.toPandas()
-        except Exception:
-            print(f"FAIL {name}: spark error")
-            traceback.print_exc()
-            failures += 1
-            continue
-        if name not in ORACLES:
-            print(f"ok   {name}: rows-only, {len(spark_pd)} rows "
-                  f"({time.time()-t0:.1f}s)")
-            if spark_pd.empty:
-                print(f"WARN {name}: zero rows")
-            continue
-        try:
-            duck_pd = con.execute(ORACLES[name]).df()
-        except Exception:
-            print(f"FAIL {name}: duckdb error")
-            traceback.print_exc()
-            failures += 1
-            continue
-        problems = []
-        if sorted(spark_pd.columns) != sorted(duck_pd.columns):
-            problems.append(
-                f"columns {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}"
+    if jobs <= 1:
+        for name, fn in todo:
+            line, ok = check_one(spark, sf_dir, name, fn, local)
+            print(line)
+            failures += 0 if ok else 1
+    else:
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = pool.map(
+                lambda nf: check_one(spark, sf_dir, nf[0], nf[1], local), todo
             )
-        if len(spark_pd) != len(duck_pd):
-            problems.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
-        if not problems:
-            try:
-                a = row_hashes(spark_pd)
-                b = row_hashes(duck_pd)
-            except TypeError as e:
-                problems.append(f"driver-unhashable cell: {e}")
-            else:
-                if a != b:
-                    problems.append(
-                        "value-hash mismatch; dtypes:\n"
-                        + dtype_report(spark_pd, duck_pd)
-                    )
-        if problems:
-            failures += 1
-            print(f"FAIL {name}: {'; '.join(problems)}")
-        else:
-            print(f"PASS {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s)")
+            for line, ok in results:
+                print(line)
+                failures += 0 if ok else 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
