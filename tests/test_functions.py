@@ -335,3 +335,52 @@ def test_approx_token_heavy_hitters_query(spark, sf_dir):
     assert len(rows) == 20
     for r in rows:
         assert r["cms_estimate"] >= r["exact_count"]
+
+
+def test_audio_feature_plumbing(spark):
+    from fintech_lakehouse_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_features,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (10, "audio", "wav", bytearray(b"pcm-bytes-a"), 11),
+            (11, "audio", "mp3", bytearray(b"pcm-bytes-b"), 11),
+            (12, "image", "png", bytearray(b"not-audio"), 9),
+        ],
+        ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in extract_audio_features(assets).collect()}
+    assert set(rows) == {10, 11}  # image filtered out
+    for r in rows.values():
+        assert 1 <= r["duration_sec"] <= 600
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert 0 <= r["loudness_proxy"] <= 255
+    again = {r["asset_id"]: r for r in extract_audio_features(assets).collect()}
+    assert again[10] == rows[10]  # deterministic
+    with pytest.raises(Exception, match="NotImplementedError|real audio decode"):
+        extract_audio_features(assets, decode="real").collect()
+
+
+def test_resize_images_plumbing(spark):
+    from fintech_lakehouse_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        resize_images,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", "png", bytearray(b"fake-png-bytes"), 14),
+            (3, "video", "mp4", bytearray(b"vid"), 3),
+        ],
+        ASSET_SCHEMA,
+    )
+    out = {r["asset_id"]: r for r in resize_images(assets, 224, 224).collect()}
+    assert set(out) == {1}  # only images
+    r = out[1]
+    assert (r["target_width"], r["target_height"]) == (224, 224)
+    assert r["n_bytes"] == len(r["payload"]) == max(32, 224 * 224 // 64)
+    # deterministic payloads round-trip through parquet binary columns
+    again = {r["asset_id"]: r for r in resize_images(assets, 224, 224).collect()}
+    assert bytes(again[1]["payload"]) == bytes(r["payload"])
