@@ -332,3 +332,16 @@ def test_dedup_clusters_random_graphs_match_union_find(spark):
             for r in dedup_clusters(pairs).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_verified_pairs_stage_shared_across_consumers(spark, sf_dir):
+    """The LSH verified-pairs stage is built once per (session,
+    sf_dir) and shared: repeated calls return the SAME cached
+    DataFrame object, so minhash_lsh_pairs / duplicate_clusters /
+    corpus_dedup_survivors never rebuild the signature pipeline."""
+    from fintech_lakehouse_spark.plans.text import verified_pairs_stage
+
+    a = verified_pairs_stage(spark, sf_dir)
+    b = verified_pairs_stage(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory  # cached, not recomputed lineage
