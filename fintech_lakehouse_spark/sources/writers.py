@@ -460,3 +460,117 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    key: str,
+    tracked_cols: list[str],
+    ts_col: str = "effective_ts",
+) -> None:
+    """Slowly-Changing-Dimension Type 2 merge into a parquet dim table.
+
+    On-disk contract: the business columns plus ``effective_from``
+    (timestamp), ``effective_to`` (timestamp, null = open-ended) and
+    ``is_current`` (boolean; exactly one true row per key). Batch
+    semantics per incoming key (latest row per key wins within a
+    batch — intra-batch history is collapsed, documented):
+
+    * new key → insert an open current row;
+    * tracked attributes unchanged (null-safe) → no-op, history keeps
+      its original effective_from;
+    * changed → close the current row at the update's timestamp and
+      insert a new open row.
+
+    Scale shape: one equi-join of the CURRENT slice against the batch
+    keys (both sides shuffle on the key; history rows are not read
+    beyond the is_current filter, which a partition-on-is_current
+    layout would prune), then a staged atomic swap like
+    ``upsert_lake_table``. This is the standard dimension-history
+    operator a fintech gold layer needs for customer/merchant
+    attributes (risk ratings, addresses) — MERGE alone cannot express
+    the close-and-insert pair."""
+    from pyspark.sql.window import Window
+
+    latest = (
+        updates.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    business_cols = [c for c in latest.columns if c != ts_col]
+    incoming = latest.select(
+        *business_cols,
+        F.col(ts_col).alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        write_lake_table(incoming, target_path, mode="overwrite")
+        return
+
+    history = existing.filter(~F.col("is_current"))
+    current = existing.filter(F.col("is_current"))
+
+    upd = latest.select(
+        F.col(key).alias("_u_key"),
+        F.struct(*[F.col(c) for c in tracked_cols]).alias("_u_attrs"),
+        F.col(ts_col).alias("_u_ts"),
+    )
+    cur = current.withColumn(
+        "_c_attrs", F.struct(*[F.col(c) for c in tracked_cols])
+    )
+    joined = cur.join(upd, cur[key] == upd._u_key, "left")
+    # unchanged (no update for the key, or attrs null-safe equal)
+    kept_current = joined.filter(
+        F.col("_u_key").isNull() | F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
+    ).select(*existing.columns)
+    # changed: close the old row at the update timestamp
+    closed = (
+        joined.filter(
+            F.col("_u_key").isNotNull()
+            & ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
+        )
+        .withColumn("effective_to", F.col("_u_ts"))
+        .withColumn("is_current", F.lit(False))
+        .select(*existing.columns)
+    )
+    changed_or_new_keys = (
+        upd.join(
+            cur.filter(F.col(key).isNotNull()).select(
+                F.col(key).alias("_k"), "_c_attrs"
+            ),
+            F.col("_u_key") == F.col("_k"),
+            "left",
+        )
+        .filter(
+            F.col("_k").isNull() | ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
+        )
+        .select(F.col("_u_key").alias(key))
+    )
+    new_rows = incoming.join(changed_or_new_keys, key, "left_semi")
+    result = (
+        history.unionByName(kept_current)
+        .unionByName(closed)
+        .unionByName(new_rows.select(*existing.columns))
+    )
+    staging = target_path.rstrip("/") + "__staging"
+    result.write.format("parquet").mode("overwrite").save(staging)
+    spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
+        target_path
+    )
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(staging), sc._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    spark.catalog.refreshByPath(target_path)

@@ -257,3 +257,96 @@ def test_replace_lake_rows_deletes_emptied_keys(spark, tmp_path):
     replace_lake_rows(spark, repl, path, key_col="k", values=["b", "c"])
     got = {(r["k"], r["n"]) for r in spark.read.parquet(path).collect()}
     assert got == {("a", 1), ("b", 20)}
+
+
+def test_scd2_upsert_dimension_history(spark, tmp_path):
+    """SCD Type 2 lifecycle: initial load -> attribute change closes
+    the old row and opens a new one -> unchanged re-apply is a no-op
+    -> new key inserts. Exactly one is_current row per key; closed
+    rows carry [effective_from, effective_to) ranges."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim_customer_scd2")
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+    t3 = dt.datetime(2024, 3, 1)
+    schema = "customer_id long, risk_rating string, city string, effective_ts timestamp"
+
+    scd2_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "LOW", "oslo", t1), (2, "HIGH", "lima", t1)], schema
+        ),
+        path, key="customer_id", tracked_cols=["risk_rating", "city"],
+    )
+    # change customer 1's rating; customer 2 unchanged; customer 3 new
+    scd2_upsert(
+        spark,
+        spark.createDataFrame(
+            [
+                (1, "HIGH", "oslo", t2),
+                (2, "HIGH", "lima", t2),
+                (3, "LOW", "kyiv", t2),
+            ],
+            schema,
+        ),
+        path, key="customer_id", tracked_cols=["risk_rating", "city"],
+    )
+    dim = spark.read.parquet(path)
+    cur = {r["customer_id"]: r for r in dim.filter("is_current").collect()}
+    assert set(cur) == {1, 2, 3}
+    assert cur[1]["risk_rating"] == "HIGH" and cur[1]["effective_from"] == t2
+    # unchanged key keeps its ORIGINAL effective_from (no-op)
+    assert cur[2]["effective_from"] == t1
+    hist = dim.filter("NOT is_current").collect()
+    assert len(hist) == 1
+    assert hist[0]["customer_id"] == 1
+    assert hist[0]["risk_rating"] == "LOW"
+    assert (hist[0]["effective_from"], hist[0]["effective_to"]) == (t1, t2)
+    # exactly one current row per key
+    assert dim.filter("is_current").groupBy("customer_id").count().filter(
+        "count > 1"
+    ).count() == 0
+
+    # second change for customer 1: history chains
+    scd2_upsert(
+        spark,
+        spark.createDataFrame([(1, "HIGH", "bergen", t3)], schema),
+        path, key="customer_id", tracked_cols=["risk_rating", "city"],
+    )
+    dim = spark.read.parquet(path)
+    c1 = sorted(
+        dim.filter("customer_id = 1").collect(),
+        key=lambda r: r["effective_from"],
+    )
+    assert [(r["city"], r["is_current"]) for r in c1] == [
+        ("oslo", False), ("oslo", False), ("bergen", True),
+    ]
+    assert c1[1]["effective_to"] == t3 and c1[2]["effective_from"] == t3
+
+
+def test_scd2_upsert_intra_batch_latest_wins(spark, tmp_path):
+    """Two updates for one key in a single batch: only the latest by
+    effective_ts applies (documented collapse)."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim_scd2_batch")
+    schema = "customer_id long, risk_rating string, city string, effective_ts timestamp"
+    scd2_upsert(
+        spark,
+        spark.createDataFrame(
+            [
+                (1, "LOW", "oslo", dt.datetime(2024, 1, 1)),
+                (1, "HIGH", "oslo", dt.datetime(2024, 1, 5)),
+            ],
+            schema,
+        ),
+        path, key="customer_id", tracked_cols=["risk_rating", "city"],
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1
+    assert rows[0]["risk_rating"] == "HIGH" and rows[0]["is_current"]
