@@ -166,6 +166,34 @@ class MedallionPipeline:
             for name in gold
         }
 
+    def update_dimension_scd2(
+        self,
+        name: str,
+        updates: DataFrame,
+        key: str,
+        tracked_cols: list[str],
+        ts_col: str = "effective_ts",
+    ) -> DataFrame:
+        """Gold dimension with full attribute history (SCD Type 2):
+        routes a batch of dimension updates through
+        ``sources.writers.scd2_upsert`` into
+        gold/<name> and returns the refreshed table. Point-in-time
+        joins (fact.ts BETWEEN effective_from AND effective_to) are
+        what make restated risk ratings / addresses auditable — the
+        fintech requirement a current-only dim cannot serve."""
+        from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+        self.monitor.start_stage(f"scd2_{name}")
+        path = self.config.layer_path("gold", name)
+        scd2_upsert(
+            self.spark, updates, path, key=key,
+            tracked_cols=tracked_cols, ts_col=ts_col,
+        )
+        out = self.spark.read.parquet(path)
+        n = updates.count()
+        self.monitor.end_stage(f"scd2_{name}", rows_read=n, rows_written=n)
+        return out
+
     def incremental_fact_update(
         self,
         transactions: DataFrame,

@@ -213,3 +213,34 @@ def test_incremental_restated_date_refreshes_old_aggregate(lake, spark):
     assert stale == [], f"stale aggregate row survived: {stale}"
     row = daily.filter(F.col("transaction_date") == new_date).collect()[0]
     assert row["n_transactions"] == len(moved_ids)
+
+
+def test_scd2_dimension_in_pipeline(lake, spark):
+    """Pipeline-level SCD2: customer risk restatements accumulate
+    history in the gold layer and point-in-time lookups resolve."""
+    import datetime as dt
+
+    pipe = lake["pipe"]
+    schema = (
+        "customer_id string, risk_rating string, city string, "
+        "effective_ts timestamp"
+    )
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    pipe.update_dimension_scd2(
+        "dim_customer_history",
+        spark.createDataFrame([("C1", "LOW", "oslo", t1)], schema),
+        key="customer_id", tracked_cols=["risk_rating"],
+    )
+    dim = pipe.update_dimension_scd2(
+        "dim_customer_history",
+        spark.createDataFrame([("C1", "HIGH", "oslo", t2)], schema),
+        key="customer_id", tracked_cols=["risk_rating"],
+    )
+    # point-in-time: a March fact sees LOW, a July fact sees HIGH
+    march = dt.datetime(2024, 3, 1)
+    row = dim.filter(
+        (F.col("effective_from") <= march)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > march))
+    ).collect()
+    assert len(row) == 1 and row[0]["risk_rating"] == "LOW"
+    assert dim.filter("is_current").collect()[0]["risk_rating"] == "HIGH"
