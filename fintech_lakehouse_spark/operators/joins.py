@@ -78,3 +78,44 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_columns],
     )
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    scd2_dim: DataFrame,
+    key: str,
+    fact_time: str,
+    dim_columns: list[str] | None = None,
+) -> DataFrame:
+    """Join a fact to the SCD2 dimension version that was valid AT the
+    fact's own timestamp: ``effective_from <= ts < effective_to``
+    (open-ended current rows have effective_to IS NULL). The
+    companion to ``sources.writers.scd2_upsert`` — without it a
+    restated attribute silently rewrites history in every report.
+
+    Shape: equi-join on the key carries the shuffle; the validity
+    range is a post-join filter within the key group, so there is no
+    interval-join row explosion (a key's version count is the fan-out
+    bound, typically single digits). Facts with no valid dim version
+    (before the key existed) are kept with null dim columns — dropping
+    them would silently shrink the fact table."""
+    if dim_columns is None:
+        dim_columns = [
+            c
+            for c in scd2_dim.columns
+            if c not in (key, "effective_from", "effective_to", "is_current")
+        ]
+    dim = scd2_dim.select(
+        F.col(key).alias("_pit_key"),
+        "effective_from",
+        "effective_to",
+        *dim_columns,
+    )
+    cond = (
+        (fact[fact_time] >= dim.effective_from)
+        & (dim.effective_to.isNull() | (fact[fact_time] < dim.effective_to))
+    )
+    return (
+        fact.join(dim, (fact[key] == dim._pit_key) & cond, "left")
+        .drop("_pit_key", "effective_from", "effective_to")
+    )

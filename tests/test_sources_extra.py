@@ -350,3 +350,41 @@ def test_scd2_upsert_intra_batch_latest_wins(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1
     assert rows[0]["risk_rating"] == "HIGH" and rows[0]["is_current"]
+
+
+def test_point_in_time_join_resolves_scd2_versions(spark, tmp_path):
+    """Facts join to the dim version valid at their OWN timestamp;
+    facts predating the key keep null dim columns."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.operators.joins import point_in_time_join
+    from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim_scd2_pit")
+    schema = "customer_id long, risk_rating string, city string, effective_ts timestamp"
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    scd2_upsert(
+        spark,
+        spark.createDataFrame([(1, "LOW", "oslo", t1)], schema),
+        path, key="customer_id", tracked_cols=["risk_rating"],
+    )
+    scd2_upsert(
+        spark,
+        spark.createDataFrame([(1, "HIGH", "oslo", t2)], schema),
+        path, key="customer_id", tracked_cols=["risk_rating"],
+    )
+    dim = spark.read.parquet(path)
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 3, 1)),   # LOW era
+            (101, 1, dt.datetime(2024, 7, 1)),   # HIGH era
+            (102, 1, dt.datetime(2023, 12, 1)),  # before the key existed
+            (103, 2, dt.datetime(2024, 7, 1)),   # unknown key
+        ],
+        "txn_id long, customer_id long, ts timestamp",
+    )
+    got = {
+        r["txn_id"]: r["risk_rating"]
+        for r in point_in_time_join(facts, dim, "customer_id", "ts").collect()
+    }
+    assert got == {100: "LOW", 101: "HIGH", 102: None, 103: None}
