@@ -271,3 +271,121 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(_disc_price()).alias("revenue"),
         )
     )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH oc AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM oc
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped order-count distribution: how many customers
+    placed exactly N orders (customers with zero orders count at
+    N=0 — the LEFT join is the point of the query; an inner join
+    silently drops them). Two aggregations: the first shuffles on
+    the customer key, the second on the tiny distinct-count domain.
+    The classic histogram shape for engagement/cohort reporting."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "discounted_brand_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lineitems,
+           {sql_dsum(_SQL_DISC_PRICE)} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of
+    brand/size/quantity conjunctions across the join. Catalyst derives
+    the cross-side implications (brand IN (...) pushes into the part
+    scan, quantity BETWEEN 1 AND 30 into the lineitem scan) so both
+    scans prune BEFORE the broadcast join even though no single
+    conjunct is common — the canonical test that complex boolean
+    pushdown works. Revenue is the exact decimal sum."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(_disc_price()).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH sr AS (
+        SELECT l_suppkey, {sql_dsum(_SQL_DISC_PRICE)} AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    m AS (SELECT MAX(total_revenue) AS max_rev FROM sr)
+    SELECT s.s_suppkey, s.s_name, sr.total_revenue
+    FROM sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey, m
+    WHERE sr.total_revenue = m.max_rev
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier revenue, then the
+    supplier(s) achieving the maximum (ties all emit — a LIMIT 1
+    would be nondeterministic). The max is a 1-row aggregate broadcast
+    back over the supplier-cardinality aggregate; comparing the
+    already-rounded decimal-exact revenue keeps the equality
+    engine-deterministic (a double==double on unrounded sums would
+    not be)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    sr = lineitem.groupBy("l_suppkey").agg(
+        dsum(_disc_price()).alias("total_revenue")
+    )
+    m = F.broadcast(sr.agg(F.max("total_revenue").alias("max_rev")))
+    return (
+        sr.join(F.broadcast(supplier), sr.l_suppkey == supplier.s_suppkey)
+        .crossJoin(m)
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
