@@ -47,6 +47,12 @@ def _plan(df) -> str:
         # Q7-shape: supplier/customer/nation dims broadcast; the only
         # fact-fact exchange is lineitem-orders.
         ("nation_trade_volume", ["BroadcastHashJoin"]),
+        # Q19-shape: the disjunctive predicate derives per-side
+        # implications — BOTH scans carry pushed filters.
+        ("discounted_brand_revenue", ["BroadcastHashJoin", "PushedFilters: [IsNotNull"]),
+        # Q15-shape: 1-row max broadcast over the supplier aggregate
+        # (plans as a broadcast CROSS hash join, not a nested loop).
+        ("top_revenue_supplier", ["BroadcastHashJoin"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
