@@ -481,8 +481,13 @@ def scd2_upsert(
     * new key → insert an open current row;
     * tracked attributes unchanged (null-safe) → no-op, history keeps
       its original effective_from;
-    * changed → close the current row at the update's timestamp and
-      insert a new open row.
+    * changed AND newer than the current row's effective_from → close
+      the current row at the update's timestamp and insert a new open
+      row;
+    * changed but NOT newer (out-of-order / replayed stale event) →
+      no-op. This guard is what makes the operator idempotent under
+      micro-batch replay (foreach_batch_scd2): re-applying an old
+      batch against newer state must not rewrite history backwards.
 
     Scale shape: one equi-join of the CURRENT slice against the batch
     keys (both sides shuffle on the key; history rows are not read
@@ -529,16 +534,17 @@ def scd2_upsert(
         "_c_attrs", F.struct(*[F.col(c) for c in tracked_cols])
     )
     joined = cur.join(upd, cur[key] == upd._u_key, "left")
-    # unchanged (no update for the key, or attrs null-safe equal)
-    kept_current = joined.filter(
-        F.col("_u_key").isNull() | F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
-    ).select(*existing.columns)
+    # an update "applies" only if attrs changed AND it is strictly
+    # newer than the current row (out-of-order guard, see docstring)
+    applies = (
+        F.col("_u_key").isNotNull()
+        & ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
+        & (F.col("_u_ts") > F.col("effective_from"))
+    )
+    kept_current = joined.filter(~applies).select(*existing.columns)
     # changed: close the old row at the update timestamp
     closed = (
-        joined.filter(
-            F.col("_u_key").isNotNull()
-            & ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
-        )
+        joined.filter(applies)
         .withColumn("effective_to", F.col("_u_ts"))
         .withColumn("is_current", F.lit(False))
         .select(*existing.columns)
@@ -546,13 +552,19 @@ def scd2_upsert(
     changed_or_new_keys = (
         upd.join(
             cur.filter(F.col(key).isNotNull()).select(
-                F.col(key).alias("_k"), "_c_attrs"
+                F.col(key).alias("_k"),
+                "_c_attrs",
+                F.col("effective_from").alias("_c_from"),
             ),
             F.col("_u_key") == F.col("_k"),
             "left",
         )
         .filter(
-            F.col("_k").isNull() | ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
+            F.col("_k").isNull()
+            | (
+                ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
+                & (F.col("_u_ts") > F.col("_c_from"))
+            )
         )
         .select(F.col("_u_key").alias(key))
     )

@@ -579,3 +579,36 @@ def foreach_batch_upsert(
         )
 
     return _write
+
+
+def foreach_batch_scd2(
+    target_path: str,
+    key: str,
+    tracked_cols: list[str],
+    ts_col: str = "effective_ts",
+):
+    """foreachBatch sink that maintains an SCD Type 2 dimension from a
+    stream of attribute updates: each micro-batch routes through
+    ``sources.writers.scd2_upsert``, so a changed attribute closes the
+    current row at the event's timestamp and opens a new one, while
+    unchanged/duplicate events are no-ops — which is exactly what
+    makes the sink idempotent under micro-batch REPLAY (reprocessing a
+    batch re-applies the same attribute values and changes nothing).
+    Streaming dimension maintenance is the standard CDC-consumer
+    shape: the upstream source is a change feed, the lake table keeps
+    point-in-time history for ``operators.joins.point_in_time_join``."""
+    from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_upsert(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            key=key,
+            tracked_cols=tracked_cols,
+            ts_col=ts_col,
+        )
+
+    return _write

@@ -618,3 +618,63 @@ def test_user_value_ema_tws_gated_without_protobuf(spark):
     ).parquet("/root/testdata/sf0.001")
     with pytest.raises(RuntimeError, match="protobuf"):
         user_value_ema_tws(stream)
+
+
+def test_foreach_batch_scd2_builds_history(spark, tmp_path):
+    """Streaming SCD2 maintenance: two micro-batches of dimension
+    updates (maxFilesPerTrigger=1) produce close-and-insert history;
+    replaying the stream from scratch is idempotent."""
+    import datetime as dt
+    import os
+
+    from fintech_lakehouse_spark.streaming import foreach_batch_scd2
+
+    landing = tmp_path / "scd2_landing"
+    landing.mkdir()
+    target = str(tmp_path / "dim_scd2_stream")
+    schema = (
+        "customer_id long, risk_rating string, city string, "
+        "effective_ts timestamp"
+    )
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    b1 = spark.createDataFrame(
+        [(1, "LOW", "oslo", t1), (2, "HIGH", "lima", t1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "HIGH", "oslo", t2), (2, "HIGH", "lima", t2)], schema
+    )
+    f0, f1 = str(landing / "b0.parquet"), str(landing / "b1.parquet")
+    b1.toPandas().to_parquet(f0, index=False, coerce_timestamps="us")
+    b2.toPandas().to_parquet(f1, index=False, coerce_timestamps="us")
+    now = 1_700_000_000
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 100, now + 100))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_scd2(
+                    target, key="customer_id", tracked_cols=["risk_rating", "city"]
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    dim = spark.read.parquet(target)
+    assert dim.count() == 3  # 2 current + 1 closed history row
+    c1 = {r["is_current"]: r for r in dim.filter("customer_id = 1").collect()}
+    assert c1[True]["risk_rating"] == "HIGH"
+    assert c1[False]["effective_to"] == t2
+    # replay from a fresh checkpoint: same end state (idempotent)
+    run("ck2")
+    assert spark.read.parquet(target).count() == 3
