@@ -388,3 +388,27 @@ def test_point_in_time_join_resolves_scd2_versions(spark, tmp_path):
         for r in point_in_time_join(facts, dim, "customer_id", "ts").collect()
     }
     assert got == {100: "LOW", 101: "HIGH", 102: None, 103: None}
+
+
+def test_snapshot_diff_changelog(spark):
+    """snapshot_diff emits exactly the inserted/updated/deleted keys
+    with new values (old values for deletes); unchanged keys absent."""
+    from fintech_lakehouse_spark.sources.writers import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "id long, tag string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, None, 40.0), (5, "e", 50.0)],
+        "id long, tag string, v double",
+    )
+    got = {
+        r["id"]: (r["_change_type"], r["tag"], r["v"])
+        for r in snapshot_diff(old, new, keys=["id"]).collect()
+    }
+    assert got == {
+        2: ("update", "B", 20.0),
+        3: ("delete", "c", 30.0),
+        5: ("insert", "e", 50.0),
+    }  # 1 unchanged, 4 null-safe unchanged -> absent
