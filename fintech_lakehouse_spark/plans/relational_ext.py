@@ -389,3 +389,44 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT COUNT(*) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+               AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting aggregate: the revenue that would
+    have been gained had mid-range discounts on small orders been
+    eliminated. Zero joins, one scan — every predicate (ship-date
+    range, discount band, quantity cap) pushes into the parquet scan,
+    so at 100 TB the query reads only the row groups whose min/max
+    stats intersect the bands. The ep*discount product runs in exact
+    decimal and rounds in decimal (plans/_num.py rule)."""
+    from fintech_lakehouse_spark.plans._num import rate
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(money("l_extendedprice") * rate("l_discount")), 2)
+            .cast("double")
+            .alias("potential_revenue"),
+        )
+    )
