@@ -53,6 +53,8 @@ def _plan(df) -> str:
         # Q15-shape: 1-row max broadcast over the supplier aggregate
         # (plans as a broadcast CROSS hash join, not a nested loop).
         ("top_revenue_supplier", ["BroadcastHashJoin"]),
+        # Q6-shape: every banded predicate reaches the scan.
+        ("forecast_revenue_change", ["PushedFilters: [IsNotNull"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
