@@ -138,18 +138,61 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_bucketed_neighbors")  # approximate → rows-only check
+def _lsh_oracle_sql(n_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of the full LSH pipeline: the hyperplanes are FIXED
+    floats (seeded numpy, hyperplanes()), so each one is inlined as a
+    64-literal DOUBLE list and bit i of the bucket signature is
+    ``CASE WHEN list_dot_product(v, plane_i) >= 0``. repr() round-trips
+    float64 exactly, so both engines threshold the same doubles; the
+    in-bucket cosine / top-3 mirrors the knn_bruteforce_cosine oracle.
+    Same technique as the minhash CTE chain (plans/text.py) — an
+    "approximate" op is still deterministic given its seed, which is
+    what makes a hash-green driver row possible (VERDICT r3 item 3)."""
+    planes = hyperplanes(n_planes=n_planes, dim=dim, seed=seed)
+    bits = " ||\n               ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT vec_id, v,
+               sqrt(list_dot_product(v, v)) AS n,
+               {bits} AS bucket
+        FROM emb
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v) / (a.n * b.n) AS cos
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) <= 3
+    """
+
+
+@register("lsh_bucketed_neighbors", oracle=_lsh_oracle_sql(n_planes=12))
 def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH
-    (SURVEY §7.6 scale path): 16-bit sign signature per vector →
+    (SURVEY §7.6 scale path): 12-bit sign signature per vector →
     bucket join on signature → exact cosine within bucket, top-3 per
-    query.
+    query. 12 planes (was 16): 2¹² buckets keeps occupancy bounded
+    while yielding a non-vacuous candidate set at every test SF
+    (92/1327 pairs at sf0.01/sf0.1 vs 4 with 16 bits — the vacuous-
+    check lesson from VERDICT r2).
 
     Same-bucket candidates only: the join is linear in corpus size for
     bounded bucket occupancy, vs the O(n²) brute force. Recall is
-    tunable by planes/bands; approximation ⇒ no SQL oracle (rows-only
-    driver check)."""
-    planes = hyperplanes(n_planes=16, dim=64, seed=42)
+    tunable by planes/bands. Approximate ≠ unverifiable: the seeded
+    hyperplanes are constants, so the DuckDB twin (_lsh_oracle_sql)
+    replays the identical signature → bucket → cosine → top-3 chain
+    and the driver hash-checks the full result."""
+    planes = hyperplanes(n_planes=12, dim=64, seed=42)
     # Sign signatures are scale-invariant: bucket on the RAW vectors
     # (normalizing first is pure waste), carry norms as columns for the
     # in-bucket cosine.
