@@ -368,6 +368,24 @@ def _simhash_oracle_sql() -> str:
 _VERIFIED_PAIRS_CACHE: dict[tuple, tuple] = {}
 
 
+def reset_stage_caches() -> None:
+    """Unpersist and drop every session-scoped stage cache.
+
+    Benchmarks MUST call this between timed repeats: with the cache
+    warm, a repeat of minhash_lsh_pairs measures a cache read
+    (~0.1 s), not the shingle → signature → LSH → verify pipeline
+    (~3 s at sf0.1) — best-of-N then reports the artifact as the
+    query's cost (VERDICT r3 wrong-item 2). Production consumers
+    (duplicate_clusters, corpus_dedup_survivors in one session) keep
+    the shared cache — only timing protocols need the reset."""
+    for _, pairs in _VERIFIED_PAIRS_CACHE.values():
+        try:
+            pairs.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _VERIFIED_PAIRS_CACHE.clear()
+
+
 def verified_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared shingle → signature → LSH → exact-verify stage.
 

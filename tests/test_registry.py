@@ -69,6 +69,65 @@ def test_entry_runs(spark):
     assert df.columns == ["r_name", "n_name", "revenue", "n_items"]
 
 
+def test_driver_window_rotation():
+    """Registry order is a function of CORRECTNESS_r*.json history
+    (plans/rotation.py): every query whose latest driver row is red,
+    missing, or rows-only-despite-an-oracle must sit inside the first
+    DRIVER_WINDOW positions — the slice the round driver samples.
+    VERDICT r3 item 8 (the guard) + item 1 (the policy)."""
+    from fintech_lakehouse_spark.plans.rotation import (
+        DRIVER_WINDOW,
+        load_driver_history,
+    )
+
+    history = load_driver_history()
+    if not history:
+        pytest.skip("no CORRECTNESS_r*.json history in repo root")
+    order = list(QUERIES)
+    window = set(order[:DRIVER_WINDOW])
+    for name in order:
+        row = history.get(name)
+        needs_row = (
+            row is None
+            or row[0] == "red"
+            or (row[0] == "no_oracle" and name in ORACLES)
+        )
+        if needs_row:
+            assert name in window, (
+                f"{name} needs a fresh driver row (history={row}) but sits "
+                f"at position {order.index(name)} >= {DRIVER_WINDOW}"
+            )
+
+
+def test_rotation_rank_ordering():
+    """Rank classes order as documented: red < never-checked <
+    oracle-upgraded < green, with least-recent-round first inside the
+    red and green classes and registration order breaking ties."""
+    from fintech_lakehouse_spark.plans.rotation import rank
+
+    history = {
+        "red_r2": ("red", 2),
+        "red_r1": ("red", 1),
+        "promoted": ("no_oracle", 3),
+        "rows_only": ("no_oracle", 3),
+        "green_r2": ("green", 2),
+        "green_r3": ("green", 3),
+    }
+    oracles = {"promoted": "SELECT 1", "green_r2": "x", "green_r3": "x"}
+    names = ["green_r3", "green_r2", "rows_only", "promoted", "new_query",
+             "red_r2", "red_r1"]
+    ordered = sorted(
+        names, key=lambda n: rank(n, names.index(n), history, oracles)
+    )
+    assert ordered == [
+        "red_r1", "red_r2",      # red-latest, oldest round first
+        "new_query",              # never checked
+        "promoted",               # rows-only that gained an oracle
+        "green_r2",               # stale green before fresh green
+        "green_r3", "rows_only",  # r3 rows: registration order tie-break
+    ]
+
+
 def test_registered_queries_reject_unhashable_schema(spark):
     """The registry wraps every query with a schema guard: a result
     with a top-level Array/Map/Struct column (which toPandas() turns
