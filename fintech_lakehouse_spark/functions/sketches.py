@@ -48,6 +48,85 @@ def build_count_min_sketch(
     return bytes(row["sketch"])
 
 
+def cms_bucket_md5(col: str | Column, j: int, width: int) -> Column:
+    """Row-``j`` bucket of the PORTABLE count-min hash family: bucket =
+    first-48-bits(md5('cms{j}|' || value)) mod width. Seed-salting the
+    row index into the md5 input gives ``depth`` independent hash
+    functions from one primitive; 12 hex chars keep the conv() inside
+    long range (same convention as functions/sampling.py::hash_bucket,
+    so the DuckDB twin is the same '0x'||substr(md5(..),1,12) cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat_ws("|", F.lit(f"cms{j}"), c).cast("binary"))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % width
+
+
+def cms_sketch_table_md5(
+    df: DataFrame, col: str = "token", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch as a (h, bucket, cnt) DataFrame — the fully
+    DISTRIBUTED formulation: each value contributes one count to its
+    bucket in each of ``depth`` hash rows (explode over a struct
+    array), and the groupBy's map-side partial aggregation IS the
+    mergeable-sketch property — executors build partial sketches and
+    the shuffle merges them, with at most depth×width rows ever
+    materialized. Unlike the JVM build_count_min_sketch (driver-side
+    collect of an opaque binary), the sketch here stays a relation:
+    queryable by join, persistable as a table, and — because the hash
+    family is seed-salted md5 — bit-replicable in any engine with md5
+    (the DuckDB oracle twin replays it exactly)."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("h"),
+                cms_bucket_md5(col, j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .select("p.h", "p.bucket")
+        .groupBy("h", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates_md5(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a (h, bucket, cnt) sketch for every row of
+    ``items``: estimate = MIN over hash rows of the bucket count —
+    carrying all other ``items`` columns through. The probe side is
+    bounded by the query list (broadcast), the sketch streams — at
+    production width (millions of buckets over 100 TB of tokens) the
+    sketch is the big side and never moves. One-sided guarantee:
+    exact <= estimate <= exact + (e/width)·N with prob 1 - e^-depth."""
+    carry = [c for c in items.columns]
+    probes = items.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("h"),
+                        cms_bucket_md5(col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(*carry, "p.h", "p.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["h", "bucket"])
+        .groupBy(*carry)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
 def query_count_min_sketch(spark, sketch: bytes, items: list[str]) -> dict[str, int]:
     """Point-query a serialized sketch for ``items`` (driver-side,
     O(len(items) * depth) — bounded by the query list, never data

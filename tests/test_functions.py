@@ -328,13 +328,54 @@ def test_count_min_sketch_bounds(spark, sf_dir):
 
 
 def test_approx_token_heavy_hitters_query(spark, sf_dir):
-    """Registry query: 20 rows, estimates bracket exact counts."""
-    from fintech_lakehouse_spark.plans import QUERIES
+    """Registry query (distributed md5 CMS since r4): 20 rows, each
+    estimate obeys the one-sided CMS guarantee
+    exact <= estimate <= exact + (e/width)·N."""
+    import math
 
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.text import _CMS_WIDTH
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    n_total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
+        .count()
+    )
+    bound = math.e / _CMS_WIDTH * n_total
     rows = QUERIES["approx_token_heavy_hitters"](spark, sf_dir).collect()
     assert len(rows) == 20
     for r in rows:
-        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["cms_estimate"] <= r["exact_count"] + bound, (r, bound)
+
+
+def test_cms_sketch_table_merge_invariance(spark):
+    """The relational CMS is mergeable by construction: building the
+    sketch over an arbitrary repartitioning (= different executor
+    partials) yields the identical (h, bucket, cnt) table, and point
+    estimates match token-for-token."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        cms_estimates_md5,
+        cms_sketch_table_md5,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"tok{i % 7}",) for i in range(300)], "token string"
+    )
+    a = cms_sketch_table_md5(vals, "token", depth=4, width=64)
+    b = cms_sketch_table_md5(vals.repartition(13), "token", depth=4, width=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    items = vals.distinct().withColumnRenamed("token", "token")
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimates_md5(a, items, "token", depth=4, width=64).collect()
+    }
+    # 7 distinct tokens, 300 rows: tok0,tok1 appear 43×, rest 42×
+    for tok, e in est.items():
+        exact = 43 if int(tok[3]) < 300 % 7 else 42
+        assert e >= exact, (tok, e, exact)
 
 
 def test_audio_feature_plumbing(spark):
