@@ -206,6 +206,81 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_tier_at_click",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    dim AS (
+        SELECT user_id,
+               CASE WHEN value >= 100 THEN 'high'
+                    WHEN value >= 30  THEN 'mid'
+                    ELSE 'low' END AS tier,
+               ts AS effective_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS effective_to
+        FROM p
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, d.tier AS tier_at_click
+    FROM clicks c
+    LEFT JOIN dim d ON c.user_id = d.user_id
+        AND c.ts >= d.effective_from
+        AND (d.effective_to IS NULL OR c.ts < d.effective_to)
+    """,
+)
+def user_tier_at_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension (SURVEY §2.3 /
+    VERDICT r3 item 7 — the operator pair scd2_upsert writes and this
+    resolves; ref src/utils/spark_utils.py:519-588 is the
+    MERGE-history analog).
+
+    An SCD2 spend-tier dimension is derived in-plan from purchase
+    events (one version per purchase: effective_from = purchase ts,
+    effective_to = next purchase ts via lead(), open-ended current
+    row), then every click fact resolves the version valid AT ITS OWN
+    timestamp through operators.joins.point_in_time_join — facts
+    before a user's first version keep a null tier (left join), and
+    the [from, next_from) intervals guarantee exactly one match
+    otherwise. Per-click output makes the driver hash a row-level
+    check of version resolution, not an aggregate smoke test.
+
+    Scale shape: the equi-join on user_id carries the shuffle; the
+    validity range is a join-level filter inside the key group, so
+    fan-out is bounded by a user's version count — no interval-join
+    row explosion. The same plan at 100 TB partitions both sides on
+    the key; the dim side is version-compact by construction."""
+    from fintech_lakehouse_spark.operators.joins import point_in_time_join
+
+    events = load_table(spark, sf_dir, "events")
+    versions = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    dim = versions.select(
+        "user_id",
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 30, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts")
+        .over(Window.partitionBy("user_id").orderBy("ts"))
+        .alias("effective_to"),
+    ).withColumn("is_current", F.col("effective_to").isNull())
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(
+        clicks, dim, key="user_id", fact_time="ts", dim_columns=["tier"]
+    ).withColumnRenamed("tier", "tier_at_click")
+
+
+@register(
     "nation_revenue_rank",
     oracle="""
     WITH nat AS (
