@@ -385,6 +385,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     standard Spark shape for iterative algorithms. This is the one
     genuinely iterative operator in the engine — inexpressible in
     single-pass SQL (SURVEY §7.6)."""
+    if max_iterations <= 0:
+        raise RuntimeError(
+            f"dedup_clusters: max_iterations must be >= 1, got "
+            f"{max_iterations}"
+        )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -398,6 +403,21 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    def _release_checkpoint(df):
+        """Free the RDD blocks behind an eager localCheckpoint. The
+        checkpointed plan is a LogicalRDD leaf whose ``rdd`` member IS
+        the persisted checkpoint RDD; unpersisting it drops the
+        storage blocks. Without this every iteration leaks one full
+        label-table copy into block storage for the life of the
+        session (ADVICE r4 low #3). Best-effort: freeing memory must
+        never fail the job. Must be called on the checkpoint LEAF df,
+        not a projection over it."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    ckpt = labels  # the checkpoint leaf backing `labels` this round
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -430,6 +450,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         changed = updated.agg(
             F.sum(F.col("_changed").cast("int")).alias("n")
         ).collect()[0]["n"]
+        # `updated` is eagerly materialized, so the previous round's
+        # checkpoint blocks are no longer referenced — free them now.
+        _release_checkpoint(ckpt)
+        ckpt = updated
         labels = updated.drop("_changed")
         if not changed:
             break

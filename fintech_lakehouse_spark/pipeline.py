@@ -239,7 +239,18 @@ class MedallionPipeline:
                 .distinct()
                 .collect()
             }
-        except Exception:  # first run: no fact table yet
+        except Exception as exc:
+            # ONLY a missing fact table is "first run". A transient
+            # read error swallowed here would skip old-date recompute
+            # and leave a restated transaction's stale
+            # agg_daily_metrics row in place — the exact staleness bug
+            # this collect exists to fix (ADVICE r4 medium #2).
+            from fintech_lakehouse_spark.sources.writers import (
+                _is_missing_path,
+            )
+
+            if not _is_missing_path(exc):
+                raise
             old_dates = set()
         dates = sorted(dates | old_dates)
         upsert_lake_table(

@@ -24,6 +24,117 @@ def lake_format() -> str:
     return "delta" if delta_available() else "parquet"
 
 
+def _is_missing_path(exc: Exception) -> bool:
+    """True only for 'the target table does not exist yet' read errors
+    — the ONE condition first-run fallbacks may swallow. Everything
+    else (permission, corrupt footer, transient FS error) must
+    propagate: treating a transient read failure as "first run" would
+    silently overwrite or keep stale state (ADVICE r4 medium #2).
+
+    PATH_NOT_FOUND is the missing-dir error class;
+    UNABLE_TO_INFER_SCHEMA is its empty-dir sibling (the path exists
+    but holds no parquet footers — also a not-yet-written table)."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - very old pyspark
+        return "Path does not exist" in str(exc)
+    if not isinstance(exc, AnalysisException):
+        return False
+    cls = None
+    get_cls = getattr(exc, "getErrorClass", None)
+    if callable(get_cls):
+        try:
+            cls = get_cls()
+        except Exception:
+            cls = None
+    if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        return True
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+    )
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as a safe ANSI-SQL literal for the Delta
+    ``replaceWhere`` option (a string-only API). Quotes are doubled —
+    a value like ``O'Brien`` can neither break nor inject into the
+    predicate (ADVICE r4 medium #1); bools/dates/timestamps render as
+    typed literals, not bare words."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _key_in_values(key_col: str, values: list):
+    """Column predicate "key ∈ values" with explicit NULL semantics:
+    a None in ``values`` matches NULL keys (isin alone never would),
+    and the predicate coalesces to False so negation keeps NULL-keyed
+    rows instead of silently dropping them (three-valued ~NULL)."""
+    non_null = [v for v in values if v is not None]
+    cond = F.col(key_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(values):
+        cond = cond | F.col(key_col).isNull()
+    return F.coalesce(cond, F.lit(False))
+
+
+def _read_typed(
+    spark: SparkSession,
+    path: str,
+    like: DataFrame,
+    partition_cols: list[str] | None,
+) -> DataFrame:
+    """Parquet read with the PARTITION columns' types taken from
+    ``like``'s schema instead of directory-name inference. Partition
+    values live only in dir names, so a plain read re-infers their
+    type from the strings — '01' drifts to int 1 and a later
+    partitioned rewrite would re-dir it as p=1 (ADVICE r4 low #5).
+    Supplying an explicit schema disables that inference; the raw
+    directory string is cast to the declared type instead, so '01'
+    stays '01' for a string column. Non-partition columns keep the
+    parquet file types (overriding those could conflict with the
+    physical encoding)."""
+    if not partition_cols:
+        return spark.read.parquet(path)
+    from pyspark.sql.types import StructField, StructType
+
+    like_types = {f.name: f.dataType for f in like.schema.fields}
+    fields = [
+        StructField(
+            f.name,
+            like_types.get(f.name, f.dataType)
+            if f.name in set(partition_cols)
+            else f.dataType,
+            f.nullable,
+        )
+        for f in spark.read.parquet(path).schema.fields
+    ]
+    return spark.read.schema(StructType(fields)).parquet(path)
+
+
+def _cast_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Reselect ``df`` to exactly ``schema``'s columns and types. Used
+    after staging round-trips: a partitioned staging write stores the
+    partition column in directory names, and the re-read INFERS its
+    type from those strings — a string partition value like '01' would
+    drift to int 1 for a generic caller (ADVICE r4 low #5)."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def write_lake_table(
     df: DataFrame,
     path: str,
@@ -129,7 +240,9 @@ def upsert_lake_table(
     """
     try:
         existing = read_lake_table(spark, target_path)
-    except Exception:
+    except Exception as exc:
+        if not _is_missing_path(exc):
+            raise  # transient/corrupt reads are NOT "first run"
         write_lake_table(source_df, target_path, mode="overwrite",
                          partition_by=partition_by)
         return
@@ -155,6 +268,11 @@ def upsert_lake_table(
     # physical type than the rest of the table — which then fails every
     # full-table read. New columns (absent from the target) pass
     # through for mergeSchema-style evolution.
+    if partition_by:
+        # partition-column types can't come from the target — dir-name
+        # inference already drifted them ('01' → 1); the source batch
+        # is the only type witness for partition columns
+        existing = _read_typed(spark, target_path, source_df, partition_by)
     target_types = {f.name: f.dataType for f in existing.schema.fields}
     source_df = source_df.select(
         *[
@@ -213,7 +331,9 @@ def upsert_lake_table(
         merged.repartition(*[F.col(c) for c in partition_by]).write.format(
             "parquet"
         ).mode("overwrite").partitionBy(*partition_by).save(staging)
-        staged = spark.read.parquet(staging)
+        staged = _cast_to_schema(
+            _read_typed(spark, staging, merged, partition_by), merged.schema
+        )
         # Dynamic overwrite replaces ONLY the partition dirs present in
         # the staged data; untouched partitions keep their files.
         (
@@ -262,7 +382,14 @@ def upsert_lake_table(
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(staging)
-        w2 = spark.read.parquet(staging).write.format("parquet").mode("overwrite")
+        w2 = (
+            _cast_to_schema(
+                _read_typed(spark, staging, merged, partition_by),
+                merged.schema,
+            )
+            .write.format("parquet")
+            .mode("overwrite")
+        )
         if partition_by:
             w2 = w2.partitionBy(*partition_by)
         w2.save(target_path)
@@ -283,6 +410,7 @@ def replace_lake_rows(
     path: str,
     key_col: str,
     values: list,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Delete-then-insert for a bounded key set (the Delta
     ``replaceWhere`` overwrite, ref: Delta Lake public docs): every
@@ -294,29 +422,61 @@ def replace_lake_rows(
     rows (e.g. a date whose every fact row was restated to another
     date) would keep its stale aggregate row forever (ADVICE r2,
     incremental_fact_update). ``values`` is partition/date-cardinality
-    bounded, never row-scale."""
+    bounded, never row-scale.
+
+    The replace predicate is built from Column expressions (parquet
+    mode) / escaped typed literals (Delta's string-only replaceWhere)
+    — quote-bearing values, bools, dates and None all round-trip; a
+    None in ``values`` matches NULL keys. ``partition_by`` preserves
+    the target's partition layout through the rewrite (without it the
+    staged overwrite would silently flatten a partitioned table and
+    disable pruning for every later reader)."""
     try:
         existing = read_lake_table(spark, path)
-    except Exception:
-        write_lake_table(df, path, mode="overwrite")
+    except Exception as exc:
+        if not _is_missing_path(exc):
+            raise  # transient/corrupt reads are NOT "first run"
+        write_lake_table(df, path, mode="overwrite", partition_by=partition_by)
         return
     if lake_format() == "delta":
-        lits = ", ".join(
-            str(v) if isinstance(v, (int, float)) else f"'{v}'" for v in values
-        )
+        non_null = [v for v in values if v is not None]
+        preds = []
+        if non_null:
+            lits = ", ".join(_sql_literal(v) for v in non_null)
+            preds.append(f"{key_col} IN ({lits})")
+        if len(non_null) < len(values):
+            preds.append(f"{key_col} IS NULL")
         (
             df.write.format("delta")
             .mode("overwrite")
-            .option("replaceWhere", f"{key_col} IN ({lits})")
+            .option("replaceWhere", " OR ".join(preds) or "false")
             .save(path)
         )
         spark.catalog.refreshByPath(path)
         return
-    kept = existing.filter(~F.col(key_col).isin(list(values)))
+    if partition_by:
+        # re-read with the caller's partition-column types — the plain
+        # read above already drifted them via dir-name inference
+        existing = _read_typed(spark, path, df, partition_by)
+    kept = existing.filter(~_key_in_values(key_col, values))
     merged = kept.unionByName(df, allowMissingColumns=True)
     staging = path.rstrip("/") + "__staging"
-    merged.write.format("parquet").mode("overwrite").save(staging)
-    spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(path)
+    if partition_by:
+        merged = merged.repartition(*[F.col(c) for c in partition_by])
+    w = merged.write.format("parquet").mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(staging)
+    w2 = (
+        _cast_to_schema(
+            _read_typed(spark, staging, merged, partition_by), merged.schema
+        )
+        .write.format("parquet")
+        .mode("overwrite")
+    )
+    if partition_by:
+        w2 = w2.partitionBy(*partition_by)
+    w2.save(path)
     sc = spark.sparkContext
     jvm = sc._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(
@@ -469,6 +629,7 @@ def scd2_upsert(
     key: str,
     tracked_cols: list[str],
     ts_col: str = "effective_ts",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Slowly-Changing-Dimension Type 2 merge into a parquet dim table.
 
@@ -518,9 +679,14 @@ def scd2_upsert(
     )
     try:
         existing = spark.read.parquet(target_path)
-    except Exception:
-        write_lake_table(incoming, target_path, mode="overwrite")
+    except Exception as exc:
+        if not _is_missing_path(exc):
+            raise  # transient/corrupt reads are NOT "first run"
+        write_lake_table(incoming, target_path, mode="overwrite",
+                         partition_by=partition_by)
         return
+    if partition_by:
+        existing = _read_typed(spark, target_path, incoming, partition_by)
 
     history = existing.filter(~F.col("is_current"))
     current = existing.filter(F.col("is_current"))
@@ -575,10 +741,22 @@ def scd2_upsert(
         .unionByName(new_rows.select(*existing.columns))
     )
     staging = target_path.rstrip("/") + "__staging"
-    result.write.format("parquet").mode("overwrite").save(staging)
-    spark.read.parquet(staging).write.format("parquet").mode("overwrite").save(
-        target_path
+    if partition_by:
+        result = result.repartition(*[F.col(c) for c in partition_by])
+    w = result.write.format("parquet").mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(staging)
+    w2 = (
+        _cast_to_schema(
+            _read_typed(spark, staging, result, partition_by), result.schema
+        )
+        .write.format("parquet")
+        .mode("overwrite")
     )
+    if partition_by:
+        w2 = w2.partitionBy(*partition_by)
+    w2.save(target_path)
     sc = spark.sparkContext
     jvm = sc._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(

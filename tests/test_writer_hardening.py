@@ -1,0 +1,301 @@
+"""Regression tests for the ADVICE r4 hardening sweep (VERDICT r4
+items 2-4): narrow first-run exception handling, injection-safe
+replace predicates, partition-layout preservation through staged
+rewrites, staged-read type drift, and dedup_clusters guards."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.sources import writers
+from fintech_lakehouse_spark.sources.writers import (
+    _is_missing_path,
+    _sql_literal,
+    replace_lake_rows,
+    scd2_upsert,
+    upsert_lake_table,
+    write_lake_table,
+)
+
+
+# ---------------------------------------------------------------- narrow except
+
+
+def test_is_missing_path_classifier(spark, tmp_path):
+    """Only the missing-target error class counts as "first run"."""
+    with pytest.raises(Exception) as exc_info:
+        spark.read.parquet(str(tmp_path / "does_not_exist")).collect()
+    assert _is_missing_path(exc_info.value)
+
+    # a generic runtime failure is NOT first-run
+    assert not _is_missing_path(RuntimeError("connection reset"))
+
+    # an AnalysisException of a DIFFERENT class is NOT first-run
+    spark.range(3).createOrReplaceTempView("_imp_t")
+    with pytest.raises(Exception) as exc_info:
+        spark.sql("select no_such_column from _imp_t").collect()
+    assert not _is_missing_path(exc_info.value)
+
+
+def test_upsert_first_run_still_works(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    upsert_lake_table(spark, df, path, merge_keys=["id"])
+    assert spark.read.parquet(path).count() == 1
+
+
+@pytest.mark.parametrize("fn_name", ["upsert", "replace"])
+def test_transient_read_error_propagates(spark, tmp_path, monkeypatch, fn_name):
+    """A non-missing-path read failure must PROPAGATE, not silently
+    overwrite the target as if this were the first run (ADVICE r4
+    medium #2)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "keep")], "id long, v string")
+    write_lake_table(base, path)
+
+    def boom(*a, **k):
+        raise RuntimeError("transient fs error")
+
+    monkeypatch.setattr(writers, "read_lake_table", boom)
+    batch = spark.createDataFrame([(2, "new")], "id long, v string")
+    with pytest.raises(RuntimeError, match="transient fs error"):
+        if fn_name == "upsert":
+            upsert_lake_table(spark, batch, path, merge_keys=["id"])
+        else:
+            replace_lake_rows(spark, batch, path, key_col="id", values=[1])
+    # target untouched — the existing row survived, no blind overwrite
+    got = spark.read.parquet(path).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1, "keep")]
+
+
+def test_scd2_transient_read_error_propagates(spark, tmp_path, monkeypatch):
+    from pyspark.sql.readwriter import DataFrameReader
+
+    path = str(tmp_path / "dim")
+    first = spark.createDataFrame(
+        [("c1", "gold", datetime.datetime(2024, 1, 1))],
+        "id string, tier string, effective_ts timestamp",
+    )
+    scd2_upsert(spark, first, path, key="id", tracked_cols=["tier"])
+
+    orig = DataFrameReader.parquet
+
+    def boom(self, *paths, **kw):
+        if paths and paths[0] == path:
+            raise RuntimeError("transient fs error")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    nxt = spark.createDataFrame(
+        [("c1", "platinum", datetime.datetime(2024, 2, 1))],
+        "id string, tier string, effective_ts timestamp",
+    )
+    with pytest.raises(RuntimeError, match="transient fs error"):
+        scd2_upsert(spark, nxt, path, key="id", tracked_cols=["tier"])
+    monkeypatch.undo()
+    # history untouched: still exactly the initial current row
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0]["tier"] == "gold"
+
+
+def test_incremental_fact_update_read_error_propagates(
+    spark, tmp_path, monkeypatch
+):
+    """The old-dates collect in incremental_fact_update must not treat
+    a transient read failure as "first run" — that would skip the
+    old-date recompute and leave a restated transaction's stale
+    agg row in place while reporting success."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from fintech_lakehouse_spark.config import EngineConfig
+    from fintech_lakehouse_spark.pipeline import MedallionPipeline
+
+    config = EngineConfig(base_path=str(tmp_path / "lake"))
+    pipe = MedallionPipeline(spark, config)
+    fact_path = config.layer_path("gold", "fact_transactions")
+
+    orig = DataFrameReader.parquet
+
+    def boom(self, *paths, **kw):
+        if paths and paths[0] == fact_path:
+            raise RuntimeError("transient fs error")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    silver = spark.createDataFrame(
+        [
+            (
+                "t1",
+                "c1",
+                "m1",
+                datetime.date(2024, 1, 1),
+                datetime.datetime(2024, 1, 1, 10),
+            )
+        ],
+        "transaction_id string, customer_id string, merchant_id string,"
+        " transaction_date date, transaction_ts timestamp",
+    ).withColumn("amount_usd", F.lit(10.0).cast("decimal(18,2)"))
+    customers = spark.createDataFrame(
+        [("c1", "US", "retail")], "customer_id string, country string, segment string"
+    )
+    merchants = spark.createDataFrame(
+        [("m1", "grocery", "US")],
+        "merchant_id string, category string, country string",
+    )
+    with pytest.raises(RuntimeError, match="transient fs error"):
+        pipe.incremental_fact_update(silver, customers, merchants)
+
+
+# ------------------------------------------------------- predicate construction
+
+
+def test_sql_literal_escaping_and_types():
+    assert _sql_literal("O'Brien") == "'O''Brien'"
+    assert _sql_literal("x'; DROP TABLE t; --") == "'x''; DROP TABLE t; --'"
+    assert _sql_literal(True) == "true"
+    assert _sql_literal(False) == "false"
+    assert _sql_literal(None) == "NULL"
+    assert _sql_literal(3) == "3"
+    assert _sql_literal(datetime.date(2024, 1, 2)) == "DATE '2024-01-02'"
+    assert (
+        _sql_literal(datetime.datetime(2024, 1, 2, 3, 4, 5))
+        == "TIMESTAMP '2024-01-02 03:04:05'"
+    )
+
+
+def test_replace_lake_rows_quote_and_null_values(spark, tmp_path):
+    """Quote-bearing keys replace cleanly, a None in values matches
+    the NULL-keyed row, and NULL-keyed rows OUTSIDE the replace set
+    are kept (the old ~isin() three-valued-logic bug dropped them)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("O'Brien", 1), (None, 2), ("x", 3)], "k string, n long"
+    )
+    write_lake_table(base, path)
+
+    # replace only the quote-bearing key: NULL row must SURVIVE
+    repl = spark.createDataFrame([("O'Brien", 10)], "k string, n long")
+    replace_lake_rows(spark, repl, path, key_col="k", values=["O'Brien"])
+    got = {(r["k"], r["n"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("O'Brien", 10), (None, 2), ("x", 3)}
+
+    # replace the NULL key explicitly via None in values
+    repl2 = spark.createDataFrame([(None, 20)], "k string, n long")
+    replace_lake_rows(spark, repl2, path, key_col="k", values=[None])
+    got = {(r["k"], r["n"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("O'Brien", 10), (None, 20), ("x", 3)}
+
+
+# -------------------------------------------------- partition layout + types
+
+
+def test_replace_lake_rows_preserves_partition_layout(spark, tmp_path):
+    """partition_by threads through the staged rewrite: partition dirs
+    survive and a string partition value like '01' does NOT drift to
+    int through the staging re-read (ADVICE r4 lows #4/#5)."""
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("01", "a", 1), ("02", "b", 2)], "p string, k string, n long"
+    )
+    write_lake_table(base, path, partition_by=["p"])
+    repl = spark.createDataFrame([("01", "a", 10)], "p string, k string, n long")
+    replace_lake_rows(
+        spark, repl, path, key_col="k", values=["a"], partition_by=["p"]
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert dirs == ["p=01", "p=02"], "partition layout lost or value drifted"
+    # a schema-aware read (how typed consumers read a lake table)
+    # round-trips the leading-zero string value exactly
+    out = spark.read.schema(base.schema).parquet(path)
+    got = {(r["p"], r["k"], r["n"]) for r in out.collect()}
+    assert got == {("01", "a", 10), ("02", "b", 2)}
+
+
+def test_upsert_staged_read_keeps_string_partition_type(spark, tmp_path):
+    """Selective upsert stages through a partitioned dir; the re-read
+    must cast partition values back to the target schema instead of
+    re-inferring '01' as int 1 (which would rewrite dirs as p=1)."""
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("01", 1, "a"), ("02", 2, "b")], "p string, id long, v string"
+    )
+    write_lake_table(base, path, partition_by=["p"])
+    batch = spark.createDataFrame([("01", 1, "A")], "p string, id long, v string")
+    upsert_lake_table(
+        spark, batch, path, merge_keys=["id"], partition_by=["p"]
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert dirs == ["p=01", "p=02"]
+    out = spark.read.schema(base.schema).parquet(path)
+    assert {(r["p"], r["id"], r["v"]) for r in out.collect()} == {
+        ("01", 1, "A"),
+        ("02", 2, "b"),
+    }
+
+
+def test_scd2_upsert_partition_by_threads_through(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "dim")
+    first = spark.createDataFrame(
+        [("c1", "gold", datetime.datetime(2024, 1, 1))],
+        "id string, tier string, effective_ts timestamp",
+    )
+    scd2_upsert(
+        spark, first, path, key="id", tracked_cols=["tier"],
+        partition_by=["is_current"],
+    )
+    nxt = spark.createDataFrame(
+        [("c1", "platinum", datetime.datetime(2024, 2, 1))],
+        "id string, tier string, effective_ts timestamp",
+    )
+    scd2_upsert(
+        spark, nxt, path, key="id", tracked_cols=["tier"],
+        partition_by=["is_current"],
+    )
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("is_current=")
+    )
+    assert dirs == ["is_current=false", "is_current=true"]
+    out = spark.read.parquet(path).withColumn(
+        "is_current", F.col("is_current").cast("boolean")
+    )
+    cur = out.filter(F.col("is_current")).collect()
+    assert len(cur) == 1 and cur[0]["tier"] == "platinum"
+    closed = out.filter(~F.col("is_current")).collect()
+    assert len(closed) == 1 and closed[0]["tier"] == "gold"
+
+
+# ------------------------------------------------------------- dedup_clusters
+
+
+def test_dedup_clusters_rejects_nonpositive_iterations(spark):
+    from fintech_lakehouse_spark.functions.text import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        dedup_clusters(pairs, max_iterations=0)
+
+
+def test_dedup_clusters_releases_per_round_checkpoints(spark):
+    """Iterations localCheckpoint each round; every superseded round's
+    blocks must be freed — only the final labels checkpoint (consumed
+    by the caller) may remain persisted."""
+    from fintech_lakehouse_spark.functions.text import dedup_clusters
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    # a chain forces several pointer-jump rounds before convergence
+    chain = [(i, i + 1) for i in range(16)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    labels = dedup_clusters(pairs, max_iterations=20)
+    assert labels.select("cluster_id").distinct().count() == 1
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1, (
+        f"checkpoint leak: {after - before} extra persisted RDDs"
+    )
