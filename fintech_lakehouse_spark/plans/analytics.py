@@ -190,15 +190,40 @@ def status_pivot_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # sketch-based → rows-only check
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE                                    AS approx_within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB replacement
-    for exact distinct counts (SURVEY §7.4 note 6). Sketches are
-    engine-specific ⇒ no SQL oracle; the driver records rows-only."""
+    for exact distinct counts (SURVEY §7.4 note 6). The raw sketch
+    estimate is engine-specific, so it can't be value-hashed against
+    DuckDB directly — instead the query emits the exact count plus a
+    BOUNDED-RELATIVE-ERROR FLAG (|approx − exact| / exact ≤ 5·rsd;
+    HLL++ is deterministic for fixed data, so the flag is stable), and
+    the oracle asserts the flag is TRUE alongside the exact counts
+    (VERDICT r4 item 6: boolean IS hashable). A red driver row now
+    means the sketch drifted out of its accuracy contract — a real
+    check instead of rows-only. The tightness unit test for the bound
+    lives in tests/test_functions.py."""
     events = load_table(spark, sf_dir, "events")
+    rsd = 0.01
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd).alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 5 * rsd * F.col("exact_users")
+        ).alias("approx_within_bounds"),
     )
 
 
