@@ -65,3 +65,87 @@ def test_dq_checker_reference_call_shape(spark, sf_dir):
     )
     assert report.total_checks == 4
     assert {r.check_type for r in report.results} <= set(compat.DQCheckType)
+
+
+def test_dq_report_field_for_field_conformance(spark):
+    """Pin the full DQReport against hand-computed values (VERDICT r4
+    item 7) so the compat DQ surface can't drift.
+
+    Normative-behavior note (SURVEY §7.4 item 4): the reference stores
+    pass_rate ×100 (data_quality.py:534) while comparing the 0-1
+    fraction against the 0-1 threshold (:519-520) — an internal
+    inconsistency. We keep the :519-520 COMPARISON as normative:
+    pass_rate is the 0-1 fraction, consistent with the threshold. The
+    completeness_id case below distinguishes the two conventions: at
+    0.8 < 0.95 it correctly FAILS, whereas an ×100 store compared
+    against the raw threshold (80 >= 0.95) would vacuously pass."""
+    rows = [
+        ("t1", 10.0, "USD"),
+        ("t2", 20.0, "EUR"),
+        ("t3", -5.0, "USD"),          # below range min
+        ("t3", 30.0, "USD"),          # duplicate id
+        ("t4", float("nan"), "USD"),  # NaN: completeness fail + range fail
+        ("t5", 40.0, "GBP"),          # not in currency set
+        ("t6", 50.0, None),           # null currency: set-check exempt
+        (None, 60.0, "USD"),          # null id
+        ("", 70.0, "EUR"),            # blank id
+        ("t7", 80.0, "USD"),
+    ]
+    df = spark.createDataFrame(rows, "id string, amount double, currency string")
+    report = (
+        compat.DataQualityChecker(df, "txns")
+        .check_completeness(["id", "amount"], threshold=0.95)
+        .check_completeness(
+            ["currency"], threshold=0.5, severity=compat.DQSeverity.WARNING
+        )
+        .check_range("amount", 0.01, 100_000)
+        .check_values_in_set("currency", ["USD", "EUR"])
+        .check_uniqueness(["id"])
+        .run()
+    )
+
+    got = [
+        (
+            r.check_name,
+            r.check_type,
+            r.severity,
+            r.passed,
+            r.total_records,
+            r.failed_records,
+            round(r.pass_rate, 10),
+        )
+        for r in report.results
+    ]
+    C, W = compat.DQSeverity.CRITICAL, compat.DQSeverity.WARNING
+    T = compat.DQCheckType
+    assert got == [
+        # null + blank id → 2/10 fail; 0.8 < 0.95 ⇒ FAILS (see docstring)
+        ("completeness_id", T.COMPLETENESS, C, False, 10, 2, 0.8),
+        # one NaN amount
+        ("completeness_amount", T.COMPLETENESS, C, False, 10, 1, 0.9),
+        # one null currency, threshold 0.5 ⇒ passes
+        ("completeness_currency", T.COMPLETENESS, W, True, 10, 1, 0.9),
+        # -5.0 below min, and NaN: Spark orders NaN greater than any
+        # numeric, so NaN > max also counts out-of-range → 2 fails
+        ("range_amount", T.VALIDITY, C, False, 10, 2, 0.8),
+        # GBP invalid; the null currency row is exempt by contract
+        ("values_in_set_currency", T.VALIDITY, W, False, 10, 1, 0.9),
+        # 9 distinct ids (null and blank each their own group) of 10
+        ("uniqueness_id", T.UNIQUENESS, C, False, 10, 1, 0.9),
+    ]
+
+    assert report.passed is False  # CRITICAL failures present
+    assert report.total_checks == 6
+    assert report.failed_checks == 5
+    assert report.summary() == {
+        "table": "txns",
+        "passed": False,
+        "total_checks": 6,
+        "failed_checks": 5,
+        "critical_failures": [
+            "completeness_id",
+            "completeness_amount",
+            "range_amount",
+            "uniqueness_id",
+        ],
+    }
