@@ -223,3 +223,75 @@ def test_hash_sampling_properties(spark, n, rate_pct, salt):
 
     sigma = math.sqrt(n * rate * (1 - rate))
     assert abs(len(s) - n * rate) <= 4 * sigma + 1
+
+
+@given(
+    initial=st.dictionaries(
+        st.integers(0, 5),
+        st.tuples(st.integers(0, 3) | st.none(), st.sampled_from(["a", "b", None])),
+        max_size=6,
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("upsert"),
+                st.integers(0, 5),
+                st.integers(0, 3) | st.none(),
+                st.sampled_from(["a", "b", None]),
+            ),
+            st.tuples(st.just("delete"), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_replay_recovers_state(spark, initial, ops):
+    """CDF-consumer guarantee (VERDICT r4 item 8): applying the
+    snapshot_diff changelog (insert/update ⇒ set NEW values, delete ⇒
+    drop key) to the OLD state reconstructs the NEW state exactly —
+    for random op sequences of upserts (incl. restates to NULL and
+    no-op restates) and deletes, with null-bearing compare columns.
+    Also pins changelog minimality: unchanged keys emit no row."""
+    from fintech_lakehouse_spark.sources.writers import snapshot_diff
+
+    schema = "k int, v int, w string"
+
+    old_model = dict(initial)
+    new_model = dict(initial)
+    for op in ops:
+        if op[0] == "upsert":
+            new_model[op[1]] = (op[2], op[3])
+        else:
+            new_model.pop(op[1], None)
+
+    def to_df(model):
+        return spark.createDataFrame(
+            [(k, v, w) for k, (v, w) in model.items()], schema
+        )
+
+    changelog = snapshot_diff(to_df(old_model), to_df(new_model), keys=["k"])
+    rows = changelog.collect()
+
+    # replay onto the old state
+    replayed = dict(old_model)
+    for r in rows:
+        if r["_change_type"] == "delete":
+            assert r["k"] in replayed, "delete for a key absent from old"
+            del replayed[r["k"]]
+        else:
+            replayed[r["k"]] = (r["v"], r["w"])
+    assert replayed == new_model
+
+    # change types are exact and the changelog is change-cardinality
+    # sized: one row per changed key, none for unchanged keys
+    expected_types = {}
+    for k in set(old_model) | set(new_model):
+        if k not in old_model:
+            expected_types[k] = "insert"
+        elif k not in new_model:
+            expected_types[k] = "delete"
+        elif old_model[k] != new_model[k]:
+            expected_types[k] = "update"
+    assert {r["k"]: r["_change_type"] for r in rows} == expected_types
+    assert len(rows) == len(expected_types)
