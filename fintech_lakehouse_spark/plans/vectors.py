@@ -292,3 +292,56 @@ def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH vals AS (
+        SELECT generate_subscripts(embedding, 1) - 1            AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                AS val
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT)                             AS n_vals,
+           MIN(val)                                             AS min_val,
+           MAX(val)                                             AS max_val,
+           ROUND((MAX(val) - MIN(val)) / 255, 6)                AS int8_scale
+    FROM vals
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension calibration table for int8 embedding quantization
+    (SURVEY §7.6 [NEW]): global min/max per vector dimension plus the
+    derived symmetric-range scale ((max−min)/255) — the table an
+    affine-quantization step broadcasts to compress float32 vectors
+    4× before ANN indexing at 100 TB.
+
+    Shape: posexplode (JVM-side generator, no UDF) fans each vector
+    into (dim, value) rows, then groupBy(dim) — map-side partial
+    aggregation collapses every task to ≤ d rows before the shuffle,
+    so the exchange moves O(tasks × d) rows regardless of corpus
+    size; the result is d rows total. min/max are order-independent
+    (unlike a float sum), so the values — and the scale derived from
+    them in exact double arithmetic — are bit-identical across
+    engines; no rounding flake."""
+    emb = _embeddings_double(spark, sf_dir)
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .select(
+            "dim",
+            "n_vals",
+            "min_val",
+            "max_val",
+            F.round((F.col("max_val") - F.col("min_val")) / 255, 6).alias(
+                "int8_scale"
+            ),
+        )
+    )
