@@ -174,3 +174,68 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@register(
+    "order_snapshot_changelog",
+    oracle="""
+    SELECT * FROM (
+        WITH old_snap AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        new_snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 5 <> 0
+        )
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                    ELSE n.o_totalprice END         AS o_totalprice,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                    ELSE n.o_orderstatus END        AS o_orderstatus,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_totalprice <> n.o_totalprice
+                         OR o.o_orderstatus <> n.o_orderstatus THEN 'update'
+               END AS change_type
+        FROM old_snap o FULL OUTER JOIN new_snap n
+          ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+)
+def order_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing as a registered query (SURVEY §7.6
+    snapshot changelog / Delta CDF analog, previously unit-only):
+    two deterministic snapshots are derived from ``orders`` — the old
+    one missing keys ≡0 (mod 7) (→ inserts), the new one missing keys
+    ≡0 (mod 5) (→ deletes) and doubling o_totalprice on keys ≡0
+    (mod 3) (→ updates; exact in binary floating point) — and
+    ``snapshot_diff`` emits the insert/update/delete changelog with
+    NEW values for upserts and OLD values for deletes.
+
+    Scale shape: one full-outer equi-join on the key — the unavoidable
+    lower bound for differencing two snapshots (incremental systems
+    avoid it by recording changes at write time, which is what the
+    env-gated Delta CDF branch does); unchanged keys are dropped
+    before any downstream work, so the output is change-cardinality
+    sized. The replay ≡ direct-state guarantee is property-tested in
+    tests/test_property_based.py; this entry pins the exact changelog
+    against the SQL twin under the driver's hash check."""
+    from fintech_lakehouse_spark.sources.writers import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old_snap = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new_snap = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old_snap, new_snap, keys=["o_orderkey"]
+    ).withColumnRenamed("_change_type", "change_type")
