@@ -1222,3 +1222,90 @@ def approx_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimates_md5(
         sketch, top, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
     )
+
+
+@register(
+    "doc_top_rare_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        FROM documents WHERE doc_id < 200
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df
+                   AS rarity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE)
+                            * (SELECT n_docs FROM n) / df.df DESC,
+                            tf.token
+               ) AS rnk
+        FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, df, ROUND(rarity, 4) AS rarity, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def doc_top_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (SURVEY §7.6 extension): top-3
+    tokens per doc by a tf·(N/df) rarity score — tf-idf with the
+    inverse-document-frequency ratio left un-logged, which keeps every
+    arithmetic step a single IEEE operation (int→double cast, one
+    multiply, one divide — each correctly rounded by the standard) so
+    the score is BIT-IDENTICAL across engines; a log-based idf would
+    hang the hash check on libm's 1-ulp slack. Ties break on the token
+    for a total, oracle-stable order. The doc_id<200 cap bounds the
+    driver payload (3 rows/doc), not the computation pattern.
+
+    Scale shape: token explode → per-(doc,token) tf (map-side partial
+    agg) → token df agg → join tf⋈df on token (df side is
+    vocabulary-sized — broadcastable after pruning) → per-doc window
+    top-3. The window partitions by doc_id, so no global sort; the
+    corpus-wide constant N arrives via a 1-row cross join, the same
+    scale-safe global-statistic pattern as quality_above_mean_prune."""
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = tok.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    rarity = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        rarity.desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(rarity, 4).alias("rarity"),
+            "rnk",
+        )
+    )
