@@ -297,3 +297,49 @@ def priority_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "approx_quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           TRUE AS q25_within_bounds,
+           TRUE AS q50_within_bounds,
+           TRUE AS q75_within_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) checked against the
+    exact percentiles — the 100 TB quantile path (SURVEY §7.4 note 6:
+    approx variants alongside exact ones), driver-verified the same
+    way as approx_distinct_users: the sketch value itself is
+    engine-specific AND merge-order sensitive, so the query emits the
+    exact quartiles plus BOUNDED-ERROR FLAGS. accuracy=100 guarantees
+    rank error ≤ 1% of the group; l_quantity is dense integers 1-50,
+    so 1% of rank translates to ≲1 quantity unit — the flags assert
+    |approx − exact| ≤ 2, comfortably inside the contract, and the
+    DuckDB twin pins them TRUE alongside the exact values. A red row
+    means the sketch left its guarantee, not float noise."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.expr("approx_percentile(l_quantity, 0.25, 100)").alias("_a25"),
+        F.expr("approx_percentile(l_quantity, 0.50, 100)").alias("_a50"),
+        F.expr("approx_percentile(l_quantity, 0.75, 100)").alias("_a75"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "q25",
+        "q50",
+        "q75",
+        (F.abs(F.col("_a25") - F.col("q25")) <= 2).alias("q25_within_bounds"),
+        (F.abs(F.col("_a50") - F.col("q50")) <= 2).alias("q50_within_bounds"),
+        (F.abs(F.col("_a75") - F.col("q75")) <= 2).alias("q75_within_bounds"),
+    )
