@@ -6,7 +6,9 @@ token-suffixed so copies share NO n-grams (cross-copy contamination
 stays zero, per-copy structure is preserved), then time
 test_set_decontamination and sequence_pack_manifest at each scale.
 
-Usage: python scripts/scale_corpus_bench.py [k ...]   (default 1 4 16)
+Usage: python scripts/scale_corpus_bench.py [--queries a,b] [k ...]
+(default queries test_set_decontamination + sequence_pack_manifest,
+default k 1 4 16; any documents-only registry query works)
 Writes multiplied corpora under /tmp/scale_corpus/, prints one
 markdown table row per (query, k).
 """
@@ -63,14 +65,19 @@ def build(spark, k: int) -> str:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    names = QUERY_NAMES
+    if args and args[0] == "--queries":
+        names = args[1].split(",")
+        args = args[2:]
+    ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(
         "scale-corpus",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         extra_conf={"spark.sql.shuffle.partitions": "32"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for name in QUERY_NAMES:
+    for name in names:
         # codegen warmup at the smallest sf
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
@@ -80,7 +87,7 @@ def main() -> None:
     for k in ks:
         sf_dir = build(spark, k)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        for name in QUERY_NAMES:
+        for name in names:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
