@@ -357,3 +357,60 @@ def customer_order_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(running), 2).alias("first_value_price"),
         F.nth_value("o_orderkey", 2).over(full).alias("second_orderkey"),
     ).distinct()
+
+
+@register(
+    "customer_spend_distribution",
+    oracle="""
+    WITH spend AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, spend,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY spend, c_custkey), 6) AS pct_rank_in_segment,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY spend, c_custkey), 6) AS cume_in_segment
+    FROM spend
+    """,
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (SURVEY §2.5 W4 — completes the window
+    -function gallery): each customer's spend position within their
+    market segment as a [0,1] distributional rank — the
+    feature-engineering shape for "is this customer in the segment's
+    top decile". Both functions are rational counts divided by group
+    size ((rank−1)/(n−1), rows≤current/n): single IEEE divisions of
+    exact integers, bit-identical across engines; c_custkey breaks
+    spend ties so the order — and therefore every rank — is total and
+    oracle-stable. Spend itself is the exact-decimal round-then-cast
+    pattern (plans/_num.py).
+
+    Scale shape: one fact⋈dim equi-join, per-customer partial-agg
+    groupBy, then a window partitioned by segment — the window
+    shuffles on the segment key only after aggregation has collapsed
+    the fact to one row per customer. No global window."""
+    from fintech_lakehouse_spark.plans._num import dsum, money
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dsum(money("o_totalprice")).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").asc(), F.col("c_custkey").asc()
+    )
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_in_segment"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_in_segment"),
+    )
