@@ -678,3 +678,86 @@ def test_foreach_batch_scd2_builds_history(spark, tmp_path):
     # replay from a fresh checkpoint: same end state (idempotent)
     run("ck2")
     assert spark.read.parquet(target).count() == 3
+
+
+def test_foreach_batch_cdf_changelog_replays_to_table(spark, tmp_path):
+    """CDF-producer sink: two ordered micro-batches through
+    foreach_batch_cdf must (a) leave the upsert table in the merged
+    state, (b) record exactly the insert/update rows per batch — a
+    re-sent identical row produces NO changelog row — and (c) the
+    changelog replayed in batch order must reconstruct the table
+    (the write-time analog of Delta CDF)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from fintech_lakehouse_spark.streaming import foreach_batch_cdf
+
+    src = tmp_path / "updates_stream"
+    src.mkdir()
+    # batch 1: five inserts. batch 2: two updates, one identical
+    # re-send (u4 - must NOT appear in the changelog), one new key.
+    b1 = pd.DataFrame(
+        {"user_id": [f"u{i}" for i in range(1, 6)],
+         "tier": ["bronze"] * 5, "v": [1] * 5}
+    )
+    b2 = pd.DataFrame(
+        {"user_id": ["u2", "u3", "u4", "u6"],
+         "tier": ["gold", "silver", "bronze", "bronze"],
+         "v": [2, 2, 1, 1]}
+    )
+    b1.to_parquet(src / "b1.parquet", index=False)
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    b2.to_parquet(src / "b2.parquet", index=False)
+    os.utime(src / "b1.parquet", (1, 1))
+
+    target = str(tmp_path / "tiers")
+    changelog = str(tmp_path / "tiers_cdf")
+    stream = (
+        spark.readStream.schema("user_id string, tier string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_cdf(target, changelog, key="user_id", order_by="v")
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    table = {
+        r["user_id"]: (r["tier"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert table == {
+        "u1": ("bronze", 1), "u2": ("gold", 2), "u3": ("silver", 2),
+        "u4": ("bronze", 1), "u5": ("bronze", 1), "u6": ("bronze", 1),
+    }
+
+    cdf = spark.read.parquet(changelog).collect()
+    by_batch = {}
+    for r in cdf:
+        by_batch.setdefault(r["_batch_id"], []).append(r)
+    assert len(by_batch) == 2
+    first, second = (by_batch[k] for k in sorted(by_batch))
+    assert {r["_change_type"] for r in first} == {"insert"}
+    assert len(first) == 5
+    # u4's identical re-send is a no-op: exactly 3 changelog rows
+    assert {(r["user_id"], r["_change_type"]) for r in second} == {
+        ("u2", "update"), ("u3", "update"), ("u6", "insert"),
+    }
+
+    # replay the changelog in batch order => reconstructs the table
+    replayed = {}
+    for k in sorted(by_batch):
+        for r in by_batch[k]:
+            if r["_change_type"] == "delete":
+                replayed.pop(r["user_id"], None)
+            else:
+                replayed[r["user_id"]] = (r["tier"], r["v"])
+    assert replayed == table
