@@ -472,13 +472,25 @@ def reset_stage_caches() -> None:
     (~3 s at sf0.1) — best-of-N then reports the artifact as the
     query's cost (VERDICT r3 wrong-item 2). Production consumers
     (duplicate_clusters, corpus_dedup_survivors in one session) keep
-    the shared cache — only timing protocols need the reset."""
+    the shared cache — only timing protocols need the reset.
+
+    Also releases the builders' TRANSIENT caches
+    (functions.text.release_transient_caches): an inner cache the
+    registry dict doesn't track still matches the rebuilt plan in
+    Spark's CacheManager, so without this a "cold" repeat silently
+    reuses the previous run's LSH candidate table (measured 1.4 s vs
+    3.4 s true-cold minhash at sf0.1 — the r5 bench artifact)."""
+    from fintech_lakehouse_spark.functions.text import (
+        release_transient_caches,
+    )
+
     for _, pairs in _VERIFIED_PAIRS_CACHE.values():
         try:
             pairs.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
     _VERIFIED_PAIRS_CACHE.clear()
+    release_transient_caches()
 
 
 def verified_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +516,13 @@ def verified_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = lsh_band_pairs_md5(signatures, n_hashes=32, n_bands=8)
     pairs = verified_jaccard_pairs(documents, candidates, n=3, threshold=0.5).cache()
     pairs.count()  # materialize before consumers branch (lineage runs once)
+    # the candidate table was only needed to build `pairs` — free it
+    # now (an eviction-triggered recompute of pairs rebuilds it)
+    from fintech_lakehouse_spark.functions.text import (
+        release_transient_caches,
+    )
+
+    release_transient_caches()
     _VERIFIED_PAIRS_CACHE[key] = (spark, pairs)
     return pairs
 

@@ -299,3 +299,21 @@ def test_dedup_clusters_releases_per_round_checkpoints(spark):
     assert after <= before + 1, (
         f"checkpoint leak: {after - before} extra persisted RDDs"
     )
+
+
+def test_reset_stage_caches_empties_cache_manager(spark):
+    """Bench cold-run protocol (r5 artifact): the LSH candidate table
+    cached INSIDE verified_jaccard_pairs must not survive
+    reset_stage_caches — a leaked inner cache matches the rebuilt
+    plan in Spark's CacheManager and a 'cold' repeat silently reuses
+    it (measured 1.4 s vs 3.4 s true-cold minhash at sf0.1). After
+    reset, the session-wide CacheManager must be EMPTY."""
+    from fintech_lakehouse_spark.plans.text import (
+        reset_stage_caches,
+        verified_pairs_stage,
+    )
+
+    reset_stage_caches()  # isolate from caches left by other tests
+    verified_pairs_stage(spark, "/root/testdata/sf0.001").count()
+    reset_stage_caches()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
