@@ -430,3 +430,136 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("potential_revenue"),
         )
     )
+
+
+@register(
+    "sole_late_supplier_orders",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 90
+    )
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to the test lake's columns (no
+    commitdate/receiptdate — "late" is shipping >90 days after the
+    order date): for each supplier, count multi-supplier orders where
+    THEY were the only late supplier. The signature composition —
+    EXISTS plus NOT EXISTS against the SAME fact with an inequality
+    on the correlation key — realizes as a left-SEMI then a
+    left-ANTI self-join (equi on orderkey carries the shuffle, the
+    suppkey inequality rides as a join residual), the plan Spark
+    needs at 100 TB because neither quantifier widens or duplicates
+    the probe side. Late lines are first collapsed to DISTINCT
+    (orderkey, suppkey) so multi-line orders count once. Top-20 by a
+    total order (numwait desc, name) is TakeOrderedAndProject."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            > 90
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3")
+    )
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_k2"))
+            & (F.col("l_suppkey") != F.col("_s2")),
+            "leftsemi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("_k3"))
+            & (F.col("l_suppkey") != F.col("_s3")),
+            "leftanti",
+        )
+    )
+    out = (
+        sole_late.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+    return out
+
+
+@register(
+    "high_volume_part_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type LIKE 'PROMO%'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 50
+    )
+    ORDER BY s_name
+    """,
+)
+def high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted to the test lake (no partsupp table —
+    availability is proxied by shipped volume): suppliers whose total
+    shipped quantity of PROMO-type parts exceeds a threshold. The
+    signature structure — IN over a GROUP BY ... HAVING subquery —
+    realizes as an aggregate-then-left-SEMI chain: the fact⋈part
+    semi-filter prunes to promo lines (dim broadcast), the per-
+    supplier aggregate collapses the fact map-side before its
+    shuffle, the HAVING is a post-agg filter, and the final semi join
+    never duplicates supplier rows. The sort is supplier-cardinality,
+    post-aggregation."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    promo_volume = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type").like("PROMO%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            promo_volume, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
