@@ -563,3 +563,120 @@ def high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+    ),
+    mins AS (
+        SELECT l_partkey, MIN(unit_price) AS min_unit_price
+        FROM unit GROUP BY l_partkey
+    )
+    SELECT u.l_partkey AS partkey, u.l_suppkey AS suppkey,
+           ROUND(u.unit_price, 4) AS unit_price
+    FROM unit u JOIN mins m
+      ON u.l_partkey = m.l_partkey AND u.unit_price = m.min_unit_price
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery): for each part of one
+    brand, the supplier(s) offering the minimum unit price — realized
+    as groupwise-MIN then an equality JOIN-BACK, the decorrelated
+    plan Spark produces for `WHERE price = (SELECT MIN … WHERE
+    correlated)`. Unlike the window-argmin formulation
+    (latest_order_per_customer), the join-back returns ALL tied
+    minima — Q2's actual semantics. The equality on a computed DOUBLE
+    is safe cross-engine: both sides evaluate the identical IEEE
+    division of the same inputs, and the comparison happens
+    engine-side (the hashed output rounds only for display). Brand
+    filter broadcast into the fact scan bounds the probe; the min agg
+    collapses map-side before its shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    unit = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mins = unit.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    return (
+        unit.join(
+            mins,
+            (F.col("l_partkey") == F.col("_mk"))
+            & (F.col("unit_price") == F.col("min_unit_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+    )
+
+
+@register(
+    "nation_market_share_by_year",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS order_year,
+           {sql_dsum(f"CASE WHEN n_name = 'NATION_7' THEN {sql_money('l_extendedprice')} ELSE CAST(0 AS DECIMAL(12,2)) END")}
+               AS nation_revenue,
+           {sql_dsum(sql_money('l_extendedprice'))} AS total_revenue,
+           ROUND({sql_dsum(f"CASE WHEN n_name = 'NATION_7' THEN {sql_money('l_extendedprice')} ELSE CAST(0 AS DECIMAL(12,2)) END")}
+                 / {sql_dsum(sql_money('l_extendedprice'))}, 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): per order year, the fraction of
+    global supplier revenue contributed by one nation — the
+    conditional-fraction pattern (SUM(CASE)/SUM) computed in ONE
+    aggregate pass instead of a self-join of two aggregates. Both
+    sums follow the exact-decimal round-then-cast discipline
+    (plans/_num.py); the share divides the two already-rounded
+    doubles, a single IEEE op, then rounds — deterministic on both
+    engines. Scale shape: dims (supplier, nation) broadcast; the one
+    fact-fact exchange is lineitem⋈orders on orderkey; the yearly
+    aggregate collapses map-side to ≤7 rows per task."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    is_n7 = F.col("n_name") == "NATION_7"
+    zero = F.lit(0).cast("decimal(12,2)")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("order_year")
+    ).agg(
+        dsum(F.when(is_n7, money("l_extendedprice")).otherwise(zero)).alias(
+            "nation_revenue"
+        ),
+        dsum(money("l_extendedprice")).alias("total_revenue"),
+    )
+    return agg.select(
+        "order_year",
+        "nation_revenue",
+        "total_revenue",
+        F.round(
+            F.col("nation_revenue") / F.col("total_revenue"), 6
+        ).alias("mkt_share"),
+    )
