@@ -55,6 +55,23 @@ def _plan(df) -> str:
         ("top_revenue_supplier", ["BroadcastHashJoin"]),
         # Q6-shape: every banded predicate reaches the scan.
         ("forecast_revenue_change", ["PushedFilters: [IsNotNull"]),
+        # Q21-shape: EXISTS + NOT EXISTS realize as semi then anti
+        # self-joins (never a widening inner join), top-k never sorts.
+        (
+            "sole_late_supplier_orders",
+            ["LeftSemi", "LeftAnti", "TakeOrderedAndProject"],
+        ),
+        # Q20-shape: IN-over-HAVING is an aggregate-then-semi chain
+        # with the filtered part dim broadcast.
+        ("high_volume_part_suppliers", ["LeftSemi", "BroadcastHashJoin"]),
+        # Q2-shape: the brand dim broadcasts into the fact probe.
+        ("cheapest_supplier_per_part", ["BroadcastHashJoin"]),
+        # Q8-shape: supplier/nation dims broadcast; single conditional
+        # aggregate pass (no self-join of two aggregates).
+        ("nation_market_share_by_year", ["BroadcastHashJoin"]),
+        # int8 calibration: posexplode collapses map-side before the
+        # one dim-cardinality exchange.
+        ("embedding_dim_stats", ["Generate", "HashAggregate"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
