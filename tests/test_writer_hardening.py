@@ -313,7 +313,8 @@ def test_reset_stage_caches_empties_cache_manager(spark):
         verified_pairs_stage,
     )
 
-    reset_stage_caches()  # isolate from caches left by other tests
+    reset_stage_caches()  # drop OUR tracked caches before the clear
+    spark.catalog.clearCache()  # other tests' caches are not ours to track
     verified_pairs_stage(spark, "/root/testdata/sf0.001").count()
     reset_stage_caches()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
