@@ -680,3 +680,63 @@ def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_revenue") / F.col("total_revenue"), 6
         ).alias("mkt_share"),
     )
+
+
+@register(
+    "nation_profit_by_year",
+    oracle=f"""
+    SELECT n_name,
+           CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS order_year,
+           {sql_dsum(f"{_SQL_DISC_PRICE} - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.08 AS DECIMAL(3,2))")}
+               AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name, 2
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to the test lake (no partsupp —
+    supply cost is proxied as 8% of the part's retail price): profit
+    per supplier nation per order year, where the measure is a
+    DERIVED DECIMAL EXPRESSION over columns from three relations
+    (discounted revenue minus proxied cost), not a bare column sum.
+    All arithmetic stays in controlled-width decimals until the final
+    round-then-cast (plans/_num.py discipline) so the 175-group sums
+    hash exactly against DuckDB.
+
+    Scale shape: part/supplier/nation broadcast (part is the largest
+    dim — 2k rows at sf0.01, still far under the broadcast
+    threshold at any realistic dim size); the single fact-fact
+    exchange is lineitem⋈orders on orderkey; the (nation, year)
+    aggregate collapses map-side to ≤175 rows per task before its
+    shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    from fintech_lakehouse_spark.plans._num import one_minus
+
+    cost_rate = F.lit(0.08).cast("decimal(3,2)")
+    profit_term = money("l_extendedprice") * one_minus("l_discount") - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * cost_rate
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("order_year"),
+        )
+        .agg(dsum(profit_term).alias("profit"))
+    )

@@ -69,6 +69,9 @@ def _plan(df) -> str:
         # Q8-shape: supplier/nation dims broadcast; single conditional
         # aggregate pass (no self-join of two aggregates).
         ("nation_market_share_by_year", ["BroadcastHashJoin"]),
+        # Q9-shape: part/supplier/nation broadcast around the one
+        # fact-fact exchange.
+        ("nation_profit_by_year", ["BroadcastHashJoin"]),
         # int8 calibration: posexplode collapses map-side before the
         # one dim-cardinality exchange.
         ("embedding_dim_stats", ["Generate", "HashAggregate"]),
