@@ -295,3 +295,89 @@ def test_snapshot_diff_replay_recovers_state(spark, initial, ops):
             expected_types[k] = "update"
     assert {r["k"]: r["_change_type"] for r in rows} == expected_types
     assert len(rows) == len(expected_types)
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),      # key
+                st.sampled_from(["a", "b", "c"]),  # tracked attr
+                st.integers(1, 40),     # effective ts (day number)
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_upsert_matches_python_model(spark, batches, tmp_path_factory):
+    """SCD2 lifecycle against an independent Python model for random
+    batch sequences: latest-per-key-per-batch wins (intra-batch
+    collapse), a change strictly newer than the current row closes it
+    and opens a new one, out-of-order/duplicate updates are no-ops,
+    history rows never mutate, and exactly one current row per key."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path_factory.mktemp("scd2_prop") / "dim")
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(day):
+        return base + dt.timedelta(days=day)
+
+    def day_of(t):
+        return (t - base).days
+
+    # python model: key -> list of [attr, from_day, to_day|None]
+    model: dict[int, list[list]] = {}
+    for batch in batches:
+        latest = {}
+        for k, attr, day in batch:
+            # row_number ties broken arbitrarily in Spark when two
+            # batch rows share (key, ts) — make the input unambiguous
+            # by keeping the LAST write per (key, ts) out of the test
+            if k in latest and latest[k][1] == day:
+                continue
+            if k not in latest or day > latest[k][1]:
+                latest[k] = (attr, day)
+        rows = [(f"k{k}", attr, ts(day)) for k, (attr, day) in latest.items()]
+        df = spark.createDataFrame(
+            rows, "id string, tier string, effective_ts timestamp"
+        )
+        scd2_upsert(spark, df, path, key="id", tracked_cols=["tier"])
+        for k, (attr, day) in latest.items():
+            hist = model.setdefault(k, [])
+            if not hist:
+                hist.append([attr, day, None])
+                continue
+            cur = hist[-1]
+            if cur[0] != attr and day > cur[1]:
+                cur[2] = day
+                hist.append([attr, day, None])
+            # unchanged attrs or stale ts: no-op
+
+    got = sorted(
+        (
+            r["id"],
+            r["tier"],
+            day_of(r["effective_from"]),
+            day_of(r["effective_to"]) if r["effective_to"] else None,
+            r["is_current"],
+        )
+        for r in spark.read.parquet(path).collect()
+    )
+    expected = sorted(
+        (f"k{k}", attr, frm, to, to is None)
+        for k, hist in model.items()
+        for attr, frm, to in hist
+    )
+    assert got == expected
+    # exactly one current row per key
+    cur_keys = [g[0] for g in got if g[4]]
+    assert sorted(cur_keys) == sorted(set(cur_keys))
