@@ -67,12 +67,15 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.time() - start
 
 
-def timed(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
-    """Best-of-N timing: single-JVM local runs show ±20% run-to-run
+def timed(spark, name: str, sf_dir: str, repeats: int = 3) -> float:
+    """Best-of-N timing: single-JVM local runs show ±20-25% run-to-run
     variance from GC/JIT timing (BASELINE.md §2 r3 note); the minimum
-    of two COLD runs (run_query resets stage caches) is a far more
-    stable estimator of the query's actual cost than one sample, at
-    2× bench wall."""
+    of N COLD runs (run_query resets stage caches) is a far more
+    stable estimator of the query's actual cost than one sample.
+    Min-of-3 since r6: min-of-2 let a 1.9× outlier through in r5
+    (supplier_performance read 2.42 s; a cold ×5 re-measure pinned it
+    at 1.03-1.74 s — sandbox contention, not the plan; BASELINE.md
+    §2 r6 note)."""
     return min(run_query(spark, name, sf_dir) for _ in range(repeats))
 
 

@@ -75,7 +75,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 # ---- stdlib-only real decoders (no third-party codecs) -------------------
 
 # Formats the real path can decode with the standard library alone.
-STDLIB_IMAGE_FORMATS = ("ppm", "pgm")
+STDLIB_IMAGE_FORMATS = ("ppm", "pgm", "bmp")
 STDLIB_AUDIO_FORMATS = ("wav",)
 
 
@@ -150,6 +150,82 @@ def read_netpbm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
     return payload[:2].decode("ascii"), width, height, maxval, i + 1
 
 
+def read_bmp_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a BMP header by hand (stdlib struct, little-endian) →
+    (width, height, bits_per_pixel, pixel_offset), or None when the
+    bytes are not parseable BMP (quarantine, not crash). Covers the
+    14-byte BITMAPFILEHEADER plus both DIB generations: the 12-byte
+    BITMAPCOREHEADER (uint16 dims) and the BITMAPINFOHEADER family
+    (40/52/56/108/124 bytes, int32 dims; negative height = top-down
+    row order, reported as its magnitude). VERDICT r4 item 9 / r5
+    item 4 — same stdlib-only pattern as ``read_netpbm_header``."""
+    if not payload or len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size == 12:  # BITMAPCOREHEADER
+        width, height = struct.unpack_from("<HH", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 24)[0]
+    elif dib_size >= 40 and len(payload) >= 30:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        height = abs(height)
+    else:
+        return None
+    if width <= 0 or height <= 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    if pixel_offset < 14 + dib_size or pixel_offset > len(payload):
+        return None
+    return int(width), int(height), int(bpp), int(pixel_offset)
+
+
+def resize_bmp_nearest(payload: bytes, width: int, height: int) -> bytes | None:
+    """Genuine nearest-neighbor resize of an uncompressed 24-bit BMP —
+    numpy fancy-indexing on the (4-byte row-padded, bottom-up) raster,
+    re-emitted as a canonical BITMAPINFOHEADER BMP. None when the
+    payload is not decodable uncompressed 24-bit BMP."""
+    import numpy as np
+
+    hdr = read_bmp_header(payload)
+    if hdr is None or hdr[2] != 24:
+        return None
+    w, h, _, off = hdr
+    # BITMAPINFOHEADER-family carries a compression field; only
+    # BI_RGB (0) rasters are plain bytes we can index.
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size >= 40 and struct.unpack_from("<I", payload, 30)[0] != 0:
+        return None
+    src_stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = src_stride * h
+    if len(payload) - off < need:
+        return None
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    img = raster.reshape(h, src_stride)[:, : w * 3].reshape(h, w, 3)
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = img[rows][:, cols]  # row order (bottom-up) is preserved
+    dst_stride = (width * 3 + 3) & ~3
+    padded = np.zeros((height, dst_stride), dtype=np.uint8)
+    padded[:, : width * 3] = out.reshape(height, width * 3)
+    body = padded.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + dib + body
+
+
+def decode_image_dims(fmt: str, payload: bytes) -> tuple[int | None, int | None]:
+    """(width, height) via the stdlib decoder for ``fmt``, or
+    (None, None) when the payload doesn't parse — the per-row
+    quarantine contract of the ``real`` decode path."""
+    if fmt == "bmp":
+        hdr = read_bmp_header(payload)
+        return (hdr[0], hdr[1]) if hdr else (None, None)
+    hdr = read_netpbm_header(payload)
+    return (hdr[1], hdr[2]) if hdr else (None, None)
+
+
 def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes | None:
     """Genuine nearest-neighbor resize of a P6 (8-bit RGB) payload —
     numpy fancy-indexing on the raster, re-emitted as canonical P6
@@ -194,9 +270,9 @@ def extract_image_features(assets: DataFrame, decode: str = "fake") -> DataFrame
                     widths.append(d[0])
                     heights.append(d[1])
                 elif fmt in STDLIB_IMAGE_FORMATS:
-                    hdr = read_netpbm_header(p)
-                    widths.append(hdr[1] if hdr else None)
-                    heights.append(hdr[2] if hdr else None)
+                    w, h = decode_image_dims(fmt, p)
+                    widths.append(w)
+                    heights.append(h)
                 else:
                     raise NotImplementedError(
                         f"real decode of format {fmt!r} requires PIL/libvips "
@@ -314,6 +390,8 @@ def resize_images(
                     # byte per 64 target pixels (keeps test payloads small)
                     size = max(32, (width * height) // 64)
                     out.append((seed * (size // len(seed) + 1))[:size])
+                elif fmt == "bmp":
+                    out.append(resize_bmp_nearest(p, width, height))
                 elif fmt in STDLIB_IMAGE_FORMATS:
                     out.append(resize_ppm_nearest(p, width, height))
                 else:

@@ -437,7 +437,23 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         label-table copy into block storage for the life of the
         session (ADVICE r4 low #3). Best-effort: freeing memory must
         never fail the job. Must be called on the checkpoint LEAF df,
-        not a projection over it."""
+        not a projection over it.
+
+        PRIVATE-API NOTE (VERDICT r5 item 7): there is no public
+        PySpark route to release checkpoint blocks —
+        ``DataFrame.unpersist`` only uncaches CacheManager entries
+        (``CACHE``/``persist``), never RDD-level checkpoint storage,
+        and a ``df.rdd``-based rebuild would round-trip every row
+        through Python. The Java path used here
+        (``QueryExecution.analyzed`` → ``LogicalRDD.rdd`` →
+        ``RDD.unpersist``) is verified against Spark 3.5 and 4.1
+        (classic mode; ``_jdf`` does not exist under Spark Connect,
+        which the hasattr guard handles). If a future Spark renames
+        any link in that chain the except falls back to the pre-r5
+        behavior: blocks live until session end — slower, never
+        wrong."""
+        if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
+            return
         try:
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:

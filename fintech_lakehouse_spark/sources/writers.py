@@ -24,7 +24,26 @@ def lake_format() -> str:
     return "delta" if delta_available() else "parquet"
 
 
-def _is_missing_path(exc: Exception) -> bool:
+def _dir_has_data_files(path: str) -> bool:
+    """True when the LOCAL directory at ``path`` (recursively) holds
+    any non-marker regular file — i.e. evidence a write once committed
+    data here. Spark marker/metadata names (``_SUCCESS``,
+    ``_started_*``, ``_committed_*``, dotfiles) don't count. Remote
+    URIs (s3://, hdfs://) can't be walked driver-side without a Hadoop
+    FS handle; they return False and keep the pre-r6 classification."""
+    import os
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    if "://" in local or not os.path.isdir(local):
+        return False
+    for root, _dirs, files in os.walk(local):
+        for name in files:
+            if not name.startswith(("_", ".")):
+                return True
+    return False
+
+
+def _is_missing_path(exc: Exception, path: str | None = None) -> bool:
     """True only for 'the target table does not exist yet' read errors
     — the ONE condition first-run fallbacks may swallow. Everything
     else (permission, corrupt footer, transient FS error) must
@@ -33,7 +52,13 @@ def _is_missing_path(exc: Exception) -> bool:
 
     PATH_NOT_FOUND is the missing-dir error class;
     UNABLE_TO_INFER_SCHEMA is its empty-dir sibling (the path exists
-    but holds no parquet footers — also a not-yet-written table)."""
+    but holds no parquet footers — also a not-yet-written table).
+    BUT: UNABLE_TO_INFER_SCHEMA equally fires when a committed table
+    LOST its data files (partial delete / data loss) — silently
+    overwriting that would destroy the evidence (ADVICE r5 low #2).
+    When ``path`` is supplied, an infer-schema failure over a
+    directory that still holds data files is therefore NOT classified
+    as first-run: the caller re-raises and a human decides."""
     try:
         from pyspark.errors import AnalysisException
     except ImportError:  # pragma: no cover - very old pyspark
@@ -47,14 +72,14 @@ def _is_missing_path(exc: Exception) -> bool:
             cls = get_cls()
         except Exception:
             cls = None
-    if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-        return True
     msg = str(exc)
-    return (
-        "PATH_NOT_FOUND" in msg
-        or "Path does not exist" in msg
-        or "UNABLE_TO_INFER_SCHEMA" in msg
-    )
+    if cls == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in msg or (
+        "Path does not exist" in msg
+    ):
+        return True
+    if cls == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in msg:
+        return not (path is not None and _dir_has_data_files(path))
+    return False
 
 
 def _sql_literal(v) -> str:
@@ -65,10 +90,19 @@ def _sql_literal(v) -> str:
     typed literals, not bare words."""
     import datetime as _dt
 
+    import math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float) and not math.isfinite(v):
+        # str(nan/inf) is not valid SQL — the replaceWhere predicate
+        # would die with an opaque parse error (ADVICE r5 low #3).
+        # These are typed literals Spark SQL does accept.
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'Infinity' if v > 0 else '-Infinity'}' AS DOUBLE)"
     if isinstance(v, (int, float)):
         return str(v)
     if isinstance(v, _dt.datetime):
@@ -241,7 +275,7 @@ def upsert_lake_table(
     try:
         existing = read_lake_table(spark, target_path)
     except Exception as exc:
-        if not _is_missing_path(exc):
+        if not _is_missing_path(exc, target_path):
             raise  # transient/corrupt reads are NOT "first run"
         write_lake_table(source_df, target_path, mode="overwrite",
                          partition_by=partition_by)
@@ -434,7 +468,7 @@ def replace_lake_rows(
     try:
         existing = read_lake_table(spark, path)
     except Exception as exc:
-        if not _is_missing_path(exc):
+        if not _is_missing_path(exc, path):
             raise  # transient/corrupt reads are NOT "first run"
         write_lake_table(df, path, mode="overwrite", partition_by=partition_by)
         return
@@ -680,7 +714,7 @@ def scd2_upsert(
     try:
         existing = spark.read.parquet(target_path)
     except Exception as exc:
-        if not _is_missing_path(exc):
+        if not _is_missing_path(exc, target_path):
             raise  # transient/corrupt reads are NOT "first run"
         write_lake_table(incoming, target_path, mode="overwrite",
                          partition_by=partition_by)

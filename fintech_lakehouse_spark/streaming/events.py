@@ -645,6 +645,7 @@ def foreach_batch_cdf(
     test pins it end-to-end."""
     from fintech_lakehouse_spark.sources.writers import (
         _is_missing_path,
+        read_lake_table,
         snapshot_diff,
         upsert_lake_table,
     )
@@ -665,22 +666,56 @@ def foreach_batch_cdf(
             )
         compare_cols = [c for c in latest.columns if c != key]
         try:
-            old = spark.read.parquet(target_path)
+            # format-aware read: the target is maintained by
+            # upsert_lake_table, which MERGEs through Delta when
+            # delta-spark is installed. A raw parquet read of a Delta
+            # table also sees superseded (tombstoned) data files —
+            # multiple rows per key in old_slice, phantom updates in
+            # the diff, replay guarantee broken (ADVICE r5 medium #1).
+            old = read_lake_table(spark, target_path)
             old_slice = old.join(
                 latest.select(key).distinct(), key, "left_semi"
             )
             changelog = snapshot_diff(old_slice, latest, keys=[key])
         except Exception as exc:
-            if not _is_missing_path(exc):
+            if not _is_missing_path(exc, target_path):
                 raise
             changelog = latest.select(
                 key, *compare_cols, F.lit("insert").alias("_change_type")
             )
-        # the append MATERIALIZES the diff before the upsert below
-        # rewrites the target it reads from
-        changelog.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(changelog_path)
+        # the write MATERIALIZES the diff before the upsert below
+        # rewrites the target it reads from. Retry idempotency
+        # (ADVICE r5 low #4): each batch writes its OWN batch=<id>
+        # subdirectory instead of blind-appending to the root, and a
+        # re-run of a batch id whose subdir already committed
+        # (_SUCCESS present) SKIPS the changelog write — streaming
+        # pins batch-id → content via the checkpoint, so the committed
+        # rows are already correct. Skip, not overwrite, because the
+        # dangerous retry window is AFTER the upsert commits: there
+        # the recomputed diff is empty and an overwrite would erase
+        # the batch's changelog rows. A partial write (no _SUCCESS)
+        # is replaced cleanly by the overwrite. Remote URIs can't
+        # check the marker driver-side and keep overwrite-always
+        # (at-least-once per batch dir, still never root-level dups).
+        # Readers of the root see the `batch` partition column plus
+        # the `_batch_id` data column (identical values; the data
+        # column is kept because underscore-prefixed partition DIRS
+        # would be invisible to parquet partition discovery).
+        import os as _os
+
+        batch_dir = f"{changelog_path.rstrip('/')}/batch={batch_id}"
+        local = (
+            batch_dir[len("file:"):]
+            if batch_dir.startswith("file:")
+            else batch_dir
+        )
+        committed = "://" not in local and _os.path.exists(
+            _os.path.join(local, "_SUCCESS")
+        )
+        if not committed:
+            changelog.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(batch_dir)
         upsert_lake_table(
             spark, latest, target_path, merge_keys=[key], order_by=order_by
         )

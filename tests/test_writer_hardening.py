@@ -38,6 +38,59 @@ def test_is_missing_path_classifier(spark, tmp_path):
     assert not _is_missing_path(exc_info.value)
 
 
+def test_damaged_table_is_not_first_run(spark, tmp_path):
+    """A committed table whose parquet data files were damaged/lost
+    must not be silently overwritten as "first run" (ADVICE r5 low
+    #2). The silent window: with ignoreCorruptFiles=true (a common
+    at-scale setting) Spark SKIPS the damaged files, schema inference
+    finds nothing, and the error is UNABLE_TO_INFER_SCHEMA — the same
+    class an empty not-yet-written dir raises. The path check tells
+    them apart: surviving data files block the first-run fallback."""
+    tdir = tmp_path / "damaged"
+    tdir.mkdir()
+    (tdir / "_SUCCESS").touch()
+    # a non-marker file without a parquet footer: the remnant of lost data
+    (tdir / "part-00000.snappy").write_bytes(b"not a parquet footer")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        with pytest.raises(Exception) as exc_info:
+            spark.read.parquet(str(tdir)).collect()
+        assert "UNABLE_TO_INFER_SCHEMA" in str(exc_info.value)
+        # without path context the old (lenient) classification holds...
+        assert _is_missing_path(exc_info.value)
+        # ...with it, the surviving data file blocks the first-run path
+        assert not _is_missing_path(exc_info.value, str(tdir))
+
+        with pytest.raises(Exception):
+            upsert_lake_table(spark, df, str(tdir), merge_keys=["id"])
+        # the damaged dir was not overwritten
+        assert (
+            tdir / "part-00000.snappy"
+        ).read_bytes() == b"not a parquet footer"
+
+        # a marker-only dir (mkdir'd, nothing committed) IS still first-run
+        empty = tmp_path / "empty_dir"
+        empty.mkdir()
+        (empty / "_SUCCESS").touch()
+        with pytest.raises(Exception) as exc_info:
+            spark.read.parquet(str(empty)).collect()
+        assert _is_missing_path(exc_info.value, str(empty))
+        upsert_lake_table(spark, df, str(empty), merge_keys=["id"])
+        assert spark.read.parquet(str(empty)).count() == 1
+    finally:
+        spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+
+
+def test_sql_literal_non_finite_floats():
+    """nan/inf render as typed SQL literals, not bare words that would
+    blow up the Delta replaceWhere parser (ADVICE r5 low #3)."""
+    assert _sql_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert _sql_literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert _sql_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert _sql_literal(1.5) == "1.5"
+
+
 def test_upsert_first_run_still_works(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a")], "id long, v string")
