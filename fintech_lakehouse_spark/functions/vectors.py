@@ -107,6 +107,68 @@ def lsh_signature_pandas(planes: list[list[float]]):
     return _sig
 
 
+def centroid_candidates(
+    vec: Column, centroids: list[list[float]], centroid_sq: list[float] | None = None
+) -> Column:
+    """array<struct<dist,list_id>> of rank-equivalent squared
+    distances to each centroid: dist = ||c||² − 2·(v·c) (the ||v||²
+    term is constant per row, so argmin/argsort are unchanged by
+    dropping it). Pure-JVM expression tree — no Python, no Arrow —
+    so a fixed codebook can be replayed verbatim by a SQL oracle:
+    the fold in ``dot`` accumulates left-to-right exactly like
+    DuckDB's list_dot_product loop, and struct ordering breaks
+    distance ties on the lower list_id, same as ORDER BY dist,
+    list_id. ``centroid_sq`` lets the caller pin ||c||² to the exact
+    literal its oracle inlines (computed here otherwise)."""
+    if centroid_sq is None:
+        centroid_sq = [sum(x * x for x in c) for c in centroids]
+    return F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(centroid_sq[i]))
+                    - 2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+                ).alias("dist"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_assign_fixed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    centroid_sq: list[float] | None = None,
+    vec: str = "embedding",
+    out: str = "list_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid of a FIXED codebook
+    (the production IVF shape: train once on a sample, broadcast the
+    tiny codebook, assign the full corpus with zero shuffles). The
+    codebook rides into the executors as plan literals."""
+    cands = centroid_candidates(F.col(vec), centroids, centroid_sq)
+    return df.withColumn(out, F.array_min(cands).getField("list_id"))
+
+
+def ivf_probes_fixed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probes: int = 2,
+    centroid_sq: list[float] | None = None,
+    vec: str = "embedding",
+    out: str = "list_id",
+) -> DataFrame:
+    """Explode each query row into its ``n_probes`` nearest inverted
+    lists of a fixed codebook — one output row per (query, probed
+    list). array_sort on the (dist, list_id) structs gives the probe
+    order with deterministic tie-breaks."""
+    cands = F.array_sort(centroid_candidates(F.col(vec), centroids, centroid_sq))
+    return df.withColumn(
+        out, F.explode(F.slice(cands, 1, n_probes).getField("list_id"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 16,

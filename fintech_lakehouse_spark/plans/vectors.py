@@ -232,23 +232,124 @@ def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_approx_neighbors")  # approximate + kmeans-dependent → rows-only
+def _ivf_oracle_sql(n_probes: int = 2, k: int = 5) -> str:
+    """DuckDB twin of the fixed-codebook IVF pipeline. The trained
+    centroids are FROZEN literals (plans/_ivf_codebook.py — KMeans
+    trained once by scripts/train_ivf_codebook.py, the r4
+    lsh_bucketed_neighbors promotion applied to the trained-quantizer
+    case, VERDICT r5 item 2): both engines inline the identical
+    float64 reprs, rank by the identical ||c||² − 2·(v·c) expression
+    with the identical dist→list_id tie-break, and score in-list
+    cosine exactly like the knn_bruteforce_cosine oracle."""
+    from fintech_lakehouse_spark.plans._ivf_codebook import (
+        CENTROID_SQ,
+        CENTROIDS,
+    )
+
+    rows = ",\n        ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in c) + f"]::DOUBLE[], {CENTROID_SQ[i]!r})"
+        for i, c in enumerate(CENTROIDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents(list_id, c, csq) AS (VALUES
+        {rows}),
+    dists AS (
+        SELECT e.vec_id, e.v, c.list_id,
+               c.csq - 2 * list_dot_product(e.v, c.c) AS dist
+        FROM emb e CROSS JOIN cents c
+    ),
+    corpus AS (
+        SELECT vec_id, v, list_id FROM (
+            SELECT vec_id, v, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, list_id) AS rn
+            FROM dists WHERE vec_id >= 10
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, list_id FROM (
+            SELECT vec_id, v, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, list_id) AS rn
+            FROM dists WHERE vec_id < 10
+        ) WHERE rn <= {n_probes}
+    ),
+    scored AS (
+        SELECT p.query_id, s.vec_id,
+               list_dot_product(p.qv, s.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(s.v, s.v))) AS cos
+        FROM probes p JOIN corpus s ON p.list_id = s.list_id
+    )
+    SELECT query_id, vec_id, ROUND(cos, 4) AS cosine_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) <= {k}
+    """
+
+
+@register("ivf_approx_neighbors", oracle=_ivf_oracle_sql())
 def ivf_approx_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (SURVEY §7.6 scale path #2):
-    k-means inverted lists, probe the 2 closest of 16 lists per query,
-    exact cosine within ≈1/8th of the corpus. Complements
-    lsh_bucketed_neighbors (no training vs trained quantizer).
-    See functions/vectors.py::ivf_assign/ivf_search."""
-    from fintech_lakehouse_spark.functions.vectors import ivf_assign, ivf_search
+    a FROZEN trained codebook (plans/_ivf_codebook.py) partitions the
+    corpus into 16 inverted lists; each query probes its 2 closest
+    lists and scores exact cosine within ≈1/8th of the corpus.
+    Complements lsh_bucketed_neighbors (random hyperplanes vs trained
+    quantizer).
+
+    Scale shape: the codebook is plan literals — assignment is a
+    zero-shuffle map over the corpus (at 100 TB you'd persist
+    ``list_id`` at write time and partition by it); the probed
+    queries broadcast into the single list-membership join, so the
+    corpus never shuffles. Training lives OFFLINE in
+    scripts/train_ivf_codebook.py exactly as a production IVF index
+    trains on a sample once; the train-at-query-time library variant
+    (functions/vectors.py::ivf_assign/ivf_search, pandas_udf probe
+    path for wide embeddings) stays unit-tested with a recall
+    contract in tests/test_functions.py."""
+    from fintech_lakehouse_spark.functions.vectors import (
+        ivf_assign_fixed,
+        ivf_probes_fixed,
+    )
+    from fintech_lakehouse_spark.plans._ivf_codebook import (
+        CENTROID_SQ,
+        CENTROIDS,
+    )
 
     emb = _embeddings_double(spark, sf_dir)
-    assigned, centroids = ivf_assign(emb, n_lists=16)
+    corpus = ivf_assign_fixed(
+        emb.filter(F.col("vec_id") >= 10), CENTROIDS, CENTROID_SQ
+    )
+    corpus_n = with_norm(
+        corpus.select("vec_id", "list_id", F.col("embedding").alias("_cv")),
+        "_cv",
+        "_cn",
+    )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_search(
-        assigned.filter(F.col("vec_id") >= 10), centroids, queries, k=5, n_probes=2
-    ).select("query_id", "vec_id", F.round("cos", 4).alias("cosine_sim"))
+    probes = ivf_probes_fixed(queries, CENTROIDS, n_probes=2, centroid_sq=CENTROID_SQ)
+    probe_n = with_norm(
+        probes.select("query_id", F.col("embedding").alias("_qv"), "list_id"),
+        "_qv",
+        "_qn",
+    )
+    scored = corpus_n.join(F.broadcast(probe_n), "list_id").select(
+        "query_id",
+        "vec_id",
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos"
+        ),
+    )
+    topk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(topk))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine_sim"))
+    )
 
 
 @register(

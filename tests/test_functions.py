@@ -245,6 +245,39 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall}"
 
 
+def test_ivf_fixed_assignment_matches_trained_model(spark, sf_dir):
+    """The JVM-expression fixed-codebook assignment (the oracle-
+    replayable path behind ivf_approx_neighbors) must agree with
+    spark.ml's own model.transform for the SAME centroids — pins the
+    argmin formulation (||c||² − 2·v·c, lowest-index tie-break)
+    against the reference implementation. Probes must be a superset:
+    probe 1 of n lists IS the assignment."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.functions.vectors import (
+        ivf_assign,
+        ivf_assign_fixed,
+        ivf_probes_fixed,
+    )
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned, centroids = ivf_assign(emb, n_lists=16)
+    model_map = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    fixed_map = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign_fixed(emb, centroids).collect()
+    }
+    assert fixed_map == model_map
+    probe1 = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_probes_fixed(emb, centroids, n_probes=1).collect()
+    }
+    assert probe1 == model_map
+
+
 def test_label_centroids_applyinpandas(spark, sf_dir):
     """Grouped applyInPandas (UDAF shape): centroid must equal the
     exploded-builtin computation."""
