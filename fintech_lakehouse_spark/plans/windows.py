@@ -141,6 +141,73 @@ def user_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_hourly_velocity_salted",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events, SUM(value) AS value_sum
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT user_id, hour,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS events_24h,
+           ROUND(SUM(value_sum) OVER w, 4)      AS value_24h
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour
+                 RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_hourly_velocity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-user-proof formulation of the 24h velocity detector
+    (VERDICT r5 item 8): user_velocity_24h's exact per-event sliding
+    window cannot be salted — window semantics require every row of a
+    user in one partition, so one hot user (a bot, a payment
+    aggregator) pins one task at 100 TB. The scale design decomposes
+    it:
+
+    1. **Salted two-phase rollup to hourly buckets**
+       (operators/skew.py::salted_aggregate): phase 1 groups on
+       (user, hour, random salt) so the hot key spreads over 16
+       reducers; phase 2 merges partials. Result-invariant — count
+       and sum are decomposable — so the SQL oracle is the plain
+       GROUP BY; the salt never appears in the answer.
+    2. **Sliding window over buckets, not events**: 24h velocity at
+       each hour boundary = range frame over ≤24 bucket rows per user
+       regardless of how many raw events the user has — the window
+       stage's per-key cost is BOUNDED, which is what makes the whole
+       plan skew-proof rather than skew-deferred.
+
+    Trade vs user_velocity_24h: per-event trigger granularity becomes
+    per-hour (the alerting cadence AML systems actually run);
+    exactness within each bucket boundary is preserved. Both variants
+    stay registered — per-event for small/interactive scopes, this
+    one for the full-corpus sweep."""
+    from fintech_lakehouse_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = salted_aggregate(
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+        ["user_id", "hour"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "value_sum": F.sum("value"),
+        },
+        n_salts=16,
+    )
+    window = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("hour"))
+        .rangeBetween(-23 * 3600, 0)
+    )
+    return hourly.select(
+        "user_id",
+        "hour",
+        F.sum("n_events").over(window).cast("long").alias("events_24h"),
+        F.round(F.sum("value_sum").over(window), 4).alias("value_24h"),
+    )
+
+
+@register(
     "purchase_asof_click",
     oracle="""
     WITH clicks AS (
