@@ -11,6 +11,7 @@ from fintech_lakehouse_spark.plans import text  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import vectors  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import sampling  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import relational_ext  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import relational_r6  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import scalars  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import quality  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import analytics  # noqa: E402,F401

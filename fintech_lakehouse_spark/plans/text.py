@@ -1328,3 +1328,119 @@ def doc_top_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "doc_repetition_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    base AS (
+        SELECT doc_id, t, len(t) AS n,
+               [t[i] || ' ' || t[i+1]
+                FOR i IN generate_series(1, len(t)-1)]               AS grams,
+               [CASE WHEN t[i] = t[i+1] THEN 1 ELSE 0 END
+                FOR i IN generate_series(1, len(t)-1)]               AS adj
+        FROM toks
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(list_max(list_transform(list_distinct(t),
+                    x -> len(list_filter(t, y -> y = x)))) AS BIGINT)
+                   AS top_token_count,
+               CAST(CASE WHEN n < 2 THEN 0 ELSE
+                    list_max(list_transform(list_distinct(grams),
+                        x -> len(list_filter(grams, y -> y = x)))) END
+                    AS BIGINT) AS top_bigram_count,
+               CAST(CASE WHEN n < 2 THEN 0 ELSE list_sum(adj) END AS BIGINT)
+                   AS n_adjacent_repeats
+        FROM base
+    )
+    SELECT doc_id, n_tokens, top_token_count, top_bigram_count,
+           n_adjacent_repeats,
+           ROUND(top_token_count / CAST(n_tokens AS DOUBLE), 4)
+               AS top_token_frac,
+           ROUND(top_bigram_count / CAST(n_tokens - 1 AS DOUBLE), 4)
+               AS top_bigram_frac,
+           (top_token_count / CAST(n_tokens AS DOUBLE) > 0.15
+            OR top_bigram_count / CAST(n_tokens - 1 AS DOUBLE) > 0.08
+            OR n_adjacent_repeats / CAST(n_tokens - 1 AS DOUBLE) > 0.10)
+               AS is_repetitive
+    FROM m
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/Dolma repetition
+    rules adapted to the token-stream test corpus): per document, the
+    most-frequent-token share, the most-frequent-bigram share, and the
+    count of immediately repeated tokens ("batch batch batch"), plus
+    the composite ``is_repetitive`` filter flag a pretraining pipeline
+    drops documents on. Thresholds (0.15 / 0.08 / 0.10) are adapted to
+    this corpus's distribution so the flag splits it non-vacuously
+    (~25% flagged at sf0.01) — the published Gopher thresholds assume
+    natural-language prose.
+
+    Scale shape: ZERO shuffles — every metric is computed inside the
+    row with higher-order array functions. Top-of-histogram counts use
+    sort-the-array + longest-equal-run fold (aggregate over
+    array_sort) instead of the explode → groupBy → window idiom, so a
+    100 TB corpus never materializes a token-level table; the whole
+    query is a parallel scan. The DuckDB twin computes the same
+    histogram maxima via list_distinct/list_filter — different
+    algorithm, identical integers, which is the point of the
+    cross-engine check.
+
+    Comparison safety: fractions are exact-integer ÷ exact-integer in
+    IEEE double on both engines (identical bit results), so the
+    threshold booleans and ROUND(…, 4) displays cannot diverge."""
+    documents = load_table(spark, sf_dir, "documents")
+    # longest run of equal adjacent elements in a SORTED array == the
+    # max multiplicity of the multiset — the zero-shuffle histogram max
+    run_max = (
+        "aggregate(array_sort({arr}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, v) -> named_struct("
+        "  'prev', v, "
+        "  'run', IF(v <=> acc.prev, acc.run + 1, 1), "
+        "  'best', GREATEST(acc.best, IF(v <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+    base = (
+        documents.withColumn("t", F.split("text", " "))
+        .withColumn("n_tokens", F.size("t").cast("long"))
+        .withColumn(
+            "grams",
+            F.expr(
+                "IF(size(t) < 2, array(), "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(t[i-1], ' ', t[i])))"
+            ),
+        )
+    )
+    scored = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(run_max.format(arr="t")).cast("long").alias("top_token_count"),
+        F.expr(run_max.format(arr="grams"))
+        .cast("long")
+        .alias("top_bigram_count"),
+        F.expr(
+            "CAST(size(filter(sequence(1, greatest(size(t), 2) - 1), "
+            "i -> t[i-1] = t[i])) AS BIGINT)"
+        ).alias("n_adjacent_repeats"),
+    )
+    tt = F.col("top_token_count") / F.col("n_tokens").cast("double")
+    tb = F.col("top_bigram_count") / (F.col("n_tokens") - 1).cast("double")
+    aj = F.col("n_adjacent_repeats") / (F.col("n_tokens") - 1).cast("double")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_count",
+        "top_bigram_count",
+        "n_adjacent_repeats",
+        F.round(tt, 4).alias("top_token_frac"),
+        F.round(tb, 4).alias("top_bigram_frac"),
+        ((tt > 0.15) | (tb > 0.08) | (aj > 0.10)).alias("is_repetitive"),
+    )
