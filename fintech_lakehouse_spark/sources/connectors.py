@@ -1,0 +1,189 @@
+"""External connectors (SURVEY §2.1 S12): Kafka, JDBC, Avro.
+
+The connector JARS are absent in this offline container (same class as
+delta-spark — ROUND_NOTES r6 probe), so these wrappers split into two
+layers:
+
+* **Configuration plumbing** (`kafka_stream`, `read_jdbc_table`,
+  `write_jdbc_table`): builds the reader/writer with the exact options
+  a cluster run needs. Pinned by mocked-session tests
+  (tests/test_connectors.py) the way the Delta branches are — the
+  chain executes offline, only `.load()`/`.save()` needs the jar.
+* **Payload transforms** (`parse_kafka_json`, `decode_avro_column`):
+  pure DataFrame logic over connector-SHAPED data (Kafka's fixed
+  output schema: key/value binary + topic/partition/offset/timestamp),
+  fully executable and tested offline on synthetic frames — at the
+  cluster, the same function applies unchanged to the real source.
+
+Reference basis: the reference configures streaming checkpoints
+(src/config/dev.py:40, prod.py:42) but ships no connector code; Kafka
+is the implied scale source (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The Kafka source's fixed output columns (Spark docs, structured
+# streaming Kafka integration guide).
+KAFKA_OUTPUT_COLUMNS = (
+    "key",
+    "value",
+    "topic",
+    "partition",
+    "offset",
+    "timestamp",
+    "timestampType",
+)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    options: dict[str, str] | None = None,
+):
+    """Configured Kafka readStream (returns the loaded streaming
+    DataFrame; requires the spark-sql-kafka package on the cluster).
+
+    ``max_offsets_per_trigger`` is the backpressure bound — without it
+    the first micro-batch after downtime reads the whole backlog in
+    one task wave. ``fail_on_data_loss=False`` is for topics with
+    aggressive retention where a restart may point at expired offsets
+    (accept the gap rather than kill the query)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def parse_kafka_json(df: DataFrame, schema, drop_corrupt: bool = False) -> DataFrame:
+    """Kafka payload → typed columns: cast the binary ``value`` to
+    string, parse JSON against ``schema`` (DDL string or StructType),
+    keep the source metadata (topic/partition/offset/timestamp) for
+    exactly-once bookkeeping and late-data debugging.
+
+    PERMISSIVE semantics match the engine's file readers (SURVEY S1):
+    an unparseable payload yields a row of nulls carried alongside its
+    raw bytes in ``_raw_value`` — quarantine, not crash; pass
+    ``drop_corrupt=True`` to filter them instead. Works identically on
+    a real Kafka stream and any kafka-shaped batch frame (how the
+    offline tests drive it)."""
+    parsed = df.select(
+        F.col("key").cast("string").alias("_key"),
+        F.col("value").cast("string").alias("_raw_value"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("_kafka_ts"),
+        F.from_json(F.col("value").cast("string"), schema).alias("_data"),
+    ).select("_key", "_raw_value", "topic", "partition", "offset", "_kafka_ts", "_data.*")
+    if drop_corrupt:
+        # from_json yields an all-null struct for corrupt payloads, so
+        # corrupt ≡ every parsed column null while raw bytes exist (a
+        # JSON object of literal nulls is indistinguishable — at 100 TB
+        # that edge case belongs in a DQ rule, not the parser).
+        data_cols = [
+            c for c in parsed.columns
+            if c not in ("_key", "_raw_value", "topic", "partition",
+                         "offset", "_kafka_ts")
+        ]
+        all_null = F.lit(True)
+        for c in data_cols:
+            all_null = all_null & F.col(c).isNull()
+        parsed = parsed.filter(~(all_null & F.col("_raw_value").isNotNull()))
+    return parsed
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel JDBC scan (requires the database's JDBC driver jar).
+
+    Without ``partition_column`` a JDBC read is ONE task pulling the
+    whole table through one connection — the classic single-reader
+    bottleneck. With it, Spark issues ``num_partitions`` range-bounded
+    queries in parallel; bounds only steer the split points, rows
+    outside them are still read. ``fetch_size`` overrides driver
+    defaults (MySQL's default streams row-by-row)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink. ``num_partitions`` caps concurrent connections (a
+    1000-task write is a denial-of-service on the database);
+    ``batch_size`` batches inserts instead of row-at-a-time."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def decode_avro_column(col, avro_schema_json: str):
+    """``from_avro`` wrapper (requires the spark-avro package at
+    runtime; the function itself ships with pyspark). Kept as the one
+    Avro seam so callers import it from here and the availability
+    check lives in one place."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover - pyspark always has it
+        raise RuntimeError(
+            "pyspark.sql.avro is unavailable in this build"
+        ) from exc
+    return from_avro(col, avro_schema_json)

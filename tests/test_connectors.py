@@ -1,0 +1,154 @@
+"""Connector surface tests (SURVEY §2.1 S12). The Kafka/JDBC jars are
+absent offline, so — exactly like the Delta branches
+(tests/test_delta_branches.py) — the configuration plumbing is pinned
+against recording doubles, while the payload transforms run for real
+on connector-shaped synthetic frames."""
+
+from unittest.mock import MagicMock
+
+import pytest
+
+from fintech_lakehouse_spark.sources.connectors import (
+    kafka_stream,
+    parse_kafka_json,
+    read_jdbc_table,
+    write_jdbc_table,
+)
+
+
+def _chained_reader():
+    """A reader double whose option/format/mode calls all return
+    itself, recording everything."""
+    reader = MagicMock()
+    for m in ("format", "option", "mode"):
+        getattr(reader, m).return_value = reader
+    return reader
+
+
+def _options_of(reader) -> dict:
+    return {args[0]: args[1] for args, _ in reader.option.call_args_list}
+
+
+# ----------------------------------------------------------- config plumbing
+
+
+def test_kafka_stream_options():
+    spark = MagicMock()
+    reader = _chained_reader()
+    spark.readStream = reader
+    kafka_stream(
+        spark,
+        bootstrap_servers="broker1:9092,broker2:9092",
+        subscribe="events",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=50_000,
+        fail_on_data_loss=False,
+        options={"kafka.security.protocol": "SASL_SSL"},
+    )
+    reader.format.assert_called_once_with("kafka")
+    assert _options_of(reader) == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+    reader.load.assert_called_once_with()
+
+
+def test_jdbc_read_partitioned_options():
+    spark = MagicMock()
+    reader = _chained_reader()
+    spark.read = reader
+    read_jdbc_table(
+        spark,
+        url="jdbc:postgresql://db:5432/fintech",
+        table="public.transactions",
+        partition_column="transaction_id",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    reader.format.assert_called_once_with("jdbc")
+    opts = _options_of(reader)
+    assert opts["url"] == "jdbc:postgresql://db:5432/fintech"
+    assert opts["dbtable"] == "public.transactions"
+    assert opts["partitionColumn"] == "transaction_id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("1", "1000000")
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+    reader.load.assert_called_once_with()
+
+
+def test_jdbc_read_requires_bounds_with_partition_column():
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc_table(
+            MagicMock(), "jdbc:x", "t", partition_column="id"
+        )
+
+
+def test_jdbc_write_caps_connections():
+    df = MagicMock()
+    out = df.coalesce.return_value
+    writer = _chained_reader()
+    out.write = writer
+    write_jdbc_table(
+        df, "jdbc:postgresql://db/f", "t", mode="overwrite",
+        batch_size=5000, num_partitions=4,
+    )
+    df.coalesce.assert_called_once_with(4)
+    writer.format.assert_called_once_with("jdbc")
+    writer.mode.assert_called_once_with("overwrite")
+    opts = _options_of(writer)
+    assert opts["batchsize"] == "5000"
+    writer.save.assert_called_once_with()
+
+
+# ------------------------------------------------- payload transform (real)
+
+
+def _kafka_shaped(spark, payloads):
+    """A batch frame with the Kafka source's exact output schema."""
+    rows = [
+        (
+            bytearray(b"k%d" % i),
+            bytearray(p) if p is not None else None,
+            "events",
+            i % 3,
+            100 + i,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+
+
+def test_parse_kafka_json_typed_and_quarantined(spark):
+    """Real execution over a kafka-shaped frame: good payloads parse
+    to typed columns with source metadata kept; corrupt payloads
+    quarantine to null rows (and drop under drop_corrupt=True)."""
+    good1 = b'{"user_id": 7, "event_type": "click", "value": 1.5}'
+    good2 = b'{"user_id": 9, "event_type": "purchase", "value": 20.0}'
+    bad = b"{not json at all"
+    df = _kafka_shaped(spark, [good1, good2, bad])
+    parsed = parse_kafka_json(
+        df, "user_id long, event_type string, value double"
+    )
+    rows = {r["offset"]: r for r in parsed.collect()}
+    assert len(rows) == 3
+    assert (rows[100]["user_id"], rows[100]["event_type"]) == (7, "click")
+    assert rows[101]["value"] == 20.0
+    assert rows[100]["topic"] == "events"
+    # corrupt payload: nulls + raw bytes preserved for quarantine
+    assert rows[102]["user_id"] is None
+    assert rows[102]["_raw_value"] == "{not json at all"
+
+    kept = parse_kafka_json(
+        df, "user_id long, event_type string, value double", drop_corrupt=True
+    ).collect()
+    assert sorted(r["offset"] for r in kept) == [100, 101]
