@@ -75,6 +75,19 @@ def _plan(df) -> str:
         # int8 calibration: posexplode collapses map-side before the
         # one dim-cardinality exchange.
         ("embedding_dim_stats", ["Generate", "HashAggregate"]),
+        # Q10-shape (r6): returnflag filter pushed to the lineitem
+        # scan, customer/nation broadcast, top-20 never a full sort.
+        (
+            "returned_item_customers",
+            ["PushedFilters: [IsNotNull", "BroadcastHashJoin",
+             "TakeOrderedAndProject"],
+        ),
+        # Q12-shape (r6): conditional two-way counts partial-aggregate
+        # map-side before the single exchange.
+        ("shipment_delay_priority", ["HashAggregate", "BroadcastHashJoin"]),
+        # frozen-codebook IVF (r6): probes broadcast into the corpus
+        # list join — the corpus itself never shuffles.
+        ("ivf_approx_neighbors", ["BroadcastHashJoin"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
@@ -83,6 +96,14 @@ def test_plan_shapes(spark, sf_dir, query, required):
     plan = _plan(QUERIES[query](spark, sf_dir))
     for fragment in required:
         assert fragment in plan, f"{query}: missing {fragment}\n{plan[:2000]}"
+
+
+def test_repetition_scores_zero_shuffle(spark, sf_dir):
+    """doc_repetition_scores promises a pure scan: every histogram max
+    is an in-row fold, so the plan must contain NO exchange at all —
+    the property that makes it a flat map over a 100 TB corpus."""
+    plan = _plan(QUERIES["doc_repetition_scores"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
 
 
 def test_column_pruning(spark, sf_dir):
