@@ -152,3 +152,66 @@ def test_parse_kafka_json_typed_and_quarantined(spark):
         df, "user_id long, event_type string, value double", drop_corrupt=True
     ).collect()
     assert sorted(r["offset"] for r in kept) == [100, 101]
+
+
+def test_parse_kafka_json_in_streaming_pipeline(spark, tmp_path):
+    """The payload transform applies UNCHANGED to a streaming source
+    (the real deployment shape: kafka_stream → parse_kafka_json →
+    windowed agg). A file stream of kafka-shaped parquet stands in
+    for the broker, as in the rest of the streaming suite; results
+    must equal the batch twin over the same closed input."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "kafka_shaped"
+    src.mkdir()
+    payloads = [
+        (b"k1", b'{"user_id": 1, "event_type": "click", "value": 2.0}'),
+        (b"k2", b'{"user_id": 1, "event_type": "click", "value": 3.0}'),
+        (b"k3", b'{"user_id": 2, "event_type": "purchase", "value": 5.0}'),
+        (b"k4", b"corrupt {"),
+    ]
+    pd.DataFrame(
+        {
+            "key": [k for k, _ in payloads],
+            "value": [v for _, v in payloads],
+            "topic": ["events"] * 4,
+            "partition": [0, 1, 0, 1],
+            "offset": list(range(4)),
+            "timestamp": pd.to_datetime(["2024-01-01 00:00:00"] * 4),
+        }
+    ).to_parquet(src / "b0.parquet", index=False)
+
+    schema = "user_id long, event_type string, value double"
+    stream = spark.readStream.schema(
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp"
+    ).parquet(str(src))
+    counts = (
+        parse_kafka_json(stream, schema, drop_corrupt=True)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    query = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("kafka_parsed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM kafka_parsed").collect()
+    }
+    assert got == {1: (2, 5.0), 2: (1, 5.0)}
+    # batch twin over the same files agrees
+    batch = (
+        parse_kafka_json(
+            spark.read.parquet(str(src)), schema, drop_corrupt=True
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    assert {r["user_id"]: (r["n"], r["total"]) for r in batch} == got
