@@ -1362,11 +1362,14 @@ def doc_top_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_adjacent_repeats,
            ROUND(top_token_count / CAST(n_tokens AS DOUBLE), 4)
                AS top_token_frac,
-           ROUND(top_bigram_count / CAST(n_tokens - 1 AS DOUBLE), 4)
+           CASE WHEN n_tokens < 2 THEN NULL ELSE
+               ROUND(top_bigram_count / CAST(n_tokens - 1 AS DOUBLE), 4) END
                AS top_bigram_frac,
            (top_token_count / CAST(n_tokens AS DOUBLE) > 0.15
-            OR top_bigram_count / CAST(n_tokens - 1 AS DOUBLE) > 0.08
-            OR n_adjacent_repeats / CAST(n_tokens - 1 AS DOUBLE) > 0.10)
+            OR COALESCE(top_bigram_count / CAST(NULLIF(n_tokens - 1, 0) AS DOUBLE)
+                        > 0.08, false)
+            OR COALESCE(n_adjacent_repeats / CAST(NULLIF(n_tokens - 1, 0) AS DOUBLE)
+                        > 0.10, false))
                AS is_repetitive
     FROM m
     """,
@@ -1427,13 +1430,22 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_bigram_count"),
         F.expr(
-            "CAST(size(filter(sequence(1, greatest(size(t), 2) - 1), "
-            "i -> t[i-1] = t[i])) AS BIGINT)"
+            "IF(size(t) < 2, CAST(0 AS BIGINT), "
+            "CAST(size(filter(sequence(1, size(t) - 1), "
+            "i -> t[i-1] = t[i])) AS BIGINT))"
         ).alias("n_adjacent_repeats"),
     )
+    # single-token docs have no bigrams/adjacency: their denominators
+    # NULL out (nullif) instead of dividing by zero under ANSI mode,
+    # and the flag coalesces those terms to false — mirrored verbatim
+    # in the oracle so both engines agree on the boolean. (Both this
+    # and the 1-token index guard above were caught by the hypothesis
+    # model test, not the corpus oracle — the corpus has no 1-token
+    # docs.)
     tt = F.col("top_token_count") / F.col("n_tokens").cast("double")
-    tb = F.col("top_bigram_count") / (F.col("n_tokens") - 1).cast("double")
-    aj = F.col("n_adjacent_repeats") / (F.col("n_tokens") - 1).cast("double")
+    denom = F.nullif(F.col("n_tokens") - 1, F.lit(0)).cast("double")
+    tb = F.col("top_bigram_count") / denom
+    aj = F.col("n_adjacent_repeats") / denom
     return scored.select(
         "doc_id",
         "n_tokens",
@@ -1442,5 +1454,9 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_adjacent_repeats",
         F.round(tt, 4).alias("top_token_frac"),
         F.round(tb, 4).alias("top_bigram_frac"),
-        ((tt > 0.15) | (tb > 0.08) | (aj > 0.10)).alias("is_repetitive"),
+        (
+            (tt > 0.15)
+            | F.coalesce(tb > 0.08, F.lit(False))
+            | F.coalesce(aj > 0.10, F.lit(False))
+        ).alias("is_repetitive"),
     )

@@ -381,3 +381,48 @@ def test_scd2_upsert_matches_python_model(spark, batches, tmp_path_factory):
     # exactly one current row per key
     cur_keys = [g[0] for g in got if g[4]]
     assert sorted(cur_keys) == sorted(set(cur_keys))
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e"]),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_repetition_scores_match_counter_model(spark, tmp_path_factory, docs):
+    """doc_repetition_scores' zero-shuffle sort+longest-run folds must
+    equal the obvious Counter model for ANY token stream — including
+    the edge cases a fold gets wrong: single-token docs (no bigrams),
+    all-identical docs, max-run at the array end (the fold must fold
+    the final run into 'best'), and ties."""
+    from collections import Counter
+
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    sf_dir = tmp_path_factory.mktemp("rep")
+    spark.createDataFrame(
+        [(i, "en", "test", 0, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, lang string, source string, n_chars long, text string",
+    ).write.mode("overwrite").parquet(str(sf_dir / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_repetition_scores"](spark, str(sf_dir)).collect()
+    }
+    assert set(got) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        adj = sum(1 for a, b in zip(toks, toks[1:]) if a == b)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top_token_count"] == max(Counter(toks).values())
+        assert r["top_bigram_count"] == (
+            max(Counter(grams).values()) if grams else 0
+        )
+        assert r["n_adjacent_repeats"] == adj
