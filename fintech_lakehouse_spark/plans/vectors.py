@@ -446,3 +446,97 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_quantization_error",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vals AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE)     AS val
+        FROM embeddings
+    ),
+    calib AS (
+        SELECT dim, MIN(val) AS mn, (MAX(val) - MIN(val)) / 255 AS sc
+        FROM vals GROUP BY dim
+    ),
+    cal AS (
+        SELECT list(mn ORDER BY dim) AS mins, list(sc ORDER BY dim) AS scales
+        FROM calib
+    ),
+    errs AS (
+        SELECT e.vec_id,
+               [CASE WHEN c.scales[i] = 0 THEN 0.0
+                     ELSE ABS(c.mins[i]
+                              + ROUND((e.v[i] - c.mins[i]) / c.scales[i])
+                                * c.scales[i]
+                              - e.v[i]) END
+                FOR i IN generate_series(1, len(e.v))] AS errs
+        FROM emb e CROSS JOIN cal c
+    )
+    SELECT vec_id,
+           CAST(len(errs) AS BIGINT)            AS n_dims,
+           ROUND(list_sum(errs) / len(errs), 8) AS mean_abs_err,
+           ROUND(list_max(errs), 8)             AS max_abs_err
+    FROM errs
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of int8 embedding quantization (completes the
+    calibrate → quantize pipeline whose calibration table is
+    embedding_dim_stats): affine-quantize every vector against the
+    per-dim (min, scale) calibration — q = round((x−min)/scale) ∈
+    [0,255] — dequantize, and report per-vector reconstruction error
+    (the fidelity gate a pipeline checks before swapping its ANN index
+    to compressed vectors).
+
+    Scale shape: the corpus NEVER explodes — calibration is the
+    embedding_dim_stats posexplode (exchange moves O(tasks×d) rows),
+    its d-row result folds into ONE row of (mins, scales) arrays that
+    broadcasts into a cross join, and the per-vector error is an
+    in-row transform over indices. Constant dims (scale 0) quantize
+    to their exact value (error 0) rather than dividing by zero —
+    guarded identically in both engines.
+
+    Parity: min/max are order-independent, so mins/scales are
+    bit-identical literals by construction; round() is away-from-zero
+    on non-negative inputs in both engines; the error fold accumulates
+    left-to-right in both."""
+    emb = _embeddings_double(spark, sf_dir)
+    calib = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min("val").alias("mn"),
+            ((F.max("val") - F.min("val")) / 255).alias("sc"),
+        )
+    )
+    cal = calib.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sc"))),
+            lambda s: s["sc"],
+        ).alias("scales"),
+    )
+    errs = emb.crossJoin(F.broadcast(cal)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1), "
+            "i -> IF(scales[i] = 0D, 0D, "
+            "abs(mins[i] + round((embedding[i] - mins[i]) / scales[i]) "
+            "* scales[i] - embedding[i])))"
+        ).alias("errs"),
+    )
+    return errs.select(
+        "vec_id",
+        F.size("errs").cast("long").alias("n_dims"),
+        F.round(
+            F.expr("aggregate(errs, 0D, (acc, x) -> acc + x)") / F.size("errs"),
+            8,
+        ).alias("mean_abs_err"),
+        F.round(F.array_max("errs"), 8).alias("max_abs_err"),
+    )
