@@ -55,3 +55,37 @@ def broadcast_salted_join(
     join has no partitioning by key, so key skew is irrelevant; only
     use salted shuffle joins when the dim is too big to broadcast."""
     return skewed.join(F.broadcast(small), on, how)
+
+
+def salted_shuffle_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join for a skewed key when ``other`` is too big to
+    broadcast (the case broadcast_salted_join can't take): the skewed
+    side gets a random salt in [0, n_salts), the other side REPLICATES
+    each row across all salts (explode — its shuffle volume multiplies
+    by n_salts, the price of the technique), and the join runs on
+    (key, salt), spreading a hot key over ``n_salts`` reducers.
+
+    Semantics match ``skewed.join(other, on, how)`` exactly for
+    ``inner`` and ``left`` (each skewed row carries ONE salt, so it
+    meets each matching other-side row exactly once; unmatched left
+    rows survive with their salt and are emitted once). Right/full
+    joins would emit unmatched other-side rows once PER SALT — not
+    supported, use the unsalted join or swap sides."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_shuffle_join supports how='inner'/'left' only — a "
+            "right/full join would duplicate unmatched replicated rows"
+        )
+    salted = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [on, "_salt"], how).drop("_salt")

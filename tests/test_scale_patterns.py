@@ -394,3 +394,34 @@ def test_verified_pairs_stage_shared_across_consumers(spark, sf_dir):
     b = verified_pairs_stage(spark, sf_dir)
     assert a is b
     assert a.storageLevel.useMemory  # cached, not recomputed lineage
+
+
+def test_salted_shuffle_join_matches_plain(spark):
+    """salted_shuffle_join must equal the unsalted join for inner and
+    left — including a hot key (80% of rows), multiple matches per
+    key, and left rows with no match."""
+    from fintech_lakehouse_spark.operators.skew import salted_shuffle_join
+
+    fact = spark.createDataFrame(
+        [(1 if i % 5 else i, f"v{i}") for i in range(200)], ["k", "v"]
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot_a"), (1, "hot_b"), (5, "cold"), (999, "unmatched")],
+        ["k", "d"],
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, fact.join(dim, "k", how).select("k", "v", "d").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_shuffle_join(fact, dim, "k", n_salts=4, how=how)
+                .select("k", "v", "d")
+                .collect(),
+            )
+        )
+        assert salted == plain, how
+
+    with pytest.raises(ValueError, match="right/full"):
+        salted_shuffle_join(fact, dim, "k", how="full")
