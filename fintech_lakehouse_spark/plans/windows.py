@@ -181,7 +181,16 @@ def user_hourly_velocity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-hour (the alerting cadence AML systems actually run);
     exactness within each bucket boundary is preserved. Both variants
     stay registered — per-event for small/interactive scopes, this
-    one for the full-corpus sweep."""
+    one for the full-corpus sweep.
+
+    MEASURED (scripts/skew_velocity_bench.py, BASELINE.md §2 r6): with
+    one user owning 80% of 200k events, the exact per-event window
+    takes 17.6 s vs 0.77 s for this form (23×), and the gap is
+    super-linear — at 2M rows the exact window never finished (15+
+    min, killed). Spark's sliding range frames re-aggregate per row
+    (no retraction), so a hot key costs O(rows × frame_rows) in one
+    task; bounding the window input to hourly buckets removes the
+    quadratic term entirely."""
     from fintech_lakehouse_spark.operators.skew import salted_aggregate
 
     events = load_table(spark, sf_dir, "events")
