@@ -97,7 +97,15 @@ def aml_structuring_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-10k pattern in its generator:511-515; band/window here widened
     to fire on the synthetic lake's price distribution). Realized as a
     per-customer 30-day RANGE window counting near-threshold orders —
-    conditional count inside the frame, one shuffle on custkey."""
+    conditional count inside the frame, one shuffle on custkey.
+
+    Scale caveat (measured, BASELINE.md §2 r6 skew experiment): Spark
+    sliding range frames re-aggregate per row, so a customer with k
+    orders in the window costs O(k) per order — fine for human-scale
+    order counts, quadratic for a bot-scale hot key. If one account
+    can own a large share of all orders, use the bucketed-window
+    formulation (user_hourly_velocity_salted's shape) at daily grain
+    instead."""
     orders = load_table(spark, sf_dir, "orders")
     near = F.col("o_totalprice").between(9000, 100000)
     window = (
