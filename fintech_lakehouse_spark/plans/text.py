@@ -9,7 +9,7 @@ the documents table is the 100 TB web-corpus stand-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fintech_lakehouse_spark.functions.text import (
@@ -1330,6 +1330,64 @@ def doc_top_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Attach the zero-shuffle repetition metrics (n_tokens,
+    top_token_count, top_bigram_count, n_adjacent_repeats) to a
+    documents frame — shared by doc_repetition_scores and the
+    curated_corpus_shards composite pipeline."""
+    run_max = (
+        "aggregate(array_sort({arr}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, v) -> named_struct("
+        "  'prev', v, "
+        "  'run', IF(v <=> acc.prev, acc.run + 1, 1), "
+        "  'best', GREATEST(acc.best, IF(v <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+    return (
+        documents.withColumn("t", F.split("text", " "))
+        .withColumn("n_tokens", F.size("t").cast("long"))
+        .withColumn(
+            "grams",
+            F.expr(
+                "IF(size(t) < 2, array(), "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(t[i-1], ' ', t[i])))"
+            ),
+        )
+        .withColumn(
+            "top_token_count", F.expr(run_max.format(arr="t")).cast("long")
+        )
+        .withColumn(
+            "top_bigram_count", F.expr(run_max.format(arr="grams")).cast("long")
+        )
+        .withColumn(
+            "n_adjacent_repeats",
+            F.expr(
+                "IF(size(t) < 2, CAST(0 AS BIGINT), "
+                "CAST(size(filter(sequence(1, size(t) - 1), "
+                "i -> t[i-1] = t[i])) AS BIGINT))"
+            ),
+        )
+        .drop("grams")
+    )
+
+
+def _is_repetitive() -> Column:
+    """The composite repetition flag over _with_repetition_metrics
+    columns — thresholds documented at doc_repetition_scores."""
+    tt = F.col("top_token_count") / F.col("n_tokens").cast("double")
+    denom = F.nullif(F.col("n_tokens") - 1, F.lit(0)).cast("double")
+    tb = F.col("top_bigram_count") / denom
+    aj = F.col("n_adjacent_repeats") / denom
+    return (
+        (tt > 0.15)
+        | F.coalesce(tb > 0.08, F.lit(False))
+        | F.coalesce(aj > 0.10, F.lit(False))
+    )
+
+
+
 @register(
     "doc_repetition_scores",
     oracle="""
@@ -1399,53 +1457,17 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE double on both engines (identical bit results), so the
     threshold booleans and ROUND(…, 4) displays cannot diverge."""
     documents = load_table(spark, sf_dir, "documents")
-    # longest run of equal adjacent elements in a SORTED array == the
-    # max multiplicity of the multiset — the zero-shuffle histogram max
-    run_max = (
-        "aggregate(array_sort({arr}), "
-        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
-        "(acc, v) -> named_struct("
-        "  'prev', v, "
-        "  'run', IF(v <=> acc.prev, acc.run + 1, 1), "
-        "  'best', GREATEST(acc.best, IF(v <=> acc.prev, acc.run + 1, 1))), "
-        "acc -> acc.best)"
-    )
-    base = (
-        documents.withColumn("t", F.split("text", " "))
-        .withColumn("n_tokens", F.size("t").cast("long"))
-        .withColumn(
-            "grams",
-            F.expr(
-                "IF(size(t) < 2, array(), "
-                "transform(sequence(1, size(t) - 1), "
-                "i -> concat(t[i-1], ' ', t[i])))"
-            ),
-        )
-    )
-    scored = base.select(
-        "doc_id",
-        "n_tokens",
-        F.expr(run_max.format(arr="t")).cast("long").alias("top_token_count"),
-        F.expr(run_max.format(arr="grams"))
-        .cast("long")
-        .alias("top_bigram_count"),
-        F.expr(
-            "IF(size(t) < 2, CAST(0 AS BIGINT), "
-            "CAST(size(filter(sequence(1, size(t) - 1), "
-            "i -> t[i-1] = t[i])) AS BIGINT))"
-        ).alias("n_adjacent_repeats"),
-    )
     # single-token docs have no bigrams/adjacency: their denominators
     # NULL out (nullif) instead of dividing by zero under ANSI mode,
     # and the flag coalesces those terms to false — mirrored verbatim
     # in the oracle so both engines agree on the boolean. (Both this
-    # and the 1-token index guard above were caught by the hypothesis
-    # model test, not the corpus oracle — the corpus has no 1-token
-    # docs.)
+    # and the 1-token index guard in _with_repetition_metrics were
+    # caught by the hypothesis model test, not the corpus oracle — the
+    # corpus has no 1-token docs.)
+    scored = _with_repetition_metrics(documents)
     tt = F.col("top_token_count") / F.col("n_tokens").cast("double")
     denom = F.nullif(F.col("n_tokens") - 1, F.lit(0)).cast("double")
     tb = F.col("top_bigram_count") / denom
-    aj = F.col("n_adjacent_repeats") / denom
     return scored.select(
         "doc_id",
         "n_tokens",
@@ -1454,9 +1476,168 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_adjacent_repeats",
         F.round(tt, 4).alias("top_token_frac"),
         F.round(tb, 4).alias("top_bigram_frac"),
-        (
-            (tt > 0.15)
-            | F.coalesce(tb > 0.08, F.lit(False))
-            | F.coalesce(aj > 0.10, F.lit(False))
-        ).alias("is_repetitive"),
+        _is_repetitive().alias("is_repetitive"),
+    )
+
+
+@register(
+    "curated_corpus_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    m AS (
+        SELECT doc_id, t, len(t) AS n,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               list_max(list_transform(list_distinct(t),
+                   x -> len(list_filter(t, y -> y = x)))) AS top_tok,
+               CASE WHEN len(t) < 2 THEN 0 ELSE
+                   list_max(list_transform(list_distinct(
+                       [t[i] || ' ' || t[i+1]
+                        FOR i IN generate_series(1, len(t)-1)]),
+                       x -> len(list_filter(
+                       [t[i] || ' ' || t[i+1]
+                        FOR i IN generate_series(1, len(t)-1)], y -> y = x))))
+                   END AS top_bg,
+               CASE WHEN len(t) < 2 THEN 0 ELSE
+                   list_sum([CASE WHEN t[i] = t[i+1] THEN 1 ELSE 0 END
+                             FOR i IN generate_series(1, len(t)-1)]) END AS adj
+        FROM toks
+    ),
+    quality AS (
+        SELECT doc_id, t, n FROM m
+        WHERE b < 9000 AND n >= 10
+          AND NOT (top_tok / CAST(n AS DOUBLE) > 0.15
+               OR COALESCE(top_bg / CAST(NULLIF(n - 1, 0) AS DOUBLE)
+                           > 0.08, false)
+               OR COALESCE(adj / CAST(NULLIF(n - 1, 0) AS DOUBLE)
+                           > 0.10, false))
+    ),
+    dedup AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality
+        GROUP BY md5(array_to_string(t[1:12], ' '))
+    ),
+    sh AS (
+        SELECT doc_id, {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest(list_distinct(
+                 [array_to_string(string_split(text, ' ')[i:i+7], ' ')
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)]
+               )) AS gram
+        FROM documents
+    ),
+    hot AS (
+        SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 100
+    ),
+    contaminated AS (
+        SELECT c.doc_id
+        FROM sh t JOIN sh c ON t.gram = c.gram
+        WHERE t.b >= 9000 AND c.b < 9000
+          AND t.gram NOT IN (SELECT gram FROM hot)
+        GROUP BY t.doc_id, c.doc_id
+        HAVING COUNT(*) >= 3
+    ),
+    survivors AS (
+        SELECT q.doc_id, q.n FROM quality q
+        JOIN dedup d ON q.doc_id = d.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT ('0x' || substr(md5('shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % {N_PACK_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           {sql_isum('n')}           AS total_tokens,
+           MIN(doc_id)               AS first_doc,
+           MAX(doc_id)               AS last_doc
+    FROM survivors
+    GROUP BY shard
+    """,
+)
+def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline every pretraining run executes,
+    as ONE composed lazy plan (the capstone over the individual
+    operators, each separately oracle-checked):
+
+    1. **Split**: train side only (portable hash bucket < 9000 — the
+       same leakage-safe split as train_test_split_counts).
+    2. **Quality filter**: length ≥ 10 tokens AND not repetitive
+       (the doc_repetition_scores flag, via the shared
+       _with_repetition_metrics helper — zero-shuffle).
+    3. **Exact dedup**: keep the lowest doc_id per 12-token-prefix
+       md5 (exact_dedup_docs' key; hashes shuffle, never documents).
+    4. **Decontamination**: drop survivors sharing ≥ 3 non-hot
+       8-grams with any eval doc (test_set_decontamination's
+       inverted-index join with the >100-doc hot-gram skew bound).
+    5. **Shard manifest**: deterministic md5 shards with doc/token
+       totals — the handoff artifact a tokenizer/packer consumes.
+
+    Scale: every stage is the already-measured-scale-safe shape; the
+    composition adds ONE extra semi-join (dedup keep-set) and ONE
+    anti-join (contaminated set) over the filtered survivor stream —
+    both keyed on doc_id, both candidate-bounded. Catalyst fuses the
+    scan for stages 1-3 (quality metrics and the dedup key come from
+    the same row read)."""
+    documents = load_table(spark, sf_dir, "documents")
+    m = _with_repetition_metrics(documents).withColumn(
+        "b", hash_bucket("doc_id", "split")
+    )
+    quality = m.filter(
+        (F.col("b") < 9000) & (F.col("n_tokens") >= 10) & ~_is_repetitive()
+    )
+    prefix = F.array_join(F.slice(F.col("t"), 1, 12), " ")
+    keep = (
+        quality.select(F.md5(prefix.cast("binary")).alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(keep, "doc_id", "left_semi")
+
+    grams = (
+        word_shingles(documents, n=8)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .withColumn("b", hash_bucket("doc_id", "split"))
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 100)
+        .select("gram")
+    )
+    clean = grams.join(hot, "gram", "left_anti")
+    test = clean.filter(F.col("b") >= 9000).select(
+        F.col("doc_id").alias("test_doc_id"), "gram"
+    )
+    corpus = clean.filter(F.col("b") < 9000).select("doc_id", "gram")
+    contaminated = (
+        test.join(corpus, "gram")
+        .groupBy("test_doc_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+    )
+    survivors = deduped.join(contaminated, "doc_id", "left_anti")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("shard"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % N_PACK_SHARDS
+    )
+    return (
+        survivors.select(shard.alias("shard"), "doc_id", "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )
