@@ -1648,3 +1648,77 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "pii_redaction_stats",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN
+                   text || ' contact user_' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9_.]+@[a-z0-9.]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(regexp_replace(regexp_replace(text,
+                    '[a-z0-9_.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                    '\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT)
+               AS n_chars_redacted
+    FROM seeded
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the redaction pass every training-data pipeline
+    runs before tokenization): detect and replace email- and
+    phone-shaped spans, reporting per-document match counts and the
+    before/after byte sizes a scrubbing audit logs.
+
+    The synthetic corpus contains no PII, which would make the check
+    vacuous (the VERDICT r2 lesson) — so the query DERIVES a
+    deterministic contaminated revision: every 10th doc_id gets a
+    synthetic contact line appended (same derive-then-operate pattern
+    as order_snapshot_changelog). Redaction itself is plain
+    regexp_replace — scan-shaped, zero shuffles, linear at any corpus
+    size; patterns are deliberately within the common subset of Java
+    regex (Spark) and RE2 (DuckDB) so both engines match identical
+    spans."""
+    documents = load_table(spark, sf_dir, "documents")
+    email_re = "[a-z0-9_.]+@[a-z0-9.]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    seeded = documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user_"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "[EMAIL]"),
+        phone_re,
+        "[PHONE]",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\+1-555-[0-9]{4}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+    )
