@@ -1722,3 +1722,60 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_raw"),
         F.length(redacted).cast("long").alias("n_chars_redacted"),
     )
+
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96
+
+
+@register(
+    "doc_chunk_manifest",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1, {CHUNK_STRIDE}))
+                   AS start_token
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(start_token / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT)                  AS start_token,
+           CAST(least({CHUNK_TOKENS}, n - start_token) AS BIGINT)
+               AS chunk_tokens,
+           (start_token + {CHUNK_TOKENS} >= n)          AS is_last
+    FROM chunks
+    """,
+)
+def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the ingest shape for
+    embedding/RAG pipelines and long-doc training): fixed
+    {CHUNK_TOKENS}-token windows at stride {CHUNK_STRIDE} (32-token
+    overlap), emitted as a per-chunk manifest a downstream embedder
+    consumes. Complements sequence packing (packing concatenates
+    SHORT docs up to a budget; chunking splits LONG docs down to one).
+
+    Shape: per-row sequence + explode (Generate) — zero shuffles,
+    output linear in total tokens / stride; no token-level table, the
+    chunk list derives from the token COUNT alone, so the scan reads
+    one derived int per doc."""
+    documents = load_table(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    return sized.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start_token"),
+    ).select(
+        "doc_id",
+        (F.col("start_token") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start_token"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        (F.col("start_token") + CHUNK_TOKENS >= F.col("n")).alias("is_last"),
+    )
