@@ -351,3 +351,51 @@ def approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_a50") - F.col("q50")) <= 2).alias("q50_within_bounds"),
         (F.abs(F.col("_a75") - F.col("q75")) <= 2).alias("q75_within_bounds"),
     )
+
+
+@register(
+    "daily_metrics_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST({sql_dsum(sql_money('o_totalprice'))} AS DOUBLE)
+                   AS total_price,
+               CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT order_date, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT order_date, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT order_date, 'n_customers', n_customers FROM wide
+    """,
+)
+def daily_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the reshaping inverse of
+    status_pivot_by_segment's conditional-agg pivot): a wide per-day
+    metric row melts to (date, metric, value) long form — the layout
+    metric stores and dashboarding sinks ingest. Uses the native
+    DataFrame.unpivot operator (Spark 3.4+), which plans as an Expand
+    node: one pass, output rows = input × metrics, no shuffle beyond
+    the aggregate that built the wide frame.
+
+    Values unify to double for the melt; total_price is the exact
+    decimal sum cast once at the end (plans/_num.py discipline), so
+    both engines melt the identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            dsum(money("o_totalprice")).cast("double").alias("total_price"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["order_date"],
+        values=["n_orders", "total_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
