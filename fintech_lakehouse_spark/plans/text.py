@@ -1779,3 +1779,66 @@ def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_tokens"),
         (F.col("start_token") + CHUNK_TOKENS >= F.col("n")).alias("is_last"),
     )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens,
+                   COUNT(*) AS n_langs FROM per_lang)
+    SELECT p.lang, p.n_docs, p.n_tokens,
+           ROUND(p.n_tokens / CAST(t.total_tokens AS DOUBLE), 6)
+               AS actual_share,
+           ROUND((CAST(t.total_tokens AS DOUBLE) / t.n_langs) / p.n_tokens, 6)
+               AS sampling_weight,
+           (p.n_tokens * t.n_langs > t.total_tokens) AS is_overrepresented
+    FROM per_lang p CROSS JOIN tot t
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting (the mixing step of every pretraining
+    recipe): per-language token counts, actual corpus share, and the
+    sampling weight that equalizes tokens across languages (weight =
+    target_tokens_per_lang / actual_tokens; >1 upsamples, <1
+    downsamples). The uniform target is the illustrative policy — any
+    target vector is the same plan with different literals.
+
+    Shape: one groupBy to language cardinality, a 1-row total
+    broadcast back (BroadcastNestedLoopJoin over one row — the
+    standard global-denominator pattern, never a global window), all
+    further arithmetic on the tiny aggregate. The weight division is
+    exact-int / exact-int in IEEE double on both engines."""
+    documents = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        documents.select("lang", F.size(F.split("text", " ")).alias("_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    weight = (F.col("total_tokens").cast("double") / F.col("n_langs")) / F.col(
+        "n_tokens"
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round(weight, 6).alias("sampling_weight"),
+        (F.col("n_tokens") * F.col("n_langs") > F.col("total_tokens")).alias(
+            "is_overrepresented"
+        ),
+    )
