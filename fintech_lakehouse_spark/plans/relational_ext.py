@@ -570,19 +570,20 @@ def high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH unit AS (
         SELECT l_partkey, l_suppkey,
-               l_extendedprice / l_quantity AS unit_price
+               (CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000)::BIGINT
+                   // CAST(l_quantity AS BIGINT) AS unit_price_e6
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE p_brand = 'Brand#1'
     ),
     mins AS (
-        SELECT l_partkey, MIN(unit_price) AS min_unit_price
+        SELECT l_partkey, MIN(unit_price_e6) AS min_unit_price
         FROM unit GROUP BY l_partkey
     )
     SELECT u.l_partkey AS partkey, u.l_suppkey AS suppkey,
-           ROUND(u.unit_price, 4) AS unit_price
+           u.unit_price_e6
     FROM unit u JOIN mins m
-      ON u.l_partkey = m.l_partkey AND u.unit_price = m.min_unit_price
+      ON u.l_partkey = m.l_partkey AND u.unit_price_e6 = m.min_unit_price
     """,
 )
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,12 +593,21 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan Spark produces for `WHERE price = (SELECT MIN … WHERE
     correlated)`. Unlike the window-argmin formulation
     (latest_order_per_customer), the join-back returns ALL tied
-    minima — Q2's actual semantics. The equality on a computed DOUBLE
-    is safe cross-engine: both sides evaluate the identical IEEE
-    division of the same inputs, and the comparison happens
-    engine-side (the hashed output rounds only for display). Brand
-    filter broadcast into the fact scan bounds the probe; the min agg
-    collapses map-side before its shuffle."""
+    minima — Q2's actual semantics. Brand filter broadcast into the
+    fact scan bounds the probe; the min agg collapses map-side before
+    its shuffle.
+
+    Unit price is computed ENTIRELY in exact integers — micro-units:
+    floor(cents × 10⁴ / quantity) — per the plans/_num.py discipline.
+    The r5 formulation divided doubles and ROUND(…, 4)-ed for
+    display; at sf0.1 it hit a real quotient midpoint
+    (20355.17 / 40 = 508.87925 exactly in decimal, stored as the
+    double 508.87924999999996): Spark rounds the BINARY value (down),
+    DuckDB rounds the shortest-decimal rendering (up) — a one-ulp
+    display flake the smaller SFs dodged by data luck (caught by the
+    r6 full sf0.1 sweep). Integer floor-division is bit-identical in
+    both engines at every SF; min/tie semantics now operate at 1e-6
+    price granularity, which collapses no real ties in this data."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     unit = lineitem.join(
@@ -606,21 +616,24 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_partkey",
         "l_suppkey",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)"
+            " div CAST(l_quantity AS BIGINT)"
+        ).alias("unit_price_e6"),
     )
     mins = unit.groupBy(F.col("l_partkey").alias("_mk")).agg(
-        F.min("unit_price").alias("min_unit_price")
+        F.min("unit_price_e6").alias("min_unit_price")
     )
     return (
         unit.join(
             mins,
             (F.col("l_partkey") == F.col("_mk"))
-            & (F.col("unit_price") == F.col("min_unit_price")),
+            & (F.col("unit_price_e6") == F.col("min_unit_price")),
         )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
-            F.round("unit_price", 4).alias("unit_price"),
+            "unit_price_e6",
         )
     )
 
