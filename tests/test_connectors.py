@@ -215,3 +215,22 @@ def test_parse_kafka_json_in_streaming_pipeline(spark, tmp_path):
         .collect()
     )
     assert {r["user_id"]: (r["n"], r["total"]) for r in batch} == got
+
+
+def test_decode_avro_column_offline_boundary(spark):
+    """The Avro seam offline: Column construction succeeds (the
+    function ships with pyspark), execution raises Spark's documented
+    AVRO_NOT_LOADED error because the spark-avro jar is absent — the
+    exact boundary a cluster run crosses by adding the package."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.sources.connectors import decode_avro_column
+
+    col = decode_avro_column(
+        F.col("v"),
+        '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}',
+    )
+    base = spark.createDataFrame([(bytearray(b"xx"),)], "v binary")
+    # the gate fires at ANALYSIS (select), not execution
+    with pytest.raises(Exception, match="AVRO_NOT_LOADED|Avro"):
+        base.select(col.alias("d")).collect()
