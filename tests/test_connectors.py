@@ -234,3 +234,92 @@ def test_decode_avro_column_offline_boundary(spark):
     # the gate fires at ANALYSIS (select), not execution
     with pytest.raises(Exception, match="AVRO_NOT_LOADED|Avro"):
         base.select(col.alias("d")).collect()
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    """The full streaming ingest a deployment runs, composed from the
+    engine's pieces: kafka-shaped source → parse_kafka_json → per-batch
+    DQ split (DataQualityChecker) → invalid rows to quarantine with
+    failure reasons, valid rows through the CDF-producing upsert sink.
+    Closed input ⇒ exact expectations on the target, the quarantine,
+    AND the changelog."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.quality.checker import DataQualityChecker
+    from fintech_lakehouse_spark.streaming import foreach_batch_cdf
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    payloads = [
+        b'{"user_id": 1, "tier": "gold", "v": 1}',
+        b'{"user_id": 2, "tier": "bronze", "v": 1}',
+        b'{"user_id": 3, "tier": "PLATINUM-INVALID", "v": 1}',  # enum fail
+        b"corrupt {",                                           # parse fail
+        b'{"user_id": 1, "tier": "silver", "v": 2}',            # update u1
+    ]
+    pd.DataFrame(
+        {
+            "key": [b"k%d" % i for i in range(len(payloads))],
+            "value": payloads,
+            "topic": ["tiers"] * len(payloads),
+            "partition": [0] * len(payloads),
+            "offset": list(range(len(payloads))),
+            "timestamp": pd.to_datetime(["2024-01-01"] * len(payloads)),
+        }
+    ).to_parquet(  # micro-precision: NANOS would hit PARQUET_TYPE_ILLEGAL
+        src / "b0.parquet", index=False, coerce_timestamps="us"
+    )
+
+    target = str(tmp_path / "tiers")
+    changelog = str(tmp_path / "tiers_cdf")
+    quarantine = str(tmp_path / "quarantine")
+    cdf_sink = foreach_batch_cdf(target, changelog, key="user_id", order_by="v")
+
+    def ingest(batch_df, batch_id):
+        parsed = parse_kafka_json(
+            batch_df, "user_id long, tier string, v long"
+        ).select("user_id", "tier", "v", "_raw_value")
+        checker = (
+            DataQualityChecker(parsed, "tiers")
+            .check_completeness(["user_id"])
+            .check_values_in_set("tier", ["gold", "silver", "bronze"])
+        )
+        valid, invalid = checker.get_valid_invalid_dfs()
+        if not invalid.isEmpty():
+            invalid.write.mode("append").parquet(quarantine)
+        cdf_sink(valid.select("user_id", "tier", "v"), batch_id)
+
+    stream = spark.readStream.schema(
+        "key binary, value binary, topic string, partition long, "
+        "offset long, timestamp timestamp"
+    ).parquet(str(src))
+    query = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    # target: valid rows merged, u1 collapsed to its latest version
+    table = {
+        r["user_id"]: (r["tier"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert table == {1: ("silver", 2), 2: ("bronze", 1)}
+
+    # quarantine: the enum failure AND the corrupt payload, with reasons
+    q = spark.read.parquet(quarantine).collect()
+    by_user = {r["user_id"]: r for r in q}
+    assert set(by_user) == {3, None}
+    assert any("TIER" in f for f in by_user[3]["_validation_failures"])
+    assert by_user[None]["_raw_value"] == "corrupt {"
+
+    # changelog: one batch, u1's two versions collapsed intra-batch by
+    # order_by="v" => exactly two insert rows, u1 already at (silver, 2)
+    cdf = spark.read.parquet(changelog).collect()
+    assert {(r["user_id"], r["tier"], r["_change_type"]) for r in cdf} == {
+        (1, "silver", "insert"), (2, "bronze", "insert"),
+    }
