@@ -24,6 +24,19 @@ from fintech_lakehouse_spark.session import get_spark
 # Headline set: one per operator family (joins/aggs, windows, as-of,
 # sessionization, DQ, dedup, text, vectors) — the queries whose plans
 # matter at 100 TB.
+# Secondary headline set (r6): the rounds-5/6 flagship additions,
+# timed with the same protocol and reported in the same "queries" map
+# plus their own "value_v2" subtotal. Kept OUT of "value" so the
+# original 24-query total stays comparable across every round.
+HEADLINE_V2 = [
+    "curated_corpus_shards",
+    "user_hourly_velocity_salted",
+    "ivf_approx_neighbors",
+    "ngram_containment_pairs",
+    "embedding_quantization_error",
+    "doc_repetition_scores",
+]
+
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -93,7 +106,7 @@ def main() -> None:
     # cost, not first-job setup: each headline query compiles its own
     # whole-stage-codegen units (the wide MinHash aggregate alone is a
     # multi-second compile), so warm every plan shape once at sf0.001.
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_V2:
         try:
             run_query(spark, name, "/root/testdata/sf0.001")
         except Exception:
@@ -102,13 +115,17 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(timed(spark, name, sf_dir), 3)
     total = round(sum(timings.values()), 3)
+    v2: dict[str, float] = {}
+    for name in HEADLINE_V2:
+        v2[name] = round(timed(spark, name, sf_dir), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **v2},
+                "value_v2": round(sum(v2.values()), 3),
                 "sf": sf,
             }
         )
