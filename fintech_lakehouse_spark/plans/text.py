@@ -206,17 +206,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inert locally and pure insurance at scale. Uncapped since r4
     (r1-r3 measured a doc_id<250 subset — VERDICT r3 wrong-item 3).
 
-    Plan note (r5): the STATIC plan duplicates the scan→shingle→
-    explode subtree per reference to ``exploded``/``sizes`` (8
-    parquet scans in PLAN_AUDIT), but ReusedExchange deduplicates the
-    shuffle-feeding copies at runtime — an explicit persist() of the
-    shingle index A/B-measured cold-equal over 3 runs and was
-    rejected because it hides scan pushdown from the audit and buys
-    nothing per-query; at 100 TB the cross-consumer materialization
-    pattern lives in verified_pairs_stage."""
+    Plan note (r6): the consumers of the shingle index exchange on
+    THREE different keys (hot groupBy on shingle, sizes groupBy on
+    doc_id, self-join on shingle post-anti-join), so ReusedExchange —
+    which only dedupes IDENTICAL exchanges — left the scan→shingle→
+    explode derivation recomputing ~3× (ROUND_NOTES fact 20). The
+    explicit ``repartition("shingle")`` right after explode gives
+    every consumer the SAME exchange subtree to reuse: the derivation
+    runs once and the groupBys/joins read the reused shuffle.
+    A/B (scripts/ab_ngram_reuse.py, sf0.1, fresh session ×3):
+    min 7.11 s → 3.00 s, first-cold 12.6 s → 3.2 s. This also
+    subsumes the r5 persist() A/B (cold-equal, rejected): repartition
+    stays inside the shuffle system and pipelines, persist() is an
+    eager BlockManager barrier."""
     documents = load_table(spark, sf_dir, "documents")
     shingled = word_shingles(documents, n=3)
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).repartition("shingle")
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -296,13 +303,16 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape is identical to ngram_jaccard_pairs (inverted-index
     join bounded by the >100-doc hot-shingle drop on both engines;
-    same ReusedExchange runtime dedup of the static plan's repeated
-    shingle subtree — see that query's r5 plan note); only the final
+    same single repartition("shingle") that lets ReusedExchange
+    collapse every copy of the shingle derivation — see that query's
+    r6 plan note and scripts/ab_ngram_reuse.py); only the final
     scoring expression differs, so the plan inherits that query's
     measured linearity."""
     documents = load_table(spark, sf_dir, "documents")
     shingled = word_shingles(documents, n=3)
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).repartition("shingle")
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1051,12 +1061,21 @@ def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, which is both standard decontamination practice and the skew
     bound that keeps the join's per-key fan-out constant at 100 TB.
     The eval side is ~10% of the corpus; the pair aggregate is bounded
-    by true overlaps, not the cross product."""
+    by true overlaps, not the cross product.
+
+    Plan note (r6): the explicit repartition("gram") is the fact-20
+    exchange-reuse fix (see ngram_jaccard_pairs) — hot-counts, the
+    test side, and the corpus side all consume the gram index through
+    DIFFERENT subtrees, so without it the scan→8-gram→explode
+    derivation ran once per consumer; with it the derivation feeds one
+    reused shuffle and the contamination join needs no further
+    exchange (both sides already hash-partitioned on gram)."""
     documents = load_table(spark, sf_dir, "documents")
     grams = (
         word_shingles(documents, n=8)
         .select("doc_id", F.explode("shingles").alias("gram"))
         .withColumn("b", hash_bucket("doc_id", "split"))
+        .repartition("gram")
     )
     hot = (
         grams.groupBy("gram")
@@ -1598,10 +1617,14 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_h", "_rn")
     )
 
+    # repartition("gram"): fact-20 exchange-reuse fix, same as
+    # test_set_decontamination — one derivation of the 8-gram index
+    # shared by hot-counts and both join sides.
     grams = (
         word_shingles(documents, n=8)
         .select("doc_id", F.explode("shingles").alias("gram"))
         .withColumn("b", hash_bucket("doc_id", "split"))
+        .repartition("gram")
     )
     hot = (
         grams.groupBy("gram")
