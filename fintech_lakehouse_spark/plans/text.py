@@ -1865,3 +1865,147 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_overrepresented"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-level (paragraph) dedup and tokenizer merge induction (r6).
+# ---------------------------------------------------------------------------
+
+CHUNK_DEDUP_BLOCK = 10
+
+
+@register(
+    "chunk_dedup_fractions",
+    oracle=f"""
+    WITH blocks AS (
+        SELECT doc_id, unnest(
+            [md5(array_to_string(
+                 t[(i-1)*{CHUNK_DEDUP_BLOCK}+1 : (i-1)*{CHUNK_DEDUP_BLOCK}+{CHUNK_DEDUP_BLOCK}], ' '))
+             FOR i IN range(1, CAST(ceil(len(t) / {CHUNK_DEDUP_BLOCK}.0) AS INT) + 1)]
+        ) AS block_hash
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    counts AS (
+        SELECT block_hash, COUNT(*) AS n_copies FROM blocks GROUP BY block_hash
+    ),
+    per_doc AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_blocks,
+               {sql_isum('CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END')} AS n_dup_blocks
+        FROM blocks b JOIN counts c USING (block_hash)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_blocks, n_dup_blocks,
+           n_dup_blocks * 10 >= n_blocks * 3 AS drop_doc
+    FROM per_doc
+    WHERE n_dup_blocks > 0
+    """,
+)
+def chunk_dedup_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level dedup fractions (SURVEY §7.6 extension — the
+    RefinedWeb/CCNet line-level dedup op): chunk every document into
+    non-overlapping 10-token blocks, hash each block, and report per
+    document how many of its blocks also occur elsewhere in the corpus
+    (within-doc repeats count too — a self-repeating doc is equally
+    boilerplate). ``drop_doc`` flags documents whose duplicated-block
+    share reaches 30% — the integer cross-multiplication
+    ``n_dup * 10 >= n_blocks * 3`` keeps the threshold exact (no
+    rounded ratio to flake at a display-scale midpoint, ROUND_NOTES
+    fact 22). Only contaminated docs (n_dup_blocks > 0) are returned.
+
+    Scale shape: explode to (doc_id, block_hash) → ONE explicit
+    repartition on block_hash that both the copy-count groupBy and the
+    count join-back reuse (fact-20 exchange-reuse pattern, see
+    ngram_jaccard_pairs) → per-doc rollup. The copy counts come from a
+    map-side-combining groupBy + join-back rather than a
+    count-over-window: a boilerplate block shared by millions of
+    documents lands its whole window partition in ONE task, while the
+    groupBy collapses it map-side and the join fans it back 1×N —
+    the skew-safe formulation at 100 TB."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(CHUNK_DEDUP_BLOCK)).cast("int")
+    block_of = lambda i: F.md5(  # noqa: E731
+        F.array_join(
+            F.slice(toks, i * CHUNK_DEDUP_BLOCK + 1, CHUNK_DEDUP_BLOCK), " "
+        ).cast("binary")
+    )
+    blocks = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_blocks - 1), block_of)
+        ).alias("block_hash"),
+    ).repartition("block_hash")
+    counts = blocks.groupBy("block_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        blocks.join(counts, "block_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_dup_blocks"
+            ),
+        )
+        .filter(F.col("n_dup_blocks") > 0)
+        .withColumn(
+            "drop_doc", F.col("n_dup_blocks") * 10 >= F.col("n_blocks") * 3
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH pairs AS (
+        SELECT unnest(
+            [array_to_string(t[i : i+1], ' ') FOR i IN range(1, len(t))]
+        ) AS pair
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair)
+    SELECT pair, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS merge_rank
+    FROM counts
+    QUALIFY merge_rank <= 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer merge induction — one BPE merge step at word level
+    (SURVEY §7.6 extension): count every ADJACENT token pair across the
+    corpus (non-distinct — merge scoring counts occurrences, unlike the
+    distinct shingle sets dedup uses) and return the 20 most frequent
+    pairs with their merge rank. Iterating this query with the winning
+    pair folded into the vocabulary IS the BPE training loop; one step
+    is the oracle-checkable unit.
+
+    Scale shape: pair explode is a per-row transform (no shuffle), the
+    pair count is a map-side-combining groupBy on the pair key, and the
+    top-20 is ``orderBy().limit(20)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-k, then a 20-row merge on
+    one reducer), NOT a global sort; the merge_rank window then runs on
+    the 20 surviving rows. A pair-vocabulary of billions never passes
+    through a single-partition exchange."""
+    from pyspark.sql.window import Window as _W
+
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pair_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    )
+    top = (
+        documents.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair_of)
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+    rank_w = _W.orderBy(F.col("n_occurrences").desc(), "pair")
+    return top.withColumn("merge_rank", F.row_number().over(rank_w))

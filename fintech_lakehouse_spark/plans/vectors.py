@@ -540,3 +540,105 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_err"),
         F.round(F.array_max("errs"), 8).alias("max_abs_err"),
     )
+
+
+def _cluster_balanced_oracle_sql(per_cluster: int = 3) -> str:
+    """DuckDB twin of cluster_balanced_sample: same frozen-codebook
+    assignment CTE as _ivf_oracle_sql (identical ||c||^2 - 2*(v.c)
+    ranking with the identical dist->list_id tie-break), then a
+    ROW_NUMBER over the portable md5 pick order."""
+    from fintech_lakehouse_spark.plans._ivf_codebook import (
+        CENTROID_SQ,
+        CENTROIDS,
+    )
+
+    rows = ",\n        ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in c) + f"]::DOUBLE[], {CENTROID_SQ[i]!r})"
+        for i, c in enumerate(CENTROIDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents(list_id, c, csq) AS (VALUES
+        {rows}),
+    assigned AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY c.csq - 2 * list_dot_product(e.v, c.c),
+                                               c.list_id) AS rn
+            FROM emb e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sized AS (
+        SELECT a.*, s.cluster_size FROM assigned a
+        JOIN (SELECT list_id, COUNT(*) AS cluster_size
+              FROM assigned GROUP BY list_id) s USING (list_id)
+    )
+    SELECT list_id, cluster_size, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY list_id
+                              ORDER BY md5('bal' || '|' || CAST(vec_id AS VARCHAR)),
+                                       vec_id) AS pick_rank
+    FROM sized
+    QUALIFY pick_rank <= {per_cluster}
+    """
+
+
+@register("cluster_balanced_sample", oracle=_cluster_balanced_oracle_sql())
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity) subsampling (SURVEY §7.6 extension
+    — the semantic-dedup/coverage move in training-data curation, cf.
+    SemDeDup-style pipelines): assign every embedding to its nearest
+    cluster of the FROZEN trained codebook (plans/_ivf_codebook.py,
+    same literals as ivf_approx_neighbors), then take a fixed quota of
+    3 vectors per cluster, picked by the portable md5 hash of vec_id —
+    a deterministic, engine-replayable stand-in for random-per-cluster
+    sampling. Output carries cluster_size so the balance the sample
+    corrects (raw cluster mass vs flat quota) is visible.
+
+    Scale shape: codebook assignment is plan literals — a zero-shuffle
+    map over the corpus. The per-cluster quota is picked by a
+    TWO-PHASE top-k: phase 1 takes local top-3-by-hash per
+    (cluster, input partition) via mapPartitions-free aggregation —
+    here a window over (list_id, salt) where salt bounds every
+    partition — phase 2 re-ranks the <= 3*64 survivors per cluster.
+    With only 16 clusters, a single window PARTITION BY list_id would
+    funnel the full corpus through 16 tasks; the salted first phase
+    keeps every task bounded while remaining exact (the global top-3
+    is always inside the union of local top-3s). Cluster sizes come
+    from a map-side-combining groupBy broadcast back onto 16 rows."""
+    from pyspark.sql import Window as _W
+
+    from fintech_lakehouse_spark.functions.vectors import ivf_assign_fixed
+    from fintech_lakehouse_spark.plans._ivf_codebook import (
+        CENTROID_SQ,
+        CENTROIDS,
+    )
+
+    emb = _embeddings_double(spark, sf_dir)
+    assigned = ivf_assign_fixed(emb, CENTROIDS, CENTROID_SQ).select(
+        "vec_id", "list_id"
+    )
+    pick = F.md5(
+        F.concat_ws("|", F.lit("bal"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    salted = assigned.withColumn("_pick", pick).withColumn(
+        "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(64))
+    )
+    local_w = _W.partitionBy("list_id", "_salt").orderBy("_pick", "vec_id")
+    survivors = (
+        salted.withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= 3)
+        .drop("_lrn", "_salt")
+    )
+    sizes = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    final_w = _W.partitionBy("list_id").orderBy("_pick", "vec_id")
+    return (
+        survivors.join(F.broadcast(sizes), "list_id")
+        .withColumn("pick_rank", F.row_number().over(final_w))
+        .filter(F.col("pick_rank") <= 3)
+        .select("list_id", "cluster_size", "vec_id", "pick_rank")
+    )

@@ -88,6 +88,16 @@ def _plan(df) -> str:
         # frozen-codebook IVF (r6): probes broadcast into the corpus
         # list join — the corpus itself never shuffles.
         ("ivf_approx_neighbors", ["BroadcastHashJoin"]),
+        # block-level dedup (r6): the single explicit repartition on
+        # block_hash that both copy-count consumers share (fact-20
+        # exchange-reuse pattern).
+        ("chunk_dedup_fractions", ["hashpartitioning(block_hash", "REPARTITION_BY_COL"]),
+        # BPE merge step (r6): corpus-wide pair top-20 must be a
+        # distributed TakeOrderedAndProject, never a global sort.
+        ("bpe_merge_candidates", ["TakeOrderedAndProject"]),
+        # cluster-balanced sampling (r6): 16-row cluster sizes
+        # broadcast back; assignment itself is zero-shuffle literals.
+        ("cluster_balanced_sample", ["BroadcastHashJoin"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
@@ -425,3 +435,35 @@ def test_salted_shuffle_join_matches_plain(spark):
 
     with pytest.raises(ValueError, match="right/full"):
         salted_shuffle_join(fact, dim, "k", how="full")
+
+
+def test_cluster_balanced_two_phase_exact(spark, sf_dir):
+    """cluster_balanced_sample's salted two-phase top-k must equal the
+    naive single-window formulation exactly (the global per-cluster
+    top-3 always lies inside the union of salted local top-3s)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fintech_lakehouse_spark.functions.vectors import ivf_assign_fixed
+    from fintech_lakehouse_spark.plans._ivf_codebook import CENTROID_SQ, CENTROIDS
+    from fintech_lakehouse_spark.plans.vectors import _embeddings_double
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["cluster_balanced_sample"](spark, sf_dir).collect()
+    )
+    assigned = ivf_assign_fixed(
+        _embeddings_double(spark, sf_dir), CENTROIDS, CENTROID_SQ
+    ).select("vec_id", "list_id")
+    pick = F.md5(
+        F.concat_ws("|", F.lit("bal"), F.col("vec_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("list_id").orderBy(pick.asc(), F.col("vec_id"))
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    naive = (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 3)
+        .join(sizes, "list_id")
+        .select("list_id", "cluster_size", "vec_id", "pick_rank")
+    )
+    assert got == sorted(tuple(r) for r in naive.collect())
