@@ -35,6 +35,10 @@ HEADLINE_V2 = [
     "ngram_containment_pairs",
     "embedding_quantization_error",
     "doc_repetition_scores",
+    # r6 session-2 additions (first recorded in BASELINE.md §2 r6b):
+    "chunk_dedup_fractions",
+    "bpe_merge_candidates",
+    "cluster_balanced_sample",
 ]
 
 HEADLINE = [

@@ -426,3 +426,40 @@ def test_repetition_scores_match_counter_model(spark, tmp_path_factory, docs):
             max(Counter(grams).values()) if grams else 0
         )
         assert r["n_adjacent_repeats"] == adj
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=60),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_chunk_block_hashes_match_python_model(spark, texts):
+    """chunk_block_hashes against an exact Python reimplementation:
+    non-overlapping 10-token blocks, remainder block kept, md5 of the
+    space-rejoined block text — the derivation chunk_dedup_fractions
+    and its DuckDB oracle both rest on (including the clamped final
+    slice and the single-token/empty-text edges)."""
+    import hashlib
+
+    from fintech_lakehouse_spark.plans.text import (
+        CHUNK_DEDUP_BLOCK,
+        chunk_block_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["doc_id"], r["block_hash"])
+        for r in chunk_block_hashes(docs).collect()
+    )
+    expected = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # split('') == [''] — one 1-token block
+        for j in range(0, len(toks), CHUNK_DEDUP_BLOCK):
+            block = " ".join(toks[j : j + CHUNK_DEDUP_BLOCK])
+            expected.append((i, hashlib.md5(block.encode()).hexdigest()))
+    assert got == sorted(expected)
