@@ -345,6 +345,61 @@ def rolling_md5_chain(text_col: str | Column = "text") -> Column:
     )
 
 
+def winnow_selected(
+    documents: DataFrame, k: int = 4, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Robust winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    '03): hash every k-token gram (md5 prefix → BIGINT, the portable
+    sampling.hash_bucket family), slide a window of w consecutive gram
+    hashes, select each window's minimum, return the distinct selected
+    set sorted ascending.
+
+    Returns (doc_id, n_grams: long, selected: array<long>). Guarantee
+    (the winnowing theorem, unit-tested): two documents sharing any
+    token run of length >= k + w - 1 share at least one selected
+    fingerprint. Docs with fewer than w grams select the single global
+    minimum; docs with no full gram select nothing.
+
+    Zero-Exchange scan: grams, hashes, window minima are higher-order
+    functions inside the row. Each intermediate array is materialized
+    in its own projection (see word_shingles: inlining split() into
+    the gram lambda re-splits the text per element, measured ~20×)."""
+    toks = F.col("_toks")
+    tokenized = documents.select(
+        "doc_id", tokens(text_col).alias("_toks")
+    )
+    n = F.size(toks)
+    gram_idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        gram_idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
+    )
+    hashes = F.transform(
+        grams,
+        lambda gm: F.conv(
+            F.substring(F.md5(gm.cast("binary")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    hashed = tokenized.select("doc_id", hashes.alias("_hashes"))
+
+    h = F.col("_hashes")
+    m = F.size(h)
+    win_idx = (
+        F.when(m >= w, F.sequence(F.lit(1), m - w + 1))
+        .when(m >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    mins = F.transform(
+        win_idx, lambda i: F.array_min(F.slice(h, i, F.least(F.lit(w), m)))
+    )
+    return hashed.select(
+        "doc_id",
+        m.cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(mins)).alias("selected"),
+    )
+
+
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash64) — 64-bit SimHash fingerprint: per token,
     ±1 vote per bit position (term-frequency weighted); bit b of the

@@ -1,0 +1,296 @@
+"""Round-6 curation extensions (SURVEY §7.6 training-data pipeline):
+
+- ``winnowing_fingerprints`` — MOSS-style robust winnowing: the
+  standard plagiarism/near-dup fingerprint selection (Schleimer,
+  Wilkerson, Aiken, SIGMOD '03) that guarantees any shared substring
+  of length >= K+W-1 tokens produces at least one shared selected
+  fingerprint, while selecting only ~2/(W+1) of all gram hashes.
+- ``semantic_dedup_clusters`` — SemDeDup (Abbas et al., 2023):
+  cluster the embedding space with a trained quantizer, then prune
+  cosine-near-duplicates WITHIN each cluster — the embedding-space
+  analog of MinHash-LSH dedup, with the pairwise stage bounded by
+  cluster size instead of corpus size.
+- ``vocab_oov_rates`` — tokenizer-vocabulary coverage: per-document
+  out-of-vocabulary token fraction against the corpus top-256 vocab,
+  the data-quality gate run before committing a tokenizer to a
+  pretraining mix.
+
+Own module so the queries register as never-checked and rotation
+front-loads them into the next driver window (plans/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.functions.text import winnow_selected
+from fintech_lakehouse_spark.functions.vectors import dot, with_norm
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+# Winnowing parameters: gram size K tokens, window of W gram hashes.
+# Guarantee: token substrings of length >= K + W - 1 = 8 shared between
+# two documents always share a fingerprint (the winnowing theorem).
+WINNOW_K = 4
+WINNOW_W = 5
+
+SEMDEDUP_THRESHOLD = 0.40  # same non-vacuous bar as embedding_near_duplicates
+
+VOCAB_SIZE = 256
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')), 1, 12))::BIGINT
+                FOR i IN range(1, greatest(len(toks) - {WINNOW_K - 2}, 1))] AS hashes
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, len(hashes) AS n_grams,
+               CASE
+                 WHEN len(hashes) >= {WINNOW_W} THEN
+                   [list_min(hashes[i:i+{WINNOW_W - 1}])
+                    FOR i IN range(1, len(hashes) - {WINNOW_W - 2})]
+                 WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+                 ELSE []
+               END AS mins
+        FROM g
+    )
+    SELECT doc_id, n_grams,
+           len(list_distinct(mins)) AS n_fingerprints,
+           md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
+    FROM s
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (SURVEY §7.6 fingerprinting,
+    MOSS/SIGMOD'03): hash every K-token gram, slide a window of W
+    consecutive gram hashes, select the minimum hash of each window,
+    keep the distinct selected set. Unlike the whole-doc rolling hash
+    (doc_rolling_fingerprints) this is POSITION-ROBUST: any shared run
+    of >= K+W-1 tokens between two documents yields a shared
+    fingerprint, so equal fp_digest ⇒ near-identical docs and shared
+    individual fingerprints index partial overlaps — while storing only
+    ~2/(W+1) of the gram hashes (the winnowing density bound).
+
+    Scale shape: one parallel scan, zero Exchange — grams, hashes,
+    window minima and the digest are all higher-order-function
+    expressions inside the row (plan-asserted in tests). At 100 TB the
+    selected (fingerprint → doc) pairs feed the same inverted-index
+    join as test_set_decontamination; here we register the per-doc
+    selection itself so the oracle pins the winnowing algebra exactly.
+
+    Engine portability: gram hash = first 12 hex chars of md5 →
+    BIGINT, the proven-bit-exact pair of functions/sampling.py's
+    hash_bucket / sql_hash_bucket (conv(hex,16,10) vs '0x…'::BIGINT).
+    Each intermediate array is materialized in its own projection —
+    inlining the token split into the gram lambda re-splits the text
+    per element (functions/text.py::word_shingles, measured ~20×)."""
+    documents = load_table(spark, sf_dir, "documents")
+    winnowed = winnow_selected(documents, k=WINNOW_K, w=WINNOW_W)
+    sel = F.col("selected")
+    # size() is INT in Spark but len() is BIGINT in DuckDB, and the
+    # driver hash is dtype-sensitive (sql_isum rationale) → cast long.
+    return winnowed.select(
+        "doc_id",
+        "n_grams",
+        F.size(sel).cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(",", F.transform(sel, lambda x: x.cast("string"))).cast(
+                "binary"
+            )
+        ).alias("fp_digest"),
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB twin of the SemDeDup pipeline: the cluster assignment
+    replays the FROZEN IVF codebook exactly like _ivf_oracle_sql
+    (plans/vectors.py) — identical float64 centroid literals, identical
+    ||c||² − 2·(v·c) ranking with the (dist, list_id) tie-break — and
+    the in-cluster cosine replays the embedding_near_duplicates
+    expression shape (left-to-right fold ≡ list_dot_product)."""
+    from fintech_lakehouse_spark.plans._ivf_codebook import CENTROID_SQ, CENTROIDS
+
+    rows = ",\n        ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in c) + f"]::DOUBLE[], {CENTROID_SQ[i]!r})"
+        for i, c in enumerate(CENTROIDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents(cluster_id, c, csq) AS (VALUES
+        {rows}),
+    assigned AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT e.vec_id, e.v, c.cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY c.csq - 2 * list_dot_product(e.v, c.c),
+                                c.cluster_id) AS rn
+            FROM emb e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) > {SEMDEDUP_THRESHOLD}
+    ),
+    members AS (
+        SELECT cluster_id, COUNT(*) AS n_members FROM assigned GROUP BY cluster_id
+    ),
+    ps AS (
+        SELECT cluster_id, COUNT(*) AS n_dup_pairs,
+               COUNT(DISTINCT vec_b) AS n_pruned
+        FROM pairs GROUP BY cluster_id
+    )
+    SELECT CAST(m.cluster_id AS BIGINT) AS cluster_id, m.n_members,
+           COALESCE(ps.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(ps.n_pruned, 0) AS n_pruned,
+           m.n_members - COALESCE(ps.n_pruned, 0) AS n_survivors
+    FROM members m LEFT JOIN ps USING (cluster_id)
+    """
+
+
+@register("semantic_dedup_clusters", oracle=_semdedup_oracle_sql())
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (SURVEY §7.6 dedup family, Abbas et al. 2023): assign
+    every embedding to its nearest FROZEN-codebook centroid
+    (plans/_ivf_codebook.py — the r6 trained-parameter-freezing
+    technique, ROUND_NOTES fact 13), then find cosine >
+    {SEMDEDUP_THRESHOLD} pairs WITHIN each cluster and prune every
+    vector that has a same-cluster duplicate with a smaller vec_id
+    (the deterministic keep-lowest representative rule). Reports
+    per-cluster members / dup pairs / pruned / survivors.
+
+    Scale shape — this is the whole point of SemDeDup: the exact
+    pairwise stage never sees the corpus, only one cluster at a time.
+    Assignment is a zero-shuffle map (codebook rides as plan
+    literals); the self-join shuffles once on cluster_id; in-cluster
+    pairwise work is O(Σ|cluster|²), bounded by choosing k ∝ corpus
+    size so |cluster| stays ~constant (at 100 TB: k in the tens of
+    thousands, trained on a sample exactly like
+    scripts/train_ivf_codebook.py, vs k=16 here). Compare
+    embedding_near_duplicates, the O(n²) exact baseline this
+    approximates."""
+    from fintech_lakehouse_spark.functions.vectors import ivf_assign_fixed
+    from fintech_lakehouse_spark.plans._ivf_codebook import CENTROID_SQ, CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = ivf_assign_fixed(emb, CENTROIDS, CENTROID_SQ, out="cluster_id")
+    a = with_norm(
+        assigned.select(
+            F.col("vec_id").alias("vec_a"), "cluster_id", F.col("embedding").alias("va")
+        ),
+        "va",
+        "na",
+    )
+    b = with_norm(
+        assigned.select(
+            F.col("vec_id").alias("vec_b"), "cluster_id", F.col("embedding").alias("vb")
+        ),
+        "vb",
+        "nb",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos > SEMDEDUP_THRESHOLD)
+        .select("cluster_id", "vec_a", "vec_b")
+    )
+    members = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    stats = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("vec_b").alias("n_pruned"),
+    )
+    return (
+        members.join(stats, "cluster_id", "left")
+        .fillna(0, ["n_dup_pairs", "n_pruned"])
+        .select(
+            # list_id literals are INT in both plans; the driver hash is
+            # dtype-sensitive → normalize to BIGINT on both sides.
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members",
+            "n_dup_pairs",
+            "n_pruned",
+            (F.col("n_members") - F.col("n_pruned")).alias("n_survivors"),
+        )
+    )
+
+
+@register(
+    "vocab_oov_rates",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+            ORDER BY n DESC, token LIMIT {VOCAB_SIZE}
+        )
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS DOUBLE) / 10000 AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (SURVEY §7.6 text analysis): build
+    the corpus top-{VOCAB_SIZE} token vocabulary (count desc, token asc
+    tie-break — a deterministic total order both engines share), then
+    report each document's token count, OOV token count, and OOV rate.
+    The gate every tokenizer change runs before a pretraining mix:
+    a rate spike localizes which documents the vocab fails on.
+
+    Scale shape: the vocab aggregate is map-side-partial (tiny result,
+    top-k via sort+limit on the already-aggregated token counts), and
+    it BROADCASTS into the exploded token stream — the corpus never
+    shuffles for the membership probe; the only full-width exchange is
+    the final groupBy(doc_id), which a real pipeline fuses into its
+    per-doc stats pass. At a production vocab (50k–200k entries) the
+    same broadcast-hash-join plan holds — that is why membership is a
+    join, not an array_contains against a literal array.
+
+    oov_rate uses integer floor-division at 4 decimals
+    (plans/_num.py::davg_int rationale; ROUND_NOTES fact 22): a
+    ROUND()-ed small-int/small-int quotient flakes between engines
+    when the true decimal quotient lands on a display-scale midpoint
+    (e.g. 3/160 = 0.01875)."""
+    documents = load_table(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(1).alias("_inv"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.expr(
+            "CAST((SUM(CASE WHEN _inv IS NULL THEN 1 ELSE 0 END) * 10000)"
+            " DIV COUNT(1) AS DOUBLE) / 10000"
+        ).alias("oov_rate"),
+    )

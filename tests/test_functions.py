@@ -660,3 +660,51 @@ def test_resize_images_plumbing(spark):
     # deterministic payloads round-trip through parquet binary columns
     again = {r["asset_id"]: r for r in resize_images(assets, 224, 224).collect()}
     assert bytes(again[1]["payload"]) == bytes(r["payload"])
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem (SIGMOD '03): two docs sharing a token
+    run of length >= k + w - 1 share at least one selected
+    fingerprint; selection is a subset of the doc's gram hashes."""
+    from fintech_lakehouse_spark.functions.text import winnow_selected
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # k+w-1 = 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "完全 different 内容 with no overlap at all here"),
+            (4, "tiny doc"),  # fewer tokens than k -> no grams
+            (5, "exactly four token gram"),  # one gram, fewer than w
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in winnow_selected(docs, k=k, w=w).collect()}
+    s1, s2, s3 = (set(rows[i]["selected"]) for i in (1, 2, 3))
+    assert s1 & s2, "docs sharing an 8-token run must share a fingerprint"
+    assert not (s1 & s3) and not (s2 & s3)
+    # density: never more fingerprints than windows, never zero when grams exist
+    for i in (1, 2, 3):
+        r = rows[i]
+        assert 1 <= len(r["selected"]) <= r["n_grams"]
+        assert r["selected"] == sorted(set(r["selected"]))
+    assert rows[4]["n_grams"] == 0 and rows[4]["selected"] == []
+    assert rows[5]["n_grams"] == 1 and len(rows[5]["selected"]) == 1
+
+
+def test_winnowing_shift_invariance(spark):
+    """Selected fingerprint VALUES of a shared run do not depend on
+    where the run sits in the document (position-robustness — the
+    property the whole-doc rolling hash lacks)."""
+    from fintech_lakehouse_spark.functions.text import winnow_selected
+
+    run = " ".join(f"t{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, run), (2, "x y z " + run), (3, run + " p q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: set(r["selected"]) for r in winnow_selected(docs).collect()}
+    # every fingerprint of the bare run reappears when the run is embedded
+    assert rows[1] <= rows[2]
+    assert rows[1] <= rows[3]

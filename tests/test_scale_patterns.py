@@ -467,3 +467,49 @@ def test_cluster_balanced_two_phase_exact(spark, sf_dir):
         .select("list_id", "cluster_size", "vec_id", "pick_rank")
     )
     assert got == sorted(tuple(r) for r in naive.collect())
+
+
+def test_winnowing_zero_shuffle(spark, sf_dir):
+    """winnowing_fingerprints promises a pure scan (the 100 TB flat-map
+    property): grams, hashes, window minima and the digest are all
+    in-row higher-order functions — no Exchange anywhere."""
+    plan = _plan(QUERIES["winnowing_fingerprints"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_vocab_oov_broadcasts_vocab(spark, sf_dir):
+    """The vocab membership probe must be a broadcast join — the
+    corpus token stream never shuffles for it (the only full-width
+    exchange is the final per-doc aggregate)."""
+    plan = _plan(QUERIES["vocab_oov_rates"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+    """SemDeDup invariants vs the exact pairwise baseline: every
+    in-cluster dup pair is a true cosine>threshold pair (subset of the
+    brute-force pair set), per-cluster accounting is consistent, and
+    cluster membership covers the corpus exactly once."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.plans.curation import SEMDEDUP_THRESHOLD
+
+    rows = QUERIES["semantic_dedup_clusters"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    assert sum(r["n_members"] for r in rows) == len(vecs)
+
+    # brute-force global near-dup pair count bounds the in-cluster count
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(ids), k=1)
+    n_bruteforce = int((cos[iu] > SEMDEDUP_THRESHOLD).sum())
+    n_semdedup = sum(r["n_dup_pairs"] for r in rows)
+    assert 0 < n_semdedup <= n_bruteforce
+
+    for r in rows:
+        assert r["n_pruned"] <= r["n_dup_pairs"]
+        assert r["n_survivors"] == r["n_members"] - r["n_pruned"]
+        assert r["n_survivors"] >= 1
