@@ -32,6 +32,21 @@ BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/scale_corpus"
 QUERY_NAMES = ["test_set_decontamination", "sequence_pack_manifest"]
 
+# Queries that read `embeddings` instead of `documents`: the multiplied
+# corpus gets k× vectors, each copy jittered with deterministic
+# per-copy noise so copies are NOT mutual near-duplicates (cos(v, v+ε)
+# stays below the dup thresholds for most pairs) — the pair structure
+# then grows ~linearly with k instead of k² copies-of-the-same-vector.
+EMBEDDINGS_QUERIES = {
+    "semantic_dedup_clusters",
+    "embedding_near_duplicates",
+    "ivf_approx_neighbors",
+    "knn_bruteforce_cosine",
+    "lsh_bucketed_neighbors",
+    "embedding_dim_stats",
+    "embedding_quantization_error",
+}
+
 
 def build(spark, k: int) -> str:
     out = f"{WORK}/x{k}"
@@ -64,6 +79,48 @@ def build(spark, k: int) -> str:
     return out
 
 
+def build_embeddings(spark, k: int) -> str:
+    out = f"{WORK}/x{k}"
+    if os.path.exists(f"{out}/embeddings.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = load_table(spark, BASE_SF, "embeddings")
+    copies = []
+    for i in range(k):
+        if i == 0:
+            copies.append(base)
+            continue
+        seed = F.lit(i * 31)
+        jittered = F.transform(
+            F.col("embedding"),
+            lambda x, j: (
+                x
+                + (
+                    (
+                        F.pmod(
+                            F.hash(F.col("vec_id") * 97 + j * 13 + seed), F.lit(997)
+                        )
+                        / 997.0
+                    )
+                    - 0.5
+                )
+                * 0.3
+            ).cast("float"),
+        )
+        copies.append(
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                jittered.alias("embedding"),
+                "label",
+            ).select(*base.columns)
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
     names = QUERY_NAMES
@@ -82,17 +139,24 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-    print("| query | k | docs | wall | rows |")
+    need_docs = any(n not in EMBEDDINGS_QUERIES for n in names)
+    need_emb = any(n in EMBEDDINGS_QUERIES for n in names)
+    print("| query | k | rows_in | wall | rows |")
     print("|---|---|---|---|---|")
     for k in ks:
-        sf_dir = build(spark, k)
-        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        if need_docs:
+            sf_dir = build(spark, k)
+            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        if need_emb:
+            sf_dir = build_embeddings(spark, k)
+            n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         for name in names:
+            n_in = n_vecs if name in EMBEDDINGS_QUERIES else n_docs
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
             wall = time.time() - t0
-            print(f"| {name} | {k}x | {n_docs} | {wall:.2f} s | {n} |")
+            print(f"| {name} | {k}x | {n_in} | {wall:.2f} s | {n} |")
     shutil.rmtree(WORK, ignore_errors=True)
 
 
