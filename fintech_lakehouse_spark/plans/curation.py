@@ -110,6 +110,95 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_HOT_DOCS = 100  # fingerprints in more docs than this are boilerplate
+WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+
+
+@register(
+    "winnowing_candidate_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')), 1, 12))::BIGINT
+                FOR i IN range(1, greatest(len(toks) - {WINNOW_K - 2}, 1))] AS hashes
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE
+                 WHEN len(hashes) >= {WINNOW_W} THEN
+                   [list_min(hashes[i:i+{WINNOW_W - 1}])
+                    FOR i IN range(1, len(hashes) - {WINNOW_W - 2})]
+                 WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+                 ELSE []
+               END AS mins
+        FROM g
+    ),
+    fps AS (
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM s
+    ),
+    hot AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) > {WINNOW_HOT_DOCS}
+    ),
+    clean AS (
+        SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_fps
+    FROM clean a JOIN clean b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup candidate pairs (SURVEY §7.6 dedup
+    family): invert the selected fingerprints into a (fp → doc) index,
+    drop boilerplate fingerprints appearing in > {WINNOW_HOT_DOCS}
+    docs (the same bounded-fan-out skew guard as the shingle-join
+    pair queries), and emit doc pairs sharing >= {WINNOW_MIN_SHARED}
+    fingerprints.
+
+    Why this exists next to ngram_jaccard_pairs: the index is built
+    from the WINNOWED selection — ~2/(w+1) of all gram hashes — so at
+    100 TB the inverted index (the shuffle) is ~3× smaller than the
+    full-shingle index for the same guarantee class (any shared run of
+    >= k+w-1 tokens still collides). It is the standard
+    index-size/recall trade the full-shingle join cannot make.
+
+    Plan note: the explicit repartition("fp") is the fact-20
+    exchange-reuse point — hot-counts and both self-join sides consume
+    the fingerprint index through different subtrees; with it the
+    scan→winnow→explode derivation runs once and the pair join needs
+    no further exchange."""
+    documents = load_table(spark, sf_dir, "documents")
+    fps = (
+        winnow_selected(documents, k=WINNOW_K, w=WINNOW_W)
+        .select("doc_id", F.explode("selected").alias("fp"))
+        .repartition("fp")
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > WINNOW_HOT_DOCS)
+        .select("fp")
+    )
+    clean = fps.join(hot, "fp", "left_anti")
+    a = clean.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = clean.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
 def _semdedup_oracle_sql() -> str:
     """DuckDB twin of the SemDeDup pipeline: the cluster assignment
     replays the FROZEN IVF codebook exactly like _ivf_oracle_sql

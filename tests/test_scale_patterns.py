@@ -513,3 +513,22 @@ def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
         assert r["n_pruned"] <= r["n_dup_pairs"]
         assert r["n_survivors"] == r["n_members"] - r["n_pruned"]
         assert r["n_survivors"] >= 1
+
+
+def test_winnowing_pairs_recall_vs_exact_jaccard(spark, sf_dir):
+    """The winnowed index (~2/(w+1) of the gram hashes) must retain
+    near-full recall against the exact full-shingle Jaccard pairs —
+    the trade it sells is index size, not recall class. Not exactly
+    100%: a pair whose overlap is fragmented into runs shorter than
+    k+w-1 tokens can legitimately escape the winnowing guarantee."""
+    wp = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["winnowing_candidate_pairs"](spark, sf_dir).collect()
+    }
+    jp = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert jp, "exact pair set must be non-vacuous at test SF"
+    recall = len(jp & wp) / len(jp)
+    assert recall >= 0.9, f"winnowing recall {recall:.2f} vs exact jaccard pairs"
