@@ -136,3 +136,87 @@ def query_count_min_sketch(spark, sketch: bytes, items: list[str]) -> dict[str, 
     bis = jvm.java.io.ByteArrayInputStream(sketch)
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
     return {item: int(cms.estimateCount(item)) for item in items}
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (set-membership sketch)
+#
+# The third classic sketch next to CMS (frequency) and HLL
+# (cardinality): a fixed-bit-domain set-membership structure with a
+# ONE-SIDED guarantee — a member is NEVER reported absent; a
+# non-member is falsely reported present with probability
+# ~(1 - e^(-k*n/m))^k. That one-sidedness is exactly what
+# decontamination needs: bloom-flagged is a superset of truly
+# contaminated, so the cheap pass can never hide real leakage.
+#
+# Like cms_*_md5, the hash family is probe-salted md5, so any engine
+# with md5 replays membership bit-for-bit (the DuckDB oracle twin
+# does). Spark's own BloomFilter aggregate
+# (org.apache.spark.util.sketch.BloomFilter) is the JVM fast path but
+# hashes with a private murmur variant — unverifiable cross-engine —
+# so the portable family is the default here.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_M_BITS = 1 << 20
+
+
+def bloom_position_md5(col: str | Column, j: int, m_bits: int = BLOOM_M_BITS) -> Column:
+    """Probe-``j`` bit position of the portable Bloom hash family:
+    first-48-bits(md5('bloom{j}|' || value)) mod m_bits — the same
+    salted-md5 construction as cms_bucket_md5, sharing its DuckDB twin
+    ('0x' || substr(md5(..), 1, 12) cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat_ws("|", F.lit(f"bloom{j}"), c).cast("binary"))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % m_bits
+
+
+def bloom_build_md5(
+    df: DataFrame,
+    col: str | Column = "gram",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Build the Bloom filter over every value of ``col`` as a
+    single-column relation of set bit positions (``pos: long``).
+
+    The build is one distributed explode + distinct whose result is
+    bounded by ``m_bits`` ROWS REGARDLESS OF INPUT SIZE — that bound
+    (not the input's cardinality) is what makes the filter
+    broadcastable: at the default 2^20 bits the relation tops out at
+    8 MiB of longs even if the build side held billions of values.
+    Kept as a relation (not a packed bitmap literal) for the same
+    reason cms_sketch_table_md5 is: it stays joinable, persistable,
+    and engine-replicable. A packed representation for broadcast
+    variables would group pos DIV 63 into 63-bit words via
+    bit_or(shiftleft(1, pos % 63)) — 63, not 64, because DuckDB
+    raises on 1::BIGINT << 63 while Spark wraps silently, and the
+    oracle must replay every word identically."""
+    probes = F.array(*[bloom_position_md5(col, j, m_bits) for j in range(k)])
+    return df.select(F.explode(probes).alias("pos")).distinct()
+
+
+def bloom_filter_members(
+    items: DataFrame,
+    bloom: DataFrame,
+    col: str | Column = "gram",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Filter ``items`` to rows whose ``col`` the Bloom filter reports
+    as members (all ``k`` probe bits set), as a chain of ``k``
+    broadcast LEFT SEMI joins — the probe side keeps its partitioning
+    and NEVER SHUFFLES, which is the whole point at 100 TB: corpus-side
+    membership against a build-side set becomes a pipelined scan
+    against 8 MiB of broadcast bits instead of an equi-join shuffle of
+    every corpus gram. One-sided: every true member survives; false
+    positives ~(k*n/m)^k leak through and must be tolerated (or
+    re-checked by the exact join on the tiny flagged subset)."""
+    out = items
+    for j in range(k):
+        out = out.join(
+            F.broadcast(bloom),
+            bloom_position_md5(col, j, m_bits) == bloom["pos"],
+            "left_semi",
+        )
+    return out

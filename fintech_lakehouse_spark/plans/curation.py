@@ -14,6 +14,13 @@
   out-of-vocabulary token fraction against the corpus top-256 vocab,
   the data-quality gate run before committing a tokenizer to a
   pretraining mix.
+- ``bloom_decontamination`` — the no-shuffle scale path next to the
+  exact 8-gram decontamination join: a portable (salted-md5) Bloom
+  filter over the eval split's grams, membership as pipelined
+  broadcast semi joins; one-sided, so bloom-flagged ⊇ contaminated.
+- ``bigram_familiarity_scores`` — CCNet/KenLM-style perplexity
+  filtering re-expressed as exact arithmetic: leave-one-out bigram
+  familiarity against train-split counts.
 
 Own module so the queries register as never-checked and rotation
 front-loads them into the next driver window (plans/__init__.py).
@@ -24,7 +31,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fintech_lakehouse_spark.functions.text import winnow_selected
+from fintech_lakehouse_spark.functions.sampling import hash_bucket, sql_hash_bucket
+from fintech_lakehouse_spark.functions.sketches import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_build_md5,
+    bloom_filter_members,
+)
+from fintech_lakehouse_spark.functions.text import (
+    tokens,
+    winnow_selected,
+    word_shingles,
+)
 from fintech_lakehouse_spark.functions.vectors import dot, with_norm
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
@@ -382,4 +400,198 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((SUM(CASE WHEN _inv IS NULL THEN 1 ELSE 0 END) * 10000)"
             " DIV COUNT(1) AS DOUBLE) / 10000"
         ).alias("oov_rate"),
+    )
+
+
+# Bloom decontamination: same 8-gram domain and >= 3 shared-gram bar as
+# test_set_decontamination (plans/text.py), so the two stay comparable.
+DECON_GRAM_N = 8
+DECON_MIN_GRAMS = 3
+_BLOOM_PROBE_SQL = (
+    "('0x' || substr(md5('bloom' || CAST(r.i AS VARCHAR) || '|' || gram), 1, 12))"
+    f"::BIGINT % {BLOOM_M_BITS}"
+)
+
+
+@register(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest(list_distinct(
+                 [array_to_string(string_split(text, ' ')[i:i+{DECON_GRAM_N - 1}], ' ')
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - {DECON_GRAM_N - 1}, 0) + 1)]
+               )) AS gram
+        FROM documents
+    ),
+    bloom AS (
+        SELECT DISTINCT {_BLOOM_PROBE_SQL} AS pos
+        FROM sh, range({BLOOM_K}) r(i) WHERE b >= 9000
+    ),
+    cprobe AS (
+        SELECT doc_id, gram, {_BLOOM_PROBE_SQL} AS pos
+        FROM sh, range({BLOOM_K}) r(i) WHERE b < 9000
+    ),
+    hits AS (
+        SELECT doc_id, gram
+        FROM cprobe JOIN bloom USING (pos)
+        GROUP BY doc_id, gram
+        HAVING COUNT(*) = {BLOOM_K}
+    )
+    SELECT doc_id AS corpus_doc_id, COUNT(*) AS n_flagged_grams
+    FROM hits GROUP BY doc_id
+    HAVING COUNT(*) >= {DECON_MIN_GRAMS}
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB fast path next to the
+    exact gram join (plans/text.py::test_set_decontamination): build a
+    portable Bloom filter over the held-out split's distinct 8-grams
+    (hash-split bucket >= 9000, same leakage-safe split), then flag
+    corpus documents with >= {DECON_MIN_GRAMS} distinct grams reported
+    present.
+
+    Why this exists when the exact join already does: the exact check
+    shuffles EVERY corpus gram to its join partition — at 100 TB that
+    is the dominant cost of the whole decontamination pass. Here the
+    corpus side never shuffles: the filter is bounded at 2^20 bit
+    positions (8 MiB of longs) no matter how large the eval suite is,
+    broadcasts to every executor, and membership runs as {BLOOM_K}
+    pipelined broadcast semi joins inside the corpus scan stage. The
+    only exchange on corpus data is the final per-doc count of the
+    (tiny) surviving gram set.
+
+    One-sided guarantee (tests/test_scale_patterns.py asserts it against the
+    exact query): every exactly-contaminated doc is bloom-flagged —
+    false negatives are impossible, so the cheap pass can gate the
+    expensive exact audit on the flagged subset without missing
+    leakage. False positives (~(k·n/m)^k) inflate n_flagged_grams and
+    are deterministic given the md5 probe family — which is what makes
+    the DuckDB twin replay the whole filter bit-for-bit, false
+    positives included. No hot-gram drop here (that would need a
+    corpus-wide gram count — a shuffle, defeating the point);
+    boilerplate grams cost false flags, not misses."""
+    documents = load_table(spark, sf_dir, "documents")
+    grams = (
+        word_shingles(documents, n=DECON_GRAM_N)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .withColumn("b", hash_bucket("doc_id", "split"))
+    )
+    test_grams = grams.filter(F.col("b") >= 9000).select("gram")
+    bloom = bloom_build_md5(test_grams, "gram", BLOOM_K, BLOOM_M_BITS)
+    corpus = grams.filter(F.col("b") < 9000).select(
+        F.col("doc_id").alias("corpus_doc_id"), "gram"
+    )
+    hits = bloom_filter_members(corpus, bloom, "gram", BLOOM_K, BLOOM_M_BITS)
+    return (
+        hits.groupBy("corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+        .filter(F.col("n_flagged_grams") >= DECON_MIN_GRAMS)
+    )
+
+
+@register(
+    "bigram_familiarity_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_hash_bucket('doc_id', 'split')} AS b,
+               string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    occ AS (
+        SELECT doc_id, b, bigram, COUNT(*) AS n_occ
+        FROM (
+            SELECT doc_id, b,
+                   unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                       AS bigram
+            FROM toks
+        )
+        GROUP BY doc_id, b, bigram
+    ),
+    lm AS (
+        SELECT bigram, CAST(SUM(n_occ) AS BIGINT) AS train_cnt
+        FROM occ WHERE b < 9000 GROUP BY bigram
+    )
+    SELECT o.doc_id,
+           CAST(SUM(o.n_occ) AS BIGINT) AS n_bigram_occs,
+           CAST(SUM(CASE WHEN COALESCE(g.train_cnt, 0)
+                              - (CASE WHEN o.b < 9000 THEN o.n_occ ELSE 0 END)
+                         >= 1
+                    THEN o.n_occ ELSE 0 END) AS BIGINT) AS n_familiar_occs,
+           CAST(SUM(CASE WHEN COALESCE(g.train_cnt, 0)
+                              - (CASE WHEN o.b < 9000 THEN o.n_occ ELSE 0 END)
+                         >= 1
+                    THEN o.n_occ ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(o.n_occ) AS DOUBLE) AS familiarity
+    FROM occ o LEFT JOIN lm g USING (bigram)
+    GROUP BY o.doc_id
+    """,
+)
+def bigram_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model familiarity filter (SURVEY §7.6 quality scoring) —
+    the exact-arithmetic distributed analog of CCNet/KenLM perplexity
+    filtering: train bigram counts on the train split (hash bucket
+    < 9000, the standard leakage-safe split), then score EVERY document
+    by the fraction of its bigram occurrences that appear in the train
+    corpus OUTSIDE the document itself (leave-one-out: a doc cannot
+    vouch for its own n-grams, so pathological-but-repetitive text
+    still scores low). Low familiarity = out-of-distribution text —
+    gibberish, encoding damage, or genuinely novel domains — exactly
+    the docs a perplexity filter sends to review.
+
+    Why familiarity-fraction instead of log-probability: the fraction
+    is a single IEEE division of two exact integer sums, so the DuckDB
+    twin matches bit-for-bit; a summed log-prob depends on float
+    accumulation order ACROSS a shuffle, which no cross-engine hash
+    check can pin (doc_top_rare_tokens' un-logged idf, ROUND_NOTES
+    fact 29, is the same design rule). A production KenLM scorer drops
+    in as a broadcast model + pandas UDF without changing this plan's
+    shape.
+
+    Scale shape: one map-side-combinable groupBy builds per-doc bigram
+    multiplicities; the explicit repartition("bigram") is the fact-20
+    exchange-reuse point — the train-count aggregate and the scoring
+    join BOTH consume it, so the bigram stream shuffles once, the
+    groupBy(bigram) needs no further exchange, and the count join is
+    co-partitioned. The LM table is vocab-bounded (<< corpus); at
+    production scale it broadcasts instead."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    tokenized = documents.select(
+        "doc_id",
+        hash_bucket("doc_id", "split").alias("b"),
+        tokens().alias("_toks"),
+    ).filter(F.size(toks) >= 2)
+    bigram_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    occ = (
+        tokenized.select("doc_id", "b", F.explode(bigram_arr).alias("bigram"))
+        .groupBy("doc_id", "b", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .repartition("bigram")
+    )
+    glob = occ.filter(F.col("b") < 9000).groupBy("bigram").agg(
+        F.sum("n_occ").alias("train_cnt")
+    )
+    joined = occ.join(glob, "bigram", "left")
+    cross_doc_cnt = F.coalesce(F.col("train_cnt"), F.lit(0)) - F.when(
+        F.col("b") < 9000, F.col("n_occ")
+    ).otherwise(F.lit(0))
+    familiar_occ = F.when(cross_doc_cnt >= 1, F.col("n_occ")).otherwise(F.lit(0))
+    return (
+        joined.withColumn("_fam", familiar_occ)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_bigram_occs"),
+            F.sum("_fam").alias("n_familiar_occs"),
+        )
+        .withColumn(
+            "familiarity",
+            F.col("n_familiar_occs").cast("double")
+            / F.col("n_bigram_occs").cast("double"),
+        )
     )

@@ -532,3 +532,113 @@ def test_winnowing_pairs_recall_vs_exact_jaccard(spark, sf_dir):
     assert jp, "exact pair set must be non-vacuous at test SF"
     recall = len(jp & wp) / len(jp)
     assert recall >= 0.9, f"winnowing recall {recall:.2f} vs exact jaccard pairs"
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """The one-sided guarantee at the library level: every value
+    inserted into the bloom build survives bloom_filter_members."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        bloom_build_md5,
+        bloom_filter_members,
+    )
+
+    members = spark.createDataFrame(
+        [(f"gram {i} text",) for i in range(200)], ["gram"]
+    )
+    bloom = bloom_build_md5(members, "gram", k=4, m_bits=1 << 12)
+    survivors = bloom_filter_members(members, bloom, "gram", k=4, m_bits=1 << 12)
+    assert survivors.count() == 200
+
+
+def test_bloom_decontamination_superset_of_exact(spark, sf_dir):
+    """Bloom-flagged ⊇ exactly-contaminated (the property that lets the
+    cheap pass gate the exact audit): every corpus doc the exact gram
+    join flags is bloom-flagged, with at least as many flagged grams
+    as its best exact match shares."""
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    exact = QUERIES["test_set_decontamination"](spark, sf_dir).collect()
+    bloom = {
+        r["corpus_doc_id"]: r["n_flagged_grams"]
+        for r in QUERIES["bloom_decontamination"](spark, sf_dir).collect()
+    }
+    best_exact: dict[int, int] = {}
+    for r in exact:
+        doc = r["corpus_doc_id"]
+        best_exact[doc] = max(best_exact.get(doc, 0), r["n_shared_grams"])
+    for doc, n_shared in best_exact.items():
+        assert doc in bloom, f"exactly-contaminated doc {doc} not bloom-flagged"
+        assert bloom[doc] >= n_shared
+
+
+def test_bloom_corpus_side_never_shuffles(spark, sf_dir):
+    """The 100 TB claim in the plan: membership is k=4 broadcast
+    LEFT SEMI joins pipelined into the corpus scan, and the bloom
+    build — statically duplicated once per probe join — runs ONCE at
+    runtime (AQE ReusedExchange dedups the three later copies; the
+    static duplication is the fact-29 cosmetic effect, visible only in
+    explain()). The corpus gram stream itself never hash-shuffles
+    before the final per-doc count of surviving grams."""
+    df = QUERIES["bloom_decontamination"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # toString carries "== Final Plan ==" then "== Initial Plan ==" —
+    # count nodes in the final section only.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 4, plan[:3000]
+    assert plan.count("LeftSemi") == 4, plan[:3000]
+    # 3 of the 4 build subtrees (shuffle for distinct + broadcast)
+    # collapse into ReusedExchange at runtime.
+    assert plan.count("ReusedExchange") == 3, plan[:3000]
+
+
+def test_bigram_familiarity_matches_python_model(spark, sf_dir):
+    """Independent-implementation check (same pattern as the SemDeDup
+    brute-force test): recompute leave-one-out bigram familiarity in
+    plain Python over the corpus and compare every doc's counts and
+    score exactly."""
+    from collections import Counter
+
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    split = {
+        r["doc_id"]: r["bucket"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            __import__(
+                "fintech_lakehouse_spark.functions.sampling",
+                fromlist=["hash_bucket"],
+            ).hash_bucket("doc_id", "split"),
+        )
+        .collect()
+    }
+    train_counts: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        grams = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        per_doc[r["doc_id"]] = grams
+        if split[r["doc_id"]] < 9000:
+            train_counts.update(grams)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["bigram_familiarity_scores"](spark, sf_dir).collect()
+    }
+    for doc_id, grams in per_doc.items():
+        total = sum(grams.values())
+        if total == 0:
+            assert doc_id not in got
+            continue
+        own = grams if split[doc_id] < 9000 else Counter()
+        familiar = sum(
+            n for g, n in grams.items() if train_counts[g] - own.get(g, 0) >= 1
+        )
+        row = got[doc_id]
+        assert row["n_bigram_occs"] == total
+        assert row["n_familiar_occs"] == familiar
+        assert row["familiarity"] == familiar / total
