@@ -682,3 +682,41 @@ def test_dup_graph_pagerank_matches_python_model(spark, sf_dir):
         assert got[v] == (len(neighbors[v]), ranks[v]), v
     # a hub must outrank an equal-degree node with leaf-only neighbors
     assert len(got) > 0
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Catalyst's runtime bloom-filter semi-join reduction is ON by
+    default (spark.sql.optimizer.runtime.bloomFilter.enabled) and our
+    fact-fact join shape is ELIGIBLE: a selective filter on the
+    creation side of a shuffle join injects bloom_filter_agg /
+    might_contain onto the application side, pruning fact rows before
+    the shuffle. The default thresholds require a >= 10 GiB
+    application-side scan — met at production scale, not by the test
+    lake — so this test scales the thresholds to the data (not the
+    other way around) purely to pin that the ELIGIBILITY holds for the
+    engine's join shape; nothing in product code changes thresholds."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        assert j.count() >= 0  # and it still executes
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -820,3 +820,58 @@ def test_foreach_batch_cdf_retry_is_idempotent(spark, tmp_path):
     assert not os.path.exists(os.path.join(batch_dir, "part-orphan.parquet"))
     assert os.path.exists(os.path.join(batch_dir, "_SUCCESS"))
     assert snapshot() == expect[:2]
+
+
+def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
+    """Stream-static bloom membership: documents arrive as a stream,
+    the decontamination bloom (built in batch from the eval split) is
+    the STATIC side of k broadcast semi joins — the shape of an
+    ingest-time contamination gate at 100 TB: the bloom is built once
+    per eval-suite release, every arriving micro-batch is checked
+    without shuffling. Closed-source availableNow run must emit
+    exactly the batch recomputation's surviving (doc, gram) rows."""
+    from fintech_lakehouse_spark.functions.sampling import hash_bucket
+    from fintech_lakehouse_spark.functions.sketches import (
+        bloom_build_md5,
+        bloom_filter_members,
+    )
+    from fintech_lakehouse_spark.functions.text import word_shingles
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    landing = str(tmp_path / "docs_landing")
+    docs.repartition(2).write.mode("overwrite").parquet(landing)
+
+    def grams_of(df):
+        return (
+            word_shingles(df, n=8)
+            .select("doc_id", F.explode("shingles").alias("gram"))
+            .withColumn("b", hash_bucket("doc_id", "split"))
+        )
+
+    # Static side: the bloom, built in batch from the eval split.
+    bloom = bloom_build_md5(
+        grams_of(docs).filter(F.col("b") >= 9000).select("gram"), "gram"
+    )
+    # Stream side: corpus docs land incrementally; membership check is
+    # per-row (no aggregate), so append mode works with no watermark.
+    stream_docs = (
+        spark.readStream.schema(docs.schema).parquet(landing)
+    )
+    stream_hits = bloom_filter_members(
+        grams_of(stream_docs).filter(F.col("b") < 9000).select("doc_id", "gram"),
+        bloom,
+        "gram",
+    )
+    got = _norm(
+        _run_to_memory(spark, stream_hits, "bloom_stream_hits", mode="append"),
+        ["doc_id", "gram"],
+    )
+    want = _norm(
+        bloom_filter_members(
+            grams_of(docs).filter(F.col("b") < 9000).select("doc_id", "gram"),
+            bloom,
+            "gram",
+        ),
+        ["doc_id", "gram"],
+    )
+    assert got == want and len(want) > 0
