@@ -74,3 +74,47 @@ def split_sentences(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.lateralJoin(
         splitter(F.col("text").outer())
     ).select("doc_id", "sentence_no", "sentence", "n_tokens")
+
+
+def make_bpe_encoder(merges: list[tuple[str, str]]):
+    """Arrow-batched BPE APPLICATION — the other half of the tokenizer
+    loop whose induction step is plans/curation.py::bpe_merge_candidates:
+    given the learned merge list (rank = learning order), greedily
+    merge the lowest-rank adjacent pair until none applies, exactly
+    the classic BPE encode (merged units join with a space, matching
+    the induction query's pair representation).
+
+    Returns a scalar pandas UDF over an array<string> token column.
+    Why a UDF and not DataFrame ops: each merge REWRITES the sequence
+    the next iteration scans (data-dependent loop bound, positions
+    shift) — not expressible with higher-order functions without
+    building an interpreter in expressions. The merge table rides into
+    the closure and broadcasts with the serialized UDF (a production
+    50k-merge vocab is ~1 MB — broadcast-variable scale); batches
+    cross via Arrow, and the per-doc loop is pure Python only over
+    the doc's own tokens."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode(tokens):
+        toks = list(tokens) if tokens is not None else []
+        while len(toks) >= 2:
+            best_rank = None
+            best_i = -1
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            toks[best_i : best_i + 2] = [f"{toks[best_i]} {toks[best_i + 1]}"]
+        return toks
+
+    @pandas_udf(ArrayType(StringType()))
+    def bpe_encode(col: pd.Series) -> pd.Series:
+        return col.map(encode)
+
+    return bpe_encode

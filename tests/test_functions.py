@@ -708,3 +708,58 @@ def test_winnowing_shift_invariance(spark):
     # every fingerprint of the bare run reappears when the run is embedded
     assert rows[1] <= rows[2]
     assert rows[1] <= rows[3]
+
+
+def test_bpe_encoder_applies_merges_in_rank_order(spark):
+    """BPE application semantics: lowest-rank merge first, repeated
+    until fixpoint; merged units keep the induction query's
+    space-joined pair representation; docs with no applicable merge
+    pass through unchanged."""
+    from fintech_lakehouse_spark.functions.python_udfs import make_bpe_encoder
+
+    enc = make_bpe_encoder([("a", "b"), ("b", "c"), ("a b", "c")])
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),      # a+b first (rank 0), then "a b"+c (rank 2)
+            (2, ["b", "c", "b", "c"]), # two disjoint b+c merges (rank 1)
+            (3, ["c", "a"]),           # nothing applies
+            (4, []),                   # empty
+        ],
+        ["doc_id", "toks"],
+    )
+    got = {
+        r["doc_id"]: r["enc"]
+        for r in docs.select("doc_id", enc("toks").alias("enc")).collect()
+    }
+    assert got[1] == ["a b c"]
+    assert got[2] == ["b c", "b c"]
+    assert got[3] == ["c", "a"]
+    assert got[4] == []
+
+
+def test_bpe_encoder_roundtrip_with_induction(spark, sf_dir):
+    """End-to-end tokenizer loop: learn merges from the corpus
+    (bpe_merge_candidates), apply them with the encoder, and check
+    the global invariants — token count shrinks by exactly the number
+    of merge events, and splitting the encoded units on spaces
+    restores the original token stream."""
+    from fintech_lakehouse_spark.functions.python_udfs import make_bpe_encoder
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    rows = sorted(
+        QUERIES["bpe_merge_candidates"](spark, sf_dir).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    merges = [tuple(r["pair"].split(" ", 1)) for r in rows]
+    assert merges
+    enc = make_bpe_encoder(merges)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    out = docs.select("doc_id", "toks", enc("toks").alias("enc")).collect()
+    assert len(out) > 0
+    for r in out:
+        rebuilt = [t for unit in r["enc"] for t in unit.split(" ")]
+        assert rebuilt == r["toks"]
+        assert len(r["enc"]) <= len(r["toks"])

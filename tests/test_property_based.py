@@ -463,3 +463,46 @@ def test_chunk_block_hashes_match_python_model(spark, texts):
             block = " ".join(toks[j : j + CHUNK_DEDUP_BLOCK])
             expected.append((i, hashlib.md5(block.encode()).hexdigest()))
     assert got == sorted(expected)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=24,
+    ),
+    m_bits=st.sampled_from([64, 256, 4096]),
+)
+@settings(**SETTINGS)
+def test_bloom_one_sided_property(spark, texts, m_bits):
+    """The Bloom membership contract on arbitrary corpora and filter
+    sizes, including DELIBERATELY undersized filters (m=64 bits forces
+    heavy false positives): every built value passes membership (no
+    false negative, ever), and every membership miss is a true
+    non-member. False positives are unconstrained — that is the
+    one-sidedness being pinned."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        bloom_build_md5,
+        bloom_filter_members,
+    )
+
+    half = max(1, len(texts) // 2)
+    build_vals = set(texts[:half])
+    probe_vals = texts
+    build = spark.createDataFrame([(v,) for v in build_vals], ["gram"])
+    probe = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(probe_vals)], ["i", "gram"]
+    )
+    bloom = bloom_build_md5(build, "gram", k=4, m_bits=m_bits)
+    survivors = {
+        r["i"] for r in bloom_filter_members(probe, bloom, "gram", 4, m_bits).collect()
+    }
+    for i, v in enumerate(probe_vals):
+        if v in build_vals:
+            assert i in survivors, f"false negative on {v!r}"
+        if i not in survivors:
+            assert v not in build_vals
