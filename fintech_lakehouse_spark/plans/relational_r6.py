@@ -195,3 +195,91 @@ def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_parts_b"),
         )
     )
+
+
+@register(
+    "daily_volume_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(MAX(o_totalprice), 2) AS day_max_price
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+               CAST(MAX(o_orderdate) AS DATE) AS d1
+        FROM orders
+    ),
+    calendar AS (
+        -- list-comprehension form: the generate_series TABLE function
+        -- only takes constants in this DuckDB build, but the scalar
+        -- range() list accepts column bounds (DATE + INTEGER = DATE)
+        SELECT unnest([d0 + CAST(x AS INTEGER)
+                       FOR x IN range(0, date_diff('day', d0, d1) + 1)])
+                   AS day
+        FROM bounds
+    ),
+    keys AS (SELECT DISTINCT o_orderpriority AS priority FROM orders)
+    SELECT k.priority, c.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           last_value(d.day_max_price IGNORE NULLS) OVER (
+               PARTITION BY k.priority ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_max_price
+    FROM keys k
+    CROSS JOIN calendar c
+    LEFT JOIN daily d ON d.priority = k.priority AND d.day = c.day
+    """,
+)
+def daily_volume_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF (the hypertable/continuous-aggregate
+    surface next to daily_order_metrics): densify each priority's daily
+    order series onto the full calendar — zero-filling counts for
+    missing days and carrying the last observed daily max price
+    forward (last-observation-carried-forward, the standard fill for
+    state-like metrics where absence means "unchanged", not "zero").
+    Without densification, downstream moving averages and charting
+    silently skip gap days and bias toward active periods.
+
+    Scale shape: the dense grid is dims × calendar — BOUNDED metadata
+    (keys by cardinality, days by wall-clock time), never fact-scale,
+    so the crossJoin is deliberate and tiny (same class as the 1-row
+    broadcast join-backs; the calendar derives from a 1-row min/max
+    aggregate exploded). The fact table contributes one
+    map-side-combinable daily aggregate; the fill join is grid-sized;
+    the LOCF window partitions by key (never a global window). At
+    100 TB the grid is still (keys × days) — densification cost is
+    independent of fact cardinality by construction."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("day_max_price"),
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    keys = orders.select(F.col("o_orderpriority").alias("priority")).distinct()
+    grid = keys.crossJoin(F.broadcast(calendar))
+    filled = grid.join(daily, ["priority", "day"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "priority",
+        "day",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        F.last("day_max_price", ignorenulls=True).over(w).alias("locf_max_price"),
+    )
