@@ -283,3 +283,85 @@ def daily_volume_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
         F.last("day_max_price", ignorenulls=True).over(w).alias("locf_max_price"),
     )
+
+
+@register(
+    "order_value_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority AS priority,
+               quantile_cont(o_totalprice, 0.5) AS median_value
+        FROM orders GROUP BY 1
+    ),
+    dev AS (
+        SELECT o.o_orderpriority AS priority,
+               o.o_totalprice,
+               m.median_value,
+               abs(o.o_totalprice - m.median_value) AS adev
+        FROM orders o JOIN med m ON o.o_orderpriority = m.priority
+    ),
+    mad AS (
+        SELECT priority, quantile_cont(adev, 0.5) AS mad_value
+        FROM dev GROUP BY 1
+    )
+    SELECT d.priority,
+           d.median_value,
+           m.mad_value,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN d.adev > 5 * m.mad_value THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.priority = m.priority
+    GROUP BY d.priority, d.median_value, m.mad_value
+    """,
+)
+def order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per group — the
+    data-quality screen that survives what mean/stddev cannot: a
+    single fat-finger order inflates the mean AND the stddev enough to
+    hide itself (masking), while the median and the median absolute
+    deviation are 50%-breakdown estimators. Flags orders more than
+    5 MADs from their priority's median.
+
+    Shape: the classic TWO-PASS robust statistic — groupwise exact
+    median (one aggregate), broadcast join-back of the (tiny) median
+    table to score absolute deviations, groupwise exact MAD over the
+    deviations (second aggregate), then the flag count. Both join-backs
+    broadcast group-cardinality tables; the fact streams twice, which
+    is the honest cost of exact medians (the one-pass alternative is
+    approx_percentile — approx_quantity_percentiles covers that
+    trade). Exact-percentile cross-engine parity (identical
+    interpolation arithmetic, Spark percentile() vs DuckDB
+    quantile_cont) is established by quantity_percentiles; this query
+    leans on it twice, plus a deterministic single-multiply threshold
+    (5 * mad)."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_value")
+    )
+    dev = (
+        orders.join(
+            F.broadcast(med),
+            orders["o_orderpriority"] == med["priority"],
+        )
+        .select(
+            "priority",
+            "median_value",
+            F.abs(F.col("o_totalprice") - F.col("median_value")).alias("adev"),
+        )
+    )
+    mad = dev.groupBy(F.col("priority").alias("mad_priority")).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev["priority"] == mad["mad_priority"])
+        .groupBy("priority", "median_value", "mad_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("adev") > 5 * F.col("mad_value"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "priority", "median_value", "mad_value", "n_orders", "n_outliers"
+        )
+    )
