@@ -575,7 +575,16 @@ def optimize_lake_table(
         if parquet_count(d) <= max_files_per_partition:
             continue
         df = spark.read.parquet(d.toString()).coalesce(1)
-        if z_order_columns:
+        if z_order_columns and len(z_order_columns) >= 2:
+            # true multi-dim clustering: sort the rewrite on the Morton
+            # key so row-group stats are tight in EVERY z-ordered
+            # dimension (zorder_key below), not just the first
+            df = (
+                df.withColumn("_z", zorder_key(df, z_order_columns))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif z_order_columns:
             df = df.sortWithinPartitions(*z_order_columns)
         staging = d.toString().rstrip("/") + "__compact"
         df.write.format("parquet").mode("overwrite").save(staging)
@@ -855,4 +864,80 @@ def snapshot_diff(
             *[out_vals.getField(c).alias(c) for c in compare_cols],
             "_change_type",
         )
+    )
+
+
+def zorder_key(
+    df: DataFrame, columns: list[str], bits: int = 16
+) -> "F.Column":
+    """Bit-interleaved Z-order key over ``columns`` (Morton code) —
+    true multi-dimensional clustering, vs the lexicographic
+    sortWithinPartitions fallback that only tightens min/max stats on
+    the FIRST sort column. Each column is min/max-normalized onto
+    [0, 2^bits) (one bounded 1-row aggregate — the same collect class
+    as the CMS/IVF driver lookups), then the scaled values' bits are
+    interleaved so rows close in EVERY dimension land close on the
+    curve; range-partitioning + sorting by this key gives every output
+    file a tight bounding BOX in all z-ordered dimensions, which is
+    what lets a scan's parquet row-group pruning skip on predicates
+    over ANY of them (ref OPTIMIZE ZORDER semantics,
+    src/utils/spark_utils.py:519-555 — here engine-native, no Delta).
+
+    bits=16 with <= 4 columns keeps the interleaved key inside a
+    signed 64-bit long. Constant columns (max == min) contribute 0 to
+    every key and are effectively dropped from the curve."""
+    from functools import reduce
+
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(columns)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(columns)],
+    ).collect()[0]
+    n = len(columns)
+    if n * bits > 63:
+        raise ValueError(f"{n} columns x {bits} bits exceeds a signed long")
+    scaled = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(columns):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        scaled.append(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) * F.lit(top / (mx - mn))
+            ).cast("long")
+        )
+    terms = []
+    for i, s in enumerate(scaled):
+        for b in range(bits):
+            # bit b of column i -> curve position b * n + i
+            terms.append(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    # Column.__or__ is the BOOLEAN or — bitwiseOR is the integer fold
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).alias("zorder_key")
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    columns: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of
+    ``columns``: range-partition by the Morton key (each of the
+    ``n_files`` output files owns one contiguous curve segment = one
+    tight bounding box in every clustered dimension), sort within
+    files so row-group stats are tight too, and drop the key from the
+    stored schema. The parquet-native analog of Delta's OPTIMIZE
+    ZORDER write path; tests/test_scale_patterns.py measures the
+    resulting file-level min/max pruning against a linear sort."""
+    keyed = df.withColumn("_z", zorder_key(df, columns, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
     )

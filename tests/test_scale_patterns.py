@@ -720,3 +720,65 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_prunes_more_row_groups_than_linear(spark, sf_dir, tmp_path):
+    """Measured data-skipping contract of write_zordered_table: for a
+    predicate on the SECOND clustered dimension, the Morton layout's
+    per-file min/max boxes exclude most files, while a lexicographic
+    sort on (dim1, dim2) leaves dim2 spanning its full range in every
+    file (no pruning). Overlap is counted from the real parquet
+    footers — the same stats Spark's row-group pruning consults."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from fintech_lakehouse_spark.sources.writers import write_zordered_table
+
+    cols = ["l_partkey", "l_suppkey"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols, "l_quantity")
+    lin_path = str(tmp_path / "linear")
+    z_path = str(tmp_path / "zorder")
+    (
+        li.repartitionByRange(16, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    write_zordered_table(li, z_path, cols, n_files=16)
+
+    smin, smax = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    width = max(1, (smax - smin) // 8)
+    lo, hi = smin + 3 * width, smin + 4 * width  # narrow dim2 band
+
+    def overlapping_files(path: str) -> tuple[int, int]:
+        total, overlap = 0, 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            idx = md.schema.to_arrow_schema().get_field_index("l_suppkey")
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                overlap += 1
+        return total, overlap
+
+    lin_total, lin_hit = overlapping_files(lin_path)
+    z_total, z_hit = overlapping_files(z_path)
+    assert lin_total >= 8 and z_total >= 8
+    # lexicographic: dim2 spans ~full range per file -> ~no pruning
+    assert lin_hit >= lin_total - 1, (lin_hit, lin_total)
+    # z-order: the band intersects only the curve tiles in that strip
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+    # and the layouts hold the same rows
+    a = spark.read.parquet(lin_path).filter(F.col("l_suppkey").between(lo, hi))
+    b = spark.read.parquet(z_path).filter(F.col("l_suppkey").between(lo, hi))
+    assert a.count() == b.count()
