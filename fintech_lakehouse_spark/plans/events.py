@@ -364,3 +364,44 @@ def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_click_value"
         ),
     )
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           'OBJECT<k: BIGINT>' AS merged_schema
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type — the
+    schema-on-read path next to event_props_extract's from_json
+    (schema-on-write): parse_json keeps the payload as an open
+    half-typed value, try_variant_get extracts typed fields lazily,
+    and schema_of_variant_agg MERGES the observed schema across every
+    row of the group — the drift detector that tells you when a
+    producer starts emitting a new field, without declaring a schema
+    anywhere.
+
+    Why this matters at 100 TB: VARIANT stores the parsed binary form
+    columnar-side, so repeated multi-field extraction skips re-parsing
+    the JSON text per access (from_json pays one parse per declared
+    schema; get_json_object one parse PER CALL). The oracle pins the
+    typed aggregates against DuckDB's json_extract and pins the merged
+    schema Spark derives from the data to the expected literal — a
+    drifted producer (new key, retyped value) flips the row red."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.withColumn("v", F.parse_json("props"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.try_variant_get("v", "$.k", "long")).alias("total_k"),
+        F.max(F.try_variant_get("v", "$.k", "long")).alias("max_k"),
+        F.schema_of_variant_agg("v").alias("merged_schema"),
+    )
