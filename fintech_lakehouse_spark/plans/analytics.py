@@ -399,3 +399,60 @@ def daily_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "monthly_unique_users_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_within_bounds
+    FROM events
+    GROUP BY 1
+    """,
+)
+def monthly_unique_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION (Datasketches HLL, Spark 4) — the property
+    approx_count_distinct cannot offer: build one HLL sketch PER DAY
+    (hll_sketch_agg), then merge the day sketches up to months
+    (hll_union_agg) and estimate. This is the production distinct-count
+    architecture at 100 TB: daily sketches are persisted once
+    (kilobytes/day) and ANY coarser rollup — month, quarter, trailing
+    28 days, all-time — is a union of stored sketches, never a rescan
+    of raw events. Exact distincts don't re-aggregate (union ≠ sum —
+    the same user appears on many days); sketches do, losslessly for
+    the bucket-max merge.
+
+    Verification follows the approx_distinct_users flag-promotion
+    pattern: the engine-specific estimate can't hash against DuckDB,
+    so the query emits the exact count plus a bounded-relative-error
+    flag (HLL bucket-max updates are order-independent, so the merged
+    estimate is deterministic for fixed data and the flag is stable);
+    the oracle pins exact counts and flag TRUE. lgConfigK=12 →
+    rsd ≈ 1.6%; the flag allows 5×."""
+    events = load_table(spark, sf_dir, "events")
+    rsd = 0.016
+    daily = events.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("day_sketch"),
+        F.countDistinct("user_id").alias("_day_exact"),
+    )
+    monthly_est = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("_est")
+    )
+    monthly_exact = events.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        monthly_exact.join(monthly_est, "month")
+        .select(
+            "month",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= 5 * rsd * F.col("exact_users")
+            ).alias("sketch_within_bounds"),
+        )
+    )

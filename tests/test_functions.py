@@ -763,3 +763,31 @@ def test_bpe_encoder_roundtrip_with_induction(spark, sf_dir):
         rebuilt = [t for unit in r["enc"] for t in unit.split(" ")]
         assert rebuilt == r["toks"]
         assert len(r["enc"]) <= len(r["toks"])
+
+
+def test_hll_sketch_merge_is_lossless(spark):
+    """The re-aggregation property monthly_unique_users_rollup leans
+    on: unioning per-day sketches yields the SAME estimate as one
+    sketch built directly over the whole month (bucket-max merge is
+    associative and order-independent), while summing per-day exact
+    distincts overcounts repeat users."""
+    rows = [(d, u) for d in range(10) for u in range(0, 60 + d * 5)]
+    df = spark.createDataFrame(rows, ["day", "user"])
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        df.groupBy("day")
+        .agg(F.hll_sketch_agg("user").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged == direct
+    naive_sum = (
+        df.groupBy("day")
+        .agg(F.countDistinct("user").alias("n"))
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    exact = df.select("user").distinct().count()
+    assert naive_sum > exact  # exact counts do NOT re-aggregate
