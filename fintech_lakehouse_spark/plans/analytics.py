@@ -456,3 +456,79 @@ def monthly_unique_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_bounds"),
         )
     )
+
+
+@register(
+    "monthly_retention_theta",
+    oracle="""
+    WITH mu AS (
+        SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month,
+                        user_id
+        FROM events
+    )
+    SELECT a.month,
+           CAST(a.month + INTERVAL 1 MONTH AS DATE) AS next_month,
+           CAST(COUNT(*) AS BIGINT) AS exact_retained,
+           TRUE AS sketch_within_bounds
+    FROM mu a JOIN mu b
+      ON a.user_id = b.user_id
+     AND b.month = CAST(a.month + INTERVAL 1 MONTH AS DATE)
+    GROUP BY a.month
+    """,
+)
+def monthly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (Datasketches Theta, Spark 4) — the
+    capability HLL fundamentally lacks: HLL unions only, Theta also
+    INTERSECTS and DIFFERENCES. Month-over-month retention = the
+    intersection of two months' user sets; with one small Theta sketch
+    persisted per month, every retention/churn/overlap pair is sketch
+    algebra on stored state — at 100 TB the alternative is a distinct
+    self-join of raw events per question asked.
+
+    Verification: flag-promotion pattern (approx_distinct_users /
+    monthly_unique_users_rollup lineage) — the exact retained count
+    comes from the distinct-pair self-join both engines run; the
+    sketch estimate must land within 5% + 1 of it (at test
+    cardinalities Theta runs in exact mode, so the margin is slack,
+    not load-bearing). A red row = the sketch architecture left its
+    accuracy contract."""
+    events = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", "ts").cast("date").alias("month")
+    sketches = events.groupBy(month).agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    nxt = sketches.select(
+        F.col("month").alias("next_month"), F.col("sk").alias("sk_next")
+    )
+    est = (
+        sketches.join(
+            nxt, nxt["next_month"] == F.add_months(F.col("month"), 1)
+        )
+        .select(
+            "month",
+            "next_month",
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk"), F.col("sk_next"))
+            ).alias("_est"),
+        )
+    )
+    mu = events.select(month, "user_id").distinct()
+    mb = mu.select(F.col("month").alias("m_next"), F.col("user_id").alias("u"))
+    exact = (
+        mu.join(
+            mb,
+            (mu["user_id"] == mb["u"])
+            & (mb["m_next"] == F.add_months(mu["month"], 1)),
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("exact_retained"))
+    )
+    return exact.join(est, "month").select(
+        "month",
+        "next_month",
+        "exact_retained",
+        (
+            F.abs(F.col("_est") - F.col("exact_retained"))
+            <= 0.05 * F.col("exact_retained") + 1
+        ).alias("sketch_within_bounds"),
+    )
