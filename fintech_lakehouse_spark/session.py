@@ -34,6 +34,10 @@ _SCALE_DEFAULTS: dict[str, str] = {
     # Parquet scans: vectorized reader is default-on; keep partition file
     # sizes bounded so a 100 TB table still yields right-sized tasks.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Python DataSource filter pushdown (sources/pydatasource.py
+    # implements pushFilters; the engine refuses a pushFilters reader
+    # unless this flag is on).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
     # explode(arr) and pushes it into the scan as a data filter. When
     # `arr` is an expensive derived expression (the 3-gram shingle

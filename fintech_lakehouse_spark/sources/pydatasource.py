@@ -1,0 +1,146 @@
+"""Custom PYTHON data source (Spark 4 DataSource API, SURVEY §2.1
+S12 complement): a paginated JSONL feed — the shape of every
+REST-export / object-store drop-zone integration — implemented
+entirely in Python, so unlike the Kafka/JDBC/Avro wrappers
+(sources/connectors.py) it EXECUTES offline: no jars, the connector
+code itself is the product.
+
+Layout contract: a directory of ``page-<n>.jsonl`` files, one JSON
+object per line — what a paginated API dump or an incremental
+export lands. The source exposes:
+
+* batch reads with one InputPartition PER PAGE (pages parse in
+  parallel across executors, not on the driver);
+* source-side equality-filter pushdown (rows drop at parse time,
+  before they ever reach Spark — the Python-source analog of
+  parquet's PushedFilters);
+* a streaming reader with page-index offsets: each micro-batch
+  covers [start, latest) pages, offsets checkpoint through the
+  standard mechanism, so a restarted query resumes at the first
+  unseen page — exactly-once per page without any connector-side
+  state files.
+
+Values are parsed per the user-declared schema (long/double/string
+fields); missing keys become NULL, matching semi-structured source
+convention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    InputPartition,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.types import StructType
+
+_PAGE_RE = re.compile(r"^page-(\d+)\.jsonl$")
+
+
+def page_files(path: str) -> list[tuple[int, str]]:
+    """Sorted (page_no, absolute_path) pairs under ``path``."""
+    out = []
+    for name in os.listdir(path):
+        m = _PAGE_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(path, name)))
+    return sorted(out)
+
+
+class PagePartition(InputPartition):
+    def __init__(self, page_no: int, file_path: str):
+        self.page_no = page_no
+        self.file_path = file_path
+
+
+def _parse_page(
+    file_path: str, schema: "StructType", eq_filters: dict[str, object]
+) -> Iterator[tuple]:
+    names = [f.name for f in schema.fields]
+    with open(file_path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            if any(obj.get(k) != v for k, v in eq_filters.items()):
+                continue  # pushed filter: dropped source-side
+            yield tuple(obj.get(n) for n in names)
+
+
+class PagedJsonReader(DataSourceReader):
+    def __init__(self, schema: "StructType", options: dict):
+        self._schema = schema
+        self._path = options["path"]
+        self._eq: dict[str, object] = {}
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Accept equality filters on top-level columns; everything
+        else is returned to Spark to evaluate post-scan (the standard
+        partial-pushdown contract)."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self._eq[f.attribute[0]] = f.value
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self):
+        return [PagePartition(n, p) for n, p in page_files(self._path)]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        return _parse_page(partition.file_path, self._schema, self._eq)
+
+
+class PagedJsonStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: "StructType", options: dict):
+        self._schema = schema
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"next_page": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        pages = page_files(self._path)
+        return {"next_page": (pages[-1][0] + 1) if pages else 0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["next_page"], end["next_page"]
+        return [
+            PagePartition(n, p) for n, p in page_files(self._path) if lo <= n < hi
+        ] or [PagePartition(-1, "")]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        if partition.page_no < 0:
+            return iter(())  # empty batch placeholder partition
+        return _parse_page(partition.file_path, self._schema, {})
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets checkpoint via the engine; pages are immutable
+
+
+class PagedJsonDataSource(DataSource):
+    """``spark.read.format("pagedjson").schema(s).option("path", d)``
+    after ``spark.dataSource.register(PagedJsonDataSource)``; same for
+    ``readStream``. Schema is user-declared (a paginated API has a
+    contract, not an inferred shape)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pagedjson"
+
+    def reader(self, schema: "StructType") -> PagedJsonReader:
+        return PagedJsonReader(schema, self.options)
+
+    def streamReader(self, schema: "StructType") -> PagedJsonStreamReader:
+        return PagedJsonStreamReader(schema, self.options)
