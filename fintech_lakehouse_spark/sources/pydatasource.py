@@ -36,8 +36,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -144,3 +147,88 @@ class PagedJsonDataSource(DataSource):
 
     def streamReader(self, schema: "StructType") -> PagedJsonStreamReader:
         return PagedJsonStreamReader(schema, self.options)
+
+    def writer(self, schema: "StructType", overwrite: bool) -> "PagedJsonWriter":
+        return PagedJsonWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: "StructType", overwrite: bool
+    ) -> "PagedJsonStreamWriter":
+        return PagedJsonStreamWriter(schema, self.options)
+
+
+class _PageCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class PagedJsonWriter(DataSourceWriter):
+    """Two-phase paged write: each task streams its partition to a
+    UUID-named ``.tmp`` file (invisible to readers — page_files only
+    matches ``page-<n>.jsonl``) and returns it in the commit message;
+    the DRIVER's commit() renames the temp files onto the next
+    contiguous page numbers. The rename step is what makes the write
+    atomic-per-job: a failed or speculative task's temp file is never
+    named into the page sequence, and abort() removes the orphans —
+    the same staged-rename discipline as sources/writers.py's
+    ``__staging`` protocol, expressed through the engine's
+    commit/abort hooks."""
+
+    def __init__(self, schema: "StructType", options: dict, overwrite: bool):
+        self._schema = schema
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> "_PageCommit":
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f".{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PageCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for _, p in page_files(self._path):
+                os.remove(p)
+        existing = page_files(self._path)
+        next_no = (existing[-1][0] + 1) if existing else 0
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)  # empty partition: no page
+                continue
+            os.rename(
+                m.tmp_path, os.path.join(self._path, f"page-{next_no}.jsonl")
+            )
+            next_no += 1
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class PagedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: every micro-batch appends its pages through the
+    same temp-then-rename protocol. Page numbering continues from the
+    directory state, so a feed written here is immediately readable by
+    the streaming READER of another query — the loopback tested in
+    tests/test_pydatasource.py."""
+
+    def __init__(self, schema: "StructType", options: dict):
+        self._inner = PagedJsonWriter(schema, options, overwrite=False)
+
+    def write(self, iterator) -> "_PageCommit":
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        self._inner.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._inner.abort(messages)

@@ -119,3 +119,74 @@ def test_stream_resumes_at_first_unseen_page(spark, pages, tmp_path_factory):
     second = [r["id"] for r in spark.read.parquet(out_dir).collect()]
     assert len(second) == 19 and len(set(second)) == 19  # no re-reads
     assert page_files(str(pages))[-1][0] == 3
+
+
+def test_batch_write_roundtrip_and_overwrite(spark, tmp_path):
+    """Writer side: two-phase temp-then-rename paging — pages land
+    contiguously numbered, temp files never survive a commit, append
+    continues the numbering, overwrite resets it, and reading the
+    written directory back yields exactly the input rows."""
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "written")
+    df = spark.createDataFrame(
+        [(i, "k" + str(i % 3), float(i)) for i in range(20)],
+        "id long, kind string, v double",
+    ).repartition(4)
+    df.write.format("pagedjson").option("path", out).mode("append").save()
+    pages = page_files(out)
+    assert [n for n, _ in pages] == list(range(len(pages)))
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = (
+        spark.read.format("pagedjson").schema(SCHEMA).option("path", out).load()
+    )
+    assert sorted(r["id"] for r in back.collect()) == list(range(20))
+
+    df.limit(5).write.format("pagedjson").option("path", out).mode(
+        "append"
+    ).save()
+    assert (
+        spark.read.format("pagedjson").schema(SCHEMA).option("path", out).load()
+    ).count() == 25
+
+    df.limit(3).write.format("pagedjson").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = (
+        spark.read.format("pagedjson").schema(SCHEMA).option("path", out).load()
+    )
+    assert back2.count() == 3
+    assert page_files(out)[0][0] == 0  # numbering reset by overwrite
+
+
+def test_stream_loopback_source_to_sink(spark, pages, tmp_path_factory):
+    """Streaming loopback: pagedjson source -> pagedjson SINK. Each
+    micro-batch appends pages through the same temp-then-rename
+    protocol, so the sink directory is itself a valid source feed."""
+    _register(spark)
+    ckpt = str(tmp_path_factory.mktemp("loop_ckpt"))
+    sink = str(tmp_path_factory.mktemp("loop_sink") / "feed")
+    q = (
+        spark.readStream.format("pagedjson")
+        .schema(SCHEMA)
+        .option("path", str(pages))
+        .load()
+        .writeStream.format("pagedjson")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = (
+        spark.read.format("pagedjson").schema(SCHEMA).option("path", sink).load()
+    )
+    src = (
+        spark.read.format("pagedjson")
+        .schema(SCHEMA)
+        .option("path", str(pages))
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
