@@ -118,3 +118,45 @@ def make_bpe_encoder(merges: list[tuple[str, str]]):
         return col.map(encode)
 
     return bpe_encode
+
+
+def json_fields_udtf():
+    """ARGUMENT-POLYMORPHIC UDTF (Spark 4 ``analyze()``): project JSON
+    fields into columns whose NAMES AND COUNT come from the call site —
+    ``JsonFields(col("js").outer(), lit("a"), lit("b"))`` yields
+    columns (a, b). The static ``analyze`` runs at PLAN time with the
+    literal arguments and returns the output schema, so each call site
+    gets its own resolved shape — the dynamic-projection capability
+    neither a fixed-schema UDTF (split_sentences above) nor from_json
+    (schema declared in full, not per-field) expresses. Values come
+    back as strings (JSON scalars rendered verbatim), missing keys as
+    NULL; typed casts compose downstream."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class JsonFields:
+        @staticmethod
+        def analyze(
+            js: AnalyzeArgument, *fields: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not fields or any(f.value is None for f in fields):
+                raise ValueError(
+                    "JsonFields needs literal field-name arguments"
+                )
+            st = StructType()
+            for f in fields:
+                st = st.add(str(f.value), StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, js, *fields):  # noqa: ANN001
+            obj = _json.loads(js) if js else {}
+            yield tuple(
+                None if obj.get(f) is None else str(obj.get(f))
+                for f in fields
+            )
+
+    return JsonFields

@@ -791,3 +791,27 @@ def test_hll_sketch_merge_is_lossless(spark):
     )
     exact = df.select("user").distinct().count()
     assert naive_sum > exact  # exact counts do NOT re-aggregate
+
+
+def test_json_fields_udtf_schema_follows_arguments(spark):
+    """The analyze()-polymorphic UDTF: output columns are named and
+    counted by the call site's literal arguments; values render as
+    strings, absent keys as NULL."""
+    from pyspark.sql.functions import lit
+
+    from fintech_lakehouse_spark.functions.python_udfs import json_fields_udtf
+
+    JsonFields = json_fields_udtf()
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}'), (2, '{"k": 9}'), (3, None)],
+        ["id", "js"],
+    )
+    out = df.lateralJoin(
+        JsonFields(F.col("js").outer(), lit("k"), lit("tag"))
+    ).select("id", "k", "tag")
+    assert out.columns == ["id", "k", "tag"]
+    rows = {r["id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert rows == {1: ("7", "x"), 2: ("9", None), 3: (None, None)}
+    # a different call site resolves a different schema
+    out2 = df.lateralJoin(JsonFields(F.col("js").outer(), lit("tag")))
+    assert out2.columns == ["id", "js", "tag"]
