@@ -170,10 +170,14 @@ class PagedJsonWriter(DataSourceWriter):
     the DRIVER's commit() renames the temp files onto the next
     contiguous page numbers. The rename step is what makes the write
     atomic-per-job: a failed or speculative task's temp file is never
-    named into the page sequence, and abort() removes the orphans —
-    the same staged-rename discipline as sources/writers.py's
-    ``__staging`` protocol, expressed through the engine's
-    commit/abort hooks."""
+    named into the page sequence — the same staged-rename discipline
+    as sources/writers.py's ``__staging`` protocol. Cleanup is
+    SELF-HEALING rather than abort-dependent: a task dying
+    mid-iteration reaps its own temp (write()'s except path), and
+    commit() reaps any stale temps from prior failed jobs, because on
+    this Spark build the JVM-side job abort does NOT round-trip into
+    the Python writer's abort() (observed; abort() is still
+    implemented for builds where it does)."""
 
     def __init__(self, schema: "StructType", options: dict, overwrite: bool):
         self._schema = schema
@@ -186,13 +190,36 @@ class PagedJsonWriter(DataSourceWriter):
         os.makedirs(self._path, exist_ok=True)
         tmp = os.path.join(self._path, f".{uuid.uuid4().hex}.tmp")
         n = 0
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
+        try:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+        except BaseException:
+            # abort() only sees COMPLETED tasks' commit messages — a
+            # task dying mid-iteration must reap its own temp file or
+            # crash leftovers accumulate invisibly (they never become
+            # pages, but they also never get cleaned).
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         return _PageCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        committed = {
+            m.tmp_path for m in messages if m is not None
+        }
+        # Reap crash leftovers from PRIOR failed jobs: the engine's
+        # JVM-side abort does not round-trip into the Python writer
+        # (PythonBatchWrite aborts without calling abort() here —
+        # observed on this Spark build), so completed-then-aborted
+        # tasks orphan their temp files. Single-writer layout (page
+        # numbering assumes it) makes reaping every non-this-job temp
+        # safe; vacuum_paged_dir does the same standalone.
+        for name in os.listdir(self._path):
+            full = os.path.join(self._path, name)
+            if name.endswith(".tmp") and full not in committed:
+                os.remove(full)
         if self._overwrite:
             for _, p in page_files(self._path):
                 os.remove(p)
@@ -232,3 +259,19 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._inner.abort(messages)
+
+
+def vacuum_paged_dir(path: str) -> int:
+    """Remove crash-leftover ``.tmp`` files from a paged directory
+    (the standalone twin of the reap PagedJsonWriter.commit performs;
+    same single-writer assumption, same rationale as
+    sources/writers.py::vacuum_lake_table's ``__staging`` cleanup).
+    Returns the number of files removed."""
+    removed = 0
+    if not os.path.isdir(path):
+        return 0
+    for name in os.listdir(path):
+        if name.endswith(".tmp"):
+            os.remove(os.path.join(path, name))
+            removed += 1
+    return removed

