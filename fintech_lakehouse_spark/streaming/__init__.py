@@ -1,3 +1,6 @@
+from fintech_lakehouse_spark.streaming.listener import (
+    StreamMetricsListener,
+)
 from fintech_lakehouse_spark.streaming.events import (
     dedup_events_stream,
     foreach_batch_cdf,
@@ -16,6 +19,7 @@ from fintech_lakehouse_spark.streaming.events import (
 )
 
 __all__ = [
+    "StreamMetricsListener",
     "dedup_events_stream",
     "foreach_batch_cdf",
     "foreach_batch_scd2",

@@ -875,3 +875,36 @@ def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
         ["doc_id", "gram"],
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_metrics_listener_captures_batches(spark, events_dir):
+    """The streaming monitor: a progress listener turns micro-batch
+    events into metrics rows whose engine-side input counts equal the
+    sink-side row count (the lost-rows cross-check), flushable to a
+    DataFrame off the listener thread."""
+    from fintech_lakehouse_spark.streaming import StreamMetricsListener
+
+    listener = StreamMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_events_stream(spark, events_dir)
+        out = _run_to_memory(
+            spark,
+            stream.select("event_id", "user_id"),
+            "listener_probe",
+            mode="append",
+        )
+        sink_rows = out.count()
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not listener.rows:
+            _t.sleep(0.5)  # listener events are async to query end
+        metrics = listener.flush_to_table(spark)
+        mrows = metrics.collect()
+        assert mrows, "no progress events captured"
+        assert sum(r["input_rows"] for r in mrows) == sink_rows
+        assert all(r["batch_id"] >= 0 for r in mrows)
+        assert listener.started and not listener.rows  # flushed
+    finally:
+        spark.streams.removeListener(listener)
