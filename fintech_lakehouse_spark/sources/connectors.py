@@ -187,3 +187,166 @@ def decode_avro_column(col, avro_schema_json: str):
             "pyspark.sql.avro is unavailable in this build"
         ) from exc
     return from_avro(col, avro_schema_json)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python Avro binary codec (no jars): the spark-avro package is
+# absent offline (same class as the Kafka jar), but the Avro BINARY
+# ENCODING itself is a ~1-page spec — zigzag-varint longs, length-
+# prefixed utf8 strings/bytes, little-endian IEEE doubles/floats,
+# 1-byte booleans, record = field-order concatenation. Implementing it
+# directly makes the payload path EXECUTABLE offline: decode_avro_python
+# is an Arrow-batched mapInPandas over binary payloads, and
+# encode_avro_python exists so tests can round-trip real binary Avro
+# without any external library. Scope: flat records of the primitive
+# types above plus nullable unions ["null", T] — the shape of every
+# Kafka event payload this engine models. from_avro (the jar path)
+# remains the cluster fast path; this is the functional fallback and
+# the offline test oracle for it.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _parse_flat_schema(avro_schema: dict) -> list[tuple[str, str, bool]]:
+    """(name, primitive_type, nullable) per field; rejects shapes
+    outside the supported flat-record subset loudly."""
+    if avro_schema.get("type") != "record":
+        raise ValueError("only record schemas are supported")
+    fields = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):
+            members = [m for m in t if m != "null"]
+            if len(members) != 1 or len(t) != 2 or "null" not in t:
+                raise ValueError(f"unsupported union {t!r} for {f['name']}")
+            t, nullable = members[0], True
+        if t not in ("long", "int", "string", "double", "float", "boolean", "bytes"):
+            raise ValueError(f"unsupported type {t!r} for {f['name']}")
+        fields.append((f["name"], t, nullable))
+    return fields
+
+
+def encode_avro_python(record: dict, avro_schema: dict) -> bytes:
+    """One record → Avro binary body (no container header, the Kafka
+    wire shape)."""
+    import struct
+
+    out = bytearray()
+    for name, t, nullable in _parse_flat_schema(avro_schema):
+        v = record.get(name)
+        if nullable:
+            if v is None:
+                out += _zigzag_encode(0)  # union branch 0 = null
+                continue
+            out += _zigzag_encode(1)
+        elif v is None:
+            raise ValueError(f"null for non-nullable field {name}")
+        if t in ("long", "int"):
+            out += _zigzag_encode(int(v))
+        elif t == "string":
+            b = str(v).encode("utf-8")
+            out += _zigzag_encode(len(b)) + b
+        elif t == "bytes":
+            out += _zigzag_encode(len(v)) + bytes(v)
+        elif t == "double":
+            out += struct.pack("<d", float(v))
+        elif t == "float":
+            out += struct.pack("<f", float(v))
+        elif t == "boolean":
+            out += b"\x01" if v else b"\x00"
+    return bytes(out)
+
+
+def decode_avro_record_python(payload: bytes, avro_schema: dict) -> dict:
+    """Avro binary body → dict (driver/executor-side primitive)."""
+    import struct
+
+    pos = 0
+    out: dict = {}
+    for name, t, nullable in _parse_flat_schema(avro_schema):
+        if nullable:
+            branch, pos = _zigzag_decode(payload, pos)
+            if branch == 0:
+                out[name] = None
+                continue
+        if t in ("long", "int"):
+            out[name], pos = _zigzag_decode(payload, pos)
+        elif t in ("string", "bytes"):
+            ln, pos = _zigzag_decode(payload, pos)
+            raw = payload[pos : pos + ln]
+            pos += ln
+            out[name] = raw.decode("utf-8") if t == "string" else raw
+        elif t == "double":
+            out[name] = struct.unpack("<d", payload[pos : pos + 8])[0]
+            pos += 8
+        elif t == "float":
+            out[name] = struct.unpack("<f", payload[pos : pos + 4])[0]
+            pos += 4
+        elif t == "boolean":
+            out[name] = payload[pos] == 1
+            pos += 1
+    return out
+
+
+def decode_avro_python(df: DataFrame, payload_col: str, avro_schema: dict) -> DataFrame:
+    """Arrow-batched offline Avro decode: mapInPandas over the binary
+    payload column, emitting the record fields as typed columns
+    alongside every other input column. The no-jar twin of
+    decode_avro_column — same flat-record subset, pure Python on the
+    executors, batches crossing via Arrow."""
+    import pandas as pd
+
+    fields = _parse_flat_schema(avro_schema)
+    spark_types = {
+        "long": "bigint",
+        "int": "bigint",
+        "string": "string",
+        "bytes": "binary",
+        "double": "double",
+        "float": "double",
+        "boolean": "boolean",
+    }
+    carry = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in carry]
+        + [f"`{n}` {spark_types[t]}" for n, t, _ in fields]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            decoded = [
+                decode_avro_record_python(p, avro_schema)
+                for p in pdf[payload_col]
+            ]
+            dec = pd.DataFrame(decoded, columns=[n for n, _, _ in fields])
+            yield pd.concat(
+                [pdf[carry].reset_index(drop=True), dec], axis=1
+            )
+
+    return df.mapInPandas(decode, out_schema)
