@@ -941,3 +941,44 @@ def write_zordered_table(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def file_inventory(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file health inventory of a parquet table: rows per file
+    (distributed count over input_file_name — the scan does the work,
+    nothing lists rows on the driver) joined with filesystem size and
+    modification time (driver-side metadata listing — file COUNT
+    scale, not row scale). The decision input for maintenance: files
+    below target size in a partition → optimize_lake_table compaction;
+    skewed row counts across files → revisit the write's
+    partitioning/salting (SURVEY T3 introspection, extended from
+    metastore to physical layout)."""
+    # input_file_name() renders file:///p while the FS listing renders
+    # file:/p — normalize both to a bare path or the join misses.
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    rows_per_file = (
+        spark.read.parquet(path)
+        .groupBy(norm(F.input_file_name()).alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), sc._jsc.hadoopConfiguration()
+    )
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    meta = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            meta.append((name, int(st.getLen()), int(st.getModificationTime())))
+    meta_df = spark.createDataFrame(
+        meta, "file string, size_bytes long, modified_ms long"
+    ).select(norm(F.col("file")).alias("file"), "size_bytes", "modified_ms")
+    return rows_per_file.join(meta_df, "file", "full").select(
+        "file",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        "size_bytes",
+        "modified_ms",
+    )

@@ -412,3 +412,19 @@ def test_snapshot_diff_changelog(spark):
         3: ("delete", "c", 30.0),
         5: ("insert", "e", 50.0),
     }  # 1 unchanged, 4 null-safe unchanged -> absent
+
+
+def test_file_inventory_rows_and_sizes(spark, tmp_path):
+    """file_inventory: every data file appears once with its true row
+    count and a positive on-disk size — and the totals reconcile with
+    the table itself (the property a compaction decision rests on)."""
+    from fintech_lakehouse_spark.sources.writers import file_inventory
+
+    path = str(tmp_path / "inv")
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    df.repartition(5).write.mode("overwrite").parquet(path)
+    inv = file_inventory(spark, path).collect()
+    assert len(inv) == 5
+    assert sum(r["n_rows"] for r in inv) == 1000
+    assert all(r["size_bytes"] > 0 and r["modified_ms"] > 0 for r in inv)
+    assert all(r["file"].endswith(".parquet") for r in inv)
