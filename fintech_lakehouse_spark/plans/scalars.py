@@ -246,3 +246,49 @@ def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_custkey <= 300
         """
     )
+
+
+_SUPPLIER_TREE_SQL = """
+    WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+        SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+        FROM supplier WHERE s_suppkey <= 3
+        UNION ALL
+        SELECT s.s_suppkey, c.root, c.depth + 1
+        FROM supplier s JOIN chain c
+          ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = c.s_suppkey
+         AND s.s_suppkey > c.s_suppkey
+    )
+    SELECT root,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS subtree_acctbal
+    FROM chain JOIN supplier s2 USING (s_suppkey)
+    GROUP BY root
+"""
+
+
+@register("supplier_tree_rollup", oracle=_SUPPLIER_TREE_SQL)
+def supplier_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 WITH RECURSIVE — the iterative-SQL
+    surface next to the DataFrame-loop iteration of dedup_clusters /
+    dup_graph_pagerank): treat each supplier's parent as
+    s_suppkey DIV 2 — a deterministic binary management hierarchy —
+    (floor-division via CAST(FLOOR(x/2)) — the one integer-division
+    spelling both engines parse; the strict s > parent guard removes
+    key 0's self-loop, which otherwise recurses past the level limit)
+    and roll every subtree up from its roots (keys 0-3): member count,
+    max depth, subtree account-balance total. The org-chart /
+    bill-of-materials closure every warehouse eventually needs, now
+    expressible IN SQL on both engines — the oracle runs the identical
+    statement, so the recursion semantics themselves are value-checked.
+
+    Termination/scale: the parent edge halves the key, so the
+    recursion is depth-log2(max key) on a DAG — no cycle risk, and
+    each iteration is one equi-join of the frontier against supplier
+    (the same shuffle-join-per-step shape as dedup_clusters, with the
+    engine handling the loop instead of Python). s_acctbal sums in
+    DECIMAL then renders as DOUBLE — the exact-money-then-one-cast
+    discipline of plans/_num.py."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_SUPPLIER_TREE_SQL)
