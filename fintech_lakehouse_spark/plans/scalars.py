@@ -292,3 +292,41 @@ def supplier_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of plans/_num.py."""
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_SUPPLIER_TREE_SQL)
+
+
+@register(
+    "pipe_syntax_shipmode_stats",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS gross_value
+    FROM lineitem
+    WHERE l_returnflag = 'N' AND l_quantity >= 10
+    GROUP BY l_linestatus
+    """,
+)
+def pipe_syntax_shipmode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 ``|>`` operators — the linear
+    query-authoring surface next to classic SELECT): each stage reads
+    top-to-bottom in execution order, the form interactive analysis
+    and generated SQL increasingly use. Catalyst lowers it to the SAME
+    logical plan as the classic statement — which is exactly what the
+    oracle proves: DuckDB runs the traditional SELECT and the values
+    hash-match, so the pipe form is verified as pure syntax, zero
+    semantic drift."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_returnflag = 'N' AND l_quantity >= 10
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS total_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE) AS gross_value
+           GROUP BY l_linestatus
+        |> SELECT l_linestatus, n_items, total_qty, gross_value
+        """
+    )
