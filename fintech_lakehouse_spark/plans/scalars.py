@@ -330,3 +330,49 @@ def pipe_syntax_shipmode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_linestatus, n_items, total_qty, gross_value
         """
     )
+
+
+@register(
+    "collated_name_groups",
+    oracle="""
+    WITH variants AS (
+        SELECT CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+                    ELSE p_name END AS display_name
+        FROM part
+    )
+    SELECT min(display_name) AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM variants
+    GROUP BY lower(display_name)
+    HAVING COUNT(*) > 1
+    """,
+)
+def collated_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): group case-divergent
+    display names under UTF8_LCASE WITHOUT rewriting the data — the
+    collation is a comparison rule on the expression, so the original
+    casing survives for display while grouping/joins treat variants as
+    equal (lower() normalizes-and-destroys; collation compares). Case
+    variants are derived deterministically (every third part renders
+    uppercase — the pii_redaction_stats non-vacuity pattern, since the
+    synthetic catalog is uniformly lowercase), and the output keys on
+    min(name) because the collated group's REPRESENTATIVE is
+    engine-arbitrary — the oracle groups by lower() and must land on
+    identical canonical rows."""
+    part = load_table(spark, sf_dir, "part")
+    variants = part.select(
+        F.when(
+            F.col("p_partkey") % 3 == 0, F.upper("p_name")
+        ).otherwise(F.col("p_name")).alias("display_name")
+    )
+    return (
+        variants.groupBy(
+            F.collate("display_name", "UTF8_LCASE").alias("_k")
+        )
+        .agg(
+            F.min(F.col("display_name").cast("string")).alias("canonical_name"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .filter(F.col("n_parts") > 1)
+        .select("canonical_name", "n_parts")
+    )
