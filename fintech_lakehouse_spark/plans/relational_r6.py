@@ -365,3 +365,121 @@ def order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority", "median_value", "mad_value", "n_orders", "n_outliers"
         )
     )
+
+
+# Spatial proximity: integer micro-degree coordinates derived
+# deterministically per customer (the synthetic lake has no geo
+# columns — same non-vacuity pattern as pii_redaction_stats), grid
+# cell = radius so candidates live in the 3x3 neighborhood.
+GEO_RADIUS_MICRO = 3_000_000  # 3 degrees in micro-degrees (non-vacuous at every SF)
+_GEO_LAT_SQL = (
+    "(('0x' || substr(md5('lat' || '|' || CAST(c_custkey AS VARCHAR)), 1, 12))"
+    "::BIGINT % 180000000)"
+)
+_GEO_LNG_SQL = (
+    "(('0x' || substr(md5('lng' || '|' || CAST(c_custkey AS VARCHAR)), 1, 12))"
+    "::BIGINT % 360000000)"
+)
+
+
+@register(
+    "customer_proximity_pairs",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_GEO_LAT_SQL} AS lat,
+               {_GEO_LNG_SQL} AS lng
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_custkey, lat, lng,
+               CAST(FLOOR(lat / {GEO_RADIUS_MICRO}) AS BIGINT) AS cy,
+               CAST(FLOOR(lng / {GEO_RADIUS_MICRO}) AS BIGINT) AS cx
+        FROM pts
+    ),
+    probes AS (
+        SELECT c_custkey, lat, lng,
+               cy + dy.d AS cy, cx + dx.d AS cx
+        FROM cells, range(-1, 2) dy(d), range(-1, 2) dx(d)
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lng - b.lng) * (a.lng - b.lng) AS dist2_micro
+    FROM probes a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.c_custkey < b.c_custkey
+      AND (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lng - b.lng) * (a.lng - b.lng)
+          <= CAST({GEO_RADIUS_MICRO} AS BIGINT) * {GEO_RADIUS_MICRO}
+    """,
+)
+def customer_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed SPATIAL proximity join (the geospatial workload
+    class, Spark-first without any geo library): customers within 3
+    degrees of each other. Coordinates are integer micro-degrees
+    derived deterministically from the key (md5 — the synthetic lake
+    carries no geo columns; production swaps in real lat/lng and
+    nothing else changes). One side explodes to its 3×3 neighbor grid
+    cells (cell size = radius, so every qualifying pair shares exactly
+    one (cell, offset) combination — no dedup step needed), the other
+    stays on its home cell, and the candidate equi-join is verified by
+    the exact squared distance.
+
+    Scale shape — the same bucket-then-verify discipline as the LSH
+    joins: candidates are bounded by 9 × cell occupancy, NEVER
+    all-pairs; the exact check touches candidates only; a hot cell
+    (urban density at production scale) is the shingle-hot-key analog
+    and takes the same cap/salt treatment. Everything is integer
+    arithmetic — Euclidean-on-microdegrees here; a haversine verify
+    would be the one float step and deliberately stays OUT of the
+    hash-checked surface (libm sin/cos differ across engines).
+    Negative coordinates are avoided by keeping the [0,180M)/[0,360M)
+    frame: Spark DIV truncates toward zero while DuckDB // floors, so
+    floor-division parity only holds for non-negative operands."""
+    customer = load_table(spark, sf_dir, "customer")
+    r = GEO_RADIUS_MICRO
+
+    def md5_coord(salt: str, mod: int):
+        h = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), F.col("c_custkey").cast("string")
+            ).cast("binary")
+        )
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % mod
+
+    pts = customer.select(
+        "c_custkey",
+        md5_coord("lat", 180_000_000).alias("lat"),
+        md5_coord("lng", 360_000_000).alias("lng"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("lat") / r).cast("long").alias("cy"),
+        F.floor(F.col("lng") / r).cast("long").alias("cx"),
+    )
+    offsets = F.expr(
+        "explode(array(-1L, 0L, 1L))"
+    )
+    probes = (
+        cells.withColumn("dy", offsets)
+        .withColumn("dx", offsets)
+        .select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lng").alias("lng_a"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+        )
+    )
+    d2 = (F.col("lat_a") - F.col("lat")) * (F.col("lat_a") - F.col("lat")) + (
+        F.col("lng_a") - F.col("lng")
+    ) * (F.col("lng_a") - F.col("lng"))
+    return (
+        probes.join(cells, ["cx", "cy"])
+        .filter(F.col("cust_a") < F.col("c_custkey"))
+        .filter(d2 <= r * r)
+        .select(
+            "cust_a",
+            F.col("c_custkey").alias("cust_b"),
+            d2.alias("dist2_micro"),
+        )
+    )
