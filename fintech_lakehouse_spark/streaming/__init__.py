@@ -12,6 +12,7 @@ from fintech_lakehouse_spark.streaming.events import (
     sessionize_stream,
     sessionize_with_timeout,
     stateful_user_totals,
+    table_as_of_batch,
     user_funnel_state,
     user_value_ema,
     user_value_ema_tws,
@@ -30,6 +31,7 @@ __all__ = [
     "sessionize_stream",
     "sessionize_with_timeout",
     "stateful_user_totals",
+    "table_as_of_batch",
     "user_funnel_state",
     "user_value_ema",
     "user_value_ema_tws",

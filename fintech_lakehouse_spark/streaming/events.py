@@ -721,3 +721,37 @@ def foreach_batch_cdf(
         )
 
     return _write
+
+
+def table_as_of_batch(
+    spark: SparkSession,
+    changelog_path: str,
+    key: str,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """TIME TRAVEL over a foreach_batch_cdf changelog: reconstruct the
+    upsert table's state AS OF ``batch_id`` (inclusive; None = latest)
+    — the parquet-mode answer to Delta's ``VERSION AS OF``, built on
+    the changelog-replay guarantee (replaying insert/update/delete
+    rows in batch order reproduces the table; property-tested in
+    tests/test_property_based.py).
+
+    Shape: filter the changelog to batches <= N (``_batch_id`` is a
+    partition-friendly column — at scale the changelog is written
+    partitioned by it and this filter becomes partition pruning), then
+    ONE keyed window takes each key's latest change and drops keys
+    whose latest change is a delete. Cost scales with CHANGE
+    cardinality up to N, not table size — the whole point of
+    record-at-write CDF vs re-snapshotting."""
+    from pyspark.sql.window import Window
+
+    log = spark.read.parquet(changelog_path)
+    if batch_id is not None:
+        log = log.filter(F.col("_batch_id") <= batch_id)
+    w = Window.partitionBy(key).orderBy(F.col("_batch_id").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_change_type") != "delete")
+        .drop("_rn", "_change_type", "_batch_id")
+    )

@@ -908,3 +908,64 @@ def test_stream_metrics_listener_captures_batches(spark, events_dir):
         assert listener.started and not listener.rows  # flushed
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_table_as_of_batch_time_travel(spark, tmp_path):
+    """Time travel over the CDF changelog: as-of the first batch shows
+    the pre-update state, as-of latest equals the live table — Delta
+    VERSION AS OF semantics from the write-time changelog alone."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from fintech_lakehouse_spark.streaming import (
+        foreach_batch_cdf,
+        table_as_of_batch,
+    )
+
+    src = tmp_path / "tt_stream"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"user_id": ["u1", "u2", "u3"], "tier": ["bronze"] * 3, "v": [1] * 3}
+    )
+    b2 = pd.DataFrame(
+        {"user_id": ["u2", "u4"], "tier": ["gold", "bronze"], "v": [2, 1]}
+    )
+    b1.to_parquet(src / "b1.parquet", index=False)
+    _time.sleep(1.1)
+    b2.to_parquet(src / "b2.parquet", index=False)
+    os.utime(src / "b1.parquet", (1, 1))
+
+    target = str(tmp_path / "tt_tiers")
+    changelog = str(tmp_path / "tt_cdf")
+    query = (
+        spark.readStream.schema("user_id string, tier string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            foreach_batch_cdf(target, changelog, key="user_id", order_by="v")
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    batch_ids = sorted(
+        r["_batch_id"]
+        for r in spark.read.parquet(changelog).select("_batch_id").distinct().collect()
+    )
+    assert len(batch_ids) == 2
+
+    def snap(df):
+        return {r["user_id"]: (r["tier"], r["v"]) for r in df.collect()}
+
+    as_of_first = snap(table_as_of_batch(spark, changelog, "user_id", batch_ids[0]))
+    assert as_of_first == {
+        "u1": ("bronze", 1), "u2": ("bronze", 1), "u3": ("bronze", 1)
+    }
+    as_of_latest = snap(table_as_of_batch(spark, changelog, "user_id"))
+    assert as_of_latest == snap(spark.read.parquet(target))
+    assert as_of_latest["u2"] == ("gold", 2) and "u4" in as_of_latest
