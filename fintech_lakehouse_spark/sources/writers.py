@@ -982,3 +982,23 @@ def file_inventory(spark: SparkSession, path: str) -> DataFrame:
         "size_bytes",
         "modified_ms",
     )
+
+
+def scd2_as_of(spark: SparkSession, path: str, as_of) -> DataFrame:
+    """Point-in-time read of an SCD2 dimension: the row version valid
+    AT ``as_of`` per key — dimension-table time travel, the batch-read
+    twin of the changelog replay (streaming/events.py::
+    table_as_of_batch) and of the PIT join (plans/windows.py's
+    user_tier_at_click, which does this per-event instead of per-
+    timestamp). Interval semantics follow the on-disk contract
+    (scd2_upsert): a version covers [effective_from, effective_to),
+    open-ended rows have effective_to NULL — so a key created after
+    ``as_of`` simply has no row, and historical queries are a pure
+    partition-prunable filter, no window needed (at most one version
+    per key can satisfy a half-open interval probe)."""
+    ts = F.lit(as_of).cast("timestamp")
+    dim = read_lake_table(spark, path)
+    return dim.filter(
+        (F.col("effective_from") <= ts)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > ts))
+    ).drop("is_current")

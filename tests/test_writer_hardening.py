@@ -371,3 +371,40 @@ def test_reset_stage_caches_empties_cache_manager(spark):
     verified_pairs_stage(spark, "/root/testdata/sf0.001").count()
     reset_stage_caches()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_scd2_as_of_point_in_time_reads(spark, tmp_path):
+    """Dimension time travel: after two SCD2 upserts, reading as-of a
+    timestamp between them shows the first version; as-of after the
+    second shows the new version; as-of before a key existed shows no
+    row for it. Boundary: as-of exactly at the change sees the NEW row
+    (half-open [from, to) intervals)."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.sources.writers import scd2_as_of, scd2_upsert
+
+    path = str(tmp_path / "dim_scd2")
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 3, 1)
+    b1 = spark.createDataFrame(
+        [("u1", "bronze", t1), ("u2", "silver", t1)],
+        "user_id string, tier string, effective_ts timestamp",
+    )
+    scd2_upsert(spark, b1, path, key="user_id", tracked_cols=["tier"])
+    b2 = spark.createDataFrame(
+        [("u1", "gold", t2), ("u3", "bronze", t2)],
+        "user_id string, tier string, effective_ts timestamp",
+    )
+    scd2_upsert(spark, b2, path, key="user_id", tracked_cols=["tier"])
+
+    def snap(ts):
+        return {
+            r["user_id"]: r["tier"] for r in scd2_as_of(spark, path, ts).collect()
+        }
+
+    assert snap(dt.datetime(2024, 2, 1)) == {"u1": "bronze", "u2": "silver"}
+    assert snap(dt.datetime(2024, 4, 1)) == {
+        "u1": "gold", "u2": "silver", "u3": "bronze"
+    }
+    assert snap(dt.datetime(2023, 12, 1)) == {}
+    assert snap(t2) == {"u1": "gold", "u2": "silver", "u3": "bronze"}
