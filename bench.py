@@ -39,6 +39,14 @@ HEADLINE_V2 = [
     "chunk_dedup_fractions",
     "bpe_merge_candidates",
     "cluster_balanced_sample",
+    # r6 session-3 flagships (first recorded in BASELINE.md §2 r6c;
+    # the whole v2 group first appears in BENCH_r06, so these extend
+    # the set without breaking any cross-round series):
+    "bloom_decontamination",
+    "bigram_familiarity_scores",
+    "dup_graph_pagerank",
+    "customer_proximity_pairs",
+    "winnowing_candidate_pairs",
 ]
 
 HEADLINE = [
