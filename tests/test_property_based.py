@@ -506,3 +506,73 @@ def test_bloom_one_sided_property(spark, texts, m_bits):
             assert i in survivors, f"false negative on {v!r}"
         if i not in survivors:
             assert v not in build_vals
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),       # key
+            st.integers(0, 20),                 # day offset
+            st.integers(1, 500),                # metric value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_gapfill_locf_matches_python_model(spark, obs):
+    """Calendar densify + LOCF on arbitrary sparse series: for every
+    key and every calendar day, zero-filled counts and the
+    carried-forward last observation must match a plain-Python replay
+    (daily_volume_gapfill's shape, minus the parquet tables)."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    base = dt.date(2024, 1, 1)
+    rows = [(k, base + dt.timedelta(days=d), v) for k, d, v in obs]
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    daily = df.groupBy("k", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.max("v").alias("day_max")
+    )
+    bounds = df.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    calendar = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    grid = df.select("k").distinct().crossJoin(F.broadcast(calendar))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r["k"], r["day"]): (r["n"], r["locf"])
+        for r in grid.join(daily, ["k", "day"], "left")
+        .select(
+            "k",
+            "day",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.last("day_max", ignorenulls=True).over(w).alias("locf"),
+        )
+        .collect()
+    }
+
+    days = sorted({d for _, d, _ in rows})
+    lo, hi = days[0], days[-1]
+    keys = {k for k, _, _ in obs}
+    per_day: dict = {}
+    for k, d, v in obs:
+        day = base + dt.timedelta(days=d)
+        cnt, mx = per_day.get((k, day), (0, None))
+        per_day[(k, day)] = (cnt + 1, v if mx is None else max(mx, v))
+    expected = {}
+    for k in keys:
+        carry = None
+        d = lo
+        while d <= hi:
+            cnt, mx = per_day.get((k, d), (0, None))
+            if mx is not None:
+                carry = mx
+            expected[(k, d)] = (cnt, carry)
+            d += dt.timedelta(days=1)
+    assert got == expected
