@@ -695,3 +695,90 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(deg, ranks["doc_id"] == deg["src"]).select(
         "doc_id", F.col("deg").cast("long").alias("degree"), F.col("pr").alias("pr_micro")
     )
+
+
+@register(
+    "bloom_decontamination_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest(list_distinct(
+                 [array_to_string(string_split(text, ' ')[i:i+{DECON_GRAM_N - 1}], ' ')
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - {DECON_GRAM_N - 1}, 0) + 1)]
+               )) AS gram
+        FROM documents
+    ),
+    hot AS (
+        SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 100
+    ),
+    exact_docs AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh t JOIN sh c ON t.gram = c.gram
+        WHERE t.b >= 9000 AND c.b < 9000
+          AND t.gram NOT IN (SELECT gram FROM hot)
+        GROUP BY t.doc_id, c.doc_id
+        HAVING COUNT(*) >= {DECON_MIN_GRAMS}
+    ),
+    bloom AS (
+        SELECT DISTINCT {_BLOOM_PROBE_SQL} AS pos
+        FROM sh, range({BLOOM_K}) r(i) WHERE b >= 9000
+    ),
+    cprobe AS (
+        SELECT doc_id, gram, {_BLOOM_PROBE_SQL} AS pos
+        FROM sh, range({BLOOM_K}) r(i) WHERE b < 9000
+    ),
+    bloom_hits AS (
+        SELECT doc_id, gram FROM cprobe JOIN bloom USING (pos)
+        GROUP BY doc_id, gram HAVING COUNT(*) = {BLOOM_K}
+    ),
+    bloom_docs AS (
+        SELECT doc_id FROM bloom_hits
+        GROUP BY doc_id HAVING COUNT(*) >= {DECON_MIN_GRAMS}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bloom_docs) AS BIGINT) AS n_bloom_flagged,
+           CAST((SELECT COUNT(*) FROM exact_docs) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM bloom_docs b
+                 JOIN exact_docs e ON b.doc_id = e.doc_id) AS BIGINT)
+               AS n_true_positive,
+           CAST((SELECT COUNT(*) FROM exact_docs e
+                 WHERE e.doc_id NOT IN (SELECT doc_id FROM bloom_docs))
+                AS BIGINT) AS n_missed
+    """,
+)
+def bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom gate's PRECISION AUDIT as a driver-checked number:
+    join the cheap pass (bloom_decontamination) against the exact gram
+    join (test_set_decontamination) and report flagged / exact /
+    true-positive / missed counts in one row. The one-sided guarantee
+    is now a hash-checked VALUE, not just a unit-test assertion:
+    n_missed must be 0 in every run of this query on any data — a
+    red driver row here means the bloom construction broke its
+    no-false-negative contract (the one failure mode a decontamination
+    gate must never have). The false-positive margin
+    (n_bloom_flagged − n_true_positive) is the price of skipping the
+    corpus shuffle, deterministic given the md5 probe family.
+
+    Semantics note: the exact side keeps its hot-gram drop and
+    per-test-doc >= {DECON_MIN_GRAMS} bar while the bloom side counts
+    grams shared with ANY eval doc and skips the hot drop, so
+    bloom ⊇ exact holds a fortiori (the unit test pins the stronger
+    per-doc count dominance)."""
+    from fintech_lakehouse_spark.plans.text import test_set_decontamination
+
+    exact_docs = (
+        test_set_decontamination(spark, sf_dir)
+        .select(F.col("corpus_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    bloom_docs = bloom_decontamination(spark, sf_dir).select(
+        F.col("corpus_doc_id").alias("doc_id")
+    )
+    both = bloom_docs.join(exact_docs, "doc_id", "left_semi")
+    missed = exact_docs.join(bloom_docs, "doc_id", "left_anti")
+    return (
+        bloom_docs.agg(F.count(F.lit(1)).alias("n_bloom_flagged"))
+        .crossJoin(exact_docs.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_true_positive")))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
+    )
