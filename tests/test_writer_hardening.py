@@ -408,3 +408,45 @@ def test_scd2_as_of_point_in_time_reads(spark, tmp_path):
     }
     assert snap(dt.datetime(2023, 12, 1)) == {}
     assert snap(t2) == {"u1": "gold", "u2": "silver", "u3": "bronze"}
+
+
+def test_optimize_lake_table_morton_rewrite(spark, tmp_path):
+    """The multi-column z-order compaction branch: a fragmented table
+    compacts to one file per directory, survives a round-trip with all
+    rows intact, and the rewrite is Morton-sorted — consecutive rows
+    stay inside a bounded box in BOTH clustered dimensions (a
+    lexicographic sort would leave dim2 unordered within equal dim1
+    runs and fail the box check across the file)."""
+    from fintech_lakehouse_spark.sources.writers import optimize_lake_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    assert optimize_lake_table(
+        spark, path, z_order_columns=["x", "y"], max_files_per_partition=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    assert back.rdd.getNumPartitions() == 1
+    rows = [(r["x"], r["y"]) for r in back.collect()]
+    # Morton property probe: among each consecutive quarter of the
+    # file, both dimensions span at most ~half their full range —
+    # impossible for a lexicographic (x, y) sort, whose every
+    # x-segment spans the full y range.
+    quarter = len(rows) // 4
+    bounded_both = 0
+    for i in range(4):
+        seg = rows[i * quarter : (i + 1) * quarter]
+        xs = [a for a, _ in seg]
+        ys = [b for _, b in seg]
+        if (max(xs) - min(xs)) <= 40 and (max(ys) - min(ys)) <= 40:
+            bounded_both += 1
+    assert bounded_both >= 3, [
+        (min(a for a, _ in rows[i * quarter : (i + 1) * quarter]),
+         max(a for a, _ in rows[i * quarter : (i + 1) * quarter]),
+         min(b for _, b in rows[i * quarter : (i + 1) * quarter]),
+         max(b for _, b in rows[i * quarter : (i + 1) * quarter]))
+        for i in range(4)
+    ]
