@@ -220,3 +220,24 @@ def bloom_filter_members(
             "left_semi",
         )
     return out
+
+
+def bloom_size_for(n_items: int, target_fp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate — the sizing rule
+    the BASELINE scale experiment demonstrates empirically (an
+    undersized 2^20-bit filter saturates at 16× corpus; 2^24 restores
+    linearity): m = -n·ln(p)/ln(2)², k = (m/n)·ln(2), both rounded up
+    to safe values, m to the next power of two so the modulo stays a
+    cheap mask-equivalent. The build relation is bounded by min(m,
+    k·n) rows, so oversizing costs broadcast bytes, never
+    correctness."""
+    import math
+
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not 0 < target_fp < 1:
+        raise ValueError("target_fp must be in (0, 1)")
+    m = -n_items * math.log(target_fp) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m)))
+    k = max(1, round((m_bits / n_items) * math.log(2)))
+    return m_bits, min(k, 16)

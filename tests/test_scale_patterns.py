@@ -782,3 +782,27 @@ def test_zorder_prunes_more_row_groups_than_linear(spark, sf_dir, tmp_path):
     a = spark.read.parquet(lin_path).filter(F.col("l_suppkey").between(lo, hi))
     b = spark.read.parquet(z_path).filter(F.col("l_suppkey").between(lo, hi))
     assert a.count() == b.count()
+
+
+def test_bloom_size_for_rule(spark):
+    """The sizing rule: the computed (m, k) actually achieves (better
+    than) the target fp rate on a real build — measured by probing
+    values known absent."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        bloom_build_md5,
+        bloom_filter_members,
+        bloom_size_for,
+    )
+
+    n = 2000
+    m_bits, k = bloom_size_for(n, target_fp=0.01)
+    assert m_bits >= 8 * n  # ~9.6 bits/element at 1%
+    members = spark.createDataFrame(
+        [(f"member {i}",) for i in range(n)], ["gram"]
+    )
+    absent = spark.createDataFrame(
+        [(i, f"absent {i}") for i in range(4000)], ["i", "gram"]
+    )
+    bloom = bloom_build_md5(members, "gram", k, m_bits)
+    fp = bloom_filter_members(absent, bloom, "gram", k, m_bits).count()
+    assert fp / 4000 <= 0.02, f"fp rate {fp/4000:.3f} vs target 0.01"
