@@ -806,3 +806,41 @@ def test_bloom_size_for_rule(spark):
     bloom = bloom_build_md5(members, "gram", k, m_bits)
     fp = bloom_filter_members(absent, bloom, "gram", k, m_bits).count()
     assert fp / 4000 <= 0.02, f"fp rate {fp/4000:.3f} vs target 0.01"
+
+
+def test_proximity_pairs_match_bruteforce(spark, sf_dir):
+    """Independent-implementation check for the grid-bucketed spatial
+    join: recompute the md5 coordinates and ALL-PAIRS distances in
+    Python and compare the pair set exactly — proving the 3x3
+    neighbor-cell candidates lose nothing at the cell boundaries."""
+    import hashlib
+
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.relational_r6 import GEO_RADIUS_MICRO
+
+    custkeys = [
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+
+    def coord(salt, key, mod):
+        h = hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:12]
+        return int(h, 16) % mod
+
+    pts = {
+        k: (coord("lat", k, 180_000_000), coord("lng", k, 360_000_000))
+        for k in custkeys
+    }
+    r2 = GEO_RADIUS_MICRO * GEO_RADIUS_MICRO
+    expected = {}
+    keys = sorted(pts)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= r2:
+                expected[(a, b)] = d2
+    got = {
+        (r["cust_a"], r["cust_b"]): r["dist2_micro"]
+        for r in QUERIES["customer_proximity_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expected and len(expected) > 0
