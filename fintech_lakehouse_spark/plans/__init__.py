@@ -13,6 +13,7 @@ from fintech_lakehouse_spark.plans import sampling  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import relational_ext  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import relational_r6  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import curation  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import selection  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import scalars  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import quality  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import analytics  # noqa: E402,F401
