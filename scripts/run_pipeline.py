@@ -25,6 +25,13 @@ def main() -> None:
     parser.add_argument("--merchants", type=int, default=500)
     parser.add_argument("--env", choices=["dev", "prod"], default="dev")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--driver-memory",
+        default=None,
+        help="local-mode driver heap (e.g. 48g) — the driver JVM IS the "
+        "cluster in local mode, so 100M-row runs need far more than the "
+        "4g session default",
+    )
     args = parser.parse_args()
 
     from fintech_lakehouse_spark.config import EngineConfig, prod_config
@@ -37,7 +44,10 @@ def main() -> None:
     from fintech_lakehouse_spark.pipeline import MedallionPipeline
     from fintech_lakehouse_spark.session import get_spark
 
-    spark = get_spark("medallion-run", master="local[*]")
+    extra = (
+        {"spark.driver.memory": args.driver_memory} if args.driver_memory else None
+    )
+    spark = get_spark("medallion-run", master="local[*]", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     config = (
         prod_config(args.base_path)

@@ -60,7 +60,12 @@ def main() -> None:
     spark = get_spark(
         "span-hot-guard",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        extra_conf={"spark.sql.shuffle.partitions": "32"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "32",
+            # the k<=100 regime REPORTS ~k²/2 pairs per base doc — real
+            # output, so give the local-mode driver a real heap
+            "spark.driver.memory": "16g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # codegen warmup
