@@ -187,3 +187,66 @@ def test_duplicate_spans_verified_against_text(spark, sf_dir):
         assert s >= SPAN_GRAM + SPAN_MIN_RUN - 1
         assert has_shared_window(a, b, s), (r["doc_a"], r["doc_b"])
         assert not has_shared_window(a, b, s + 1), (r["doc_a"], r["doc_b"])
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HYP = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=8, max_size=24),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**_HYP)
+def test_duplicate_spans_match_dp_model(spark, tmp_path_factory, docs):
+    """Randomized check against a quadratic DP model: mark every
+    position pair (i, j) where an 8-gram of doc_a matches one of
+    doc_b, take maximal diagonal runs, keep runs >= SPAN_MIN_RUN —
+    plain double loops, no joins, no windows. The 3-letter alphabet
+    makes shared grams (and tricky overlapping/adjacent islands)
+    common."""
+    sf = tmp_path_factory.mktemp("span_dp")
+    spark.createDataFrame(
+        [(i, "en", "t", 0, " ".join(ts)) for i, ts in enumerate(docs)],
+        "doc_id long, lang string, source string, n_chars long, text string",
+    ).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+
+    def model(a: list[str], b: list[str]) -> tuple[int, int] | None:
+        match = {
+            (i, j)
+            for i in range(len(a) - SPAN_GRAM + 1)
+            for j in range(len(b) - SPAN_GRAM + 1)
+            if a[i : i + SPAN_GRAM] == b[j : j + SPAN_GRAM]
+        }
+        runs = []
+        for i, j in match:
+            if (i - 1, j - 1) in match:
+                continue  # not a run start
+            r = 0
+            while (i + r, j + r) in match:
+                r += 1
+            runs.append(r)
+        spans = [r + SPAN_GRAM - 1 for r in runs if r >= SPAN_MIN_RUN]
+        return (max(spans), len(spans)) if spans else None
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            m = model(docs[i], docs[j])
+            if m:
+                expected[(i, j)] = m
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_tokens"], r["n_spans"])
+        for r in QUERIES["duplicate_span_runs"](spark, str(sf)).collect()
+    }
+    assert got == expected
