@@ -79,7 +79,12 @@ def main() -> None:
     spark = get_spark(
         "scale-tpch",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        extra_conf={"spark.sql.shuffle.partitions": "32"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "32",
+            # keep stdout parseable: the \r progress bar interleaves with
+            # the markdown rows when output is captured to a file
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:

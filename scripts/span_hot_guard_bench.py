@@ -65,6 +65,7 @@ def main() -> None:
             # the k<=100 regime REPORTS ~k²/2 pairs per base doc — real
             # output, so give the local-mode driver a real heap
             "spark.driver.memory": "16g",
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
