@@ -127,12 +127,19 @@ def main() -> None:
     if args and args[0] == "--queries":
         names = args[1].split(",")
         args = args[2:]
+    driver_mem = "4g"
+    if args and args[0] == "--driver-memory":
+        driver_mem = args[1]
+        args = args[2:]
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(
         "scale-corpus",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         extra_conf={
             "spark.sql.shuffle.partitions": "32",
+            # 64×+ corpora push the exact gram joins past the 4g
+            # local-mode default (the 256× run OOMed); pass 16g+ there
+            "spark.driver.memory": driver_mem,
             # keep stdout parseable: the \r progress bar interleaves with
             # the markdown rows when output is captured to a file
             "spark.ui.showConsoleProgress": "false",
