@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fintech_lakehouse_spark.functions.sampling import sql_hash_bucket
 from fintech_lakehouse_spark.functions.text import tokens
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
@@ -69,10 +70,10 @@ def _sql_feature_bucket(tok: str, salt: str, n_buckets: int) -> str:
     )
 
 
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
-    WITH occ AS (
+# Shared CTE prefix for the two DSIR oracles: hashed-unigram
+# occurrences + the Laplace-smoothed target/raw bucket-count models.
+_DSIR_MODELS_SQL = f"""
+    occ AS (
         SELECT doc_id, lang,
                {_sql_feature_bucket('unnest(string_split(text, chr(32)))', 'dsir', DSIR_BUCKETS)} AS fb
         FROM documents
@@ -82,7 +83,13 @@ def _sql_feature_bucket(tok: str, salt: str, n_buckets: int) -> str:
     ),
     raw AS (
         SELECT fb, COUNT(*) AS c FROM occ WHERE lang <> 'en' GROUP BY fb
-    )
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_MODELS_SQL}
     SELECT o.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_toks,
            CAST(SUM(({DSIR_SCALE} * (COALESCE(t.c, 0) + 1))
@@ -121,6 +128,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable groupBy(doc_id). At 100 TB the models stay
     1024 rows regardless of corpus size; only N_BUCKETS grows (DSIR
     uses 10k), never the join strategy."""
+    return _dsir_scored(spark, sf_dir).drop("lang")
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_toks, sum_ratio_micro, avg_ratio_micro) for
+    every raw-pool (non-target) document — the shared scoring plan
+    behind dsir_importance_weights and dsir_resampled_corpus."""
     documents = load_table(spark, sf_dir, "documents")
     occ = documents.select(
         "doc_id",
@@ -154,7 +168,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        scored.groupBy("doc_id")
+        scored.groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
             F.sum("ratio_micro").alias("sum_ratio_micro"),
@@ -162,6 +176,83 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "avg_ratio_micro", F.expr("sum_ratio_micro DIV n_toks")
         )
+    )
+
+
+@register(
+    "dsir_resampled_corpus",
+    oracle=f"""
+    WITH {_DSIR_MODELS_SQL},
+    w AS (
+        SELECT o.doc_id, o.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(({DSIR_SCALE} * (COALESCE(t.c, 0) + 1))
+                        // (COALESCE(r.c, 0) + 1)) // COUNT(*) AS BIGINT)
+                   AS avg_r
+        FROM occ o
+        LEFT JOIN tgt t ON o.fb = t.fb
+        LEFT JOIN raw r ON o.fb = r.fb
+        WHERE o.lang <> 'en'
+        GROUP BY o.doc_id, o.lang
+    ),
+    mx AS (SELECT MAX(avg_r) AS wmax FROM w),
+    drawn AS (
+        SELECT lang, n_toks,
+               CASE WHEN {sql_hash_bucket('doc_id', 'dsirdraw')} * wmax
+                         < avg_r * 10000
+                    THEN 1 ELSE 0 END AS kept
+        FROM w, mx
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM drawn
+    GROUP BY lang
+    """,
+)
+def dsir_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "R" in DSIR — the importance-resampling DRAW that turns the
+    weights into an actual corpus subset: keep document d with
+    probability w(d)/w_max, decided by the portable md5 hash bucket
+    (functions/sampling.py contract) instead of rand(), so the drawn
+    corpus is identical across runs, retries, and repartitionings —
+    the reproducibility a 100 TB selection job cannot get from rand().
+    Acceptance test in exact cross-multiplied integers:
+    ``u · w_max < w · 10000`` with u = bucket(doc_id) ∈ [0, 10000)
+    (no float division anywhere, so the DuckDB twin is bit-exact; at
+    production scale normalize the weights first so the product stays
+    inside 64 bits).
+
+    Output is the selection manifest per language: candidates, kept
+    docs, kept token mass — the numbers a mixture designer reads to
+    see what the target model actually up/down-weighted.
+
+    Scale shape: the scoring plan is dsir_importance_weights'
+    (broadcast models, corpus never shuffles); the draw adds ONE
+    1-row global max joined back via broadcast nested-loop (the
+    1-row crossJoin pattern of quality/checker.py) and a per-lang
+    final aggregate — nothing new shuffles except ≤ n_langs rows."""
+    w = _dsir_scored(spark, sf_dir)
+    wmax = w.agg(F.max("avg_ratio_micro").alias("wmax"))
+    drawn = w.crossJoin(F.broadcast(wmax)).withColumn(
+        "kept",
+        F.when(
+            _feature_bucket(
+                F.col("doc_id").cast("string"), "dsirdraw", 10_000
+            )
+            * F.col("wmax")
+            < F.col("avg_ratio_micro") * 10_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return drawn.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("kept").alias("n_kept"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_toks")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
     )
 
 

@@ -250,3 +250,34 @@ def test_duplicate_spans_match_dp_model(spark, tmp_path_factory, docs):
         for r in QUERIES["duplicate_span_runs"](spark, str(sf)).collect()
     }
     assert got == expected
+
+
+def test_dsir_resampling_draw_matches_python_model(spark, sf_dir):
+    """Replay the resampling draw in plain Python: per-doc weight from
+    the shared scoring model, global max, md5-bucket acceptance in
+    cross-multiplied integers — per-lang manifest must match exactly,
+    and the draw must actually discriminate (some kept, some dropped)."""
+    from fintech_lakehouse_spark.plans.selection import _dsir_scored
+
+    w = {
+        (r["doc_id"], r["lang"]): (r["n_toks"], r["avg_ratio_micro"])
+        for r in _dsir_scored(spark, sf_dir).collect()
+    }
+    wmax = max(avg for _, avg in w.values())
+    expected: dict[str, list[int]] = {}
+    for (doc_id, lang), (n_toks, avg) in w.items():
+        u = _md5_mod("dsirdraw", str(doc_id), 10_000)
+        kept = 1 if u * wmax < avg * 10_000 else 0
+        agg = expected.setdefault(lang, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += kept
+        agg[2] += n_toks if kept else 0
+
+    got = {
+        r["lang"]: [r["n_candidates"], r["n_kept"], r["kept_tokens"]]
+        for r in QUERIES["dsir_resampled_corpus"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    total_c = sum(v[0] for v in got.values())
+    total_k = sum(v[1] for v in got.values())
+    assert 0 < total_k < total_c  # a draw, not a pass-through
