@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from fintech_lakehouse_spark.functions.sampling import sql_hash_bucket
 from fintech_lakehouse_spark.functions.text import tokens
+from fintech_lakehouse_spark.functions.vectors import dot, with_norm
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
@@ -444,4 +445,129 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long"),
         )
+    )
+
+
+N_ANCHORS = 50  # anchor batch for triplet mining (vec_id < 50)
+
+
+@register(
+    "hard_negative_pairs",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id AS anchor_id, label AS al, v AS av
+        FROM emb WHERE vec_id < {N_ANCHORS}
+    ),
+    s AS (
+        SELECT anchor_id, al, vec_id AS cand_id, label AS cl,
+               list_dot_product(av, v)
+               / (sqrt(list_dot_product(av, av))
+                  * sqrt(list_dot_product(v, v))) AS cos
+        FROM a CROSS JOIN emb
+    ),
+    neg AS (
+        SELECT anchor_id, cand_id AS hard_neg_id, cos AS ncos
+        FROM s WHERE cl <> al
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos DESC, cand_id) = 1
+    ),
+    pos AS (
+        SELECT anchor_id, cand_id AS hard_pos_id, cos AS pcos
+        FROM s WHERE cl = al AND cand_id <> anchor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos ASC, cand_id) = 1
+    )
+    SELECT n.anchor_id, hard_neg_id, ROUND(ncos, 4) AS neg_cosine,
+           hard_pos_id, ROUND(pcos, 4) AS pos_cosine,
+           ROUND(pcos - ncos, 4) AS margin
+    FROM neg n JOIN pos p ON n.anchor_id = p.anchor_id
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative / triplet mining over the embedding space — the
+    contrastive-training data op (the miner behind every
+    sentence-embedding / retrieval fine-tune): for each anchor in the
+    batch, the MOST similar different-label vector (the hard negative
+    that teaches the boundary) and the LEAST similar same-label vector
+    (the hard positive), plus the triplet margin pos−neg. Negative
+    margins mark anchors whose hardest negative is already closer than
+    their farthest positive — exactly the triplets a contrastive loss
+    needs.
+
+    Plan shape (the knn_bruteforce_cosine contract): the anchor batch
+    is small and BROADCASTS into one streaming pass over the corpus —
+    the corpus never shuffles; both argmax/argmin reductions ride the
+    same scored stream through keyed windows partitioned by anchor
+    (≤ corpus rows per anchor, no global sort). Norms are attached as
+    columns BEFORE the join (with_norm) so each row's fold runs once,
+    not once per pair (functions/vectors.py:32 CollapseProject note).
+    At 100 TB the anchor batch stays the training batch (thousands) —
+    same plan; corpus-scale mining goes through the LSH/IVF bucketed
+    paths first and this exact miner runs within buckets.
+
+    Ties in cosine break by candidate id on BOTH engines, so the
+    argmax rows hash-match even for equal-valued doubles."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = with_norm(emb, "v", "_cn")
+    anchors = with_norm(
+        emb.filter(F.col("vec_id") < N_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("al"),
+            F.col("v").alias("av"),
+        ),
+        "av",
+        "_an",
+    )
+    scored = corpus.crossJoin(F.broadcast(anchors)).select(
+        "anchor_id",
+        "al",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cl"),
+        (dot(F.col("av"), F.col("v")) / (F.col("_an") * F.col("_cn"))).alias(
+            "cos"
+        ),
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    neg = (
+        scored.filter(F.col("cl") != F.col("al"))
+        .withColumn("_rn", F.row_number().over(w_neg))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("hard_neg_id"),
+            F.col("cos").alias("ncos"),
+        )
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").asc(), F.col("cand_id")
+    )
+    pos = (
+        scored.filter(
+            (F.col("cl") == F.col("al"))
+            & (F.col("cand_id") != F.col("anchor_id"))
+        )
+        .withColumn("_rn", F.row_number().over(w_pos))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("hard_pos_id"),
+            F.col("cos").alias("pcos"),
+        )
+    )
+    # both sides are anchor-bounded (one row per anchor) — broadcast
+    # the join-up rather than letting it fall to sort-merge
+    return neg.join(F.broadcast(pos), "anchor_id").select(
+        "anchor_id",
+        "hard_neg_id",
+        F.round("ncos", 4).alias("neg_cosine"),
+        "hard_pos_id",
+        F.round("pcos", 4).alias("pos_cosine"),
+        F.round(F.col("pcos") - F.col("ncos"), 4).alias("margin"),
     )

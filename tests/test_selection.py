@@ -281,3 +281,53 @@ def test_dsir_resampling_draw_matches_python_model(spark, sf_dir):
     total_c = sum(v[0] for v in got.values())
     total_k = sum(v[1] for v in got.values())
     assert 0 < total_k < total_c  # a draw, not a pass-through
+
+
+def test_hard_negative_pairs_match_numpy_model(spark, sf_dir):
+    """Replay triplet mining in numpy: exact cosine argmax/argmin with
+    the same id tie-break, per anchor — ids AND rounded cosines must
+    match."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.plans.selection import N_ANCHORS
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    got = {
+        r["anchor_id"]: r
+        for r in QUERIES["hard_negative_pairs"](spark, sf_dir).collect()
+    }
+    order = np.argsort(ids, kind="stable")
+    for a in np.where(ids < N_ANCHORS)[0]:
+        cos = mat @ mat[a] / (norms * norms[a])
+        neg_i = min(
+            (i for i in order if labels[i] != labels[a]),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        pos_i = min(
+            (i for i in order if labels[i] == labels[a] and ids[i] != ids[a]),
+            key=lambda i: (cos[i], ids[i]),
+        )
+        r = got[int(ids[a])]
+        assert r["hard_neg_id"] == ids[neg_i]
+        assert r["hard_pos_id"] == ids[pos_i]
+        assert r["neg_cosine"] == round(cos[neg_i], 4)
+        assert r["pos_cosine"] == round(cos[pos_i], 4)
+        assert r["margin"] == round(cos[pos_i] - cos[neg_i], 4)
+
+
+def test_hard_negative_anchors_broadcast(spark, sf_dir):
+    """The anchor batch must broadcast; the corpus must not sort-merge
+    against it."""
+    plan = (
+        QUERIES["hard_negative_pairs"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
