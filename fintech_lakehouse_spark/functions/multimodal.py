@@ -10,12 +10,14 @@ Decode modes (VERDICT r3 item 6 upgraded the seam):
   partitioning) with zero codec dependencies.
 * ``decode=real`` — stdlib-only decoders for the formats that need no
   third-party package: **WAV** (``wave`` module: true duration /
-  sample rate / RMS loudness) and **PPM/PGM** (hand parse of the
+  sample rate / RMS loudness), **PPM/PGM** (hand parse of the
   netpbm header + raw pixels; resize is a genuine nearest-neighbor
-  numpy kernel). Formats that genuinely require an absent codec
-  library (png/jpeg → PIL, mp3 → librosa, mp4 → ffmpeg) still raise
-  NotImplementedError — that seam is the documented boundary, not
-  padding. A payload of a SUPPORTED format that fails to parse yields
+  numpy kernel), **BMP** (hand header parse + 24-bit raster), and
+  **PNG** (full chunk walk + zlib inflate + scanline unfiltering for
+  the 8-bit non-interlaced subset — ``decode_png_pixels``). Formats
+  that genuinely require an absent codec library (jpeg → PIL, mp3 →
+  librosa, mp4 → ffmpeg) still raise NotImplementedError — that seam
+  is the documented boundary, not padding. A payload of a SUPPORTED format that fails to parse yields
   null features (the quarantine-not-crash pattern a 100 TB ingest
   needs: one corrupt file must not kill the stage).
 """
@@ -26,6 +28,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -75,8 +78,115 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 # ---- stdlib-only real decoders (no third-party codecs) -------------------
 
 # Formats the real path can decode with the standard library alone.
-STDLIB_IMAGE_FORMATS = ("ppm", "pgm", "bmp")
+STDLIB_IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png")
 STDLIB_AUDIO_FORMATS = ("wav",)
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# 8-bit color types this decoder handles → channel count
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def read_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse the PNG signature + IHDR by hand (stdlib struct) →
+    (width, height, bit_depth, color_type), or None when the bytes are
+    not a parseable PNG — the same quarantine-not-crash contract as
+    ``read_bmp_header``. Dims come from IHDR alone, so this is the
+    cheap metadata path (no inflate)."""
+    if not payload or len(payload) < 33 or payload[:8] != _PNG_SIGNATURE:
+        return None
+    length, ctype = struct.unpack_from(">I4s", payload, 8)
+    if ctype != b"IHDR" or length != 13:
+        return None
+    width, height, depth, color = struct.unpack_from(">IIBB", payload, 16)
+    if width <= 0 or height <= 0:
+        return None
+    return int(width), int(height), int(depth), int(color)
+
+
+def decode_png_pixels(payload: bytes):
+    """FULL stdlib PNG decode for the 8-bit non-interlaced subset
+    (gray / gray+alpha / RGB / RGBA): walk the chunk stream, inflate
+    the concatenated IDATs with zlib, then undo the per-scanline
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9) → numpy uint8
+    array of shape (height, width, channels). Returns None for
+    non-PNG, unsupported subsets (16-bit, palette, interlaced), or a
+    truncated/corrupt raster — quarantine, not crash.
+
+    Filters reference the PRIOR scanline, so the undo is inherently
+    sequential per image — which is exactly why the Spark integration
+    keeps whole images as single binary cells and parallelizes ACROSS
+    images via mapInPandas, never within one."""
+    import numpy as np
+
+    hdr = read_png_header(payload)
+    if hdr is None:
+        return None
+    width, height, depth, color = hdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        return None
+    if payload[28] != 0:  # interlace flag in IHDR
+        return None
+    ch = _PNG_CHANNELS[color]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data_start = pos + 8
+        if data_start + length + 4 > len(payload):
+            return None
+        if ctype == b"IDAT":
+            idat += payload[data_start : data_start + length]
+        elif ctype == b"IEND":
+            break
+        pos = data_start + length + 4  # skip data + CRC
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = line + prior  # uint8 wraps = mod-256 per spec
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth need the reconstructed left neighbor —
+            # sequential in x (numpy can't vectorize the recurrence)
+            recon = line
+            for x in range(stride):
+                a = int(recon[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                if ftype == 1:
+                    recon[x] = (int(recon[x]) + a) & 0xFF
+                elif ftype == 3:
+                    recon[x] = (int(recon[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    recon[x] = (int(recon[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = recon
+        prior = recon
+    return out.reshape(height, width, ch)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int] | None:
@@ -222,6 +332,9 @@ def decode_image_dims(fmt: str, payload: bytes) -> tuple[int | None, int | None]
     if fmt == "bmp":
         hdr = read_bmp_header(payload)
         return (hdr[0], hdr[1]) if hdr else (None, None)
+    if fmt == "png":
+        png = read_png_header(payload)
+        return (png[0], png[1]) if png else (None, None)
     hdr = read_netpbm_header(payload)
     return (hdr[1], hdr[2]) if hdr else (None, None)
 

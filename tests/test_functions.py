@@ -815,3 +815,118 @@ def test_json_fields_udtf_schema_follows_arguments(spark):
     # a different call site resolves a different schema
     out2 = df.lateralJoin(JsonFields(F.col("js").outer(), lit("tag")))
     assert out2.columns == ["id", "js", "tag"]
+
+
+def _make_png(pixels, filters):
+    """Hand-built PNG (stdlib struct+zlib only): 8-bit RGB,
+    non-interlaced, one explicit filter type per scanline — the
+    filters are ENCODED here (forward direction) so the decoder's
+    unfiltering is exercised against an independent construction."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    ch = 3
+
+    def filt(ftype, row, prior):
+        flat = [b for px in row for b in px]
+        pflat = [b for px in prior for b in px] if prior else [0] * (w * ch)
+        out = []
+        for x, v in enumerate(flat):
+            a = out_recon[x - ch] if x >= ch else 0
+            b = pflat[x]
+            c = prior_recon[x - ch] if (prior and x >= ch) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prior_row = None
+    prior_recon = None
+    for y, row in enumerate(row for row in pixels):
+        ftype = filters[y % len(filters)]
+        out_recon = [b for px in row for b in px]  # recon = true pixels
+        raw.append(ftype)
+        raw += filt(ftype, row, prior_row)
+        prior_row = row
+        prior_recon = out_recon
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = zlib.compress(bytes(raw))
+    # split IDAT in two to exercise multi-chunk concatenation
+    mid = max(1, len(body) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body[:mid])
+        + chunk(b"IDAT", body[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_all_filters(spark):
+    """Full stdlib PNG decode: a 5-row image encoded with one scanline
+    filter per row (None/Sub/Up/Average/Paeth) must reconstruct the
+    exact pixel array; header path reports dims; corrupt/unsupported
+    payloads quarantine as None."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        decode_png_pixels,
+        extract_image_features,
+        read_png_header,
+    )
+
+    pixels = [
+        [((x * 37 + y * 11 + c * 5) % 256 for c in range(3)) for x in range(6)]
+        for y in range(5)
+    ]
+    pixels = [[tuple(px) for px in row] for row in pixels]
+    png = _make_png(pixels, filters=[0, 1, 2, 3, 4])
+
+    assert read_png_header(png) == (6, 5, 8, 2)
+    arr = decode_png_pixels(png)
+    assert arr is not None and arr.shape == (5, 6, 3)
+    assert np.array_equal(arr, np.array(pixels, dtype=np.uint8))
+
+    # Spark integration: dims through the real decode path
+    assets = spark.createDataFrame(
+        [
+            (1, "image", "png", bytearray(png), len(png)),
+            (2, "image", "png", bytearray(b"\x89PNG broken"), 11),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = {
+        r["asset_id"]: r
+        for r in extract_image_features(assets, decode="real").collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"]) == (6, 5)
+    assert feats[2]["width"] is None
+
+    # quarantine contract for unsupported subsets
+    assert decode_png_pixels(b"not a png") is None
+    interlaced = bytearray(png)
+    interlaced[28] = 1  # set the IHDR interlace flag
+    assert decode_png_pixels(bytes(interlaced)) is None
