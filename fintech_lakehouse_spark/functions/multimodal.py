@@ -360,6 +360,51 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes | None:
     return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + out.tobytes()
 
 
+def encode_png(img) -> bytes:
+    """Encode a uint8 numpy array (h, w, ch) as a canonical PNG —
+    filter-0 scanlines, one zlib IDAT. The write half of
+    ``decode_png_pixels`` (roundtrip-tested); channel count maps to
+    color type (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA)."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes | None:
+    """Genuine nearest-neighbor resize of a decodable PNG — full
+    decode, numpy fancy-indexing, re-encode as canonical PNG. None
+    when the payload is outside the stdlib-decodable subset."""
+    import numpy as np
+
+    img = decode_png_pixels(payload)
+    if img is None:
+        return None
+    h, w, _ = img.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_png(img[rows][:, cols])
+
+
 def extract_image_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over binary image payloads.
 
@@ -505,6 +550,8 @@ def resize_images(
                     out.append((seed * (size // len(seed) + 1))[:size])
                 elif fmt == "bmp":
                     out.append(resize_bmp_nearest(p, width, height))
+                elif fmt == "png":
+                    out.append(resize_png_nearest(p, width, height))
                 elif fmt in STDLIB_IMAGE_FORMATS:
                     out.append(resize_ppm_nearest(p, width, height))
                 else:

@@ -930,3 +930,47 @@ def test_real_png_decode_all_filters(spark):
     interlaced = bytearray(png)
     interlaced[28] = 1  # set the IHDR interlace flag
     assert decode_png_pixels(bytes(interlaced)) is None
+
+
+def test_real_png_resize_roundtrip(spark):
+    """PNG resize through mapInPandas: decode → nearest-neighbor →
+    re-encode; the emitted payload must decode back to the exact
+    pixels the PPM/BMP kernels would pick (source rows 0,1 / cols
+    0,2 for a 4x2 → 2x2)."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+        resize_png_nearest,
+    )
+
+    src = np.array(
+        [
+            [[c * 16, r * 16, 7] for c in range(4)]
+            for r in range(2)
+        ],
+        dtype=np.uint8,
+    )
+    png = encode_png(src)
+    # encoder/decoder roundtrip is exact
+    assert np.array_equal(decode_png_pixels(png), src)
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", "png", bytearray(png), len(png)),
+            (2, "image", "png", bytearray(b"\x89PNG junk"), 9),
+        ],
+        ASSET_SCHEMA,
+    )
+    resized = {
+        r["asset_id"]: r
+        for r in resize_images(assets, width=2, height=2, decode="real").collect()
+    }
+    out = decode_png_pixels(bytes(resized[1]["payload"]))
+    assert np.array_equal(out, src[[0, 1]][:, [0, 2]])
+    assert resized[2]["payload"] is None  # corrupt → quarantined
+    # driver-side kernel agrees with the Spark path
+    assert resize_png_nearest(png, 2, 2) == bytes(resized[1]["payload"])
