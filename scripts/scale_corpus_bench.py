@@ -45,6 +45,7 @@ EMBEDDINGS_QUERIES = {
     "lsh_bucketed_neighbors",
     "embedding_dim_stats",
     "embedding_quantization_error",
+    "hard_negative_pairs",
 }
 
 
