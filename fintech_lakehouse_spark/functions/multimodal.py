@@ -98,7 +98,10 @@ def read_png_header(payload: bytes) -> tuple[int, int, int, int] | None:
     if ctype != b"IHDR" or length != 13:
         return None
     width, height, depth, color = struct.unpack_from(">IIBB", payload, 16)
-    if width <= 0 or height <= 0:
+    # PNG spec caps dims at 2^31-1; the unpack is unsigned, so larger
+    # values are corrupt bytes — reject (quarantine) rather than let a
+    # >int32 dim crash the pandas Int32 feature column downstream
+    if not 0 < width <= 0x7FFFFFFF or not 0 < height <= 0x7FFFFFFF:
         return None
     return int(width), int(height), int(depth), int(color)
 
@@ -160,16 +163,21 @@ def decode_png_pixels(payload: bytes):
             recon = line
         elif ftype == 2:  # Up
             recon = line + prior  # uint8 wraps = mod-256 per spec
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth need the reconstructed left neighbor —
-            # sequential in x (numpy can't vectorize the recurrence)
+        elif ftype == 1:  # Sub: x += left — a per-channel prefix sum,
+            # vectorized: uint8 add.accumulate wraps mod-256 per spec
+            recon = (
+                np.add.accumulate(
+                    line.reshape(-1, ch), axis=0, dtype=np.uint8
+                ).reshape(stride)
+            )
+        elif ftype in (3, 4):
+            # Average/Paeth reference the reconstructed left neighbor
+            # through a nonlinear op — genuinely sequential in x
             recon = line
             for x in range(stride):
                 a = int(recon[x - ch]) if x >= ch else 0
                 b = int(prior[x])
-                if ftype == 1:
-                    recon[x] = (int(recon[x]) + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     recon[x] = (int(recon[x]) + ((a + b) >> 1)) & 0xFF
                 else:
                     c = int(prior[x - ch]) if x >= ch else 0
@@ -255,7 +263,13 @@ def read_netpbm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
     if len(tokens) < 3 or i >= len(payload):
         return None
     width, height, maxval = tokens
-    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+    # same int32 cap as read_png_header: ASCII dims are unbounded, and
+    # a >int32 value crashes the pandas Int32 feature column downstream
+    if (
+        not 0 < width <= 0x7FFFFFFF
+        or not 0 < height <= 0x7FFFFFFF
+        or not 0 < maxval < 65536
+    ):
         return None
     return payload[:2].decode("ascii"), width, height, maxval, i + 1
 
@@ -311,8 +325,7 @@ def resize_bmp_nearest(payload: bytes, width: int, height: int) -> bytes | None:
         return None
     raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
     img = raster.reshape(h, src_stride)[:, : w * 3].reshape(h, w, 3)
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
+    rows, cols = _nearest_indices(h, w, height, width)
     out = img[rows][:, cols]  # row order (bottom-up) is preserved
     dst_stride = (width * 3 + 3) & ~3
     padded = np.zeros((height, dst_stride), dtype=np.uint8)
@@ -323,6 +336,17 @@ def resize_bmp_nearest(payload: bytes, width: int, height: int) -> bytes | None:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return file_header + dib + body
+
+
+def _nearest_indices(src_h: int, src_w: int, dst_h: int, dst_w: int):
+    """Shared nearest-neighbor source-index selection for every resize
+    kernel (PPM/BMP/PNG) — one place to change the sampling convention
+    so the formats can never silently resample differently."""
+    import numpy as np
+
+    rows = (np.arange(dst_h) * src_h) // dst_h
+    cols = (np.arange(dst_w) * src_w) // dst_w
+    return rows, cols
 
 
 def decode_image_dims(fmt: str, payload: bytes) -> tuple[int | None, int | None]:
@@ -354,8 +378,7 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes | None:
     if len(pix) < need:
         return None
     img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
+    rows, cols = _nearest_indices(h, w, height, width)
     out = img[rows][:, cols]
     return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + out.tobytes()
 
@@ -400,8 +423,7 @@ def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes | None:
     if img is None:
         return None
     h, w, _ = img.shape
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
+    rows, cols = _nearest_indices(h, w, height, width)
     return encode_png(img[rows][:, cols])
 
 

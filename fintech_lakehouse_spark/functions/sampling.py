@@ -22,22 +22,27 @@ from pyspark.sql import functions as F
 N_BUCKETS = 10_000
 
 
-def hash_bucket(key: str | Column, salt: str = "") -> Column:
-    """Uniform bucket in [0, 10000) from the md5 of salt|key. The salt
-    decorrelates independent sampling decisions on the same key (e.g.
-    sampling vs splitting)."""
+def hash_bucket(
+    key: str | Column, salt: str = "", n_buckets: int = N_BUCKETS
+) -> Column:
+    """Uniform bucket in [0, n_buckets) from the md5 of salt|key. The
+    salt decorrelates independent sampling decisions on the same key
+    (e.g. sampling vs splitting); ``n_buckets`` generalizes the recipe
+    to hashed feature spaces (plans/selection.py) — ONE definition of
+    the md5 contract, so the Spark and DuckDB sides can never drift
+    apart per call site."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat_ws("|", F.lit(salt), c.cast("string")).cast("binary"))
     return (
-        F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % N_BUCKETS
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_buckets
     ).alias("bucket")
 
 
-def sql_hash_bucket(key: str, salt: str = "") -> str:
+def sql_hash_bucket(key: str, salt: str = "", n_buckets: int = N_BUCKETS) -> str:
     """DuckDB twin of :func:`hash_bucket` (same values, bit-exact)."""
     return (
         f"(('0x' || substr(md5('{salt}' || '|' || CAST({key} AS VARCHAR)), 1, 12))"
-        f"::BIGINT % {N_BUCKETS})"
+        f"::BIGINT % {n_buckets})"
     )
 
 

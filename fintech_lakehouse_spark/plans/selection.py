@@ -32,11 +32,14 @@ beyond-reference LLM-pipeline operators the build brief requires.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fintech_lakehouse_spark.functions.sampling import sql_hash_bucket
+from fintech_lakehouse_spark.functions.sampling import (
+    hash_bucket,
+    sql_hash_bucket,
+)
 from fintech_lakehouse_spark.functions.text import tokens
 from fintech_lakehouse_spark.functions.vectors import dot, with_norm
 from fintech_lakehouse_spark.plans.registry import register
@@ -56,19 +59,6 @@ SPAN_HOT_DOCS = 100  # boilerplate grams in > this many docs are dropped
 SPAN_MIN_RUN = 2  # >= 2 consecutive grams → span of >= 9 tokens
 
 
-def _feature_bucket(tok: str | Column, salt: str, n_buckets: int) -> Column:
-    """md5(salt|token) → [0, n_buckets). Same recipe as
-    functions/sampling.hash_bucket so DuckDB replays it bit-exactly."""
-    c = F.col(tok) if isinstance(tok, str) else tok
-    h = F.md5(F.concat_ws("|", F.lit(salt), c).cast("binary"))
-    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_buckets
-
-
-def _sql_feature_bucket(tok: str, salt: str, n_buckets: int) -> str:
-    return (
-        f"(('0x' || substr(md5('{salt}' || '|' || {tok}), 1, 12))::BIGINT"
-        f" % {n_buckets})"
-    )
 
 
 # Shared CTE prefix for the two DSIR oracles: hashed-unigram
@@ -76,7 +66,7 @@ def _sql_feature_bucket(tok: str, salt: str, n_buckets: int) -> str:
 _DSIR_MODELS_SQL = f"""
     occ AS (
         SELECT doc_id, lang,
-               {_sql_feature_bucket('unnest(string_split(text, chr(32)))', 'dsir', DSIR_BUCKETS)} AS fb
+               {sql_hash_bucket('unnest(string_split(text, chr(32)))', 'dsir', DSIR_BUCKETS)} AS fb
         FROM documents
     ),
     tgt AS (
@@ -144,7 +134,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "lang",
-        _feature_bucket("tok", "dsir", DSIR_BUCKETS).alias("fb"),
+        hash_bucket("tok", "dsir", DSIR_BUCKETS).alias("fb"),
     )
     tgt = (
         occ.filter(F.col("lang") == "en")
@@ -240,9 +230,7 @@ def dsir_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn = w.crossJoin(F.broadcast(wmax)).withColumn(
         "kept",
         F.when(
-            _feature_bucket(
-                F.col("doc_id").cast("string"), "dsirdraw", 10_000
-            )
+            hash_bucket("doc_id", "dsirdraw")
             * F.col("wmax")
             < F.col("avg_ratio_micro") * 10_000,
             F.lit(1),
@@ -371,7 +359,7 @@ def duplicate_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH occ AS (
         SELECT doc_id,
-               {_sql_feature_bucket('unnest(string_split(text, chr(32)))', 'qf', QF_BUCKETS)} AS fb
+               {sql_hash_bucket('unnest(string_split(text, chr(32)))', 'qf', QF_BUCKETS)} AS fb
         FROM documents
     ),
     w AS (
@@ -415,7 +403,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines in the positive range where DIV and // agree."""
     documents = load_table(spark, sf_dir, "documents")
     occ = documents.select("doc_id", F.explode(tokens()).alias("tok")).select(
-        "doc_id", _feature_bucket("tok", "qf", QF_BUCKETS).alias("fb")
+        "doc_id", hash_bucket("tok", "qf", QF_BUCKETS).alias("fb")
     )
     wt_hash = F.md5(
         F.concat_ws("|", F.lit("qw"), F.col("fb").cast("string")).cast("binary")

@@ -6,9 +6,12 @@ token-suffixed so copies share NO n-grams (cross-copy contamination
 stays zero, per-copy structure is preserved), then time
 test_set_decontamination and sequence_pack_manifest at each scale.
 
-Usage: python scripts/scale_corpus_bench.py [--queries a,b] [k ...]
+Usage: python scripts/scale_corpus_bench.py [--queries a,b]
+       [--driver-memory 16g] [k ...]
 (default queries test_set_decontamination + sequence_pack_manifest,
-default k 1 4 16; any documents-only registry query works)
+default k 1 4 16, default driver memory 4g — the exact gram joins
+need 16g+ at 64×+; any documents-only registry query works; flags may
+appear in any order)
 Writes multiplied corpora under /tmp/scale_corpus/, prints one
 markdown table row per (query, k).
 """
@@ -125,14 +128,20 @@ def build_embeddings(spark, k: int) -> str:
 def main() -> None:
     args = sys.argv[1:]
     names = QUERY_NAMES
-    if args and args[0] == "--queries":
-        names = args[1].split(",")
-        args = args[2:]
     driver_mem = "4g"
-    if args and args[0] == "--driver-memory":
-        driver_mem = args[1]
-        args = args[2:]
-    ks = [int(a) for a in args] or [1, 4, 16]
+    rest: list[str] = []
+    i = 0
+    while i < len(args):  # flags accepted in any position/order
+        if args[i] == "--queries":
+            names = args[i + 1].split(",")
+            i += 2
+        elif args[i] == "--driver-memory":
+            driver_mem = args[i + 1]
+            i += 2
+        else:
+            rest.append(args[i])
+            i += 1
+    ks = [int(a) for a in rest] or [1, 4, 16]
     spark = get_spark(
         "scale-corpus",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",

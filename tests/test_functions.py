@@ -974,3 +974,32 @@ def test_real_png_resize_roundtrip(spark):
     assert resized[2]["payload"] is None  # corrupt → quarantined
     # driver-side kernel agrees with the Spark path
     assert resize_png_nearest(png, 2, 2) == bytes(resized[1]["payload"])
+
+
+def test_png_oversized_dims_quarantine(spark):
+    """A corrupt PNG whose IHDR claims width 2^32-1 must quarantine
+    (None dims), not crash the Int32 feature column — the
+    quarantine-not-crash contract under adversarial headers."""
+    import struct
+    import zlib
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_image_features,
+        read_png_header,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 0xFFFFFFFF, 1, 8, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    bad = b"\x89PNG\r\n\x1a\n" + chunk
+    assert read_png_header(bad) is None
+    assets = spark.createDataFrame(
+        [(1, "image", "png", bytearray(bad), len(bad))], ASSET_SCHEMA
+    )
+    feats = extract_image_features(assets, decode="real").collect()
+    assert feats[0]["width"] is None
