@@ -331,3 +331,76 @@ def test_hard_negative_anchors_broadcast(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "zh"]),
+            st.lists(
+                st.sampled_from(["a", "b", "cc", ""]), min_size=0, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_HYP)
+def test_dsir_and_classifier_random_corpora(spark, tmp_path_factory, docs):
+    """Degenerate-corpus property: random tiny corpora including
+    all-target (raw pool empty → zero output rows), no-target (every
+    bucket Laplace-only), and empty-string documents (split(' ') of ''
+    is [''] — one empty token, which must count on both engines and in
+    the model). Replays both scoring queries in plain Python."""
+    sf = tmp_path_factory.mktemp("dsel")
+    spark.createDataFrame(
+        [
+            (i, lang, "t", 0, " ".join(toks))
+            for i, (lang, toks) in enumerate(docs)
+        ],
+        "doc_id long, lang string, source string, n_chars long, text string",
+    ).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+
+    # note: " ".join then split(" ") — an empty token list becomes one
+    # empty-string token, exactly what both engines see
+    texts = {i: " ".join(toks).split(" ") for i, (_, toks) in enumerate(docs)}
+    langs = {i: lang for i, (lang, _) in enumerate(docs)}
+
+    tgt_c: Counter = Counter()
+    raw_c: Counter = Counter()
+    for i, toks in texts.items():
+        bs = [_md5_mod("dsir", t, DSIR_BUCKETS) for t in toks]
+        (tgt_c if langs[i] == "en" else raw_c).update(bs)
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dsir_importance_weights"](spark, str(sf)).collect()
+    }
+    raw_ids = [i for i in texts if langs[i] != "en"]
+    assert set(got) == set(raw_ids)
+    for i in raw_ids:
+        bs = [_md5_mod("dsir", t, DSIR_BUCKETS) for t in texts[i]]
+        total = sum(
+            (DSIR_SCALE * (tgt_c[b] + 1)) // (raw_c[b] + 1) for b in bs
+        )
+        assert got[i]["sum_ratio_micro"] == total
+        assert got[i]["avg_ratio_micro"] == total // len(bs)
+
+    qgot = {
+        r["doc_id"]: r
+        for r in QUERIES["quality_classifier_scores"](spark, str(sf)).collect()
+    }
+    assert set(qgot) == set(texts)
+    for i, toks in texts.items():
+        s_ = sum(
+            _md5_mod(
+                "qw", str(_md5_mod("qf", t, QF_BUCKETS)), 2 * QF_WEIGHT_SPAN + 1
+            )
+            - QF_WEIGHT_SPAN
+            for t in toks
+        )
+        assert qgot[i]["score_sum_micro"] == s_
+        assert (
+            qgot[i]["score_avg_micro"]
+            == (s_ + QF_WEIGHT_SPAN * len(toks)) // len(toks) - QF_WEIGHT_SPAN
+        )
