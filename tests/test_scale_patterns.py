@@ -98,6 +98,18 @@ def _plan(df) -> str:
         # cluster-balanced sampling (r6): 16-row cluster sizes
         # broadcast back; assignment itself is zero-shuffle literals.
         ("cluster_balanced_sample", ["BroadcastHashJoin"]),
+        # DSIR scoring (r6s4): both 1024-row count models broadcast
+        # into the token stream — the corpus never sort-merges.
+        ("dsir_importance_weights", ["BroadcastHashJoin"]),
+        # resampling draw (r6s4): the 1-row global max joins back via
+        # broadcast nested loop (the 1-row crossJoin pattern).
+        ("dsir_resampled_corpus", ["BroadcastNestedLoopJoin"]),
+        # span detection (r6s4): one explicit gram repartition shared
+        # by hot-counts and both pair-join sides (fact-20 reuse).
+        ("duplicate_span_runs", ["hashpartitioning(gram", "REPARTITION_BY_COL"]),
+        # triplet mining (r6s4): the anchor batch broadcasts into one
+        # corpus pass; argmax/argmin ride keyed windows.
+        ("hard_negative_pairs", ["BroadcastNestedLoopJoin"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
