@@ -532,3 +532,60 @@ def monthly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_retained") + 1
         ).alias("sketch_within_bounds"),
     )
+
+
+@register(
+    "event_key_skew_profile",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)          AS n_users,
+           CAST(SUM(n) AS BIGINT)            AS n_events,
+           CAST(MAX(n) AS BIGINT)            AS max_user_events,
+           quantile_cont(n, 0.50)            AS p50_user_events,
+           quantile_cont(n, 0.99)            AS p99_user_events,
+           (MAX(n) * 1000000) // CAST(SUM(n) AS BIGINT)            AS top1_share_ppm,
+           (MAX(n) * COUNT(*) * 1000000) // CAST(SUM(n) AS BIGINT) AS max_over_avg_ppm
+    FROM per_user
+    GROUP BY event_type
+    """,
+)
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics per (event_type, user_id) — the profiling
+    query you run BEFORE choosing a partitioning/salting strategy at
+    100 TB (SURVEY §7.4 risk 3; the hot-user skew that breaks
+    user_velocity_24h-class windows — ROUND_NOTES fact 19). Reports,
+    per event type: key cardinality, row count, the hottest key's row
+    count and its share of all rows (ppm), max/avg ratio (ppm — the
+    straggler factor a uniform hash partitioning would suffer), and
+    exact p50/p99 of rows-per-key (how heavy the tail is vs the
+    hottest key).
+
+    Determinism: counts are integers; the two ratio columns are
+    floor-divided integer ppm (non-negative, so DIV == //); the
+    percentiles interpolate integers with the engine-identical
+    a + (b-a)*frac expression (quantity_percentiles precedent).
+
+    Scale shape: two-level aggregation — the inner groupBy(type, user)
+    partially aggregates map-side so the shuffle carries one row per
+    (type, key); the outer rollup shuffles one row per key. The exact
+    percentile materializes per-type key-count vectors; at 100 TB
+    swap to approx_percentile (KLL) — every other column is already
+    sketch-free and mergeable. This is itself skew-safe: the inner
+    agg's combiner absorbs hot keys before the exchange."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("max_user_events"),
+        F.percentile("n", 0.50).alias("p50_user_events"),
+        F.percentile("n", 0.99).alias("p99_user_events"),
+        F.expr("(MAX(n) * 1000000) DIV SUM(n)").alias("top1_share_ppm"),
+        F.expr("(MAX(n) * COUNT(*) * 1000000) DIV SUM(n)").alias("max_over_avg_ppm"),
+    )

@@ -782,3 +782,101 @@ def bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(both.agg(F.count(F.lit(1)).alias("n_true_positive")))
         .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
     )
+
+
+@register(
+    "dup_graph_triangles",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_WINNOW_PAIRS_SQL})
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY doc_id
+    ),
+    deg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        )
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN (2 * COALESCE(t.n_triangles, 0) * 1000000)
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS clustering_ppm
+    FROM deg d LEFT JOIN per_doc t ON t.doc_id = d.doc_id
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    near-duplicate graph (SURVEY §7.6 dedup family, next to
+    dup_graph_pagerank): a doc in many triangles sits inside a DENSE
+    near-dup community (a template family), while a high-degree doc
+    with zero triangles is a hub matching many unrelated docs (shared
+    boilerplate) — the distinction that decides "drop the whole
+    cluster" vs "strip the boilerplate", which degree and PageRank
+    alone cannot make.
+
+    Algorithm: the canonical distributed triangle count — edges are
+    already canonically oriented (doc_a < doc_b from the pair query),
+    so each triangle a<b<c is found EXACTLY once by joining e1=(a,b)
+    with e2=(b,c) on the shared middle vertex and closing with
+    e3=(a,c). Clustering coefficient is exact integer ppm:
+    2*tri*1e6 DIV (deg*(deg-1)) — all operands non-negative, so Spark
+    DIV == DuckDB // (fact 32) and no float enters the plan.
+
+    Scale shape: two self-joins of the edge list — the wedge join's
+    fan-out is sum over vertices of out-degree^2, and out-degree under
+    the a<b orientation is bounded by the hot-fingerprint drop
+    upstream (a vertex only has edges to docs it shares >= 2
+    non-boilerplate fingerprints with). At 100 TB the standard
+    refinement is degree-ordered orientation (orient each edge toward
+    the HIGHER-degree endpoint, capping out-degree at sqrt(edges));
+    with the id orientation kept here the DuckDB twin stays a
+    three-line replay. Edges partition by the join vertex, so wedges
+    are computed where the edges live."""
+    pairs = winnowing_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_doc = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    joined = deg.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
+    )
+    return joined.withColumn(
+        "clustering_ppm",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

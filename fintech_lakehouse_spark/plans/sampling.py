@@ -151,3 +151,68 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# Priority sampling (Duffield-Lund-Thorup): resolution of the uniform
+# draw and the fixed sample size.
+PRI_BUCKETS = 1_000_000
+PRI_SCALE = 1_000_000_000
+PRI_K = 25
+
+
+@register(
+    "priority_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, weight, priority FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+               (CAST(len(string_split(text, ' ')) AS BIGINT) * {PRI_SCALE})
+                 // ({sql_hash_bucket('doc_id', 'wsample', PRI_BUCKETS)} + 1)
+                 AS priority
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT {PRI_K}
+    """,
+)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup 2007): each doc gets priority
+    q_i = w_i / u_i for a uniform u_i in (0, 1], and the k highest
+    priorities form the sample — a one-pass, mergeable scheme whose
+    inclusion probabilities are proportional to weight for heavy items
+    (here weight = token count: sampling docs proportional to their
+    training-token contribution, the corpus-audit draw).
+
+    Determinism design: u_i is the portable md5 bucket (+1, so the
+    divisor is in [1, {PRI_BUCKETS}]) and the priority is the
+    floor-divided integer w*{PRI_SCALE} DIV (h+1) — exact on both
+    engines (non-negative operands, fact 32), so the oracle pins EXACT
+    sample membership, which no rand()-based sampler could. Ties are
+    broken by doc_id; the float q = w/u ordering is preserved under
+    the integer scaling wherever it is unambiguous.
+
+    Scale shape: a scan-shaped projection followed by a global top-k —
+    Spark plans TakeOrderedAndProject (per-partition heaps of k rows,
+    driver merges partition heads; no global sort, no full shuffle —
+    the O1-O3 top-k pattern). Priority sampling is also MERGEABLE:
+    shard-local top-k heaps union to the global sample, which is how
+    the draw distributes over 1000 executors."""
+    documents = load_table(spark, sf_dir, "documents")
+    weight = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = hash_bucket("doc_id", "wsample", n_buckets=PRI_BUCKETS)
+    return (
+        documents.select(
+            "doc_id",
+            weight.alias("weight"),
+            F.expr(f"weight * {PRI_SCALE}").alias("_num"),
+            (h + 1).alias("_den"),
+        )
+        .select(
+            "doc_id",
+            "weight",
+            F.expr("_num DIV _den").alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(PRI_K)
+    )

@@ -2034,3 +2034,161 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rank_w = _W.orderBy(F.col("n_occurrences").desc(), "pair")
     return top.withColumn("merge_rank", F.row_number().over(rank_w))
+
+
+TFCOS_HOT_DOCS = 100  # terms in more docs than this are boilerplate
+_TFCOS_N = 3  # term = word 3-gram (the corpus's informative unit)
+
+
+@register(
+    "tf_cosine_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+{_TFCOS_N - 1}], ' ')
+                       FOR i IN range(1, greatest(len(toks) - {_TFCOS_N - 1}, 0) + 1)]) AS term
+        FROM t
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM g GROUP BY doc_id, term
+    ),
+    hot AS (
+        SELECT term FROM tf GROUP BY term
+        HAVING COUNT(*) > {TFCOS_HOT_DOCS}
+    ),
+    clean AS (
+        SELECT * FROM tf WHERE term NOT IN (SELECT term FROM hot)
+    ),
+    norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        FROM clean GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM clean a JOIN clean b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS cos_sq_ppm
+    FROM pairs
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE 4 * dot * dot >= na.n2 * nb.n2
+    """,
+)
+def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (term-frequency) cosine near-dup pairs (SURVEY §7.6
+    dedup family): cosine over word-3-gram COUNT vectors, threshold
+    cos >= 0.5. The multiset weighting is what separates this from
+    ngram_jaccard_pairs (set semantics): a doc that repeats a template
+    block 10x looks 10x more similar here, which is exactly the signal
+    boilerplate-heavy near-dup review wants. Terms are 3-grams, not
+    whitespace tokens, because the test corpus draws from a 31-token
+    vocabulary — every token is corpus-ubiquitous and a token-level
+    vector is degenerate (one dimension survives any df cut).
+
+    Determinism design: everything is exact integer arithmetic — tf
+    counts, dot = SUM(tf_a*tf_b), squared norms, and the threshold as
+    the cross-multiplied comparison 4*dot^2 >= n2a*n2b (cos >= 0.5
+    without a sqrt); the reported similarity is floor-divided ppm of
+    cos^2. No float enters the plan, so the DuckDB twin is bit-exact
+    under any shuffle order (the fact-29/fact-32 rules: all operands
+    non-negative, so Spark DIV trunc == DuckDB // floor). At web-scale
+    document lengths (1e5+ tokens) dot^2*1e6 can exceed int64 — there
+    the display column moves to DECIMAL(38) while the threshold
+    comparison stays int64-safe (dot, n2 <= 1e10 each side).
+
+    Scale shape: identical to the other inverted-index pair queries —
+    explode terms, repartition("term") (the fact-20 exchange-reuse
+    point shared by the hot-count, norm, and self-join consumers),
+    drop terms in > {TFCOS_HOT_DOCS} docs BEFORE the join (bounded
+    k^2 fan-out; at 100 TB the join cost is sum over terms of df^2
+    with df capped), then candidate-bounded norm join-back. Nothing is
+    pairwise in corpus size."""
+    documents = load_table(spark, sf_dir, "documents")
+    tf = (
+        shingle_rows(documents, n=_TFCOS_N)
+        .withColumnRenamed("shingle", "term")
+        .repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    hot = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > TFCOS_HOT_DOCS)
+        .select("term")
+    )
+    clean = tf.join(hot, "term", "left_anti")
+    norms = clean.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a = clean.select(F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a"))
+    b = clean.select(F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    dot, n2a, n2b = F.col("dot"), F.col("na.n2"), F.col("nb.n2")
+    return (
+        pairs.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(4 * dot * dot >= n2a * n2b)
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.expr("(dot * dot * 1000000) DIV (na.n2 * nb.n2)").alias("cos_sq_ppm"),
+        )
+    )
+
+
+@register(
+    "lang_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           quantile_cont(n_tokens, 0.25)            AS p25_tokens,
+           quantile_cont(n_tokens, 0.50)            AS p50_tokens,
+           quantile_cont(n_tokens, 0.75)            AS p75_tokens,
+           quantile_cont(n_tokens, 0.90)            AS p90_tokens,
+           CAST(MAX(n_tokens) AS BIGINT)            AS max_tokens
+    FROM (
+        SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def lang_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentile profile (SURVEY §7.6
+    text stats; the length-cutoff calibration every corpus pipeline
+    runs before setting truncation/packing budgets — ROUND_NOTES r5
+    candidate 5). Exact percentiles over INTEGER token counts: the
+    interpolation a + (b-a)*frac is the same single IEEE expression in
+    Spark percentile() and DuckDB quantile_cont (parity established by
+    quantity_percentiles / order_value_outliers).
+
+    Scale shape: one groupBy(lang) with exact percentile — fine while
+    per-group cardinality fits an executor (percentile materializes
+    the group); at 100 TB swap percentile -> approx_percentile (KLL)
+    per the approx_quantity_percentiles pattern, which is
+    sketch-mergeable and never materializes a group."""
+    documents = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_tokens", 0.25).alias("p25_tokens"),
+        F.percentile("n_tokens", 0.50).alias("p50_tokens"),
+        F.percentile("n_tokens", 0.75).alias("p75_tokens"),
+        F.percentile("n_tokens", 0.90).alias("p90_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
