@@ -239,3 +239,153 @@ def order_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old_snap, new_snap, keys=["o_orderkey"]
     ).withColumnRenamed("_change_type", "change_type")
+
+
+@register(
+    "changelog_incremental_agg",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS DECIMAL(12,2)) AS price,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+        SELECT o.o_orderkey AS ok_o, n.o_orderkey AS ok_n,
+               o.price AS p_o, n.price AS p_n,
+               o.o_orderstatus AS s_o, n.o_orderstatus AS s_n
+        FROM old_snap o FULL OUTER JOIN new_snap n
+          ON o.o_orderkey = n.o_orderkey
+    ),
+    changes AS (
+        SELECT * FROM j
+        WHERE ok_o IS NULL OR ok_n IS NULL OR p_o <> p_n OR s_o <> s_n
+    ),
+    contrib AS (
+        SELECT s_n AS o_orderstatus, 1 AS sgn, p_n AS price
+        FROM changes WHERE ok_n IS NOT NULL
+        UNION ALL
+        SELECT s_o, -1, p_o FROM changes WHERE ok_o IS NOT NULL
+    ),
+    delta AS (
+        SELECT o_orderstatus,
+               CAST(SUM(sgn) AS BIGINT) AS n_delta,
+               CAST(SUM(sgn * price) AS DECIMAL(18,2)) AS total_delta
+        FROM contrib GROUP BY o_orderstatus
+    ),
+    base AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(price) AS DECIMAL(18,2)) AS total_price
+        FROM old_snap GROUP BY o_orderstatus
+    ),
+    maintained AS (
+        SELECT COALESCE(b.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+               COALESCE(b.n_rows, 0) + COALESCE(d.n_delta, 0) AS n_rows,
+               CAST(COALESCE(b.total_price, 0) + COALESCE(d.total_delta, 0)
+                    AS DECIMAL(18,2)) AS total_price
+        FROM base b FULL OUTER JOIN delta d
+          ON b.o_orderstatus = d.o_orderstatus
+    ),
+    recomputed AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(price) AS DECIMAL(18,2)) AS total_price
+        FROM new_snap GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus,
+           CAST(m.n_rows AS BIGINT)             AS n_maintained,
+           CAST(m.total_price AS DOUBLE)        AS total_maintained,
+           r.n_rows                             AS n_recomputed,
+           CAST(r.total_price AS DOUBLE)        AS total_recomputed,
+           (m.n_rows = r.n_rows AND m.total_price = r.total_price)
+                                                AS consistent
+    FROM maintained m JOIN recomputed r
+      ON m.o_orderstatus = r.o_orderstatus
+    WHERE m.n_rows <> 0
+    """,
+)
+def changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from a CDF changelog, self-checked
+    (SURVEY §7.6 / operators/ivm.py; the scale answer to the
+    reference's full-recompute Gold layer, src/config/base.py:92-96):
+    maintain a per-status (count, exact money total) aggregate as
+    base + signed changelog delta, and emit it NEXT TO the direct
+    recomputation over the new snapshot with a per-group `consistent`
+    flag — the driver's hash check then pins maintained == recomputed
+    on both engines, making the IVM algebra itself the thing under
+    test.
+
+    Uses the same deterministic snapshot derivation as
+    order_snapshot_changelog (old = keys !=0 mod 7, new = keys !=0
+    mod 5 with prices doubled on mod 3), but diffs with
+    ``emit_preimage=True``: the update_preimage rows are what let the
+    delta RETRACT an updated row's old contribution — including
+    status-changing updates, which move value across groups (mod-15
+    keys here: deleted AND doubled). A three-type changelog cannot
+    maintain sums; operators/ivm.py raises on one.
+
+    Determinism: deltas and totals are DECIMAL(12,2) end-to-end
+    (exact, order-independent — plans/_num.py), counts are longs; the
+    equality in `consistent` is decimal equality, not a tolerance.
+
+    Scale shape: delta = one map-side-combinable groupBy over the
+    changelog (change-cardinality sized); apply = full-outer join of
+    two group-cardinality relations. The base fact table is read only
+    by the snapshot derivation here (test scaffolding); in production
+    the changelog comes from the foreach_batch_cdf sink and NOTHING
+    rescans the fact table — that asymmetry is the entire point."""
+    from fintech_lakehouse_spark.operators.ivm import (
+        apply_agg_delta,
+        changelog_agg_delta,
+    )
+    from fintech_lakehouse_spark.sources.writers import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderstatus",
+    )
+    old_snap = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new_snap = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("price") * 2).cast("decimal(12,2)"),
+        ).otherwise(F.col("price")),
+    )
+    changelog = snapshot_diff(
+        old_snap, new_snap, keys=["o_orderkey"], emit_preimage=True
+    )
+    delta = changelog_agg_delta(
+        changelog, ["o_orderstatus"], {"total_price": "price"}
+    )
+    base = old_snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price").cast("decimal(18,2)").alias("total_price"),
+    )
+    maintained = apply_agg_delta(
+        base, delta, ["o_orderstatus"], ["total_price"]
+    )
+    recomputed = new_snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price").cast("decimal(18,2)").alias("total_price"),
+    )
+    m, r = maintained.alias("m"), recomputed.alias("r")
+    return m.join(r, F.col("m.o_orderstatus") == F.col("r.o_orderstatus")).select(
+        F.col("m.o_orderstatus").alias("o_orderstatus"),
+        F.col("m.n_rows").alias("n_maintained"),
+        F.col("m.total_price").cast("double").alias("total_maintained"),
+        F.col("r.n_rows").alias("n_recomputed"),
+        F.col("r.total_price").cast("double").alias("total_recomputed"),
+        (
+            (F.col("m.n_rows") == F.col("r.n_rows"))
+            & (F.col("m.total_price") == F.col("r.total_price"))
+        ).alias("consistent"),
+    )

@@ -814,11 +814,23 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str] | None = None,
+    emit_preimage: bool = False,
 ) -> DataFrame:
     """Changelog between two table snapshots — the parquet-mode analog
     of Delta's Change Data Feed: one row per changed key with
     ``_change_type`` in ('insert', 'update', 'delete') and the NEW
     values for inserts/updates, OLD values for deletes.
+
+    With ``emit_preimage=True`` the changelog uses Delta CDF's full
+    four-type vocabulary: each update emits TWO rows,
+    ``update_preimage`` (old values) and ``update_postimage`` (new
+    values), matching what ``table_changes()`` returns on a real Delta
+    table (the env-gated branch). The preimage is what makes the
+    changelog sufficient for DOWNSTREAM incremental view maintenance:
+    a consumer can retract the old contribution of an updated row from
+    any distributive aggregate without re-reading the base table
+    (operators/ivm.py; default False keeps the compact three-type form
+    every pre-existing consumer and oracle was built against).
 
     Shape: one full-outer equi-join on the keys (both sides shuffle on
     the key — at 100 TB this is the unavoidable lower bound for
@@ -827,7 +839,9 @@ def snapshot_diff(
     env-gated Delta branch would use). Change detection over
     ``compare_cols`` (default: all non-key columns present in both
     snapshots) is null-safe. Unchanged keys are dropped before any
-    downstream work, so the changelog is change-cardinality sized."""
+    downstream work, so the changelog is change-cardinality sized;
+    the preimage expansion is a values-array explode AFTER that
+    filter, so it doubles only the update rows, never the join."""
     if compare_cols is None:
         compare_cols = [
             c for c in new.columns if c not in set(keys) and c in old.columns
@@ -852,18 +866,45 @@ def snapshot_diff(
         .when(new_missing, F.lit("delete"))
         .when(~F.col("_o_vals").eqNullSafe(F.col("_n_vals")), F.lit("update"))
     )
-    out_vals = F.when(new_missing, F.col("_o_vals")).otherwise(F.col("_n_vals"))
     out_keys = [
         F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k) for k in keys
     ]
-    return (
-        joined.withColumn("_change_type", change_type)
-        .filter(F.col("_change_type").isNotNull())
-        .select(
+    changed = joined.withColumn("_change_type", change_type).filter(
+        F.col("_change_type").isNotNull()
+    )
+    if not emit_preimage:
+        out_vals = F.when(new_missing, F.col("_o_vals")).otherwise(
+            F.col("_n_vals")
+        )
+        return changed.select(
             *out_keys,
             *[out_vals.getField(c).alias(c) for c in compare_cols],
             "_change_type",
         )
+    # Delta-CDF vocabulary: updates fan out to (preimage, postimage).
+    # One tagged (type, vals) struct array per row, exploded — the
+    # array is built per-row from already-joined structs, no new join.
+    tagged = F.when(
+        F.col("_change_type") == "insert",
+        F.array(F.struct(F.lit("insert").alias("t"), F.col("_n_vals").alias("v"))),
+    ).when(
+        F.col("_change_type") == "delete",
+        F.array(F.struct(F.lit("delete").alias("t"), F.col("_o_vals").alias("v"))),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit("update_preimage").alias("t"), F.col("_o_vals").alias("v")
+            ),
+            F.struct(
+                F.lit("update_postimage").alias("t"), F.col("_n_vals").alias("v")
+            ),
+        )
+    )
+    exploded = changed.select(*out_keys, F.explode(tagged).alias("_e"))
+    return exploded.select(
+        *keys,
+        *[F.col("_e.v").getField(c).alias(c) for c in compare_cols],
+        F.col("_e.t").alias("_change_type"),
     )
 
 

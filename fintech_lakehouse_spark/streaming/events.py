@@ -619,6 +619,7 @@ def foreach_batch_cdf(
     changelog_path: str,
     key: str,
     order_by: str | None = None,
+    emit_preimage: bool = False,
 ):
     """foreachBatch sink that maintains an upsert table AND records a
     Change Data Feed at write time — the parquet-mode analog of Delta
@@ -676,7 +677,13 @@ def foreach_batch_cdf(
             old_slice = old.join(
                 latest.select(key).distinct(), key, "left_semi"
             )
-            changelog = snapshot_diff(old_slice, latest, keys=[key])
+            # emit_preimage=True switches to Delta CDF's four-type
+            # vocabulary (update_preimage/update_postimage) so the
+            # changelog can feed downstream incremental view
+            # maintenance (foreach_batch_ivm / operators/ivm.py).
+            changelog = snapshot_diff(
+                old_slice, latest, keys=[key], emit_preimage=emit_preimage
+            )
         except Exception as exc:
             if not _is_missing_path(exc, target_path):
                 raise
@@ -755,3 +762,94 @@ def table_as_of_batch(
         .filter(F.col("_change_type") != "delete")
         .drop("_rn", "_change_type", "_batch_id")
     )
+
+
+def read_materialized_view(
+    spark: SparkSession, view_path: str, version: int | None = None
+):
+    """Read the latest committed version of a foreach_batch_ivm view
+    (or a specific ``version`` — the view-side VERSION AS OF, the
+    companion of table_as_of_batch). Returns None if no committed
+    version exists yet."""
+    import os as _os
+
+    local = (
+        view_path[len("file:"):] if view_path.startswith("file:") else view_path
+    )
+    if not _os.path.isdir(local):
+        return None
+    versions = []
+    for name in _os.listdir(local):
+        if name.startswith("version=") and _os.path.exists(
+            _os.path.join(local, name, "_SUCCESS")
+        ):
+            versions.append(int(name.split("=", 1)[1]))
+    if version is not None:
+        candidates = [v for v in versions if v <= version]
+    else:
+        candidates = versions
+    if not candidates:
+        return None
+    chosen = max(candidates)
+    return spark.read.parquet(f"{view_path.rstrip('/')}/version={chosen}")
+
+
+def foreach_batch_ivm(
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+):
+    """foreachBatch sink that maintains a MATERIALIZED AGGREGATE from
+    a four-type CDF changelog stream — incremental view maintenance
+    (operators/ivm.py) as a streaming consumer. This is the downstream
+    half of the CDF story: foreach_batch_cdf(emit_preimage=True)
+    records what changed; this sink folds those changes into a
+    group-cardinality view (count + exact DECIMAL sums) WITHOUT ever
+    rescanning the base table — the streaming analog of a Databricks
+    materialized view on CDF, and the scale answer to the reference's
+    full-recompute Gold rollups (ref src/config/base.py:92-96).
+
+    Exactly-once without a transaction log: the view is written as
+    versioned snapshots ``version=<consumer_batch_id>/`` (each
+    group-cardinality sized, so snapshots are cheap). A retried batch
+    id whose version directory already committed (_SUCCESS) is
+    SKIPPED; an uncommitted retry recomputes from the last committed
+    version — deterministic because the checkpoint pins batch-id →
+    changelog content. Readers take the newest committed version
+    (read_materialized_view), which also yields view-level time
+    travel for free, mirroring table_as_of_batch on the table side.
+
+    Per batch: one map-side-combinable groupBy over the changelog
+    micro-batch (change-cardinality sized) + a full-outer join of two
+    group-cardinality relations. Nothing in the hot path scales with
+    the base table."""
+    from fintech_lakehouse_spark.operators.ivm import (
+        apply_agg_delta,
+        changelog_agg_delta,
+    )
+
+    sum_aliases = list(sum_cols or {})
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark = batch_df.sparkSession
+        root = view_path.rstrip("/")
+        local_root = root[len("file:"):] if root.startswith("file:") else root
+        vdir = f"{root}/version={batch_id}"
+        if "://" not in local_root and _os.path.exists(
+            _os.path.join(local_root, f"version={batch_id}", "_SUCCESS")
+        ):
+            return  # retry of a committed batch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        current = read_materialized_view(spark, root, version=batch_id - 1)
+        delta = changelog_agg_delta(batch_df, group_cols, sum_cols)
+        merged = apply_agg_delta(current, delta, group_cols, sum_aliases)
+        # coalesce(1): the view is group-cardinality sized; a single
+        # part file keeps the snapshot listing O(versions), and an
+        # EMPTY view still writes a schema-bearing footer so the next
+        # read round-trips.
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    return _apply
