@@ -110,6 +110,16 @@ def _plan(df) -> str:
         # triplet mining (r6s4): the anchor batch broadcasts into one
         # corpus pass; argmax/argmin ride keyed windows.
         ("hard_negative_pairs", ["BroadcastNestedLoopJoin"]),
+        # tf-cosine pairs (r6s5): one explicit term repartition shared
+        # by hot-count/norm/self-join consumers (fact-20 reuse).
+        ("tf_cosine_pairs", ["hashpartitioning(term", "REPARTITION_BY_COL"]),
+        # priority sampling (r6s5): global weighted top-k must be
+        # per-partition heaps, never a global sort.
+        ("priority_weighted_sample", ["TakeOrderedAndProject"]),
+        # IVM self-check (r6s5): delta and view merge through
+        # group-cardinality hash aggregates/joins; the only
+        # fact-shuffle is the snapshot full-outer diff on the key.
+        ("changelog_incremental_agg", ["SortMergeJoin FullOuter", "HashAggregate"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
@@ -856,3 +866,19 @@ def test_proximity_pairs_match_bruteforce(spark, sf_dir):
         for r in QUERIES["customer_proximity_pairs"](spark, sf_dir).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_triangle_count_reuses_pair_subtree(spark, sf_dir):
+    """dup_graph_triangles references the winnowing pair pipeline four
+    times (three edge roles + degrees). The static plan duplicates the
+    subtree, but every consumer reaches the IDENTICAL
+    hashpartitioning(doc_a, doc_b) aggregation exchange, so at runtime
+    the heavy winnow derivation must run ONCE and the other consumers
+    read ReusedExchange (fact 20: reuse happens exactly when the
+    shared reference point IS an exchange). Guards against a refactor
+    that perturbs one consumer's subtree (e.g. an extra projection
+    below the groupBy) and silently quadruples the query."""
+    df = QUERIES["dup_graph_triangles"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:2000]
