@@ -389,3 +389,168 @@ def changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("m.total_price") == F.col("r.total_price"))
         ).alias("consistent"),
     )
+
+
+@register(
+    "changelog_join_view_maintenance",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               o_custkey
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS DECIMAL(12,2)) AS price,
+               o_custkey
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    dim AS (
+        SELECT c_custkey, n_name
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    j AS (
+        SELECT o.o_orderkey AS ok_o, n.o_orderkey AS ok_n,
+               o.price AS p_o, n.price AS p_n,
+               o.o_custkey AS k_o, n.o_custkey AS k_n
+        FROM old_snap o FULL OUTER JOIN new_snap n
+          ON o.o_orderkey = n.o_orderkey
+    ),
+    changes AS (
+        SELECT * FROM j
+        WHERE ok_o IS NULL OR ok_n IS NULL OR p_o <> p_n OR k_o <> k_n
+    ),
+    contrib AS (
+        SELECT k_n AS o_custkey, 1 AS sgn, p_n AS price
+        FROM changes WHERE ok_n IS NOT NULL
+        UNION ALL
+        SELECT k_o, -1, p_o FROM changes WHERE ok_o IS NOT NULL
+    ),
+    delta AS (
+        SELECT d.n_name,
+               CAST(SUM(sgn) AS BIGINT) AS n_delta,
+               CAST(SUM(sgn * price) AS DECIMAL(18,2)) AS total_delta
+        FROM contrib c JOIN dim d ON d.c_custkey = c.o_custkey
+        GROUP BY d.n_name
+    ),
+    base AS (
+        SELECT d.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(price) AS DECIMAL(18,2)) AS total_price
+        FROM old_snap o JOIN dim d ON d.c_custkey = o.o_custkey
+        GROUP BY d.n_name
+    ),
+    maintained AS (
+        SELECT COALESCE(b.n_name, d.n_name) AS n_name,
+               COALESCE(b.n_rows, 0) + COALESCE(d.n_delta, 0) AS n_rows,
+               CAST(COALESCE(b.total_price, 0) + COALESCE(d.total_delta, 0)
+                    AS DECIMAL(18,2)) AS total_price
+        FROM base b FULL OUTER JOIN delta d ON b.n_name = d.n_name
+    ),
+    recomputed AS (
+        SELECT d.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(price) AS DECIMAL(18,2)) AS total_price
+        FROM new_snap o JOIN dim d ON d.c_custkey = o.o_custkey
+        GROUP BY d.n_name
+    )
+    SELECT m.n_name,
+           CAST(m.n_rows AS BIGINT)      AS n_maintained,
+           CAST(m.total_price AS DOUBLE) AS total_maintained,
+           r.n_rows                      AS n_recomputed,
+           CAST(r.total_price AS DOUBLE) AS total_recomputed,
+           (m.n_rows = r.n_rows AND m.total_price = r.total_price)
+                                         AS consistent
+    FROM maintained m JOIN recomputed r ON m.n_name = r.n_name
+    WHERE m.n_rows <> 0
+    """,
+)
+def changelog_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for a JOIN-aggregate view (the companion of
+    changelog_incremental_agg): the maintained view is per-NATION
+    order totals — a γ(orders ⋈ customer ⋈ nation) star view, i.e.
+    exactly the shape of the reference's declared Gold rollups
+    (agg_daily_metrics / agg_customer_360, src/config/base.py:92-96).
+    When only the FACT side changes, the delta rule for joins is
+    ΔV = γ(ΔOrders ⋈ dim): join the change-cardinality changelog to
+    the (static) dimension, aggregate signed contributions, add to
+    the base view. The fact table is never rescanned; the dim join
+    runs over the changelog only.
+
+    Emits maintained NEXT TO recomputed with a per-group consistency
+    flag, so the driver's hash check pins the delta-join propagation
+    rule itself. Group-moving updates here move value across NATIONS
+    (a customer-key update relocates the order's contribution); the
+    preimage retracts from the old nation, the postimage adds to the
+    new one.
+
+    Scale shape: the changelog-to-dim join BROADCASTS the dim (or at
+    real dim sizes, shuffles change-cardinality rows — never fact
+    rows); delta and apply are group-cardinality. The base/recomputed
+    legs exist only for the self-check; production reads the base
+    view from storage (foreach_batch_ivm's versioned snapshots)."""
+    from fintech_lakehouse_spark.operators.ivm import (
+        apply_agg_delta,
+        changelog_agg_delta,
+    )
+    from fintech_lakehouse_spark.sources.writers import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_custkey",
+    )
+    old_snap = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new_snap = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("price") * 2).cast("decimal(12,2)"),
+        ).otherwise(F.col("price")),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", "n_name")
+    changelog = snapshot_diff(
+        old_snap, new_snap, keys=["o_orderkey"], emit_preimage=True
+    )
+    enriched = changelog.join(
+        F.broadcast(dim), changelog["o_custkey"] == dim["c_custkey"]
+    )
+    delta = changelog_agg_delta(enriched, ["n_name"], {"total_price": "price"})
+    base = (
+        old_snap.join(
+            F.broadcast(dim), old_snap["o_custkey"] == dim["c_custkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+    maintained = apply_agg_delta(base, delta, ["n_name"], ["total_price"])
+    recomputed = (
+        new_snap.join(
+            F.broadcast(dim), new_snap["o_custkey"] == dim["c_custkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+    m, r = maintained.alias("m"), recomputed.alias("r")
+    return m.join(r, F.col("m.n_name") == F.col("r.n_name")).select(
+        F.col("m.n_name").alias("n_name"),
+        F.col("m.n_rows").alias("n_maintained"),
+        F.col("m.total_price").cast("double").alias("total_maintained"),
+        F.col("r.n_rows").alias("n_recomputed"),
+        F.col("r.total_price").cast("double").alias("total_recomputed"),
+        (
+            (F.col("m.n_rows") == F.col("r.n_rows"))
+            & (F.col("m.total_price") == F.col("r.total_price"))
+        ).alias("consistent"),
+    )

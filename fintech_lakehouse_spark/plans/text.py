@@ -2192,3 +2192,83 @@ def lang_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_tokens", 0.90).alias("p90_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+@register(
+    "bigram_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    bi AS (
+        SELECT unnest(
+            [t[i] || ' ' || t[i+1] FOR i IN range(1, greatest(len(t) - 1, 0) + 1)]
+        ) AS bigram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+    ),
+    bic AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bi GROUP BY bigram
+    )
+    SELECT bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+           (2 * c_xy * 1000000) // (u1.c + u2.c) AS dice_ppm
+    FROM bic
+    JOIN uni u1 ON u1.tok = string_split(bigram, ' ')[1]
+    JOIN uni u2 ON u2.tok = string_split(bigram, ' ')[2]
+    ORDER BY dice_ppm DESC, bigram
+    LIMIT 20
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by Dice association (SURVEY §7.6 text
+    analysis; the phrase-induction step next to bpe_merge_candidates):
+    rank adjacent token pairs by dice = 2·c(xy)/(c(x)+c(y)) instead of
+    raw count — association-normalized, so a pair of RARE tokens that
+    always co-occur outranks a pair of ubiquitous tokens that
+    co-occur incidentally. Dice over (say) PMI because it stays in
+    exact integer arithmetic: 2·c_xy·1e6 DIV (c_x+c_y) needs no log
+    and no N² product (PMI's c_xy·N² numerator overflows int64 at
+    large corpus sizes; Dice's numerator is ≤ 2e6·corpus tokens).
+
+    Scale shape: two map-side-combinable counts (unigrams — vocab
+    cardinality; adjacent pairs — in-row zip, no shuffle before the
+    combine) and a join of the bigram counts to the TINY unigram
+    relation (vocab-sized, broadcast), then a distributed top-20
+    (TakeOrderedAndProject). Nothing scales past the bigram-type
+    cardinality."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uni = (
+        documents.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bic = (
+        documents.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    t1 = F.split(F.col("bigram"), " ")[0]
+    t2 = F.split(F.col("bigram"), " ")[1]
+    return (
+        bic.join(F.broadcast(uni.alias("u1")), t1 == F.col("u1.tok"))
+        .join(F.broadcast(uni.alias("u2")), t2 == F.col("u2.tok"))
+        .select(
+            "bigram",
+            "c_xy",
+            F.col("u1.c").alias("c_x"),
+            F.col("u2.c").alias("c_y"),
+            F.expr("(2 * c_xy * 1000000) DIV (u1.c + u2.c)").alias("dice_ppm"),
+        )
+        .orderBy(F.col("dice_ppm").desc(), "bigram")
+        .limit(20)
+    )
