@@ -589,3 +589,63 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(MAX(n) * 1000000) DIV SUM(n)").alias("top1_share_ppm"),
         F.expr("(MAX(n) * COUNT(*) * 1000000) DIV SUM(n)").alias("max_over_avg_ppm"),
     )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "order_value_histogram",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(c) AS lo, MAX(c) AS hi FROM cents
+    )
+    SELECT ((c - lo) * {HIST_BINS}) // (hi - lo + 1) AS bucket,
+           CAST(COUNT(*) AS BIGINT)  AS n_orders,
+           CAST(MIN(c) AS BIGINT)    AS min_cents,
+           CAST(MAX(c) AS BIGINT)    AS max_cents
+    FROM cents CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (SURVEY §2.4 family; the
+    distribution profile behind pricing dashboards and the binning
+    step of feature engineering): {HIST_BINS} equal-width buckets over
+    o_totalprice, with per-bucket count and actual min/max. All
+    arithmetic in exact integer CENTS — the bucket index is
+    (c-lo)*{HIST_BINS} DIV (hi-lo+1), floor-divided non-negative
+    integers, so bucket boundaries are bit-identical across engines
+    (a float-width histogram flakes when a value lands exactly on a
+    boundary; fact-22 class).
+
+    Scale shape: the 1-row global min/max broadcasts back via the
+    1-row crossJoin pattern (BroadcastNestedLoopJoin, never a global
+    sort), then one map-side-combinable groupBy into a
+    {HIST_BINS}-row result. Two scans of the cents projection — at
+    100 TB the first is a column-pruned statistics pass (or comes
+    free from parquet footer min/max)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    bounds = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    return (
+        cents.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((c - lo) * {HIST_BINS}) DIV (hi - lo + 1)").alias("bucket"),
+            "c",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("c").cast("long").alias("min_cents"),
+            F.max("c").cast("long").alias("max_cents"),
+        )
+    )

@@ -483,3 +483,55 @@ def customer_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.alias("dist2_micro"),
         )
     )
+
+
+@register(
+    "lateral_top_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+               AS o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey % 25 = 0
+    """,
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (SURVEY §2.3/§2.5 boundary —
+    the SQL surface for per-row top-k): each customer joins its own
+    top-2 orders by value. Registered as raw SQL because LATERAL is a
+    SQL-syntax feature; the SAME statement (modulo quoting) runs on
+    both engines, so the oracle checks Spark's decorrelation of the
+    correlated ORDER BY ... LIMIT subquery — Catalyst rewrites it into
+    a partitioned window + rank filter (the latest_order_per_customer
+    shape), never one subquery execution per outer row.
+
+    Scale shape: post-decorrelation this is one shuffle of orders on
+    o_custkey with a keyed window (rank <= 2) and a join back to the
+    filtered customer dim — the nested-loop-per-row plan a naive
+    LATERAL executor would run is exactly what Catalyst must NOT
+    produce (plan-asserted: no per-row subquery, window present).
+    The mod-25 customer filter keeps the checked output compact; ties
+    break on o_orderkey so top-2 is deterministic."""
+    from fintech_lakehouse_spark.sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey % 25 = 0
+        """
+    )

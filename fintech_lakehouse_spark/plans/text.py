@@ -575,9 +575,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hex_md5(documents)
 
 
-@register(
-    "lang_id_heuristic",
-    oracle="""
+# Shared by lang_id_heuristic (registered as-is) and
+# lang_id_confusion (embedded as a CTE): the DuckDB replay of
+# language_best_guess's array_max(struct(score, lang)) argmax.
+_LANG_ID_SQL = """
     WITH scored AS (
         SELECT doc_id, lang AS labeled_lang,
                list_distinct(string_split(text, ' ')) AS toks
@@ -595,8 +596,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN s_zh = best THEN 'zh' WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' END AS predicted_lang,
            best AS marker_hits
     FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
-    """,
-)
+    """
+
+
+@register("lang_id_heuristic", oracle=_LANG_ID_SQL)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (SURVEY §7.6): score each doc against
     per-language stopword marker sets via array intersection, predict
@@ -2271,4 +2274,44 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("dice_ppm").desc(), "bigram")
         .limit(20)
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH preds AS ({_LANG_ID_SQL})
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN labeled_lang = predicted_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM preds
+    GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    declared label (SURVEY §7.6 text analysis; the model-eval query
+    every classifier in the curation pipeline — lang-ID, quality
+    classifier — needs next to its scoring query). One groupBy over
+    the per-doc predictions; per-class precision/recall read straight
+    off the matrix.
+
+    Scale shape: the prediction is the scan-shaped
+    language_best_guess expression (no shuffle); the matrix groupBy
+    shuffles one row per doc with map-side combine into a
+    |langs|²-bounded result."""
+    documents = load_table(spark, sf_dir, "documents")
+    best = language_best_guess()
+    preds = documents.select(
+        F.col("lang").alias("labeled_lang"),
+        best.getField("lang").alias("predicted_lang"),
+    )
+    return preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("predicted_lang"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
     )

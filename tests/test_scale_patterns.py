@@ -120,6 +120,20 @@ def _plan(df) -> str:
         # group-cardinality hash aggregates/joins; the only
         # fact-shuffle is the snapshot full-outer diff on the key.
         ("changelog_incremental_agg", ["SortMergeJoin FullOuter", "HashAggregate"]),
+        # correlated LATERAL top-k (r6s5): Catalyst must decorrelate
+        # into a keyed window with the rank-limit pushed below the
+        # exchange (WindowGroupLimit) and the dim broadcast — never a
+        # per-outer-row subquery or a cartesian.
+        (
+            "lateral_top_orders_per_customer",
+            ["WindowGroupLimit", "BroadcastHashJoin"],
+        ),
+        # equi-width histogram (r6s5): 1-row min/max bounds broadcast
+        # back (nested-loop on a single row), one combining aggregate.
+        ("order_value_histogram", ["BroadcastNestedLoopJoin", "HashAggregate"]),
+        # Dice collocations (r6s5): vocab-sized unigram counts
+        # broadcast into the bigram counts; top-20 distributed.
+        ("bigram_collocations", ["BroadcastHashJoin", "TakeOrderedAndProject"]),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
