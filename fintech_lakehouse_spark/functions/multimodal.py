@@ -615,3 +615,35 @@ def sample_video_frames(
         .withColumn("frame_ts_sec", F.col("frame_no") * every_n_seconds)
         .select("asset_id", "frame_no", "frame_ts_sec", "n_bytes")
     )
+
+
+def synthesize_image(fmt: str, width: int, height: int) -> bytes:
+    """Deterministic test-image payload: a horizontal gradient raster
+    encoded as real P6 / 24-bit BMP / PNG bytes. The generation half
+    of the driver-checked decode roundtrip (plans/multimodal.py::
+    image_decode_roundtrip): dims are programmed from the row key, the
+    payload goes through the REAL stdlib codec on the way out and the
+    REAL stdlib decoder on the way back, and the SQL oracle predicts
+    the recovered dims arithmetically."""
+    import numpy as np
+
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    img[:, :, 0] = (np.arange(width) * 255 // max(width, 1))[None, :]
+    img[:, :, 1] = (np.arange(height) * 255 // max(height, 1))[:, None]
+    img[:, :, 2] = 128
+    if fmt == "ppm":
+        return f"P6\n{width} {height}\n255\n".encode("ascii") + img.tobytes()
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "bmp":
+        stride = (width * 3 + 3) & ~3
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * 3] = img[::-1].reshape(height, width * 3)
+        body = padded.tobytes()
+        file_header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+        )
+        return file_header + dib + body
+    raise ValueError(f"synthesize_image: unsupported fmt {fmt!r}")

@@ -1,0 +1,99 @@
+"""Driver-checked multimodal query (SURVEY §7.6 multimodal columns).
+
+The multimodal surface (binary payload columns + Arrow-batched
+mapInPandas decode) was previously verified by unit tests only — a
+binary column can't round-trip through the driver's SQL-oracle hash.
+This module closes that gap with a roundtrip IDENTITY query: payload
+dims are PROGRAMMED from the row key, the payload is generated as real
+PPM/BMP/PNG bytes and decoded back through the real stdlib codecs
+inside the distributed pipeline, and the SQL oracle predicts the
+recovered dims arithmetically — so a driver red here means the binary
+plumbing (Arrow batching, schema, codec) broke, not the SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_lakehouse_spark.plans.registry import register
+from fintech_lakehouse_spark.sources.readers import load_table
+
+
+@register(
+    "image_decode_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                ELSE 'png' END          AS format,
+           CAST(1 + doc_id % 16 AS BIGINT) AS width,
+           CAST(1 + doc_id % 9  AS BIGINT) AS height,
+           CAST((1 + doc_id % 16) * (1 + doc_id % 9) AS BIGINT) AS n_pixels
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode identity through the REAL stdlib image codecs,
+    under the driver's hash check: per doc, dims are derived from
+    doc_id (width = 1 + id%16, height = 1 + id%9), a real payload in
+    a per-row format (ppm/bmp/png cycling on id%3) is synthesized by
+    an Arrow-batched pandas UDF, and ``extract_image_features
+    (decode='real')`` recovers the dims via the stdlib header/raster
+    parsers. The oracle predicts the SAME dims from doc_id alone, so
+    the hash check pins the full binary path: synthesis → binary
+    column → mapInPandas decode → typed features.
+
+    Scale shape: two Arrow-batched Python stages over one scan — no
+    shuffle at all (mapInPandas preserves partitioning; the payload
+    never leaves the executor that made it). This is exactly the
+    100 TB multimodal pattern: opaque binary column + vectorized
+    decode, with per-row quarantine (a corrupt payload yields null
+    dims, which would break the oracle identity — so a driver red
+    here also catches silent decoder regressions)."""
+    from pyspark.sql.types import BinaryType
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        extract_image_features,
+        synthesize_image,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def make_payload(fmt: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_image(f, int(w), int(h))
+                for f, w, h in zip(fmt, width, height)
+            ]
+        )
+
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("ppm"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("bmp"))
+        .otherwise(F.lit("png"))
+    )
+    assets = documents.select(
+        F.col("doc_id").alias("asset_id"),
+        fmt.alias("format"),
+        (1 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (1 + F.col("doc_id") % 9).cast("int").alias("h"),
+    ).withColumn("payload", make_payload("format", "w", "h"))
+    feats = extract_image_features(
+        assets.select("asset_id", "format", "payload"), decode="real"
+    )
+    return (
+        feats.join(
+            assets.select("asset_id", "format"), "asset_id"
+        )
+        .select(
+            "asset_id",
+            "format",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            (F.col("width").cast("long") * F.col("height").cast("long")).alias(
+                "n_pixels"
+            ),
+        )
+    )
