@@ -647,3 +647,25 @@ def synthesize_image(fmt: str, width: int, height: int) -> bytes:
         )
         return file_header + dib + body
     raise ValueError(f"synthesize_image: unsupported fmt {fmt!r}")
+
+
+def synthesize_wav(duration_sec: int, sample_rate: int, amplitude: int) -> bytes:
+    """Deterministic test-audio payload: ``duration_sec`` seconds of a
+    constant-magnitude 16-bit signal at ``amplitude`` (alternating
+    sign — zero DC, exact RMS = amplitude/32768). The generation half
+    of the driver-checked audio roundtrip: with power-of-two
+    amplitudes the RMS is an exact binary float, so decode_wav's
+    loudness_proxy = round(rms*255) is bit-deterministic and the SQL
+    oracle can predict it from the row key."""
+    import numpy as np
+
+    n = duration_sec * sample_rate
+    samples = np.full(n, amplitude, dtype="<i2")
+    samples[1::2] = -amplitude
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()

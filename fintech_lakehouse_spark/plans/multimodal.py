@@ -83,17 +83,85 @@ def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(
         assets.select("asset_id", "format", "payload"), decode="real"
     )
-    return (
-        feats.join(
-            assets.select("asset_id", "format"), "asset_id"
+    # format re-derives arithmetically from the key — a join back to
+    # `assets` would shuffle both Python-stage outputs just to fetch a
+    # column the key already determines (keeping the plan shuffle-free
+    # is the point of the mapInPandas pattern).
+    fmt_back = (
+        F.when(F.col("asset_id") % 3 == 0, F.lit("ppm"))
+        .when(F.col("asset_id") % 3 == 1, F.lit("bmp"))
+        .otherwise(F.lit("png"))
+    )
+    return feats.select(
+        "asset_id",
+        fmt_back.alias("format"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        (F.col("width").cast("long") * F.col("height").cast("long")).alias(
+            "n_pixels"
+        ),
+    )
+
+
+@register(
+    "audio_decode_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(1 + doc_id % 4 AS BIGINT)  AS duration_sec,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT)
+               AS sample_rate,
+           CAST(2 << (doc_id % 7) AS BIGINT) AS loudness_proxy
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode identity through the REAL stdlib WAV codec, under
+    the driver's hash check (the audio twin of image_decode_roundtrip):
+    per doc, a 16-bit PCM payload with programmed duration (1+id%4 s),
+    sample rate (8k/16k by id%2) and constant magnitude 2^(8+id%7) is
+    synthesized by an Arrow-batched pandas UDF and decoded back via
+    ``extract_audio_features(decode='real')`` (wave module + numpy
+    RMS). Power-of-two amplitudes make the RMS an exact binary float,
+    so loudness_proxy = round(rms·255) = 2^(id%7+1) is predictable
+    arithmetic — the oracle pins duration, rate AND the loudness math.
+
+    Scale shape: identical to the image twin — two partition-
+    preserving Arrow stages over one scan, zero Exchange."""
+    from pyspark.sql.types import BinaryType
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        extract_audio_features,
+        synthesize_wav,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def make_wav(dur: pd.Series, rate: pd.Series, amp: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_wav(int(d), int(r), int(a))
+                for d, r, a in zip(dur, rate, amp)
+            ]
         )
-        .select(
-            "asset_id",
-            "format",
-            F.col("width").cast("long").alias("width"),
-            F.col("height").cast("long").alias("height"),
-            (F.col("width").cast("long") * F.col("height").cast("long")).alias(
-                "n_pixels"
-            ),
-        )
+
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.lit("wav").alias("format"),
+        (1 + F.col("doc_id") % 4).cast("int").alias("dur"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        # shiftleft's Python wrapper takes a literal bit count only —
+        # go through SQL for a column-valued shift.
+        F.expr("shiftleft(256, CAST(doc_id % 7 AS INT))").alias("amp"),
+    ).withColumn("payload", make_wav("dur", "rate", "amp"))
+    feats = extract_audio_features(
+        assets.select("asset_id", "modality", "format", "payload"),
+        decode="real",
+    )
+    return feats.select(
+        "asset_id",
+        F.col("duration_sec").cast("long").alias("duration_sec"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("loudness_proxy").cast("long").alias("loudness_proxy"),
     )

@@ -896,3 +896,17 @@ def test_triangle_count_reuses_pair_subtree(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed[:2000]
+
+
+@pytest.mark.parametrize(
+    "query", ["image_decode_roundtrip", "audio_decode_roundtrip"]
+)
+def test_multimodal_roundtrips_zero_shuffle(spark, sf_dir, query):
+    """The multimodal roundtrip queries promise pure per-partition
+    pipelines: synthesis UDF → mapInPandas decode with NO Exchange —
+    the property that makes binary decode a flat map over a 100 TB
+    asset table. A join sneaking back in (e.g. to re-fetch a column
+    the key already determines) shows up here."""
+    plan = _plan(QUERIES[query](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
