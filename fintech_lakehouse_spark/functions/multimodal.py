@@ -78,7 +78,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 # ---- stdlib-only real decoders (no third-party codecs) -------------------
 
 # Formats the real path can decode with the standard library alone.
-STDLIB_IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png")
+STDLIB_IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png", "jpeg")
 STDLIB_AUDIO_FORMATS = ("wav",)
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -359,6 +359,9 @@ def decode_image_dims(fmt: str, payload: bytes) -> tuple[int | None, int | None]
     if fmt == "png":
         png = read_png_header(payload)
         return (png[0], png[1]) if png else (None, None)
+    if fmt == "jpeg":
+        jpg = read_jpeg_header(payload)
+        return jpg if jpg else (None, None)
     hdr = read_netpbm_header(payload)
     return (hdr[1], hdr[2]) if hdr else (None, None)
 
@@ -669,3 +672,212 @@ def synthesize_wav(duration_sec: int, sample_rate: int, amplitude: int) -> bytes
         w.setframerate(sample_rate)
         w.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+def read_jpeg_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG marker stream by hand — the
+    header-LEVEL stdlib decode (exactly what image libraries do for a
+    lazy ``.size``: walk the marker segments to the first SOF frame
+    header; no entropy decode). Returns None on anything that is not
+    a well-formed marker stream (quarantine, not crash). Full raster
+    decode genuinely needs a DCT codec and stays the documented
+    library-bound seam."""
+    if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    sof_markers = {
+        0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+    }
+    i = 2
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            i += 2
+            continue
+        if i + 4 > len(payload):
+            return None
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seglen < 2:
+            return None
+        if marker in sof_markers:
+            if i + 9 > len(payload):
+                return None
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            if width <= 0 or height <= 0:
+                return None
+            return width, height
+        i += 2 + seglen
+    return None
+
+
+def synthesize_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal well-formed JPEG marker stream (SOI + JFIF APP0 + SOF0
+    for one component + EOI) carrying the programmed dimensions — the
+    generation half of the header-level roundtrip. Deliberately
+    carries no entropy-coded data: the contract under test is marker
+    walking and SOF parsing, which is all any engine does for
+    metadata extraction."""
+    app0 = (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia"}
+
+
+def read_mp4_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(duration_sec, width, height) from an ISO-BMFF (MP4) box tree
+    by hand: walk [size|type|data] boxes, recurse into containers,
+    read timescale+duration from ``mvhd`` (v0/v1) and the 16.16
+    fixed-point presentation dims from ``tkhd``. Header-level only —
+    frame decode stays the ffmpeg-bound seam — but this is the real
+    box grammar real .mp4 files carry."""
+    duration_sec = width = height = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal duration_sec, width, height
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return
+            if btype in _MP4_CONTAINERS:
+                walk(i + 8, i + size)
+            elif btype == b"mvhd" and size >= 8 + 4:
+                ver = payload[i + 8]
+                if ver == 1 and size >= 8 + 4 + 16 + 12:
+                    ts = int.from_bytes(payload[i + 28 : i + 32], "big")
+                    dur = int.from_bytes(payload[i + 32 : i + 40], "big")
+                elif size >= 8 + 4 + 8 + 8:
+                    ts = int.from_bytes(payload[i + 20 : i + 24], "big")
+                    dur = int.from_bytes(payload[i + 24 : i + 28], "big")
+                else:
+                    return
+                if ts > 0:
+                    duration_sec = dur // ts
+            elif btype == b"tkhd" and size >= 92:
+                width = int.from_bytes(payload[i + size - 8 : i + size - 4], "big") >> 16
+                height = int.from_bytes(payload[i + size - 4 : i + size], "big") >> 16
+            i += size
+
+    if not payload or len(payload) < 16:
+        return None
+    walk(0, len(payload))
+    if duration_sec is None or not width or not height:
+        return None
+    return duration_sec, width, height
+
+
+def synthesize_mp4_header(duration_sec: int, width: int, height: int) -> bytes:
+    """Minimal ISO-BMFF box tree (ftyp + moov{mvhd, trak{tkhd}}) with
+    the programmed duration (timescale 1000) and 16.16 dims — the
+    generation half of the mp4 header roundtrip."""
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return (8 + len(data)).to_bytes(4, "big") + btype + data
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + (0).to_bytes(4, "big") * 2             # ctime, mtime
+        + (1000).to_bytes(4, "big")              # timescale
+        + (duration_sec * 1000).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")        # rate 1.0
+        + (0x0100).to_bytes(2, "big")            # volume 1.0
+        + b"\x00" * 10                           # reserved
+        + b"\x00" * 36                           # matrix
+        + b"\x00" * 24                           # pre_defined
+        + (2).to_bytes(4, "big"),                # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"                      # version 0 + flags
+        + (0).to_bytes(4, "big") * 2             # ctime, mtime
+        + (1).to_bytes(4, "big")                 # track_ID
+        + (0).to_bytes(4, "big")                 # reserved
+        + (duration_sec * 1000).to_bytes(4, "big")
+        + b"\x00" * 8                            # reserved
+        + b"\x00" * 8                            # layer/alt/volume/resv
+        + b"\x00" * 36                           # matrix
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("duration_sec", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content_digest", StringType(), True),
+    ]
+)
+
+STDLIB_VIDEO_FORMATS = ("mp4",)
+
+
+def extract_video_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
+    """Arrow-batched video metadata extraction — the third modality on
+    the same mapInPandas pattern. Real mode parses the ISO-BMFF box
+    tree by hand (``read_mp4_header``: mvhd duration, tkhd dims);
+    frame/pixel decode remains the documented ffmpeg-bound seam
+    (``sample_video_frames``)."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def batches(iterator: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in iterator:
+            durations: list[int | None] = []
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            digests: list[str] = []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                d = hashlib.sha256(p or b"").hexdigest()
+                digests.append(d)
+                if decode == "fake":
+                    durations.append(1 + int(d[:4], 16) % 3600)
+                    widths.append((640, 1280, 1920)[int(d[4], 16) % 3])
+                    heights.append((360, 720, 1080)[int(d[4], 16) % 3])
+                elif fmt in STDLIB_VIDEO_FORMATS:
+                    hdr = read_mp4_header(p)
+                    durations.append(hdr[0] if hdr else None)
+                    widths.append(hdr[1] if hdr else None)
+                    heights.append(hdr[2] if hdr else None)
+                else:
+                    raise NotImplementedError(
+                        f"real decode of format {fmt!r} requires ffmpeg/av "
+                        f"(not in this container); stdlib real path covers "
+                        f"{STDLIB_VIDEO_FORMATS}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "duration_sec": pd.array(durations, dtype="Int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "content_digest": digests,
+                }
+            )
+
+    return assets.filter(F.col("modality") == "video").mapInPandas(
+        batches, VIDEO_FEATURES_SCHEMA
+    )

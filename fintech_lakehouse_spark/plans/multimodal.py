@@ -165,3 +165,95 @@ def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rate").cast("long").alias("sample_rate"),
         F.col("loudness_proxy").cast("long").alias("loudness_proxy"),
     )
+
+
+@register(
+    "media_header_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'mp4' END AS format,
+           CAST(16 + doc_id % 32 AS BIGINT) AS width,
+           CAST(16 + doc_id % 24 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE 1 + doc_id % 90 END AS BIGINT) AS duration_sec
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-LEVEL metadata roundtrip for the library-bound formats
+    (the third multimodal driver check, next to the raster-real image
+    and audio roundtrips): JPEG marker-stream dims via ``read_jpeg_
+    header`` and MP4 ISO-BMFF box-tree duration/dims via
+    ``read_mp4_header`` — the stdlib-by-hand parsers for exactly the
+    metadata any engine extracts without a full codec (lazy ``.size``
+    / container probing). Payloads are synthesized marker streams /
+    box trees with programmed values; full raster/frame decode stays
+    the documented DCT/ffmpeg seam, and this query pins everything
+    ABOVE that seam under the driver hash. duration_sec is 0 (not
+    null) for images — a typed-null column would flip the comparator
+    dtype.
+
+    Scale shape: same as the other roundtrips — two partition-
+    preserving Arrow stages per modality branch, zero Exchange; the
+    jpeg branch runs extract_image_features, the mp4 branch
+    extract_video_features, and the union is a partition-local
+    concatenation (no shuffle)."""
+    from pyspark.sql.types import BinaryType
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        extract_image_features,
+        extract_video_features,
+        synthesize_jpeg_header,
+        synthesize_mp4_header,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def make_media(fmt: pd.Series, w: pd.Series, h: pd.Series, dur: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_jpeg_header(int(wi), int(hi))
+                if f == "jpeg"
+                else synthesize_mp4_header(int(d), int(wi), int(hi))
+                for f, wi, hi, d in zip(fmt, w, h, dur)
+            ]
+        )
+
+    documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("jpeg"))
+        .otherwise(F.lit("mp4"))
+        .alias("format"),
+        (16 + F.col("doc_id") % 32).cast("int").alias("w"),
+        (16 + F.col("doc_id") % 24).cast("int").alias("h"),
+        (1 + F.col("doc_id") % 90).cast("int").alias("dur"),
+    ).withColumn("payload", make_media("format", "w", "h", "dur"))
+    jpeg_feats = extract_image_features(
+        assets.filter(F.col("format") == "jpeg").select(
+            "asset_id", "format", "payload"
+        ),
+        decode="real",
+    ).select(
+        "asset_id",
+        F.lit("jpeg").alias("format"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lit(0).cast("long").alias("duration_sec"),
+    )
+    mp4_feats = extract_video_features(
+        assets.filter(F.col("format") == "mp4").select(
+            "asset_id",
+            F.lit("video").alias("modality"),
+            "format",
+            "payload",
+        ),
+        decode="real",
+    ).select(
+        "asset_id",
+        F.lit("mp4").alias("format"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_sec").cast("long").alias("duration_sec"),
+    )
+    return jpeg_feats.unionByName(mp4_feats)

@@ -1003,3 +1003,67 @@ def test_png_oversized_dims_quarantine(spark):
     )
     feats = extract_image_features(assets, decode="real").collect()
     assert feats[0]["width"] is None
+
+
+def test_jpeg_header_parse_and_quarantine():
+    """Header-level JPEG decode: marker walk to SOF dims; truncated,
+    non-JPEG, and dimension-less streams quarantine to None."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_jpeg_header,
+        synthesize_jpeg_header,
+    )
+
+    assert read_jpeg_header(synthesize_jpeg_header(640, 480)) == (640, 480)
+    assert read_jpeg_header(synthesize_jpeg_header(1, 1)) == (1, 1)
+    payload = synthesize_jpeg_header(640, 480)
+    assert read_jpeg_header(payload[:6]) is None          # truncated
+    assert read_jpeg_header(b"") is None
+    assert read_jpeg_header(b"\x89PNG\r\n\x1a\n") is None  # wrong magic
+    # SOI immediately followed by EOI: well-formed but no frame header
+    assert read_jpeg_header(b"\xff\xd8\xff\xd9") is None
+    # progressive (SOF2) dims parse the same way
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2")
+    assert read_jpeg_header(prog) == (640, 480)
+
+
+def test_mp4_header_parse_and_quarantine():
+    """ISO-BMFF box walk: mvhd duration + tkhd 16.16 dims; corrupt box
+    sizes and missing boxes quarantine to None."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp4_header,
+        synthesize_mp4_header,
+    )
+
+    assert read_mp4_header(synthesize_mp4_header(75, 1920, 1080)) == (
+        75, 1920, 1080,
+    )
+    payload = synthesize_mp4_header(75, 1920, 1080)
+    assert read_mp4_header(payload[:20]) is None          # truncated
+    assert read_mp4_header(b"") is None
+    assert read_mp4_header(b"\x00" * 32) is None          # zero box sizes
+    # ftyp alone (no moov) carries no metadata
+    assert read_mp4_header(payload[:16]) is None
+
+
+def test_video_features_real_mp4(spark):
+    """extract_video_features(decode='real') parses mp4 box trees
+    distributed via mapInPandas; a corrupt payload quarantines to
+    nulls instead of failing the batch."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        extract_video_features,
+        synthesize_mp4_header,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "video", "mp4", synthesize_mp4_header(10, 640, 360)),
+            (2, "video", "mp4", b"not an mp4"),
+        ],
+        "asset_id long, modality string, format string, payload binary",
+    )
+    rows = {
+        r["asset_id"]: (r["duration_sec"], r["width"], r["height"])
+        for r in extract_video_features(assets, decode="real").collect()
+    }
+    assert rows[1] == (10, 640, 360)
+    assert rows[2] == (None, None, None)

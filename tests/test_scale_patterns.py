@@ -899,7 +899,12 @@ def test_triangle_count_reuses_pair_subtree(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "query", ["image_decode_roundtrip", "audio_decode_roundtrip"]
+    "query",
+    [
+        "image_decode_roundtrip",
+        "audio_decode_roundtrip",
+        "media_header_roundtrip",
+    ],
 )
 def test_multimodal_roundtrips_zero_shuffle(spark, sf_dir, query):
     """The multimodal roundtrip queries promise pure per-partition
