@@ -79,7 +79,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 # Formats the real path can decode with the standard library alone.
 STDLIB_IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png", "jpeg")
-STDLIB_AUDIO_FORMATS = ("wav",)
+STDLIB_AUDIO_FORMATS = ("wav", "mp3")
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # 8-bit color types this decoder handles → channel count
@@ -512,6 +512,13 @@ def extract_audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame
                         (8000, 16000, 22050, 44100, 48000)[int(d[4], 16) % 5]
                     )
                     loudness.append(int(d[5:7], 16))
+                elif fmt == "mp3":
+                    # header-level: frame walk gives duration + rate;
+                    # loudness needs PCM (the library-bound seam).
+                    mp3 = read_mp3_header(p)
+                    durations.append(mp3[0] if mp3 else None)
+                    rates.append(mp3[1] if mp3 else None)
+                    loudness.append(None)
                 elif fmt in STDLIB_AUDIO_FORMATS:
                     dec = decode_wav(p)
                     durations.append(dec[0] if dec else None)
@@ -881,3 +888,60 @@ def extract_video_features(assets: DataFrame, decode: str = "fake") -> DataFrame
     return assets.filter(F.col("modality") == "video").mapInPandas(
         batches, VIDEO_FEATURES_SCHEMA
     )
+
+
+# MPEG1 Layer III bitrate table (kbps), index 1-14; 0/15 invalid.
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_SAMPLE_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def read_mp3_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(duration_sec, sample_rate, n_frames) by walking MPEG1 Layer
+    III frame headers — header-level stdlib decode (the CBR duration
+    estimate every tag reader computes: frames x 1152 / rate). Frame
+    size = 144·bitrate/rate + padding, so the walk is exact for
+    well-formed CBR streams; anything that never syncs quarantines to
+    None. PCM decode of the entropy-coded granules stays the
+    library-bound seam."""
+    if not payload:
+        return None
+    i, n, frames, rate = 0, len(payload), 0, None
+    while i + 4 <= n:
+        if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+            b1, b2 = payload[i + 1], payload[i + 2]
+            if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:
+                return None  # not MPEG1 Layer III
+            br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+            pad = (b2 >> 1) & 1
+            if br_idx in (0, 15) or sr_idx == 3:
+                return None
+            rate = _MP3_SAMPLE_RATES[sr_idx]
+            fsize = (144 * _MP3_BITRATES[br_idx] * 1000) // rate + pad
+            if fsize < 4:
+                return None
+            frames += 1
+            i += fsize
+        elif frames == 0:
+            i += 1  # scan past leading junk/ID3 to the first sync
+        else:
+            break
+    if frames == 0 or rate is None:
+        return None
+    return (frames * MP3_SAMPLES_PER_FRAME) // rate, rate, frames
+
+
+def synthesize_mp3(n_frames: int, sample_rate_idx: int) -> bytes:
+    """``n_frames`` back-to-back 128 kbps MPEG1 Layer III frame
+    headers with zeroed side info — the generation half of the mp3
+    header roundtrip (the walk/duration grammar is under test, not
+    the granule entropy data)."""
+    rate = _MP3_SAMPLE_RATES[sample_rate_idx]
+    fsize = (144 * 128 * 1000) // rate  # padding bit 0
+    header = bytes(
+        [0xFF, 0xFB, (9 << 4) | (sample_rate_idx << 2), 0x00]
+    )  # sync, MPEG1 L3 no-CRC, bitrate idx 9 = 128kbps
+    frame = header + b"\x00" * (fsize - 4)
+    return frame * n_frames

@@ -171,11 +171,19 @@ def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_header_roundtrip",
     oracle="""
     SELECT doc_id AS asset_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'mp4' END AS format,
-           CAST(16 + doc_id % 32 AS BIGINT) AS width,
-           CAST(16 + doc_id % 24 AS BIGINT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-                     ELSE 1 + doc_id % 90 END AS BIGINT) AS duration_sec
+           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp4'
+                ELSE 'mp3' END AS format,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                     ELSE 16 + doc_id % 32 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                     ELSE 16 + doc_id % 24 END AS BIGINT) AS height,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 0
+                WHEN 1 THEN 1 + doc_id % 90
+                ELSE ((30 + doc_id % 300) * 1152)
+                     // (CASE (doc_id // 3) % 3 WHEN 0 THEN 44100
+                         WHEN 1 THEN 48000 ELSE 32000 END)
+                END AS BIGINT) AS duration_sec
     FROM documents
     WHERE doc_id < 200
     """,
@@ -183,52 +191,64 @@ def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-LEVEL metadata roundtrip for the library-bound formats
     (the third multimodal driver check, next to the raster-real image
-    and audio roundtrips): JPEG marker-stream dims via ``read_jpeg_
-    header`` and MP4 ISO-BMFF box-tree duration/dims via
-    ``read_mp4_header`` — the stdlib-by-hand parsers for exactly the
+    and audio roundtrips): JPEG marker-stream dims via
+    ``read_jpeg_header``, MP4 ISO-BMFF box-tree duration/dims via
+    ``read_mp4_header``, and MP3 CBR frame-walk duration via
+    ``read_mp3_header`` — the stdlib-by-hand parsers for exactly the
     metadata any engine extracts without a full codec (lazy ``.size``
-    / container probing). Payloads are synthesized marker streams /
-    box trees with programmed values; full raster/frame decode stays
-    the documented DCT/ffmpeg seam, and this query pins everything
-    ABOVE that seam under the driver hash. duration_sec is 0 (not
-    null) for images — a typed-null column would flip the comparator
-    dtype.
+    / container probing / tag-reader duration). Payloads are
+    synthesized marker streams / box trees / frame chains with
+    programmed values; raster/granule/frame decode stays the
+    documented DCT/ffmpeg seam, and this query pins everything ABOVE
+    that seam under the driver hash. Non-applicable fields carry 0
+    (not null) — a typed-null column would flip the comparator dtype.
 
-    Scale shape: same as the other roundtrips — two partition-
-    preserving Arrow stages per modality branch, zero Exchange; the
-    jpeg branch runs extract_image_features, the mp4 branch
-    extract_video_features, and the union is a partition-local
+    Scale shape: same as the other roundtrips — partition-preserving
+    Arrow stages per modality branch, zero Exchange; jpeg rides
+    extract_image_features, mp4 extract_video_features, mp3
+    extract_audio_features, and the union is a partition-local
     concatenation (no shuffle)."""
     from pyspark.sql.types import BinaryType
 
     from fintech_lakehouse_spark.functions.multimodal import (
+        extract_audio_features,
         extract_image_features,
         extract_video_features,
         synthesize_jpeg_header,
+        synthesize_mp3,
         synthesize_mp4_header,
     )
 
     @F.pandas_udf(BinaryType())
-    def make_media(fmt: pd.Series, w: pd.Series, h: pd.Series, dur: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                synthesize_jpeg_header(int(wi), int(hi))
-                if f == "jpeg"
-                else synthesize_mp4_header(int(d), int(wi), int(hi))
-                for f, wi, hi, d in zip(fmt, w, h, dur)
-            ]
-        )
+    def make_media(
+        fmt: pd.Series, w: pd.Series, h: pd.Series,
+        dur: pd.Series, frames: pd.Series, sridx: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for f, wi, hi, d, nf, sri in zip(fmt, w, h, dur, frames, sridx):
+            if f == "jpeg":
+                out.append(synthesize_jpeg_header(int(wi), int(hi)))
+            elif f == "mp4":
+                out.append(synthesize_mp4_header(int(d), int(wi), int(hi)))
+            else:
+                out.append(synthesize_mp3(int(nf), int(sri)))
+        return pd.Series(out)
 
     documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     assets = documents.select(
         F.col("doc_id").alias("asset_id"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("jpeg"))
-        .otherwise(F.lit("mp4"))
+        F.when(F.col("doc_id") % 3 == 0, F.lit("jpeg"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("mp4"))
+        .otherwise(F.lit("mp3"))
         .alias("format"),
         (16 + F.col("doc_id") % 32).cast("int").alias("w"),
         (16 + F.col("doc_id") % 24).cast("int").alias("h"),
         (1 + F.col("doc_id") % 90).cast("int").alias("dur"),
-    ).withColumn("payload", make_media("format", "w", "h", "dur"))
+        (30 + F.col("doc_id") % 300).cast("int").alias("frames"),
+        F.expr("CAST((doc_id DIV 3) % 3 AS INT)").alias("sridx"),
+    ).withColumn(
+        "payload", make_media("format", "w", "h", "dur", "frames", "sridx")
+    )
     jpeg_feats = extract_image_features(
         assets.filter(F.col("format") == "jpeg").select(
             "asset_id", "format", "payload"
@@ -256,4 +276,19 @@ def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         F.col("duration_sec").cast("long").alias("duration_sec"),
     )
-    return jpeg_feats.unionByName(mp4_feats)
+    mp3_feats = extract_audio_features(
+        assets.filter(F.col("format") == "mp3").select(
+            "asset_id",
+            F.lit("audio").alias("modality"),
+            "format",
+            "payload",
+        ),
+        decode="real",
+    ).select(
+        "asset_id",
+        F.lit("mp3").alias("format"),
+        F.lit(0).cast("long").alias("width"),
+        F.lit(0).cast("long").alias("height"),
+        F.col("duration_sec").cast("long").alias("duration_sec"),
+    )
+    return jpeg_feats.unionByName(mp4_feats).unionByName(mp3_feats)

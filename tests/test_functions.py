@@ -1067,3 +1067,23 @@ def test_video_features_real_mp4(spark):
     }
     assert rows[1] == (10, 640, 360)
     assert rows[2] == (None, None, None)
+
+
+def test_mp3_header_parse_and_quarantine():
+    """MP3 CBR frame walk: duration = frames x 1152 / rate; junk
+    prefixes are scanned past, non-MPEG1-L3 streams quarantine."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp3_header,
+        synthesize_mp3,
+    )
+
+    assert read_mp3_header(synthesize_mp3(120, 0)) == (3, 44100, 120)
+    assert read_mp3_header(synthesize_mp3(240, 2)) == (8, 32000, 240)
+    # leading junk before the first sync is scanned past (ID3-ish)
+    assert read_mp3_header(b"ID3junk" + synthesize_mp3(120, 1)) == (
+        2, 48000, 120,
+    )
+    assert read_mp3_header(b"") is None
+    assert read_mp3_header(b"\x00" * 64) is None
+    # a sync that is not MPEG1 Layer III quarantines
+    assert read_mp3_header(b"\xff\xe2\x90\x00" + b"\x00" * 40) is None
