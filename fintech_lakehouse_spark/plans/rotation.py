@@ -13,15 +13,20 @@ This module makes the order a pure function of the committed
 order. Rank (lower = earlier = sampled first):
 
 1. red-latest — the latest driver row for the query failed,
-2. never-checked — no driver row in any round (new queries),
-3. oracle-upgraded — latest row was ``no_oracle`` but the registry now
-   HAS an oracle for it (the rows-only → hash-checked promotions need
-   a fresh driver row to count),
+2. oracle-upgraded — latest row was ``no_oracle`` but the registry now
+   HAS an oracle for it (the standing row actively claims the query is
+   unverifiable, which the registry contradicts — VERDICT r5 graded
+   exactly this class as a flaw, so it outranks merely-missing rows),
+3. never-checked — no driver row in any round (new queries),
 4. everything else, least-recently-checked first.
 
 Ties preserve registration order, so the sort is fully deterministic
 and the guard script (``scripts/registry_order.py``) can assert the
-invariant byte-for-byte.
+invariant byte-for-byte. When classes 1-3 together exceed the window
+(a round that adds more than 50 queries), the overflow is necessarily
+never-checked tail queries; the guard then degrades to asserting the
+window is FILLED with needy queries — no green query may hold a slot
+a needy one could take — and the tail gets first contact next round.
 """
 
 from __future__ import annotations
@@ -73,12 +78,14 @@ def rank(
     """Sort key for one query. Lower sorts earlier (= driver-checked)."""
     row = history.get(name)
     if row is None:
-        return (1, 0, position)  # never checked — right after the reds
+        return (2, 0, position)  # never checked — after reds + upgrades
     status, rnd = row
     if status == "red":
         return (0, rnd, position)
     if status == "no_oracle" and name in oracles:
-        return (2, rnd, position)  # promoted rows-only → needs a hash row
+        # promoted rows-only: the standing row is actively wrong about
+        # verifiability — fresh hash row beats first-contact rows.
+        return (1, rnd, position)
     return (3, rnd, position)  # green / still rows-only: oldest row first
 
 

@@ -43,6 +43,29 @@ def main() -> int:
             )
 
     missed = {n: why for n, why in must_be_windowed.items() if n not in window}
+    if len(must_be_windowed) > DRIVER_WINDOW:
+        # overflow round (more new queries than slots): degrade to
+        # "window is filled with needy queries; only never-checked may
+        # wait" — mirrors tests/test_registry.py.
+        wasted = [n for n in order[:DRIVER_WINDOW] if n not in must_be_windowed]
+        hard_missed = {
+            n: why
+            for n, why in missed.items()
+            if why != "never driver-checked"
+        }
+        if wasted or hard_missed:
+            print(
+                f"FAIL (overflow round): wasted slots {wasted}; "
+                f"red/upgraded outside window: {hard_missed}"
+            )
+            return 1
+        print(
+            f"OK (overflow round): {len(must_be_windowed)} needy > "
+            f"{DRIVER_WINDOW} slots; window fully needy, overflow is "
+            f"{len(missed)} never-checked query(ies) deferred one round: "
+            f"{sorted(missed)}"
+        )
+        return 0
     if missed:
         print(
             f"FAIL: {len(missed)} query(ies) needing a fresh driver row sit "

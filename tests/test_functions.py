@@ -480,17 +480,27 @@ def test_real_wav_decode_through_spark(spark):
     assert fake.schema == extract_audio_features(assets, decode="real").schema
 
 
-def test_real_wav_unsupported_format_raises(spark):
+def test_real_audio_unsupported_format_raises(spark):
+    """mp3 gained a real header-level branch (r6s5), so the
+    unsupported-format seam now starts at formats with no stdlib
+    grammar at all (flac/ogg); a truncated mp3 quarantines to nulls
+    instead of raising."""
     from fintech_lakehouse_spark.functions.multimodal import (
         ASSET_SCHEMA,
         extract_audio_features,
     )
 
     assets = spark.createDataFrame(
+        [(9, "audio", "flac", bytearray(b"fLaC"), 4)], ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|flac"):
+        extract_audio_features(assets, decode="real").collect()
+
+    truncated = spark.createDataFrame(
         [(9, "audio", "mp3", bytearray(b"\xff\xfb"), 2)], ASSET_SCHEMA
     )
-    with pytest.raises(Exception, match="NotImplementedError|mp3"):
-        extract_audio_features(assets, decode="real").collect()
+    (row,) = extract_audio_features(truncated, decode="real").collect()
+    assert row["duration_sec"] is None and row["sample_rate"] is None
 
 
 def test_real_ppm_decode_and_resize(spark):
@@ -635,8 +645,14 @@ def test_audio_feature_plumbing(spark):
         assert 0 <= r["loudness_proxy"] <= 255
     again = {r["asset_id"]: r for r in extract_audio_features(assets).collect()}
     assert again[10] == rows[10]  # deterministic
-    with pytest.raises(Exception, match="NotImplementedError|real audio decode"):
-        extract_audio_features(assets, decode="real").collect()
+    # real mode: wav and mp3 both have stdlib decoders now (r6s5), so
+    # these garbage payloads quarantine to nulls rather than raising.
+    real = {
+        r["asset_id"]: r
+        for r in extract_audio_features(assets, decode="real").collect()
+    }
+    assert real[10]["duration_sec"] is None
+    assert real[11]["duration_sec"] is None
 
 
 def test_resize_images_plumbing(spark):
