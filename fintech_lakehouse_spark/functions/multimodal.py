@@ -14,12 +14,17 @@ Decode modes (VERDICT r3 item 6 upgraded the seam):
   netpbm header + raw pixels; resize is a genuine nearest-neighbor
   numpy kernel), **BMP** (hand header parse + 24-bit raster), and
   **PNG** (full chunk walk + zlib inflate + scanline unfiltering for
-  the 8-bit non-interlaced subset — ``decode_png_pixels``). Formats
-  that genuinely require an absent codec library (jpeg → PIL, mp3 →
-  librosa, mp4 → ffmpeg) still raise NotImplementedError — that seam
-  is the documented boundary, not padding. A payload of a SUPPORTED format that fails to parse yields
-  null features (the quarantine-not-crash pattern a 100 TB ingest
-  needs: one corrupt file must not kill the stage).
+  the 8-bit non-interlaced subset — ``decode_png_pixels``), plus
+  header-LEVEL metadata parsers for the codec-library formats:
+  **JPEG** (marker walk to the SOF frame header — dims only),
+  **MP4** (ISO-BMFF box tree — mvhd duration, tkhd dims), and
+  **MP3** (CBR frame walk — duration/rate; loudness stays null).
+  Only the layers genuinely requiring an absent codec library still
+  raise NotImplementedError — jpeg RASTER decode/resize (DCT), mp3
+  PCM granules, mp4 frames — that seam is the documented boundary,
+  not padding. A payload of a SUPPORTED format that fails to parse
+  yields null features (the quarantine-not-crash pattern a 100 TB
+  ingest needs: one corrupt file must not kill the stage).
 """
 
 from __future__ import annotations
@@ -584,13 +589,17 @@ def resize_images(
                     out.append(resize_bmp_nearest(p, width, height))
                 elif fmt == "png":
                     out.append(resize_png_nearest(p, width, height))
-                elif fmt in STDLIB_IMAGE_FORMATS:
+                elif fmt in ("ppm", "pgm"):
                     out.append(resize_ppm_nearest(p, width, height))
                 else:
+                    # jpeg is in STDLIB_IMAGE_FORMATS for header-level
+                    # dims only — RESIZE needs raster decode (DCT), so
+                    # it must hit this loud seam, not silently
+                    # quarantine through the netpbm kernel.
                     raise NotImplementedError(
                         f"real resize of format {fmt!r} requires PIL/libvips "
-                        f"(not in this container); stdlib real path covers "
-                        f"{STDLIB_IMAGE_FORMATS}"
+                        f"(not in this container); stdlib resize covers "
+                        f"ppm/pgm/bmp/png"
                     )
             yield pd.DataFrame(
                 {
@@ -699,6 +708,11 @@ def read_jpeg_header(payload: bytes) -> tuple[int, int] | None:
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             return None
+        # any number of 0xFF fill bytes may pad before a marker id
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(payload):
+            return None
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI before any SOF
             return None
@@ -775,9 +789,14 @@ def read_mp4_header(payload: bytes) -> tuple[int, int, int] | None:
                     return
                 if ts > 0:
                     duration_sec = dur // ts
-            elif btype == b"tkhd" and size >= 92:
-                width = int.from_bytes(payload[i + size - 8 : i + size - 4], "big") >> 16
-                height = int.from_bytes(payload[i + size - 4 : i + size], "big") >> 16
+            elif btype == b"tkhd" and size >= 92 and width is None:
+                w = int.from_bytes(payload[i + size - 8 : i + size - 4], "big") >> 16
+                h = int.from_bytes(payload[i + size - 4 : i + size], "big") >> 16
+                # audio/subtitle tracks carry 0x0 presentation dims —
+                # keep scanning for the (first) visual track instead
+                # of letting a later track overwrite the real dims.
+                if w > 0 and h > 0:
+                    width, height = w, h
             i += size
 
     if not payload or len(payload) < 16:
@@ -912,14 +931,23 @@ def read_mp3_header(payload: bytes) -> tuple[int, int, int] | None:
     while i + 4 <= n:
         if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
             b1, b2 = payload[i + 1], payload[i + 2]
-            if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:
-                return None  # not MPEG1 Layer III
-            br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
-            pad = (b2 >> 1) & 1
-            if br_idx in (0, 15) or sr_idx == 3:
-                return None
+            valid = (
+                (b1 >> 3) & 3 == 3          # MPEG1
+                and (b1 >> 1) & 3 == 1      # Layer III
+                and b2 >> 4 not in (0, 15)  # bitrate index
+                and (b2 >> 2) & 3 != 3      # sample-rate index
+            )
+            if not valid:
+                if frames == 0:
+                    # FALSE sync inside leading junk (ID3 binary
+                    # frames — album art — routinely contain 0xFF Ex
+                    # bytes): keep scanning for the first real frame.
+                    i += 1
+                    continue
+                break  # garbage after valid frames: end of stream
+            sr_idx, pad = (b2 >> 2) & 3, (b2 >> 1) & 1
             rate = _MP3_SAMPLE_RATES[sr_idx]
-            fsize = (144 * _MP3_BITRATES[br_idx] * 1000) // rate + pad
+            fsize = (144 * _MP3_BITRATES[b2 >> 4] * 1000) // rate + pad
             if fsize < 4:
                 return None
             frames += 1

@@ -701,25 +701,15 @@ def foreach_batch_cdf(
         # dangerous retry window is AFTER the upsert commits: there
         # the recomputed diff is empty and an overwrite would erase
         # the batch's changelog rows. A partial write (no _SUCCESS)
-        # is replaced cleanly by the overwrite. Remote URIs can't
-        # check the marker driver-side and keep overwrite-always
-        # (at-least-once per batch dir, still never root-level dups).
+        # is replaced cleanly by the overwrite. The marker probe goes
+        # through the path's own Hadoop FileSystem (_dir_committed),
+        # so remote URIs get the same exactly-once skip as local ones.
         # Readers of the root see the `batch` partition column plus
         # the `_batch_id` data column (identical values; the data
         # column is kept because underscore-prefixed partition DIRS
         # would be invisible to parquet partition discovery).
-        import os as _os
-
         batch_dir = f"{changelog_path.rstrip('/')}/batch={batch_id}"
-        local = (
-            batch_dir[len("file:"):]
-            if batch_dir.startswith("file:")
-            else batch_dir
-        )
-        committed = "://" not in local and _os.path.exists(
-            _os.path.join(local, "_SUCCESS")
-        )
-        if not committed:
+        if not _dir_committed(spark, batch_dir):
             changelog.withColumn("_batch_id", F.lit(batch_id)).write.mode(
                 "overwrite"
             ).parquet(batch_dir)
@@ -728,6 +718,26 @@ def foreach_batch_cdf(
         )
 
     return _write
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path``'s scheme — the driver-side file
+    probe that works identically for file:/bare-local, hdfs:// and
+    s3a:// paths (same pattern as sources/writers.py's staging
+    cleanup). Shared by every sink that checks commit markers so the
+    remote-URI policy lives in exactly one place."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _dir_committed(spark: SparkSession, directory: str) -> bool:
+    """True when ``directory`` holds a _SUCCESS commit marker."""
+    fs, jvm = _hadoop_fs(spark, directory)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(directory.rstrip("/") + "/_SUCCESS")
+    )
 
 
 def table_as_of_batch(
@@ -749,10 +759,18 @@ def table_as_of_batch(
     ONE keyed window takes each key's latest change and drops keys
     whose latest change is a delete. Cost scales with CHANGE
     cardinality up to N, not table size — the whole point of
-    record-at-write CDF vs re-snapshotting."""
+    record-at-write CDF vs re-snapshotting.
+
+    Works on both changelog vocabularies: ``update_preimage`` rows
+    (emit_preimage=True feeds) are dropped BEFORE the window — they
+    carry the values a key had before its update, and with only
+    ``_batch_id`` to order by they would tie with the postimage row
+    and nondeterministically win the row_number race."""
     from pyspark.sql.window import Window
 
-    log = spark.read.parquet(changelog_path)
+    log = spark.read.parquet(changelog_path).filter(
+        F.col("_change_type") != "update_preimage"
+    )
     if batch_id is not None:
         log = log.filter(F.col("_batch_id") <= batch_id)
     w = Window.partitionBy(key).orderBy(F.col("_batch_id").desc())
@@ -770,18 +788,20 @@ def read_materialized_view(
     """Read the latest committed version of a foreach_batch_ivm view
     (or a specific ``version`` — the view-side VERSION AS OF, the
     companion of table_as_of_batch). Returns None if no committed
-    version exists yet."""
-    import os as _os
-
-    local = (
-        view_path[len("file:"):] if view_path.startswith("file:") else view_path
-    )
-    if not _os.path.isdir(local):
+    version exists yet. Listing goes through the path's own Hadoop
+    FileSystem, so remote view paths (s3a://, hdfs://) resolve their
+    history correctly instead of silently reading as empty — an
+    os.path probe here would make every remote IVM batch bootstrap
+    from None and reset the view to its own delta."""
+    fs, jvm = _hadoop_fs(spark, view_path)
+    root = jvm.org.apache.hadoop.fs.Path(view_path.rstrip("/"))
+    if not fs.exists(root):
         return None
     versions = []
-    for name in _os.listdir(local):
-        if name.startswith("version=") and _os.path.exists(
-            _os.path.join(local, name, "_SUCCESS")
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("version=") and _dir_committed(
+            spark, f"{view_path.rstrip('/')}/{name}"
         ):
             versions.append(int(name.split("=", 1)[1]))
     if version is not None:
@@ -831,15 +851,10 @@ def foreach_batch_ivm(
     sum_aliases = list(sum_cols or {})
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os as _os
-
         spark = batch_df.sparkSession
         root = view_path.rstrip("/")
-        local_root = root[len("file:"):] if root.startswith("file:") else root
         vdir = f"{root}/version={batch_id}"
-        if "://" not in local_root and _os.path.exists(
-            _os.path.join(local_root, f"version={batch_id}", "_SUCCESS")
-        ):
+        if _dir_committed(spark, vdir):
             return  # retry of a committed batch: exactly-once skip
         if batch_df.isEmpty():
             return

@@ -1103,3 +1103,78 @@ def test_mp3_header_parse_and_quarantine():
     assert read_mp3_header(b"\x00" * 64) is None
     # a sync that is not MPEG1 Layer III quarantines
     assert read_mp3_header(b"\xff\xe2\x90\x00" + b"\x00" * 40) is None
+
+
+def test_mp4_multi_track_keeps_video_dims():
+    """A later 0x0-dim track (audio) must not clobber the video
+    track's tkhd dims (review finding r6s5)."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp4_header,
+        synthesize_mp4_header,
+    )
+
+    base = synthesize_mp4_header(30, 1280, 720)
+    # rebuild with an extra audio trak (0x0 dims) appended inside moov
+    def box(btype, data):
+        return (8 + len(data)).to_bytes(4, "big") + btype + data
+
+    audio_tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + (0).to_bytes(4, "big") * 2
+        + (2).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + (30000).to_bytes(4, "big") + b"\x00" * 8 + b"\x00" * 8
+        + b"\x00" * 36 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big"),
+    )
+    audio_trak = box(b"trak", audio_tkhd)
+    # base = ftyp + moov; splice the audio trak into moov
+    ftyp_size = int.from_bytes(base[:4], "big")
+    moov = base[ftyp_size:]
+    moov_body = moov[8:]
+    new_moov = box(b"moov", moov_body + audio_trak)
+    assert read_mp4_header(base[:ftyp_size] + new_moov) == (30, 1280, 720)
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """Spec-legal 0xFF fill bytes before a marker id must not desync
+    the walk (review finding r6s5)."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_jpeg_header,
+        synthesize_jpeg_header,
+    )
+
+    p = synthesize_jpeg_header(31, 17)
+    filled = p[:2] + b"\xff\xff" + p[2:]  # fill bytes before APP0
+    assert read_jpeg_header(filled) == (31, 17)
+
+
+def test_mp3_false_sync_in_leading_junk():
+    """0xFF Ex bytes inside leading junk (ID3 album art) are FALSE
+    syncs — the scan must continue to the first real frame instead of
+    quarantining the whole stream (review finding r6s5)."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp3_header,
+        synthesize_mp3,
+    )
+
+    junk = b"ID3\x04\x00" + b"\xff\xe2\x01\x02" + b"art-bytes"
+    assert read_mp3_header(junk + synthesize_mp3(120, 0)) == (3, 44100, 120)
+
+
+def test_real_resize_jpeg_hits_the_loud_seam(spark):
+    """jpeg is header-decodable but NOT resizable without a DCT codec:
+    resize_images(decode='real') must raise, never silently quarantine
+    valid jpegs through the netpbm kernel (review finding r6s5)."""
+    import pytest as _pytest
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        resize_images,
+        synthesize_jpeg_header,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, "image", "jpeg", bytearray(synthesize_jpeg_header(8, 8)), 0)],
+        ASSET_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(assets, 4, 4, decode="real").collect()

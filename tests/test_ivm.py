@@ -262,3 +262,39 @@ def test_ivm_retry_of_committed_version_is_skipped(spark, tmp_path):
         for r in read_materialized_view(spark, view).collect()
     }
     assert after == first == {"a": (1, 10.0)}
+
+
+def test_table_as_of_batch_ignores_update_preimages(spark, tmp_path):
+    """Time travel over a FOUR-type (emit_preimage=True) changelog must
+    reconstruct post-update values: the preimage row ties with the
+    postimage on _batch_id and would nondeterministically win the
+    latest-change window if not dropped first (review finding r6s5)."""
+    import pandas as pd
+
+    from fintech_lakehouse_spark.streaming import table_as_of_batch
+
+    changelog = tmp_path / "cdf"
+    (changelog / "batch=0").mkdir(parents=True)
+    (changelog / "batch=1").mkdir(parents=True)
+    pd.DataFrame(
+        {
+            "k": [1, 2],
+            "v": [10.0, 20.0],
+            "_change_type": ["insert", "insert"],
+            "_batch_id": [0, 0],
+        }
+    ).to_parquet(changelog / "batch=0" / "part.parquet", index=False)
+    pd.DataFrame(
+        {
+            "k": [1, 1],
+            "v": [10.0, 15.0],
+            "_change_type": ["update_preimage", "update_postimage"],
+            "_batch_id": [1, 1],
+        }
+    ).to_parquet(changelog / "batch=1" / "part.parquet", index=False)
+    for _ in range(20):  # the tie is nondeterministic — hammer it
+        state = {
+            r["k"]: r["v"]
+            for r in table_as_of_batch(spark, str(changelog), key="k").collect()
+        }
+        assert state == {1: 15.0, 2: 20.0}
