@@ -576,3 +576,58 @@ def test_gapfill_locf_matches_python_model(spark, obs):
             expected[(k, d)] = (cnt, carry)
             d += dt.timedelta(days=1)
     assert got == expected
+
+
+@given(
+    st.binary(max_size=512),
+)
+@settings(max_examples=300, deadline=None)
+def test_media_header_parsers_never_crash(payload):
+    """The stdlib header parsers (JPEG marker walk, MP4 box walk, MP3
+    frame walk, BMP/netpbm/PNG headers) must QUARANTINE arbitrary
+    bytes — return None or a valid tuple, never raise. This is the
+    per-row contract that keeps one corrupt file from killing a
+    100 TB ingest stage."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_bmp_header,
+        read_jpeg_header,
+        read_mp3_header,
+        read_mp4_header,
+        read_netpbm_header,
+        read_png_header,
+    )
+
+    for parser in (
+        read_jpeg_header,
+        read_mp4_header,
+        read_mp3_header,
+        read_bmp_header,
+        read_netpbm_header,
+        read_png_header,
+    ):
+        out = parser(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+    prefix=st.binary(max_size=32),
+)
+@settings(max_examples=100, deadline=None)
+def test_jpeg_mp4_roundtrip_survives_prefix_mutation(w, h, prefix):
+    """Synthesized headers round-trip for any dims; prepending junk to
+    an MP4 breaks the box walk cleanly to None (boxes must start at
+    offset 0), never to a wrong answer."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_jpeg_header,
+        read_mp4_header,
+        synthesize_jpeg_header,
+        synthesize_mp4_header,
+    )
+
+    assert read_jpeg_header(synthesize_jpeg_header(w, h)) == (w, h)
+    mp4 = synthesize_mp4_header(w, w, h)
+    assert read_mp4_header(mp4) == (w, w, h)
+    mutated = read_mp4_header(prefix + mp4)
+    assert mutated is None or mutated == (w, w, h)
