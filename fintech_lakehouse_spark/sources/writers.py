@@ -77,6 +77,10 @@ def _is_missing_path(exc: Exception, path: str | None = None) -> bool:
         "Path does not exist" in msg
     ):
         return True
+    # Delta's missing-table class (raised instead of PATH_NOT_FOUND
+    # when delta-spark handles the read): same first-run semantics.
+    if cls == "DELTA_PATH_DOES_NOT_EXIST" or "DELTA_PATH_DOES_NOT_EXIST" in msg:
+        return True
     if cls == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in msg:
         return not (path is not None and _dir_has_data_files(path))
     return False
@@ -193,8 +197,14 @@ def write_lake_table(
     ``compression``: parquet codec (e.g. "zstd" for cold data,
     "snappy" default for hot)."""
     if cluster_by:
-        df = df.repartitionByRange(*[F.col(c) for c in cluster_by])
-        df = df.sortWithinPartitions(*[F.col(c) for c in cluster_by])
+        # When the table is ALSO partitioned, the range partitioning
+        # must lead with the partition columns or every output task
+        # spans many partition values and partitionBy() writes a file
+        # per (task, value) pair — the same tasks x values small-file
+        # explosion the elif branch below exists to prevent.
+        range_cols = [*(partition_by or []), *cluster_by]
+        df = df.repartitionByRange(*[F.col(c) for c in range_cols])
+        df = df.sortWithinPartitions(*[F.col(c) for c in range_cols])
     elif partition_by:
         # One shuffle so output tasks hold whole partition values:
         # without this, every input task writes a file into every
@@ -229,11 +239,18 @@ def read_lake_table(spark: SparkSession, path: str) -> DataFrame:
 def register_lake_table(
     spark: SparkSession, path: str, database: str, table: str
 ) -> None:
-    """Metastore registration DDL (ref: src/utils/spark_utils.py:248-282)."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    """Metastore registration DDL (ref: src/utils/spark_utils.py:248-282).
+
+    Identifiers are backtick-quoted and the location goes through
+    _sql_literal, so a path like /data/o'brien neither breaks the DDL
+    nor lets a crafted name inject into it (the same hardening as the
+    replaceWhere literals)."""
+    db = database.replace("`", "``")
+    tbl = table.replace("`", "``")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {database}.{table} "
-        f"USING {lake_format().upper()} LOCATION '{path}'"
+        f"CREATE TABLE IF NOT EXISTS `{db}`.`{tbl}` "
+        f"USING {lake_format().upper()} LOCATION {_sql_literal(path)}"
     )
 
 
@@ -285,7 +302,11 @@ def upsert_lake_table(
         from delta.tables import DeltaTable
 
         target = DeltaTable.forPath(spark, target_path)
-        cond = " AND ".join(f"target.{k} = source.{k}" for k in merge_keys)
+        # <=> (null-safe equality): a NULL merge key must MATCH its
+        # existing NULL-keyed row, as the parquet window-dedup path
+        # does — plain = never matches NULL, so every replayed batch
+        # would insert a fresh duplicate of the NULL-keyed row.
+        cond = " AND ".join(f"target.{k} <=> source.{k}" for k in merge_keys)
         (
             target.alias("target")
             .merge(source_df.alias("source"), cond)
@@ -333,6 +354,8 @@ def upsert_lake_table(
             .limit(MAX_SELECTIVE_PARTITIONS + 1)
             .collect()
         )
+        if not affected:
+            return  # empty micro-batch: nothing to merge or rewrite
         if len(affected) > MAX_SELECTIVE_PARTITIONS:
             selective = False
         else:
@@ -390,17 +413,49 @@ def upsert_lake_table(
             if tuple(row[c] for c in partition_by) not in remaining
         ]
         if emptied:
+            # Locate the stale dirs through Spark's OWN partition
+            # parsing: hand-building `col=value` names breaks on
+            # Hive-escaped characters (a timestamp's ':' becomes %3A
+            # on disk) and NULL values (__HIVE_DEFAULT_PARTITION__),
+            # leaving the stale dir alive and the table returning
+            # duplicate keys. Reading the emptied-partition predicate
+            # back and collecting input_file_name() yields the real
+            # directory names for any value type, escaped or not; the
+            # collect is file-count bounded over only the emptied
+            # partitions.
+            spark.catalog.refreshByPath(target_path)
+            pred = None
+            for row in emptied:
+                clause = None
+                for c in partition_by:
+                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
+                    clause = eq if clause is None else clause & eq
+                pred = clause if pred is None else pred | clause
+            stale_files = (
+                _read_typed(spark, target_path, merged, partition_by)
+                .filter(pred)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            # input_file_name() URL-encodes path components (the
+            # on-disk 'pt=... 10%3A00%3A00' arrives as '%2010%253A...')
+            # and Hadoop Path does NOT decode — unquote once to get
+            # the real on-disk name (verified: fs.exists is False on
+            # the encoded form).
+            from urllib.parse import unquote
+
+            stale_dirs = {
+                unquote(r["f"]).rsplit("/", 1)[0] for r in stale_files
+            }
             sc = spark.sparkContext
             jvm = sc._jvm
             hconf = sc._jsc.hadoopConfiguration()
             fs = jvm.org.apache.hadoop.fs.FileSystem.get(
                 jvm.java.net.URI.create(target_path), hconf
             )
-            for row in emptied:
-                subdir = "/".join(f"{c}={row[c]}" for c in partition_by)
-                p = jvm.org.apache.hadoop.fs.Path(
-                    target_path.rstrip("/") + "/" + subdir
-                )
+            for d in stale_dirs:
+                p = jvm.org.apache.hadoop.fs.Path(d)
                 if fs.exists(p):
                     fs.delete(p, True)
     else:
@@ -586,13 +641,24 @@ def optimize_lake_table(
             )
         elif z_order_columns:
             df = df.sortWithinPartitions(*z_order_columns)
-        staging = d.toString().rstrip("/") + "__compact"
+        # staging lives OUTSIDE the table root: an in-root
+        # `p=1__compact` dir would be discovered as an extra partition
+        # value by every reader between a crash and the vacuum —
+        # duplicate rows for up to the retention window. The sibling
+        # placement matches the upsert staging convention (and is
+        # already reaped by vacuum_lake_table's sibling scan).
+        staging = (
+            path.rstrip("/") + "__compact/" + d.getName()
+        )
         df.write.format("parquet").mode("overwrite").save(staging)
         spark.read.parquet(staging).coalesce(1).write.format("parquet").mode(
             "overwrite"
         ).save(d.toString())
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
         compacted = True
+    staging_root = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact")
+    if fs.exists(staging_root):
+        fs.delete(staging_root, True)
     if compacted:
         spark.catalog.refreshByPath(path)
     return compacted
@@ -703,6 +769,13 @@ def scd2_upsert(
     the close-and-insert pair."""
     from pyspark.sql.window import Window
 
+    # A CDC event without an event time cannot be ordered into the
+    # history (every comparison against it is three-valued NULL — the
+    # raw `applies` predicate would silently DROP the key's current
+    # row: neither kept, closed, nor re-inserted). Same class as the
+    # out-of-order guard: the row is a no-op here; quarantine null
+    # timestamps upstream if they need investigation.
+    updates = updates.filter(F.col(ts_col).isNotNull())
     latest = (
         updates.withColumn(
             "_rn",
@@ -725,8 +798,21 @@ def scd2_upsert(
     except Exception as exc:
         if not _is_missing_path(exc, target_path):
             raise  # transient/corrupt reads are NOT "first run"
-        write_lake_table(incoming, target_path, mode="overwrite",
-                         partition_by=partition_by)
+        # Bootstrap writes PARQUET explicitly: this operator reads and
+        # rewrites raw parquet on every subsequent run, so a
+        # write_lake_table bootstrap (format-aware → Delta when
+        # delta-spark is installed) would create a _delta_log that the
+        # first rewrite orphans — scd2 is parquet-only end-to-end; the
+        # Delta-mode dimension path is foreach_batch_scd2's documented
+        # MERGE-chain alternative.
+        out = incoming
+        if partition_by:
+            out = out.repartition(*[F.col(c) for c in partition_by])
+        w = out.write.format("parquet").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(target_path)
+        spark.catalog.refreshByPath(target_path)
         return
     if partition_by:
         existing = _read_typed(spark, target_path, incoming, partition_by)
@@ -745,10 +831,15 @@ def scd2_upsert(
     joined = cur.join(upd, cur[key] == upd._u_key, "left")
     # an update "applies" only if attrs changed AND it is strictly
     # newer than the current row (out-of-order guard, see docstring)
-    applies = (
+    # coalesce(False): belt-and-braces against any remaining NULL in
+    # the comparison (e.g. a NULL effective_from from a hand-built
+    # table) — an un-orderable update must be a no-op, never a
+    # three-valued row drop.
+    applies = F.coalesce(
         F.col("_u_key").isNotNull()
         & ~F.col("_c_attrs").eqNullSafe(F.col("_u_attrs"))
-        & (F.col("_u_ts") > F.col("effective_from"))
+        & (F.col("_u_ts") > F.col("effective_from")),
+        F.lit(False),
     )
     kept_current = joined.filter(~applies).select(*existing.columns)
     # changed: close the old row at the update timestamp
@@ -924,18 +1015,21 @@ def zorder_key(
     over ANY of them (ref OPTIMIZE ZORDER semantics,
     src/utils/spark_utils.py:519-555 — here engine-native, no Delta).
 
-    bits=16 with <= 4 columns keeps the interleaved key inside a
-    signed 64-bit long. Constant columns (max == min) contribute 0 to
-    every key and are effectively dropped from the curve."""
+    ``bits`` auto-lowers so n_columns x bits fits a signed 64-bit
+    long (e.g. 4 columns -> 15 bits, 5 -> 12): resolution trades off
+    against dimensionality, it never raises mid-maintenance. Constant
+    columns (max == min) contribute 0 to every key and are
+    effectively dropped from the curve."""
     from functools import reduce
 
+    n = len(columns)
+    if n == 0 or n > 63:
+        raise ValueError(f"zorder_key needs 1-63 columns, got {n}")
+    bits = min(bits, 63 // n)
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(columns)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(columns)],
     ).collect()[0]
-    n = len(columns)
-    if n * bits > 63:
-        raise ValueError(f"{n} columns x {bits} bits exceeds a signed long")
     scaled = []
     top = (1 << bits) - 1
     for i, c in enumerate(columns):

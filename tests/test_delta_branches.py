@@ -84,7 +84,10 @@ def test_delta_upsert_drives_merge_chain(delta_env, monkeypatch):
     assert delta_env == [
         ("forPath", "/lake/t"),
         ("alias", "target"),
-        ("merge", "target.id = source.id AND target.region = source.region"),
+        # <=> since r6s5: a NULL merge key must match its existing
+        # NULL-keyed row (plain = would duplicate it on every replay,
+        # silently diverging from the parquet window-dedup semantics)
+        ("merge", "target.id <=> source.id AND target.region <=> source.region"),
         ("whenMatchedUpdateAll",),
         ("whenNotMatchedInsertAll",),
         ("execute",),

@@ -450,3 +450,129 @@ def test_optimize_lake_table_morton_rewrite(spark, tmp_path):
          max(b for _, b in rows[i * quarter : (i + 1) * quarter]))
         for i in range(4)
     ]
+
+
+def test_upsert_cleans_hive_escaped_emptied_partitions(spark, tmp_path):
+    """A key moving OUT of a partition whose value needs Hive escaping
+    (timestamp ':' → %3A on disk) must still get its stale directory
+    deleted — the hand-built `col=value` probe missed escaped names
+    and the table returned duplicate keys (review finding r6s5)."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.sources.writers import upsert_lake_table
+
+    target = str(tmp_path / "t")
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 2, 11, 0, 0)
+    base = spark.createDataFrame([(1, t1, 5.0)], "id long, pt timestamp, v double")
+    upsert_lake_table(spark, base, target, merge_keys=["id"], partition_by=["pt"])
+    moved = spark.createDataFrame([(1, t2, 6.0)], "id long, pt timestamp, v double")
+    upsert_lake_table(spark, moved, target, merge_keys=["id"], partition_by=["pt"])
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1, rows
+    assert rows[0]["v"] == 6.0 and rows[0]["pt"] == t2
+
+
+def test_upsert_null_partition_value_cleanup(spark, tmp_path):
+    """Same stale-dir cleanup for NULL partition values
+    (__HIVE_DEFAULT_PARTITION__ on disk vs the 'd=None' probe)."""
+    from fintech_lakehouse_spark.sources.writers import upsert_lake_table
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, None, 5.0)], "id long, d string, v double")
+    upsert_lake_table(spark, base, target, merge_keys=["id"], partition_by=["d"])
+    moved = spark.createDataFrame([(1, "x", 6.0)], "id long, d string, v double")
+    upsert_lake_table(spark, moved, target, merge_keys=["id"], partition_by=["d"])
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1, rows
+    assert rows[0]["v"] == 6.0 and rows[0]["d"] == "x"
+
+
+def test_upsert_empty_batch_with_partition_by_is_noop(spark, tmp_path):
+    """An empty micro-batch through the selective path must be a no-op
+    — it crashed with filter(None) before (review finding r6s5,
+    the foreach_batch_upsert streaming-death scenario)."""
+    from fintech_lakehouse_spark.sources.writers import upsert_lake_table
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a", 5.0)], "id long, p string, v double")
+    upsert_lake_table(spark, base, target, merge_keys=["id"], partition_by=["p"])
+    empty = spark.createDataFrame([], "id long, p string, v double")
+    upsert_lake_table(spark, empty, target, merge_keys=["id"], partition_by=["p"])
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_scd2_null_timestamp_update_is_noop_not_row_loss(spark, tmp_path):
+    """An update with a NULL event time cannot be ordered into the
+    history: it must leave the dimension UNCHANGED. Three-valued logic
+    previously dropped the key's current row entirely (review finding
+    r6s5 — confirmed data loss)."""
+    from fintech_lakehouse_spark.sources.writers import scd2_upsert
+
+    target = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "A", "2024-01-01 00:00:00")],
+        "k long, attr string, effective_ts string",
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    scd2_upsert(spark, base, target, key="k", tracked_cols=["attr"])
+    poison = spark.createDataFrame(
+        [(1, "B", None)], "k long, attr string, effective_ts timestamp"
+    )
+    scd2_upsert(spark, poison, target, key="k", tracked_cols=["attr"])
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1, rows
+    assert rows[0]["attr"] == "A" and rows[0]["is_current"]
+
+
+def test_optimize_staging_never_pollutes_partition_discovery(spark, tmp_path):
+    """Compaction staging must live OUTSIDE the table root: an in-root
+    `p=1__compact` leftover reads as an extra partition value →
+    duplicate rows until vacuum (review finding r6s5). Verified by
+    compacting and asserting no in-root staging dir ever existed plus
+    row counts stable."""
+    import os
+
+    from fintech_lakehouse_spark.sources.writers import optimize_lake_table
+
+    target = str(tmp_path / "t")
+    df = spark.range(100).withColumn("p", (F.col("id") % 2).cast("string"))
+    # many small files per partition dir
+    df.repartition(8).write.partitionBy("p").parquet(target)
+    before = spark.read.parquet(target).count()
+    assert optimize_lake_table(spark, target, max_files_per_partition=2)
+    spark.catalog.refreshByPath(target)
+    assert spark.read.parquet(target).count() == before
+    # no staging leftovers inside the table root
+    for name in os.listdir(target):
+        assert "__compact" not in name, name
+    # sibling staging root is reaped too
+    assert not os.path.exists(target + "__compact")
+
+
+def test_zorder_bits_autolower_four_columns(spark):
+    """4 columns x default 16 bits = 64 > 63: bits must auto-lower
+    (to 15) instead of raising mid-maintenance (review finding r6s5 —
+    the docstring promised <=4 columns works)."""
+    from fintech_lakehouse_spark.sources.writers import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2).alias("b"),
+        (F.col("id") * 3).alias("c"),
+        (F.col("id") * 5).alias("d"),
+    )
+    keys = df.select(zorder_key(df, ["a", "b", "c", "d"]).alias("z")).collect()
+    assert all(k["z"] >= 0 for k in keys)  # fits a signed long
+
+
+def test_register_lake_table_quoted_location(spark, tmp_path):
+    """A location containing a single quote must register (escaped),
+    not die in a ParseException (review finding r6s5)."""
+    from fintech_lakehouse_spark.sources.writers import register_lake_table
+
+    loc = tmp_path / "o'brien"
+    spark.range(3).write.parquet(str(loc))
+    register_lake_table(spark, str(loc), "qdb", "qtbl")
+    assert spark.table("qdb.qtbl").count() == 3
+    spark.sql("DROP TABLE qdb.qtbl")
+    spark.sql("DROP DATABASE qdb")
