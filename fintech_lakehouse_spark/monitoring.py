@@ -134,19 +134,29 @@ class PipelineMonitor:
         rows_quarantined: int | None = None,
         error_message: str | None = None,
     ) -> dict:
-        stage = self._stages.pop(stage_name)
+        # Tolerant pop: ending an unstarted (or already-ended) stage is
+        # a caller bug worth RECORDING, not a KeyError from the one
+        # component whose write path deliberately never raises — the
+        # row goes in with null start/duration so the anomaly is
+        # visible in the metrics table instead of crashing the run.
+        stage = self._stages.pop(stage_name, None)
+        now = datetime.now(timezone.utc)
         row = {
             "run_id": self.run_id,
             "pipeline_name": self.pipeline_name,
             "stage_name": stage_name,
             "status": status,
-            "started_at": stage.started_at,
-            "ended_at": datetime.now(timezone.utc),
-            "duration_seconds": time.monotonic() - stage.t0,
+            "started_at": stage.started_at if stage else None,
+            "ended_at": now,
+            "duration_seconds": (
+                time.monotonic() - stage.t0 if stage else None
+            ),
             "rows_read": rows_read,
             "rows_written": rows_written,
             "rows_quarantined": rows_quarantined,
-            "error_message": error_message,
+            "error_message": error_message
+            if stage or error_message
+            else "end_stage called without matching start_stage",
         }
         self._rows.append(row)
         if self.metrics_table:
@@ -154,13 +164,47 @@ class PipelineMonitor:
             # (ref: monitoring.py:233-235).
             try:
                 df = self.spark.createDataFrame([row], METRICS_SCHEMA)
-                df.write.format("parquet").mode("append").save(self.metrics_table)
+                writer = df.write.format(self._metrics_format()).mode("append")
+                if self._is_table_name(self.metrics_table):
+                    # a metastore name written via .save() would create
+                    # a literal './db.table' directory and the real
+                    # table would stay silently empty forever
+                    writer.saveAsTable(self.metrics_table)
+                else:
+                    writer.save(self.metrics_table)
             except Exception:
                 pass
         return row
 
+    @staticmethod
+    def _is_table_name(target: str) -> bool:
+        """Metastore name (db.table / table) vs filesystem path: paths
+        carry a separator or URI scheme, names never do."""
+        return "/" not in target and "\\" not in target and "://" not in target
+
+    @staticmethod
+    def _metrics_format() -> str:
+        # must match create_metrics_table's USING clause — a raw
+        # parquet append into a Delta table's path is invisible to the
+        # transaction log and vacuumed away as untracked files
+        from fintech_lakehouse_spark.sources.writers import lake_format
+
+        return lake_format()
+
     def finish(self) -> dict:
-        """Driver-side summary (ref: monitoring.py:237-281)."""
+        """Driver-side summary (ref: monitoring.py:237-281).
+
+        Stages that were STARTED but never reached end_stage (a crash
+        between the two calls) are closed here as ABANDONED and listed
+        in failed_stages — without this sweep a stage that died
+        mid-write simply vanished from the summary and the run read as
+        fully successful."""
+        for name in list(self._stages):
+            self.end_stage(
+                name,
+                status="ABANDONED",
+                error_message="stage never reached end_stage",
+            )
         return {
             "run_id": self.run_id,
             "pipeline": self.pipeline_name,
@@ -183,11 +227,23 @@ def check_data_freshness(
 ) -> dict:
     """M2 (ref: check_data_freshness, src/utils/monitoring.py:317-384):
     max(ts) vs now; stale if older than the SLA. One tiny agg job."""
+    import datetime as _dt
+
     now = now or datetime.now(timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
     row = df.agg(F.max(timestamp_column).alias("latest")).collect()[0]
     latest = row["latest"]
     if latest is None:
         return {"fresh": False, "latest": None, "age_hours": None}
+    # coerce the three shapes a "timestamp column" actually collects
+    # as: datetime (TimestampType), date (DateType — daily-partitioned
+    # tables), ISO string (raw bronze) — .tzinfo on a date raised
+    # AttributeError before.
+    if isinstance(latest, str):
+        latest = _dt.datetime.fromisoformat(latest)
+    elif isinstance(latest, _dt.date) and not isinstance(latest, _dt.datetime):
+        latest = _dt.datetime.combine(latest, _dt.time.min)
     if latest.tzinfo is None:
         latest = latest.replace(tzinfo=timezone.utc)
     age_hours = (now - latest).total_seconds() / 3600
@@ -205,22 +261,49 @@ def check_volume_anomaly(
     lookback_days: int = 7,
 ) -> DataFrame:
     """M3 (ref: check_volume_anomaly, src/utils/monitoring.py:392-468)
-    — distributed rewrite: daily rollup → trailing-mean window →
-    anomaly flag. Returns the flagged daily DataFrame (callers filter
-    ``is_anomaly``); nothing collects until the caller decides to."""
-    daily = df.groupBy(F.col(date_column).cast("date").alias("event_date")).agg(
-        F.count(F.lit(1)).alias("row_count")
+    — distributed rewrite: daily rollup → calendar densify →
+    trailing-mean window → anomaly flag. Returns the flagged daily
+    DataFrame (callers filter ``is_anomaly``); nothing collects until
+    the caller decides to.
+
+    Days with ZERO rows are materialized (row_count 0, pct_change
+    −100%) by densifying onto the full calendar between the observed
+    min and max dates — a full outage day produced NO groupBy row
+    before, so the single most important volume anomaly was
+    structurally undetectable. Densifying also makes rows ≡ calendar
+    days, so the rowsBetween trailing frame IS the trailing
+    ``lookback_days`` window even across gaps (with holes it averaged
+    the previous N PRESENT days, spanning arbitrarily more calendar
+    time)."""
+    observed = df.groupBy(
+        F.col(date_column).cast("date").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("row_count"))
+    calendar = (
+        observed.agg(
+            F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("event_date"))
+    )
+    daily = calendar.join(observed, "event_date", "left").select(
+        "event_date",
+        F.coalesce("row_count", F.lit(0)).alias("row_count"),
     )
     trailing = Window.orderBy("event_date").rowsBetween(-lookback_days, -1)
     avg_prev = F.avg("row_count").over(trailing)
+    # a zero trailing average (outage window) would turn the percent
+    # change into a double Infinity — keep pct NULL there and flag any
+    # nonzero day directly
+    pct = F.when(avg_prev.isNull() | (avg_prev == 0), F.lit(None)).otherwise(
+        100.0 * (F.col("row_count") - avg_prev) / avg_prev
+    )
     return daily.select(
         "event_date",
         "row_count",
         avg_prev.alias("trailing_avg"),
-        (100.0 * (F.col("row_count") - avg_prev) / avg_prev).alias("pct_change"),
+        pct.alias("pct_change"),
     ).withColumn(
         "is_anomaly",
-        F.when(F.col("pct_change").isNull(), F.lit(False)).otherwise(
-            F.abs(F.col("pct_change")) > threshold_percent
-        ),
+        F.when(F.col("trailing_avg").isNull(), F.lit(False))
+        .when(F.col("trailing_avg") == 0, F.col("row_count") > 0)
+        .otherwise(F.abs(F.col("pct_change")) > threshold_percent),
     )

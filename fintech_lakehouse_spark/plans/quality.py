@@ -134,15 +134,30 @@ def freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "daily_volume_anomaly",
     oracle="""
-    WITH daily AS (
+    WITH observed AS (
         SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS row_count
         FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT MIN(event_date) AS lo, MAX(event_date) AS hi FROM observed
+    ),
+    calendar AS (
+        SELECT unnest([lo + CAST(d AS INT) FOR d IN range(0, CAST(hi - lo AS INT) + 1)])
+               AS event_date
+        FROM bounds
+    ),
+    daily AS (
+        SELECT c.event_date, CAST(COALESCE(o.row_count, 0) AS BIGINT)
+               AS row_count
+        FROM calendar c LEFT JOIN observed o USING (event_date)
     )
     SELECT event_date, row_count,
            ROUND(AVG(row_count) OVER (ORDER BY event_date
                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS trailing_avg,
            CASE WHEN AVG(row_count) OVER (ORDER BY event_date
                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) IS NULL THEN NULL
+                WHEN AVG(row_count) OVER (ORDER BY event_date
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) = 0 THEN NULL
                 ELSE ROUND(100.0 * (row_count - AVG(row_count) OVER (ORDER BY event_date
                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
                      / AVG(row_count) OVER (ORDER BY event_date
@@ -157,22 +172,41 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed: trailing-mean %-change via a window over the daily
     rollup instead of the reference's driver-side collect() loop
     (anti-pattern, SURVEY §4.4). The window is over ~30 daily rows
-    (post-agg), so the unpartitioned frame is fine."""
+    (post-agg), so the unpartitioned frame is fine.
+
+    Densified onto the full calendar since r6s5 (monitoring review):
+    a day with ZERO rows produced no groupBy row at all, so a full
+    outage — the most important volume anomaly — was structurally
+    invisible; the calendar join materializes it as row_count 0. The
+    densification also makes rows ≡ days, so the rowsBetween frame is
+    a true trailing-7-DAY window across gaps. A zero trailing average
+    keeps pct_change NULL (a double division would render Infinity,
+    engine-divergently). The test events table is gap-free, so the
+    densify is inert at every SF — pure insurance, like the
+    hot-shingle drops."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+    observed = events.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
         F.count(F.lit(1)).alias("row_count")
+    )
+    calendar = observed.agg(
+        F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("event_date"))
+    daily = calendar.join(observed, "event_date", "left").select(
+        "event_date",
+        F.coalesce("row_count", F.lit(0)).cast("long").alias("row_count"),
     )
     trailing = Window.orderBy("event_date").rowsBetween(-7, -1)
     avg_prev = F.avg("row_count").over(trailing)
+    pct = F.when(avg_prev.isNull() | (avg_prev == 0), F.lit(None)).otherwise(
+        F.round(100.0 * (F.col("row_count") - avg_prev) / avg_prev, 4)
+    )
     return daily.select(
         "event_date",
         "row_count",
         F.round(avg_prev, 4).alias("trailing_avg"),
-        F.round(100.0 * (F.col("row_count") - avg_prev) / avg_prev, 4).alias(
-            "pct_change"
-        ),
+        pct.alias("pct_change"),
     )
 
 

@@ -98,13 +98,34 @@ class DQReport:
         }
 
 
-def _completeness_fail_condition(column: str) -> Column:
+def _completeness_fail_condition(column: str, dtype=None) -> Column:
     """null ∨ NaN ∨ blank (ref: src/utils/data_quality.py:279-284).
-    try_cast keeps ANSI mode happy: non-numeric strings → NULL, not
-    a runtime CAST_INVALID_INPUT error."""
+    try_cast keeps ANSI mode happy for RUNTIME cast failures
+    (non-numeric strings → NULL); but try_cast of an ILLEGAL type
+    combination (array/map/struct/binary → double) is an
+    AnalysisException at plan time, so the NaN/blank legs are gated on
+    ``dtype`` — a completeness check on a complex-typed column is
+    null-ness only, instead of one such registration killing the whole
+    one-pass run()."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        MapType,
+        NumericType,
+        StringType,
+        StructType,
+    )
+
     c = F.col(column)
+    if dtype is not None and isinstance(
+        dtype, (ArrayType, MapType, StructType, BinaryType)
+    ):
+        return c.isNull()
     cond = c.isNull() | (F.trim(c.cast("string")) == "")
-    return cond | F.coalesce(F.isnan(c.try_cast("double")), F.lit(False))
+    if dtype is None or isinstance(dtype, (NumericType, StringType, BooleanType)):
+        cond = cond | F.coalesce(F.isnan(c.try_cast("double")), F.lit(False))
+    return cond
 
 
 @dataclass
@@ -145,13 +166,16 @@ class DataQualityChecker:
         severity: DQSeverity = DQSeverity.CRITICAL,
     ) -> "DataQualityChecker":
         """Q1 (ref: src/utils/data_quality.py:246-288)."""
+        dtypes = {f.name: f.dataType for f in self.df.schema.fields}
         for column in columns:
             self._row_checks.append(
                 _RowCheck(
                     name=f"completeness_{column}",
                     check_type=DQCheckType.COMPLETENESS,
                     severity=severity,
-                    condition=_completeness_fail_condition(column),
+                    condition=_completeness_fail_condition(
+                        column, dtypes.get(column)
+                    ),
                     threshold=threshold,
                     failure_reason=f"NULL_OR_EMPTY_{column.upper()}",
                 )
@@ -241,6 +265,7 @@ class DataQualityChecker:
         keys: list[str] | dict[str, str],
         name: str | None = None,
         severity: DQSeverity = DQSeverity.CRITICAL,
+        broadcast_parent: bool | None = None,
     ) -> "DataQualityChecker":
         """Q9-REFERENTIAL (declared, never implemented in the reference
         — src/utils/data_quality.py:82). Orphan rows = child keys with
@@ -248,7 +273,12 @@ class DataQualityChecker:
         row condition via a left-semi-style membership test.
 
         ``keys``: child column(s), or {child_col: parent_col} mapping.
-        At scale the parent key set is usually broadcast-able (dims)."""
+        ``broadcast_parent``: None (default) lets Spark pick the join
+        strategy — small parents still broadcast via the auto
+        threshold, while a huge parent (transaction-level, 1e8+
+        distinct keys) shuffle-joins instead of OOMing the driver with
+        a forced broadcast. True forces the hint for dims you know are
+        small; False forbids it."""
         mapping = {k: k for k in keys} if isinstance(keys, list) else dict(keys)
         child_cols = list(mapping.keys())
         # Unique tag column per registration: two referential checks on
@@ -264,7 +294,11 @@ class DataQualityChecker:
         )
         # Tag by joining once here (lazy); the condition column reads
         # the tag. Kept as a row check so it folds into the one pass.
-        tagged = self.df.join(F.broadcast(parent_keys), on=child_cols, how="left")
+        if broadcast_parent is True:
+            parent_keys = F.broadcast(parent_keys)
+        elif broadcast_parent is False:
+            parent_keys = parent_keys.hint("shuffle_hash")
+        tagged = self.df.join(parent_keys, on=child_cols, how="left")
         self.df = tagged
         self._row_checks.append(
             _RowCheck(
@@ -287,8 +321,18 @@ class DataQualityChecker:
         threshold: float = 1.0,
     ) -> "DataQualityChecker":
         """Q9-TIMELINESS (declared-only in reference). Row-level
-        staleness: ts older than now − max_age_hours fails."""
-        now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+        staleness: ts older than now − max_age_hours fails.
+
+        ``now`` defaults to the wall clock AT REGISTRATION, pinned as
+        a literal: F.current_timestamp() re-evaluates per query, so
+        run(), the valid-side write and the invalid-side write would
+        each see a DIFFERENT cutoff and a row near the staleness
+        boundary could land in both outputs or in neither."""
+        if now is None:
+            from datetime import datetime as _dtt, timezone as _tz
+
+            now = _dtt.now(_tz.utc)
+        now_col = F.lit(now).cast("timestamp")
         cutoff = now_col - F.expr(f"INTERVAL {int(max_age_hours * 3600)} SECONDS")
         self._row_checks.append(
             _RowCheck(

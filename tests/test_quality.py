@@ -197,3 +197,64 @@ def test_timeliness(spark):
         .run()
     )
     assert report.results[0].failed_records == 1  # the January 1 row
+
+
+def test_completeness_on_complex_typed_column_does_not_crash(spark):
+    """A completeness check on an array/map column is null-ness only —
+    the unconditional try_cast('double') was an AnalysisException that
+    killed the whole one-pass run() (review finding r6s5)."""
+    from fintech_lakehouse_spark.quality import DataQualityChecker
+
+    df = spark.createDataFrame(
+        [(1, ["a"], {"k": 1}), (2, None, None)],
+        "id long, tags array<string>, props map<string,int>",
+    )
+    report = (
+        DataQualityChecker(df, "t")
+        .check_completeness(["id", "tags", "props"], threshold=0.9)
+        .run()
+    )
+    by_name = {r.check_name: r for r in report.results}
+    assert by_name["completeness_tags"].failed_records == 1
+    assert by_name["completeness_props"].failed_records == 1
+    assert by_name["completeness_id"].passed
+
+
+def test_timeliness_cutoff_is_pinned_across_queries(spark):
+    """The default now() resolves ONCE at registration: run(), the
+    valid filter and the invalid filter must agree on the cutoff, so a
+    boundary row cannot land in both splits or in neither (review
+    finding r6s5). Pinned by asserting the registered condition embeds
+    a literal, not current_timestamp()."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.quality import DataQualityChecker
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1)), (2, dt.datetime(2099, 1, 1))],
+        "id long, ts timestamp",
+    )
+    checker = DataQualityChecker(df, "t").check_timeliness("ts", 24)
+    cond = str(checker._row_checks[-1].condition._jc)
+    assert "current_timestamp" not in cond.lower()
+    valid, invalid = checker.get_valid_invalid_dfs()
+    assert {r["id"] for r in valid.collect()} == {2}
+    assert {r["id"] for r in invalid.collect()} == {1}
+
+
+def test_referential_broadcast_modes(spark):
+    """broadcast_parent: None lets Spark decide, True forces the
+    hint, False forbids it — the unconditional force would OOM the
+    driver on a transaction-scale parent (review finding r6s5)."""
+    from fintech_lakehouse_spark.quality import DataQualityChecker
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    for mode in (None, True, False):
+        report = (
+            DataQualityChecker(child, "t")
+            .check_referential(parent, ["k"], broadcast_parent=mode)
+            .run()
+        )
+        (res,) = [r for r in report.results if "referential" in r.check_name]
+        assert res.failed_records == 1  # k=9 orphan under every strategy

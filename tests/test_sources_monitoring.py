@@ -176,3 +176,86 @@ def test_volume_anomaly(spark):
     out = check_volume_anomaly(df, "d", threshold_percent=50)
     flagged = [r["event_date"] for r in out.filter("is_anomaly").collect()]
     assert flagged == [datetime.date(2024, 1, 8)]
+
+
+def test_volume_anomaly_detects_zero_row_outage(spark):
+    """A day with NO rows must surface as row_count 0 and flag — the
+    groupBy alone produced no row for it, so a full outage was
+    structurally invisible (review finding r6s5)."""
+    from fintech_lakehouse_spark.monitoring import check_volume_anomaly
+
+    rows = []
+    for day in (1, 2, 3, 4, 6):  # day 5 is a full outage
+        rows += [(datetime.datetime(2024, 1, day, 12, 0),)] * 100
+    df = spark.createDataFrame(rows, "d timestamp")
+    out = {r["event_date"]: r for r in check_volume_anomaly(df, "d").collect()}
+    outage = out[datetime.date(2024, 1, 5)]
+    assert outage["row_count"] == 0
+    assert outage["is_anomaly"]
+    assert outage["pct_change"] == -100.0
+    # the trailing window spans calendar days, not present rows
+    assert out[datetime.date(2024, 1, 6)]["trailing_avg"] == 80.0  # (100*4+0)/5
+
+
+def test_monitor_finish_surfaces_abandoned_stages(spark):
+    """A stage that crashed between start_stage and end_stage must
+    appear in failed_stages as ABANDONED, not vanish (review finding
+    r6s5)."""
+    from fintech_lakehouse_spark.monitoring import PipelineMonitor
+
+    m = PipelineMonitor(spark, "p")
+    m.start_stage("ok")
+    m.end_stage("ok")
+    m.start_stage("crashed")  # never ended
+    summary = m.finish()
+    assert summary["stages"] == 2
+    assert summary["failed_stages"] == ["crashed"]
+    (row,) = [r for r in summary["rows"] if r["stage_name"] == "crashed"]
+    assert row["status"] == "ABANDONED"
+
+
+def test_monitor_end_without_start_is_recorded_not_keyerror(spark):
+    from fintech_lakehouse_spark.monitoring import PipelineMonitor
+
+    m = PipelineMonitor(spark, "p")
+    row = m.end_stage("typo_stage", status="FAILED")
+    assert row["started_at"] is None
+    assert "without matching start_stage" in row["error_message"]
+
+
+def test_monitor_metrics_table_name_goes_through_catalog(spark):
+    """A metastore table name target must append THROUGH the catalog —
+    .save('db.t') wrote a literal './db.t' directory and the real
+    table stayed silently empty (review finding r6s5, confirmed)."""
+    import os
+
+    from fintech_lakehouse_spark.monitoring import (
+        PipelineMonitor,
+        create_metrics_table,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mmon")
+    create_metrics_table(spark, "mmon.metrics")
+    try:
+        m = PipelineMonitor(spark, "p", metrics_table="mmon.metrics")
+        m.start_stage("s")
+        m.end_stage("s", rows_read=5)
+        assert spark.table("mmon.metrics").count() == 1
+        assert not os.path.exists("mmon.metrics")  # no literal dir
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mmon.metrics")
+        spark.sql("DROP DATABASE IF EXISTS mmon")
+
+
+def test_freshness_handles_date_and_string_columns(spark):
+    from fintech_lakehouse_spark.monitoring import check_data_freshness
+
+    now = datetime.datetime(2024, 1, 10, tzinfo=datetime.timezone.utc)
+    dates = spark.createDataFrame(
+        [(datetime.date(2024, 1, 9),)], "d date"
+    )
+    out = check_data_freshness(dates, "d", max_age_hours=48, now=now)
+    assert out["fresh"] and 23 < out["age_hours"] < 25
+    strings = spark.createDataFrame([("2024-01-01 00:00:00",)], "t string")
+    out = check_data_freshness(strings, "t", max_age_hours=24, now=now)
+    assert not out["fresh"]
