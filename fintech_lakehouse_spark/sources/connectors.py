@@ -82,8 +82,14 @@ def parse_kafka_json(df: DataFrame, schema, drop_corrupt: bool = False) -> DataF
     raw bytes in ``_raw_value`` — quarantine, not crash; pass
     ``drop_corrupt=True`` to filter them instead. Works identically on
     a real Kafka stream and any kafka-shaped batch frame (how the
-    offline tests drive it)."""
-    parsed = df.select(
+    offline tests drive it).
+
+    A payload field named like a Kafka metadata column (topic,
+    partition, offset, _key, _raw_value, _kafka_ts) keeps its name;
+    the COLLIDING metadata column is emitted as ``_kafka_<name>``
+    instead — two same-named output columns would make every
+    downstream F.col() an AMBIGUOUS_REFERENCE."""
+    staged = df.select(
         F.col("key").cast("string").alias("_key"),
         F.col("value").cast("string").alias("_raw_value"),
         "topic",
@@ -91,21 +97,28 @@ def parse_kafka_json(df: DataFrame, schema, drop_corrupt: bool = False) -> DataF
         "offset",
         F.col("timestamp").alias("_kafka_ts"),
         F.from_json(F.col("value").cast("string"), schema).alias("_data"),
-    ).select("_key", "_raw_value", "topic", "partition", "offset", "_kafka_ts", "_data.*")
+    )
+    payload_names = list(staged.schema["_data"].dataType.names)
+    meta_cols = []
+    for name in ("_key", "_raw_value", "topic", "partition", "offset", "_kafka_ts"):
+        out_name = f"_kafka_{name.lstrip('_')}" if name in payload_names else name
+        meta_cols.append(F.col(name).alias(out_name))
+    parsed = staged.select(*meta_cols, "_data.*")
     if drop_corrupt:
         # from_json yields an all-null struct for corrupt payloads, so
         # corrupt ≡ every parsed column null while raw bytes exist (a
         # JSON object of literal nulls is indistinguishable — at 100 TB
-        # that edge case belongs in a DQ rule, not the parser).
-        data_cols = [
-            c for c in parsed.columns
-            if c not in ("_key", "_raw_value", "topic", "partition",
-                         "offset", "_kafka_ts")
-        ]
+        # that edge case belongs in a DQ rule, not the parser). The
+        # null test walks the PAYLOAD schema's names, so a payload
+        # field shadowing a metadata name still counts.
+        raw_col = (
+            "_raw_value" if "_raw_value" not in payload_names
+            else "_kafka_raw_value"
+        )
         all_null = F.lit(True)
-        for c in data_cols:
+        for c in payload_names:
             all_null = all_null & F.col(c).isNull()
-        parsed = parsed.filter(~(all_null & F.col("_raw_value").isNotNull()))
+        parsed = parsed.filter(~(all_null & F.col(raw_col).isNotNull()))
     return parsed
 
 
@@ -161,8 +174,12 @@ def write_jdbc_table(
 ) -> None:
     """JDBC sink. ``num_partitions`` caps concurrent connections (a
     1000-task write is a denial-of-service on the database);
-    ``batch_size`` batches inserts instead of row-at-a-time."""
-    out = df.coalesce(num_partitions) if num_partitions else df
+    ``batch_size`` batches inserts instead of row-at-a-time.
+    repartition, not coalesce: coalesce merges into the PARENT stage,
+    so a 4-connection cap would also run the whole upstream
+    computation on 4 tasks — the shuffle barrier keeps upstream
+    parallelism intact and only narrows the write."""
+    out = df.repartition(num_partitions) if num_partitions else df
     writer = (
         out.write.format("jdbc")
         .mode(mode)
@@ -339,9 +356,15 @@ def decode_avro_python(df: DataFrame, payload_col: str, avro_schema: dict) -> Da
     )
 
     def decode(batches):
+        none_row = {n: None for n, _, _ in fields}
         for pdf in batches:
+            # a compacted Kafka topic delivers tombstones (value NULL):
+            # quarantine to an all-null row like parse_kafka_json, do
+            # not crash the stream on buf[0] of None
             decoded = [
                 decode_avro_record_python(p, avro_schema)
+                if p is not None
+                else none_row
                 for p in pdf[payload_col]
             ]
             dec = pd.DataFrame(decoded, columns=[n for n, _, _ in fields])

@@ -68,13 +68,27 @@ class PagePartition(InputPartition):
 def _parse_page(
     file_path: str, schema: "StructType", eq_filters: dict[str, object]
 ) -> Iterator[tuple]:
+    """One malformed line must not poison the page (in streaming the
+    offset could never advance past it — the query would be stuck
+    forever): PERMISSIVE-style handling, matching parse_kafka_json's
+    convention. Declare a ``_corrupt_record string`` column to capture
+    bad lines; without one they are skipped."""
     names = [f.name for f in schema.fields]
+    corrupt_idx = names.index("_corrupt_record") if "_corrupt_record" in names else None
     with open(file_path, "r", encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
-            obj = json.loads(line)
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                if corrupt_idx is not None:
+                    yield tuple(
+                        line if i == corrupt_idx else None
+                        for i in range(len(names))
+                    )
+                continue
             if any(obj.get(k) != v for k, v in eq_filters.items()):
                 continue  # pushed filter: dropped source-side
             yield tuple(obj.get(n) for n in names)
@@ -99,9 +113,16 @@ class PagedJsonReader(DataSourceReader):
         return unsupported
 
     def partitions(self):
-        return [PagePartition(n, p) for n, p in page_files(self._path)]
+        # an empty list makes Spark pass a single None partition into
+        # read() (AttributeError) — a brand-new drop zone must read as
+        # an empty DataFrame, same placeholder as the stream reader
+        return [
+            PagePartition(n, p) for n, p in page_files(self._path)
+        ] or [PagePartition(-1, "")]
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
+        if partition is None or partition.page_no < 0:
+            return iter(())
         return _parse_page(partition.file_path, self._schema, self._eq)
 
 
@@ -114,8 +135,20 @@ class PagedJsonStreamReader(DataSourceStreamReader):
         return {"next_page": 0}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        pages = page_files(self._path)
-        return {"next_page": (pages[-1][0] + 1) if pages else 0}
+        """High-water mark = end of the CONTIGUOUS page prefix, not
+        max+1: an external exporter landing pages out of order (page-5
+        visible before page-3) must not advance the offset past the
+        gap, or the late page falls below every future batch range and
+        is silently lost forever. With a gap the offset waits at the
+        missing number — at-least-once for gapped producers, unchanged
+        single-batch behavior for the contiguous PagedJsonWriter."""
+        nxt = 0
+        for n, _ in page_files(self._path):
+            if n == nxt:
+                nxt += 1
+            elif n > nxt:
+                break
+        return {"next_page": nxt}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["next_page"], end["next_page"]
@@ -154,7 +187,10 @@ class PagedJsonDataSource(DataSource):
     def streamWriter(
         self, schema: "StructType", overwrite: bool
     ) -> "PagedJsonStreamWriter":
-        return PagedJsonStreamWriter(schema, self.options)
+        # overwrite=True is how the engine signals per-microbatch
+        # truncate (outputMode("complete")); dropping it would append
+        # every recomputed aggregate on top of the last one
+        return PagedJsonStreamWriter(schema, self.options, overwrite)
 
 
 class _PageCommit(WriterCommitMessage):
@@ -246,16 +282,40 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
     same temp-then-rename protocol. Page numbering continues from the
     directory state, so a feed written here is immediately readable by
     the streaming READER of another query — the loopback tested in
-    tests/test_pydatasource.py."""
+    tests/test_pydatasource.py.
 
-    def __init__(self, schema: "StructType", options: dict):
-        self._inner = PagedJsonWriter(schema, options, overwrite=False)
+    Exactly-once per batch: commit() records the batch id in a
+    ``_last_committed_batch`` marker (tmp-then-rename, atomic on a
+    POSIX fs) and a REPLAYED batch id — a crash landed between the
+    page renames and the engine's checkpoint commit — reaps its temps
+    and no-ops instead of appending the same rows again."""
+
+    _MARKER = "_last_committed_batch"
+
+    def __init__(self, schema: "StructType", options: dict, overwrite: bool = False):
+        self._path = options["path"]
+        self._inner = PagedJsonWriter(schema, options, overwrite)
 
     def write(self, iterator) -> "_PageCommit":
         return self._inner.write(iterator)
 
+    def _last_committed(self) -> int:
+        try:
+            with open(os.path.join(self._path, self._MARKER)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if batchId <= self._last_committed():
+            self._inner.abort(messages)  # replay: reap temps, no-op
+            return
         self._inner.commit(messages)
+        tmp = os.path.join(self._path, f".{self._MARKER}.tmp")
+        os.makedirs(self._path, exist_ok=True)
+        with open(tmp, "w") as fh:
+            fh.write(str(batchId))
+        os.replace(tmp, os.path.join(self._path, self._MARKER))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._inner.abort(messages)

@@ -90,14 +90,16 @@ def test_jdbc_read_requires_bounds_with_partition_column():
 
 def test_jdbc_write_caps_connections():
     df = MagicMock()
-    out = df.coalesce.return_value
+    out = df.repartition.return_value
     writer = _chained_reader()
     out.write = writer
     write_jdbc_table(
         df, "jdbc:postgresql://db/f", "t", mode="overwrite",
         batch_size=5000, num_partitions=4,
     )
-    df.coalesce.assert_called_once_with(4)
+    # repartition since r6s5: coalesce merged into the parent stage
+    # and throttled the whole upstream computation, not just the write
+    df.repartition.assert_called_once_with(4)
     writer.format.assert_called_once_with("jdbc")
     writer.mode.assert_called_once_with("overwrite")
     opts = _options_of(writer)
@@ -395,3 +397,59 @@ def test_decode_avro_python_dataframe(spark):
         assert r["offset"] == i and r["account"] == f"acct{i}"
         assert r["amount"] == i * 2.5 and r["approved"] == (i % 2 == 0)
         assert r["memo"] == (None if i % 3 else f"m{i}")
+
+
+def test_kafka_payload_field_shadowing_metadata(spark):
+    """A payload field named 'partition' must keep its name while the
+    Kafka metadata column is emitted as _kafka_partition — two
+    same-named output columns made every downstream reference an
+    AMBIGUOUS_REFERENCE (review finding r6s5)."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.sources.connectors import parse_kafka_json
+
+    kafkaish = spark.createDataFrame(
+        [
+            (b"k1", b'{"partition": 7, "amount": 1.5}', "t", 0, 0,
+             dt.datetime(2024, 1, 1)),
+            (b"k2", b"corrupt", "t", 0, 1, dt.datetime(2024, 1, 1)),
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = parse_kafka_json(kafkaish, "partition int, amount double")
+    assert out.columns.count("partition") == 1
+    assert "_kafka_partition" in out.columns
+    rows = {r["_key"]: r for r in out.collect()}
+    assert rows["k1"]["partition"] == 7          # payload field
+    assert rows["k1"]["_kafka_partition"] == 0   # kafka metadata
+    # drop_corrupt still works with the shadowed field counted
+    kept = parse_kafka_json(
+        kafkaish, "partition int, amount double", drop_corrupt=True
+    ).collect()
+    assert len(kept) == 1
+
+
+def test_avro_decode_null_payload_quarantines(spark):
+    """A Kafka tombstone (value NULL) must decode to an all-null row,
+    not crash the stream on buf[0] of None (review finding r6s5)."""
+    from fintech_lakehouse_spark.sources.connectors import (
+        decode_avro_python,
+        encode_avro_python,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    good = encode_avro_python({"x": 5, "s": "hi"}, schema)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, None)], "id long, payload binary"
+    )
+    rows = {r["id"]: r for r in decode_avro_python(df, "payload", schema).collect()}
+    assert rows[1]["x"] == 5 and rows[1]["s"] == "hi"
+    assert rows[2]["x"] is None and rows[2]["s"] is None

@@ -242,3 +242,100 @@ def test_vacuum_paged_dir_reaps_only_temps(tmp_path):
     (tmp_path / ".dead2.tmp").write_text("y")
     assert vacuum_paged_dir(str(tmp_path)) == 2
     assert page_files(str(tmp_path)) and vacuum_paged_dir(str(tmp_path)) == 0
+
+
+def test_batch_read_of_empty_drop_zone(spark, tmp_path):
+    """A brand-new directory with no pages must read as an empty
+    DataFrame — Spark substitutes a None partition for an empty
+    partitions() list and read() crashed on it (review finding r6s5,
+    execution-confirmed)."""
+    d = tmp_path / "empty_zone"
+    d.mkdir()
+    df = (
+        spark.read.format("pagedjson")
+        .schema("a long, b string")
+        .option("path", str(d))
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_corrupt_line_quarantines_not_poisons(spark, tmp_path):
+    """One malformed JSON line must not fail the page: captured via a
+    declared _corrupt_record column, or skipped without one — in
+    streaming the offset could otherwise never advance past the bad
+    page (review finding r6s5)."""
+    d = tmp_path / "zone"
+    d.mkdir()
+    (d / "page-0.jsonl").write_text('{"a": 1}\nNOT JSON\n{"a": 3}\n')
+    plain = (
+        spark.read.format("pagedjson")
+        .schema("a long")
+        .option("path", str(d))
+        .load()
+        .collect()
+    )
+    assert sorted(r["a"] for r in plain) == [1, 3]
+    with_capture = (
+        spark.read.format("pagedjson")
+        .schema("a long, _corrupt_record string")
+        .option("path", str(d))
+        .load()
+        .collect()
+    )
+    bad = [r for r in with_capture if r["_corrupt_record"] is not None]
+    assert len(with_capture) == 3 and len(bad) == 1
+    assert bad[0]["_corrupt_record"] == "NOT JSON"
+
+
+def test_stream_offset_waits_at_page_gaps(spark, tmp_path):
+    """latestOffset must stop at the first missing page number: an
+    out-of-order landing (page-2 visible before page-1) previously
+    advanced the offset past the gap and the late page was silently
+    lost forever (review finding r6s5)."""
+    from fintech_lakehouse_spark.sources.pydatasource import (
+        PagedJsonStreamReader,
+    )
+
+    d = tmp_path / "zone"
+    d.mkdir()
+    (d / "page-0.jsonl").write_text('{"a": 1}\n')
+    (d / "page-2.jsonl").write_text('{"a": 3}\n')  # gap at page-1
+    reader = PagedJsonStreamReader(None, {"path": str(d)})
+    assert reader.latestOffset() == {"next_page": 1}  # waits at the gap
+    (d / "page-1.jsonl").write_text('{"a": 2}\n')
+    assert reader.latestOffset() == {"next_page": 3}  # gap filled
+
+
+def test_stream_writer_replayed_batch_is_noop(spark, tmp_path):
+    """A replayed micro-batch id (crash between page rename and the
+    engine's checkpoint commit) must not append its pages twice
+    (review finding r6s5)."""
+    from pyspark.sql.types import StructType
+
+    from fintech_lakehouse_spark.sources.pydatasource import (
+        PagedJsonStreamWriter,
+        page_files,
+    )
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    w = PagedJsonStreamWriter(StructType([]), {"path": str(d)})
+
+    class Msg:
+        def __init__(self, tmp, rows):
+            self.tmp_path, self.rows = tmp, rows
+
+    def msg(content):
+        import uuid
+
+        t = d / f".{uuid.uuid4().hex}.tmp"
+        t.write_text(content)
+        return Msg(str(t), 1)
+
+    w.commit([msg('{"a": 1}\n')], batchId=0)
+    assert len(page_files(str(d))) == 1
+    w.commit([msg('{"a": 1}\n')], batchId=0)  # replay of batch 0
+    assert len(page_files(str(d))) == 1  # no duplicate page
+    w.commit([msg('{"a": 2}\n')], batchId=1)
+    assert len(page_files(str(d))) == 2
