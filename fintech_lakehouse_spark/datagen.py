@@ -72,7 +72,10 @@ def generate_customers(
     KYC 85% VERIFIED, risk ~ Beta-ish low-skew, PEP 0.5%)."""
     ids = spark.range(n).select(F.col("id"))
     i = F.col("id")
-    dob_days = (_u(i, seed, "dob") * 18_000 + 6_570).cast("int")  # age 18..67
+    # age 18..67 AS OF the 2024-01-01 data epoch: offset = 18y..67y
+    # back from the epoch itself (anchoring at 2006 double-counted the
+    # 18-year floor and produced ages 36..85 — review finding r6s5)
+    dob_days = (_u(i, seed, "dob") * 18_000 + 6_570).cast("int")
     risk = (F.pow(_u(i, seed, "risk"), 3.0) * 100).cast("int")  # low-skewed
     return ids.select(
         F.format_string("CUST%07d", i).alias("customer_id"),
@@ -85,7 +88,7 @@ def generate_customers(
         _pick(i, seed, "country", COUNTRIES).alias("country"),
         F.concat(F.lit("City"), F.pmod(i, F.lit(100)).cast("string")).alias("city"),
         F.format_string("%05d", F.pmod(i, F.lit(99999))).alias("postal_code"),
-        F.date_sub(F.lit("2006-01-01").cast("date"), dob_days)
+        F.date_sub(F.lit("2024-01-01").cast("date"), dob_days)
         .cast("string")
         .alias("date_of_birth"),
         _weighted(
@@ -235,7 +238,17 @@ def generate_transactions(
         ).alias("status"),
         _pick(i, seed, "mcountry2", COUNTRIES).alias("merchant_country"),
         _pick(i, seed, "ccountry2", COUNTRIES).alias("customer_country"),
-        F.lit(None).cast("string").alias("is_cross_border"),  # derived in silver
+        # derived HERE, not "in silver": no layer ever derived it (the
+        # spec row is derive=None), so the column was permanently NULL
+        # end-to-end — review finding r6s5. Same-country pairs render
+        # "false", cross-border "true"; silver's boolean cast reads it.
+        F.when(
+            _pick(i, seed, "mcountry2", COUNTRIES)
+            != _pick(i, seed, "ccountry2", COUNTRIES),
+            "true",
+        )
+        .otherwise("false")
+        .alias("is_cross_border"),
         F.when(flagged_base | structuring | after_hours, "true")
         .otherwise("false")
         .alias("is_flagged"),

@@ -28,11 +28,18 @@ def bronze_to_silver(df: DataFrame, table: str) -> DataFrame:
     cast_cols: list = []
     derived: list[tuple[str, str]] = []
     for name, dtype, _nullable, derive in spec:
-        if derive is not None and not isinstance(dtype, ArrayType):
-            derived.append((name, derive))
-            continue
         if isinstance(dtype, ArrayType):
+            # array columns are always produced by a derive expression
+            # (split of the pipe-joined raw column) — a None here would
+            # surface later as an opaque F.expr(None) TypeError
+            if derive is None:
+                raise ValueError(
+                    f"spec row {name!r}: ArrayType requires a derive expression"
+                )
             derived.append((name, derive))  # array split runs post-cast
+            continue
+        if derive is not None:
+            derived.append((name, derive))
             continue
         source = F.col(name)
         if isinstance(dtype, BooleanType):

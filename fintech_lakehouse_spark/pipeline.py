@@ -33,6 +33,7 @@ from fintech_lakehouse_spark.operators.metadata import (
 )
 from fintech_lakehouse_spark.quality import DataQualityChecker
 from fintech_lakehouse_spark.sources.writers import (
+    read_lake_table,
     replace_lake_rows,
     upsert_lake_table,
     write_lake_table,
@@ -62,16 +63,33 @@ class MedallionPipeline:
         self.monitor.end_stage(f"bronze_{table}", rows_read=n, rows_written=n)
         return bronze
 
+    @staticmethod
+    def _spec_nonnull_columns(table: str, df: DataFrame) -> list[str]:
+        """The silver schema's NOT-NULL contract, derived from
+        TABLE_SPECS so the DQ gate and the schema cannot drift: a
+        bronze cell whose permissive cast NULLed (garbage timestamp →
+        NULL transaction_date) must quarantine, not write a
+        schema-violating row into a __HIVE_DEFAULT_PARTITION__ dir
+        (review finding r6s5)."""
+        from fintech_lakehouse_spark.schemas.spec import TABLE_SPECS
+
+        return [
+            name
+            for name, _dtype, nullable, _derive in TABLE_SPECS.get(table, [])
+            if not nullable and name in df.columns
+        ]
+
     def _transaction_checker(self, df: DataFrame) -> DataQualityChecker:
         """The reference's canonical transaction rule set
-        (ref: src/config/base.py:19-50 business rules)."""
+        (ref: src/config/base.py:19-50 business rules), plus the
+        spec-derived NOT-NULL contract columns."""
         from pyspark.sql import functions as F
 
         from fintech_lakehouse_spark.quality import DQCheckType
 
         return (
             DataQualityChecker(df, "transactions")
-            .check_completeness(["transaction_id", "customer_id", "merchant_id", "amount"])
+            .check_completeness(self._spec_nonnull_columns("transactions", df))
             .check_uniqueness(["transaction_id"])
             .check_range("amount", MIN_TRANSACTION_AMOUNT, MAX_TRANSACTION_AMOUNT)
             .check_values_in_set("currency", VALID_CURRENCIES)
@@ -92,12 +110,18 @@ class MedallionPipeline:
         persist valid side partitioned by the date column when present
         (SURVEY §3.3)."""
         self.monitor.start_stage(f"silver_{table}")
-        typed = add_processing_metadata(bronze_to_silver(bronze, table))
+        # persist: the cast/derive/tag chain otherwise re-executes for
+        # the DQ run, BOTH split writes and BOTH counts (~5 full scans)
+        typed = add_processing_metadata(bronze_to_silver(bronze, table)).persist()
         checker = (
             self._transaction_checker(typed)
             if table == "transactions"
+            # generic tables gate on the spec's NOT-NULL columns — the
+            # old fabricated '<singular>_id' guess crashed for any
+            # irregular name (exchange_rates → exchange_rate_id, a
+            # column that exists in no layer)
             else DataQualityChecker(typed, table).check_completeness(
-                [f"{table[:-1]}_id"] if table.endswith("s") else []
+                self._spec_nonnull_columns(table, typed)
             )
         )
         report = checker.run()
@@ -121,13 +145,14 @@ class MedallionPipeline:
                 invalid, self.config.layer_path("quarantine", table)
             )
         n_valid = valid.count()
+        typed.unpersist()
         self.monitor.end_stage(
             f"silver_{table}",
             rows_read=n_valid + n_invalid,
             rows_written=n_valid,
             rows_quarantined=n_invalid,
         )
-        return self.spark.read.parquet(self.config.layer_path("silver", table))
+        return read_lake_table(self.spark, self.config.layer_path("silver", table))
 
     def build_gold(
         self,
@@ -137,10 +162,15 @@ class MedallionPipeline:
     ) -> dict[str, DataFrame]:
         """Silver → gold star schema + aggregates (SURVEY §2.4 A6-A8)."""
         self.monitor.start_stage("gold")
-        dim_customer = build_dim_customer(customers)
-        dim_merchant = build_dim_merchant(merchants)
+        # persist the shared frames: fact feeds four writes and each
+        # dim feeds two — unpersisted, the dense-surrogate-key range
+        # shuffles would re-execute per consumer
+        dim_customer = build_dim_customer(customers).persist()
+        dim_merchant = build_dim_merchant(merchants).persist()
         dim_date = build_dim_date(transactions)
-        fact = build_fact_transactions(transactions, dim_customer, dim_merchant)
+        fact = build_fact_transactions(
+            transactions, dim_customer, dim_merchant
+        ).persist()
         gold = {
             "dim_date": dim_date,
             "dim_customer": dim_customer,
@@ -160,9 +190,11 @@ class MedallionPipeline:
                 partition_by=partition,
                 files_per_partition=self.config.fact_files_per_partition,
             )
+        for df in (fact, dim_customer, dim_merchant):
+            df.unpersist()
         self.monitor.end_stage("gold")
         return {
-            name: self.spark.read.parquet(self.config.layer_path("gold", name))
+            name: read_lake_table(self.spark, self.config.layer_path("gold", name))
             for name in gold
         }
 
@@ -213,9 +245,11 @@ class MedallionPipeline:
         self.monitor.start_stage("gold_incremental")
         dim_customer = build_dim_customer(customers)
         dim_merchant = build_dim_merchant(merchants)
+        # persist: the delta feeds the dates collect, the old-dates
+        # semi-join, the MERGE and the final count — four actions
         fact_delta = build_fact_transactions(
             transactions, dim_customer, dim_merchant
-        )
+        ).persist()
         fact_path = self.config.layer_path("gold", "fact_transactions")
         # Affected dates = dates in the batch ∪ the CURRENT dates of
         # matched keys (collected BEFORE the upsert — a restated
@@ -229,7 +263,7 @@ class MedallionPipeline:
         try:
             old_dates = {
                 r["transaction_date"]
-                for r in self.spark.read.parquet(fact_path)
+                for r in read_lake_table(self.spark, fact_path)
                 .join(
                     fact_delta.select("transaction_id").distinct(),
                     "transaction_id",
@@ -249,10 +283,15 @@ class MedallionPipeline:
                 _is_missing_path,
             )
 
-            if not _is_missing_path(exc):
+            # pass the path: without it UNABLE_TO_INFER_SCHEMA from a
+            # damaged (data-files-lost) table also classifies as
+            # first-run, silently skipping the old-date recompute
+            if not _is_missing_path(exc, fact_path):
                 raise
             old_dates = set()
-        dates = sorted(dates | old_dates)
+        # None-safe sort: a NULL transaction_date (quarantine gap) must
+        # not TypeError the whole refresh mid-flight
+        dates = sorted(dates | old_dates, key=lambda d: (d is None, d))
         upsert_lake_table(
             self.spark,
             fact_delta,
@@ -260,7 +299,7 @@ class MedallionPipeline:
             merge_keys=["transaction_id"],
             partition_by=["transaction_date"],
         )
-        fact_touched = self.spark.read.parquet(fact_path).filter(
+        fact_touched = read_lake_table(self.spark, fact_path).filter(
             F.col("transaction_date").isin(dates)  # partition-pruned scan
         )
         # replace (not MERGE): a refreshed date with zero remaining
@@ -273,6 +312,7 @@ class MedallionPipeline:
             values=dates,
         )
         n = fact_delta.count()
+        fact_delta.unpersist()
         self.monitor.end_stage(
             "gold_incremental", rows_read=n, rows_written=n
         )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from fintech_lakehouse_spark.operators.medallion import bronze_to_silver
 from fintech_lakehouse_spark.schemas import bronze_schema, silver_schema
@@ -82,3 +83,95 @@ def test_silver_schema_constraints():
     assert by_name["amount"].dataType.simpleString() == "decimal(18,2)"
     assert by_name["fraud_indicators"].dataType.simpleString() == "array<string>"
     assert by_name["_source_file"].nullable
+
+
+def test_generated_ages_in_documented_range(spark):
+    """date_of_birth must yield ages 18..67 as of the 2024-01-01 data
+    epoch — the 2006 anchor double-counted the 18-year floor and no
+    customer under 36 was ever generated (review finding r6s5)."""
+    from fintech_lakehouse_spark.datagen import generate_customers
+
+    ages = (
+        generate_customers(spark, n=500)
+        .select(
+            (
+                F.datediff(
+                    F.lit("2024-01-01").cast("date"),
+                    F.col("date_of_birth").cast("date"),
+                )
+                / 365.25
+            ).alias("age")
+        )
+        .agg(F.min("age").alias("lo"), F.max("age").alias("hi"))
+        .collect()[0]
+    )
+    assert 17.5 <= ages["lo"] <= 20, ages
+    assert 60 <= ages["hi"] <= 67.5, ages
+
+
+def test_generated_cross_border_consistent_with_countries(spark):
+    """is_cross_border must be derived (it was NULL end-to-end: the
+    generator deferred to silver and silver's spec row never derived
+    it — review finding r6s5) and agree with the per-row countries."""
+    from fintech_lakehouse_spark.datagen import generate_transactions
+
+    df = generate_transactions(spark, n=500).select(
+        "merchant_country", "customer_country", "is_cross_border"
+    )
+    assert df.filter(F.col("is_cross_border").isNull()).count() == 0
+    mism = df.filter(
+        (
+            (F.col("merchant_country") != F.col("customer_country"))
+            & (F.col("is_cross_border") != "true")
+        )
+        | (
+            (F.col("merchant_country") == F.col("customer_country"))
+            & (F.col("is_cross_border") != "false")
+        )
+    )
+    assert mism.count() == 0
+    # both values actually occur
+    assert df.select("is_cross_border").distinct().count() == 2
+
+
+def test_promote_silver_exchange_rates_spec_gate(spark, tmp_path):
+    """The generic silver gate derives its NOT-NULL columns from
+    TABLE_SPECS — the fabricated '<singular>_id' guess crashed for
+    exchange_rates (review finding r6s5)."""
+    from fintech_lakehouse_spark.config import EngineConfig
+    from fintech_lakehouse_spark.datagen import generate_exchange_rates
+    from fintech_lakehouse_spark.pipeline import MedallionPipeline
+
+    config = EngineConfig(env="dev", base_path=str(tmp_path / "lake"))
+    pipe = MedallionPipeline(spark, config)
+    raw = generate_exchange_rates(spark, days=3)
+    bronze = pipe.ingest_bronze("exchange_rates", raw)
+    silver = pipe.promote_silver("exchange_rates", bronze)
+    assert silver.count() > 0
+
+
+def test_promote_silver_quarantines_null_timestamp_rows(spark, tmp_path):
+    """A garbage timestamp casts to NULL; the spec declares the column
+    NOT NULL, so the row must quarantine instead of landing in a
+    __HIVE_DEFAULT_PARTITION__ dir of the date-partitioned silver
+    table (review finding r6s5)."""
+    from fintech_lakehouse_spark.config import EngineConfig
+    from fintech_lakehouse_spark.datagen import generate_transactions
+    from fintech_lakehouse_spark.pipeline import MedallionPipeline
+
+    config = EngineConfig(env="dev", base_path=str(tmp_path / "lake"))
+    pipe = MedallionPipeline(spark, config)
+    raw = generate_transactions(spark, n=50)
+    poisoned = raw.withColumn(
+        "transaction_timestamp",
+        F.when(F.col("transaction_id") == raw.first()["transaction_id"],
+               F.lit("NOT A TIMESTAMP"))
+        .otherwise(F.col("transaction_timestamp")),
+    )
+    bronze = pipe.ingest_bronze("transactions", poisoned)
+    silver = pipe.promote_silver("transactions", bronze)
+    assert silver.filter(F.col("transaction_date").isNull()).count() == 0
+    quarantined = spark.read.parquet(
+        config.layer_path("quarantine", "transactions")
+    )
+    assert quarantined.count() >= 1
