@@ -66,3 +66,58 @@ def add_dense_surrogate_key(
         .withColumn(key_column_name, (F.col("_offset") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+
+
+def extend_dense_surrogate_key(
+    existing: DataFrame | None,
+    snapshot: DataFrame,
+    key_column_name: str,
+    natural_key_columns: list[str],
+) -> DataFrame:
+    """STABLE dense surrogate keys across refreshes: natural keys
+    already present in ``existing`` keep their surrogate key; new
+    natural keys get max(existing sk) + dense rank. This is the
+    incremental-dimension contract a positional 1..N rebuild cannot
+    give — re-running add_dense_surrogate_key on a grown snapshot
+    RENUMBERS every key after an insertion point, so fact rows written
+    against the old numbering silently misjoin (review finding r6s5).
+
+    Rows in ``existing`` whose natural key is absent from the snapshot
+    are kept as-is (they may anchor historical fact rows); known keys
+    take their ATTRIBUTES from the snapshot (SCD1 refresh).
+
+    Shape: one key-join of snapshot to the dim (dim-cardinality), the
+    dense-rank pass only over NEW keys, and a broadcast 1-row max —
+    nothing scales with the fact table."""
+    if existing is None:
+        return add_dense_surrogate_key(
+            snapshot, key_column_name, natural_key_columns
+        )
+    known = existing.select(*natural_key_columns, key_column_name)
+    joined = snapshot.join(F.broadcast(known), natural_key_columns, "left")
+    kept = joined.filter(F.col(key_column_name).isNotNull())
+    new_rows = joined.filter(F.col(key_column_name).isNull()).drop(
+        key_column_name
+    )
+    max_sk = existing.agg(
+        F.coalesce(F.max(key_column_name), F.lit(0)).alias("_max_sk")
+    )
+    new_keyed = (
+        add_dense_surrogate_key(new_rows, "_new_rank", natural_key_columns)
+        .crossJoin(F.broadcast(max_sk))
+        .withColumn(
+            key_column_name,
+            (F.col("_max_sk") + F.col("_new_rank")).cast("long"),
+        )
+        .drop("_new_rank", "_max_sk")
+    )
+    retired = existing.join(
+        snapshot.select(*natural_key_columns).distinct(),
+        natural_key_columns,
+        "left_anti",
+    )
+    cols = kept.columns
+    return (
+        kept.unionByName(new_keyed.select(*cols))
+        .unionByName(retired.select(*cols))
+    )

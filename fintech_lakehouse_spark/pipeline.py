@@ -226,6 +226,40 @@ class MedallionPipeline:
         self.monitor.end_stage(f"scd2_{name}", rows_read=n, rows_written=n)
         return out
 
+    def _refresh_dim_stable(
+        self,
+        name: str,
+        build_fn,
+        snapshot: DataFrame,
+        sk_col: str,
+        natural_keys: list[str],
+    ) -> DataFrame:
+        """Read the stored gold dim (None on first run), extend it with
+        stable surrogate keys from the snapshot, write it back, return
+        the refreshed dim."""
+        from fintech_lakehouse_spark.operators.keys import (
+            extend_dense_surrogate_key,
+        )
+        from fintech_lakehouse_spark.sources.writers import _is_missing_path
+
+        path = self.config.layer_path("gold", name)
+        try:
+            existing = read_lake_table(self.spark, path)
+        except Exception as exc:
+            if not _is_missing_path(exc, path):
+                raise
+            existing = None
+        if existing is None:
+            refreshed = build_fn(snapshot).persist()
+        else:
+            refreshed = extend_dense_surrogate_key(
+                existing, snapshot, sk_col, natural_keys
+            ).persist()
+        refreshed.count()  # materialize BEFORE overwriting its source
+        write_lake_table(refreshed, path)
+        refreshed.unpersist()
+        return read_lake_table(self.spark, path)
+
     def incremental_fact_update(
         self,
         transactions: DataFrame,
@@ -243,8 +277,21 @@ class MedallionPipeline:
         from pyspark.sql import functions as F
 
         self.monitor.start_stage("gold_incremental")
-        dim_customer = build_dim_customer(customers)
-        dim_merchant = build_dim_merchant(merchants)
+        # STABLE dims: rebuilding positional 1..N keys on a grown
+        # snapshot renumbers every key after an insertion point, so
+        # fact rows written in earlier runs would silently misjoin
+        # (review finding r6s5). extend_dense_surrogate_key keeps the
+        # stored dim's keys, appends max+rank for new natural keys,
+        # and the refreshed dims are WRITTEN BACK so the numbering is
+        # durable for the next refresh.
+        dim_customer = self._refresh_dim_stable(
+            "dim_customer", build_dim_customer, customers,
+            "customer_sk", ["customer_id"],
+        )
+        dim_merchant = self._refresh_dim_stable(
+            "dim_merchant", build_dim_merchant, merchants,
+            "merchant_sk", ["merchant_id"],
+        )
         # persist: the delta feeds the dates collect, the old-dates
         # semi-join, the MERGE and the final count — four actions
         fact_delta = build_fact_transactions(

@@ -20,6 +20,26 @@ from pyspark.sql.window import Window
 from fintech_lakehouse_spark.session import delta_available
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path``'s scheme — the driver-side file
+    probe that works identically for file:/bare-local, hdfs:// and
+    s3a:// paths. The ONE place the scheme-aware FileSystem lookup
+    lives; every sink/maintenance path (and streaming/events.py's
+    commit-marker probes) imports it from here."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def dir_committed(spark: SparkSession, directory: str) -> bool:
+    """True when ``directory`` holds a _SUCCESS commit marker."""
+    fs, jvm = hadoop_fs(spark, directory)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(directory.rstrip("/") + "/_SUCCESS")
+    )
+
+
 def lake_format() -> str:
     return "delta" if delta_available() else "parquet"
 
@@ -448,12 +468,7 @@ def upsert_lake_table(
             stale_dirs = {
                 unquote(r["f"]).rsplit("/", 1)[0] for r in stale_files
             }
-            sc = spark.sparkContext
-            jvm = sc._jvm
-            hconf = sc._jsc.hadoopConfiguration()
-            fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-                jvm.java.net.URI.create(target_path), hconf
-            )
+            fs, jvm = hadoop_fs(spark, target_path)
             for d in stale_dirs:
                 p = jvm.org.apache.hadoop.fs.Path(d)
                 if fs.exists(p):
@@ -484,11 +499,7 @@ def upsert_lake_table(
         w2.save(target_path)
     # Drop the staging dir — otherwise every upsert leaves a full copy
     # of the merged partitions on disk.
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(staging), sc._jsc.hadoopConfiguration()
-    )
+    fs, jvm = hadoop_fs(spark, staging)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     spark.catalog.refreshByPath(target_path)
 
@@ -566,11 +577,7 @@ def replace_lake_rows(
     if partition_by:
         w2 = w2.partitionBy(*partition_by)
     w2.save(path)
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(staging), sc._jsc.hadoopConfiguration()
-    )
+    fs, jvm = hadoop_fs(spark, staging)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     spark.catalog.refreshByPath(path)
 
@@ -602,12 +609,7 @@ def optimize_lake_table(
         spark.sql(f"OPTIMIZE delta.`{path}`{zorder}")
         return True
 
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hconf = sc._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(path), hconf
-    )
+    fs, jvm = hadoop_fs(spark, path)
     root = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(root):
         return False
@@ -678,11 +680,7 @@ def vacuum_lake_table(spark: SparkSession, path: str, retention_hours: int = 168
         return True
     import time as _time
 
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(path), sc._jsc.hadoopConfiguration()
-    )
+    fs, jvm = hadoop_fs(spark, path)
     base = path.rstrip("/")
     cutoff_ms = int((_time.time() - retention_hours * 3600) * 1000)
     deleted = False
@@ -891,11 +889,7 @@ def scd2_upsert(
     if partition_by:
         w2 = w2.partitionBy(*partition_by)
     w2.save(target_path)
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(staging), sc._jsc.hadoopConfiguration()
-    )
+    fs, jvm = hadoop_fs(spark, staging)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     spark.catalog.refreshByPath(target_path)
 
@@ -1096,11 +1090,7 @@ def file_inventory(spark: SparkSession, path: str) -> DataFrame:
         .groupBy(norm(F.input_file_name()).alias("file"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(path), sc._jsc.hadoopConfiguration()
-    )
+    fs, jvm = hadoop_fs(spark, path)
     it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
     meta = []
     while it.hasNext():

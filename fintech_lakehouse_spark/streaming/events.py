@@ -309,20 +309,30 @@ def sessionize_with_timeout(
         ts_us = (rows["ts"].astype("int64") // 1_000).to_list()
         values = rows["value"].fillna(0.0).to_list()
 
-        # Fold batch events into sessions, seeded with persisted state.
+        # INTERVAL-merge fold: each event is a [t, t] interval, the
+        # persisted session an atomic [start, last] interval; sort all
+        # items by start and sweep. This is what makes late-but-within-
+        # watermark events match the batch session_window recompute: a
+        # late event inside (start − gap, start) extends the session
+        # BACKWARD (the old fold could never move start), and a late
+        # event more than gap before start forms its own earlier
+        # session instead of being silently absorbed. (A late event
+        # arriving a BATCH AFTER its session was already emitted is
+        # the one divergence left — single-interval state cannot
+        # re-open history; the watermark bounds that window.)
+        items = [[t, t, 1, float(v)] for t, v in zip(ts_us, values)]
         if state.exists:
-            cur = list(state.get)
-        else:
-            cur = [ts_us[0], ts_us[0], 0, 0.0]
-            # first event starts the session; loop below adds it
-        for t, v in zip(ts_us, values):
-            if t <= cur[1] + gap_us:
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += float(v)
+            items.append(list(state.get))
+            items.sort(key=lambda it: it[0])
+        cur = items[0]
+        for it in items[1:]:
+            if it[0] <= cur[1] + gap_us:
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
             else:
                 yield emit(*cur)
-                cur = [t, t, 1, float(v)]
+                cur = it
         state.update(tuple(cur))
         # Close when the event-time watermark passes last + gap. The
         # timeout timestamp (milliseconds) must sit beyond the current
@@ -570,6 +580,10 @@ def foreach_batch_upsert(
     from fintech_lakehouse_spark.sources.writers import upsert_lake_table
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # quiet trigger: without this guard the no-partition path
+            # would read, dedup and fully rewrite the target as a no-op
+            return
         upsert_lake_table(
             batch_df.sparkSession,
             batch_df,
@@ -721,23 +735,18 @@ def foreach_batch_cdf(
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, jvm) for ``path``'s scheme — the driver-side file
-    probe that works identically for file:/bare-local, hdfs:// and
-    s3a:// paths (same pattern as sources/writers.py's staging
-    cleanup). Shared by every sink that checks commit markers so the
-    remote-URI policy lives in exactly one place."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs, jvm
+    """Delegates to sources.writers.hadoop_fs — the scheme-aware
+    FileSystem lookup lives in ONE module; this alias keeps the
+    streaming-local call sites short."""
+    from fintech_lakehouse_spark.sources.writers import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _dir_committed(spark: SparkSession, directory: str) -> bool:
-    """True when ``directory`` holds a _SUCCESS commit marker."""
-    fs, jvm = _hadoop_fs(spark, directory)
-    return fs.exists(
-        jvm.org.apache.hadoop.fs.Path(directory.rstrip("/") + "/_SUCCESS")
-    )
+    from fintech_lakehouse_spark.sources.writers import dir_committed
+
+    return dir_committed(spark, directory)
 
 
 def table_as_of_batch(
@@ -765,10 +774,36 @@ def table_as_of_batch(
     (emit_preimage=True feeds) are dropped BEFORE the window — they
     carry the values a key had before its update, and with only
     ``_batch_id`` to order by they would tie with the postimage row
-    and nondeterministically win the row_number race."""
+    and nondeterministically win the row_number race.
+
+    Only _SUCCESS-committed batch directories are read: a batch dir
+    the producer crashed inside holds partial part-files, and a root
+    read would fold that never-committed subset into the
+    reconstruction — a state no committed table version ever had. The
+    explicit-path read also keeps the inferred ``batch`` discovery
+    column out of the result schema (the reconstruction must match
+    the target table's columns exactly)."""
     from pyspark.sql.window import Window
 
-    log = spark.read.parquet(changelog_path).filter(
+    from fintech_lakehouse_spark.sources.writers import hadoop_fs
+
+    fs, jvm = hadoop_fs(spark, changelog_path)
+    root = jvm.org.apache.hadoop.fs.Path(changelog_path.rstrip("/"))
+    committed = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch=")
+                and _dir_committed(spark, f"{changelog_path.rstrip('/')}/{name}")
+            ):
+                committed.append(st.getPath().toString())
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed changelog batches under {changelog_path}"
+        )
+    log = spark.read.parquet(*sorted(committed)).filter(
         F.col("_change_type") != "update_preimage"
     )
     if batch_id is not None:

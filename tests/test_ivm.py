@@ -276,6 +276,10 @@ def test_table_as_of_batch_ignores_update_preimages(spark, tmp_path):
     changelog = tmp_path / "cdf"
     (changelog / "batch=0").mkdir(parents=True)
     (changelog / "batch=1").mkdir(parents=True)
+    # the real producer (Spark parquet write) always leaves _SUCCESS;
+    # table_as_of_batch reads only committed dirs
+    (changelog / "batch=0" / "_SUCCESS").write_text("")
+    (changelog / "batch=1" / "_SUCCESS").write_text("")
     pd.DataFrame(
         {
             "k": [1, 2],

@@ -244,3 +244,66 @@ def test_scd2_dimension_in_pipeline(lake, spark):
     ).collect()
     assert len(row) == 1 and row[0]["risk_rating"] == "LOW"
     assert dim.filter("is_current").collect()[0]["risk_rating"] == "HIGH"
+
+
+def test_incremental_refresh_keeps_surrogate_keys_stable(spark, tmp_path):
+    """A new customer inserted between existing natural keys must NOT
+    renumber them: positional 1..N rebuilds shifted every key after
+    the insertion point, so fact rows from earlier runs misjoined the
+    dims (review finding r6s5)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.config import EngineConfig
+    from fintech_lakehouse_spark.pipeline import MedallionPipeline
+
+    config = EngineConfig(env="dev", base_path=str(tmp_path / "lake"))
+    pipe = MedallionPipeline(spark, config)
+
+    def txns(ids):
+        return spark.createDataFrame(
+            [
+                (f"T{i}", f"C{c}", "M1", 10.0, 10.0, 0.0, 10.0,
+                 datetime.date(2024, 1, 1), False, "COMPLETED")
+                for i, c in enumerate(ids)
+            ],
+            "transaction_id string, customer_id string, merchant_id string, "
+            "amount double, amount_usd double, fee_amount double, "
+            "net_amount double, transaction_date date, is_flagged boolean, "
+            "status string",
+        )
+
+    def custs(ids):
+        return spark.createDataFrame(
+            [(f"C{c}", f"Name{c}") for c in ids], "customer_id string, name string"
+        )
+
+    merch = spark.createDataFrame([("M1", "Shop")], "merchant_id string, name string")
+
+    # day 1: customers C1, C3
+    pipe.incremental_fact_update(txns([1, 3]), custs([1, 3]), merch)
+    dim1 = {
+        r["customer_id"]: r["customer_sk"]
+        for r in spark.read.parquet(
+            config.layer_path("gold", "dim_customer")
+        ).collect()
+    }
+    # day 2: C2 appears BETWEEN C1 and C3
+    pipe.incremental_fact_update(txns([2]), custs([1, 2, 3]), merch)
+    dim2 = {
+        r["customer_id"]: r["customer_sk"]
+        for r in spark.read.parquet(
+            config.layer_path("gold", "dim_customer")
+        ).collect()
+    }
+    assert dim2["C1"] == dim1["C1"] and dim2["C3"] == dim1["C3"]  # stable
+    assert dim2["C2"] not in (dim1["C1"], dim1["C3"])  # new key, new sk
+    # every fact row joins its dim row back to the RIGHT customer
+    fact = spark.read.parquet(config.layer_path("gold", "fact_transactions"))
+    dim = spark.read.parquet(config.layer_path("gold", "dim_customer"))
+    joined = fact.join(dim, "customer_sk").select(
+        fact["customer_id"].alias("fact_cust"), dim["customer_id"].alias("dim_cust")
+    )
+    assert joined.filter(F.col("fact_cust") != F.col("dim_cust")).count() == 0
+    assert joined.count() == fact.count()
