@@ -122,8 +122,21 @@ def optimize_delta_table(
     table_name: str | None = None,
     z_order_columns: list[str] | None = None,
 ) -> bool:
-    """ref: src/utils/spark_utils.py:519-555 (no-op False without Delta)."""
-    return optimize_lake_table(spark, path or table_name, z_order_columns)
+    """ref: src/utils/spark_utils.py:519-555 (no-op False without
+    Delta). Exactly one of ``path`` / ``table_name`` (same XOR
+    contract as read_delta_table); a metastore name resolves to its
+    storage LOCATION first — optimize_lake_table operates on paths,
+    and feeding it a bare ``db.table`` string treated the name as a
+    relative directory (review finding r6s5)."""
+    if (path is None) == (table_name is None):
+        raise ValueError("provide exactly one of path / table_name")
+    if table_name is not None:
+        rows = spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+        locations = [r["data_type"] for r in rows if r["col_name"] == "Location"]
+        if not locations:
+            raise ValueError(f"no storage location found for {table_name}")
+        path = locations[0]
+    return optimize_lake_table(spark, path, z_order_columns)
 
 
 def vacuum_delta_table(
@@ -215,13 +228,18 @@ class BusinessRules:
     VALID_KYC_STATUSES: list[str] = _field(
         default_factory=lambda: ["VERIFIED", "PENDING", "REJECTED", "EXPIRED"]
     )
+    # Aligned with the segments this engine's generator actually
+    # emits (datagen.py / config.VALID_CUSTOMER_SEGMENTS): the
+    # reference's behavioral labels (HIGH_VALUE/REGULAR/…) would fail
+    # 100% of generated rows in a membership check — a vocabulary the
+    # data never carries is not a usable validation contract (review
+    # finding r6s5).
     VALID_SEGMENTS: list[str] = _field(
         default_factory=lambda: [
-            "HIGH_VALUE",
-            "REGULAR",
-            "OCCASIONAL",
-            "NEW",
-            "CHURNING",
+            "RETAIL",
+            "PREMIUM",
+            "BUSINESS",
+            "PRIVATE",
         ]
     )
     VALID_RISK_TIERS: list[str] = _field(
@@ -426,12 +444,16 @@ class DataGenerator:
     ) -> DataFrame:
         from fintech_lakehouse_spark.datagen import generate_transactions
 
+        # the configured date range drives the event window — it was
+        # accepted and silently ignored before (review finding r6s5)
+        days = max(1, (self.config.end_date - self.config.start_date).days)
         return generate_transactions(
             self.spark,
             n=n,
             n_customers=n_customers,
             n_merchants=n_merchants,
             seed=self.config.seed,
+            days=days,
         )
 
     def generate_exchange_rates(self, days: int = 90) -> DataFrame:
@@ -440,8 +462,28 @@ class DataGenerator:
         return generate_exchange_rates(self.spark, days=days, seed=self.config.seed)
 
     def save_to_csv(self, df: DataFrame, filepath: str) -> None:
-        """ref: generator.py:608-622 (single CSV with header)."""
-        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(filepath)
+        """ref: generator.py:608-622 — a single CSV FILE at exactly
+        ``filepath``, like the reference writes: Spark's csv() emits a
+        DIRECTORY of part files, which breaks every file-at-path
+        consumer (pd.read_csv(paths['customers']) raises
+        IsADirectoryError — review finding r6s5). Write the part file
+        to a staging dir, then move it onto the requested path."""
+        import os
+        import shutil
+
+        staging = filepath.rstrip("/") + "__csv_staging"
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+            staging
+        )
+        part = next(
+            name for name in os.listdir(staging)
+            if name.startswith("part-") and name.endswith(".csv")
+        )
+        os.makedirs(os.path.dirname(filepath) or ".", exist_ok=True)
+        if os.path.isdir(filepath):
+            shutil.rmtree(filepath)
+        shutil.move(os.path.join(staging, part), filepath)
+        shutil.rmtree(staging)
 
     def generate_all(self, output_dir: str = "data/raw") -> dict[str, str]:
         """ref: generator.py:624-655."""
@@ -452,7 +494,7 @@ class DataGenerator:
             ("transactions", self.generate_transactions()),
             ("exchange_rates", self.generate_exchange_rates()),
         ):
-            path = f"{output_dir}/{name}"
+            path = f"{output_dir}/{name}.csv"
             self.save_to_csv(df, path)
             out[name] = path
         return out

@@ -92,9 +92,6 @@ def get_spark(
             builder = builder.config("spark.driver.memory", "4g")
     for key, value in _SCALE_DEFAULTS.items():
         builder = builder.config(key, value)
-    if extra_conf:
-        for key, value in extra_conf.items():
-            builder = builder.config(key, value)
     if delta_available():
         builder = builder.config(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
@@ -102,4 +99,11 @@ def get_spark(
             "spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
+    # extra_conf LAST: it is the documented override mechanism, so it
+    # must also win over the delta defaults (a caller wiring a
+    # different extension/catalog would otherwise be silently
+    # clobbered — review finding r6s5).
+    if extra_conf:
+        for key, value in extra_conf.items():
+            builder = builder.config(key, value)
     return builder.getOrCreate()

@@ -57,11 +57,24 @@ def read_csv_to_df(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_RECORD_COLUMN)
     )
+    if schema is None:
+        # Inference alone can't quarantine: the inferred schema never
+        # contains the corrupt-record column, so PERMISSIVE mode turns
+        # malformed rows into silent all-nulls. Infer first, then
+        # re-read with the corrupt column appended — the stated
+        # quarantine guarantee holds on both paths (review finding
+        # r6s5; cost is the inference scan the caller already chose).
+        probe = (
+            spark.read.format("csv")
+            .option("header", str(header).lower())
+            .option("delimiter", delimiter)
+            .option("inferSchema", "true")
+        )
+        for key, value in (options or {}).items():
+            probe = probe.option(key, value)
+        schema = probe.load(path).schema
     schema = _with_corrupt_column(schema)
-    if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", "true")
+    reader = reader.schema(schema)
     for key, value in (options or {}).items():
         reader = reader.option(key, value)
     return reader.load(path)
@@ -124,20 +137,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     PARQUET_TYPE_ILLEGAL."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The engine's time semantics are UTC (session.py); pin it here
-        # too so the nanos→timestamp conversion and window alignment
-        # are correct even on caller-supplied sessions.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "documents":
         # Perf self-heal for caller-supplied sessions (the verify
         # driver builds its own): InferFiltersFromGenerate pushes the
         # derived shingle array into scan filters — 5-8× on every
         # shingle-explode query (see session.py). Runtime-settable;
-        # correctness is unaffected either way.
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-        )
+        # correctness is unaffected either way. APPEND to whatever the
+        # caller already excluded — a wholesale overwrite would
+        # silently re-enable their own opt-outs (review finding r6s5).
+        rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+        rules = [r for r in current.split(",") if r]
+        if rule not in rules:
+            rules.append(rule)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType
@@ -146,12 +159,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ, like every other timestamp in the lake: TimestampType
             # values are rendered through the OS timezone at collect(),
             # so a non-UTC host would shift results; NTZ is
-            # tz-independent end to end. (The TIMESTAMP→NTZ cast uses
-            # the session tz, pinned to UTC above, so the wall time is
-            # exactly the stored UTC instant.)
+            # tz-independent end to end. The conversion is PURE
+            # ARITHMETIC — epoch NTZ + a day-time interval of exact
+            # decimal seconds — so it needs NO session-timezone pin
+            # (the previous instant→NTZ cast read the session tz at
+            # execution, which forced a session-wide UTC mutation on
+            # caller-supplied sessions; review finding r6s5). The
+            # micros derivation floor-divides, so pre-1970 nanos land
+            # on the correct microsecond (DIV truncates toward zero).
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                    "0, 0, 0, CAST(ts DIV 1000 - (CASE WHEN ts % 1000 < 0 "
+                    "THEN 1 ELSE 0 END) AS DECIMAL(20, 0)) / 1000000)"
+                ),
             )
     return df
 

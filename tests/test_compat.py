@@ -149,3 +149,58 @@ def test_dq_report_field_for_field_conformance(spark):
             "uniqueness_id",
         ],
     }
+
+
+def test_save_to_csv_writes_a_real_file(spark, tmp_path):
+    """The reference writes a FILE at the path; Spark's csv() writes a
+    directory — compat must bridge so pd.read_csv(paths[name]) works
+    unchanged (review finding r6s5)."""
+    import pandas as pd
+
+    from fintech_lakehouse_spark.compat import DataGenerator
+
+    gen = DataGenerator(spark)
+    df = gen.generate_merchants(n=20)
+    target = str(tmp_path / "out" / "merchants.csv")
+    gen.save_to_csv(df, target)
+    import os
+
+    assert os.path.isfile(target)
+    assert len(pd.read_csv(target)) == 20
+
+
+def test_generator_config_date_range_drives_window(spark):
+    """GeneratorConfig.start_date/end_date were accepted and silently
+    ignored (review finding r6s5); the configured span must bound the
+    transaction timestamps."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.compat import DataGenerator, GeneratorConfig
+
+    cfg = GeneratorConfig(
+        start_date=dt.datetime(2024, 1, 1), end_date=dt.datetime(2024, 1, 8)
+    )
+    txns = DataGenerator(spark, cfg).generate_transactions(n=500)
+    span = txns.agg(
+        F.min("transaction_timestamp").alias("lo"),
+        F.max("transaction_timestamp").alias("hi"),
+    ).collect()[0]
+    lo = dt.datetime.fromisoformat(str(span["lo"]))
+    hi = dt.datetime.fromisoformat(str(span["hi"]))
+    assert (hi - lo).days <= 7
+
+
+def test_generated_segments_match_validation_vocabulary(spark):
+    """BusinessRules.VALID_SEGMENTS must cover what the generator
+    emits — a vocabulary the data never carries fails 100% of rows
+    (review finding r6s5)."""
+    from fintech_lakehouse_spark.compat import DataGenerator, get_config_for_env
+
+    segs = {
+        r["segment"]
+        for r in DataGenerator(spark).generate_customers(n=200).collect()
+    }
+    valid = set(get_config_for_env("dev").business_rules.VALID_SEGMENTS)
+    assert segs <= valid and segs

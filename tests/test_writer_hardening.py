@@ -168,14 +168,23 @@ def test_incremental_fact_update_read_error_propagates(
     pipe = MedallionPipeline(spark, config)
     fact_path = config.layer_path("gold", "fact_transactions")
 
-    orig = DataFrameReader.parquet
+    # the pipeline reads format-aware (read_lake_table → .load) since
+    # r6s5; intercept both entry points so the fault injection holds
+    orig_parquet = DataFrameReader.parquet
+    orig_load = DataFrameReader.load
 
-    def boom(self, *paths, **kw):
+    def boom_parquet(self, *paths, **kw):
         if paths and paths[0] == fact_path:
             raise RuntimeError("transient fs error")
-        return orig(self, *paths, **kw)
+        return orig_parquet(self, *paths, **kw)
 
-    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    def boom_load(self, path=None, *a, **kw):
+        if path == fact_path:
+            raise RuntimeError("transient fs error")
+        return orig_load(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom_parquet)
+    monkeypatch.setattr(DataFrameReader, "load", boom_load)
     silver = spark.createDataFrame(
         [
             (
