@@ -71,9 +71,10 @@ def split_sentences(documents: DataFrame, text_col: str = "text") -> DataFrame:
                 yield no, part, len(part.split(" "))
 
     splitter = SentenceSplitter
+    carry = [c for c in documents.columns if c != text_col]
     return documents.lateralJoin(
-        splitter(F.col("text").outer())
-    ).select("doc_id", "sentence_no", "sentence", "n_tokens")
+        splitter(F.col(text_col).outer())
+    ).select(*carry, "sentence_no", "sentence", "n_tokens")
 
 
 def make_bpe_encoder(merges: list[tuple[str, str]]):
@@ -153,10 +154,27 @@ def json_fields_udtf():
             return AnalyzeResult(schema=st)
 
         def eval(self, js, *fields):  # noqa: ANN001
-            obj = _json.loads(js) if js else {}
-            yield tuple(
-                None if obj.get(f) is None else str(obj.get(f))
-                for f in fields
-            )
+            # quarantine semantics like every other parser in this
+            # repo: malformed or non-object JSON yields a null row, it
+            # never kills the task; nested values render as JSON
+            # (json.dumps), not Python repr — str() turned true into
+            # 'True' and dicts into single-quoted repr, both of which
+            # defeat downstream typed casts (review finding r6s5).
+            try:
+                obj = _json.loads(js) if js else {}
+            except ValueError:
+                obj = None
+            if not isinstance(obj, dict):
+                yield tuple(None for _ in fields)
+                return
+
+            def render(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    return v
+                return _json.dumps(v)
+
+            yield tuple(render(obj.get(f)) for f in fields)
 
     return JsonFields

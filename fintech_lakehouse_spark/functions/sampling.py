@@ -32,16 +32,24 @@ def hash_bucket(
     the md5 contract, so the Spark and DuckDB sides can never drift
     apart per call site."""
     c = F.col(key) if isinstance(key, str) else key
-    h = F.md5(F.concat_ws("|", F.lit(salt), c.cast("string")).cast("binary"))
+    # NULL keys get an explicit sentinel: concat_ws silently DROPS a
+    # null argument (bucket = md5 of the salt alone) while the DuckDB
+    # twin's '||' nulls the whole expression — the one input where the
+    # "bit-exact twin" contract broke (review finding r6s5). With the
+    # sentinel both engines bucket null keys identically.
+    k = F.coalesce(c.cast("string"), F.lit("__NULL_KEY__"))
+    h = F.md5(F.concat_ws("|", F.lit(salt), k).cast("binary"))
     return (
         F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_buckets
     ).alias("bucket")
 
 
 def sql_hash_bucket(key: str, salt: str = "", n_buckets: int = N_BUCKETS) -> str:
-    """DuckDB twin of :func:`hash_bucket` (same values, bit-exact)."""
+    """DuckDB twin of :func:`hash_bucket` (same values, bit-exact,
+    including the NULL-key sentinel)."""
     return (
-        f"(('0x' || substr(md5('{salt}' || '|' || CAST({key} AS VARCHAR)), 1, 12))"
+        f"(('0x' || substr(md5('{salt}' || '|' || "
+        f"COALESCE(CAST({key} AS VARCHAR), '__NULL_KEY__')), 1, 12))"
         f"::BIGINT % {n_buckets})"
     )
 
@@ -51,7 +59,9 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``rate`` of rows, chosen by hash bucket — a filter, no
     shuffle, no rand(). Same key ⇒ same decision forever."""
-    return df.filter(hash_bucket(key, salt) < int(rate * N_BUCKETS))
+    # round, not int: float products like 0.07*10000 land a hair below
+    # the integer and truncation silently drops a whole bucket
+    return df.filter(hash_bucket(key, salt) < round(rate * N_BUCKETS))
 
 
 def stratified_sample(
@@ -66,10 +76,10 @@ def stratified_sample(
     keep all of rare ones — the class-rebalancing move every corpus
     pipeline makes). Implemented as one hash-bucket comparison against
     a CASE over the strata column: single scan, no shuffle, no join."""
-    threshold = F.lit(int(default_rate * N_BUCKETS))
+    threshold = F.lit(round(default_rate * N_BUCKETS))
     for value, rate in rates.items():
         threshold = (
-            F.when(F.col(strata) == value, int(rate * N_BUCKETS)).otherwise(
+            F.when(F.col(strata) == value, round(rate * N_BUCKETS)).otherwise(
                 threshold
             )
         )
@@ -87,13 +97,21 @@ def hash_split(
     named split. Deterministic: a document never migrates between
     train and test across runs — the leakage guarantee rand() cannot
     give."""
+    if not weights:
+        raise ValueError("hash_split needs at least one named split")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split weights sum to {total:.4f} > 1 — later splits would "
+            f"silently receive zero rows"
+        )
     bucket = hash_bucket(key, salt)
     expr = None
     cumulative = 0.0
     names = list(weights.items())
     for name, w in names[:-1]:
         cumulative += w
-        cond = bucket < int(cumulative * N_BUCKETS)
+        cond = bucket < round(cumulative * N_BUCKETS)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = names[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)

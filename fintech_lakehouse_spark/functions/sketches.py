@@ -39,11 +39,15 @@ def build_count_min_sketch(
     reaches the driver. ``eps`` bounds the overestimate at ``eps * N``
     items; ``seed`` fixes the hash family so rebuilds are
     deterministic."""
+    # build over the STRING rendering: query_count_min_sketch hashes
+    # Python strings, and a sketch built over a long column's native
+    # 8-byte encoding would answer every string query from an
+    # unrelated bucket with no error (review finding r6s5)
     c = F.col(col) if isinstance(col, str) else col
     row = df.agg(
-        F.count_min_sketch(c, F.lit(eps), F.lit(confidence), F.lit(seed)).alias(
-            "sketch"
-        )
+        F.count_min_sketch(
+            c.cast("string"), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("sketch")
     ).collect()[0]
     return bytes(row["sketch"])
 
@@ -56,7 +60,7 @@ def cms_bucket_md5(col: str | Column, j: int, width: int) -> Column:
     long range (same convention as functions/sampling.py::hash_bucket,
     so the DuckDB twin is the same '0x'||substr(md5(..),1,12) cast)."""
     c = F.col(col) if isinstance(col, str) else col
-    h = F.md5(F.concat_ws("|", F.lit(f"cms{j}"), c).cast("binary"))
+    h = F.md5(F.concat_ws("|", F.lit(f"cms{j}"), c.cast("string")).cast("binary"))
     return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % width
 
 
@@ -120,10 +124,31 @@ def cms_estimates_md5(
             )
         ).alias("p"),
     ).select(*carry, "p.h", "p.bucket")
-    return (
+    # An empty bucket has NO sketch row, so an inner join alone drops
+    # it — min over only the non-empty buckets INFLATES the estimate,
+    # and an item with zero non-empty buckets vanished from the output
+    # entirely (review finding r6s5). Correct CMS semantics: a missing
+    # bucket contributes count 0. Keep the streamed-sketch join shape
+    # (sketch big side, probes broadcast, inner) and repair the
+    # semantics with a hit counter + a broadcast join back to items:
+    # fewer than ``depth`` hits means some probed bucket was empty →
+    # the true minimum is 0.
+    hits = (
         sketch.join(F.broadcast(probes), ["h", "bucket"])
         .groupBy(*carry)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(
+            F.min("cnt").alias("_min_cnt"),
+            F.count(F.lit(1)).alias("_n_hit"),
+        )
+    )
+    return items.join(F.broadcast(hits), carry, "left").select(
+        *carry,
+        F.when(
+            F.col("_n_hit").isNull() | (F.col("_n_hit") < depth), F.lit(0)
+        )
+        .otherwise(F.col("_min_cnt"))
+        .cast("long")
+        .alias("cms_estimate"),
     )
 
 
@@ -167,7 +192,9 @@ def bloom_position_md5(col: str | Column, j: int, m_bits: int = BLOOM_M_BITS) ->
     salted-md5 construction as cms_bucket_md5, sharing its DuckDB twin
     ('0x' || substr(md5(..), 1, 12) cast)."""
     c = F.col(col) if isinstance(col, str) else col
-    h = F.md5(F.concat_ws("|", F.lit(f"bloom{j}"), c).cast("binary"))
+    h = F.md5(
+        F.concat_ws("|", F.lit(f"bloom{j}"), c.cast("string")).cast("binary")
+    )
     return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % m_bits
 
 

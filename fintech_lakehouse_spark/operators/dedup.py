@@ -30,8 +30,14 @@ def deduplicate_by_key(
     )
     ordering = [order_col] + [F.col(c).asc() for c in (tie_breakers or [])]
     window = Window.partitionBy(*key_columns).orderBy(*ordering)
+    # collision-safe temp name: a caller whose frame already carries
+    # '_row_num' (an upstream window step) must not have it clobbered
+    # and dropped (review finding r6s5)
+    rn = "_row_num"
+    while rn in df.columns:
+        rn = "_" + rn
     return (
-        df.withColumn("_row_num", F.row_number().over(window))
-        .filter(F.col("_row_num") == 1)
-        .drop("_row_num")
+        df.withColumn(rn, F.row_number().over(window))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )

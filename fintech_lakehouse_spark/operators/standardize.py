@@ -19,9 +19,9 @@ def standardize_string_columns(
     if case not in ("upper", "lower", "none"):
         raise ValueError(f"case must be upper|lower|none, got {case!r}")
     exprs = []
-    present = set(df.columns)
+    requested = set(columns)
     for name in df.columns:
-        if name in columns and name in present:
+        if name in requested:
             c = F.col(name)
             if trim_whitespace:
                 c = F.trim(c)

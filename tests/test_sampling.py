@@ -146,3 +146,68 @@ def test_decontamination_pairs_are_cross_split(spark, sf_dir):
         assert buckets[p["test_doc_id"]] >= 9000
         assert buckets[p["corpus_doc_id"]] < 9000
         assert p["n_shared_grams"] >= 3
+
+
+def test_hash_bucket_null_key_matches_duckdb_twin(spark):
+    """NULL keys must bucket identically on both engines: concat_ws
+    silently dropped the null (Spark bucketed to md5(salt)) while the
+    DuckDB twin's || nulled out and excluded the row — the one input
+    that broke the bit-exact contract (review finding r6s5)."""
+    import duckdb
+
+    from fintech_lakehouse_spark.functions.sampling import (
+        hash_bucket,
+        sql_hash_bucket,
+    )
+
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    spark_buckets = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket("k", "s").alias("b")).collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT k, {sql_hash_bucket('k', 's')} FROM "
+            f"(VALUES ('a'), (NULL)) t(k)"
+        ).fetchall()
+    }
+    assert spark_buckets == duck
+    assert spark_buckets[None] is not None  # null keys DO bucket
+
+
+def test_hash_split_validates_weights(spark):
+    import pytest
+
+    from fintech_lakehouse_spark.functions.sampling import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to"):
+        hash_split(df, "k", {"train": 0.8, "val": 0.3, "test": 0.1})
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(df, "k", {})
+
+
+def test_cms_estimates_zero_for_absent_items(spark):
+    """A probe whose buckets are all empty must report estimate 0 and
+    still appear in the output — the inner join dropped it or inflated
+    it from the non-empty subset (review finding r6s5)."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        cms_estimates_md5,
+        cms_sketch_table_md5,
+    )
+
+    corpus = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 2, "token string"
+    )
+    sketch = cms_sketch_table_md5(corpus, "token", depth=4, width=1 << 16)
+    items = spark.createDataFrame(
+        [("alpha",), ("never_seen_token_xyz",)], "token string"
+    )
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimates_md5(sketch, items, "token", 4, 1 << 16).collect()
+    }
+    assert est["alpha"] >= 5  # one-sided: >= exact
+    assert est["never_seen_token_xyz"] == 0  # present AND zero
