@@ -99,12 +99,25 @@ def minhash_signatures(shingle_rows_df: DataFrame, n_hashes: int = 32) -> DataFr
     )
 
 
+def _validate_bands(n_hashes: int, n_bands: int) -> None:
+    """n_bands must divide n_hashes with >= 1 row per band: a
+    non-divisor silently ignores trailing signature columns, and
+    n_bands > n_hashes makes every band signature CONSTANT — the
+    self-join then emits all O(n²) pairs (review finding r6s5)."""
+    if n_bands < 1 or n_bands > n_hashes or n_hashes % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must divide n_hashes={n_hashes} with at "
+            f"least one signature row per band"
+        )
+
+
 def lsh_band_pairs(
     signatures: DataFrame, n_hashes: int = 32, n_bands: int = 8
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs: split the signature
     into bands, bucket-join docs sharing any band signature. Linear in
     corpus size for bounded bucket width."""
+    _validate_bands(n_hashes, n_bands)
     rows_per_band = n_hashes // n_bands
     bands = signatures.select(
         "doc_id",
@@ -202,6 +215,7 @@ def lsh_band_pairs_md5(
     """(doc_a, doc_b) candidate pairs from md5-banded signatures. The
     band index is baked into the band-signature hash input, so the
     bucket join needs only one equality key."""
+    _validate_bands(n_hashes, n_bands)
     rows_per_band = n_hashes // n_bands
     bands = signatures.select(
         "doc_id",
@@ -577,7 +591,13 @@ LANGUAGE_MARKERS: dict[str, list[str]] = {
 
 def language_best_guess(text_col: str | Column = "text") -> Column:
     """struct(score, lang) of the best marker-set overlap — argmax via
-    array_max over per-language structs (SURVEY §7.6 language ID)."""
+    array_max over per-language structs (SURVEY §7.6 language ID).
+    ZERO overlap with every marker set yields lang 'und'
+    (undetermined): the bare argmax tie-broke score-0 structs on the
+    lexicographically largest language code, confidently labeling
+    marker-free text as 'zh' (review finding r6s5). Real ties at
+    score > 0 still break on the larger code — arbitrary but
+    deterministic and mirrored by the SQL twin."""
     distinct_tokens = F.array_distinct(tokens(text_col))
     scores = F.array(
         *[
@@ -592,4 +612,8 @@ def language_best_guess(text_col: str | Column = "text") -> Column:
             for lang, markers in LANGUAGE_MARKERS.items()
         ]
     )
-    return F.array_max(scores)
+    best = F.array_max(scores)
+    return F.when(
+        best.getField("score") == 0,
+        F.struct(F.lit(0).alias("score"), F.lit("und").alias("lang")),
+    ).otherwise(best)

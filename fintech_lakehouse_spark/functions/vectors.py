@@ -209,9 +209,12 @@ def ivf_search(
     cosine within them, top-k. Work ≈ (n_probes / n_lists) of brute
     force; recall grows with n_probes. Probe assignment is DISTRIBUTED:
     the (tiny) centroid matrix closes over an Arrow-batched pandas_udf,
-    so the query side never collects to the driver — query batches can
-    be corpus-sized. The assigned queries then broadcast into the
-    corpus join; the corpus itself never shuffles."""
+    so probe ASSIGNMENT never collects to the driver. The assigned
+    queries then broadcast into the corpus join, so the corpus itself
+    never shuffles — which bounds the QUERY batch to broadcast scale
+    (the driver materializes batch × n_probes rows for the broadcast;
+    a corpus-sized query batch needs the shuffle-join variant
+    instead — drop the broadcast hint and let AQE pick)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
@@ -245,8 +248,10 @@ def ivf_search(
         ),
     )
     topk = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    # zero-norm guard, same rationale as brute_force_knn
     return (
-        scored.withColumn("_rn", F.row_number().over(topk))
+        scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        .withColumn("_rn", F.row_number().over(topk))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -309,8 +314,12 @@ def brute_force_knn(
     topk = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id)
     )
+    # a zero-norm vector (padding row / failed encode) divides by
+    # zero → NULL cos; undefined similarities must never claim a
+    # top-k slot when a list has fewer than k real matches
     return (
-        scored.withColumn("_rn", F.row_number().over(topk))
+        scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        .withColumn("_rn", F.row_number().over(topk))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

@@ -35,15 +35,35 @@ def asof_join(
         value_columns = [
             c for c in right.columns if c not in set(on) and c != right_time
         ]
+    # ASOF semantics on the three NULL axes (review finding r6s5):
+    # * a right row with NULL time can never satisfy right_time <=
+    #   left_time (three-valued comparison) — drop it, or it would
+    #   sort nulls-first and act as a universal "before all time"
+    #   default for every left row;
+    # * NULL join keys never match in SQL joins — right rows with a
+    #   null key are dropped (left rows with null keys keep flowing
+    #   and get NULL asof values, since no right rows share their
+    #   window partition);
+    # * the filled payload is ONE STRUCT of all value columns, so the
+    #   LATEST RIGHT ROW wins atomically — per-column
+    #   last(ignorenulls) skipped legitimately-NULL values and could
+    #   stitch a frankenrow out of different right rows.
+    key_ok = None
+    for k in on:
+        c = F.col(k).isNotNull()
+        key_ok = c if key_ok is None else key_ok & c
+    right_clean = right.filter(key_ok & F.col(right_time).isNotNull())
     # Deterministic: one right row per (key, time).
-    right_dedup = right.groupBy(*on, F.col(right_time).alias("_t")).agg(
+    right_dedup = right_clean.groupBy(*on, F.col(right_time).alias("_t")).agg(
         *[F.max(c).alias(c) for c in value_columns]
     )
+    payload = F.struct(*[F.col(c) for c in value_columns])
+    payload_type = right_dedup.select(payload.alias("_p")).schema["_p"].dataType
     right_stream = right_dedup.select(
         *on,
         F.col("_t"),
         F.lit(0).alias("_stream"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_columns],
+        payload.alias("_r_vals"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
             for c in left.columns
@@ -53,8 +73,7 @@ def asof_join(
         *on,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_stream"),
-        *[F.lit(None).cast(right_dedup.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in value_columns],
+        F.lit(None).cast(payload_type).alias("_r_vals"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     # Right rows sort before left rows at equal time (_stream 0 < 1):
@@ -67,16 +86,14 @@ def asof_join(
     unioned = right_stream.unionByName(left_stream)
     filled = unioned.select(
         "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True)
-            .over(window)
-            .alias(f"_f_{c}")
-            for c in value_columns
-        ],
+        F.last("_r_vals", ignorenulls=True).over(window).alias("_f_vals"),
     )
     return filled.filter(F.col("_stream") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_columns],
+        *[
+            F.col("_f_vals").getField(c).alias(f"{c}{suffix}")
+            for c in value_columns
+        ],
     )
 
 
@@ -105,17 +122,27 @@ def point_in_time_join(
             for c in scd2_dim.columns
             if c not in (key, "effective_from", "effective_to", "is_current")
         ]
+    # Collision-safe carry: a dim column sharing a fact column's name
+    # (e.g. both carry `status`) would emit two same-named output
+    # columns (AMBIGUOUS_REFERENCE downstream), and dropping the
+    # validity columns by bare name would also strip a same-named
+    # FACT column (review finding r6s5). Colliding dim columns get a
+    # `_dim` suffix; validity bounds ride internal aliases.
+    fact_cols = set(fact.columns)
+    out_names = {
+        c: (f"{c}_dim" if c in fact_cols else c) for c in dim_columns
+    }
     dim = scd2_dim.select(
         F.col(key).alias("_pit_key"),
-        "effective_from",
-        "effective_to",
-        *dim_columns,
+        F.col("effective_from").alias("_pit_from"),
+        F.col("effective_to").alias("_pit_to"),
+        *[F.col(c).alias(out_names[c]) for c in dim_columns],
     )
     cond = (
-        (fact[fact_time] >= dim.effective_from)
-        & (dim.effective_to.isNull() | (fact[fact_time] < dim.effective_to))
+        (fact[fact_time] >= dim._pit_from)
+        & (dim._pit_to.isNull() | (fact[fact_time] < dim._pit_to))
     )
     return (
         fact.join(dim, (fact[key] == dim._pit_key) & cond, "left")
-        .drop("_pit_key", "effective_from", "effective_to")
+        .drop("_pit_key", "_pit_from", "_pit_to")
     )

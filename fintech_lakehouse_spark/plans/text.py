@@ -593,7 +593,7 @@ _LANG_ID_SQL = """
         FROM scored
     )
     SELECT doc_id, labeled_lang,
-           CASE WHEN s_zh = best THEN 'zh' WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' END AS predicted_lang,
+           CASE WHEN best = 0 THEN 'und' WHEN s_zh = best THEN 'zh' WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' END AS predicted_lang,
            best AS marker_hits
     FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
     """

@@ -99,3 +99,89 @@ def test_asof_join_currency_conversion(spark):
     got = {r["txn_id"]: r["rate_asof"] for r in out.collect()}
     assert got == {"T1": 1.10, "T2": 1.20, "T3": None}
     assert out.count() == 3  # left join: every txn survives
+
+
+def test_asof_join_null_axes(spark):
+    """The three NULL edges of as-of semantics (review finding r6s5):
+    a NULL right value must NOT be backfilled from an older row (the
+    latest right ROW wins atomically), a NULL right_time row can never
+    match, and NULL keys never match each other."""
+    from fintech_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("usd", 30), (None, 30)], "ccy string, t long"
+    )
+    right = spark.createDataFrame(
+        [
+            ("usd", 10, 1.0, 100.0),
+            ("usd", 20, None, 200.0),   # latest row: rate legitimately NULL
+            ("usd", None, 9.9, 999.0),  # null-time row: never matches
+            (None, 5, 7.7, 777.0),      # null-key row: never matches
+        ],
+        "ccy string, t long, rate double, vol double",
+    )
+    rows = {
+        r["ccy"]: (r["rate_asof"], r["vol_asof"])
+        for r in asof_join(
+            left, right, on=["ccy"], left_time="t", right_time="t"
+        ).collect()
+    }
+    # latest right row (t=20) wins ATOMICALLY: rate NULL, vol 200
+    assert rows["usd"] == (None, 200.0)
+    # null-key left row matches nothing
+    assert rows[None] == (None, None)
+
+
+def test_point_in_time_join_column_collision(spark):
+    """A dim column sharing a fact column's name must come out as
+    <name>_dim, and a fact's own effective_from must survive (review
+    finding r6s5)."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.operators.joins import point_in_time_join
+
+    fact = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), "F_STATUS", dt.datetime(2020, 1, 1))],
+        "k long, ts timestamp, status string, effective_from timestamp",
+    )
+    dim = spark.createDataFrame(
+        [(1, "D_STATUS", dt.datetime(2024, 1, 1), None, True)],
+        "k long, status string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    out = point_in_time_join(fact, dim, key="k", fact_time="ts")
+    assert out.columns.count("status") == 1
+    assert "status_dim" in out.columns
+    assert "effective_from" in out.columns  # the FACT's own column
+    (row,) = out.collect()
+    assert row["status"] == "F_STATUS" and row["status_dim"] == "D_STATUS"
+    assert row["effective_from"] == dt.datetime(2020, 1, 1)
+
+
+def test_lsh_band_validation(spark):
+    import pytest as _pytest
+
+    from fintech_lakehouse_spark.functions.text import (
+        lsh_band_pairs_md5,
+        minhash_signatures_md5,
+        shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], ["doc_id", "text"]
+    )
+    sig = minhash_signatures_md5(shingle_rows(docs, 3), n_hashes=8)
+    with _pytest.raises(ValueError, match="n_bands"):
+        lsh_band_pairs_md5(sig, n_hashes=8, n_bands=16)  # 0 rows/band
+    with _pytest.raises(ValueError, match="n_bands"):
+        lsh_band_pairs_md5(sig, n_hashes=8, n_bands=3)  # non-divisor
+
+
+def test_language_best_guess_und_for_zero_overlap(spark):
+    from fintech_lakehouse_spark.functions.text import language_best_guess
+
+    df = spark.createDataFrame(
+        [(1, "quarterly revenue increased substantially")], ["doc_id", "text"]
+    )
+    (row,) = df.select(language_best_guess().alias("g")).collect()
+    assert row["g"]["lang"] == "und" and row["g"]["score"] == 0

@@ -631,3 +631,50 @@ def test_jpeg_mp4_roundtrip_survives_prefix_mutation(w, h, prefix):
     assert read_mp4_header(mp4) == (w, w, h)
     mutated = read_mp4_header(prefix + mp4)
     assert mutated is None or mutated == (w, w, h)
+
+
+@given(
+    evolution=st.lists(
+        st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=12),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_extend_dense_surrogate_key_stability_model(spark, evolution):
+    """Model check for the stable-key contract over random snapshot
+    evolutions: (a) once a natural key has a surrogate key it NEVER
+    changes, (b) keys are always unique, (c) retired keys survive,
+    (d) new keys extend past the running max."""
+    from fintech_lakehouse_spark.operators.keys import (
+        add_dense_surrogate_key,
+        extend_dense_surrogate_key,
+    )
+
+    assigned: dict[int, int] = {}
+    existing = None
+    for snapshot_keys in evolution:
+        snapshot = spark.createDataFrame(
+            [(k, f"attr{k}") for k in sorted(snapshot_keys)],
+            "nk long, attr string",
+        )
+        if existing is None:
+            refreshed = add_dense_surrogate_key(snapshot, "sk", ["nk"])
+        else:
+            refreshed = extend_dense_surrogate_key(
+                existing, snapshot, "sk", ["nk"]
+            )
+        rows = {r["nk"]: r["sk"] for r in refreshed.collect()}
+        # (b) unique
+        assert len(set(rows.values())) == len(rows)
+        for nk, sk in rows.items():
+            if nk in assigned:
+                # (a) stability
+                assert sk == assigned[nk], (nk, sk, assigned[nk])
+            else:
+                # (d) new keys never reuse an existing sk
+                assert sk not in set(assigned.values())
+                assigned[nk] = sk
+        # (c) every previously-seen key is still present (retired kept)
+        assert set(assigned) <= set(rows)
+        existing = refreshed
