@@ -9,6 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fintech_lakehouse_spark.functions.sampling import (
+    hash_bucket,
+    sql_hash_bucket,
+)
 from fintech_lakehouse_spark.plans._num import dsum, money, sql_dsum, sql_money
 from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
@@ -460,11 +464,18 @@ def monthly_unique_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "monthly_retention_theta",
-    oracle="""
+    oracle=f"""
     WITH mu AS (
         SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month,
                         user_id
         FROM events
+        UNION
+        SELECT DISTINCT
+               CAST(CAST(date_trunc('month', ts) AS DATE)
+                    + INTERVAL 1 MONTH AS DATE) AS month,
+               user_id
+        FROM events
+        WHERE {sql_hash_bucket('user_id', 'retention', 2)} = 0
     )
     SELECT a.month,
            CAST(a.month + INTERVAL 1 MONTH AS DATE) AS next_month,
@@ -485,6 +496,18 @@ def monthly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra on stored state — at 100 TB the alternative is a distinct
     self-join of raw events per question asked.
 
+    Non-vacuity (VERDICT r6 item 1): the generated ``events`` table
+    spans exactly ONE calendar month at every scale factor, so a plain
+    month-over-month join emits 0 rows everywhere and the
+    theta_intersection path was never exercised. Both engines therefore
+    derive a deterministic synthetic second month — users in md5 bucket
+    0 of 2 (``hash_bucket``, salt ``retention``; bit-exact DuckDB twin
+    ``sql_hash_bucket``) have their month-keys replicated one month
+    forward, the same retained-cohort trick ``pii_redaction_stats``
+    uses for PII planting. Retention month₀→month₁ is then ≈half the
+    user base and the intersection estimate is hash-checked through the
+    bounds flag at every SF.
+
     Verification: flag-promotion pattern (approx_distinct_users /
     monthly_unique_users_rollup lineage) — the exact retained count
     comes from the distinct-pair self-join both engines run; the
@@ -494,7 +517,17 @@ def monthly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy contract."""
     events = load_table(spark, sf_dir, "events")
     month = F.date_trunc("month", "ts").cast("date").alias("month")
-    sketches = events.groupBy(month).agg(
+    base = events.select(month, "user_id")
+    shifted = events.filter(
+        hash_bucket("user_id", "retention", 2) == 0
+    ).select(
+        F.add_months(F.date_trunc("month", "ts").cast("date"), 1).alias(
+            "month"
+        ),
+        "user_id",
+    )
+    mu = base.unionByName(shifted).distinct()
+    sketches = mu.groupBy("month").agg(
         F.theta_sketch_agg("user_id").alias("sk")
     )
     nxt = sketches.select(
@@ -512,7 +545,6 @@ def monthly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_est"),
         )
     )
-    mu = events.select(month, "user_id").distinct()
     mb = mu.select(F.col("month").alias("m_next"), F.col("user_id").alias("u"))
     exact = (
         mu.join(

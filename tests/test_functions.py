@@ -809,6 +809,58 @@ def test_hll_sketch_merge_is_lossless(spark):
     assert naive_sum > exact  # exact counts do NOT re-aggregate
 
 
+def test_theta_sketch_set_algebra_two_month_retention(spark):
+    """The set-ALGEBRA property monthly_retention_theta leans on (and
+    the one HLL lacks): Theta sketches intersect and difference. Two
+    synthetic months — Jan has users 0..99, Feb has the even users
+    0..98 plus new users 100..119 — so retention (∩) is exactly 50,
+    churn (Jan∖Feb) exactly 50, union exactly 120. At these
+    cardinalities Theta runs in exact mode, so the estimates are
+    exact, and the 5%+1 flag contract of the registry query holds with
+    slack."""
+    rows = [(1, u) for u in range(100)] + [
+        (2, u) for u in list(range(0, 100, 2)) + list(range(100, 120))
+    ]
+    df = spark.createDataFrame(rows, ["month", "user"])
+    sk = df.groupBy("month").agg(
+        F.theta_sketch_agg(F.col("user").cast("string")).alias("sk")
+    )
+    jan = sk.filter("month = 1").select(F.col("sk").alias("a"))
+    feb = sk.filter("month = 2").select(F.col("sk").alias("b"))
+    got = (
+        jan.crossJoin(feb)
+        .select(
+            F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias(
+                "retained"
+            ),
+            F.theta_sketch_estimate(F.theta_difference("a", "b")).alias(
+                "churned"
+            ),
+            F.theta_sketch_estimate(F.theta_union("a", "b")).alias("active"),
+        )
+        .collect()[0]
+    )
+    assert got["retained"] == 50
+    assert got["churned"] == 50
+    assert got["active"] == 120
+    # the registry query's bounds flag: estimate within 5% + 1 of exact
+    assert abs(got["retained"] - 50) <= 0.05 * 50 + 1
+
+
+def test_monthly_retention_theta_non_vacuous(spark, sf_dir):
+    """VERDICT r6 item 1 regression: the registry query must emit
+    rows (the synthetic +1-month cohort guarantees a second month even
+    though the generated events span one calendar month), the retained
+    count must be positive, and the sketch bounds flag must hold."""
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    rows = QUERIES["monthly_retention_theta"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["exact_retained"] > 0
+        assert r["sketch_within_bounds"] is True
+
+
 def test_json_fields_udtf_schema_follows_arguments(spark):
     """The analyze()-polymorphic UDTF: output columns are named and
     counted by the call site's literal arguments; values render as
