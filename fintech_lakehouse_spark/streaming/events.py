@@ -903,3 +903,68 @@ def foreach_batch_ivm(
         merged.coalesce(1).write.mode("overwrite").parquet(vdir)
 
     return _apply
+
+
+def foreach_batch_sketch_rollup(
+    view_path: str,
+    group_cols: list[str],
+    key_col: str,
+):
+    """foreachBatch sink that maintains per-group DISTINCT-COUNT
+    SKETCH STATE (HLL + Theta) from a raw event stream — the streaming
+    half of the r6 sketch architecture (VERDICT r6 item 8): batch
+    queries monthly_unique_users_rollup / monthly_retention_theta
+    assume "one small sketch persisted per period, every rollup /
+    retention question is sketch algebra on stored state"; this sink
+    is the thing that PRODUCES that stored state in production.
+
+    Per micro-batch: one map-side-combinable groupBy over the batch
+    (``hll_sketch_agg`` + ``theta_sketch_agg`` of ``key_col``, plus a
+    raw row count), then a union + re-aggregate with the previous
+    snapshot via ``hll_union_agg`` / ``theta_union_agg``. Both merges
+    are associative and order/batching-independent (bucket-max for
+    HLL, min-hash-set union for Theta), so the maintained state equals
+    a direct aggregate over all events ever seen — the streaming≡batch
+    test asserts exact estimate equality, not tolerance. Nothing in
+    the hot path scales with history: state is group-cardinality ×
+    ~KB-sized sketches.
+
+    Exactly-once snapshotting is foreach_batch_ivm's scheme verbatim:
+    versioned ``version=<batch_id>/`` snapshot dirs, committed-retry
+    skip, readers take the newest committed version
+    (read_materialized_view) — which also yields sketch-state time
+    travel (estimate "as of consumer batch N") for free.
+
+    Downstream algebra on the stored state (no raw-event rescan):
+    ``hll_union_agg`` across group rows for coarser rollups,
+    ``theta_intersection`` across rows for retention/overlap,
+    ``theta_difference`` for churn."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = view_path.rstrip("/")
+        vdir = f"{root}/version={batch_id}"
+        if _dir_committed(spark, vdir):
+            return  # retry of a committed batch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(*group_cols).agg(
+            F.hll_sketch_agg(F.col(key_col).cast("string")).alias("hll_sk"),
+            F.theta_sketch_agg(F.col(key_col).cast("string")).alias(
+                "theta_sk"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        current = read_materialized_view(spark, root, version=batch_id - 1)
+        if current is not None:
+            partial = current.select(
+                *group_cols, "hll_sk", "theta_sk", "n_rows"
+            ).unionByName(partial)
+        merged = partial.groupBy(*group_cols).agg(
+            F.hll_union_agg("hll_sk").alias("hll_sk"),
+            F.theta_union_agg("theta_sk").alias("theta_sk"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    return _apply

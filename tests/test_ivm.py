@@ -302,3 +302,116 @@ def test_table_as_of_batch_ignores_update_preimages(spark, tmp_path):
             for r in table_as_of_batch(spark, str(changelog), key="k").collect()
         }
         assert state == {1: 15.0, 2: 20.0}
+
+
+def test_sketch_rollup_stream_equals_batch(spark, tmp_path):
+    """Streaming sketch state (VERDICT r6 item 8): a file stream of
+    events consumed micro-batch-by-micro-batch through
+    foreach_batch_sketch_rollup must end with per-group HLL and Theta
+    sketches whose estimates EXACTLY equal a direct batch aggregate
+    over the union of all batches — HLL bucket-max and Theta set-union
+    merges are associative and batching-independent, so no tolerance
+    is needed. The stored state then answers retention (∩), churn (∖)
+    and total-reach (∪) questions without rescanning raw events."""
+    from fintech_lakehouse_spark.streaming import (
+        foreach_batch_sketch_rollup,
+        read_materialized_view,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # two micro-batches; group key = month, distinct key = user.
+    # month 1: users 0..79; month 2 (across both batches): evens
+    # 0..78 plus 100..109 → retained = 40, churned = 40, reach = 90.
+    b1 = pd.DataFrame(
+        {
+            "month": [1] * 50 + [2] * 20,
+            "user": list(range(50)) + [2 * u for u in range(20)],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "month": [1] * 30 + [2] * 30,
+            "user": list(range(50, 80))
+            + [2 * u for u in range(20, 40)]
+            + list(range(100, 110)),
+        }
+    )
+    b1.to_parquet(src / "b1.parquet", index=False)
+    time.sleep(1.1)
+    b2.to_parquet(src / "b2.parquet", index=False)
+    os.utime(src / "b1.parquet", (1, 1))
+
+    view = str(tmp_path / "sketch_state")
+    q = (
+        spark.readStream.schema("month long, user long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            foreach_batch_sketch_rollup(view, ["month"], "user")
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = read_materialized_view(spark, view)
+    maintained = {
+        r["month"]: (r["hll_est"], r["theta_est"], r["n_rows"])
+        for r in state.select(
+            "month",
+            F.hll_sketch_estimate("hll_sk").alias("hll_est"),
+            F.theta_sketch_estimate("theta_sk").alias("theta_est"),
+            "n_rows",
+        ).collect()
+    }
+    both = spark.createDataFrame(pd.concat([b1, b2]))
+    direct = {
+        r["month"]: (r["hll_est"], r["theta_est"], r["n_rows"])
+        for r in both.groupBy("month")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user").cast("string"))
+            ).alias("hll_est"),
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg(F.col("user").cast("string"))
+            ).alias("theta_est"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert maintained == direct
+
+    # set algebra on the STORED state — no raw-event rescan
+    m1 = state.filter("month = 1").select(
+        F.col("theta_sk").alias("a"), F.col("hll_sk").alias("ha")
+    )
+    m2 = state.filter("month = 2").select(
+        F.col("theta_sk").alias("b"), F.col("hll_sk").alias("hb")
+    )
+    algebra = (
+        m1.crossJoin(m2)
+        .select(
+            F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias(
+                "retained"
+            ),
+            F.theta_sketch_estimate(F.theta_difference("a", "b")).alias(
+                "churned"
+            ),
+            F.theta_sketch_estimate(F.theta_union("a", "b")).alias("reach"),
+            F.hll_sketch_estimate(F.hll_union("ha", "hb")).alias("hll_reach"),
+        )
+        .collect()[0]
+    )
+    assert algebra["retained"] == 40
+    assert algebra["churned"] == 40
+    assert algebra["reach"] == 90
+    assert algebra["hll_reach"] == 90
+
+    # sketch-state time travel: the first consumer batch committed a
+    # readable version reflecting only batch-1 rows
+    v0 = read_materialized_view(spark, view, version=0)
+    assert v0 is not None
+    assert v0.agg(F.sum("n_rows")).collect()[0][0] == 70
