@@ -1,0 +1,566 @@
+"""Baseline JPEG codec in pure stdlib+numpy (VERDICT r6 item 5).
+
+Closes the largest multimodal seam (`functions/multimodal.py`'s
+jpeg-raster ``NotImplementedError``): a real DCT path — encoder
+(FDCT → quantize → zigzag → Huffman, 4:4:4 or grayscale, SOF0) and
+decoder (marker walk → DHT/DQT table build → Huffman entropy decode →
+dequantize → IDCT → level shift → YCbCr→RGB). The decoder reads its
+quantization and Huffman tables from the DQT/DHT segments of the
+stream itself (as the spec requires), so it decodes any baseline
+sequential 8-bit JPEG with 1×1 sampling, not just this encoder's
+output; progressive (SOF2), arithmetic coding, 12-bit precision and
+subsampled chroma return None — quarantine, not crash, the same
+contract as ``decode_png_pixels``.
+
+Like PNG, entropy decode is inherently sequential WITHIN one image
+(DC prediction chains block to block), which is exactly why the Spark
+integration keeps whole images as single binary cells and parallelizes
+ACROSS images via Arrow-batched mapInPandas, never within one
+(SURVEY §7.6; reference has no multimodal surface at all).
+
+The Huffman tables the ENCODER emits are uniform-length canonical
+tables (12 DC symbols at 4 bits, 162 AC symbols at 8 bits) — valid
+per ITU-T T.81 §C (any BITS histogram whose canonical assignment
+avoids the all-ones code is legal), chosen over the Annex K defaults
+because they are derived programmatically from the symbol alphabet
+instead of a 162-entry transcribed constant; compression ratio is not
+this codec's contract, bit-exact structural correctness is. The
+decoder handles arbitrary DHT tables either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+# zigzag scan order: ZIGZAG[i] = raster index of the i-th scanned coeff
+_Z = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal DCT-II basis: M[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+# FDCT: F = M @ f @ M.T ; IDCT: f = M.T @ F @ M
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _M[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+# flat quantization table: quantization error is only coefficient
+# rounding, giving the near-lossless mode the tolerance tests pin
+FLAT_QUANT = np.ones(64, dtype=np.uint16)
+
+
+def quality_quant_table(quality: int) -> np.ndarray:
+    """A smooth monotone quant table scaled by the libjpeg quality
+    formula (50 → base, 95 → fine). The base table is generated, not
+    transcribed: strength grows with spatial frequency (1 + (u+v)),
+    which preserves the property every real table has — DC finest,
+    high frequencies coarsest — without a 64-entry constant. The
+    table rides in DQT, so decode correctness never depends on it."""
+    base = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        for v in range(8):
+            base[u, v] = 2 + 3 * (u + v)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base.reshape(64) * scale + 50) / 100)
+    return np.clip(q, 1, 255).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# Huffman table machinery
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT (bits, huffval) spec —
+    usable for both encode (symbol → code, length) and decode
+    (length-indexed min/max code search, ITU-T T.81 §F.2.2.3)."""
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        if len(bits) != 16 or sum(bits) != len(huffval) or not huffval:
+            raise ValueError("malformed Huffman spec")
+        self.bits = bits
+        self.huffval = huffval
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.encode: dict[int, tuple[int, int]] = {}
+        for length in range(1, 17):
+            self.valptr[length] = k
+            self.mincode[length] = code
+            for _ in range(bits[length - 1]):
+                if code >= (1 << length):
+                    raise ValueError("Huffman code overflow")
+                self.encode[huffval[k]] = (code, length)
+                code += 1
+                k += 1
+            self.maxcode[length] = code - 1
+            code <<= 1
+        # the all-ones code of the longest used length must stay free
+        # (T.81 §C.2) — canonical construction guarantees it unless the
+        # table is exactly full, which we reject
+        if any(
+            self.maxcode[ln] == (1 << ln) - 1 for ln in range(1, 17) if bits[ln - 1]
+        ):
+            raise ValueError("table uses the reserved all-ones code")
+
+
+def _uniform_dc_table() -> _HuffTable:
+    """12 DC magnitude categories, all 4-bit codes (12 < 15 ⇒ the
+    all-ones 4-bit code stays reserved)."""
+    bits = [0] * 16
+    bits[3] = 12
+    return _HuffTable(bits, list(range(12)))
+
+
+def _uniform_ac_table() -> _HuffTable:
+    """All 162 baseline AC symbols (EOB, ZRL, run 0-15 × size 1-10)
+    at 8 bits (162 < 255 ⇒ all-ones reserved). Alphabet is generated
+    from the spec's symbol structure, not transcribed."""
+    symbols = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    bits = [0] * 16
+    bits[7] = len(symbols)
+    return _HuffTable(bits, sorted(symbols))
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    raises _MarkerHit at any real marker (RSTn is surfaced to the
+    caller for restart handling)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise _Corrupt("bitstream exhausted")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise _Corrupt("dangling 0xFF")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if table.bits[length - 1] and code <= table.maxcode[length]:
+                return table.huffval[
+                    table.valptr[length] + code - table.mincode[length]
+                ]
+        raise _Corrupt("invalid Huffman code")
+
+    def align_to_marker(self) -> int:
+        """Discard bits to the next marker (restart handling)."""
+        self._n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                marker = self.data[self.pos + 1]
+                self.pos += 2
+                return marker
+            self.pos += 1
+        raise _Corrupt("no marker after restart scan")
+
+
+class _Corrupt(Exception):
+    pass
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _magnitude_bits(v: int) -> tuple[int, int]:
+    """(category, appended-bits) encoding of a coefficient value
+    (T.81 §F.1.2.1): category = bitlength of |v|; negatives append
+    v-1's low bits."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude_bits (T.81 §F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad a (h, w) float plane to 8-multiples by edge replication and
+    cut into (n_blocks_y, n_blocks_x, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    by, bx = padded.shape[0] // 8, padded.shape[1] // 8
+    return padded.reshape(by, 8, bx, 8).swapaxes(1, 2)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an 8-bit image array — (h, w) grayscale or (h, w, 3)
+    RGB — as baseline sequential SOF0 JPEG, 1×1 sampling for every
+    component. ``quant``: 64 zigzag-order divisors (default
+    FLAT_QUANT = near-lossless). ``restart_interval``: emit DRI + RSTn
+    markers every N MCUs (0 = none) — exercised by the decoder's
+    restart path."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg takes uint8 arrays")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    h, w = img.shape[:2]
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("dims out of JPEG range")
+    q = np.asarray(quant if quant is not None else FLAT_QUANT, dtype=np.uint16)
+    if q.shape != (64,) or q.min() < 1:
+        raise ValueError("quant must be 64 values >= 1")
+
+    planes = (
+        [img.astype(np.float64)]
+        if gray
+        else list(np.moveaxis(_rgb_to_ycbcr(img.astype(np.float64)), -1, 0))
+    )
+    # FDCT every 8x8 block of every plane, vectorized
+    comp_coeffs = []
+    for plane in planes:
+        blocks = _to_blocks(plane) - 128.0
+        coeffs = np.einsum("ux,byxw,vw->byuv", _M, blocks, _M)
+        qz = np.rint(coeffs.reshape(*coeffs.shape[:2], 64)[..., _Z] / q)
+        comp_coeffs.append(qz.astype(np.int64))
+    by, bx = comp_coeffs[0].shape[:2]
+
+    dc_tab, ac_tab = _uniform_dc_table(), _uniform_ac_table()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    )
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"  # DQT id 0
+    out += bytes(int(v) for v in q)
+    ncomp = 1 if gray else 3
+    sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big"))
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])  # 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for tc, tab in ((0, dc_tab), (1, ac_tab)):
+        seg = bytes([tc << 4]) + bytes(tab.bits) + bytes(tab.huffval)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += restart_interval.to_bytes(2, "big")
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    mcu = 0
+    rst = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for c in range(ncomp):
+                zz = comp_coeffs[c][y, x]
+                diff = int(zz[0]) - pred[c]
+                pred[c] = int(zz[0])
+                size, bits = _magnitude_bits(diff)
+                code, length = dc_tab.encode[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        if k > last_nz:
+                            break
+                        run += 1
+                        if run == 16:
+                            code, length = ac_tab.encode[0xF0]
+                            writer.write(code, length)
+                            run = 0
+                        continue
+                    size, bits = _magnitude_bits(v)
+                    code, length = ac_tab.encode[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_tab.encode[0x00]
+                    writer.write(code, length)
+            mcu += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Full baseline decode → uint8 array (h, w) for grayscale or
+    (h, w, 3) RGB, or None for anything outside the supported subset
+    (progressive/arithmetic/12-bit/subsampled/malformed) — quarantine,
+    not crash."""
+    try:
+        return _decode(payload)
+    except (_Corrupt, _MarkerHit, ValueError, IndexError, struct.error):
+        return None
+
+
+def _decode(payload: bytes):
+    if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None  # (h, w, [(cid, qid)])
+    restart_interval = 0
+    i = 2
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if i + 4 > len(payload):
+            return None
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(payload):
+            return None
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                n = 64 * (2 if pq else 1)
+                if p + n > len(seg):
+                    return None
+                if pq:
+                    vals = np.frombuffer(
+                        seg[p : p + n], dtype=">u2"
+                    ).astype(np.int64)
+                else:
+                    vals = np.frombuffer(
+                        seg[p : p + n], dtype=np.uint8
+                    ).astype(np.int64)
+                quant[tq] = vals
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(seg):
+                    return None
+                huff[(tc, th)] = _HuffTable(
+                    bits, list(seg[p + 17 : p + 17 + n])
+                )
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            if seg[0] != 8:
+                return None  # 12-bit
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nf = seg[5]
+            if not (0 < h and 0 < w and nf in (1, 3)):
+                return None
+            comps = []
+            for c in range(nf):
+                cid, hv, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    return None  # subsampled: unsupported subset
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
+            return None  # progressive/arithmetic/etc.
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            h, w, comps = frame
+            if ns != len(comps):
+                return None
+            tables = []
+            for c in range(ns):
+                cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
+                dc = huff.get((0, tsel >> 4))
+                ac = huff.get((1, tsel & 0xF))
+                qid = dict(comps).get(cid)
+                if dc is None or ac is None or qid not in quant:
+                    return None
+                tables.append((dc, ac, quant[qid]))
+            return _decode_scan(
+                payload, i + 2 + seglen, h, w, tables, restart_interval
+            )
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(payload, pos, h, w, tables, restart_interval):
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    ncomp = len(tables)
+    reader = _BitReader(payload, pos)
+    coeffs = np.zeros((ncomp, by, bx, 64), dtype=np.float64)
+    pred = [0] * ncomp
+    mcu = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise _Corrupt("expected RSTn")
+                pred = [0] * ncomp
+            for c, (dc_tab, ac_tab, q) in enumerate(tables):
+                zz = np.zeros(64, dtype=np.float64)
+                size = reader.decode_symbol(dc_tab)
+                if size > 11:
+                    raise _Corrupt("DC category out of range")
+                pred[c] += _extend(reader.receive(size), size)
+                zz[0] = pred[c]
+                k = 1
+                while k < 64:
+                    sym = reader.decode_symbol(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise _Corrupt("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k >= 64:
+                        raise _Corrupt("AC index overflow")
+                    zz[k] = _extend(reader.receive(size), size)
+                    k += 1
+                coeffs[c, y, x] = zz * q
+            mcu += 1
+    planes = []
+    for c in range(ncomp):
+        raster = np.zeros((by, bx, 64), dtype=np.float64)
+        raster[..., _Z] = coeffs[c]
+        blocks = raster.reshape(by, bx, 8, 8)
+        spatial = np.einsum("xu,byuv,wv->byxw", _M.T, blocks, _M.T)
+        plane = spatial.swapaxes(1, 2).reshape(by * 8, bx * 8) + 128.0
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    ycbcr = np.stack(planes, axis=-1)
+    rgb = _ycbcr_to_rgb(ycbcr)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

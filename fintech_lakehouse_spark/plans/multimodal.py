@@ -292,3 +292,102 @@ def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_sec").cast("long").alias("duration_sec"),
     )
     return jpeg_feats.unionByName(mp4_feats).unionByName(mp3_feats)
+
+
+@register(
+    "jpeg_raster_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(5 + doc_id % 12 AS BIGINT) AS width,
+           CAST(3 + doc_id % 10 AS BIGINT) AS height,
+           TRUE AS err_le_2
+    FROM documents
+    WHERE doc_id < 150
+    """,
+)
+def jpeg_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-RASTER JPEG roundtrip under the driver hash (VERDICT r6
+    item 5 — the DCT path that was the largest multimodal seam, now a
+    real stdlib codec in functions/jpeg.py): per doc a deterministic
+    gradient raster with dims programmed from doc_id (width 5+id%12,
+    height 3+id%10 — deliberately NOT 8-multiples so MCU edge padding
+    is exercised), grayscale/RGB alternating on id%2, restart markers
+    every 2 MCUs on id%5=0, is ENCODED (FDCT → flat quant → Huffman)
+    and DECODED (marker walk → entropy decode → IDCT → color convert)
+    inside one Arrow-batched stage. The emitted dims come from the
+    DECODED ARRAY SHAPE — not any header field — and err_le_2 pins the
+    per-pixel error bound of the flat-quant (near-lossless) mode:
+    gray ≤1 (coefficient rounding only), RGB ≤2 (adds the YCbCr float
+    roundtrip). The oracle predicts all of it arithmetically from
+    doc_id, so a red row means the entropy coder, the IDCT, the MCU
+    padding, or the restart handling broke.
+
+    Scale shape: one scan + one mapInPandas — zero Exchange; whole
+    images stay single binary cells (entropy decode is sequential
+    within an image because DC prediction chains block-to-block), and
+    parallelism is ACROSS images, the same contract as PNG."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("mode", StringType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("err_le_2", BooleanType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        import numpy as np
+
+        from fintech_lakehouse_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        for pdf in iterator:
+            rows = {k: [] for k in ("asset_id", "mode", "width", "height", "err_le_2")}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 5 + i % 12, 3 + i % 10
+                gray = i % 2 == 0
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                if gray:
+                    img = ((xx * 7 + yy * 13 + i) % 256).astype(np.uint8)
+                else:
+                    img = np.stack(
+                        [((xx * 7 + yy * 13 + c * 29 + i) % 256) for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                payload = encode_jpeg(
+                    img, restart_interval=2 if i % 5 == 0 else 0
+                )
+                dec = decode_jpeg_pixels(payload)
+                rows["asset_id"].append(i)
+                rows["mode"].append("gray" if gray else "rgb")
+                if dec is None or dec.shape[:2] != (h, w):
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["err_le_2"].append(None)
+                    continue
+                err = int(
+                    np.max(np.abs(dec.astype(np.int64) - img.astype(np.int64)))
+                )
+                rows["width"].append(dec.shape[1])
+                rows["height"].append(dec.shape[0])
+                rows["err_le_2"].append(err <= 2)
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)
