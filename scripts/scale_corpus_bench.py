@@ -125,10 +125,89 @@ def build_embeddings(spark, k: int) -> str:
     return out
 
 
+def build_synthetic(spark, n_docs: int, vocab: int = 200_000) -> str:
+    """N DISTINCT documents with a GROWING vocabulary (VERDICT r6
+    item 4): the multiplied-corpus protocol repeats per-copy structure,
+    so hot-gram counters stay flat by construction; this builder
+    instead samples every token Zipf-ishly from a ``vocab``-word
+    lexicon via pure hash mixing (u³ rank mapping concentrates mass on
+    a head of common words, the shape real text has), entirely in JVM
+    expressions — no Python in the generate path, deterministic for a
+    fixed (n_docs, vocab). Hot grams now arise the way they do in real
+    corpora — head-word collocations shared across unrelated docs —
+    which is exactly the load the hot-fingerprint/hot-gram drops must
+    bound when vocabulary grows rather than repeats."""
+    out = f"{WORK}/synth{n_docs}"
+    if os.path.exists(f"{out}/documents.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    # ~1% of docs are near-duplicates of their predecessor (shared
+    # token stream except the last 5 tokens) so the pair/verify stages
+    # have REAL work growing linearly with corpus size — a synthetic
+    # corpus with zero near-dups would let the candidate join emit
+    # nothing and prove nothing about the verify bound.
+    base = "(CASE WHEN id % 97 = 0 AND id > 0 THEN id - 1 ELSE id END)"
+    n_tok = f"30 + pmod(hash({base}), 51)"
+    token_of = (
+        "concat('w', cast(floor(pow(pmod(hash({src} * 2654435761 + "
+        "j * 40503), 1000000) / 1000000.0, 3.0) * {v}) as long))"
+    )
+    own = token_of.format(src="id", v=vocab)
+    inherited = token_of.format(src=base, v=vocab)
+    token = f"(CASE WHEN j >= {n_tok} - 5 THEN {own} ELSE {inherited} END)"
+    df = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "element_at(array('en','de','fr','es','it'), "
+        "cast(pmod(hash(id * 7919), 5) + 1 AS int)) AS lang",
+        "'synth' AS source",
+        f"array_join(transform(sequence(0, {n_tok} - 1), j -> {token}), ' ')"
+        " AS text",
+    ).selectExpr("doc_id", "lang", "source", "length(text) AS n_chars", "text")
+    df.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def gram_profile(spark, sf_dir: str, n: int = 3) -> str:
+    """Fan-out-bound counters for the pair-join family at this corpus:
+    distinct n-grams, max docs-per-gram, and how many grams sit above
+    the WINNOW_HOT_DOCS drop threshold — the numbers that prove the
+    candidate join is index-bounded, not quadratic, as vocabulary
+    grows."""
+    from fintech_lakehouse_spark.plans.curation import WINNOW_HOT_DOCS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).selectExpr(
+        "doc_id",
+        f"transform(sequence(0, size(t) - {n}), "
+        f"i -> array_join(slice(t, i + 1, {n}), ' ')) AS grams",
+    )
+    per_gram = (
+        toks.select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    row = per_gram.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.max("docs").alias("max_docs_per_gram"),
+        F.sum((F.col("docs") > WINNOW_HOT_DOCS).cast("long")).alias("n_hot"),
+    ).collect()[0]
+    return (
+        f"grams={row['n_grams']} max_docs/gram={row['max_docs_per_gram']} "
+        f"hot(>{WINNOW_HOT_DOCS})={row['n_hot']}"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     names = QUERY_NAMES
     driver_mem = "4g"
+    synthetic: list[int] = []
+    profile = False
     rest: list[str] = []
     i = 0
     while i < len(args):  # flags accepted in any position/order
@@ -138,10 +217,16 @@ def main() -> None:
         elif args[i] == "--driver-memory":
             driver_mem = args[i + 1]
             i += 2
+        elif args[i] == "--synthetic":
+            synthetic = [int(v) for v in args[i + 1].split(",")]
+            i += 2
+        elif args[i] == "--gram-profile":
+            profile = True
+            i += 1
         else:
             rest.append(args[i])
             i += 1
-    ks = [int(a) for a in rest] or [1, 4, 16]
+    ks = [int(a) for a in rest] or ([] if synthetic else [1, 4, 16])
     spark = get_spark(
         "scale-corpus",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -165,6 +250,16 @@ def main() -> None:
     need_emb = any(n in EMBEDDINGS_QUERIES for n in names)
     print("| query | k | rows_in | wall | rows |")
     print("|---|---|---|---|---|")
+    for n_docs in synthetic:
+        sf_dir = build_synthetic(spark, n_docs)
+        if profile:
+            print(f"| gram_profile | synth{n_docs} | {n_docs} | - | "
+                  f"{gram_profile(spark, sf_dir)} |")
+        for name in names:
+            t0 = time.time()
+            n = QUERIES[name](spark, sf_dir).count()
+            wall = time.time() - t0
+            print(f"| {name} | synth{n_docs} | {n_docs} | {wall:.2f} s | {n} |")
     for k in ks:
         if need_docs:
             sf_dir = build(spark, k)
