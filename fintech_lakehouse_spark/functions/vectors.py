@@ -29,6 +29,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def jl_project(vec: Column, signs: list[list[int]]) -> Column:
+    """Johnson-Lindenstrauss ±1 projection (Achlioptas 2001,
+    database-friendly random projections): out[j] = (1/√k)·Σ_d
+    signs[j][d]·vec[d]. The sign matrix arrives as plan literals (the
+    frozen-codebook pattern — plans/_jl_matrix.py), so the projection
+    is a zero-shuffle JVM-side map over the corpus: k dot products per
+    row, no Python, no exchange. At 100 TB this is the cheap
+    dimensionality-reduction front of an ANN/cluster pipeline — store
+    the k-dim sketch next to the vector and run candidate generation
+    on 4× less data."""
+    import math
+
+    scale = 1.0 / math.sqrt(len(signs))
+    return F.array(
+        *[
+            dot(vec, F.array(*[F.lit(float(s)) for s in row])) * F.lit(scale)
+            for row in signs
+        ]
+    )
+
+
 def l2_normalize(df: DataFrame, vec: str = "embedding") -> DataFrame:
     """Unit-normalize a vector column — a WRITE-TIME operator: persist
     (or cache) the result before fanning out. Left in a lazy plan,

@@ -642,3 +642,95 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= 3)
         .select("list_id", "cluster_size", "vec_id", "pick_rank")
     )
+
+
+def _jl_oracle_sql() -> str:
+    """DuckDB twin of the JL distortion pipeline: the frozen ±1 matrix
+    (plans/_jl_matrix.py) is inlined as integer literals, projections
+    are list_dot_product(v, s_j)/4 (√16 = 4, exact binary), and both
+    distances round to 4 decimals like every float query in the
+    registry."""
+    from fintech_lakehouse_spark.plans._jl_matrix import K, SIGNS
+
+    assert K == 16  # scale 1/4 below is exact only for k = 16
+    proj = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(f"{s}.0" for s in row)
+        + "]::DOUBLE[]) / 4"
+        for row in SIGNS
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id, v, [{proj}]::DOUBLE[] AS p FROM emb
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, p AS qp
+          FROM proj WHERE vec_id < 5),
+    c AS (SELECT vec_id, v AS cv, p AS cp
+          FROM proj WHERE vec_id >= 10 AND vec_id < 200)
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_dot_product(qv, qv) + list_dot_product(cv, cv)
+                 - 2 * list_dot_product(qv, cv), 4) AS dist_sq,
+           ROUND(list_dot_product(qp, qp) + list_dot_product(cp, cp)
+                 - 2 * list_dot_product(qp, cp), 4) AS proj_dist_sq
+    FROM q CROSS JOIN c
+    """
+
+
+@register("jl_projection_distortion", oracle=_jl_oracle_sql())
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection sketching under the
+    driver hash (SURVEY §7.6 similarity-search family): every
+    embedding is projected 64 → 16 dims through the FROZEN ±1 matrix
+    (plans/_jl_matrix.py — md5-derived, inlined identically in plan
+    and oracle, the _ivf_codebook pattern without a training step),
+    then every (query, corpus) pair in a bounded 5×190 grid emits its
+    TRUE squared L2 distance next to its PROJECTED squared distance.
+    The driver hashes both, so the check replays the whole pipeline —
+    sign literals, per-row projection, pair distances — and any
+    distortion statistics downstream (mean |ratio−1| ≈ √(2/k)) are
+    derivable from the verified columns rather than asserted.
+
+    Scale shape: the projection is a zero-shuffle JVM map (16 literal
+    dot products per row — the IVF-assignment shape); at 100 TB the
+    16-dim sketch column is what candidate generation runs on, cutting
+    shuffle volume 4× before any exact re-rank. The pair grid here is
+    deliberately bounded (the brute-force twin of the LSH/IVF
+    candidate paths); nothing in the plan is all-pairs on the corpus."""
+    from fintech_lakehouse_spark.functions.vectors import jl_project
+    from fintech_lakehouse_spark.plans._jl_matrix import SIGNS
+
+    emb = _embeddings_double(spark, sf_dir)
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        jl_project(F.col("embedding"), SIGNS).alias("p"),
+    )
+    q = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("p").alias("qp"),
+    )
+    c = proj.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 200)).select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        F.col("p").alias("cp"),
+    )
+    return F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("qv"), F.col("qv"))
+            + dot(F.col("cv"), F.col("cv"))
+            - 2 * dot(F.col("qv"), F.col("cv")),
+            4,
+        ).alias("dist_sq"),
+        F.round(
+            dot(F.col("qp"), F.col("qp"))
+            + dot(F.col("cp"), F.col("cp"))
+            - 2 * dot(F.col("qp"), F.col("cp")),
+            4,
+        ).alias("proj_dist_sq"),
+    )

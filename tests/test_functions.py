@@ -1432,3 +1432,36 @@ def test_jpeg_resize_through_codec():
     ref = first[ys][:, xs]
     assert int(np.max(np.abs(out.astype(int) - ref.astype(int)))) <= 2
     assert resize_jpeg_nearest(b"garbage", 4, 4) is None
+
+
+def test_jl_projection_matches_numpy_and_preserves_distance(spark, sf_dir):
+    """jl_project equals the numpy reference (S·v/√k, 1e-9) and the
+    JL lemma holds statistically on the real embeddings: the mean
+    squared-distance distortion ratio across the registry query's
+    5×190 pair grid is within 2·√(2/k) of 1 (k=16 → ±0.354), and no
+    deterministic drift (mean projected distance ≈ mean true
+    distance). Per-pair ratios are NOT asserted — JL is a
+    concentration bound, not a per-pair guarantee."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.vectors import jl_project
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans._jl_matrix import K, SIGNS
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    got = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select("vec_id", "v", jl_project(F.col("v"), SIGNS).alias("p")).collect()
+    S = np.array(SIGNS, dtype=np.float64)
+    for r in got:
+        ref = S @ np.array(r["v"]) / np.sqrt(K)
+        assert np.allclose(np.array(r["p"]), ref, atol=1e-9)
+
+    pairs = QUERIES["jl_projection_distortion"](spark, sf_dir).collect()
+    assert len(pairs) == 950
+    ratios = np.array(
+        [r["proj_dist_sq"] / r["dist_sq"] for r in pairs if r["dist_sq"] > 0]
+    )
+    assert abs(ratios.mean() - 1.0) <= 2 * np.sqrt(2.0 / K)
