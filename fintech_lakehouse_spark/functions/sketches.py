@@ -268,3 +268,69 @@ def bloom_size_for(n_items: int, target_fp: float = 0.01) -> tuple[int, int]:
     m_bits = 1 << max(6, math.ceil(math.log2(m)))
     k = max(1, round((m_bits / n_items) * math.log(2)))
     return m_bits, min(k, 16)
+
+
+def misra_gries_summaries(
+    df: DataFrame, col: str, m: int = 256
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries (Misra &
+    Gries 1982; mergeable-summaries formulation of Agarwal et al.,
+    PODS'12 — both public results), Arrow-batched: each partition
+    folds its batches' value_counts through MG-merge (sum counts; if
+    more than ``m`` survive, subtract the (m+1)-th largest and drop
+    ≤0) and emits its ≤m (item, counter) rows.
+
+    Guarantees carried to the merged result (sum counters per item
+    across partitions — do NOT truncate the union): for true count
+    f(t) over N rows, f(t) − N/m ≤ C(t) ≤ f(t), so every item with
+    f(t) > N/m is PRESENT. Counter values depend on partitioning
+    (like any streaming summary); the guarantees do not — queries must
+    emit only guarantee-derived columns, never raw counters.
+
+    This is the counter-based complement of the CMS family above:
+    deterministic (no hash collisions), O(m) state, and the natural
+    distributed shape — tiny per-partition state, one
+    map-side-combinable merge, no second pass over raw data."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("item", LongType(), False),
+            StructField("counter", LongType(), False),
+        ]
+    )
+
+    def part(iterator):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in iterator:
+            for item, cnt in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > m:
+                sub = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    k: v - sub for k, v in counters.items() if v > sub
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "counter": list(counters.values())}
+        )
+
+    return df.select(F.col(col).cast("long").alias(col)).mapInPandas(
+        part, schema
+    )
+
+
+def misra_gries_merged(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+    """Merged global MG summary: per-partition summaries unioned by a
+    map-side-combinable sum. Output (item, counter) with the
+    f(t) − N/m ≤ counter ≤ f(t) contract of misra_gries_summaries."""
+    return (
+        misra_gries_summaries(df, col, m)
+        .groupBy("item")
+        .agg(F.sum("counter").alias("counter"))
+    )

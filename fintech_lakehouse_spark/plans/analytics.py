@@ -729,3 +729,79 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("long").alias("max_cents"),
         )
     )
+
+
+@register(
+    "mg_heavy_hitters",
+    oracle=f"""
+    WITH stream AS (
+        SELECT CAST(floor(pow(({sql_hash_bucket('event_id', 'mg', 1_000_000)})
+                             / 1000000.0, 3.0) * 1000) AS BIGINT) AS item
+        FROM events
+    )
+    SELECT item,
+           CAST(n AS BIGINT) AS n_events,
+           TRUE AS found_by_sketch,
+           TRUE AS within_error_bound
+    FROM (
+        SELECT item, COUNT(*) AS n FROM stream GROUP BY item
+        ORDER BY n DESC, item LIMIT 10
+    )
+    """,
+)
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries distributed heavy hitters (functions/sketches.py —
+    the counter-based, collision-free complement of the CMS family;
+    Misra & Gries 1982 / Agarwal et al. PODS'12 mergeable summaries).
+
+    Non-vacuity by construction: the lake's generated keys are
+    near-uniform (no natural heavy hitters), so both engines derive a
+    Zipf-shaped item stream from event_id through the shared md5
+    recipe (u³ cube-law mapping onto 1000 items — item 0 carries ~10%
+    of all mass, item 9 ~0.7%). With m=256 the MG threshold N/m is
+    ~0.39% of mass, so the true top-10 all clear it with ≥1.7×
+    margin, while ~1000 distinct items ≫ m force real evictions in
+    every partition summary — the eviction path runs at every SF
+    (asserted separately in the unit test).
+
+    Verification (flag-promotion pattern): raw MG counters are
+    partitioning-dependent — like any streaming summary — so the query
+    emits only what theory guarantees for ANY partitioning: the exact
+    top-10 (deterministic), found_by_sketch (f(t) > N/m ⇒ present),
+    and within_error_bound (f(t) − C(t) ≤ N/m). A red row means the
+    summary/merge lost its deterministic guarantee.
+
+    Scale shape: per-partition state is ≤m counters regardless of
+    partition size; the merge is one map-side-combinable groupBy over
+    ≤ 32·m rows; the exact top-10 is a map-side-combinable count +
+    TakeOrderedAndProject. Nothing holds per-key state proportional
+    to the stream."""
+    from fintech_lakehouse_spark.functions.sketches import misra_gries_merged
+
+    m = 256
+    events = load_table(spark, sf_dir, "events")
+    u = hash_bucket("event_id", "mg", 1_000_000) / 1_000_000.0
+    stream = events.select(
+        F.floor(F.pow(u, 3.0) * 1000).cast("long").alias("item")
+    )
+    merged = misra_gries_merged(stream, "item", m=m)
+    exact_top = (
+        stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("item"))
+        .limit(10)
+    )
+    total = stream.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        exact_top.join(merged, "item", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "n_events",
+            F.col("counter").isNotNull().alias("found_by_sketch"),
+            (
+                (F.col("n_events") - F.coalesce(F.col("counter"), F.lit(0)))
+                <= F.floor(F.col("_n") / m)
+            ).alias("within_error_bound"),
+        )
+    )

@@ -1465,3 +1465,44 @@ def test_jl_projection_matches_numpy_and_preserves_distance(spark, sf_dir):
         [r["proj_dist_sq"] / r["dist_sq"] for r in pairs if r["dist_sq"] > 0]
     )
     assert abs(ratios.mean() - 1.0) <= 2 * np.sqrt(2.0 / K)
+
+
+def test_misra_gries_guarantees_hold_under_any_partitioning(spark):
+    """The MG contract the registry query leans on, checked under
+    THREE different partitionings of a Zipf-ish stream: (1) the merged
+    summary holds ≤ partitions×m items while the stream has far more
+    distinct values — evictions really ran; (2) every item with
+    f(t) > N/m is present; (3) every counter satisfies
+    f(t) − N/m ≤ C(t) ≤ f(t). Counter VALUES may differ between
+    partitionings — only the guarantees are portable, which is why the
+    query emits flags, not counters."""
+    from fintech_lakehouse_spark.functions.sketches import (
+        misra_gries_merged,
+    )
+
+    m = 64
+    # cube-law stream: item 0 ~10% of mass, ~1000 distinct items
+    base = spark.range(200_000).selectExpr(
+        "CAST(floor(pow((pmod(hash(id), 1000000) + 1000000) % 1000000"
+        " / 1000000.0, 3.0) * 1000) AS LONG) AS item"
+    )
+    exact = {
+        r["item"]: r["n"]
+        for r in base.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / m
+    for df in (base, base.repartition(4), base.repartition(13, "item")):
+        merged = {
+            r["item"]: r["counter"]
+            for r in misra_gries_merged(df, "item", m=m).collect()
+        }
+        n_parts = df.rdd.getNumPartitions()
+        assert len(merged) <= n_parts * m
+        assert len(exact) > n_parts * m / 2  # evictions were forced
+        for item, f in exact.items():
+            if f > bound:
+                assert item in merged, f"guaranteed item {item} missing"
+        for item, c in merged.items():
+            assert c <= exact[item]
+            assert exact[item] - c <= bound
