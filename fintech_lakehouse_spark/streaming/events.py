@@ -968,3 +968,154 @@ def foreach_batch_sketch_rollup(
         merged.coalesce(1).write.mode("overwrite").parquet(vdir)
 
     return _apply
+
+
+def foreach_batch_online_dedup(
+    state_path: str,
+    decisions_path: str,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """foreachBatch ONLINE near-duplicate detection — the streaming
+    form of the MinHash-LSH-verify corpus dedup (plans/text.py
+    minhash_lsh_pairs lineage): every micro-batch of (doc_id, text)
+    documents is fingerprinted, matched against the ACCUMULATED
+    fingerprint store, exact-Jaccard-verified, and appended to the
+    store — the shape a production ingest dedup runs (new crawl
+    snapshots arriving against an existing corpus), where re-running
+    the batch pipeline over all history per arrival would be
+    quadratic in time.
+
+    Decision contract (deterministic, batch-replayable): doc_ids are
+    the arrival order (monotone across batches — the caller's
+    contract); a doc is a duplicate iff some EARLIER doc (stored
+    corpus or same batch with smaller id) shares an LSH band and
+    verifies at exact Jaccard ≥ ``threshold``; ``dup_of`` is the
+    smallest such earlier id. Because MinHash signatures are per-doc
+    (batch-independent) and the md5 band family is deterministic, the
+    streaming decisions EQUAL the batch twin — lsh_band_pairs_md5 +
+    verified_jaccard_pairs over the full corpus with min-match
+    resolution — which the streaming≡batch test asserts exactly.
+
+    Per batch: fingerprinting is the map-side-combining signature
+    shape (shuffle = K·batch_docs); the history probe joins
+    batch bands (small) against stored bands on ONE band-hash key —
+    at 100 TB the stored band table is partitioned/bucketed by
+    band_hash so the probe is index-shaped, and batch bands broadcast.
+    Nothing rescans stored TEXT except verification, which semi-joins
+    to candidate docs only. State appends are versioned
+    ``version=<batch_id>`` dirs with the committed-retry skip
+    (exactly-once, foreach_batch_ivm's scheme); decisions land the
+    same way so a replayed batch cannot double-emit."""
+    from fintech_lakehouse_spark.functions.text import (
+        minhash_signatures_md5,
+        shingle_rows,
+        verified_jaccard_pairs,
+    )
+
+    rows_per_band = n_hashes // n_bands
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(band)),
+                                *[
+                                    F.col(f"mh{band * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).cast("binary")
+                        )
+                        for band in range(n_bands)
+                    ]
+                )
+            ).alias("band_hash"),
+        )
+
+    def _committed_union(spark: SparkSession, root: str):
+        fs, jvm = _hadoop_fs(spark, root)
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        if not fs.exists(p):
+            return None
+        dirs = [
+            f"{root}/{s.getPath().getName()}"
+            for s in fs.listStatus(p)
+            if s.getPath().getName().startswith("version=")
+            and _dir_committed(spark, f"{root}/{s.getPath().getName()}")
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dec_dir = f"{decisions_path.rstrip('/')}/version={batch_id}"
+        if _dir_committed(spark, dec_dir):
+            return  # replayed committed batch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("doc_id", "text")
+        sig = minhash_signatures_md5(
+            shingle_rows(batch, shingle_n), n_hashes
+        )
+        bands = _bands(sig)
+        stored_bands = _committed_union(
+            spark, f"{state_path.rstrip('/')}/bands"
+        )
+        stored_docs = _committed_union(spark, f"{state_path.rstrip('/')}/docs")
+        hist = (
+            stored_bands.withColumnRenamed("doc_id", "doc_a")
+            .join(
+                F.broadcast(bands.withColumnRenamed("doc_id", "doc_b")),
+                "band_hash",
+            )
+            .select("doc_a", "doc_b")
+            if stored_bands is not None
+            else None
+        )
+        b2 = bands.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+            "band_hash", "bh"
+        )
+        within = (
+            bands.join(b2, F.col("band_hash") == F.col("bh"))
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        )
+        cands = (
+            within.unionByName(hist) if hist is not None else within
+        ).distinct()
+        corpus = (
+            batch.unionByName(stored_docs)
+            if stored_docs is not None
+            else batch
+        )
+        verified = verified_jaccard_pairs(
+            corpus, cands, n=shingle_n, threshold=threshold
+        )
+        decisions = (
+            batch.join(
+                verified.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of")),
+                batch["doc_id"] == F.col("doc_b"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+        )
+        decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
+        # append state AFTER decisions commit: a crash between the two
+        # writes replays the batch (decisions dir uncommitted), and the
+        # state append below is itself idempotent via its version dir
+        for sub, df in (("bands", bands), ("docs", batch)):
+            vdir = f"{state_path.rstrip('/')}/{sub}/version={batch_id}"
+            if not _dir_committed(spark, vdir):
+                df.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    return _apply

@@ -969,3 +969,93 @@ def test_table_as_of_batch_time_travel(spark, tmp_path):
     as_of_latest = snap(table_as_of_batch(spark, changelog, "user_id"))
     assert as_of_latest == snap(spark.read.parquet(target))
     assert as_of_latest["u2"] == ("gold", 2) and "u4" in as_of_latest
+
+
+def test_online_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming online MinHash-LSH dedup ≡ the batch twin, exactly:
+    docs arrive in two micro-batches with duplicates crossing the
+    batch boundary (4 dups 1, 5 near-dups 1) and inside one batch
+    (7 dups 6); the accumulated-state pipeline must produce the same
+    (is_dup, dup_of) decisions as lsh_band_pairs_md5 +
+    verified_jaccard_pairs over the full corpus with min-match
+    resolution — MinHash signatures are per-doc, so batching must not
+    change anything."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from fintech_lakehouse_spark.functions.text import (
+        lsh_band_pairs_md5,
+        minhash_signatures_md5,
+        shingle_rows,
+        verified_jaccard_pairs,
+    )
+    from fintech_lakehouse_spark.streaming import foreach_batch_online_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different content about spark query engines at scale ok"
+    third = "yet another unique document with its own words and nothing shared"
+    b1 = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, other, third]})
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5, 6, 7],
+            "text": [base, near, "fresh new content arriving in batch two here now", "fresh new content arriving in batch two here now"],
+        }
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1.to_parquet(src / "b1.parquet", index=False)
+    time.sleep(1.1)
+    b2.to_parquet(src / "b2.parquet", index=False)
+    os.utime(src / "b1.parquet", (1, 1))
+
+    state = str(tmp_path / "dedup_state")
+    decisions = str(tmp_path / "decisions")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            foreach_batch_online_dedup(state, decisions)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in spark.read.parquet(f"{decisions}/version=*").collect()
+    }
+
+    # batch twin over the full corpus
+    all_docs = spark.createDataFrame(pd.concat([b1, b2]))
+    sig = minhash_signatures_md5(shingle_rows(all_docs, 3), 16)
+    cands = lsh_band_pairs_md5(sig, n_hashes=16, n_bands=8)
+    verified = verified_jaccard_pairs(all_docs, cands, n=3, threshold=0.5)
+    from pyspark.sql import functions as F2
+
+    twin = {
+        r["doc_b"]: r["dup_of"]
+        for r in verified.groupBy("doc_b")
+        .agg(F2.min("doc_a").alias("dup_of"))
+        .collect()
+    }
+    expected = {
+        int(d): (d in twin, twin.get(d)) for d in pd.concat([b1, b2])["doc_id"]
+    }
+    assert got == expected
+    # the planted structure really happened: cross-batch exact + near
+    # dup found, within-batch dup found, originals kept
+    assert got[4] == (True, 1) and got[5] == (True, 1)
+    assert got[7] == (True, 6)
+    assert got[1][0] is False and got[6][0] is False
+
+    # replay of a committed batch is a no-op (exactly-once)
+    fn = foreach_batch_online_dedup(state, decisions)
+    fn(all_docs.limit(3), 0)
+    assert spark.read.parquet(f"{decisions}/version=0").count() == 3
