@@ -2315,3 +2315,143 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+@register(
+    "temperature_mixture_shares",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens,
+                   SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS sqrt_mass
+            FROM per_lang)
+    SELECT p.lang, p.n_tokens,
+           ROUND(p.n_tokens / CAST(t.total_tokens AS DOUBLE), 6)
+               AS actual_share,
+           ROUND(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.sqrt_mass, 6)
+               AS temp_share,
+           ROUND((sqrt(CAST(p.n_tokens AS DOUBLE)) / t.sqrt_mass)
+                 / (p.n_tokens / CAST(t.total_tokens AS DOUBLE)), 6)
+               AS boost
+    FROM per_lang p CROSS JOIN tot t
+    """,
+)
+def temperature_mixture_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (the exponent-smoothing
+    policy of multilingual pretraining — sample language l with
+    probability ∝ share^α; mBERT/XLM-R publish α∈[0.3,0.7]): the
+    α=0.5 instance, chosen because √ is IEEE-exact on both engines
+    (a fractional pow() would be libm-dependent and could flip the
+    driver hash at rounding midpoints). Complements
+    corpus_mixture_weights (the uniform-target policy): temp_share is
+    what the sampler draws, boost = temp_share/actual_share is the
+    up/down-sampling factor per language (>1 boosts tails).
+
+    Shape: identical to corpus_mixture_weights — language-cardinality
+    aggregate + 1-row broadcast denominator; nothing rescans text."""
+    documents = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        documents.select("lang", F.size(F.split("text", " ")).alias("_n"))
+        .groupBy("lang")
+        .agg(F.sum("_n").alias("n_tokens"))
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("sqrt_mass"),
+    )
+    actual = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    temp = F.sqrt(F.col("n_tokens").cast("double")) / F.col("sqrt_mass")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / actual, 6).alias("boost"),
+    )
+
+
+@register(
+    "doc_contamination_fraction",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest(list_distinct(
+                 [array_to_string(string_split(text, ' ')[i:i+7], ' ')
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)]
+               )) AS gram
+        FROM documents
+    ),
+    hot AS (
+        SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 100
+    ),
+    clean AS (SELECT * FROM sh WHERE gram NOT IN (SELECT gram FROM hot)),
+    corpus_grams AS (
+        SELECT DISTINCT gram FROM clean WHERE b < 9000
+    )
+    SELECT t.doc_id AS test_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(c.gram) AS BIGINT) AS n_contaminated,
+           COUNT(c.gram) / CAST(COUNT(*) AS DOUBLE) AS contaminated_frac
+    FROM clean t LEFT JOIN corpus_grams c ON t.gram = c.gram
+    WHERE t.b >= 9000
+    GROUP BY t.doc_id
+    """,
+)
+def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination SCORE — the graded companion of
+    test_set_decontamination's binary pair report (GPT-3 appendix C
+    publishes exactly this policy: an eval doc is dirty above an
+    n-gram overlap FRACTION, not on first hit): for every held-out
+    eval doc, the fraction of its distinct clean 8-grams that appear
+    anywhere in the train corpus. Downstream, thresholding
+    contaminated_frac picks between dropping the doc vs just the
+    overlapping spans.
+
+    Shape: the same gram inverted index as test_set_decontamination
+    (shared md5 split, same >100-doc hot-gram drop on BOTH numerator
+    and denominator so boilerplate cannot saturate the score), but the
+    corpus side collapses to DISTINCT grams before the probe join —
+    per-gram fan-out is exactly 1, so the join output is bounded by
+    eval-side gram count regardless of corpus duplication; the
+    fraction is int/int IEEE division (deterministic, unrounded)."""
+    documents = load_table(spark, sf_dir, "documents")
+    grams = (
+        word_shingles(documents, n=8)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .withColumn("b", hash_bucket("doc_id", "split"))
+        .repartition("gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 100)
+        .select("gram")
+    )
+    clean = grams.join(hot, "gram", "left_anti")
+    corpus_grams = (
+        clean.filter(F.col("b") < 9000).select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    test = clean.filter(F.col("b") >= 9000).select(
+        F.col("doc_id").alias("test_doc_id"), "gram"
+    )
+    return (
+        test.join(corpus_grams, "gram", "left")
+        .groupBy("test_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            "test_doc_id",
+            "n_grams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated") / F.col("n_grams").cast("double")
+            ).alias("contaminated_frac"),
+        )
+    )
