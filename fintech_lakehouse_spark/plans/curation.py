@@ -880,3 +880,70 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+@register(
+    "curriculum_stage_manifest",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    cuts AS (
+        SELECT quantile_cont(n_tokens, 0.25) AS p25,
+               quantile_cont(n_tokens, 0.50) AS p50,
+               quantile_cont(n_tokens, 0.75) AS p75
+        FROM sized
+    )
+    SELECT 1 + CAST(n_tokens >= p25 AS INT) + CAST(n_tokens >= p50 AS INT)
+             + CAST(n_tokens >= p75 AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM sized CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def curriculum_stage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum staging (the classic short→long
+    schedule of curriculum learning — Bengio et al. 2009, public):
+    docs are binned into 4 stages by exact token-count quartiles and
+    the manifest reports each stage's doc count, token budget, and
+    length bounds — what a training loader consumes to schedule
+    epochs.
+
+    Deliberately NOT ntile(): a global ntile funnels the whole corpus
+    through ONE task (no PARTITION BY = single partition, the
+    velocity-family hazard in its worst form). The scale shape is
+    threshold-broadcast instead: one exact-percentile aggregate
+    (map-side-combinable partials at bench SF; approx_percentile's
+    mergeable sketch at 100 TB) produces a 1-row cutoff table that
+    broadcasts into a scan-level stage assignment + a 4-group
+    aggregate. Integer token counts keep percentile interpolation
+    engine-identical (the quantity_percentiles parity)."""
+    documents = load_table(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    cuts = sized.agg(
+        F.percentile("n_tokens", 0.25).alias("p25"),
+        F.percentile("n_tokens", 0.50).alias("p50"),
+        F.percentile("n_tokens", 0.75).alias("p75"),
+    )
+    stage = (
+        F.lit(1)
+        + (F.col("n_tokens") >= F.col("p25")).cast("int")
+        + (F.col("n_tokens") >= F.col("p50")).cast("int")
+        + (F.col("n_tokens") >= F.col("p75")).cast("int")
+    )
+    return (
+        sized.crossJoin(F.broadcast(cuts))
+        .groupBy(stage.alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

@@ -2455,3 +2455,117 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated_frac"),
         )
     )
+
+
+@register(
+    "cluster_safe_split_counts",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clusters AS (SELECT doc_id, MIN(label) AS cluster_id
+                 FROM reach GROUP BY doc_id),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS rep,
+               CASE WHEN {sql_hash_bucket('COALESCE(c.cluster_id, d.doc_id)', 'split')} < 8000 THEN 'train'
+                    WHEN {sql_hash_bucket('COALESCE(c.cluster_id, d.doc_id)', 'split')} < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN {sql_hash_bucket('d.doc_id', 'split')} < 8000 THEN 'train'
+                    WHEN {sql_hash_bucket('d.doc_id', 'split')} < 9000 THEN 'val'
+                    ELSE 'test' END AS doc_split
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    leaks AS (
+        SELECT CAST(COUNT(*) FILTER (
+                   WHERE n_cluster_splits > 1) AS BIGINT) AS by_cluster,
+               CAST(COUNT(*) FILTER (
+                   WHERE n_doc_splits > 1) AS BIGINT) AS by_doc
+        FROM (SELECT rep, COUNT(DISTINCT split) AS n_cluster_splits,
+                     COUNT(DISTINCT doc_split) AS n_doc_splits
+              FROM assigned GROUP BY rep)
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.rep) AS BIGINT) AS n_clusters,
+           l.by_cluster AS n_leaky_clusters_cluster_split,
+           l.by_doc AS n_leaky_clusters_doc_split
+    FROM assigned a CROSS JOIN leaks l
+    GROUP BY a.split, l.by_cluster, l.by_doc
+    """,
+)
+def cluster_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split — the leakage class doc-level
+    hashing CANNOT fix: if two near-duplicate docs hash to different
+    splits, the eval set contains (a near-copy of) training data and
+    decontamination reports it as contamination after the fact. The
+    correct split key is the dedup CLUSTER representative: every doc
+    is assigned by md5(rep) (rep = its connected-component canonical
+    id from the verified MinHash pair graph, or itself when
+    unclustered), so a cluster can never straddle splits.
+
+    Verification pins the invariant as a hash-checked VALUE (the
+    bloom_decontamination_audit pattern):
+    n_leaky_clusters_cluster_split must be 0 on ANY data, while
+    n_leaky_clusters_doc_split — the same count under naive doc-id
+    hashing — reports how many clusters WOULD have leaked (non-zero
+    wherever multi-doc clusters exist), making the fixed failure mode
+    visible in the same row.
+
+    Scale shape: clustering reuses the cached verified-pairs stage
+    (one signature pipeline per session); label propagation is the
+    bounded-iteration CC already proven to 100 TB shapes; the split
+    assignment adds one equi-join of docs to the (tiny) cluster map +
+    a two-level aggregate. The oracle replays CC with its recursive
+    CTE twin."""
+    from fintech_lakehouse_spark.functions.text import dedup_clusters
+
+    documents = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(verified_pairs_stage(spark, sf_dir))
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    assigned = (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("rep"),
+            _split_of(hash_bucket(rep, "split")).alias("split"),
+            _split_of(hash_bucket("doc_id", "split")).alias("doc_split"),
+        )
+    )
+    per_rep = assigned.groupBy("rep").agg(
+        F.countDistinct("split").alias("_ns"),
+        F.countDistinct("doc_split").alias("_nd"),
+    )
+    leaks = per_rep.agg(
+        F.sum((F.col("_ns") > 1).cast("long")).alias(
+            "n_leaky_clusters_cluster_split"
+        ),
+        F.sum((F.col("_nd") > 1).cast("long")).alias(
+            "n_leaky_clusters_doc_split"
+        ),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )
+
+
+def _split_of(bucket):
+    return (
+        F.when(bucket < 8000, "train")
+        .when(bucket < 9000, "val")
+        .otherwise("test")
+    )

@@ -734,3 +734,69 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("proj_dist_sq"),
     )
+
+
+@register(
+    "embedding_anisotropy",
+    oracle="""
+    WITH dims AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    mean_vec AS (
+        SELECT SUM(avg_x * avg_x) AS mean_norm_sq
+        FROM (SELECT dim, AVG(x) AS avg_x FROM dims GROUP BY dim)
+    ),
+    norms AS (
+        SELECT AVG(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS avg_norm_sq,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM embeddings
+    )
+    SELECT n_vectors,
+           ROUND(mean_norm_sq, 6) AS mean_vec_norm_sq,
+           ROUND(avg_norm_sq, 6)  AS avg_norm_sq,
+           ROUND(mean_norm_sq / avg_norm_sq, 6) AS anisotropy
+    FROM mean_vec, norms
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic (Ethayarajh 2019 /
+    Mu & Viswanath 2018 all-but-the-top — public results): the ratio
+    ‖mean vector‖² / E‖v‖², which equals the expected pairwise cosine
+    for normalized vectors. Near 0 = isotropic (directions spread);
+    near 1 = a dominant common direction — the condition that breaks
+    cosine-based retrieval/dedup and motivates mean-centering before
+    the ANN/near-dup pipelines in this repo. Run this BEFORE trusting
+    any cosine threshold on a new embedding table.
+
+    Shape: per-dimension means via posexplode + groupBy(dim) — the
+    shuffle is O(tasks × 64) partials, never vector-cardinality — and
+    one scan-level norm aggregate; both collapse to a 1×1 join.
+    No pairwise anything: the identity E[cos(u,v)] = ‖mean‖²/E‖v‖²
+    (normalized case) is what makes the statistic computable in one
+    pass at 100 TB."""
+    emb = _embeddings_double(spark, sf_dir)
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    )
+    mean_vec = (
+        dims.groupBy("dim")
+        .agg(F.avg("x").alias("avg_x"))
+        .agg(F.sum(F.col("avg_x") * F.col("avg_x")).alias("mean_norm_sq"))
+    )
+    norms = emb.agg(
+        F.avg(dot(F.col("embedding"), F.col("embedding"))).alias(
+            "avg_norm_sq"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    return norms.crossJoin(F.broadcast(mean_vec)).select(
+        "n_vectors",
+        F.round("mean_norm_sq", 6).alias("mean_vec_norm_sq"),
+        F.round("avg_norm_sq", 6).alias("avg_norm_sq"),
+        F.round(F.col("mean_norm_sq") / F.col("avg_norm_sq"), 6).alias(
+            "anisotropy"
+        ),
+    )
