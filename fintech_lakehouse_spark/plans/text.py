@@ -2569,3 +2569,98 @@ def _split_of(bucket):
         .when(bucket < 9000, "val")
         .otherwise("test")
     )
+
+
+BM25_QUERY_TERMS = ("table", "spark", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sized
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
+        WHERE term IN {BM25_QUERY_TERMS!r}
+        GROUP BY doc_id, dl, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * tf.dl / s.avgdl))
+           ), 4) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+    FROM tf JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Spärck Jones probabilistic
+    ranking — the scoring function of every Lucene/Elasticsearch
+    deployment and the sparse half of hybrid RAG retrieval), ranked
+    over the corpus for a fixed 3-term query: per-(doc, term) tf, per-
+    term df, document-length normalization against the corpus average,
+    k1=1.2 / b=0.75. The idf factor is the UN-LOGGED odds ratio
+    (N−df+0.5)/(df+0.5) — the doc_top_rare_tokens precedent — because
+    ln() is libm-dependent across engines while the pure
+    divide/multiply chain hashes bit-identically; ranking by the
+    rounded score with doc_id tie-break keeps the top-20 total order
+    engine-stable.
+
+    Scale shape: the term filter pushes into the token explode so only
+    query-term postings survive (3 terms ≈ the inverted-index posting
+    lists a search engine reads — never the full corpus vocabulary);
+    df (3 rows) and the avgdl/N row broadcast into the scoring join;
+    the final top-20 is TakeOrderedAndProject. At 100 TB the same plan
+    reads a pre-built (term → postings) table instead of re-exploding,
+    which is the only change."""
+    documents = load_table(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    stats = sized.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        sized.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / norm), 4
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
