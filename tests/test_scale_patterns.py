@@ -134,6 +134,29 @@ def _plan(df) -> str:
         # Dice collocations (r6s5): vocab-sized unigram counts
         # broadcast into the bigram counts; top-20 distributed.
         ("bigram_collocations", ["BroadcastHashJoin", "TakeOrderedAndProject"]),
+        # JL distortion (r7): the 5-query side broadcasts into the
+        # bounded pair grid; the projection itself is plan literals
+        # (no join for the matrix, no sort-merge anywhere).
+        ("jl_projection_distortion", ["BroadcastNestedLoopJoin"]),
+        # BM25 (r7): 3-row df and the 1-row avgdl/N stats broadcast
+        # into the posting scoring; top-20 never a global sort.
+        (
+            "bm25_doc_ranking",
+            ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+        ),
+        # curriculum staging (r7): quartile cutoffs join back as a
+        # 1-row broadcast — deliberately NOT a single-task global
+        # ntile window.
+        ("curriculum_stage_manifest", ["BroadcastNestedLoopJoin"]),
+        # MG heavy hitters (r7): exact top-10 is per-partition heaps;
+        # the sketch merge is a hash aggregate over <= parts*m rows.
+        ("mg_heavy_hitters", ["TakeOrderedAndProject", "HashAggregate"]),
+        # contamination fraction (r7): same shared-gram-repartition
+        # index as test_set_decontamination (fact-20 reuse).
+        (
+            "doc_contamination_fraction",
+            ["hashpartitioning(gram", "REPARTITION_BY_COL"],
+        ),
     ],
 )
 def test_plan_shapes(spark, sf_dir, query, required):
