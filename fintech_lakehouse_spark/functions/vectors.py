@@ -344,3 +344,80 @@ def brute_force_knn(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mmr_rerank_pandas(
+    candidates: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """General-k Maximal Marginal Relevance re-rank, one group per
+    query (Carbonell & Goldstein 1998): greedy selection
+    argmax_c λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties broken
+    by candidate id. Greedy MMR is data-dependently sequential in k —
+    exactly the loop a Python escape hatch genuinely owns — so it runs
+    as applyInPandas over (query_id) groups: each group is one
+    retrieval pool (top-N from knn/IVF/LSH, N≈10-100), cost k·N sims
+    per query, thousands of queries in parallel, never corpus-sized.
+
+    ``candidates``: (query_id, vec_id, rel, embedding). Returns
+    (query_id, rank, vec_id, relevance, mmr_score) with rank 1..k.
+    The k=3 instance is hash-checked end-to-end by the
+    mmr_diverse_rerank registry query's unrolled plan; this form is
+    unit-tested against it."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("rank", IntegerType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("relevance", DoubleType(), False),
+            StructField("mmr_score", DoubleType(), False),
+        ]
+    )
+
+    def select_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(pdf["embedding"].map(np.asarray))
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        selected: list[int] = []
+        rows = []
+        max_sim = np.full(len(pdf), -np.inf)
+        for rank in range(1, min(k, len(pdf)) + 1):
+            if not selected:
+                score = rel.copy()
+            else:
+                score = lam * rel - (1 - lam) * max_sim
+            score[selected] = -np.inf
+            # argmax with vec_id tie-break: ids are sorted ascending,
+            # so np.argmax's first-max rule IS the tie-break
+            best = int(np.argmax(score))
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[best]),
+                    float(rel[best]),
+                    float(score[best]),
+                )
+            )
+            sims = (vecs @ vecs[best]) / (norms * norms[best])
+            max_sim = np.maximum(max_sim, sims)
+            selected.append(best)
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "vec_id", "relevance", "mmr_score"]
+        )
+
+    return candidates.groupBy("query_id").applyInPandas(select_group, schema)

@@ -800,3 +800,159 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anisotropy"
         ),
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 10
+
+
+@register(
+    "mmr_diverse_rerank",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    pool AS (
+        SELECT vec_id, cv, rel FROM (
+            SELECT c.vec_id, c.v AS cv,
+                   list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))) AS rel,
+                   ROW_NUMBER() OVER (ORDER BY
+                       list_dot_product(q.qv, c.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.v, c.v))) DESC,
+                       c.vec_id) AS rn
+            FROM emb c CROSS JOIN q WHERE c.vec_id >= 10
+        ) WHERE rn <= {MMR_POOL}
+    ),
+    s1 AS (SELECT vec_id, cv, rel FROM pool
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    m2 AS (
+        SELECT p.vec_id, p.cv, p.rel,
+               {MMR_LAMBDA} * p.rel - {1 - MMR_LAMBDA:.1f} *
+               (list_dot_product(p.cv, s.cv)
+                / (sqrt(list_dot_product(p.cv, p.cv))
+                   * sqrt(list_dot_product(s.cv, s.cv)))) AS mmr
+        FROM pool p CROSS JOIN s1 s WHERE p.vec_id != s.vec_id
+    ),
+    s2 AS (SELECT vec_id, cv, rel, mmr FROM m2
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+    m3 AS (
+        SELECT p.vec_id, p.rel,
+               {MMR_LAMBDA} * p.rel - {1 - MMR_LAMBDA:.1f} * GREATEST(
+                   list_dot_product(p.cv, a.cv)
+                   / (sqrt(list_dot_product(p.cv, p.cv))
+                      * sqrt(list_dot_product(a.cv, a.cv))),
+                   list_dot_product(p.cv, b.cv)
+                   / (sqrt(list_dot_product(p.cv, p.cv))
+                      * sqrt(list_dot_product(b.cv, b.cv)))) AS mmr
+        FROM pool p CROSS JOIN s1 a CROSS JOIN s2 b
+        WHERE p.vec_id NOT IN (a.vec_id, b.vec_id)
+    ),
+    s3 AS (SELECT vec_id, rel, mmr FROM m3
+           ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT 1 AS rank, vec_id, ROUND(rel, 4) AS relevance,
+           ROUND(rel, 4) AS mmr_score FROM s1
+    UNION ALL
+    SELECT 2, vec_id, ROUND(rel, 4), ROUND(mmr, 4) FROM s2
+    UNION ALL
+    SELECT 3, vec_id, ROUND(rel, 4), ROUND(mmr, 4) FROM s3
+    """,
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998 — the diversity-aware selection step after retrieval in RAG
+    pipelines: pick results that are relevant to the query AND
+    dissimilar to what is already picked, so 3 near-duplicate top hits
+    don't crowd out coverage). Greedy selection is inherently
+    sequential in k, so the driver-checked instance unrolls k=3 exactly
+    (argmax_c λ·rel(c) − (1−λ)·max_{{s∈S}} sim(c,s), λ=0.7) over the
+    cosine top-10 candidate pool of query vector 0; both engines run
+    the identical unrolled plan, so the hash check replays every
+    selection step. The general-k per-query-group form is
+    functions/vectors.py::mmr_rerank_pandas (applyInPandas — the
+    data-dependent greedy loop a UDF genuinely owns), unit-tested
+    against this unrolled instance.
+
+    Scale shape: MMR cost is k·|pool| sims per QUERY, never
+    corpus-sized — the pool (top-N from knn/IVF/LSH, N≈10-100) is the
+    only input; here each selection step is a 1-row broadcast argmax
+    over the 10-row pool. At 100 TB thousands of queries re-rank in
+    parallel via the applyInPandas form, one group per query."""
+    lam = MMR_LAMBDA
+    emb = _embeddings_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    rel = cosine(F.col("embedding"), F.col("qv"))
+    pool = (
+        emb.filter(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.col("embedding").alias("cv"), rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    s1 = pool.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+    sim_to = lambda other: cosine(F.col("cv"), F.col(other))  # noqa: E731
+    m2 = (
+        pool.crossJoin(
+            F.broadcast(
+                s1.select(
+                    F.col("vec_id").alias("_s1"), F.col("cv").alias("acv")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("_s1"))
+        .select(
+            "vec_id", "cv", "rel",
+            (lam * F.col("rel") - (1 - lam) * sim_to("acv")).alias("mmr"),
+        )
+    )
+    s2 = m2.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1)
+    m3 = (
+        pool.crossJoin(
+            F.broadcast(
+                s1.select(
+                    F.col("vec_id").alias("_s1"), F.col("cv").alias("acv")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                s2.select(
+                    F.col("vec_id").alias("_s2"), F.col("cv").alias("bcv")
+                )
+            )
+        )
+        .filter(
+            (F.col("vec_id") != F.col("_s1"))
+            & (F.col("vec_id") != F.col("_s2"))
+        )
+        .select(
+            "vec_id", "rel",
+            (
+                lam * F.col("rel")
+                - (1 - lam) * F.greatest(sim_to("acv"), sim_to("bcv"))
+            ).alias("mmr"),
+        )
+    )
+    s3 = m3.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1)
+    return (
+        s1.select(
+            F.lit(1).alias("rank"), "vec_id",
+            F.round("rel", 4).alias("relevance"),
+            F.round("rel", 4).alias("mmr_score"),
+        )
+        .unionByName(
+            s2.select(
+                F.lit(2).alias("rank"), "vec_id",
+                F.round("rel", 4).alias("relevance"),
+                F.round("mmr", 4).alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                F.lit(3).alias("rank"), "vec_id",
+                F.round("rel", 4).alias("relevance"),
+                F.round("mmr", 4).alias("mmr_score"),
+            )
+        )
+    )

@@ -1506,3 +1506,54 @@ def test_misra_gries_guarantees_hold_under_any_partitioning(spark):
         for item, c in merged.items():
             assert c <= exact[item]
             assert exact[item] - c <= bound
+
+
+def test_mmr_pandas_matches_unrolled_registry_instance(spark, sf_dir):
+    """The general-k applyInPandas MMR must reproduce the k=3 unrolled
+    plan the driver hash-checks (same pool, same λ, same tie-break) —
+    and its rank-1 pick is always the pure-relevance argmax while
+    later picks trade relevance for diversity (mmr_score ≤ λ·rel +
+    (1−λ), monotone non-increasing selection scores)."""
+    import math
+
+    from fintech_lakehouse_spark.functions.vectors import (
+        cosine,
+        mmr_rerank_pandas,
+    )
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.vectors import (
+        MMR_POOL,
+        _embeddings_double,
+    )
+
+    emb = _embeddings_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    pool = (
+        emb.filter(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.lit(0).alias("query_id"),
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    got = {
+        r["rank"]: (r["vec_id"], round(r["relevance"], 4), round(r["mmr_score"], 4))
+        for r in mmr_rerank_pandas(pool, k=3, lam=0.7).collect()
+    }
+    expected = {
+        r["rank"]: (r["vec_id"], r["relevance"], r["mmr_score"])
+        for r in QUERIES["mmr_diverse_rerank"](spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for rank in (1, 2, 3):
+        gv, gr, gm = got[rank]
+        ev, er, em = expected[rank]
+        assert gv == ev
+        assert math.isclose(gr, er, abs_tol=1e-4)
+        assert math.isclose(gm, em, abs_tol=1e-4)
+    # selection scores are non-increasing (greedy argmax property)
+    assert got[1][2] >= got[2][2] >= got[3][2]
