@@ -67,17 +67,24 @@ FLAT_QUANT = np.ones(64, dtype=np.uint16)
 
 def quality_quant_table(quality: int) -> np.ndarray:
     """A smooth monotone quant table scaled by the libjpeg quality
-    formula (50 → base, 95 → fine). The base table is generated, not
-    transcribed: strength grows with spatial frequency (1 + (u+v)),
+    formula (50 → base, 95 → fine), returned in ZIGZAG order (the
+    order encode_jpeg consumes and DQT stores — review finding r7:
+    the first cut returned raster order, scrambling the frequency
+    weighting up to ~4.5× between same-frequency coefficients; the
+    roundtrip stayed self-consistent, which is why only rate-
+    distortion suffered). The base table is generated, not
+    transcribed: strength grows with spatial frequency (2 + 3(u+v)),
     which preserves the property every real table has — DC finest,
     high frequencies coarsest — without a 64-entry constant. The
     table rides in DQT, so decode correctness never depends on it."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100] (libjpeg domain)")
     base = np.empty((8, 8), dtype=np.float64)
     for u in range(8):
         for v in range(8):
             base[u, v] = 2 + 3 * (u + v)
     scale = 5000 / quality if quality < 50 else 200 - 2 * quality
-    q = np.floor((base.reshape(64) * scale + 50) / 100)
+    q = np.floor((base.reshape(64)[_Z] * scale + 50) / 100)
     return np.clip(q, 1, 255).astype(np.uint16)
 
 
@@ -309,8 +316,10 @@ def encode_jpeg(
     if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
         raise ValueError("dims out of JPEG range")
     q = np.asarray(quant if quant is not None else FLAT_QUANT, dtype=np.uint16)
-    if q.shape != (64,) or q.min() < 1:
-        raise ValueError("quant must be 64 values >= 1")
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        # >255 would need a 16-bit (pq=1) DQT segment, which this
+        # encoder doesn't emit (the decoder reads them fine)
+        raise ValueError("quant must be 64 values in [1, 255]")
 
     planes = (
         [img.astype(np.float64)]

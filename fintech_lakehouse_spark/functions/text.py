@@ -209,15 +209,21 @@ def minhash_signatures_md5(shingle_rows_df: DataFrame, n_hashes: int = 32) -> Da
     )
 
 
-def lsh_band_pairs_md5(
+def band_signatures(
     signatures: DataFrame, n_hashes: int = 32, n_bands: int = 8
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from md5-banded signatures. The
-    band index is baked into the band-signature hash input, so the
-    bucket join needs only one equality key."""
+    """(doc_id, band_sig) exploded rows from md5-banded signatures —
+    the ONE definition of the band-signature hash, shared by the batch
+    pair join (:func:`lsh_band_pairs_md5`) and the streaming online
+    dedup (streaming/events.py::foreach_batch_online_dedup), so the
+    stream≡batch candidate-set guarantee can never drift from a
+    one-sided edit (review finding r7). The band index is baked into
+    the hash input, so downstream bucket joins need only this single
+    equality key. Validates the (n_hashes, n_bands) pair like every
+    banding entry point (finding r6s5)."""
     _validate_bands(n_hashes, n_bands)
     rows_per_band = n_hashes // n_bands
-    bands = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -237,6 +243,15 @@ def lsh_band_pairs_md5(
             )
         ).alias("band_sig"),
     )
+
+
+def lsh_band_pairs_md5(
+    signatures: DataFrame, n_hashes: int = 32, n_bands: int = 8
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from md5-banded signatures. The
+    band index is baked into the band-signature hash input, so the
+    bucket join needs only one equality key."""
+    bands = band_signatures(signatures, n_hashes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -390,6 +390,10 @@ def mmr_rerank_pandas(
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         vecs = np.stack(pdf["embedding"].map(np.asarray))
         norms = np.sqrt((vecs * vecs).sum(axis=1))
+        # a zero vector would make its cosine NaN, and np.argmax
+        # treats NaN as maximal — it would win every selection round
+        # (review finding r7). inf norm → similarity 0 instead.
+        norms = np.where(norms == 0, np.inf, norms)
         rel = pdf["rel"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
         selected: list[int] = []

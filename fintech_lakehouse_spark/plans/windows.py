@@ -130,12 +130,14 @@ def user_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per event, ns-exact frame edges) cannot be bucket-decomposed
     without changing semantics, so unlike aml_structuring_alerts this
     query keeps the exact window but refuses fast on hot keys —
-    ``hot_key_guard`` runs one map-side-combinable count pass and
-    raises :class:`~fintech_lakehouse_spark.operators.skew.HotKeyError`
-    if any user owns >100k events in scope, naming the offenders and
-    pointing at ``user_hourly_velocity_salted`` (the bounded
-    formulation that holds to 1B rows, BASELINE.md §2). A deterministic
-    seconds-long failure beats a task wedged for hours at 100 TB."""
+    ``hot_key_guard`` weaves a lazy assert_true gate into the plan (a
+    map-side-combinable count collapsed to a 1-row broadcast
+    violation summary; zero cost at plan-build, review finding r7)
+    that fails the query AT EXECUTION if any user owns >100k events
+    in scope, pointing at ``user_hourly_velocity_salted`` (the
+    bounded formulation that holds to 1B rows, BASELINE.md §2). A
+    deterministic seconds-long failure beats a task wedged for hours
+    at 100 TB."""
     from fintech_lakehouse_spark.operators.skew import hot_key_guard
 
     events = hot_key_guard(

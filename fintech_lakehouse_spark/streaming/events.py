@@ -1010,33 +1010,20 @@ def foreach_batch_online_dedup(
     (exactly-once, foreach_batch_ivm's scheme); decisions land the
     same way so a replayed batch cannot double-emit."""
     from fintech_lakehouse_spark.functions.text import (
+        band_signatures,
         minhash_signatures_md5,
         shingle_rows,
         verified_jaccard_pairs,
     )
 
-    rows_per_band = n_hashes // n_bands
-
     def _bands(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.lit(str(band)),
-                                *[
-                                    F.col(f"mh{band * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            ).cast("binary")
-                        )
-                        for band in range(n_bands)
-                    ]
-                )
-            ).alias("band_hash"),
+        # the SHARED validated band hash (functions/text.py) — the
+        # stream≡batch candidate-set guarantee requires this to be the
+        # same expression lsh_band_pairs_md5 uses (review finding r7),
+        # and band_signatures validates (n_hashes, n_bands) like every
+        # banding entry point
+        return band_signatures(sig, n_hashes, n_bands).withColumnRenamed(
+            "band_sig", "band_hash"
         )
 
     def _committed_union(spark: SparkSession, root: str):
@@ -1074,6 +1061,13 @@ def foreach_batch_online_dedup(
                 F.broadcast(bands.withColumnRenamed("doc_id", "doc_b")),
                 "band_hash",
             )
+            # doc_a < doc_b is a no-op in normal operation (stored ids
+            # are always smaller under the monotone-arrival contract)
+            # but load-bearing on REPLAY: state commits before
+            # decisions (see write order below), so a replayed batch
+            # finds its own fingerprints in the store and must not
+            # match docs against themselves or later arrivals
+            .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             if stored_bands is not None
             else None
@@ -1090,7 +1084,10 @@ def foreach_batch_online_dedup(
             within.unionByName(hist) if hist is not None else within
         ).distinct()
         corpus = (
-            batch.unionByName(stored_docs)
+            # dropDuplicates: on replay the store already holds this
+            # batch's docs (state commits first), and a doc_id present
+            # twice would double its shingles inside the verify stage
+            batch.unionByName(stored_docs).dropDuplicates(["doc_id"])
             if stored_docs is not None
             else batch
         )
@@ -1109,13 +1106,18 @@ def foreach_batch_online_dedup(
                 "dup_of",
             )
         )
-        decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
-        # append state AFTER decisions commit: a crash between the two
-        # writes replays the batch (decisions dir uncommitted), and the
-        # state append below is itself idempotent via its version dir
+        # state commits BEFORE decisions (review finding r7): decisions
+        # are the batch's commit point (the early-return above keys on
+        # them), so a crash after state but before decisions replays
+        # the batch against a store that already holds its fingerprints
+        # — harmless because the history probe filters doc_a < doc_b —
+        # whereas the reverse order would return early on replay with
+        # the state append lost forever, silently shrinking the store.
+        # Each state dir is itself idempotent via its version path.
         for sub, df in (("bands", bands), ("docs", batch)):
             vdir = f"{state_path.rstrip('/')}/{sub}/version={batch_id}"
             if not _dir_committed(spark, vdir):
                 df.coalesce(1).write.mode("overwrite").parquet(vdir)
+        decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
 
     return _apply

@@ -20,6 +20,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fintech_lakehouse_spark.session import get_spark
 from fintech_lakehouse_spark.streaming import foreach_batch_online_dedup
@@ -27,24 +28,16 @@ from fintech_lakehouse_spark.streaming import foreach_batch_online_dedup
 WORK = "/tmp/online_dedup_bench"
 
 
+from scale_corpus_bench import synth_text_expr  # noqa: E402  (shared generator)
+
+
 def synth_batch(spark, batch_idx: int, n: int):
-    """Same construction as scale_corpus_bench.build_synthetic, offset
-    so doc_ids stay monotone across batches (the sink's arrival-order
-    contract)."""
+    """scale_corpus_bench's shared generator, offset so doc_ids stay
+    monotone across batches (the sink's arrival-order contract)."""
     lo = batch_idx * n
-    base = f"(CASE WHEN id % 97 = 0 AND id > {lo} THEN id - 1 ELSE id END)"
-    n_tok = f"30 + pmod(hash({base}), 51)"
-    token_of = (
-        "concat('w', cast(floor(pow(pmod(hash({src} * 2654435761 + "
-        "j * 40503), 1000000) / 1000000.0, 3.0) * 200000) as long))"
-    )
-    own = token_of.format(src="id")
-    inherited = token_of.format(src=base)
-    token = f"(CASE WHEN j >= {n_tok} - 5 THEN {own} ELSE {inherited} END)"
     return spark.range(lo, lo + n).selectExpr(
         "id AS doc_id",
-        f"array_join(transform(sequence(0, {n_tok} - 1), j -> {token}), ' ')"
-        " AS text",
+        f"{synth_text_expr(lo=lo)} AS text",
     )
 
 

@@ -125,6 +125,32 @@ def build_embeddings(spark, k: int) -> str:
     return out
 
 
+def synth_text_expr(lo: int = 0, vocab: int = 200_000) -> str:
+    """The ONE definition of the synthetic-corpus text generator SQL
+    expression (shared with scripts/online_dedup_bench.py — review
+    finding r7: a copy there had started drifting from the version
+    BASELINE numbers are quoted against). Tokens are Zipf-ishly
+    hash-sampled from a ``vocab``-word lexicon (u³ rank mapping) over
+    a `spark.range` ``id`` column; ~1% of docs are near-duplicates of
+    their predecessor (shared stream except the last 5 tokens) so
+    pair/verify stages carry real, linearly-growing work — a corpus
+    with zero near-dups would let the candidate join emit nothing and
+    prove nothing about the verify bound. ``lo`` offsets the
+    predecessor guard so batched generation keeps ids monotone."""
+    base = f"(CASE WHEN id % 97 = 0 AND id > {lo} THEN id - 1 ELSE id END)"
+    n_tok = f"30 + pmod(hash({base}), 51)"
+    token_of = (
+        "concat('w', cast(floor(pow(pmod(hash({src} * 2654435761 + "
+        "j * 40503), 1000000) / 1000000.0, 3.0) * {v}) as long))"
+    )
+    own = token_of.format(src="id", v=vocab)
+    inherited = token_of.format(src=base, v=vocab)
+    token = f"(CASE WHEN j >= {n_tok} - 5 THEN {own} ELSE {inherited} END)"
+    return (
+        f"array_join(transform(sequence(0, {n_tok} - 1), j -> {token}), ' ')"
+    )
+
+
 def build_synthetic(spark, n_docs: int, vocab: int = 200_000) -> str:
     """N DISTINCT documents with a GROWING vocabulary (VERDICT r6
     item 4): the multiplied-corpus protocol repeats per-copy structure,
@@ -141,27 +167,12 @@ def build_synthetic(spark, n_docs: int, vocab: int = 200_000) -> str:
     if os.path.exists(f"{out}/documents.parquet"):
         return out
     os.makedirs(out, exist_ok=True)
-    # ~1% of docs are near-duplicates of their predecessor (shared
-    # token stream except the last 5 tokens) so the pair/verify stages
-    # have REAL work growing linearly with corpus size — a synthetic
-    # corpus with zero near-dups would let the candidate join emit
-    # nothing and prove nothing about the verify bound.
-    base = "(CASE WHEN id % 97 = 0 AND id > 0 THEN id - 1 ELSE id END)"
-    n_tok = f"30 + pmod(hash({base}), 51)"
-    token_of = (
-        "concat('w', cast(floor(pow(pmod(hash({src} * 2654435761 + "
-        "j * 40503), 1000000) / 1000000.0, 3.0) * {v}) as long))"
-    )
-    own = token_of.format(src="id", v=vocab)
-    inherited = token_of.format(src=base, v=vocab)
-    token = f"(CASE WHEN j >= {n_tok} - 5 THEN {own} ELSE {inherited} END)"
     df = spark.range(n_docs).selectExpr(
         "id AS doc_id",
         "element_at(array('en','de','fr','es','it'), "
         "cast(pmod(hash(id * 7919), 5) + 1 AS int)) AS lang",
         "'synth' AS source",
-        f"array_join(transform(sequence(0, {n_tok} - 1), j -> {token}), ' ')"
-        " AS text",
+        f"{synth_text_expr(lo=0, vocab=vocab)} AS text",
     ).selectExpr("doc_id", "lang", "source", "length(text) AS n_chars", "text")
     df.repartition(32).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"

@@ -941,10 +941,12 @@ def test_multimodal_roundtrips_zero_shuffle(spark, sf_dir, query):
 
 
 def test_hot_key_guard_trips_and_passes(spark):
-    """The explicit skew gate for exact range windows (VERDICT r6
-    item 3): a fixture where one user owns 80% of rows trips
-    HotKeyError in bounded time and names the offender; a uniform
-    fixture passes through unchanged."""
+    """The skew gate for exact range windows (VERDICT r6 item 3), both
+    modes: lazily-gated plans build for free and fail AT EXECUTION on
+    a fixture where one user owns 80% of rows (the assert_true message
+    carries the marker + observed max); eager mode raises HotKeyError
+    naming the offender immediately; uniform fixtures pass through
+    unchanged in both modes."""
     from fintech_lakehouse_spark.operators.skew import (
         HotKeyError,
         hot_key_guard,
@@ -953,11 +955,21 @@ def test_hot_key_guard_trips_and_passes(spark):
     hot = spark.range(10_000).selectExpr(
         "CASE WHEN id % 10 < 8 THEN 7 ELSE id % 50 END AS user_id"
     )
+    gated = hot_key_guard(hot, ["user_id"], max_rows_per_key=1_000)
+    gated.explain()  # lazy: building + explaining runs no guard job
+    with pytest.raises(Exception, match="hot_key_guard"):
+        gated.count()
     with pytest.raises(HotKeyError, match=r"\(7,\)"):
-        hot_key_guard(hot, ["user_id"], max_rows_per_key=1_000)
+        hot_key_guard(hot, ["user_id"], max_rows_per_key=1_000, eager=True)
     uniform = spark.range(10_000).selectExpr("id % 50 AS user_id")
     assert (
         hot_key_guard(uniform, ["user_id"], max_rows_per_key=1_000).count()
+        == 10_000
+    )
+    assert (
+        hot_key_guard(
+            uniform, ["user_id"], max_rows_per_key=1_000, eager=True
+        ).count()
         == 10_000
     )
 
