@@ -405,3 +405,63 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.try_variant_get("v", "$.k", "long")).alias("max_k"),
         F.schema_of_variant_agg("v").alias("merged_schema"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+                           AS DOUBLE) AS transition_prob
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model input of churn prediction,
+    anomaly scoring, and session simulation — and the sequence-mining
+    complement of purchase_funnel's fixed-order shape): for every
+    (previous event, next event) pair across all users, the
+    transition count and its row-normalized probability (exact
+    int/int IEEE division, unrounded).
+
+    Shape: ONE lag window per user (sort by ts with the event_id
+    tie-break both engines share) — unlike a sliding RANGE frame this
+    is O(1) per row after the per-key sort, so a hot user costs
+    O(n log n) in its task, not the O(n·frame) quadratic the velocity
+    family guards against; then a map-side-combinable 2-key count
+    whose output is |event_types|² ≤ tiny, and the row normalization
+    runs over that tiny aggregate (25 rows here), not the fact
+    stream. At 100 TB the only fact-sized cost is the one sort-shuffle
+    on user_id that every sequence model pays."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    seq = events.select(
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(row_total).cast("double")
+        ).alias("transition_prob"),
+    )
