@@ -678,3 +678,85 @@ def test_extend_dense_surrogate_key_stability_model(spark, evolution):
         # (c) every previously-seen key is still present (retired kept)
         assert set(assigned) <= set(rows)
         existing = refreshed
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    gray=st.booleans(),
+    rst=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, gray, rst, seed):
+    """Hypothesis sweep of the baseline JPEG codec (functions/jpeg.py):
+    ANY uint8 raster — arbitrary non-8-multiple dims, gray or RGB,
+    with or without restart markers — must decode back within the
+    flat-quant tolerance (gray ≤1, RGB ≤2 per pixel) at the exact
+    original shape. Catches the MCU edge-padding / predictor-reset /
+    bit-alignment corner cases a fixed fixture can miss."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, restart_interval=rst))
+    assert dec is not None and dec.shape == img.shape
+    err = int(np.max(np.abs(dec.astype(np.int64) - img.astype(np.int64))))
+    assert err <= (1 if gray else 2)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.integers(0, 30), min_size=1, max_size=400
+    ),
+    m=st.integers(2, 16),
+    n_chunks=st.integers(1, 4),
+)
+def test_misra_gries_merge_property(data, m, n_chunks):
+    """Hypothesis model of the mergeable MG summary (pure-Python
+    replica of the mapInPandas fold in functions/sketches.py): for ANY
+    stream, ANY m, and ANY chunking into partitions, the merged
+    counters satisfy f(t) − N/m ≤ C(t) ≤ f(t) and every item with
+    f(t) > N/m is present — the two guarantees mg_heavy_hitters emits
+    as flags."""
+    from collections import Counter
+
+    def mg_fold(items, m):
+        counters = {}
+        for batch in [items]:
+            for item, cnt in Counter(batch).items():
+                counters[item] = counters.get(item, 0) + cnt
+            if len(counters) > m:
+                sub = sorted(counters.values(), reverse=True)[m]
+                counters = {k: v - sub for k, v in counters.items() if v > sub}
+        return counters
+
+    chunk = max(1, len(data) // n_chunks)
+    parts = [data[i : i + chunk] for i in range(0, len(data), chunk)]
+    merged = Counter()
+    for p in parts:
+        for k, v in mg_fold(p, m).items():
+            merged[k] += v
+    exact = Counter(data)
+    bound = len(data) / m
+    for item, f in exact.items():
+        if f > bound:
+            assert item in merged
+    for item, c in merged.items():
+        assert c <= exact[item]
+        assert exact[item] - c <= bound
