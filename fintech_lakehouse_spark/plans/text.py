@@ -2664,3 +2664,92 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "quality_aware_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clusters AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id,
+               len(list_distinct(string_split(d.text, ' '))) * 1000000
+                   // len(string_split(d.text, ' ')) AS q_ppm
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(doc_id) FILTER (WHERE rk = 1) AS keeper_doc_id,
+           MAX(q_ppm) AS keeper_q_ppm,
+           (MIN(doc_id) FILTER (WHERE rk = 1)) <> cluster_id
+               AS keeper_differs_from_min_id
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY q_ppm DESC, doc_id) AS rk
+        FROM scored
+    )
+    GROUP BY cluster_id
+    """,
+)
+def quality_aware_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster-representative selection — the keeper
+    POLICY refinement over corpus_dedup_survivors' min-doc_id rule:
+    production dedup keeps the best cluster member (highest quality
+    score; here the type/token ratio in exact integer ppm — the
+    doc_quality_scores unique_ratio made hash-stable via floor
+    division), because near-duplicate clusters often pair a clean
+    original with boilerplate-padded copies and min-id keeps whichever
+    crawled first. The keeper_differs_from_min_id flag column shows,
+    cluster by cluster, where the two policies actually disagree — the
+    policy's value is hash-checked, not asserted.
+
+    Shape: clusters from the shared cached verified-pairs stage; the
+    quality score joins on cluster members only (cluster-cardinality,
+    tiny vs corpus); keeper selection is a keyed window over clusters
+    with a deterministic (q_ppm DESC, doc_id) order shared with the
+    oracle. At 100 TB every stage is bounded by cluster membership,
+    never corpus size."""
+    from fintech_lakehouse_spark.functions.text import dedup_clusters
+    from pyspark.sql.window import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(verified_pairs_stage(spark, sf_dir))
+    toks = F.split("text", " ")
+    scored = clusters.join(documents, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("long")
+            * 1_000_000
+            / F.size(toks)
+        )
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q_ppm"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+            "keeper_doc_id"
+        ),
+        F.max("q_ppm").alias("keeper_q_ppm"),
+        (
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            != F.col("cluster_id")
+        ).alias("keeper_differs_from_min_id"),
+    )
