@@ -2753,3 +2753,139 @@ def quality_aware_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.col("cluster_id")
         ).alias("keeper_differs_from_min_id"),
     )
+
+
+@register(
+    "contaminated_span_removal_stats",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest([STRUCT_PACK(pos := i, gram := array_to_string(
+                   string_split(text, ' ')[i:i+7], ' '))
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)])
+                   AS pg
+        FROM documents
+    ),
+    pos_grams AS (
+        SELECT doc_id, b, pg.pos AS pos, pg.gram AS gram FROM sh
+    ),
+    hot AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos_grams)
+        GROUP BY gram HAVING COUNT(*) > 100
+    ),
+    eval_grams AS (
+        SELECT DISTINCT gram FROM pos_grams
+        WHERE b >= 9000 AND gram NOT IN (SELECT gram FROM hot)
+    ),
+    covered AS (
+        SELECT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS cpos
+        FROM pos_grams p JOIN eval_grams e USING (gram)
+        WHERE p.b < 9000
+    ),
+    sizes AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT c.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT c.cpos) AS BIGINT) AS n_removed,
+           CAST(s.n_tokens - COUNT(DISTINCT c.cpos) AS BIGINT) AS n_kept,
+           (s.n_tokens - COUNT(DISTINCT c.cpos)) * 1000000
+               // s.n_tokens AS kept_ppm
+    FROM covered c JOIN sizes s USING (doc_id)
+    GROUP BY c.doc_id, s.n_tokens
+    """,
+)
+def contaminated_span_removal_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REMOVAL action of decontamination (GPT-3 appendix C removes
+    the overlapping WINDOWS from training docs rather than dropping
+    whole documents — the policy doc_contamination_fraction's score
+    chooses between): for every train doc sharing ≥1 clean 8-gram
+    with the eval split, the number of token positions covered by at
+    least one shared window (union of [pos, pos+7] ranges —
+    overlapping windows must not double-count, hence the DISTINCT
+    position union), the surviving token count, and the kept fraction
+    in exact integer ppm.
+
+    Shape: positional 8-grams (posexplode keeps the window start),
+    eval side collapsed to DISTINCT clean grams before the probe join
+    (fan-out 1 per gram — the doc_contamination_fraction design), the
+    >100-doc hot-gram drop bounding skew, and coverage counting via
+    an 8-element sequence explode bounded by SHARED-gram count, never
+    corpus size. At 100 TB the output of this query IS the rewrite
+    manifest: (doc, covered positions) drives the actual span
+    deletion in the shard writer."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sized = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        hash_bucket("doc_id", "split").alias("b"),
+    )
+    pos_grams = (
+        sized.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "b",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 8),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("toks")[i + j] for j in range(8)]
+                    ),
+                )
+            ).alias("pos0", "gram"),
+        )
+        # oracle positions are 1-based (DuckDB list slicing); align
+        .select("doc_id", "b", (F.col("pos0") + 1).alias("pos"), "gram")
+        .repartition("gram")
+    )
+    hot = (
+        pos_grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 100)
+        .select("gram")
+    )
+    eval_grams = (
+        pos_grams.filter(F.col("b") >= 9000)
+        .join(hot, "gram", "left_anti")
+        .select("gram")
+        .distinct()
+    )
+    covered = (
+        pos_grams.filter(F.col("b") < 9000)
+        .join(eval_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 7)
+            ).alias("cpos"),
+        )
+    )
+    return (
+        covered.groupBy("doc_id")
+        .agg(F.countDistinct("cpos").alias("n_removed"))
+        .join(sized.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_removed",
+            (F.col("n_tokens") - F.col("n_removed"))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                (F.col("n_tokens") - F.col("n_removed"))
+                .cast("long")
+                * 1_000_000
+                / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
