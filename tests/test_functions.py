@@ -1557,3 +1557,41 @@ def test_mmr_pandas_matches_unrolled_registry_instance(spark, sf_dir):
         assert math.isclose(gm, em, abs_tol=1e-4)
     # selection scores are non-increasing (greedy argmax property)
     assert got[1][2] >= got[2][2] >= got[3][2]
+
+
+def test_compression_ratio_orders_quality_bands(spark):
+    """compression_ratio_scores: repetitive text compresses hardest,
+    natural-ish prose sits in the middle, random hex noise barely
+    compresses — the ordering that makes the DEFLATE ratio a usable
+    model-free quality band; ppm arithmetic is exact integers."""
+    import random
+
+    from fintech_lakehouse_spark.functions.text import (
+        compression_ratio_scores,
+    )
+
+    rng = random.Random(7)
+    repetitive = "spam ham " * 200
+    natural = (
+        "the quick brown fox jumps over the lazy dog while the merchant "
+        "counts coins and ships orders across the harbor every morning "
+    ) * 14
+    noise = " ".join(
+        "".join(rng.choice("0123456789abcdef") for _ in range(8))
+        for _ in range(220)
+    )
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, natural), (3, noise), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio_scores(df).collect()}
+    assert rows[1]["ratio_ppm"] < rows[2]["ratio_ppm"] < rows[3]["ratio_ppm"]
+    assert rows[3]["ratio_ppm"] > 500_000  # noise: poor compression
+    assert rows[1]["ratio_ppm"] < 100_000  # repetition: collapses
+    for r in rows.values():
+        if r["n_bytes"]:
+            assert (
+                r["ratio_ppm"]
+                == r["n_compressed"] * 1_000_000 // r["n_bytes"]
+            )
+    assert rows[4]["ratio_ppm"] == 0 and rows[4]["n_bytes"] == 0
