@@ -1001,3 +1001,163 @@ def synthesize_mp3(n_frames: int, sample_rate_idx: int) -> bytes:
     )  # sync, MPEG1 L3 no-CRC, bitrate idx 9 = 128kbps
     frame = header + b"\x00" * (fsize - 4)
     return frame * n_frames
+
+
+_MP4_SAMPLE_CONTAINERS = _MP4_CONTAINERS | {b"minf", b"stbl"}
+
+
+def read_mp4_sample_table(
+    payload: bytes,
+) -> tuple[int, int, int, int] | None:
+    """(n_samples, duration_sec, total_sample_bytes, media_timescale)
+    from the ISO-BMFF SAMPLE TABLE — one real level deeper than
+    read_mp4_header's presentation metadata (r7): walk into
+    trak/mdia/minf/stbl, read the media timescale from ``mdhd``
+    (v0/v1), the run-length (count, delta) decoding times from
+    ``stts``, and the per-sample byte sizes from ``stsz`` (both the
+    uniform-size and per-sample-table forms). This is what container
+    probes (ffprobe-level stream info: frame count, duration, bitrate)
+    actually read; decoding the sample PAYLOADS stays the codec-bound
+    seam. Quarantine-not-crash like every parser here."""
+    timescale = None
+    n_stts = total_delta = None
+    n_stsz = total_bytes = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal timescale, n_stts, total_delta, n_stsz, total_bytes
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return
+            body = payload[i + 8 : i + size]
+            if btype in _MP4_SAMPLE_CONTAINERS:
+                walk(i + 8, i + size)
+            elif btype == b"mdhd" and len(body) >= 4:
+                ver = body[0]
+                if ver == 1 and len(body) >= 4 + 16 + 12:
+                    timescale = int.from_bytes(body[20:24], "big")
+                elif ver == 0 and len(body) >= 4 + 8 + 8:
+                    timescale = int.from_bytes(body[12:16], "big")
+            elif btype == b"stts" and len(body) >= 8:
+                n_entries = int.from_bytes(body[4:8], "big")
+                if len(body) < 8 + 8 * n_entries:
+                    return
+                cnt = dur = 0
+                for e in range(n_entries):
+                    c = int.from_bytes(body[8 + 8 * e : 12 + 8 * e], "big")
+                    d = int.from_bytes(body[12 + 8 * e : 16 + 8 * e], "big")
+                    cnt += c
+                    dur += c * d
+                n_stts, total_delta = cnt, dur
+            elif btype == b"stsz" and len(body) >= 12:
+                uniform = int.from_bytes(body[4:8], "big")
+                n = int.from_bytes(body[8:12], "big")
+                if uniform:
+                    n_stsz, total_bytes = n, uniform * n
+                else:
+                    if len(body) < 12 + 4 * n:
+                        return
+                    n_stsz = n
+                    total_bytes = sum(
+                        int.from_bytes(body[12 + 4 * e : 16 + 4 * e], "big")
+                        for e in range(n)
+                    )
+            i += size
+
+    if not payload or len(payload) < 16:
+        return None
+    walk(0, len(payload))
+    if (
+        timescale is None
+        or not timescale
+        or n_stts is None
+        or n_stsz is None
+        or n_stts != n_stsz
+    ):
+        return None
+    return n_stts, total_delta // timescale, total_bytes, timescale
+
+
+def synthesize_mp4_sample_table(
+    n_samples: int,
+    fps: int,
+    base_sample_bytes: int,
+    timescale: int = 12800,
+    uniform: bool = False,
+) -> bytes:
+    """ISO-BMFF tree with a REAL sample table:
+    moov{mvhd, trak{tkhd, mdia{mdhd, minf{stbl{stts, stsz}}}}} — the
+    generation half of the sample-table roundtrip. stts carries one
+    run-length entry (n_samples × timescale/fps ticks); stsz either a
+    uniform size or a per-sample table sized base+ (i % 7) so the
+    byte-sum is non-trivially programmed."""
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return (8 + len(data)).to_bytes(4, "big") + btype + data
+
+    delta = timescale // fps
+    dur_ticks = n_samples * delta
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + (0).to_bytes(4, "big") * 2
+        + (1000).to_bytes(4, "big")
+        + (dur_ticks * 1000 // timescale).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+        + (2).to_bytes(4, "big"),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + (dur_ticks * 1000 // timescale).to_bytes(4, "big")
+        + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + (64 << 16).to_bytes(4, "big")
+        + (48 << 16).to_bytes(4, "big"),
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + dur_ticks.to_bytes(4, "big")
+        + b"\x55\xc4\x00\x00",  # language 'und' + pre_defined
+    )
+    stts = box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + (1).to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big")
+        + delta.to_bytes(4, "big"),
+    )
+    if uniform:
+        stsz = box(
+            b"stsz",
+            b"\x00\x00\x00\x00"
+            + base_sample_bytes.to_bytes(4, "big")
+            + n_samples.to_bytes(4, "big"),
+        )
+    else:
+        sizes = b"".join(
+            (base_sample_bytes + (i % 7)).to_bytes(4, "big")
+            for i in range(n_samples)
+        )
+        stsz = box(
+            b"stsz",
+            b"\x00\x00\x00\x00"
+            + (0).to_bytes(4, "big")
+            + n_samples.to_bytes(4, "big")
+            + sizes,
+        )
+    stbl = box(b"stbl", stts + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", tkhd + mdia)
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    return ftyp + box(b"moov", mvhd + trak)

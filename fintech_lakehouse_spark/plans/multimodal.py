@@ -391,3 +391,102 @@ def jpeg_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "mp4_sample_table_roundtrip",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               24 + doc_id % 96 AS n,
+               CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END
+                   AS fps,
+               400 + doc_id % 100 AS base,
+               doc_id % 4 = 0 AS uniform
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * (12800 // fps)) // 12800 AS BIGINT) AS duration_sec,
+           CAST(CASE WHEN uniform THEN base * n
+                ELSE base * n + (n // 7) * 21
+                     + ((n % 7) * ((n % 7) - 1)) // 2
+                END AS BIGINT) AS total_sample_bytes,
+           CAST(12800 AS BIGINT) AS media_timescale
+    FROM params
+    """,
+)
+def mp4_sample_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 SAMPLE-TABLE roundtrip under the driver hash (r7 — one real
+    level deeper than media_header_roundtrip's presentation metadata):
+    per doc, a full ISO-BMFF tree with mdhd media timescale, a
+    run-length stts decoding-time table, and an stsz size table
+    (uniform-size form on id%4=0, per-sample form otherwise, sizes
+    base+(i%7) so the byte sum is non-trivially programmed) is
+    synthesized and re-parsed via ``read_mp4_sample_table`` — the
+    frame-count / duration / byte-sum walk that ffprobe-level stream
+    info performs. The oracle predicts every recovered value
+    arithmetically, including the closed form of Σ(i%7). Sample
+    PAYLOAD decode stays the codec-bound seam; everything above it is
+    now hash-checked.
+
+    Scale shape: one scan + one Arrow-batched stage, zero Exchange —
+    the standard multimodal roundtrip contract."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("n_samples", LongType(), True),
+            StructField("duration_sec", LongType(), True),
+            StructField("total_sample_bytes", LongType(), True),
+            StructField("media_timescale", LongType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_sample_table,
+            synthesize_mp4_sample_table,
+        )
+
+        for pdf in iterator:
+            rows = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "n_samples",
+                    "duration_sec",
+                    "total_sample_bytes",
+                    "media_timescale",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payload = synthesize_mp4_sample_table(
+                    n_samples=24 + i % 96,
+                    fps=(24, 25, 30)[i % 3],
+                    base_sample_bytes=400 + i % 100,
+                    uniform=i % 4 == 0,
+                )
+                parsed = read_mp4_sample_table(payload)
+                rows["asset_id"].append(i)
+                if parsed is None:
+                    for k in list(rows)[1:]:
+                        rows[k].append(None)
+                    continue
+                n, dur, nbytes, ts = parsed
+                rows["n_samples"].append(n)
+                rows["duration_sec"].append(dur)
+                rows["total_sample_bytes"].append(nbytes)
+                rows["media_timescale"].append(ts)
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)

@@ -1103,3 +1103,50 @@ def test_online_dedup_replay_after_partial_crash(spark, tmp_path):
     assert replayed == clean
     # store still holds every batch exactly once
     assert spark.read.parquet(f"{state}/docs/version=*").count() == 4
+
+
+def test_sketch_rollup_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once contract of foreach_batch_sketch_rollup under a
+    replay: re-applying a committed batch is a no-op, and re-applying
+    after the version dir is LOST recomputes from the previous
+    snapshot to the identical state (the versioned-snapshot scheme's
+    whole point)."""
+    import shutil
+
+    import pandas as pd
+
+    from fintech_lakehouse_spark.streaming import (
+        foreach_batch_sketch_rollup,
+        read_materialized_view,
+    )
+
+    sink = foreach_batch_sketch_rollup(str(tmp_path / "v"), ["g"], "u")
+    b0 = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1, 2], "u": [10, 11, 10]})
+    )
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 2, 2], "u": [11, 20, 21]})
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def estimates():
+        return {
+            r["g"]: (r["est"], r["n_rows"])
+            for r in read_materialized_view(spark, str(tmp_path / "v"))
+            .select(
+                "g",
+                F.hll_sketch_estimate("hll_sk").alias("est"),
+                "n_rows",
+            )
+            .collect()
+        }
+
+    clean = estimates()
+    # g=1: rows {10,11}+{11} → 3 rows, 2 distinct; g=2: {10}+{20,21}
+    assert clean == {1: (2, 3), 2: (3, 3)}
+    sink(b1, 1)  # committed replay: no-op
+    assert estimates() == clean
+    shutil.rmtree(str(tmp_path / "v" / "version=1"))  # lost snapshot
+    sink(b1, 1)  # recompute from version=0
+    assert estimates() == clean
