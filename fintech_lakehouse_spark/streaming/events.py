@@ -1121,3 +1121,134 @@ def foreach_batch_online_dedup(
         decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
 
     return _apply
+
+
+def foreach_batch_bm25_index(index_path: str):
+    """foreachBatch INCREMENTAL SEARCH-INDEX maintenance — the
+    streaming producer of the lexical-retrieval state
+    plans/text.py::bm25_doc_ranking computes from scratch: per
+    micro-batch of (doc_id, text) documents it appends the batch's
+    postings (term, doc_id, tf, dl) and folds the document-frequency
+    table and the (n_docs, total_dl) corpus totals into versioned
+    exactly-once snapshots (foreach_batch_ivm's scheme). An ingest
+    pipeline thus keeps a queryable BM25 index CURRENT without ever
+    rescanning indexed documents — the incremental path every search
+    engine's segment merge implements.
+
+    Per batch: tokenize → per-(term, doc) tf (map-side combinable,
+    shuffle = batch postings), df delta = one count per distinct
+    (term, doc), totals delta = 1 row. Folding df is the sketch-rollup
+    union+re-aggregate over (previous snapshot ∪ batch delta) —
+    df-cardinality sized, never corpus sized. Postings append without
+    rewrite (at 100 TB: partition/bucket the postings store by term so
+    query-time probes prune; compact version dirs periodically).
+
+    Query side: :func:`read_bm25_index` scores any term list from the
+    maintained state alone; the streaming≡batch test asserts its
+    top-20 EQUALS the registry query's output on the same corpus —
+    same un-logged idf, same rounding, same tie-break."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = index_path.rstrip("/")
+        post_dir = f"{root}/postings/version={batch_id}"
+        if _dir_committed(spark, post_dir):
+            return  # replayed committed batch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        toks = F.split("text", " ")
+        sized = batch_df.select(
+            "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+        )
+        postings = (
+            sized.select(
+                "doc_id", "dl", F.explode("toks").alias("term")
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_delta = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        prev_df = read_materialized_view(
+            spark, f"{root}/df", version=batch_id - 1
+        )
+        merged_df = (
+            prev_df.unionByName(df_delta) if prev_df is not None else df_delta
+        ).groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+        tot_delta = sized.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+        prev_tot = read_materialized_view(
+            spark, f"{root}/totals", version=batch_id - 1
+        )
+        merged_tot = (
+            prev_tot.unionByName(tot_delta)
+            if prev_tot is not None
+            else tot_delta
+        ).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+        # snapshots first, postings last: the postings dir is the
+        # batch commit point (the early-return keys on it), so a crash
+        # in between replays the batch and the snapshot writes below
+        # skip via their own committed version dirs
+        for sub, df in (("df", merged_df), ("totals", merged_tot)):
+            vdir = f"{root}/{sub}/version={batch_id}"
+            if not _dir_committed(spark, vdir):
+                df.coalesce(1).write.mode("overwrite").parquet(vdir)
+        postings.coalesce(1).write.mode("overwrite").parquet(post_dir)
+
+    return _apply
+
+
+def read_bm25_index(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Score ``terms`` against the streaming-maintained BM25 index
+    (foreach_batch_bm25_index) — postings filtered to the query terms
+    (the pushed posting-list probe), df and totals broadcast, the same
+    un-logged idf odds ratio / rounding / tie-break as the batch
+    registry query, top-k via TakeOrderedAndProject. Returns
+    (doc_id, score, n_terms_matched)."""
+    root = index_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, f"{root}/postings")
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/postings")
+    if not fs.exists(p):
+        return None
+    dirs = [
+        f"{root}/postings/{s.getPath().getName()}"
+        for s in fs.listStatus(p)
+        if s.getPath().getName().startswith("version=")
+        and _dir_committed(spark, f"{root}/postings/{s.getPath().getName()}")
+    ]
+    if not dirs:
+        return None
+    postings = spark.read.parquet(*dirs).filter(F.col("term").isin(*terms))
+    dfs = read_materialized_view(spark, f"{root}/df").filter(
+        F.col("term").isin(*terms)
+    )
+    tot = read_materialized_view(spark, f"{root}/totals")
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    return (
+        postings.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * (F.col("tf") * (k1 + 1.0)) / norm), 4
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1150,3 +1150,51 @@ def test_sketch_rollup_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "v" / "version=1"))  # lost snapshot
     sink(b1, 1)  # recompute from version=0
     assert estimates() == clean
+
+
+def test_bm25_index_stream_equals_batch_registry_query(spark, sf_dir):
+    """The streaming-maintained BM25 index must reproduce the batch
+    registry query EXACTLY: feed the documents table through
+    foreach_batch_bm25_index in three micro-batches (direct calls —
+    arrival order is irrelevant to an index), then score the same
+    query terms from the maintained state alone; top-20, scores, and
+    match counts must equal bm25_doc_ranking's output on the same
+    corpus — same un-logged idf, same rounding, same tie-break. Also
+    checks committed-batch replay is a no-op."""
+    import tempfile
+
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.text import BM25_QUERY_TERMS
+    from fintech_lakehouse_spark.sources.readers import load_table
+    from fintech_lakehouse_spark.streaming import (
+        foreach_batch_bm25_index,
+        read_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as root:
+        index = f"{root}/bm25"
+        sink = foreach_batch_bm25_index(index)
+        for i in range(3):
+            sink(docs.filter(F.col("doc_id") % 3 == i), i)
+        got = [
+            (r["doc_id"], r["score"], r["n_terms_matched"])
+            for r in read_bm25_index(
+                spark, index, list(BM25_QUERY_TERMS), k=20
+            ).collect()
+        ]
+        expected = [
+            (r["doc_id"], r["score"], r["n_terms_matched"])
+            for r in QUERIES["bm25_doc_ranking"](spark, sf_dir).collect()
+        ]
+        assert got == expected
+        assert len(got) == 20
+        # replay of a committed batch: postings not duplicated
+        sink(docs.filter(F.col("doc_id") % 3 == 0), 0)
+        again = [
+            (r["doc_id"], r["score"], r["n_terms_matched"])
+            for r in read_bm25_index(
+                spark, index, list(BM25_QUERY_TERMS), k=20
+            ).collect()
+        ]
+        assert again == expected
