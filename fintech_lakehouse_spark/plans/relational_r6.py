@@ -535,3 +535,62 @@ def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         WHERE c.c_custkey % 25 = 0
         """
     )
+
+
+@register(
+    "sql_scripting_threshold_report",
+    oracle="""
+    WITH thr AS (
+        SELECT quantile_cont(o_totalprice, 0.9) AS t FROM orders
+    )
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           ROUND(MIN(o.o_totalprice), 2) AS min_above,
+           ROUND(thr.t, 2) AS threshold
+    FROM orders o CROSS JOIN thr
+    WHERE o.o_totalprice > thr.t
+    GROUP BY o.o_orderstatus, thr.t
+    """,
+)
+def sql_scripting_threshold_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL SCRIPTING + session variables (Spark 4.1 `BEGIN…END`
+    blocks with block-scoped DECLARE / SET — the procedural SQL
+    surface that replaces driver-side glue for multi-statement
+    report logic): the script computes a data-derived threshold (the
+    exact p90 of order value) into a scripted variable, then the
+    final statement — whose result IS the block's result — reports
+    per-status counts above it. The DuckDB oracle runs the same logic
+    as a plain CTE, so the hash check verifies the scripting
+    machinery (variable binding, block scoping, last-statement
+    result) produced exactly the classic query's answer — pure
+    surface, zero semantic drift, the pipe_syntax_shipmode_stats
+    verification pattern.
+
+    Scale note: the variable holds a SCALAR — the pattern is
+    compute-small-then-parameterize, which beats re-evaluating the
+    subquery per consumer; block-scoped DECLARE leaves no session
+    state behind (no cross-query leakage, unlike session-level
+    DECLARE VARIABLE). Interpolation parity: p90 of 2-decimal money
+    doubles interpolates strictly between distinct neighbors, so an
+    engine ulp difference cannot move any price across the
+    threshold."""
+    from fintech_lakehouse_spark.sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE;
+          SET thr = (SELECT percentile(o_totalprice, 0.9) FROM orders);
+          SELECT o_orderstatus AS status,
+                 CAST(COUNT(*) AS BIGINT) AS n_above,
+                 ROUND(MIN(o_totalprice), 2) AS min_above,
+                 ROUND(thr, 2) AS threshold
+          FROM orders
+          WHERE o_totalprice > thr
+          GROUP BY o_orderstatus, thr;
+        END
+        """
+    )
