@@ -2755,6 +2755,69 @@ def quality_aware_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _train_doc_removed_positions(documents: DataFrame):
+    """(sized, removals) building blocks shared by the span-removal
+    stats query and the decontaminated packing capstone: ``sized`` =
+    (doc_id, toks, n_tokens, split bucket) for every doc; ``removals``
+    = (doc_id, n_removed) for train docs covered by ≥1 shared clean
+    8-gram window (distinct position union — overlapping windows
+    never double-count). One definition so the action and the
+    manifest can never disagree about what got removed."""
+    toks = F.split("text", " ")
+    sized = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        hash_bucket("doc_id", "split").alias("b"),
+    )
+    pos_grams = (
+        sized.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "b",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 8),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("toks")[i + j] for j in range(8)]
+                    ),
+                )
+            ).alias("pos0", "gram"),
+        )
+        # oracle positions are 1-based (DuckDB list slicing); align
+        .select("doc_id", "b", (F.col("pos0") + 1).alias("pos"), "gram")
+        .repartition("gram")
+    )
+    hot = (
+        pos_grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 100)
+        .select("gram")
+    )
+    eval_grams = (
+        pos_grams.filter(F.col("b") >= 9000)
+        .join(hot, "gram", "left_anti")
+        .select("gram")
+        .distinct()
+    )
+    covered = (
+        pos_grams.filter(F.col("b") < 9000)
+        .join(eval_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 7)
+            ).alias("cpos"),
+        )
+    )
+    removals = covered.groupBy("doc_id").agg(
+        F.countDistinct("cpos").alias("n_removed")
+    )
+    return sized, removals
+
+
 @register(
     "contaminated_span_removal_stats",
     oracle=f"""
@@ -2819,59 +2882,9 @@ def contaminated_span_removal_stats(
     manifest: (doc, covered positions) drives the actual span
     deletion in the shard writer."""
     documents = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sized = documents.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.size(toks).alias("n_tokens"),
-        hash_bucket("doc_id", "split").alias("b"),
-    )
-    pos_grams = (
-        sized.filter(F.size("toks") >= 8)
-        .select(
-            "doc_id",
-            "b",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 8),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("toks")[i + j] for j in range(8)]
-                    ),
-                )
-            ).alias("pos0", "gram"),
-        )
-        # oracle positions are 1-based (DuckDB list slicing); align
-        .select("doc_id", "b", (F.col("pos0") + 1).alias("pos"), "gram")
-        .repartition("gram")
-    )
-    hot = (
-        pos_grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > 100)
-        .select("gram")
-    )
-    eval_grams = (
-        pos_grams.filter(F.col("b") >= 9000)
-        .join(hot, "gram", "left_anti")
-        .select("gram")
-        .distinct()
-    )
-    covered = (
-        pos_grams.filter(F.col("b") < 9000)
-        .join(eval_grams, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + 7)
-            ).alias("cpos"),
-        )
-    )
+    sized, removals = _train_doc_removed_positions(documents)
     return (
-        covered.groupBy("doc_id")
-        .agg(F.countDistinct("cpos").alias("n_removed"))
-        .join(sized.select("doc_id", "n_tokens"), "doc_id")
+        removals.join(sized.select("doc_id", "n_tokens"), "doc_id")
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -2888,4 +2901,113 @@ def contaminated_span_removal_stats(
             .cast("long")
             .alias("kept_ppm"),
         )
+    )
+
+
+@register(
+    "decontaminated_pack_manifest",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {sql_hash_bucket('doc_id', 'split')} AS b,
+               unnest([STRUCT_PACK(pos := i, gram := array_to_string(
+                   string_split(text, ' ')[i:i+7], ' '))
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)])
+                   AS pg
+        FROM documents
+    ),
+    pos_grams AS (
+        SELECT doc_id, b, pg.pos AS pos, pg.gram AS gram FROM sh
+    ),
+    hot AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos_grams)
+        GROUP BY gram HAVING COUNT(*) > 100
+    ),
+    eval_grams AS (
+        SELECT DISTINCT gram FROM pos_grams
+        WHERE b >= 9000 AND gram NOT IN (SELECT gram FROM hot)
+    ),
+    removals AS (
+        SELECT p.doc_id, COUNT(DISTINCT cpos) AS n_removed
+        FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos
+              FROM pos_grams JOIN eval_grams USING (gram)
+              WHERE b < 9000) p
+        GROUP BY p.doc_id
+    ),
+    train AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5('dshard' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   % {N_PACK_SHARDS} AS shard,
+               len(string_split(d.text, ' ')) - COALESCE(r.n_removed, 0)
+                   AS n_kept,
+               COALESCE(r.n_removed, 0) > 0 AS was_contaminated
+        FROM documents d LEFT JOIN removals r USING (doc_id)
+        WHERE {sql_hash_bucket('d.doc_id', 'split')} < 8000
+    ),
+    packed AS (
+        SELECT shard, doc_id, n_kept, was_contaminated,
+               CAST((SUM(n_kept) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                     - n_kept) AS BIGINT) // {PACK_BUDGET_TOKENS} AS pack_id
+        FROM train
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           {sql_isum('n_kept')} AS kept_tokens,
+           {sql_isum('CASE WHEN was_contaminated THEN 1 ELSE 0 END')}
+               AS n_decontaminated_docs
+    FROM packed
+    GROUP BY shard, pack_id
+    """,
+)
+def decontaminated_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 capstone: the span-removal ACTION composed with
+    budgeted sequence packing in ONE lazy plan — what a shard writer
+    actually executes when releasing training data: (1) the TRAIN
+    split (md5 bucket < 8000, the leakage-safe recipe), (2) per-doc
+    kept-token counts after deleting every position covered by a
+    clean 8-gram shared with the eval split (the shared
+    ``_train_doc_removed_positions`` stage — the manifest can never
+    disagree with contaminated_span_removal_stats about what got
+    removed), (3) contiguous-cumsum packing of the KEPT counts into
+    1024-token budget packs within md5 shards (sequence_pack_manifest
+    semantics on post-removal sizes). Per (shard, pack): doc count,
+    kept tokens, and how many member docs were decontaminated.
+
+    Scale shape: every stage is the separately-verified scale shape —
+    gram index with hot-drop and fan-out-1 eval probe, split filters
+    pushed to the scan, no global window (cumsum partitioned by
+    shard), integer DIV at pack boundaries."""
+    documents = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    sized, removals = _train_doc_removed_positions(documents)
+    train = (
+        sized.filter(F.col("b") < 8000)
+        .join(removals, "doc_id", "left")
+        .select(
+            "doc_id",
+            hash_bucket("doc_id", "dshard", N_PACK_SHARDS).alias("shard"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_removed"), F.lit(0))
+            ).alias("n_kept"),
+            (F.coalesce(F.col("n_removed"), F.lit(0)) > 0).alias(
+                "was_contaminated"
+            ),
+        )
+    )
+    packed = train.withColumn(
+        "pack_id",
+        F.expr(
+            f"CAST((SUM(n_kept) OVER (PARTITION BY shard ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_kept) "
+            f"AS BIGINT) DIV {PACK_BUDGET_TOKENS}"
+        ),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").cast("long").alias("kept_tokens"),
+        F.sum(F.col("was_contaminated").cast("long")).alias(
+            "n_decontaminated_docs"
+        ),
     )
