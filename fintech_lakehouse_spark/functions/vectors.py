@@ -425,3 +425,96 @@ def mmr_rerank_pandas(
         )
 
     return candidates.groupBy("query_id").applyInPandas(select_group, schema)
+
+
+def kmeans_quantize(
+    embedding: Column, scale: int = 1000, offset: int = 1024
+) -> Column:
+    """Shift-quantize a float vector into non-negative integer units:
+    ``q[i] = floor(x[i] * scale) + offset``. Lloyd iterations over the
+    quantized vectors are exact integer arithmetic — order-independent
+    under any shuffle and bit-replayable by a SQL twin. The offset
+    keeps every operand non-negative so Spark's truncating ``div``
+    and DuckDB's flooring ``//`` agree (they diverge on negatives);
+    the shift cancels in every squared-distance term.
+    """
+    return F.transform(
+        embedding.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long") + F.lit(offset),
+    )
+
+
+def kmeans_sq_dist(q: Column, c: Column) -> Column:
+    """Exact integer squared L2 distance between two quantized vectors
+    (zip_with + aggregate — JVM-side, no Python in the loop)."""
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd ASSIGNMENT step with zero corpus-sized shuffle.
+
+    ``centroids`` (``cid``, ``c: array<long>``, k rows) is collapsed
+    into a single row holding all centroids sorted by cid, then
+    broadcast; each corpus row computes its argmin centroid inside one
+    higher-order ``aggregate`` over that packed array — a map-only
+    pass over the corpus. The naive shape (broadcast join producing k
+    rows per vector + ``groupBy(vec_id).agg(min(struct(...)))``)
+    re-shuffles the corpus once per iteration; this shape never does.
+    Ties break to the lowest cid (strict ``<`` over the cid-sorted
+    pack), matching a ``ROW_NUMBER() OVER (ORDER BY dist, cid)`` twin.
+
+    Returns (``vec_id``, ``q``, ``cid``, ``dist``).
+    """
+    packed = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("cents")
+    )
+    far = F.struct(
+        F.lit(2**62).cast("long").alias("dist"),
+        F.lit(-1).cast("long").alias("cid"),
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        far,
+        lambda acc, ct: F.when(
+            kmeans_sq_dist(F.col("q"), ct["c"]) < acc["dist"],
+            F.struct(
+                kmeans_sq_dist(F.col("q"), ct["c"]).alias("dist"),
+                ct["cid"].cast("long").alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .select("vec_id", "q", best.alias("_best"))
+        .select(
+            "vec_id",
+            "q",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_update(assigned: DataFrame, dim: int) -> DataFrame:
+    """One Lloyd UPDATE step: per-cluster element-wise integer mean,
+    ``c'[i] = SUM(q[i]) div COUNT(*)`` (floor division — exact, and
+    valid because quantized coordinates are non-negative). The
+    ``dim`` per-dimension SUMs are plain aggregates, so map-side
+    combine reduces each task's contribution to ≤ k rows before the
+    (tiny-bytes) shuffle — the corpus itself never re-shuffles.
+    Clusters that received no members disappear, on both engines.
+
+    Returns (``cid``, ``c: array<long>``) for the next assignment.
+    """
+    sums = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+    )
+    arr = ", ".join(f"s{i}" for i in range(dim))
+    return sums.select(
+        "cid", F.expr(f"transform(array({arr}), s -> s div n)").alias("c")
+    )

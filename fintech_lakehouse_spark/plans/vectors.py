@@ -956,3 +956,161 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+KM_K = 8
+KM_DIM = 64
+KM_SCALE = 1000
+KM_OFFSET = 1024
+
+
+def _km_quant_sql() -> str:
+    return (
+        f"[CAST(floor(x * {KM_SCALE}.0) AS BIGINT) + {KM_OFFSET} "
+        "FOR x IN embedding::DOUBLE[]]"
+    )
+
+
+def _km_assign_sql(cents: str, this: str) -> str:
+    """One unrolled Lloyd assignment as DuckDB CTEs: exact integer
+    squared distance per (vector, centroid), argmin via
+    ROW_NUMBER ORDER BY (dist, cid) — the same lowest-cid tie-break as
+    the Spark side's strict < over the cid-sorted centroid pack."""
+    return f"""
+    {this}_d AS (
+        SELECT v.vec_id, v.q, c.cid,
+               list_sum([ (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+                          FOR i IN range(1, {KM_DIM + 1}) ]) AS dist
+        FROM qv v CROSS JOIN {cents} c
+    ),
+    {this} AS (
+        SELECT vec_id, q, cid, CAST(dist AS BIGINT) AS dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM {this}_d
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assigned: str, this: str) -> str:
+    """One unrolled Lloyd update: per-(cluster, dim) integer sums,
+    floor-divided by the member count (non-negative operands, so
+    DuckDB // == Spark div), re-packed with list(... ORDER BY i)."""
+    return f"""
+    {this}_s AS (
+        SELECT a.cid, t.i, SUM(a.q[t.i]) // COUNT(*) AS s
+        FROM {assigned} a CROSS JOIN range(1, {KM_DIM + 1}) t(i)
+        GROUP BY a.cid, t.i
+    ),
+    {this} AS (
+        SELECT cid, list(CAST(s AS BIGINT) ORDER BY i) AS c
+        FROM {this}_s GROUP BY cid
+    )"""
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, {_km_quant_sql()} AS q FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {KM_K}),
+    {_km_assign_sql('c0', 'a1').lstrip()},
+    {_km_update_sql('a1', 'c1').lstrip()},
+    {_km_assign_sql('c1', 'a2').lstrip()},
+    {_km_update_sql('a2', 'c2').lstrip()},
+    {_km_assign_sql('c2', 'a3').lstrip()}
+    SELECT a.cid AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia_q,
+           CAST(ANY_VALUE(list_sum([e - {KM_OFFSET} FOR e IN c.c]))
+                AS BIGINT) AS centroid_sum_q
+    FROM a3 a JOIN c2 c ON a.cid = c.cid
+    GROUP BY a.cid
+    ORDER BY cluster_id
+    """,
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING as one lazy DataFrame plan — two
+    Lloyd iterations (assign → update, ×2) plus a final assignment,
+    k=8 seeded from the vectors with the k smallest vec_ids. The
+    iterative-ML-training shape next to dup_graph_pagerank's iterative
+    graph shape: the frozen-codebook IVF query (ivf_approx_neighbors)
+    APPLIES a trained quantizer; this query IS the training loop,
+    hash-checked end-to-end. Reports per-cluster size, integer inertia
+    (sum of squared quantized distances — the quantity Lloyd
+    monotonically decreases), and a centroid checksum.
+
+    Determinism design (the dup_graph_pagerank trick, applied to ML):
+    coordinates are shift-quantized to non-negative integers
+    (functions/vectors.py::kmeans_quantize), distances and centroid
+    means are exact integer arithmetic with floor division, ties break
+    to the lowest cid on both engines — so the DuckDB twin replays all
+    five unrolled stages bit-for-bit. Float k-means is
+    order-dependent; integer micro-units make an iterative trainer
+    hash-checkable.
+
+    Scale shape: each assignment is a MAP-ONLY pass — the k centroids
+    collapse to one broadcast row and the argmin runs inside a
+    higher-order aggregate (functions/vectors.py::kmeans_assign), so
+    the corpus NEVER shuffles on assignment; each update's per-dim
+    sums are map-side combined to ≤ k rows per task before a
+    tiny-bytes shuffle (kmeans_update). Total corpus-sized shuffles
+    for the whole training loop: zero. The lazy unroll does re-scan
+    the corpus once per chain level (runtime ReusedExchange dedups the
+    doubly-consumed final-centroid subtree; measured ~6 effective
+    corpus passes for 2 iterations — bounded by the fixed unroll
+    depth, never iteration-quadratic in bytes shuffled). At 100 TB
+    you keep this plan's per-iteration shape but materialize the k
+    centroids between iterations (spark.ml KMeans collects them to
+    the driver each step — k×dim doubles, trivially small), trading
+    the single-lazy-plan replayability this hash-checked instance
+    needs for one scan per iteration; codebook training also samples
+    the corpus first (scripts/train_ivf_codebook.py).
+
+    Reference parity: the reference has no ML training surface (its
+    transformations layer is empty — SURVEY §0); this extends the
+    §7.6 LLM-pipeline family (clustering for curation: SemDeDup's
+    cluster stage, IVF codebooks, cluster-balanced sampling all
+    consume exactly this loop's output).
+    """
+    from fintech_lakehouse_spark.functions.vectors import (
+        kmeans_assign,
+        kmeans_quantize,
+        kmeans_update,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        "vec_id", kmeans_quantize(F.col("embedding"), KM_SCALE, KM_OFFSET).alias("q")
+    )
+    c0 = vectors.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    a1 = kmeans_assign(vectors, c0)
+    c1 = kmeans_update(a1, KM_DIM)
+    a2 = kmeans_assign(vectors, c1)
+    c2 = kmeans_update(a2, KM_DIM)
+    a3 = kmeans_assign(vectors, c2)
+    stats = a3.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("inertia_q"),
+    )
+    cent_sum = c2.select(
+        "cid",
+        F.aggregate(
+            "c",
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e - F.lit(KM_OFFSET),
+        ).alias("centroid_sum_q"),
+    )
+    return (
+        stats.join(cent_sum, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "inertia_q",
+            "centroid_sum_q",
+        )
+        .orderBy("cluster_id")
+    )

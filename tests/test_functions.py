@@ -1595,3 +1595,56 @@ def test_compression_ratio_orders_quality_bands(spark):
                 == r["n_compressed"] * 1_000_000 // r["n_bytes"]
             )
     assert rows[4]["ratio_ppm"] == 0 and rows[4]["n_bytes"] == 0
+
+
+def test_kmeans_lloyd_helpers_match_python_model(spark):
+    """The Lloyd assign/update helpers replay a pure-Python integer
+    Lloyd on a tiny 2-D fixture: two clear clusters plus a midpoint
+    that flips after the first update, exercising both the argmin
+    tie-break (lowest cid) and the floor-divided centroid mean."""
+    from fintech_lakehouse_spark.functions.vectors import (
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    pts = {0: [0, 0], 1: [10, 10], 2: [1, 1], 3: [9, 9], 4: [5, 5]}
+    df = spark.createDataFrame(
+        [(i, [int(v) for v in p]) for i, p in pts.items()], ["vec_id", "q"]
+    ).select("vec_id", F.col("q").cast("array<long>"))
+    cents = {0: [0, 0], 1: [10, 10]}
+
+    def assign_py(c):
+        out = {}
+        for i, p in pts.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(p, cv)), cid)
+                for cid, cv in c.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    def update_py(a):
+        c = {}
+        for cid in sorted({v[0] for v in a.values()}):
+            members = [pts[i] for i, v in a.items() if v[0] == cid]
+            n = len(members)
+            c[cid] = [sum(m[d] for m in members) // n for d in range(2)]
+        return c
+
+    cdf = spark.createDataFrame(
+        [(cid, c) for cid, c in cents.items()], ["cid", "c"]
+    ).select(F.col("cid").cast("long"), F.col("c").cast("array<long>"))
+    for _ in range(2):
+        exp_a = assign_py(cents)
+        got_a = {
+            r["vec_id"]: (r["cid"], r["dist"])
+            for r in kmeans_assign(df, cdf).collect()
+        }
+        assert got_a == exp_a
+        cents = update_py(exp_a)
+        cdf = kmeans_update(kmeans_assign(df, cdf), dim=2)
+        got_c = {r["cid"]: list(r["c"]) for r in cdf.collect()}
+        assert got_c == cents
+    # midpoint (5,5): equidistant from (0,0)+(10,10)? 50 vs 50 — tie
+    # breaks to cid 0 in iteration 1, so centroid 0 drifts toward it.
+    assert assign_py({0: [0, 0], 1: [10, 10]})[4][0] == 0
