@@ -49,6 +49,7 @@ EMBEDDINGS_QUERIES = {
     "embedding_dim_stats",
     "embedding_quantization_error",
     "hard_negative_pairs",
+    "kmeans_lloyd_clusters",
 }
 
 
