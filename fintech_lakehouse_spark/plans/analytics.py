@@ -805,3 +805,116 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_error_bound"),
         )
     )
+
+
+DRIFT_BINS = 10
+DRIFT_HI_CENTS = 50_000_000  # fixed $500k upper edge; TPC-H max ~$500k
+DRIFT_SPLIT = "1998-01-01"
+
+
+@register(
+    "order_price_drift_tvd",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST({DRIFT_BINS - 1},
+                     (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * {DRIFT_BINS}) // {DRIFT_HI_CENTS}) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM orders
+    ),
+    per_bucket AS (
+        SELECT bucket,
+               CAST(SUM(in_a) AS BIGINT)     AS n_a,
+               CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+        FROM binned GROUP BY bucket
+    ),
+    totals AS (
+        SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per_bucket
+    ),
+    contrib AS (
+        SELECT bucket, n_a, n_b,
+               CAST(n_a * 1000000 // ta AS BIGINT) AS pa_ppm,
+               CAST(n_b * 1000000 // tb AS BIGINT) AS pb_ppm,
+               CAST(abs(n_a * tb - n_b * ta) * 1000000 // (ta * tb)
+                    AS BIGINT) AS drift_ppm
+        FROM per_bucket CROSS JOIN totals
+    )
+    SELECT bucket, n_a, n_b, pa_ppm, pb_ppm, drift_ppm FROM contrib
+    UNION ALL
+    SELECT -1, CAST(t.ta AS BIGINT), CAST(t.tb AS BIGINT),
+           1000000, 1000000,
+           CAST(SUM(c.drift_ppm) // 2 AS BIGINT)
+    FROM contrib c CROSS JOIN totals t GROUP BY t.ta, t.tb
+    ORDER BY bucket
+    """,
+)
+def order_price_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two order periods (the
+    PSI-family check every production feature pipeline runs before
+    trusting a training snapshot): fixed equal-width value bins,
+    per-bin share comparison, and total-variation distance as the
+    drift score. TVD instead of PSI because PSI's ln() is
+    libm-dependent across engines (the bm25_doc_ranking precedent) —
+    TVD = ½·Σ|p_a − p_b| keeps identical semantics-class output
+    (0 = no drift, 1e6 ppm = disjoint) in EXACT cross-multiplied
+    integer ppm: |n_a·t_b − n_b·t_a|·1e6 DIV (t_a·t_b) never touches
+    a float, so the driver hash replays bit-for-bit. Bins are fixed
+    constants (not data-dependent min/max) exactly as a deployed
+    monitor pins its reference binning. The bucket=-1 row is the
+    corpus-level verdict: TVD in ppm with period row counts.
+
+    Scale shape: ONE scan — bucket and period flag are scan-side
+    projections, the per-(bucket, period) counts are conditional
+    partial aggregates (map-side combined to ≤{DRIFT_BINS} rows per
+    task), totals re-aggregate the 10-row result, and everything after
+    is on ≤11 rows. At 100 TB the two periods come straight from
+    partition pruning on the date column, and N reference windows
+    drift-check against one current window by adding N conditional
+    sums to the same single scan — never N scans.
+
+    Overflow check: n·t products ≤ (1.5e5)² = 2.25e10 at sf0.1,
+    ×1e6 = 2.25e16 ≪ 2^63; holds to sf10 (1.5e7 orders → 2.25e20
+    would overflow — at that scale drop to per-million-row sampled
+    counts or DECIMAL(38) intermediates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.lit(DRIFT_BINS - 1),
+            F.expr(
+                f"(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                f" * {DRIFT_BINS}) DIV {DRIFT_HI_CENTS}"
+            ),
+        ).alias("bucket"),
+        (F.col("o_orderdate") < F.to_timestamp(F.lit(DRIFT_SPLIT)))
+        .cast("long")
+        .alias("in_a"),
+    )
+    per_bucket = binned.groupBy("bucket").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    totals = per_bucket.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    contrib = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr("n_a * 1000000 DIV ta").cast("long").alias("pa_ppm"),
+        F.expr("n_b * 1000000 DIV tb").cast("long").alias("pb_ppm"),
+        F.expr("abs(n_a * tb - n_b * ta) * 1000000 DIV (ta * tb)")
+        .cast("long")
+        .alias("drift_ppm"),
+    )
+    total_row = contrib.crossJoin(F.broadcast(totals)).groupBy("ta", "tb").agg(
+        F.expr("SUM(drift_ppm) DIV 2").cast("long").alias("drift_ppm")
+    ).select(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+        F.lit(1000000).cast("long").alias("pa_ppm"),
+        F.lit(1000000).cast("long").alias("pb_ppm"),
+        "drift_ppm",
+    )
+    return contrib.unionByName(total_row).orderBy("bucket")
