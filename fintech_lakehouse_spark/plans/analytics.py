@@ -918,3 +918,124 @@ def order_price_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drift_ppm",
     )
     return contrib.unionByName(total_row).orderBy("bucket")
+
+
+# log10(1 + 1/d) in ppm, d = 1..9 — Benford's-law expected first-digit
+# shares as INLINE integer constants (no runtime log10: libm-dependent).
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+BENFORD_FLAG_PPM = 20_000  # per-digit deviation that warrants review
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ),
+    expected AS (
+        SELECT CAST(d.digit AS BIGINT) AS digit,
+               CAST(d.ppm AS BIGINT)   AS expected_ppm
+        FROM (VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PPM))})
+             AS d(digit, ppm)
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM digits GROUP BY digit
+    ),
+    total AS (SELECT SUM(n_orders) AS t FROM counts)
+    SELECT e.digit,
+           COALESCE(c.n_orders, 0)                             AS n_orders,
+           CAST(COALESCE(c.n_orders, 0) * 1000000 // t.t
+                AS BIGINT)                                     AS observed_ppm,
+           e.expected_ppm,
+           CAST(abs(COALESCE(c.n_orders, 0) * 1000000 // t.t
+                    - e.expected_ppm) AS BIGINT)               AS deviation_ppm,
+           abs(COALESCE(c.n_orders, 0) * 1000000 // t.t
+               - e.expected_ppm) > {BENFORD_FLAG_PPM}          AS review_flag
+    FROM expected e LEFT JOIN counts c USING (digit)
+    CROSS JOIN total t
+    ORDER BY digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    classic forensic-accounting fraud screen (fabricated or structured
+    amounts drift from the log-uniform first-digit law; auditors flag
+    populations whose digit shares deviate): observed vs expected
+    share per leading digit 1-9 with a per-digit review flag.
+
+    Determinism design: the first significant digit comes from the
+    STRING rendering of the exact integer cents value (both engines
+    print a BIGINT identically) — not floor(c/10^floor(log10 c)),
+    which drags libm log10 into the hash; the nine expected shares
+    log10(1+1/d) are INLINE ppm constants (compile-time math, not
+    runtime); observed shares are floor-divided integer ppm. The
+    digit-9 row survives even at zero observations via the expected-
+    side LEFT JOIN, so the output contract is always 9 rows.
+
+    Scale shape: one scan projecting a single digit column, a 9-row
+    map-side-combined count, a 1-row total broadcast back — everything
+    after the scan is on ≤9 rows. At 100 TB this audits per-merchant
+    or per-account via one added groupBy key, same single-scan shape.
+
+    Reference parity: extends the reference's declared fraud/AML
+    analytics family (SURVEY §2.4 velocity/structuring alerts) with
+    the population-level screen those per-entity rules cannot express.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("c")
+        )
+        .filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    # The 9-row expected side is pure plan (sequence spine + literal
+    # array lookup) — a createDataFrame here costs ~0.3 s of
+    # driver-side RDD setup per run for no benefit.
+    expected = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("_d")
+    ).select(
+        F.col("_d").cast("long").alias("digit")
+    ).select(
+        "digit",
+        F.element_at(
+            F.array(*[F.lit(p) for p in BENFORD_PPM]), F.col("digit").cast("int")
+        ).cast("long").alias("expected_ppm"),
+    )
+    # Leading digits are 1-9 only (c > 0), so every observed-count row
+    # survives the expected-side left join and the grand total can be
+    # window-summed over the 9-row joined result — no second corpus
+    # scan for a 1-row total (measured: the total-as-second-aggregate
+    # shape re-derived the scan and doubled the query's wall).
+    obs_ppm = F.expr("coalesce(n_orders, 0) * 1000000 DIV t")
+    return (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .withColumn(
+            "t",
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).over(
+                Window.partitionBy(F.lit(1))
+            ),
+        )
+        .select(
+            "digit",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            obs_ppm.cast("long").alias("observed_ppm"),
+            "expected_ppm",
+            F.abs(obs_ppm - F.col("expected_ppm")).cast("long").alias("deviation_ppm"),
+            (F.abs(obs_ppm - F.col("expected_ppm")) > BENFORD_FLAG_PPM).alias(
+                "review_flag"
+            ),
+        )
+        .orderBy("digit")
+    )

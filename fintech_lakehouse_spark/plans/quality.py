@@ -588,3 +588,98 @@ def changelog_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.col("m.total_price") == F.col("r.total_price"))
         ).alias("consistent"),
     )
+
+
+K_ANON_LEVELS = [2, 5, 10]
+# $500-wide balance bucket over shifted non-negative cents: acctbal
+# spans [-999.99, 9999.99], so +100000 cents keeps DIV == //.
+K_ANON_BAL_BUCKET = 50_000
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                + 100000) // {K_ANON_BAL_BUCKET} AS bal_bucket
+        FROM customer
+    ),
+    groups AS (
+        SELECT nation, segment, bal_bucket, COUNT(*) AS gsize
+        FROM qi GROUP BY 1, 2, 3
+    ),
+    total AS (SELECT SUM(gsize) AS t, COUNT(*) AS g FROM groups)
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN g.gsize < k.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_risky_groups,
+           CAST(SUM(CASE WHEN g.gsize < k.k THEN g.gsize ELSE 0 END)
+                AS BIGINT) AS n_risky_customers,
+           CAST(SUM(CASE WHEN g.gsize < k.k THEN g.gsize ELSE 0 END)
+                * 1000000 // ANY_VALUE(t.t) AS BIGINT) AS risky_ppm,
+           CAST(ANY_VALUE(t.g) AS BIGINT) AS n_groups_total
+    FROM groups g
+    CROSS JOIN (VALUES {", ".join(f"({k})" for k in K_ANON_LEVELS)}) AS k(k)
+    CROSS JOIN total t
+    GROUP BY k.k
+    ORDER BY k
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile over customer quasi-identifiers — the
+    privacy audit a data-release/training-data pipeline runs before
+    shipping records that are individually harmless but jointly
+    identifying (Sweeney 2002): group by (nation, market segment,
+    $500 balance bucket) and report, for k ∈ {2, 5, 10}, how many
+    QI-groups fall below k members, how many customers sit in those
+    groups (the re-identifiable population a k-anonymizer would have
+    to suppress or generalize), and that population as exact integer
+    ppm. The balance bucket floor-divides SHIFTED non-negative cents
+    (fact 32: Spark DIV == DuckDB // only for non-negative operands;
+    acctbal goes to -$999.99).
+
+    Scale shape: one scan → map-side-combined groupBy on the QI tuple
+    (output is bounded by QI-domain cardinality, ~|nations|×|segments|
+    ×|buckets|, never row count) → all three thresholds evaluated as
+    conditional sums over that bounded group table in one pass (a
+    3-row literal cross join, not 3 scans) → 3-row result. The same
+    shape audits any QI set at 100 TB; group cardinality, not corpus
+    size, is the working set after the first aggregate.
+
+    Privacy-family companion to pii_redaction_stats (content-level
+    PII) — this is the STRUCTURAL re-identification check content
+    scrubbing cannot see."""
+    customer = load_table(spark, sf_dir, "customer")
+    qi = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            f" + 100000) DIV {K_ANON_BAL_BUCKET}"
+        ).alias("bal_bucket"),
+    )
+    groups = qi.groupBy("nation", "segment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    total = groups.agg(
+        F.sum("gsize").alias("t"), F.count(F.lit(1)).alias("g")
+    )
+    ks = spark.createDataFrame([(k,) for k in K_ANON_LEVELS], "k long")
+    risky = F.when(F.col("gsize") < F.col("k"), F.col("gsize")).otherwise(F.lit(0))
+    return (
+        groups.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(total))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("gsize") < F.col("k")).cast("long"))
+            .cast("long")
+            .alias("n_risky_groups"),
+            F.sum(risky).cast("long").alias("n_risky_customers"),
+            F.expr("SUM(CASE WHEN gsize < k THEN gsize ELSE 0 END)"
+                   " * 1000000 DIV ANY_VALUE(t)")
+            .cast("long")
+            .alias("risky_ppm"),
+            F.any_value(F.col("g")).cast("long").alias("n_groups_total"),
+        )
+        .orderBy("k")
+    )
