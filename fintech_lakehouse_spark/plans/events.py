@@ -465,3 +465,118 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(row_total).cast("double")
         ).alias("transition_prob"),
     )
+
+
+AB_Z_FLAG = 1.96  # two-sided 95% critical value
+
+# The one float in the A/B readout: pooled two-proportion z — an
+# identical expression tree on both engines (divisions/multiplies +
+# ONE sqrt, all IEEE-exact; no libm transcendentals), NULLIF-guarded
+# against a degenerate pooled rate (0 or 1 → zero standard error).
+_AB_Z_SQL = (
+    "ROUND((CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)"
+    " - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(conv_control + conv_treatment AS DOUBLE)"
+    " / CAST(n_control + n_treatment AS DOUBLE))"
+    " * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)"
+    " / CAST(n_control + n_treatment AS DOUBLE))"
+    " * (1.0 / CAST(n_control AS DOUBLE)"
+    " + 1.0 / CAST(n_treatment AS DOUBLE))), 0.0), 4)"
+)
+
+
+@register(
+    "ab_test_lift",
+    oracle=f"""
+    WITH units AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id, day
+    ),
+    armed AS (
+        SELECT (('0x' || substr(md5('abtest' || '|' || COALESCE(CAST(user_id AS VARCHAR), '__NULL_KEY__')), 1, 12))::BIGINT % 2) AS arm, converted FROM units
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_control,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_treatment
+        FROM armed
+    )
+    SELECT n_control, n_treatment, conv_control, conv_treatment,
+           CAST(conv_control * 1000000 // n_control AS BIGINT)     AS rate_control_ppm,
+           CAST(conv_treatment * 1000000 // n_treatment AS BIGINT) AS rate_treatment_ppm,
+           CAST(conv_treatment * 1000000 // n_treatment
+                - conv_control * 1000000 // n_control AS BIGINT)   AS lift_ppm,
+           {_AB_Z_SQL} AS z_score,
+           abs({_AB_Z_SQL}) > {AB_Z_FLAG} AS significant
+    FROM agg
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout (the A/B analysis every growth/risk
+    team runs): analysis units are user-DAYS (user-level conversion
+    saturates to 100% over a month of activity — a degenerate pooled
+    rate zeroes the standard error; day grain keeps ~40% conversion
+    at every SF), arms are CLUSTER-randomized at the user level by the
+    portable md5 bucket (the industry-standard design: a user's arm
+    is stable forever, across engines and retries — never re-randomized
+    per day), conversion = any purchase event that day, and the
+    two-proportion pooled z-test on the rate difference. Rates and
+    lift are exact integer ppm (floor-divided non-negative counts);
+    the z-statistic is the ONE float — an identical division/multiply/
+    sqrt expression tree on both engines (sqrt is IEEE-exact; libm
+    transcendentals stay out), NULLIF-guarded and rounded to 4.
+    ``significant`` compares the ROUNDED z to ±{AB_Z_FLAG} so both
+    engines flag from the same value.
+
+    Scale shape: unit construction is one map-side-combinable
+    groupBy(user_id, day); the arm is a scan-side hash expression (no
+    join against an assignment table); the readout is conditional sums
+    collapsing to ONE row. At 100 TB: a single shuffle on the unit
+    key. Multi-variant tests add arms to the same conditional-sum
+    pass, never extra scans.
+
+    Reference parity: extends the reference's declared event-analytics
+    family (funnels, sessions, velocity — SURVEY §2.4/§2.12) with the
+    experimentation readout none of those express."""
+    from fintech_lakehouse_spark.functions.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    units = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    )
+    armed = units.select(
+        hash_bucket("user_id", "abtest", 2).alias("arm"), "converted"
+    )
+    agg = armed.agg(
+        F.sum((F.col("arm") == 0).cast("long")).cast("long").alias("n_control"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("long").alias("n_treatment"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("conv_control"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("conv_treatment"),
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.expr("conv_control * 1000000 DIV n_control")
+        .cast("long")
+        .alias("rate_control_ppm"),
+        F.expr("conv_treatment * 1000000 DIV n_treatment")
+        .cast("long")
+        .alias("rate_treatment_ppm"),
+        F.expr(
+            "conv_treatment * 1000000 DIV n_treatment"
+            " - conv_control * 1000000 DIV n_control"
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+        F.expr(_AB_Z_SQL).alias("z_score"),
+        F.expr(f"abs({_AB_Z_SQL}) > {AB_Z_FLAG}").alias("significant"),
+    )

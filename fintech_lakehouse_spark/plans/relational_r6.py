@@ -594,3 +594,111 @@ def sql_scripting_threshold_report(
         END
         """
     )
+
+
+ASSOC_TOP_K = 15
+ASSOC_MIN_PAIR_ORDERS = 5
+
+
+@register(
+    "brand_pair_association",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    brand_n AS (
+        SELECT brand, COUNT(*) AS n_brand FROM baskets GROUP BY brand
+    ),
+    pair_n AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               COUNT(*) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+           CAST(n_both * 1000000 // na.n_brand AS BIGINT) AS confidence_ppm,
+           CAST(n_both * n.n_orders * 1000000 // (na.n_brand * nb.n_brand)
+                AS BIGINT) AS lift_ppm
+    FROM pair_n
+    JOIN brand_n na ON pair_n.brand_a = na.brand
+    JOIN brand_n nb ON pair_n.brand_b = nb.brand
+    CROSS JOIN n
+    WHERE n_both >= {ASSOC_MIN_PAIR_ORDERS}
+    ORDER BY lift_ppm DESC, brand_a, brand_b
+    LIMIT {ASSOC_TOP_K}
+    """,
+)
+def brand_pair_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the 2-itemset level (the
+    Apriori/FP-growth output retailers and fraud teams read): for
+    brand pairs co-occurring in the same order, support, confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)) — all in exact cross-multiplied
+    integer ppm (n_both·N·1e6 DIV (n_a·n_b); ≤2.3e16 at sf0.1, no
+    float anywhere) — top-{ASSOC_TOP_K} by lift with a
+    {ASSOC_MIN_PAIR_ORDERS}-order support floor.
+
+    Scale shape: baskets are DISTINCT (order, brand) — the self-join
+    fan-out is bounded by basket size (≤7 lineitems per TPC-H order →
+    ≤21 pairs), never corpus-quadratic; this is the same
+    bounded-fan-out contract as the shingle/winnowing pair joins, with
+    the basket in the role of the document. Brand marginals
+    (|brands| rows) broadcast into the scoring join; the final top-k
+    is TakeOrderedAndProject. At 100 TB the one real shuffle is
+    baskets on the order key; a hot mega-basket (the skew hazard) is
+    bounded by |brands|² pairs per order, and the support floor prunes
+    the long tail before the broadcast joins.
+
+    Reference parity: the co-occurrence/market-basket view the
+    reference's Gold rollups (revenue by dimension) cannot express —
+    the §2.6 star-join family's associative companion."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
+    brand_n = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pair_n = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= ASSOC_MIN_PAIR_ORDERS)
+    )
+    na = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("nb")
+    )
+    return (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr("n_both * 1000000 DIV n_orders")
+            .cast("long")
+            .alias("support_ppm"),
+            F.expr("n_both * 1000000 DIV na").cast("long").alias("confidence_ppm"),
+            F.expr("n_both * n_orders * 1000000 DIV (na * nb)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(ASSOC_TOP_K)
+    )
