@@ -185,3 +185,131 @@ def test_language_best_guess_und_for_zero_overlap(spark):
     )
     (row,) = df.select(language_best_guess().alias("g")).collect()
     assert row["g"]["lang"] == "und" and row["g"]["score"] == 0
+
+
+class TestR7S2AnalyticsSemantics:
+    """Semantic pins for the round-7 session-2 metric family: each
+    metric is checked against a hand-computable synthetic distribution
+    (the oracle sweep proves engine parity; these prove the MATH)."""
+
+    def test_tvd_bounds_on_identical_and_disjoint(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from fintech_lakehouse_spark.plans.analytics import (
+            order_price_drift_tvd,
+        )
+
+        # identical periods -> TVD 0; disjoint value ranges -> TVD 1e6
+        rows = []
+        for i in range(200):
+            rows.append((i, "1996-06-01", 100.0 + i))          # period A
+            rows.append((10_000 + i, "1999-06-01", 100.0 + i))  # period B, same dist
+        self._write_orders(spark, tmp_path / "same", rows)
+        out = {
+            r["bucket"]: r
+            for r in order_price_drift_tvd(
+                spark, str(tmp_path / "same")
+            ).collect()
+        }
+        assert out[-1]["drift_ppm"] == 0
+
+        rows = []
+        for i in range(200):
+            rows.append((i, "1996-06-01", 1000.0))      # A: all bucket 0
+            rows.append((10_000 + i, "1999-06-01", 450_000.0))  # B: top bucket
+        self._write_orders(spark, tmp_path / "disj", rows)
+        out = {
+            r["bucket"]: r
+            for r in order_price_drift_tvd(
+                spark, str(tmp_path / "disj")
+            ).collect()
+        }
+        assert out[-1]["drift_ppm"] == 1_000_000
+
+    def test_gini_zero_for_equal_spend(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import (
+            revenue_concentration,
+        )
+
+        rows = [(i, "1996-06-01", 500.0) for i in range(100)]
+        self._write_orders(spark, tmp_path / "flat", rows, custkey_from_id=True)
+        row = revenue_concentration(spark, str(tmp_path / "flat")).collect()[0]
+        assert row["gini"] == 0.0
+        assert row["n_customers"] == 100
+        # equal spend: top 1% (1 customer) holds exactly 1/100
+        assert row["top1pct_share_ppm"] == 10_000
+        assert row["top10pct_share_ppm"] == 100_000
+
+    def test_benford_flags_uniform_digits(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import (
+            benford_first_digit_audit,
+        )
+
+        # fabricated books: every leading digit equally likely (1/9 =
+        # 111111 ppm) -> digit 1 (expected 301030) must flag
+        rows = []
+        k = 0
+        for d in range(1, 10):
+            for i in range(100):
+                rows.append((k, "1996-06-01", float(d * 1000 + i)))
+                k += 1
+        self._write_orders(spark, tmp_path / "uni", rows)
+        out = {
+            r["digit"]: r
+            for r in benford_first_digit_audit(
+                spark, str(tmp_path / "uni")
+            ).collect()
+        }
+        assert len(out) == 9
+        assert all(r["observed_ppm"] == 111_111 for r in out.values())
+        assert out[1]["review_flag"] and out[2]["review_flag"]
+        # digit 3 (expected 124939 ppm) sits within 20k of uniform
+        assert not out[3]["review_flag"]
+        # digit 8/9 expectations (~51k/46k ppm) differ by >20k -> flag
+        assert out[9]["review_flag"]
+
+    def test_rfm_quintiles_partition_evenly(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import (
+            rfm_segment_counts,
+        )
+
+        # 100 customers, one order each, distinct amounts -> every
+        # quintile holds exactly 20 customers in every dimension
+        rows = [(i, "1996-06-01", 100.0 + i) for i in range(100)]
+        self._write_orders(spark, tmp_path / "rfm", rows, custkey_from_id=True)
+        out = rfm_segment_counts(spark, str(tmp_path / "rfm")).collect()
+        assert sum(r["n_customers"] for r in out) == 100
+        from collections import defaultdict
+
+        per_m = defaultdict(int)
+        for r in out:
+            per_m[r["m_score"]] += r["n_customers"]
+        assert per_m == {1: 20, 2: 20, 3: 20, 4: 20, 5: 20}
+
+    @staticmethod
+    def _write_orders(spark, path, rows, custkey_from_id=False):
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [
+                (
+                    i,
+                    (i if custkey_from_id else i % 37),
+                    "O",
+                    float(price),
+                    date,
+                    "1-URGENT",
+                    "clerk",
+                    0,
+                    "",
+                )
+                for (i, date, price) in rows
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, _d string, o_orderpriority string,"
+            " o_clerk string, o_shippriority int, o_comment string",
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.to_timestamp("_d").alias("o_orderdate"),
+            "o_orderpriority", "o_clerk", "o_shippriority", "o_comment",
+        )
+        df.write.mode("overwrite").parquet(f"{path}/orders.parquet")
