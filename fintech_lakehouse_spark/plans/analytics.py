@@ -878,6 +878,18 @@ def order_price_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     would overflow — at that scale drop to per-million-row sampled
     counts or DECIMAL(38) intermediates)."""
     orders = load_table(spark, sf_dir, "orders")
+    per_bucket = drift_bucket_counts(orders)
+    return drift_readout(per_bucket)
+
+
+def drift_bucket_counts(orders: DataFrame) -> DataFrame:
+    """Fixed-bin period counts for the drift monitor — the ONE
+    definition shared by the batch registry query and the streaming
+    sink (streaming/events.py::foreach_batch_drift): bucket and period
+    flag are scan-side expressions, counts map-side combine, and the
+    per-(bucket, period) counts are ASSOCIATIVE — mergeable across
+    micro-batches by plain addition, which is what makes the
+    streaming-maintained state exactly equal the batch recompute."""
     binned = orders.select(
         F.least(
             F.lit(DRIFT_BINS - 1),
@@ -890,10 +902,15 @@ def order_price_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("in_a"),
     )
-    per_bucket = binned.groupBy("bucket").agg(
+    return binned.groupBy("bucket").agg(
         F.sum("in_a").cast("long").alias("n_a"),
         F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("n_b"),
     )
+
+
+def drift_readout(per_bucket: DataFrame) -> DataFrame:
+    """Per-bin shares + TVD from mergeable (bucket, n_a, n_b) state —
+    pure post-aggregation arithmetic on ≤DRIFT_BINS+1 rows."""
     totals = per_bucket.agg(
         F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
     )

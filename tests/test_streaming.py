@@ -1198,3 +1198,51 @@ def test_bm25_index_stream_equals_batch_registry_query(spark, sf_dir):
             ).collect()
         ]
         assert again == expected
+
+
+def test_drift_monitor_stream_equals_batch_registry_query(spark, sf_dir):
+    """The streaming-maintained drift monitor must reproduce the batch
+    order_price_drift_tvd registry query EXACTLY: stream the orders
+    table through foreach_batch_drift in three micro-batches (split by
+    orderkey — arrival order is irrelevant to associative counts),
+    then compare the newest snapshot row-for-row against the batch
+    query on the same table. Also checks committed-batch replay is a
+    no-op and that intermediate versions give drift-verdict time
+    travel."""
+    import tempfile
+
+    from fintech_lakehouse_spark.plans.analytics import order_price_drift_tvd
+    from fintech_lakehouse_spark.sources.readers import load_table
+    from fintech_lakehouse_spark.streaming import (
+        foreach_batch_drift,
+        read_materialized_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as root:
+        sink = foreach_batch_drift(root)
+        batches = [
+            orders.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+            for i in range(3)
+        ]
+        for i, b in enumerate(batches):
+            sink(b, i)
+
+        def rows(df):
+            return sorted(
+                tuple(r) for r in df.select(
+                    "bucket", "n_a", "n_b", "pa_ppm", "pb_ppm", "drift_ppm"
+                ).collect()
+            )
+
+        maintained = rows(read_materialized_view(spark, root))
+        batch = rows(order_price_drift_tvd(spark, sf_dir))
+        assert maintained == batch
+
+        sink(batches[2], 2)  # committed replay: no-op
+        assert rows(read_materialized_view(spark, root)) == batch
+
+        # time travel: the version=0 verdict covers only batch 0
+        v0 = rows(read_materialized_view(spark, root, version=0))
+        b0_counts = sum(r[1] + r[2] for r in v0 if r[0] >= 0)
+        assert b0_counts == batches[0].count()
