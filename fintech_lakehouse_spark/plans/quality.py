@@ -683,3 +683,101 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+RECON_TOL_BP = 100  # reconciled = header within 1% of its lines
+
+
+@register(
+    "order_ledger_reconciliation",
+    oracle=f"""
+    WITH ledger AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                    * 1000000 AS BIGINT) AS ledger_e6
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    diffs AS (
+        SELECT abs(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)
+                   - ledger_e6) * 10000
+               // CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)
+                   AS diff_bp
+        FROM orders JOIN ledger ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                          AS n_orders,
+           CAST(SUM(CASE WHEN diff_bp <= {RECON_TOL_BP}
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_reconciled,
+           CAST(SUM(CASE WHEN diff_bp <= {RECON_TOL_BP}
+                         THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT)                       AS reconciled_ppm,
+           quantile_cont(diff_bp, 0.50)                      AS p50_diff_bp,
+           quantile_cont(diff_bp, 0.90)                      AS p90_diff_bp,
+           CAST(MAX(diff_bp) AS BIGINT)                      AS max_diff_bp
+    FROM diffs
+    """,
+)
+def order_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-entry value reconciliation — header total vs the sum of
+    its lines (the ledger-vs-subledger tie-out every finance close
+    runs; the DQ family's referential checks prove KEYS exist, this
+    proves the MONEY adds up): per order, the exact-decimal line total
+    Σ extprice·(1−disc)·(1+tax) against o_totalprice, discrepancy in
+    exact integer BASIS POINTS of the header (scale-6 decimal
+    micro-units, floor-divided non-negative integers), reported as a
+    reconciliation-rate + discrepancy-distribution readout. On this
+    synthetic lake the generator does NOT maintain the TPC-H price
+    identity, so the report is a non-vacuous mismatch DISTRIBUTION
+    (p50/p90/max bp) rather than an all-pass flag — exactly what the
+    query is for.
+
+    Scale shape: one map-side-combinable groupBy(l_orderkey) over
+    lineitem, an equi-join to orders on the same key (co-partitioned
+    shuffle; bucketed storage makes it shuffle-free), then a 1-row
+    readout. The exact p50/p90 are sort-based over post-join
+    cardinality; at 100 TB swap to GK quantiles
+    (functions/sketches.py) — the integer diff_bp column is exactly
+    what the sketch family consumes."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from fintech_lakehouse_spark.plans._num import money, one_minus, one_plus
+
+    ledger = lineitem.groupBy("l_orderkey").agg(
+        (
+            F.sum(
+                money("l_extendedprice")
+                * one_minus("l_discount")
+                * one_plus("l_tax")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("ledger_e6")
+    )
+    diffs = (
+        orders.select(
+            "o_orderkey",
+            (money("o_totalprice") * 1000000).cast("long").alias("total_e6"),
+        )
+        .join(ledger, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.expr("abs(total_e6 - ledger_e6) * 10000 DIV total_e6").alias(
+                "diff_bp"
+            )
+        )
+    )
+    ok = (F.col("diff_bp") <= RECON_TOL_BP).cast("long")
+    return diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(ok).cast("long").alias("n_reconciled"),
+        F.expr(
+            f"SUM(CASE WHEN diff_bp <= {RECON_TOL_BP} THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(1)"
+        )
+        .cast("long")
+        .alias("reconciled_ppm"),
+        F.percentile("diff_bp", 0.50).alias("p50_diff_bp"),
+        F.percentile("diff_bp", 0.90).alias("p90_diff_bp"),
+        F.max("diff_bp").cast("long").alias("max_diff_bp"),
+    )
