@@ -910,21 +910,32 @@ def drift_bucket_counts(orders: DataFrame) -> DataFrame:
 
 def drift_readout(per_bucket: DataFrame) -> DataFrame:
     """Per-bin shares + TVD from mergeable (bucket, n_a, n_b) state —
-    pure post-aggregation arithmetic on ≤DRIFT_BINS+1 rows."""
-    totals = per_bucket.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
-    )
-    contrib = per_bucket.crossJoin(F.broadcast(totals)).select(
+    pure post-aggregation arithmetic on ≤DRIFT_BINS+1 rows. The tail
+    is WINDOW-ONLY (totals as window sums over the tiny bucket table,
+    never a second aggregate of the corpus side): the earlier
+    totals-as-second-aggregate + crossJoin shape re-derived the
+    upstream scan per consumer — 6 effective corpus scans at runtime
+    even after ReusedExchange; this shape leaves exactly one."""
+    w = Window.partitionBy(F.lit(1))
+    contrib = per_bucket.select(
         "bucket",
         "n_a",
         "n_b",
+        F.sum("n_a").over(w).alias("ta"),
+        F.sum("n_b").over(w).alias("tb"),
+    ).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "ta",
+        "tb",
         F.expr("n_a * 1000000 DIV ta").cast("long").alias("pa_ppm"),
         F.expr("n_b * 1000000 DIV tb").cast("long").alias("pb_ppm"),
         F.expr("abs(n_a * tb - n_b * ta) * 1000000 DIV (ta * tb)")
         .cast("long")
         .alias("drift_ppm"),
     )
-    total_row = contrib.crossJoin(F.broadcast(totals)).groupBy("ta", "tb").agg(
+    total_row = contrib.groupBy("ta", "tb").agg(
         F.expr("SUM(drift_ppm) DIV 2").cast("long").alias("drift_ppm")
     ).select(
         F.lit(-1).cast("long").alias("bucket"),
@@ -934,7 +945,11 @@ def drift_readout(per_bucket: DataFrame) -> DataFrame:
         F.lit(1000000).cast("long").alias("pb_ppm"),
         "drift_ppm",
     )
-    return contrib.unionByName(total_row).orderBy("bucket")
+    return (
+        contrib.drop("ta", "tb")
+        .unionByName(total_row)
+        .orderBy("bucket")
+    )
 
 
 # log10(1 + 1/d) in ppm, d = 1..9 — Benford's-law expected first-digit

@@ -1058,3 +1058,31 @@ def test_velocity_hot_user_completes_bounded(spark):
             an.load_table = orig_an
     finally:
         readers.load_table = orig
+
+
+def test_r7s2_plan_shapes(spark, sf_dir):
+    """Plan contracts for the round-7 session-2 analytics family:
+    each asserts the scale-critical property the docstring promises."""
+    # kmeans: assignment is map-only — packed centroids enter via
+    # BroadcastNestedLoopJoin (1-row build), never a sort-merge join
+    plan = _plan(QUERIES["kmeans_lloyd_clusters"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # drift monitor: the window-only tail keeps runtime corpus scans
+    # bounded (was 6 with the totals-as-second-aggregate shape; the
+    # union's two branches legitimately re-enter the reused exchange)
+    df = QUERIES["order_price_drift_tvd"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") <= 3
+    assert "ReusedExchange" in executed
+    # benford: ONE orders scan node; the 9-row expected spine is a
+    # Range, not a second parquet read or an RDD scan. (formatted
+    # explain prints each node twice: tree line + detail block)
+    plan = _plan(QUERIES["benford_first_digit_audit"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Scan ExistingRDD" not in plan and "Range" in plan
+    # association: brand marginals broadcast into the scoring join
+    plan = _plan(QUERIES["brand_pair_association"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
