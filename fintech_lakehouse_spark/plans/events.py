@@ -580,3 +580,93 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_AB_Z_SQL).alias("z_score"),
         F.expr(f"abs({_AB_Z_SQL}) > {AB_Z_FLAG}").alias("significant"),
     )
+
+
+PATH_TOP_K = 20
+
+
+@register(
+    "top_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               COUNT(*) AS path_len
+        FROM numbered
+        GROUP BY user_id, session_no
+    )
+    SELECT path,
+           CAST(ANY_VALUE(path_len) AS BIGINT) AS path_len,
+           CAST(COUNT(*) AS BIGINT)            AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the most common complete event-type PATHS
+    through a session (the product-analytics view funnels and
+    first-order transition matrices both miss — purchase_funnel fixes
+    the order, event_transition_matrix forgets everything but the last
+    step; paths keep the whole trajectory). Sessions are the same
+    30-minute-gap islands as user_sessions (strictly-greater gap
+    starts a session, the session_window-pinned boundary); within a
+    session events order by (ts, event_id) — the total tie-break that
+    makes the path STRING deterministic on both engines. Spark builds
+    the ordered path by sorting the collected (ts, event_id, type)
+    structs inside the aggregate (collect_list order is
+    partition-dependent; array_sort makes it canonical), the oracle by
+    ordered string_agg.
+
+    Scale shape: one shuffle on user_id carries sessionization AND
+    path construction (the window and the groupBy share the
+    partitioning); path counting is a map-side-combinable groupBy on
+    the path string; top-k is TakeOrderedAndProject. Path cardinality,
+    not event volume, is the post-shuffle working set. At 100 TB add a
+    path-length cap (slice the sorted array) to bound hot-session
+    strings — the synthetic lake's sessions are short enough to keep
+    whole."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = events.groupBy(
+        "user_id",
+        F.session_window("ts", "30 minutes").alias("_w"),
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(
+            F.any_value("path_len").cast("long").alias("path_len"),
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -1114,3 +1114,82 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "nearest_centroid_accuracy",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, label, {_km_quant_sql()} AS q FROM embeddings
+    ),
+    cm_s AS (
+        SELECT label AS cid, t.i, SUM(q[t.i]) // COUNT(*) AS s
+        FROM qv CROSS JOIN range(1, {KM_DIM + 1}) t(i)
+        GROUP BY label, t.i
+    ),
+    cents AS (
+        SELECT cid, list(CAST(s AS BIGINT) ORDER BY i) AS c
+        FROM cm_s GROUP BY cid
+    ),
+    {_km_assign_sql('cents', 'pred').lstrip()}
+    SELECT CAST(v.label AS BIGINT) AS label,
+           CAST(p.cid AS BIGINT)   AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN v.label = p.cid THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS cell_correct_ppm
+    FROM pred p JOIN qv v USING (vec_id)
+    GROUP BY v.label, p.cid
+    ORDER BY label, predicted
+    """,
+)
+def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluation over the
+    labeled embeddings — the supervised composition of the Lloyd
+    machinery (kmeans_update fits one centroid PER LABEL, kmeans_assign
+    predicts by nearest centroid) into a confusion matrix: per
+    (true label, predicted label) counts with the diagonal flagged in
+    exact ppm. The embedding-space companion of lang_id_confusion
+    (which evaluates the text-feature classifier) and the quality
+    gate for the cluster-based curation ops — if nearest-centroid
+    cannot separate the labels, SemDeDup-style cluster pruning is
+    operating on noise.
+
+    Same determinism contract as kmeans_lloyd_clusters: shift-
+    quantized non-negative integers, floor-divided means, exact
+    integer distances, lowest-cid ties — the DuckDB twin replays
+    fit + predict bit-for-bit.
+
+    Scale shape: fitting is one map-side-combinable groupBy (the
+    |labels| centroids are the only shuffle payload); prediction is
+    the map-only broadcast-pack argmin; the label join-back rides the
+    vec_id key; output is |labels|²-bounded."""
+    from fintech_lakehouse_spark.functions.vectors import (
+        kmeans_assign,
+        kmeans_quantize,
+        kmeans_update,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        kmeans_quantize(F.col("embedding"), KM_SCALE, KM_OFFSET).alias("q"),
+    )
+    cents = kmeans_update(
+        vectors.select(F.col("label").alias("cid"), "q"), KM_DIM
+    )
+    pred = kmeans_assign(vectors.select("vec_id", "q"), cents)
+    return (
+        pred.join(vectors.select("vec_id", "label"), "vec_id")
+        .groupBy("label", F.col("cid").alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.expr(
+                "SUM(CASE WHEN label = cid THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(1)"
+            )
+            .cast("long")
+            .alias("cell_correct_ppm"),
+        )
+        .orderBy("label", "predicted")
+    )
