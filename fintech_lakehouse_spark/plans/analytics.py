@@ -1268,3 +1268,253 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE)       AS om,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT)                                      AS cents
+        FROM orders
+    ),
+    cohorted AS (
+        SELECT *, MIN(om) OVER (PARTITION BY o_custkey) AS cohort_month
+        FROM base
+    ),
+    per AS (
+        SELECT cohort_month, om,
+               COUNT(DISTINCT o_custkey)    AS n_active,
+               CAST(SUM(cents) AS BIGINT)   AS m_cents
+        FROM cohorted GROUP BY cohort_month, om
+    )
+    SELECT cohort_month,
+           CAST(datediff('month', cohort_month, om) AS BIGINT) AS age_months,
+           CAST(n_active AS BIGINT)                            AS n_active,
+           CAST(FIRST_VALUE(n_active) OVER coh AS BIGINT)      AS cohort_size,
+           CAST(SUM(m_cents) OVER coh AS BIGINT)               AS cum_revenue_cents,
+           CAST(SUM(m_cents) OVER coh
+                // FIRST_VALUE(n_active) OVER coh AS BIGINT)   AS ltv_per_customer_cents
+    FROM per
+    WINDOW coh AS (PARTITION BY cohort_month ORDER BY om
+                   ROWS UNBOUNDED PRECEDING)
+    ORDER BY cohort_month, age_months
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the growth-analytics staple next
+    to user_retention_cohorts (which counts RETAINED USERS; this one
+    accumulates RETAINED REVENUE): customers are cohorted by their
+    first-order month, and each cohort's cumulative revenue is tracked
+    by age-in-months, normalized to LTV-per-customer. The
+    cohort_size = n_active at age 0 identity holds by construction
+    (every customer's first order is in their cohort month), so no
+    separate distinct-count pass is needed.
+
+    Determinism: revenue in exact integer cents (plans/_num.py money
+    contract); LTV per customer is integer floor-division; the age is
+    a whole-month difference of two month-truncated dates (exact on
+    both engines).
+
+    Scale shape: ONE shuffle on o_custkey carries both the cohort
+    window (min per customer) and nothing else at fact scale; the
+    (cohort, month) aggregate is map-side combinable into a
+    months²-bounded frame (~80×80 here), and the cumulative windows
+    run on that tiny frame. At 100 TB the customer window is the only
+    fact-scale exchange — the same partitioning a customer-keyed
+    bucketed table removes entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("om"),
+        (money("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorted = base.withColumn(
+        "cohort_month", F.min("om").over(Window.partitionBy("o_custkey"))
+    )
+    per = cohorted.groupBy("cohort_month", "om").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").alias("m_cents"),
+    )
+    coh = (
+        Window.partitionBy("cohort_month")
+        .orderBy("om")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("cum_cents", F.sum("m_cents").over(coh))
+        .withColumn("cohort_size", F.first("n_active").over(coh))
+        .select(
+            "cohort_month",
+            F.months_between("om", "cohort_month").cast("long").alias("age_months"),
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+            F.expr("cum_cents DIV cohort_size")
+            .cast("long")
+            .alias("ltv_per_customer_cents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "daily_order_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT)  AS x
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT t.k AS lag_days, a.x AS x, b.x AS y
+        FROM daily a
+        CROSS JOIN range(1, {ACF_MAX_LAG + 1}) t(k)
+        JOIN daily b ON b.d = a.d + CAST(t.k AS INTEGER)
+    ),
+    sums AS (
+        SELECT lag_days,
+               CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(y) AS BIGINT)     AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag_days
+    )
+    SELECT CAST(lag_days AS BIGINT) AS lag_days,
+           n                        AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                 4)                 AS acf
+    FROM sums ORDER BY lag_days
+    """,
+)
+def daily_order_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily order-count series for
+    k = 1..{ACF_MAX_LAG} — the time-series diagnostic behind
+    seasonality detection and anomaly-model choice (a weekly cycle
+    shows as an acf peak at lag 7; a flat acf says the volume monitor
+    can use an i.i.d. band). Pairs are matched by CALENDAR date
+    (b.d = a.d + k), not row offset, so sparse days at small scale
+    factors don't misalign the lags.
+
+    Determinism: every sum term (n, Σx, Σy, Σx², Σy², Σxy) is an exact
+    BIGINT; the Pearson r is assembled with the IDENTICAL expression
+    tree on both engines — one int→double cast per term, two IEEE
+    sqrts, one multiply, one NULLIF-guarded divide, ROUND 4 (the
+    fact-22-audited quotient-of-large-sums class; never
+    midpoint-aligned).
+
+    Scale shape: the fact scan collapses to one row per day
+    (map-side combinable), and everything downstream — the 7-way
+    spine explode, the self-join on date, the per-lag sums — runs on
+    the days-sized frame (thousands of rows at any corpus size). The
+    acf table is as cheap at 100 TB as at 100 MB once the daily
+    rollup exists."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    spine = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag_days")
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(spine))
+        .join(b, b.bd == F.date_add(F.col("d"), F.col("lag_days")))
+    )
+    sums = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    return sums.select(
+        F.col("lag_days").cast("long").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)"
+            ),
+            4,
+        ).alias("acf"),
+    ).orderBy("lag_days")
+
+
+DRAWDOWN_TOP = 10
+
+
+@register(
+    "revenue_peak_drawdown",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1
+    ),
+    tracked AS (
+        SELECT d, revenue_cents,
+               CAST(MAX(revenue_cents) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents
+        FROM daily
+    )
+    SELECT d, revenue_cents, peak_cents,
+           CAST(peak_cents - revenue_cents AS BIGINT)    AS drawdown_cents,
+           CAST((peak_cents - revenue_cents) * 1000000
+                // peak_cents AS BIGINT)                 AS drawdown_ppm
+    FROM tracked
+    ORDER BY drawdown_cents DESC, d
+    LIMIT {DRAWDOWN_TOP}
+    """,
+)
+def revenue_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decline-from-running-peak monitor over the daily revenue series
+    — the ops-review companion of daily_volume_anomaly (trailing-mean
+    %-change flags LOCAL dips; this ranks the worst days relative to
+    the best day SEEN SO FAR, the metric an on-call dashboard tracks
+    as "how far below peak are we"): running max via a cumulative
+    window, drawdown in exact cents and floor-divided ppm, worst
+    {DRAWDOWN_TOP} days reported with the deterministic
+    (drawdown DESC, date) tie-break.
+
+    Scale shape: the fact scan folds to one row per day map-side; the
+    cumulative max and the top-k both run on the days-sized frame
+    (the single-partition window is bounded by the calendar, not the
+    corpus — the same contract as order_price_drift_tvd's readout
+    tail), and the top-k plans as TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((money("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    tracked = daily.withColumn(
+        "peak_cents", F.max("revenue_cents").over(cum).cast("long")
+    )
+    dd = F.col("peak_cents") - F.col("revenue_cents")
+    return (
+        tracked.select(
+            "d",
+            "revenue_cents",
+            "peak_cents",
+            dd.cast("long").alias("drawdown_cents"),
+            F.expr("(peak_cents - revenue_cents) * 1000000 DIV peak_cents")
+            .cast("long")
+            .alias("drawdown_ppm"),
+        )
+        .orderBy(F.desc("drawdown_cents"), "d")
+        .limit(DRAWDOWN_TOP)
+    )

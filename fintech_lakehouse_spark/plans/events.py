@@ -670,3 +670,86 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+RAPID_GAP_US = 7_200_000_000  # 2 h between purchases counts as rapid
+RAPID_FLAG_US = 600_000_000  # <= 10 min min-gap warrants review
+RAPID_TOP = 20
+
+
+@register(
+    "rapid_repeat_purchases",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT user_id,
+               us - LAG(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS gap_us
+        FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                AS n_purchases,
+           CAST(MIN(gap_us) // 1000 AS BIGINT)     AS min_gap_ms,
+           CAST(SUM(CASE WHEN gap_us <= {RAPID_GAP_US} THEN 1 ELSE 0 END)
+                AS BIGINT)                         AS n_rapid_2h,
+           MIN(gap_us) <= {RAPID_FLAG_US}          AS review_flag
+    FROM gaps
+    GROUP BY user_id
+    HAVING COUNT(gap_us) > 0
+    ORDER BY min_gap_ms, user_id
+    LIMIT {RAPID_TOP}
+    """,
+)
+def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-payment velocity screen — the double-charge /
+    card-testing detector a payments-risk team runs (many purchases
+    from one account separated by seconds are retries, bot runs, or
+    fraud probes; the per-user MIN inter-purchase gap is the ranking
+    signal): per user with >= 2 purchases, the purchase count, the
+    smallest gap between consecutive purchases in exact integer
+    milliseconds, how many gaps fall under 2 hours, and a <= 10 min
+    review flag; the {RAPID_TOP} tightest accounts reported with the
+    deterministic (min_gap, user_id) tie-break.
+
+    Determinism: gaps are differences of epoch microseconds, so the
+    session-timezone offset that the NTZ→epoch mapping injects cancels
+    exactly (only gaps are emitted, never absolute epochs); the
+    (ts, event_id) window order is total; ms via integer floor-div.
+
+    Scale shape: the lag window is ONE shuffle on user_id, and frame
+    cost is O(purchases-per-user) — bounded per key, unlike the
+    rangeBetween velocity windows (ROUND_NOTES fact 19's hazard class
+    does not apply to lag). The per-user aggregate rides the same
+    partitioning (no second exchange), and top-k plans as
+    TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = p.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.expr("MIN(gap_us) DIV 1000").cast("long").alias("min_gap_ms"),
+            F.sum(
+                F.when(F.col("gap_us") <= RAPID_GAP_US, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rapid_2h"),
+            (F.min("gap_us") <= RAPID_FLAG_US).alias("review_flag"),
+            F.count("gap_us").alias("_n_gaps"),
+        )
+        .filter(F.col("_n_gaps") > 0)
+        .drop("_n_gaps")
+        .orderBy("min_gap_ms", "user_id")
+        .limit(RAPID_TOP)
+    )

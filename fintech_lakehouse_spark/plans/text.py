@@ -3011,3 +3011,153 @@ def decontaminated_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_decontaminated_docs"
         ),
     )
+
+
+VOCAB_GROWTH_SEGMENTS = 8
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    n AS (SELECT MAX(doc_id) + 1 AS sz FROM docs),
+    doc_seg AS (
+        SELECT (8 * doc_id + 8 + n.sz - 1) // n.sz AS k,
+               len(toks) AS nt
+        FROM docs CROSS JOIN n
+    ),
+    tok_agg AS (
+        SELECT token, MIN(doc_id) AS fd
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS token
+              FROM docs)
+        GROUP BY token
+    ),
+    tok_seg AS (
+        SELECT (8 * t.fd + 8 + n.sz - 1) // n.sz AS k,
+               COUNT(*) AS new_types
+        FROM tok_agg t CROSS JOIN n GROUP BY 1
+    ),
+    doc_agg AS (
+        SELECT k, COUNT(*) AS nd, SUM(nt) AS ntok
+        FROM doc_seg GROUP BY k
+    ),
+    spine AS (SELECT CAST(r.k AS BIGINT) AS prefix_eighth
+              FROM range(1, {VOCAB_GROWTH_SEGMENTS + 1}) r(k)),
+    joined AS (
+        SELECT s.prefix_eighth,
+               COALESCE(d.nd, 0)        AS nd,
+               COALESCE(d.ntok, 0)      AS ntok,
+               COALESCE(t.new_types, 0) AS nv
+        FROM spine s
+        LEFT JOIN doc_agg d ON d.k = s.prefix_eighth
+        LEFT JOIN tok_seg t ON t.k = s.prefix_eighth
+    )
+    SELECT prefix_eighth,
+           CAST(SUM(nd)   OVER cum AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) OVER cum AS BIGINT) AS n_tokens,
+           CAST(SUM(nv)   OVER cum AS BIGINT) AS vocab_size,
+           CAST(SUM(nv) OVER cum * 1000000
+                // SUM(ntok) OVER cum AS BIGINT) AS type_token_ppm
+    FROM joined
+    WINDOW cum AS (ORDER BY prefix_eighth ROWS UNBOUNDED PRECEDING)
+    ORDER BY prefix_eighth
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — distinct vocabulary size as
+    a function of corpus-prefix size, at {VOCAB_GROWTH_SEGMENTS}
+    doc-id-ordered checkpoints (the diagnostic behind tokenizer vocab
+    sizing and dedup health: a corpus whose curve flattens early is
+    template-dominated; natural text keeps growing ~N^0.5). Per
+    checkpoint: docs seen, tokens seen, distinct TYPES seen, and the
+    type/token ratio in floor-divided ppm. The type unit is the word
+    BIGRAM: this synthetic corpus has a degenerate 31-token unigram
+    vocabulary (every type appears in the first eighth — the
+    tf_cosine_pairs discovery, ROUND_NOTES r6s5), while its ~900
+    bigram types keep arriving through the last eighth, so the curve
+    actually curves.
+
+    Determinism: a token's first occurrence is MIN(doc_id) (total,
+    engine-identical); checkpoint membership uses the exact integer
+    identity floor(N·k/8) > d  ⇔  k >= ceil((8d+8)/N), computed with
+    one ceiling-division on both engines — no float boundary anywhere.
+
+    Scale shape: token first-occurrences collapse in a map-side
+    partial MIN (shuffle carries distinct tokens per partition, not
+    occurrences — the vocab_top_tokens contract); each doc and each
+    type is then assigned its FIRST checkpoint segment and aggregated
+    to {VOCAB_GROWTH_SEGMENTS} rows, so the growth curve costs one
+    corpus scan + one vocab-sized aggregate regardless of corpus
+    size; the cumulative window runs on 8 rows. The ×8
+    corpus-replication formulation (cross join with the checkpoint
+    spine, then filter) was deliberately avoided."""
+    from pyspark.sql.window import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
+    )
+    n_row = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("sz")))
+    seg = "(8 * %s + 8 + sz - 1) DIV sz"
+    doc_agg = (
+        docs.select("doc_id", F.size("toks").alias("nt"))
+        .crossJoin(n_row)
+        .groupBy(F.expr(seg % "doc_id").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("nt").alias("ntok"),
+        )
+    )
+    tok_seg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "IF(size(toks) < 2, array(), "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(toks[i-1], ' ', toks[i])))"
+                )
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(n_row)
+        .groupBy(F.expr(seg % "fd").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    spine = spark.range(1, VOCAB_GROWTH_SEGMENTS + 1).select(
+        F.col("id").cast("long").alias("prefix_eighth")
+    )
+    joined = (
+        spine.join(
+            F.broadcast(doc_agg), spine.prefix_eighth == doc_agg.k, "left"
+        )
+        .drop("k")
+        .join(F.broadcast(tok_seg), spine.prefix_eighth == tok_seg.k, "left")
+        .drop("k")
+        .select(
+            "prefix_eighth",
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+            F.coalesce("ntok", F.lit(0)).alias("ntok"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+    )
+    cum = Window.orderBy("prefix_eighth").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumd = joined.select(
+        "prefix_eighth",
+        F.sum("nd").over(cum).cast("long").alias("n_docs"),
+        F.sum("ntok").over(cum).cast("long").alias("n_tokens"),
+        F.sum("nv").over(cum).cast("long").alias("vocab_size"),
+    )
+    return cumd.withColumn(
+        "type_token_ppm",
+        F.expr("vocab_size * 1000000 DIV n_tokens").cast("long"),
+    ).orderBy("prefix_eighth")

@@ -1193,3 +1193,70 @@ def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "predicted")
     )
+
+
+def _ann_recall_oracle() -> str:
+    from fintech_lakehouse_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH bf AS ({ORACLES["knn_bruteforce_cosine"]}),
+         iv AS ({ORACLES["ivf_approx_neighbors"]})
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_exact,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)               AS n_hit,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*)
+                AS BIGINT)               AS recall_ppm
+    FROM bf b
+    LEFT JOIN iv i
+      ON i.query_id = b.query_id AND i.vec_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation — recall@5 of the IVF index
+    against the exact brute-force ground truth, per query (the eval
+    harness every vector-search deployment runs before trusting an
+    approximate index, and the driver-checked closure of the ANN
+    family: knn_bruteforce_cosine and ivf_approx_neighbors are each
+    hash-checked individually; this query pins their RELATIONSHIP).
+    recall_ppm = |approx top-5 ∩ exact top-5| · 1e6 / 5 in floor-
+    divided integer ppm.
+
+    Determinism: both sides inherit the total (cos DESC, id)
+    tie-breaks of the underlying queries, so the two top-5 SETS are
+    engine-identical and the intersection count is exact integer
+    arithmetic — no float enters this query at all (the cosines stay
+    inside the sub-plans).
+
+    Scale shape: strictly the union of the two sub-plans (each
+    documented at its own registration — query side broadcasts,
+    corpus never shuffles) plus a join and aggregate over the
+    10×5-row result frames. At 100 TB the eval cost is the
+    brute-force pass over the sampled query set — exactly how
+    production indexes are audited (ground truth on a query SAMPLE,
+    never the full corpus)."""
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    approx = ivf_approx_neighbors(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("nid"), F.lit(1).alias("hit")
+    )
+    # both sides are k×|queries| rows — broadcast the approx side so
+    # the comparison never sort-merge-shuffles two 50-row frames
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "nid"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+            F.expr("COUNT(hit) * 1000000 DIV COUNT(1)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

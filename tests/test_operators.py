@@ -313,3 +313,230 @@ class TestR7S2AnalyticsSemantics:
             "o_orderpriority", "o_clerk", "o_shippriority", "o_comment",
         )
         df.write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+class TestR7S3Semantics:
+    """Synthetic-fixture pins for the round-7 session-3 queries (and
+    the two session-2 stragglers that landed without units): each
+    asserts the exact arithmetic the docstring promises on inputs
+    where the right answer is computable by hand."""
+
+    @staticmethod
+    def _write_events(spark, path, rows):
+        """rows: (event_id, 'YYYY-MM-DD HH:MM:SS', user_id, event_type)"""
+        df = spark.createDataFrame(
+            [(i, d, u, t, 10.0, "{}") for (i, d, u, t) in rows],
+            "event_id long, _d string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.col("_d").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    @staticmethod
+    def _write_documents(spark, path, rows):
+        """rows: (doc_id, text)"""
+        df = spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for (i, t) in rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    def test_cohort_ltv_accumulates_per_cohort(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import cohort_ltv_curve
+
+        import pyspark.sql.functions as SF
+
+        # explicit custkeys: cust 1 orders in Jan AND Feb, cust 2 in
+        # Jan only, cust 3 first appears in Feb
+        df = spark.createDataFrame(
+            [
+                (1, 1, "O", 10.0, "1996-01-05"),
+                (2, 2, "O", 10.0, "1996-01-20"),
+                (3, 1, "O", 30.0, "1996-02-10"),
+                (4, 3, "O", 40.0, "1996-02-15"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, _d string",
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            SF.to_timestamp("_d").alias("o_orderdate"),
+            SF.lit("1-URGENT").alias("o_orderpriority"),
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/ltv/orders.parquet")
+        out = {
+            (str(r["cohort_month"]), r["age_months"]): r
+            for r in cohort_ltv_curve(spark, str(tmp_path / "ltv")).collect()
+        }
+        jan0 = out[("1996-01-01", 0)]
+        assert jan0["n_active"] == 2 and jan0["cohort_size"] == 2
+        assert jan0["cum_revenue_cents"] == 2000
+        assert jan0["ltv_per_customer_cents"] == 1000
+        jan1 = out[("1996-01-01", 1)]
+        assert jan1["n_active"] == 1 and jan1["cohort_size"] == 2
+        assert jan1["cum_revenue_cents"] == 5000
+        assert jan1["ltv_per_customer_cents"] == 2500
+        feb0 = out[("1996-02-01", 0)]
+        assert feb0["cohort_size"] == 1
+        assert feb0["cum_revenue_cents"] == 4000
+
+    def test_autocorrelation_alternating_series(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import (
+            daily_order_autocorrelation,
+        )
+
+        # day i carries 1 order (even) or 3 orders (odd): x_{t+1} is an
+        # affine function of x_t with negative slope -> acf(1) = -1.0
+        # exactly; acf(2) = +1.0 exactly. Odd lags -1, even lags +1.
+        rows, k = [], 0
+        for day in range(1, 29):
+            n = 1 if day % 2 == 0 else 3
+            for _ in range(n):
+                rows.append((k, f"1996-03-{day:02d}", 100.0))
+                k += 1
+        TestR7S2AnalyticsSemantics._write_orders(spark, tmp_path / "acf", rows)
+        out = {
+            r["lag_days"]: r
+            for r in daily_order_autocorrelation(
+                spark, str(tmp_path / "acf")
+            ).collect()
+        }
+        assert out[1]["acf"] == -1.0 and out[3]["acf"] == -1.0
+        assert out[2]["acf"] == 1.0 and out[4]["acf"] == 1.0
+        assert out[1]["n_pairs"] == 27
+
+    def test_drawdown_tracks_running_peak(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import (
+            revenue_peak_drawdown,
+        )
+
+        rows = [
+            (0, "1996-04-01", 100.0),
+            (1, "1996-04-02", 50.0),   # dd 5000 cents vs peak 10000
+            (2, "1996-04-03", 200.0),  # new peak, dd 0
+            (3, "1996-04-04", 120.0),  # dd 8000 cents vs peak 20000
+        ]
+        TestR7S2AnalyticsSemantics._write_orders(spark, tmp_path / "dd", rows)
+        out = revenue_peak_drawdown(spark, str(tmp_path / "dd")).collect()
+        assert [r["drawdown_cents"] for r in out] == [8000, 5000, 0, 0]
+        top = out[0]
+        assert top["peak_cents"] == 20000 and top["revenue_cents"] == 12000
+        assert top["drawdown_ppm"] == 400_000  # 8000/20000 floor-div ppm
+
+    def test_rapid_repeat_purchase_gaps(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.events import (
+            rapid_repeat_purchases,
+        )
+
+        rows = [
+            (0, "2024-01-01 10:00:00", 1, "purchase"),
+            (1, "2024-01-01 10:00:05", 1, "purchase"),  # 5 s gap
+            (2, "2024-01-01 11:00:05", 1, "purchase"),  # 1 h gap
+            (3, "2024-01-01 10:00:00", 2, "purchase"),  # singleton: drop
+            (4, "2024-01-01 10:00:00", 3, "purchase"),
+            (5, "2024-01-01 13:00:00", 3, "purchase"),  # 3 h gap: no flag
+            (6, "2024-01-01 10:00:01", 1, "click"),     # wrong type: inert
+        ]
+        self._write_events(spark, tmp_path / "rapid", rows)
+        out = {
+            r["user_id"]: r
+            for r in rapid_repeat_purchases(
+                spark, str(tmp_path / "rapid")
+            ).collect()
+        }
+        assert set(out) == {1, 3}
+        u1 = out[1]
+        assert u1["n_purchases"] == 3
+        assert u1["min_gap_ms"] == 5000
+        assert u1["n_rapid_2h"] == 2
+        assert u1["review_flag"] is True
+        u3 = out[3]
+        assert u3["min_gap_ms"] == 3 * 3600 * 1000
+        assert u3["n_rapid_2h"] == 0
+        assert u3["review_flag"] is False
+
+    def test_vocab_growth_one_new_type_per_doc(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.text import vocab_growth_curve
+
+        # 8 docs, each contributing exactly ONE never-seen bigram and
+        # 2 tokens -> at checkpoint k: k docs, 2k tokens, k types,
+        # ttr = 500000 ppm everywhere
+        docs = [(i, f"w{i}a w{i}b") for i in range(8)]
+        self._write_documents(spark, tmp_path / "heaps", docs)
+        out = vocab_growth_curve(spark, str(tmp_path / "heaps")).collect()
+        assert len(out) == 8
+        for r in out:
+            k = r["prefix_eighth"]
+            assert r["n_docs"] == k
+            assert r["n_tokens"] == 2 * k
+            assert r["vocab_size"] == k
+            assert r["type_token_ppm"] == 500_000
+
+    def test_session_paths_order_and_boundaries(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.events import top_session_paths
+
+        rows = [
+            (0, "2024-01-01 10:00:00", 1, "click"),
+            (1, "2024-01-01 10:10:00", 1, "view"),      # same session
+            (2, "2024-01-01 13:00:00", 1, "purchase"),  # new session
+            (3, "2024-01-02 09:00:00", 2, "click"),
+            (4, "2024-01-02 09:05:00", 2, "view"),
+        ]
+        self._write_events(spark, tmp_path / "paths", rows)
+        out = {
+            r["path"]: r
+            for r in top_session_paths(spark, str(tmp_path / "paths")).collect()
+        }
+        assert out["click>view"]["n_sessions"] == 2
+        assert out["click>view"]["n_users"] == 2
+        assert out["click>view"]["path_len"] == 2
+        assert out["purchase"]["n_sessions"] == 1
+
+    def test_nearest_centroid_separable_labels(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.vectors import (
+            KM_DIM,
+            nearest_centroid_accuracy,
+        )
+
+        rows = []
+        for i in range(10):
+            v = [0.0] * KM_DIM
+            v[0] = 0.9 + 0.001 * i
+            rows.append((i, v, 0))
+        for i in range(10, 20):
+            v = [0.0] * KM_DIM
+            v[0] = -0.9 - 0.001 * i
+            rows.append((i, v, 1))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/ncc/embeddings.parquet")
+        out = nearest_centroid_accuracy(spark, str(tmp_path / "ncc")).collect()
+        cells = {(r["label"], r["predicted"]): r for r in out}
+        assert set(cells) == {(0, 0), (1, 1)}  # perfect diagonal
+        for r in cells.values():
+            assert r["n_vectors"] == 10
+            assert r["cell_correct_ppm"] == 1_000_000
+
+    def test_ann_recall_consistent_with_subqueries(self, spark, sf_dir):
+        from fintech_lakehouse_spark.plans.vectors import (
+            ann_recall_eval,
+            ivf_approx_neighbors,
+            knn_bruteforce_cosine,
+        )
+
+        exact = {}
+        for r in knn_bruteforce_cosine(spark, sf_dir).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx = {}
+        for r in ivf_approx_neighbors(spark, sf_dir).collect():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        out = ann_recall_eval(spark, sf_dir).collect()
+        assert len(out) == len(exact) == 10
+        for r in out:
+            hits = len(exact[r["query_id"]] & approx.get(r["query_id"], set()))
+            assert r["n_exact"] == 5
+            assert r["n_hit"] == hits
+            assert r["recall_ppm"] == hits * 1_000_000 // 5

@@ -356,32 +356,41 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     threshold to 0 to pin plan shape + result parity. The session conf
     (runtime.bloomFilter.enabled) is Spark's, not ours: the assertion
     protects against a future session.py change silently disabling
-    it."""
-    from fintech_lakehouse_spark.session import get_spark
+    it.
 
-    bspark = get_spark(
-        "bloom-pattern",
-        master="local[4]",
-        extra_conf={
-            "spark.sql.shuffle.partitions": "4",
-            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-            "spark.sql.optimizer.runtime.bloomFilter"
-            ".applicationSideScanSizeThreshold": "0",
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        },
-    )
-    lineitem = load_table(bspark, sf_dir, "lineitem")
-    orders = load_table(bspark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    j = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderpriority")
-        .count()
-    )
-    plan = j._jdf.queryExecution().optimizedPlan().toString()
-    assert "might_contain" in plan and "bloom_filter_agg" in plan
+    The overrides go through conf.set with a try/finally restore —
+    get_spark(extra_conf=...) would getOrCreate() the SHARED session
+    and leave autoBroadcastJoinThreshold=-1 behind for every later
+    test (the order-dependent plan-contract failure this replaced)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        bloom_rows = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     # result parity with the plain (broadcast-allowed) join
     plain = (
         load_table(spark, sf_dir, "lineitem")
@@ -394,7 +403,7 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         .groupBy("o_orderpriority")
         .count()
     )
-    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    assert bloom_rows == sorted(map(tuple, plain.collect()))
 
 
 def test_dedup_clusters_long_chain_pointer_doubling(spark):
@@ -1086,3 +1095,42 @@ def test_r7s2_plan_shapes(spark, sf_dir):
     plan = _plan(QUERIES["brand_pair_association"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r7s3_plan_shapes(spark, sf_dir):
+    """Plan contracts for the round-7 session-3 family: each pins the
+    scale property its docstring promises. (Formatted explain prints
+    each node twice: tree line + detail block.)"""
+    # cohort LTV: ONE fact-scale exchange (the customer window); the
+    # cumulative windows run post-aggregate on the months² frame
+    plan = _plan(QUERIES["cohort_ltv_curve"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(o_custkey") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # velocity screen: one user_id exchange carries lag + aggregate;
+    # top-k is TakeOrderedAndProject, never a global sort
+    plan = _plan(QUERIES["rapid_repeat_purchases"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
+    # session paths: sessionization AND path construction share the
+    # single user_id exchange
+    plan = _plan(QUERIES["top_session_paths"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
+    # Heaps curve: one vocab exchange on the gram; the checkpoint
+    # spine enters via broadcast, never a cartesian blowup
+    plan = _plan(QUERIES["vocab_growth_curve"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(token") == 1
+    assert "CartesianProduct" not in plan
+    # ANN recall: the two k×|queries| result frames compare via a
+    # broadcast join — no sort-merge shuffle, no cartesian anywhere
+    plan = _plan(QUERIES["ann_recall_eval"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # drawdown: single orders scan node; top-k distributed
+    plan = _plan(QUERIES["revenue_peak_drawdown"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "TakeOrderedAndProject" in plan
+    # autocorrelation: days-frame self-join broadcasts; no cartesian
+    plan = _plan(QUERIES["daily_order_autocorrelation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
