@@ -947,3 +947,104 @@ def curriculum_stage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 2
+
+
+def _peel_sql(src: str, out: str, k: int) -> str:
+    """One k-core peel round as a CTE: keep only edges whose BOTH
+    endpoints currently have degree >= k."""
+    return f"""
+    {out} AS (
+        SELECT e.src, e.dst FROM {src} e
+        JOIN (SELECT src FROM {src} GROUP BY src
+              HAVING COUNT(*) >= {k}) ka ON e.src = ka.src
+        JOIN (SELECT src FROM {src} GROUP BY src
+              HAVING COUNT(*) >= {k}) kb ON e.dst = kb.src
+    )"""
+
+
+@register(
+    "dup_graph_kcore",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_WINNOW_PAIRS_SQL})
+    ),
+    e0 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),{_peel_sql('e0', 'e1', KCORE_K)},{_peel_sql('e1', 'e2', KCORE_K)},
+    core AS (
+        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM e2 GROUP BY src
+    ),
+    conv AS (
+        SELECT COUNT(*) FILTER (core_degree < {KCORE_K}) = 0 AS converged
+        FROM core
+    )
+    SELECT c.doc_id, c.core_degree, v.converged
+    FROM core c CROSS JOIN conv v
+    ORDER BY c.doc_id
+    """,
+)
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core decomposition of the near-duplicate graph — the
+    third member of the graph-analytics family (degree/PageRank rank
+    INDIVIDUAL docs; triangles score LOCAL density; the k-core is the
+    maximal subgraph where EVERY member keeps >= {KCORE_K} near-dup
+    neighbors after all weakly-connected docs are peeled away — the
+    standard definition of the dense template/boilerplate COMMUNITY a
+    curation pipeline removes as a block rather than pair-by-pair).
+    Iterative peeling: drop vertices with degree < {KCORE_K},
+    recompute degrees, repeat. {KCORE_ROUNDS} fixed rounds with a
+    hash-checked CONVERGENCE flag — on this corpus peeling stabilizes
+    in one round at every SF (measured), the second round is the
+    proof, and the pinned-TRUE `converged` column turns "did the fixed
+    unroll reach the true k-core" into a driver-checked VALUE (the
+    bloom n_missed=0 pattern): data that ever needs more rounds flips
+    the flag and the row goes red instead of silently reporting a
+    non-core.
+
+    Scale shape: each round is two semi-join-shaped reductions of the
+    edge list against its own degree aggregate — map-side-combinable
+    groupBy + joins on the vertex key, the dedup_clusters iteration
+    contract. The pair subtree is referenced 3^rounds times statically
+    but all consumers reach the identical winnowing aggregate
+    exchange, so runtime ReusedExchange executes it once (the
+    dup_graph_triangles regression-tested property, fact 34). At
+    100 TB, checkpoint the peeled edge list per round instead of
+    unrolling (the dedup_clusters localCheckpoint pattern) — at this
+    graph's size (pairs survive the hot-fingerprint bound) the unroll
+    is strictly cheaper."""
+    pairs = winnowing_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= KCORE_K)
+            .select("src")
+        )
+        edges = edges.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+    core = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    conv = core.agg(
+        (
+            F.sum((F.col("core_degree") < KCORE_K).cast("int")) == 0
+        ).alias("converged")
+    )
+    return (
+        core.select(F.col("src").alias("doc_id"), "core_degree")
+        .crossJoin(F.broadcast(conv))
+        .orderBy("doc_id")
+    )

@@ -781,3 +781,100 @@ def order_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("diff_bp", 0.90).alias("p90_diff_bp"),
         F.max("diff_bp").cast("long").alias("max_diff_bp"),
     )
+
+
+L_DIV_LEVELS = [2, 3, 5]
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nation,
+               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                + 100000) // {K_ANON_BAL_BUCKET} AS bal_bucket,
+               c_mktsegment AS sensitive
+        FROM customer
+    ),
+    groups AS (
+        SELECT nation, bal_bucket,
+               COUNT(*) AS gsize,
+               COUNT(DISTINCT sensitive) AS div
+        FROM qi GROUP BY 1, 2
+    ),
+    total AS (SELECT SUM(gsize) AS t, COUNT(*) AS g FROM groups)
+    SELECT CAST(l.l AS BIGINT) AS l,
+           CAST(SUM(CASE WHEN g.div < l.l THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_div_groups,
+           CAST(SUM(CASE WHEN g.div < l.l THEN g.gsize ELSE 0 END)
+                AS BIGINT) AS n_exposed_customers,
+           CAST(SUM(CASE WHEN g.div < l.l THEN g.gsize ELSE 0 END)
+                * 1000000 // ANY_VALUE(t.t) AS BIGINT) AS exposed_ppm,
+           CAST(ANY_VALUE(t.g) AS BIGINT) AS n_groups_total
+    FROM groups g
+    CROSS JOIN (VALUES {", ".join(f"({v})" for v in L_DIV_LEVELS)}) AS l(l)
+    CROSS JOIN total t
+    GROUP BY l.l
+    ORDER BY l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    ATTRIBUTE-disclosure companion of k_anonymity_audit (k-anonymity
+    protects against re-identification, but a QI group whose members
+    all share one sensitive value still leaks that value to anyone who
+    can place a person in the group — the homogeneity attack): per
+    QI group (nation, $500 balance bucket), the number of DISTINCT
+    market-segment values; for l ∈ {{{", ".join(map(str, L_DIV_LEVELS))}}},
+    how many groups fall below l distinct values, how many customers
+    sit in those groups, and that exposure as exact floor-divided
+    integer ppm. The sensitive attribute (segment) is deliberately
+    EXCLUDED from the QI tuple — k_anonymity_audit includes it, so the
+    two audits cover both release designs.
+
+    Scale shape: identical to the k-anonymity contract — one scan,
+    map-side-combined groupBy on the QI tuple with a distinct-count
+    (bounded by QI-domain × sensitive-domain cardinality, never row
+    count), conditional sums over the bounded group table against a
+    literal threshold spine, 3-row result."""
+    customer = load_table(spark, sf_dir, "customer")
+    qi = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            f" + 100000) DIV {K_ANON_BAL_BUCKET}"
+        ).alias("bal_bucket"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    groups = qi.groupBy("nation", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("gsize"),
+        F.countDistinct("sensitive").alias("div"),
+    )
+    total = groups.agg(
+        F.sum("gsize").alias("t"), F.count(F.lit(1)).alias("g")
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in L_DIV_LEVELS])).alias("l")
+    )
+    exposed = F.when(F.col("div") < F.col("l"), F.col("gsize")).otherwise(
+        F.lit(0)
+    )
+    return (
+        groups.crossJoin(F.broadcast(ls))
+        .crossJoin(F.broadcast(total))
+        .groupBy("l")
+        .agg(
+            F.sum((F.col("div") < F.col("l")).cast("long"))
+            .cast("long")
+            .alias("n_low_div_groups"),
+            F.sum(exposed).cast("long").alias("n_exposed_customers"),
+            F.expr(
+                "SUM(CASE WHEN div < l THEN gsize ELSE 0 END)"
+                " * 1000000 DIV ANY_VALUE(t)"
+            )
+            .cast("long")
+            .alias("exposed_ppm"),
+            F.any_value(F.col("g")).cast("long").alias("n_groups_total"),
+        )
+        .orderBy("l")
+    )

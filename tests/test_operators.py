@@ -540,3 +540,72 @@ class TestR7S3Semantics:
             assert r["n_exact"] == 5
             assert r["n_hit"] == hits
             assert r["recall_ppm"] == hits * 1_000_000 // 5
+
+
+class TestR7S3PrivacyGraph:
+    def test_l_diversity_homogeneous_groups_flagged(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.quality import l_diversity_audit
+
+        # nation 1 / one bucket: 4 customers ALL in segment A (div 1);
+        # nation 2: 3 customers across 2 segments (div 2);
+        # nation 3: 5 customers across 5 segments (div 5)
+        rows = []
+        cid = 0
+        for _ in range(4):
+            rows.append((cid, f"c{cid}", 1, 100.0, "AUTOMOBILE")); cid += 1
+        for seg in ["AUTOMOBILE", "BUILDING", "BUILDING"]:
+            rows.append((cid, f"c{cid}", 2, 100.0, seg)); cid += 1
+        for seg in ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                    "MACHINERY"]:
+            rows.append((cid, f"c{cid}", 3, 100.0, seg)); cid += 1
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/ldiv/customer.parquet")
+        out = {
+            r["l"]: r
+            for r in l_diversity_audit(spark, str(tmp_path / "ldiv")).collect()
+        }
+        # l=2: only the homogeneous nation-1 group is below
+        assert out[2]["n_low_div_groups"] == 1
+        assert out[2]["n_exposed_customers"] == 4
+        assert out[2]["exposed_ppm"] == 4 * 1_000_000 // 12
+        # l=3: nation-1 (div 1) and nation-2 (div 2) are below
+        assert out[3]["n_low_div_groups"] == 2
+        assert out[3]["n_exposed_customers"] == 7
+        # l=5: nation-3 (div 5) still satisfies 5-diversity
+        assert out[5]["n_low_div_groups"] == 2
+        assert out[5]["n_groups_total"] == 3
+
+    def test_kcore_matches_python_peeling(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from fintech_lakehouse_spark.plans.curation import (
+            KCORE_K,
+            dup_graph_kcore,
+        )
+        from fintech_lakehouse_spark.plans.curation import (
+            winnowing_candidate_pairs,
+        )
+
+        adj = defaultdict(set)
+        for r in winnowing_candidate_pairs(spark, sf_dir).collect():
+            adj[r["doc_a"]].add(r["doc_b"])
+            adj[r["doc_b"]].add(r["doc_a"])
+        nodes = set(adj)
+        while True:
+            drop = {
+                n for n in nodes
+                if sum(1 for m in adj[n] if m in nodes) < KCORE_K
+            }
+            if not drop:
+                break
+            nodes -= drop
+        expected = {
+            n: sum(1 for m in adj[n] if m in nodes) for n in nodes
+        }
+        out = dup_graph_kcore(spark, sf_dir).collect()
+        got = {r["doc_id"]: r["core_degree"] for r in out}
+        assert got == expected and len(expected) > 0
+        assert all(r["converged"] for r in out)
