@@ -725,9 +725,20 @@ def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not apply to lag). The per-user aggregate rides the same
     partitioning (no second exchange), and top-k plans as
     TakeOrderedAndProject."""
+    events = load_table(spark, sf_dir, "events")
+    return purchase_gap_profile(events).orderBy("min_gap_ms", "user_id").limit(
+        RAPID_TOP
+    )
+
+
+def purchase_gap_profile(events: DataFrame) -> DataFrame:
+    """The un-limited per-user gap aggregate behind
+    rapid_repeat_purchases — shared with the streaming monitor
+    (streaming/events.py::purchase_gap_monitor) so batch and stream
+    can never disagree on the gap arithmetic. Emits one row per user
+    with >= 2 purchases."""
     from pyspark.sql.window import Window
 
-    events = load_table(spark, sf_dir, "events")
     p = events.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "event_id",
@@ -750,6 +761,4 @@ def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_n_gaps") > 0)
         .drop("_n_gaps")
-        .orderBy("min_gap_ms", "user_id")
-        .limit(RAPID_TOP)
     )

@@ -1316,3 +1316,95 @@ def foreach_batch_drift(view_path: str):
         )
 
     return _apply
+
+
+GAP_SCHEMA = (
+    "user_id long, n_purchases long, min_gap_ms long,"
+    " n_rapid_2h long, review_flag boolean"
+)
+_GAP_STATE_SCHEMA = "last_us long, min_gap_us long, n long, n_rapid long"
+
+
+def purchase_gap_monitor(events: DataFrame) -> DataFrame:
+    """Streaming twin of the rapid_repeat_purchases velocity screen
+    (plans/events.py): per-user repeat-payment state — last purchase
+    epoch, lifetime MIN inter-purchase gap, purchase count, rapid-gap
+    count — persisted in the state store across micro-batches, so the
+    double-charge / card-testing signal fires as the purchases ARRIVE
+    instead of in the nightly batch. Thresholds are imported from the
+    batch plan, so stream and batch can never disagree on what counts
+    as rapid.
+
+    Emits one row per active user per micro-batch with the lifetime
+    profile; the last row per user equals the batch
+    purchase_gap_profile recomputation for in-order feeds
+    (streaming≡batch test). Events sort by event time WITHIN each
+    invocation; an event older than the stored last-purchase epoch
+    (cross-batch disorder) is counted but contributes no boundary gap
+    — a watermark-buffered variant would reorder instead, at the cost
+    of emission latency.
+
+    Scale shape: state is 4 integers per user with at least one
+    purchase; each micro-batch shuffles only its own purchases on
+    user_id (the applyInPandasWithState contract shared with
+    user_value_ema)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fintech_lakehouse_spark.plans.events import (
+        RAPID_FLAG_US,
+        RAPID_GAP_US,
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches)
+        rows = rows[rows["event_type"] == "purchase"]
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us_list = (
+            rows["ts"].astype("datetime64[us]").astype("int64").to_list()
+        )
+        if state.exists:
+            last_us, min_gap_us, n, n_rapid = state.get
+        else:
+            last_us, min_gap_us, n, n_rapid = None, None, 0, 0
+        for us in us_list:
+            if last_us is not None and us >= last_us:
+                gap = us - last_us
+                if min_gap_us is None or gap < min_gap_us:
+                    min_gap_us = gap
+                if gap <= RAPID_GAP_US:
+                    n_rapid += 1
+            # us < last_us: cross-batch disorder — count the purchase,
+            # skip the boundary gap (see docstring)
+            if last_us is None or us > last_us:
+                last_us = us
+            n += 1
+        state.update((last_us, min_gap_us, n, n_rapid))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_purchases": [n],
+                "min_gap_ms": [
+                    None if min_gap_us is None else min_gap_us // 1000
+                ],
+                "n_rapid_2h": [n_rapid],
+                "review_flag": [
+                    min_gap_us is not None and min_gap_us <= RAPID_FLAG_US
+                ],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=GAP_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

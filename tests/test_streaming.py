@@ -1246,3 +1246,70 @@ def test_drift_monitor_stream_equals_batch_registry_query(spark, sf_dir):
         v0 = rows(read_materialized_view(spark, root, version=0))
         b0_counts = sum(r[1] + r[2] for r in v0 if r[0] >= 0)
         assert b0_counts == batches[0].count()
+
+
+def test_purchase_gap_monitor_equals_batch(spark, tmp_path):
+    """Streaming repeat-payment state must equal the batch
+    purchase_gap_profile after the stream drains — fed in event-time
+    order across 3 micro-batches so the cross-batch boundary gaps are
+    exercised (a user's consecutive purchases land in DIFFERENT
+    files)."""
+    from fintech_lakehouse_spark.plans.events import purchase_gap_profile
+    from fintech_lakehouse_spark.streaming import (
+        purchase_gap_monitor,
+        read_events_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # ts-ordered thirds: sequential files simulate an ordered feed
+    ordered = events.orderBy("ts", "event_id").collect()
+    landing = tmp_path / "gap_landing"
+    third = (len(ordered) + 2) // 3
+    schema = events.schema
+    for i in range(3):
+        chunk = ordered[i * third : (i + 1) * third]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"f{i}" / "part"))
+    # flatten: the file source wants one dir of files
+    import shutil
+
+    dest = tmp_path / "gap_feed"
+    dest.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i in range(3):
+        src = next((landing / f"f{i}" / "part").glob("part-*.parquet"))
+        tgt = dest / f"{i:02d}.parquet"
+        shutil.copy(src, tgt)
+        # the file source picks batches by (modification time, path):
+        # pin strictly ascending mtimes so batch order == event order
+        os.utime(tgt, (now + 10 * i, now + 10 * i))
+    stream = read_events_stream(spark, str(dest), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, purchase_gap_monitor(stream), "gap_monitor", mode="append"
+    )
+    final = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy(F.col("n_purchases").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .filter("n_purchases >= 2")
+        .select(
+            "user_id", "n_purchases", "min_gap_ms", "n_rapid_2h",
+            "review_flag",
+        )
+    )
+    batch = purchase_gap_profile(events)
+    cols = ["user_id", "n_purchases", "min_gap_ms", "n_rapid_2h",
+            "review_flag"]
+    assert _norm(final, cols) == _norm(batch, cols)
+    # state really accumulated across batches: users emitted >1 row
+    assert got.count() > final.count()
