@@ -8,7 +8,7 @@ from fintech_lakehouse_spark.operators.metadata import (
     add_processing_metadata,
 )
 from fintech_lakehouse_spark.operators.standardize import standardize_string_columns
-from fintech_lakehouse_spark.operators.joins import asof_join
+from fintech_lakehouse_spark.operators.joins import asof_join, nearest_join
 
 __all__ = [
     "add_dense_surrogate_key",
@@ -16,6 +16,7 @@ __all__ = [
     "add_processing_metadata",
     "add_surrogate_key",
     "asof_join",
+    "nearest_join",
     "deduplicate_by_key",
     "standardize_string_columns",
 ]

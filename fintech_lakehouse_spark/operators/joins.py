@@ -146,3 +146,101 @@ def point_in_time_join(
         fact.join(dim, (fact[key] == dim._pit_key) & cond, "left")
         .drop("_pit_key", "_pit_from", "_pit_to")
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_columns: list[str] | None = None,
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """Left NEAREST-event join: for each left row, the right row
+    matching ``on`` whose time is CLOSEST in either direction — the
+    bidirectional completion of :func:`asof_join` (kdb's ``aj`` looks
+    only backward; TimescaleDB/feature-store "nearest observation"
+    lookups need both). Equal distances prefer the EARLIER right row
+    (the backward candidate), so the result is total.
+
+    Both directions come from ONE union-stream window pass (the
+    asof_join machinery run forward and backward over the same
+    shuffle): backward = last non-null payload up to the left row,
+    forward = first non-null payload after it. A right row at exactly
+    the left time is visible to the backward frame (delta 0, which
+    wins every tie), so forward-frame exclusivity at equal times is
+    immaterial.
+
+    ``left_time`` / ``right_time`` must be NUMERIC (epoch micros, not
+    raw timestamps): nearest-ness needs subtraction, and converting
+    timestamps upstream keeps the tie arithmetic engine-exact.
+    NULL-key and NULL-time right rows are dropped (the asof_join
+    contract); right rows tied on (key, time) reduce with max() first.
+    Output: every left row + ``value_columns`` and the matched right
+    time, all suffixed; unmatched left rows keep NULLs.
+
+    Scale shape: one shuffle on the key columns carries both window
+    directions; state per key is one payload struct each way."""
+    if value_columns is None:
+        value_columns = [
+            c for c in right.columns if c not in set(on) and c != right_time
+        ]
+    key_ok = None
+    for k in on:
+        c = F.col(k).isNotNull()
+        key_ok = c if key_ok is None else key_ok & c
+    right_clean = right.filter(key_ok & F.col(right_time).isNotNull())
+    right_dedup = right_clean.groupBy(*on, F.col(right_time).alias("_t")).agg(
+        *[F.max(c).alias(c) for c in value_columns]
+    )
+    payload = F.struct(
+        F.col("_t").alias("_rt"), *[F.col(c) for c in value_columns]
+    )
+    payload_type = right_dedup.select(payload.alias("_p")).schema["_p"].dataType
+    right_stream = right_dedup.select(
+        *on,
+        F.col("_t"),
+        F.lit(0).alias("_stream"),
+        payload.alias("_r_vals"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    left_stream = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_stream"),
+        F.lit(None).cast(payload_type).alias("_r_vals"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    order = Window.partitionBy(*on).orderBy("_t", "_stream")
+    bw = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fw = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned = right_stream.unionByName(left_stream)
+    filled = unioned.select(
+        "*",
+        F.last("_r_vals", ignorenulls=True).over(bw).alias("_prev"),
+        F.first("_r_vals", ignorenulls=True).over(fw).alias("_next"),
+    )
+    pick_prev = F.col("_next").isNull() | (
+        F.col("_prev").isNotNull()
+        & (
+            (F.col("_t") - F.col("_prev._rt"))
+            <= (F.col("_next._rt") - F.col("_t"))
+        )
+    )
+    chosen = F.when(pick_prev, F.col("_prev")).otherwise(F.col("_next"))
+    return (
+        filled.filter(F.col("_stream") == 1)
+        .withColumn("_chosen", chosen)
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+            F.col("_chosen._rt").alias(f"{right_time}{suffix}"),
+            *[
+                F.col("_chosen").getField(c).alias(f"{c}{suffix}")
+                for c in value_columns
+            ],
+        )
+    )

@@ -1518,3 +1518,121 @@ def revenue_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drawdown_cents"), "d")
         .limit(DRAWDOWN_TOP)
     )
+
+
+PARETO_THRESHOLDS = [50, 80, 90, 99]
+
+
+@register(
+    "revenue_pareto_coverage",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               ROW_NUMBER() OVER w AS rnk,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+               CAST(SUM(cents) OVER () AS BIGINT)  AS total_cents,
+               COUNT(*) OVER ()                    AS n_total
+        FROM per_cust
+        WINDOW w AS (ORDER BY cents DESC, o_custkey)
+    ),
+    hits AS (
+        SELECT t.thr,
+               MIN(r.rnk)                 AS n_customers,
+               MIN_BY(r.cum_cents, r.rnk) AS cum_at,
+               ANY_VALUE(r.total_cents)   AS total_cents,
+               ANY_VALUE(r.n_total)       AS n_total
+        FROM ranked r
+        CROSS JOIN (VALUES {", ".join(f"({t})" for t in PARETO_THRESHOLDS)})
+             AS t(thr)
+        WHERE r.cum_cents * 100 >= CAST(t.thr AS BIGINT) * r.total_cents
+        GROUP BY t.thr
+    )
+    SELECT CAST(thr AS BIGINT)          AS threshold_pct,
+           CAST(n_customers AS BIGINT)  AS n_customers,
+           CAST(n_customers * 1000000 // n_total AS BIGINT)
+                                        AS customer_share_ppm,
+           CAST(cum_at * 1000000 // total_cents AS BIGINT)
+                                        AS revenue_share_ppm
+    FROM hits ORDER BY threshold_pct
+    """,
+)
+def revenue_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage of revenue — "how many customers cover X% of
+    the book" for X ∈ {{{", ".join(map(str, PARETO_THRESHOLDS))}}} (the
+    80/20 readout account teams act on; the cumulative-share companion
+    of revenue_concentration, which reports the Gini and FIXED top-1%/
+    10% slices — this inverts the question to the minimal covering
+    set). Per threshold: the smallest prefix of customers (ranked by
+    exact-cents spend, custkey tie-break) whose cumulative revenue
+    reaches the threshold, that prefix as floor-divided ppm of all
+    customers, and the exact share it actually covers.
+
+    Determinism: cents are exact integers; the covering rank is an
+    integer cross-multiplied comparison (cum·100 >= thr·total — no
+    percentage float); shares are floor-div ppm; MIN_BY/min_by on the
+    unique rank key is tie-free on both engines.
+
+    Scale shape: the fact scan folds to one row per customer
+    (map-side combinable); the ranking window runs over the
+    per-customer frame — the revenue_concentration contract: fine to
+    |customers|, and the docstring there names the GK-quantile
+    decomposition as the extreme-cardinality path. The threshold
+    probe is a 4-row literal cross join over the ranked frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((money("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    everything = Window.partitionBy(F.lit(1))
+    ranked = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_cents"),
+        F.sum("cents").over(everything).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).over(everything).alias("n_total"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in PARETO_THRESHOLDS])
+        ).alias("thr")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .filter(
+            F.col("cum_cents") * 100
+            >= F.col("thr").cast("long") * F.col("total_cents")
+        )
+        .groupBy("thr")
+        .agg(
+            # row_number() is INT — widen before the ppm multiply or
+            # ANSI mode overflows at >2147 customers
+            F.min("rnk").cast("long").alias("n_customers"),
+            F.min_by("cum_cents", "rnk").alias("cum_at"),
+            F.any_value("total_cents").alias("total_cents"),
+            F.any_value("n_total").alias("n_total"),
+        )
+        .select(
+            F.col("thr").cast("long").alias("threshold_pct"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.expr("n_customers * 1000000 DIV n_total")
+            .cast("long")
+            .alias("customer_share_ppm"),
+            F.expr("cum_at * 1000000 DIV total_cents")
+            .cast("long")
+            .alias("revenue_share_ppm"),
+        )
+        .orderBy("threshold_pct")
+    )

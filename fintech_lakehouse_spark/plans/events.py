@@ -762,3 +762,106 @@ def purchase_gap_profile(events: DataFrame) -> DataFrame:
         .filter(F.col("_n_gaps") > 0)
         .drop("_n_gaps")
     )
+
+
+@register(
+    "purchase_nearest_click",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, epoch_us(ts) AS us, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+        SELECT user_id, us, 0 AS stream, click_id,
+               CAST(NULL AS BIGINT) AS purchase_event_id
+        FROM c
+        UNION ALL
+        SELECT user_id, us, 1, NULL, purchase_event_id FROM p
+    ),
+    w AS (
+        SELECT *,
+               last_value(CASE WHEN stream = 0 THEN click_id END
+                          IGNORE NULLS) OVER bw AS prev_id,
+               last_value(CASE WHEN stream = 0 THEN us END
+                          IGNORE NULLS) OVER bw AS prev_us,
+               first_value(CASE WHEN stream = 0 THEN click_id END
+                           IGNORE NULLS) OVER fw AS next_id,
+               first_value(CASE WHEN stream = 0 THEN us END
+                           IGNORE NULLS) OVER fw AS next_us
+        FROM u
+        WINDOW bw AS (PARTITION BY user_id ORDER BY us, stream
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fw AS (PARTITION BY user_id ORDER BY us, stream
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    picked AS (
+        SELECT user_id, purchase_event_id,
+               CASE WHEN next_id IS NULL OR (prev_id IS NOT NULL
+                         AND (us - prev_us) <= (next_us - us))
+                    THEN prev_id ELSE next_id END AS click_event_id,
+               CASE WHEN next_id IS NULL OR (prev_id IS NOT NULL
+                         AND (us - prev_us) <= (next_us - us))
+                    THEN prev_us - us ELSE next_us - us END AS delta_us
+        FROM w WHERE stream = 1
+    )
+    SELECT user_id, purchase_event_id,
+           CAST(click_event_id AS BIGINT) AS click_event_id,
+           CAST(delta_us AS BIGINT)       AS delta_us
+    FROM picked
+    """,
+)
+def purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: for every purchase, the SAME user's click
+    closest in time in EITHER direction, with the signed gap in exact
+    microseconds (negative = the click came first). The bidirectional
+    completion of the as-of family — purchase_asof_click answers
+    "which click preceded this purchase" (attribution);
+    nearest answers "which click is this purchase's closest neighbor"
+    (the feature-store / kdb nearest-observation lookup, and the
+    matching step of uplift analyses where the influencing event may
+    land just AFTER the conversion clock tick). Equal distances
+    prefer the earlier click; unmatched purchases survive with NULLs
+    (left-join semantics).
+
+    Determinism: the operator requires NUMERIC time — both engines
+    compare exact epoch-microsecond differences, and only
+    DIFFERENCES are emitted, so the session-offset of the NTZ→epoch
+    mapping cancels (the rapid_repeat_purchases contract); clicks
+    tied on (user, ts) reduce with max(event_id) first.
+
+    Scale shape: operators/joins.py::nearest_join — ONE shuffle on
+    user_id carries the union stream and both window directions
+    (backward last + forward first over the same sort); no
+    self-join, no range explosion. 100 TB cost = one
+    sort-within-partitions of events."""
+    from fintech_lakehouse_spark.operators import nearest_join
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us"), "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        us.alias("us"),
+    )
+    joined = nearest_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="us",
+        right_time="us",
+        value_columns=["event_id"],
+        suffix="_click",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_event_id",
+        F.col("event_id_click").cast("long").alias("click_event_id"),
+        (F.col("us_click") - F.col("us")).cast("long").alias("delta_us"),
+    )

@@ -658,17 +658,24 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + 100000) DIV {K_ANON_BAL_BUCKET}"
         ).alias("bal_bucket"),
     )
-    groups = qi.groupBy("nation", "segment", "bal_bucket").agg(
-        F.count(F.lit(1)).alias("gsize")
+    from pyspark.sql.window import Window
+
+    # grand totals via a window over the bounded group table — the
+    # separate total-aggregate + crossJoin re-derived the whole scan
+    # subtree (fact-20 class; rewritten r7s3 with l_diversity_audit)
+    everything = Window.partitionBy(F.lit(1))
+    groups = (
+        qi.groupBy("nation", "segment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("gsize"))
+        .withColumn("t", F.sum("gsize").over(everything))
+        .withColumn("g", F.count(F.lit(1)).over(everything))
     )
-    total = groups.agg(
-        F.sum("gsize").alias("t"), F.count(F.lit(1)).alias("g")
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in K_ANON_LEVELS])).alias("k")
     )
-    ks = spark.createDataFrame([(k,) for k in K_ANON_LEVELS], "k long")
     risky = F.when(F.col("gsize") < F.col("k"), F.col("gsize")).otherwise(F.lit(0))
     return (
         groups.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(total))
         .groupBy("k")
         .agg(
             F.sum((F.col("gsize") < F.col("k")).cast("long"))
@@ -846,12 +853,20 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal_bucket"),
         F.col("c_mktsegment").alias("sensitive"),
     )
-    groups = qi.groupBy("nation", "bal_bucket").agg(
-        F.count(F.lit(1)).alias("gsize"),
-        F.countDistinct("sensitive").alias("div"),
-    )
-    total = groups.agg(
-        F.sum("gsize").alias("t"), F.count(F.lit(1)).alias("g")
+    from pyspark.sql.window import Window
+
+    # grand totals via a window over the ALREADY-BOUNDED group table —
+    # a second groups.agg() would re-derive the whole scan subtree
+    # (fact-20 class; the benford window-total precedent)
+    everything = Window.partitionBy(F.lit(1))
+    groups = (
+        qi.groupBy("nation", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("gsize"),
+            F.countDistinct("sensitive").alias("div"),
+        )
+        .withColumn("t", F.sum("gsize").over(everything))
+        .withColumn("g", F.count(F.lit(1)).over(everything))
     )
     ls = spark.range(1).select(
         F.explode(F.array(*[F.lit(v) for v in L_DIV_LEVELS])).alias("l")
@@ -861,7 +876,6 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         groups.crossJoin(F.broadcast(ls))
-        .crossJoin(F.broadcast(total))
         .groupBy("l")
         .agg(
             F.sum((F.col("div") < F.col("l")).cast("long"))

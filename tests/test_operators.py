@@ -609,3 +609,79 @@ class TestR7S3PrivacyGraph:
         got = {r["doc_id"]: r["core_degree"] for r in out}
         assert got == expected and len(expected) > 0
         assert all(r["converged"] for r in out)
+
+
+class TestNearestJoin:
+    def _run(self, spark, left_rows, right_rows):
+        from fintech_lakehouse_spark.operators import nearest_join
+
+        left = spark.createDataFrame(left_rows, "k string, t long, lid long")
+        right = spark.createDataFrame(right_rows, "k string, t long, rid long")
+        return {
+            (r["k"], r["lid"]): (r["rid_nearest"], r["t_nearest"])
+            for r in nearest_join(
+                left, right, on=["k"], left_time="t", right_time="t"
+            ).collect()
+        }
+
+    def test_picks_closer_side_and_ties_prefer_earlier(self, spark):
+        got = self._run(
+            spark,
+            [("a", 100, 1), ("b", 100, 2), ("c", 100, 3)],
+            [
+                ("a", 90, 10), ("a", 105, 11),   # forward closer
+                ("b", 95, 20), ("b", 105, 21),   # tie -> earlier wins
+                ("c", 100, 30), ("c", 101, 31),  # exact match: delta 0
+            ],
+        )
+        assert got[("a", 1)] == (11, 105)
+        assert got[("b", 2)] == (20, 95)
+        assert got[("c", 3)] == (30, 100)
+
+    def test_null_axes_and_unmatched(self, spark):
+        got = self._run(
+            spark,
+            [("a", 100, 1), ("z", 100, 2), (None, 100, 3)],
+            [
+                ("a", 50, 10),
+                (None, 100, 99),   # null-key right: never matches
+            ],
+        )
+        assert got[("a", 1)] == (10, 50)       # only backward exists
+        assert got[("z", 2)] == (None, None)   # no rights for key
+        assert got[(None, 3)] == (None, None)  # null-key left flows through
+
+    def test_equal_time_rights_dedup_max(self, spark):
+        got = self._run(
+            spark,
+            [("a", 100, 1)],
+            [("a", 99, 10), ("a", 99, 12)],  # tied rights reduce via max
+        )
+        assert got[("a", 1)] == (12, 99)
+
+
+def test_pareto_coverage_hand_distribution(spark, tmp_path):
+    from fintech_lakehouse_spark.plans.analytics import (
+        revenue_pareto_coverage,
+    )
+
+    rows = [
+        (0, "1996-06-01", 70.0),
+        (1, "1996-06-01", 20.0),
+        (2, "1996-06-01", 9.0),
+        (3, "1996-06-01", 1.0),
+    ]
+    TestR7S2AnalyticsSemantics._write_orders(
+        spark, tmp_path / "pareto", rows, custkey_from_id=True
+    )
+    out = {
+        r["threshold_pct"]: r
+        for r in revenue_pareto_coverage(spark, str(tmp_path / "pareto")).collect()
+    }
+    assert out[50]["n_customers"] == 1
+    assert out[50]["revenue_share_ppm"] == 700_000
+    assert out[50]["customer_share_ppm"] == 250_000
+    assert out[80]["n_customers"] == 2
+    assert out[80]["revenue_share_ppm"] == 900_000
+    assert out[90]["n_customers"] == 2  # 90 exactly covered by top 2
+    assert out[99]["n_customers"] == 3  # 99 needs the third customer

@@ -1134,3 +1134,23 @@ def test_r7s3_plan_shapes(spark, sf_dir):
     plan = _plan(QUERIES["daily_order_autocorrelation"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r7s3_plan_shapes_2(spark, sf_dir):
+    """Plan contracts for the later session-3 additions."""
+    # pareto: fact folds to per-customer map-side; threshold spine
+    # broadcasts; no cartesian
+    plan = _plan(QUERIES["revenue_pareto_coverage"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(o_custkey") == 1
+    assert "CartesianProduct" not in plan
+    # nearest join: the union-stream window rides ONE user_id exchange
+    # (the second hashpartitioning(user_id…) hit is the right-side
+    # (user_id, _t) tie-dedup aggregate); both directions share the
+    # window sort — no self-join, no range explosion
+    plan = _plan(QUERIES["purchase_nearest_click"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(user_id") <= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # l-diversity: one scan, bounded group table, broadcast spine
+    plan = _plan(QUERIES["l_diversity_audit"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
