@@ -865,3 +865,110 @@ def purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_click").cast("long").alias("click_event_id"),
         (F.col("us_click") - F.col("us")).cast("long").alias("delta_us"),
     )
+
+
+CONVERT_FAST_US = 86_400_000_000  # converted within one day
+
+
+@register(
+    "signup_conversion_latency",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) FILTER (event_type = 'signup') AS t0,
+               MIN(epoch_us(ts)) FILTER (
+                   event_type = 'purchase'
+                   AND epoch_us(ts) >= (
+                       SELECT MIN(epoch_us(ts)) FROM events s
+                       WHERE s.user_id = e.user_id
+                         AND s.event_type = 'signup')
+               ) AS first_p
+        FROM events e
+        WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id, t0, first_p, first_p - t0 AS lat_us
+        FROM per_user WHERE t0 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_signups,
+           CAST(COUNT(lat_us) AS BIGINT)                  AS n_converted,
+           CAST(COUNT(lat_us) * 1000000 // COUNT(*)
+                AS BIGINT)                                AS conversion_ppm,
+           CAST(CAST(quantile_cont(lat_us, 0.5) AS BIGINT)
+                // 1000000 AS BIGINT)                     AS p50_latency_s,
+           CAST(CAST(quantile_cont(lat_us, 0.9) AS BIGINT)
+                // 1000000 AS BIGINT)                     AS p90_latency_s,
+           CAST(SUM(CASE WHEN lat_us <= {CONVERT_FAST_US}
+                         THEN 1 ELSE 0 END) * 1000000
+                // COUNT(lat_us) AS BIGINT)               AS within_1d_ppm
+    FROM lat
+    """,
+)
+def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency — the activation
+    metric growth teams track next to purchase_funnel (the funnel
+    counts WHO converts; this measures HOW FAST): per signed-up user,
+    the gap from first signup to the first purchase AT OR AFTER it,
+    rolled up to conversion rate, exact-interpolated p50/p90 latency
+    in floor-divided whole seconds, and the within-one-day share in
+    ppm.
+
+    Determinism: latencies are exact integer-µs differences (the NTZ
+    session-offset cancels — rapid_repeat_purchases contract);
+    percentile interpolation is the quantity_percentiles-established
+    cross-engine-exact pair (Spark percentile ≡ DuckDB quantile_cont:
+    identical IEEE interpolation over exact integers), then
+    TRUNCATED to integer µs before the floor-div to seconds so the
+    hash never sees a raw float.
+
+    Scale shape: ONE scan (both event types in one filter), one
+    user_id groupBy; each user's purchase epochs fold into a sorted
+    in-row array (bounded per key — avg ~13 here; the
+    collect-then-filter beats a second purchase scan + re-join), and
+    the readout is a 1-row aggregate. At extreme per-user volumes
+    swap the array for the asof_join union-stream form."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias(
+                "t0"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("us"))
+                )
+            ).alias("ps"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .select(
+            "t0",
+            F.array_min(
+                F.filter("ps", lambda x: x >= F.col("t0"))
+            ).alias("first_p"),
+        )
+    )
+    lat = per_user.select((F.col("first_p") - F.col("t0")).alias("lat_us"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("lat_us").cast("long").alias("n_converted"),
+        F.expr("COUNT(lat_us) * 1000000 DIV COUNT(1)")
+        .cast("long")
+        .alias("conversion_ppm"),
+        F.expr("CAST(percentile(lat_us, 0.5) AS BIGINT) DIV 1000000")
+        .cast("long")
+        .alias("p50_latency_s"),
+        F.expr("CAST(percentile(lat_us, 0.9) AS BIGINT) DIV 1000000")
+        .cast("long")
+        .alias("p90_latency_s"),
+        F.expr(
+            f"SUM(CASE WHEN lat_us <= {CONVERT_FAST_US} THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(lat_us)"
+        )
+        .cast("long")
+        .alias("within_1d_ppm"),
+    )
