@@ -3161,3 +3161,91 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_token_ppm",
         F.expr("vocab_size * 1000000 DIV n_tokens").cast("long"),
     ).orderBy("prefix_eighth")
+
+
+@register(
+    "hapax_vocabulary_profile",
+    oracle="""
+    WITH docs AS (
+        SELECT lang, regexp_extract_all(text, '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT lang, bg, COUNT(*) AS c
+        FROM (SELECT lang,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM docs)
+        GROUP BY lang, bg
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                  AS n_types,
+           CAST(SUM(c) AS BIGINT)                    AS n_occurrences,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT)   AS n_hapax,
+           CAST(COUNT(*) FILTER (c = 1) * 1000000
+                // COUNT(*) AS BIGINT)               AS hapax_type_ppm,
+           CAST(MAX(c) * 1000000 // SUM(c)
+                AS BIGINT)                           AS top_type_share_ppm
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def hapax_vocabulary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per language — the vocabulary-health
+    diagnostic next to vocab_growth_curve (growth says how fast types
+    ARRIVE; hapax share says how heavy the once-only tail is — natural
+    text runs ~40-60% hapax at the type level, while template/boiler-
+    plate corpora collapse toward zero, and a high top-type share
+    flags a degenerate head). Types are word bigrams (the corpus's
+    unigram vocabulary is a degenerate 31 — the vocab_growth_curve
+    note); per language: type count, occurrence count, hapax count and
+    floor-div ppm type share, and the most frequent type's occurrence
+    share.
+
+    Scale shape: explode → (lang, gram) map-side-combined count (the
+    vocab_top_tokens shuffle contract: distinct grams per partition,
+    not occurrences) → per-lang aggregate over the vocab-sized frame.
+    One scan, two bounded aggregates."""
+    documents = load_table(spark, sf_dir, "documents")
+    # materialize the token array BEFORE the bigram lambda — Catalyst
+    # does not CSE into lambda bodies, and inlining the regex would
+    # re-derive it per element (fact 3, the word_shingles lesson)
+    toks = documents.select(
+        "lang",
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias(
+            "toks"
+        ),
+    )
+    f = (
+        toks.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "IF(size(toks) < 2, array(), "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(toks[i-1], ' ', toks[i])))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.sum((F.col("c") == 1).cast("long"))
+            .cast("long")
+            .alias("n_hapax"),
+            F.expr(
+                "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(1)"
+            )
+            .cast("long")
+            .alias("hapax_type_ppm"),
+            F.expr("MAX(c) * 1000000 DIV SUM(c)")
+            .cast("long")
+            .alias("top_type_share_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -685,3 +685,33 @@ def test_pareto_coverage_hand_distribution(spark, tmp_path):
     assert out[80]["revenue_share_ppm"] == 900_000
     assert out[90]["n_customers"] == 2  # 90 exactly covered by top 2
     assert out[99]["n_customers"] == 3  # 99 needs the third customer
+
+
+def test_signup_conversion_latency_hand_timeline(spark, tmp_path):
+    from fintech_lakehouse_spark.plans.events import (
+        signup_conversion_latency,
+    )
+
+    rows = [
+        # user 1: signup at 10:00, purchases 09:00 (before! ignored)
+        # and 10:30 -> latency 1800 s
+        (0, "2024-01-01 09:00:00", 1, "purchase"),
+        (1, "2024-01-01 10:00:00", 1, "signup"),
+        (2, "2024-01-01 10:30:00", 1, "purchase"),
+        # user 2: signup, converts 2 days later -> 172800 s, not <=1d
+        (3, "2024-01-01 00:00:00", 2, "signup"),
+        (4, "2024-01-03 00:00:00", 2, "purchase"),
+        # user 3: signup, never purchases
+        (5, "2024-01-01 00:00:00", 3, "signup"),
+        # user 4: purchases only (no signup) -> not a signup row
+        (6, "2024-01-01 00:00:00", 4, "purchase"),
+    ]
+    TestR7S3Semantics._write_events(spark, tmp_path / "conv", rows)
+    (out,) = signup_conversion_latency(spark, str(tmp_path / "conv")).collect()
+    assert out["n_signups"] == 3
+    assert out["n_converted"] == 2
+    assert out["conversion_ppm"] == 666_666
+    # exact latencies 1800 s and 172800 s -> p50 interpolates midpoint
+    assert out["p50_latency_s"] == (1800 + 172800) // 2
+    assert out["p90_latency_s"] == 1800 + (172800 - 1800) * 9 // 10
+    assert out["within_1d_ppm"] == 500_000
