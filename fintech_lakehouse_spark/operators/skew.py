@@ -200,3 +200,76 @@ def hot_key_guard(
         .filter(F.col("_hot_guard").isNull())
         .drop("_hot_guard", "_n_hot", "_max_rows")
     )
+
+
+def bucketed_min_gap(
+    events: DataFrame,
+    key: str,
+    time_us: str,
+    bucket_us: int = 3_600_000_000,
+    rapid_us: int | None = None,
+) -> DataFrame:
+    """Skew-safe per-key minimum inter-event gap — the two-phase
+    decomposition of the lag-window gap profile
+    (plans/events.py::purchase_gap_profile) for hot keys.
+
+    The exact lag window is O(n log n) per key, which FINISHES under
+    skew (unlike the quadratic rangeBetween re-aggregation,
+    ROUND_NOTES fact 19) but still serializes one bot/aggregator key
+    into a single sort task. This form buckets time first: consecutive
+    pairs split exactly into WITHIN-bucket pairs (phase 1, parallel
+    over (key, bucket) — a hot key spreads across time buckets) and
+    BOUNDARY pairs between a bucket's first event and the previous
+    non-empty bucket's last (phase 2, one row per non-empty bucket per
+    key — bounded by time-range/bucket_us, not event count). The
+    partition of pairs is exact, so min-gap and the rapid count are
+    IDENTICAL to the lag-window form (equivalence-tested), not an
+    approximation.
+
+    ``time_us`` must be epoch microseconds (numeric — the nearest_join
+    contract). Emits per key: n_events, min_gap_us (NULL for
+    single-event keys), and n_rapid (gaps <= rapid_us) when rapid_us
+    is given. Single-partition hazards: none — both windows are keyed.
+    """
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        key,
+        F.col(time_us).alias("_us"),
+        F.expr(f"{time_us} DIV {bucket_us}").alias("_b"),
+    )
+    w1 = Window.partitionBy(key, "_b").orderBy("_us")
+    gaps = base.withColumn("_gap", F.col("_us") - F.lag("_us").over(w1))
+    partial_aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_us").alias("_first"),
+        F.max("_us").alias("_last"),
+        F.min("_gap").alias("_minw"),
+    ]
+    if rapid_us is not None:
+        partial_aggs.append(
+            F.sum(
+                F.when(F.col("_gap") <= rapid_us, 1).otherwise(0)
+            ).alias("_rapidw")
+        )
+    partial = gaps.groupBy(key, "_b").agg(*partial_aggs)
+    w2 = Window.partitionBy(key).orderBy("_b")
+    bounded = partial.withColumn(
+        "_bgap", F.col("_first") - F.lag("_last").over(w2)
+    )
+    final_aggs = [
+        F.sum("_n").cast("long").alias("n_events"),
+        F.least(F.min("_minw"), F.min("_bgap")).alias("min_gap_us"),
+    ]
+    if rapid_us is not None:
+        final_aggs.append(
+            (
+                F.sum("_rapidw")
+                + F.sum(
+                    F.when(F.col("_bgap") <= rapid_us, 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_rapid")
+        )
+    return bounded.groupBy(key).agg(*final_aggs)

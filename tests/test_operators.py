@@ -715,3 +715,70 @@ def test_signup_conversion_latency_hand_timeline(spark, tmp_path):
     assert out["p50_latency_s"] == (1800 + 172800) // 2
     assert out["p90_latency_s"] == 1800 + (172800 - 1800) * 9 // 10
     assert out["within_1d_ppm"] == 500_000
+
+
+class TestBucketedMinGap:
+    def _model(self, rows, rapid):
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for k, us in rows:
+            per[k].append(us)
+        out = {}
+        for k, v in per.items():
+            v.sort()
+            gaps = [b - a for a, b in zip(v, v[1:])]
+            out[k] = (
+                len(v),
+                min(gaps) if gaps else None,
+                sum(1 for g in gaps if g <= rapid),
+            )
+        return out
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_equals_python_model_random(self, spark, seed):
+        import random
+
+        from fintech_lakehouse_spark.operators.skew import bucketed_min_gap
+
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(5), rng.randrange(0, 10_000_000))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "k long, us long")
+        got = {
+            r["k"]: (r["n_events"], r["min_gap_us"], r["n_rapid"])
+            for r in bucketed_min_gap(
+                df, "k", "us", bucket_us=250_000, rapid_us=1000
+            ).collect()
+        }
+        assert got == self._model(rows, 1000)
+
+    def test_equals_exact_lag_profile_on_lake(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from fintech_lakehouse_spark.operators.skew import bucketed_min_gap
+        from fintech_lakehouse_spark.plans.events import (
+            RAPID_GAP_US,
+            purchase_gap_profile,
+        )
+        from fintech_lakehouse_spark.sources.readers import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["min_gap_us"] // 1000, r["n_rapid"])
+            for r in bucketed_min_gap(
+                purchases, "user_id", "us", rapid_us=RAPID_GAP_US
+            ).collect()
+            if r["min_gap_us"] is not None
+        }
+        exact = {
+            r["user_id"]: (r["n_purchases"], r["min_gap_ms"], r["n_rapid_2h"])
+            for r in purchase_gap_profile(events).collect()
+        }
+        assert got == exact and len(exact) > 0
