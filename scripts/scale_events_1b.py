@@ -145,9 +145,57 @@ def profile() -> None:
         print(f"| {name} | {r[0]} | {r[1]} | {min(r)} |", flush=True)
 
 
+def gaps() -> None:
+    """Round-7 session-3: the per-key MIN-GAP family at 1B rows with an
+    ~800M-row hot user. Compares the skew-safe two-phase bucketed form
+    (operators/skew.py::bucketed_min_gap, 60 s buckets → ≤ ~19k rows
+    per (key, bucket) task even for the hot key) against the exact
+    lag-window form (O(n log n) per key: finishes, unlike the
+    quadratic rangeBetween — but the hot key serializes one external
+    sort). Both produce IDENTICAL results (equivalence-tested at lake
+    scale in tests/test_operators.py::TestBucketedMinGap)."""
+    from fintech_lakehouse_spark.operators.skew import bucketed_min_gap
+
+    spark = _spark()
+    events = spark.read.parquet(PATH).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+
+    def timed(fn):
+        t = time.time()
+        fn()
+        return round(time.time() - t, 2)
+
+    def bucketed():
+        bucketed_min_gap(
+            events, "user_id", "us", bucket_us=60_000_000,
+            rapid_us=7_200_000_000,
+        ).write.format("noop").mode("overwrite").save()
+
+    def exact_lag():
+        w = Window.partitionBy("user_id").orderBy("us")
+        gapped = events.withColumn("_g", F.col("us") - F.lag("us").over(w))
+        gapped.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_g").alias("mn"),
+            F.sum(F.when(F.col("_g") <= 7_200_000_000, 1).otherwise(0)).alias(
+                "nr"
+            ),
+        ).write.format("noop").mode("overwrite").save()
+
+    for name, fn in (
+        ("bucketed_min_gap_60s", bucketed),
+        ("exact_lag_window", exact_lag),
+    ):
+        r = timed(fn)
+        print(f"| {name} | {r} s |", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "build"
     if mode == "build":
         build(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+    elif mode == "gaps":
+        gaps()
     else:
         profile()
