@@ -720,11 +720,16 @@ def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) window order is total; ms via integer floor-div.
 
     Scale shape: the lag window is ONE shuffle on user_id, and frame
-    cost is O(purchases-per-user) — bounded per key, unlike the
-    rangeBetween velocity windows (ROUND_NOTES fact 19's hazard class
-    does not apply to lag). The per-user aggregate rides the same
-    partitioning (no second exchange), and top-k plans as
-    TakeOrderedAndProject."""
+    cost is O(n log n) per key — structurally survivable, unlike the
+    rangeBetween velocity windows (ROUND_NOTES fact 19's quadratic
+    hazard does not apply to lag). The per-user aggregate rides the
+    same partitioning (no second exchange), and top-k plans as
+    TakeOrderedAndProject. One BOT/AGGREGATOR key still serializes
+    its sort into a single task (measured at 1B rows with an 800M-row
+    hot user: >13× the parallel form and killed unfinished, BASELINE
+    §3) — when event_key_skew_profile flags a hot key, compute the
+    same profile via operators/skew.py::bucketed_min_gap (two-phase,
+    exact-equivalent, 222.8 s at 1B)."""
     events = load_table(spark, sf_dir, "events")
     return purchase_gap_profile(events).orderBy("min_gap_ms", "user_id").limit(
         RAPID_TOP
