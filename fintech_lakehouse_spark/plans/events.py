@@ -900,9 +900,9 @@ CONVERT_FAST_US = 86_400_000_000  # converted within one day
            CAST(COUNT(lat_us) AS BIGINT)                  AS n_converted,
            CAST(COUNT(lat_us) * 1000000 // COUNT(*)
                 AS BIGINT)                                AS conversion_ppm,
-           CAST(CAST(quantile_cont(lat_us, 0.5) AS BIGINT)
+           CAST(CAST(FLOOR(quantile_cont(lat_us, 0.5)) AS BIGINT)
                 // 1000000 AS BIGINT)                     AS p50_latency_s,
-           CAST(CAST(quantile_cont(lat_us, 0.9) AS BIGINT)
+           CAST(CAST(FLOOR(quantile_cont(lat_us, 0.9)) AS BIGINT)
                 // 1000000 AS BIGINT)                     AS p90_latency_s,
            CAST(SUM(CASE WHEN lat_us <= {CONVERT_FAST_US}
                          THEN 1 ELSE 0 END) * 1000000
@@ -923,9 +923,12 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-offset cancels — rapid_repeat_purchases contract);
     percentile interpolation is the quantity_percentiles-established
     cross-engine-exact pair (Spark percentile ≡ DuckDB quantile_cont:
-    identical IEEE interpolation over exact integers), then
-    TRUNCATED to integer µs before the floor-div to seconds so the
-    hash never sees a raw float.
+    identical IEEE interpolation over exact integers), then FLOORED
+    to integer µs on BOTH engines before the floor-div to seconds —
+    an explicit FLOOR, because bare CAST(double AS BIGINT) truncates
+    on Spark but rounds half-away on DuckDB, and a fractional
+    percentile straddling a whole value flips the hash (r7s3 review
+    finding #1, live-reproduced).
 
     Scale shape: ONE scan (both event types in one filter), one
     user_id groupBy; each user's purchase epochs fold into a sorted
@@ -964,10 +967,10 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("COUNT(lat_us) * 1000000 DIV COUNT(1)")
         .cast("long")
         .alias("conversion_ppm"),
-        F.expr("CAST(percentile(lat_us, 0.5) AS BIGINT) DIV 1000000")
+        F.expr("CAST(FLOOR(percentile(lat_us, 0.5)) AS BIGINT) DIV 1000000")
         .cast("long")
         .alias("p50_latency_s"),
-        F.expr("CAST(percentile(lat_us, 0.9) AS BIGINT) DIV 1000000")
+        F.expr("CAST(FLOOR(percentile(lat_us, 0.9)) AS BIGINT) DIV 1000000")
         .cast("long")
         .alias("p90_latency_s"),
         F.expr(

@@ -595,14 +595,26 @@ K_ANON_LEVELS = [2, 5, 10]
 # spans [-999.99, 9999.99], so +100000 cents keeps DIV == //.
 K_ANON_BAL_BUCKET = 50_000
 
+# ONE definition of the QI balance bucket, shared (Spark + oracle) by
+# k_anonymity_audit and l_diversity_audit — the two audits' bucketing
+# must stay identical or their "both release designs" claim breaks
+# (r7s3 review finding #7).
+_SQL_BAL_BUCKET = (
+    "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    f" + 100000) // {K_ANON_BAL_BUCKET}"
+)
+_SPARK_BAL_BUCKET = (
+    "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    f" + 100000) DIV {K_ANON_BAL_BUCKET}"
+)
+
 
 @register(
     "k_anonymity_audit",
     oracle=f"""
     WITH qi AS (
         SELECT c_nationkey AS nation, c_mktsegment AS segment,
-               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
-                + 100000) // {K_ANON_BAL_BUCKET} AS bal_bucket
+               {_SQL_BAL_BUCKET} AS bal_bucket
         FROM customer
     ),
     groups AS (
@@ -653,10 +665,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qi = customer.select(
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
-        F.expr(
-            "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
-            f" + 100000) DIV {K_ANON_BAL_BUCKET}"
-        ).alias("bal_bucket"),
+        F.expr(_SPARK_BAL_BUCKET).alias("bal_bucket"),
     )
     from pyspark.sql.window import Window
 
@@ -798,8 +807,7 @@ L_DIV_LEVELS = [2, 3, 5]
     oracle=f"""
     WITH qi AS (
         SELECT c_nationkey AS nation,
-               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
-                + 100000) // {K_ANON_BAL_BUCKET} AS bal_bucket,
+               {_SQL_BAL_BUCKET} AS bal_bucket,
                c_mktsegment AS sensitive
         FROM customer
     ),
@@ -847,10 +855,7 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     qi = customer.select(
         F.col("c_nationkey").alias("nation"),
-        F.expr(
-            "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
-            f" + 100000) DIV {K_ANON_BAL_BUCKET}"
-        ).alias("bal_bucket"),
+        F.expr(_SPARK_BAL_BUCKET).alias("bal_bucket"),
         F.col("c_mktsegment").alias("sensitive"),
     )
     from pyspark.sql.window import Window

@@ -3015,6 +3015,17 @@ def decontaminated_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_GROWTH_SEGMENTS = 8
 
+# word-bigram derivation over a MATERIALIZED token array `toks` —
+# shared by vocab_growth_curve and hapax_vocabulary_profile so the two
+# vocabulary diagnostics can never disagree on the type unit (r7s3
+# review finding #4); the IF guards Spark's downward-counting
+# sequence(1, negative) on short docs (fact 6)
+_BIGRAMS_OVER_TOKS = (
+    "IF(size(toks) < 2, array(), "
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat(toks[i-1], ' ', toks[i])))"
+)
+
 
 @register(
     "vocab_growth_curve",
@@ -3025,7 +3036,8 @@ VOCAB_GROWTH_SEGMENTS = 8
     ),
     n AS (SELECT MAX(doc_id) + 1 AS sz FROM docs),
     doc_seg AS (
-        SELECT (8 * doc_id + 8 + n.sz - 1) // n.sz AS k,
+        SELECT ({VOCAB_GROWTH_SEGMENTS} * doc_id + {VOCAB_GROWTH_SEGMENTS}
+                + n.sz - 1) // n.sz AS k,
                len(toks) AS nt
         FROM docs CROSS JOIN n
     ),
@@ -3038,7 +3050,8 @@ VOCAB_GROWTH_SEGMENTS = 8
         GROUP BY token
     ),
     tok_seg AS (
-        SELECT (8 * t.fd + 8 + n.sz - 1) // n.sz AS k,
+        SELECT ({VOCAB_GROWTH_SEGMENTS} * t.fd + {VOCAB_GROWTH_SEGMENTS}
+                + n.sz - 1) // n.sz AS k,
                COUNT(*) AS new_types
         FROM tok_agg t CROSS JOIN n GROUP BY 1
     ),
@@ -3091,9 +3104,12 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial MIN (shuffle carries distinct tokens per partition, not
     occurrences — the vocab_top_tokens contract); each doc and each
     type is then assigned its FIRST checkpoint segment and aggregated
-    to {VOCAB_GROWTH_SEGMENTS} rows, so the growth curve costs one
-    corpus scan + one vocab-sized aggregate regardless of corpus
-    size; the cumulative window runs on 8 rows. The ×8
+    to {VOCAB_GROWTH_SEGMENTS} rows; the cumulative window runs on 8
+    rows. The doc-stats and first-occurrence branches are two
+    consumers of the tokenized projection, so the corpus scans (and
+    tokenizes) TWICE — at 100 TB persist the tokenized frame or
+    accept the 2× (r7s3 review finding #6; Spark does not CSE across
+    action branches, fact 16). The ×{VOCAB_GROWTH_SEGMENTS}
     corpus-replication formulation (cross join with the checkpoint
     spine, then filter) was deliberately avoided."""
     from pyspark.sql.window import Window
@@ -3104,7 +3120,10 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
     )
     n_row = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("sz")))
-    seg = "(8 * %s + 8 + sz - 1) DIV sz"
+    seg = (
+        f"({VOCAB_GROWTH_SEGMENTS} * %s + {VOCAB_GROWTH_SEGMENTS}"
+        " + sz - 1) DIV sz"
+    )
     doc_agg = (
         docs.select("doc_id", F.size("toks").alias("nt"))
         .crossJoin(n_row)
@@ -3117,13 +3136,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_seg = (
         docs.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "IF(size(toks) < 2, array(), "
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> concat(toks[i-1], ' ', toks[i])))"
-                )
-            ).alias("token"),
+            F.explode(F.expr(_BIGRAMS_OVER_TOKS)).alias("token"),
         )
         .groupBy("token")
         .agg(F.min("doc_id").alias("fd"))
@@ -3218,13 +3231,7 @@ def hapax_vocabulary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (
         toks.select(
             "lang",
-            F.explode(
-                F.expr(
-                    "IF(size(toks) < 2, array(), "
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> concat(toks[i-1], ' ', toks[i])))"
-                )
-            ).alias("bg"),
+            F.explode(F.expr(_BIGRAMS_OVER_TOKS)).alias("bg"),
         )
         .groupBy("lang", "bg")
         .agg(F.count(F.lit(1)).alias("c"))

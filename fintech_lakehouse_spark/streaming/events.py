@@ -1325,6 +1325,40 @@ GAP_SCHEMA = (
 _GAP_STATE_SCHEMA = "last_us long, min_gap_us long, n long, n_rapid long"
 
 
+def fold_gap_state(
+    state: tuple, us_list: list, rapid_gap_us: int
+) -> tuple:
+    """Pure fold behind purchase_gap_monitor, factored out so the
+    late-batch semantics are unit-testable without a stream:
+    ``state`` = (last_us, min_gap_us, n, n_rapid), ``us_list`` = this
+    batch's purchase epochs SORTED ascending.
+
+    Gaps BETWEEN the batch's own consecutive events always count
+    (they are true consecutive pairs regardless of how late the batch
+    is — r7s3 review finding #2: the per-event formulation dropped
+    every gap among multiple late events, missing genuinely rapid
+    pairs). Only the STATE BOUNDARY gap is skipped when the batch's
+    first event precedes the stored last epoch (cross-batch
+    disorder); a watermark-buffered variant would reorder instead."""
+    last_us, min_gap_us, n, n_rapid = state
+
+    def feed(gap):
+        nonlocal min_gap_us, n_rapid
+        if min_gap_us is None or gap < min_gap_us:
+            min_gap_us = gap
+        if gap <= rapid_gap_us:
+            n_rapid += 1
+
+    if us_list:
+        if last_us is not None and us_list[0] >= last_us:
+            feed(us_list[0] - last_us)
+        for a, b in zip(us_list, us_list[1:]):
+            feed(b - a)
+        n += len(us_list)
+        last_us = us_list[-1] if last_us is None else max(last_us, us_list[-1])
+    return last_us, min_gap_us, n, n_rapid
+
+
 def purchase_gap_monitor(events: DataFrame) -> DataFrame:
     """Streaming twin of the rapid_repeat_purchases velocity screen
     (plans/events.py): per-user repeat-payment state — last purchase
@@ -1339,21 +1373,22 @@ def purchase_gap_monitor(events: DataFrame) -> DataFrame:
     profile; the last row per user equals the batch
     purchase_gap_profile recomputation for in-order feeds
     (streaming≡batch test). Events sort by event time WITHIN each
-    invocation; an event older than the stored last-purchase epoch
-    (cross-batch disorder) is counted but contributes no boundary gap
-    — a watermark-buffered variant would reorder instead, at the cost
-    of emission latency.
+    invocation and batch-internal consecutive gaps always count; only
+    the state-boundary gap of a LATE batch is skipped (the
+    fold_gap_state contract — unit-tested on the late-batch axes).
 
     Scale shape: state is 4 integers per user with at least one
-    purchase; each micro-batch shuffles only its own purchases on
-    user_id (the applyInPandasWithState contract shared with
-    user_value_ema)."""
+    purchase; purchases are filtered BEFORE the groupBy so each
+    micro-batch shuffles only its purchases on user_id (r7s3 review
+    finding #3 — filtering inside the UDF shuffled the whole feed)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from fintech_lakehouse_spark.plans.events import (
         RAPID_FLAG_US,
         RAPID_GAP_US,
     )
+
+    purchases = events.filter(F.col("event_type") == "purchase")
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -1362,30 +1397,14 @@ def purchase_gap_monitor(events: DataFrame) -> DataFrame:
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
             return
-        rows = pd.concat(batches)
-        rows = rows[rows["event_type"] == "purchase"]
-        if not len(rows):
-            return
-        rows = rows.sort_values(["ts", "event_id"])
+        rows = pd.concat(batches).sort_values(["ts", "event_id"])
         us_list = (
             rows["ts"].astype("datetime64[us]").astype("int64").to_list()
         )
-        if state.exists:
-            last_us, min_gap_us, n, n_rapid = state.get
-        else:
-            last_us, min_gap_us, n, n_rapid = None, None, 0, 0
-        for us in us_list:
-            if last_us is not None and us >= last_us:
-                gap = us - last_us
-                if min_gap_us is None or gap < min_gap_us:
-                    min_gap_us = gap
-                if gap <= RAPID_GAP_US:
-                    n_rapid += 1
-            # us < last_us: cross-batch disorder — count the purchase,
-            # skip the boundary gap (see docstring)
-            if last_us is None or us > last_us:
-                last_us = us
-            n += 1
+        prior = state.get if state.exists else (None, None, 0, 0)
+        last_us, min_gap_us, n, n_rapid = fold_gap_state(
+            prior, us_list, RAPID_GAP_US
+        )
         state.update((last_us, min_gap_us, n, n_rapid))
         yield pd.DataFrame(
             {
@@ -1401,7 +1420,7 @@ def purchase_gap_monitor(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return purchases.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=GAP_SCHEMA,
         stateStructType=_GAP_STATE_SCHEMA,

@@ -782,3 +782,34 @@ class TestBucketedMinGap:
             for r in purchase_gap_profile(events).collect()
         }
         assert got == exact and len(exact) > 0
+
+
+def test_conversion_latency_percentile_floor_cross_engine(spark, tmp_path):
+    """r7s3 review finding #1 (live-reproduced): a fractional
+    interpolated percentile straddling a whole microsecond flipped the
+    cross-engine hash — Spark CAST(double AS BIGINT) truncates, DuckDB
+    CAST rounds half-away. Both sides must FLOOR explicitly. Fixture:
+    latencies 1,000,000 and 2,999,999 µs → raw p50 = 1,999,999.5."""
+    import duckdb
+
+    from fintech_lakehouse_spark.plans.events import (
+        signup_conversion_latency,
+    )
+    from fintech_lakehouse_spark.plans.registry import ORACLES
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "signup"),
+        (1, "2024-01-01 00:00:01", 1, "purchase"),          # 1,000,000 us
+        (2, "2024-01-01 00:00:00", 2, "signup"),
+        (3, "2024-01-01 00:00:02.999999", 2, "purchase"),   # 2,999,999 us
+    ]
+    TestR7S3Semantics._write_events(spark, tmp_path / "pctl", rows)
+    (got,) = signup_conversion_latency(spark, str(tmp_path / "pctl")).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/pctl/events.parquet/*.parquet'"
+    )
+    oracle = con.sql(ORACLES["signup_conversion_latency"]).df().iloc[0]
+    assert got["p50_latency_s"] == int(oracle["p50_latency_s"]) == 1
+    assert got["p90_latency_s"] == int(oracle["p90_latency_s"])

@@ -1313,3 +1313,26 @@ def test_purchase_gap_monitor_equals_batch(spark, tmp_path):
     assert _norm(final, cols) == _norm(batch, cols)
     # state really accumulated across batches: users emitted >1 row
     assert got.count() > final.count()
+
+
+def test_fold_gap_state_late_batch_axes():
+    """r7s3 review finding #2: gaps among multiple late events in one
+    batch must count; only the state-boundary gap of a late batch is
+    skipped."""
+    from fintech_lakehouse_spark.streaming.events import fold_gap_state
+
+    # state last=100s; late batch [50s, 51s]: boundary skipped, the
+    # true 1 s gap between the late pair counts
+    last, mn, n, nr = fold_gap_state(
+        (100_000_000, None, 1, 0), [50_000_000, 51_000_000], 7_200_000_000
+    )
+    assert (last, mn, n, nr) == (100_000_000, 1_000_000, 3, 1)
+    # in-order batch: boundary + internal gaps both count
+    last, mn, n, nr = fold_gap_state(
+        (100_000_000, None, 1, 0), [103_000_000, 104_000_000], 7_200_000_000
+    )
+    assert (last, mn, n, nr) == (104_000_000, 1_000_000, 3, 2)
+    # fresh key, single event: no gap yet
+    assert fold_gap_state((None, None, 0, 0), [5], 10) == (5, None, 1, 0)
+    # empty batch: state unchanged
+    assert fold_gap_state((7, 3, 2, 1), [], 10) == (7, 3, 2, 1)
