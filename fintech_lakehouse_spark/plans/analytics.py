@@ -1636,3 +1636,117 @@ def revenue_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+CHI2_RESIDUAL_SD = 3  # |O-E|/sqrt(E) > 3 flags a cell
+
+
+@register(
+    "segment_priority_independence",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT segment, priority, CAST(COUNT(*) AS BIGINT) AS n_observed
+        FROM joined GROUP BY segment, priority
+    ),
+    t AS (
+        SELECT segment, priority, n_observed,
+               CAST(SUM(n_observed) OVER (PARTITION BY segment) AS BIGINT) AS r,
+               CAST(SUM(n_observed) OVER (PARTITION BY priority) AS BIGINT) AS c,
+               CAST(SUM(n_observed) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT segment, priority, n_observed,
+           CAST(r * c * 1000 // n AS BIGINT) AS expected_milli,
+           ROUND(
+             (CAST(n_observed * n - r * c AS DOUBLE)
+              * CAST(n_observed * n - r * c AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)),
+             4) AS chi2_contribution,
+           CAST(n_observed * n - r * c AS HUGEINT)
+             * CAST(n_observed * n - r * c AS HUGEINT)
+             > CAST({CHI2_RESIDUAL_SD * CHI2_RESIDUAL_SD} AS HUGEINT)
+               * r * c * n                        AS residual_flag
+    FROM t
+    ORDER BY segment, priority
+    """,
+)
+def segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the (market segment × order
+    priority) contingency table — the categorical-association test a
+    risk/BI team runs before trusting a segmentation (A/B's
+    two-proportion z covers a 2×2 split; this is the general R×C
+    test). Per cell: observed count, the independence-expected count
+    in exact integer milli-units (r·c·1000 DIV N — no float), the
+    chi² contribution (O−E)²/E, and a standardized-residual flag
+    |O−E| > {CHI2_RESIDUAL_SD}·sqrt(E).
+
+    Determinism: the flag is the EXACT integer comparison
+    (O·N − r·c)² > {CHI2_RESIDUAL_SD}²·r·c·N — cross-multiplied so no
+    sqrt or division enters it; the squares exceed int64 at fact
+    scale, so they compute in DECIMAL(38) on Spark and HUGEINT on
+    DuckDB (both exact 128-bit-class integer arithmetic). The chi²
+    contribution is the one float: an identical
+    cast-multiply-divide tree on both engines, ROUND 4 (the fact-22
+    quotient-of-large-sums class).
+
+    Scale shape: one fact scan with the customer dim broadcast, a
+    map-side-combined groupBy to the R×C cell frame (≤25 rows), and
+    every margin (r, c, N) from windows over that bounded frame —
+    no second scan, no separate totals aggregate (the fact-20
+    window-totals pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_observed"))
+    )
+    t = cells.select(
+        "segment",
+        "priority",
+        "n_observed",
+        F.sum("n_observed")
+        .over(Window.partitionBy("segment"))
+        .cast("long")
+        .alias("r"),
+        F.sum("n_observed")
+        .over(Window.partitionBy("priority"))
+        .cast("long")
+        .alias("c"),
+        F.sum("n_observed")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("long")
+        .alias("n"),
+    )
+    d_dec = "CAST(n_observed * n - r * c AS DECIMAL(38,0))"
+    return t.select(
+        "segment",
+        "priority",
+        "n_observed",
+        F.expr("r * c * 1000 DIV n").cast("long").alias("expected_milli"),
+        F.round(
+            F.expr(
+                "(CAST(n_observed * n - r * c AS DOUBLE)"
+                " * CAST(n_observed * n - r * c AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)"
+                "    * CAST(c AS DOUBLE))"
+            ),
+            4,
+        ).alias("chi2_contribution"),
+        F.expr(
+            f"{d_dec} * {d_dec}"
+            f" > CAST({CHI2_RESIDUAL_SD * CHI2_RESIDUAL_SD} AS DECIMAL(38,0))"
+            " * CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+            " * CAST(n AS DECIMAL(38,0))"
+        ).alias("residual_flag"),
+    ).orderBy("segment", "priority")

@@ -813,3 +813,63 @@ def test_conversion_latency_percentile_floor_cross_engine(spark, tmp_path):
     oracle = con.sql(ORACLES["signup_conversion_latency"]).df().iloc[0]
     assert got["p50_latency_s"] == int(oracle["p50_latency_s"]) == 1
     assert got["p90_latency_s"] == int(oracle["p90_latency_s"])
+
+
+def test_chi2_independence_planted_association(spark, tmp_path):
+    """Perfectly DEPENDENT table -> diagonal cells flagged with the
+    exact expected values; perfectly INDEPENDENT uniform table -> zero
+    contributions, no flags."""
+    import pyspark.sql.functions as SF
+
+    from fintech_lakehouse_spark.plans.analytics import (
+        segment_priority_independence,
+    )
+
+    def write(path, rows):
+        spark.createDataFrame(
+            [(i, c, "O", 100.0, "1996-06-01", p) for i, (c, p) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, _d string, o_orderpriority string",
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            SF.to_timestamp("_d").alias("o_orderdate"), "o_orderpriority",
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+        custs = sorted({c for c, _ in rows})
+        spark.createDataFrame(
+            [(c, f"c{c}", 1, 0.0, "AUTOMOBILE" if c < 100 else "BUILDING")
+             for c in custs],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+
+    # dependent: AUTOMOBILE customers (ids <100) always 1-URGENT,
+    # BUILDING always 5-LOW; 50 orders each
+    dep = [(i % 50, "1-URGENT") for i in range(50)] + [
+        (100 + i % 50, "5-LOW") for i in range(50)
+    ]
+    write(tmp_path / "dep", dep)
+    out = {
+        (r["segment"], r["priority"]): r
+        for r in segment_priority_independence(
+            spark, str(tmp_path / "dep")
+        ).collect()
+    }
+    diag = out[("AUTOMOBILE", "1-URGENT")]
+    # E = 50*50/100 = 25 -> expected_milli 25000; (O-E)^2/E = 25
+    assert diag["expected_milli"] == 25_000
+    assert diag["chi2_contribution"] == 25.0
+    assert diag["residual_flag"] is True  # |50-25| = 25 > 3*sqrt(25)
+    # independent: every (cust-segment, priority) combination equally
+    ind = [
+        (c, p)
+        for c in (0, 100)
+        for p in ("1-URGENT", "5-LOW")
+        for _ in range(25)
+    ]
+    write(tmp_path / "ind", ind)
+    for r in segment_priority_independence(
+        spark, str(tmp_path / "ind")
+    ).collect():
+        assert r["chi2_contribution"] == 0.0
+        assert r["residual_flag"] is False
+        assert r["n_observed"] * 1000 == r["expected_milli"]
