@@ -216,3 +216,94 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(PRI_K)
     )
+
+
+NEYMAN_BUDGET = 1000  # total sample rows to allocate
+
+
+@register(
+    "stratified_allocation_plan",
+    oracle=f"""
+    WITH cents AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM orders
+    ),
+    s AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT)  AS n_rows,
+               CAST(SUM(x) AS BIGINT)    AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                    AS HUGEINT)          AS sxx
+        FROM cents GROUP BY stratum
+    ),
+    scored AS (
+        SELECT stratum, n_rows,
+               CAST(n_rows AS DOUBLE)
+               * sqrt(CAST(sxx * n_rows - CAST(sx AS HUGEINT)
+                           * CAST(sx AS HUGEINT) AS DOUBLE))
+               / CAST(n_rows AS DOUBLE) AS weight
+        FROM s
+    )
+    SELECT stratum, n_rows,
+           ROUND(weight / SUM(weight) OVER (), 6)     AS neyman_share,
+           CAST(FLOOR({NEYMAN_BUDGET} * weight
+                      / SUM(weight) OVER ()) AS BIGINT) AS allocated_rows
+    FROM scored ORDER BY stratum
+    """,
+)
+def stratified_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation plan for stratified sampling (Neyman 1934 —
+    the DESIGN step the deterministic draw operators consume: sample
+    size per stratum ∝ N_h·σ_h, which minimizes estimator variance
+    for a fixed budget; proportional allocation over-samples large
+    LOW-variance strata): per order-priority stratum, the population
+    size, the Neyman share, and the integer row allocation out of a
+    {NEYMAN_BUDGET}-row budget.
+
+    Determinism: the per-stratum moment sums (Σx, Σx² over exact
+    cents) are exact 128-bit-class integers (Σx² exceeds int64 at
+    fact scale — DECIMAL(38) on Spark, HUGEINT on DuckDB); N_h·σ_h =
+    sqrt(n·Σx² − (Σx)²) enters float through ONE identical
+    cast-sqrt-divide tree on both engines, shares ROUND 6, and the
+    integer allocation FLOORS the float (the r7s3 finding-#1 rule:
+    never bare-CAST a fractional double cross-engine).
+
+    Scale shape: one fact scan folding to one row per stratum
+    (map-side combinable moments); shares and allocations from a
+    window over the ≤5-row frame. The plan is as cheap at 100 TB as
+    the moments pass."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    x_dec = "CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(38,0))"
+    s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("sx"),
+        F.expr(f"SUM({x_dec} * {x_dec})").alias("sxx"),
+    )
+    weight = F.expr(
+        "CAST(n_rows AS DOUBLE)"
+        " * sqrt(CAST(sxx * CAST(n_rows AS DECIMAL(38,0))"
+        "         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        "         AS DOUBLE))"
+        " / CAST(n_rows AS DOUBLE)"
+    )
+    everything = Window.partitionBy(F.lit(1))
+    scored = s.select("stratum", "n_rows", weight.alias("weight"))
+    return (
+        scored.withColumn("_tw", F.sum("weight").over(everything))
+        .select(
+            "stratum",
+            "n_rows",
+            F.round(F.col("weight") / F.col("_tw"), 6).alias("neyman_share"),
+            F.floor(NEYMAN_BUDGET * F.col("weight") / F.col("_tw"))
+            .cast("long")
+            .alias("allocated_rows"),
+        )
+        .orderBy("stratum")
+    )

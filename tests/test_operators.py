@@ -873,3 +873,36 @@ def test_chi2_independence_planted_association(spark, tmp_path):
         assert r["chi2_contribution"] == 0.0
         assert r["residual_flag"] is False
         assert r["n_observed"] * 1000 == r["expected_milli"]
+
+
+def test_neyman_allocation_zero_variance_stratum(spark, tmp_path):
+    """A zero-variance stratum needs NO sample under Neyman allocation
+    (its mean is known exactly from one row); the whole budget goes to
+    the varying stratum."""
+    import pyspark.sql.functions as SF
+
+    from fintech_lakehouse_spark.plans.sampling import (
+        NEYMAN_BUDGET,
+        stratified_allocation_plan,
+    )
+
+    rows = [
+        (0, "1-URGENT", 100.0), (1, "1-URGENT", 300.0),  # varying
+        (2, "5-LOW", 200.0), (3, "5-LOW", 200.0),        # constant
+    ]
+    spark.createDataFrame(
+        [(i, 1, "O", v, "1996-06-01", p) for i, p, v in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, _d string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        SF.to_timestamp("_d").alias("o_orderdate"), "o_orderpriority",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/ney/orders.parquet")
+    out = {
+        r["stratum"]: r
+        for r in stratified_allocation_plan(spark, str(tmp_path / "ney")).collect()
+    }
+    assert out["1-URGENT"]["neyman_share"] == 1.0
+    assert out["1-URGENT"]["allocated_rows"] == NEYMAN_BUDGET
+    assert out["5-LOW"]["neyman_share"] == 0.0
+    assert out["5-LOW"]["allocated_rows"] == 0
