@@ -1659,18 +1659,23 @@ CHI2_RESIDUAL_SD = 3  # |O-E|/sqrt(E) > 3 flags a cell
                CAST(SUM(n_observed) OVER () AS BIGINT) AS n
         FROM cells
     )
+    , wide AS (
+        SELECT segment, priority, n_observed, r, c, n,
+               CAST(n_observed AS HUGEINT) * CAST(n AS HUGEINT)
+                 - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS d
+        FROM t
+    )
     SELECT segment, priority, n_observed,
-           CAST(r * c * 1000 // n AS BIGINT) AS expected_milli,
+           CAST(CAST(r AS HUGEINT) * CAST(c AS HUGEINT) * 1000
+                // CAST(n AS HUGEINT) AS BIGINT) AS expected_milli,
            ROUND(
-             (CAST(n_observed * n - r * c AS DOUBLE)
-              * CAST(n_observed * n - r * c AS DOUBLE))
+             (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)),
              4) AS chi2_contribution,
-           CAST(n_observed * n - r * c AS HUGEINT)
-             * CAST(n_observed * n - r * c AS HUGEINT)
-             > CAST({CHI2_RESIDUAL_SD * CHI2_RESIDUAL_SD} AS HUGEINT)
-               * r * c * n                        AS residual_flag
-    FROM t
+           d * d > CAST({CHI2_RESIDUAL_SD * CHI2_RESIDUAL_SD} AS HUGEINT)
+               * CAST(r AS HUGEINT) * CAST(c AS HUGEINT)
+               * CAST(n AS HUGEINT)               AS residual_flag
+    FROM wide
     ORDER BY segment, priority
     """,
 )
@@ -1728,23 +1733,37 @@ def segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("n"),
     )
-    d_dec = "CAST(n_observed * n - r * c AS DECIMAL(38,0))"
-    return t.select(
+    # operands widen BEFORE every multiply (r7s3 review wave 2 finding
+    # #2: n_observed*n and r*c overflow int64 past ~3e9 rows — the
+    # scale this file's contracts target); DECIMAL(18,0) products get
+    # precision 37 ≤ 38, exact
+    wide = t.withColumn(
+        "d",
+        F.expr(
+            "CAST(n_observed AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))"
+            " - CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))"
+        ),
+    )
+    return wide.select(
         "segment",
         "priority",
         "n_observed",
-        F.expr("r * c * 1000 DIV n").cast("long").alias("expected_milli"),
+        F.expr(
+            "CAST(CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))"
+            " * 1000 DIV CAST(n AS DECIMAL(18,0)) AS BIGINT)"
+        )
+        .cast("long")
+        .alias("expected_milli"),
         F.round(
             F.expr(
-                "(CAST(n_observed * n - r * c AS DOUBLE)"
-                " * CAST(n_observed * n - r * c AS DOUBLE))"
+                "(CAST(d AS DOUBLE) * CAST(d AS DOUBLE))"
                 " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)"
                 "    * CAST(c AS DOUBLE))"
             ),
             4,
         ).alias("chi2_contribution"),
         F.expr(
-            f"{d_dec} * {d_dec}"
+            "CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))"
             f" > CAST({CHI2_RESIDUAL_SD * CHI2_RESIDUAL_SD} AS DECIMAL(38,0))"
             " * CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
             " * CAST(n AS DECIMAL(38,0))"

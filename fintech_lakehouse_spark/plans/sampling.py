@@ -239,17 +239,31 @@ NEYMAN_BUDGET = 1000  # total sample rows to allocate
     ),
     scored AS (
         SELECT stratum, n_rows,
-               CAST(n_rows AS DOUBLE)
-               * sqrt(CAST(sxx * n_rows - CAST(sx AS HUGEINT)
-                           * CAST(sx AS HUGEINT) AS DOUBLE))
-               / CAST(n_rows AS DOUBLE) AS weight
+               sqrt(CAST(sxx * n_rows - CAST(sx AS HUGEINT)
+                         * CAST(sx AS HUGEINT) AS DOUBLE)) AS weight
         FROM s
+    ),
+    shared AS (
+        SELECT stratum, n_rows,
+               weight / NULLIF(SUM(weight) OVER (), 0) AS share
+        FROM scored
+    ),
+    floored AS (
+        SELECT stratum, n_rows, share,
+               CAST(FLOOR({NEYMAN_BUDGET} * share) AS BIGINT) AS base_rows,
+               {NEYMAN_BUDGET} * share
+                 - FLOOR({NEYMAN_BUDGET} * share)    AS frac,
+               ROW_NUMBER() OVER (ORDER BY {NEYMAN_BUDGET} * share
+                 - FLOOR({NEYMAN_BUDGET} * share) DESC, stratum) AS rn
+        FROM shared
     )
     SELECT stratum, n_rows,
-           ROUND(weight / SUM(weight) OVER (), 6)     AS neyman_share,
-           CAST(FLOOR({NEYMAN_BUDGET} * weight
-                      / SUM(weight) OVER ()) AS BIGINT) AS allocated_rows
-    FROM scored ORDER BY stratum
+           ROUND(share, 6) AS neyman_share,
+           CAST(base_rows + CASE WHEN share IS NOT NULL
+                AND rn <= {NEYMAN_BUDGET} - CAST(SUM(base_rows) OVER ()
+                                                 AS BIGINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS allocated_rows
+    FROM floored ORDER BY stratum
     """,
 )
 def stratified_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +281,11 @@ def stratified_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(n·Σx² − (Σx)²) enters float through ONE identical
     cast-sqrt-divide tree on both engines, shares ROUND 6, and the
     integer allocation FLOORS the float (the r7s3 finding-#1 rule:
-    never bare-CAST a fractional double cross-engine).
+    never bare-CAST a fractional double cross-engine) then spends the
+    full budget by largest-remainder top-up (floors alone under-spend
+    by up to strata−1 rows); an all-zero-variance corpus yields NULL
+    shares/allocations on both engines (NULLIF-guarded), never a NaN
+    divergence.
 
     Scale shape: one fact scan folding to one row per stratum
     (map-side combinable moments); shares and allocations from a
@@ -286,22 +304,52 @@ def stratified_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sx"),
         F.expr(f"SUM({x_dec} * {x_dec})").alias("sxx"),
     )
+    # N_h·σ_h = sqrt(n·Σx² − (Σx)²) — the n_rows factors cancel
+    # algebraically (wave-2 finding #5: the ×n/÷n float round-trip was
+    # dead work and one more place for the engine trees to drift)
     weight = F.expr(
-        "CAST(n_rows AS DOUBLE)"
-        " * sqrt(CAST(sxx * CAST(n_rows AS DECIMAL(38,0))"
-        "         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
-        "         AS DOUBLE))"
-        " / CAST(n_rows AS DOUBLE)"
+        "sqrt(CAST(sxx * CAST(n_rows AS DECIMAL(38,0))"
+        "      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        "      AS DOUBLE))"
     )
     everything = Window.partitionBy(F.lit(1))
     scored = s.select("stratum", "n_rows", weight.alias("weight"))
+    # NULLIF guards the all-zero-variance corpus (share NULL on both
+    # engines instead of NaN-crash/NULL divergence — wave-2 finding
+    # #3); the largest-remainder pass spends the FULL budget (floors
+    # alone under-spend by up to strata−1 — wave-2 finding #4): the
+    # `leftover` strata with the largest fractional remainders get +1,
+    # frac ties broken by stratum so the top-up is total-ordered.
+    shared = scored.withColumn(
+        "share",
+        F.col("weight")
+        / F.expr("NULLIF(SUM(weight) OVER (PARTITION BY 1), 0)"),
+    )
+    floored = shared.select(
+        "stratum",
+        "n_rows",
+        "share",
+        F.floor(NEYMAN_BUDGET * F.col("share")).cast("long").alias("base_rows"),
+        (
+            NEYMAN_BUDGET * F.col("share")
+            - F.floor(NEYMAN_BUDGET * F.col("share"))
+        ).alias("frac"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("frac"), "stratum")),
+    )
+    leftover = F.lit(NEYMAN_BUDGET) - F.sum("base_rows").over(everything)
     return (
-        scored.withColumn("_tw", F.sum("weight").over(everything))
-        .select(
+        floored.select(
             "stratum",
             "n_rows",
-            F.round(F.col("weight") / F.col("_tw"), 6).alias("neyman_share"),
-            F.floor(NEYMAN_BUDGET * F.col("weight") / F.col("_tw"))
+            F.round("share", 6).alias("neyman_share"),
+            (
+                F.col("base_rows")
+                + F.when(
+                    F.col("share").isNotNull() & (F.col("rn") <= leftover), 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("allocated_rows"),
         )

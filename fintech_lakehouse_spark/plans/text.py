@@ -3027,6 +3027,18 @@ _BIGRAMS_OVER_TOKS = (
 )
 
 
+def _sql_bigrams(col: str) -> str:
+    """DuckDB twin of _BIGRAMS_OVER_TOKS over token-list column
+    ``col`` — shared by both vocabulary oracles so plan and oracle
+    (and the two oracles) cannot drift apart on the type unit (r7s3
+    review wave 2 finding #6). range(1, 0/neg) is empty in DuckDB, so
+    no short-doc guard is needed on this side."""
+    return (
+        f"list_transform(range(1, len({col})), "
+        f"i -> {col}[i] || ' ' || {col}[i + 1])"
+    )
+
+
 @register(
     "vocab_growth_curve",
     oracle=f"""
@@ -3044,8 +3056,7 @@ _BIGRAMS_OVER_TOKS = (
     tok_agg AS (
         SELECT token, MIN(doc_id) AS fd
         FROM (SELECT doc_id,
-                     unnest(list_transform(range(1, len(toks)),
-                            i -> toks[i] || ' ' || toks[i + 1])) AS token
+                     unnest({_sql_bigrams('toks')}) AS token
               FROM docs)
         GROUP BY token
     ),
@@ -3104,8 +3115,8 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial MIN (shuffle carries distinct tokens per partition, not
     occurrences — the vocab_top_tokens contract); each doc and each
     type is then assigned its FIRST checkpoint segment and aggregated
-    to {VOCAB_GROWTH_SEGMENTS} rows; the cumulative window runs on 8
-    rows. The doc-stats and first-occurrence branches are two
+    to {VOCAB_GROWTH_SEGMENTS} rows; the cumulative window runs on
+    that many rows. The doc-stats and first-occurrence branches are two
     consumers of the tokenized projection, so the corpus scans (and
     tokenizes) TWICE — at 100 TB persist the tokenized frame or
     accept the 2× (r7s3 review finding #6; Spark does not CSE across
@@ -3178,7 +3189,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hapax_vocabulary_profile",
-    oracle="""
+    oracle=f"""
     WITH docs AS (
         SELECT lang, regexp_extract_all(text, '[a-z0-9]+') AS t
         FROM documents
@@ -3186,8 +3197,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (
         SELECT lang, bg, COUNT(*) AS c
         FROM (SELECT lang,
-                     unnest(list_transform(range(1, len(t)),
-                            i -> t[i] || ' ' || t[i + 1])) AS bg
+                     unnest({_sql_bigrams('t')}) AS bg
               FROM docs)
         GROUP BY lang, bg
     )

@@ -1333,13 +1333,18 @@ def fold_gap_state(
     ``state`` = (last_us, min_gap_us, n, n_rapid), ``us_list`` = this
     batch's purchase epochs SORTED ascending.
 
-    Gaps BETWEEN the batch's own consecutive events always count
-    (they are true consecutive pairs regardless of how late the batch
-    is — r7s3 review finding #2: the per-event formulation dropped
-    every gap among multiple late events, missing genuinely rapid
-    pairs). Only the STATE BOUNDARY gap is skipped when the batch's
-    first event precedes the stored last epoch (cross-batch
-    disorder); a watermark-buffered variant would reorder instead."""
+    Gaps come from consecutive pairs of the MERGED sequence
+    (stored last epoch ∪ batch events) — r7s3 review wave 2 finding
+    #1: checking only the batch's FIRST event against the stored
+    epoch dropped the true boundary gap when a batch straddled it
+    (late event + new event in one batch) and paired two events the
+    stored one sits between. Merging handles in-order, all-late, and
+    straddling batches uniformly. Any merged pair that straddles
+    UNSEEN processed history (events already folded in earlier
+    batches) OVERESTIMATES the true gap, so min_gap/n_rapid are
+    conservative under disorder — reordering can suppress a rapid
+    flag, never fabricate one; a watermark-buffered variant would
+    reorder instead."""
     last_us, min_gap_us, n, n_rapid = state
 
     def feed(gap):
@@ -1350,12 +1355,11 @@ def fold_gap_state(
             n_rapid += 1
 
     if us_list:
-        if last_us is not None and us_list[0] >= last_us:
-            feed(us_list[0] - last_us)
-        for a, b in zip(us_list, us_list[1:]):
+        merged = us_list if last_us is None else sorted([last_us, *us_list])
+        for a, b in zip(merged, merged[1:]):
             feed(b - a)
         n += len(us_list)
-        last_us = us_list[-1] if last_us is None else max(last_us, us_list[-1])
+        last_us = merged[-1]
     return last_us, min_gap_us, n, n_rapid
 
 

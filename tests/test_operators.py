@@ -906,3 +906,44 @@ def test_neyman_allocation_zero_variance_stratum(spark, tmp_path):
     assert out["1-URGENT"]["allocated_rows"] == NEYMAN_BUDGET
     assert out["5-LOW"]["neyman_share"] == 0.0
     assert out["5-LOW"]["allocated_rows"] == 0
+    # the full budget is always spent (largest-remainder top-up)
+    assert sum(r["allocated_rows"] for r in out.values()) == NEYMAN_BUDGET
+
+
+def test_neyman_allocation_spends_budget_and_degenerate_null(
+    spark, tmp_path
+):
+    import pyspark.sql.functions as SF
+
+    from fintech_lakehouse_spark.plans.sampling import (
+        NEYMAN_BUDGET,
+        stratified_allocation_plan,
+    )
+
+    def write(path, rows):
+        spark.createDataFrame(
+            [(i, 1, "O", v, "1996-06-01", p) for i, (p, v) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, _d string, o_orderpriority string",
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            SF.to_timestamp("_d").alias("o_orderdate"), "o_orderpriority",
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    # three equal-weight strata: 1000/3 floors to 333 each — the
+    # remainder row must be topped up so the budget is spent exactly
+    rows = [
+        (p, v)
+        for p in ("1-URGENT", "3-MEDIUM", "5-LOW")
+        for v in (100.0, 300.0)
+    ]
+    write(tmp_path / "eq", rows)
+    out = stratified_allocation_plan(spark, str(tmp_path / "eq")).collect()
+    assert sum(r["allocated_rows"] for r in out) == NEYMAN_BUDGET
+    assert sorted(r["allocated_rows"] for r in out) == [333, 333, 334]
+    # degenerate: every stratum constant -> NULL shares/allocations
+    # (never a NaN crash/divergence)
+    write(tmp_path / "deg", [("1-URGENT", 100.0), ("5-LOW", 200.0)])
+    for r in stratified_allocation_plan(spark, str(tmp_path / "deg")).collect():
+        assert r["neyman_share"] is None
+        assert r["allocated_rows"] is None

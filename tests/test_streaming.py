@@ -1316,17 +1316,28 @@ def test_purchase_gap_monitor_equals_batch(spark, tmp_path):
 
 
 def test_fold_gap_state_late_batch_axes():
-    """r7s3 review finding #2: gaps among multiple late events in one
-    batch must count; only the state-boundary gap of a late batch is
-    skipped."""
+    """r7s3 review findings (waves 1+2): the fold works on the MERGED
+    (stored-last ∪ batch) sequence — late pairs count, straddling
+    batches keep the true boundary gap, and no pair skips over the
+    stored event."""
     from fintech_lakehouse_spark.streaming.events import fold_gap_state
 
-    # state last=100s; late batch [50s, 51s]: boundary skipped, the
-    # true 1 s gap between the late pair counts
+    # state last=100s; late batch [50s, 51s]: merged [50,51,100] —
+    # the 1 s late pair AND the 49 s late→stored gap both count
     last, mn, n, nr = fold_gap_state(
         (100_000_000, None, 1, 0), [50_000_000, 51_000_000], 7_200_000_000
     )
-    assert (last, mn, n, nr) == (100_000_000, 1_000_000, 3, 1)
+    assert (last, mn, n, nr) == (100_000_000, 1_000_000, 3, 2)
+    # STRADDLING batch (wave-2 finding #1): [50s, 150s] around the
+    # stored 100s — merged [50,100,150] yields gaps 50,50; the naive
+    # first-event check paired 50→150 (100 s) and missed the true
+    # 50 s boundary gap
+    last, mn, n, nr = fold_gap_state(
+        (100_000_000, None, 1, 0),
+        [50_000_000, 150_000_000],
+        60_000_000,
+    )
+    assert (last, mn, n, nr) == (150_000_000, 50_000_000, 3, 2)
     # in-order batch: boundary + internal gaps both count
     last, mn, n, nr = fold_gap_state(
         (100_000_000, None, 1, 0), [103_000_000, 104_000_000], 7_200_000_000
