@@ -1751,9 +1751,7 @@ def segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(
             "CAST(CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))"
             " * 1000 DIV CAST(n AS DECIMAL(18,0)) AS BIGINT)"
-        )
-        .cast("long")
-        .alias("expected_milli"),
+        ).alias("expected_milli"),
         F.round(
             F.expr(
                 "(CAST(d AS DOUBLE) * CAST(d AS DOUBLE))"

@@ -1377,9 +1377,11 @@ def purchase_gap_monitor(events: DataFrame) -> DataFrame:
     profile; the last row per user equals the batch
     purchase_gap_profile recomputation for in-order feeds
     (streaming≡batch test). Events sort by event time WITHIN each
-    invocation and batch-internal consecutive gaps always count; only
-    the state-boundary gap of a LATE batch is skipped (the
-    fold_gap_state contract — unit-tested on the late-batch axes).
+    invocation and gaps come from consecutive pairs of the MERGED
+    (stored-last ∪ batch) sequence; pairs straddling unseen processed
+    history overestimate the true gap, so disorder can only suppress
+    a rapid flag, never fabricate one (the fold_gap_state contract —
+    unit-tested on the late/straddle/in-order axes).
 
     Scale shape: state is 4 integers per user with at least one
     purchase; purchases are filtered BEFORE the groupBy so each
