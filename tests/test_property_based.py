@@ -760,3 +760,58 @@ def test_misra_gries_merge_property(data, m, n_chunks):
     for item, c in merged.items():
         assert c <= exact[item]
         assert exact[item] - c <= bound
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, t)
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 50),  # t (ties allowed)
+            st.integers(0, 99),  # payload
+        ),
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_nearest_join_matches_python_model(spark, left, right):
+    """nearest_join vs an independent model: for every left row, the
+    right row (same key) minimizing |Δt|, ties prefer the EARLIER
+    right time; right rows tied on (key, t) reduce to max(payload)
+    first; keys with no right rows yield NULLs."""
+    from fintech_lakehouse_spark.operators import nearest_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k int, t long, lid int",
+    )
+    rdf = spark.createDataFrame(right, "k int, t long, payload int")
+
+    # model: dedup tied rights by max payload, then nearest by
+    # (abs delta, earlier time)
+    dedup = {}
+    for k, t, p in right:
+        dedup[(k, t)] = max(dedup.get((k, t), -1), p)
+    by_key = {}
+    for (k, t), p in dedup.items():
+        by_key.setdefault(k, []).append((t, p))
+    expected = {}
+    for i, (k, t) in enumerate(left):
+        cands = by_key.get(k, [])
+        if not cands:
+            expected[i] = (None, None)
+        else:
+            rt, p = min(cands, key=lambda c: (abs(c[0] - t), c[0]))
+            expected[i] = (rt, p)
+
+    got = {
+        r["lid"]: (r["t_nearest"], r["payload_nearest"])
+        for r in nearest_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t"
+        ).collect()
+    }
+    assert got == expected
