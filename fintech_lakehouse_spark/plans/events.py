@@ -980,3 +980,82 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_1d_ppm"),
     )
+
+
+@register(
+    "event_burstiness_profile",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)   AS n_hours,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(MAX(x) AS BIGINT)     AS peak_hour_events
+        FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           CAST(sx AS BIGINT)                          AS n_events,
+           CAST((n_hours * sxx - sx * sx) * 1000000
+                // (n_hours * sx) AS BIGINT)           AS fano_ppm,
+           peak_hour_events,
+           CAST((n_hours * sxx - sx * sx) * 1000000
+                // (n_hours * sx) AS BIGINT) > 2000000 AS overdispersed
+    FROM m ORDER BY event_type
+    """,
+)
+def event_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of event arrivals per type — the
+    overdispersion diagnostic behind bot/incident detection (a Poisson
+    arrival process has variance ≈ mean, Fano ≈ 1; bots, retry storms,
+    and flash events push variance-to-mean far above it; a Fano well
+    below 1 means rate-limited/scheduled traffic). Per event type over
+    hourly buckets: hours observed, total events, the Fano factor in
+    exact floor-divided ppm, the busiest hour's count, and a > 2.0
+    overdispersion flag.
+
+    Determinism: Fano = var/mean telescopes to the single integer
+    quotient (n·Σx² − (Σx)²) · 1e6 DIV (n·Σx) over exact hourly
+    counts — the daily_order_autocorrelation moment algebra with the
+    division folded in; no float exists anywhere in the query. (Σx²
+    stays well inside int64 for any per-type hourly series shorter
+    than ~centuries; the chi²/Neyman DECIMAL widening applies when
+    bucket counts reach ~1e9.)
+
+    Moments run over ACTIVE hours only (no zero-densification): a
+    type that bursts once and stays silent shows up through
+    peak_hour_events and a low n_hours, not through the Fano —
+    densifying onto the full calendar (the daily_volume_anomaly
+    recipe) is the variant for silence-sensitive monitoring.
+
+    Scale shape: the fact scan folds to one row per (type, hour)
+    map-side; moments aggregate that calendar-bounded frame to one
+    row per type. Same cost profile as the drift monitor — at 100 TB
+    the hourly rollup is the only fact-scale work."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    fano = "(n_hours * sxx - sx * sx) * 1000000 DIV (n_hours * sx)"
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+            F.max("x").cast("long").alias("peak_hour_events"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("sx").alias("n_events"),
+            F.expr(fano).cast("long").alias("fano_ppm"),
+            "peak_hour_events",
+            (F.expr(fano) > 2_000_000).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -947,3 +947,36 @@ def test_neyman_allocation_spends_budget_and_degenerate_null(
     for r in stratified_allocation_plan(spark, str(tmp_path / "deg")).collect():
         assert r["neyman_share"] is None
         assert r["allocated_rows"] is None
+
+
+def test_fano_burstiness_constant_vs_bursty(spark, tmp_path):
+    """Constant hourly arrivals -> Fano 0; a spiky series -> the
+    hand-computed overdispersed Fano."""
+    from fintech_lakehouse_spark.plans.events import (
+        event_burstiness_profile,
+    )
+
+    rows, eid = [], 0
+    # 'view': exactly 3 events in each of 5 hours -> variance 0
+    for h in range(5):
+        for _ in range(3):
+            rows.append((eid, f"2024-01-01 {h:02d}:10:00", 1, "view"))
+            eid += 1
+    # 'click': hours [10,1,1,1,1] -> Fano = 324e6 DIV (5*14... ) hand:
+    # n=5, S=14, Sxx=104 -> (5*104-196)*1e6 DIV (5*14) = 4628571
+    counts = [10, 1, 1, 1, 1]
+    for h, k in enumerate(counts):
+        for _ in range(k):
+            rows.append((eid, f"2024-01-02 {h:02d}:20:00", 2, "click"))
+            eid += 1
+    TestR7S3Semantics._write_events(spark, tmp_path / "fano", rows)
+    out = {
+        r["event_type"]: r
+        for r in event_burstiness_profile(spark, str(tmp_path / "fano")).collect()
+    }
+    assert out["view"]["fano_ppm"] == 0
+    assert out["view"]["overdispersed"] is False
+    assert out["click"]["fano_ppm"] == (5 * 104 - 14 * 14) * 1_000_000 // (5 * 14)
+    assert out["click"]["fano_ppm"] == 4_628_571
+    assert out["click"]["overdispersed"] is True
+    assert out["click"]["peak_hour_events"] == 10
