@@ -1161,3 +1161,73 @@ def synthesize_mp4_sample_table(
     trak = box(b"trak", tkhd + mdia)
     ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
     return ftyp + box(b"moov", mvhd + trak)
+
+
+def read_mp4_frame_table(
+    payload: bytes,
+) -> tuple[int, list, list] | None:
+    """(media_timescale, per-frame decode deltas, per-frame byte
+    sizes) from the ISO-BMFF sample table — the PER-FRAME expansion of
+    :func:`read_mp4_sample_table`'s summary walk, feeding frame
+    SAMPLING (pick frame k → decode timestamp = Σ deltas[:k], byte
+    offset = Σ sizes[:k]) without decoding any payload. Expansion is
+    bounded by the sample count a caller already vets; quarantine-
+    not-crash like every parser here (None on malformed/truncated or
+    stts/stsz disagreement)."""
+    timescale = None
+    deltas: list | None = None
+    sizes: list | None = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal timescale, deltas, sizes
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return
+            body = payload[i + 8 : i + size]
+            if btype in _MP4_SAMPLE_CONTAINERS:
+                walk(i + 8, i + size)
+            elif btype == b"mdhd" and len(body) >= 4:
+                ver = body[0]
+                if ver == 1 and len(body) >= 4 + 16 + 12:
+                    timescale = int.from_bytes(body[20:24], "big")
+                elif ver == 0 and len(body) >= 4 + 8 + 8:
+                    timescale = int.from_bytes(body[12:16], "big")
+            elif btype == b"stts" and len(body) >= 8:
+                n_entries = int.from_bytes(body[4:8], "big")
+                if len(body) < 8 + 8 * n_entries:
+                    return
+                out: list = []
+                for e in range(n_entries):
+                    c = int.from_bytes(body[8 + 8 * e : 12 + 8 * e], "big")
+                    d = int.from_bytes(body[12 + 8 * e : 16 + 8 * e], "big")
+                    out.extend([d] * c)
+                deltas = out
+            elif btype == b"stsz" and len(body) >= 12:
+                uniform = int.from_bytes(body[4:8], "big")
+                n = int.from_bytes(body[8:12], "big")
+                if uniform:
+                    sizes = [uniform] * n
+                else:
+                    if len(body) < 12 + 4 * n:
+                        return
+                    sizes = [
+                        int.from_bytes(body[12 + 4 * e : 16 + 4 * e], "big")
+                        for e in range(n)
+                    ]
+            i += size
+
+    if not payload or len(payload) < 16:
+        return None
+    walk(0, len(payload))
+    if (
+        timescale is None
+        or not timescale
+        or deltas is None
+        or sizes is None
+        or len(deltas) != len(sizes)
+    ):
+        return None
+    return timescale, deltas, sizes

@@ -490,3 +490,127 @@ def mp4_sample_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+FRAME_SAMPLE_K = 4
+
+
+@register(
+    "video_frame_sample_manifest",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id,
+               24 + doc_id % 96 AS n,
+               CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END
+                   AS fps,
+               400 + doc_id % 100 AS base,
+               doc_id % 4 = 0 AS uniform
+        FROM documents WHERE doc_id < 150
+    ),
+    picked AS (
+        SELECT p.doc_id, p.n, p.fps, p.base, p.uniform,
+               CAST(j.j AS BIGINT)            AS sample_slot,
+               (j.j * p.n) // {FRAME_SAMPLE_K} AS idx
+        FROM params p CROSS JOIN range({FRAME_SAMPLE_K}) j(j)
+    )
+    SELECT doc_id AS asset_id, sample_slot,
+           CAST(idx AS BIGINT) AS frame_index,
+           CAST(idx * (12800 // fps) * 1000 // 12800 AS BIGINT)
+               AS decode_ts_ms,
+           CAST(CASE WHEN uniform THEN idx * base
+                ELSE base * idx + (idx // 7) * 21
+                     + ((idx % 7) * ((idx % 7) - 1)) // 2
+                END AS BIGINT) AS byte_offset,
+           CAST(CASE WHEN uniform THEN base
+                ELSE base + idx % 7 END AS BIGINT) AS frame_bytes
+    FROM picked
+    ORDER BY asset_id, sample_slot
+    """,
+)
+def video_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME SAMPLING — the video op the multimodal brief names next
+    to decode/resize: pick {FRAME_SAMPLE_K} uniformly-spaced frames
+    per video (index ⌊j·n/{FRAME_SAMPLE_K}⌋) and emit the manifest a
+    downstream frame decoder consumes — frame index, decode timestamp
+    (ms), byte OFFSET into the media data, and frame size — all read
+    from the REAL ISO-BMFF sample table (stts run-length decode
+    times + stsz sizes, functions/multimodal.py::
+    read_mp4_frame_table), never by decoding payloads (codec-bound
+    seam). This is exactly how production frame samplers work: the
+    sample table tells you where to seek, so you fetch K frames'
+    bytes instead of the whole file.
+
+    Driver-checkable by the fact-40 recipe: payloads synthesize with
+    metadata PROGRAMMED from the key, the manifest is recovered by
+    the real parser, and the oracle predicts every value
+    arithmetically — offsets via the closed form of Σ(base + m%7)
+    over m < idx (21 per full 7-cycle + the r(r−1)/2 partial).
+
+    Scale shape: one scan + one Arrow-batched mapInPandas stage, zero
+    Exchange (the multimodal roundtrip contract); output is
+    K×|videos|."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("sample_slot", LongType(), False),
+            StructField("frame_index", LongType(), True),
+            StructField("decode_ts_ms", LongType(), True),
+            StructField("byte_offset", LongType(), True),
+            StructField("frame_bytes", LongType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_frame_table,
+            synthesize_mp4_sample_table,
+        )
+
+        for pdf in iterator:
+            rows = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "sample_slot",
+                    "frame_index",
+                    "decode_ts_ms",
+                    "byte_offset",
+                    "frame_bytes",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payload = synthesize_mp4_sample_table(
+                    n_samples=24 + i % 96,
+                    fps=(24, 25, 30)[i % 3],
+                    base_sample_bytes=400 + i % 100,
+                    uniform=i % 4 == 0,
+                )
+                parsed = read_mp4_frame_table(payload)
+                for j in range(FRAME_SAMPLE_K):
+                    rows["asset_id"].append(i)
+                    rows["sample_slot"].append(j)
+                    if parsed is None:
+                        for k in list(rows)[2:]:
+                            rows[k].append(None)
+                        continue
+                    ts, deltas, sizes = parsed
+                    idx = (j * len(sizes)) // FRAME_SAMPLE_K
+                    rows["frame_index"].append(idx)
+                    rows["decode_ts_ms"].append(
+                        sum(deltas[:idx]) * 1000 // ts
+                    )
+                    rows["byte_offset"].append(sum(sizes[:idx]))
+                    rows["frame_bytes"].append(sizes[idx])
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return (
+        documents.select("doc_id")
+        .mapInPandas(batches, schema)
+        .orderBy("asset_id", "sample_slot")
+    )

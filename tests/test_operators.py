@@ -980,3 +980,29 @@ def test_fano_burstiness_constant_vs_bursty(spark, tmp_path):
     assert out["click"]["fano_ppm"] == 4_628_571
     assert out["click"]["overdispersed"] is True
     assert out["click"]["peak_hour_events"] == 10
+
+
+def test_mp4_frame_table_consistent_with_summary_walk():
+    """The per-frame expansion must agree with the summary walk on
+    every synthesized parameterization: frame count, byte sum, and
+    duration reconcile exactly."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp4_frame_table,
+        read_mp4_sample_table,
+        synthesize_mp4_sample_table,
+    )
+
+    for n, fps, base, uniform in [
+        (24, 24, 400, True),
+        (25, 25, 450, False),
+        (119, 30, 499, False),
+        (1, 24, 400, False),
+    ]:
+        p = synthesize_mp4_sample_table(
+            n_samples=n, fps=fps, base_sample_bytes=base, uniform=uniform
+        )
+        n_s, dur, nbytes, ts_s = read_mp4_sample_table(p)
+        ts, deltas, sizes = read_mp4_frame_table(p)
+        assert ts == ts_s and len(deltas) == len(sizes) == n_s == n
+        assert sum(sizes) == nbytes
+        assert sum(deltas) // ts == dur

@@ -597,6 +597,11 @@ def test_media_header_parsers_never_crash(payload):
         read_png_header,
     )
 
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp4_frame_table,
+        read_mp4_sample_table,
+    )
+
     for parser in (
         read_jpeg_header,
         read_mp4_header,
@@ -604,6 +609,8 @@ def test_media_header_parsers_never_crash(payload):
         read_bmp_header,
         read_netpbm_header,
         read_png_header,
+        read_mp4_sample_table,
+        read_mp4_frame_table,
     ):
         out = parser(payload)
         assert out is None or isinstance(out, tuple)
