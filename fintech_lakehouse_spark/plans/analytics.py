@@ -1767,3 +1767,110 @@ def segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             " * CAST(n AS DECIMAL(38,0))"
         ).alias("residual_flag"),
     ).orderBy("segment", "priority")
+
+
+CAT_DRIFT_FLAG_PPM = 50_000  # total variation > 5% warrants review
+
+
+@register(
+    "priority_mix_drift_tvd",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+        SELECT priority, n_before, n_after,
+               CAST(SUM(n_before) OVER () AS BIGINT) AS t_b,
+               CAST(SUM(n_after) OVER () AS BIGINT)  AS t_a
+        FROM counts
+    ),
+    d AS (
+        SELECT priority, n_before, n_after,
+               CAST(n_before * 1000000 // t_b AS BIGINT) AS share_before_ppm,
+               CAST(n_after * 1000000 // t_a AS BIGINT)  AS share_after_ppm,
+               CAST(abs(n_before * t_a - n_after * t_b) * 1000000
+                    // (t_b * t_a) AS BIGINT)            AS abs_delta_ppm,
+               CAST(SUM(abs(n_before * t_a - n_after * t_b)) OVER ()
+                    * 1000000 // (2 * t_b * t_a) AS BIGINT) AS tvd_ppm
+        FROM t
+    )
+    SELECT priority, n_before, n_after, share_before_ppm,
+           share_after_ppm, abs_delta_ppm, tvd_ppm,
+           tvd_ppm > {CAT_DRIFT_FLAG_PPM} AS drift_flag
+    FROM d ORDER BY priority
+    """,
+)
+def priority_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL drift monitor — the mix-shift companion of
+    order_price_drift_tvd (that one bins a NUMERIC column; this one
+    compares the category DISTRIBUTION itself, the population-
+    stability check every scoring-model owner runs on segment/channel
+    mixes): per order priority, before/after counts and shares across
+    the {DRIFT_SPLIT} split, the per-category share delta, and the
+    corpus-level total-variation distance with a
+    > {CAT_DRIFT_FLAG_PPM} ppm review flag.
+
+    Determinism: the same cross-multiplied exact-integer TVD as the
+    numeric monitor — |n_b·t_a − n_a·t_b|·1e6 DIV (2·t_b·t_a) — no
+    float anywhere; the category-count products stay far inside int64
+    for any per-category count × total under ~3e9 (the chi² DECIMAL
+    widening applies beyond).
+
+    Scale shape: ONE conditional-aggregate scan to the
+    |categories|-bounded frame; totals and the TVD are windows over
+    that frame (never a second scan — the fact-20 window-totals
+    rule). Periods partition-prune at scale exactly like the numeric
+    monitor."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.sum(
+            (F.col("o_orderdate") < F.lit(DRIFT_SPLIT).cast("timestamp"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_before"),
+        F.sum(
+            (F.col("o_orderdate") >= F.lit(DRIFT_SPLIT).cast("timestamp"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_after"),
+    )
+    everything = Window.partitionBy(F.lit(1))
+    t = counts.select(
+        "priority",
+        "n_before",
+        "n_after",
+        F.sum("n_before").over(everything).cast("long").alias("t_b"),
+        F.sum("n_after").over(everything).cast("long").alias("t_a"),
+    )
+    d = t.select(
+        "priority",
+        "n_before",
+        "n_after",
+        F.expr("n_before * 1000000 DIV t_b").cast("long").alias(
+            "share_before_ppm"
+        ),
+        F.expr("n_after * 1000000 DIV t_a").cast("long").alias(
+            "share_after_ppm"
+        ),
+        F.expr("abs(n_before * t_a - n_after * t_b) * 1000000 DIV (t_b * t_a)")
+        .cast("long")
+        .alias("abs_delta_ppm"),
+        F.expr(
+            "SUM(abs(n_before * t_a - n_after * t_b)) OVER"
+            " (PARTITION BY 1) * 1000000 DIV (2 * t_b * t_a)"
+        )
+        .cast("long")
+        .alias("tvd_ppm"),
+    )
+    return d.select(
+        "*", (F.col("tvd_ppm") > CAT_DRIFT_FLAG_PPM).alias("drift_flag")
+    ).orderBy("priority")

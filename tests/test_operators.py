@@ -1006,3 +1006,36 @@ def test_mp4_frame_table_consistent_with_summary_walk():
         assert ts == ts_s and len(deltas) == len(sizes) == n_s == n
         assert sum(sizes) == nbytes
         assert sum(deltas) // ts == dur
+
+
+def test_priority_mix_drift_bounds(spark, tmp_path):
+    """Identical mixes -> TVD 0; fully swapped mixes -> TVD 1e6 ppm
+    (the same bounds pin the numeric monitor carries)."""
+    import pyspark.sql.functions as SF
+
+    from fintech_lakehouse_spark.plans.analytics import (
+        priority_mix_drift_tvd,
+    )
+
+    def write(path, rows):
+        spark.createDataFrame(
+            [(i, 1, "O", 100.0, d, p) for i, (d, p) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, _d string, o_orderpriority string",
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            SF.to_timestamp("_d").alias("o_orderdate"), "o_orderpriority",
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    # identical mix before/after the 1998-01-01 split
+    same = [(d, p) for d in ("1996-06-01", "1999-06-01")
+            for p in ("1-URGENT", "5-LOW") for _ in range(10)]
+    write(tmp_path / "same", same)
+    rows = priority_mix_drift_tvd(spark, str(tmp_path / "same")).collect()
+    assert all(r["tvd_ppm"] == 0 and r["drift_flag"] is False for r in rows)
+    # disjoint: URGENT only before, LOW only after
+    disj = [("1996-06-01", "1-URGENT")] * 10 + [("1999-06-01", "5-LOW")] * 10
+    write(tmp_path / "disj", disj)
+    rows = priority_mix_drift_tvd(spark, str(tmp_path / "disj")).collect()
+    assert all(r["tvd_ppm"] == 1_000_000 and r["drift_flag"] is True
+               for r in rows)
