@@ -1827,19 +1827,22 @@ def priority_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule). Periods partition-prune at scale exactly like the numeric
     monitor."""
     orders = load_table(spark, sf_dir, "orders")
+    # when().otherwise(0), NOT a bare boolean cast: a category whose
+    # dates are all NULL would SUM to NULL (three-valued <) while the
+    # oracle's CASE yields 0 — the row would silently drop out of the
+    # window TVD (r7s3 review wave 4 finding #1; unreachable on
+    # TPC-H's NOT NULL dates, hardened anyway). The share/TVD algebra
+    # deliberately mirrors drift_readout (plans/analytics.py) — keep
+    # the two in lockstep; here *_before/*_after naming replaces its
+    # a/b suffixes.
+    split_ts = F.lit(DRIFT_SPLIT).cast("timestamp")
     counts = orders.groupBy(
         F.col("o_orderpriority").alias("priority")
     ).agg(
-        F.sum(
-            (F.col("o_orderdate") < F.lit(DRIFT_SPLIT).cast("timestamp"))
-            .cast("long")
-        )
+        F.sum(F.when(F.col("o_orderdate") < split_ts, 1).otherwise(0))
         .cast("long")
         .alias("n_before"),
-        F.sum(
-            (F.col("o_orderdate") >= F.lit(DRIFT_SPLIT).cast("timestamp"))
-            .cast("long")
-        )
+        F.sum(F.when(F.col("o_orderdate") >= split_ts, 1).otherwise(0))
         .cast("long")
         .alias("n_after"),
     )
@@ -1848,25 +1851,28 @@ def priority_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         "n_before",
         "n_after",
-        F.sum("n_before").over(everything).cast("long").alias("t_b"),
-        F.sum("n_after").over(everything).cast("long").alias("t_a"),
+        F.sum("n_before").over(everything).cast("long").alias("t_before"),
+        F.sum("n_after").over(everything).cast("long").alias("t_after"),
     )
     d = t.select(
         "priority",
         "n_before",
         "n_after",
-        F.expr("n_before * 1000000 DIV t_b").cast("long").alias(
+        F.expr("n_before * 1000000 DIV t_before").cast("long").alias(
             "share_before_ppm"
         ),
-        F.expr("n_after * 1000000 DIV t_a").cast("long").alias(
+        F.expr("n_after * 1000000 DIV t_after").cast("long").alias(
             "share_after_ppm"
         ),
-        F.expr("abs(n_before * t_a - n_after * t_b) * 1000000 DIV (t_b * t_a)")
+        F.expr(
+            "abs(n_before * t_after - n_after * t_before) * 1000000"
+            " DIV (t_before * t_after)"
+        )
         .cast("long")
         .alias("abs_delta_ppm"),
         F.expr(
-            "SUM(abs(n_before * t_a - n_after * t_b)) OVER"
-            " (PARTITION BY 1) * 1000000 DIV (2 * t_b * t_a)"
+            "SUM(abs(n_before * t_after - n_after * t_before)) OVER"
+            " (PARTITION BY 1) * 1000000 DIV (2 * t_before * t_after)"
         )
         .cast("long")
         .alias("tvd_ppm"),

@@ -1032,10 +1032,12 @@ def test_priority_mix_drift_bounds(spark, tmp_path):
             for p in ("1-URGENT", "5-LOW") for _ in range(10)]
     write(tmp_path / "same", same)
     rows = priority_mix_drift_tvd(spark, str(tmp_path / "same")).collect()
+    assert len(rows) == 2
     assert all(r["tvd_ppm"] == 0 and r["drift_flag"] is False for r in rows)
     # disjoint: URGENT only before, LOW only after
     disj = [("1996-06-01", "1-URGENT")] * 10 + [("1999-06-01", "5-LOW")] * 10
     write(tmp_path / "disj", disj)
     rows = priority_mix_drift_tvd(spark, str(tmp_path / "disj")).collect()
+    assert len(rows) == 2
     assert all(r["tvd_ppm"] == 1_000_000 and r["drift_flag"] is True
                for r in rows)
