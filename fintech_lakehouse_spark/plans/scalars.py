@@ -376,3 +376,80 @@ def collated_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_parts") > 1)
         .select("canonical_name", "n_parts")
     )
+
+
+BAND_EDGES = [("high", 200_000.0, 1e12), ("low", 0.0, 50_000.0),
+              ("mid", 50_000.0, 200_000.0)]
+
+
+@register(
+    "sql_udf_band_report",
+    oracle=f"""
+    WITH edges(band, lo, hi) AS (VALUES
+        {", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in BAND_EDGES)}),
+    banded AS (
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 200000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               o_totalprice
+        FROM orders
+    )
+    SELECT b.band AS band,
+           CAST(e.lo AS DOUBLE)  AS band_lo,
+           CAST(e.hi AS DOUBLE)  AS band_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE)       AS total_value
+    FROM banded b JOIN edges e ON b.band = e.band
+    GROUP BY b.band, e.lo, e.hi
+    ORDER BY b.band
+    """,
+)
+def sql_udf_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 CREATE FUNCTION — the last
+    member of the §2.8 modern-SQL gallery next to pipe syntax,
+    collation, VARIANT, recursive CTEs, and SQL scripting): a SCALAR
+    SQL UDF classifies each order into a value band, and a SQL TABLE
+    FUNCTION serves the band-edge dimension the report joins back —
+    both defined in pure SQL (CREATE ... RETURNS ... RETURN), no
+    Python or JVM code, which is how analysts package reusable logic
+    in a lakehouse without shipping jars. Catalyst INLINES the
+    function bodies at plan time, so the report plans exactly like
+    the hand-written CASE + VALUES join (no black-box call overhead —
+    the reason SQL UDFs beat script UDFs at 100 TB).
+
+    The oracle inlines both bodies (DuckDB's CREATE MACRO equivalent
+    would work too; inlining keeps the twin self-contained). Money
+    totals via the exact-decimal dsum rule; band edges are literal
+    doubles rendered identically on both engines."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_band(p DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'low'"
+        " WHEN p < 200000 THEN 'mid' ELSE 'high' END"
+    )
+    edge_rows = ", ".join(
+        f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in BAND_EDGES
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION band_edges()"
+        " RETURNS TABLE(band STRING, lo DOUBLE, hi DOUBLE)"
+        f" RETURN SELECT * FROM VALUES {edge_rows} AS t(band, lo, hi)"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_sql_udf_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o.band,
+               CAST(e.lo AS DOUBLE) AS band_lo,
+               CAST(e.hi AS DOUBLE) AS band_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM (SELECT order_band(o_totalprice) AS band, o_totalprice
+              FROM _sql_udf_orders) o
+        JOIN band_edges() e ON o.band = e.band
+        GROUP BY o.band, e.lo, e.hi
+        ORDER BY band
+        """
+    )

@@ -1154,3 +1154,14 @@ def test_r7s3_plan_shapes_2(spark, sf_dir):
     plan = _plan(QUERIES["l_diversity_audit"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_sql_udf_bodies_inline(spark, sf_dir):
+    """CREATE FUNCTION bodies must INLINE at plan time — the physical
+    plan carries the CASE expression and a LocalTableScan for the
+    table function, never a named UDF call (the property that makes
+    SQL UDFs free at scale, unlike script UDFs)."""
+    plan = _plan(QUERIES["sql_udf_band_report"](spark, sf_dir))
+    assert "order_band" not in plan and "band_edges" not in plan
+    assert "CASE WHEN" in plan
+    assert "LocalTableScan" in plan and "BroadcastHashJoin" in plan
