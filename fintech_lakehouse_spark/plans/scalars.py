@@ -453,3 +453,51 @@ def sql_udf_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY band
         """
     )
+
+
+PARAM_THRESHOLD = 300_000.0
+
+
+@register(
+    "parameterized_query_report",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_totalprice > {PARAM_THRESHOLD!r}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def parameterized_query_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers +
+    IDENTIFIER() — the injection-safe way to template queries, and
+    the API surface every SQL-generating service should use instead
+    of string interpolation): the table name binds through
+    IDENTIFIER(:tbl) and the value threshold through :threshold, both
+    as spark.sql(..., args=...) parameters — neither ever enters the
+    SQL text. Catalyst resolves the markers at parse time, so the
+    plan is byte-identical to the inlined query (filter pushed to the
+    scan) — parameterization is free.
+
+    The oracle inlines the same literal values (the parameter
+    MECHANISM is Spark-side; the driver hash pins that binding
+    produces exactly the inlined semantics)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_param_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :threshold
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "_param_orders", "threshold": PARAM_THRESHOLD},
+    )
