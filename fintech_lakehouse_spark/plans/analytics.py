@@ -1880,3 +1880,140 @@ def priority_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "*", (F.col("tvd_ppm") > CAT_DRIFT_FLAG_PPM).alias("drift_flag")
     ).orderBy("priority")
+
+
+ISO_BITS = 12  # 12 bits per dimension -> 24-bit Morton key
+ISO_VALUE_BUCKET = 16_384  # cents per value cell (max ~5e7 -> <4096)
+ISO_EPOCH = "1995-01-01"
+ISO_TOP = 20
+ISO_NOT_ISOLATED = 2 * ISO_BITS + 1  # sentinel: exact-duplicate cell
+
+
+def _morton_sql(x: str, y: str, div: str) -> str:
+    """Interleave the low ISO_BITS of x and y into a Morton key using
+    only DIV/%/*/+ (identical arithmetic on both engines; ``div`` is
+    'DIV' for Spark, '//' for DuckDB)."""
+    terms = []
+    for j in range(ISO_BITS):
+        terms.append(f"(({x} {div} {2 ** j}) % 2) * {2 ** (2 * j)}")
+        terms.append(f"(({y} {div} {2 ** j}) % 2) * {2 ** (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "order_isolation_anomalies",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS value_cents,
+               CAST(datediff('day', DATE '{ISO_EPOCH}',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx
+        FROM orders
+    ),
+    keyed AS (
+        SELECT o_orderkey, value_cents, day_idx,
+               CAST({_morton_sql(f"(value_cents // {ISO_VALUE_BUCKET})",
+                                 "day_idx", "//")} AS BIGINT) AS m
+        FROM pts
+    ),
+    lvl AS (
+        SELECT k.o_orderkey, k.value_cents, k.day_idx,
+               CAST(l.l AS BIGINT) AS l,
+               k.m // CAST(power(2, {2 * ISO_BITS} - l.l) AS BIGINT)
+                   AS prefix
+        FROM keyed k CROSS JOIN range(1, {2 * ISO_BITS + 1}) l(l)
+    ),
+    cnt AS (
+        SELECT l, prefix, COUNT(*) AS n FROM lvl GROUP BY l, prefix
+    ),
+    iso AS (
+        SELECT v.o_orderkey, v.value_cents, v.day_idx,
+               COALESCE(MIN(CASE WHEN c.n = 1 THEN v.l END),
+                        {ISO_NOT_ISOLATED}) AS iso_depth
+        FROM lvl v JOIN cnt c ON v.l = c.l AND v.prefix = c.prefix
+        GROUP BY v.o_orderkey, v.value_cents, v.day_idx
+    )
+    SELECT o_orderkey, value_cents, day_idx,
+           CAST(iso_depth AS BIGINT) AS iso_depth
+    FROM iso
+    ORDER BY iso_depth, o_orderkey
+    LIMIT {ISO_TOP}
+    """,
+)
+def order_isolation_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-depth anomaly scoring over (order value, order day) —
+    the isolation-forest IDEA (Liu et al. 2008: anomalies isolate in
+    FEW splits) made exactly deterministic: dyadic splits alternate
+    between the two dimensions, which is precisely the bit order of a
+    Morton key (reusing the Z-order clustering insight from
+    write_zordered_table), so a point's isolation depth is the
+    shallowest Morton-prefix level at which it sits ALONE. Orders
+    isolated at shallow depth are far from everything in value×time —
+    the {ISO_TOP} most isolated are reported (total (depth, orderkey)
+    order). Unlike the per-feature outlier screens (MAD, Benford,
+    histogram), this flags JOINT anomalies — a mundane value on a
+    mundane day never isolates early, a mid-value order in a dead week
+    does.
+
+    Determinism: the Morton key is pure integer DIV/%/arithmetic over
+    exact cents and day indices (generated by the same Python for
+    both engines — no bit-op dialect drift); prefix counts are exact;
+    exact-duplicate cells never isolate and take the
+    {ISO_NOT_ISOLATED} sentinel.
+
+    Scale shape: one scan → a ×{2 * ISO_BITS} level explode (rows ×
+    levels, the doc_chunk_manifest multiplier pattern) → map-side-
+    combined (level, prefix) counts → join back on the same key →
+    per-order MIN. Prefix-count cardinality is bounded by 2^level per
+    level regardless of corpus size; at 100 TB the level explode is
+    the honest cost and the per-level counts stay broadcast-small for
+    shallow levels (where anomalies live) — a production variant
+    prunes levels with no singleton cells early."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        (money("o_totalprice") * 100).cast("long").alias("value_cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit(ISO_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+    )
+    keyed = pts.withColumn(
+        "m",
+        F.expr(
+            _morton_sql(
+                f"(value_cents DIV {ISO_VALUE_BUCKET})", "day_idx", "DIV"
+            )
+        ).cast("long"),
+    )
+    lvl = keyed.select(
+        "o_orderkey",
+        "value_cents",
+        "day_idx",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(2 * ISO_BITS))
+        ).alias("l"),
+        "m",
+    ).select(
+        "o_orderkey",
+        "value_cents",
+        "day_idx",
+        F.col("l").cast("long").alias("l"),
+        F.expr(f"m DIV CAST(power(2, {2 * ISO_BITS} - l) AS BIGINT)").alias(
+            "prefix"
+        ),
+    )
+    cnt = lvl.groupBy("l", "prefix").agg(F.count(F.lit(1)).alias("n"))
+    iso = (
+        lvl.join(cnt, ["l", "prefix"])
+        .groupBy("o_orderkey", "value_cents", "day_idx")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("n") == 1, F.col("l"))),
+                F.lit(ISO_NOT_ISOLATED),
+            )
+            .cast("long")
+            .alias("iso_depth")
+        )
+    )
+    return iso.orderBy("iso_depth", "o_orderkey").limit(ISO_TOP)

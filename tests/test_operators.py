@@ -1041,3 +1041,38 @@ def test_priority_mix_drift_bounds(spark, tmp_path):
     assert len(rows) == 2
     assert all(r["tvd_ppm"] == 1_000_000 and r["drift_flag"] is True
                for r in rows)
+
+
+def test_isolation_anomaly_planted_outlier(spark, tmp_path):
+    """A far-away (value, day) point isolates at a SHALLOW depth and
+    ranks first; clustered points isolate deep; exact duplicates never
+    isolate (sentinel depth)."""
+    import pyspark.sql.functions as SF
+
+    from fintech_lakehouse_spark.plans.analytics import (
+        ISO_NOT_ISOLATED,
+        order_isolation_anomalies,
+    )
+
+    rows = [(i, "1996-06-01", 100.0 + i) for i in range(30)]
+    rows.append((100, "2000-01-01", 400_000.0))   # joint outlier
+    rows.append((101, "1996-06-01", 150.0))       # duplicate pair...
+    rows.append((102, "1996-06-01", 150.0))       # ...same cell forever
+    spark.createDataFrame(
+        [(i, 1, "O", v, d, "1-URGENT") for i, d, v in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, _d string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        SF.to_timestamp("_d").alias("o_orderdate"), "o_orderpriority",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/iso/orders.parquet")
+    out = order_isolation_anomalies(spark, str(tmp_path / "iso")).collect()
+    assert out[0]["o_orderkey"] == 100  # the planted outlier ranks first
+    depths = {r["o_orderkey"]: r["iso_depth"] for r in out}
+    assert depths[100] < min(
+        d for k, d in depths.items() if k != 100
+    )
+    # the duplicated (value, day) pair carries the sentinel if sampled
+    for k in (101, 102):
+        if k in depths:
+            assert depths[k] == ISO_NOT_ISOLATED
