@@ -1911,11 +1911,17 @@ def _morton_sql(x: str, y: str, div: str) -> str:
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx
         FROM orders
     ),
+    clamped AS (
+        SELECT o_orderkey, value_cents, day_idx,
+               LEAST(GREATEST(value_cents // {ISO_VALUE_BUCKET}, 0),
+                     {2 ** ISO_BITS - 1}) AS cx,
+               LEAST(GREATEST(day_idx, 0), {2 ** ISO_BITS - 1}) AS cy
+        FROM pts
+    ),
     keyed AS (
         SELECT o_orderkey, value_cents, day_idx,
-               CAST({_morton_sql(f"(value_cents // {ISO_VALUE_BUCKET})",
-                                 "day_idx", "//")} AS BIGINT) AS m
-        FROM pts
+               CAST({_morton_sql("cx", "cy", "//")} AS BIGINT) AS m
+        FROM clamped
     ),
     lvl AS (
         SELECT k.o_orderkey, k.value_cents, k.day_idx,
@@ -1962,14 +1968,15 @@ def order_isolation_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate cells never isolate and take the
     {ISO_NOT_ISOLATED} sentinel.
 
-    Scale shape: one scan → a ×{2 * ISO_BITS} level explode (rows ×
-    levels, the doc_chunk_manifest multiplier pattern) → map-side-
-    combined (level, prefix) counts → join back on the same key →
-    per-order MIN. Prefix-count cardinality is bounded by 2^level per
-    level regardless of corpus size; at 100 TB the level explode is
-    the honest cost and the per-level counts stay broadcast-small for
-    shallow levels (where anomalies live) — a production variant
-    prunes levels with no singleton cells early."""
+    Scale shape: the scan + Morton + ×{2 * ISO_BITS} level explode
+    subtree feeds TWO consumers (the (level, prefix) counts and the
+    join probe) whose exchanges differ, so it computes twice — the
+    honest cost (an explicit shared repartition is the fact-20 lever,
+    but AQE broadcasting the tiny count side breaks its reuse, the
+    brand_pair_association lesson — A/B before adding). Prefix-count
+    cardinality is bounded by 2^level per level regardless of corpus
+    size; at 100 TB a production variant prunes levels with no
+    singleton cells early."""
     orders = load_table(spark, sf_dir, "orders")
     pts = orders.select(
         "o_orderkey",
@@ -1978,14 +1985,24 @@ def order_isolation_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_idx"),
     )
+    # clamp both coordinates into the 12-bit window on BOTH engines:
+    # out-of-domain values pile into the edge cells deterministically
+    # instead of bit-aliasing into arbitrary interior cells (r7s3
+    # review wave 5 finding #1 — the lake stays in-bounds today, but
+    # aliasing would be invisible to the oracle since both engines
+    # share the arithmetic)
     keyed = pts.withColumn(
-        "m",
+        "cx",
         F.expr(
-            _morton_sql(
-                f"(value_cents DIV {ISO_VALUE_BUCKET})", "day_idx", "DIV"
-            )
-        ).cast("long"),
-    )
+            f"LEAST(GREATEST(value_cents DIV {ISO_VALUE_BUCKET}, 0),"
+            f" {2 ** ISO_BITS - 1})"
+        ),
+    ).withColumn(
+        "cy",
+        F.expr(f"LEAST(GREATEST(day_idx, 0), {2 ** ISO_BITS - 1})"),
+    ).withColumn(
+        "m", F.expr(_morton_sql("cx", "cy", "DIV")).cast("long")
+    ).drop("cx", "cy")
     lvl = keyed.select(
         "o_orderkey",
         "value_cents",

@@ -382,15 +382,25 @@ BAND_EDGES = [("high", 200_000.0, 1e12), ("low", 0.0, 50_000.0),
               ("mid", 50_000.0, 200_000.0)]
 
 
+def _band_case(col: str) -> str:
+    """Render the banding CASE from BAND_EDGES — the ONE source of
+    truth shared by the SQL UDF body and the oracle (r7s3 review
+    wave 5 finding #3: three hand-written CASE copies could silently
+    desync from the edge table while both engines kept agreeing)."""
+    ordered = sorted(BAND_EDGES, key=lambda e: e[1])
+    whens = " ".join(
+        f"WHEN {col} < {hi!r} THEN '{band}'" for band, _, hi in ordered[:-1]
+    )
+    return f"CASE {whens} ELSE '{ordered[-1][0]}' END"
+
+
 @register(
     "sql_udf_band_report",
     oracle=f"""
     WITH edges(band, lo, hi) AS (VALUES
         {", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in BAND_EDGES)}),
     banded AS (
-        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
-                    WHEN o_totalprice < 200000 THEN 'mid'
-                    ELSE 'high' END AS band,
+        SELECT {_band_case('o_totalprice')} AS band,
                o_totalprice
         FROM orders
     )
@@ -424,8 +434,7 @@ def sql_udf_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles rendered identically on both engines."""
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION order_band(p DOUBLE)"
-        " RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'low'"
-        " WHEN p < 200000 THEN 'mid' ELSE 'high' END"
+        f" RETURNS STRING RETURN {_band_case('p')}"
     )
     edge_rows = ", ".join(
         f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in BAND_EDGES

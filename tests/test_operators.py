@@ -1054,10 +1054,14 @@ def test_isolation_anomaly_planted_outlier(spark, tmp_path):
         order_isolation_anomalies,
     )
 
-    rows = [(i, "1996-06-01", 100.0 + i) for i in range(30)]
+    # cluster keys start at 10 so the low-keyed duplicate pair (1, 2)
+    # stays inside the top-20 on the sentinel-depth tie (wave-5
+    # finding #2: with keys above the cluster the sentinel assertion
+    # was dead code)
+    rows = [(10 + i, "1996-06-01", 100.0 + i) for i in range(30)]
     rows.append((100, "2000-01-01", 400_000.0))   # joint outlier
-    rows.append((101, "1996-06-01", 150.0))       # duplicate pair...
-    rows.append((102, "1996-06-01", 150.0))       # ...same cell forever
+    rows.append((1, "1996-06-01", 150.0))         # duplicate pair...
+    rows.append((2, "1996-06-01", 150.0))         # ...same cell forever
     spark.createDataFrame(
         [(i, 1, "O", v, d, "1-URGENT") for i, d, v in rows],
         "o_orderkey long, o_custkey long, o_orderstatus string,"
@@ -1069,10 +1073,11 @@ def test_isolation_anomaly_planted_outlier(spark, tmp_path):
     out = order_isolation_anomalies(spark, str(tmp_path / "iso")).collect()
     assert out[0]["o_orderkey"] == 100  # the planted outlier ranks first
     depths = {r["o_orderkey"]: r["iso_depth"] for r in out}
+    assert depths[100] <= 8  # isolates shallow
     assert depths[100] < min(
         d for k, d in depths.items() if k != 100
     )
-    # the duplicated (value, day) pair carries the sentinel if sampled
-    for k in (101, 102):
-        if k in depths:
-            assert depths[k] == ISO_NOT_ISOLATED
+    # the duplicated (value, day) pair carries the sentinel — and IS
+    # present in the top-20 (low keys win the depth tie-break)
+    assert depths[1] == ISO_NOT_ISOLATED
+    assert depths[2] == ISO_NOT_ISOLATED
