@@ -1835,8 +1835,17 @@ def priority_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deliberately mirrors drift_readout (plans/analytics.py) — keep
     # the two in lockstep; here *_before/*_after naming replaces its
     # a/b suffixes.
+    return priority_mix_readout(priority_period_counts(orders))
+
+
+def priority_period_counts(orders: DataFrame) -> DataFrame:
+    """(priority, n_before, n_after) conditional-aggregate counts — the
+    ONE shared counting definition for the categorical drift monitor,
+    consumed by the registry query above and the streaming sink
+    (streaming/events.py::foreach_batch_cat_drift); counts are plain
+    associative sums, so per-batch partials merge by addition."""
     split_ts = F.lit(DRIFT_SPLIT).cast("timestamp")
-    counts = orders.groupBy(
+    return orders.groupBy(
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.sum(F.when(F.col("o_orderdate") < split_ts, 1).otherwise(0))
@@ -1846,6 +1855,11 @@ def priority_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_after"),
     )
+
+
+def priority_mix_readout(counts: DataFrame) -> DataFrame:
+    """Shares/deltas/TVD readout over the bounded counts frame —
+    window totals only, never a second scan (fact-20 rule)."""
     everything = Window.partitionBy(F.lit(1))
     t = counts.select(
         "priority",
