@@ -420,7 +420,14 @@ def decode_jpeg_pixels(payload: bytes):
     not crash."""
     try:
         return _decode(payload)
-    except (_Corrupt, _MarkerHit, ValueError, IndexError, struct.error):
+    except (
+        _Corrupt,
+        _MarkerHit,
+        ValueError,
+        IndexError,
+        struct.error,
+        MemoryError,
+    ):
         return None
 
 
@@ -521,9 +528,20 @@ def _decode(payload: bytes):
     return None
 
 
+#: Allocation guard for _decode_scan: a crafted SOF0 header can claim
+#: 65535x65535 RGB (~100 GB of coefficient planes) before any entropy
+#: data is read, so declared dimensions are bounded BEFORE allocating.
+#: 16M pixels (4096x4096) keeps the RGB float64 coefficient buffer
+#: under ~400 MB — far above any committed fixture, far below executor
+#: death.
+_MAX_DECODE_PIXELS = 16 * 1024 * 1024
+
+
 def _decode_scan(payload, pos, h, w, tables, restart_interval):
     by, bx = (h + 7) // 8, (w + 7) // 8
     ncomp = len(tables)
+    if by * bx * 64 > _MAX_DECODE_PIXELS:
+        raise _Corrupt("declared dimensions exceed decode cap")
     reader = _BitReader(payload, pos)
     coeffs = np.zeros((ncomp, by, bx, 64), dtype=np.float64)
     pred = [0] * ncomp

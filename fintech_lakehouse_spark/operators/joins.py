@@ -182,6 +182,21 @@ def nearest_join(
 
     Scale shape: one shuffle on the key columns carries both window
     directions; state per key is one payload struct each way."""
+    # Fail fast on reserved-name collisions: the union-stream pass
+    # rides internal columns (_t/_stream/_r_vals/_prev/_next/_chosen/
+    # _rt and the _l_<col> left-carry prefix); an input already
+    # carrying one of these would silently corrupt the window logic
+    # instead of erroring (review finding r7).
+    _reserved = {"_t", "_stream", "_r_vals", "_prev", "_next", "_chosen", "_rt"}
+    _bad = sorted(
+        {c for c in (*left.columns, *right.columns) if c in _reserved}
+        | {c for c in (*left.columns, *right.columns) if c.startswith("_l_")}
+    )
+    if _bad:
+        raise ValueError(
+            "nearest_join: input columns collide with reserved internal "
+            f"names (rename before joining): {_bad}"
+        )
     if value_columns is None:
         value_columns = [
             c for c in right.columns if c not in set(on) and c != right_time

@@ -734,10 +734,15 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mg_heavy_hitters",
     oracle=f"""
-    WITH stream AS (
-        SELECT CAST(floor(pow(({sql_hash_bucket('event_id', 'mg', 1_000_000)})
-                             / 1000000.0, 3.0) * 1000) AS BIGINT) AS item
+    WITH bucketed AS (
+        SELECT CAST(({sql_hash_bucket('event_id', 'mg', 1_000_000)})
+                    AS BIGINT) AS b
         FROM events
+    ),
+    stream AS (
+        -- floor((b/1e6)^3 * 1000) == b*b*b DIV 10^15 exactly; b < 1e6
+        -- keeps b^3 < 1e18 inside int64 on both engines (no libm pow)
+        SELECT (b * b * b) // 1000000000000000 AS item FROM bucketed
     )
     SELECT item,
            CAST(n AS BIGINT) AS n_events,
@@ -780,9 +785,12 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = 256
     events = load_table(spark, sf_dir, "events")
-    u = hash_bucket("event_id", "mg", 1_000_000) / 1_000_000.0
-    stream = events.select(
-        F.floor(F.pow(u, 3.0) * 1000).cast("long").alias("item")
+    # floor((b/1e6)^3 * 1000) == b^3 DIV 10^15 exactly (b < 1e6 keeps
+    # b^3 < 1e18 inside int64) — integer cube instead of libm pow, so
+    # the Zipf item is bit-identical across engines at bucket edges.
+    b = hash_bucket("event_id", "mg", 1_000_000).cast("long")
+    stream = events.select(b.alias("b")).select(
+        F.expr("(b * b * b) DIV 1000000000000000").alias("item")
     )
     merged = misra_gries_merged(stream, "item", m=m)
     exact_top = (
@@ -816,9 +824,9 @@ DRIFT_SPLIT = "1998-01-01"
     "order_price_drift_tvd",
     oracle=f"""
     WITH binned AS (
-        SELECT LEAST({DRIFT_BINS - 1},
+        SELECT GREATEST(0, LEAST({DRIFT_BINS - 1},
                      (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                      * {DRIFT_BINS}) // {DRIFT_HI_CENTS}) AS bucket,
+                      * {DRIFT_BINS}) // {DRIFT_HI_CENTS})) AS bucket,
                CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
                     THEN 1 ELSE 0 END AS in_a
         FROM orders
@@ -891,11 +899,18 @@ def drift_bucket_counts(orders: DataFrame) -> DataFrame:
     micro-batches by plain addition, which is what makes the
     streaming-maintained state exactly equal the batch recompute."""
     binned = orders.select(
-        F.least(
-            F.lit(DRIFT_BINS - 1),
-            F.expr(
-                f"(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
-                f" * {DRIFT_BINS}) DIV {DRIFT_HI_CENTS}"
+        # clamped to [0, DRIFT_BINS-1]: without the lower clamp a
+        # negative o_totalprice yields bucket < 0, which collides with
+        # the streaming sink's bucket=-1 summary-row eviction filter
+        # and silently drops real state rows
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(DRIFT_BINS - 1),
+                F.expr(
+                    f"(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                    f" * {DRIFT_BINS}) DIV {DRIFT_HI_CENTS}"
+                ),
             ),
         ).alias("bucket"),
         (F.col("o_orderdate") < F.to_timestamp(F.lit(DRIFT_SPLIT)))

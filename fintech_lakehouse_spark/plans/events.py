@@ -1000,11 +1000,14 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_hours,
            CAST(sx AS BIGINT)                          AS n_events,
-           CAST((n_hours * sxx - sx * sx) * 1000000
-                // (n_hours * sx) AS BIGINT)           AS fano_ppm,
+           CAST((CAST(n_hours AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                * 1000000
+                // (CAST(n_hours AS HUGEINT) * sx) AS BIGINT) AS fano_ppm,
            peak_hour_events,
-           CAST((n_hours * sxx - sx * sx) * 1000000
-                // (n_hours * sx) AS BIGINT) > 2000000 AS overdispersed
+           CAST((CAST(n_hours AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                * 1000000
+                // (CAST(n_hours AS HUGEINT) * sx) AS BIGINT)
+               > 2000000 AS overdispersed
     FROM m ORDER BY event_type
     """,
 )
@@ -1021,10 +1024,12 @@ def event_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: Fano = var/mean telescopes to the single integer
     quotient (n·Σx² − (Σx)²) · 1e6 DIV (n·Σx) over exact hourly
     counts — the daily_order_autocorrelation moment algebra with the
-    division folded in; no float exists anywhere in the query. (Σx²
-    stays well inside int64 for any per-type hourly series shorter
-    than ~centuries; the chi²/Neyman DECIMAL widening applies when
-    bucket counts reach ~1e9.)
+    division folded in; no float exists anywhere in the query. The
+    numerator equals n²·σ²·1e6 and exceeds int64 once n_hours·σ_hourly
+    passes ~3e6 (reachable at 1B-row event scale: hourly stdev ~4k
+    over a 744-hour month), so the moment products compute in
+    DECIMAL(38,0) on Spark / HUGEINT on the oracle (the chi²/Neyman
+    widening pattern) before the final BIGINT quotient.
 
     Moments run over ACTIVE hours only (no zero-densification): a
     type that bursts once and stays silent shows up through
@@ -1040,7 +1045,11 @@ def event_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    fano = "(n_hours * sxx - sx * sx) * 1000000 DIV (n_hours * sx)"
+    fano = (
+        "(CAST(n_hours AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"
+        " DIV (CAST(n_hours AS DECIMAL(38,0)) * sx)"
+    )
     return (
         hourly.groupBy("event_type")
         .agg(

@@ -1379,6 +1379,31 @@ def test_jpeg_unsupported_subsets_quarantine():
     assert decode_jpeg_pixels(b"") is None
 
 
+def test_jpeg_decode_bomb_quarantined_before_allocation():
+    """A crafted SOF0 claiming 65535x65535 RGB (~100 GB of coefficient
+    planes) must be quarantined by the declared-dimension cap BEFORE
+    any allocation — not kill the executor with MemoryError (advice
+    finding r7). Built by patching a valid stream's SOF0 dimensions so
+    every table/scan segment still parses up to the bound check."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.jpeg import (
+        _MAX_DECODE_PIXELS,
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    bomb = bytearray(encode_jpeg(img))
+    sof_at = bytes(bomb).find(b"\xff\xc0")
+    assert sof_at > 0
+    # SOF0 payload: [len:2][precision:1][h:2][w:2][nf:1]...
+    bomb[sof_at + 5 : sof_at + 7] = (65535).to_bytes(2, "big")
+    bomb[sof_at + 7 : sof_at + 9] = (65535).to_bytes(2, "big")
+    assert 65535 * 65535 > _MAX_DECODE_PIXELS
+    assert decode_jpeg_pixels(bytes(bomb)) is None
+
+
 def test_jpeg_decoder_handles_variable_length_huffman():
     """The decoder must handle arbitrary DHT tables, not just the
     encoder's uniform-length ones: symbol-level roundtrip through the

@@ -659,6 +659,24 @@ class TestNearestJoin:
         )
         assert got[("a", 1)] == (12, 99)
 
+    def test_reserved_internal_names_fail_fast(self, spark):
+        """Inputs carrying the operator's internal column names (_t,
+        _stream, ..., _l_<col>) must raise at entry instead of
+        silently corrupting the union-stream window (advice r7)."""
+        import pytest
+
+        from fintech_lakehouse_spark.operators import nearest_join
+
+        ok = spark.createDataFrame([("a", 1, 2)], "k string, t long, v long")
+        for bad_name in ("_t", "_stream", "_r_vals", "_chosen", "_l_v"):
+            bad = spark.createDataFrame(
+                [("a", 1, 2)], f"k string, t long, `{bad_name}` long"
+            )
+            with pytest.raises(ValueError, match="reserved"):
+                nearest_join(bad, ok, on=["k"], left_time="t", right_time="t")
+            with pytest.raises(ValueError, match="reserved"):
+                nearest_join(ok, bad, on=["k"], left_time="t", right_time="t")
+
 
 def test_pareto_coverage_hand_distribution(spark, tmp_path):
     from fintech_lakehouse_spark.plans.analytics import (

@@ -1248,6 +1248,53 @@ def test_drift_monitor_stream_equals_batch_registry_query(spark, sf_dir):
         assert b0_counts == batches[0].count()
 
 
+def test_drift_negative_price_clamps_not_evicted(spark, tmp_path):
+    """A negative o_totalprice must clamp to bucket 0 (GREATEST lower
+    clamp) — before the fix it produced a real bucket<0 row that the
+    state merge's summary-row filter silently evicted each snapshot,
+    breaking streaming==batch (advice finding r7). Feeds the negative
+    row in batch 0 and a normal row in batch 1, then asserts the
+    maintained state still counts BOTH."""
+    from fintech_lakehouse_spark.plans.analytics import (
+        drift_bucket_counts,
+        drift_readout,
+    )
+    from fintech_lakehouse_spark.streaming import (
+        foreach_batch_drift,
+        read_materialized_view,
+    )
+
+    schema = "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    import datetime as dt
+
+    early = dt.datetime(1997, 1, 1)
+    late = dt.datetime(1998, 6, 1)
+    # each snapshot needs both periods present (the readout's period
+    # totals are denominators), so batch 0 pairs the negative-price
+    # period-a row with a normal period-b row
+    b0 = spark.createDataFrame([(1, -500.0, early), (3, 200.0, late)], schema)
+    b1 = spark.createDataFrame([(2, 100.0, late)], schema)
+    root = str(tmp_path / "drift_neg")
+    sink = foreach_batch_drift(root)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def rows(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "bucket", "n_a", "n_b", "pa_ppm", "pb_ppm", "drift_ppm"
+            ).collect()
+        )
+
+    maintained = rows(read_materialized_view(spark, root))
+    batch = rows(drift_readout(drift_bucket_counts(b0.unionByName(b1))))
+    assert maintained == batch
+    # the negative-price row is retained, clamped into bucket 0
+    assert sum(r[1] + r[2] for r in maintained if r[0] >= 0) == 3
+    assert any(r[0] == 0 and r[1] == 1 for r in maintained)
+
+
 def test_purchase_gap_monitor_equals_batch(spark, tmp_path):
     """Streaming repeat-payment state must equal the batch
     purchase_gap_profile after the stream drains — fed in event-time
