@@ -486,15 +486,18 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     ``max_iterations`` is a safety cap only: hitting it without
     convergence raises rather than silently returning partial labels.
 
-    Each round ends in an eager ``localCheckpoint()``: the pointer
-    jump references ``labels`` twice, so WITHOUT lineage truncation
-    the logical plan doubles per iteration and planning itself OOMs
+    Each round ends in an eager ``localCheckpoint()`` (via the shared
+    operators/graph.py::iterate_edges runner): the pointer jump
+    references ``labels`` twice, so WITHOUT lineage truncation the
+    logical plan doubles per iteration and planning itself OOMs
     around round 10 (measured — the heap died generating the plan
     tree string, not executing). Checkpointing materializes the ~one
     row per clustered doc and resets the plan to a leaf — the
     standard Spark shape for iterative algorithms. This is the one
     genuinely iterative operator in the engine — inexpressible in
     single-pass SQL (SURVEY §7.6)."""
+    from fintech_lakehouse_spark.operators.graph import iterate_edges
+
     if max_iterations <= 0:
         raise RuntimeError(
             f"dedup_clusters: max_iterations must be >= 1, got "
@@ -507,44 +510,14 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = (
+    labels0 = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
-    def _release_checkpoint(df):
-        """Free the RDD blocks behind an eager localCheckpoint. The
-        checkpointed plan is a LogicalRDD leaf whose ``rdd`` member IS
-        the persisted checkpoint RDD; unpersisting it drops the
-        storage blocks. Without this every iteration leaks one full
-        label-table copy into block storage for the life of the
-        session (ADVICE r4 low #3). Best-effort: freeing memory must
-        never fail the job. Must be called on the checkpoint LEAF df,
-        not a projection over it.
 
-        PRIVATE-API NOTE (VERDICT r5 item 7): there is no public
-        PySpark route to release checkpoint blocks —
-        ``DataFrame.unpersist`` only uncaches CacheManager entries
-        (``CACHE``/``persist``), never RDD-level checkpoint storage,
-        and a ``df.rdd``-based rebuild would round-trip every row
-        through Python. The Java path used here
-        (``QueryExecution.analyzed`` → ``LogicalRDD.rdd`` →
-        ``RDD.unpersist``) is verified against Spark 3.5 and 4.1
-        (classic mode; ``_jdf`` does not exist under Spark Connect,
-        which the hasattr guard handles). If a future Spark renames
-        any link in that chain the except falls back to the pre-r5
-        behavior: blocks live until session end — slower, never
-        wrong."""
-        if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
-            return
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
-    ckpt = labels  # the checkpoint leaf backing `labels` this round
-    for _ in range(max_iterations):
+    def _propagate(labels: DataFrame, _i: int) -> DataFrame:
+        labels = labels.drop("_changed")
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src")
@@ -561,7 +534,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
             F.coalesce(F.col("neighbor_cluster"), F.col("cluster_id")),
             F.coalesce(F.col("_l_lbl"), F.col("cluster_id")),
         )
-        updated = (
+        return (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.src, "left"
             )
@@ -571,28 +544,35 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
                 new_label.alias("cluster_id"),
                 (new_label < F.col("cluster_id")).alias("_changed"),
             )
-            .localCheckpoint()  # eager: runs the round, truncates lineage
         )
-        changed = updated.agg(
+
+    def _converged(updated: DataFrame) -> bool:
+        n = updated.agg(
             F.sum(F.col("_changed").cast("int")).alias("n")
         ).collect()[0]["n"]
-        # `updated` is eagerly materialized, so the previous round's
-        # checkpoint blocks are no longer referenced — free them now.
-        _release_checkpoint(ckpt)
-        ckpt = updated
-        labels = updated.drop("_changed")
-        if not changed:
-            break
-    else:
-        sym.unpersist()
-        raise RuntimeError(
-            f"dedup_clusters did not converge within {max_iterations} "
-            f"iterations ({changed} labels still moving) — the pair "
-            "graph has a chain longer than the safety cap; raise "
-            "max_iterations"
+        return not n
+
+    try:
+        labels, _, stopped = iterate_edges(
+            labels0,
+            _propagate,
+            max_iterations,
+            checkpoint_input=True,
+            stop=_converged,
         )
-    sym.unpersist()
-    return labels
+        if not stopped:
+            still = labels.agg(
+                F.sum(F.col("_changed").cast("int")).alias("n")
+            ).collect()[0]["n"]
+            raise RuntimeError(
+                f"dedup_clusters did not converge within {max_iterations} "
+                f"iterations ({still} labels still moving) — the pair "
+                "graph has a chain longer than the safety cap; raise "
+                "max_iterations"
+            )
+    finally:
+        sym.unpersist()
+    return labels.drop("_changed")
 
 
 LANGUAGE_MARKERS: dict[str, list[str]] = {

@@ -9,6 +9,10 @@ from fintech_lakehouse_spark.operators.metadata import (
 )
 from fintech_lakehouse_spark.operators.standardize import standardize_string_columns
 from fintech_lakehouse_spark.operators.joins import asof_join, nearest_join
+from fintech_lakehouse_spark.operators.graph import (
+    iterate_edges,
+    release_checkpoint,
+)
 
 __all__ = [
     "add_dense_surrogate_key",
@@ -18,5 +22,7 @@ __all__ = [
     "asof_join",
     "nearest_join",
     "deduplicate_by_key",
+    "iterate_edges",
+    "release_checkpoint",
     "standardize_string_columns",
 ]

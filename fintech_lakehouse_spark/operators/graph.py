@@ -1,0 +1,133 @@
+"""Checkpointed iterative-graph runner — the shared lineage-truncation
+harness for every fixed-point / fixed-round graph algorithm in the
+engine (k-core peeling, PageRank power iteration, connected-components
+label propagation).
+
+Why this exists (VERDICT r7 item 2): unrolling an iterative step as a
+pure lazy plan re-references the input subtree once per consumer per
+round — ``dup_graph_kcore``'s 2-round peel referenced the winnowing
+pair subtree 3^rounds times, compiling to a 599-exchange / 400-scan
+static plan whose *scheduling* cost (14 s at sf0.01 for a 3-row
+answer) dwarfed the data. Runtime ReusedExchange dedupes the
+execution, but plan compile/optimize is super-exponential in the
+unroll depth. The standard Spark shape for iteration is an eager
+``localCheckpoint()`` per round: run the round, materialize the
+(small) frontier, and reset lineage to a leaf so the next round's
+plan is O(step), not O(step^round).
+
+The reference engine has no iterative-graph surface at all (its
+transformations layer is empty — SURVEY §0); this is a Spark-first
+original, generalizing the ``functions/text.py::dedup_clusters``
+checkpoint idiom into a reusable operator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind an eager localCheckpoint. The
+    checkpointed plan is a LogicalRDD leaf whose ``rdd`` member IS
+    the persisted checkpoint RDD; unpersisting it drops the
+    storage blocks. Without this every iteration leaks one full
+    frontier copy into block storage for the life of the session
+    (ADVICE r4 low #3). Best-effort: freeing memory must never fail
+    the job. Must be called on the checkpoint LEAF df, not a
+    projection over it.
+
+    PRIVATE-API NOTE (VERDICT r5 item 7): there is no public PySpark
+    route to release checkpoint blocks — ``DataFrame.unpersist`` only
+    uncaches CacheManager entries (``CACHE``/``persist``), never
+    RDD-level checkpoint storage, and a ``df.rdd``-based rebuild would
+    round-trip every row through Python. The Java path used here
+    (``QueryExecution.analyzed`` → ``LogicalRDD.rdd`` →
+    ``RDD.unpersist``) is verified against Spark 3.5 and 4.1 (classic
+    mode; ``_jdf`` does not exist under Spark Connect, which the
+    hasattr guard handles). If a future Spark renames any link in that
+    chain the except falls back to the pre-r5 behavior: blocks live
+    until session end — slower, never wrong."""
+    if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def iterate_edges(
+    frame: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    rounds: int,
+    *,
+    checkpoint_every: int = 1,
+    checkpoint_input: bool = False,
+    stop: Callable[[DataFrame], bool] | None = None,
+) -> tuple[DataFrame, int, bool]:
+    """Run ``frame = step(frame, i)`` for up to ``rounds`` rounds with
+    lineage truncation: every ``checkpoint_every`` rounds (and always
+    on the last) the frame is eagerly ``localCheckpoint()``-ed and the
+    previous round's checkpoint blocks are released, so the static
+    plan of the result is O(one step) regardless of round count —
+    never the 3^rounds subtree unroll a lazy loop compiles to.
+
+    ``step`` receives the current frame and the 0-based round index
+    and returns the next frame (an edge list for peeling, a rank
+    vector for PageRank, a label table for label propagation — any
+    per-round frontier).
+
+    ``checkpoint_input=True`` materializes the INPUT first — the right
+    call when ``frame`` rides an expensive subtree (e.g. the winnowing
+    candidate pairs) that the step references multiple times per
+    round; the one evaluation is shared by all rounds instead of
+    re-planned into every consumer.
+
+    ``stop`` (optional) is evaluated on each checkpointed frame (its
+    blocks are already materialized, so the extra action is a cheap
+    leaf scan); returning True ends the loop early. When ``stop`` is
+    given, checkpoints happen every round regardless of
+    ``checkpoint_every`` — the predicate needs a materialized frame.
+
+    Returns ``(final_frame, rounds_run, stopped_early)``. The final
+    frame is always a checkpoint leaf; its blocks stay alive until the
+    session ends or the caller releases them (the dedup_clusters
+    contract). Raises nothing on exhaustion — convergence-or-raise
+    policy belongs to the caller, which knows what non-convergence
+    means for its algorithm.
+
+    Scale shape: at 100 TB each round is one materialization of the
+    frontier (bounded by the live edge/vertex set, which peeling and
+    propagation only shrink) + the step's own shuffles; plan compile
+    time stays constant per round. On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault tolerance across long chains; localCheckpoint trades
+    lineage-replay recovery for zero-I/O speed, the right default for
+    fixed small round counts."""
+    if rounds < 0:
+        raise ValueError(f"iterate_edges: rounds must be >= 0, got {rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"iterate_edges: checkpoint_every must be >= 1, got "
+            f"{checkpoint_every}"
+        )
+    leaf: DataFrame | None = None
+    if checkpoint_input:
+        frame = frame.localCheckpoint()
+        leaf = frame
+    for i in range(rounds):
+        frame = step(frame, i)
+        boundary = (
+            stop is not None
+            or (i + 1) % checkpoint_every == 0
+            or i == rounds - 1
+        )
+        if boundary:
+            frame = frame.localCheckpoint()
+            if leaf is not None:
+                release_checkpoint(leaf)
+            leaf = frame
+            if stop is not None and stop(frame):
+                return frame, i + 1, True
+    return frame, rounds, False

@@ -1099,3 +1099,122 @@ def test_isolation_anomaly_planted_outlier(spark, tmp_path):
     # present in the top-20 (low keys win the depth tie-break)
     assert depths[1] == ISO_NOT_ISOLATED
     assert depths[2] == ISO_NOT_ISOLATED
+
+
+class TestIterateEdges:
+    """operators/graph.py::iterate_edges — the shared checkpointed
+    iterative-graph runner (VERDICT r7 item 2). The load-bearing
+    contract: the checkpointed form computes EXACTLY what the lazy
+    unrolled loop computes, while keeping the static plan O(one step)
+    instead of O(step^rounds)."""
+
+    def _edges(self, spark):
+        # path a-b-c-d plus a 4-clique e,f,g,h (undirected, both dirs)
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"),
+                 ("e", "f"), ("e", "g"), ("e", "h"),
+                 ("f", "g"), ("f", "h"), ("g", "h")]
+        sym = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(sym, "src string, dst string")
+
+    @staticmethod
+    def _peel(e, _i):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= 2)
+            .select("src")
+        )
+        return e.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+
+    def test_checkpointed_equals_unrolled(self, spark):
+        from fintech_lakehouse_spark.operators import iterate_edges
+
+        edges = self._edges(spark)
+        unrolled = edges
+        for i in range(3):
+            unrolled = self._peel(unrolled, i)
+        got, n, stopped = iterate_edges(
+            edges, self._peel, 3, checkpoint_input=True
+        )
+        assert n == 3 and not stopped
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, unrolled.collect())
+        )
+        # 2-core of the fixture = the 4-clique only (path peels away)
+        verts = {r["src"] for r in got.collect()}
+        assert verts == {"e", "f", "g", "h"}
+
+    def test_plan_stays_flat_across_rounds(self, spark):
+        """The whole point: the final plan after N rounds references
+        ONE step over a checkpoint leaf, not the input subtree N-deep.
+        Measured via optimized-plan length, which grows ~3x/round in
+        the unrolled form."""
+        from fintech_lakehouse_spark.operators import iterate_edges
+
+        edges = self._edges(spark)
+        plans = []
+        for rounds in (2, 4):
+            got, _, _ = iterate_edges(
+                edges, self._peel, rounds, checkpoint_input=True
+            )
+            plans.append(
+                got._jdf.queryExecution().optimizedPlan().toString()
+            )
+        # checkpoint leaf: no parquet/in-memory source survives, and
+        # doubling the rounds must not grow the plan at all
+        assert len(plans[1]) <= len(plans[0]) + 64
+        unrolled = edges
+        for i in range(4):
+            unrolled = self._peel(unrolled, i)
+        lazy_plan = unrolled._jdf.queryExecution().optimizedPlan().toString()
+        assert len(lazy_plan) > 4 * len(plans[1])
+
+    def test_stop_early_reports_rounds(self, spark):
+        from fintech_lakehouse_spark.operators import iterate_edges
+
+        edges = self._edges(spark)
+        seen = []
+
+        def step(e, i):
+            seen.append(i)
+            return self._peel(e, i)
+
+        # fixture's 2-core stabilizes after round 1: stop when a round
+        # removes nothing
+        counts = []
+
+        def stop(e):
+            counts.append(e.count())
+            return len(counts) >= 2 and counts[-1] == counts[-2]
+
+        got, n, stopped = iterate_edges(
+            edges, step, 10, checkpoint_input=True, stop=stop
+        )
+        assert stopped and n < 10 and seen == list(range(n))
+        assert {r["src"] for r in got.collect()} == {"e", "f", "g", "h"}
+
+    def test_zero_rounds_and_validation(self, spark):
+        import pytest
+
+        from fintech_lakehouse_spark.operators import iterate_edges
+
+        edges = self._edges(spark)
+        got, n, stopped = iterate_edges(edges, self._peel, 0)
+        assert n == 0 and not stopped
+        assert got.count() == edges.count()
+        with pytest.raises(ValueError, match="rounds"):
+            iterate_edges(edges, self._peel, -1)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            iterate_edges(edges, self._peel, 2, checkpoint_every=0)
+
+    def test_checkpoint_every_batches_truncation(self, spark):
+        from fintech_lakehouse_spark.operators import iterate_edges
+
+        edges = self._edges(spark)
+        got, n, stopped = iterate_edges(
+            edges, self._peel, 3, checkpoint_every=2, checkpoint_input=True
+        )
+        assert n == 3 and not stopped
+        assert {r["src"] for r in got.collect()} == {"e", "f", "g", "h"}
