@@ -104,9 +104,10 @@ def _plan(df) -> str:
         # resampling draw (r6s4): the 1-row global max joins back via
         # broadcast nested loop (the 1-row crossJoin pattern).
         ("dsir_resampled_corpus", ["BroadcastNestedLoopJoin"]),
-        # span detection (r6s4): one explicit gram repartition shared
-        # by hot-counts and both pair-join sides (fact-20 reuse).
-        ("duplicate_span_runs", ["hashpartitioning(gram", "REPARTITION_BY_COL"]),
+        # span detection (r6s4, r8 fingerprint rewrite): one explicit
+        # gram-KEY repartition shared by band-counts and both pair-join
+        # sides (fact-20 reuse); the shuffles carry 8-byte md5 keys.
+        ("duplicate_span_runs", ["hashpartitioning(gkey", "REPARTITION_BY_COL"]),
         # triplet mining (r6s4): the anchor batch broadcasts into one
         # corpus pass; argmax/argmin ride keyed windows.
         ("hard_negative_pairs", ["BroadcastNestedLoopJoin"]),
