@@ -17,8 +17,12 @@ order. Rank (lower = earlier = sampled first):
    HAS an oracle for it (the standing row actively claims the query is
    unverifiable, which the registry contradicts — VERDICT r5 graded
    exactly this class as a flaw, so it outranks merely-missing rows),
-3. never-checked — no driver row in any round (new queries),
-4. everything else, least-recently-checked first.
+3. overdue-green — the latest row is green but OVERDUE_ROUNDS+ rounds
+   old: the stale tail must not be starved by new additions (VERDICT
+   r7 item 3); new queries land locally sweep-verified, a query
+   unchecked for 3 rounds carries the bigger risk,
+4. never-checked — no driver row in any round (new queries),
+5. everything else, least-recently-checked first.
 
 Ties preserve registration order, so the sort is fully deterministic
 and the guard script (``scripts/registry_order.py``) can assert the
@@ -36,6 +40,10 @@ from pathlib import Path
 
 # The driver samples this many registry entries per round.
 DRIVER_WINDOW = 50
+
+# A green row this many rounds behind the newest history file makes the
+# query "overdue": it outranks never-checked queries for a window slot.
+OVERDUE_ROUNDS = 3
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
@@ -77,8 +85,9 @@ def rank(
 ) -> tuple[int, int, int]:
     """Sort key for one query. Lower sorts earlier (= driver-checked)."""
     row = history.get(name)
+    latest = max((r for _, r in history.values()), default=0)
     if row is None:
-        return (2, 0, position)  # never checked — after reds + upgrades
+        return (3, 0, position)  # never checked — after overdue greens
     status, rnd = row
     if status == "red":
         return (0, rnd, position)
@@ -86,7 +95,15 @@ def rank(
         # promoted rows-only: the standing row is actively wrong about
         # verifiability — fresh hash row beats first-contact rows.
         return (1, rnd, position)
-    return (3, rnd, position)  # green / still rows-only: oldest row first
+    if latest - rnd >= OVERDUE_ROUNDS:
+        # overdue green: no driver row for OVERDUE_ROUNDS+ rounds — a
+        # bigger verification risk than a brand-new query (which always
+        # lands locally sweep-verified), so it takes the slot ahead of
+        # first-contact rows. VERDICT r7 item 3: a 195-query registry
+        # under a 50-row window otherwise lets new additions starve the
+        # stale tail indefinitely.
+        return (2, rnd, position)
+    return (4, rnd, position)  # green / still rows-only: oldest row first
 
 
 def reorder_for_driver(

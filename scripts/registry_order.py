@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fintech_lakehouse_spark.plans import ORACLES, QUERIES  # noqa: E402
 from fintech_lakehouse_spark.plans.rotation import (  # noqa: E402
     DRIVER_WINDOW,
+    OVERDUE_ROUNDS,
     load_driver_history,
 )
 
@@ -29,6 +30,7 @@ def main() -> int:
     history = load_driver_history()
     order = list(QUERIES)
     window = set(order[:DRIVER_WINDOW])
+    latest = max((r for _, r in history.values()), default=0)
 
     must_be_windowed: dict[str, str] = {}
     for name in order:
@@ -41,18 +43,42 @@ def main() -> int:
             must_be_windowed[name] = (
                 f"rows-only-latest (r{row[1]}) but oracle now registered"
             )
+        elif latest - row[1] >= OVERDUE_ROUNDS:
+            must_be_windowed[name] = (
+                f"overdue green (r{row[1]}, {latest - row[1]} rounds stale)"
+            )
 
     missed = {n: why for n, why in must_be_windowed.items() if n not in window}
     if len(must_be_windowed) > DRIVER_WINDOW:
-        # overflow round (more new queries than slots): degrade to
-        # "window is filled with needy queries; only never-checked may
-        # wait" — mirrors tests/test_registry.py.
+        # overflow round (more needy queries than slots): degrade to
+        # "window is filled with needy queries; never-checked (and, only
+        # after every never-checked is already waiting, overdue greens)
+        # may wait" — mirrors tests/test_registry.py. Red/upgraded rows
+        # must NEVER overflow, and an overdue green may only wait if no
+        # never-checked query holds a slot it could have taken (the
+        # rank ordering guarantees this; the guard re-asserts it).
         wasted = [n for n in order[:DRIVER_WINDOW] if n not in must_be_windowed]
         hard_missed = {
             n: why
             for n, why in missed.items()
-            if why != "never driver-checked"
+            if not (
+                why == "never driver-checked" or why.startswith("overdue")
+            )
         }
+        overdue_missed = [
+            n for n, why in missed.items() if why.startswith("overdue")
+        ]
+        never_in_window = [
+            n
+            for n in order[:DRIVER_WINDOW]
+            if must_be_windowed.get(n) == "never driver-checked"
+        ]
+        if overdue_missed and never_in_window:
+            print(
+                f"FAIL (overflow round): overdue greens {overdue_missed} "
+                f"wait while never-checked {never_in_window} hold slots"
+            )
+            return 1
         if wasted or hard_missed:
             print(
                 f"FAIL (overflow round): wasted slots {wasted}; "
@@ -62,7 +88,7 @@ def main() -> int:
         print(
             f"OK (overflow round): {len(must_be_windowed)} needy > "
             f"{DRIVER_WINDOW} slots; window fully needy, overflow is "
-            f"{len(missed)} never-checked query(ies) deferred one round: "
+            f"{len(missed)} query(ies) deferred one round: "
             f"{sorted(missed)}"
         )
         return 0

@@ -77,6 +77,7 @@ def test_driver_window_rotation():
     VERDICT r3 item 8 (the guard) + item 1 (the policy)."""
     from fintech_lakehouse_spark.plans.rotation import (
         DRIVER_WINDOW,
+        OVERDUE_ROUNDS,
         load_driver_history,
     )
 
@@ -85,6 +86,7 @@ def test_driver_window_rotation():
         pytest.skip("no CORRECTNESS_r*.json history in repo root")
     order = list(QUERIES)
     window = set(order[:DRIVER_WINDOW])
+    latest = max(r for _, r in history.values())
 
     def needs_row(name):
         row = history.get(name)
@@ -92,6 +94,7 @@ def test_driver_window_rotation():
             row is None
             or row[0] == "red"
             or (row[0] == "no_oracle" and name in ORACLES)
+            or latest - row[1] >= OVERDUE_ROUNDS  # overdue green (r8)
         )
 
     needy = [n for n in order if needs_row(n)]
@@ -123,13 +126,16 @@ def test_driver_window_rotation():
 
 def test_rotation_rank_ordering():
     """Rank classes order as documented: red < oracle-upgraded <
-    never-checked < green, with least-recent-round first inside the
-    red and green classes and registration order breaking ties. The
-    upgraded class outranks never-checked since r6s5: its standing
-    driver row actively claims the query is unverifiable, which the
-    registry contradicts (the class VERDICT r5 graded as a flaw);
-    a merely-missing row gets first contact within a round either
-    way."""
+    overdue-green < never-checked < green, with least-recent-round
+    first inside the red and green classes and registration order
+    breaking ties. The upgraded class outranks never-checked since
+    r6s5: its standing driver row actively claims the query is
+    unverifiable, which the registry contradicts (the class VERDICT r5
+    graded as a flaw). The overdue-green class (r8, VERDICT r7 item 3)
+    outranks never-checked: a green row OVERDUE_ROUNDS+ rounds behind
+    the newest history is a bigger verification risk than a new query,
+    which always lands locally sweep-verified — without this, new
+    additions starve the stale tail of a >window registry forever."""
     from fintech_lakehouse_spark.plans.rotation import rank
 
     history = {
@@ -137,18 +143,20 @@ def test_rotation_rank_ordering():
         "red_r1": ("red", 1),
         "promoted": ("no_oracle", 3),
         "rows_only": ("no_oracle", 3),
+        "green_r0": ("green", 0),  # 3 rounds behind r3 → overdue
         "green_r2": ("green", 2),
         "green_r3": ("green", 3),
     }
     oracles = {"promoted": "SELECT 1", "green_r2": "x", "green_r3": "x"}
-    names = ["green_r3", "green_r2", "rows_only", "promoted", "new_query",
-             "red_r2", "red_r1"]
+    names = ["green_r3", "green_r2", "green_r0", "rows_only", "promoted",
+             "new_query", "red_r2", "red_r1"]
     ordered = sorted(
         names, key=lambda n: rank(n, names.index(n), history, oracles)
     )
     assert ordered == [
         "red_r1", "red_r2",      # red-latest, oldest round first
         "promoted",               # rows-only that gained an oracle
+        "green_r0",               # overdue green beats first contact
         "new_query",              # never checked
         "green_r2",               # stale green before fresh green
         "green_r3", "rows_only",  # r3 rows: registration order tie-break
