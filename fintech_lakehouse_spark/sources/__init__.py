@@ -10,6 +10,10 @@ from fintech_lakehouse_spark.sources.writers import (
     upsert_lake_table,
     write_lake_table,
 )
+from fintech_lakehouse_spark.sources.deltalog import (
+    delta_snapshot,
+    read_delta_table,
+)
 
 __all__ = [
     "load_table",
@@ -20,4 +24,6 @@ __all__ = [
     "read_lake_table",
     "upsert_lake_table",
     "write_lake_table",
+    "delta_snapshot",
+    "read_delta_table",
 ]

@@ -252,7 +252,21 @@ def write_lake_table(
 
 
 def read_lake_table(spark: SparkSession, path: str) -> DataFrame:
-    """Lake scan by path (ref: src/utils/spark_utils.py:160-195)."""
+    """Lake scan by path (ref: src/utils/spark_utils.py:160-195).
+
+    Without delta-spark, a path holding a REAL Delta table (a
+    ``_delta_log`` directory) must not fall through to a bare parquet
+    scan — that would read tombstoned files and return deleted rows —
+    so it routes through the pure-Python log replay
+    (sources/deltalog.py, VERDICT r7 item 4)."""
+    if lake_format() != "delta":
+        from fintech_lakehouse_spark.sources.deltalog import (
+            has_delta_log,
+            read_delta_table,
+        )
+
+        if has_delta_log(path):
+            return read_delta_table(spark, path)
     return spark.read.format(lake_format()).load(path)
 
 

@@ -1,0 +1,288 @@
+"""Pure-Python Delta transaction-log reader (sources/deltalog.py,
+VERDICT r7 item 4): fixture tables with REAL protocol-format commit
+logs (JSON actions + checkpoint parquet), read end-to-end through
+read_lake_table — remove-actions honored, latest-snapshot default,
+version time travel, partitionValues attach, reader-version guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_data_file(spark, root: str, rel: str, rows):
+    """One physical parquet file at root/rel holding ``rows`` of
+    (id, v) — written via Spark so footers/types match a real writer."""
+    tmp = os.path.join(root, "_tmp_write")
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = next(
+        n for n in os.listdir(tmp) if n.endswith(".parquet")
+    )
+    dst = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dst)
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+def _commit(root: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(partition_columns=()):
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": list(partition_columns),
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }
+    }
+
+
+def _protocol(reader=1):
+    return {"protocol": {"minReaderVersion": reader, "minWriterVersion": 2}}
+
+
+def _add(rel, partition_values=None):
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": partition_values or {},
+            "size": 1,
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }
+    }
+
+
+def _remove(rel):
+    return {
+        "remove": {
+            "path": rel,
+            "deletionTimestamp": 1700000001000,
+            "dataChange": True,
+        }
+    }
+
+
+@pytest.fixture()
+def delta_table(spark, tmp_path):
+    """3-commit table: v0 adds f1, v1 adds f2, v2 removes f1."""
+    root = str(tmp_path / "dl")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a"), (2, "b")])
+    _write_data_file(spark, root, "f2.parquet", [(3, "c")])
+    _commit(root, 0, [_protocol(), _meta(), _add("f1.parquet")])
+    _commit(root, 1, [_add("f2.parquet")])
+    _commit(root, 2, [_remove("f1.parquet")])
+    return root
+
+
+def test_latest_snapshot_honors_remove(spark, delta_table):
+    """read_lake_table must route a _delta_log directory through the
+    log replay: only the live file's rows survive, while a bare
+    parquet scan of the same directory would return the tombstoned
+    f1 rows too."""
+    from fintech_lakehouse_spark.sources import read_lake_table
+
+    got = sorted(
+        (r["id"], r["v"]) for r in read_lake_table(spark, delta_table).collect()
+    )
+    assert got == [(3, "c")]
+    bare = spark.read.parquet(delta_table)
+    assert bare.count() == 3  # proves the log, not the listing, decided
+
+
+def test_version_time_travel(spark, delta_table):
+    from fintech_lakehouse_spark.sources import read_delta_table
+
+    v0 = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_table(spark, delta_table, version=0).collect()
+    )
+    v1 = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_table(spark, delta_table, version=1).collect()
+    )
+    assert v0 == [(1, "a"), (2, "b")]
+    assert v1 == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError, match="not present"):
+        read_delta_table(spark, delta_table, version=9)
+
+
+def test_partition_values_from_log_including_null(spark, tmp_path):
+    """Partition columns come from the log's partitionValues (cast to
+    the declared type), NOT from directory names — including a NULL
+    partition value, which hive-style dir naming cannot represent
+    losslessly."""
+    from fintech_lakehouse_spark.sources import read_delta_table
+
+    root = str(tmp_path / "dlp")
+    _write_data_file(spark, root, "d=1/fa.parquet", [(1, "a")])
+    _write_data_file(spark, root, "d=2/fb.parquet", [(2, "b")])
+    _write_data_file(spark, root, "dnull/fc.parquet", [(3, "c")])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "d", "type": "integer", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    meta = _meta(["d"])
+    meta["metaData"]["schemaString"] = schema
+    _commit(
+        root,
+        0,
+        [
+            _protocol(),
+            meta,
+            _add("d=1/fa.parquet", {"d": "1"}),
+            _add("d=2/fb.parquet", {"d": "2"}),
+            _add("dnull/fc.parquet", {"d": None}),
+        ],
+    )
+    df = read_delta_table(spark, root)
+    assert [f.name for f in df.schema.fields] == ["id", "v", "d"]
+    assert dict(df.dtypes)["d"] == "int"
+    got = sorted((r["id"], r["d"]) for r in df.collect())
+    assert got == [(1, 1), (2, 2), (3, None)]
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """A checkpoint parquet + _last_checkpoint replaces the JSON
+    commits at or below its version: replay starts from the compacted
+    add set, later commits still apply."""
+    from fintech_lakehouse_spark.sources import read_delta_table
+
+    root = str(tmp_path / "dlc")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _write_data_file(spark, root, "f2.parquet", [(2, "b")])
+    _write_data_file(spark, root, "f3.parquet", [(3, "c")])
+    # v0..v2 as JSON; checkpoint at v2 holds the NET state (f2 only:
+    # f1 was added then removed); v3 adds f3 on top
+    _commit(root, 0, [_protocol(), _meta(), _add("f1.parquet")])
+    _commit(root, 1, [_add("f2.parquet")])
+    _commit(root, 2, [_remove("f1.parquet")])
+    log = os.path.join(root, "_delta_log")
+    ck_rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+            "remove": None,
+        },
+        {
+            "protocol": None,
+            "metaData": json.loads(json.dumps(_meta()["metaData"])),
+            "add": None,
+            "remove": None,
+        },
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": {
+                "path": "f2.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            },
+            "remove": None,
+        },
+    ]
+    ck_schema = (
+        "protocol struct<minReaderVersion int, minWriterVersion int>, "
+        "metaData struct<id string, format struct<provider string, "
+        "options map<string,string>>, schemaString string, "
+        "partitionColumns array<string>, "
+        "configuration map<string,string>, createdTime long>, "
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, modificationTime long, dataChange boolean>, "
+        "remove struct<path string, deletionTimestamp long, "
+        "dataChange boolean>"
+    )
+    tmp_ck = os.path.join(root, "_tmp_ck")
+    spark.createDataFrame(ck_rows, ck_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_ck)
+    part = next(n for n in os.listdir(tmp_ck) if n.endswith(".parquet"))
+    os.replace(
+        os.path.join(tmp_ck, part),
+        os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(tmp_ck)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 2, "size": 3}))
+    # remove the pre-checkpoint JSON commits: replay MUST come from the
+    # checkpoint now (a real retention clean-up does exactly this)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    os.remove(os.path.join(log, f"{2:020d}.json"))
+    _commit(root, 3, [_add("f3.parquet")])
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(2, "b"), (3, "c")]
+
+
+def test_reader_version_guard_fails_closed(spark, tmp_path):
+    from fintech_lakehouse_spark.sources import read_delta_table
+
+    root = str(tmp_path / "dlv")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _commit(root, 0, [_protocol(reader=3), _meta(), _add("f1.parquet")])
+    with pytest.raises(NotImplementedError, match="minReaderVersion"):
+        read_delta_table(spark, root)
+
+
+def test_empty_live_set_returns_empty_with_schema(spark, tmp_path):
+    from fintech_lakehouse_spark.sources import read_delta_table
+
+    root = str(tmp_path / "dle")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _commit(root, 0, [_protocol(), _meta(), _add("f1.parquet")])
+    _commit(root, 1, [_remove("f1.parquet")])
+    df = read_delta_table(spark, root)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+
+
+def test_non_delta_path_unaffected(spark, tmp_path):
+    """read_lake_table on a plain parquet dir (no _delta_log) keeps the
+    bare scan path."""
+    from fintech_lakehouse_spark.sources import read_lake_table
+
+    root = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(root)
+    assert read_lake_table(spark, root).count() == 1
