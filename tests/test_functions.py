@@ -1673,3 +1673,140 @@ def test_kmeans_lloyd_helpers_match_python_model(spark):
     # midpoint (5,5): equidistant from (0,0)+(10,10)? 50 vs 50 — tie
     # breaks to cid 0 in iteration 1, so centroid 0 drifts toward it.
     assert assign_py({0: [0, 0], 1: [10, 10]})[4][0] == 0
+
+
+class TestMp4FrameBytes:
+    """MP4 frame-BYTE extraction (VERDICT r7 item 6): the demuxer seek
+    path — stsz sizes + stsc chunk runs + stco absolute offsets →
+    mdat slices — without any codec. The ffmpeg boundary is now only
+    the pixel decode of the extracted payloads."""
+
+    def _mp4(self, frames, spc=3):
+        from fintech_lakehouse_spark.functions.multimodal import (
+            synthesize_mp4_with_media,
+        )
+
+        return synthesize_mp4_with_media(frames, fps=25, samples_per_chunk=spc)
+
+    def test_roundtrip_every_frame(self):
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_frame_bytes,
+        )
+
+        frames = [bytes([i]) * (10 + i % 5) for i in range(8)]
+        mp4 = self._mp4(frames)
+        assert read_mp4_frame_bytes(mp4, list(range(8))) == frames
+        # arbitrary subsets in arbitrary order
+        assert read_mp4_frame_bytes(mp4, [7, 0, 3]) == [
+            frames[7], frames[0], frames[3],
+        ]
+
+    def test_ragged_last_chunk_and_single_chunk(self):
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_frame_bytes,
+            read_mp4_sample_locations,
+        )
+
+        frames = [bytes([i + 1]) * (3 + i) for i in range(7)]
+        # 7 samples, 3/chunk → chunks of 3,3,1 (ragged stsc run)
+        mp4 = self._mp4(frames, spc=3)
+        assert read_mp4_frame_bytes(mp4, list(range(7))) == frames
+        # one big chunk: stsc has a single run
+        mp4_one = self._mp4(frames, spc=100)
+        assert read_mp4_frame_bytes(mp4_one, list(range(7))) == frames
+        ts, deltas, sizes, offsets = read_mp4_sample_locations(mp4_one)
+        assert sizes == [len(f) for f in frames]
+        # within one chunk, offsets are contiguous by size
+        assert all(
+            offsets[i + 1] == offsets[i] + sizes[i]
+            for i in range(len(frames) - 1)
+        )
+
+    def test_consistent_with_frame_table(self):
+        """The locations walk and the manifest walk must agree on
+        timescale/deltas/sizes — same stbl, two consumers."""
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_frame_table,
+            read_mp4_sample_locations,
+        )
+
+        frames = [b"x" * (5 + i) for i in range(6)]
+        mp4 = self._mp4(frames)
+        ts_a, deltas_a, sizes_a = read_mp4_frame_table(mp4)
+        ts_b, deltas_b, sizes_b, _ = read_mp4_sample_locations(mp4)
+        assert (ts_a, deltas_a, sizes_a) == (ts_b, deltas_b, sizes_b)
+
+    def test_quarantine_paths(self):
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_frame_bytes,
+        )
+
+        frames = [b"abc", b"defg"]
+        mp4 = self._mp4(frames, spc=2)
+        assert read_mp4_frame_bytes(mp4[:-3], [1]) is None  # truncated mdat
+        assert read_mp4_frame_bytes(mp4, [2]) is None       # out of range
+        assert read_mp4_frame_bytes(mp4, [-1]) is None
+        assert read_mp4_frame_bytes(b"not an mp4", [0]) is None
+        assert read_mp4_frame_bytes(b"", [0]) is None
+
+    def test_header_only_table_has_no_chunk_map(self):
+        """The r7 header-only synthesizer (no stsc/stco/mdat) must
+        quarantine in the locations walk — extraction REQUIRES the
+        chunk map, manifests don't."""
+        from fintech_lakehouse_spark.functions.multimodal import (
+            read_mp4_sample_locations,
+            synthesize_mp4_sample_table,
+        )
+
+        mp4 = synthesize_mp4_sample_table(6, fps=25, base_sample_bytes=10)
+        assert read_mp4_sample_locations(mp4) is None
+
+
+def test_container_frame_sampling_real_bytes(spark):
+    """decode='container': the Spark-side frame sampler must return
+    the REAL frame payload bytes from the mdat via the demuxer walk —
+    picked at >= every_n_seconds decode-time spacing — and quarantine
+    malformed containers to zero rows."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        sample_video_frames,
+        synthesize_mp4_with_media,
+    )
+
+    # 25 fps, 75 frames = 3 seconds; sampling every 1 s → frames 0/25/50
+    frames = [bytes([i % 251]) * (6 + i % 4) for i in range(75)]
+    mp4 = synthesize_mp4_with_media(frames, fps=25)
+    assets = spark.createDataFrame(
+        [
+            (3, "video", "mp4", mp4, len(mp4)),
+            (4, "video", "mp4", b"corrupt container", 17),
+        ],
+        "asset_id long, modality string, format string, "
+        "payload binary, n_bytes long",
+    )
+    rows = sorted(
+        (r["asset_id"], r["frame_no"], r["frame_ts_sec"],
+         bytes(r["frame_bytes"]))
+        for r in sample_video_frames(
+            assets, every_n_seconds=1, decode="container"
+        ).collect()
+    )
+    assert [(a, k, t) for a, k, t, _ in rows] == [
+        (3, 0, 0.0), (3, 25, 1.0), (3, 50, 2.0),
+    ]
+    assert [b for *_, b in rows] == [frames[0], frames[25], frames[50]]
+
+
+def test_container_frame_sampling_pixel_seam_named(spark):
+    import pytest
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, "video", "mp4", b"", 0)],
+        "asset_id long, modality string, format string, "
+        "payload binary, n_bytes long",
+    )
+    with pytest.raises(NotImplementedError, match="PIXEL"):
+        sample_video_frames(assets, decode="real")

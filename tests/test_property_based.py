@@ -598,7 +598,9 @@ def test_media_header_parsers_never_crash(payload):
     )
 
     from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp4_frame_bytes,
         read_mp4_frame_table,
+        read_mp4_sample_locations,
         read_mp4_sample_table,
     )
 
@@ -611,9 +613,12 @@ def test_media_header_parsers_never_crash(payload):
         read_png_header,
         read_mp4_sample_table,
         read_mp4_frame_table,
+        read_mp4_sample_locations,
     ):
         out = parser(payload)
         assert out is None or isinstance(out, tuple)
+    got = read_mp4_frame_bytes(payload, [0])
+    assert got is None or isinstance(got, list)
 
 
 @given(
