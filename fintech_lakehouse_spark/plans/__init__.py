@@ -17,6 +17,7 @@ from fintech_lakehouse_spark.plans import selection  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import scalars  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import quality  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import analytics  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import analytics_r8  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import multimodal  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import events  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import windows  # noqa: E402,F401

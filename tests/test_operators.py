@@ -1218,3 +1218,80 @@ class TestIterateEdges:
         )
         assert n == 3 and not stopped
         assert {r["src"] for r in got.collect()} == {"e", "f", "g", "h"}
+
+
+def test_last_touch_attribution_hand_timeline(spark, tmp_path):
+    """Planted timeline pins the attribution semantics: a purchase
+    credits the nearest PRECEDING non-purchase type; consecutive
+    purchases share their last real touch (the frame excludes
+    purchase rows); a purchase with no prior event credits
+    'direct'."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec, etype, value):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, etype, value, "{}")
+
+    rows = [
+        # u1: click → purchase(10) → purchase(20): both credit click
+        ev(1, 1, 0, "click", 0.0),
+        ev(2, 1, 10, "purchase", 10.0),
+        ev(3, 1, 20, "purchase", 20.0),
+        # u2: view → error → purchase: credits error (nearest)
+        ev(4, 2, 0, "view", 0.0),
+        ev(5, 2, 5, "error", 0.0),
+        ev(6, 2, 9, "purchase", 5.5),
+        # u3: purchase with no prior event: direct
+        ev(7, 3, 0, "purchase", 7.25),
+    ]
+    sf = tmp_path / "attr_sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+    got = {
+        r["channel"]: (r["n_purchases"], r["attributed_cents"])
+        for r in QUERIES["last_touch_attribution"](spark, str(sf)).collect()
+    }
+    assert got == {
+        "click": (2, 3000),
+        "error": (1, 550),
+        "direct": (1, 725),
+    }
+
+
+def test_label_balance_ess_exact_math(spark, tmp_path):
+    """ESS fixture math: perfectly balanced labels give ESS == k
+    (balance 1e6 ppm); a dominated distribution gives the exact
+    Kish value (Σn)²/Σn² in micro-units."""
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    sf = tmp_path / "ess_sf"
+    sf.mkdir()
+
+    def table(counts):
+        rows = [
+            (i * 1000 + j, [0.0] * 4, lbl)
+            for i, (lbl, n) in enumerate(counts)
+            for j in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(sf / "embeddings.parquet"))
+
+    table([(0, 5), (1, 5), (2, 5)])  # balanced: ESS = 3
+    (row,) = QUERIES["label_balance_ess"](spark, str(sf)).collect()
+    assert row["n_labels"] == 3 and row["n_vectors"] == 15
+    assert row["ess_labels_micro"] == 3_000_000
+    assert row["balance_ppm"] == 1_000_000
+
+    table([(0, 8), (1, 1), (2, 1)])  # dominated: 100²/66 = 151.51..
+    (row,) = QUERIES["label_balance_ess"](spark, str(sf)).collect()
+    assert row["ess_labels_micro"] == (10 * 10 * 1_000_000) // 66
+    assert row["balance_ppm"] == (10 * 10 * 1_000_000) // (66 * 3)
+    assert row["max_share_ppm"] == 800_000
