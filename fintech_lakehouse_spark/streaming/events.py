@@ -1046,11 +1046,17 @@ def foreach_batch_online_dedup(
             return  # replayed committed batch: exactly-once skip
         if batch_df.isEmpty():
             return
-        batch = batch_df.select("doc_id", "text")
+        # persist the two frames every downstream action re-derives:
+        # without this, each of the 4 actions in this sink (two state
+        # writes, decisions, plus verify's corpus pass) re-reads the
+        # batch file AND re-runs the md5 minhash pipeline — the
+        # streaming bench measured ~6 engine re-scans per batch
+        # (BASELINE §streaming engine_rows column)
+        batch = batch_df.select("doc_id", "text").persist()
         sig = minhash_signatures_md5(
             shingle_rows(batch, shingle_n), n_hashes
         )
-        bands = _bands(sig)
+        bands = _bands(sig).persist()
         stored_bands = _committed_union(
             spark, f"{state_path.rstrip('/')}/bands"
         )
@@ -1114,11 +1120,15 @@ def foreach_batch_online_dedup(
         # whereas the reverse order would return early on replay with
         # the state append lost forever, silently shrinking the store.
         # Each state dir is itself idempotent via its version path.
-        for sub, df in (("bands", bands), ("docs", batch)):
-            vdir = f"{state_path.rstrip('/')}/{sub}/version={batch_id}"
-            if not _dir_committed(spark, vdir):
-                df.coalesce(1).write.mode("overwrite").parquet(vdir)
-        decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
+        try:
+            for sub, df in (("bands", bands), ("docs", batch)):
+                vdir = f"{state_path.rstrip('/')}/{sub}/version={batch_id}"
+                if not _dir_committed(spark, vdir):
+                    df.coalesce(1).write.mode("overwrite").parquet(vdir)
+            decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
+        finally:
+            bands.unpersist()
+            batch.unpersist()
 
     return _apply
 
@@ -1157,15 +1167,21 @@ def foreach_batch_bm25_index(index_path: str):
         if batch_df.isEmpty():
             return
         toks = F.split("text", " ")
+        # persisted: sized feeds both the postings build and the
+        # totals delta, postings feeds both the df delta and the
+        # postings write — without caching, each action re-reads and
+        # re-tokenizes the batch (the bench's 4-engine-scans-per-batch
+        # diagnostic, BASELINE §streaming)
         sized = batch_df.select(
             "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
-        )
+        ).persist()
         postings = (
             sized.select(
                 "doc_id", "dl", F.explode("toks").alias("term")
             )
             .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
         )
         df_delta = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
@@ -1195,11 +1211,15 @@ def foreach_batch_bm25_index(index_path: str):
         # batch commit point (the early-return keys on it), so a crash
         # in between replays the batch and the snapshot writes below
         # skip via their own committed version dirs
-        for sub, df in (("df", merged_df), ("totals", merged_tot)):
-            vdir = f"{root}/{sub}/version={batch_id}"
-            if not _dir_committed(spark, vdir):
-                df.coalesce(1).write.mode("overwrite").parquet(vdir)
-        postings.coalesce(1).write.mode("overwrite").parquet(post_dir)
+        try:
+            for sub, df in (("df", merged_df), ("totals", merged_tot)):
+                vdir = f"{root}/{sub}/version={batch_id}"
+                if not _dir_committed(spark, vdir):
+                    df.coalesce(1).write.mode("overwrite").parquet(vdir)
+            postings.coalesce(1).write.mode("overwrite").parquet(post_dir)
+        finally:
+            postings.unpersist()
+            sized.unpersist()
 
     return _apply
 
