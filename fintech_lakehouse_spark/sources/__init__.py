@@ -13,6 +13,7 @@ from fintech_lakehouse_spark.sources.writers import (
 from fintech_lakehouse_spark.sources.deltalog import (
     delta_snapshot,
     read_delta_table,
+    write_delta_commit,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "write_lake_table",
     "delta_snapshot",
     "read_delta_table",
+    "write_delta_commit",
 ]

@@ -19,12 +19,13 @@ attached from the log's authoritative ``partitionValues`` (Delta data
 files do NOT store partition columns; trusting directory names instead
 of the log breaks on nulls and special characters).
 
-Strictly a READER for protocol version 1 tables: ``minReaderVersion``
-> 1 (column mapping, deletion vectors, ...) raises — fail CLOSED,
-because silently ignoring a deletion vector returns deleted rows.
-Writing still goes through the parquet-mode writers; when a real
-delta-spark is present ``lake_format()`` routes reads to it and this
-module is bypassed entirely.
+The READ path covers protocol version 1 tables only:
+``minReaderVersion`` > 1 (column mapping, deletion vectors, ...)
+raises — fail CLOSED, because silently ignoring a deletion vector
+returns deleted rows. :func:`write_delta_commit` is the matching
+minimal single-writer WRITE path (append/overwrite JSON commits);
+when a real delta-spark is present ``lake_format()`` routes to it and
+this module is bypassed entirely.
 
 Scale note: snapshot replay is driver-side metadata work, linear in
 actions since the last checkpoint (the same contract as Delta's own
@@ -238,3 +239,146 @@ def read_delta_table(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def write_delta_commit(
+    spark: SparkSession,
+    df,
+    path: str,
+    mode: str = "append",
+    partition_by: list | None = None,
+) -> int:
+    """Minimal protocol-v1 Delta WRITER: write ``df`` as parquet data
+    files under ``path`` and commit them to the ``_delta_log`` as the
+    next JSON version — ``append`` adds files; ``overwrite`` adds the
+    new files and tombstones (remove-actions) every live file of the
+    previous snapshot. Returns the committed version.
+
+    This is the writing half of the offline Delta bridge: together
+    with :func:`read_delta_table` it gives append / overwrite / time
+    travel against a REAL transaction log without delta-spark — a
+    fixture-faithful subset, not a replacement (no concurrent-writer
+    conflict detection: version allocation is check-then-write, fine
+    for the single-writer offline case; real multi-writer tables need
+    delta-spark's optimistic commit protocol, which is why
+    ``lake_format()`` routes to it when installed).
+
+    Mechanics: data files land under a staging subdir via a normal
+    distributed parquet write (so the files themselves are
+    Spark-written, footers and all), then move to
+    ``part-<version>-<n>.parquet`` at the table root; the commit JSON
+    carries protocol/metaData (first version only; schema from
+    ``df.schema.jsonValue()``), one add per file with partitionValues,
+    and removes for overwrite. Partitioned writes stage per-partition
+    directories so partitionValues come from the WRITER's knowledge,
+    not directory parsing."""
+    import shutil
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    partition_by = list(partition_by or [])
+    log = os.path.join(path, LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    versions = _commit_versions(log)
+    ckpt = _checkpoint_version(log, 1 << 62)
+    have_any = bool(versions) or ckpt is not None
+    version = (max(versions + ([ckpt] if ckpt is not None else [])) + 1
+               if have_any else 0)
+
+    prev_files: dict[str, dict] = {}
+    if have_any:
+        prev = delta_snapshot(spark, path)
+        prev_files = prev.files
+        if [f.name for f in prev.schema.fields] != [
+            f.name for f in df.schema.fields
+        ]:
+            raise ValueError(
+                "write_delta_commit: schema column mismatch vs table "
+                f"(have {[f.name for f in prev.schema.fields]}, "
+                f"writing {[f.name for f in df.schema.fields]})"
+            )
+
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+
+    adds = []
+    n = 0
+
+    def collect(dirpath: str, pvals: dict) -> None:
+        nonlocal n
+        for name in sorted(os.listdir(dirpath)):
+            full = os.path.join(dirpath, name)
+            if name.endswith(".parquet") and os.path.isfile(full):
+                rel = f"part-{version:05d}-{n:05d}.parquet"
+                os.replace(full, os.path.join(path, rel))
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(
+                                os.path.join(path, rel)
+                            ),
+                            "modificationTime": int(
+                                os.path.getmtime(os.path.join(path, rel))
+                                * 1000
+                            ),
+                            "dataChange": True,
+                        }
+                    }
+                )
+                n += 1
+            elif os.path.isdir(full) and "=" in name:
+                col, _, raw = name.partition("=")
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else raw
+                )
+                collect(full, {**pvals, col: val})
+
+    collect(stage, {})
+    shutil.rmtree(stage)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(os.path.getmtime(path) * 1000),
+                }
+            }
+        )
+    actions.extend(adds)
+    if mode == "overwrite":
+        for rel in sorted(prev_files):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": int(
+                            os.path.getmtime(path) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+    commit = os.path.join(log, f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, commit)
+    return version
