@@ -1260,3 +1260,118 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _pq_assign_sql(elem) -> list[str]:
+    """Per-subspace PQ assignment expressions — ONE text generator for
+    both engines (``elem(i)`` renders the 1-based subscript of the
+    double-array column in that engine's syntax; the struct-literal /
+    sort idioms differ and are handled by the caller-provided
+    templates in ``elem.struct`` / ``elem.first``): for subspace s,
+    the sorted-first of [(squared L2 distance to centroid c, c)] —
+    struct ordering is lexicographic on BOTH engines, so the smallest
+    distance wins with the centroid id as the deterministic
+    tie-break."""
+    from fintech_lakehouse_spark.plans._pq_codebook import (
+        CODEBOOK,
+        K,
+        M,
+        SUBDIM,
+    )
+
+    out = []
+    for s in range(M):
+        structs = []
+        for c in range(K):
+            terms = " + ".join(
+                f"({elem(s * SUBDIM + j + 1)} - "
+                f"({CODEBOOK[s][c][j]}/1000.0)) * "
+                f"({elem(s * SUBDIM + j + 1)} - "
+                f"({CODEBOOK[s][c][j]}/1000.0))"
+                for j in range(SUBDIM)
+            )
+            structs.append(elem.struct.format(d=terms, c=c))
+        out.append(elem.first.format(items=", ".join(structs)))
+    return out
+
+
+def _pq_oracle_sql() -> str:
+    def elem(i: int) -> str:
+        return f"v[{i}]"
+
+    elem.struct = "{{'d': {d}, 'c': {c}}}"
+    elem.first = "list_sort([{items}])[1]"
+    assigns = _pq_assign_sql(elem)
+    code = ", ".join(f"CAST(a{s}.c AS VARCHAR)" for s in range(len(assigns)))
+    err = " + ".join(f"a{s}.d" for s in range(len(assigns)))
+    named = ", ".join(f"{a} AS a{s}" for s, a in enumerate(assigns))
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, {named} FROM emb
+    )
+    SELECT vec_id,
+           concat_ws('-', {code}) AS pq_code,
+           ROUND({err}, 6) AS sq_err
+    FROM assigned
+    """
+
+
+@register("pq_quantization_distortion", oracle=_pq_oracle_sql())
+def pq_quantization_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + distortion audit (Jégou et al.
+    2011 — the third member of the compression family next to int8
+    affine quantization and JL projection): every embedding splits
+    into 8 contiguous 8-dim subvectors, each assigned to the nearest
+    of 16 FROZEN centroids (plans/_pq_codebook.py, md5-derived and
+    inlined identically in plan and oracle — the _ivf_codebook
+    technique), emitting the 8-symbol PQ code (the 4-bit-per-subspace
+    compressed representation, 64 floats → 4 bytes) and the exact
+    reconstruction squared error. The driver hash replays codebook
+    literals, per-subspace argmin, and the error sum — bit-for-bit
+    across engines because both build the IDENTICAL float expression
+    tree (the embedding_quantization_error precedent) with ROUND only
+    at the end.
+
+    Argmin determinism: each subspace sorts [(distance, centroid_id)]
+    structs and takes the first — lexicographic struct ordering on
+    both engines makes centroid_id the tie-break, so equal distances
+    can never flip the code across engines or shuffles.
+
+    Scale shape: a ZERO-SHUFFLE map over the corpus — 8×16 literal
+    distance evaluations per row (the IVF-assignment / JL-projection
+    shape; the 1024-literal codebook is a few KB of plan). At 100 TB
+    this is the encode pass an ANN pipeline runs once before storing
+    4-byte codes; ADC search then probes lookup tables instead of raw
+    vectors. The generated expression exceeds whole-stage-codegen's
+    method budget and evaluates interpreted — the trade for a
+    bit-replayable frozen codebook; a trained-codebook deployment
+    would use a broadcast table + pandas UDF at the same shape."""
+
+    def elem(i: int) -> str:
+        return f"element_at(v, {i})"
+
+    elem.struct = "named_struct('d', {d}, 'c', {c})"
+    elem.first = "array_sort(array({items}))[0]"
+    assigns = _pq_assign_sql(elem)
+    emb = _embeddings_double(spark, sf_dir).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    assigned = emb.select(
+        "vec_id",
+        *[F.expr(a).alias(f"a{s}") for s, a in enumerate(assigns)],
+    )
+    code = F.concat_ws(
+        "-", *[F.col(f"a{s}.c").cast("string") for s in range(len(assigns))]
+    )
+    err = None
+    for s in range(len(assigns)):
+        d = F.col(f"a{s}.d")
+        err = d if err is None else err + d
+    return assigned.select(
+        "vec_id",
+        code.alias("pq_code"),
+        F.round(err, 6).alias("sq_err"),
+    )

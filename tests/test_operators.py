@@ -1295,3 +1295,67 @@ def test_label_balance_ess_exact_math(spark, tmp_path):
     assert row["ess_labels_micro"] == (10 * 10 * 1_000_000) // 66
     assert row["balance_ppm"] == (10 * 10 * 1_000_000) // (66 * 3)
     assert row["max_share_ppm"] == 800_000
+
+
+def test_pq_distortion_matches_python_model(spark, tmp_path):
+    """PQ encode replayed in pure Python: per-subspace argmin with
+    centroid-id tie-break and the summed squared error must equal the
+    Spark pipeline on a planted mini-corpus, including a vector placed
+    EXACTLY on a centroid (sq_err contribution 0 for that subspace)."""
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans._pq_codebook import (
+        CODEBOOK,
+        K,
+        M,
+        SUBDIM,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(M * SUBDIM)] for _ in range(5)]
+    # vector 5: subspace 0 sits exactly on centroid 3
+    on_centroid = [c / 1000.0 for c in CODEBOOK[0][3]] + [
+        rng.uniform(-1, 1) for _ in range((M - 1) * SUBDIM)
+    ]
+    vecs.append(on_centroid)
+
+    def encode(v):
+        code, err = [], 0.0
+        for s in range(M):
+            best = None
+            for c in range(K):
+                d = sum(
+                    (v[s * SUBDIM + j] - CODEBOOK[s][c][j] / 1000.0) ** 2
+                    for j in range(SUBDIM)
+                )
+                if best is None or (d, c) < best:
+                    best = (d, c)
+            code.append(best[1])
+            err += best[0]
+        return "-".join(map(str, code)), round(err, 6)
+
+    sf = tmp_path / "pq_sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(sf / "embeddings.parquet"))
+    got = {
+        r["vec_id"]: (r["pq_code"], r["sq_err"])
+        for r in QUERIES["pq_quantization_distortion"](
+            spark, str(sf)
+        ).collect()
+    }
+    # the table stores float32: replay the model on the FLOAT32 values
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    for i, v in enumerate(vecs):
+        code, err = encode([f32(x) for x in v])
+        assert got[i][0] == code, (i, got[i], code)
+        assert abs(got[i][1] - err) < 1e-9, (i, got[i], err)
+    # the planted vector's subspace-0 symbol is centroid 3
+    assert got[5][0].split("-")[0] == "3"
