@@ -1359,3 +1359,48 @@ def test_pq_distortion_matches_python_model(spark, tmp_path):
         assert abs(got[i][1] - err) < 1e-9, (i, got[i], err)
     # the planted vector's subspace-0 symbol is centroid 3
     assert got[5][0].split("-")[0] == "3"
+
+
+def test_pq_adc_consistency_with_encode(spark, sf_dir):
+    """The ADC distance must equal the exact L2 distance from the
+    query to the DECODED corpus vector — replayed in Python from the
+    encode query's codes on a sampled overlap (the relationship pin,
+    the ann_recall_eval pattern)."""
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans._pq_codebook import (
+        CODEBOOK,
+        M,
+        SUBDIM,
+    )
+
+    codes = {
+        r["vec_id"]: [int(c) for c in r["pq_code"].split("-")]
+        for r in QUERIES["pq_quantization_distortion"](
+            spark, sf_dir
+        ).collect()
+    }
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in __import__(
+            "fintech_lakehouse_spark.sources.readers",
+            fromlist=["load_table"],
+        ).load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = QUERIES["pq_adc_topk"](spark, sf_dir).collect()
+    assert len(rows) == 15  # 3 queries x top-5
+    for r in rows:
+        q = emb[r["query_id"]]
+        code = codes[r["vec_id"]]
+        adc = sum(
+            (q[s * SUBDIM + j] - CODEBOOK[s][code[s]][j] / 1000.0) ** 2
+            for s in range(M)
+            for j in range(SUBDIM)
+        )
+        assert abs(r["adc_dist_sq"] - round(adc, 6)) < 1e-6, (r, adc)
+    # ranking sanity: per query the adc distances are non-decreasing
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r["adc_dist_sq"])
+    assert all(v == sorted(v) for v in per_q.values())
