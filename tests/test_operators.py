@@ -1404,3 +1404,23 @@ def test_pq_adc_consistency_with_encode(spark, sf_dir):
     for r in rows:
         per_q[r["query_id"]].append(r["adc_dist_sq"])
     assert all(v == sorted(v) for v in per_q.values())
+
+
+def test_kmeans_checkpointed_equals_lazy(spark, sf_dir):
+    """Lloyd via iterate_edges (centroid leaf per iteration — one
+    corpus scan each) must produce EXACTLY the lazy unroll's centroids
+    at a deeper-than-registry iteration count: the strategy is an
+    execution choice, never a semantics one."""
+    from fintech_lakehouse_spark.plans.vectors import kmeans_lloyd_train
+
+    def rows(df):
+        return sorted(
+            (r["cid"], tuple(r["c"])) for r in df.collect()
+        )
+
+    lazy = rows(kmeans_lloyd_train(spark, sf_dir, iterations=4))
+    ckpt_df = kmeans_lloyd_train(spark, sf_dir, iterations=4, checkpoint=True)
+    assert rows(ckpt_df) == lazy
+    # checkpointed form: the final plan reads a leaf, not parquet
+    plan = ckpt_df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan.split("== Initial Plan ==")[0]
