@@ -273,3 +273,95 @@ def bucketed_min_gap(
             .alias("n_rapid")
         )
     return bounded.groupBy(key).agg(*final_aggs)
+
+
+def bucketed_fill_forward(
+    df: DataFrame,
+    key: str,
+    time_us: str,
+    value: str,
+    bucket_us: int = 3_600_000_000,
+    include_current: bool = True,
+    out: str | None = None,
+) -> DataFrame:
+    """Skew-safe LAST-NON-NULL CARRY-FORWARD (fill-forward) — the
+    two-phase decomposition of ``last(value, ignorenulls=True) OVER
+    (PARTITION BY key ORDER BY time ROWS UNBOUNDED PRECEDING ..
+    CURRENT/−1)`` for hot keys, completing the bucketed family next to
+    :func:`bucketed_min_gap`: the exact window serializes a hot key's
+    entire history into one sort task (ROUND_NOTES fact 49); bucketing
+    time first splits the carry exactly into a WITHIN-bucket fill
+    (parallel over (key, bucket)) plus a CROSS-bucket carry over one
+    row per non-empty (key, bucket) — bounded by time-range/bucket_us,
+    never event count. The phase split is exact (the last non-null at
+    a row is either inside its bucket or the latest bucket-final value
+    before it), so the output is IDENTICAL to the exact window —
+    equivalence-tested, not an approximation.
+
+    This is the scale path for fill-forward feature engineering,
+    last-touch attribution channels, and SCD-style status carry.
+    ``include_current=False`` gives the STRICTLY-BEFORE frame
+    (.. −1 PRECEDING — the attribution semantics: a row never
+    observes its own value).
+
+    ``time_us`` must be numeric and UNIQUE within a key (epoch micros
+    plus an id tie-break folded upstream if needed — the nearest_join
+    contract). Adds column ``out`` (default ``<value>_ffill``);
+    internal names are guarded like nearest_join's."""
+    from pyspark.sql.window import Window
+
+    out = out or f"{value}_ffill"
+    _reserved = {"_us", "_b", "_within", "_blast", "_carry", "_prevw"}
+    _bad = sorted(c for c in df.columns if c in _reserved or c == out)
+    if _bad:
+        raise ValueError(
+            "bucketed_fill_forward: input columns collide with internal/"
+            f"output names: {_bad}"
+        )
+    base = df.withColumn("_us", F.col(time_us)).withColumn(
+        "_b", F.expr(f"{time_us} DIV {bucket_us}")
+    )
+    w_in = (
+        Window.partitionBy(key, "_b")
+        .orderBy("_us")
+        .rowsBetween(Window.unboundedPreceding, 0 if include_current else -1)
+    )
+    filled = base.withColumn(
+        "_within", F.last(value, ignorenulls=True).over(w_in)
+    )
+    if not include_current:
+        # the strictly-before carry still needs each bucket's LAST
+        # non-null INCLUDING its final row for the next bucket
+        w_all = (
+            Window.partitionBy(key, "_b")
+            .orderBy("_us")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        filled = filled.withColumn(
+            "_blast", F.last(value, ignorenulls=True).over(w_all)
+        )
+        per_bucket = filled.groupBy(key, "_b").agg(
+            F.first("_blast").alias("_blast")
+        )
+    else:
+        per_bucket = (
+            filled.groupBy(key, "_b")
+            .agg(
+                F.expr(
+                    f"max_by({value}, _us) FILTER (WHERE {value} IS NOT NULL)"
+                ).alias("_blast")
+            )
+        )
+    w_carry = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = per_bucket.withColumn(
+        "_carry", F.last("_blast", ignorenulls=True).over(w_carry)
+    ).select(key, "_b", "_carry")
+    return (
+        filled.join(carry, [key, "_b"])
+        .withColumn(out, F.coalesce("_within", "_carry"))
+        .drop("_us", "_b", "_within", "_blast", "_carry")
+    )

@@ -1424,3 +1424,144 @@ def test_kmeans_checkpointed_equals_lazy(spark, sf_dir):
     # checkpointed form: the final plan reads a leaf, not parquet
     plan = ckpt_df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan.split("== Initial Plan ==")[0]
+
+
+class TestBucketedFillForward:
+    """operators/skew.py::bucketed_fill_forward — the two-phase carry
+    must EQUAL the exact last-non-null window on randomized frames,
+    including an all-one-key hot frame, for both frame variants."""
+
+    def _frame(self, spark, n_keys, n_rows, seed):
+        import random
+
+        rng = random.Random(seed)
+        ts = rng.sample(range(1, 500_000), n_rows)  # unique times
+        rows = [
+            (
+                rng.randrange(n_keys),
+                t,
+                None if rng.random() < 0.4 else f"v{rng.randrange(5)}",
+            )
+            for t in ts
+        ]
+        return spark.createDataFrame(rows, "k int, t long, v string")
+
+    def _exact(self, df, include_current):
+        from pyspark.sql.window import Window as W
+
+        w = (
+            W.partitionBy("k")
+            .orderBy("t")
+            .rowsBetween(W.unboundedPreceding, 0 if include_current else -1)
+        )
+        return df.withColumn(
+            "v_ffill", F.last("v", ignorenulls=True).over(w)
+        )
+
+    @staticmethod
+    def _rows(df):
+        return sorted(
+            (r["k"], r["t"], r["v"], r["v_ffill"]) for r in df.collect()
+        )
+
+    def test_equals_exact_window_random(self, spark):
+        from fintech_lakehouse_spark.operators.skew import (
+            bucketed_fill_forward,
+        )
+
+        for seed in (1, 2):
+            for inc in (True, False):
+                df = self._frame(spark, n_keys=7, n_rows=400, seed=seed)
+                got = bucketed_fill_forward(
+                    df, "k", "t", "v", bucket_us=10_000,
+                    include_current=inc,
+                )
+                assert self._rows(got) == self._rows(
+                    self._exact(df, inc)
+                ), (seed, inc)
+
+    def test_hot_key_and_tiny_buckets(self, spark):
+        """One key holding every row (the skew case the operator
+        exists for) with buckets small enough that most are empty or
+        single-row — the cross-bucket carry does the work."""
+        from fintech_lakehouse_spark.operators.skew import (
+            bucketed_fill_forward,
+        )
+
+        df = self._frame(spark, n_keys=1, n_rows=300, seed=3)
+        got = bucketed_fill_forward(df, "k", "t", "v", bucket_us=100)
+        assert self._rows(got) == self._rows(self._exact(df, True))
+
+    def test_reserved_and_output_collisions(self, spark):
+        import pytest
+
+        from fintech_lakehouse_spark.operators.skew import (
+            bucketed_fill_forward,
+        )
+
+        df = spark.createDataFrame([(1, 1, "a")], "k int, t long, v string")
+        bad = df.withColumn("_carry", F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            bucketed_fill_forward(bad, "k", "t", "v")
+        bad2 = df.withColumn("v_ffill", F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            bucketed_fill_forward(bad2, "k", "t", "v")
+
+    def test_matches_attribution_channels(self, spark, sf_dir):
+        """Tie to the registry: rebuilding last_touch_attribution's
+        channel column with the bucketed operator (strictly-before
+        frame over a (ts, event_id)-unique time axis) reproduces the
+        exact query's per-channel totals."""
+        from fintech_lakehouse_spark.plans import QUERIES
+        from fintech_lakehouse_spark.operators.skew import (
+            bucketed_fill_forward,
+        )
+        from fintech_lakehouse_spark.sources.readers import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        # unique numeric order axis: epoch micros * 2^20 + event_id
+        df = events.select(
+            "user_id",
+            "event_type",
+            "value",
+            # millis * 2^20 + event_id stays inside int64 (micros
+            # would overflow); the lake's ts is second-granularity so
+            # millis preserves the (ts, event_id) total order
+            (
+                F.unix_millis(F.col("ts").cast("timestamp")) * 1048576
+                + F.col("event_id")
+            ).alias("tkey"),
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            ).alias("touch"),
+        )
+        filled = bucketed_fill_forward(
+            df, "user_id", "tkey", "touch",
+            bucket_us=3_600_000_000 * 1048576,
+            include_current=False,
+        )
+        got = {
+            r["channel"]: (r["n"], r["cents"])
+            for r in filled.filter(F.col("event_type") == "purchase")
+            .groupBy(
+                F.coalesce(F.col("touch_ffill"), F.lit("direct")).alias(
+                    "channel"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"
+                    )
+                ).alias("cents"),
+            )
+            .collect()
+        }
+        expected = {
+            r["channel"]: (r["n_purchases"], r["attributed_cents"])
+            for r in QUERIES["last_touch_attribution"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
