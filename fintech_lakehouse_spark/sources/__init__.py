@@ -12,7 +12,9 @@ from fintech_lakehouse_spark.sources.writers import (
 )
 from fintech_lakehouse_spark.sources.deltalog import (
     delta_snapshot,
+    optimize_delta_table,
     read_delta_table,
+    vacuum_delta_table,
     write_delta_commit,
 )
 
@@ -28,4 +30,6 @@ __all__ = [
     "delta_snapshot",
     "read_delta_table",
     "write_delta_commit",
+    "optimize_delta_table",
+    "vacuum_delta_table",
 ]

@@ -382,3 +382,148 @@ def write_delta_commit(
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)
     return version
+
+
+def optimize_delta_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 4,
+    zorder: list | None = None,
+) -> int:
+    """OPTIMIZE analog against the REAL transaction log: read the live
+    snapshot, rewrite it as ``target_files`` files (optionally
+    clustered on the Morton Z-order of ``zorder`` columns — the
+    writers.py ``zorder_key`` curve, Delta's OPTIMIZE ZORDER BY), and
+    commit one version that adds the compacted files with
+    ``dataChange: false`` (the protocol's marker that the commit
+    rearranges rather than changes data — a streaming CDF consumer
+    skips it) and tombstones every previous live file. Returns the
+    committed version.
+
+    Limitations mirror write_delta_commit: single-writer, protocol v1,
+    unpartitioned rewrite (partitioned tables keep their layout
+    through a normal overwrite instead). Snapshot row content is
+    unchanged — unit-asserted — and prior versions stay time-travelable
+    until vacuumed."""
+    import uuid
+
+    snap = delta_snapshot(spark, path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "optimize_delta_table rewrites unpartitioned tables; "
+            "partitioned layouts keep clustering via write_delta_commit "
+            "overwrite"
+        )
+    df = read_delta_table(spark, path)
+    if zorder:
+        from fintech_lakehouse_spark.sources.writers import zorder_key
+
+        df = (
+            df.withColumn("_zk", zorder_key(df, zorder))
+            .repartitionByRange(target_files, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+        )
+    else:
+        # repartition, not coalesce: the snapshot read often collapses
+        # many small files into one input partition, and coalesce can
+        # only DECREASE the count
+        df = df.repartition(target_files)
+    version = _next_version(path)
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    actions = []
+    n = 0
+    for name in sorted(os.listdir(stage)):
+        if name.endswith(".parquet"):
+            rel = f"part-{version:05d}-{n:05d}.parquet"
+            os.replace(os.path.join(stage, name), os.path.join(path, rel))
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": int(
+                            os.path.getmtime(os.path.join(path, rel)) * 1000
+                        ),
+                        "dataChange": False,
+                    }
+                }
+            )
+            n += 1
+    import shutil
+
+    shutil.rmtree(stage)
+    for rel in sorted(snap.files):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": int(os.path.getmtime(path) * 1000),
+                    "dataChange": False,
+                }
+            }
+        )
+    _write_commit(path, version, actions)
+    return version
+
+
+def vacuum_delta_table(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> list:
+    """VACUUM analog: physically delete data files that are live in
+    NONE of the newest ``keep_versions`` snapshots (tombstoned at
+    least that long ago). Returns the deleted table-relative paths.
+
+    Version-count retention instead of Delta's wall-clock hours —
+    deterministic for tests and offline pipelines (no clock reads);
+    the trade is explicit: time travel to versions older than the
+    retained window breaks, exactly like a real VACUUM past the
+    retention period. The log itself is never deleted, so snapshot
+    METADATA history survives."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    log = os.path.join(path, LOG_DIR)
+    versions = _commit_versions(log)
+    if not versions:
+        return []
+    retained = versions[-keep_versions:]
+    live: set[str] = set()
+    for v in retained:
+        live |= set(delta_snapshot(spark, path, version=v).files)
+    deleted = []
+    ever_added: set[str] = set()
+    for v in versions:
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "add" in a:
+                        ever_added.add(unquote(a["add"]["path"]))
+    for rel in sorted(ever_added - live):
+        full = os.path.join(path, rel)
+        if os.path.isfile(full):
+            os.remove(full)
+            deleted.append(rel)
+    return deleted
+
+
+def _next_version(path: str) -> int:
+    log = os.path.join(path, LOG_DIR)
+    versions = _commit_versions(log)
+    ckpt = _checkpoint_version(log, 1 << 62)
+    pool = versions + ([ckpt] if ckpt is not None else [])
+    return (max(pool) + 1) if pool else 0
+
+
+def _write_commit(path: str, version: int, actions: list) -> None:
+    log = os.path.join(path, LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    commit = os.path.join(log, f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, commit)
