@@ -334,10 +334,13 @@ def write_delta_commit(
                 n += 1
             elif os.path.isdir(full) and "=" in name:
                 col, _, raw = name.partition("=")
+                # Spark hive-escapes special chars in partition dir
+                # names (space stays, '='→%3D, '/'→%2F, ...); the log
+                # must carry the TRUE value, so percent-decode
                 val = (
                     None
                     if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else raw
+                    else unquote(raw)
                 )
                 collect(full, {**pvals, col: val})
 

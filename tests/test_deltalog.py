@@ -504,3 +504,31 @@ def test_vacuum_deletes_only_unretained(spark, tmp_path):
         read_delta_table(spark, root, version=0).collect()
     # idempotent: nothing left to delete
     assert vacuum_delta_table(spark, root, keep_versions=2) == []
+
+
+def test_writer_partition_value_with_special_chars(spark, tmp_path):
+    """Spark hive-escapes '='/'/' etc. in partition DIRECTORY names
+    (space stays, '=' becomes %3D); the commit must carry the TRUE
+    decoded value in partitionValues — the log is authoritative, not
+    the directory spelling."""
+    import os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "wrtsp")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(1, "a b=c/d"), (2, "plain")], "id long, p string"
+    )
+    write_delta_commit(spark, df, root, partition_by=["p"])
+    snap = delta_snapshot(spark, root)
+    vals = sorted(pv["p"] for pv in snap.files.values())
+    assert vals == ["a b=c/d", "plain"]
+    got = sorted(
+        (r["id"], r["p"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "a b=c/d"), (2, "plain")]
