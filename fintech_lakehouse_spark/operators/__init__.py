@@ -11,6 +11,7 @@ from fintech_lakehouse_spark.operators.standardize import standardize_string_col
 from fintech_lakehouse_spark.operators.joins import asof_join, nearest_join
 from fintech_lakehouse_spark.operators.graph import (
     iterate_edges,
+    peel_to_kcore,
     release_checkpoint,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "nearest_join",
     "deduplicate_by_key",
     "iterate_edges",
+    "peel_to_kcore",
     "release_checkpoint",
     "standardize_string_columns",
 ]

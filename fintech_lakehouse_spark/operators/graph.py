@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def release_checkpoint(df: DataFrame) -> None:
@@ -131,3 +132,57 @@ def iterate_edges(
             if stop is not None and stop(frame):
                 return frame, i + 1, True
     return frame, rounds, False
+
+
+def peel_to_kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Peel a (symmetrized) edge list to its k-core FIXPOINT — the
+    data-dependent companion of the registry's fixed-round
+    ``dup_graph_kcore`` (which unrolls a pinned round count so its
+    DuckDB twin can replay it; a LIBRARY caller wants convergence, not
+    a flag). Each round drops vertices with degree < k and the edges
+    touching them, via :func:`iterate_edges` (one localCheckpoint per
+    round, plan size O(one peel) at any depth); the loop stops when a
+    round removes no edge. Raises on hitting ``max_rounds`` without
+    convergence — peeling strictly shrinks the edge set, so that can
+    only mean the cap is too low for the graph's degeneracy ordering
+    depth.
+
+    Input must already contain both edge directions (the standard
+    undirected convention here). Returns the surviving edge list."""
+    if k < 1:
+        raise ValueError(f"peel_to_kcore: k must be >= 1, got {k}")
+
+    def _peel(e: DataFrame, _i: int) -> DataFrame:
+        keep = (
+            e.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(src)
+        )
+        return e.join(keep, src, "left_semi").join(
+            keep.select(F.col(src).alias(dst)), dst, "left_semi"
+        )
+
+    counts: list[int] = []
+
+    def _stable(e: DataFrame) -> bool:
+        counts.append(e.count())
+        return len(counts) >= 2 and counts[-1] == counts[-2]
+
+    out, _, stopped = iterate_edges(
+        edges, _peel, max_rounds, checkpoint_input=True, stop=_stable
+    )
+    if not stopped and counts and counts[-1] != 0:
+        # not converged AND edges remain — genuinely hit the cap
+        if len(counts) < 2 or counts[-1] != counts[-2]:
+            raise RuntimeError(
+                f"peel_to_kcore did not converge within {max_rounds} "
+                f"rounds (edge counts {counts[-3:]}) — raise max_rounds"
+            )
+    return out

@@ -1565,3 +1565,49 @@ class TestBucketedFillForward:
             ).collect()
         }
         assert got == expected
+
+
+def test_peel_to_kcore_fixpoint(spark):
+    """Convergence-driven k-core: a long chain feeding a 4-clique needs
+    MANY peel rounds (each round only removes the current chain
+    endpoints' degree-1 vertices), and the fixpoint must equal the
+    pure-Python peel replay."""
+    from fintech_lakehouse_spark.operators.graph import peel_to_kcore
+
+    # chain 0-1-2-...-9 attached to a 4-clique {100,101,102,103}
+    pairs = [(i, i + 1) for i in range(9)] + [(9, 100)]
+    clique = [(100, 101), (100, 102), (100, 103),
+              (101, 102), (101, 103), (102, 103)]
+    pairs += clique
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    out = peel_to_kcore(edges, 2)
+    got = sorted(map(tuple, out.collect()))
+    expected = sorted(clique + [(b, a) for a, b in clique])
+    assert got == expected
+
+    # python replay cross-check on the same fixture
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = set(adj)
+    while True:
+        drop = {n for n in nodes
+                if sum(1 for m in adj[n] if m in nodes) < 2}
+        if not drop:
+            break
+        nodes -= drop
+    assert {a for a, _ in got} == nodes
+
+    # k too high: everything peels to an EMPTY fixpoint, no raise
+    assert peel_to_kcore(edges, 7).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        peel_to_kcore(edges, 0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        peel_to_kcore(edges, 2, max_rounds=2)  # chain needs ~5 rounds
