@@ -1,5 +1,5 @@
-"""Round-8 analytics additions: last-touch revenue attribution and a
-label-balance / effective-sample-size audit — two staples of a
+"""Round-8 analytics additions: first/last-touch revenue attribution
+and a label-balance / effective-sample-size audit — staples of a
 production BI + training-data stack the registry did not yet name
 (RFM segmentation and the Markov transition matrix already exist:
 ``rfm_segment_counts``, ``event_transition_matrix``). Every query is
@@ -141,4 +141,58 @@ def label_balance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(tot AS DECIMAL(38,0)) * tot * 1000000"
             " DIV (ss * n_labels) AS BIGINT)"
         ).alias("balance_ppm"),
+    )
+
+
+@register(
+    "first_touch_attribution",
+    oracle="""
+    WITH stream AS (
+        SELECT event_type, value,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS channel
+        FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                AS BIGINT) AS attributed_cents
+    FROM stream WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution — the acquisition-side
+    complement of ``last_touch_attribution`` (same one-window plan,
+    FIRST_VALUE instead of LAST_VALUE): each purchase's exact cents
+    credit the EARLIEST non-purchase event type in the user's history
+    before it — the channel that acquired the user, versus
+    last-touch's channel that closed the sale; marketing teams read
+    the two side by side to see acquisition vs conversion credit.
+    Same strictly-before frame (a purchase never observes itself),
+    same (ts, event_id) total order, same exact-cents money, same
+    single user_id shuffle + channel-cardinality aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    return (
+        events.select("event_type", "value", touch.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(cents).cast("long").alias("attributed_cents"),
+        )
+        .orderBy("channel")
     )

@@ -1611,3 +1611,45 @@ def test_peel_to_kcore_fixpoint(spark):
         peel_to_kcore(edges, 0)
     with pytest.raises(RuntimeError, match="did not converge"):
         peel_to_kcore(edges, 2, max_rounds=2)  # chain needs ~5 rounds
+
+
+def test_first_vs_last_touch_divergence(spark, tmp_path):
+    """The two attribution ends must DIVERGE on a view→error→purchase
+    timeline: first-touch credits the acquisition event (view),
+    last-touch the closing one (error); single-touch and no-touch
+    users agree on both."""
+    import datetime as dt
+
+    from fintech_lakehouse_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec, etype, value):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, etype, value, "{}")
+
+    rows = [
+        ev(1, 2, 0, "view", 0.0),
+        ev(2, 2, 5, "error", 0.0),
+        ev(3, 2, 9, "purchase", 5.5),
+        ev(4, 3, 0, "purchase", 7.25),  # no touch: direct on both
+        ev(5, 4, 0, "click", 0.0),
+        ev(6, 4, 2, "purchase", 1.0),   # single touch: same on both
+    ]
+    sf = tmp_path / "attr2_sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    def chans(name):
+        return {
+            r["channel"]: r["attributed_cents"]
+            for r in QUERIES[name](spark, str(sf)).collect()
+        }
+
+    first = chans("first_touch_attribution")
+    last = chans("last_touch_attribution")
+    assert first == {"view": 550, "direct": 725, "click": 100}
+    assert last == {"error": 550, "direct": 725, "click": 100}
