@@ -311,7 +311,8 @@ def bucketed_fill_forward(
     from pyspark.sql.window import Window
 
     out = out or f"{value}_ffill"
-    _reserved = {"_us", "_b", "_within", "_blast", "_carry", "_prevw"}
+    _reserved = {"_us", "_b", "_within", "_blast", "_carry", "_prevw",
+                 "_ck", "_cb"}
     _bad = sorted(c for c in df.columns if c in _reserved or c == out)
     if _bad:
         raise ValueError(
@@ -347,8 +348,12 @@ def bucketed_fill_forward(
         per_bucket = (
             filled.groupBy(key, "_b")
             .agg(
+                # coalesce the ordering key: max_by IGNORES rows whose
+                # ordering value is NULL, but a NULL time sorts FIRST
+                # in the exact window, so treat it as LONG_MIN
                 F.expr(
-                    f"max_by({value}, _us) FILTER (WHERE {value} IS NOT NULL)"
+                    f"max_by({value}, coalesce(_us, -9223372036854775808))"
+                    f" FILTER (WHERE {value} IS NOT NULL)"
                 ).alias("_blast")
             )
         )
@@ -360,8 +365,22 @@ def bucketed_fill_forward(
     carry = per_bucket.withColumn(
         "_carry", F.last("_blast", ignorenulls=True).over(w_carry)
     ).select(key, "_b", "_carry")
+    # NULL-SAFE carry join: the exact window groups NULL keys into one
+    # partition (and NULL times sort first), so the decomposition must
+    # too — a plain [key, "_b"] equi-join would silently DROP every
+    # null-key / null-time row (inner + null-unsafe). eqNullSafe keeps
+    # the join an equi-join for the planner (SMJ/shuffle-hash eligible,
+    # no cartesian fallback) while matching NULL = NULL.
+    carry = carry.select(
+        F.col(key).alias("_ck"), F.col("_b").alias("_cb"), "_carry"
+    )
     return (
-        filled.join(carry, [key, "_b"])
+        filled.join(
+            carry,
+            filled[key].eqNullSafe(carry["_ck"])
+            & filled["_b"].eqNullSafe(carry["_cb"]),
+            "left",
+        )
         .withColumn(out, F.coalesce("_within", "_carry"))
-        .drop("_us", "_b", "_within", "_blast", "_carry")
+        .drop("_us", "_b", "_within", "_blast", "_carry", "_ck", "_cb")
     )

@@ -532,3 +532,240 @@ def test_writer_partition_value_with_special_chars(spark, tmp_path):
         (r["id"], r["p"]) for r in read_delta_table(spark, root).collect()
     )
     assert got == [(1, "a b=c/d"), (2, "plain")]
+
+
+# ---------------------------------------------------------------- r9:
+# column mapping (reader v2/v3), gapless-replay guard, partition_by
+# validation, single-scan partition attach at high partition counts.
+
+CM_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-11111111",
+                },
+            },
+            {
+                "name": "v",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-22222222",
+                },
+            },
+        ],
+    }
+)
+
+
+def _cm_meta(mode="name", partition_columns=()):
+    m = _meta(partition_columns)
+    m["metaData"]["schemaString"] = CM_SCHEMA_JSON
+    m["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": mode,
+        "delta.columnMapping.maxColumnId": "2",
+    }
+    return m
+
+
+def _write_cm_file(spark, root, rel, rows):
+    """Physical file whose parquet columns use the PHYSICAL names."""
+    tmp = os.path.join(root, "_tmp_cm")
+    spark.createDataFrame(
+        rows, "`col-11111111` long, `col-22222222` string"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    dst = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dst)
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
+    """minReaderVersion=2 + NAME-mode mapping: physical parquet columns
+    resolve to the logical schema names, values intact."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cm1")
+    _write_cm_file(spark, root, "f1.parquet", [(1, "a"), (2, "b")])
+    _commit(root, 0, [_protocol(reader=2), _cm_meta(), _add("f1.parquet")])
+    df = read_delta_table(spark, root)
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_column_mapping_partitioned_physical_partition_values(
+    spark, tmp_path
+):
+    """Partition column under mapping: data files LACK the column, the
+    add-action partitionValues are keyed by PHYSICAL name, and the
+    logical name comes back typed per the schema."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cm2")
+    tmp = os.path.join(root, "_t")
+    spark.createDataFrame([(1,)], "`col-11111111` long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(root, "f1.parquet"))
+    import shutil
+
+    shutil.rmtree(tmp)
+    _commit(
+        root,
+        0,
+        [
+            _protocol(reader=2),
+            _cm_meta(partition_columns=["v"]),
+            _add("f1.parquet", {"col-22222222": "east"}),
+        ],
+    )
+    got = [(r["id"], r["v"]) for r in read_delta_table(spark, root).collect()]
+    assert got == [(1, "east")]
+
+
+def test_reader_v3_column_mapping_feature_ok_others_refused(
+    spark, tmp_path
+):
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cm3")
+    _write_cm_file(spark, root, "f1.parquet", [(7, "z")])
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }
+    }
+    _commit(root, 0, [proto, _cm_meta(), _add("f1.parquet")])
+    assert [
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    ] == [(7, "z")]
+
+    root2 = str(tmp_path / "cm3b")
+    _write_data_file(spark, root2, "f1.parquet", [(1, "a")])
+    bad = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+        }
+    }
+    _commit(root2, 0, [bad, _meta(), _add("f1.parquet")])
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_table(spark, root2)
+
+
+def test_id_mode_mapping_and_add_deletion_vector_refused(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cm4")
+    _write_cm_file(spark, root, "f1.parquet", [(1, "a")])
+    _commit(root, 0, [_protocol(reader=2), _cm_meta(mode="id"),
+                      _add("f1.parquet")])
+    with pytest.raises(NotImplementedError, match="id"):
+        read_delta_table(spark, root)
+
+    root2 = str(tmp_path / "cm4b")
+    _write_data_file(spark, root2, "f1.parquet", [(1, "a")])
+    a = _add("f1.parquet")
+    a["add"]["deletionVector"] = {
+        "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+        "sizeInBytes": 40, "cardinality": 1,
+    }
+    _commit(root2, 0, [_protocol(), _meta(), a])
+    with pytest.raises(NotImplementedError, match="deletionVector"):
+        read_delta_table(spark, root2)
+
+
+def test_gapped_log_refused(spark, tmp_path):
+    """ADVICE r8: an externally-cleaned log with no covering checkpoint
+    must raise, not silently replay the surviving suffix."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "gap")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _write_data_file(spark, root, "f2.parquet", [(2, "b")])
+    _commit(root, 0, [_protocol(), _meta(), _add("f1.parquet")])
+    _commit(root, 1, [_add("f2.parquet")])
+    _commit(root, 2, [_remove("f1.parquet")])
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="GAPPED"):
+        read_delta_table(spark, root)
+
+
+def test_writer_partition_by_mismatch_refused(spark, tmp_path):
+    """ADVICE r8: appending with partition_by to a table created with
+    different partitioning must raise (silent NULL-fill corruption
+    otherwise)."""
+    from fintech_lakehouse_spark.sources.deltalog import write_delta_commit
+
+    root = str(tmp_path / "pbm")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "a", 1)], "id long, v string, d int")
+    write_delta_commit(spark, df, root)  # unpartitioned
+    with pytest.raises(ValueError, match="partition_by mismatch"):
+        write_delta_commit(spark, df, root, partition_by=["d"])
+    root2 = str(tmp_path / "pbm2")
+    os.makedirs(root2)
+    write_delta_commit(spark, df, root2, partition_by=["d"])
+    with pytest.raises(ValueError, match="partition_by mismatch"):
+        write_delta_commit(spark, df, root2)  # drops partitioning
+    with pytest.raises(ValueError, match="partition_by mismatch"):
+        write_delta_commit(spark, df, root2, partition_by=["v"])
+    # matching partitioning still appends fine
+    write_delta_commit(spark, df, root2, partition_by=["d"])
+
+
+def test_many_partition_values_single_scan(spark, tmp_path):
+    """VERDICT r8 item 3: ≥500 distinct partition values must read
+    through ONE scan + broadcast partitionValues join — bounded plan
+    size (no union-per-value), every value correctly attached."""
+    import time
+
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "many")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    # one Spark-written physical file, hard-linked to 512 distinct
+    # paths: fixture cost stays tiny while the PLAN must still handle
+    # 512 distinct partition values. All rows share id=0 physically;
+    # the distinguishing column is the log-attached partition value.
+    _write_data_file(spark, root, "seed.parquet", [(0, "x")])
+    meta = _meta(partition_columns=["v"])
+    adds = []
+    for p in range(512):
+        rel = f"part-{p:05d}.parquet"
+        os.link(
+            os.path.join(root, "seed.parquet"), os.path.join(root, rel)
+        )
+        adds.append(_add(rel, {"v": f"part_{p}"}))
+    _commit(root, 0, [_protocol(), meta, *adds])
+    t0 = time.monotonic()
+    df = read_delta_table(spark, root)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # a union-per-value plan contains hundreds of Union children; the
+    # single-scan shape has none
+    assert "Union" not in plan
+    rows = df.collect()
+    elapsed = time.monotonic() - t0
+    assert sorted(r["v"] for r in rows) == sorted(
+        f"part_{p}" for p in range(512)
+    )
+    assert {r["id"] for r in rows} == {0}
+    assert elapsed < 60, f"512-partition read took {elapsed:.1f}s"

@@ -1492,6 +1492,35 @@ class TestBucketedFillForward:
         got = bucketed_fill_forward(df, "k", "t", "v", bucket_us=100)
         assert self._rows(got) == self._rows(self._exact(df, True))
 
+    def test_null_keys_and_null_time_kept(self, spark):
+        """ADVICE r8: the carry join must be NULL-SAFE — the exact
+        window groups NULL keys into one partition (and a NULL time
+        sorts first), so null-key/null-time rows must survive with the
+        same fill, not silently drop through an inner equi-join."""
+        from fintech_lakehouse_spark.operators.skew import (
+            bucketed_fill_forward,
+        )
+
+        rows = [
+            (None, 10, "a"), (None, 25, None), (None, 40, "b"),
+            (1, None, "seed"), (1, 5, None), (1, 30, "x"), (1, 55, None),
+            (2, 7, None), (2, 90, "z"),
+        ]
+        df = spark.createDataFrame(rows, "k int, t long, v string")
+        for inc in (True, False):
+            got = bucketed_fill_forward(
+                df, "k", "t", "v", bucket_us=20, include_current=inc
+            )
+            assert got.count() == len(rows), inc  # no rows dropped
+            key = lambda r: (
+                r[0] is None, r[0] or 0, r[1] is None, r[1] or 0
+            )
+            ext = lambda d: sorted(
+                ((r["k"], r["t"], r["v"], r["v_ffill"]) for r in d.collect()),
+                key=key,
+            )
+            assert ext(got) == ext(self._exact(df, inc)), inc
+
     def test_reserved_and_output_collisions(self, spark):
         import pytest
 
