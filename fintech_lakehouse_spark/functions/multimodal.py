@@ -679,6 +679,13 @@ def sample_video_frames(
                     if loc is None:
                         continue  # quarantine, not crash
                     ts, deltas, sizes, offsets = loc
+                    # buffer per-asset: a truncated mdat must quarantine
+                    # the WHOLE asset (zero rows — the read_mp4_frame_
+                    # bytes all-or-None contract), not emit the frames
+                    # that happened to precede the truncation point
+                    # (ADVICE r8)
+                    rows: list[tuple] = []
+                    truncated = False
                     cum = 0
                     next_t = 0.0
                     for k, d in enumerate(deltas):
@@ -686,14 +693,19 @@ def sample_video_frames(
                         if t >= next_t:
                             o, s = offsets[k], sizes[k]
                             if o < 0 or o + s > len(p):
-                                break  # truncated mdat: stop this asset
-                            out["asset_id"].append(aid)
-                            out["frame_no"].append(k)
-                            out["frame_ts_sec"].append(t)
-                            out["n_bytes"].append(s)
-                            out["frame_bytes"].append(bytes(p[o : o + s]))
+                                truncated = True
+                                break
+                            rows.append((aid, k, t, s, bytes(p[o : o + s])))
                             next_t += every_n_seconds
                         cum += d
+                    if truncated:
+                        continue  # quarantine the whole asset
+                    for aid_, k_, t_, s_, b_ in rows:
+                        out["asset_id"].append(aid_)
+                        out["frame_no"].append(k_)
+                        out["frame_ts_sec"].append(t_)
+                        out["n_bytes"].append(s_)
+                        out["frame_bytes"].append(b_)
                 yield pd.DataFrame(out)
 
         return assets.filter(F.col("modality") == "video").mapInPandas(

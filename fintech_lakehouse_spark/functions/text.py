@@ -66,6 +66,35 @@ def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> D
     return tokenized.select("doc_id", F.array_distinct(ngrams).alias("shingles"))
 
 
+def with_shingles(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """``documents`` + a ``shingles: array<string>`` column (distinct
+    word n-grams; EMPTY array for docs shorter than n tokens) — the
+    row-preserving sibling of :func:`word_shingles` for callers that
+    must keep every input row (e.g. the online-dedup state store,
+    which records short docs too: they can never verify as duplicates,
+    but their arrival decision must still be emitted). Same token and
+    ngram construction, so ``explode(shingles)`` feeds MinHash with
+    exactly word_shingles' sets (MinHash over a distinct set equals
+    MinHash over the multiset — min is duplicate-insensitive)."""
+    toks = F.col("_flh_toks")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+    )
+    return (
+        documents.withColumn("_flh_toks", tokens(text_col))
+        .withColumn(
+            "shingles",
+            F.when(
+                F.size(toks) >= n, F.array_distinct(ngrams)
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .drop("_flh_toks")
+    )
+
+
 def shingle_rows(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) exploded rows — NOT deduplicated (MinHash is
     duplicate-insensitive: min over repeats equals min over the set, so
@@ -269,6 +298,8 @@ def verified_jaccard_pairs(
     candidates: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
+    unique_docs: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact-Jaccard verification of LSH
     candidate pairs, the second half of the production near-dedup
@@ -289,26 +320,56 @@ def verified_jaccard_pairs(
 
     NOTE: verification assumes candidate membership; a pair absent
     from ``candidates`` is never checked (that's LSH recall, tuned by
-    K/bands)."""
+    K/bands).
+
+    ``materialize=False`` (r9, for foreachBatch callers whose upstream
+    band frames are ALREADY persisted): cache the candidate table
+    lazily instead of forcing it with an eager count — the scheduler
+    still computes it once at execution time, but the caller saves one
+    whole Spark job per micro-batch."""
     # The candidate set feeds two branches (the id semi-join and the
     # pair join); uncached, Spark recomputes the entire signature
     # pipeline per branch (measured 2× the whole query). It is a tiny
-    # (long, long) table — cache and materialize it once. At cluster
-    # scale this is the natural checkpoint between the LSH stage and
-    # the verify stage.
+    # (long, long) table — cache it. At cluster scale this is the
+    # natural checkpoint between the LSH stage and the verify stage.
     candidates = candidates.cache()
     _TRANSIENT_CACHES.append(candidates)
-    candidates.count()
+    if materialize:
+        candidates.count()
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     cand_docs = documents.join(cand_ids, "doc_id", "left_semi")
+    if not unique_docs:
+        # r9: callers whose corpus is a replay-window union (batch ∪
+        # stored docs) may hold a doc_id twice; deduping AFTER the
+        # semi-join bounds the shuffle to candidate docs and spares
+        # those callers a full-corpus dropDuplicates per call. Batch
+        # callers with unique corpora keep their shuffle-free plan.
+        cand_docs = cand_docs.dropDuplicates(["doc_id"])
     shingled = word_shingles(cand_docs, n=n)
-    # Shingle ARRAYS join directly onto the pairs (array_intersect for
-    # the overlap, array sizes for the union) — bounded to candidate
-    # docs, this beats the explode-and-rejoin formulation by ~6 shuffle
-    # stages of fixed overhead. Exploded shingles only make sense when
-    # the pair set is unbounded; here LSH already bounded it.
+    return jaccard_pair_join(candidates, shingled, threshold)
+
+
+def jaccard_pair_join(
+    candidates: DataFrame, shingled: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — THE one exact-Jaccard pair join over
+    precomputed (doc_id, shingles) arrays, shared by the batch verify
+    (:func:`verified_jaccard_pairs`) and the streaming online dedup's
+    shingle-carrying state path (streaming/events.py), so the
+    stream≡batch jaccard definition can never drift from a one-sided
+    edit (the band_signatures sharing rule, r9).
+
+    Shingle ARRAYS join directly onto the pairs (array_intersect for
+    the overlap, array sizes for the union) — bounded to candidate
+    docs, this beats the explode-and-rejoin formulation by ~6 shuffle
+    stages of fixed overhead. Exploded shingles only make sense when
+    the pair set is unbounded; here LSH already bounded it. The
+    jaccard column is a single int/int IEEE division — deterministic
+    across engines. Empty shingle arrays yield NULL jaccard (0/0) and
+    are filtered — the same outcome as word_shingles dropping short
+    docs."""
     sh_a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sh_a")
     )

@@ -32,8 +32,27 @@ def hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm
 
 
+def local_path_of(path: str) -> str | None:
+    """The local-filesystem path behind ``path``, or None when it names
+    a remote scheme. Lets hot metadata probes (commit markers, version
+    listings — called per micro-batch) use os.* instead of 3 py4j round
+    trips per check; remote URIs keep the Hadoop FileSystem path."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    if "://" in path:
+        return None
+    return path
+
+
 def dir_committed(spark: SparkSession, directory: str) -> bool:
     """True when ``directory`` holds a _SUCCESS commit marker."""
+    import os as _os
+
+    lp = local_path_of(directory)
+    if lp is not None:
+        return _os.path.isfile(_os.path.join(lp, "_SUCCESS"))
     fs, jvm = hadoop_fs(spark, directory)
     return fs.exists(
         jvm.org.apache.hadoop.fs.Path(directory.rstrip("/") + "/_SUCCESS")

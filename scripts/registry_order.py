@@ -51,12 +51,15 @@ def main() -> int:
     missed = {n: why for n, why in must_be_windowed.items() if n not in window}
     if len(must_be_windowed) > DRIVER_WINDOW:
         # overflow round (more needy queries than slots): degrade to
-        # "window is filled with needy queries; never-checked (and, only
-        # after every never-checked is already waiting, overdue greens)
+        # "window is filled with needy queries; overdue stales (and,
+        # only after every overdue is already waiting, never-checked)
         # may wait" — mirrors tests/test_registry.py. Red/upgraded rows
-        # must NEVER overflow, and an overdue green may only wait if no
-        # never-checked query holds a slot it could have taken (the
-        # rank ordering guarantees this; the guard re-asserts it).
+        # must NEVER overflow, and never-checked queries outrank
+        # overdue stales (r9 flip, VERDICT r8 item 4: first contact is
+        # the ever-sampled close-out condition), so a never-checked
+        # query may only wait if no overdue stale holds a slot it could
+        # have taken (the rank ordering guarantees this; the guard
+        # re-asserts it).
         wasted = [n for n in order[:DRIVER_WINDOW] if n not in must_be_windowed]
         hard_missed = {
             n: why
@@ -65,18 +68,20 @@ def main() -> int:
                 why == "never driver-checked" or why.startswith("overdue")
             )
         }
-        overdue_missed = [
-            n for n, why in missed.items() if why.startswith("overdue")
+        never_missed = [
+            n
+            for n, why in missed.items()
+            if why == "never driver-checked"
         ]
-        never_in_window = [
+        overdue_in_window = [
             n
             for n in order[:DRIVER_WINDOW]
-            if must_be_windowed.get(n) == "never driver-checked"
+            if must_be_windowed.get(n, "").startswith("overdue")
         ]
-        if overdue_missed and never_in_window:
+        if never_missed and overdue_in_window:
             print(
-                f"FAIL (overflow round): overdue greens {overdue_missed} "
-                f"wait while never-checked {never_in_window} hold slots"
+                f"FAIL (overflow round): never-checked {never_missed} "
+                f"wait while overdue stales {overdue_in_window} hold slots"
             )
             return 1
         if wasted or hard_missed:

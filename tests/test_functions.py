@@ -1796,6 +1796,41 @@ def test_container_frame_sampling_real_bytes(spark):
     assert [b for *_, b in rows] == [frames[0], frames[25], frames[50]]
 
 
+def test_container_frame_sampling_truncated_mdat_quarantines_whole_asset(
+    spark,
+):
+    """ADVICE r8: a payload truncated MID-mdat must yield ZERO rows for
+    that asset — not the frames that happened to precede the
+    truncation point (the read_mp4_frame_bytes all-or-None contract).
+    A healthy sibling asset in the same batch is unaffected."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp4_sample_locations,
+        sample_video_frames,
+        synthesize_mp4_with_media,
+    )
+
+    frames = [bytes([i % 251]) * (6 + i % 4) for i in range(75)]
+    mp4 = synthesize_mp4_with_media(frames, fps=25)
+    # cut inside the mdat so the LAST sampled frame (50) loses its
+    # final byte: the header/sample tables stay parseable and frames
+    # 0/25 still slice fine — exactly the partial-emit window
+    _, _, sizes, offsets = read_mp4_sample_locations(mp4)
+    truncated = mp4[: offsets[50] + sizes[50] - 1]
+    assets = spark.createDataFrame(
+        [
+            (1, "video", "mp4", mp4, len(mp4)),
+            (2, "video", "mp4", truncated, len(truncated)),
+        ],
+        "asset_id long, modality string, format string, "
+        "payload binary, n_bytes long",
+    )
+    rows = sample_video_frames(
+        assets, every_n_seconds=1, decode="container"
+    ).collect()
+    assert sorted({r["asset_id"] for r in rows}) == [1]
+    assert len(rows) == 3  # the healthy asset's 3 sampled frames
+
+
 def test_container_frame_sampling_pixel_seam_named(spark):
     import pytest
 
