@@ -219,6 +219,47 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_PAIRS_CACHE: dict[tuple, tuple] = {}
+
+
+def winnowing_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing candidate-pair table, materialized ONCE per
+    (session, corpus snapshot) — VERDICT r8 item 2. The three graph
+    queries (dup_graph_pagerank, dup_graph_kcore, dup_graph_triangles)
+    consume the SAME pair set; before this stage each re-evaluated the
+    whole scan → winnow → inverted-index → self-join pipeline (52.1 s
+    of dup_graph_pagerank's 70.6 s at 1M synthetic docs was this one
+    subtree). Build it once, cache() and materialize, and share — the
+    verified_pairs_stage pattern: at 100 TB this is "write the pair
+    table to storage once per corpus snapshot and point every graph
+    consumer at it". reset_stage_caches() clears it (bench cold-run
+    protocol); production sessions keep the amortization."""
+    key = (id(spark), sf_dir)
+    hit = _WINNOW_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    pairs = (
+        winnowing_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    pairs.count()  # materialize before consumers branch
+    _WINNOW_PAIRS_CACHE[key] = (spark, pairs)
+    return pairs
+
+
+def reset_winnow_pairs_cache() -> None:
+    """Unpersist and drop the per-snapshot winnowing pair tables
+    (called by plans.text.reset_stage_caches — the one cold-run
+    reset entry point)."""
+    for _, pairs in _WINNOW_PAIRS_CACHE.values():
+        try:
+            pairs.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _WINNOW_PAIRS_CACHE.clear()
+
+
 def _semdedup_oracle_sql() -> str:
     """DuckDB twin of the SemDeDup pipeline: the cluster assignment
     replays the FROZEN IVF codebook exactly like _ivf_oracle_sql
@@ -676,7 +717,7 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is fixed, not data-dependent."""
     from fintech_lakehouse_spark.operators.graph import iterate_edges
 
-    pairs = winnowing_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = winnowing_pairs_stage(spark, sf_dir)
     # ONE evaluation of the expensive pair subtree: the edge list is
     # the checkpoint leaf (the kcore shape — checkpointing the JOINED
     # adjacency instead still re-evaluated the pairs through the union
@@ -871,7 +912,7 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the id orientation kept here the DuckDB twin stays a
     three-line replay. Edges partition by the join vertex, so wedges
     are computed where the edges live."""
-    pairs = winnowing_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = winnowing_pairs_stage(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1043,7 +1084,7 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization is bounded by the previous round's survivors."""
     from fintech_lakehouse_spark.operators.graph import iterate_edges
 
-    pairs = winnowing_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = winnowing_pairs_stage(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -501,6 +501,13 @@ def reset_stage_caches() -> None:
             pass  # session already stopped — nothing to release
     _VERIFIED_PAIRS_CACHE.clear()
     release_transient_caches()
+    # the winnowing pair snapshot (plans/curation.py, r9) is the same
+    # stage-cache class — one reset entry point clears them all
+    from fintech_lakehouse_spark.plans.curation import (
+        reset_winnow_pairs_cache,
+    )
+
+    reset_winnow_pairs_cache()
 
 
 def verified_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
