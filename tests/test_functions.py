@@ -1845,3 +1845,35 @@ def test_container_frame_sampling_pixel_seam_named(spark):
     )
     with pytest.raises(NotImplementedError, match="PIXEL"):
         sample_video_frames(assets, decode="real")
+
+
+def test_pq_encode_pandas_matches_frozen_literal_path(spark):
+    """r9 (VERDICT r8 item 7): the production PQ encode (broadcast
+    codebook + Arrow-batched NumPy) must produce IDENTICAL codes and
+    identical rounded distortion to the frozen-literal registry query
+    on the real embeddings table — the ivf_assign_fixed≡model
+    precedent for the PQ family."""
+    from fintech_lakehouse_spark.functions.vectors import pq_encode_pandas
+    from fintech_lakehouse_spark.plans import QUERIES
+    from fintech_lakehouse_spark.plans.vectors import _embeddings_double
+
+    sf_dir = "/root/testdata/sf0.01"
+    literal = {
+        r["vec_id"]: (r["pq_code"], r["sq_err"])
+        for r in QUERIES["pq_quantization_distortion"](
+            spark, sf_dir
+        ).collect()
+    }
+    emb = _embeddings_double(spark, sf_dir)
+    udf_path = pq_encode_pandas(emb).select(
+        "vec_id", "pq_code", F.round("sq_err_raw", 6).alias("sq_err")
+    )
+    got = {
+        r["vec_id"]: (r["pq_code"], r["sq_err"]) for r in udf_path.collect()
+    }
+    assert len(got) == len(literal) > 0
+    assert got == literal
+    # the plan is the production shape: one Arrow-batched python node,
+    # no 1024-literal expression tree
+    plan = udf_path._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
