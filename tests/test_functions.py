@@ -1877,3 +1877,34 @@ def test_pq_encode_pandas_matches_frozen_literal_path(spark):
     # no 1024-literal expression tree
     plan = udf_path._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_mp3_side_info_decode_roundtrip_and_quarantine():
+    """read_mp3_side_info (r9): recovers programmed granule gains from
+    spec-layout stereo side info, keeps the zeroed-side-info grammar
+    (gain 0), tolerates leading junk, and quarantines a stream
+    truncated mid side info."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        MP3_SAMPLES_PER_FRAME,
+        read_mp3_header,
+        read_mp3_side_info,
+        synthesize_mp3,
+    )
+
+    mp3 = synthesize_mp3(40, 1, global_gain=200)
+    nf, rate, gch, gain_sum, p23 = read_mp3_side_info(mp3)
+    assert (nf, rate) == (40, 48000)
+    assert gch == 4 * 40  # 2 granules x 2 channels per frame
+    assert gain_sum == 4 * 40 * 200
+    assert p23 == 0
+    # the header walk agrees with the side-info walk
+    assert read_mp3_header(mp3) == (40 * MP3_SAMPLES_PER_FRAME // 48000,
+                                    48000, 40)
+    # zeroed side info (the pre-r9 synthesizer form): gains sum to 0
+    z = synthesize_mp3(8, 0)
+    assert read_mp3_side_info(z) == (8, 44100, 32, 0, 0)
+    # leading junk before the first sync is scanned past
+    assert read_mp3_side_info(b"ID3junk\xff\xe0" + mp3)[0] == 40
+    # truncated mid side info of the FIRST frame: quarantine
+    assert read_mp3_side_info(mp3[:20]) is None
+    assert read_mp3_side_info(b"") is None
