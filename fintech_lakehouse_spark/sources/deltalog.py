@@ -19,14 +19,18 @@ attached from the log's authoritative ``partitionValues`` (Delta data
 files do NOT store partition columns; trusting directory names instead
 of the log breaks on nulls and special characters).
 
-The READ path covers protocol reader versions 1 and 2 (plus v3 when
-``readerFeatures`` is exactly ``columnMapping``): v2's NAME-mode
-column mapping resolves each logical field to the physical parquet
-column named in the field metadata's ``delta.columnMapping.physicalName``
-(partitionValues are keyed by physical name too, per the protocol).
-Anything else — id-mode mapping, deletion vectors, unknown v3 reader
-features — raises; fail CLOSED, because silently ignoring a deletion
-vector returns deleted rows. :func:`write_delta_commit` is the matching
+The READ path covers protocol reader versions 1-3 (v3 with
+``readerFeatures`` ⊆ {``columnMapping``, ``deletionVectors``}): v2's
+NAME-mode column mapping resolves each logical field to the physical
+parquet column named in the field metadata's
+``delta.columnMapping.physicalName`` (partitionValues are keyed by
+physical name too, per the protocol), and DELETION VECTORS decode
+through sources/deletionvectors.py (Z85 descriptors, DV-file layout,
+RoaringBitmapArray bitmaps) into a row-index anti-join against the
+scan's ``_metadata.row_index``. Anything else — id-mode mapping,
+unknown v3 reader features — raises; fail CLOSED, because silently
+ignoring a table feature returns wrong rows.
+:func:`write_delta_commit` is the matching
 minimal single-writer WRITE path (append/overwrite JSON commits);
 when a real delta-spark is present ``lake_format()`` routes to it and
 this module is bypassed entirely.
@@ -82,6 +86,8 @@ class DeltaSnapshot:
     # NAME-mode column mapping: logical field name → physical parquet
     # column name ({} when the table has no mapping)
     column_mapping: dict = field(default_factory=dict)
+    # live add path → deletionVector descriptor (only paths that HAVE one)
+    deletion_vectors: dict = field(default_factory=dict)
 
 
 def _commit_versions(log: str) -> list[int]:
@@ -138,7 +144,9 @@ def _apply_action(snap_state: dict, action: dict) -> None:
                     "readerFeatures list is malformed — refusing to "
                     "return possibly-wrong rows"
                 )
-            unsupported = sorted(set(feats) - {"columnMapping"})
+            unsupported = sorted(
+                set(feats) - {"columnMapping", "deletionVectors"}
+            )
             if unsupported:
                 raise NotImplementedError(
                     f"Delta minReaderVersion={reader_v} readerFeatures "
@@ -179,16 +187,20 @@ def _apply_action(snap_state: dict, action: dict) -> None:
         snap_state["partition_columns"] = list(md.get("partitionColumns", []))
     if "add" in action:
         add = action["add"]
-        if add.get("deletionVector"):
-            raise NotImplementedError(
-                "Delta add action carries a deletionVector — ignoring it "
-                "would return deleted rows; refusing"
-            )
-        snap_state["files"][unquote(add["path"])] = dict(
-            add.get("partitionValues") or {}
-        )
+        path = unquote(add["path"])
+        snap_state["files"][path] = dict(add.get("partitionValues") or {})
+        # an add REPLACES the path's previous DV state: a re-add with a
+        # (new) descriptor carries more deleted rows, a re-add without
+        # one means the file was rewritten clean
+        dv = add.get("deletionVector")
+        if dv:
+            snap_state["dvs"][path] = dict(dv)
+        else:
+            snap_state["dvs"].pop(path, None)
     if "remove" in action:
-        snap_state["files"].pop(unquote(action["remove"]["path"]), None)
+        path = unquote(action["remove"]["path"])
+        snap_state["files"].pop(path, None)
+        snap_state["dvs"].pop(path, None)
 
 
 def delta_snapshot(
@@ -223,6 +235,7 @@ def delta_snapshot(
         "partition_columns": [],
         "files": {},
         "column_mapping": {},
+        "dvs": {},
     }
     if ckpt is not None:
         # checkpoint rows are one action per row with struct columns
@@ -270,6 +283,7 @@ def delta_snapshot(
         partition_columns=state["partition_columns"],
         files=state["files"],
         column_mapping=state["column_mapping"],
+        deletion_vectors=state["dvs"],
     )
 
 
@@ -317,6 +331,8 @@ def read_delta_table(
 
     paths = sorted(os.path.join(path, rel) for rel in snap.files)
     scan = spark.read.schema(data_schema).parquet(*paths)
+    if snap.deletion_vectors:
+        scan = _strip_deleted_rows(spark, path, snap, scan)
     # physical → logical rename (getitem tolerates dots/dashes in names)
     scan = scan.select(
         *[scan[phys(f.name)].alias(f.name) for f in data_fields]
@@ -366,12 +382,77 @@ def read_delta_table(
     return out.select(*out_cols)
 
 
+def _strip_deleted_rows(spark, path, snap, scan) -> DataFrame:
+    """Anti-join the scan against its files' decoded DELETION VECTORS
+    (r9 — closes the reader's last protocol-v3 gap): descriptors are
+    decoded driver-side (sources/deletionvectors.py, fail-closed on
+    any structural mismatch) into a broadcast (file basename, row
+    index) lookup, and the scan's engine row index
+    (``_metadata.row_index`` — exposed by Spark's parquet source
+    precisely for DV semantics) removes exactly those rows. At 100 TB
+    with multi-million-row DVs, land the decoded indexes in a table
+    and let the join shuffle instead of broadcasting."""
+    from urllib.parse import quote
+
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_deletion_vector,
+    )
+
+    bns: dict = {}
+    for rel in snap.files:
+        bn = os.path.basename(rel)
+        if bns.setdefault(bn, rel) != rel:
+            raise NotImplementedError(
+                "deletion vectors on a table with colliding data-file "
+                f"basenames ({bn!r}) — the row-index anti-join would be "
+                "ambiguous; refusing"
+            )
+    rows = []
+    for rel, dv in snap.deletion_vectors.items():
+        idxs = decode_deletion_vector(path, dv)
+        bn = os.path.basename(rel)
+        for key in {bn, quote(bn), quote(bn, safe="")}:
+            rows.extend((key, ri) for ri in idxs)
+    lk = spark.createDataFrame(
+        rows,
+        _ST(
+            [
+                StructField("_dl_dv_file", StringType(), False),
+                StructField("_dl_dv_ri", LongType(), False),
+            ]
+        ),
+    )
+    if {"_dl_dv_file", "_dl_dv_ri"} & set(scan.columns):
+        raise ValueError(
+            "deletion-vector filtering: table columns collide with the "
+            "internal _dl_dv_* names"
+        )
+    return (
+        scan.withColumn(
+            "_dl_dv_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .withColumn("_dl_dv_ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(lk), ["_dl_dv_file", "_dl_dv_ri"], "left_anti")
+        .drop("_dl_dv_file", "_dl_dv_ri")
+    )
+
+
 def _read_grouped(
     spark, path, snap, data_schema, data_fields, part_types, out_cols
 ) -> DataFrame:
     """Fallback: one parquet scan per distinct partition tuple, values
     as literals from the LOG (authoritative — directory names lose
     NULLs and escaping). O(distinct partition values) plan branches."""
+    if snap.deletion_vectors:
+        # this fallback is only reached on basename collisions, which
+        # the DV row-index anti-join refuses as ambiguous anyway
+        raise NotImplementedError(
+            "deletion vectors + colliding data-file basenames: refusing"
+        )
     phys = lambda c: snap.column_mapping.get(c, c)  # noqa: E731
     part_cols = snap.partition_columns
     groups: dict[tuple, list[str]] = {}

@@ -663,11 +663,13 @@ def test_reader_v3_column_mapping_feature_ok_others_refused(
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping", "deletionVectors"],
+            # deletionVectors became supported in r9 — v2Checkpoint is
+            # the still-unimplemented feature that must fail closed
+            "readerFeatures": ["columnMapping", "v2Checkpoint"],
         }
     }
     _commit(root2, 0, [bad, _meta(), _add("f1.parquet")])
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta_table(spark, root2)
 
 
@@ -681,16 +683,18 @@ def test_id_mode_mapping_and_add_deletion_vector_refused(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="id"):
         read_delta_table(spark, root)
 
+    # a deletionVector with an UNKNOWN storage type still fails closed
+    # (decode support is r9 — see the dedicated DV tests below)
     root2 = str(tmp_path / "cm4b")
     _write_data_file(spark, root2, "f1.parquet", [(1, "a")])
     a = _add("f1.parquet")
     a["add"]["deletionVector"] = {
-        "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+        "storageType": "x", "pathOrInlineDv": "x", "offset": 1,
         "sizeInBytes": 40, "cardinality": 1,
     }
     _commit(root2, 0, [_protocol(), _meta(), a])
-    with pytest.raises(NotImplementedError, match="deletionVector"):
-        read_delta_table(spark, root2)
+    with pytest.raises(NotImplementedError, match="storageType"):
+        read_delta_table(spark, root2).collect()
 
 
 def test_gapped_log_refused(spark, tmp_path):
@@ -769,3 +773,216 @@ def test_many_partition_values_single_scan(spark, tmp_path):
     )
     assert {r["id"] for r in rows} == {0}
     assert elapsed < 60, f"512-partition read took {elapsed:.1f}s"
+
+
+# ------------------------------------------------------------- r9 DVs:
+# deletion-vector decode (sources/deletionvectors.py) + reader wiring.
+
+def _roaring_portable(values):
+    """Test-side encoder: 'RoaringBitmapArray portable' bytes from
+    64-bit row indexes, array containers only (card <= 4096)."""
+    import struct
+    from collections import defaultdict
+
+    by_key = defaultdict(lambda: defaultdict(list))
+    for v in sorted(values):
+        by_key[v >> 32][(v & 0xFFFFFFFF) >> 16].append(v & 0xFFFF)
+    out = struct.pack("<i", 1681511377) + struct.pack("<q", len(by_key))
+    for key in sorted(by_key):
+        containers = by_key[key]
+        out += struct.pack("<i", key)
+        out += struct.pack("<I", 12346)  # SERIAL_COOKIE_NO_RUNCONTAINER
+        out += struct.pack("<I", len(containers))
+        for hk in sorted(containers):
+            out += struct.pack("<HH", hk, len(containers[hk]) - 1)
+        # offset header (required by the no-run cookie); sequential
+        # readers may skip it, but compute it correctly anyway
+        pos = 0
+        for hk in sorted(containers):
+            out += struct.pack("<I", pos)
+            pos += 2 * len(containers[hk])
+        for hk in sorted(containers):
+            out += struct.pack(f"<{len(containers[hk])}H", *containers[hk])
+    return out
+
+
+def test_roaring_decode_all_container_kinds():
+    """decode_roaring_bitmap_array handles array, bitmap, and run
+    containers (both cookie forms) and multi-key 64-bit values."""
+    import struct
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_roaring_bitmap_array,
+    )
+
+    # array containers, two high-32 keys
+    vals = [1, 5, 70000, (3 << 32) | 9]
+    assert decode_roaring_bitmap_array(_roaring_portable(vals)) == sorted(
+        vals
+    )
+    # bitmap container: card > 4096 in one 16-bit chunk
+    dense = list(range(0, 9000, 2))  # 4500 values
+    buf = struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+    buf += struct.pack("<i", 0)
+    buf += struct.pack("<I", 12346) + struct.pack("<I", 1)
+    buf += struct.pack("<HH", 0, len(dense) - 1)
+    buf += struct.pack("<I", 0)
+    words = [0] * 1024
+    for v in dense:
+        words[v >> 6] |= 1 << (v & 63)
+    buf += struct.pack("<1024Q", *words)
+    assert decode_roaring_bitmap_array(buf) == dense
+    # run container via the run cookie (runs bitset, 1 container)
+    buf = struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+    buf += struct.pack("<i", 0)
+    buf += struct.pack("<I", 12347 | (0 << 16))  # 1 container
+    buf += bytes([0b1])  # container 0 is a run
+    buf += struct.pack("<HH", 2, 6 - 1)  # key 2, cardinality 6
+    # < 4 containers with run cookie: NO offset header
+    buf += struct.pack("<H", 2)  # two runs
+    buf += struct.pack("<HH", 10, 2)  # 10,11,12
+    buf += struct.pack("<HH", 100, 2)  # 100,101,102
+    got = decode_roaring_bitmap_array(buf)
+    assert got == [(2 << 16) | v for v in (10, 11, 12, 100, 101, 102)]
+
+
+def test_z85_roundtrip_and_errors():
+    import pytest
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        z85_decode,
+        z85_encode,
+    )
+
+    for raw in (b"", b"abcd", b"\x00\x01\x02\x03\xff" * 5):
+        enc = z85_encode(raw)
+        assert z85_decode(enc)[: len(raw)] == raw
+    with pytest.raises(ValueError, match="multiple of 5"):
+        z85_decode("abc")
+    with pytest.raises(ValueError, match="invalid character"):
+        z85_decode('"""""')
+
+
+def test_inline_deletion_vector_filters_rows(spark, tmp_path):
+    """v3 + deletionVectors feature, inline descriptor: the read
+    returns exactly the non-deleted rows; time travel to the pre-DV
+    version still returns all rows."""
+    from fintech_lakehouse_spark.sources.deletionvectors import z85_encode
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "dvi")
+    _write_data_file(spark, root, "f1.parquet", [(i, f"v{i}") for i in range(10)])
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _commit(root, 0, [proto, _meta(), _add("f1.parquet")])
+    # delete row indexes 1, 3, 8 via a re-add carrying an inline DV
+    bitmap = _roaring_portable([1, 3, 8])
+    a = _add("f1.parquet")
+    a["add"]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bitmap),
+        "offset": None,
+        "sizeInBytes": len(bitmap),
+        "cardinality": 3,
+    }
+    _commit(root, 1, [a])
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == [0, 2, 4, 5, 6, 7, 9]
+    # VERSION AS OF 0: the DV does not exist yet
+    pre = sorted(
+        r["id"] for r in read_delta_table(spark, root, version=0).collect()
+    )
+    assert pre == list(range(10))
+
+
+def test_file_deletion_vector_with_partitions_and_crc(spark, tmp_path):
+    """'u'-storage DV file (version byte + BE size + bitmap + BE CRC),
+    z85 uuid path resolution, on a PARTITIONED table — and a corrupted
+    CRC fails closed."""
+    import struct
+    import uuid as uuid_mod
+    import zlib
+
+    import pytest
+
+    from fintech_lakehouse_spark.sources.deletionvectors import z85_encode
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "dvu")
+    _write_data_file(spark, root, "f1.parquet", [(i, "x") for i in range(6)])
+    _write_data_file(spark, root, "f2.parquet", [(i, "y") for i in range(6, 9)])
+    u = uuid_mod.UUID(int=0x1234567890ABCDEF1234567890ABCDEF)
+    bitmap = _roaring_portable([0, 5])
+    body = struct.pack(">i", len(bitmap)) + bitmap + struct.pack(
+        ">I", zlib.crc32(bitmap) & 0xFFFFFFFF
+    )
+    blob = bytes([1]) + b"\x00" * 7 + body  # DV data at offset 8
+    with open(f"{root}/deletion_vector_{u}.bin", "wb") as fh:
+        fh.write(blob)
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    a1 = _add("f1.parquet", {"v": "x"})
+    a1["add"]["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": 8,
+        "sizeInBytes": len(bitmap),
+        "cardinality": 2,
+    }
+    _commit(root, 0, [proto, _meta(partition_columns=["v"]), a1,
+                      _add("f2.parquet", {"v": "y"})])
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "x"), (2, "x"), (3, "x"), (4, "x"),
+                   (6, "y"), (7, "y"), (8, "y")]
+    # corrupt the CRC: fail closed
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with open(f"{root}/deletion_vector_{u}.bin", "wb") as fh:
+        fh.write(bytes(bad))
+    with pytest.raises(ValueError, match="CRC"):
+        read_delta_table(spark, root).collect()
+
+
+def test_dv_cardinality_mismatch_and_unknown_feature_refused(
+    spark, tmp_path
+):
+    import pytest
+
+    from fintech_lakehouse_spark.sources.deletionvectors import z85_encode
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "dvc")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }
+    }
+    bitmap = _roaring_portable([0])
+    a = _add("f1.parquet")
+    a["add"]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bitmap),
+        "offset": None,
+        "sizeInBytes": len(bitmap),
+        "cardinality": 7,  # lies
+    }
+    _commit(root, 0, [proto, _meta(), a])
+    with pytest.raises(ValueError, match="cardinality"):
+        read_delta_table(spark, root).collect()
