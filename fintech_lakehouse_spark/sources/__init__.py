@@ -11,9 +11,11 @@ from fintech_lakehouse_spark.sources.writers import (
     write_lake_table,
 )
 from fintech_lakehouse_spark.sources.deltalog import (
+    delete_from_delta_table,
     delta_snapshot,
     optimize_delta_table,
     read_delta_table,
+    update_delta_table,
     vacuum_delta_table,
     write_delta_commit,
 )
@@ -30,6 +32,8 @@ __all__ = [
     "delta_snapshot",
     "read_delta_table",
     "write_delta_commit",
+    "delete_from_delta_table",
+    "update_delta_table",
     "optimize_delta_table",
     "vacuum_delta_table",
 ]

@@ -641,6 +641,161 @@ def write_delta_commit(
     return version
 
 
+def _cow_rewrite(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    transform,
+    op_name: str,
+) -> int:
+    """Shared COPY-ON-WRITE core of DELETE/UPDATE on the offline
+    bridge: identify the live files that contain rows matching
+    ``condition`` (one scan + a file-grain aggregate — untouched files
+    are never rewritten OR read again), rewrite ONLY those files with
+    ``transform(df, cond)`` applied, and commit adds for the rewritten
+    files + removes for their predecessors. This is delta-spark's
+    pre-deletion-vector DELETE/UPDATE semantics; at 100 TB the
+    touched-file set is what partition pruning on the predicate
+    bounds. Unpartitioned protocol-v1 tables only (the writer's
+    limitation class); returns the committed version."""
+    import shutil
+    import uuid
+
+    snap = delta_snapshot(spark, path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            f"{op_name} rewrites unpartitioned tables only; partitioned "
+            "tables route through write_delta_commit overwrite"
+        )
+    if snap.column_mapping or snap.deletion_vectors:
+        raise NotImplementedError(
+            f"{op_name} on column-mapped / deletion-vector tables needs "
+            "a physical-name-aware writer — refusing"
+        )
+    if not snap.files:
+        return snap.version  # nothing to do; no commit
+    cond = F.expr(condition)
+    from urllib.parse import quote
+
+    by_bn: dict[str, str] = {}
+    for rel in snap.files:
+        bn = os.path.basename(rel)
+        for key in {bn, quote(bn), quote(bn, safe="")}:
+            if by_bn.setdefault(key, rel) != rel:
+                raise NotImplementedError(
+                    f"{op_name}: colliding data-file basenames ({bn!r}) "
+                    "make the touched-file resolution ambiguous; refusing"
+                )
+    scan = (
+        spark.read.schema(snap.schema)
+        .parquet(*[os.path.join(path, rel) for rel in snap.files])
+        .withColumn(
+            "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+    )
+    touched = [
+        r["_dl_file"]
+        for r in scan.filter(cond).select("_dl_file").distinct().collect()
+    ]
+    touched_rels = sorted({by_bn[bn] for bn in touched})
+    if not touched_rels:
+        return snap.version  # no matching rows; no commit
+    version = _next_version(path)
+    keep = transform(
+        scan.filter(F.col("_dl_file").isin(*touched)).drop("_dl_file"),
+        cond,
+    )
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    keep.write.mode("overwrite").parquet(stage)
+    actions: list[dict] = []
+    n = 0
+    for name in sorted(os.listdir(stage)):
+        full = os.path.join(stage, name)
+        if name.endswith(".parquet") and os.path.getsize(full) > 0:
+            rel = f"part-{version:05d}-{n:05d}.parquet"
+            os.replace(full, os.path.join(path, rel))
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": int(
+                            os.path.getmtime(os.path.join(path, rel)) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+            n += 1
+    shutil.rmtree(stage)
+    for rel in touched_rels:
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": int(os.path.getmtime(path) * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    _write_commit(path, version, actions)
+    return version
+
+
+def delete_from_delta_table(
+    spark: SparkSession, path: str, condition: str
+) -> int:
+    """DELETE FROM <table> WHERE <condition> against the REAL offline
+    log — copy-on-write: only files containing matching rows are
+    rewritten (without those rows); every other file is untouched and
+    prior versions stay time-travelable. Returns the committed
+    version (or the would-be next version untouched when nothing
+    matches — Delta also skips the commit for an empty DELETE)."""
+    return _cow_rewrite(
+        spark,
+        path,
+        condition,
+        lambda df, cond: df.filter(~cond | cond.isNull()),
+        "delete_from_delta_table",
+    )
+
+
+def update_delta_table(
+    spark: SparkSession, path: str, condition: str, assignments: dict
+) -> int:
+    """UPDATE <table> SET ... WHERE <condition> — the same
+    copy-on-write shape as DELETE: touched files are rewritten with
+    ``assignments`` (column → SQL expression, evaluated against the
+    pre-update row, all columns updated simultaneously like SQL UPDATE)
+    applied to matching rows; non-matching rows in touched files are
+    carried unchanged. Returns the committed version."""
+
+    def apply_set(df, cond):
+        out_cols = []
+        for f in df.schema.fields:
+            if f.name in assignments:
+                out_cols.append(
+                    F.when(cond, F.expr(assignments[f.name]))
+                    .otherwise(F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                out_cols.append(F.col(f.name))
+        return df.select(*out_cols)
+
+    unknown = sorted(set(assignments) - {f.name for f in
+                     delta_snapshot(spark, path).schema.fields})
+    if unknown:
+        raise ValueError(
+            f"update_delta_table: SET names unknown columns {unknown}"
+        )
+    return _cow_rewrite(
+        spark, path, condition, apply_set, "update_delta_table"
+    )
+
+
 def optimize_delta_table(
     spark: SparkSession,
     path: str,

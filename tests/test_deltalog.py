@@ -986,3 +986,81 @@ def test_dv_cardinality_mismatch_and_unknown_feature_refused(
     _commit(root, 0, [proto, _meta(), a])
     with pytest.raises(ValueError, match="cardinality"):
         read_delta_table(spark, root).collect()
+
+
+def test_delete_from_delta_table_copy_on_write(spark, tmp_path):
+    """DELETE rewrites ONLY the files containing matching rows; other
+    files keep their physical identity, prior versions stay
+    time-travelable, NULL-condition rows survive, and an empty DELETE
+    commits nothing."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        delta_snapshot,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "del")
+    _os.makedirs(root)
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+    )
+    df2 = spark.createDataFrame([(10, "z"), (11, "z")], "id long, v string")
+    write_delta_commit(spark, df1.coalesce(1), root)
+    write_delta_commit(spark, df2.coalesce(1), root)
+    before = set(delta_snapshot(spark, root).files)
+    v = delete_from_delta_table(spark, root, "v = 'b'")
+    assert v == 2
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    # row 2 deleted; NULL-condition row 3 kept (SQL DELETE semantics)
+    assert got == [(1, "a"), (3, None), (10, "z"), (11, "z")]
+    after = set(delta_snapshot(spark, root).files)
+    # df2's file is untouched — same physical path survives
+    assert len(before & after) == 1
+    # time travel: pre-delete version intact
+    pre = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_table(spark, root, version=1).collect()
+    )
+    assert pre == [(1, "a"), (2, "b"), (3, None), (10, "z"), (11, "z")]
+    # empty DELETE: no new commit
+    assert delete_from_delta_table(spark, root, "v = 'nope'") == 2
+    assert delta_snapshot(spark, root).version == 2
+
+
+def test_update_delta_table_copy_on_write(spark, tmp_path):
+    """UPDATE applies SET expressions (evaluated against the PRE-update
+    row) to matching rows only, carries non-matching rows of touched
+    files unchanged, and validates SET column names."""
+    import os as _os
+
+    import pytest
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        read_delta_table,
+        update_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "upd")
+    _os.makedirs(root)
+    df = spark.createDataFrame(
+        [(1, 100, "x"), (2, 200, "x"), (3, 300, "y")],
+        "id long, amt long, tag string",
+    )
+    write_delta_commit(spark, df.coalesce(1), root)
+    update_delta_table(
+        spark, root, "tag = 'x'",
+        {"amt": "amt + id", "tag": "concat(tag, '!')"},
+    )
+    got = sorted(
+        (r["id"], r["amt"], r["tag"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, 101, "x!"), (2, 202, "x!"), (3, 300, "y")]
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta_table(spark, root, "id = 1", {"nope": "1"})
