@@ -11,7 +11,9 @@ from fintech_lakehouse_spark.sources.writers import (
     write_lake_table,
 )
 from fintech_lakehouse_spark.sources.deltalog import (
+    checkpoint_delta_table,
     delete_from_delta_table,
+    expire_delta_log,
     delta_snapshot,
     optimize_delta_table,
     read_delta_table,
@@ -30,6 +32,8 @@ __all__ = [
     "upsert_lake_table",
     "write_lake_table",
     "delta_snapshot",
+    "checkpoint_delta_table",
+    "expire_delta_log",
     "read_delta_table",
     "write_delta_commit",
     "delete_from_delta_table",

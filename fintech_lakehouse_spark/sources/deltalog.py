@@ -88,6 +88,9 @@ class DeltaSnapshot:
     column_mapping: dict = field(default_factory=dict)
     # live add path → deletionVector descriptor (only paths that HAVE one)
     deletion_vectors: dict = field(default_factory=dict)
+    # verbatim latest protocol/metaData action bodies (checkpoint writer)
+    protocol_raw: dict = field(default_factory=dict)
+    metadata_raw: dict = field(default_factory=dict)
 
 
 def _commit_versions(log: str) -> list[int]:
@@ -99,37 +102,58 @@ def _commit_versions(log: str) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_version(log: str, max_version: int) -> int | None:
-    """Newest single-file checkpoint at or below ``max_version``.
-    ``_last_checkpoint`` is the fast path; a directory scan backs it up
-    (the pointer file is best-effort in the protocol)."""
-    best: int | None = None
-    pointer = os.path.join(log, "_last_checkpoint")
-    if os.path.isfile(pointer):
-        try:
-            meta = json.loads(open(pointer).read())
-            v = int(meta["version"])
-            # multi-part checkpoints (meta["parts"]) are unsupported —
-            # fall through to the scan, which ignores them too
-            if v <= max_version and "parts" not in meta and os.path.isfile(
-                os.path.join(log, f"{v:020d}.checkpoint.parquet")
-            ):
-                best = v
-        except (ValueError, KeyError, json.JSONDecodeError):
-            pass
+def _checkpoint_files(
+    log: str, max_version: int
+) -> tuple[int, list[str]] | None:
+    """Newest COMPLETE checkpoint at or below ``max_version`` —
+    single-file (``<v>.checkpoint.parquet``) or multi-part
+    (``<v>.checkpoint.<i>.<n>.parquet``, r9: all n parts must be
+    present, else that version is skipped and an OLDER complete
+    checkpoint is used). Returns (version, ordered part paths). The
+    directory scan is authoritative; ``_last_checkpoint`` is only the
+    protocol's best-effort hint and needs no separate trust path."""
+    if not os.path.isdir(log):
+        return None
+    candidates: dict[int, dict] = {}
     for name in os.listdir(log):
-        if name.endswith(".checkpoint.parquet"):
-            stem = name.split(".")[0]
-            if stem.isdigit() and int(stem) <= max_version:
-                v = int(stem)
-                if best is None or v > best:
-                    best = v
-    return best
+        if ".checkpoint." not in name or not name.endswith(".parquet"):
+            continue
+        bits = name.split(".")
+        if len(bits) == 3 and bits[0].isdigit():
+            v = int(bits[0])
+            if v <= max_version:
+                candidates.setdefault(v, {})["single"] = name
+        elif (
+            len(bits) == 5
+            and bits[1] == "checkpoint"
+            and bits[0].isdigit()
+            and bits[2].isdigit()
+            and bits[3].isdigit()
+        ):
+            v = int(bits[0])
+            if v <= max_version:
+                c = candidates.setdefault(v, {})
+                c.setdefault("parts", {})[int(bits[2])] = name
+                c["n"] = int(bits[3])
+    for v in sorted(candidates, reverse=True):
+        c = candidates[v]
+        if "single" in c:
+            return v, [os.path.join(log, c["single"])]
+        n, parts = c.get("n", 0), c.get("parts", {})
+        if n and set(parts) == set(range(1, n + 1)):
+            return v, [os.path.join(log, parts[i]) for i in range(1, n + 1)]
+    return None
+
+
+def _checkpoint_version(log: str, max_version: int) -> int | None:
+    found = _checkpoint_files(log, max_version)
+    return found[0] if found else None
 
 
 def _apply_action(snap_state: dict, action: dict) -> None:
     if "protocol" in action:
         p = action["protocol"]
+        snap_state["protocol_raw"] = dict(p)
         reader_v = int(p.get("minReaderVersion", 1))
         if reader_v >= 3:
             # v3 is feature-gated: readerFeatures enumerates what the
@@ -183,6 +207,7 @@ def _apply_action(snap_state: dict, action: dict) -> None:
                 "'id' mode needs parquet field-id resolution)"
             )
         snap_state["schema"] = schema
+        snap_state["metadata_raw"] = dict(md)
         snap_state["column_mapping"] = mapping
         snap_state["partition_columns"] = list(md.get("partitionColumns", []))
     if "add" in action:
@@ -236,12 +261,17 @@ def delta_snapshot(
         "files": {},
         "column_mapping": {},
         "dvs": {},
+        "protocol_raw": {},
+        "metadata_raw": {},
     }
     if ckpt is not None:
-        # checkpoint rows are one action per row with struct columns
-        ck = spark.read.parquet(
-            os.path.join(log, f"{ckpt:020d}.checkpoint.parquet")
-        )
+        # checkpoint rows are one action per row with struct columns;
+        # multi-part checkpoints read all parts (r9 — _checkpoint_files
+        # already guaranteed the part set is complete)
+        _, ck_paths = _checkpoint_files(log, ckpt)
+        # mergeSchema: multi-part checkpoints may split action types
+        # across parts, so a single file's footer can miss columns
+        ck = spark.read.option("mergeSchema", "true").parquet(*ck_paths)
         for row in ck.toLocalIterator():
             d = row.asDict(recursive=True)
             action = {k: v for k, v in d.items() if v is not None}
@@ -284,6 +314,8 @@ def delta_snapshot(
         files=state["files"],
         column_mapping=state["column_mapping"],
         deletion_vectors=state["dvs"],
+        protocol_raw=state["protocol_raw"],
+        metadata_raw=state["metadata_raw"],
     )
 
 
@@ -639,6 +671,82 @@ def write_delta_commit(
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)
     return version
+
+
+def checkpoint_delta_table(spark: SparkSession, path: str) -> int:
+    """Write a single-file CHECKPOINT of the latest snapshot (r9): one
+    parquet row per action — the verbatim protocol and metaData bodies
+    plus one add per live file (partitionValues and deletionVector
+    descriptors preserved) — named ``<v>.checkpoint.parquet``, plus the
+    ``_last_checkpoint`` hint. After this, JSON commits at or below the
+    checkpoint are replay-redundant and :func:`expire_delta_log` may
+    retention-clean them; the reader replays checkpoint + later
+    commits (the scheme its tests already exercised against
+    hand-crafted fixtures — this makes the offline bridge emit them
+    itself, bounding log replay for long-lived tables the same way the
+    streaming LSM compaction bounds segment counts). Returns the
+    checkpointed version."""
+    import uuid as _uuid
+
+    snap = delta_snapshot(spark, path)
+    log = os.path.join(path, LOG_DIR)
+    actions = [
+        {"protocol": snap.protocol_raw
+         or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": snap.metadata_raw},
+    ]
+    for rel in sorted(snap.files):
+        add = {
+            "path": rel,
+            "partitionValues": snap.files[rel],
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if rel in snap.deletion_vectors:
+            add["deletionVector"] = snap.deletion_vectors[rel]
+        actions.append({"add": add})
+    # JSON-line round-trip so Spark infers one nullable-struct column
+    # per action type — the layout the reader's asDict replay consumes
+    jdf = spark.read.json(
+        spark.sparkContext.parallelize(
+            [json.dumps(a) for a in actions], 1
+        )
+    )
+    stage = os.path.join(path, f"_stage_{_uuid.uuid4().hex}")
+    jdf.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    dst = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
+    os.replace(os.path.join(stage, part), dst)
+    import shutil
+
+    shutil.rmtree(stage)
+    tmp = os.path.join(log, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"version": snap.version, "size": len(actions)}))
+    os.replace(tmp, os.path.join(log, "_last_checkpoint"))
+    return snap.version
+
+
+def expire_delta_log(spark: SparkSession, path: str) -> list[str]:
+    """Delete JSON commits at or below the newest COMPLETE checkpoint —
+    the log-retention clean-up real deployments run (deterministic:
+    checkpoint-coverage, not wall-clock). Returns the deleted file
+    names. Time travel to expired versions breaks, exactly like a real
+    retention clean; the gapless-replay guard keeps any later partial
+    read fail-closed rather than silently wrong."""
+    log = os.path.join(path, LOG_DIR)
+    found = _checkpoint_files(log, 1 << 62)
+    if found is None:
+        return []
+    ckpt, _ = found
+    deleted = []
+    for v in _commit_versions(log):
+        if v <= ckpt:
+            name = f"{v:020d}.json"
+            os.remove(os.path.join(log, name))
+            deleted.append(name)
+    return deleted
 
 
 def _cow_rewrite(

@@ -1064,3 +1064,117 @@ def test_update_delta_table_copy_on_write(spark, tmp_path):
     assert got == [(1, 101, "x!"), (2, 202, "x!"), (3, 300, "y")]
     with pytest.raises(ValueError, match="unknown columns"):
         update_delta_table(spark, root, "id = 1", {"nope": "1"})
+
+
+def test_checkpoint_writer_and_log_expiry(spark, tmp_path):
+    """checkpoint_delta_table (r9): the bridge emits its OWN
+    checkpoint — after expire_delta_log removes every covered JSON
+    commit, the snapshot still replays identically (files, partition
+    values, schema), later commits apply on top, and a fresh append
+    allocates the next version from the checkpoint."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        checkpoint_delta_table,
+        delta_snapshot,
+        expire_delta_log,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "ckw")
+    _os.makedirs(root)
+    d = spark.createDataFrame([(1, "a", 7)], "id long, v string, d int")
+    write_delta_commit(spark, d, root, partition_by=["d"])
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(2, "b", 8)], "id long, v string, d int"),
+        root,
+        partition_by=["d"],
+    )
+    assert checkpoint_delta_table(spark, root) == 1
+    before = sorted(
+        (r["id"], r["v"], r["d"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    gone = expire_delta_log(spark, root)
+    assert len(gone) == 2  # both covered JSON commits removed
+    after = sorted(
+        (r["id"], r["v"], r["d"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    assert after == before == [(1, "a", 7), (2, "b", 8)]
+    snap = delta_snapshot(spark, root)
+    assert snap.version == 1 and snap.partition_columns == ["d"]
+    # a later commit applies ON TOP of the checkpoint
+    v = write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, v string, d int"),
+        root,
+        partition_by=["d"],
+    )
+    assert v == 2
+    assert read_delta_table(spark, root).count() == 3
+
+
+def test_multipart_checkpoint_read_and_incomplete_skip(spark, tmp_path):
+    """Multi-part checkpoints (<v>.checkpoint.<i>.<n>.parquet) read all
+    parts; an INCOMPLETE part set is skipped in favor of an older
+    complete checkpoint (fail-safe, never a partial file list)."""
+    import shutil
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        _checkpoint_files,
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "mpc")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _write_data_file(spark, root, "f2.parquet", [(2, "b")])
+    _commit(root, 0, [_protocol(), _meta(), _add("f1.parquet")])
+    _commit(root, 1, [_add("f2.parquet")])
+    log = os.path.join(root, "_delta_log")
+
+    def _ck_parts(version, rows_groups, n_total, drop_part=None):
+        for i, group in enumerate(rows_groups, start=1):
+            if drop_part == i:
+                continue
+            tmp = os.path.join(root, "_t")
+            spark.read.json(
+                spark.sparkContext.parallelize(
+                    [json.dumps(a) for a in group], 1
+                )
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                n for n in os.listdir(tmp) if n.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(tmp, part),
+                os.path.join(
+                    log,
+                    f"{version:020d}.checkpoint."
+                    f"{i:010d}.{n_total:010d}.parquet",
+                ),
+            )
+            shutil.rmtree(tmp)
+
+    # complete 2-part checkpoint at v1
+    _ck_parts(
+        1,
+        [[_protocol(), _meta()],
+         [_add("f1.parquet"), _add("f2.parquet")]],
+        2,
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == [1, 2]
+    # an incomplete LATER multi-part checkpoint must be skipped
+    _write_data_file(spark, root, "f3.parquet", [(3, "c")])
+    _commit(root, 2, [_add("f3.parquet")])
+    _ck_parts(2, [[_protocol(), _meta()], [_add("f1.parquet")]], 3,
+              drop_part=None)  # claims 3 parts, only 2 exist
+    v, paths = _checkpoint_files(log, 1 << 62)
+    assert v == 1 and len(paths) == 2  # fell back to the complete one
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == [1, 2, 3]
