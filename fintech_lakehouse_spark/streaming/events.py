@@ -1081,7 +1081,9 @@ def foreach_batch_online_dedup(
     ``shuffle_partitions`` (default 8) sizes in-sink shuffles to
     micro-batch volume instead of the session's scan-sized setting —
     the session value is restored after every batch; pass None to
-    leave it alone (e.g. huge batches on a real cluster)."""
+    leave it alone (e.g. huge batches on a real cluster, or when OTHER
+    queries run CONCURRENTLY on the same session — the setting is
+    session-scoped, so a concurrent planner could observe it)."""
     from fintech_lakehouse_spark.functions.text import (
         band_signatures,
         jaccard_pair_join,
@@ -1118,12 +1120,22 @@ def foreach_batch_online_dedup(
             return  # replayed committed batch: exactly-once skip
         if batch_df.isEmpty():
             return
-        # size in-sink shuffles to the micro-batch (restored below)
+        # size in-sink shuffles to the micro-batch; the try/finally
+        # spans EVERYTHING after the set so no exception path leaks
+        # the session conf
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)
             )
+        try:
+            _apply_inner(spark, batch_df, batch_id, dec_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    def _apply_inner(
+        spark: SparkSession, batch_df: DataFrame, batch_id: int, dec_dir: str
+    ) -> None:
         # persist the two frames every downstream action re-derives:
         # without this, each action in this sink (two state writes,
         # decisions) re-reads the batch file AND re-runs the md5
@@ -1245,7 +1257,6 @@ def foreach_batch_online_dedup(
                     delta.coalesce(1).write.mode("overwrite").parquet(vdir)
             decisions.coalesce(1).write.mode("overwrite").parquet(dec_dir)
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             bands.unpersist()
             batch.unpersist()
 
@@ -1325,12 +1336,27 @@ def foreach_batch_bm25_index(
             return  # replayed committed batch: exactly-once skip
         if batch_df.isEmpty():
             return
-        # size in-sink shuffles to the micro-batch (restored below)
+        # size in-sink shuffles to the micro-batch; the try/finally
+        # spans everything after the set so no exception path leaks
+        # the session conf
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)
             )
+        try:
+            _apply_inner(spark, batch_df, batch_id, compact, post_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    def _apply_inner(
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int,
+        compact: bool,
+        post_dir: str,
+    ) -> None:
+        root = index_path.rstrip("/")
         toks = F.split("text", " ")
         # persisted: sized feeds both the postings build and the
         # totals delta — without caching, each action re-reads and
@@ -1399,7 +1425,6 @@ def foreach_batch_bm25_index(
                     post_dir
                 )
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             sized.unpersist()
 
     return _apply
