@@ -2,15 +2,18 @@
 
 Closes the largest multimodal seam (`functions/multimodal.py`'s
 jpeg-raster ``NotImplementedError``): a real DCT path — encoder
-(FDCT → quantize → zigzag → Huffman, 4:4:4 or grayscale, SOF0) and
-decoder (marker walk → DHT/DQT table build → Huffman entropy decode →
-dequantize → IDCT → level shift → YCbCr→RGB). The decoder reads its
-quantization and Huffman tables from the DQT/DHT segments of the
-stream itself (as the spec requires), so it decodes any baseline
-sequential 8-bit JPEG with 1×1 sampling, not just this encoder's
+(FDCT → quantize → zigzag → Huffman; 4:4:4, 4:2:0 or grayscale, SOF0)
+and decoder (marker walk → DHT/DQT table build → Huffman entropy
+decode → dequantize → IDCT → level shift → chroma upsample →
+YCbCr→RGB). The decoder reads its quantization and Huffman tables
+from the DQT/DHT segments of the stream itself (as the spec
+requires), so it decodes any baseline sequential 8-bit JPEG with
+per-component sampling factors up to 2×2 — 4:4:4, 4:2:0, 4:2:2,
+4:4:0, the layouts cameras and libjpeg actually emit (r9; chroma
+upsampling is spec-legal pixel replication) — not just this encoder's
 output; progressive (SOF2), arithmetic coding, 12-bit precision and
-subsampled chroma return None — quarantine, not crash, the same
-contract as ``decode_png_pixels``.
+sampling factors beyond 2×2 return None — quarantine, not crash, the
+same contract as ``decode_png_pixels``.
 
 Like PNG, entropy decode is inherently sequential WITHIN one image
 (DC prediction chains block to block), which is exactly why the Spark
@@ -295,17 +298,55 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
     return padded.reshape(by, 8, bx, 8).swapaxes(1, 2)
 
 
+def _encode_block(writer, zz, pred_c, dc_tab, ac_tab) -> int:
+    """Huffman-encode one quantized zigzag block; returns the new DC
+    predictor for this component."""
+    diff = int(zz[0]) - pred_c
+    pred_c = int(zz[0])
+    size, bits = _magnitude_bits(diff)
+    code, length = dc_tab.encode[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                break
+            run += 1
+            if run == 16:
+                code, length = ac_tab.encode[0xF0]
+                writer.write(code, length)
+                run = 0
+            continue
+        size, bits = _magnitude_bits(v)
+        code, length = ac_tab.encode[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab.encode[0x00]
+        writer.write(code, length)
+    return pred_c
+
+
 def encode_jpeg(
     img: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode an 8-bit image array — (h, w) grayscale or (h, w, 3)
-    RGB — as baseline sequential SOF0 JPEG, 1×1 sampling for every
-    component. ``quant``: 64 zigzag-order divisors (default
-    FLAT_QUANT = near-lossless). ``restart_interval``: emit DRI + RSTn
-    markers every N MCUs (0 = none) — exercised by the decoder's
-    restart path."""
+    RGB — as baseline sequential SOF0 JPEG. ``subsampling``: "444"
+    (1×1 sampling for every component) or "420" (r9 — Y at 2×2
+    sampling factors, chroma downsampled by exact 2×2 means and coded
+    one block per 16×16 MCU: the layout virtually every camera and
+    libjpeg default writes). ``quant``: 64 zigzag-order divisors
+    (default FLAT_QUANT = near-lossless). ``restart_interval``: emit
+    DRI + RSTn markers every N MCUs (0 = none) — exercised by the
+    decoder's restart path."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg takes uint8 arrays")
@@ -321,18 +362,49 @@ def encode_jpeg(
         # encoder doesn't emit (the decoder reads them fine)
         raise ValueError("quant must be 64 values in [1, 255]")
 
-    planes = (
-        [img.astype(np.float64)]
-        if gray
-        else list(np.moveaxis(_rgb_to_ycbcr(img.astype(np.float64)), -1, 0))
-    )
-    # FDCT every 8x8 block of every plane, vectorized
-    comp_coeffs = []
-    for plane in planes:
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
+
+    def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
         blocks = _to_blocks(plane) - 128.0
         coeffs = np.einsum("ux,byxw,vw->byuv", _M, blocks, _M)
         qz = np.rint(coeffs.reshape(*coeffs.shape[:2], 64)[..., _Z] / q)
-        comp_coeffs.append(qz.astype(np.int64))
+        return qz.astype(np.int64)
+
+    if sub420:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        my, mx = (h + 15) // 16, (w + 15) // 16
+        # Y padded to full 16-multiples so every MCU owns 4 real blocks
+        yp = np.pad(
+            ycc[..., 0],
+            ((0, 16 * my - h), (0, 16 * mx - w)),
+            mode="edge",
+        )
+        # chroma: pad to even, exact 2x2 means, then pad the downsampled
+        # plane to the MCU block grid
+        ev = np.pad(ycc, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        comp_coeffs = [_fdct_blocks(yp)]
+        for ch in (1, 2):
+            ds = (
+                ev[0::2, 0::2, ch] + ev[0::2, 1::2, ch]
+                + ev[1::2, 0::2, ch] + ev[1::2, 1::2, ch]
+            ) / 4.0
+            ds = np.pad(
+                ds,
+                ((0, 8 * my - ds.shape[0]), (0, 8 * mx - ds.shape[1])),
+                mode="edge",
+            )
+            comp_coeffs.append(_fdct_blocks(ds))
+    else:
+        planes = (
+            [img.astype(np.float64)]
+            if gray
+            else list(
+                np.moveaxis(_rgb_to_ycbcr(img.astype(np.float64)), -1, 0)
+            )
+        )
+        comp_coeffs = [_fdct_blocks(p) for p in planes]
     by, bx = comp_coeffs[0].shape[:2]
 
     dc_tab, ac_tab = _uniform_dc_table(), _uniform_ac_table()
@@ -347,7 +419,8 @@ def encode_jpeg(
     sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big"))
     sof.append(ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0x00])  # 1x1 sampling, quant table 0
+        hv = 0x22 if (sub420 and cid == 1) else 0x11
+        sof += bytes([cid, hv, 0x00])  # sampling factors, quant table 0
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     for tc, tab in ((0, dc_tab), (1, ac_tab)):
         seg = bytes([tc << 4]) + bytes(tab.bits) + bytes(tab.huffval)
@@ -365,43 +438,30 @@ def encode_jpeg(
     pred = [0] * ncomp
     mcu = 0
     rst = 0
-    for y in range(by):
-        for x in range(bx):
+    # MCU grid: 420 interleaves 4 Y blocks + 1 Cb + 1 Cr per 16x16
+    # MCU; 444/grayscale is the 1-block-per-component degenerate case
+    m_rows, m_cols = (by // 2, bx // 2) if sub420 else (by, bx)
+    for y in range(m_rows):
+        for x in range(m_cols):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.flush()
                 writer.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = [0] * ncomp
             for c in range(ncomp):
-                zz = comp_coeffs[c][y, x]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                size, bits = _magnitude_bits(diff)
-                code, length = dc_tab.encode[size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        if k > last_nz:
-                            break
-                        run += 1
-                        if run == 16:
-                            code, length = ac_tab.encode[0xF0]
-                            writer.write(code, length)
-                            run = 0
-                        continue
-                    size, bits = _magnitude_bits(v)
-                    code, length = ac_tab.encode[(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_tab.encode[0x00]
-                    writer.write(code, length)
+                if sub420 and c == 0:
+                    for v in range(2):
+                        for u in range(2):
+                            pred[c] = _encode_block(
+                                writer,
+                                comp_coeffs[c][2 * y + v, 2 * x + u],
+                                pred[c], dc_tab, ac_tab,
+                            )
+                else:
+                    pred[c] = _encode_block(
+                        writer, comp_coeffs[c][y, x], pred[c],
+                        dc_tab, ac_tab,
+                    )
             mcu += 1
     writer.flush()
     out += writer.out
@@ -416,8 +476,8 @@ def encode_jpeg(
 def decode_jpeg_pixels(payload: bytes):
     """Full baseline decode → uint8 array (h, w) for grayscale or
     (h, w, 3) RGB, or None for anything outside the supported subset
-    (progressive/arithmetic/12-bit/subsampled/malformed) — quarantine,
-    not crash."""
+    (progressive / arithmetic / 12-bit / sampling factors beyond 2×2 /
+    malformed) — quarantine, not crash."""
     try:
         return _decode(payload)
     except (
@@ -497,9 +557,10 @@ def _decode(payload: bytes):
             comps = []
             for c in range(nf):
                 cid, hv, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampled: unsupported subset
-                comps.append((cid, qid))
+                hc, vc = hv >> 4, hv & 0xF
+                if hc not in (1, 2) or vc not in (1, 2):
+                    return None  # sampling factors beyond 2x2: refuse
+                comps.append((cid, qid, hc, vc))
             frame = (h, w, comps)
         elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
             return None  # progressive/arithmetic/etc.
@@ -512,15 +573,18 @@ def _decode(payload: bytes):
             h, w, comps = frame
             if ns != len(comps):
                 return None
+            byid = {cid: (qid, hc, vc) for cid, qid, hc, vc in comps}
             tables = []
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
                 dc = huff.get((0, tsel >> 4))
                 ac = huff.get((1, tsel & 0xF))
-                qid = dict(comps).get(cid)
-                if dc is None or ac is None or qid not in quant:
+                if dc is None or ac is None or cid not in byid:
                     return None
-                tables.append((dc, ac, quant[qid]))
+                qid, hc, vc = byid[cid]
+                if qid not in quant:
+                    return None
+                tables.append((dc, ac, quant[qid], hc, vc))
             return _decode_scan(
                 payload, i + 2 + seglen, h, w, tables, restart_interval
             )
@@ -537,54 +601,89 @@ def _decode(payload: bytes):
 _MAX_DECODE_PIXELS = 16 * 1024 * 1024
 
 
+def _decode_block(reader, dc_tab, ac_tab, pred_c) -> tuple[np.ndarray, int]:
+    """Decode one entropy-coded block into a zigzag coefficient vector;
+    returns (zz, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    size = reader.decode_symbol(dc_tab)
+    if size > 11:
+        raise _Corrupt("DC category out of range")
+    pred_c += _extend(reader.receive(size), size)
+    zz[0] = pred_c
+    k = 1
+    while k < 64:
+        sym = reader.decode_symbol(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise _Corrupt("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k >= 64:
+            raise _Corrupt("AC index overflow")
+        zz[k] = _extend(reader.receive(size), size)
+        k += 1
+    return zz, pred_c
+
+
 def _decode_scan(payload, pos, h, w, tables, restart_interval):
-    by, bx = (h + 7) // 8, (w + 7) // 8
+    """Interleaved baseline scan with per-component sampling factors
+    (r9 — previously 1×1 only): the MCU spans 8·Hmax × 8·Vmax pixels
+    and carries h_c×v_c blocks per component in raster order; each
+    component plane IDCTs on its own grid, crops to its true
+    (sub)sampled size, and chroma upsamples to full resolution by
+    pixel replication (spec-legal nearest-neighbor — JPEG does not
+    mandate an upsampling filter; libjpeg's default 'fancy' triangular
+    filter differs by ≤ a few codes on edges)."""
     ncomp = len(tables)
-    if by * bx * 64 > _MAX_DECODE_PIXELS:
+    hmax = max(t[3] for t in tables)
+    vmax = max(t[4] for t in tables)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    total = sum(my * vc * mx * hc * 64 for _, _, _, hc, vc in tables)
+    if total > _MAX_DECODE_PIXELS * 3:
         raise _Corrupt("declared dimensions exceed decode cap")
     reader = _BitReader(payload, pos)
-    coeffs = np.zeros((ncomp, by, bx, 64), dtype=np.float64)
+    coeffs = [
+        np.zeros((my * vc, mx * hc, 64), dtype=np.float64)
+        for _, _, _, hc, vc in tables
+    ]
     pred = [0] * ncomp
     mcu = 0
-    for y in range(by):
-        for x in range(bx):
+    for y in range(my):
+        for x in range(mx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 marker = reader.align_to_marker()
                 if not 0xD0 <= marker <= 0xD7:
                     raise _Corrupt("expected RSTn")
                 pred = [0] * ncomp
-            for c, (dc_tab, ac_tab, q) in enumerate(tables):
-                zz = np.zeros(64, dtype=np.float64)
-                size = reader.decode_symbol(dc_tab)
-                if size > 11:
-                    raise _Corrupt("DC category out of range")
-                pred[c] += _extend(reader.receive(size), size)
-                zz[0] = pred[c]
-                k = 1
-                while k < 64:
-                    sym = reader.decode_symbol(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise _Corrupt("bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k >= 64:
-                        raise _Corrupt("AC index overflow")
-                    zz[k] = _extend(reader.receive(size), size)
-                    k += 1
-                coeffs[c, y, x] = zz * q
+            for c, (dc_tab, ac_tab, q, hc, vc) in enumerate(tables):
+                for v in range(vc):
+                    for u in range(hc):
+                        zz, pred[c] = _decode_block(
+                            reader, dc_tab, ac_tab, pred[c]
+                        )
+                        coeffs[c][y * vc + v, x * hc + u] = zz * q
             mcu += 1
     planes = []
-    for c in range(ncomp):
-        raster = np.zeros((by, bx, 64), dtype=np.float64)
+    for c, (_, _, _, hc, vc) in enumerate(tables):
+        cy, cx = coeffs[c].shape[:2]
+        raster = np.zeros((cy, cx, 64), dtype=np.float64)
         raster[..., _Z] = coeffs[c]
-        blocks = raster.reshape(by, bx, 8, 8)
+        blocks = raster.reshape(cy, cx, 8, 8)
         spatial = np.einsum("xu,byuv,wv->byxw", _M.T, blocks, _M.T)
-        plane = spatial.swapaxes(1, 2).reshape(by * 8, bx * 8) + 128.0
+        plane = spatial.swapaxes(1, 2).reshape(cy * 8, cx * 8) + 128.0
+        # crop to the component's true sampled dims, then replicate up
+        ch = (h * vc + vmax - 1) // vmax
+        cw = (w * hc + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vc != vmax or hc != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vc, axis=0), hmax // hc, axis=1
+            )
         planes.append(plane[:h, :w])
     if ncomp == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)

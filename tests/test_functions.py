@@ -1908,3 +1908,60 @@ def test_mp3_side_info_decode_roundtrip_and_quarantine():
     # truncated mid side info of the FIRST frame: quarantine
     assert read_mp3_side_info(mp3[:20]) is None
     assert read_mp3_side_info(b"") is None
+
+
+def test_jpeg_420_subsampling_roundtrip_and_decode_support():
+    """r9: the codec handles 4:2:0 — the encoder writes real 2x2/1x1
+    sampling factors with MCU-interleaved blocks and exact 2x2 chroma
+    means; the decoder reconstructs at full resolution (replication
+    upsample). Smooth gradients roundtrip within a few codes; odd
+    dims, restart markers, and the 444/grayscale paths are unchanged;
+    sampling factors beyond 2x2 still quarantine."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    for h, w in [(16, 16), (17, 23), (8, 8), (64, 48), (37, 61)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        # mild slopes (chroma changes ≲3/pixel): steeper gradients lose
+        # genuinely more to the 2x2 chroma averaging, which is the
+        # subsampling trade, not a codec bug
+        img = np.stack(
+            [
+                np.minimum(yy * 3 + xx * 2, 255),
+                np.minimum(yy * 2 + 20, 255),
+                np.minimum(xx * 3 + 10, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        enc = encode_jpeg(img, subsampling="420")
+        dec = decode_jpeg_pixels(enc)
+        assert dec is not None and dec.shape == img.shape, (h, w)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 8, (h, w, err.max())
+        # 420 must actually be smaller than 444 on chroma-bearing sizes
+        if h * w >= 1024:
+            assert len(enc) < len(encode_jpeg(img))
+        # header carries the real sampling factors (Y=0x22)
+        sof = enc.find(b"\xff\xc0")
+        assert enc[sof + 11] == 0x22 and enc[sof + 14] == 0x11
+    # restart markers across 420 MCUs
+    img = np.stack(
+        [np.tile(np.arange(48, dtype=np.uint8), (48, 1))] * 3, axis=-1
+    )
+    d = decode_jpeg_pixels(encode_jpeg(img, subsampling="420",
+                                       restart_interval=2))
+    assert d is not None and d.shape == img.shape
+    # factors beyond 2x2 quarantine: patch Y's sampling byte to 3x3
+    enc = bytearray(encode_jpeg(img, subsampling="420"))
+    sof = bytes(enc).find(b"\xff\xc0")
+    enc[sof + 11] = 0x33
+    assert decode_jpeg_pixels(bytes(enc)) is None
+    # unknown subsampling parameter rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422")
