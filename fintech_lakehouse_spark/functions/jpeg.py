@@ -340,10 +340,12 @@ def encode_jpeg(
 ) -> bytes:
     """Encode an 8-bit image array — (h, w) grayscale or (h, w, 3)
     RGB — as baseline sequential SOF0 JPEG. ``subsampling``: "444"
-    (1×1 sampling for every component) or "420" (r9 — Y at 2×2
-    sampling factors, chroma downsampled by exact 2×2 means and coded
-    one block per 16×16 MCU: the layout virtually every camera and
-    libjpeg default writes). ``quant``: 64 zigzag-order divisors
+    (1×1 sampling for every component), "420" (r9 — Y at 2×2 sampling
+    factors, chroma downsampled by exact 2×2 means and coded one block
+    per 16×16 MCU: the layout virtually every camera and libjpeg
+    default writes), or "422" (Y at 2×1, chroma halved horizontally —
+    the broadcast/video-frame layout; exercises the decoder's
+    asymmetric-factor path). ``quant``: 64 zigzag-order divisors
     (default FLAT_QUANT = near-lossless). ``restart_interval``: emit
     DRI + RSTn markers every N MCUs (0 = none) — exercised by the
     decoder's restart path."""
@@ -362,9 +364,11 @@ def encode_jpeg(
         # encoder doesn't emit (the decoder reads them fine)
         raise ValueError("quant must be 64 values in [1, 255]")
 
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub420 = subsampling == "420" and not gray
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420' or '422'")
+    sub = subsampling if not gray else "444"
+    # Y sampling factors (hy, vy); chroma is always 1x1 here
+    hy, vy = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[sub]
 
     def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
         blocks = _to_blocks(plane) - 128.0
@@ -372,24 +376,26 @@ def encode_jpeg(
         qz = np.rint(coeffs.reshape(*coeffs.shape[:2], 64)[..., _Z] / q)
         return qz.astype(np.int64)
 
-    if sub420:
+    if sub != "444":
         ycc = _rgb_to_ycbcr(img.astype(np.float64))
-        my, mx = (h + 15) // 16, (w + 15) // 16
-        # Y padded to full 16-multiples so every MCU owns 4 real blocks
+        mw, mh = 8 * hy, 8 * vy  # MCU pixel dims
+        my, mx = (h + mh - 1) // mh, (w + mw - 1) // mw
+        # Y padded to full MCU multiples so every MCU owns real blocks
         yp = np.pad(
             ycc[..., 0],
-            ((0, 16 * my - h), (0, 16 * mx - w)),
+            ((0, mh * my - h), (0, mw * mx - w)),
             mode="edge",
         )
-        # chroma: pad to even, exact 2x2 means, then pad the downsampled
-        # plane to the MCU block grid
-        ev = np.pad(ycc, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        # chroma: pad to factor multiples, exact hy×vy means, then pad
+        # the downsampled plane to the MCU block grid
+        ev = np.pad(
+            ycc, ((0, -h % vy), (0, -w % hy), (0, 0)), mode="edge"
+        )
         comp_coeffs = [_fdct_blocks(yp)]
         for ch in (1, 2):
-            ds = (
-                ev[0::2, 0::2, ch] + ev[0::2, 1::2, ch]
-                + ev[1::2, 0::2, ch] + ev[1::2, 1::2, ch]
-            ) / 4.0
+            ds = ev[..., ch].reshape(
+                ev.shape[0] // vy, vy, ev.shape[1] // hy, hy
+            ).mean(axis=(1, 3))
             ds = np.pad(
                 ds,
                 ((0, 8 * my - ds.shape[0]), (0, 8 * mx - ds.shape[1])),
@@ -419,7 +425,7 @@ def encode_jpeg(
     sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big"))
     sof.append(ncomp)
     for cid in range(1, ncomp + 1):
-        hv = 0x22 if (sub420 and cid == 1) else 0x11
+        hv = (hy << 4) | vy if cid == 1 else 0x11
         sof += bytes([cid, hv, 0x00])  # sampling factors, quant table 0
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     for tc, tab in ((0, dc_tab), (1, ac_tab)):
@@ -438,9 +444,9 @@ def encode_jpeg(
     pred = [0] * ncomp
     mcu = 0
     rst = 0
-    # MCU grid: 420 interleaves 4 Y blocks + 1 Cb + 1 Cr per 16x16
-    # MCU; 444/grayscale is the 1-block-per-component degenerate case
-    m_rows, m_cols = (by // 2, bx // 2) if sub420 else (by, bx)
+    # MCU grid: the Y component carries hy×vy blocks per MCU, chroma
+    # one each; 444/grayscale is the 1-block degenerate case
+    m_rows, m_cols = by // vy, bx // hy
     for y in range(m_rows):
         for x in range(m_cols):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -449,19 +455,14 @@ def encode_jpeg(
                 rst = (rst + 1) % 8
                 pred = [0] * ncomp
             for c in range(ncomp):
-                if sub420 and c == 0:
-                    for v in range(2):
-                        for u in range(2):
-                            pred[c] = _encode_block(
-                                writer,
-                                comp_coeffs[c][2 * y + v, 2 * x + u],
-                                pred[c], dc_tab, ac_tab,
-                            )
-                else:
-                    pred[c] = _encode_block(
-                        writer, comp_coeffs[c][y, x], pred[c],
-                        dc_tab, ac_tab,
-                    )
+                ch, cv = (hy, vy) if c == 0 else (1, 1)
+                for v in range(cv):
+                    for u in range(ch):
+                        pred[c] = _encode_block(
+                            writer,
+                            comp_coeffs[c][cv * y + v, ch * x + u],
+                            pred[c], dc_tab, ac_tab,
+                        )
             mcu += 1
     writer.flush()
     out += writer.out

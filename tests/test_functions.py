@@ -1955,6 +1955,23 @@ def test_jpeg_420_subsampling_roundtrip_and_decode_support():
     d = decode_jpeg_pixels(encode_jpeg(img, subsampling="420",
                                        restart_interval=2))
     assert d is not None and d.shape == img.shape
+    # 4:2:2 (asymmetric 2x1 factors) roundtrips too
+    for h, w in [(16, 16), (19, 27)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img2 = np.stack(
+            [
+                np.minimum(yy * 3 + xx * 2, 255),
+                np.minimum(yy * 2 + 20, 255),
+                np.minimum(xx * 3 + 10, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        enc = encode_jpeg(img2, subsampling="422")
+        sof = enc.find(b"\xff\xc0")
+        assert enc[sof + 11] == 0x21
+        dec = decode_jpeg_pixels(enc)
+        assert dec is not None and dec.shape == img2.shape
+        assert np.abs(dec.astype(int) - img2.astype(int)).max() <= 8
     # factors beyond 2x2 quarantine: patch Y's sampling byte to 3x3
     enc = bytearray(encode_jpeg(img, subsampling="420"))
     sof = bytes(enc).find(b"\xff\xc0")
@@ -1964,4 +1981,4 @@ def test_jpeg_420_subsampling_roundtrip_and_decode_support():
     import pytest
 
     with pytest.raises(ValueError, match="subsampling"):
-        encode_jpeg(img, subsampling="422")
+        encode_jpeg(img, subsampling="411")
