@@ -780,7 +780,8 @@ def test_many_partition_values_single_scan(spark, tmp_path):
 
 def _roaring_portable(values):
     """Test-side encoder: 'RoaringBitmapArray portable' bytes from
-    64-bit row indexes, array containers only (card <= 4096)."""
+    64-bit row indexes — array containers at card <= 4096, bitmap
+    containers above (the spec's container rule)."""
     import struct
     from collections import defaultdict
 
@@ -800,9 +801,17 @@ def _roaring_portable(values):
         pos = 0
         for hk in sorted(containers):
             out += struct.pack("<I", pos)
-            pos += 2 * len(containers[hk])
+            pos += (2 * len(containers[hk])
+                    if len(containers[hk]) <= 4096 else 8192)
         for hk in sorted(containers):
-            out += struct.pack(f"<{len(containers[hk])}H", *containers[hk])
+            vals = containers[hk]
+            if len(vals) <= 4096:
+                out += struct.pack(f"<{len(vals)}H", *vals)
+            else:  # bitmap container
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                out += struct.pack("<1024Q", *words)
     return out
 
 
@@ -1178,3 +1187,54 @@ def test_multipart_checkpoint_read_and_incomplete_skip(spark, tmp_path):
     assert v == 1 and len(paths) == 2  # fell back to the complete one
     got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
     assert got == [1, 2, 3]
+
+
+def test_z85_spec_vector_pins_alphabet():
+    """The zeromq rfc/32 test vector: 0x86 4F D2 6F B5 59 F7 5B ↔
+    'HelloWorld' — pins THIS alphabet (delta-spark's Base85Codec), not
+    python's RFC-1924 base64.b85, whose output differs."""
+    import base64
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        z85_decode,
+        z85_encode,
+    )
+
+    v = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(v) == "HelloWorld"
+    assert z85_decode("HelloWorld") == v
+    assert base64.b85encode(v).decode() != "HelloWorld"  # the wrong codec
+
+
+def test_deletion_vector_thousands_of_rows(spark, tmp_path):
+    """DV anti-join at realistic cardinality: 5,000 of 12,000 rows
+    deleted via an inline DV whose bitmap spans array AND bitmap
+    containers (the >4096-per-chunk case)."""
+    from fintech_lakehouse_spark.sources.deletionvectors import z85_encode
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "dvbig")
+    rows = [(i, f"v{i % 97}") for i in range(12_000)]
+    _write_data_file(spark, root, "f1.parquet", rows)
+    deleted = sorted(set(range(0, 10_000, 2)))  # 5,000 row indexes
+    bitmap = _roaring_portable(deleted)
+    a = _add("f1.parquet")
+    a["add"]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bitmap),
+        "offset": None,
+        "sizeInBytes": len(bitmap),
+        "cardinality": len(deleted),
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }
+    }
+    _commit(root, 0, [proto, _meta(), a])
+    df = read_delta_table(spark, root)
+    assert df.count() == 12_000 - 5_000
+    got_ids = {r["id"] for r in df.select("id").collect()}
+    assert got_ids == set(range(12_000)) - set(deleted)
