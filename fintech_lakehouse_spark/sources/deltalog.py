@@ -442,15 +442,23 @@ def _strip_deleted_rows(spark, path, snap, scan) -> DataFrame:
                 f"basenames ({bn!r}) — the row-index anti-join would be "
                 "ambiguous; refusing"
             )
-    rows = []
+    import pandas as _pd
+
+    files: list = []
+    indexes: list = []
     for rel, dv in snap.deletion_vectors.items():
         idxs = decode_deletion_vector(path, dv)
         bn = os.path.basename(rel)
+        # the set collapses to one key for plain file names; encoded
+        # variants only multiply the lookup when the name needs them
         for key in {bn, quote(bn), quote(bn, safe="")}:
-            rows.extend((key, ri) for ri in idxs)
+            files.extend([key] * len(idxs))
+            indexes.extend(idxs)
+    # Arrow-backed build: a million-row lookup from python tuples costs
+    # seconds through createDataFrame's row path; pandas+Arrow doesn't
     lk = spark.createDataFrame(
-        rows,
-        _ST(
+        _pd.DataFrame({"_dl_dv_file": files, "_dl_dv_ri": indexes}),
+        schema=_ST(
             [
                 StructField("_dl_dv_file", StringType(), False),
                 StructField("_dl_dv_ri", LongType(), False),
