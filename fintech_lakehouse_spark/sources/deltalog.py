@@ -61,6 +61,55 @@ from pyspark.sql.types import StructType
 
 LOG_DIR = "_delta_log"
 
+# Above this many total deleted rows (sum of descriptor cardinalities)
+# the DV anti-join switches from driver-decoded broadcast to
+# DISTRIBUTED decode + shuffle join (VERDICT r9 item 1) — the driver
+# never materializes the index set. Env-overridable for tests/probes.
+DV_BROADCAST_MAX_ROWS = int(
+    os.environ.get("FLS_DV_BROADCAST_MAX_ROWS", "1000000")
+)
+
+
+def _physical_datatype(dt, where: str):
+    """Recursively rename a LOGICAL datatype to its PHYSICAL form under
+    NAME/ID-mode column mapping (ADVICE r9 high): column-mapped parquet
+    files use ``delta.columnMapping.physicalName`` at EVERY nesting
+    level, so resolving only top-level names silently reads nested
+    struct fields back as NULL. Raises on any nested field missing the
+    metadata — corrupt table metadata, fail closed."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        fields = []
+        for f in dt.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise ValueError(
+                    "column mapping active but nested field "
+                    f"{where}.{f.name!r} carries no physicalName metadata "
+                    "— corrupt table metadata"
+                )
+            fields.append(
+                StructField(
+                    phys,
+                    _physical_datatype(f.dataType, f"{where}.{f.name}"),
+                    f.nullable,
+                )
+            )
+        return _ST(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _physical_datatype(dt.elementType, where + "[]"), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_datatype(dt.keyType, where + "<key>"),
+            _physical_datatype(dt.valueType, where + "<value>"),
+            dt.valueContainsNull,
+        )
+    return dt
+
 
 def has_delta_log(path: str) -> bool:
     """True when ``path`` is a local Delta table root (a ``_delta_log``
@@ -86,11 +135,17 @@ class DeltaSnapshot:
     # NAME-mode column mapping: logical field name → physical parquet
     # column name ({} when the table has no mapping)
     column_mapping: dict = field(default_factory=dict)
+    # "none" | "name" | "id" (id resolves physical names from footers)
+    column_mapping_mode: str = "none"
     # live add path → deletionVector descriptor (only paths that HAVE one)
     deletion_vectors: dict = field(default_factory=dict)
     # verbatim latest protocol/metaData action bodies (checkpoint writer)
     protocol_raw: dict = field(default_factory=dict)
     metadata_raw: dict = field(default_factory=dict)
+    # live add path → verbatim add-action body (real size/mtime for the
+    # checkpoint writer — ADVICE r9 medium: fabricating them breaks
+    # external readers)
+    adds_raw: dict = field(default_factory=dict)
 
 
 def _commit_versions(log: str) -> list[int]:
@@ -200,12 +255,28 @@ def _apply_action(snap_state: dict, action: dict) -> None:
                         "corrupt table metadata"
                     )
                 mapping[f.name] = phys
+                # validate the NESTED levels now (fail at snapshot
+                # time, not mid-scan): ADVICE r9 high — nested fields
+                # are physically renamed too
+                _physical_datatype(f.dataType, f.name)
+        elif mode == "id":
+            # data columns resolve at read time against the live
+            # files' parquet footers (field-id matching — see
+            # read_delta_table); the top-level physicalName map is
+            # still needed for partitionValues keys (partition columns
+            # never appear in data files, so they have no footer entry)
+            for f in schema.fields:
+                phys = (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                if phys:
+                    mapping[f.name] = phys
         elif mode not in ("none", ""):
             raise NotImplementedError(
                 f"delta.columnMapping.mode={mode!r} unsupported (only "
-                "'name' mapping and unmapped tables are implemented; "
-                "'id' mode needs parquet field-id resolution)"
+                "'name'/'id' mapping and unmapped tables are implemented)"
             )
+        snap_state["column_mapping_mode"] = mode if mode else "none"
         snap_state["schema"] = schema
         snap_state["metadata_raw"] = dict(md)
         snap_state["column_mapping"] = mapping
@@ -214,6 +285,7 @@ def _apply_action(snap_state: dict, action: dict) -> None:
         add = action["add"]
         path = unquote(add["path"])
         snap_state["files"][path] = dict(add.get("partitionValues") or {})
+        snap_state["adds_raw"][path] = dict(add)
         # an add REPLACES the path's previous DV state: a re-add with a
         # (new) descriptor carries more deleted rows, a re-add without
         # one means the file was rewritten clean
@@ -225,6 +297,7 @@ def _apply_action(snap_state: dict, action: dict) -> None:
     if "remove" in action:
         path = unquote(action["remove"]["path"])
         snap_state["files"].pop(path, None)
+        snap_state["adds_raw"].pop(path, None)
         snap_state["dvs"].pop(path, None)
 
 
@@ -260,9 +333,11 @@ def delta_snapshot(
         "partition_columns": [],
         "files": {},
         "column_mapping": {},
+        "column_mapping_mode": "none",
         "dvs": {},
         "protocol_raw": {},
         "metadata_raw": {},
+        "adds_raw": {},
     }
     if ckpt is not None:
         # checkpoint rows are one action per row with struct columns;
@@ -313,10 +388,107 @@ def delta_snapshot(
         partition_columns=state["partition_columns"],
         files=state["files"],
         column_mapping=state["column_mapping"],
+        column_mapping_mode=state["column_mapping_mode"],
         deletion_vectors=state["dvs"],
         protocol_raw=state["protocol_raw"],
         metadata_raw=state["metadata_raw"],
+        adds_raw=state["adds_raw"],
     )
+
+
+def _parquet_field_id_names(paths: list[str]) -> dict:
+    """ID-mode resolution source (VERDICT r9 item 5): walk each live
+    file's parquet FOOTER schema and collect ``field id → physical
+    column name`` at every nesting level (pyarrow surfaces the parquet
+    field_id as the ``PARQUET:field_id`` field-metadata key). Files may
+    legitimately LACK an id (schema evolution — the scan returns NULLs
+    for the missing column, Delta's own semantics), but two files
+    naming the same id differently would need a grouped per-signature
+    scan — refuse rather than read one group wrong. Driver-side and
+    linear in file count, the same contract as snapshot replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    merged: dict[int, str] = {}
+
+    def walk(fld, per_file: dict) -> None:
+        md = fld.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            per_file[int(fid)] = fld.name
+        t = fld.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                walk(t.field(i), per_file)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_field, per_file)
+        elif pa.types.is_map(t):
+            walk(t.key_field, per_file)
+            walk(t.item_field, per_file)
+
+    for p in paths:
+        per_file: dict[int, str] = {}
+        for fld in pq.read_schema(p):
+            walk(fld, per_file)
+        for fid, name in per_file.items():
+            if merged.setdefault(fid, name) != name:
+                raise NotImplementedError(
+                    f"id-mode column mapping: field id {fid} is named "
+                    f"{merged[fid]!r} and {name!r} in different data "
+                    "files — a per-signature grouped scan is not "
+                    "implemented; refusing to read one group wrong"
+                )
+    return merged
+
+
+def _resolve_phys_by_id(f, idmap: dict, where: str) -> str:
+    fid = (f.metadata or {}).get("delta.columnMapping.id")
+    if fid is not None and int(fid) in idmap:
+        return idmap[int(fid)]
+    phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+    if phys:
+        # id absent from every footer (column newer than all files, or
+        # a delta-written table whose files use the physicalName): the
+        # protocol requires physicalName alongside the id — use it
+        return phys
+    raise ValueError(
+        f"id-mode column mapping: field {where!r} has no "
+        "columnMapping.id resolvable against the data files' footers "
+        "and no physicalName fallback — corrupt table metadata"
+    )
+
+
+def _physical_datatype_by_id(dt, idmap: dict, where: str):
+    """ID-mode twin of :func:`_physical_datatype`: nested fields
+    resolve through the footer field-id map (physicalName fallback)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        return _ST(
+            [
+                StructField(
+                    _resolve_phys_by_id(f, idmap, f"{where}.{f.name}"),
+                    _physical_datatype_by_id(
+                        f.dataType, idmap, f"{where}.{f.name}"
+                    ),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _physical_datatype_by_id(dt.elementType, idmap, where + "[]"),
+            dt.containsNull,
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_datatype_by_id(dt.keyType, idmap, where + "<key>"),
+            _physical_datatype_by_id(dt.valueType, idmap, where + "<value>"),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def read_delta_table(
@@ -326,7 +498,9 @@ def read_delta_table(
     live files only (remove-actions honored), partition columns
     attached from the log's partitionValues and cast to the table
     schema, columns emitted in declared schema order, NAME-mode column
-    mapping resolved (physical parquet names → logical schema names).
+    mapping resolved at EVERY nesting level (physical parquet names →
+    logical schema names via a positional struct cast), ID-mode
+    mapping resolved by matching parquet footer field ids.
     ``version`` time-travels (the ``table_as_of_batch`` analog on a
     REAL log).
 
@@ -336,24 +510,23 @@ def read_delta_table(
     — plan size is constant in the number of distinct partition
     values, where the previous union-per-value shape compiled one scan
     branch per value (minutes of planning at 500+ partitions). The
-    grouped-union form survives only as ``_read_grouped``, the
-    fallback for basename collisions across partition directories
-    (never produced by this module's own writer)."""
-    from pyspark.sql.types import StructField, StringType
+    join is LEFT + a ``raise_error`` guard (ADVICE r9): a scan
+    basename the lookup cannot resolve (unanticipated URI encoding)
+    raises instead of silently dropping rows. The grouped-union form
+    survives only as ``_read_grouped``, the fallback for basename
+    collisions across partition directories (never produced by this
+    module's own writer)."""
+    from pyspark.sql.types import BooleanType, StructField, StringType
 
     snap = delta_snapshot(spark, path, version)
     part_cols = snap.partition_columns
-    phys = lambda c: snap.column_mapping.get(c, c)  # noqa: E731
+    mode = snap.column_mapping_mode
+    # protocol: partitionValues keys are PHYSICAL names under mapping
+    # (both modes carry physicalName metadata on top-level fields)
+    pv_phys = lambda c: snap.column_mapping.get(c, c)  # noqa: E731
     data_fields = [
         f for f in snap.schema.fields if f.name not in set(part_cols)
     ]
-    # files store PHYSICAL column names when mapping is active
-    data_schema = StructType(
-        [
-            StructField(phys(f.name), f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
     part_types = {
         f.name: f.dataType for f in snap.schema.fields if f.name in part_cols
     }
@@ -362,13 +535,62 @@ def read_delta_table(
         return spark.createDataFrame([], snap.schema)
 
     paths = sorted(os.path.join(path, rel) for rel in snap.files)
+    # files store PHYSICAL column names (at all nesting levels) when
+    # mapping is active — build the physical read schema, scan, then
+    # rename back to logical names with a positional struct cast
+    if mode == "id":
+        idmap = _parquet_field_id_names(paths)
+        phys_names = {
+            f.name: _resolve_phys_by_id(f, idmap, f.name)
+            for f in data_fields
+        }
+        data_schema = StructType(
+            [
+                StructField(
+                    phys_names[f.name],
+                    _physical_datatype_by_id(f.dataType, idmap, f.name),
+                    f.nullable,
+                )
+                for f in data_fields
+            ]
+        )
+    elif mode == "name":
+        phys_names = {f.name: snap.column_mapping[f.name]
+                      for f in data_fields}
+        data_schema = StructType(
+            [
+                StructField(
+                    phys_names[f.name],
+                    _physical_datatype(f.dataType, f.name),
+                    f.nullable,
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        phys_names = {f.name: f.name for f in data_fields}
+        data_schema = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+
     scan = spark.read.schema(data_schema).parquet(*paths)
     if snap.deletion_vectors:
         scan = _strip_deleted_rows(spark, path, snap, scan)
-    # physical → logical rename (getitem tolerates dots/dashes in names)
-    scan = scan.select(
-        *[scan[phys(f.name)].alias(f.name) for f in data_fields]
-    )
+    if mode in ("name", "id"):
+        # physical → logical rename; the cast renames NESTED struct
+        # fields positionally (ADVICE r9 high: top-level-only renames
+        # silently read nested values back as NULL)
+        scan = scan.select(
+            *[
+                scan[phys_names[f.name]].cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ]
+        )
+    else:
+        scan = scan.select(*[scan[f.name].alias(f.name) for f in data_fields])
     if not part_cols:
         return scan.select(*out_cols)
 
@@ -380,50 +602,85 @@ def read_delta_table(
     from urllib.parse import quote
 
     file_col = "_dl_file_name__"
+    ok_col = "_dl_pv_ok__"
     lookup_rows: dict[str, tuple] = {}
-    collide = file_col in out_cols
+    collide = bool({file_col, ok_col} & set(out_cols))
     for rel, pv in snap.files.items():
         bn = os.path.basename(rel)
-        # protocol: partitionValues keys are physical names under mapping
-        vals = tuple(pv.get(phys(c)) for c in part_cols)
+        vals = tuple(pv.get(pv_phys(c)) for c in part_cols)
         for key in {bn, quote(bn), quote(bn, safe="")}:
             if lookup_rows.get(key, vals) != vals:
                 collide = True
             lookup_rows[key] = vals
     if collide:
         return _read_grouped(
-            spark, path, snap, data_schema, data_fields, part_types, out_cols
+            spark, path, snap, data_schema, data_fields, phys_names,
+            part_types, out_cols,
         )
     lk_schema = StructType(
-        [StructField(file_col, StringType(), False)]
+        [
+            StructField(file_col, StringType(), False),
+            StructField(ok_col, BooleanType(), False),
+        ]
         + [StructField(c, StringType(), True) for c in part_cols]
     )
     lookup = spark.createDataFrame(
-        [(k, *v) for k, v in sorted(lookup_rows.items())], lk_schema
+        [(k, True, *v) for k, v in sorted(lookup_rows.items())], lk_schema
     )
-    out = (
-        scan.withColumn(
-            file_col,
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
-        )
-        .join(F.broadcast(lookup), file_col, "inner")
-        .drop(file_col)
+    out = scan.withColumn(
+        file_col,
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+    ).join(F.broadcast(lookup), file_col, "left")
+    # fail-closed basename resolution (ADVICE r9): an unmatched
+    # basename means the lookup's encoding variants missed the form
+    # input_file_name() produced — raise instead of dropping the rows
+    # (the previous inner join) or NULLing their partition values
+    guard = F.when(
+        F.col(ok_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "Delta partition attach: data-file basename "
+                ),
+                F.col(file_col),
+                F.lit(
+                    " is missing from the snapshot lookup (unanticipated"
+                    " URI encoding?) — refusing to return wrong rows"
+                ),
+            )
+        ),
     )
+    first = part_cols[0]
+    out = out.withColumn(
+        first, guard.otherwise(F.col(first))
+    ).drop(file_col, ok_col)
     for c in part_cols:
         out = out.withColumn(c, out[c].cast(part_types[c]))
     return out.select(*out_cols)
 
 
 def _strip_deleted_rows(spark, path, snap, scan) -> DataFrame:
-    """Anti-join the scan against its files' decoded DELETION VECTORS
-    (r9 — closes the reader's last protocol-v3 gap): descriptors are
-    decoded driver-side (sources/deletionvectors.py, fail-closed on
-    any structural mismatch) into a broadcast (file basename, row
-    index) lookup, and the scan's engine row index
-    (``_metadata.row_index`` — exposed by Spark's parquet source
-    precisely for DV semantics) removes exactly those rows. At 100 TB
-    with multi-million-row DVs, land the decoded indexes in a table
-    and let the join shuffle instead of broadcasting."""
+    """Anti-join the scan against its files' decoded DELETION VECTORS:
+    the scan's engine row index (``_metadata.row_index`` — exposed by
+    Spark's parquet source precisely for DV semantics) removes exactly
+    the indexes each file's descriptor names.
+
+    Scale shape (VERDICT r9 item 1): below ``DV_BROADCAST_MAX_ROWS``
+    total deleted rows the descriptors decode DRIVER-side (the same
+    contract as Delta's own driver) into one broadcast Arrow-built
+    lookup; ABOVE it, decode moves to the EXECUTORS — the (tiny)
+    descriptor list is parallelized one task per DV and ``mapInPandas``
+    expands each into its (file, row_index) rows, so the decoded index
+    set never lands on the driver and the anti-join shuffles on
+    (file, row_index) like any other join. Driver memory is bounded by
+    descriptor metadata, not DV cardinality.
+
+    Fail-closed basename resolution (ADVICE r9): the scan's basenames
+    first resolve through a broadcast lookup of ALL live files (same
+    encoding variants as registration) and an unmatched name RAISES —
+    the previous bare left_anti silently RETURNED deleted rows when
+    ``input_file_name()`` produced an unanticipated URI encoding. The
+    DV join itself then keys on the canonical (raw) basename only."""
     from urllib.parse import quote
 
     from pyspark.sql.types import LongType, StringType, StructField
@@ -442,47 +699,126 @@ def _strip_deleted_rows(spark, path, snap, scan) -> DataFrame:
                 f"basenames ({bn!r}) — the row-index anti-join would be "
                 "ambiguous; refusing"
             )
-    import pandas as _pd
-
-    files: list = []
-    indexes: list = []
-    for rel, dv in snap.deletion_vectors.items():
-        idxs = decode_deletion_vector(path, dv)
-        bn = os.path.basename(rel)
-        # the set collapses to one key for plain file names; encoded
-        # variants only multiply the lookup when the name needs them
-        for key in {bn, quote(bn), quote(bn, safe="")}:
-            files.extend([key] * len(idxs))
-            indexes.extend(idxs)
-    # Arrow-backed build: a million-row lookup from python tuples costs
-    # seconds through createDataFrame's row path; pandas+Arrow doesn't
-    lk = spark.createDataFrame(
-        _pd.DataFrame({"_dl_dv_file": files, "_dl_dv_ri": indexes}),
-        schema=_ST(
-            [
-                StructField("_dl_dv_file", StringType(), False),
-                StructField("_dl_dv_ri", LongType(), False),
-            ]
-        ),
-    )
-    if {"_dl_dv_file", "_dl_dv_ri"} & set(scan.columns):
+    reserved = {"_dl_dv_file", "_dl_dv_ri", "_dl_dv_raw"}
+    if reserved & set(scan.columns):
         raise ValueError(
             "deletion-vector filtering: table columns collide with the "
             "internal _dl_dv_* names"
         )
+    # encoding-variant → canonical raw basename, for EVERY live file
+    known_rows = sorted(
+        {
+            (key, bn)
+            for bn in bns
+            for key in {bn, quote(bn), quote(bn, safe="")}
+        }
+    )
+    known = spark.createDataFrame(
+        known_rows,
+        _ST(
+            [
+                StructField("_dl_dv_file", StringType(), False),
+                StructField("_dl_dv_raw", StringType(), False),
+            ]
+        ),
+    )
+    total_card = sum(
+        int(dv.get("cardinality", 0))
+        for dv in snap.deletion_vectors.values()
+    )
+    dv_schema = _ST(
+        [
+            StructField("_dl_dv_file", StringType(), False),
+            StructField("_dl_dv_ri", LongType(), False),
+        ]
+    )
+    if total_card <= DV_BROADCAST_MAX_ROWS:
+        import pandas as _pd
+
+        files: list = []
+        indexes: list = []
+        for rel, dv in snap.deletion_vectors.items():
+            idxs = decode_deletion_vector(path, dv)
+            files.extend([os.path.basename(rel)] * len(idxs))
+            indexes.extend(idxs)
+        # Arrow-backed build: a million-row lookup from python tuples
+        # costs seconds through createDataFrame's row path; pandas+Arrow
+        # doesn't
+        lk = F.broadcast(
+            spark.createDataFrame(
+                _pd.DataFrame({"_dl_dv_file": files, "_dl_dv_ri": indexes}),
+                schema=dv_schema,
+            )
+        )
+    else:
+        descs = [
+            (os.path.basename(rel), json.dumps(dv))
+            for rel, dv in sorted(snap.deletion_vectors.items())
+        ]
+        desc_df = spark.createDataFrame(
+            descs,
+            _ST(
+                [
+                    StructField("_dl_dv_file", StringType(), False),
+                    StructField("_dl_dv_json", StringType(), False),
+                ]
+            ),
+        ).repartition(len(descs))
+
+        def _decode_iter(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                for bn, dvj in zip(
+                    pdf["_dl_dv_file"], pdf["_dl_dv_json"]
+                ):
+                    idxs = decode_deletion_vector(path, json.loads(dvj))
+                    arr = _np.asarray(idxs, dtype=_np.int64)
+                    # chunk the yield so one multi-million-row DV
+                    # doesn't serialize as a single Arrow batch
+                    for lo in range(0, len(arr), 1_000_000):
+                        part = arr[lo : lo + 1_000_000]
+                        yield _pd.DataFrame(
+                            {
+                                "_dl_dv_file": _np.repeat(bn, len(part)),
+                                "_dl_dv_ri": part,
+                            }
+                        )
+
+        lk = desc_df.mapInPandas(_decode_iter, schema=dv_schema)
+    guard = F.when(
+        F.col("_dl_dv_raw").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("Delta deletion-vector read: data-file basename "),
+                F.col("_dl_dv_file"),
+                F.lit(
+                    " is missing from the snapshot lookup (unanticipated"
+                    " URI encoding?) — refusing to return deleted rows"
+                ),
+            )
+        ),
+    ).otherwise(F.col("_dl_dv_raw"))
     return (
         scan.withColumn(
             "_dl_dv_file",
             F.element_at(F.split(F.input_file_name(), "/"), -1),
         )
+        # _metadata is a hidden file-source column — project the row
+        # index BEFORE any join makes it unresolvable
         .withColumn("_dl_dv_ri", F.col("_metadata.row_index"))
-        .join(F.broadcast(lk), ["_dl_dv_file", "_dl_dv_ri"], "left_anti")
+        .join(F.broadcast(known), "_dl_dv_file", "left")
+        .withColumn("_dl_dv_file", guard)
+        .drop("_dl_dv_raw")
+        .join(lk, ["_dl_dv_file", "_dl_dv_ri"], "left_anti")
         .drop("_dl_dv_file", "_dl_dv_ri")
     )
 
 
 def _read_grouped(
-    spark, path, snap, data_schema, data_fields, part_types, out_cols
+    spark, path, snap, data_schema, data_fields, phys_names, part_types,
+    out_cols,
 ) -> DataFrame:
     """Fallback: one parquet scan per distinct partition tuple, values
     as literals from the LOG (authoritative — directory names lose
@@ -493,17 +829,25 @@ def _read_grouped(
         raise NotImplementedError(
             "deletion vectors + colliding data-file basenames: refusing"
         )
-    phys = lambda c: snap.column_mapping.get(c, c)  # noqa: E731
+    pv_phys = lambda c: snap.column_mapping.get(c, c)  # noqa: E731
+    mapped = snap.column_mapping_mode in ("name", "id")
     part_cols = snap.partition_columns
     groups: dict[tuple, list[str]] = {}
     for rel, pv in snap.files.items():
-        key = tuple(pv.get(phys(c)) for c in part_cols)
+        key = tuple(pv.get(pv_phys(c)) for c in part_cols)
         groups.setdefault(key, []).append(os.path.join(path, rel))
     branches = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
         df = df.select(
-            *[df[phys(f.name)].alias(f.name) for f in data_fields]
+            *[
+                (
+                    df[phys_names[f.name]].cast(f.dataType)
+                    if mapped
+                    else df[f.name]
+                ).alias(f.name)
+                for f in data_fields
+            ]
         )
         for c, raw in zip(part_cols, key):
             # protocol: partitionValues serializes values as strings,
@@ -681,46 +1025,183 @@ def write_delta_commit(
     return version
 
 
+def _checkpoint_schema():
+    """The classic-checkpoint parquet schema the protocol specifies:
+    one nullable struct column per action type, ``partitionValues`` /
+    ``configuration`` / ``options`` / ``tags`` as map<string,string>
+    (ADVICE r9 medium: spark.read.json inference wrote partitionValues
+    as a STRUCT and dropped empty maps — a real delta-spark reader
+    fails on such a checkpoint)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+    )
+    from pyspark.sql.types import StructType as _ST
+
+    str_map = MapType(StringType(), StringType(), True)
+    dv_struct = _ST(
+        [
+            StructField("storageType", StringType(), True),
+            StructField("pathOrInlineDv", StringType(), True),
+            StructField("offset", IntegerType(), True),
+            StructField("sizeInBytes", IntegerType(), True),
+            StructField("cardinality", LongType(), True),
+        ]
+    )
+    return _ST(
+        [
+            StructField(
+                "protocol",
+                _ST(
+                    [
+                        StructField("minReaderVersion", IntegerType(), True),
+                        StructField("minWriterVersion", IntegerType(), True),
+                        StructField(
+                            "readerFeatures", ArrayType(StringType()), True
+                        ),
+                        StructField(
+                            "writerFeatures", ArrayType(StringType()), True
+                        ),
+                    ]
+                ),
+                True,
+            ),
+            StructField(
+                "metaData",
+                _ST(
+                    [
+                        StructField("id", StringType(), True),
+                        StructField("name", StringType(), True),
+                        StructField("description", StringType(), True),
+                        StructField(
+                            "format",
+                            _ST(
+                                [
+                                    StructField(
+                                        "provider", StringType(), True
+                                    ),
+                                    StructField("options", str_map, True),
+                                ]
+                            ),
+                            True,
+                        ),
+                        StructField("schemaString", StringType(), True),
+                        StructField(
+                            "partitionColumns",
+                            ArrayType(StringType()),
+                            True,
+                        ),
+                        StructField("configuration", str_map, True),
+                        StructField("createdTime", LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+            StructField(
+                "add",
+                _ST(
+                    [
+                        StructField("path", StringType(), True),
+                        StructField("partitionValues", str_map, True),
+                        StructField("size", LongType(), True),
+                        StructField("modificationTime", LongType(), True),
+                        StructField("dataChange", BooleanType(), True),
+                        StructField("stats", StringType(), True),
+                        StructField("tags", str_map, True),
+                        StructField("deletionVector", dv_struct, True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+
 def checkpoint_delta_table(spark: SparkSession, path: str) -> int:
-    """Write a single-file CHECKPOINT of the latest snapshot (r9): one
+    """Write a single-file CHECKPOINT of the latest snapshot: one
     parquet row per action — the verbatim protocol and metaData bodies
-    plus one add per live file (partitionValues and deletionVector
-    descriptors preserved) — named ``<v>.checkpoint.parquet``, plus the
-    ``_last_checkpoint`` hint. After this, JSON commits at or below the
-    checkpoint are replay-redundant and :func:`expire_delta_log` may
-    retention-clean them; the reader replays checkpoint + later
-    commits (the scheme its tests already exercised against
-    hand-crafted fixtures — this makes the offline bridge emit them
-    itself, bounding log replay for long-lived tables the same way the
-    streaming LSM compaction bounds segment counts). Returns the
-    checkpointed version."""
+    plus one add per live file, carried VERBATIM from the log (real
+    size / modificationTime / dataChange, partitionValues and
+    deletionVector descriptors preserved) under the protocol's
+    EXPLICIT checkpoint schema (map-typed partitionValues etc. — see
+    :func:`_checkpoint_schema`), named ``<v>.checkpoint.parquet``,
+    plus the ``_last_checkpoint`` hint. After this, JSON commits at or
+    below the checkpoint are replay-redundant and
+    :func:`expire_delta_log` may retention-clean them; the reader
+    replays checkpoint + later commits. Returns the checkpointed
+    version."""
     import uuid as _uuid
 
     snap = delta_snapshot(spark, path)
     log = os.path.join(path, LOG_DIR)
-    actions = [
-        {"protocol": snap.protocol_raw
-         or {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": snap.metadata_raw},
+    proto = snap.protocol_raw or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    md = snap.metadata_raw
+    fmt = md.get("format") or {}
+    rows: list[tuple] = [
+        (
+            (
+                proto.get("minReaderVersion"),
+                proto.get("minWriterVersion"),
+                proto.get("readerFeatures"),
+                proto.get("writerFeatures"),
+            ),
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                md.get("id"),
+                md.get("name"),
+                md.get("description"),
+                (fmt.get("provider", "parquet"), fmt.get("options") or {}),
+                md.get("schemaString"),
+                md.get("partitionColumns") or [],
+                md.get("configuration") or {},
+                md.get("createdTime"),
+            ),
+            None,
+        ),
     ]
     for rel in sorted(snap.files):
-        add = {
-            "path": rel,
-            "partitionValues": snap.files[rel],
-            "size": 1,
-            "modificationTime": 0,
-            "dataChange": True,
-        }
-        if rel in snap.deletion_vectors:
-            add["deletionVector"] = snap.deletion_vectors[rel]
-        actions.append({"add": add})
-    # JSON-line round-trip so Spark infers one nullable-struct column
-    # per action type — the layout the reader's asDict replay consumes
-    jdf = spark.read.json(
-        spark.sparkContext.parallelize(
-            [json.dumps(a) for a in actions], 1
+        add = snap.adds_raw.get(rel) or {}
+        dv = snap.deletion_vectors.get(rel)
+        dv_row = (
+            (
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                dv.get("offset"),
+                dv.get("sizeInBytes"),
+                dv.get("cardinality"),
+            )
+            if dv
+            else None
         )
-    )
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    add.get("path", rel),
+                    snap.files[rel],
+                    add.get("size"),
+                    add.get("modificationTime"),
+                    add.get("dataChange", True),
+                    add.get("stats"),
+                    add.get("tags"),
+                    dv_row,
+                ),
+            )
+        )
+    jdf = spark.createDataFrame(rows, _checkpoint_schema())
     stage = os.path.join(path, f"_stage_{_uuid.uuid4().hex}")
     jdf.coalesce(1).write.mode("overwrite").parquet(stage)
     part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
@@ -731,7 +1212,7 @@ def checkpoint_delta_table(spark: SparkSession, path: str) -> int:
     shutil.rmtree(stage)
     tmp = os.path.join(log, "_last_checkpoint.tmp")
     with open(tmp, "w") as fh:
-        fh.write(json.dumps({"version": snap.version, "size": len(actions)}))
+        fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
     os.replace(tmp, os.path.join(log, "_last_checkpoint"))
     return snap.version
 
@@ -813,6 +1294,12 @@ def _cow_rewrite(
         r["_dl_file"]
         for r in scan.filter(cond).select("_dl_file").distinct().collect()
     ]
+    unknown_bn = sorted(set(touched) - set(by_bn))
+    if unknown_bn:
+        raise ValueError(
+            f"{op_name}: scanned basenames {unknown_bn} are missing from "
+            "the snapshot lookup (unanticipated URI encoding?) — refusing"
+        )
     touched_rels = sorted({by_bn[bn] for bn in touched})
     if not touched_rels:
         return snap.version  # no matching rows; no commit

@@ -673,18 +673,87 @@ def test_reader_v3_column_mapping_feature_ok_others_refused(
         read_delta_table(spark, root2)
 
 
-def test_id_mode_mapping_and_add_deletion_vector_refused(spark, tmp_path):
+def test_id_mode_mapping_physicalname_fallback(spark, tmp_path):
+    """ID-mode table whose files carry NO parquet field ids (the
+    delta-spark-written case — files use the physicalName): resolution
+    falls back to the schema's physicalName metadata (r10, VERDICT r9
+    item 5 — was a blanket refusal)."""
     from fintech_lakehouse_spark.sources.deltalog import read_delta_table
 
     root = str(tmp_path / "cm4")
     _write_cm_file(spark, root, "f1.parquet", [(1, "a")])
     _commit(root, 0, [_protocol(reader=2), _cm_meta(mode="id"),
                       _add("f1.parquet")])
-    with pytest.raises(NotImplementedError, match="id"):
+    df = read_delta_table(spark, root)
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "a")]
+
+
+def _write_fieldid_file(root: str, rel: str, names, ids, cols) -> None:
+    """Physical parquet file written with EXPLICIT parquet field ids
+    (the converted-Iceberg shape id-mode exists for): arrow fields
+    carry the ``PARQUET:field_id`` metadata pyarrow maps to the
+    parquet footer's field_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(n, pa.array(c).type).with_metadata(
+            {b"PARQUET:field_id": str(i).encode()}
+        )
+        for n, i, c in zip(names, ids, cols)
+    ]
+    table = pa.Table.from_arrays(
+        [pa.array(c) for c in cols], schema=pa.schema(fields)
+    )
+    dst = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    pq.write_table(table, dst)
+
+
+def test_id_mode_mapping_resolves_by_parquet_field_id(spark, tmp_path):
+    """ID-mode against files whose physical column NAMES differ from
+    the schema's physicalName metadata (a foreign writer): columns
+    resolve by parquet footer field id, not by name."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cm5")
+    # logical ids: id→1, v→2 (CM_SCHEMA_JSON); physical names are
+    # arbitrary foreign ones
+    _write_fieldid_file(
+        root, "f1.parquet", ["iceberg_c1", "iceberg_c2"], [1, 2],
+        [[1, 2], ["a", "b"]],
+    )
+    _commit(root, 0, [_protocol(reader=2), _cm_meta(mode="id"),
+                      _add("f1.parquet")])
+    df = read_delta_table(spark, root)
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_id_mode_conflicting_footer_names_refused(spark, tmp_path):
+    """Two files naming the same field id DIFFERENTLY would need a
+    grouped per-signature scan — fail closed."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cm6")
+    _write_fieldid_file(root, "f1.parquet", ["n1", "n2"], [1, 2],
+                        [[1], ["a"]])
+    _write_fieldid_file(root, "f2.parquet", ["other", "n2"], [1, 2],
+                        [[2], ["b"]])
+    _commit(root, 0, [_protocol(reader=2), _cm_meta(mode="id"),
+                      _add("f1.parquet"), _add("f2.parquet")])
+    with pytest.raises(NotImplementedError, match="field id 1"):
         read_delta_table(spark, root)
 
+
+def test_unknown_dv_storage_type_refused(spark, tmp_path):
     # a deletionVector with an UNKNOWN storage type still fails closed
     # (decode support is r9 — see the dedicated DV tests below)
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
     root2 = str(tmp_path / "cm4b")
     _write_data_file(spark, root2, "f1.parquet", [(1, "a")])
     a = _add("f1.parquet")
@@ -695,6 +764,131 @@ def test_id_mode_mapping_and_add_deletion_vector_refused(spark, tmp_path):
     _commit(root2, 0, [_protocol(), _meta(), a])
     with pytest.raises(NotImplementedError, match="storageType"):
         read_delta_table(spark, root2).collect()
+
+
+NESTED_CM_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-11111111",
+                },
+            },
+            {
+                "name": "payload",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "amount",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName":
+                                    "col-33333333",
+                            },
+                        },
+                        {
+                            "name": "tags",
+                            "type": {
+                                "type": "array",
+                                "elementType": {
+                                    "type": "struct",
+                                    "fields": [
+                                        {
+                                            "name": "k",
+                                            "type": "string",
+                                            "nullable": True,
+                                            "metadata": {
+                                                "delta.columnMapping.id": 5,
+                                                "delta.columnMapping."
+                                                "physicalName":
+                                                    "col-55555555",
+                                            },
+                                        }
+                                    ],
+                                },
+                                "containsNull": True,
+                            },
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 4,
+                                "delta.columnMapping.physicalName":
+                                    "col-44444444",
+                            },
+                        },
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-22222222",
+                },
+            },
+        ],
+    }
+)
+
+
+def test_column_mapping_name_mode_nested_fields(spark, tmp_path):
+    """ADVICE r9 (high): NAME-mode mapping renames nested struct /
+    array-of-struct fields too — resolving only top-level names read
+    nested values back as NULL."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cmn")
+    tmp = os.path.join(root, "_t")
+    spark.createDataFrame(
+        [(1, (42, [("x",)]))],
+        "`col-11111111` long, `col-22222222` struct<`col-33333333`:long, "
+        "`col-44444444`:array<struct<`col-55555555`:string>>>",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(root, exist_ok=True)
+    os.replace(os.path.join(tmp, part), os.path.join(root, "f1.parquet"))
+    import shutil
+
+    shutil.rmtree(tmp)
+    m = _meta()
+    m["metaData"]["schemaString"] = NESTED_CM_SCHEMA_JSON
+    m["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "5",
+    }
+    _commit(root, 0, [_protocol(reader=2), m, _add("f1.parquet")])
+    df = read_delta_table(spark, root)
+    row = df.collect()[0]
+    assert row["id"] == 1
+    # the ADVICE repro: nested value 42 must come back as 42, not None
+    assert row["payload"]["amount"] == 42
+    assert row["payload"]["tags"][0]["k"] == "x"
+
+
+def test_column_mapping_nested_missing_physicalname_refused(
+    spark, tmp_path
+):
+    """A name-mapped schema whose NESTED field lacks physicalName is
+    corrupt metadata — fail closed at snapshot time."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "cmbad")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    bad = json.loads(NESTED_CM_SCHEMA_JSON)
+    del bad["fields"][1]["type"]["fields"][0]["metadata"][
+        "delta.columnMapping.physicalName"
+    ]
+    m = _meta()
+    m["metaData"]["schemaString"] = json.dumps(bad)
+    m["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _commit(root, 0, [_protocol(reader=2), m, _add("f1.parquet")])
+    with pytest.raises(ValueError, match="amount.*physicalName"):
+        read_delta_table(spark, root)
 
 
 def test_gapped_log_refused(spark, tmp_path):
@@ -1075,6 +1269,80 @@ def test_update_delta_table_copy_on_write(spark, tmp_path):
         update_delta_table(spark, root, "id = 1", {"nope": "1"})
 
 
+def test_checkpoint_schema_is_protocol_exact(spark, tmp_path):
+    """ADVICE r9 (medium): the checkpoint parquet must use the
+    protocol's EXPLICIT schema — map<string,string> partitionValues
+    (not an inferred struct), real size/modificationTime carried
+    verbatim from the add actions, empty maps preserved — so a real
+    delta-spark reader can consume it after expire_delta_log."""
+    import os as _os
+
+    from pyspark.sql.types import MapType, StringType
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        checkpoint_delta_table,
+        delta_snapshot,
+        expire_delta_log,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "cksch")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, "a", 7), (2, "b", 8)],
+                              "id long, v string, d int"),
+        root,
+        partition_by=["d"],
+    )
+    # unpartitioned second table exercises the EMPTY partitionValues map
+    root2 = str(tmp_path / "cksch2")
+    _os.makedirs(root2)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), root2
+    )
+    real_adds = {
+        rel: dict(a) for rel, a in delta_snapshot(spark, root).adds_raw.items()
+    }
+    v = checkpoint_delta_table(spark, root)
+    checkpoint_delta_table(spark, root2)
+    ck = spark.read.parquet(
+        _os.path.join(root, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    add_t = {f.name: f.dataType for f in ck.schema["add"].dataType.fields}
+    assert isinstance(add_t["partitionValues"], MapType)
+    assert isinstance(add_t["partitionValues"].keyType, StringType)
+    md_t = {f.name: f.dataType for f in ck.schema["metaData"].dataType.fields}
+    assert isinstance(md_t["configuration"], MapType)
+    adds = [
+        r["add"].asDict(recursive=True)
+        for r in ck.collect()
+        if r["add"] is not None
+    ]
+    assert len(adds) == 2
+    for a in adds:
+        ra = real_adds[a["path"]]
+        # real size/mtime, NOT the previous fabricated size=1/mtime=0
+        assert a["size"] == ra["size"] and a["size"] > 1
+        assert a["modificationTime"] == ra["modificationTime"] > 0
+        assert a["partitionValues"] in ({"d": "7"}, {"d": "8"})
+    ck2 = spark.read.parquet(
+        _os.path.join(
+            root2, "_delta_log", "00000000000000000000.checkpoint.parquet"
+        )
+    )
+    a2 = [r["add"] for r in ck2.collect() if r["add"] is not None][0]
+    assert a2["partitionValues"] == {}  # empty map preserved, not dropped
+    # and the bridge itself still replays through it
+    expire_delta_log(spark, root)
+    got = sorted(
+        (r["id"], r["v"], r["d"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "a", 7), (2, "b", 8)]
+
+
 def test_checkpoint_writer_and_log_expiry(spark, tmp_path):
     """checkpoint_delta_table (r9): the bridge emits its OWN
     checkpoint — after expire_delta_log removes every covered JSON
@@ -1238,3 +1506,54 @@ def test_deletion_vector_thousands_of_rows(spark, tmp_path):
     assert df.count() == 12_000 - 5_000
     got_ids = {r["id"] for r in df.select("id").collect()}
     assert got_ids == set(range(12_000)) - set(deleted)
+
+
+def test_deletion_vector_distributed_decode_path(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 1 — above DV_BROADCAST_MAX_ROWS the descriptors
+    decode on the EXECUTORS (mapInPandas) and the anti-join shuffles;
+    result must be identical to the driver-broadcast path, across two
+    files with distinct DVs."""
+    from fintech_lakehouse_spark.sources import deltalog
+    from fintech_lakehouse_spark.sources.deletionvectors import z85_encode
+
+    root = str(tmp_path / "dvdist")
+    _write_data_file(spark, root, "f1.parquet",
+                     [(i, f"a{i}") for i in range(3000)])
+    _write_data_file(spark, root, "f2.parquet",
+                     [(i, f"b{i}") for i in range(3000, 6000)])
+    del1 = sorted(range(0, 3000, 3))
+    del2 = sorted(range(1, 3000, 7))  # indexes within f2
+    adds = []
+    for rel, dels in (("f1.parquet", del1), ("f2.parquet", del2)):
+        bitmap = _roaring_portable(dels)
+        a = _add(rel)
+        a["add"]["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(bitmap),
+            "offset": None,
+            "sizeInBytes": len(bitmap),
+            "cardinality": len(dels),
+        }
+        adds.append(a)
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }
+    }
+    _commit(root, 0, [proto, _meta(), *adds])
+    expect_broadcast = sorted(
+        r["id"]
+        for r in deltalog.read_delta_table(spark, root).select("id").collect()
+    )
+    monkeypatch.setattr(deltalog, "DV_BROADCAST_MAX_ROWS", 0)
+    got_distributed = sorted(
+        r["id"]
+        for r in deltalog.read_delta_table(spark, root).select("id").collect()
+    )
+    want = sorted(
+        (set(range(3000)) - set(del1))
+        | (set(range(3000, 6000)) - {3000 + i for i in del2})
+    )
+    assert expect_broadcast == got_distributed == want
