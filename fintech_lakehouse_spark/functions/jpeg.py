@@ -640,6 +640,17 @@ def _decode_scan(payload, pos, h, w, tables, restart_interval):
     mandate an upsampling filter; libjpeg's default 'fancy' triangular
     filter differs by ≤ a few codes on edges)."""
     ncomp = len(tables)
+    if ncomp == 1:
+        # ADVICE r9: a one-component scan is NON-INTERLEAVED per the
+        # spec — MCU = ONE data unit in plain block raster order, and
+        # the frame's sampling factors do NOT shape the MCU (a
+        # grayscale JPEG declaring 2×2 factors would otherwise desync:
+        # 2×2-block MCUs over a ceil(w/16) grid is a different block
+        # count AND order than the spec's ceil(w/8) raster). Since the
+        # single component is its own hmax/vmax, its plane is full
+        # resolution either way.
+        dc_tab, ac_tab, q, _, _ = tables[0]
+        tables = [(dc_tab, ac_tab, q, 1, 1)]
     hmax = max(t[3] for t in tables)
     vmax = max(t[4] for t in tables)
     mx = (w + 8 * hmax - 1) // (8 * hmax)

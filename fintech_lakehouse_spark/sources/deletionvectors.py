@@ -166,6 +166,102 @@ def decode_roaring_bitmap_array(data: bytes) -> list[int]:
     return sorted(out)
 
 
+def encode_roaring_bitmap_array(values) -> bytes:
+    """Encode sorted 64-bit row indexes as a 'RoaringBitmapArray
+    portable' buffer — the WRITE half (r10, VERDICT r9 item 2): array
+    containers to cardinality 4096, bitmap containers above, the
+    no-run cookie with container offsets (spec-legal; run detection is
+    an optimization the reader doesn't require). Round-trips through
+    :func:`decode_roaring_bitmap_array` bit-exactly for the shapes we
+    emit."""
+    from collections import defaultdict
+
+    by_key: dict = defaultdict(lambda: defaultdict(list))
+    last = None
+    for v in sorted(values):
+        if v == last:
+            continue
+        if v < 0:
+            raise ValueError(f"row index {v} is negative")
+        last = v
+        by_key[v >> 32][(v & 0xFFFFFFFF) >> 16].append(v & 0xFFFF)
+    out = struct.pack("<i", MAGIC) + struct.pack("<q", len(by_key))
+    for key in sorted(by_key):
+        containers = by_key[key]
+        out += struct.pack("<i", key)
+        out += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
+        out += struct.pack("<I", len(containers))
+        for hk in sorted(containers):
+            out += struct.pack("<HH", hk, len(containers[hk]) - 1)
+        pos = 0
+        for hk in sorted(containers):
+            n = len(containers[hk])
+            out += struct.pack("<I", pos)
+            pos += 2 * n if n <= 4096 else 8192
+        for hk in sorted(containers):
+            vals = containers[hk]
+            if len(vals) <= 4096:
+                out += struct.pack(f"<{len(vals)}H", *vals)
+            else:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                out += struct.pack("<1024Q", *words)
+    return bytes(out)
+
+
+def write_deletion_vector_file(
+    table_path: str, bitmaps: list[bytes]
+) -> tuple[str, list[int]]:
+    """Write ONE on-disk DV file carrying ``bitmaps`` (one per data
+    file, the multi-DV packing delta-spark uses) in the protocol
+    layout — format-version byte 1, then per DV ``[int32 BE size]
+    [bitmap][int32 BE CRC-32]``. Returns the descriptor
+    ``pathOrInlineDv`` payload (Z85 of the random file UUID, no
+    prefix) and the byte offset of each DV."""
+    u = uuid.uuid4()
+    blob = bytearray(b"\x01")
+    offsets: list[int] = []
+    for b in bitmaps:
+        offsets.append(len(blob))
+        blob += struct.pack(">i", len(b))
+        blob += b
+        blob += struct.pack(">I", zlib.crc32(b) & 0xFFFFFFFF)
+    name = f"deletion_vector_{u}.bin"
+    tmp = os.path.join(table_path, name + ".tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, os.path.join(table_path, name))
+    return z85_encode(u.bytes), offsets
+
+
+def make_dv_descriptor(
+    table_path: str, row_indexes, inline_max_bytes: int = 1024
+) -> dict:
+    """Build an add-action ``deletionVector`` descriptor for
+    ``row_indexes``: INLINE (storageType "i") when the encoded bitmap
+    is small, else an on-disk DV file (storageType "u"). The returned
+    descriptor decodes back through :func:`decode_deletion_vector`."""
+    rows = sorted(set(row_indexes))
+    bitmap = encode_roaring_bitmap_array(rows)
+    if len(bitmap) <= inline_max_bytes:
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(bitmap),
+            "offset": None,
+            "sizeInBytes": len(bitmap),
+            "cardinality": len(rows),
+        }
+    payload, offsets = write_deletion_vector_file(table_path, [bitmap])
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": payload,
+        "offset": offsets[0],
+        "sizeInBytes": len(bitmap),
+        "cardinality": len(rows),
+    }
+
+
 def _dv_file_path(table_path: str, dv: dict) -> str:
     """Resolve a 'u'/'p' descriptor to the DV file's local path."""
     st = dv["storageType"]

@@ -1346,15 +1346,195 @@ def _cow_rewrite(
     return version
 
 
+def _dv_mark_deleted(
+    spark: SparkSession, path: str, condition: str, op_name: str
+) -> tuple:
+    """Shared DV-write core (r10, VERDICT r9 item 2): find the live
+    (file, row_index) pairs matching ``condition`` — excluding rows an
+    EXISTING deletion vector already deleted — and build the per-file
+    descriptor set (old ∪ new indexes; the protocol replaces a file's
+    DV wholesale). Small bitmaps inline (storageType "i"); larger ones
+    pack into ONE on-disk DV file (storageType "u"), the multi-DV
+    packing delta-spark uses. Returns (snapshot, remove+add actions,
+    matching-row count).
+
+    Scale contract: the NEWLY deleted index set is materialized
+    driver-side to encode the bitmaps — bounded by rows deleted in
+    THIS statement, not table size (Delta's own DV writer has the same
+    per-file bitmap materialization). The matching scan itself is one
+    distributed file-grain pass, untouched files are never rewritten —
+    that is the point of DVs over copy-on-write."""
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_deletion_vector,
+        encode_roaring_bitmap_array,
+        write_deletion_vector_file,
+        z85_encode,
+    )
+
+    snap = delta_snapshot(spark, path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            f"{op_name} (deletion-vector mode) supports unpartitioned "
+            "tables only — the writer's limitation class"
+        )
+    if snap.column_mapping:
+        raise NotImplementedError(
+            f"{op_name} (deletion-vector mode) on column-mapped tables "
+            "needs a physical-name-aware scan — refusing"
+        )
+    if not snap.files:
+        return snap, [], 0
+    by_bn: dict[str, str] = {}
+    for rel in snap.files:
+        bn = os.path.basename(rel)
+        if by_bn.setdefault(bn, rel) != rel:
+            raise NotImplementedError(
+                f"{op_name}: colliding data-file basenames ({bn!r}) make "
+                "row-index attribution ambiguous; refusing"
+            )
+    cond = F.expr(condition)
+    scan = (
+        spark.read.schema(snap.schema)
+        .parquet(*[os.path.join(path, rel) for rel in snap.files])
+        .withColumn(
+            "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .withColumn("_dl_ri", F.col("_metadata.row_index"))
+    )
+    matches = scan.filter(cond).select("_dl_file", "_dl_ri").toPandas()
+    matched_by_rel: dict[str, set] = {}
+    for bn, ri in zip(matches["_dl_file"], matches["_dl_ri"]):
+        rel = by_bn.get(bn)
+        if rel is None:
+            raise ValueError(
+                f"{op_name}: scanned basename {bn!r} is missing from the "
+                "snapshot lookup (unanticipated URI encoding?) — refusing"
+            )
+        matched_by_rel.setdefault(rel, set()).add(int(ri))
+    old_by_rel = {
+        rel: set(decode_deletion_vector(path, snap.deletion_vectors[rel]))
+        if rel in snap.deletion_vectors
+        else set()
+        for rel in matched_by_rel
+    }
+    newly = {
+        rel: idxs - old_by_rel[rel]
+        for rel, idxs in matched_by_rel.items()
+        if idxs - old_by_rel[rel]
+    }
+    if not newly:
+        return snap, [], 0
+    # encode: one inline descriptor per small bitmap, one SHARED DV
+    # file for the rest
+    INLINE_MAX = 1024
+    descriptors: dict[str, dict] = {}
+    packed_rels: list[str] = []
+    packed_bitmaps: list[bytes] = []
+    for rel in sorted(newly):
+        rows = sorted(old_by_rel[rel] | newly[rel])
+        bitmap = encode_roaring_bitmap_array(rows)
+        if len(bitmap) <= INLINE_MAX:
+            descriptors[rel] = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(bitmap),
+                "offset": None,
+                "sizeInBytes": len(bitmap),
+                "cardinality": len(rows),
+            }
+        else:
+            packed_rels.append(rel)
+            packed_bitmaps.append(bitmap)
+    if packed_rels:
+        payload, offsets = write_deletion_vector_file(path, packed_bitmaps)
+        for rel, bitmap, off in zip(packed_rels, packed_bitmaps, offsets):
+            rows_n = len(old_by_rel[rel] | newly[rel])
+            descriptors[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": payload,
+                "offset": off,
+                "sizeInBytes": len(bitmap),
+                "cardinality": rows_n,
+            }
+    now_ms = int(os.path.getmtime(path) * 1000)
+    actions: list[dict] = []
+    # DVs are a reader-v3 table feature: upgrade the protocol in the
+    # same commit when the table doesn't carry it yet, preserving any
+    # existing feature lists — a real reader refuses DV adds otherwise
+    proto = dict(snap.protocol_raw or
+                 {"minReaderVersion": 1, "minWriterVersion": 2})
+    rf = set(proto.get("readerFeatures") or [])
+    if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in rf:
+        wf = set(proto.get("writerFeatures") or [])
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf | {"deletionVectors"}),
+                    "writerFeatures": sorted(wf | {"deletionVectors"}),
+                }
+            }
+        )
+    for rel in sorted(newly):
+        # the protocol's DV update: remove the file's previous entry
+        # (carrying its old DV, so VACUUM can reclaim the old DV file),
+        # then re-add the same path with the new descriptor. Sequential
+        # replay applies remove→add, real readers reconcile add-wins —
+        # both land on the file staying live with the NEW DV.
+        old_add = snap.adds_raw.get(rel) or {}
+        rm: dict = {
+            "path": rel,
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }
+        if rel in snap.deletion_vectors:
+            rm["deletionVector"] = snap.deletion_vectors[rel]
+        actions.append({"remove": rm})
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": old_add.get(
+                        "size", os.path.getsize(os.path.join(path, rel))
+                    ),
+                    "modificationTime": old_add.get("modificationTime", now_ms),
+                    "dataChange": True,
+                    "deletionVector": descriptors[rel],
+                }
+            }
+        )
+    n_new = sum(len(v) for v in newly.values())
+    return snap, actions, n_new
+
+
 def delete_from_delta_table(
-    spark: SparkSession, path: str, condition: str
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    use_deletion_vectors: bool = False,
 ) -> int:
     """DELETE FROM <table> WHERE <condition> against the REAL offline
-    log — copy-on-write: only files containing matching rows are
-    rewritten (without those rows); every other file is untouched and
-    prior versions stay time-travelable. Returns the committed
-    version (or the would-be next version untouched when nothing
-    matches — Delta also skips the commit for an empty DELETE)."""
+    log. Default copy-on-write: only files containing matching rows
+    are rewritten (without those rows); every other file is untouched
+    and prior versions stay time-travelable. With
+    ``use_deletion_vectors=True`` (r10 — the protocol's cheap
+    row-level delete) no data file is rewritten at all: matching row
+    indexes are encoded as deletion-vector descriptors (inline or
+    packed DV file) and committed as remove+re-add of the same paths;
+    survivor sets are identical to the copy-on-write result
+    (unit-pinned). Returns the committed version (or the current
+    version untouched when nothing matches — Delta also skips the
+    commit for an empty DELETE)."""
+    if use_deletion_vectors:
+        snap, actions, n_new = _dv_mark_deleted(
+            spark, path, condition, "delete_from_delta_table"
+        )
+        if not actions:
+            return snap.version
+        version = _next_version(path)
+        _write_commit(path, version, actions)
+        return version
     return _cow_rewrite(
         spark,
         path,
@@ -1365,14 +1545,21 @@ def delete_from_delta_table(
 
 
 def update_delta_table(
-    spark: SparkSession, path: str, condition: str, assignments: dict
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    assignments: dict,
+    use_deletion_vectors: bool = False,
 ) -> int:
-    """UPDATE <table> SET ... WHERE <condition> — the same
-    copy-on-write shape as DELETE: touched files are rewritten with
-    ``assignments`` (column → SQL expression, evaluated against the
-    pre-update row, all columns updated simultaneously like SQL UPDATE)
-    applied to matching rows; non-matching rows in touched files are
-    carried unchanged. Returns the committed version."""
+    """UPDATE <table> SET ... WHERE <condition>. Default copy-on-write:
+    touched files are rewritten with ``assignments`` (column → SQL
+    expression, evaluated against the pre-update row, all columns
+    updated simultaneously like SQL UPDATE) applied to matching rows;
+    non-matching rows in touched files are carried unchanged. With
+    ``use_deletion_vectors=True`` (r10) the matched rows are
+    DV-deleted in place (no rewrite of untouched rows) and their
+    UPDATED images land in new data files appended in the SAME commit
+    — delta-spark's DV-update shape. Returns the committed version."""
 
     def apply_set(df, cond):
         out_cols = []
@@ -1394,9 +1581,50 @@ def update_delta_table(
         raise ValueError(
             f"update_delta_table: SET names unknown columns {unknown}"
         )
-    return _cow_rewrite(
-        spark, path, condition, apply_set, "update_delta_table"
+    if not use_deletion_vectors:
+        return _cow_rewrite(
+            spark, path, condition, apply_set, "update_delta_table"
+        )
+    import shutil
+    import uuid
+
+    # updated row images FIRST (against the pre-commit snapshot; the
+    # DV-aware read already excludes previously deleted rows)
+    cond = F.expr(condition)
+    updated = apply_set(
+        read_delta_table(spark, path).filter(cond), F.lit(True)
     )
+    snap, actions, n_new = _dv_mark_deleted(
+        spark, path, condition, "update_delta_table"
+    )
+    if not actions:
+        return snap.version
+    version = _next_version(path)
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    updated.write.mode("overwrite").parquet(stage)
+    n = 0
+    for name in sorted(os.listdir(stage)):
+        full = os.path.join(stage, name)
+        if name.endswith(".parquet") and os.path.getsize(full) > 0:
+            rel = f"part-{version:05d}-{n:05d}.parquet"
+            os.replace(full, os.path.join(path, rel))
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": int(
+                            os.path.getmtime(os.path.join(path, rel)) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+            n += 1
+    shutil.rmtree(stage)
+    _write_commit(path, version, actions)
+    return version
 
 
 def optimize_delta_table(
@@ -1501,7 +1729,11 @@ def vacuum_delta_table(
     the trade is explicit: time travel to versions older than the
     retained window breaks, exactly like a real VACUUM past the
     retention period. The log itself is never deleted, so snapshot
-    METADATA history survives."""
+    METADATA history survives. On-disk DELETION-VECTOR files
+    (``deletion_vector_*.bin``) referenced by no retained snapshot are
+    reclaimed too (r10) — a DV superseded by a later DV-delete or
+    compacted away by OPTIMIZE is garbage exactly like a tombstoned
+    data file."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     log = os.path.join(path, LOG_DIR)
@@ -1510,9 +1742,26 @@ def vacuum_delta_table(
         return []
     retained = versions[-keep_versions:]
     live: set[str] = set()
+    live_dv_files: set[str] = set()
     for v in retained:
-        live |= set(delta_snapshot(spark, path, version=v).files)
+        rsnap = delta_snapshot(spark, path, version=v)
+        live |= set(rsnap.files)
+        for dv in rsnap.deletion_vectors.values():
+            if dv.get("storageType") in ("u", "p"):
+                from fintech_lakehouse_spark.sources.deletionvectors import (
+                    _dv_file_path,
+                )
+
+                live_dv_files.add(
+                    os.path.abspath(_dv_file_path(path, dv))
+                )
     deleted = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("deletion_vector_") and name.endswith(".bin"):
+            full = os.path.abspath(os.path.join(path, name))
+            if full not in live_dv_files:
+                os.remove(full)
+                deleted.append(name)
     ever_added: set[str] = set()
     for v in versions:
         with open(os.path.join(log, f"{v:020d}.json")) as fh:

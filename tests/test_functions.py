@@ -1271,6 +1271,35 @@ def test_jpeg_roundtrip_flat_quant_tolerance():
         assert int(np.max(np.abs(dec3.astype(int) - c.astype(int)))) <= 2
 
 
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """ADVICE r9 (low): per the spec a one-component scan is
+    NON-INTERLEAVED — MCU = one data unit, sampling factors do not
+    shape the MCU. A grayscale JPEG declaring 2×2 (or 2×1) factors
+    carries the exact same plain block raster as a 1×1 one, so the
+    decoder must return identical pixels (before the fix it read a
+    2×2-block MCU grid: wrong block count and order → desync)."""
+    import numpy as np
+
+    from fintech_lakehouse_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(24, 20), (13, 21), (16, 16)]:
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        payload = bytearray(encode_jpeg(g))
+        base = decode_jpeg_pixels(bytes(payload))
+        sof = bytes(payload).index(b"\xff\xc0")
+        hv_at = sof + 11  # marker(2)+len(2)+prec(1)+h(2)+w(2)+nf(1)+cid(1)
+        assert payload[hv_at] == 0x11
+        for hv in (0x22, 0x21, 0x12):
+            payload[hv_at] = hv
+            dec = decode_jpeg_pixels(bytes(payload))
+            assert dec is not None, hex(hv)
+            assert np.array_equal(dec, base), hex(hv)
+
+
 def test_jpeg_quality_table_bounds_error_by_quant_step():
     """Lossy mode: per-pixel reconstruction error of an IDCT of
     quantized coefficients is bounded by the quantization step budget
@@ -1371,9 +1400,12 @@ def test_jpeg_unsupported_subsets_quarantine():
     twelve_bit = bytearray(good)
     twelve_bit[sof_at + 4] = 12
     assert decode_jpeg_pixels(bytes(twelve_bit)) is None
-    subsampled = bytearray(good)
-    subsampled[sof_at + 11] = 0x22  # h=2, v=2 sampling
-    assert decode_jpeg_pixels(bytes(subsampled)) is None
+    # grayscale declaring 2x2 factors now DECODES (non-interleaved
+    # single-component scan, r10 — see the dedicated test); factors
+    # beyond 2 stay refused
+    oversampled = bytearray(good)
+    oversampled[sof_at + 11] = 0x33  # h=3, v=3 sampling
+    assert decode_jpeg_pixels(bytes(oversampled)) is None
     assert decode_jpeg_pixels(bytes(good[: len(good) // 2])) is None
     assert decode_jpeg_pixels(b"not a jpeg") is None
     assert decode_jpeg_pixels(b"") is None
