@@ -604,8 +604,13 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     With only 16 clusters, a single window PARTITION BY list_id would
     funnel the full corpus through 16 tasks; the salted first phase
     keeps every task bounded while remaining exact (the global top-3
-    is always inside the union of local top-3s). Cluster sizes come
-    from a map-side-combining groupBy broadcast back onto 16 rows."""
+    is always inside the union of local top-3s). Cluster sizes ride
+    the SAME salted window stage as a count() over the identical
+    partitioning (r10 — a separate groupBy consumer re-evaluated the
+    whole literal-codebook assignment, the query's dominant cost,
+    a second time: the two-consecutive-round +25% watch item's root
+    cause); every survivor carries its salt group's count, and the
+    16 true sizes re-aggregate from the <= 3*64*16 survivor rows."""
     from pyspark.sql import Window as _W
 
     from fintech_lakehouse_spark.functions.vectors import ivf_assign_fixed
@@ -627,17 +632,26 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(64))
     )
     local_w = _W.partitionBy("list_id", "_salt").orderBy("_pick", "vec_id")
-    survivors = (
-        salted.withColumn("_lrn", F.row_number().over(local_w))
-        .filter(F.col("_lrn") <= 3)
-        .drop("_lrn", "_salt")
+    count_w = _W.partitionBy("list_id", "_salt")
+    survivors = salted.withColumn(
+        "_lrn", F.row_number().over(local_w)
+    ).withColumn("_ln", F.count(F.lit(1)).over(count_w)).filter(
+        F.col("_lrn") <= 3
     )
-    sizes = assigned.groupBy("list_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
+    # exact: every non-empty (list_id, salt) group keeps its rank-1
+    # survivor carrying the group's full count, so summing _ln over
+    # the rank-1 rows of the list reconstructs the true cluster size
+    # from <= 3*64 rows — ONE lineage, no second scan, no join (the
+    # list_id window below is needed for the final rank anyway)
+    list_w = _W.partitionBy("list_id")
     final_w = _W.partitionBy("list_id").orderBy("_pick", "vec_id")
     return (
-        survivors.join(F.broadcast(sizes), "list_id")
+        survivors.withColumn(
+            "cluster_size",
+            F.sum(
+                F.when(F.col("_lrn") == 1, F.col("_ln")).otherwise(F.lit(0))
+            ).over(list_w),
+        )
         .withColumn("pick_rank", F.row_number().over(final_w))
         .filter(F.col("pick_rank") <= 3)
         .select("list_id", "cluster_size", "vec_id", "pick_rank")

@@ -95,9 +95,11 @@ def _plan(df) -> str:
         # BPE merge step (r6): corpus-wide pair top-20 must be a
         # distributed TakeOrderedAndProject, never a global sort.
         ("bpe_merge_candidates", ["TakeOrderedAndProject"]),
-        # cluster-balanced sampling (r6): 16-row cluster sizes
-        # broadcast back; assignment itself is zero-shuffle literals.
-        ("cluster_balanced_sample", ["BroadcastHashJoin"]),
+        # cluster-balanced sampling (r10 single-lineage rewrite):
+        # cluster sizes ride the salted window stage — NO join at all;
+        # assignment itself is zero-shuffle literals, so the whole
+        # query is one corpus scan + two windows.
+        ("cluster_balanced_sample", ["Window"]),
         # DSIR scoring (r6s4): both 1024-row count models broadcast
         # into the token stream — the corpus never sort-merges.
         ("dsir_importance_weights", ["BroadcastHashJoin"]),
