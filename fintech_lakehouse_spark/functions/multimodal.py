@@ -1176,6 +1176,218 @@ def read_mp3_side_info(payload: bytes) -> tuple[int, int, int, int, int] | None:
     return (frames, rate, gch, gain_sum, p23_sum)
 
 
+# MPEG1 Layer III Huffman code table 1 (ISO 11172-3 Table B.7): the
+# 2×2 big_values table — (|x|, |y|) → (code length, code bits). A
+# complete prefix code {1, 01, 001, 000}. Table 0 is the spec's
+# "no data" table (big_values coded with it must be zero-length).
+# The OTHER 30 tables (incl. linbits ESC tables) are deliberately not
+# transcribed: a wrong table decodes plausible-but-wrong spectra, so
+# unknown table_selects QUARANTINE — extending the subset = adding
+# verified (x, y, hlen, hcod) rows here, nothing else changes.
+_MP3_HUFF_T1 = {
+    (0, 0): (1, 0b1),
+    (0, 1): (3, 0b001),
+    (1, 0): (2, 0b01),
+    (1, 1): (3, 0b000),
+}
+_MP3_HUFF_T1_DECODE = {
+    (length, code): xy for xy, (length, code) in _MP3_HUFF_T1.items()
+}
+
+
+def synthesize_mp3_spectrum(
+    values: list[int], sample_rate_idx: int = 0
+) -> bytes:
+    """ONE mono MPEG1 Layer III frame whose granule 0 carries
+    ``values`` (spectral line magnitudes in {-1, 0, 1}, even count)
+    HUFFMAN-CODED in the big_values region with spec table 1 — the
+    generation half of the r10 entropy-level roundtrip (VERDICT r9
+    item 8; one real level below read_mp3_side_info's granule
+    grammar). Layout per the spec: main_data_begin=0 (no bit
+    reservoir), zero scalefactor bits (scalefac_compress=0), granule 0
+    with big_values = len(values)/2 pairs, table_select=1 for all
+    regions, part2_3_length = exact Huffman bit count (so the count1
+    region is empty); granule 1 silent. Sign bit (1 = negative)
+    follows each nonzero magnitude, per the spec."""
+    if len(values) % 2:
+        raise ValueError("values must pair up (big_values codes x,y pairs)")
+    if any(abs(v) > 1 for v in values):
+        raise ValueError("table-1 subset codes magnitudes 0/1 only")
+    rate = _MP3_SAMPLE_RATES[sample_rate_idx]
+    fsize = (144 * 128 * 1000) // rate
+    header = bytes(
+        [0xFF, 0xFB, (9 << 4) | (sample_rate_idx << 2), 0xC0]
+    )  # sync, MPEG1 L3 no-CRC, 128kbps, mode 3 = mono
+
+    data_bits: list[int] = []
+
+    def put_data(value: int, width: int) -> None:
+        for k in range(width - 1, -1, -1):
+            data_bits.append((value >> k) & 1)
+
+    for i in range(0, len(values), 2):
+        x, y = values[i], values[i + 1]
+        hlen, hcod = _MP3_HUFF_T1[(abs(x), abs(y))]
+        put_data(hcod, hlen)
+        if x != 0:
+            put_data(1 if x < 0 else 0, 1)
+        if y != 0:
+            put_data(1 if y < 0 else 0, 1)
+    part2_3 = len(data_bits)
+    big_values = len(values) // 2
+
+    side_bits: list[int] = []
+
+    def put_side(value: int, width: int) -> None:
+        for k in range(width - 1, -1, -1):
+            side_bits.append((value >> k) & 1)
+
+    put_side(0, 9)  # main_data_begin
+    put_side(0, 5)  # private_bits (mono)
+    put_side(0, 4)  # scfsi
+    for gr in range(2):
+        if gr == 0 and big_values:
+            put_side(part2_3, 12)
+            put_side(big_values, 9)
+            put_side(128, 8)         # global_gain (any; silent part2)
+            put_side(0, 4)           # scalefac_compress → 0 part2 bits
+            put_side(0, 1)           # window_switching: long blocks
+            for _ in range(3):
+                put_side(1, 5)       # table_select: spec table 1
+            put_side(0, 4)           # region0_count
+            put_side(0, 3)           # region1_count
+        else:
+            put_side(0, 12 + 9)
+            put_side(128, 8)
+            put_side(0, 4 + 1 + 15 + 4 + 3)
+        put_side(0, 3)               # preflag, scalefac_scale, count1table
+    assert len(side_bits) == 136  # 17-byte mono side info
+    bits = side_bits + data_bits
+    body = bytes(
+        sum(
+            (bits[i + j] if i + j < len(bits) else 0) << (7 - j)
+            for j in range(8)
+        )
+        for i in range(0, len(bits), 8)
+    )
+    if 4 + len(body) > fsize:
+        raise ValueError("spectrum too large for one 128kbps frame")
+    return header + body + b"\x00" * (fsize - 4 - len(body))
+
+
+def read_mp3_spectrum(payload: bytes) -> tuple[int, list[int]] | None:
+    """(sample_rate, granule-0 spectral values) by HUFFMAN-DECODING
+    the big_values region of the first frame — the r10 entropy-level
+    step (VERDICT r9 item 8). Implemented subset, everything else
+    QUARANTINES to None (a wrong guess decodes plausible-but-wrong
+    audio): mono MPEG1 no-CRC frames, main_data_begin=0 (no bit
+    reservoir), long blocks (window_switching=0), zero scalefactor
+    bits (scalefac_compress=0), table_select ∈ {0, 1} uniform across
+    regions, and an empty count1 region (consumed bits must equal
+    part2_3_length exactly). IMDCT/synthesis-filterbank PCM
+    reconstruction stays the named seam above this."""
+    if not payload:
+        return None
+    i, n = 0, len(payload)
+    while i + 4 <= n:
+        if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+            if (
+                (b1 >> 3) & 3 == 3
+                and (b1 >> 1) & 3 == 1
+                and b2 >> 4 not in (0, 15)
+                and (b2 >> 2) & 3 != 3
+            ):
+                break
+        i += 1
+    else:
+        return None
+    if i + 4 > n:
+        return None
+    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    if not (b1 & 1):
+        return None  # CRC frames unsupported
+    if (b3 >> 6) != 3:
+        return None  # mono subset only
+    rate = _MP3_SAMPLE_RATES[(b2 >> 2) & 3]
+    if i + 4 + 17 > n:
+        return None
+    side = payload[i + 4 : i + 4 + 17]
+    pos = 0
+
+    def take(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((side[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    if take(9) != 0:
+        return None  # bit reservoir unsupported
+    take(5)  # private
+    take(4)  # scfsi
+    granules = []
+    for _gr in range(2):
+        p23 = take(12)
+        bv = take(9)
+        take(8)  # global_gain
+        if take(4) != 0:
+            return None  # scalefactor bits present: unsupported
+        if take(1) != 0:
+            return None  # short blocks: unsupported
+        tsel = [take(5) for _ in range(3)]
+        take(4)  # region0_count
+        take(3)  # region1_count
+        take(3)  # preflag, scalefac_scale, count1table
+        if len(set(tsel)) != 1 or tsel[0] not in (0, 1):
+            return None  # only uniform table 0/1 implemented
+        if tsel[0] == 0 and bv:
+            return None  # table 0 carries no codes
+        granules.append((p23, bv))
+    # main data begins right after the side info (main_data_begin = 0)
+    data = payload[i + 4 + 17 :]
+    dpos = 0
+    dmax = len(data) * 8
+
+    def dbit() -> int:
+        nonlocal dpos
+        if dpos >= dmax:
+            raise ValueError("entropy data truncated")
+        v = (data[dpos >> 3] >> (7 - (dpos & 7))) & 1
+        dpos += 1
+        return v
+
+    out: list[int] = []
+    try:
+        for gi, (p23, bv) in enumerate(granules):
+            start = dpos
+            vals: list[int] = []
+            for _ in range(bv):
+                code, length = 0, 0
+                while True:
+                    code = (code << 1) | dbit()
+                    length += 1
+                    hit = _MP3_HUFF_T1_DECODE.get((length, code))
+                    if hit is not None:
+                        break
+                    if length > 3:
+                        return None  # not a table-1 code: corrupt
+                x, y = hit
+                if x and dbit():
+                    x = -x
+                if y and dbit():
+                    y = -y
+                vals.extend((x, y))
+            if dpos - start != p23:
+                return None  # count1/scalefac residue: unsupported
+            if gi == 0:
+                out = vals
+    except ValueError:
+        return None
+    return rate, out
+
+
 _MP4_SAMPLE_CONTAINERS = _MP4_CONTAINERS | {b"minf", b"stbl"}
 
 

@@ -686,3 +686,93 @@ def mp3_granule_sideinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "n_granule_channels long, global_gain_sum long, "
         "part2_3_bits_total long",
     )
+
+
+@register(
+    "mp3_bigvalues_roundtrip",
+    oracle="""
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    vals AS (
+      SELECT b.doc_id, ((b.doc_id + k.k) % 3) - 1 AS v
+      FROM base b, LATERAL (
+        SELECT UNNEST(range(0, 2*(4 + b.doc_id % 13)))) AS k(k)
+      WHERE b.doc_id % 17 <> 0
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(v) AS BIGINT) AS value_sum,
+             CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum
+      FROM vals GROUP BY doc_id
+    )
+    SELECT b.doc_id AS asset_id,
+           CASE WHEN b.doc_id % 17 = 0 THEN NULL
+                ELSE CAST(CASE b.doc_id % 3 WHEN 0 THEN 44100
+                          WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT)
+           END AS sample_rate,
+           a.n_values, a.value_sum, a.abs_sum
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mp3_bigvalues_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 ENTROPY-level decode roundtrip (r10, VERDICT r9 item 8 —
+    one real level below mp3_granule_sideinfo_roundtrip's side-info
+    grammar): per doc, a mono MPEG1 Layer III frame is synthesized
+    whose granule 0 carries a PROGRAMMED spectral prefix
+    (2·(4 + id%13) values, value k = ((id + k) % 3) − 1) HUFFMAN-CODED
+    in the big_values region with spec table 1 (ISO 11172-3 Table
+    B.7), then decoded back bit-for-bit via ``read_mp3_spectrum``:
+    value count, signed sum, and magnitude sum under the driver hash
+    (sign bits and code boundaries both wrong → hash flips). Every
+    17th asset feeds a STEREO stream instead, which the mono-subset
+    decoder must QUARANTINE to NULLs (fail-closed, in-pipeline).
+    IMDCT/synthesis-filterbank PCM and the remaining 30 Huffman tables
+    stay the named seam (functions/multimodal.py::_MP3_HUFF_T1
+    documents the extension point).
+
+    Scale shape: the roundtrip-family contract — two partition-
+    preserving Arrow stages over one scan, zero Exchange."""
+    import pandas as pd
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp3_spectrum,
+        synthesize_mp3,
+        synthesize_mp3_spectrum,
+    )
+
+    def batches(iterator):
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "sample_rate", "n_values", "value_sum",
+                "abs_sum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 17 == 0:
+                    payload = synthesize_mp3(2, did % 3, global_gain=90)
+                else:
+                    n_vals = 2 * (4 + did % 13)
+                    vals = [((did + k) % 3) - 1 for k in range(n_vals)]
+                    payload = synthesize_mp3_spectrum(vals, did % 3)
+                decoded = read_mp3_spectrum(payload)
+                rows["asset_id"].append(did)
+                if decoded is None:
+                    for k in ("sample_rate", "n_values", "value_sum",
+                              "abs_sum"):
+                        rows[k].append(None)
+                    continue
+                rate, got = decoded
+                rows["sample_rate"].append(rate)
+                rows["n_values"].append(len(got))
+                rows["value_sum"].append(sum(got))
+                rows["abs_sum"].append(sum(abs(v) for v in got))
+            yield pd.DataFrame(rows, dtype="object")
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        "asset_id long, sample_rate long, n_values long, "
+        "value_sum long, abs_sum long",
+    )
