@@ -1347,10 +1347,12 @@ def _cow_rewrite(
 
 
 def _dv_mark_deleted(
-    spark: SparkSession, path: str, condition: str, op_name: str
+    spark: SparkSession, path: str, matcher, op_name: str
 ) -> tuple:
     """Shared DV-write core (r10, VERDICT r9 item 2): find the live
-    (file, row_index) pairs matching ``condition`` — excluding rows an
+    (file, row_index) pairs selected by ``matcher`` (a callable
+    DataFrame → DataFrame: a predicate filter for DELETE/UPDATE, a
+    key semi-join for MERGE) — excluding rows an
     EXISTING deletion vector already deleted — and build the per-file
     descriptor set (old ∪ new indexes; the protocol replaces a file's
     DV wholesale). Small bitmaps inline (storageType "i"); larger ones
@@ -1392,7 +1394,6 @@ def _dv_mark_deleted(
                 f"{op_name}: colliding data-file basenames ({bn!r}) make "
                 "row-index attribution ambiguous; refusing"
             )
-    cond = F.expr(condition)
     scan = (
         spark.read.schema(snap.schema)
         .parquet(*[os.path.join(path, rel) for rel in snap.files])
@@ -1401,7 +1402,7 @@ def _dv_mark_deleted(
         )
         .withColumn("_dl_ri", F.col("_metadata.row_index"))
     )
-    matches = scan.filter(cond).select("_dl_file", "_dl_ri").toPandas()
+    matches = matcher(scan).select("_dl_file", "_dl_ri").toPandas()
     matched_by_rel: dict[str, set] = {}
     for bn, ri in zip(matches["_dl_file"], matches["_dl_ri"]):
         rel = by_bn.get(bn)
@@ -1528,7 +1529,10 @@ def delete_from_delta_table(
     commit for an empty DELETE)."""
     if use_deletion_vectors:
         snap, actions, n_new = _dv_mark_deleted(
-            spark, path, condition, "delete_from_delta_table"
+            spark,
+            path,
+            lambda scan: scan.filter(F.expr(condition)),
+            "delete_from_delta_table",
         )
         if not actions:
             return snap.version
@@ -1585,9 +1589,6 @@ def update_delta_table(
         return _cow_rewrite(
             spark, path, condition, apply_set, "update_delta_table"
         )
-    import shutil
-    import uuid
-
     # updated row images FIRST (against the pre-commit snapshot; the
     # DV-aware read already excludes previously deleted rows)
     cond = F.expr(condition)
@@ -1595,14 +1596,33 @@ def update_delta_table(
         read_delta_table(spark, path).filter(cond), F.lit(True)
     )
     snap, actions, n_new = _dv_mark_deleted(
-        spark, path, condition, "update_delta_table"
+        spark,
+        path,
+        lambda scan: scan.filter(F.expr(condition)),
+        "update_delta_table",
     )
     if not actions:
         return snap.version
     version = _next_version(path)
+    actions.extend(_stage_data_files(spark, path, updated, version))
+    _write_commit(path, version, actions)
+    return version
+
+
+def _stage_data_files(
+    spark: SparkSession, path: str, df, version: int, start_n: int = 0
+) -> list:
+    """Write ``df`` to a staging dir via a normal distributed parquet
+    write, move the non-empty part files to ``part-<version>-<n>``
+    (numbering from ``start_n`` so one commit can stage several
+    frames) at the table root, and return their add actions."""
+    import shutil
+    import uuid
+
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
-    updated.write.mode("overwrite").parquet(stage)
-    n = 0
+    df.write.mode("overwrite").parquet(stage)
+    actions: list = []
+    n = start_n
     for name in sorted(os.listdir(stage)):
         full = os.path.join(stage, name)
         if name.endswith(".parquet") and os.path.getsize(full) > 0:
@@ -1623,6 +1643,182 @@ def update_delta_table(
             )
             n += 1
     shutil.rmtree(stage)
+    return actions
+
+
+def merge_into_delta_table(
+    spark: SparkSession,
+    path: str,
+    source_df,
+    merge_keys: list,
+    use_deletion_vectors: bool = False,
+) -> int:
+    """MERGE INTO against the REAL offline log (r10 — the last DML the
+    bridge lacked; the mock-Delta/parquet ``upsert_lake_table`` path
+    covers tables without a ``_delta_log``): delta-spark's
+    ``whenMatchedUpdateAll / whenNotMatchedInsertAll`` on null-safe
+    key equality. Copy-on-write default: live files holding a matched
+    key are rewritten without those rows, and ALL source rows (updates
+    + inserts) land in new files, one commit — cost proportional to
+    touched files. With ``use_deletion_vectors=True`` the matched
+    target rows are DV-deleted instead (no rewrite at all) and the
+    source rows append — delta-spark's low-shuffle-merge shape.
+
+    Duplicate source keys raise (delta's
+    MERGE_CARDINALITY_VIOLATION): two source rows matching one target
+    row makes the update ambiguous. Source schema must match the
+    table's columns by name. Returns the committed version (current
+    version when the source is empty)."""
+    snap = delta_snapshot(spark, path)
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "merge_into_delta_table supports unpartitioned tables only "
+            "— the writer's limitation class"
+        )
+    if snap.column_mapping:
+        raise NotImplementedError(
+            "merge_into_delta_table on column-mapped tables needs a "
+            "physical-name-aware writer — refusing"
+        )
+    if snap.deletion_vectors and not use_deletion_vectors:
+        raise NotImplementedError(
+            "merge_into_delta_table (copy-on-write) on a DV-carrying "
+            "table: pass use_deletion_vectors=True"
+        )
+    cols = [f.name for f in snap.schema.fields]
+    if sorted(source_df.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source_df.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    missing = sorted(set(merge_keys) - set(cols))
+    if missing:
+        raise ValueError(f"merge keys {missing} not in table columns")
+    source_df = source_df.select(
+        *[
+            F.col(c).cast(f.dataType).alias(c)
+            for c, f in zip(cols, snap.schema.fields)
+        ]
+    )
+    dupes = (
+        source_df.groupBy(*merge_keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dupes:
+        raise ValueError(
+            "merge_into_delta_table: duplicate source keys "
+            f"{[dupes[0][k] for k in merge_keys]} — the update would be "
+            "ambiguous (delta raises MERGE_CARDINALITY_VIOLATION too)"
+        )
+    if source_df.isEmpty():
+        return snap.version
+    src_keys = source_df.select(*merge_keys)
+
+    def matched(scan):
+        # null-safe key semi-join: a NULL merge key matches its
+        # NULL-keyed target row (the upsert_lake_table convention)
+        tgt, src = scan.alias("_tgt"), src_keys.alias("_src")
+        cond = None
+        for k in merge_keys:
+            eq = F.col(f"_tgt.{k}").eqNullSafe(F.col(f"_src.{k}"))
+            cond = eq if cond is None else cond & eq
+        return tgt.join(src, cond, "left_semi")
+
+    if use_deletion_vectors:
+        snap, actions, _ = _dv_mark_deleted(
+            spark, path, matched, "merge_into_delta_table"
+        )
+        version = _next_version(path)
+        actions.extend(
+            _stage_data_files(spark, path, source_df.select(*cols), version)
+        )
+        _write_commit(path, version, actions)
+        return version
+    return _merge_cow(spark, path, snap, source_df, merge_keys, cols)
+
+
+def _merge_cow(
+    spark: SparkSession, path: str, snap, source_df, merge_keys, cols
+) -> int:
+    """Copy-on-write MERGE core: resolve touched files via a key
+    semi-join at file grain, rewrite ONLY those files without the
+    matched rows, land all source rows in new files, commit adds +
+    removes atomically. Untouched files are never read again after
+    the touch resolution."""
+    from urllib.parse import quote
+
+    by_bn: dict[str, str] = {}
+    for rel in snap.files:
+        bn = os.path.basename(rel)
+        for key in {bn, quote(bn), quote(bn, safe="")}:
+            if by_bn.setdefault(key, rel) != rel:
+                raise NotImplementedError(
+                    "merge_into_delta_table: colliding data-file "
+                    f"basenames ({bn!r}) make touch resolution ambiguous"
+                )
+    scan = (
+        spark.read.schema(snap.schema)
+        .parquet(*[os.path.join(path, rel) for rel in snap.files])
+        .withColumn(
+            "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        if snap.files
+        else None
+    )
+    version = _next_version(path)
+    actions: list[dict] = []
+    if scan is not None:
+        src_keys = source_df.select(*merge_keys)
+        tgt, src = scan.alias("_tgt"), src_keys.alias("_src")
+        cond = None
+        for k in merge_keys:
+            eq = F.col(f"_tgt.{k}").eqNullSafe(F.col(f"_src.{k}"))
+            cond = eq if cond is None else cond & eq
+        matched_rows = tgt.join(src, cond, "left_semi")
+        touched = [
+            r["_dl_file"]
+            for r in matched_rows.select("_dl_file").distinct().collect()
+        ]
+        unknown = sorted(set(touched) - set(by_bn))
+        if unknown:
+            raise ValueError(
+                f"merge_into_delta_table: scanned basenames {unknown} "
+                "missing from the snapshot lookup — refusing"
+            )
+        touched_rels = sorted({by_bn[bn] for bn in touched})
+        if touched_rels:
+            keep = (
+                scan.filter(F.col("_dl_file").isin(*touched))
+                .alias("_tgt")
+                .join(src_keys.alias("_src"), cond, "left_anti")
+                .drop("_dl_file")
+            )
+            actions.extend(
+                _stage_data_files(spark, path, keep.select(*cols), version)
+            )
+            now_ms = int(os.path.getmtime(path) * 1000)
+            for rel in touched_rels:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+    actions.extend(
+        _stage_data_files(
+            spark,
+            path,
+            source_df.select(*cols),
+            version,
+            start_n=sum(1 for a in actions if "add" in a),
+        )
+    )
     _write_commit(path, version, actions)
     return version
 

@@ -235,6 +235,35 @@ def write_lake_table(
 
     ``compression``: parquet codec (e.g. "zstd" for cold data,
     "snappy" default for hot)."""
+    if lake_format() != "delta":
+        from fintech_lakehouse_spark.sources.deltalog import (
+            has_delta_log,
+            write_delta_commit,
+        )
+
+        if has_delta_log(path):
+            # r10: a REAL Delta table must be written THROUGH its log —
+            # a bare parquet write leaves the log stale (appends
+            # invisible to the replay) or broken (overwrite deletes
+            # files live versions still reference). Clustering shuffles
+            # still apply; the commit stages the shaped frame.
+            if mode not in ("append", "overwrite"):
+                raise NotImplementedError(
+                    f"write mode {mode!r} on a Delta-log table without "
+                    "delta-spark — append/overwrite only"
+                )
+            if cluster_by:
+                range_cols = [*(partition_by or []), *cluster_by]
+                df = df.repartitionByRange(*[F.col(c) for c in range_cols])
+                df = df.sortWithinPartitions(
+                    *[F.col(c) for c in range_cols]
+                )
+            write_delta_commit(
+                df.sparkSession, df, path, mode=mode,
+                partition_by=partition_by,
+            )
+            df.sparkSession.catalog.refreshByPath(path)
+            return
     if cluster_by:
         # When the table is ALSO partitioned, the range partitioning
         # must lead with the partition columns or every output task
@@ -350,6 +379,62 @@ def upsert_lake_table(
         write_lake_table(source_df, target_path, mode="overwrite",
                          partition_by=partition_by)
         return
+
+    if lake_format() != "delta":
+        from fintech_lakehouse_spark.sources.deltalog import (
+            has_delta_log,
+            merge_into_delta_table,
+            write_delta_commit,
+        )
+
+        if has_delta_log(target_path):
+            # r10: MERGE against the REAL offline log. Source rows
+            # dedupe to one per key first (order_by winner — the
+            # parquet window-merge tie-break), since MERGE proper
+            # refuses ambiguous duplicate source keys.
+            if order_by:
+                w = Window.partitionBy(*merge_keys).orderBy(
+                    F.col(order_by).desc()
+                )
+                src = (
+                    source_df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            else:
+                src = source_df.dropDuplicates(merge_keys)
+            if partition_by:
+                # the bridge has no selective-partition commit yet:
+                # full window-merge + one overwrite commit (correct;
+                # cost is a table rewrite — fine for the offline case)
+                tagged_src = src.withColumn("_mr", F.lit(0))
+                tagged_tgt = existing.withColumn("_mr", F.lit(1))
+                w = Window.partitionBy(*merge_keys).orderBy(
+                    F.col("_mr").asc()
+                )
+                merged = (
+                    tagged_src.unionByName(
+                        tagged_tgt, allowMissingColumns=True
+                    )
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_mr", "_rn")
+                )
+                if set(merged.columns) == set(existing.columns):
+                    # table column order (the commit's schema check is
+                    # order-sensitive); new columns fall through and
+                    # fail closed there — the bridge has no evolution
+                    merged = merged.select(*existing.columns)
+                write_delta_commit(
+                    spark, merged, target_path, mode="overwrite",
+                    partition_by=partition_by,
+                )
+            else:
+                merge_into_delta_table(
+                    spark, target_path, src, merge_keys
+                )
+            spark.catalog.refreshByPath(target_path)
+            return
 
     if lake_format() == "delta":
         from delta.tables import DeltaTable

@@ -1790,3 +1790,258 @@ def test_make_dv_descriptor_roundtrip(tmp_path):
     big = make_dv_descriptor(root, big_rows)
     assert big["storageType"] == "u"
     assert decode_deletion_vector(root, big) == big_rows
+
+
+# ------------------------------------------------------------- r10:
+# MERGE INTO against the real offline log (CoW + DV modes).
+
+
+def test_merge_into_delta_table_cow_upsert(spark, tmp_path):
+    """whenMatchedUpdateAll + whenNotMatchedInsertAll: matched keys
+    take the source row wholesale, new keys insert, untouched files
+    stay physically untouched, prior versions time-travel."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        merge_into_delta_table,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "mg")
+    _os.makedirs(root)
+    # two files: ids 0-4 and 100-104 — the source touches only file 1
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(5)],
+                              "id long, v string").coalesce(1),
+        root,
+    )
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(100, 105)],
+                              "id long, v string").coalesce(1),
+        root,
+    )
+    untouched_rel = sorted(delta_snapshot(spark, root).files)[1]
+    mtime = _os.path.getmtime(_os.path.join(root, untouched_rel))
+    src = spark.createDataFrame(
+        [(1, "UPDATED"), (3, "UPDATED"), (999, "INSERTED")],
+        "id long, v string",
+    )
+    v = merge_into_delta_table(spark, root, src, ["id"])
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    want = sorted(
+        [(i, f"v{i}") for i in range(5) if i not in (1, 3)]
+        + [(i, f"v{i}") for i in range(100, 105)]
+        + [(1, "UPDATED"), (3, "UPDATED"), (999, "INSERTED")]
+    )
+    assert got == want
+    # file 2 (ids 100-104, no matches) is physically untouched & live
+    snap = delta_snapshot(spark, root)
+    assert untouched_rel in snap.files
+    assert _os.path.getmtime(_os.path.join(root, untouched_rel)) == mtime
+    # time travel to the pre-merge version still works
+    before = read_delta_table(spark, root, version=v - 1)
+    assert before.count() == 10 and (1, "v1") in {
+        (r["id"], r["v"]) for r in before.collect()
+    }
+
+
+def test_merge_into_delta_table_dv_mode_matches_cow(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        merge_into_delta_table,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    src_rows = [(2, "U2"), (4, "U4"), (500, "NEW")]
+    results = {}
+    for mode, use_dv in (("cow", False), ("dv", True)):
+        root = str(tmp_path / f"mg_{mode}")
+        _os.makedirs(root)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(i, f"v{i}") for i in range(8)],
+                                  "id long, v string").coalesce(1),
+            root,
+        )
+        merge_into_delta_table(
+            spark, root,
+            spark.createDataFrame(src_rows, "id long, v string"),
+            ["id"], use_deletion_vectors=use_dv,
+        )
+        results[mode] = sorted(
+            (r["id"], r["v"])
+            for r in read_delta_table(spark, root).collect()
+        )
+        if use_dv:
+            snap = delta_snapshot(spark, root)
+            assert snap.deletion_vectors  # matched rows DV'd in place
+    assert results["cow"] == results["dv"]
+    # a second DV merge over the same table unions correctly
+    root = str(tmp_path / "mg_dv")
+    merge_into_delta_table(
+        spark, root,
+        spark.createDataFrame([(2, "U2b"), (501, "NEW2")],
+                              "id long, v string"),
+        ["id"], use_deletion_vectors=True,
+    )
+    got = dict(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got[2] == "U2b" and got[501] == "NEW2" and got[4] == "U4"
+    assert len(got) == 10  # 8 original + 500 + 501
+
+
+def test_merge_into_delta_table_null_keys_and_guards(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        merge_into_delta_table,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "mgn")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(None, "nullrow"), (1, "one")],
+                              "id long, v string").coalesce(1),
+        root,
+    )
+    # null-safe: the NULL source key UPDATES the NULL-keyed row
+    merge_into_delta_table(
+        spark, root,
+        spark.createDataFrame([(None, "nullrow2")], "id long, v string"),
+        ["id"],
+    )
+    got = {
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    }
+    assert got == {(None, "nullrow2"), (1, "one")}
+    # duplicate source keys refuse (MERGE cardinality)
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        merge_into_delta_table(
+            spark, root,
+            spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string"),
+            ["id"],
+        )
+    # schema mismatch refuses
+    with pytest.raises(ValueError, match="columns"):
+        merge_into_delta_table(
+            spark, root,
+            spark.createDataFrame([(1,)], "id long"), ["id"],
+        )
+    # empty source commits nothing
+    from fintech_lakehouse_spark.sources.deltalog import delta_snapshot
+
+    v0 = delta_snapshot(spark, root).version
+    assert merge_into_delta_table(
+        spark, root,
+        spark.createDataFrame([], "id long, v string"), ["id"],
+    ) == v0
+
+
+def test_lake_writers_route_through_real_delta_log(spark, tmp_path):
+    """r10: write_lake_table / upsert_lake_table against a path holding
+    a REAL _delta_log must go THROUGH the log (a bare parquet write
+    leaves the replay stale or broken). Append, overwrite, and MERGE
+    upsert all stay log-consistent and time-travelable."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_table,
+        write_delta_commit,
+    )
+    from fintech_lakehouse_spark.sources.writers import (
+        read_lake_table,
+        upsert_lake_table,
+        write_lake_table,
+    )
+
+    root = str(tmp_path / "route")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+    )
+    # append routes to a log commit
+    write_lake_table(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        root, mode="append",
+    )
+    assert delta_snapshot(spark, root).version == 1
+    assert read_lake_table(spark, root).count() == 3
+    # MERGE upsert routes to merge_into_delta_table
+    upsert_lake_table(
+        spark,
+        spark.createDataFrame([(2, "B2"), (9, "i")], "id long, v string"),
+        root, ["id"],
+    )
+    got = dict(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "i"}
+    # duplicate source rows dedupe by order_by before the MERGE
+    upsert_lake_table(
+        spark,
+        spark.createDataFrame(
+            [(9, "low"), (9, "HIGH")], "id long, v string"
+        ),
+        root, ["id"], order_by="v",
+    )
+    got = dict(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got[9] == "low"  # 'low' > 'HIGH' lexicographically, desc
+    # overwrite routes to a tombstoning commit; time travel still works
+    write_lake_table(
+        spark.createDataFrame([(42, "only")], "id long, v string"),
+        root, mode="overwrite",
+    )
+    assert read_lake_table(spark, root).count() == 1
+    v = delta_snapshot(spark, root).version
+    assert read_delta_table(spark, root, version=v - 1).count() == 4
+
+
+def test_upsert_partitioned_real_log_full_merge(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        read_delta_table,
+        write_delta_commit,
+    )
+    from fintech_lakehouse_spark.sources.writers import upsert_lake_table
+
+    root = str(tmp_path / "routep")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, v string, p string"
+        ),
+        root,
+        partition_by=["p"],
+    )
+    upsert_lake_table(
+        spark,
+        spark.createDataFrame(
+            [(2, "B2", "y"), (7, "n", "z")], "id long, v string, p string"
+        ),
+        root, ["id"], partition_by=["p"],
+    )
+    got = sorted(
+        (r["id"], r["v"], r["p"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "a", "x"), (2, "B2", "y"), (7, "n", "z")]
