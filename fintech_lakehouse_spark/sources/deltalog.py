@@ -301,13 +301,63 @@ def _apply_action(snap_state: dict, action: dict) -> None:
         snap_state["dvs"].pop(path, None)
 
 
+def commit_timestamps(path: str) -> dict:
+    """version → commit timestamp (ms) for every JSON commit still in
+    the log: ``commitInfo.timestamp`` when the commit carries one (the
+    protocol's in-commit record), else the commit FILE's modification
+    time — exactly delta-spark's timestamp-travel resolution order."""
+    log = os.path.join(path, LOG_DIR)
+    out: dict[int, int] = {}
+    for v in _commit_versions(log):
+        fpath = os.path.join(log, f"{v:020d}.json")
+        ts = None
+        with open(fpath) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts = a["commitInfo"].get("timestamp")
+                    break
+        out[v] = int(ts) if ts is not None else int(
+            os.path.getmtime(fpath) * 1000
+        )
+    return out
+
+
+def version_at_timestamp(path: str, timestamp_ms: int) -> int:
+    """The newest version committed AT OR BEFORE ``timestamp_ms`` —
+    delta-spark's ``timestampAsOf`` rule. Raises when the timestamp
+    precedes the oldest reconstructable commit (earlier data would be
+    silently wrong) — including when retention cleaning removed the
+    early JSON commits (their timestamps are no longer knowable)."""
+    stamps = commit_timestamps(path)
+    eligible = [v for v, ts in stamps.items() if ts <= timestamp_ms]
+    if not eligible:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {timestamp_ms} "
+            f"(earliest known: {min(stamps.values()) if stamps else None})"
+        )
+    return max(eligible)
+
+
 def delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DeltaSnapshot:
     """Replay the log into the live-file snapshot at ``version``
     (default: latest). Starts from the newest checkpoint at or below
     the target when one exists, then applies later JSON commits in
-    version order — the protocol's own replay rule."""
+    version order — the protocol's own replay rule.
+    ``timestamp_ms`` (r10) resolves to a version via
+    :func:`version_at_timestamp` — delta-spark's ``timestampAsOf``."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(path, timestamp_ms)
     log = os.path.join(path, LOG_DIR)
     versions = _commit_versions(log)
     ckpt = None
@@ -492,7 +542,10 @@ def _physical_datatype_by_id(dt, idmap: dict, where: str):
 
 
 def read_delta_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta table end-to-end through the pure-Python snapshot:
     live files only (remove-actions honored), partition columns
@@ -518,7 +571,7 @@ def read_delta_table(
     module's own writer)."""
     from pyspark.sql.types import BooleanType, StructField, StringType
 
-    snap = delta_snapshot(spark, path, version)
+    snap = delta_snapshot(spark, path, version, timestamp_ms=timestamp_ms)
     part_cols = snap.partition_columns
     mode = snap.column_mapping_mode
     # protocol: partitionValues keys are PHYSICAL names under mapping
@@ -861,6 +914,91 @@ def _read_grouped(
     return out
 
 
+def table_constraints(config: dict) -> dict:
+    """name → SQL expression for every ``delta.constraints.<name>``
+    key in the table configuration (the protocol's CHECK-constraint
+    carrier, writer feature since minWriterVersion 3)."""
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in (config or {}).items()
+        if k.startswith(prefix)
+    }
+
+
+def _enforce_constraints(df, config: dict, op: str) -> None:
+    """Raise when any row of ``df`` VIOLATES a table CHECK constraint
+    (violation = the expression evaluates FALSE; NULL passes, SQL
+    CHECK semantics). One limit-1 probe per constraint over the
+    incoming frame — the write-side enforcement delta-spark performs;
+    without it a constrained table silently accumulates bad rows."""
+    for name, expr in sorted(table_constraints(config).items()):
+        cond = F.expr(expr)
+        bad = df.filter(~F.coalesce(cond, F.lit(True))).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{op}: CHECK constraint {name!r} ({expr}) violated by "
+                f"row {bad[0].asDict()}"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (CHECK) against the offline log
+    (r10): validates every EXISTING row first (delta refuses a
+    constraint current data violates), then commits an updated
+    metaData carrying ``delta.constraints.<name>`` plus the protocol
+    bump to minWriterVersion 3 the feature requires. Subsequent
+    appends / updates / merges through this module enforce it."""
+    snap = delta_snapshot(spark, path)
+    if name in table_constraints(snap.metadata_raw.get("configuration")):
+        raise ValueError(f"constraint {name!r} already exists")
+    existing = read_delta_table(spark, path)
+    cond = F.expr(expr)
+    bad = existing.filter(~F.coalesce(cond, F.lit(True))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing "
+            f"row {bad[0].asDict()} violates it"
+        )
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    md["configuration"] = conf
+    actions: list[dict] = []
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if int(proto.get("minWriterVersion", 2)) < 3:
+        proto["minWriterVersion"] = 3
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    version = _next_version(path)
+    _write_commit(path, version, actions, operation="ADD CONSTRAINT")
+    return version
+
+
+def drop_delta_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: commits a metaData without the
+    ``delta.constraints.<name>`` key. Raises when absent."""
+    snap = delta_snapshot(spark, path)
+    key = f"delta.constraints.{name}"
+    conf = dict(snap.metadata_raw.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"constraint {name!r} does not exist")
+    del conf[key]
+    md = dict(snap.metadata_raw)
+    md["configuration"] = conf
+    version = _next_version(path)
+    _write_commit(
+        path, version, [{"metaData": md}], operation="DROP CONSTRAINT"
+    )
+    return version
+
+
 def write_delta_commit(
     spark: SparkSession,
     df,
@@ -910,6 +1048,9 @@ def write_delta_commit(
     if have_any:
         prev = delta_snapshot(spark, path)
         prev_files = prev.files
+        _enforce_constraints(
+            df, prev.metadata_raw.get("configuration"), "write_delta_commit"
+        )
         if prev.column_mapping:
             raise NotImplementedError(
                 "write_delta_commit cannot append to a column-mapped "
@@ -1016,12 +1157,7 @@ def write_delta_commit(
                     }
                 }
             )
-    commit = os.path.join(log, f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)
+    _write_commit(path, version, actions, operation="WRITE")
     return version
 
 
@@ -1122,7 +1258,9 @@ def _checkpoint_schema():
     )
 
 
-def checkpoint_delta_table(spark: SparkSession, path: str) -> int:
+def checkpoint_delta_table(
+    spark: SparkSession, path: str, parts: int = 1
+) -> int:
     """Write a single-file CHECKPOINT of the latest snapshot: one
     parquet row per action — the verbatim protocol and metaData bodies
     plus one add per live file, carried VERBATIM from the log (real
@@ -1133,9 +1271,15 @@ def checkpoint_delta_table(spark: SparkSession, path: str) -> int:
     plus the ``_last_checkpoint`` hint. After this, JSON commits at or
     below the checkpoint are replay-redundant and
     :func:`expire_delta_log` may retention-clean them; the reader
-    replays checkpoint + later commits. Returns the checkpointed
-    version."""
+    replays checkpoint + later commits. ``parts`` > 1 (r10) writes the
+    protocol's MULTI-PART form (``<v>.checkpoint.<i>.<n>.parquet``,
+    actions split round-robin) — what real writers emit when one
+    checkpoint file would be too large; the reader already requires
+    the complete part set. Returns the checkpointed version."""
     import uuid as _uuid
+
+    if parts < 1:
+        raise ValueError("parts must be >= 1")
 
     snap = delta_snapshot(spark, path)
     log = os.path.join(path, LOG_DIR)
@@ -1201,15 +1345,29 @@ def checkpoint_delta_table(spark: SparkSession, path: str) -> int:
                 ),
             )
         )
-    jdf = spark.createDataFrame(rows, _checkpoint_schema())
-    stage = os.path.join(path, f"_stage_{_uuid.uuid4().hex}")
-    jdf.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
-    dst = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
-    os.replace(os.path.join(stage, part), dst)
     import shutil
 
-    shutil.rmtree(stage)
+    schema = _checkpoint_schema()
+    if parts == 1:
+        targets = [
+            (rows, f"{snap.version:020d}.checkpoint.parquet"),
+        ]
+    else:
+        targets = [
+            (
+                rows[i::parts],
+                f"{snap.version:020d}.checkpoint."
+                f"{i + 1:010d}.{parts:010d}.parquet",
+            )
+            for i in range(parts)
+        ]
+    for part_rows, name in targets:
+        jdf = spark.createDataFrame(part_rows, schema)
+        stage = os.path.join(path, f"_stage_{_uuid.uuid4().hex}")
+        jdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), os.path.join(log, name))
+        shutil.rmtree(stage)
     tmp = os.path.join(log, "_last_checkpoint.tmp")
     with open(tmp, "w") as fh:
         fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
@@ -1308,6 +1466,11 @@ def _cow_rewrite(
         scan.filter(F.col("_dl_file").isin(*touched)).drop("_dl_file"),
         cond,
     )
+    if "update" in op_name:
+        # a DELETE cannot create a violating row; an UPDATE can
+        _enforce_constraints(
+            keep, snap.metadata_raw.get("configuration"), op_name
+        )
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     keep.write.mode("overwrite").parquet(stage)
     actions: list[dict] = []
@@ -1342,7 +1505,12 @@ def _cow_rewrite(
                 }
             }
         )
-    _write_commit(path, version, actions)
+    _write_commit(
+        path,
+        version,
+        actions,
+        operation="DELETE" if "delete" in op_name else "UPDATE",
+    )
     return version
 
 
@@ -1537,7 +1705,7 @@ def delete_from_delta_table(
         if not actions:
             return snap.version
         version = _next_version(path)
-        _write_commit(path, version, actions)
+        _write_commit(path, version, actions, operation="DELETE")
         return version
     return _cow_rewrite(
         spark,
@@ -1603,9 +1771,12 @@ def update_delta_table(
     )
     if not actions:
         return snap.version
+    _enforce_constraints(
+        updated, snap.metadata_raw.get("configuration"), "update_delta_table"
+    )
     version = _next_version(path)
     actions.extend(_stage_data_files(spark, path, updated, version))
-    _write_commit(path, version, actions)
+    _write_commit(path, version, actions, operation="UPDATE")
     return version
 
 
@@ -1715,6 +1886,11 @@ def merge_into_delta_table(
         )
     if source_df.isEmpty():
         return snap.version
+    _enforce_constraints(
+        source_df,
+        snap.metadata_raw.get("configuration"),
+        "merge_into_delta_table",
+    )
     src_keys = source_df.select(*merge_keys)
 
     def matched(scan):
@@ -1735,7 +1911,7 @@ def merge_into_delta_table(
         actions.extend(
             _stage_data_files(spark, path, source_df.select(*cols), version)
         )
-        _write_commit(path, version, actions)
+        _write_commit(path, version, actions, operation="MERGE")
         return version
     return _merge_cow(spark, path, snap, source_df, merge_keys, cols)
 
@@ -1819,7 +1995,7 @@ def _merge_cow(
             start_n=sum(1 for a in actions if "add" in a),
         )
     )
-    _write_commit(path, version, actions)
+    _write_commit(path, version, actions, operation="MERGE")
     return version
 
 
@@ -1909,7 +2085,7 @@ def optimize_delta_table(
                 }
             }
         )
-    _write_commit(path, version, actions)
+    _write_commit(path, version, actions, operation="OPTIMIZE")
     return version
 
 
@@ -1983,12 +2159,31 @@ def _next_version(path: str) -> int:
     return (max(pool) + 1) if pool else 0
 
 
-def _write_commit(path: str, version: int, actions: list) -> None:
+def _write_commit(
+    path: str, version: int, actions: list, operation: str | None = None
+) -> None:
+    import time as _time
+
     log = os.path.join(path, LOG_DIR)
     os.makedirs(log, exist_ok=True)
     commit = os.path.join(log, f"{version:020d}.json")
     tmp = commit + ".tmp"
     with open(tmp, "w") as fh:
+        if operation:
+            # commitInfo is replay-irrelevant but carries the commit
+            # timestamp (timestampAsOf resolution) and the operation
+            # name history readers show
+            fh.write(
+                json.dumps(
+                    {
+                        "commitInfo": {
+                            "timestamp": int(_time.time() * 1000),
+                            "operation": operation,
+                        }
+                    }
+                )
+                + "\n"
+            )
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)

@@ -2045,3 +2045,194 @@ def test_upsert_partitioned_real_log_full_merge(spark, tmp_path):
         for r in read_delta_table(spark, root).collect()
     )
     assert got == [(1, "a", "x"), (2, "B2", "y"), (7, "n", "z")]
+
+
+# ------------------------------------------------------------- r10b:
+# timestamp time travel, CHECK constraints, multi-part checkpoint
+# WRITE, commitInfo operations.
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf: versions resolve by commitInfo.timestamp (file
+    mtime fallback); a timestamp before the first commit refuses."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        commit_timestamps,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "tt")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1,)], "id long"), root
+    )
+    write_delta_commit(
+        spark, spark.createDataFrame([(2,)], "id long"), root
+    )
+    stamps = commit_timestamps(root)
+    assert set(stamps) == {0, 1} and stamps[0] <= stamps[1]
+    # pin distinct timestamps (same-ms commits are legal; the test
+    # needs distinguishable instants)
+    log = _os.path.join(root, "_delta_log")
+    import json as _json
+
+    for v, ts in ((0, 1_700_000_000_000), (1, 1_700_000_100_000)):
+        f = _os.path.join(log, f"{v:020d}.json")
+        lines = open(f).read().strip().split("\n")
+        out = []
+        for ln in lines:
+            a = _json.loads(ln)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+            out.append(_json.dumps(a))
+        open(f, "w").write("\n".join(out) + "\n")
+    assert read_delta_table(
+        spark, root, timestamp_ms=1_700_000_000_000
+    ).count() == 1
+    assert read_delta_table(
+        spark, root, timestamp_ms=1_700_000_099_999
+    ).count() == 1
+    assert read_delta_table(
+        spark, root, timestamp_ms=1_700_000_100_000
+    ).count() == 2
+    with pytest.raises(ValueError, match="no Delta commit"):
+        read_delta_table(spark, root, timestamp_ms=1)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_table(spark, root, version=0, timestamp_ms=5)
+
+
+def test_check_constraints_enforced_across_dml(spark, tmp_path):
+    """ADD CONSTRAINT validates existing rows, bumps minWriterVersion
+    to 3, and every write path through the bridge enforces it: append,
+    UPDATE (CoW + DV), MERGE; NULL passes (SQL CHECK semantics);
+    DROP CONSTRAINT lifts it."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        add_delta_constraint,
+        delta_snapshot,
+        drop_delta_constraint,
+        merge_into_delta_table,
+        update_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "ck")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, 10), (2, None)], "id long, amt long"),
+        root,
+    )
+    # existing violation refuses the ADD
+    with pytest.raises(ValueError, match="existing row"):
+        add_delta_constraint(spark, root, "amt_big", "amt > 100")
+    add_delta_constraint(spark, root, "amt_pos", "amt > 0")
+    snap = delta_snapshot(spark, root)
+    assert snap.protocol_raw["minWriterVersion"] >= 3
+    with pytest.raises(ValueError, match="already exists"):
+        add_delta_constraint(spark, root, "amt_pos", "amt > 0")
+    # append enforcement (NULL passes)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, 5), (4, None)], "id long, amt long"),
+        root,
+    )
+    with pytest.raises(ValueError, match="amt_pos"):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(5, -1)], "id long, amt long"),
+            root,
+        )
+    # UPDATE enforcement, CoW and DV
+    with pytest.raises(ValueError, match="amt_pos"):
+        update_delta_table(spark, root, "id = 1", {"amt": "-5"})
+    with pytest.raises(ValueError, match="amt_pos"):
+        update_delta_table(
+            spark, root, "id = 1", {"amt": "-5"}, use_deletion_vectors=True
+        )
+    # MERGE enforcement
+    with pytest.raises(ValueError, match="amt_pos"):
+        merge_into_delta_table(
+            spark, root,
+            spark.createDataFrame([(9, -3)], "id long, amt long"), ["id"],
+        )
+    # DROP lifts it
+    drop_delta_constraint(spark, root, "amt_pos")
+    write_delta_commit(
+        spark, spark.createDataFrame([(6, -9)], "id long, amt long"), root
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_delta_constraint(spark, root, "nope")
+
+
+def test_multipart_checkpoint_write_roundtrip(spark, tmp_path):
+    """parts>1 writes the protocol's <v>.checkpoint.<i>.<n>.parquet
+    set; the existing reader replays it after expire_delta_log."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        checkpoint_delta_table,
+        expire_delta_log,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "mpc")
+    _os.makedirs(root)
+    for i in range(4):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            root,
+        )
+    v = checkpoint_delta_table(spark, root, parts=3)
+    names = sorted(_os.listdir(_os.path.join(root, "_delta_log")))
+    parts = [n for n in names if ".checkpoint." in n]
+    assert parts == [
+        f"{v:020d}.checkpoint.{i + 1:010d}.{3:010d}.parquet"
+        for i in range(3)
+    ]
+    expire_delta_log(spark, root)
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(i, f"v{i}") for i in range(4)]
+    # appends continue on top
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(9, "v9")], "id long, v string"),
+        root,
+    )
+    assert read_delta_table(spark, root).count() == 5
+
+
+def test_commit_info_operations_recorded(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        optimize_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "ci")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1,), (2,)], "id long"), root
+    )
+    delete_from_delta_table(spark, root, "id = 1")
+    optimize_delta_table(spark, root, target_files=1)
+    ops = []
+    log = _os.path.join(root, "_delta_log")
+    for name in sorted(n for n in _os.listdir(log) if n.endswith(".json")):
+        with open(_os.path.join(log, name)) as fh:
+            for ln in fh:
+                a = _json.loads(ln)
+                if "commitInfo" in a:
+                    ops.append(a["commitInfo"]["operation"])
+                    assert a["commitInfo"]["timestamp"] > 0
+    assert ops == ["WRITE", "DELETE", "OPTIMIZE"]
