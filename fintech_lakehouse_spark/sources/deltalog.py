@@ -1396,6 +1396,220 @@ def expire_delta_log(spark: SparkSession, path: str) -> list[str]:
     return deleted
 
 
+CDC_DIR = "_change_data"
+
+
+def cdf_enabled(metadata_raw: dict) -> bool:
+    """True when the table's ``delta.enableChangeDataFeed`` is set."""
+    return (
+        str(
+            (metadata_raw.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower()
+        == "true"
+    )
+
+
+def enable_change_data_feed(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE SET TBLPROPERTIES delta.enableChangeDataFeed=true
+    against the offline log (r10): commits the configuration flag plus
+    the minWriterVersion 4 bump the feature requires. Subsequent
+    DELETE / UPDATE / MERGE commits through this module write row-level
+    change files under ``_change_data/`` (cdc actions); plain appends
+    and overwrites need none — :func:`read_delta_changes` synthesizes
+    their inserts/deletes from the add/remove actions, exactly the
+    protocol's rule."""
+    snap = delta_snapshot(spark, path)
+    if cdf_enabled(snap.metadata_raw):
+        return snap.version
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    conf["delta.enableChangeDataFeed"] = "true"
+    md["configuration"] = conf
+    actions: list[dict] = []
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if int(proto.get("minWriterVersion", 2)) < 4:
+        proto["minWriterVersion"] = 4
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    version = _next_version(path)
+    _write_commit(path, version, actions, operation="SET TBLPROPERTIES")
+    return version
+
+
+def _write_cdc_files(
+    spark: SparkSession, path: str, version: int, cdc_df
+) -> list:
+    """Stage ``cdc_df`` (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return the commit's cdc actions
+    (``dataChange: false`` — CDF files never affect the live set)."""
+    import shutil
+    import uuid
+
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(stage)
+    os.makedirs(os.path.join(path, CDC_DIR), exist_ok=True)
+    actions: list = []
+    n = 0
+    for name in sorted(os.listdir(stage)):
+        full = os.path.join(stage, name)
+        if name.endswith(".parquet") and os.path.getsize(full) > 0:
+            rel = f"{CDC_DIR}/cdc-{version:05d}-{n:05d}.parquet"
+            os.replace(full, os.path.join(path, rel))
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+            n += 1
+    shutil.rmtree(stage)
+    return actions
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """``table_changes(from, to)`` against the offline log (r10): one
+    row per changed row per commit in the inclusive version range,
+    with the protocol's ``_change_type`` (insert / delete /
+    update_preimage / update_postimage), ``_commit_version`` and
+    ``_commit_timestamp`` columns. Per the protocol's reconstruction
+    rule, commits carrying cdc actions use EXACTLY those files; other
+    commits synthesize inserts from dataChange adds and deletes from
+    dataChange removes (read at the PREVIOUS version). Fails closed:
+    CDF must be enabled at ``from_version``, unpartitioned tables only
+    (the bridge DML limitation class), and a no-cdc commit whose adds
+    carry deletion vectors (row-level changes not reconstructible from
+    the file grain) raises."""
+    versions = _commit_versions(os.path.join(path, LOG_DIR))
+    if to_version is None:
+        to_version = max(versions) if versions else from_version
+    if from_version > to_version:
+        raise ValueError("from_version > to_version")
+    start_snap = delta_snapshot(spark, path, version=from_version)
+    if not cdf_enabled(start_snap.metadata_raw):
+        raise ValueError(
+            "change data feed is not enabled at version "
+            f"{from_version} (delta.enableChangeDataFeed) — the range "
+            "cannot be reconstructed"
+        )
+    if start_snap.partition_columns:
+        raise NotImplementedError(
+            "read_delta_changes supports unpartitioned tables only"
+        )
+    missing = sorted(
+        set(range(from_version, to_version + 1)) - set(versions)
+    )
+    if missing:
+        raise ValueError(
+            f"change feed range needs JSON commits {missing}, which "
+            "were retention-cleaned — refusing a partial feed"
+        )
+    stamps = commit_timestamps(path)
+    log = os.path.join(path, LOG_DIR)
+    branches: list = []
+    meta_cols = ["_change_type", "_commit_version", "_commit_timestamp"]
+
+    def with_meta(df, ctype, v):
+        out = df
+        if ctype is not None:
+            out = out.withColumn("_change_type", F.lit(ctype))
+        return out.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        ).withColumn(
+            "_commit_timestamp",
+            F.timestamp_millis(F.lit(stamps[v]).cast("long")),
+        )
+
+    for v in range(from_version, to_version + 1):
+        actions = []
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            from pyspark.sql.types import StringType, StructField
+
+            paths = [os.path.join(path, unquote(c["path"])) for c in cdcs]
+            snap_v = delta_snapshot(spark, path, version=v)
+            cdc_schema = StructType(
+                list(snap_v.schema.fields)
+                + [StructField("_change_type", StringType(), True)]
+            )
+            branches.append(
+                with_meta(
+                    spark.read.schema(cdc_schema).parquet(*paths), None, v
+                )
+            )
+            continue
+        adds = [
+            a["add"] for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"] for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if any(a.get("deletionVector") for a in adds):
+            raise NotImplementedError(
+                f"version {v}: a commit without cdc actions re-adds a "
+                "deletion-vector file — row-level changes are not "
+                "reconstructible from the file grain; refusing"
+            )
+        if adds:
+            snap_v = delta_snapshot(spark, path, version=v)
+            paths = [
+                os.path.join(path, unquote(a["path"])) for a in adds
+            ]
+            branches.append(
+                with_meta(
+                    spark.read.schema(snap_v.schema).parquet(*paths),
+                    "insert", v,
+                )
+            )
+        if removes:
+            snap_prev = delta_snapshot(spark, path, version=v - 1)
+            if snap_prev.deletion_vectors:
+                raise NotImplementedError(
+                    f"version {v}: removed files carried deletion "
+                    "vectors at the previous version — synthesize "
+                    "would resurrect deleted rows; refusing"
+                )
+            paths = [
+                os.path.join(path, unquote(r["path"])) for r in removes
+            ]
+            branches.append(
+                with_meta(
+                    spark.read.schema(snap_prev.schema).parquet(*paths),
+                    "delete", v,
+                )
+            )
+    if not branches:
+        schema = StructType(list(start_snap.schema.fields))
+        empty = spark.createDataFrame([], schema)
+        return with_meta(empty, "insert", from_version).limit(0).select(
+            *[f.name for f in start_snap.schema.fields], *meta_cols
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    cols = [f.name for f in start_snap.schema.fields]
+    return out.select(*cols, *meta_cols)
+
+
 def _cow_rewrite(
     spark: SparkSession,
     path: str,
@@ -1505,6 +1719,23 @@ def _cow_rewrite(
                 }
             }
         )
+    if cdf_enabled(snap.metadata_raw):
+        matched = (
+            scan.filter(F.col("_dl_file").isin(*touched))
+            .filter(cond)
+            .drop("_dl_file")
+        )
+        if "delete" in op_name:
+            cdc = matched.withColumn("_change_type", F.lit("delete"))
+        else:
+            cdc = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                transform(matched, F.lit(True)).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        actions.extend(_write_cdc_files(spark, path, version, cdc))
     _write_commit(
         path,
         version,
@@ -1526,7 +1757,8 @@ def _dv_mark_deleted(
     DV wholesale). Small bitmaps inline (storageType "i"); larger ones
     pack into ONE on-disk DV file (storageType "u"), the multi-DV
     packing delta-spark uses. Returns (snapshot, remove+add actions,
-    matching-row count).
+    matching-row count, a lazy DataFrame of the newly deleted ROWS —
+    the CDF preimages — or None when nothing matched).
 
     Scale contract: the NEWLY deleted index set is materialized
     driver-side to encode the bitmaps — bounded by rows deleted in
@@ -1553,7 +1785,7 @@ def _dv_mark_deleted(
             "needs a physical-name-aware scan — refusing"
         )
     if not snap.files:
-        return snap, [], 0
+        return snap, [], 0, None
     by_bn: dict[str, str] = {}
     for rel in snap.files:
         bn = os.path.basename(rel)
@@ -1592,7 +1824,7 @@ def _dv_mark_deleted(
         if idxs - old_by_rel[rel]
     }
     if not newly:
-        return snap, [], 0
+        return snap, [], 0, None
     # encode: one inline descriptor per small bitmap, one SHARED DV
     # file for the rest
     INLINE_MAX = 1024
@@ -1674,7 +1906,34 @@ def _dv_mark_deleted(
             }
         )
     n_new = sum(len(v) for v in newly.values())
-    return snap, actions, n_new
+    if not cdf_enabled(snap.metadata_raw):
+        return snap, actions, n_new, None
+    # the newly deleted ROWS (CDF preimages), resolved lazily via a
+    # broadcast (file, row_index) semi-join over the same scan
+    import pandas as _pd
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    files_l: list = []
+    ris_l: list = []
+    for rel in sorted(newly):
+        bn = os.path.basename(rel)
+        for ri in sorted(newly[rel]):
+            files_l.append(bn)
+            ris_l.append(ri)
+    lk = spark.createDataFrame(
+        _pd.DataFrame({"_dl_file": files_l, "_dl_ri": ris_l}),
+        schema=_ST(
+            [
+                StructField("_dl_file", StringType(), False),
+                StructField("_dl_ri", LongType(), False),
+            ]
+        ),
+    )
+    deleted_rows = scan.join(
+        F.broadcast(lk), ["_dl_file", "_dl_ri"], "left_semi"
+    ).drop("_dl_file", "_dl_ri")
+    return snap, actions, n_new, deleted_rows
 
 
 def delete_from_delta_table(
@@ -1696,7 +1955,7 @@ def delete_from_delta_table(
     version untouched when nothing matches — Delta also skips the
     commit for an empty DELETE)."""
     if use_deletion_vectors:
-        snap, actions, n_new = _dv_mark_deleted(
+        snap, actions, n_new, deleted_rows = _dv_mark_deleted(
             spark,
             path,
             lambda scan: scan.filter(F.expr(condition)),
@@ -1705,6 +1964,15 @@ def delete_from_delta_table(
         if not actions:
             return snap.version
         version = _next_version(path)
+        if deleted_rows is not None:
+            actions.extend(
+                _write_cdc_files(
+                    spark, path, version,
+                    deleted_rows.withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                )
+            )
         _write_commit(path, version, actions, operation="DELETE")
         return version
     return _cow_rewrite(
@@ -1763,7 +2031,7 @@ def update_delta_table(
     updated = apply_set(
         read_delta_table(spark, path).filter(cond), F.lit(True)
     )
-    snap, actions, n_new = _dv_mark_deleted(
+    snap, actions, n_new, deleted_rows = _dv_mark_deleted(
         spark,
         path,
         lambda scan: scan.filter(F.expr(condition)),
@@ -1776,6 +2044,13 @@ def update_delta_table(
     )
     version = _next_version(path)
     actions.extend(_stage_data_files(spark, path, updated, version))
+    if deleted_rows is not None:
+        cdc = deleted_rows.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            updated.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        actions.extend(_write_cdc_files(spark, path, version, cdc))
     _write_commit(path, version, actions, operation="UPDATE")
     return version
 
@@ -1904,16 +2179,53 @@ def merge_into_delta_table(
         return tgt.join(src, cond, "left_semi")
 
     if use_deletion_vectors:
-        snap, actions, _ = _dv_mark_deleted(
+        cdc_parts = _merge_cdc_parts(
+            spark, path, snap, source_df, merge_keys, cols
+        )
+        snap, actions, _, deleted_rows = _dv_mark_deleted(
             spark, path, matched, "merge_into_delta_table"
         )
         version = _next_version(path)
         actions.extend(
             _stage_data_files(spark, path, source_df.select(*cols), version)
         )
+        if cdc_parts is not None:
+            pre = (
+                deleted_rows.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                if deleted_rows is not None
+                else None
+            )
+            cdc = cdc_parts if pre is None else pre.unionByName(cdc_parts)
+            actions.extend(_write_cdc_files(spark, path, version, cdc))
         _write_commit(path, version, actions, operation="MERGE")
         return version
     return _merge_cow(spark, path, snap, source_df, merge_keys, cols)
+
+
+def _merge_cdc_parts(
+    spark: SparkSession, path: str, snap, source_df, merge_keys, cols
+):
+    """CDF rows contributed by the MERGE's SOURCE side (None when CDF
+    is off): source rows matching a live target key are
+    update_postimage, the rest insert — computed against the
+    PRE-commit snapshot (the DV-aware read)."""
+    if not cdf_enabled(snap.metadata_raw):
+        return None
+    tgt_keys = read_delta_table(spark, path).select(*merge_keys)
+    src, tgt = source_df.alias("_src"), tgt_keys.alias("_tgt")
+    cond = None
+    for k in merge_keys:
+        eq = F.col(f"_src.{k}").eqNullSafe(F.col(f"_tgt.{k}"))
+        cond = eq if cond is None else cond & eq
+    matched_src = src.join(tgt, cond, "left_semi").select(*cols)
+    inserted_src = src.join(tgt, cond, "left_anti").select(*cols)
+    return matched_src.withColumn(
+        "_change_type", F.lit("update_postimage")
+    ).unionByName(
+        inserted_src.withColumn("_change_type", F.lit("insert"))
+    )
 
 
 def _merge_cow(
@@ -1995,6 +2307,19 @@ def _merge_cow(
             start_n=sum(1 for a in actions if "add" in a),
         )
     )
+    cdc_parts = _merge_cdc_parts(
+        spark, path, snap, source_df, merge_keys, cols
+    )
+    if cdc_parts is not None:
+        pre = (
+            matched_rows.drop("_dl_file").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            if scan is not None
+            else None
+        )
+        cdc = cdc_parts if pre is None else pre.unionByName(cdc_parts)
+        actions.extend(_write_cdc_files(spark, path, version, cdc))
     _write_commit(path, version, actions, operation="MERGE")
     return version
 

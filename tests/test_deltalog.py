@@ -2236,3 +2236,178 @@ def test_commit_info_operations_recorded(spark, tmp_path):
                     ops.append(a["commitInfo"]["operation"])
                     assert a["commitInfo"]["timestamp"] > 0
     assert ops == ["WRITE", "DELETE", "OPTIMIZE"]
+
+
+# ------------------------------------------------------------- r10c:
+# CHANGE DATA FEED on the real log.
+
+
+def _cdf_rows(spark, root, lo, hi=None):
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_changes
+
+    df = read_delta_changes(spark, root, lo, hi)
+    return sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in df.collect()
+    )
+
+
+def test_change_data_feed_end_to_end(spark, tmp_path):
+    """enable → append (synthesized inserts) → CoW DELETE (cdc files)
+    → UPDATE (pre+post images) → OPTIMIZE (no changes) → overwrite
+    (synthesized deletes+inserts); range and metadata columns exact."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        cdf_enabled,
+        delete_from_delta_table,
+        delta_snapshot,
+        enable_change_data_feed,
+        optimize_delta_table,
+        read_delta_changes,
+        update_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "cdf")
+    _os.makedirs(root)
+    write_delta_commit(  # v0 (pre-CDF)
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+    )
+    v_en = enable_change_data_feed(spark, root)  # v1
+    snap = delta_snapshot(spark, root)
+    assert cdf_enabled(snap.metadata_raw)
+    assert snap.protocol_raw["minWriterVersion"] >= 4
+    assert enable_change_data_feed(spark, root) == v_en  # idempotent
+    write_delta_commit(  # v2: append → synthesized inserts
+        spark,
+        spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string"),
+        root,
+    )
+    delete_from_delta_table(spark, root, "id = 1")  # v3: cdc delete
+    update_delta_table(spark, root, "id = 2", {"v": "'B'"})  # v4
+    optimize_delta_table(spark, root, target_files=1)  # v5: no changes
+    assert _cdf_rows(spark, root, 2, 2) == [
+        (3, "c", "insert", 2),
+        (4, "d", "insert", 2),
+    ]
+    assert _cdf_rows(spark, root, 3, 3) == [(1, "a", "delete", 3)]
+    assert _cdf_rows(spark, root, 4, 4) == sorted([
+        (2, "b", "update_preimage", 4),
+        (2, "B", "update_postimage", 4),
+    ])
+    assert _cdf_rows(spark, root, 5, 5) == []
+    # the cdc files physically live under _change_data/
+    assert _os.path.isdir(_os.path.join(root, "_change_data"))
+    # full range 2..5 unions correctly
+    assert len(_cdf_rows(spark, root, 2, 5)) == 5
+    # overwrite: synthesized deletes (prev snapshot) + inserts
+    write_delta_commit(  # v6
+        spark,
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        root,
+        mode="overwrite",
+    )
+    got = _cdf_rows(spark, root, 6, 6)
+    assert (9, "z", "insert", 6) in got
+    deletes = {(i, v) for i, v, t, _ in got if t == "delete"}
+    assert deletes == {(2, "B"), (3, "c"), (4, "d")}
+    # _commit_timestamp is a real timestamp column
+    ts = read_delta_changes(spark, root, 6, 6).select(
+        "_commit_timestamp"
+    ).first()[0]
+    assert ts.year >= 2024
+
+
+def test_change_data_feed_dv_and_merge(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        enable_change_data_feed,
+        merge_into_delta_table,
+        update_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "cdfdv")
+    _os.makedirs(root)
+    write_delta_commit(  # v0
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ),
+        root,
+    )
+    enable_change_data_feed(spark, root)  # v1
+    delete_from_delta_table(  # v2: DV delete
+        spark, root, "id IN (0, 5)", use_deletion_vectors=True
+    )
+    assert _cdf_rows(spark, root, 2, 2) == [
+        (0, "v0", "delete", 2),
+        (5, "v5", "delete", 2),
+    ]
+    update_delta_table(  # v3: DV update
+        spark, root, "id = 1", {"v": "'ONE'"}, use_deletion_vectors=True
+    )
+    assert _cdf_rows(spark, root, 3, 3) == sorted([
+        (1, "v1", "update_preimage", 3),
+        (1, "ONE", "update_postimage", 3),
+    ])
+    merge_into_delta_table(  # v4: DV merge — update id=2, insert id=77
+        spark, root,
+        spark.createDataFrame([(2, "TWO"), (77, "new")],
+                              "id long, v string"),
+        ["id"], use_deletion_vectors=True,
+    )
+    assert _cdf_rows(spark, root, 4, 4) == sorted([
+        (2, "v2", "update_preimage", 4),
+        (2, "TWO", "update_postimage", 4),
+        (77, "new", "insert", 4),
+    ])
+    # CoW merge on a second table produces the same feed shape
+    root2 = str(tmp_path / "cdfm2")
+    _os.makedirs(root2)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root2,
+    )
+    enable_change_data_feed(spark, root2)
+    merge_into_delta_table(
+        spark, root2,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        ["id"],
+    )
+    assert _cdf_rows(spark, root2, 2, 2) == sorted([
+        (2, "b", "update_preimage", 2),
+        (2, "B", "update_postimage", 2),
+        (3, "c", "insert", 2),
+    ])
+
+
+def test_change_data_feed_guards(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        enable_change_data_feed,
+        read_delta_changes,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "cdfg")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    # not enabled at from_version → refuse
+    with pytest.raises(ValueError, match="not enabled"):
+        read_delta_changes(spark, root, 0)
+    enable_change_data_feed(spark, root)
+    with pytest.raises(ValueError, match="not enabled"):
+        read_delta_changes(spark, root, 0)  # v0 predates the flag
+    assert read_delta_changes(spark, root, 1).count() == 0
+    with pytest.raises(ValueError, match="from_version"):
+        read_delta_changes(spark, root, 5, 2)
