@@ -20,19 +20,31 @@ files do NOT store partition columns; trusting directory names instead
 of the log breaks on nulls and special characters).
 
 The READ path covers protocol reader versions 1-3 (v3 with
-``readerFeatures`` ⊆ {``columnMapping``, ``deletionVectors``}): v2's
-NAME-mode column mapping resolves each logical field to the physical
-parquet column named in the field metadata's
-``delta.columnMapping.physicalName`` (partitionValues are keyed by
-physical name too, per the protocol), and DELETION VECTORS decode
-through sources/deletionvectors.py (Z85 descriptors, DV-file layout,
+``readerFeatures`` ⊆ {``columnMapping``, ``deletionVectors``,
+``v2Checkpoint``}): NAME-mode column mapping resolves each logical
+field — at EVERY nesting level (r10) — to the physical parquet column
+named in ``delta.columnMapping.physicalName`` (partitionValues are
+keyed by physical name too, per the protocol); ID-mode mapping (r10)
+matches parquet footer field ids; DELETION VECTORS decode through
+sources/deletionvectors.py (Z85 descriptors, DV-file layout,
 RoaringBitmapArray bitmaps) into a row-index anti-join against the
-scan's ``_metadata.row_index``. Anything else — id-mode mapping,
-unknown v3 reader features — raises; fail CLOSED, because silently
-ignoring a table feature returns wrong rows.
-:func:`write_delta_commit` is the matching
-minimal single-writer WRITE path (append/overwrite JSON commits);
-when a real delta-spark is present ``lake_format()`` routes to it and
+scan's ``_metadata.row_index`` — driver-broadcast for small DVs,
+executor-decoded + shuffled above ``DV_BROADCAST_MAX_ROWS``; V2
+CHECKPOINTS (manifest + sidecars) replay alongside the classic
+single/multi-part forms. Anything else — unknown v3 reader features —
+raises; fail CLOSED, because silently ignoring a table feature
+returns wrong rows.
+
+The WRITE side (r9-r10) is a single-writer DML suite against the same
+log: :func:`write_delta_commit` (append/overwrite),
+:func:`delete_from_delta_table` / :func:`update_delta_table` /
+:func:`merge_into_delta_table` (copy-on-write or deletion-vector
+modes), :func:`optimize_delta_table` / :func:`vacuum_delta_table` /
+:func:`restore_delta_table`, CHECK constraints
+(:func:`add_delta_constraint`), CHANGE DATA FEED
+(:func:`enable_change_data_feed` / :func:`read_delta_changes`),
+checkpoints (classic single/multi-part) and timestamp time travel.
+When a real delta-spark is present ``lake_format()`` routes to it and
 this module is bypassed entirely.
 
 Scale note: snapshot replay is driver-side metadata work, linear in
@@ -161,20 +173,27 @@ def _checkpoint_files(
     log: str, max_version: int
 ) -> tuple[int, list[str]] | None:
     """Newest COMPLETE checkpoint at or below ``max_version`` —
-    single-file (``<v>.checkpoint.parquet``) or multi-part
+    single-file (``<v>.checkpoint.parquet``), multi-part
     (``<v>.checkpoint.<i>.<n>.parquet``, r9: all n parts must be
     present, else that version is skipped and an OLDER complete
-    checkpoint is used). Returns (version, ordered part paths). The
-    directory scan is authoritative; ``_last_checkpoint`` is only the
-    protocol's best-effort hint and needs no separate trust path."""
+    checkpoint is used), or V2
+    (``<v>.checkpoint.<uniqueStr>.{json,parquet}``, r10 — a manifest
+    whose ``sidecar`` actions point into ``_sidecars/``). Returns
+    (version, ordered part paths); a lone ``.json`` path or a
+    4-segment name marks the V2 manifest form for the replay
+    dispatcher. The directory scan is authoritative;
+    ``_last_checkpoint`` is only the protocol's best-effort hint and
+    needs no separate trust path."""
     if not os.path.isdir(log):
         return None
     candidates: dict[int, dict] = {}
     for name in os.listdir(log):
-        if ".checkpoint." not in name or not name.endswith(".parquet"):
+        if ".checkpoint." not in name or not (
+            name.endswith(".parquet") or name.endswith(".json")
+        ):
             continue
         bits = name.split(".")
-        if len(bits) == 3 and bits[0].isdigit():
+        if len(bits) == 3 and bits[0].isdigit() and bits[2] == "parquet":
             v = int(bits[0])
             if v <= max_version:
                 candidates.setdefault(v, {})["single"] = name
@@ -190,14 +209,88 @@ def _checkpoint_files(
                 c = candidates.setdefault(v, {})
                 c.setdefault("parts", {})[int(bits[2])] = name
                 c["n"] = int(bits[3])
+        elif (
+            len(bits) == 4
+            and bits[1] == "checkpoint"
+            and bits[0].isdigit()
+            and not bits[2].isdigit()
+        ):
+            # V2: <v>.checkpoint.<uniqueStr>.{json,parquet}
+            v = int(bits[0])
+            if v <= max_version:
+                candidates.setdefault(v, {})["v2"] = name
     for v in sorted(candidates, reverse=True):
         c = candidates[v]
         if "single" in c:
             return v, [os.path.join(log, c["single"])]
+        if "v2" in c:
+            return v, [os.path.join(log, c["v2"])]
         n, parts = c.get("n", 0), c.get("parts", {})
         if n and set(parts) == set(range(1, n + 1)):
             return v, [os.path.join(log, parts[i]) for i in range(1, n + 1)]
     return None
+
+
+def _is_v2_checkpoint(ck_path: str) -> bool:
+    name = os.path.basename(ck_path)
+    bits = name.split(".")
+    return len(bits) == 4 and bits[1] == "checkpoint"
+
+
+def _v2_checkpoint_actions(spark: SparkSession, ck_path: str) -> list:
+    """Flatten a V2 checkpoint into its action dicts: the manifest's
+    own actions (checkpointMetadata validated against the file name's
+    version) followed by every referenced sidecar file's add/remove
+    actions (``_delta_log/_sidecars/<path>``). Fails closed on a
+    missing sidecar or a checkpointMetadata version mismatch."""
+    log = os.path.dirname(ck_path)
+    v = int(os.path.basename(ck_path).split(".")[0])
+    raw: list[dict] = []
+    if ck_path.endswith(".json"):
+        with open(ck_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    raw.append(json.loads(line))
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(ck_path)
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            raw.append({k: val for k, val in d.items() if val is not None})
+    out: list[dict] = []
+    sidecars: list[str] = []
+    for a in raw:
+        if "checkpointMetadata" in a:
+            cm_v = a["checkpointMetadata"].get("version")
+            if cm_v is not None and int(cm_v) != v:
+                raise ValueError(
+                    f"v2 checkpoint {ck_path}: checkpointMetadata "
+                    f"version {cm_v} != file version {v} — corrupt"
+                )
+            continue
+        if "sidecar" in a:
+            sidecars.append(a["sidecar"]["path"])
+            continue
+        a.pop("commitInfo", None)
+        a.pop("txn", None)
+        if a:
+            out.append(a)
+    for rel in sidecars:
+        full = os.path.join(log, "_sidecars", rel)
+        if not os.path.isfile(full):
+            raise ValueError(
+                f"v2 checkpoint {ck_path}: sidecar {rel!r} is missing "
+                "— refusing a partial snapshot"
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(full)
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            action = {k: val for k, val in d.items() if val is not None}
+            action.pop("commitInfo", None)
+            action.pop("txn", None)
+            if action:
+                out.append(action)
+    return out
 
 
 def _checkpoint_version(log: str, max_version: int) -> int | None:
@@ -224,7 +317,8 @@ def _apply_action(snap_state: dict, action: dict) -> None:
                     "return possibly-wrong rows"
                 )
             unsupported = sorted(
-                set(feats) - {"columnMapping", "deletionVectors"}
+                set(feats)
+                - {"columnMapping", "deletionVectors", "v2Checkpoint"}
             )
             if unsupported:
                 raise NotImplementedError(
@@ -392,17 +486,23 @@ def delta_snapshot(
     if ckpt is not None:
         # checkpoint rows are one action per row with struct columns;
         # multi-part checkpoints read all parts (r9 — _checkpoint_files
-        # already guaranteed the part set is complete)
+        # already guaranteed the part set is complete); V2 manifests
+        # (r10) flatten through their sidecar files
         _, ck_paths = _checkpoint_files(log, ckpt)
-        # mergeSchema: multi-part checkpoints may split action types
-        # across parts, so a single file's footer can miss columns
-        ck = spark.read.option("mergeSchema", "true").parquet(*ck_paths)
-        for row in ck.toLocalIterator():
-            d = row.asDict(recursive=True)
-            action = {k: v for k, v in d.items() if v is not None}
-            action.pop("commitInfo", None)  # replay-irrelevant
-            action.pop("txn", None)
-            _apply_action(state, action)
+        if len(ck_paths) == 1 and _is_v2_checkpoint(ck_paths[0]):
+            for action in _v2_checkpoint_actions(spark, ck_paths[0]):
+                _apply_action(state, action)
+        else:
+            # mergeSchema: multi-part checkpoints may split action
+            # types across parts, so a single file's footer can miss
+            # columns
+            ck = spark.read.option("mergeSchema", "true").parquet(*ck_paths)
+            for row in ck.toLocalIterator():
+                d = row.asDict(recursive=True)
+                action = {k: v for k, v in d.items() if v is not None}
+                action.pop("commitInfo", None)  # replay-irrelevant
+                action.pop("txn", None)
+                _apply_action(state, action)
     start = (ckpt + 1) if ckpt is not None else 0
     # GAPLESS replay guard (ADVICE r8): the protocol's replay rule is
     # checkpoint + EVERY later commit. If older commits were cleaned
@@ -2412,6 +2512,83 @@ def optimize_delta_table(
         )
     _write_commit(path, version, actions, operation="OPTIMIZE")
     return version
+
+
+def restore_delta_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (r10): commit a
+    new version whose live set equals the target snapshot's — adds for
+    files live then but not now, removes for files live now but not
+    then (history is preserved; a restore is a normal commit, exactly
+    delta-spark's semantics). Re-adds carry their deletion-vector
+    descriptors verbatim. Fails closed when a needed data file or DV
+    file was VACUUMed away (delta raises there too), and commits the
+    target version's metaData when the schema changed in between.
+    Returns the committed version (current version unchanged when the
+    restore is a no-op)."""
+    target = delta_snapshot(spark, path, version, timestamp_ms=timestamp_ms)
+    current = delta_snapshot(spark, path)
+    if target.version == current.version:
+        return current.version
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        _dv_file_path,
+    )
+
+    missing = []
+    for rel in target.files:
+        if not os.path.isfile(os.path.join(path, rel)):
+            missing.append(rel)
+    for rel, dv in target.deletion_vectors.items():
+        if dv.get("storageType") in ("u", "p") and not os.path.isfile(
+            _dv_file_path(path, dv)
+        ):
+            missing.append(f"{rel} (deletion vector)")
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {target.version}: data files "
+            f"{sorted(missing)} were vacuumed away"
+        )
+    now_ms = int(os.path.getmtime(path) * 1000)
+    actions: list[dict] = []
+    if target.metadata_raw.get("schemaString") != current.metadata_raw.get(
+        "schemaString"
+    ) or target.metadata_raw.get("configuration") != current.metadata_raw.get(
+        "configuration"
+    ):
+        actions.append({"metaData": target.metadata_raw})
+    for rel in sorted(set(current.files) - set(target.files)):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(target.files):
+        cur_dv = current.deletion_vectors.get(rel)
+        tgt_dv = target.deletion_vectors.get(rel)
+        if rel in current.files and cur_dv == tgt_dv:
+            continue  # live with the same DV state: nothing to do
+        add = dict(target.adds_raw.get(rel) or {})
+        add.setdefault("path", rel)
+        add.setdefault("partitionValues", target.files[rel])
+        add["dataChange"] = True
+        if tgt_dv:
+            add["deletionVector"] = tgt_dv
+        else:
+            add.pop("deletionVector", None)
+        actions.append({"add": add})
+    if not actions:
+        return current.version
+    new_version = _next_version(path)
+    _write_commit(path, new_version, actions, operation="RESTORE")
+    return new_version
 
 
 def vacuum_delta_table(

@@ -663,13 +663,14 @@ def test_reader_v3_column_mapping_feature_ok_others_refused(
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            # deletionVectors became supported in r9 — v2Checkpoint is
-            # the still-unimplemented feature that must fail closed
-            "readerFeatures": ["columnMapping", "v2Checkpoint"],
+            # deletionVectors (r9) and v2Checkpoint (r10) became
+            # supported — typeWidening is a still-unimplemented
+            # feature that must fail closed
+            "readerFeatures": ["columnMapping", "typeWidening"],
         }
     }
     _commit(root2, 0, [bad, _meta(), _add("f1.parquet")])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_table(spark, root2)
 
 
@@ -2411,3 +2412,254 @@ def test_change_data_feed_guards(spark, tmp_path):
     assert read_delta_changes(spark, root, 1).count() == 0
     with pytest.raises(ValueError, match="from_version"):
         read_delta_changes(spark, root, 5, 2)
+
+
+def test_restore_delta_table(spark, tmp_path):
+    """RESTORE to an earlier version: the live set equals the target
+    snapshot (incl. DV state), history is preserved (restore is a
+    normal commit), vacuumed targets refuse."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        delta_snapshot,
+        read_delta_table,
+        restore_delta_table,
+        vacuum_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "rst")
+    _os.makedirs(root)
+    write_delta_commit(  # v0: ids 0-4
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(5)],
+                              "id long, v string").coalesce(1),
+        root,
+    )
+    write_delta_commit(  # v1: +ids 10-12
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(10, 13)],
+                              "id long, v string").coalesce(1),
+        root,
+    )
+    delete_from_delta_table(  # v2: DV-delete id 0
+        spark, root, "id = 0", use_deletion_vectors=True
+    )
+    assert read_delta_table(spark, root).count() == 7
+    # restore to v1 (before the delete): id 0 returns, DV state gone
+    v = restore_delta_table(spark, root, version=1)
+    assert v == 3
+    assert read_delta_table(spark, root).count() == 8
+    assert not delta_snapshot(spark, root).deletion_vectors
+    # restore to v0: the v1 file is removed
+    restore_delta_table(spark, root, version=0)
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4]
+    # restore FORWARD to v2 (re-applying the DV delete)
+    restore_delta_table(spark, root, version=2)
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == [1, 2, 3, 4, 10, 11, 12]
+    # history intact: v1 still time-travels
+    assert read_delta_table(spark, root, version=1).count() == 8
+    # no-op restore commits nothing
+    cur = delta_snapshot(spark, root).version
+    assert restore_delta_table(spark, root, version=cur) == cur
+    # overwrite tombstones everything, vacuum reclaims the old files →
+    # restore to a version needing them refuses
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(99, "z")], "id long, v string"),
+        root,
+        mode="overwrite",
+    )
+    vacuum_delta_table(spark, root, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta_table(spark, root, version=0)
+
+
+# ------------------------------------------------------------- r10d:
+# V2 checkpoint READ (manifest + sidecars).
+
+
+def _v2_sidecar(spark, root, name, adds):
+    """One sidecar parquet under _delta_log/_sidecars carrying ``adds``
+    (list of table-relative data paths)."""
+    import os as _os
+
+    from pyspark.sql.types import (
+        BooleanType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("add", StructType([
+            StructField("path", StringType(), True),
+            StructField(
+                "partitionValues", MapType(StringType(), StringType()), True
+            ),
+            StructField("size", LongType(), True),
+            StructField("modificationTime", LongType(), True),
+            StructField("dataChange", BooleanType(), True),
+        ]), True),
+    ])
+    rows = [((rel, {}, 1, 0, True),) for rel in adds]
+    side_dir = _os.path.join(root, "_delta_log", "_sidecars")
+    _os.makedirs(side_dir, exist_ok=True)
+    stage = _os.path.join(root, "_stage_sc")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(n for n in _os.listdir(stage) if n.endswith(".parquet"))
+    _os.replace(_os.path.join(stage, part), _os.path.join(side_dir, name))
+    import shutil
+
+    shutil.rmtree(stage)
+
+
+def _v2_manifest_json(root, version, uniq, sidecars, cm_version=None):
+    import os as _os
+
+    lines = [
+        json.dumps({"checkpointMetadata": {
+            "version": cm_version if cm_version is not None else version
+        }}),
+        json.dumps({
+            "protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        }),
+        json.dumps(_meta()),
+    ]
+    for sc in sidecars:
+        lines.append(json.dumps({"sidecar": {
+            "path": sc, "sizeInBytes": 1, "modificationTime": 0,
+        }}))
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    name = f"{version:020d}.checkpoint.{uniq}.json"
+    with open(_os.path.join(log, name), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_v2_checkpoint_json_manifest_with_sidecars(spark, tmp_path):
+    """A V2 checkpoint (json manifest + parquet sidecars) replays into
+    the correct live set; later JSON commits apply on top; the
+    v2Checkpoint readerFeature is accepted."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "v2ck")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _write_data_file(spark, root, "f2.parquet", [(2, "b")])
+    _v2_sidecar(spark, root, "sc-001.parquet", ["f1.parquet"])
+    _v2_sidecar(spark, root, "sc-002.parquet", ["f2.parquet"])
+    _v2_manifest_json(
+        root, 3, "a1b2c3d4", ["sc-001.parquet", "sc-002.parquet"]
+    )
+    snap = delta_snapshot(spark, root)
+    assert snap.version == 3 and sorted(snap.files) == [
+        "f1.parquet", "f2.parquet",
+    ]
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    # a later commit applies on top of the v2 checkpoint
+    _write_data_file(spark, root, "f3.parquet", [(3, "c")])
+    _commit(root, 4, [_add("f3.parquet"), _remove("f1.parquet")])
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(2, "b"), (3, "c")]
+
+
+def test_v2_checkpoint_parquet_manifest(spark, tmp_path):
+    """The parquet-manifest form: checkpointMetadata/sidecar/protocol/
+    metaData as one action per row."""
+    import os as _os
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, MapType, StringType,
+        StructField, StructType,
+    )
+
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "v2ckp")
+    _write_data_file(spark, root, "f1.parquet", [(7, "z")])
+    _v2_sidecar(spark, root, "sc-p1.parquet", ["f1.parquet"])
+    schema = StructType([
+        StructField("checkpointMetadata", StructType([
+            StructField("version", LongType(), True),
+        ]), True),
+        StructField("protocol", StructType([
+            StructField("minReaderVersion", IntegerType(), True),
+            StructField("minWriterVersion", IntegerType(), True),
+            StructField("readerFeatures", ArrayType(StringType()), True),
+            StructField("writerFeatures", ArrayType(StringType()), True),
+        ]), True),
+        StructField("metaData", StructType([
+            StructField("id", StringType(), True),
+            StructField("format", StructType([
+                StructField("provider", StringType(), True),
+                StructField(
+                    "options", MapType(StringType(), StringType()), True
+                ),
+            ]), True),
+            StructField("schemaString", StringType(), True),
+            StructField("partitionColumns", ArrayType(StringType()), True),
+            StructField(
+                "configuration", MapType(StringType(), StringType()), True
+            ),
+        ]), True),
+        StructField("sidecar", StructType([
+            StructField("path", StringType(), True),
+            StructField("sizeInBytes", LongType(), True),
+        ]), True),
+    ])
+    rows = [
+        ((2,), None, None, None),
+        (None, (3, 7, ["v2Checkpoint"], ["v2Checkpoint"]), None, None),
+        (None, None, ("idp", ("parquet", {}), SCHEMA_JSON, [], {}), None),
+        (None, None, None, ("sc-p1.parquet", 1)),
+    ]
+    stage = _os.path.join(root, "_stage_m")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(n for n in _os.listdir(stage) if n.endswith(".parquet"))
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    _os.replace(
+        _os.path.join(stage, part),
+        _os.path.join(log, "00000000000000000002.checkpoint.deadbeef.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(stage)
+    got = [(r["id"], r["v"]) for r in read_delta_table(spark, root).collect()]
+    assert got == [(7, "z")]
+
+
+def test_v2_checkpoint_fail_closed(spark, tmp_path):
+    """Missing sidecar and checkpointMetadata version mismatch both
+    refuse."""
+    from fintech_lakehouse_spark.sources.deltalog import read_delta_table
+
+    root = str(tmp_path / "v2bad")
+    _write_data_file(spark, root, "f1.parquet", [(1, "a")])
+    _v2_manifest_json(root, 1, "feedface", ["missing.parquet"])
+    with pytest.raises(ValueError, match="sidecar"):
+        read_delta_table(spark, root)
+
+    root2 = str(tmp_path / "v2bad2")
+    _write_data_file(spark, root2, "f1.parquet", [(1, "a")])
+    _v2_sidecar(spark, root2, "sc.parquet", ["f1.parquet"])
+    _v2_manifest_json(root2, 1, "feedface", ["sc.parquet"], cm_version=9)
+    with pytest.raises(ValueError, match="checkpointMetadata"):
+        read_delta_table(spark, root2)
