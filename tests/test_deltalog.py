@@ -2663,3 +2663,78 @@ def test_v2_checkpoint_fail_closed(spark, tmp_path):
     _v2_manifest_json(root2, 1, "feedface", ["sc.parquet"], cm_version=9)
     with pytest.raises(ValueError, match="checkpointMetadata"):
         read_delta_table(spark, root2)
+
+
+def test_cdf_drives_incremental_aggregate(spark, tmp_path):
+    """The CDF consumer pattern end-to-end on the REAL log: an
+    incrementally-maintained SUM/COUNT per key, fed only by
+    read_delta_changes deltas (insert +, delete −, update = pre− then
+    post+), equals full recomputation after every commit — the IVM
+    contract the streaming module pins against mocks, here against
+    the bridge's own feed."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        delta_snapshot,
+        enable_change_data_feed,
+        merge_into_delta_table,
+        read_delta_changes,
+        read_delta_table,
+        update_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "cdfivm")
+    _os.makedirs(root)
+    write_delta_commit(  # v0 (pre-CDF baseline the view starts from)
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id long, grp string, amt long",
+        ),
+        root,
+    )
+    enable_change_data_feed(spark, root)  # v1
+    # materialize the view at v1
+    view = {
+        r["grp"]: (r["s"], r["n"])
+        for r in read_delta_table(spark, root)
+        .groupBy("grp")
+        .agg(F.sum("amt").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    # a stream of DML across every change shape
+    write_delta_commit(  # v2 insert
+        spark,
+        spark.createDataFrame([(4, "b", 40)], "id long, grp string, amt long"),
+        root,
+    )
+    update_delta_table(spark, root, "id = 1", {"amt": "amt + 5"})  # v3
+    delete_from_delta_table(  # v4, DV mode
+        spark, root, "id = 2", use_deletion_vectors=True
+    )
+    merge_into_delta_table(  # v5: update id=3, insert id=9
+        spark, root,
+        spark.createDataFrame(
+            [(3, "b", 300), (9, "c", 90)], "id long, grp string, amt long"
+        ),
+        ["id"], use_deletion_vectors=True,
+    )
+    last = delta_snapshot(spark, root).version
+    changes = read_delta_changes(spark, root, 2, last).collect()
+    for r in sorted(changes, key=lambda r: (r["_commit_version"],)):
+        sign = 1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        s, n = view.get(r["grp"], (0, 0))
+        view[r["grp"]] = (s + sign * r["amt"], n + sign)
+    view = {g: sn for g, sn in view.items() if sn[1] > 0}
+    full = {
+        r["grp"]: (r["s"], r["n"])
+        for r in read_delta_table(spark, root)
+        .groupBy("grp")
+        .agg(F.sum("amt").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert view == full == {"a": (15, 1), "b": (340, 2), "c": (90, 1)}

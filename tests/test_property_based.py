@@ -827,3 +827,96 @@ def test_nearest_join_matches_python_model(spark, left, right):
         ).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------------- r10:
+# pure-Python codec layer (no Spark jobs — full hypothesis budgets).
+
+
+@given(
+    values=st.lists(
+        st.integers(0, (1 << 40) - 1), min_size=0, max_size=400
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_roaring_bitmap_array_roundtrip_property(values):
+    """encode ∘ decode = sorted ∘ set over arbitrary 64-bit row-index
+    sets (spanning multiple 16-bit chunks and high-32 keys)."""
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_roaring_bitmap_array,
+        encode_roaring_bitmap_array,
+    )
+
+    assert decode_roaring_bitmap_array(
+        encode_roaring_bitmap_array(values)
+    ) == sorted(set(values))
+
+
+@given(delta=st.integers(-2, 2), stride=st.sampled_from([1, 3, 7]))
+@settings(max_examples=20, deadline=None)
+def test_roaring_bitmap_container_boundary_property(delta, stride):
+    """Cardinalities straddling the array/bitmap container switch
+    (4096 per 16-bit chunk) round-trip exactly, at several strides."""
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_roaring_bitmap_array,
+        encode_roaring_bitmap_array,
+    )
+
+    card = 4096 + delta
+    vals = list(range(0, card * stride, stride))
+    assert decode_roaring_bitmap_array(
+        encode_roaring_bitmap_array(vals)
+    ) == vals
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_z85_roundtrip_property(data):
+    """z85_decode(z85_encode(b))[:len(b)] == b for arbitrary bytes
+    (the Base85Codec pads to 4-byte blocks; sizeInBytes truncates)."""
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        z85_decode,
+        z85_encode,
+    )
+
+    enc = z85_encode(data)
+    assert len(enc) % 5 == 0
+    assert z85_decode(enc)[: len(data)] == data
+
+
+@given(
+    rows=st.lists(st.integers(0, 1 << 30), min_size=1, max_size=300),
+    inline_max=st.sampled_from([0, 64, 1024]),
+)
+@settings(max_examples=40, deadline=None)
+def test_dv_descriptor_roundtrip_property(tmp_path_factory, rows, inline_max):
+    """make_dv_descriptor → decode_deletion_vector is identity for
+    both the inline and on-disk file forms (inline_max=0 forces the
+    packed-file path)."""
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_deletion_vector,
+        make_dv_descriptor,
+    )
+
+    root = str(tmp_path_factory.mktemp("dvprop"))
+    dv = make_dv_descriptor(root, rows, inline_max_bytes=inline_max)
+    assert decode_deletion_vector(root, dv) == sorted(set(rows))
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([-1, 0, 1]), min_size=0, max_size=60
+    ).filter(lambda v: len(v) % 2 == 0),
+    rate_idx=st.sampled_from([0, 1, 2]),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp3_bigvalues_roundtrip_property(vals, rate_idx):
+    """Huffman-coded big_values spectra round-trip for every pair
+    pattern/sign combination and sample rate."""
+    from fintech_lakehouse_spark.functions.multimodal import (
+        read_mp3_spectrum,
+        synthesize_mp3_spectrum,
+    )
+
+    rate, got = read_mp3_spectrum(synthesize_mp3_spectrum(vals, rate_idx))
+    assert got == list(vals)
