@@ -1,0 +1,422 @@
+"""Streaming DELTA source over the offline ``_delta_log`` bridge —
+a Spark 4 PYTHON DataSource (``format("deltabridge")``) whose stream
+OFFSETS are log versions, the same contract as delta-spark's own
+streaming source: each micro-batch covers the table versions in
+``(start, end]``, offsets checkpoint through the standard mechanism,
+and a restarted query resumes at the first unseen version —
+exactly-once per commit with no connector-side state.
+
+Modes:
+
+* default — APPEND stream: each batch yields the rows ADDED by its
+  versions' dataChange add actions. A version that REMOVES data (a
+  DELETE/UPDATE/MERGE/overwrite rewrite) breaks append semantics, so
+  it RAISES unless ``skipChangeCommits=true`` (delta's option: such
+  commits are skipped wholesale) — fail closed, never silently wrong.
+* ``readChangeFeed=true`` — CDF stream: versions yield their
+  row-level changes (``_change_type`` / ``_commit_version`` /
+  ``_commit_timestamp_ms`` columns): cdc files verbatim when the
+  commit carries them, synthesized inserts for plain appends,
+  synthesized deletes (read at the prior snapshot) for plain removes
+  — the same reconstruction rule as
+  ``deltalog.read_delta_changes``.
+
+The batch reader (``spark.read.format("deltabridge")``) serves the
+LIVE snapshot with one InputPartition per data file; deletion vectors
+decode in the partition reader (pure Python + pyarrow — executors
+drop exactly the indexed rows), and partition-column values attach
+from the log's partitionValues, typed per the table schema.
+
+Everything here runs WITHOUT a SparkSession (driver planning reads
+the log with os/json/pyarrow only), which is what lets the source
+derive its own schema from the table metaData. Fail-closed scope:
+column-mapped tables, v2 checkpoints, and partition/value types
+beyond long/double/string/boolean refuse at plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from fintech_lakehouse_spark.sources.deltalog import (
+    LOG_DIR,
+    _apply_action,
+    _checkpoint_files,
+    _commit_versions,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.types import StructType
+
+
+def _pure_snapshot(path: str, version: int | None = None) -> dict:
+    """Log replay WITHOUT a SparkSession: classic checkpoints read via
+    pyarrow, JSON commits via json — the same action machinery as
+    deltalog (gapless guard included). Returns the raw state dict."""
+    log = os.path.join(path, LOG_DIR)
+    versions = _commit_versions(log)
+    found = _checkpoint_files(log, version if version is not None else 1 << 62)
+    ckpt, ck_paths = (found if found else (None, []))
+    if version is None:
+        pool = versions + ([ckpt] if ckpt is not None else [])
+        if not pool:
+            raise FileNotFoundError(f"no Delta commits under {log}")
+        version = max(pool)
+    state: dict = {
+        "schema": None,
+        "partition_columns": [],
+        "files": {},
+        "column_mapping": {},
+        "column_mapping_mode": "none",
+        "dvs": {},
+        "protocol_raw": {},
+        "metadata_raw": {},
+        "adds_raw": {},
+    }
+    if ck_paths and any(
+        len(os.path.basename(p).split(".")) == 4 for p in ck_paths
+    ):
+        raise NotImplementedError(
+            "deltabridge source: v2 checkpoints need the Spark-side "
+            "reader (deltalog.read_delta_table) — refusing"
+        )
+    if ckpt is not None:
+        import pyarrow.parquet as pq
+
+        for p in ck_paths:
+            for row in pq.read_table(p).to_pylist():
+                action = {k: v for k, v in row.items() if v is not None}
+                action.pop("commitInfo", None)
+                action.pop("txn", None)
+                if action:
+                    _apply_action(state, action)
+    start = (ckpt + 1) if ckpt is not None else 0
+    replay = [v for v in versions if start <= v <= version]
+    if replay != list(range(start, version + 1)):
+        raise ValueError(
+            f"Delta log under {log} is GAPPED for version {version} — "
+            "refusing to replay a partial log"
+        )
+    for v in replay:
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    if state["schema"] is None:
+        raise ValueError(f"no metaData action under {log}")
+    if state["column_mapping_mode"] != "none":
+        raise NotImplementedError(
+            "deltabridge source: column-mapped tables need the "
+            "Spark-side reader — refusing"
+        )
+    state["version"] = version
+    return state
+
+
+def _commit_actions(path: str, v: int) -> list[dict]:
+    out = []
+    with open(os.path.join(path, LOG_DIR, f"{v:020d}.json")) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _commit_ts_ms(path: str, v: int) -> int:
+    f = os.path.join(path, LOG_DIR, f"{v:020d}.json")
+    for a in _commit_actions(path, v):
+        if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+            return int(a["commitInfo"]["timestamp"])
+    return int(os.path.getmtime(f) * 1000)
+
+
+_SIMPLE_PV_CASTS = {
+    "long": int,
+    "integer": int,
+    "short": int,
+    "byte": int,
+    "double": float,
+    "float": float,
+    "string": str,
+    "boolean": lambda s: s.lower() == "true",
+}
+
+
+def _typed_pv(value, type_name: str, col: str):
+    if value is None:
+        return None
+    cast = _SIMPLE_PV_CASTS.get(type_name)
+    if cast is None:
+        raise NotImplementedError(
+            f"deltabridge source: partition column {col!r} of type "
+            f"{type_name!r} — only {sorted(_SIMPLE_PV_CASTS)} supported"
+        )
+    return cast(value)
+
+
+class DeltaFilePartition(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        dv_json: str | None,
+        pvals: dict,
+        change_type: str | None = None,
+        version: int | None = None,
+        ts_ms: int | None = None,
+        has_change_col: bool = False,
+    ):
+        self.file_path = file_path
+        self.dv_json = dv_json
+        self.pvals = pvals  # partition column -> typed value
+        self.change_type = change_type
+        self.version = version
+        self.ts_ms = ts_ms
+        self.has_change_col = has_change_col
+
+
+def _read_partition(
+    table_path: str, part: DeltaFilePartition, row_plan: list
+) -> Iterator[tuple]:
+    """Executor-side file read: pyarrow scan of the declared data
+    columns (+ the cdc file's own _change_type when present), deletion
+    vector indexes dropped, rows emitted in DECLARED schema order
+    (``row_plan``: (column, is_partition) pairs — partition values
+    come from the log, everything else from the file), CDF metadata
+    appended last when streaming changes."""
+    import pyarrow.parquet as pq
+
+    cols = [c for c, is_pv in row_plan if not is_pv]
+    if part.has_change_col:
+        cols.append("_change_type")
+    table = pq.read_table(os.path.join(table_path, part.file_path), columns=cols)
+    if part.dv_json:
+        from fintech_lakehouse_spark.sources.deletionvectors import (
+            decode_deletion_vector,
+        )
+
+        import numpy as np
+        import pyarrow as pa
+
+        deleted = decode_deletion_vector(table_path, json.loads(part.dv_json))
+        mask = np.ones(table.num_rows, dtype=bool)
+        idx = np.asarray(deleted, dtype=np.int64)
+        idx = idx[idx < table.num_rows]
+        mask[idx] = False
+        table = table.filter(pa.array(mask))
+    rows = table.to_pylist()
+    for r in rows:
+        base = [
+            part.pvals[c] if is_pv else r[c] for c, is_pv in row_plan
+        ]
+        if part.change_type is not None or part.has_change_col:
+            ct = r.get("_change_type") if part.has_change_col else None
+            base.append(ct if ct is not None else part.change_type)
+            base.append(part.version)
+            base.append(part.ts_ms)
+        yield tuple(base)
+
+
+class DeltaBridgeReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+        snap = _pure_snapshot(path)
+        self.snap = snap
+        self.part_cols = snap["partition_columns"]
+        self.row_plan = [
+            (f.name, f.name in set(self.part_cols))
+            for f in snap["schema"].fields
+        ]
+        self.part_types = {
+            f.name: f.dataType.typeName()
+            for f in snap["schema"].fields
+            if f.name in self.part_cols
+        }
+
+    def partitions(self):
+        out = []
+        for rel in sorted(self.snap["files"]):
+            pv = self.snap["files"][rel]
+            dv = self.snap["dvs"].get(rel)
+            pvals = {
+                c: _typed_pv(pv.get(c), self.part_types[c], c)
+                for c in self.part_cols
+            }
+            out.append(
+                DeltaFilePartition(
+                    rel, json.dumps(dv) if dv else None, pvals
+                )
+            )
+        return out
+
+    def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
+        return _read_partition(self.path, partition, self.row_plan)
+
+
+class DeltaBridgeStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, options: dict):
+        self.path = path
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
+        self.skip_change = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        starting = options.get("startingversion")
+        snap = _pure_snapshot(path)
+        self.part_cols = snap["partition_columns"]
+        if self.cdf and self.part_cols:
+            raise NotImplementedError(
+                "deltabridge CDF stream: unpartitioned tables only"
+            )
+        self.row_plan = [
+            (f.name, f.name in set(self.part_cols))
+            for f in snap["schema"].fields
+        ]
+        self.part_types = {
+            f.name: f.dataType.typeName()
+            for f in snap["schema"].fields
+            if f.name in self.part_cols
+        }
+        if starting is not None:
+            self.start_version = int(starting) - 1
+        else:
+            # default: everything the log still has
+            self.start_version = -1
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        versions = _commit_versions(os.path.join(self.path, LOG_DIR))
+        return {"version": max(versions) if versions else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            out.extend(self._version_partitions(v))
+        return out
+
+    def _version_partitions(self, v: int) -> list:
+        actions = _commit_actions(self.path, v)
+        adds = [
+            a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        ts = _commit_ts_ms(self.path, v)
+        if self.cdf:
+            if cdcs:
+                return [
+                    DeltaFilePartition(
+                        c["path"], None, {}, None, v, ts,
+                        has_change_col=True,
+                    )
+                    for c in cdcs
+                ]
+            if any(a.get("deletionVector") for a in adds):
+                raise NotImplementedError(
+                    f"deltabridge CDF stream: version {v} re-adds a "
+                    "deletion-vector file without cdc actions — row-"
+                    "level changes are not reconstructible; refusing"
+                )
+            parts = [
+                DeltaFilePartition(a["path"], None, {}, "insert", v, ts)
+                for a in adds
+            ]
+            if removes:
+                prev = _pure_snapshot(self.path, version=v - 1)
+                if prev["dvs"]:
+                    raise NotImplementedError(
+                        f"deltabridge CDF stream: version {v} removes "
+                        "files that carried deletion vectors — refusing"
+                    )
+                parts.extend(
+                    DeltaFilePartition(r["path"], None, {}, "delete", v, ts)
+                    for r in removes
+                )
+            return parts
+        # append-stream mode
+        if removes or any(a.get("deletionVector") for a in adds):
+            if self.skip_change:
+                return []  # delta's skipChangeCommits: drop wholesale
+            raise ValueError(
+                f"deltabridge stream: version {v} changes existing data "
+                "(remove/deletion-vector actions) — an append stream "
+                "cannot represent it; set skipChangeCommits=true to "
+                "skip such commits, or stream the change feed"
+            )
+        out = []
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            pvals = {
+                c: _typed_pv(pv.get(c), self.part_types[c], c)
+                for c in self.part_cols
+            }
+            out.append(DeltaFilePartition(a["path"], None, pvals))
+        return out
+
+    def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
+        return _read_partition(self.path, partition, self.row_plan)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are the only state; the log itself is durable
+
+
+class DeltaBridgeDataSource(DataSource):
+    """``spark.read.format("deltabridge").option("path", ...)`` /
+    ``spark.readStream.format("deltabridge")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltabridge"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("deltabridge requires .option('path', ...)")
+        return path
+
+    def schema(self) -> "StructType":
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        snap = _pure_snapshot(self._path())
+        fields = list(snap["schema"].fields)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            fields += [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+                StructField("_commit_timestamp_ms", LongType(), True),
+            ]
+        return StructType(fields)
+
+    def reader(self, schema: "StructType") -> DeltaBridgeReader:
+        return DeltaBridgeReader(self._path())
+
+    def streamReader(self, schema: "StructType") -> DeltaBridgeStreamReader:
+        return DeltaBridgeStreamReader(self._path(), dict(self.options))
+
+
+def register_deltabridge_source(spark) -> None:
+    """Idempotent registration:
+    ``spark.dataSource.register(DeltaBridgeDataSource)``."""
+    spark.dataSource.register(DeltaBridgeDataSource)
