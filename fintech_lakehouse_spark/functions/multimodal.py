@@ -1195,8 +1195,23 @@ _MP3_HUFF_T1_DECODE = {
 }
 
 
+# MPEG1 Layer III scalefac_compress → (slen1, slen2) bit widths (ISO
+# 11172-3 Table B.6-ish; the canonical 16-entry table every decoder
+# hardcodes). Long blocks: scalefactor bands 0-10 code at slen1,
+# bands 11-20 at slen2 — 21 scalefactors per granule-channel.
+_MP3_SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+_MP3_SFB_SLEN1 = 11  # long-block bands coded at slen1
+_MP3_SFB_SLEN2 = 10  # long-block bands coded at slen2
+
+
 def synthesize_mp3_spectrum(
-    values: list[int], sample_rate_idx: int = 0
+    values: list[int],
+    sample_rate_idx: int = 0,
+    scalefac_compress: int = 0,
+    scalefactors: list[int] | None = None,
 ) -> bytes:
     """ONE mono MPEG1 Layer III frame whose granule 0 carries
     ``values`` (spectral line magnitudes in {-1, 0, 1}, even count)
@@ -1204,15 +1219,35 @@ def synthesize_mp3_spectrum(
     generation half of the r10 entropy-level roundtrip (VERDICT r9
     item 8; one real level below read_mp3_side_info's granule
     grammar). Layout per the spec: main_data_begin=0 (no bit
-    reservoir), zero scalefactor bits (scalefac_compress=0), granule 0
-    with big_values = len(values)/2 pairs, table_select=1 for all
-    regions, part2_3_length = exact Huffman bit count (so the count1
-    region is empty); granule 1 silent. Sign bit (1 = negative)
-    follows each nonzero magnitude, per the spec."""
+    reservoir), granule 0 with big_values = len(values)/2 pairs,
+    table_select=1 for all regions, part2_3_length = exact part2
+    (scalefactor) + part3 (Huffman) bit count (so the count1 region is
+    empty); granule 1 silent. Sign bit (1 = negative) follows each
+    nonzero magnitude, per the spec.
+
+    ``scalefac_compress`` / ``scalefactors`` (r10 second pass): the
+    part2 SCALEFACTOR region is real too — 21 long-block values coded
+    at the (slen1, slen2) widths the compress index selects
+    (``_MP3_SLEN``: bands 0-10 at slen1, 11-20 at slen2); each value
+    must fit its band's width (slen=0 admits only 0, the spec's
+    degenerate case)."""
     if len(values) % 2:
         raise ValueError("values must pair up (big_values codes x,y pairs)")
     if any(abs(v) > 1 for v in values):
         raise ValueError("table-1 subset codes magnitudes 0/1 only")
+    if not 0 <= scalefac_compress < 16:
+        raise ValueError("scalefac_compress is a 4-bit index")
+    slen1, slen2 = _MP3_SLEN[scalefac_compress]
+    n_sfb = _MP3_SFB_SLEN1 + _MP3_SFB_SLEN2
+    sfs = list(scalefactors or [0] * n_sfb)
+    if len(sfs) != n_sfb:
+        raise ValueError(f"need {n_sfb} long-block scalefactors")
+    for i, sf in enumerate(sfs):
+        width = slen1 if i < _MP3_SFB_SLEN1 else slen2
+        if not 0 <= sf < (1 << width):
+            raise ValueError(
+                f"scalefactor {sf} at band {i} exceeds slen width {width}"
+            )
     rate = _MP3_SAMPLE_RATES[sample_rate_idx]
     fsize = (144 * 128 * 1000) // rate
     header = bytes(
@@ -1224,6 +1259,12 @@ def synthesize_mp3_spectrum(
     def put_data(value: int, width: int) -> None:
         for k in range(width - 1, -1, -1):
             data_bits.append((value >> k) & 1)
+
+    # part2: the scalefactor region precedes the Huffman data
+    for i, sf in enumerate(sfs):
+        width = slen1 if i < _MP3_SFB_SLEN1 else slen2
+        if width:
+            put_data(sf, width)
 
     for i in range(0, len(values), 2):
         x, y = values[i], values[i + 1]
@@ -1246,14 +1287,16 @@ def synthesize_mp3_spectrum(
     put_side(0, 5)  # private_bits (mono)
     put_side(0, 4)  # scfsi
     for gr in range(2):
-        if gr == 0 and big_values:
+        if gr == 0 and part2_3:
             put_side(part2_3, 12)
             put_side(big_values, 9)
-            put_side(128, 8)         # global_gain (any; silent part2)
-            put_side(0, 4)           # scalefac_compress → 0 part2 bits
+            put_side(128, 8)         # global_gain (any; programmed part2)
+            put_side(scalefac_compress, 4)
             put_side(0, 1)           # window_switching: long blocks
             for _ in range(3):
-                put_side(1, 5)       # table_select: spec table 1
+                # spec table 1 where there is Huffman data; table 0
+                # (the no-data table) when only scalefactors are coded
+                put_side(1 if big_values else 0, 5)
             put_side(0, 4)           # region0_count
             put_side(0, 3)           # region1_count
         else:
@@ -1276,16 +1319,25 @@ def synthesize_mp3_spectrum(
 
 
 def read_mp3_spectrum(payload: bytes) -> tuple[int, list[int]] | None:
-    """(sample_rate, granule-0 spectral values) by HUFFMAN-DECODING
-    the big_values region of the first frame — the r10 entropy-level
-    step (VERDICT r9 item 8). Implemented subset, everything else
-    QUARANTINES to None (a wrong guess decodes plausible-but-wrong
-    audio): mono MPEG1 no-CRC frames, main_data_begin=0 (no bit
-    reservoir), long blocks (window_switching=0), zero scalefactor
-    bits (scalefac_compress=0), table_select ∈ {0, 1} uniform across
-    regions, and an empty count1 region (consumed bits must equal
-    part2_3_length exactly). IMDCT/synthesis-filterbank PCM
-    reconstruction stays the named seam above this."""
+    """(sample_rate, granule-0 spectral values) — the values-only view
+    of :func:`read_mp3_granule`."""
+    g = read_mp3_granule(payload)
+    return None if g is None else (g["sample_rate"], g["values"])
+
+
+def read_mp3_granule(payload: bytes) -> dict | None:
+    """Granule-0 DECODE of the first frame — scalefactors (part2) and
+    HUFFMAN big_values (part3), the r10 entropy-level steps (VERDICT
+    r9 item 8 + the scalefactor second pass). Returns
+    ``{sample_rate, scalefac_compress, scalefactors, values}``.
+    Implemented subset, everything else QUARANTINES to None (a wrong
+    guess decodes plausible-but-wrong audio): mono MPEG1 no-CRC
+    frames, main_data_begin=0 (no bit reservoir), long blocks
+    (window_switching=0) — 21 scalefactors at the _MP3_SLEN widths —
+    table_select ∈ {0, 1} uniform across regions, and an empty count1
+    region (consumed bits must equal part2_3_length exactly).
+    IMDCT/synthesis-filterbank PCM reconstruction stays the named
+    seam above this."""
     if not payload:
         return None
     i, n = 0, len(payload)
@@ -1332,8 +1384,7 @@ def read_mp3_spectrum(payload: bytes) -> tuple[int, list[int]] | None:
         p23 = take(12)
         bv = take(9)
         take(8)  # global_gain
-        if take(4) != 0:
-            return None  # scalefactor bits present: unsupported
+        sfc = take(4)
         if take(1) != 0:
             return None  # short blocks: unsupported
         tsel = [take(5) for _ in range(3)]
@@ -1344,7 +1395,7 @@ def read_mp3_spectrum(payload: bytes) -> tuple[int, list[int]] | None:
             return None  # only uniform table 0/1 implemented
         if tsel[0] == 0 and bv:
             return None  # table 0 carries no codes
-        granules.append((p23, bv))
+        granules.append((p23, bv, sfc))
     # main data begins right after the side info (main_data_begin = 0)
     data = payload[i + 4 + 17 :]
     dpos = 0
@@ -1359,9 +1410,22 @@ def read_mp3_spectrum(payload: bytes) -> tuple[int, list[int]] | None:
         return v
 
     out: list[int] = []
+    out_sfs: list[int] = []
+    out_sfc = 0
     try:
-        for gi, (p23, bv) in enumerate(granules):
+        for gi, (p23, bv, sfc) in enumerate(granules):
             start = dpos
+            # part2: the 21 long-block scalefactors at the compress
+            # index's (slen1, slen2) widths (slen=0 codes value 0 in
+            # zero bits — the spec's degenerate case)
+            slen1, slen2 = _MP3_SLEN[sfc]
+            sfs: list[int] = []
+            for k in range(_MP3_SFB_SLEN1 + _MP3_SFB_SLEN2):
+                width = slen1 if k < _MP3_SFB_SLEN1 else slen2
+                v = 0
+                for _ in range(width):
+                    v = (v << 1) | dbit()
+                sfs.append(v)
             vals: list[int] = []
             for _ in range(bv):
                 code, length = 0, 0
@@ -1380,12 +1444,17 @@ def read_mp3_spectrum(payload: bytes) -> tuple[int, list[int]] | None:
                     y = -y
                 vals.extend((x, y))
             if dpos - start != p23:
-                return None  # count1/scalefac residue: unsupported
+                return None  # count1 residue: unsupported
             if gi == 0:
-                out = vals
+                out, out_sfs, out_sfc = vals, sfs, sfc
     except ValueError:
         return None
-    return rate, out
+    return {
+        "sample_rate": rate,
+        "scalefac_compress": out_sfc,
+        "scalefactors": out_sfs,
+        "values": out,
+    }
 
 
 _MP4_SAMPLE_CONTAINERS = _MP4_CONTAINERS | {b"minf", b"stbl"}

@@ -776,3 +776,130 @@ def mp3_bigvalues_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id long, sample_rate long, n_values long, "
         "value_sum long, abs_sum long",
     )
+
+
+@register(
+    "mp3_scalefactor_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 AS BIGINT) AS sfc,
+             CASE doc_id % 16
+               WHEN 4 THEN 3 WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+               WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+               WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4 WHEN 15 THEN 4
+               ELSE 0 END AS slen1,
+             CASE doc_id % 16
+               WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+               WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+               WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+               WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2 ELSE 3
+               END AS slen2
+      FROM documents WHERE doc_id < 200
+    ),
+    sf AS (
+      SELECT b.doc_id,
+             (b.doc_id + k.k) % (CASE (CASE WHEN k.k < 11 THEN b.slen1
+                                       ELSE b.slen2 END)
+                                 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                                 WHEN 3 THEN 8 ELSE 16 END) AS v
+      FROM base b, LATERAL (SELECT UNNEST(range(0, 21))) AS k(k)
+      WHERE b.doc_id % 19 <> 0
+    ),
+    sfa AS (
+      SELECT doc_id,
+             CAST(SUM(v) AS BIGINT) AS sf_sum,
+             CAST(MAX(v) AS BIGINT) AS sf_max
+      FROM sf GROUP BY doc_id
+    ),
+    vals AS (
+      SELECT b.doc_id, ((b.doc_id * 3 + j.j) % 3) - 1 AS v
+      FROM base b, LATERAL (
+        SELECT UNNEST(range(0, 2 * (2 + b.doc_id % 5)))) AS j(j)
+      WHERE b.doc_id % 19 <> 0
+    ),
+    va AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(v) AS BIGINT) AS value_sum
+      FROM vals GROUP BY doc_id
+    )
+    SELECT b.doc_id AS asset_id,
+           CASE WHEN b.doc_id % 19 = 0 THEN NULL ELSE b.sfc END
+               AS scalefac_compress,
+           s.sf_sum, s.sf_max, v.n_values, v.value_sum
+    FROM base b
+    LEFT JOIN sfa s USING (doc_id)
+    LEFT JOIN va v USING (doc_id)
+    """,
+)
+def mp3_scalefactor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 SCALEFACTOR (part2) decode roundtrip (r10 — the second
+    entropy-level pass after mp3_bigvalues_roundtrip's part3): per
+    doc, a mono frame is synthesized whose granule 0 carries 21
+    PROGRAMMED long-block scalefactors at the scalefac_compress-
+    selected (slen1, slen2) bit widths (the canonical 16-entry
+    _MP3_SLEN table) AHEAD of table-1 Huffman data, then decoded back
+    via ``read_mp3_granule``: the compress index, scalefactor sum/max
+    and the spectral values all under the driver hash — a one-bit slip
+    anywhere in part2 desyncs part3 and flips every column. Every 19th
+    asset feeds a stereo stream the mono-subset decoder must
+    QUARANTINE to NULLs. The oracle replays the slen table and the
+    modular scalefactor program in exact integer SQL.
+
+    Scale shape: the roundtrip-family contract — two partition-
+    preserving Arrow stages over one scan, zero Exchange."""
+    import pandas as pd
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        _MP3_SLEN,
+        read_mp3_granule,
+        synthesize_mp3,
+        synthesize_mp3_spectrum,
+    )
+
+    def batches(iterator):
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "scalefac_compress", "sf_sum", "sf_max",
+                "n_values", "value_sum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 19 == 0:
+                    payload = synthesize_mp3(2, did % 3, global_gain=77)
+                else:
+                    sfc = did % 16
+                    s1, s2 = _MP3_SLEN[sfc]
+                    sfs = [
+                        (did + k) % (1 << (s1 if k < 11 else s2))
+                        for k in range(21)
+                    ]
+                    n_vals = 2 * (2 + did % 5)
+                    vals = [((did * 3 + j) % 3) - 1 for j in range(n_vals)]
+                    payload = synthesize_mp3_spectrum(
+                        vals, did % 3, scalefac_compress=sfc,
+                        scalefactors=sfs,
+                    )
+                g = read_mp3_granule(payload)
+                rows["asset_id"].append(did)
+                if g is None:
+                    for k in ("scalefac_compress", "sf_sum", "sf_max",
+                              "n_values", "value_sum"):
+                        rows[k].append(None)
+                    continue
+                rows["scalefac_compress"].append(g["scalefac_compress"])
+                rows["sf_sum"].append(sum(g["scalefactors"]))
+                rows["sf_max"].append(max(g["scalefactors"]))
+                rows["n_values"].append(len(g["values"]))
+                rows["value_sum"].append(sum(g["values"]))
+            yield pd.DataFrame(rows, dtype="object")
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        "asset_id long, scalefac_compress long, sf_sum long, "
+        "sf_max long, n_values long, value_sum long",
+    )

@@ -2066,3 +2066,43 @@ def test_mp3_bigvalues_huffman_roundtrip_and_quarantines():
         mask = 1 << (7 - ((bit + j) & 7))
         b[byte_i] = (b[byte_i] | mask) if v else (b[byte_i] & ~mask)
     assert read_mp3_spectrum(bytes(b)) is None
+
+
+def test_mp3_scalefactor_region_roundtrip():
+    """r10 second pass: the part2 SCALEFACTOR region — 21 long-block
+    values at the scalefac_compress-selected (slen1, slen2) widths —
+    round-trips ahead of the Huffman data; oversized values refuse at
+    the encoder; the degenerate slen=0 widths code only zeros."""
+    import pytest as _pytest
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        _MP3_SLEN,
+        read_mp3_granule,
+        synthesize_mp3_spectrum,
+    )
+
+    vals = [1, -1, 0, 1]
+    for sfc, (s1, s2) in enumerate(_MP3_SLEN):
+        sfs = [(3 + k) % (1 << s1) for k in range(11)] + [
+            (5 + k) % (1 << s2) for k in range(10)
+        ]
+        p = synthesize_mp3_spectrum(
+            vals, sfc % 3, scalefac_compress=sfc, scalefactors=sfs
+        )
+        g = read_mp3_granule(p)
+        assert g is not None
+        assert g["scalefac_compress"] == sfc
+        assert g["scalefactors"] == sfs
+        assert g["values"] == vals
+    with _pytest.raises(ValueError, match="exceeds slen"):
+        synthesize_mp3_spectrum(
+            vals, 0, scalefac_compress=1, scalefactors=[1] * 21
+        )  # band 0 has slen1=0: only 0 fits
+    # scalefactors-only granule (big_values = 0, table 0)
+    g = read_mp3_granule(
+        synthesize_mp3_spectrum(
+            [], 0, scalefac_compress=15, scalefactors=list(range(21))[:11]
+            + [(k % 8) for k in range(10)]
+        )
+    )
+    assert g["values"] == [] and len(g["scalefactors"]) == 21
