@@ -646,6 +646,7 @@ def read_delta_table(
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    skip_filters: list | None = None,
 ) -> DataFrame:
     """Read a Delta table end-to-end through the pure-Python snapshot:
     live files only (remove-actions honored), partition columns
@@ -672,6 +673,31 @@ def read_delta_table(
     from pyspark.sql.types import BooleanType, StructField, StringType
 
     snap = delta_snapshot(spark, path, version, timestamp_ms=timestamp_ms)
+    if skip_filters:
+        # DATA SKIPPING (r10): drop files whose add-action stats /
+        # partitionValues PROVE no row can satisfy the conjuncts. The
+        # caller's query must still apply the real filter — these
+        # conjuncts only bound which files are scanned (the contract
+        # delta-spark derives from the plan automatically; the bridge
+        # takes it explicitly). Missing stats keep the file, so the
+        # result set is identical with or without skip_filters.
+        live = set(prune_delta_files(snap, skip_filters))
+        snap = DeltaSnapshot(
+            version=snap.version,
+            schema=snap.schema,
+            partition_columns=snap.partition_columns,
+            files={r: pv for r, pv in snap.files.items() if r in live},
+            column_mapping=snap.column_mapping,
+            column_mapping_mode=snap.column_mapping_mode,
+            deletion_vectors={
+                r: d for r, d in snap.deletion_vectors.items() if r in live
+            },
+            protocol_raw=snap.protocol_raw,
+            metadata_raw=snap.metadata_raw,
+            adds_raw={
+                r: a for r, a in snap.adds_raw.items() if r in live
+            },
+        )
     part_cols = snap.partition_columns
     mode = snap.column_mapping_mode
     # protocol: partitionValues keys are PHYSICAL names under mapping
@@ -1014,6 +1040,148 @@ def _read_grouped(
     return out
 
 
+def _file_stats_json(full_path: str) -> str | None:
+    """Per-file STATS for an add action (the protocol's data-skipping
+    carrier delta-spark writes): ``numRecords`` plus per-column
+    ``minValues`` / ``maxValues`` / ``nullCount`` aggregated across
+    the parquet footer's row-group statistics via pyarrow — no data
+    read. Columns whose footer lacks stats (or whose logical type
+    doesn't JSON-serialize cleanly) are simply omitted — stats are
+    per-column optional, and :func:`prune_delta_files` keeps files
+    with missing stats. Returns None when the footer is unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested stats need the full path tree; skip
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                complete[name] = False
+                continue
+            nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        complete[name] = False
+                        continue
+                if not isinstance(lo, (int, float, str, bool)):
+                    complete[name] = False
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            elif col.num_values > 0:
+                complete[name] = False  # values but no min/max: unusable
+            complete.setdefault(name, True)
+    for name, ok in complete.items():
+        if not ok:
+            mins.pop(name, None)
+            maxs.pop(name, None)
+            nulls.pop(name, None)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+_PRUNE_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def prune_delta_files(snap: DeltaSnapshot, skip_filters: list) -> list:
+    """Delta DATA SKIPPING at the file grain (r10): the live paths
+    that might hold rows satisfying EVERY ``(column, op, literal)``
+    conjunct, decided from partitionValues (partition columns) and the
+    add actions' stats min/max (data columns) — the same pruning
+    delta-spark derives from the query plan; the bridge exposes it
+    explicitly because it hands Spark a plain parquet scan. Sound by
+    construction: a file is dropped only when its stats PROVE no row
+    can match (missing stats keep the file; any null comparison or
+    unknown op keeps everything)."""
+    for col, op, _ in skip_filters:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"prune op {op!r} unsupported (use one of "
+                f"{sorted(_PRUNE_OPS)})"
+            )
+    part_cols = set(snap.partition_columns)
+    out = []
+    for rel in sorted(snap.files):
+        add = snap.adds_raw.get(rel) or {}
+        stats = add.get("stats")
+        parsed = None
+        if stats:
+            try:
+                parsed = json.loads(stats)
+            except (TypeError, ValueError):
+                parsed = None
+        keep = True
+        for col, op, lit in skip_filters:
+            if lit is None:
+                continue  # null comparisons never prune
+            if col in part_cols:
+                raw = snap.files[rel].get(
+                    snap.column_mapping.get(col, col)
+                )
+                if raw is None:
+                    keep = False  # NULL partition value can't equal lit
+                    break
+                try:
+                    val = type(lit)(raw)
+                except (TypeError, ValueError):
+                    continue
+                ok = {
+                    "=": val == lit,
+                    "<": val < lit,
+                    "<=": val <= lit,
+                    ">": val > lit,
+                    ">=": val >= lit,
+                }[op]
+                if not ok:
+                    keep = False
+                    break
+                continue
+            if not parsed:
+                continue
+            lo = (parsed.get("minValues") or {}).get(col)
+            hi = (parsed.get("maxValues") or {}).get(col)
+            if lo is None or hi is None:
+                continue
+            try:
+                impossible = {
+                    "=": lit < lo or lit > hi,
+                    "<": lo >= lit,
+                    "<=": lo > lit,
+                    ">": hi <= lit,
+                    ">=": hi < lit,
+                }[op]
+            except TypeError:
+                continue  # stats/literal type mismatch: keep the file
+            if impossible:
+                keep = False
+                break
+        if keep:
+            out.append(rel)
+    return out
+
+
 def table_constraints(config: dict) -> dict:
     """name → SQL expression for every ``delta.constraints.<name>``
     key in the table configuration (the protocol's CHECK-constraint
@@ -1194,22 +1362,19 @@ def write_delta_commit(
             if name.endswith(".parquet") and os.path.isfile(full):
                 rel = f"part-{version:05d}-{n:05d}.parquet"
                 os.replace(full, os.path.join(path, rel))
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(
-                                os.path.join(path, rel)
-                            ),
-                            "modificationTime": int(
-                                os.path.getmtime(os.path.join(path, rel))
-                                * 1000
-                            ),
-                            "dataChange": True,
-                        }
-                    }
-                )
+                add = {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(path, rel)) * 1000
+                    ),
+                    "dataChange": True,
+                }
+                stats = _file_stats_json(os.path.join(path, rel))
+                if stats:
+                    add["stats"] = stats
+                adds.append({"add": add})
                 n += 1
             elif os.path.isdir(full) and "=" in name:
                 col, _, raw = name.partition("=")
@@ -1794,19 +1959,19 @@ def _cow_rewrite(
         if name.endswith(".parquet") and os.path.getsize(full) > 0:
             rel = f"part-{version:05d}-{n:05d}.parquet"
             os.replace(full, os.path.join(path, rel))
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(path, rel)),
-                        "modificationTime": int(
-                            os.path.getmtime(os.path.join(path, rel)) * 1000
-                        ),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": int(
+                    os.path.getmtime(os.path.join(path, rel)) * 1000
+                ),
+                "dataChange": True,
+            }
+            stats = _file_stats_json(os.path.join(path, rel))
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
             n += 1
     shutil.rmtree(stage)
     for rel in touched_rels:
@@ -1991,20 +2156,22 @@ def _dv_mark_deleted(
         if rel in snap.deletion_vectors:
             rm["deletionVector"] = snap.deletion_vectors[rel]
         actions.append({"remove": rm})
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": old_add.get(
-                        "size", os.path.getsize(os.path.join(path, rel))
-                    ),
-                    "modificationTime": old_add.get("modificationTime", now_ms),
-                    "dataChange": True,
-                    "deletionVector": descriptors[rel],
-                }
-            }
-        )
+        readd = {
+            "path": rel,
+            "partitionValues": {},
+            "size": old_add.get(
+                "size", os.path.getsize(os.path.join(path, rel))
+            ),
+            "modificationTime": old_add.get("modificationTime", now_ms),
+            "dataChange": True,
+            "deletionVector": descriptors[rel],
+        }
+        if old_add.get("stats"):
+            # stats stay PHYSICAL (they describe the file, not the
+            # survivor set) — the protocol's convention; pruning stays
+            # sound because physical stats over-approximate
+            readd["stats"] = old_add["stats"]
+        actions.append({"add": readd})
     n_new = sum(len(v) for v in newly.values())
     if not cdf_enabled(snap.metadata_raw):
         return snap, actions, n_new, None
@@ -2174,19 +2341,19 @@ def _stage_data_files(
         if name.endswith(".parquet") and os.path.getsize(full) > 0:
             rel = f"part-{version:05d}-{n:05d}.parquet"
             os.replace(full, os.path.join(path, rel))
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(path, rel)),
-                        "modificationTime": int(
-                            os.path.getmtime(os.path.join(path, rel)) * 1000
-                        ),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": int(
+                    os.path.getmtime(os.path.join(path, rel)) * 1000
+                ),
+                "dataChange": True,
+            }
+            stats = _file_stats_json(os.path.join(path, rel))
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
             n += 1
     shutil.rmtree(stage)
     return actions
@@ -2483,19 +2650,19 @@ def optimize_delta_table(
         if name.endswith(".parquet"):
             rel = f"part-{version:05d}-{n:05d}.parquet"
             os.replace(os.path.join(stage, name), os.path.join(path, rel))
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(path, rel)),
-                        "modificationTime": int(
-                            os.path.getmtime(os.path.join(path, rel)) * 1000
-                        ),
-                        "dataChange": False,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": int(
+                    os.path.getmtime(os.path.join(path, rel)) * 1000
+                ),
+                "dataChange": False,
+            }
+            stats = _file_stats_json(os.path.join(path, rel))
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
             n += 1
     import shutil
 

@@ -2738,3 +2738,110 @@ def test_cdf_drives_incremental_aggregate(spark, tmp_path):
         .collect()
     }
     assert view == full == {"a": (15, 1), "b": (340, 2), "c": (90, 1)}
+
+
+# ------------------------------------------------------------- r10e:
+# add-action STATS + file-grain data skipping.
+
+
+def test_add_actions_carry_stats_and_prune(spark, tmp_path):
+    """Writers record numRecords/min/max/nullCount per file from the
+    parquet footers; prune_delta_files drops exactly the files whose
+    stats prove no match; skip_filters reads return identical rows to
+    the unpruned filtered read while scanning fewer files."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        prune_delta_files,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "st")
+    _os.makedirs(root)
+    # three disjoint id ranges, one file each
+    for lo in (0, 100, 200):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(i, f"v{i}", None if i == lo else i * 10)
+                 for i in range(lo, lo + 50)],
+                "id long, v string, amt long",
+            ).coalesce(1),
+            root,
+        )
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 3
+    for rel, add in snap.adds_raw.items():
+        st = _json.loads(add["stats"])
+        assert st["numRecords"] == 50
+        assert st["nullCount"]["amt"] == 1
+        assert st["minValues"]["id"] % 100 == 0
+        assert st["maxValues"]["id"] == st["minValues"]["id"] + 49
+        assert st["minValues"]["v"].startswith("v")
+    # prune: equality inside one range keeps exactly one file
+    assert len(prune_delta_files(snap, [("id", "=", 120)])) == 1
+    assert len(prune_delta_files(snap, [("id", ">=", 100)])) == 2
+    assert len(prune_delta_files(snap, [("id", "<", 100)])) == 1
+    assert len(prune_delta_files(snap, [("id", "=", 99)])) == 0
+    # conjunct across columns; string stats participate too
+    assert len(
+        prune_delta_files(snap, [("id", ">=", 200), ("id", "<=", 210)])
+    ) == 1
+    # unknown column / null literal keep everything (sound)
+    assert len(prune_delta_files(snap, [("nope", "=", 1)])) == 3
+    assert len(prune_delta_files(snap, [("id", "=", None)])) == 3
+    # the pruned read equals the unpruned filtered read, fewer files
+    flt = (F.col("id") >= 100) & (F.col("id") < 150)
+    full = read_delta_table(spark, root).filter(flt)
+    pruned = read_delta_table(
+        spark, root, skip_filters=[("id", ">=", 100), ("id", "<", 150)]
+    ).filter(flt)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    n_files = pruned.select(
+        F.input_file_name()
+    ).distinct().count()
+    assert n_files == 1
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        prune_delta_files,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "stp")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, 7, "a"), (2, 8, "b"), (3, None, "c")],
+            "id long, d long, v string",
+        ),
+        root,
+        partition_by=["d"],
+    )
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 3
+    assert len(prune_delta_files(snap, [("d", "=", 7)])) == 1
+    assert len(prune_delta_files(snap, [("d", ">", 7)])) == 1
+    # NULL partition value can never equal a literal
+    assert len(prune_delta_files(snap, [("d", "<=", 99)])) == 2
+    got = read_delta_table(
+        spark, root, skip_filters=[("d", "=", 8)]
+    ).collect()
+    assert [(r["id"], r["d"], r["v"]) for r in got] == [(2, 8, "b")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prune op"):
+        prune_delta_files(snap, [("d", "!=", 7)])
