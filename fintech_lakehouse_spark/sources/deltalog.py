@@ -1273,6 +1273,7 @@ def write_delta_commit(
     path: str,
     mode: str = "append",
     partition_by: list | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Minimal protocol-v1 Delta WRITER: write ``df`` as parquet data
     files under ``path`` and commit them to the ``_delta_log`` as the
@@ -1313,6 +1314,7 @@ def write_delta_commit(
                if have_any else 0)
 
     prev_files: dict[str, dict] = {}
+    new_fields: list = []
     if have_any:
         prev = delta_snapshot(spark, path)
         prev_files = prev.files
@@ -1340,11 +1342,37 @@ def write_delta_commit(
         if [f.name for f in prev.schema.fields] != [
             f.name for f in df.schema.fields
         ]:
-            raise ValueError(
-                "write_delta_commit: schema column mismatch vs table "
-                f"(have {[f.name for f in prev.schema.fields]}, "
-                f"writing {[f.name for f in df.schema.fields]})"
-            )
+            prev_names = [f.name for f in prev.schema.fields]
+            df_names = [f.name for f in df.schema.fields]
+            extra = [n_ for n_ in df_names if n_ not in prev_names]
+            if (
+                merge_schema
+                and df_names[: len(prev_names)] == prev_names
+                and extra
+            ):
+                # SCHEMA EVOLUTION (r10, delta's mergeSchema subset):
+                # the incoming frame carries every existing column in
+                # order plus NEW trailing columns — commit a widened
+                # metaData (additions forced nullable: old files lack
+                # the column and read back as NULL, which the schema'd
+                # scan already does). Anything else (drops, renames,
+                # reorders, type changes) stays a refusal.
+                from pyspark.sql.types import StructField
+
+                new_fields = [
+                    StructField(f.name, f.dataType, True)
+                    for f in df.schema.fields
+                    if f.name in set(extra)
+                ]
+            else:
+                raise ValueError(
+                    "write_delta_commit: schema column mismatch vs table "
+                    f"(have {[f.name for f in prev.schema.fields]}, "
+                    f"writing {[f.name for f in df.schema.fields]})"
+                    + ("" if merge_schema else
+                       " — pass merge_schema=True to append NEW trailing"
+                       " nullable columns")
+                )
 
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1392,6 +1420,11 @@ def write_delta_commit(
     shutil.rmtree(stage)
 
     actions: list[dict] = []
+    if new_fields:
+        widened = StructType(list(prev.schema.fields) + new_fields)
+        md = dict(prev.metadata_raw)
+        md["schemaString"] = json.dumps(widened.jsonValue())
+        actions.append({"metaData": md})
     if version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -20,6 +20,11 @@ Modes:
   synthesized deletes (read at the prior snapshot) for plain removes
   — the same reconstruction rule as
   ``deltalog.read_delta_changes``.
+* ``maxVersionsPerTrigger=N`` — micro-batch pacing (delta's
+  maxFilesPerTrigger analog at the commit grain): each trigger admits
+  at most N versions. Use with processing-time triggers;
+  ``availableNow`` snapshots the end offset ONCE, so a rate limit
+  would end that run early (the engine-side trigger semantics).
 
 The batch reader (``spark.read.format("deltabridge")``) serves the
 LIVE snapshot with one InputPartition per data file; deletion vectors
@@ -291,15 +296,32 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         else:
             # default: everything the log still has
             self.start_version = -1
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        self._last_end = self.start_version
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:  # noqa: N802
         versions = _commit_versions(os.path.join(self.path, LOG_DIR))
-        return {"version": max(versions) if versions else self.start_version}
+        latest = max(versions) if versions else self.start_version
+        if self.max_versions is not None:
+            # micro-batch pacing (delta's maxFilesPerTrigger analog at
+            # the commit grain): admit at most N versions per trigger,
+            # tracked from the previous admitted end
+            latest = min(latest, self._last_end + self.max_versions)
+        self._last_end = max(self._last_end, latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        # a restarted query resumes from the CHECKPOINTED offset, which
+        # a fresh reader instance hasn't seen — let the engine's own
+        # range drive the pacing tracker forward
+        self._last_end = max(self._last_end, start["version"],
+                             end["version"])
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
             out.extend(self._version_partitions(v))

@@ -2845,3 +2845,65 @@ def test_partition_value_pruning(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="prune op"):
         prune_delta_files(snap, [("d", "!=", 7)])
+
+
+def test_append_schema_evolution_merge_schema(spark, tmp_path):
+    """r10: merge_schema=True appends with NEW trailing columns —
+    metaData widens (additions nullable), old files read back NULL for
+    the new column; drops/renames/reorders still refuse; default stays
+    fail-closed."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "evo")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(2, "b", 9)], "id long, v string, w long"),
+            root,
+        )
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(2, "b", 9)], "id long, v string, w long"),
+        root,
+        merge_schema=True,
+    )
+    snap = delta_snapshot(spark, root)
+    assert [f.name for f in snap.schema.fields] == ["id", "v", "w"]
+    assert snap.schema["w"].nullable
+    got = sorted(
+        (r["id"], r["v"], r["w"])
+        for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 9)]
+    # the widened schema is now the contract for plain appends
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 30)], "id long, v string, w long"),
+        root,
+    )
+    assert read_delta_table(spark, root).count() == 3
+    # reorders / missing columns refuse even with merge_schema
+    with pytest.raises(ValueError, match="schema column mismatch"):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([("x", 4, 1)], "v string, id long, w long"),
+            root,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="schema column mismatch"):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(5,)], "id long"),
+            root,
+            merge_schema=True,
+        )

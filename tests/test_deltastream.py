@@ -248,3 +248,56 @@ def test_scope_guards_fail_closed(registered, tmp_path):
         spark.read.format("deltabridge").option("path", root).load().collect()
     with pytest.raises(Exception, match="path"):
         spark.read.format("deltabridge").load().collect()
+
+def test_max_versions_per_trigger_paces_batches(registered, tmp_path):
+    """maxVersionsPerTrigger=1 admits one commit per micro-batch under
+    a processing-time trigger (with availableNow the engine snapshots
+    the end offset ONCE, so a rate limit would end the run early — the
+    documented trigger caveat); all rows still arrive exactly once,
+    one version per batch."""
+    import time
+
+    spark = registered
+    root = str(tmp_path / "mv")
+    os.makedirs(root)
+    for i in range(3):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            root,
+        )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("deltabridge")
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got: list = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    r["id"] for r in spark.read.parquet(out).collect()
+                )
+            except Exception:
+                got = []
+            if got == [0, 1, 2]:
+                break
+            time.sleep(1)
+        assert got == [0, 1, 2]
+        # one version per batch: at least 3 non-empty batches ran
+        nonempty = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(nonempty) >= 3
+        for p in nonempty:
+            assert p["numInputRows"] == 1
+    finally:
+        q.stop()
