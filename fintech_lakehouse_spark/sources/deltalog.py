@@ -1908,6 +1908,163 @@ def read_delta_changes(
     return out.select(*cols, *meta_cols)
 
 
+def _dml_basename_map(snap, op_name: str) -> dict:
+    from urllib.parse import quote
+
+    by_bn: dict[str, str] = {}
+    for rel in snap.files:
+        bn = os.path.basename(rel)
+        for key in {bn, quote(bn), quote(bn, safe="")}:
+            if by_bn.setdefault(key, rel) != rel:
+                raise NotImplementedError(
+                    f"{op_name}: colliding data-file basenames ({bn!r}) "
+                    "make the touched-file resolution ambiguous; refusing"
+                )
+    return by_bn
+
+
+def _dml_scan(
+    spark: SparkSession,
+    path: str,
+    snap,
+    op_name: str,
+    with_row_index: bool = False,
+) -> tuple:
+    """Live-file scan for DML predicate evaluation (r10 — the piece
+    that unlocks PARTITIONED DELETE/UPDATE/MERGE): data columns from
+    the files, ``_dl_file`` basename, optionally ``_dl_ri`` (projected
+    BEFORE any join — hidden-column rule), and partition columns
+    attached TYPED from the log's partitionValues via the same
+    fail-closed broadcast left-join + raise_error guard the read path
+    uses (data files physically lack partition columns; a bare
+    full-schema read would evaluate predicates against NULLs —
+    silently matching nothing). Returns (scan, basename→rel map)."""
+    from pyspark.sql.types import BooleanType, StringType, StructField
+
+    by_bn = _dml_basename_map(snap, op_name)
+    part_cols = snap.partition_columns
+    data_fields = [
+        f for f in snap.schema.fields if f.name not in set(part_cols)
+    ]
+    data_schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in data_fields]
+    )
+    scan = spark.read.schema(data_schema).parquet(
+        *[os.path.join(path, rel) for rel in snap.files]
+    ).withColumn(
+        "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    if with_row_index:
+        scan = scan.withColumn("_dl_ri", F.col("_metadata.row_index"))
+    if part_cols:
+        part_types = {
+            f.name: f.dataType
+            for f in snap.schema.fields
+            if f.name in part_cols
+        }
+        lk_schema = StructType(
+            [
+                StructField("_dl_file", StringType(), False),
+                StructField("_dl_pv_ok", BooleanType(), False),
+            ]
+            + [StructField(c, StringType(), True) for c in part_cols]
+        )
+        rows = sorted(
+            {
+                (key, True, *(snap.files[rel].get(c) for c in part_cols))
+                for key, rel in by_bn.items()
+            }
+        )
+        lookup = spark.createDataFrame(rows, lk_schema)
+        scan = scan.join(F.broadcast(lookup), "_dl_file", "left")
+        guard = F.when(
+            F.col("_dl_pv_ok").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: data-file basename "),
+                    F.col("_dl_file"),
+                    F.lit(" missing from the snapshot lookup — refusing"),
+                )
+            ),
+        )
+        first = part_cols[0]
+        scan = scan.withColumn(
+            first, guard.otherwise(F.col(first))
+        ).drop("_dl_pv_ok")
+        for c in part_cols:
+            scan = scan.withColumn(c, F.col(c).cast(part_types[c]))
+    extras = ["_dl_file"] + (["_dl_ri"] if with_row_index else [])
+    scan = scan.select(
+        *[f.name for f in snap.schema.fields], *extras
+    )
+    return scan, by_bn
+
+
+def _stage_files(
+    spark: SparkSession,
+    path: str,
+    df,
+    version: int,
+    partition_by: list,
+    start_n: int = 0,
+    data_change: bool = True,
+) -> list:
+    """Stage ``df`` via a normal distributed parquet write (optionally
+    partitionBy), move the non-empty part files to
+    ``part-<version>-<n>`` at the table root, and return their add
+    actions — partitionValues hive-UNESCAPED from the staging dir
+    names (the writer's knowledge, not directory parsing of the
+    table), footer stats attached."""
+    import shutil
+    import uuid
+
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    actions: list = []
+    n = start_n
+
+    def collect(dirpath: str, pvals: dict) -> None:
+        nonlocal n
+        for name in sorted(os.listdir(dirpath)):
+            full = os.path.join(dirpath, name)
+            if (
+                name.endswith(".parquet")
+                and os.path.isfile(full)
+                and os.path.getsize(full) > 0
+            ):
+                rel = f"part-{version:05d}-{n:05d}.parquet"
+                os.replace(full, os.path.join(path, rel))
+                add = {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(path, rel)) * 1000
+                    ),
+                    "dataChange": data_change,
+                }
+                stats = _file_stats_json(os.path.join(path, rel))
+                if stats:
+                    add["stats"] = stats
+                actions.append({"add": add})
+                n += 1
+            elif os.path.isdir(full) and "=" in name:
+                col, _, raw = name.partition("=")
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+                collect(full, {**pvals, col: val})
+
+    collect(stage, {})
+    shutil.rmtree(stage)
+    return actions
+
+
 def _cow_rewrite(
     spark: SparkSession,
     path: str,
@@ -1923,43 +2080,26 @@ def _cow_rewrite(
     files + removes for their predecessors. This is delta-spark's
     pre-deletion-vector DELETE/UPDATE semantics; at 100 TB the
     touched-file set is what partition pruning on the predicate
-    bounds. Unpartitioned protocol-v1 tables only (the writer's
-    limitation class); returns the committed version."""
-    import shutil
-    import uuid
-
+    bounds. r10: PARTITIONED tables supported — partition columns
+    attach typed from the log for predicate evaluation, rewritten rows
+    stage partitionBy so the adds carry partitionValues (an UPDATE
+    that changes a partition column moves its rows naturally).
+    Returns the committed version."""
     snap = delta_snapshot(spark, path)
-    if snap.partition_columns:
-        raise NotImplementedError(
-            f"{op_name} rewrites unpartitioned tables only; partitioned "
-            "tables route through write_delta_commit overwrite"
-        )
     if snap.column_mapping or snap.deletion_vectors:
         raise NotImplementedError(
             f"{op_name} on column-mapped / deletion-vector tables needs "
             "a physical-name-aware writer — refusing"
         )
+    if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
+        raise NotImplementedError(
+            f"{op_name}: change data feed on a partitioned table — "
+            "read_delta_changes is unpartitioned-only; refusing"
+        )
     if not snap.files:
         return snap.version  # nothing to do; no commit
     cond = F.expr(condition)
-    from urllib.parse import quote
-
-    by_bn: dict[str, str] = {}
-    for rel in snap.files:
-        bn = os.path.basename(rel)
-        for key in {bn, quote(bn), quote(bn, safe="")}:
-            if by_bn.setdefault(key, rel) != rel:
-                raise NotImplementedError(
-                    f"{op_name}: colliding data-file basenames ({bn!r}) "
-                    "make the touched-file resolution ambiguous; refusing"
-                )
-    scan = (
-        spark.read.schema(snap.schema)
-        .parquet(*[os.path.join(path, rel) for rel in snap.files])
-        .withColumn(
-            "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-        )
-    )
+    scan, by_bn = _dml_scan(spark, path, snap, op_name)
     touched = [
         r["_dl_file"]
         for r in scan.filter(cond).select("_dl_file").distinct().collect()
@@ -1983,30 +2123,9 @@ def _cow_rewrite(
         _enforce_constraints(
             keep, snap.metadata_raw.get("configuration"), op_name
         )
-    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
-    keep.write.mode("overwrite").parquet(stage)
-    actions: list[dict] = []
-    n = 0
-    for name in sorted(os.listdir(stage)):
-        full = os.path.join(stage, name)
-        if name.endswith(".parquet") and os.path.getsize(full) > 0:
-            rel = f"part-{version:05d}-{n:05d}.parquet"
-            os.replace(full, os.path.join(path, rel))
-            add = {
-                "path": rel,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(path, rel)),
-                "modificationTime": int(
-                    os.path.getmtime(os.path.join(path, rel)) * 1000
-                ),
-                "dataChange": True,
-            }
-            stats = _file_stats_json(os.path.join(path, rel))
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-            n += 1
-    shutil.rmtree(stage)
+    actions: list[dict] = _stage_files(
+        spark, path, keep, version, snap.partition_columns
+    )
     for rel in touched_rels:
         actions.append(
             {
@@ -2072,33 +2191,20 @@ def _dv_mark_deleted(
     )
 
     snap = delta_snapshot(spark, path)
-    if snap.partition_columns:
-        raise NotImplementedError(
-            f"{op_name} (deletion-vector mode) supports unpartitioned "
-            "tables only — the writer's limitation class"
-        )
     if snap.column_mapping:
         raise NotImplementedError(
             f"{op_name} (deletion-vector mode) on column-mapped tables "
             "needs a physical-name-aware scan — refusing"
         )
+    if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
+        raise NotImplementedError(
+            f"{op_name}: change data feed on a partitioned table — "
+            "read_delta_changes is unpartitioned-only; refusing"
+        )
     if not snap.files:
         return snap, [], 0, None
-    by_bn: dict[str, str] = {}
-    for rel in snap.files:
-        bn = os.path.basename(rel)
-        if by_bn.setdefault(bn, rel) != rel:
-            raise NotImplementedError(
-                f"{op_name}: colliding data-file basenames ({bn!r}) make "
-                "row-index attribution ambiguous; refusing"
-            )
-    scan = (
-        spark.read.schema(snap.schema)
-        .parquet(*[os.path.join(path, rel) for rel in snap.files])
-        .withColumn(
-            "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-        )
-        .withColumn("_dl_ri", F.col("_metadata.row_index"))
+    scan, by_bn = _dml_scan(
+        spark, path, snap, op_name, with_row_index=True
     )
     matches = matcher(scan).select("_dl_file", "_dl_ri").toPandas()
     matched_by_rel: dict[str, set] = {}
@@ -2191,7 +2297,7 @@ def _dv_mark_deleted(
         actions.append({"remove": rm})
         readd = {
             "path": rel,
-            "partitionValues": {},
+            "partitionValues": snap.files[rel],
             "size": old_add.get(
                 "size", os.path.getsize(os.path.join(path, rel))
             ),
@@ -2343,7 +2449,11 @@ def update_delta_table(
         updated, snap.metadata_raw.get("configuration"), "update_delta_table"
     )
     version = _next_version(path)
-    actions.extend(_stage_data_files(spark, path, updated, version))
+    actions.extend(
+        _stage_files(
+            spark, path, updated, version, snap.partition_columns
+        )
+    )
     if deleted_rows is not None:
         cdc = deleted_rows.withColumn(
             "_change_type", F.lit("update_preimage")
@@ -2353,43 +2463,6 @@ def update_delta_table(
         actions.extend(_write_cdc_files(spark, path, version, cdc))
     _write_commit(path, version, actions, operation="UPDATE")
     return version
-
-
-def _stage_data_files(
-    spark: SparkSession, path: str, df, version: int, start_n: int = 0
-) -> list:
-    """Write ``df`` to a staging dir via a normal distributed parquet
-    write, move the non-empty part files to ``part-<version>-<n>``
-    (numbering from ``start_n`` so one commit can stage several
-    frames) at the table root, and return their add actions."""
-    import shutil
-    import uuid
-
-    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
-    actions: list = []
-    n = start_n
-    for name in sorted(os.listdir(stage)):
-        full = os.path.join(stage, name)
-        if name.endswith(".parquet") and os.path.getsize(full) > 0:
-            rel = f"part-{version:05d}-{n:05d}.parquet"
-            os.replace(full, os.path.join(path, rel))
-            add = {
-                "path": rel,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(path, rel)),
-                "modificationTime": int(
-                    os.path.getmtime(os.path.join(path, rel)) * 1000
-                ),
-                "dataChange": True,
-            }
-            stats = _file_stats_json(os.path.join(path, rel))
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-            n += 1
-    shutil.rmtree(stage)
-    return actions
 
 
 def merge_into_delta_table(
@@ -2416,15 +2489,15 @@ def merge_into_delta_table(
     table's columns by name. Returns the committed version (current
     version when the source is empty)."""
     snap = delta_snapshot(spark, path)
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "merge_into_delta_table supports unpartitioned tables only "
-            "— the writer's limitation class"
-        )
     if snap.column_mapping:
         raise NotImplementedError(
             "merge_into_delta_table on column-mapped tables needs a "
             "physical-name-aware writer — refusing"
+        )
+    if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
+        raise NotImplementedError(
+            "merge_into_delta_table: change data feed on a partitioned "
+            "table — read_delta_changes is unpartitioned-only; refusing"
         )
     if snap.deletion_vectors and not use_deletion_vectors:
         raise NotImplementedError(
@@ -2487,7 +2560,10 @@ def merge_into_delta_table(
         )
         version = _next_version(path)
         actions.extend(
-            _stage_data_files(spark, path, source_df.select(*cols), version)
+            _stage_files(
+                spark, path, source_df.select(*cols), version,
+                snap.partition_columns,
+            )
         )
         if cdc_parts is not None:
             pre = (
@@ -2536,26 +2612,12 @@ def _merge_cow(
     matched rows, land all source rows in new files, commit adds +
     removes atomically. Untouched files are never read again after
     the touch resolution."""
-    from urllib.parse import quote
-
-    by_bn: dict[str, str] = {}
-    for rel in snap.files:
-        bn = os.path.basename(rel)
-        for key in {bn, quote(bn), quote(bn, safe="")}:
-            if by_bn.setdefault(key, rel) != rel:
-                raise NotImplementedError(
-                    "merge_into_delta_table: colliding data-file "
-                    f"basenames ({bn!r}) make touch resolution ambiguous"
-                )
-    scan = (
-        spark.read.schema(snap.schema)
-        .parquet(*[os.path.join(path, rel) for rel in snap.files])
-        .withColumn(
-            "_dl_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    if snap.files:
+        scan, by_bn = _dml_scan(
+            spark, path, snap, "merge_into_delta_table"
         )
-        if snap.files
-        else None
-    )
+    else:
+        scan, by_bn = None, {}
     version = _next_version(path)
     actions: list[dict] = []
     if scan is not None:
@@ -2585,7 +2647,10 @@ def _merge_cow(
                 .drop("_dl_file")
             )
             actions.extend(
-                _stage_data_files(spark, path, keep.select(*cols), version)
+                _stage_files(
+                    spark, path, keep.select(*cols), version,
+                    snap.partition_columns,
+                )
             )
             now_ms = int(os.path.getmtime(path) * 1000)
             for rel in touched_rels:
@@ -2599,11 +2664,12 @@ def _merge_cow(
                     }
                 )
     actions.extend(
-        _stage_data_files(
+        _stage_files(
             spark,
             path,
             source_df.select(*cols),
             version,
+            snap.partition_columns,
             start_n=sum(1 for a in actions if "add" in a),
         )
     )
@@ -2640,24 +2706,22 @@ def optimize_delta_table(
     skips it) and tombstones every previous live file. Returns the
     committed version.
 
-    Limitations mirror write_delta_commit: single-writer, protocol v1,
-    unpartitioned rewrite (partitioned tables keep their layout
-    through a normal overwrite instead). Snapshot row content is
+    Limitations mirror write_delta_commit: single-writer, protocol v1.
+    r10: PARTITIONED tables compact WITHIN each partition (one file
+    per partition value; ZORDER stays unpartitioned-only — the Morton
+    key would need per-partition ranges). Snapshot row content is
     unchanged — unit-asserted — and prior versions stay time-travelable
     until vacuumed."""
-    import uuid
-
     snap = delta_snapshot(spark, path)
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "optimize_delta_table rewrites unpartitioned tables; "
-            "partitioned layouts keep clustering via write_delta_commit "
-            "overwrite"
-        )
     if snap.column_mapping:
         raise NotImplementedError(
             "optimize_delta_table cannot rewrite a column-mapped table: "
             "its data files would need the table's PHYSICAL column names"
+        )
+    if zorder and snap.partition_columns:
+        raise NotImplementedError(
+            "optimize_delta_table ZORDER on partitioned tables is not "
+            "implemented (per-partition Morton ranges)"
         )
     df = read_delta_table(spark, path)
     if zorder:
@@ -2669,37 +2733,22 @@ def optimize_delta_table(
             .sortWithinPartitions("_zk")
             .drop("_zk")
         )
+    elif snap.partition_columns:
+        # one output task per partition value → one compacted file per
+        # partition dir after the partitionBy staging
+        df = df.repartition(
+            *[F.col(c) for c in snap.partition_columns]
+        )
     else:
         # repartition, not coalesce: the snapshot read often collapses
         # many small files into one input partition, and coalesce can
         # only DECREASE the count
         df = df.repartition(target_files)
     version = _next_version(path)
-    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
-    actions = []
-    n = 0
-    for name in sorted(os.listdir(stage)):
-        if name.endswith(".parquet"):
-            rel = f"part-{version:05d}-{n:05d}.parquet"
-            os.replace(os.path.join(stage, name), os.path.join(path, rel))
-            add = {
-                "path": rel,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(path, rel)),
-                "modificationTime": int(
-                    os.path.getmtime(os.path.join(path, rel)) * 1000
-                ),
-                "dataChange": False,
-            }
-            stats = _file_stats_json(os.path.join(path, rel))
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-            n += 1
-    import shutil
-
-    shutil.rmtree(stage)
+    actions = _stage_files(
+        spark, path, df, version, snap.partition_columns,
+        data_change=False,
+    )
     for rel in sorted(snap.files):
         actions.append(
             {

@@ -403,8 +403,14 @@ def upsert_lake_table(
                 )
             else:
                 src = source_df.dropDuplicates(merge_keys)
-            if partition_by:
-                # the bridge has no selective-partition commit yet:
+            if partition_by and sorted(src.columns) == sorted(
+                existing.columns
+            ):
+                # r10: MERGE handles partitioned tables now — touched
+                # files only, adds carry partitionValues
+                merge_into_delta_table(spark, target_path, src, merge_keys)
+            elif partition_by:
+                # schema-evolution upsert (source carries new columns):
                 # full window-merge + one overwrite commit (correct;
                 # cost is a table rewrite — fine for the offline case)
                 tagged_src = src.withColumn("_mr", F.lit(0))

@@ -2907,3 +2907,172 @@ def test_append_schema_evolution_merge_schema(spark, tmp_path):
             root,
             merge_schema=True,
         )
+
+
+# ------------------------------------------------------------- r10f:
+# PARTITIONED DML (delete/update/merge/optimize on partitioned tables).
+
+
+def _mk_part_table(spark, root):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import write_delta_commit
+
+    _os.makedirs(root, exist_ok=True)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(i, "east" if i % 2 == 0 else "west", i * 10)
+             for i in range(20)],
+            "id long, region string, amt long",
+        ),
+        root,
+        partition_by=["region"],
+    )
+
+
+def test_partitioned_cow_delete_and_update(spark, tmp_path):
+    """DELETE/UPDATE on a partitioned table: predicates may reference
+    the partition column (attached typed from the log, NOT read from
+    files), untouched partitions keep their files, and an UPDATE that
+    CHANGES the partition column moves its rows to the new partition
+    dir."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        delta_snapshot,
+        read_delta_table,
+        update_delta_table,
+    )
+
+    root = str(tmp_path / "pd")
+    _mk_part_table(spark, root)
+    east_rels = {
+        rel for rel, pv in delta_snapshot(spark, root).files.items()
+        if pv["region"] == "east"
+    }
+    mtimes = {
+        rel: _os.path.getmtime(_os.path.join(root, rel))
+        for rel in east_rels
+    }
+    # predicate on the PARTITION column + a data column
+    delete_from_delta_table(
+        spark, root, "region = 'west' AND amt >= 150"
+    )
+    got = sorted(
+        (r["id"], r["region"]) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == sorted(
+        [(i, "east") for i in range(0, 20, 2)]
+        + [(i, "west") for i in range(1, 20, 2) if i * 10 < 150]
+    )
+    # east partition physically untouched
+    snap = delta_snapshot(spark, root)
+    for rel in east_rels:
+        assert rel in snap.files
+        assert _os.path.getmtime(_os.path.join(root, rel)) == mtimes[rel]
+    # adds carry the right partitionValues
+    assert all(
+        pv["region"] in ("east", "west") for pv in snap.files.values()
+    )
+    # UPDATE that MOVES rows across partitions
+    update_delta_table(
+        spark, root, "region = 'west'", {"region": "'north'"}
+    )
+    regions = {
+        pv["region"] for pv in delta_snapshot(spark, root).files.values()
+    }
+    assert "north" in regions and "west" not in regions
+    got = {
+        (r["id"], r["region"])
+        for r in read_delta_table(spark, root).collect()
+    }
+    assert (1, "north") in got and not any(
+        reg == "west" for _, reg in got
+    )
+
+
+def test_partitioned_dv_delete_and_merge(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        delta_snapshot,
+        merge_into_delta_table,
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "pdv")
+    _mk_part_table(spark, root)
+    delete_from_delta_table(
+        spark, root, "region = 'east' AND id < 6", use_deletion_vectors=True
+    )
+    snap = delta_snapshot(spark, root)
+    # the DV re-add kept its partitionValues
+    for rel in snap.deletion_vectors:
+        assert snap.files[rel]["region"] == "east"
+    got = sorted(r["id"] for r in read_delta_table(spark, root).collect())
+    assert got == sorted(
+        [i for i in range(20) if not (i % 2 == 0 and i < 6)]
+    )
+    # partitioned MERGE (DV mode — the table already carries DVs):
+    # update one row per partition + insert a new-partition row
+    merge_into_delta_table(
+        spark, root,
+        spark.createDataFrame(
+            [(8, "east", 999), (9, "west", 888), (100, "north", 1)],
+            "id long, region string, amt long",
+        ),
+        ["id"],
+        use_deletion_vectors=True,
+    )
+    got = {
+        (r["id"], r["region"], r["amt"])
+        for r in read_delta_table(spark, root).collect()
+    }
+    assert (8, "east", 999) in got and (9, "west", 888) in got
+    assert (100, "north", 1) in got
+    snap = delta_snapshot(spark, root)
+    assert {"east", "west", "north"} <= {
+        pv["region"] for pv in snap.files.values()
+    }
+
+
+def test_partitioned_optimize_compacts_per_partition(spark, tmp_path):
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        optimize_delta_table,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "popt")
+    _mk_part_table(spark, root)
+    # a few more appends → several files per partition
+    for _ in range(2):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(100, "east", 1), (101, "west", 2)],
+                "id long, region string, amt long",
+            ),
+            root,
+            partition_by=["region"],
+        )
+    before = sorted(
+        map(tuple, read_delta_table(spark, root).collect())
+    )
+    n_before = len(delta_snapshot(spark, root).files)
+    optimize_delta_table(spark, root)
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 2 < n_before  # one file per partition
+    assert {pv["region"] for pv in snap.files.values()} == {
+        "east", "west",
+    }
+    after = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert after == before
+    with pytest.raises(NotImplementedError, match="ZORDER"):
+        optimize_delta_table(spark, root, zorder=["id"])
