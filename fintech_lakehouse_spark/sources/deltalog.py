@@ -2708,23 +2708,35 @@ def optimize_delta_table(
 
     Limitations mirror write_delta_commit: single-writer, protocol v1.
     r10: PARTITIONED tables compact WITHIN each partition (one file
-    per partition value; ZORDER stays unpartitioned-only — the Morton
-    key would need per-partition ranges). Snapshot row content is
-    unchanged — unit-asserted — and prior versions stay time-travelable
-    until vacuumed."""
+    per partition value); ZORDER BY on a partitioned table clusters
+    PER PARTITION (one task per value, rows Morton-sorted inside it —
+    delta's own semantics: the curve never spans partition
+    boundaries). Snapshot row content is unchanged — unit-asserted —
+    and prior versions stay time-travelable until vacuumed."""
     snap = delta_snapshot(spark, path)
     if snap.column_mapping:
         raise NotImplementedError(
             "optimize_delta_table cannot rewrite a column-mapped table: "
             "its data files would need the table's PHYSICAL column names"
         )
-    if zorder and snap.partition_columns:
-        raise NotImplementedError(
-            "optimize_delta_table ZORDER on partitioned tables is not "
-            "implemented (per-partition Morton ranges)"
+    if zorder and set(zorder) & set(snap.partition_columns):
+        raise ValueError(
+            "optimize_delta_table: ZORDER columns overlap the partition "
+            "columns — partition pruning already covers them"
         )
     df = read_delta_table(spark, path)
-    if zorder:
+    if zorder and snap.partition_columns:
+        from fintech_lakehouse_spark.sources.writers import zorder_key
+
+        df = (
+            df.withColumn("_zk", zorder_key(df, zorder))
+            .repartition(*[F.col(c) for c in snap.partition_columns])
+            .sortWithinPartitions(
+                *[F.col(c) for c in snap.partition_columns], F.col("_zk")
+            )
+            .drop("_zk")
+        )
+    elif zorder:
         from fintech_lakehouse_spark.sources.writers import zorder_key
 
         df = (

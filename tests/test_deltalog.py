@@ -3074,5 +3074,34 @@ def test_partitioned_optimize_compacts_per_partition(spark, tmp_path):
     }
     after = sorted(map(tuple, read_delta_table(spark, root).collect()))
     assert after == before
-    with pytest.raises(NotImplementedError, match="ZORDER"):
-        optimize_delta_table(spark, root, zorder=["id"])
+    # per-partition ZORDER (r10): rows Morton-sorted WITHIN each
+    # partition file, content unchanged, one file per partition
+    optimize_delta_table(spark, root, zorder=["id", "amt"])
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 2
+    again = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert again == before
+    import pyarrow.parquet as _pq
+
+    from fintech_lakehouse_spark.sources.writers import zorder_key
+
+    for rel in snap.files:
+        tbl = _pq.read_table(_os.path.join(root, rel)).to_pylist()
+        ids = [r["id"] for r in tbl]
+        # verify the within-file ordering follows the Morton key by
+        # re-deriving it through Spark on the file's own rows
+        df = spark.createDataFrame(
+            [(r["id"], r["amt"]) for r in tbl], "id long, amt long"
+        )
+        zk = [
+            r["_zk"]
+            for r in df.withColumn(
+                "_zk", zorder_key(df, ["id", "amt"])
+            ).collect()
+        ]
+        order = {(r["id"], r["amt"]): k for r, k in zip(tbl, zk)}
+        keys = [order[(r["id"], r["amt"])] for r in tbl]
+        assert keys == sorted(keys), rel
+    # zorder on a partition column refuses
+    with pytest.raises(ValueError, match="partition columns"):
+        optimize_delta_table(spark, root, zorder=["region"])
