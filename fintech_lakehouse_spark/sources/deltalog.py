@@ -2922,15 +2922,23 @@ def _next_version(path: str) -> int:
     return (max(pool) + 1) if pool else 0
 
 
+class DeltaConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first — the bridge's
+    filesystem-grain analog of delta's optimistic-concurrency conflict
+    (retry: re-derive the snapshot and re-attempt at the new version).
+    """
+
+
 def _write_commit(
     path: str, version: int, actions: list, operation: str | None = None
 ) -> None:
     import time as _time
+    import uuid as _uuid
 
     log = os.path.join(path, LOG_DIR)
     os.makedirs(log, exist_ok=True)
     commit = os.path.join(log, f"{version:020d}.json")
-    tmp = commit + ".tmp"
+    tmp = commit + f".{_uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         if operation:
             # commitInfo is replay-irrelevant but carries the commit
@@ -2949,4 +2957,21 @@ def _write_commit(
             )
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)
+    # PUBLISH with fail-if-exists semantics (r10): os.replace would
+    # silently CLOBBER a commit another writer won — link() is atomic
+    # and raises FileExistsError instead, the put-if-absent primitive
+    # delta's LogStore contract requires of the filesystem. Version
+    # allocation is still check-then-write (losers surface here as a
+    # clean conflict, not data loss).
+    try:
+        os.link(tmp, commit)
+    except FileExistsError:
+        raise DeltaConcurrentWriteError(
+            f"Delta version {version} was committed by another writer "
+            f"({commit} already exists) — re-read the snapshot and retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass

@@ -3105,3 +3105,70 @@ def test_partitioned_optimize_compacts_per_partition(spark, tmp_path):
     # zorder on a partition column refuses
     with pytest.raises(ValueError, match="partition columns"):
         optimize_delta_table(spark, root, zorder=["region"])
+
+
+def test_concurrent_commit_conflict_fails_clean(spark, tmp_path):
+    """r10: commit publication is put-if-absent (os.link) — a version
+    another writer already committed raises DeltaConcurrentWriteError
+    instead of silently clobbering their commit; the table stays
+    consistent and a retry at the NEXT version succeeds."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        DeltaConcurrentWriteError,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "ccw")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    # simulate another writer winning version 1
+    log = _os.path.join(root, "_delta_log")
+    foreign = _os.path.join(log, f"{1:020d}.json")
+    with open(foreign, "w") as fh:
+        fh.write(
+            '{"add": {"path": "theirs.parquet", "partitionValues": {}, '
+            '"size": 1, "modificationTime": 0, "dataChange": true}}\n'
+        )
+    # their data file must exist for reads to stay green
+    import shutil
+
+    src = next(
+        n for n in _os.listdir(root) if n.endswith(".parquet")
+    )
+    shutil.copy(_os.path.join(root, src), _os.path.join(root, "theirs.parquet"))
+    # stale version computation happens inside write_delta_commit; the
+    # file appearing between "compute next version" and "publish" is
+    # the race — emulate by pre-creating the version our writer will
+    # pick... which IS version 1 only if it doesn't see the foreign
+    # commit. Force the race window by monkeypatching _commit_versions
+    # to the pre-foreign view.
+    from fintech_lakehouse_spark.sources import deltalog as dl
+
+    real_versions = dl._commit_versions
+
+    def stale_versions(log_dir):
+        return [v for v in real_versions(log_dir) if v == 0]
+
+    dl._commit_versions = stale_versions
+    try:
+        with pytest.raises(DeltaConcurrentWriteError, match="version 1"):
+            write_delta_commit(
+                spark,
+                spark.createDataFrame([(2, "b")], "id long, v string"),
+                root,
+            )
+    finally:
+        dl._commit_versions = real_versions
+    # the foreign commit survives untouched and the table reads fine
+    assert _os.path.getsize(foreign) > 0
+    assert read_delta_table(spark, root).count() == 2  # (1,a) + theirs
+    # a NON-racing retry succeeds at version 2
+    v = write_delta_commit(
+        spark, spark.createDataFrame([(2, "b")], "id long, v string"), root
+    )
+    assert v == 2
+    assert read_delta_table(spark, root).count() == 3
