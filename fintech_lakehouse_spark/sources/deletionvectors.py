@@ -193,7 +193,12 @@ def encode_roaring_bitmap_array(values) -> bytes:
         out += struct.pack("<I", len(containers))
         for hk in sorted(containers):
             out += struct.pack("<HH", hk, len(containers[hk]) - 1)
-        pos = 0
+        # RoaringFormatSpec: offsets are from the START of the 32-bit
+        # bitmap stream (the cookie), not the containers section —
+        # base covers cookie + size + descriptive + offset headers
+        # (ADVICE r10: offset-honoring readers like
+        # ImmutableRoaringBitmap misread containers-relative values).
+        pos = 4 + 4 + 8 * len(containers)
         for hk in sorted(containers):
             n = len(containers[hk])
             out += struct.pack("<I", pos)

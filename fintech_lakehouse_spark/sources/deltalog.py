@@ -892,6 +892,19 @@ def _strip_deleted_rows(spark, path, snap, scan) -> DataFrame:
             for key in {bn, quote(bn), quote(bn, safe="")}
         }
     )
+    # ADVICE r10: distinct live files can collide ACROSS encodings
+    # (files literally named 'a b' and 'a%20b' both produce the key
+    # 'a%20b') — the left join on _dl_dv_file would then duplicate
+    # scan rows. Same posture as the raw-basename guard: refuse.
+    key_to_raw: dict = {}
+    for key, bn in known_rows:
+        if key_to_raw.setdefault(key, bn) != bn:
+            raise NotImplementedError(
+                "deletion vectors on a table whose data-file basenames "
+                f"collide across URI encodings ({key!r} names both "
+                f"{key_to_raw[key]!r} and {bn!r}) — the basename "
+                "resolution join would duplicate rows; refusing"
+            )
     known = spark.createDataFrame(
         known_rows,
         _ST(
@@ -1105,6 +1118,57 @@ def _file_stats_json(full_path: str) -> str | None:
 _PRUNE_OPS = {"=", "<", "<=", ">", ">="}
 
 
+def _coerce_partition_value(raw: str, dtype, lit):
+    """Parse one partitionValues string by the TABLE SCHEMA column
+    type (ADVICE r10 medium: ``type(lit)(raw)`` turns ``bool("false")``
+    into True, pruning exactly the files whose partition value IS
+    false). Returns ``(value, literal)`` ready to compare, or ``None``
+    when the value/literal can't be interpreted — caller keeps the
+    file (pruning must stay sound)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    t = dtype.typeName() if dtype is not None else None
+    try:
+        if t == "boolean":
+            low = raw.lower()
+            if low not in ("true", "false"):
+                return None
+            val = low == "true"
+            if isinstance(lit, bool):
+                return val, lit
+            if isinstance(lit, str) and lit.lower() in ("true", "false"):
+                return val, lit.lower() == "true"
+            return None
+        if t in ("byte", "short", "integer", "long"):
+            return int(raw), int(lit)
+        if t in ("float", "double"):
+            return float(raw), float(lit)
+        if t == "decimal":
+            return _dec.Decimal(raw), _dec.Decimal(str(lit))
+        if t == "date":
+            val = _dt.date.fromisoformat(raw)
+            if isinstance(lit, _dt.date) and not isinstance(
+                lit, _dt.datetime
+            ):
+                return val, lit
+            if isinstance(lit, str):
+                return val, _dt.date.fromisoformat(lit)
+            return None
+        if t in ("timestamp", "timestamp_ntz"):
+            val = _dt.datetime.fromisoformat(raw)
+            if isinstance(lit, _dt.datetime):
+                return val, lit.replace(tzinfo=None)
+            if isinstance(lit, str):
+                return val, _dt.datetime.fromisoformat(lit)
+            return None
+        if t == "string":
+            return (raw, lit) if isinstance(lit, str) else None
+    except (TypeError, ValueError, ArithmeticError):
+        return None
+    return None  # unknown/unsupported type: never prune on it
+
+
 def prune_delta_files(snap: DeltaSnapshot, skip_filters: list) -> list:
     """Delta DATA SKIPPING at the file grain (r10): the live paths
     that might hold rows satisfying EVERY ``(column, op, literal)``
@@ -1143,10 +1207,15 @@ def prune_delta_files(snap: DeltaSnapshot, skip_filters: list) -> list:
                 if raw is None:
                     keep = False  # NULL partition value can't equal lit
                     break
-                try:
-                    val = type(lit)(raw)
-                except (TypeError, ValueError):
-                    continue
+                fld = next(
+                    (f for f in snap.schema.fields if f.name == col), None
+                )
+                coerced = _coerce_partition_value(
+                    raw, fld.dataType if fld else None, lit
+                )
+                if coerced is None:
+                    continue  # uninterpretable: keep the file (sound)
+                val, lit = coerced
                 ok = {
                     "=": val == lit,
                     "<": val < lit,

@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 from typing import TYPE_CHECKING, Iterator
+from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -216,7 +217,15 @@ def _read_partition(
         deleted = decode_deletion_vector(table_path, json.loads(part.dv_json))
         mask = np.ones(table.num_rows, dtype=bool)
         idx = np.asarray(deleted, dtype=np.int64)
-        idx = idx[idx < table.num_rows]
+        if idx.size and int(idx.max()) >= table.num_rows:
+            # ADVICE r10: an index past the file's row count means the
+            # DV and data file DISAGREE — fail closed like everywhere
+            # else instead of silently returning the extra rows
+            raise ValueError(
+                f"deletion vector for {part.file_path} marks row "
+                f"{int(idx.max())} but the file has only "
+                f"{table.num_rows} rows — DV/file mismatch"
+            )
         mask[idx] = False
         table = table.filter(pa.array(mask))
     rows = table.to_pylist()
@@ -345,7 +354,7 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             if cdcs:
                 return [
                     DeltaFilePartition(
-                        c["path"], None, {}, None, v, ts,
+                        unquote(c["path"]), None, {}, None, v, ts,
                         has_change_col=True,
                     )
                     for c in cdcs
@@ -357,7 +366,9 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                     "level changes are not reconstructible; refusing"
                 )
             parts = [
-                DeltaFilePartition(a["path"], None, {}, "insert", v, ts)
+                DeltaFilePartition(
+                    unquote(a["path"]), None, {}, "insert", v, ts
+                )
                 for a in adds
             ]
             if removes:
@@ -368,7 +379,9 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                         "files that carried deletion vectors — refusing"
                     )
                 parts.extend(
-                    DeltaFilePartition(r["path"], None, {}, "delete", v, ts)
+                    DeltaFilePartition(
+                        unquote(r["path"]), None, {}, "delete", v, ts
+                    )
                     for r in removes
                 )
             return parts
@@ -389,7 +402,7 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                 c: _typed_pv(pv.get(c), self.part_types[c], c)
                 for c in self.part_cols
             }
-            out.append(DeltaFilePartition(a["path"], None, pvals))
+            out.append(DeltaFilePartition(unquote(a["path"]), None, pvals))
         return out
 
     def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:

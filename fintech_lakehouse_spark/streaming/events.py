@@ -1118,8 +1118,10 @@ def foreach_batch_online_dedup(
         dec_dir = f"{decisions_path.rstrip('/')}/version={batch_id}"
         if _dir_committed(spark, dec_dir):
             return  # replayed committed batch: exactly-once skip
-        if batch_df.isEmpty():
-            return
+        # emptiness is decided INSIDE _apply_inner by the count that
+        # materializes the persisted batch (VERDICT r10 item 2: a
+        # separate isEmpty probe was a second source scan per
+        # micro-batch — pure fixed cost at small batch sizes)
         # size in-sink shuffles to the micro-batch; the try/finally
         # spans EVERYTHING after the set so no exception path leaks
         # the session conf
@@ -1144,6 +1146,12 @@ def foreach_batch_online_dedup(
         batch = with_shingles(
             batch_df.select("doc_id", "text"), shingle_n
         ).persist()
+        # ONE job both materializes the cache and answers emptiness —
+        # every downstream action reads the cache, so this scan was
+        # already being paid; the old isEmpty probe was an extra one
+        if batch.count() == 0:
+            batch.unpersist()
+            return
         sig = minhash_signatures_md5(
             batch.select("doc_id", F.explode("shingles").alias("shingle")),
             n_hashes,
@@ -1334,8 +1342,8 @@ def foreach_batch_bm25_index(
         )
         if _dir_committed(spark, post_dir):
             return  # replayed committed batch: exactly-once skip
-        if batch_df.isEmpty():
-            return
+        # emptiness is decided inside _apply_inner by the count that
+        # materializes the persisted batch (VERDICT r10 item 2)
         # size in-sink shuffles to the micro-batch; the try/finally
         # spans everything after the set so no exception path leaks
         # the session conf
@@ -1365,6 +1373,11 @@ def foreach_batch_bm25_index(
         sized = batch_df.select(
             "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
         ).persist()
+        # one job materializes the cache AND answers emptiness (the
+        # old isEmpty probe was an extra per-batch source scan)
+        if sized.count() == 0:
+            sized.unpersist()
+            return
         postings = sized.select(
             "doc_id", "dl", F.explode("toks").alias("term")
         ).groupBy("term", "doc_id", "dl").agg(

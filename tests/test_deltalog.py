@@ -1589,6 +1589,71 @@ def test_roaring_encoder_roundtrips_all_shapes():
         assert decode_roaring_bitmap_array(enc) == sorted(set(vals))
 
 
+def test_roaring_offset_headers_are_stream_relative():
+    """ADVICE r10: RoaringFormatSpec offsets count from the cookie
+    position (start of the 32-bit bitmap stream), not from the
+    containers section — offset-honoring readers (ImmutableRoaring
+    Bitmap, memory-mapped) seek by them. Walk the emitted buffer with
+    an offset-HONORING parser and require it to reproduce the values."""
+    import struct
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        encode_roaring_bitmap_array,
+    )
+
+    vals = sorted(
+        set(range(0, 9000, 2))            # bitmap container in chunk 0
+        | set(range(65536, 65536 + 50))   # array container in chunk 1
+        | {(3 << 32) + 7}                 # second high-32 key
+    )
+    buf = encode_roaring_bitmap_array(vals)
+    (n_bitmaps,) = struct.unpack_from("<q", buf, 4)
+    assert n_bitmaps == 2
+    pos = 12
+    got = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        stream_start = pos  # cookie position: offsets count from HERE
+        (cookie,) = struct.unpack_from("<I", buf, pos)
+        assert cookie == 12346  # SERIAL_COOKIE_NO_RUNCONTAINER
+        (n_cont,) = struct.unpack_from("<I", buf, pos + 4)
+        heads = [
+            struct.unpack_from("<HH", buf, pos + 8 + 4 * i)
+            for i in range(n_cont)
+        ]
+        offs = [
+            struct.unpack_from("<I", buf, pos + 8 + 4 * n_cont + 4 * i)[0]
+            for i in range(n_cont)
+        ]
+        end = pos + 8 + 8 * n_cont
+        for (hk, card_m1), off in zip(heads, offs):
+            card = card_m1 + 1
+            at = stream_start + off  # SEEK BY THE HEADER, no scanning
+            if card <= 4096:
+                vs = struct.unpack_from(f"<{card}H", buf, at)
+                got.extend((key << 32) | (hk << 16) | v for v in vs)
+                end = max(end, at + 2 * card)
+            else:
+                words = struct.unpack_from("<1024Q", buf, at)
+                for wi, w in enumerate(words):
+                    while w:
+                        low = w & -w
+                        got.append(
+                            (key << 32) | (hk << 16) | (wi << 6)
+                            | (low.bit_length() - 1)
+                        )
+                        w ^= low
+                end = max(end, at + 8192)
+        pos = end
+    assert sorted(got) == vals
+    # and the first container of each stream starts right after the
+    # headers: offset == 8 + 8 * n_cont
+    (n0,) = struct.unpack_from("<I", buf, 12 + 4 + 4)
+    (first_off,) = struct.unpack_from("<I", buf, 12 + 4 + 8 + 4 * n0)
+    assert first_off == 8 + 8 * n0
+
+
 def _mk_plain_table(spark, root: str, n: int = 200, files: int = 2) -> None:
     import os as _os
 
@@ -2845,6 +2910,84 @@ def test_partition_value_pruning(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="prune op"):
         prune_delta_files(snap, [("d", "!=", 7)])
+
+
+def test_boolean_partition_pruning(spark, tmp_path):
+    """ADVICE r10 (medium): type(lit)(raw) coercion made
+    bool("false") == True, so (flag, '=', False) pruned exactly the
+    false-partition files. Coercion now goes through the TABLE SCHEMA
+    column type; the False filter must keep the false file and return
+    its rows."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        prune_delta_files,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "boolpart")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, True, "t1"), (2, False, "f1"), (3, True, "t2")],
+            "id long, flag boolean, v string",
+        ).coalesce(1),
+        root,
+        partition_by=["flag"],
+    )
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 2
+    false_files = prune_delta_files(snap, [("flag", "=", False)])
+    true_files = prune_delta_files(snap, [("flag", "=", True)])
+    assert len(false_files) == 1 and len(true_files) == 1
+    assert set(false_files) != set(true_files)
+    got = read_delta_table(
+        spark, root, skip_filters=[("flag", "=", False)]
+    ).collect()
+    assert sorted((r["id"], r["flag"]) for r in got) == [(2, False)]
+    # unparseable literal for the column type keeps every file (sound)
+    assert len(prune_delta_files(snap, [("flag", "=", "maybe")])) == 2
+
+
+def test_date_partition_pruning_schema_coercion(spark, tmp_path):
+    """Date partition values prune against BOTH datetime.date and
+    ISO-string literals via schema-type coercion (pre-fix, a
+    date literal hit type(lit)(raw) == date("2024-01-01") TypeError
+    and never pruned; a string literal compared lexically by luck)."""
+    import datetime as _dt
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        prune_delta_files,
+        write_delta_commit,
+    )
+
+    root = str(tmp_path / "datepart")
+    _os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [
+                (1, _dt.date(2024, 1, 1)),
+                (2, _dt.date(2024, 2, 1)),
+            ],
+            "id long, dt date",
+        ),
+        root,
+        partition_by=["dt"],
+    )
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 2
+    assert (
+        len(prune_delta_files(snap, [("dt", "=", _dt.date(2024, 1, 1))]))
+        == 1
+    )
+    assert len(prune_delta_files(snap, [("dt", ">", "2024-01-15")])) == 1
+    assert len(prune_delta_files(snap, [("dt", "<=", "2024-12-31")])) == 2
 
 
 def test_append_schema_evolution_merge_schema(spark, tmp_path):

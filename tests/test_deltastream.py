@@ -301,3 +301,136 @@ def test_max_versions_per_trigger_paces_batches(registered, tmp_path):
             assert p["numInputRows"] == 1
     finally:
         q.stop()
+
+
+def test_stream_partitions_unquote_action_paths(spark, tmp_path):
+    """ADVICE r10: a table written by real delta-spark URL-encodes
+    special characters in add/remove/cdc action paths; the stream
+    reader must unquote them like deltalog does, or the executor read
+    hits FileNotFoundError. Build the log by hand with a quoted path
+    and check every partition carries the DECODED file name."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fintech_lakehouse_spark.sources.deltastream import (
+        DeltaBridgeStreamReader,
+    )
+
+    root = str(tmp_path / "uq")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    fname = "part a=b.parquet"  # space and '=' both quote
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+        os.path.join(root, fname),
+    )
+    quoted = "part%20a%3Db.parquet"
+    meta = {
+        "metaData": {
+            "id": "t-uq",
+            "format": {"provider": "parquet"},
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "id",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        meta,
+        {
+            "add": {
+                "path": quoted,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, fname)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    rdr = DeltaBridgeStreamReader(root, {})
+    parts = rdr.partitions({"version": -1}, {"version": 0})
+    assert [p.file_path for p in parts] == [fname]
+    # and the rows actually read through the decoded path
+    rows = list(
+        __import__(
+            "fintech_lakehouse_spark.sources.deltastream",
+            fromlist=["_read_partition"],
+        )._read_partition(root, parts[0], [("id", False)])
+    )
+    assert sorted(rows) == [(1,), (2,)]
+
+
+def test_read_partition_fails_closed_on_out_of_range_dv(spark, tmp_path):
+    """ADVICE r10: a decoded DV row index >= the file's row count is a
+    DV/file MISMATCH (corruption); masking it out silently returned
+    the extra rows. The executor read must raise instead."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        make_dv_descriptor,
+    )
+    from fintech_lakehouse_spark.sources.deltastream import (
+        DeltaFilePartition,
+        _read_partition,
+    )
+
+    root = str(tmp_path / "oor")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(root, "f.parquet"),
+    )
+    dv = make_dv_descriptor(root, [1, 99])  # 99 >= num_rows(3)
+    part = DeltaFilePartition("f.parquet", _json.dumps(dv), {})
+    with pytest.raises(ValueError, match="DV/file mismatch"):
+        list(_read_partition(root, part, [("id", False)]))
+    # in-range DV still filters normally
+    ok = make_dv_descriptor(root, [1])
+    part2 = DeltaFilePartition("f.parquet", _json.dumps(ok), {})
+    assert sorted(_read_partition(root, part2, [("id", False)])) == [
+        (1,),
+        (3,),
+    ]
+
+
+def test_strip_deleted_rows_refuses_cross_encoding_collision(spark):
+    """ADVICE r10: live files named 'a b' and 'a%20b' both produce the
+    lookup key 'a%20b' — the basename-resolution join would duplicate
+    scan rows; _strip_deleted_rows must refuse like the raw-basename
+    guard does."""
+    from pyspark.sql.types import StructType
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        DeltaSnapshot,
+        _strip_deleted_rows,
+    )
+
+    snap = DeltaSnapshot(
+        version=0,
+        schema=StructType([]),
+        partition_columns=[],
+        files={"a b.parquet": {}, "a%20b.parquet": {}},
+        deletion_vectors={"a b.parquet": {"cardinality": 1}},
+    )
+    with pytest.raises(NotImplementedError, match="across URI encodings"):
+        _strip_deleted_rows(spark, "/nonexistent", snap, spark.range(1))
