@@ -569,6 +569,103 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_stage(spark, sf_dir)
 
 
+def _lsh_recall_audit_oracle() -> str:
+    from fintech_lakehouse_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH exact AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["ngram_jaccard_pairs"]})
+        WHERE jaccard >= 0.5
+    ),
+    lsh AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})
+    ),
+    joined AS (
+        SELECT e.doc_a AS ea, l.doc_a AS la
+        FROM exact e FULL OUTER JOIN lsh l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST(COUNT(ea) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(la) AS BIGINT) AS n_lsh_pairs,
+           CAST(SUM(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN ea IS NOT NULL AND la IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           CAST(SUM(CASE WHEN ea IS NULL AND la IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+           CAST(SUM(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+                         THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(COUNT(ea), 0) AS BIGINT)     AS recall_ppm
+    FROM joined
+    """
+
+
+@register("lsh_recall_audit", oracle=_lsh_recall_audit_oracle())
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash-LSH dedup path against the exact
+    n-gram ground truth — the dedup twin of ann_recall_eval and
+    bloom_decontamination_audit (every approximate stage in this repo
+    carries a driver-checked eval of its own error): full-outer-join
+    the exact Jaccard ≥ 0.5 pair set (ngram_jaccard_pairs, the
+    inverted-index exact formulation) against the LSH-then-verified
+    pair set (minhash_lsh_pairs) and report, in ONE row, the pair
+    counts, the misses (true near-dup pairs whose minhash signatures
+    never shared a band — the banding false-negative rate K=32/B=8/R=4
+    trades for linearity), the extras (pairs the two pipelines score
+    differently around the 0.5 boundary — e.g. the exact side's
+    hot-shingle drop perturbs its Jaccard), and recall in integer ppm.
+
+    Determinism: both sub-plans are individually hash-checked; the
+    exact side filters on its ROUNDED jaccard (identical across
+    engines), and everything downstream is integer arithmetic.
+
+    Scale shape: the union of the two sub-plans (each documented at
+    its own registration — shingle-bucketed joins, never all-pairs)
+    plus one join over pair-set-sized frames. At 100 TB you run this
+    audit on a corpus SAMPLE — the exact side's inverted index is
+    linear in shingle mass but its constant is why LSH exists."""
+    exact = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.lit(1).alias("e"))
+    )
+    lsh = verified_pairs_stage(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("l")
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count("e").cast("long").alias("n_exact_pairs"),
+        F.count("l").cast("long").alias("n_lsh_pairs"),
+        F.sum(
+            F.when(
+                F.col("e").isNotNull() & F.col("l").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("l").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_missed"),
+        F.sum(
+            F.when(F.col("e").isNull() & F.col("l").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_extra"),
+        F.expr(
+            "SUM(CASE WHEN e IS NOT NULL AND l IS NOT NULL THEN 1 ELSE 0 "
+            "END) * 1000000 DIV NULLIF(COUNT(e), 0)"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
 @register("simhash_fingerprints", oracle=_simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash document fingerprints (SURVEY §7.6): per token,
@@ -696,6 +793,141 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0))
         ).alias("vocab_size"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split(text, ' '))                            AS ws,
+               len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe,
+               len(text)                                               AS chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           CAST(SUM(ws) AS BIGINT)    AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT)   AS bpe_ish_tokens,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe) * 1000000 // SUM(ws) AS BIGINT)    AS fertility_ppm,
+           CAST(SUM(chars) * 1000000 // SUM(bpe) AS BIGINT) AS chars_per_token_ppm
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility / compression audit per language — the
+    table every multilingual-tokenizer evaluation publishes (fertility
+    = subword tokens per word; a language whose fertility is 2× pays
+    2× the sequence length for the same content, and bytes-per-token
+    measures how much raw text each token carries): per lang, corpus
+    totals of whitespace words, BPE-ish regex tokens (the same
+    pre-tokenization lexer as doc_token_counts) and characters, plus
+    fertility and chars-per-token in floor-divided integer ppm — exact
+    cross-engine arithmetic, no float.
+
+    Scale shape: a pure scan→map→groupBy(lang) with map-side partial
+    aggregation — per-doc counts collapse to one row per language
+    before the (tiny, ≤#langs-wide) shuffle. At 100 TB this is a
+    single pass; the regexes run in the JVM regexp engine inside
+    whole-stage codegen."""
+    documents = load_table(spark, sf_dir, "documents")
+    per_doc = documents.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_ish_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.expr("SUM(bpe) * 1000000 DIV SUM(ws)")
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr("SUM(chars) * 1000000 DIV SUM(bpe)")
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "source_lang_impurity",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS cnt
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, SUM(cnt) AS n_docs FROM counts GROUP BY source
+    ),
+    shares AS (
+        SELECT c.source, c.cnt, c.cnt * 1000000 // t.n_docs AS share_ppm
+        FROM counts c JOIN tot t ON c.source = t.source
+    )
+    SELECT s.source,
+           CAST(MAX(t.n_docs) AS BIGINT)        AS n_docs,
+           CAST(COUNT(*) AS BIGINT)             AS n_langs,
+           CAST(MAX(s.share_ppm) AS BIGINT)     AS majority_share_ppm,
+           CAST(1000000 - SUM(s.share_ppm * s.share_ppm) // 1000000
+                AS BIGINT)                      AS gini_impurity_ppm
+    FROM shares s JOIN tot t ON s.source = t.source
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def source_lang_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix impurity per source — the corpus-composition audit
+    a mixture designer runs before weighting sources (a source whose
+    language distribution is near-pure behaves like a monolingual
+    corpus; a high-impurity source needs per-language splitting first):
+    per source, doc count, distinct languages, the majority language's
+    share, and the Gini impurity 1 − Σ pᵢ² — all in floor-divided
+    integer ppm (shares are computed in ppm FIRST, so the squared terms
+    stay ≤ 1e12 and the arithmetic is overflow-safe for sources up to
+    ~9e12 docs — entropy would need a log and leave exact integers).
+
+    Scale shape: two cascaded groupBys ((source, lang) then source) —
+    both map-side combinable, shuffle width bounded by
+    |sources|×|langs|. One corpus scan."""
+    documents = load_table(spark, sf_dir, "documents")
+    counts = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    shares = counts.join(F.broadcast(tot), "source").select(
+        "source",
+        "n_docs",
+        F.expr("cnt * 1000000 DIV n_docs").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.max("share_ppm").cast("long").alias("majority_share_ppm"),
+            (
+                F.lit(1000000)
+                - F.expr("SUM(share_ppm * share_ppm) DIV 1000000")
+            )
+            .cast("long")
+            .alias("gini_impurity_ppm"),
+        )
+        .orderBy("source")
     )
 
 

@@ -1276,6 +1276,94 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mrr_oracle() -> str:
+    from fintech_lakehouse_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH bf AS ({ORACLES["knn_bruteforce_cosine"]}),
+         iv AS ({ORACLES["ivf_approx_neighbors"]}),
+         top1 AS (
+            SELECT query_id, neighbor_id AS top1_id FROM bf
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC,
+                                                neighbor_id) = 1
+         ),
+         ranked AS (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC,
+                                               vec_id) AS rnk
+            FROM iv
+         )
+    SELECT t.query_id,
+           CAST(t.top1_id AS BIGINT)                    AS top1_id,
+           CAST(r.rnk AS BIGINT)                        AS approx_rank,
+           CAST(COALESCE(1000000 // r.rnk, 0) AS BIGINT) AS rr_ppm
+    FROM top1 t
+    LEFT JOIN ranked r
+      ON r.query_id = t.query_id AND r.vec_id = t.top1_id
+    ORDER BY t.query_id
+    """
+
+
+@register("retrieval_mrr_eval", oracle=_mrr_oracle())
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank evaluation of the IVF index — the RANKING
+    companion of ann_recall_eval's set-overlap recall (recall@5 says
+    whether the right answers appear; MRR says how HIGH the single
+    best answer lands, the metric retrieval/RAG stacks actually report
+    for first-hit quality): per query, find the exact brute-force
+    TOP-1 neighbor inside the approximate top-5, emit its rank and the
+    reciprocal rank in floor-divided integer ppm (1e6 DIV rank — exact
+    arithmetic on both engines, no float enters this query).
+
+    Determinism: both sub-plans emit ROUND(cos, 4) values that are
+    hash-checked engine-identical, so the (cosine DESC, id) row_number
+    ranks are identical too; a miss (top-1 absent from the approx
+    list) yields NULL rank and rr_ppm 0.
+
+    Scale shape: strictly the two sub-plans (corpus never shuffles in
+    either; see their registrations) plus window + broadcast join over
+    k×|queries| rows — the ground-truth pass over a query SAMPLE is
+    how production indexes are audited, never the full corpus."""
+    exact = knn_bruteforce_cosine(spark, sf_dir)
+    w_bf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    top1 = (
+        exact.withColumn("rn", F.row_number().over(w_bf))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("top1_id"))
+    )
+    w_iv = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    ranked = ivf_approx_neighbors(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        F.row_number().over(w_iv).cast("long").alias("approx_rank"),
+    )
+    return (
+        top1.join(
+            F.broadcast(ranked),
+            (top1["query_id"] == ranked["query_id"])
+            & (F.col("top1_id") == F.col("nid")),
+            "left",
+        )
+        .select(
+            top1["query_id"],
+            "top1_id",
+            "approx_rank",
+            F.coalesce(
+                F.expr("1000000 DIV approx_rank"), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _pq_assign_sql(elem) -> list[str]:
     """Per-subspace PQ assignment expressions — ONE text generator for
     both engines (``elem(i)`` renders the 1-based subscript of the

@@ -1682,3 +1682,109 @@ def test_first_vs_last_touch_divergence(spark, tmp_path):
     last = chans("last_touch_attribution")
     assert first == {"view": 550, "direct": 725, "click": 100}
     assert last == {"error": 550, "direct": 725, "click": 100}
+
+
+class TestR11Evals:
+    """Semantic pins for the round-11 audit/eval queries (each is also
+    3-SF oracle-checked; these pin the MATH on constructed inputs and
+    the cross-query invariants the hash can't express)."""
+
+    @staticmethod
+    def _write_docs(spark, path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array([r[2] for r in rows], pa.string()),
+                    "source": pa.array([r[3] for r in rows], pa.string()),
+                    "n_chars": pa.array(
+                        [len(r[1]) for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            str(path) + "/documents.parquet",
+        )
+
+    def test_source_lang_impurity_pure_and_even(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.text import source_lang_impurity
+
+        rows = [(i, f"text {i}", "en", "s_pure") for i in range(10)]
+        rows += [
+            (100 + i, f"more {i}", "en" if i % 2 == 0 else "de", "s_even")
+            for i in range(10)
+        ]
+        self._write_docs(spark, tmp_path / "imp", rows)
+        out = {
+            r["source"]: r
+            for r in source_lang_impurity(
+                spark, str(tmp_path / "imp")
+            ).collect()
+        }
+        pure, even = out["s_pure"], out["s_even"]
+        assert pure["n_langs"] == 1
+        assert pure["majority_share_ppm"] == 1_000_000
+        assert pure["gini_impurity_ppm"] == 0
+        assert even["n_langs"] == 2
+        assert even["majority_share_ppm"] == 500_000
+        # 1e6 - (500000^2 + 500000^2) // 1e6 = 500000
+        assert even["gini_impurity_ppm"] == 500_000
+
+    def test_tokenizer_fertility_known_text(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.text import (
+            tokenizer_fertility_by_lang,
+        )
+
+        # "ab cd!" -> ws = 2, bpe-ish = ['ab','cd','!'] = 3, chars = 6
+        rows = [(i, "ab cd!", "en", "s") for i in range(4)]
+        self._write_docs(spark, tmp_path / "fert", rows)
+        row = tokenizer_fertility_by_lang(
+            spark, str(tmp_path / "fert")
+        ).collect()[0]
+        assert row["lang"] == "en"
+        assert row["n_docs"] == 4
+        assert row["ws_tokens"] == 8
+        assert row["bpe_ish_tokens"] == 12
+        assert row["n_chars"] == 24
+        assert row["fertility_ppm"] == 1_500_000  # 12e6 DIV 8
+        assert row["chars_per_token_ppm"] == 2_000_000  # 24e6 DIV 12
+
+    def test_retrieval_mrr_invariants(self, spark, sf_dir):
+        from fintech_lakehouse_spark.plans.vectors import (
+            knn_bruteforce_cosine,
+            retrieval_mrr_eval,
+        )
+
+        rows = retrieval_mrr_eval(spark, sf_dir).collect()
+        assert len(rows) == 10  # one per query vector
+        bf = knn_bruteforce_cosine(spark, sf_dir).collect()
+        top1 = {}
+        for r in bf:
+            cur = top1.get(r["query_id"])
+            key = (-r["cosine_sim"], r["neighbor_id"])
+            if cur is None or key < cur[0]:
+                top1[r["query_id"]] = (key, r["neighbor_id"])
+        for r in rows:
+            assert r["top1_id"] == top1[r["query_id"]][1]
+            if r["approx_rank"] is None:
+                assert r["rr_ppm"] == 0
+            else:
+                assert 1 <= r["approx_rank"] <= 5
+                assert r["rr_ppm"] == 1_000_000 // r["approx_rank"]
+
+    def test_lsh_recall_audit_consistency(self, spark, sf_dir):
+        from fintech_lakehouse_spark.plans.text import lsh_recall_audit
+
+        row = lsh_recall_audit(spark, sf_dir).collect()[0]
+        assert row["n_exact_pairs"] > 0  # non-vacuous at every sf
+        assert row["n_common"] + row["n_missed"] == row["n_exact_pairs"]
+        assert row["n_common"] + row["n_extra"] == row["n_lsh_pairs"]
+        assert (
+            row["recall_ppm"]
+            == row["n_common"] * 1_000_000 // row["n_exact_pairs"]
+        )
