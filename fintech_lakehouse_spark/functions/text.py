@@ -217,24 +217,28 @@ def minhash_signatures_md5(shingle_rows_df: DataFrame, n_hashes: int = 32) -> Da
     K·docs, not K·shingles."""
     if n_hashes % 4:
         raise ValueError("n_hashes must be a multiple of 4 (4 chunks per md5)")
-    hexed = shingle_rows_df.select(
+    # SQL-text projections (r11): the Column-algebra form paid one
+    # py4j round-trip per operator (~130 chained calls), a fixed
+    # driver cost re-paid on every fresh build — including every
+    # streaming micro-batch. selectExpr parses each projection in one
+    # call; the Catalyst tree and results are bit-identical
+    # (tests/test_functions.py::test_minhash_sql_text_twin).
+    hexed = shingle_rows_df.selectExpr(
         "doc_id",
         *[
-            F.md5(
-                F.concat_ws("|", F.lit(str(j)), F.col("shingle")).cast("binary")
-            ).alias(f"hx{j}")
+            f"md5(CAST(concat_ws('|', '{j}', shingle) AS BINARY)) AS hx{j}"
             for j in range(n_hashes // 4)
         ],
     )
-    chunks = hexed.select(
+    chunks = hexed.selectExpr(
         "doc_id",
         *[
-            F.substring(f"hx{k // 4}", 1 + 8 * (k % 4), 8).alias(f"h{k}")
+            f"substring(hx{k // 4}, {1 + 8 * (k % 4)}, 8) AS h{k}"
             for k in range(n_hashes)
         ],
     )
     return chunks.groupBy("doc_id").agg(
-        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(n_hashes)]
+        *[F.expr(f"min(h{k}) AS mh{k}") for k in range(n_hashes)]
     )
 
 
@@ -252,25 +256,17 @@ def band_signatures(
     banding entry point (finding r6s5)."""
     _validate_bands(n_hashes, n_bands)
     rows_per_band = n_hashes // n_bands
-    return signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(band)),
-                            *[
-                                F.col(f"mh{band * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).cast("binary")
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("band_sig"),
+    items = []
+    for band in range(n_bands):
+        cols = ", ".join(
+            f"mh{band * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        items.append(
+            f"md5(CAST(concat_ws('|', '{band}', {cols}) AS BINARY))"
+        )
+    # one parsed expression (see the minhash_signatures_md5 note)
+    return signatures.selectExpr(
+        "doc_id", f"explode(array({', '.join(items)})) AS band_sig"
     )
 
 
@@ -396,32 +392,34 @@ def simhash_hex_md5(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ±1 per token occurrence; fingerprint bit = sign of the vote sum."""
     toks = documents.select("doc_id", F.explode(tokens(text_col)).alias("token"))
     hexed = toks.select("doc_id", md5_hex("token").alias("hx"))
-    nibbles = hexed.select(
+    # SQL-text projections (r11, the minhash_signatures_md5 note): the
+    # Column form chained ~400 py4j calls per build
+    nibbles = hexed.selectExpr(
         "doc_id",
         *[
-            F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
+            f"CAST(conv(substring(hx, {j + 1}, 1), 16, 10) AS INT) AS n{j}"
             for j in range(16)
         ],
     )
     votes = nibbles.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(n{b // 4}, {b % 4}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(64)
         ]
     )
     chars = []
     for j in range(16):
-        nib: Column | None = None
-        for t in range(4):
-            bit = F.when(F.col(f"v{4 * j + t}") > 0, F.lit(2**t)).otherwise(F.lit(0))
-            nib = bit if nib is None else nib + bit
-        chars.append(F.substring(F.lit(HEX_DIGITS), nib + 1, F.lit(1)))
-    return votes.select("doc_id", F.concat(*chars).alias("simhash_hex"))
+        nib = " + ".join(
+            f"CASE WHEN v{4 * j + t} > 0 THEN {2 ** t} ELSE 0 END"
+            for t in range(4)
+        )
+        chars.append(f"substring('{HEX_DIGITS}', ({nib}) + 1, 1)")
+    return votes.selectExpr(
+        "doc_id", f"concat({', '.join(chars)}) AS simhash_hex"
+    )
 
 
 def rolling_md5_chain(text_col: str | Column = "text") -> Column:

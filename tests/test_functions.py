@@ -338,6 +338,127 @@ def test_sql_text_expression_twins_bit_identical(spark, sf_dir):
     assert sorted(jl_col) == sorted(jl_sql)
 
 
+def test_minhash_sql_text_twin(spark, sf_dir):
+    """r11: minhash_signatures_md5 / band_signatures / simhash_hex_md5
+    are built from SQL text (one parse call per projection instead of
+    ~130-400 py4j Column calls per build — the cost re-paid on every
+    bench run and every streaming micro-batch). Results must be
+    bit-identical to the Column-algebra construction, replicated here
+    verbatim from the pre-r11 form."""
+    from pyspark.sql import functions as F
+
+    from fintech_lakehouse_spark.functions.text import (
+        HEX_DIGITS,
+        band_signatures,
+        md5_hex,
+        minhash_signatures_md5,
+        simhash_hex_md5,
+        tokens,
+        word_shingles,
+    )
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    rows = word_shingles(documents, n=3).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    n_hashes, n_bands = 32, 8
+    # pre-r11 Column-algebra minhash, verbatim
+    hexed = rows.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws("|", F.lit(str(j)), F.col("shingle")).cast(
+                    "binary"
+                )
+            ).alias(f"hx{j}")
+            for j in range(n_hashes // 4)
+        ],
+    )
+    chunks = hexed.select(
+        "doc_id",
+        *[
+            F.substring(f"hx{k // 4}", 1 + 8 * (k % 4), 8).alias(f"h{k}")
+            for k in range(n_hashes)
+        ],
+    )
+    sig_col = chunks.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(n_hashes)]
+    )
+    sig_sql = minhash_signatures_md5(rows, n_hashes)
+    assert sorted(map(tuple, sig_col.collect())) == sorted(
+        map(tuple, sig_sql.collect())
+    )
+    # pre-r11 Column-algebra banding, verbatim
+    rpb = n_hashes // n_bands
+    bands_col = sig_sql.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(band)),
+                            *[
+                                F.col(f"mh{band * rpb + r}")
+                                for r in range(rpb)
+                            ],
+                        ).cast("binary")
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band_sig"),
+    )
+    bands_sql = band_signatures(sig_sql, n_hashes, n_bands)
+    assert sorted(map(tuple, bands_col.collect())) == sorted(
+        map(tuple, bands_sql.collect())
+    )
+    # pre-r11 Column-algebra simhash, verbatim
+    toks = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    hx = toks.select("doc_id", md5_hex("token").alias("hx"))
+    nibbles = hx.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("hx", j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{j}")
+            for j in range(16)
+        ],
+    )
+    votes = nibbles.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    chars = []
+    for j in range(16):
+        nib = None
+        for t in range(4):
+            bit = F.when(F.col(f"v{4 * j + t}") > 0, F.lit(2**t)).otherwise(
+                F.lit(0)
+            )
+            nib = bit if nib is None else nib + bit
+        chars.append(F.substring(F.lit(HEX_DIGITS), nib + 1, F.lit(1)))
+    sim_col = votes.select("doc_id", F.concat(*chars).alias("simhash_hex"))
+    sim_sql = simhash_hex_md5(documents)
+    assert sorted(map(tuple, sim_col.collect())) == sorted(
+        map(tuple, sim_sql.collect())
+    )
+
+
 def test_label_centroids_applyinpandas(spark, sf_dir):
     """Grouped applyInPandas (UDAF shape): centroid must equal the
     exploded-builtin computation."""
