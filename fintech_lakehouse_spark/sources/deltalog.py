@@ -69,7 +69,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 LOG_DIR = "_delta_log"
 
@@ -1263,6 +1263,53 @@ def table_constraints(config: dict) -> dict:
     }
 
 
+def generated_columns(schema: StructType) -> dict:
+    """field name → generation expression for every GENERATED column
+    declared in the table schema (protocol: Generated Columns — the
+    expression rides in the field metadata key
+    ``delta.generationExpression``; writer feature, legacy
+    minWriterVersion 4)."""
+    out = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _apply_generated_columns(df, schema: StructType, op: str):
+    """delta-spark's write-side GENERATED COLUMN semantics: a missing
+    generated column is COMPUTED from its expression; a provided one
+    is VALIDATED cell-by-cell (null-safe equality against the
+    expression, one limit-1 probe per column) and any mismatch raises
+    — silently accepting caller values would let the stored column
+    drift from its declared derivation. Columns are returned in table
+    schema order when the sets match (computed columns would otherwise
+    land last and trip the writer's order check)."""
+    gen = generated_columns(schema)
+    if not gen:
+        return df
+    by_name = {f.name: f for f in schema.fields}
+    for name, expr in sorted(gen.items()):
+        target = F.expr(expr).cast(by_name[name].dataType)
+        if name not in df.columns:
+            df = df.withColumn(name, target)
+        else:
+            bad = (
+                df.filter(~F.col(name).eqNullSafe(target)).limit(1).collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"{op}: generated column {name!r} "
+                    f"(GENERATED ALWAYS AS ({expr})) violated by row "
+                    f"{bad[0].asDict()}"
+                )
+    names = [f.name for f in schema.fields]
+    if sorted(df.columns) == sorted(names):
+        df = df.select(*names)
+    return df
+
+
 def _enforce_constraints(df, config: dict, op: str) -> None:
     """Raise when any row of ``df`` VIOLATES a table CHECK constraint
     (violation = the expression evaluates FALSE; NULL passes, SQL
@@ -1343,6 +1390,7 @@ def write_delta_commit(
     mode: str = "append",
     partition_by: list | None = None,
     merge_schema: bool = False,
+    generated_columns_spec: dict | None = None,
 ) -> int:
     """Minimal protocol-v1 Delta WRITER: write ``df`` as parquet data
     files under ``path`` and commit them to the ``_delta_log`` as the
@@ -1367,7 +1415,17 @@ def write_delta_commit(
     ``df.schema.jsonValue()``), one add per file with partitionValues,
     and removes for overwrite. Partitioned writes stage per-partition
     directories so partitionValues come from the WRITER's knowledge,
-    not directory parsing."""
+    not directory parsing.
+
+    GENERATED COLUMNS (r11): ``generated_columns_spec`` (column →
+    SQL expression) declares generated columns at TABLE CREATION only
+    (delta-spark's rule) — the expressions land in the schema's field
+    metadata (``delta.generationExpression``) and the protocol commits
+    at minWriterVersion 4, the legacy version that gates the feature.
+    Every subsequent write through this module COMPUTES a missing
+    generated column and VALIDATES a provided one (mismatch raises);
+    UPDATE recomputes them against the post-assignment row and refuses
+    direct assignment; MERGE computes/validates source rows."""
     import shutil
     import uuid
 
@@ -1385,8 +1443,17 @@ def write_delta_commit(
     prev_files: dict[str, dict] = {}
     new_fields: list = []
     if have_any:
+        if generated_columns_spec:
+            raise ValueError(
+                "write_delta_commit: generated columns are declared at "
+                "table CREATION only (delta-spark's rule) — the table "
+                "already exists"
+            )
         prev = delta_snapshot(spark, path)
         prev_files = prev.files
+        # generation BEFORE constraints: a CHECK may reference a
+        # generated column the caller did not provide
+        df = _apply_generated_columns(df, prev.schema, "write_delta_commit")
         _enforce_constraints(
             df, prev.metadata_raw.get("configuration"), "write_delta_commit"
         )
@@ -1426,8 +1493,6 @@ def write_delta_commit(
                 # the column and read back as NULL, which the schema'd
                 # scan already does). Anything else (drops, renames,
                 # reorders, type changes) stays a refusal.
-                from pyspark.sql.types import StructField
-
                 new_fields = [
                     StructField(f.name, f.dataType, True)
                     for f in df.schema.fields
@@ -1442,6 +1507,29 @@ def write_delta_commit(
                        " — pass merge_schema=True to append NEW trailing"
                        " nullable columns")
                 )
+
+    create_schema: StructType | None = None
+    if generated_columns_spec and not have_any:
+        for name, expr in sorted(generated_columns_spec.items()):
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        gfields = []
+        for f in df.schema.fields:
+            if f.name in generated_columns_spec:
+                meta = dict(f.metadata or {})
+                meta["delta.generationExpression"] = generated_columns_spec[
+                    f.name
+                ]
+                gfields.append(
+                    StructField(f.name, f.dataType, f.nullable, meta)
+                )
+            else:
+                gfields.append(f)
+        create_schema = StructType(gfields)
+        # caller-provided values for a generated column validate too
+        df = _apply_generated_columns(
+            df, create_schema, "write_delta_commit"
+        )
 
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1496,14 +1584,22 @@ def write_delta_commit(
         actions.append({"metaData": md})
     if version == 0:
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    # generated columns are gated at writer version 4
+                    "minWriterVersion": 4 if create_schema is not None else 2,
+                }
+            }
         )
         actions.append(
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "schemaString": json.dumps(
+                        (create_schema or df.schema).jsonValue()
+                    ),
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(os.path.getmtime(path) * 1000),
@@ -2476,6 +2572,9 @@ def update_delta_table(
     UPDATED images land in new data files appended in the SAME commit
     — delta-spark's DV-update shape. Returns the committed version."""
 
+    _upd_snap = delta_snapshot(spark, path)
+    gen = generated_columns(_upd_snap.schema)
+
     def apply_set(df, cond):
         out_cols = []
         for f in df.schema.fields:
@@ -2488,13 +2587,39 @@ def update_delta_table(
                 )
             else:
                 out_cols.append(F.col(f.name))
-        return df.select(*out_cols)
+        if not gen:
+            return df.select(*out_cols)
+        # GENERATED COLUMNS recompute against the POST-assignment row
+        # (SET price = ... must refresh a generated total) while the
+        # UPDATE condition evaluates against the PRE-update row — so
+        # the match verdict rides along as a marker column
+        marked = df.select(*out_cols, cond.alias("_dl_upd"))
+        by_name = {f.name: f for f in df.schema.fields}
+        final = [
+            F.when(
+                F.col("_dl_upd"),
+                F.expr(gen[f.name]).cast(by_name[f.name].dataType),
+            )
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in gen
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        return marked.select(*final)
 
     unknown = sorted(set(assignments) - {f.name for f in
-                     delta_snapshot(spark, path).schema.fields})
+                     _upd_snap.schema.fields})
     if unknown:
         raise ValueError(
             f"update_delta_table: SET names unknown columns {unknown}"
+        )
+    gen_assigned = sorted(set(assignments) & set(gen))
+    if gen_assigned:
+        raise ValueError(
+            f"update_delta_table: columns {gen_assigned} are GENERATED "
+            "ALWAYS AS — they recompute from their expressions and "
+            "cannot be SET directly (delta-spark refuses too)"
         )
     if not use_deletion_vectors:
         return _cow_rewrite(
@@ -2574,6 +2699,12 @@ def merge_into_delta_table(
             "table: pass use_deletion_vectors=True"
         )
     cols = [f.name for f in snap.schema.fields]
+    # generated columns: compute the ones the source omits, validate
+    # the ones it provides (delta-spark's MERGE semantics) — BEFORE
+    # the column-set check so a source without them is legal
+    source_df = _apply_generated_columns(
+        source_df, snap.schema, "merge_into_delta_table"
+    )
     if sorted(source_df.columns) != sorted(cols):
         raise ValueError(
             f"merge source columns {sorted(source_df.columns)} != table "

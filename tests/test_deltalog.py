@@ -3315,3 +3315,194 @@ def test_concurrent_commit_conflict_fails_clean(spark, tmp_path):
     )
     assert v == 2
     assert read_delta_table(spark, root).count() == 3
+
+
+class TestGeneratedColumns:
+    """r11: Delta GENERATED COLUMNS across the offline writer — the
+    protocol writer feature (delta.generationExpression field
+    metadata, legacy gate minWriterVersion 4). Contract: declared at
+    creation; every write computes missing / validates provided;
+    UPDATE recomputes post-assignment and refuses direct SET; MERGE
+    computes/validates source rows."""
+
+    @staticmethod
+    def _create(spark, root):
+        import os as _os
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            write_delta_commit,
+        )
+
+        _os.makedirs(root, exist_ok=True)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(1, 10, 3), (2, 20, 2)], "id long, price long, qty long"
+            ).coalesce(1),
+            root,
+            generated_columns_spec={"total": "price * qty"},
+        )
+
+    def test_create_computes_and_gates_protocol(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delta_snapshot,
+            generated_columns,
+            read_delta_table,
+        )
+
+        root = str(tmp_path / "gc")
+        self._create(spark, root)
+        snap = delta_snapshot(spark, root)
+        assert generated_columns(snap.schema) == {"total": "price * qty"}
+        assert int(snap.protocol_raw["minWriterVersion"]) >= 4
+        got = sorted(
+            (r["id"], r["total"])
+            for r in read_delta_table(spark, root).collect()
+        )
+        assert got == [(1, 30), (2, 40)]
+
+    def test_append_computes_missing_and_validates_provided(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            read_delta_table,
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "gc2")
+        self._create(spark, root)
+        # missing generated column → computed
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(3, 5, 4)], "id long, price long, qty long"
+            ).coalesce(1),
+            root,
+        )
+        got = {
+            r["id"]: r["total"]
+            for r in read_delta_table(spark, root).collect()
+        }
+        assert got[3] == 20
+        # provided-but-wrong → refuse; provided-correct → accepted
+        with _pytest.raises(ValueError, match="generated column 'total'"):
+            write_delta_commit(
+                spark,
+                spark.createDataFrame(
+                    [(4, 5, 4, 999)],
+                    "id long, price long, qty long, total long",
+                ).coalesce(1),
+                root,
+            )
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(4, 5, 4, 20)], "id long, price long, qty long, total long"
+            ).coalesce(1),
+            root,
+        )
+        got = {
+            r["id"]: r["total"]
+            for r in read_delta_table(spark, root).collect()
+        }
+        assert got[4] == 20 and len(got) == 4
+
+    def test_declare_on_existing_table_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "gc3")
+        self._create(spark, root)
+        with _pytest.raises(ValueError, match="CREATION only"):
+            write_delta_commit(
+                spark,
+                spark.createDataFrame(
+                    [(9, 1, 1)], "id long, price long, qty long"
+                ),
+                root,
+                generated_columns_spec={"twice": "id * 2"},
+            )
+
+    def test_update_recomputes_post_assignment(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            read_delta_table,
+            update_delta_table,
+        )
+
+        root = str(tmp_path / "gc4")
+        self._create(spark, root)
+        update_delta_table(
+            spark, root, "id = 1", {"price": "price * 10"}
+        )
+        got = {
+            r["id"]: (r["price"], r["total"])
+            for r in read_delta_table(spark, root).collect()
+        }
+        # generated total reflects the POST-update price; untouched
+        # row unchanged
+        assert got[1] == (100, 300)
+        assert got[2] == (20, 40)
+        with _pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+            update_delta_table(spark, root, "id = 2", {"total": "1"})
+
+    def test_update_with_dv_recomputes(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            read_delta_table,
+            update_delta_table,
+        )
+
+        root = str(tmp_path / "gc5")
+        self._create(spark, root)
+        update_delta_table(
+            spark, root, "id = 2", {"qty": "qty + 8"},
+            use_deletion_vectors=True,
+        )
+        got = {
+            r["id"]: (r["qty"], r["total"])
+            for r in read_delta_table(spark, root).collect()
+        }
+        assert got[2] == (10, 200)
+        assert got[1] == (3, 30)
+
+    def test_merge_computes_and_validates_source(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            merge_into_delta_table,
+            read_delta_table,
+        )
+
+        root = str(tmp_path / "gc6")
+        self._create(spark, root)
+        # source WITHOUT the generated column: computed
+        merge_into_delta_table(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(2, 7, 7), (5, 2, 6)], "id long, price long, qty long"
+            ),
+            ["id"],
+        )
+        got = {
+            r["id"]: r["total"]
+            for r in read_delta_table(spark, root).collect()
+        }
+        assert got == {1: 30, 2: 49, 5: 12}
+        # source WITH a wrong generated value: refused
+        with _pytest.raises(ValueError, match="generated column 'total'"):
+            merge_into_delta_table(
+                spark,
+                root,
+                spark.createDataFrame(
+                    [(6, 1, 1, 777)],
+                    "id long, price long, qty long, total long",
+                ),
+                ["id"],
+            )
