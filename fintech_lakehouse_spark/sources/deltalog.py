@@ -1310,6 +1310,135 @@ def _apply_generated_columns(df, schema: StructType, op: str):
     return df
 
 
+def identity_columns(schema: StructType) -> dict:
+    """field name → identity spec for every IDENTITY column declared
+    in the table schema (protocol: Identity Columns, legacy gate
+    minWriterVersion 6 — field metadata keys ``delta.identity.start``
+    / ``step`` / ``highWaterMark`` / ``allowExplicitInsert``)."""
+    out = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "high_water_mark": None if hwm is None else int(hwm),
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _assign_identity_values(df, name: str, dtype, first: int, step: int):
+    """Attach IDENTITY values first, first+step, … to ``df`` without a
+    global window (the add_dense_surrogate_key shape): number rows
+    within each partition, broadcast the per-partition offsets back.
+    Returns (frame with the column, row count) — the count feeds the
+    new high-water mark. One pid-hash shuffle; the offset table is
+    bounded by partition count, never data size."""
+    from pyspark.sql.window import Window as _W
+
+    parted = df.withColumn("_dl_id_pid", F.spark_partition_id())
+    w = _W.partitionBy("_dl_id_pid").orderBy(F.monotonically_increasing_id())
+    numbered = parted.withColumn("_dl_id_rn", F.row_number().over(w))
+    counts = (
+        numbered.groupBy("_dl_id_pid")
+        .agg(F.count(F.lit(1)).alias("_dl_id_cnt"))
+        .withColumn(
+            "_dl_id_off",
+            F.coalesce(
+                F.sum("_dl_id_cnt").over(
+                    _W.orderBy("_dl_id_pid").rowsBetween(
+                        _W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    n_rows = sum(r["_dl_id_cnt"] for r in counts.collect())
+    out = (
+        numbered.join(
+            F.broadcast(counts.select("_dl_id_pid", "_dl_id_off")),
+            "_dl_id_pid",
+        )
+        .withColumn(
+            name,
+            (
+                F.lit(first)
+                + F.lit(step)
+                * (F.col("_dl_id_off") + F.col("_dl_id_rn") - 1)
+            ).cast(dtype),
+        )
+        .drop("_dl_id_pid", "_dl_id_rn", "_dl_id_off")
+    )
+    return out, n_rows
+
+
+def _apply_identity_columns(df, schema: StructType, op: str):
+    """delta-spark's write-side IDENTITY semantics: a missing identity
+    column gets system-assigned values continuing past the high-water
+    mark; an explicitly provided one is accepted only when the column
+    declares ``allowExplicitInsert`` (refused otherwise). Returns
+    (frame, {column: new_high_water_mark}) — the caller commits the
+    updated field metadata in the SAME version, keeping assignment
+    monotone across appends."""
+    ids = identity_columns(schema)
+    if not ids:
+        return df, {}
+    by_name = {f.name: f for f in schema.fields}
+    new_hwm: dict = {}
+    for name, spec in sorted(ids.items()):
+        step = spec["step"]
+        if step == 0:
+            raise ValueError(f"{op}: identity column {name!r} step is 0")
+        if name in df.columns:
+            if not spec["allow_explicit"]:
+                raise ValueError(
+                    f"{op}: identity column {name!r} is GENERATED ALWAYS "
+                    "AS IDENTITY — explicit values are not allowed "
+                    "(declare allowExplicitInsert to permit them)"
+                )
+            agg = F.max(name) if step > 0 else F.min(name)
+            row = df.agg(agg.alias("_x")).collect()[0]
+            if row["_x"] is not None:
+                hwm = spec["high_water_mark"]
+                cand = int(row["_x"])
+                new_hwm[name] = (
+                    cand
+                    if hwm is None
+                    else (max(hwm, cand) if step > 0 else min(hwm, cand))
+                )
+        else:
+            hwm = spec["high_water_mark"]
+            first = spec["start"] if hwm is None else hwm + step
+            df, n = _assign_identity_values(
+                df, name, by_name[name].dataType, first, step
+            )
+            if n:
+                new_hwm[name] = first + step * (n - 1)
+    names = [f.name for f in schema.fields]
+    if sorted(df.columns) == sorted(names):
+        df = df.select(*names)
+    return df, new_hwm
+
+
+def _schema_with_identity_hwm(schema: StructType, new_hwm: dict) -> StructType:
+    """Copy of ``schema`` with ``delta.identity.highWaterMark`` updated
+    for the named columns."""
+    fields = []
+    for f in schema.fields:
+        if f.name in new_hwm:
+            md = dict(f.metadata or {})
+            md["delta.identity.highWaterMark"] = int(new_hwm[f.name])
+            fields.append(StructField(f.name, f.dataType, f.nullable, md))
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
 def _enforce_constraints(df, config: dict, op: str) -> None:
     """Raise when any row of ``df`` VIOLATES a table CHECK constraint
     (violation = the expression evaluates FALSE; NULL passes, SQL
@@ -1391,6 +1520,7 @@ def write_delta_commit(
     partition_by: list | None = None,
     merge_schema: bool = False,
     generated_columns_spec: dict | None = None,
+    identity_spec: dict | None = None,
 ) -> int:
     """Minimal protocol-v1 Delta WRITER: write ``df`` as parquet data
     files under ``path`` and commit them to the ``_delta_log`` as the
@@ -1425,7 +1555,18 @@ def write_delta_commit(
     Every subsequent write through this module COMPUTES a missing
     generated column and VALIDATES a provided one (mismatch raises);
     UPDATE recomputes them against the post-assignment row and refuses
-    direct assignment; MERGE computes/validates source rows."""
+    direct assignment; MERGE computes/validates source rows.
+
+    IDENTITY COLUMNS (r11): ``identity_spec`` (column →
+    {"start", "step", "allow_explicit"}) declares GENERATED … AS
+    IDENTITY columns at creation (legacy gate minWriterVersion 6;
+    field metadata ``delta.identity.*``). Writes missing the column
+    get system-assigned values continuing past the stored high-water
+    mark — assigned with per-partition offsets, no global window —
+    and the SAME commit's metaData carries the advanced
+    ``delta.identity.highWaterMark``; explicit values are refused
+    unless the column declares ``allowExplicitInsert`` (then the
+    high-water mark absorbs their extreme)."""
     import shutil
     import uuid
 
@@ -1442,17 +1583,22 @@ def write_delta_commit(
 
     prev_files: dict[str, dict] = {}
     new_fields: list = []
+    id_hwm: dict = {}
     if have_any:
-        if generated_columns_spec:
+        if generated_columns_spec or identity_spec:
             raise ValueError(
-                "write_delta_commit: generated columns are declared at "
-                "table CREATION only (delta-spark's rule) — the table "
-                "already exists"
+                "write_delta_commit: generated/identity columns are "
+                "declared at table CREATION only (delta-spark's rule) — "
+                "the table already exists"
             )
         prev = delta_snapshot(spark, path)
         prev_files = prev.files
-        # generation BEFORE constraints: a CHECK may reference a
-        # generated column the caller did not provide
+        # identity first (a generation expression may reference the
+        # identity column), then generation, then constraints (a CHECK
+        # may reference either)
+        df, id_hwm = _apply_identity_columns(
+            df, prev.schema, "write_delta_commit"
+        )
         df = _apply_generated_columns(df, prev.schema, "write_delta_commit")
         _enforce_constraints(
             df, prev.metadata_raw.get("configuration"), "write_delta_commit"
@@ -1509,27 +1655,69 @@ def write_delta_commit(
                 )
 
     create_schema: StructType | None = None
-    if generated_columns_spec and not have_any:
-        for name, expr in sorted(generated_columns_spec.items()):
-            if name not in df.columns:
-                df = df.withColumn(name, F.expr(expr))
-        gfields = []
+    if (generated_columns_spec or identity_spec) and not have_any:
+        from pyspark.sql.types import LongType
+
+        generated_columns_spec = generated_columns_spec or {}
+        identity_spec = identity_spec or {}
+        overlap = sorted(set(generated_columns_spec) & set(identity_spec))
+        if overlap:
+            raise ValueError(
+                f"columns {overlap} declared both generated and identity"
+            )
+        # identity columns the frame lacks are LongType by definition
+        id_schema_fields = []
+        df_names = set(df.columns)
         for f in df.schema.fields:
+            id_schema_fields.append(f)
+        for name in sorted(identity_spec):
+            if name not in df_names:
+                id_schema_fields.append(StructField(name, LongType(), False))
+        gfields = []
+        for f in id_schema_fields:
+            meta = dict(f.metadata or {})
             if f.name in generated_columns_spec:
-                meta = dict(f.metadata or {})
                 meta["delta.generationExpression"] = generated_columns_spec[
                     f.name
                 ]
-                gfields.append(
+            if f.name in identity_spec:
+                spec = identity_spec[f.name]
+                meta["delta.identity.start"] = int(spec.get("start", 1))
+                meta["delta.identity.step"] = int(spec.get("step", 1))
+                meta["delta.identity.allowExplicitInsert"] = bool(
+                    spec.get("allow_explicit", False)
+                )
+            gfields.append(
+                StructField(f.name, f.dataType, f.nullable, meta)
+                if meta != (f.metadata or {})
+                else f
+            )
+        id_base = StructType(gfields)
+        df, id_hwm = _apply_identity_columns(df, id_base, "write_delta_commit")
+        # generated expressions may reference the identity column;
+        # caller-provided values for a generated column validate too
+        for name, expr in sorted(generated_columns_spec.items()):
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        gfields2 = list(id_base.fields)
+        present = {f.name for f in id_base.fields}
+        for f in df.schema.fields:
+            if f.name not in present:
+                meta = dict(f.metadata or {})
+                if f.name in generated_columns_spec:
+                    meta["delta.generationExpression"] = (
+                        generated_columns_spec[f.name]
+                    )
+                gfields2.append(
                     StructField(f.name, f.dataType, f.nullable, meta)
                 )
-            else:
-                gfields.append(f)
-        create_schema = StructType(gfields)
-        # caller-provided values for a generated column validate too
+        create_schema = StructType(gfields2)
         df = _apply_generated_columns(
             df, create_schema, "write_delta_commit"
         )
+        if id_hwm:
+            create_schema = _schema_with_identity_hwm(create_schema, id_hwm)
+            id_hwm = {}  # already folded into the create metaData
 
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1577,18 +1765,23 @@ def write_delta_commit(
     shutil.rmtree(stage)
 
     actions: list[dict] = []
-    if new_fields:
+    if new_fields or id_hwm:
         widened = StructType(list(prev.schema.fields) + new_fields)
+        if id_hwm:
+            widened = _schema_with_identity_hwm(widened, id_hwm)
         md = dict(prev.metadata_raw)
         md["schemaString"] = json.dumps(widened.jsonValue())
         actions.append({"metaData": md})
     if version == 0:
+        # legacy feature gates: identity columns 6 > generated columns 4
+        writer_v = 2
+        if create_schema is not None:
+            writer_v = 6 if identity_columns(create_schema) else 4
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 1,
-                    # generated columns are gated at writer version 4
-                    "minWriterVersion": 4 if create_schema is not None else 2,
+                    "minWriterVersion": writer_v,
                 }
             }
         )
@@ -2621,6 +2814,12 @@ def update_delta_table(
             "ALWAYS AS — they recompute from their expressions and "
             "cannot be SET directly (delta-spark refuses too)"
         )
+    id_assigned = sorted(set(assignments) & set(identity_columns(_upd_snap.schema)))
+    if id_assigned:
+        raise ValueError(
+            f"update_delta_table: columns {id_assigned} are IDENTITY "
+            "columns — UPDATE cannot SET them (delta-spark refuses too)"
+        )
     if not use_deletion_vectors:
         return _cow_rewrite(
             spark, path, condition, apply_set, "update_delta_table"
@@ -2699,6 +2898,14 @@ def merge_into_delta_table(
             "table: pass use_deletion_vectors=True"
         )
     cols = [f.name for f in snap.schema.fields]
+    if identity_columns(snap.schema):
+        raise NotImplementedError(
+            "merge_into_delta_table on a table with IDENTITY columns: "
+            "assigning fresh values to the INSERT half of a merge while "
+            "leaving matched rows' values intact needs the merge-output "
+            "split this writer doesn't track — refusing (append new rows "
+            "via write_delta_commit, which assigns identity values)"
+        )
     # generated columns: compute the ones the source omits, validate
     # the ones it provides (delta-spark's MERGE semantics) — BEFORE
     # the column-set check so a source without them is legal

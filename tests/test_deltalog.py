@@ -3506,3 +3506,141 @@ class TestGeneratedColumns:
                 ),
                 ["id"],
             )
+
+
+class TestIdentityColumns:
+    """r11: Delta IDENTITY COLUMNS (legacy gate minWriterVersion 6 —
+    delta.identity.* field metadata). Contract: declared at creation;
+    writes missing the column get values continuing past the stored
+    high-water mark (advanced in the SAME commit's metaData); explicit
+    values refused unless allowExplicitInsert; UPDATE cannot SET;
+    MERGE fails closed."""
+
+    @staticmethod
+    def _create(spark, root, **kw):
+        import os as _os
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            write_delta_commit,
+        )
+
+        _os.makedirs(root, exist_ok=True)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [("a",), ("b",), ("c",)], "v string"
+            ).coalesce(1),
+            root,
+            identity_spec={"id": dict(start=10, step=2, **kw)},
+        )
+
+    def test_create_assigns_and_records_hwm(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delta_snapshot,
+            identity_columns,
+            read_delta_table,
+        )
+
+        root = str(tmp_path / "idc")
+        self._create(spark, root)
+        snap = delta_snapshot(spark, root)
+        assert int(snap.protocol_raw["minWriterVersion"]) >= 6
+        spec = identity_columns(snap.schema)["id"]
+        assert (spec["start"], spec["step"]) == (10, 2)
+        assert spec["high_water_mark"] == 14  # 10, 12, 14
+        got = sorted(
+            (r["v"], r["id"]) for r in read_delta_table(spark, root).collect()
+        )
+        assert [i for _, i in got] == [10, 12, 14]
+
+    def test_append_continues_past_hwm(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delta_snapshot,
+            identity_columns,
+            read_delta_table,
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "idc2")
+        self._create(spark, root)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([("d",), ("e",)], "v string").coalesce(1),
+            root,
+        )
+        ids = sorted(
+            r["id"] for r in read_delta_table(spark, root).collect()
+        )
+        assert ids == [10, 12, 14, 16, 18]  # unique, monotone past HWM
+        assert (
+            identity_columns(delta_snapshot(spark, root).schema)["id"][
+                "high_water_mark"
+            ]
+            == 18
+        )
+
+    def test_explicit_values_gated(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delta_snapshot,
+            identity_columns,
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "idc3")
+        self._create(spark, root)
+        with _pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+            write_delta_commit(
+                spark,
+                spark.createDataFrame([("x", 99)], "v string, id long"),
+                root,
+            )
+        root2 = str(tmp_path / "idc4")
+        self._create(spark, root2, allow_explicit=True)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([("x", 99)], "v string, id long").coalesce(1),
+            root2,
+        )
+        # explicit extreme absorbed into the high-water mark
+        assert (
+            identity_columns(delta_snapshot(spark, root2).schema)["id"][
+                "high_water_mark"
+            ]
+            == 99
+        )
+        # next system assignment continues past it
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([("y",)], "v string").coalesce(1),
+            root2,
+        )
+        assert (
+            identity_columns(delta_snapshot(spark, root2).schema)["id"][
+                "high_water_mark"
+            ]
+            == 101
+        )
+
+    def test_update_and_merge_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            merge_into_delta_table,
+            update_delta_table,
+        )
+
+        root = str(tmp_path / "idc5")
+        self._create(spark, root)
+        with _pytest.raises(ValueError, match="IDENTITY"):
+            update_delta_table(spark, root, "v = 'a'", {"id": "1"})
+        # non-identity updates still work and leave ids intact
+        update_delta_table(spark, root, "v = 'a'", {"v": "'z'"})
+        with _pytest.raises(NotImplementedError, match="IDENTITY"):
+            merge_into_delta_table(
+                spark,
+                root,
+                spark.createDataFrame([("q", 1)], "v string, id long"),
+                ["id"],
+            )
