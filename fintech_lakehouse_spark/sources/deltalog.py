@@ -397,9 +397,10 @@ def _apply_action(snap_state: dict, action: dict) -> None:
 
 def commit_timestamps(path: str) -> dict:
     """version → commit timestamp (ms) for every JSON commit still in
-    the log: ``commitInfo.timestamp`` when the commit carries one (the
-    protocol's in-commit record), else the commit FILE's modification
-    time — exactly delta-spark's timestamp-travel resolution order."""
+    the log: ``commitInfo.inCommitTimestamp`` when present (the ICT
+    table feature's clock — monotone and clock-skew-proof, preferred
+    by the spec), else ``commitInfo.timestamp``, else the commit
+    FILE's modification time — delta-spark's resolution order."""
     log = os.path.join(path, LOG_DIR)
     out: dict[int, int] = {}
     for v in _commit_versions(log):
@@ -412,7 +413,8 @@ def commit_timestamps(path: str) -> dict:
                     continue
                 a = json.loads(line)
                 if "commitInfo" in a:
-                    ts = a["commitInfo"].get("timestamp")
+                    info = a["commitInfo"]
+                    ts = info.get("inCommitTimestamp", info.get("timestamp"))
                     break
         out[v] = int(ts) if ts is not None else int(
             os.path.getmtime(fpath) * 1000
@@ -1592,6 +1594,9 @@ def write_delta_commit(
                 "the table already exists"
             )
         prev = delta_snapshot(spark, path)
+        _gate_writer_features(prev.protocol_raw, "write_delta_commit")
+        if mode == "overwrite":
+            _check_append_only(prev.metadata_raw, "write_delta_commit")
         prev_files = prev.files
         # identity first (a generation expression may reference the
         # identity column), then generation, then constraints (a CHECK
@@ -2067,6 +2072,115 @@ def cdf_enabled(metadata_raw: dict) -> bool:
     )
 
 
+# writer features implied by each LEGACY minWriterVersion (protocol
+# table-features spec: upgrading to v7 must enumerate everything the
+# previous version implied)
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+
+# writer features this module actually implements (unknown ones fail
+# closed — writing through an ununderstood feature corrupts the table)
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    f for feats in _LEGACY_WRITER_FEATURES.values() for f in feats
+) | frozenset({"inCommitTimestamp", "deletionVectors", "v2Checkpoint"})
+
+
+def _implied_writer_features(writer_version: int) -> list:
+    out: list = []
+    for v in sorted(_LEGACY_WRITER_FEATURES):
+        if writer_version >= v:
+            out.extend(_LEGACY_WRITER_FEATURES[v])
+    return out
+
+
+def ict_enabled(metadata_raw: dict) -> bool:
+    conf = (metadata_raw or {}).get("configuration") or {}
+    return str(
+        conf.get("delta.enableInCommitTimestamps", "false")
+    ).lower() == "true"
+
+
+def enable_in_commit_timestamps(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE SET TBLPROPERTIES delta.enableInCommitTimestamps
+    (r11): upgrade the protocol to the TABLE-FEATURES form
+    (minWriterVersion 7 with an explicit writerFeatures list — every
+    feature the previous legacy version implied, plus
+    ``inCommitTimestamp``), record the enablement version/timestamp
+    properties the spec requires for mid-life enablement, and stamp
+    the enabling commit itself with the first inCommitTimestamp.
+    Every later commit through this module carries a MONOTONE ICT
+    (max(clock, prev + 1) — `_write_commit` derives it from the
+    previous commit), and timestamp time travel / CDF prefer it over
+    file mtimes, which retention moves and copies corrupt."""
+    import time as _time
+
+    snap = delta_snapshot(spark, path)
+    if ict_enabled(snap.metadata_raw):
+        return snap.version
+    version = _next_version(path)
+    ict = int(_time.time() * 1000)
+    prev = _prev_commit_ict(path, version)
+    if prev is not None:
+        ict = max(ict, prev + 1)
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    writer_v = int(proto.get("minWriterVersion", 2))
+    feats = list(proto.get("writerFeatures") or [])
+    if writer_v < 7:
+        feats = _implied_writer_features(writer_v)
+    if "inCommitTimestamp" not in feats:
+        feats.append("inCommitTimestamp")
+    proto["minWriterVersion"] = 7
+    proto["writerFeatures"] = sorted(feats)
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestampEnablementVersion"] = str(version)
+    conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+    md["configuration"] = conf
+    _write_commit(
+        path,
+        version,
+        [{"protocol": proto}, {"metaData": md}],
+        operation="SET TBLPROPERTIES",
+        in_commit_timestamp=ict,
+    )
+    return version
+
+
+def _check_append_only(metadata_raw: dict, op: str) -> None:
+    """Enforce the appendOnly writer feature: a table configured
+    ``delta.appendOnly=true`` forbids every remove-generating
+    operation (overwrite / DELETE / UPDATE / MERGE)."""
+    conf = (metadata_raw or {}).get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "false")).lower() == "true":
+        raise ValueError(
+            f"{op}: table is delta.appendOnly=true — remove-generating "
+            "operations are forbidden"
+        )
+
+
+def _gate_writer_features(protocol_raw: dict, op: str) -> None:
+    """Fail closed on writer features this module doesn't implement —
+    the spec's rule for v7 writers (writing through an ununderstood
+    feature corrupts the table for the readers that rely on it)."""
+    feats = (protocol_raw or {}).get("writerFeatures")
+    if not feats:
+        return
+    unknown = sorted(set(feats) - _SUPPORTED_WRITER_FEATURES)
+    if unknown:
+        raise NotImplementedError(
+            f"{op}: table declares writerFeatures {unknown} this writer "
+            "does not implement — refusing to commit"
+        )
+
+
 def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     """ALTER TABLE SET TBLPROPERTIES delta.enableChangeDataFeed=true
     against the offline log (r10): commits the configuration flag plus
@@ -2444,6 +2558,8 @@ def _cow_rewrite(
     that changes a partition column moves its rows naturally).
     Returns the committed version."""
     snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, op_name)
+    _check_append_only(snap.metadata_raw, op_name)
     if snap.column_mapping or snap.deletion_vectors:
         raise NotImplementedError(
             f"{op_name} on column-mapped / deletion-vector tables needs "
@@ -2549,6 +2665,8 @@ def _dv_mark_deleted(
     )
 
     snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, op_name)
+    _check_append_only(snap.metadata_raw, op_name)
     if snap.column_mapping:
         raise NotImplementedError(
             f"{op_name} (deletion-vector mode) on column-mapped tables "
@@ -2898,6 +3016,8 @@ def merge_into_delta_table(
             "table: pass use_deletion_vectors=True"
         )
     cols = [f.name for f in snap.schema.fields]
+    _gate_writer_features(snap.protocol_raw, "merge_into_delta_table")
+    _check_append_only(snap.metadata_raw, "merge_into_delta_table")
     if identity_columns(snap.schema):
         raise NotImplementedError(
             "merge_into_delta_table on a table with IDENTITY columns: "
@@ -3336,8 +3456,32 @@ class DeltaConcurrentWriteError(RuntimeError):
     """
 
 
+def _prev_commit_ict(path: str, version: int):
+    """The previous commit's ``commitInfo.inCommitTimestamp`` (None
+    when the table doesn't write ICTs or the prior JSON is gone)."""
+    if version <= 0:
+        return None
+    prev = os.path.join(path, LOG_DIR, f"{version - 1:020d}.json")
+    if not os.path.exists(prev):
+        return None
+    with open(prev) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ict = a["commitInfo"].get("inCommitTimestamp")
+                return None if ict is None else int(ict)
+    return None
+
+
 def _write_commit(
-    path: str, version: int, actions: list, operation: str | None = None
+    path: str,
+    version: int,
+    actions: list,
+    operation: str | None = None,
+    in_commit_timestamp: int | None = None,
 ) -> None:
     import time as _time
     import uuid as _uuid
@@ -3346,22 +3490,32 @@ def _write_commit(
     os.makedirs(log, exist_ok=True)
     commit = os.path.join(log, f"{version:020d}.json")
     tmp = commit + f".{_uuid.uuid4().hex}.tmp"
+    # IN-COMMIT TIMESTAMPS (r11): once a table writes ICTs, EVERY later
+    # commit must carry one, monotonically increasing — derived from
+    # the previous commit without a snapshot replay. The enabling
+    # commit passes its ICT explicitly.
+    ict = in_commit_timestamp
+    if ict is None:
+        prev_ict = _prev_commit_ict(path, version)
+        if prev_ict is not None:
+            ict = max(int(_time.time() * 1000), prev_ict + 1)
+    if ict is not None and not operation:
+        operation = "WRITE"  # ICT rides commitInfo, which must exist
     with open(tmp, "w") as fh:
         if operation:
             # commitInfo is replay-irrelevant but carries the commit
             # timestamp (timestampAsOf resolution) and the operation
-            # name history readers show
-            fh.write(
-                json.dumps(
-                    {
-                        "commitInfo": {
-                            "timestamp": int(_time.time() * 1000),
-                            "operation": operation,
-                        }
-                    }
-                )
-                + "\n"
-            )
+            # name history readers show; with ICT enabled it must be
+            # the FIRST action and carry inCommitTimestamp
+            info = {
+                "timestamp": (
+                    ict if ict is not None else int(_time.time() * 1000)
+                ),
+                "operation": operation,
+            }
+            if ict is not None:
+                info["inCommitTimestamp"] = ict
+            fh.write(json.dumps({"commitInfo": info}) + "\n")
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     # PUBLISH with fail-if-exists semantics (r10): os.replace would

@@ -142,8 +142,11 @@ def _commit_actions(path: str, v: int) -> list[dict]:
 def _commit_ts_ms(path: str, v: int) -> int:
     f = os.path.join(path, LOG_DIR, f"{v:020d}.json")
     for a in _commit_actions(path, v):
-        if "commitInfo" in a and a["commitInfo"].get("timestamp"):
-            return int(a["commitInfo"]["timestamp"])
+        if "commitInfo" in a:
+            info = a["commitInfo"]
+            ts = info.get("inCommitTimestamp", info.get("timestamp"))
+            if ts:
+                return int(ts)
     return int(os.path.getmtime(f) * 1000)
 
 

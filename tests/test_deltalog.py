@@ -3644,3 +3644,154 @@ class TestIdentityColumns:
                 spark.createDataFrame([("q", 1)], "v string, id long"),
                 ["id"],
             )
+
+
+class TestInCommitTimestamps:
+    """r11: in-commit timestamps (table-features protocol form) — the
+    enabling commit upgrades to minWriterVersion 7 with an explicit
+    writerFeatures list, every later commit carries a MONOTONE
+    inCommitTimestamp, and timestamp time travel prefers ICT over the
+    file mtimes that retention moves corrupt. Plus the v7 writer
+    gates: unknown writerFeatures refuse, delta.appendOnly forbids
+    remove-generating ops."""
+
+    def test_enable_then_monotone_icts_and_time_travel(
+        self, spark, tmp_path
+    ):
+        import json as _json
+        import os as _os
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delta_snapshot,
+            enable_in_commit_timestamps,
+            read_delta_table,
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "ict")
+        _os.makedirs(root)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(1,)], "id long").coalesce(1),
+            root,
+        )
+        v = enable_in_commit_timestamps(spark, root)
+        assert v == 1
+        assert enable_in_commit_timestamps(spark, root) == 1  # idempotent
+        snap = delta_snapshot(spark, root)
+        proto = snap.protocol_raw
+        assert int(proto["minWriterVersion"]) == 7
+        assert "inCommitTimestamp" in proto["writerFeatures"]
+        # legacy v2 implied features enumerated per the spec
+        assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+        conf = snap.metadata_raw["configuration"]
+        assert conf["delta.enableInCommitTimestamps"] == "true"
+        assert conf["delta.inCommitTimestampEnablementVersion"] == "1"
+        # subsequent commits carry monotone ICTs without being told
+        write_delta_commit(
+            spark, spark.createDataFrame([(2,)], "id long").coalesce(1), root
+        )
+        write_delta_commit(
+            spark, spark.createDataFrame([(3,)], "id long").coalesce(1), root
+        )
+        icts = []
+        for ver in (1, 2, 3):
+            with open(
+                _os.path.join(root, "_delta_log", f"{ver:020d}.json")
+            ) as fh:
+                first = _json.loads(fh.readline())
+            assert "commitInfo" in first  # ICT commitInfo is FIRST
+            icts.append(int(first["commitInfo"]["inCommitTimestamp"]))
+        assert icts[0] < icts[1] < icts[2]
+        # timestamp time travel resolves by ICT even when file mtimes
+        # are shuffled (retention copies / clock skew)
+        log = _os.path.join(root, "_delta_log")
+        for ver in (0, 1, 2, 3):
+            _os.utime(_os.path.join(log, f"{ver:020d}.json"), (1, 1))
+        got = read_delta_table(spark, root, timestamp_ms=icts[1]).collect()
+        assert sorted(r["id"] for r in got) == [1, 2]
+
+    def test_unknown_writer_feature_refused(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "wfx")
+        _os.makedirs(root)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(1,)], "id long").coalesce(1),
+            root,
+        )
+        log = _os.path.join(root, "_delta_log")
+        with open(_os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 7,
+                            "writerFeatures": ["icebergCompatV2"],
+                        }
+                    }
+                )
+                + "\n"
+            )
+        with _pytest.raises(NotImplementedError, match="icebergCompatV2"):
+            write_delta_commit(
+                spark,
+                spark.createDataFrame([(2,)], "id long").coalesce(1),
+                root,
+            )
+
+    def test_append_only_forbids_removals(self, spark, tmp_path):
+        import os as _os
+
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delete_from_delta_table,
+            delta_snapshot,
+            read_delta_table,
+            update_delta_table,
+            write_delta_commit,
+            _next_version,
+            _write_commit,
+        )
+
+        root = str(tmp_path / "ao")
+        _os.makedirs(root)
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+            root,
+        )
+        snap = delta_snapshot(spark, root)
+        md = dict(snap.metadata_raw)
+        md["configuration"] = {"delta.appendOnly": "true"}
+        _write_commit(
+            root, _next_version(root), [{"metaData": md}],
+            operation="SET TBLPROPERTIES",
+        )
+        # appends still fine
+        write_delta_commit(
+            spark, spark.createDataFrame([(3,)], "id long").coalesce(1), root
+        )
+        assert read_delta_table(spark, root).count() == 3
+        for opfn in (
+            lambda: delete_from_delta_table(spark, root, "id = 1"),
+            lambda: update_delta_table(spark, root, "id = 1", {"id": "9"}),
+            lambda: write_delta_commit(
+                spark,
+                spark.createDataFrame([(9,)], "id long"),
+                root,
+                mode="overwrite",
+            ),
+        ):
+            with _pytest.raises(ValueError, match="appendOnly"):
+                opfn()
