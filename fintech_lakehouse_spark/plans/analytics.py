@@ -2074,3 +2074,213 @@ def order_isolation_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return iso.orderBy("iso_depth", "o_orderkey").limit(ISO_TOP)
+
+
+@register(
+    "fifo_lot_matching",
+    oracle="""
+    WITH buys AS (
+        SELECT l_partkey,
+               CAST(l_quantity AS BIGINT) AS qty,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS hi
+        FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    sells AS (
+        SELECT l_partkey,
+               CAST(l_quantity AS BIGINT) AS qty,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS hi
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (SELECT l_partkey, qty, hi, hi - qty AS lo FROM buys),
+    s AS (SELECT l_partkey, qty, hi, hi - qty AS lo FROM sells),
+    matched AS (
+        SELECT b.l_partkey,
+               LEAST(b.hi, s.hi) - GREATEST(b.lo, s.lo) AS m
+        FROM b JOIN s ON b.l_partkey = s.l_partkey
+                     AND b.lo < s.hi AND s.lo < b.hi
+    ),
+    sell_tot AS (
+        SELECT l_partkey, SUM(qty) AS sell_qty, COUNT(*) AS n_sell_lots
+        FROM s GROUP BY l_partkey
+    )
+    SELECT t.l_partkey                            AS part_key,
+           CAST(t.n_sell_lots AS BIGINT)          AS n_sell_lots,
+           CAST(t.sell_qty AS BIGINT)             AS sell_qty,
+           CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_matched_pairs,
+           CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched_qty,
+           CAST(t.sell_qty - COALESCE(m.matched, 0) AS BIGINT)
+                                                  AS unmatched_sell_qty
+    FROM sell_tot t
+    LEFT JOIN (
+        SELECT l_partkey, SUM(m) AS matched, COUNT(*) AS n_pairs
+        FROM matched GROUP BY l_partkey
+    ) m ON m.l_partkey = t.l_partkey
+    ORDER BY part_key
+    """,
+)
+def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory-costing / position-closing
+    primitive of every brokerage and ERP ledger (realized-PnL and COGS
+    engines match sells against buy lots first-in-first-out), expressed
+    as the SCALABLE set formulation instead of the sequential loop a
+    naive implementation runs: number buys and sells per part with
+    CUMULATIVE-quantity intervals [hi−qty, hi) along FIFO order
+    (shipdate, orderkey, linenumber), and FIFO matching becomes pure
+    INTERVAL INTERSECTION — buy lot b covers sell lot s for
+    min(b.hi, s.hi) − max(b.lo, s.lo) units exactly when their
+    cumulative ranges overlap. No iteration, no state: two windows +
+    one interval join reproduce the sequential algorithm's assignment
+    bit-for-bit (the classic cumulative-sum trick). Returns per part
+    the sell-lot count, sell quantity, matched pair count, FIFO-matched
+    quantity and the unmatched remainder (sells exceeding total buys) —
+    all exact integers.
+
+    Proxy mapping on the test lake: shipments with l_returnflag ≠ 'R'
+    are acquisitions (buy lots), 'R' rows are returns to match against
+    them — the mechanics are identical for trade fills.
+
+    Scale shape: two part-keyed windows (one shuffle each, same key →
+    exchange reuse), then an equi-join on part key whose range
+    predicates evaluate as join filters — never a cartesian; per-key
+    pair fan-out is bounded by lots-per-part, and a hot part would get
+    the salting toolkit. At 100 TB you'd additionally bucket both
+    sides by part key at write time and the windows/join all skip the
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+
+    def lots(df):
+        return (
+            df.select(
+                "l_partkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+                F.sum(F.col("l_quantity").cast("long"))
+                .over(w)
+                .alias("hi"),
+            )
+            .withColumn("lo", F.col("hi") - F.col("qty"))
+        )
+
+    b = lots(li.filter(F.col("l_returnflag") != "R")).alias("b")
+    s = lots(li.filter(F.col("l_returnflag") == "R")).alias("s")
+    matched = (
+        b.join(
+            s,
+            (F.col("b.l_partkey") == F.col("s.l_partkey"))
+            & (F.col("b.lo") < F.col("s.hi"))
+            & (F.col("s.lo") < F.col("b.hi")),
+        )
+        .groupBy(F.col("b.l_partkey").alias("part_key"))
+        .agg(
+            F.sum(
+                F.least(F.col("b.hi"), F.col("s.hi"))
+                - F.greatest(F.col("b.lo"), F.col("s.lo"))
+            ).alias("matched"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    sell_tot = s.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum("qty").alias("sell_qty"),
+        F.count(F.lit(1)).alias("n_sell_lots"),
+    )
+    return (
+        sell_tot.join(matched, "part_key", "left")
+        .select(
+            "part_key",
+            F.col("n_sell_lots").cast("long").alias("n_sell_lots"),
+            F.col("sell_qty").cast("long").alias("sell_qty"),
+            F.coalesce("n_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_matched_pairs"),
+            F.coalesce("matched", F.lit(0))
+            .cast("long")
+            .alias("matched_qty"),
+            (F.col("sell_qty") - F.coalesce("matched", F.lit(0)))
+            .cast("long")
+            .alias("unmatched_sell_qty"),
+        )
+        .orderBy("part_key")
+    )
+
+
+@register(
+    "user_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS day,
+               value,
+               epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               ) AS t_next
+        FROM events
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT)                         AS n_intervals,
+           CAST(MAX(t_next) - MIN(t) AS BIGINT)             AS span_us,
+           ROUND(SUM(value * (t_next - t))
+                 / (MAX(t_next) - MIN(t)), 4)               AS twav
+    FROM seq
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id, day
+    HAVING MAX(t_next) > MIN(t)
+    ORDER BY user_id, day
+    """,
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the TWAP shape of
+    every execution-quality and exposure report (an arithmetic mean
+    over irregular observations over-weights bursts; the time-weighted
+    mean integrates the step function, weighting each observation by
+    how long it REMAINED the latest): value_i carries until the next
+    event (LEAD within the user-day), weight = the microsecond gap,
+    twav = Σ value·gap / total span. Events with no successor close
+    the day and contribute span only.
+
+    Determinism: gaps are exact integer microseconds; the one double
+    SUM rides small per-user-day groups, rounded at 4 (the events
+    family's established contract — total_value/session_value use the
+    same form).
+
+    Scale shape: one (user, day) window shuffle, then a groupBy on the
+    SAME key — the aggregation reuses the window's partitioning, so
+    the plan carries a single exchange over the fact. At 100 TB this
+    is the canonical pre-partitioned time-series pass."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    # ts is TIMESTAMP_NTZ (TESTDATA nanos conversion) — timestampdiff
+    # is the TZ-FREE microsecond arithmetic (unix_micros would pull
+    # the session zone in); the oracle's epoch_us difference on
+    # DuckDB's naive timestamps is the identical integer
+    seq = events.select(
+        "user_id",
+        day,
+        "value",
+        F.col("ts"),
+        F.lead("ts").over(w).alias("ts_next"),
+    ).filter(F.col("ts_next").isNotNull())
+    gap = F.expr("timestampdiff(MICROSECOND, ts, ts_next)")
+    span = F.expr("timestampdiff(MICROSECOND, min(ts), max(ts_next))")
+    return (
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            span.cast("long").alias("span_us"),
+            F.round(F.sum(F.col("value") * gap) / span, 4).alias("twav"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id", "day")
+    )

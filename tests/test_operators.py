@@ -1788,3 +1788,103 @@ class TestR11Evals:
             row["recall_ppm"]
             == row["n_common"] * 1_000_000 // row["n_exact_pairs"]
         )
+
+
+class TestFifoLotMatching:
+    """Pin the interval-intersection formulation against a literal
+    SEQUENTIAL FIFO simulator on constructed lots — the claim the
+    oracle hash can't express (the oracle runs the same set form)."""
+
+    @staticmethod
+    def _write_lineitem(spark, path, rows):
+        import datetime as _dt
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                    "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+                    "l_linenumber": pa.array(
+                        [r[2] for r in rows], pa.int32()
+                    ),
+                    "l_quantity": pa.array(
+                        [float(r[3]) for r in rows], pa.float64()
+                    ),
+                    "l_extendedprice": pa.array(
+                        [100.0] * len(rows), pa.float64()
+                    ),
+                    "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+                    "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+                    "l_returnflag": pa.array(
+                        [r[4] for r in rows], pa.string()
+                    ),
+                    "l_linestatus": pa.array(
+                        ["O"] * len(rows), pa.string()
+                    ),
+                    "l_shipdate": pa.array(
+                        [
+                            _dt.datetime(1996, 1, 1) + _dt.timedelta(days=r[5])
+                            for r in rows
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(path) + "/lineitem.parquet",
+        )
+
+    def test_matches_sequential_fifo(self, spark, tmp_path):
+        from fintech_lakehouse_spark.plans.analytics import fifo_lot_matching
+
+        # part 7: buys 10, 5, 8 — sells 12, 6 (partially unmatched: 23
+        # bought vs 18 sold → fully matched). part 8: buys 4 — sells 9
+        # (5 unmatched). (orderkey, partkey, line, qty, flag, day)
+        rows = [
+            (1, 7, 1, 10, "N", 0),
+            (2, 7, 1, 5, "A", 1),
+            (3, 7, 1, 8, "N", 2),
+            (4, 7, 1, 12, "R", 3),
+            (5, 7, 1, 6, "R", 4),
+            (6, 8, 1, 4, "N", 0),
+            (7, 8, 1, 9, "R", 1),
+        ]
+        self._write_lineitem(spark, tmp_path / "fifo", rows)
+        got = {
+            r["part_key"]: r
+            for r in fifo_lot_matching(spark, str(tmp_path / "fifo")).collect()
+        }
+
+        # literal sequential FIFO replay
+        def fifo(buys, sells):
+            import collections
+
+            lots = collections.deque(buys)
+            matched = 0
+            pairs = 0
+            for s in sells:
+                need = s
+                while need and lots:
+                    take = min(need, lots[0])
+                    matched += take
+                    pairs += 1
+                    need -= take
+                    if take == lots[0]:
+                        lots.popleft()
+                    else:
+                        lots[0] -= take
+            return matched, pairs
+
+        m7, p7 = fifo([10, 5, 8], [12, 6])
+        m8, p8 = fifo([4], [9])
+        assert (got[7]["matched_qty"], got[7]["n_matched_pairs"]) == (m7, p7)
+        assert got[7]["unmatched_sell_qty"] == 18 - m7
+        assert (got[8]["matched_qty"], got[8]["n_matched_pairs"]) == (m8, p8)
+        assert got[8]["unmatched_sell_qty"] == 9 - m8
