@@ -2284,3 +2284,76 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_us") > 0)
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "hourly_value_ohlc",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bar_ts,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_ts,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4)                             AS high,
+           ROUND(MIN(value), 4)                             AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           CAST(COUNT(*) AS BIGINT)                         AS n_events
+    FROM seq
+    GROUP BY event_type, bar_ts
+    ORDER BY event_type, bar_ts
+    """,
+)
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the aggregation every market-data and
+    metrics store materializes (open/high/low/close per instrument per
+    bar): hourly bars per event type over the event value stream.
+    Open/close are the FIRST/LAST observation by (ts, event_id) —
+    realized as one window pass emitting ascending and descending row
+    numbers, then conditional aggregates (deterministic: event_id
+    uniquifies ties; high/low/count are exact single-value aggregates,
+    no order-dependent sum anywhere, ROUND only renders).
+
+    Scale shape: one (event_type, bar) window shuffle feeding a
+    groupBy on the SAME key; bar grain bounds output cardinality.
+    date_trunc on TIMESTAMP_NTZ is TZ-free. At 100 TB this is the
+    standard pre-partitioned bar-build pass — and the streaming twin
+    is a watermarked tumbling window with min_by/max_by."""
+    events = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    w_a = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", bar).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    seq = events.select(
+        "event_type",
+        bar.alias("bar_ts"),
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        seq.groupBy("event_type", "bar_ts")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4
+            ).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
+            ).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
