@@ -65,7 +65,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1810,7 +1810,7 @@ def write_delta_commit(
             actions.append(
                 {
                     "remove": {
-                        "path": rel,
+                        "path": quote(rel),
                         "deletionTimestamp": int(
                             os.path.getmtime(path) * 1000
                         ),
@@ -2604,7 +2604,7 @@ def _cow_rewrite(
         actions.append(
             {
                 "remove": {
-                    "path": rel,
+                    "path": quote(rel),
                     "deletionTimestamp": int(os.path.getmtime(path) * 1000),
                     "dataChange": True,
                 }
@@ -2764,7 +2764,7 @@ def _dv_mark_deleted(
         # both land on the file staying live with the NEW DV.
         old_add = snap.adds_raw.get(rel) or {}
         rm: dict = {
-            "path": rel,
+            "path": quote(rel),
             "deletionTimestamp": now_ms,
             "dataChange": True,
         }
@@ -2772,7 +2772,7 @@ def _dv_mark_deleted(
             rm["deletionVector"] = snap.deletion_vectors[rel]
         actions.append({"remove": rm})
         readd = {
-            "path": rel,
+            "path": quote(rel),
             "partitionValues": snap.files[rel],
             "size": old_add.get(
                 "size", os.path.getsize(os.path.join(path, rel))
@@ -3184,7 +3184,7 @@ def _merge_cow(
                 actions.append(
                     {
                         "remove": {
-                            "path": rel,
+                            "path": quote(rel),
                             "deletionTimestamp": now_ms,
                             "dataChange": True,
                         }
@@ -3292,7 +3292,7 @@ def optimize_delta_table(
         actions.append(
             {
                 "remove": {
-                    "path": rel,
+                    "path": quote(rel),
                     "deletionTimestamp": int(os.path.getmtime(path) * 1000),
                     "dataChange": False,
                 }
@@ -3352,7 +3352,7 @@ def restore_delta_table(
         actions.append(
             {
                 "remove": {
-                    "path": rel,
+                    "path": quote(rel),
                     "deletionTimestamp": now_ms,
                     "dataChange": True,
                 }
@@ -3433,12 +3433,78 @@ def vacuum_delta_table(
                     a = json.loads(line)
                     if "add" in a:
                         ever_added.add(unquote(a["add"]["path"]))
+    root = os.path.abspath(path)
     for rel in sorted(ever_added - live):
-        full = os.path.join(path, rel)
+        full = os.path.abspath(os.path.join(path, rel))
+        # SHALLOW-CLONE guard (r11): an absolute add path points into
+        # the SOURCE table — vacuuming the clone must never delete a
+        # file it does not own
+        if not full.startswith(root + os.sep):
+            continue
         if os.path.isfile(full):
             os.remove(full)
             deleted.append(rel)
     return deleted
+
+
+def shallow_clone_delta_table(
+    spark: SparkSession, src_path: str, dst_path: str
+) -> int:
+    """SHALLOW CLONE (r11 — delta's zero-copy table fork): commit a
+    NEW table at ``dst_path`` whose add actions point at the SOURCE
+    table's data files by ABSOLUTE path (the protocol explicitly
+    allows absolute add paths; relative resolution falls out of
+    ``os.path.join`` dropping its first argument). The clone shares
+    bytes but not history: metadata/schema/partitioning copy over
+    (fresh table id), subsequent writes land locally under
+    ``dst_path``, DML tombstones the borrowed paths without touching
+    the source, and VACUUM refuses to delete files outside the clone's
+    own root (the source owns them). Fail-closed scope: a source with
+    deletion vectors (table-relative descriptors would resolve against
+    the wrong root) or column mapping refuses.
+
+    Scale note: a clone commit is O(live files) metadata — no data
+    moves; this is how table forks for experimentation/backfill stay
+    O(1) in data volume at 100 TB."""
+    snap = delta_snapshot(spark, src_path)
+    if snap.deletion_vectors:
+        raise NotImplementedError(
+            "shallow clone of a deletion-vector table: DV descriptors "
+            "resolve table-relative and would point into the wrong "
+            "root — refusing"
+        )
+    if snap.column_mapping:
+        raise NotImplementedError(
+            "shallow clone of a column-mapped table — refusing"
+        )
+    if os.path.isdir(os.path.join(dst_path, LOG_DIR)) and _commit_versions(
+        os.path.join(dst_path, LOG_DIR)
+    ):
+        raise ValueError(f"clone target {dst_path} already has a Delta log")
+    import uuid as _uuid
+
+    os.makedirs(dst_path, exist_ok=True)
+    md = dict(snap.metadata_raw)
+    md["id"] = _uuid.uuid4().hex
+    actions: list[dict] = [
+        {
+            "protocol": dict(
+                snap.protocol_raw
+                or {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
+        },
+        {"metaData": md},
+    ]
+    for rel in sorted(snap.files):
+        add = dict(snap.adds_raw.get(rel) or {})
+        add["path"] = quote(
+            os.path.abspath(os.path.join(src_path, rel))
+        )
+        add.setdefault("partitionValues", snap.files[rel])
+        add["dataChange"] = True
+        actions.append({"add": add})
+    _write_commit(dst_path, 0, actions, operation="CLONE")
+    return 0
 
 
 def _next_version(path: str) -> int:

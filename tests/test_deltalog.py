@@ -3795,3 +3795,120 @@ class TestInCommitTimestamps:
         ):
             with _pytest.raises(ValueError, match="appendOnly"):
                 opfn()
+
+
+class TestShallowClone:
+    """r11: SHALLOW CLONE — zero-copy table fork via absolute add
+    paths. Clone reads equal the source; writes/DML stay local;
+    VACUUM never deletes borrowed (source-owned) files."""
+
+    @staticmethod
+    def _src(spark, root):
+        import os as _os
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            write_delta_commit,
+        )
+
+        _os.makedirs(root)
+        for lo in (0, 3):
+            write_delta_commit(
+                spark,
+                spark.createDataFrame(
+                    [(i, f"v{i}") for i in range(lo, lo + 3)],
+                    "id long, v string",
+                ).coalesce(1),
+                root,
+            )
+
+    def test_clone_reads_equal_source_and_diverges(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delta_snapshot,
+            read_delta_table,
+            shallow_clone_delta_table,
+            write_delta_commit,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        self._src(spark, src)
+        assert shallow_clone_delta_table(spark, src, dst) == 0
+        want = sorted(map(tuple, read_delta_table(spark, src).collect()))
+        got = sorted(map(tuple, read_delta_table(spark, dst).collect()))
+        assert got == want and len(got) == 6
+        # fresh table id, zero data files copied
+        import os as _os
+
+        s_id = delta_snapshot(spark, src).metadata_raw["id"]
+        d_id = delta_snapshot(spark, dst).metadata_raw["id"]
+        assert s_id != d_id
+        assert not [
+            n for n in _os.listdir(dst) if n.endswith(".parquet")
+        ]
+        # divergence: append to the clone lands locally, source frozen
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(99, "x")], "id long, v string"),
+            dst,
+        )
+        assert read_delta_table(spark, dst).count() == 7
+        assert read_delta_table(spark, src).count() == 6
+
+    def test_clone_dml_and_vacuum_never_touch_source(self, spark, tmp_path):
+        import os as _os
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delete_from_delta_table,
+            read_delta_table,
+            shallow_clone_delta_table,
+            vacuum_delta_table,
+        )
+
+        src = str(tmp_path / "src2")
+        dst = str(tmp_path / "dst2")
+        self._src(spark, src)
+        src_files = {
+            n for n in _os.listdir(src) if n.endswith(".parquet")
+        }
+        shallow_clone_delta_table(spark, src, dst)
+        # CoW DELETE on the clone: borrowed file tombstoned, surviving
+        # rows rewritten locally under the clone
+        delete_from_delta_table(spark, dst, "id = 1")
+        assert sorted(
+            r["id"] for r in read_delta_table(spark, dst).collect()
+        ) == [0, 2, 3, 4, 5]
+        assert read_delta_table(spark, src).count() == 6
+        # vacuum reclaims nothing outside the clone root — the
+        # tombstoned absolute path belongs to the source
+        vacuum_delta_table(spark, dst, keep_versions=1)
+        assert {
+            n for n in _os.listdir(src) if n.endswith(".parquet")
+        } == src_files
+        assert read_delta_table(spark, src).count() == 6
+        assert sorted(
+            r["id"] for r in read_delta_table(spark, dst).collect()
+        ) == [0, 2, 3, 4, 5]
+
+    def test_clone_refuses_dv_tables_and_existing_target(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            delete_from_delta_table,
+            shallow_clone_delta_table,
+        )
+
+        src = str(tmp_path / "src3")
+        self._src(spark, src)
+        delete_from_delta_table(
+            spark, src, "id = 0", use_deletion_vectors=True
+        )
+        with _pytest.raises(NotImplementedError, match="deletion-vector"):
+            shallow_clone_delta_table(spark, src, str(tmp_path / "d3"))
+        src2 = str(tmp_path / "src4")
+        self._src(spark, src2)
+        dst = str(tmp_path / "dst4")
+        shallow_clone_delta_table(spark, src2, dst)
+        with _pytest.raises(ValueError, match="already has a Delta log"):
+            shallow_clone_delta_table(spark, src2, dst)
