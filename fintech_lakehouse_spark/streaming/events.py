@@ -88,6 +88,46 @@ def windowed_event_counts(
     )
 
 
+def windowed_ohlc_bars(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming OHLC bars — the streaming twin of the registry query
+    ``hourly_value_ohlc`` (r11): tumbling windows per event_type with
+    open/close as min_by/max_by over the (ts, event_id) struct key
+    (identical first/last semantics to the batch query's asc/desc
+    row_number — event_id uniquifies ties), high/low/count exact.
+    Watermark bounds state; bars finalize when the watermark passes
+    the window end. The bar-build every market-data pipeline runs."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"), "event_type"
+        )
+        .agg(
+            F.round(
+                F.min_by("value", F.struct("ts", "event_id")), 4
+            ).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max_by("value", F.struct("ts", "event_id")), 4
+            ).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bar_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

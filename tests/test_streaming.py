@@ -1591,3 +1591,25 @@ def test_online_dedup_lsm_compaction_equals_batch(spark, tmp_path):
         r["doc_id"]: (r["is_dup"], r["dup_of"])
         for r in spark.read.parquet(f"{dec}/version=*").collect()
     } == expected
+
+
+def test_windowed_ohlc_matches_batch_registry_query(spark, events_dir):
+    """r11: the streaming OHLC bars (min_by/max_by over the
+    (ts, event_id) struct key, watermarked tumbling windows) must
+    equal the batch registry query hourly_value_ohlc row-for-row —
+    the asc/desc row_number conditional aggregates and min_by/max_by
+    are the same first/last semantics."""
+    from fintech_lakehouse_spark.plans.registry import QUERIES
+    from fintech_lakehouse_spark.streaming import windowed_ohlc_bars
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, windowed_ohlc_bars(stream), "ohlc_bars")
+    batch = QUERIES["hourly_value_ohlc"](spark, "/root/testdata/sf0.001")
+    cols = ["event_type", "open", "high", "low", "close", "n_events"]
+    got_n = sorted(
+        (r["bar_ts"],) + tuple(r[c] for c in cols) for r in got.collect()
+    )
+    want_n = sorted(
+        (r["bar_ts"],) + tuple(r[c] for c in cols) for r in batch.collect()
+    )
+    assert got_n == want_n and len(got_n) > 100
