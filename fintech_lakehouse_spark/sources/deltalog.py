@@ -3481,11 +3481,23 @@ def shallow_clone_delta_table(
         os.path.join(dst_path, LOG_DIR)
     ):
         raise ValueError(f"clone target {dst_path} already has a Delta log")
+    import time as _time
     import uuid as _uuid
 
     os.makedirs(dst_path, exist_ok=True)
     md = dict(snap.metadata_raw)
     md["id"] = _uuid.uuid4().hex
+    clone_ict = None
+    if ict_enabled(md):
+        # the clone's log starts fresh: its enablement properties must
+        # name ITS version 0, and the clone commit itself carries the
+        # first ICT (otherwise the prev-commit probe never fires and
+        # the cloned table silently stops writing ICTs)
+        clone_ict = int(_time.time() * 1000)
+        conf = dict(md.get("configuration") or {})
+        conf["delta.inCommitTimestampEnablementVersion"] = "0"
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(clone_ict)
+        md["configuration"] = conf
     actions: list[dict] = [
         {
             "protocol": dict(
@@ -3503,7 +3515,10 @@ def shallow_clone_delta_table(
         add.setdefault("partitionValues", snap.files[rel])
         add["dataChange"] = True
         actions.append({"add": add})
-    _write_commit(dst_path, 0, actions, operation="CLONE")
+    _write_commit(
+        dst_path, 0, actions, operation="CLONE",
+        in_commit_timestamp=clone_ict,
+    )
     return 0
 
 

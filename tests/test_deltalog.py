@@ -3912,3 +3912,46 @@ class TestShallowClone:
         shallow_clone_delta_table(spark, src2, dst)
         with _pytest.raises(ValueError, match="already has a Delta log"):
             shallow_clone_delta_table(spark, src2, dst)
+
+
+def test_clone_of_ict_table_keeps_writing_icts(spark, tmp_path):
+    """r11 self-audit: the clone's fresh log must carry an ICT on its
+    CLONE commit (enablement properties re-pointed at version 0) or
+    the prev-commit probe never fires and the cloned table silently
+    stops writing in-commit timestamps."""
+    import json as _json
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        enable_in_commit_timestamps,
+        shallow_clone_delta_table,
+        write_delta_commit,
+    )
+
+    src = str(tmp_path / "ict_src")
+    _os.makedirs(src)
+    write_delta_commit(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), src
+    )
+    enable_in_commit_timestamps(spark, src)
+    dst = str(tmp_path / "ict_dst")
+    shallow_clone_delta_table(spark, src, dst)
+    write_delta_commit(
+        spark, spark.createDataFrame([(2,)], "id long").coalesce(1), dst
+    )
+    icts = []
+    for v in (0, 1):
+        with open(
+            _os.path.join(dst, "_delta_log", f"{v:020d}.json")
+        ) as fh:
+            first = _json.loads(fh.readline())
+        icts.append(int(first["commitInfo"]["inCommitTimestamp"]))
+    assert icts[0] < icts[1]
+    with open(_os.path.join(dst, "_delta_log", f"{0:020d}.json")) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if "metaData" in a:
+                conf = a["metaData"]["configuration"]
+                assert (
+                    conf["delta.inCommitTimestampEnablementVersion"] == "0"
+                )
