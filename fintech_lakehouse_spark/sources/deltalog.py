@@ -3364,7 +3364,7 @@ def restore_delta_table(
         if rel in current.files and cur_dv == tgt_dv:
             continue  # live with the same DV state: nothing to do
         add = dict(target.adds_raw.get(rel) or {})
-        add.setdefault("path", rel)
+        add.setdefault("path", quote(rel))
         add.setdefault("partitionValues", target.files[rel])
         add["dataChange"] = True
         if tgt_dv:
