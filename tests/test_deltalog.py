@@ -3955,3 +3955,48 @@ def test_clone_of_ict_table_keeps_writing_icts(spark, tmp_path):
                 assert (
                     conf["delta.inCommitTimestampEnablementVersion"] == "0"
                 )
+
+
+def test_optimize_on_clone_localizes_data(spark, tmp_path):
+    """r11: OPTIMIZE on a shallow clone compacts the borrowed
+    absolute-path files into LOCAL files under the clone (the standard
+    way to materialize a clone), tombstoning the borrowed paths;
+    the source stays untouched and a subsequent clone VACUUM deletes
+    nothing outside its root."""
+    import os as _os
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        optimize_delta_table,
+        read_delta_table,
+        shallow_clone_delta_table,
+        vacuum_delta_table,
+        write_delta_commit,
+    )
+
+    src = str(tmp_path / "osrc")
+    _os.makedirs(src)
+    for lo in (0, 3):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 3)],
+                "id long, v string",
+            ).coalesce(1),
+            src,
+        )
+    dst = str(tmp_path / "odst")
+    shallow_clone_delta_table(spark, src, dst)
+    want = sorted(map(tuple, read_delta_table(spark, dst).collect()))
+    optimize_delta_table(spark, dst, target_files=1)
+    got = sorted(map(tuple, read_delta_table(spark, dst).collect()))
+    assert got == want
+    # data now lives locally; borrowed files tombstoned
+    local = [n for n in _os.listdir(dst) if n.endswith(".parquet")]
+    assert local
+    src_files = {n for n in _os.listdir(src) if n.endswith(".parquet")}
+    vacuum_delta_table(spark, dst, keep_versions=1)
+    assert {
+        n for n in _os.listdir(src) if n.endswith(".parquet")
+    } == src_files
+    assert read_delta_table(spark, src).count() == 6
+    assert sorted(map(tuple, read_delta_table(spark, dst).collect())) == want
