@@ -3594,3 +3594,73 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_docs",
         F.expr("dup_docs * 1000000 DIV n_docs").cast("long").alias("dup_ppm"),
     )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [array_to_string(string_split(text, ' ')[i:i+7], ' ')
+                  FOR i IN range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)]
+               )) AS gram
+        FROM documents
+    ),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_seen_earlier,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM g JOIN f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY profile — the memorization/duplication
+    signal dedup-aware curricula and data-curation audits read (Lee et
+    al. 2022's observation operationalized per document: a doc whose
+    8-grams were mostly FIRST SEEN in earlier documents adds little
+    new sequence content, however "unique" its exact hash is): for
+    every doc with ≥8 tokens, its distinct 8-gram count, how many of
+    those grams first appeared in an EARLIER doc (arrival order =
+    doc_id, the corpus convention), and the novelty fraction in
+    floor-divided integer ppm. Uses the SAME 8-gram definition as
+    test_set_decontamination, so the two reports compose.
+
+    Scale shape: inverted index, never pairwise — one gram groupBy
+    (min doc_id, map-side combinable) and one join back on the gram,
+    both exchanging on the SAME key so the exploded gram derivation is
+    shared (the ngram_jaccard_pairs exchange-reuse pattern via an
+    explicit repartition). Linear in total gram mass; no hot-gram
+    hazard because nothing fans out quadratically — a gram shared by
+    k docs contributes k join rows, same as its index size."""
+    documents = load_table(spark, sf_dir, "documents")
+    grams = (
+        word_shingles(documents, n=8)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .repartition("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_seen_earlier"),
+            F.expr(
+                "SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) "
+                "* 1000000 DIV COUNT(1)"
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
