@@ -50,7 +50,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from fintech_lakehouse_spark.sources.deltalog import (
@@ -415,6 +417,244 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         pass  # offsets are the only state; the log itself is durable
 
 
+_PA_TYPES = {
+    "long": "int64",
+    "integer": "int32",
+    "short": "int16",
+    "byte": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date32",
+    "timestamp_ntz": "timestamp[us]",
+    "timestamp": "timestamp[us]",
+}
+
+
+class _DeltaWriteCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class DeltaBridgeWriter(DataSourceWriter):
+    """``df.write.format("deltabridge")`` — the WRITE half of the
+    bridge through Spark 4's Python DataSource API (r11): executors
+    write parquet pages of their partition via pyarrow into a staging
+    dir; the driver's ``commit()`` promotes them to
+    ``part-<version>-<n>.parquet``, builds add actions (with per-file
+    stats) and publishes the next log version through deltalog's
+    put-if-absent commit — append or overwrite, exactly-once at the
+    commit grain, ICT maintained automatically by ``_write_commit``.
+    No SparkSession is touched anywhere: the snapshot checks replay
+    the log with :func:`_pure_snapshot`.
+
+    Fail-closed scope (each would corrupt silently if ignored):
+    partitioned / column-mapped / constraint-carrying / generated- or
+    identity-column tables, schema mismatch vs the table, unsupported
+    writerFeatures, delta.appendOnly under overwrite, overwrite of a
+    DV-carrying table (the removes must carry DV descriptors)."""
+
+    def __init__(self, schema: "StructType", options: dict, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("deltabridge write requires .option('path')")
+        self.overwrite = overwrite
+        for f in schema.fields:
+            if f.dataType.typeName() not in _PA_TYPES:
+                raise NotImplementedError(
+                    f"deltabridge write: column {f.name!r} type "
+                    f"{f.dataType.typeName()!r} unsupported"
+                )
+        self.stage = os.path.join(
+            self.path, f"_pystage_{__import__('uuid').uuid4().hex}"
+        )
+        # fail FAST on the driver before any executor work (the same
+        # checks re-run at commit time against the then-current log)
+        self._validate()
+
+    def write(self, iterator) -> "_DeltaWriteCommit":
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self.schema.fields]
+        cols: dict = {n: [] for n in names}
+        n_rows = 0
+        for row in iterator:
+            for n, v in zip(names, row):
+                cols[n].append(v)
+            n_rows += 1
+        if n_rows == 0:
+            return _DeltaWriteCommit("", 0)
+        arrays = {
+            f.name: pa.array(
+                cols[f.name], pa.type_for_alias(_PA_TYPES[f.dataType.typeName()])
+            )
+            for f in self.schema.fields
+        }
+        os.makedirs(self.stage, exist_ok=True)
+        tmp = os.path.join(self.stage, f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table(arrays), tmp)
+        return _DeltaWriteCommit(tmp, n_rows)
+
+    def _validate(self):
+        """Driver-side fail-closed gates against the CURRENT log (pure
+        replay, no Spark)."""
+        from fintech_lakehouse_spark.sources.deltalog import (
+            _SUPPORTED_WRITER_FEATURES,
+            generated_columns,
+            identity_columns,
+            table_constraints,
+        )
+
+        log = os.path.join(self.path, LOG_DIR)
+        if not os.path.isdir(log) or not _commit_versions(log):
+            return None  # table creation
+        snap = _pure_snapshot(self.path)
+        feats = (snap["protocol_raw"] or {}).get("writerFeatures") or []
+        unknown = sorted(set(feats) - _SUPPORTED_WRITER_FEATURES)
+        if unknown:
+            raise NotImplementedError(
+                f"deltabridge write: writerFeatures {unknown} not "
+                "implemented — refusing"
+            )
+        conf = (snap["metadata_raw"] or {}).get("configuration") or {}
+        if snap["partition_columns"]:
+            raise NotImplementedError(
+                "deltabridge write: partitioned tables need partitioned "
+                "staging — use deltalog.write_delta_commit"
+            )
+        if snap["column_mapping"]:
+            raise NotImplementedError(
+                "deltabridge write: column-mapped table — refusing"
+            )
+        if table_constraints(conf):
+            raise NotImplementedError(
+                "deltabridge write: CHECK constraints need engine-side "
+                "enforcement — use deltalog.write_delta_commit"
+            )
+        if generated_columns(snap["schema"]) or identity_columns(
+            snap["schema"]
+        ):
+            raise NotImplementedError(
+                "deltabridge write: generated/identity columns need "
+                "engine-side computation — use deltalog.write_delta_commit"
+            )
+        if self.overwrite:
+            if str(conf.get("delta.appendOnly", "false")).lower() == "true":
+                raise ValueError(
+                    "deltabridge write: table is delta.appendOnly=true — "
+                    "overwrite forbidden"
+                )
+            if snap["dvs"]:
+                raise NotImplementedError(
+                    "deltabridge write: overwrite of a deletion-vector "
+                    "table — refusing"
+                )
+        want = [(f.name, f.dataType.typeName()) for f in snap["schema"].fields]
+        have = [(f.name, f.dataType.typeName()) for f in self.schema.fields]
+        # timestamp vs timestamp_ntz both land as parquet us — compare
+        # names strictly, types by parquet physical alias
+        if [w[0] for w in want] != [h[0] for h in have] or [
+            _PA_TYPES.get(w[1]) for w in want
+        ] != [_PA_TYPES.get(h[1]) for h in have]:
+            raise ValueError(
+                f"deltabridge write: schema mismatch (table {want}, "
+                f"writing {have})"
+            )
+        return snap
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            _file_stats_json,
+            _next_version,
+            _write_commit,
+        )
+
+        try:
+            snap = self._validate()
+            os.makedirs(os.path.join(self.path, LOG_DIR), exist_ok=True)
+            version = _next_version(self.path)
+            actions: list = []
+            if version == 0:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                )
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": __import__("uuid").uuid4().hex,
+                            "format": {
+                                "provider": "parquet",
+                                "options": {},
+                            },
+                            "schemaString": json.dumps(
+                                self.schema.jsonValue()
+                            ),
+                            "partitionColumns": [],
+                            "configuration": {},
+                            "createdTime": int(
+                                os.path.getmtime(self.path) * 1000
+                            ),
+                        }
+                    }
+                )
+            n = 0
+            for m in messages:
+                if not m or not m.tmp_path:
+                    continue
+                rel = f"part-{version:05d}-{n:05d}.parquet"
+                os.replace(m.tmp_path, os.path.join(self.path, rel))
+                add = {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(self.path, rel)),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(self.path, rel))
+                        * 1000
+                    ),
+                    "dataChange": True,
+                }
+                stats = _file_stats_json(os.path.join(self.path, rel))
+                if stats:
+                    add["stats"] = stats
+                actions.append({"add": add})
+                n += 1
+            if self.overwrite and snap is not None:
+                from urllib.parse import quote as _q
+
+                now = int(os.path.getmtime(self.path) * 1000)
+                for rel in sorted(snap["files"]):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": _q(rel),
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            _write_commit(self.path, version, actions, operation="WRITE")
+        finally:
+            shutil.rmtree(self.stage, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+
 class DeltaBridgeDataSource(DataSource):
     """``spark.read.format("deltabridge").option("path", ...)`` /
     ``spark.readStream.format("deltabridge")`` — see module doc."""
@@ -449,6 +689,9 @@ class DeltaBridgeDataSource(DataSource):
 
     def reader(self, schema: "StructType") -> DeltaBridgeReader:
         return DeltaBridgeReader(self._path())
+
+    def writer(self, schema: "StructType", overwrite: bool) -> DeltaBridgeWriter:
+        return DeltaBridgeWriter(schema, dict(self.options), overwrite)
 
     def streamReader(self, schema: "StructType") -> DeltaBridgeStreamReader:
         return DeltaBridgeStreamReader(self._path(), dict(self.options))
