@@ -45,9 +45,25 @@ def jl_project(vec: Column, signs: list[list[int]]) -> Column:
     if isinstance(vec, str):
         name = vec
     else:
-        # Column → its field name (call sites pass F.col(name)); the
-        # SQL-text build below needs the name, not the Column object
-        name = vec._jc.toString() if hasattr(vec, "_jc") else str(vec)
+        # Column → its field name. ADVICE r11 low: recovering it from
+        # _jc.toString() breaks on expression Columns (SQL text lands
+        # inside the backticked reference below) and on Spark Connect
+        # (no _jc at all) — accept only a BARE column reference and
+        # fail loud on anything else.
+        import re as _re
+
+        raw = (
+            vec._jc.toString()
+            if hasattr(vec, "_jc")
+            else str(vec).removeprefix("Column<'").removesuffix("'>")
+        )
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", raw):
+            raise ValueError(
+                "jl_project needs a column NAME (str) or a bare column "
+                f"reference, got the expression {raw!r} — alias it to a "
+                "column first"
+            )
+        name = raw
     rows = []
     for row in signs:
         arr = ", ".join(_sql_double(float(s)) for s in row)

@@ -1143,6 +1143,22 @@ def _coerce_partition_value(raw: str, dtype, lit):
                 return val, lit.lower() == "true"
             return None
         if t in ("byte", "short", "integer", "long"):
+            # ADVICE r11 high: a fractional literal must NOT be
+            # truncated (int(3.5) -> 3 turns k < 3.5 into 3 < 3 and
+            # wrongly prunes the k=3 file). Compare int column values
+            # as floats against fractional literals — exact for the
+            # partition-value magnitudes Delta stores as strings.
+            if isinstance(lit, float) and not lit.is_integer():
+                return float(int(raw)), lit
+            if isinstance(lit, str):
+                flit = float(lit)
+                if not flit.is_integer():
+                    return float(int(raw)), flit
+                return int(raw), int(flit)
+            if isinstance(lit, bool):
+                return None
+            if isinstance(lit, _dec.Decimal) and lit != lit.to_integral_value():
+                return _dec.Decimal(int(raw)), lit
             return int(raw), int(lit)
         if t in ("float", "double"):
             return float(raw), float(lit)
@@ -3320,6 +3336,11 @@ def restore_delta_table(
     restore is a no-op)."""
     target = delta_snapshot(spark, path, version, timestamp_ms=timestamp_ms)
     current = delta_snapshot(spark, path)
+    # ADVICE r11 low: RESTORE commits remove actions like every other
+    # DML path, so it runs the same gates — unimplemented
+    # writerFeatures and delta.appendOnly both refuse
+    _gate_writer_features(current.protocol_raw, "restore_delta_table")
+    _check_append_only(current.metadata_raw, "restore_delta_table")
     if target.version == current.version:
         return current.version
     from fintech_lakehouse_spark.sources.deletionvectors import (
@@ -3537,15 +3558,10 @@ class DeltaConcurrentWriteError(RuntimeError):
     """
 
 
-def _prev_commit_ict(path: str, version: int):
-    """The previous commit's ``commitInfo.inCommitTimestamp`` (None
-    when the table doesn't write ICTs or the prior JSON is gone)."""
-    if version <= 0:
-        return None
-    prev = os.path.join(path, LOG_DIR, f"{version - 1:020d}.json")
-    if not os.path.exists(prev):
-        return None
-    with open(prev) as fh:
+def _json_commit_ict(json_path: str):
+    """``commitInfo.inCommitTimestamp`` of one commit JSON (None when
+    the commit carries none)."""
+    with open(json_path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
@@ -3554,6 +3570,77 @@ def _prev_commit_ict(path: str, version: int):
             if "commitInfo" in a:
                 ict = a["commitInfo"].get("inCommitTimestamp")
                 return None if ict is None else int(ict)
+    return None
+
+
+def _prev_commit_ict(path: str, version: int):
+    """The ICT floor the next commit must exceed (None when the table
+    doesn't write ICTs). Normally the previous commit's
+    ``commitInfo.inCommitTimestamp``; when that JSON is gone (log
+    expiry behind a checkpoint — ADVICE r11 medium), fall back to the
+    newest SURVIVING commit JSON, then to the checkpoint's metaData:
+    an ICT-enabled table must keep writing ICTs after every JSON is
+    expired, floored at the enablement timestamp, or timestamp travel
+    and CDF silently degrade to non-monotone file mtimes."""
+    if version <= 0:
+        return None
+    log = os.path.join(path, LOG_DIR)
+    prev = os.path.join(log, f"{version - 1:020d}.json")
+    if os.path.exists(prev):
+        return _json_commit_ict(prev)
+    # prior JSON expired: newest surviving commit below the target
+    for v in reversed(_commit_versions(log)):
+        if v < version:
+            ict = _json_commit_ict(os.path.join(log, f"{v:020d}.json"))
+            if ict is not None:
+                return ict
+            break  # a surviving non-ICT commit: check metadata anyway
+    # no surviving ICT: is the table ICT-enabled per the checkpoint?
+    found = _checkpoint_files(log, version - 1)
+    if not found:
+        return None
+    md = _checkpoint_metadata_noscan(found[1])
+    if md is None or not ict_enabled(md):
+        return None
+    conf = md.get("configuration") or {}
+    try:
+        return int(conf.get("delta.inCommitTimestampEnablementTimestamp", 0))
+    except (TypeError, ValueError):
+        return 0
+
+
+def _checkpoint_metadata_noscan(part_paths: list[str]):
+    """The metaData action from checkpoint files WITHOUT Spark —
+    pyarrow for parquet parts, plain json-lines for a V2 manifest.
+    Returns the raw metaData dict or None if absent/unreadable."""
+    import pyarrow.parquet as _pq
+
+    for p in part_paths:
+        try:
+            if p.endswith(".json"):
+                with open(p) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if a.get("metaData"):
+                            return a["metaData"]
+                continue
+            if "metaData" not in _pq.read_schema(p).names:
+                continue
+            tbl = _pq.read_table(p, columns=["metaData"])
+            for md in tbl.column("metaData").to_pylist():
+                if md is not None:
+                    # pyarrow structs keep nulls (drop like the Spark
+                    # replay path) and render parquet MAPs as
+                    # key/value tuple lists (dict-ify configuration)
+                    md = {k: v for k, v in md.items() if v is not None}
+                    if isinstance(md.get("configuration"), list):
+                        md["configuration"] = dict(md["configuration"])
+                    return md
+        except (OSError, ValueError, KeyError):
+            continue
     return None
 
 
@@ -3617,3 +3704,97 @@ def _write_commit(
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def _read_commit_actions(path: str, version: int) -> list[dict]:
+    """The raw action dicts of one commit JSON (conflict classification
+    reads the WINNING commits this way)."""
+    out: list[dict] = []
+    with open(os.path.join(path, LOG_DIR, f"{version:020d}.json")) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _is_blind_append(actions: list) -> bool:
+    """True when a transaction ONLY adds new data files (plus
+    replay-irrelevant commitInfo/txn) — delta's blind-append class,
+    the one that never conflicts with concurrent data changes under
+    WriteSerializable. OPTIMIZE-style dataChange=false adds are NOT
+    blind appends: they rewrote files chosen from a snapshot."""
+    for a in actions:
+        keys = set(a) - {"commitInfo", "txn"}
+        if not keys:
+            continue
+        if keys != {"add"} or not a["add"].get("dataChange", True):
+            return False
+    return True
+
+
+def commit_with_retry(
+    path: str,
+    version: int,
+    actions: list,
+    operation: str | None = None,
+    max_retries: int = 10,
+) -> int:
+    """OPTIMISTIC-CONCURRENCY commit (r12): attempt the put-if-absent
+    commit at ``version``; on :class:`DeltaConcurrentWriteError`,
+    re-read the log tail, CLASSIFY the logical conflict the way
+    delta-spark's WriteSerializable checker does, and either REBASE
+    (bump to the new tail version and re-commit) or raise:
+
+    * our transaction is a BLIND APPEND (adds only) and every winning
+      commit only changed data (add/remove/cdc) → no logical conflict,
+      rebase and retry (bounded by ``max_retries``);
+    * any winning commit changed ``metaData`` or ``protocol`` → raise
+      (delta's MetadataChangedException / ProtocolChangedException:
+      the schema/config our actions were built against is stale);
+    * our transaction carries removes / metadata / dataChange=false
+      rewrites (DELETE/UPDATE/MERGE/overwrite/OPTIMIZE) and a winner
+      changed data → raise (ConcurrentAppend/DeleteException class:
+      the read snapshot our remove set was derived from is stale —
+      the CALLER must re-read and rebuild, this helper cannot).
+
+    Returns the version actually committed. The losing writer's data
+    files are never clobbered: promoted names embed a uuid (ADVICE
+    r11 medium), so only the LOG decides visibility."""
+    ours_blind = _is_blind_append(actions)
+    attempt = 0
+    while True:
+        try:
+            _write_commit(path, version, actions, operation=operation)
+            return version
+        except DeltaConcurrentWriteError:
+            latest = _next_version(path) - 1
+            for v in range(version, latest + 1):
+                jpath = os.path.join(path, LOG_DIR, f"{v:020d}.json")
+                if not os.path.exists(jpath):
+                    raise  # checkpoint-only tail: cannot classify
+                for a in _read_commit_actions(path, v):
+                    if "metaData" in a or "protocol" in a:
+                        raise DeltaConcurrentWriteError(
+                            f"concurrent metadata/protocol change at "
+                            f"version {v} of {path} — this transaction "
+                            "was built against a stale schema; re-read "
+                            "the table and rebuild the write"
+                        ) from None
+                    if not ours_blind and (
+                        "add" in a or "remove" in a or "cdc" in a
+                    ):
+                        raise DeltaConcurrentWriteError(
+                            f"concurrent data change at version {v} of "
+                            f"{path} conflicts with this transaction's "
+                            "file removes/rewrites — the snapshot it "
+                            "read is stale; re-read and rebuild"
+                        ) from None
+            if attempt >= max_retries:
+                raise DeltaConcurrentWriteError(
+                    f"gave up after {max_retries} rebase attempts on "
+                    f"{path} (last tried version {version}) — writer "
+                    "contention too high"
+                ) from None
+            attempt += 1
+            version = latest + 1

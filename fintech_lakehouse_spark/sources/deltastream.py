@@ -432,9 +432,29 @@ _PA_TYPES = {
 }
 
 
+def _pv_string(value, type_name: str, col: str):
+    """Serialize one partition value to the log's STRING form, the
+    inverse of :func:`_typed_pv` (null stays null; booleans lower;
+    numerics via str). Restricted to the same simple types the bridge
+    reader accepts — fail closed on the rest."""
+    if value is None:
+        return None
+    if type_name not in _SIMPLE_PV_CASTS:
+        raise NotImplementedError(
+            f"deltabridge write: partition column {col!r} of type "
+            f"{type_name!r} — only {sorted(_SIMPLE_PV_CASTS)} supported"
+        )
+    if type_name == "boolean":
+        return "true" if value else "false"
+    return str(value)
+
+
 class _DeltaWriteCommit(WriterCommitMessage):
-    def __init__(self, tmp_path: str, rows: int):
-        self.tmp_path = tmp_path
+    """One staged parquet per partition-value combination the task
+    saw: ``files`` is a list of (tmp_path, partitionValues-dict)."""
+
+    def __init__(self, files: list, rows: int):
+        self.files = files
         self.rows = rows
 
 
@@ -450,11 +470,22 @@ class DeltaBridgeWriter(DataSourceWriter):
     No SparkSession is touched anywhere: the snapshot checks replay
     the log with :func:`_pure_snapshot`.
 
+    PARTITIONED tables (r12): pass ``.option("partitionBy",
+    "col1,col2")`` at table creation; appends to an existing
+    partitioned table derive the spec from the log (an explicit
+    option must match it — the ADVICE-r8 rule from
+    write_delta_commit). Executors split their rows by partition
+    tuple and stage ONE parquet per combination, physically EXCLUDING
+    the partition columns (the protocol stores those only in the add
+    actions' partitionValues); the bridge/Spark readers rebuild them
+    from the log.
+
     Fail-closed scope (each would corrupt silently if ignored):
-    partitioned / column-mapped / constraint-carrying / generated- or
+    column-mapped / constraint-carrying / generated- or
     identity-column tables, schema mismatch vs the table, unsupported
     writerFeatures, delta.appendOnly under overwrite, overwrite of a
-    DV-carrying table (the removes must carry DV descriptors)."""
+    DV-carrying table (the removes must carry DV descriptors),
+    partition columns of non-simple types."""
 
     def __init__(self, schema: "StructType", options: dict, overwrite: bool):
         self.schema = schema
@@ -462,6 +493,12 @@ class DeltaBridgeWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("deltabridge write requires .option('path')")
         self.overwrite = overwrite
+        opt_pb = options.get("partitionby") or options.get("partitionBy")
+        self.opt_part_cols = (
+            [c.strip() for c in opt_pb.split(",") if c.strip()]
+            if opt_pb
+            else None
+        )
         for f in schema.fields:
             if f.dataType.typeName() not in _PA_TYPES:
                 raise NotImplementedError(
@@ -475,6 +512,48 @@ class DeltaBridgeWriter(DataSourceWriter):
         # checks re-run at commit time against the then-current log)
         self._validate()
 
+    def _resolve_part_cols(self, snap: dict | None) -> list:
+        """The effective partition spec: the TABLE's when it exists
+        (an explicit option must agree), else the option's."""
+        if snap is not None:
+            table_pc = list(snap["partition_columns"])
+            if (
+                self.opt_part_cols is not None
+                and self.opt_part_cols != table_pc
+            ):
+                raise ValueError(
+                    "deltabridge write: partitionBy mismatch vs table "
+                    f"(table is partitioned by {table_pc}, write "
+                    f"specifies {self.opt_part_cols}) — changing a "
+                    "table's partitioning requires replacing the table"
+                )
+            part_cols = table_pc
+        else:
+            part_cols = list(self.opt_part_cols or [])
+        names = {f.name for f in self.schema.fields}
+        missing = [c for c in part_cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"deltabridge write: partition columns {missing} not in "
+                f"the written schema {sorted(names)}"
+            )
+        if part_cols and len(part_cols) == len(names):
+            raise ValueError(
+                "deltabridge write: every column is a partition column — "
+                "data files would be empty"
+            )
+        for f in self.schema.fields:
+            if (
+                f.name in part_cols
+                and f.dataType.typeName() not in _SIMPLE_PV_CASTS
+            ):
+                raise NotImplementedError(
+                    f"deltabridge write: partition column {f.name!r} of "
+                    f"type {f.dataType.typeName()!r} — only "
+                    f"{sorted(_SIMPLE_PV_CASTS)} supported"
+                )
+        return part_cols
+
     def write(self, iterator) -> "_DeltaWriteCommit":
         import uuid
 
@@ -482,24 +561,44 @@ class DeltaBridgeWriter(DataSourceWriter):
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.schema.fields]
-        cols: dict = {n: [] for n in names}
+        part_cols = self.part_cols
+        pidx = [names.index(c) for c in part_cols]
+        data_fields = [f for f in self.schema.fields if f.name not in
+                       set(part_cols)]
+        didx = [names.index(f.name) for f in data_fields]
+        # rows grouped by partition tuple; unpartitioned tables have
+        # the single () group
+        groups: dict[tuple, list] = {}
         n_rows = 0
         for row in iterator:
-            for n, v in zip(names, row):
-                cols[n].append(v)
+            key = tuple(row[i] for i in pidx)
+            groups.setdefault(key, []).append(tuple(row[i] for i in didx))
             n_rows += 1
         if n_rows == 0:
-            return _DeltaWriteCommit("", 0)
-        arrays = {
-            f.name: pa.array(
-                cols[f.name], pa.type_for_alias(_PA_TYPES[f.dataType.typeName()])
-            )
-            for f in self.schema.fields
-        }
+            return _DeltaWriteCommit([], 0)
         os.makedirs(self.stage, exist_ok=True)
-        tmp = os.path.join(self.stage, f"{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table(arrays), tmp)
-        return _DeltaWriteCommit(tmp, n_rows)
+        files = []
+        for key in sorted(groups, key=lambda k: tuple(map(str, k))):
+            rows = groups[key]
+            arrays = {
+                f.name: pa.array(
+                    [r[i] for r in rows],
+                    pa.type_for_alias(_PA_TYPES[f.dataType.typeName()]),
+                )
+                for i, f in enumerate(data_fields)
+            }
+            tmp = os.path.join(self.stage, f"{uuid.uuid4().hex}.parquet")
+            pq.write_table(pa.table(arrays), tmp)
+            pvals = {
+                c: _pv_string(
+                    key[j],
+                    self.schema[c].dataType.typeName(),
+                    c,
+                )
+                for j, c in enumerate(part_cols)
+            }
+            files.append((tmp, pvals))
+        return _DeltaWriteCommit(files, n_rows)
 
     def _validate(self):
         """Driver-side fail-closed gates against the CURRENT log (pure
@@ -513,6 +612,7 @@ class DeltaBridgeWriter(DataSourceWriter):
 
         log = os.path.join(self.path, LOG_DIR)
         if not os.path.isdir(log) or not _commit_versions(log):
+            self.part_cols = self._resolve_part_cols(None)
             return None  # table creation
         snap = _pure_snapshot(self.path)
         feats = (snap["protocol_raw"] or {}).get("writerFeatures") or []
@@ -523,11 +623,7 @@ class DeltaBridgeWriter(DataSourceWriter):
                 "implemented — refusing"
             )
         conf = (snap["metadata_raw"] or {}).get("configuration") or {}
-        if snap["partition_columns"]:
-            raise NotImplementedError(
-                "deltabridge write: partitioned tables need partitioned "
-                "staging — use deltalog.write_delta_commit"
-            )
+        self.part_cols = self._resolve_part_cols(snap)
         if snap["column_mapping"]:
             raise NotImplementedError(
                 "deltabridge write: column-mapped table — refusing"
@@ -570,11 +666,12 @@ class DeltaBridgeWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import shutil
+        import uuid
 
         from fintech_lakehouse_spark.sources.deltalog import (
             _file_stats_json,
             _next_version,
-            _write_commit,
+            commit_with_retry,
         )
 
         try:
@@ -594,7 +691,7 @@ class DeltaBridgeWriter(DataSourceWriter):
                 actions.append(
                     {
                         "metaData": {
-                            "id": __import__("uuid").uuid4().hex,
+                            "id": uuid.uuid4().hex,
                             "format": {
                                 "provider": "parquet",
                                 "options": {},
@@ -602,7 +699,7 @@ class DeltaBridgeWriter(DataSourceWriter):
                             "schemaString": json.dumps(
                                 self.schema.jsonValue()
                             ),
-                            "partitionColumns": [],
+                            "partitionColumns": list(self.part_cols),
                             "configuration": {},
                             "createdTime": int(
                                 os.path.getmtime(self.path) * 1000
@@ -612,25 +709,33 @@ class DeltaBridgeWriter(DataSourceWriter):
                 )
             n = 0
             for m in messages:
-                if not m or not m.tmp_path:
+                if not m:
                     continue
-                rel = f"part-{version:05d}-{n:05d}.parquet"
-                os.replace(m.tmp_path, os.path.join(self.path, rel))
-                add = {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(self.path, rel)),
-                    "modificationTime": int(
-                        os.path.getmtime(os.path.join(self.path, rel))
-                        * 1000
-                    ),
-                    "dataChange": True,
-                }
-                stats = _file_stats_json(os.path.join(self.path, rel))
-                if stats:
-                    add["stats"] = stats
-                actions.append({"add": add})
-                n += 1
+                for tmp_path, pvals in m.files:
+                    # uuid in the PROMOTED name (ADVICE r11 medium):
+                    # two writers racing to the same version can never
+                    # collide on data paths — the losing commit's
+                    # orphaned files are harmless, and the retry below
+                    # may re-point these adds at a later version
+                    rel = f"part-{version:05d}-{n:05d}-{uuid.uuid4().hex}.parquet"
+                    os.replace(tmp_path, os.path.join(self.path, rel))
+                    add = {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(
+                            os.path.join(self.path, rel)
+                        ),
+                        "modificationTime": int(
+                            os.path.getmtime(os.path.join(self.path, rel))
+                            * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                    stats = _file_stats_json(os.path.join(self.path, rel))
+                    if stats:
+                        add["stats"] = stats
+                    actions.append({"add": add})
+                    n += 1
             if self.overwrite and snap is not None:
                 from urllib.parse import quote as _q
 
@@ -645,7 +750,10 @@ class DeltaBridgeWriter(DataSourceWriter):
                             }
                         }
                     )
-            _write_commit(self.path, version, actions, operation="WRITE")
+            # appends REBASE past concurrent data-only commits;
+            # overwrites and creation races classify as conflicts and
+            # raise (commit_with_retry's WriteSerializable rules)
+            commit_with_retry(self.path, version, actions, operation="WRITE")
         finally:
             shutil.rmtree(self.stage, ignore_errors=True)
 
