@@ -2226,6 +2226,272 @@ def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     return version
 
 
+def _assign_mapping_metadata(dt, next_id: list):
+    """Recursively stamp ``delta.columnMapping.id`` /
+    ``delta.columnMapping.physicalName`` on every struct field of a
+    datatype. At ENABLEMENT the physical name is the field's CURRENT
+    logical name — that is what every already-written data file uses,
+    so old files keep resolving; later renames change only the
+    logical name. ``next_id`` is a 1-element list carrying the
+    monotone id counter (the spec's maxColumnId)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        fields = []
+        for f in dt.fields:
+            meta = dict(f.metadata or {})
+            if "delta.columnMapping.id" not in meta:
+                next_id[0] += 1
+                meta["delta.columnMapping.id"] = next_id[0]
+            if "delta.columnMapping.physicalName" not in meta:
+                meta["delta.columnMapping.physicalName"] = f.name
+            fields.append(
+                StructField(
+                    f.name,
+                    _assign_mapping_metadata(f.dataType, next_id),
+                    f.nullable,
+                    meta,
+                )
+            )
+        return _ST(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _assign_mapping_metadata(dt.elementType, next_id),
+            dt.containsNull,
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _assign_mapping_metadata(dt.keyType, next_id),
+            _assign_mapping_metadata(dt.valueType, next_id),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _refuse_mapping_ddl_hazards(snap, op: str) -> None:
+    """RENAME/DROP COLUMN rewrite the logical schema that CHECK
+    constraints, generation expressions and identity declarations
+    reference BY NAME — delta-spark refuses the DDL when any exist;
+    fail closed the same way rather than rewriting SQL text."""
+    conf = (snap.metadata_raw or {}).get("configuration") or {}
+    if table_constraints(conf):
+        raise NotImplementedError(
+            f"{op}: table carries CHECK constraints that may reference "
+            "the column by name — drop the constraints first"
+        )
+    if generated_columns(snap.schema) or identity_columns(snap.schema):
+        raise NotImplementedError(
+            f"{op}: table declares generated/identity columns whose "
+            "expressions reference names — refusing"
+        )
+
+
+def enable_column_mapping(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE SET TBLPROPERTIES delta.columnMapping.mode=name
+    (r12): stamp every field at every nesting level with the
+    protocol's ``delta.columnMapping.id`` and ``physicalName`` (the
+    CURRENT logical name, so the already-written files keep
+    resolving), record ``delta.columnMapping.maxColumnId``, and bump
+    the protocol (legacy minReaderVersion 2 / minWriterVersion 5, or
+    the feature lists when the table is already on table-features
+    v3/v7). This is the delta-spark prerequisite for RENAME / DROP
+    COLUMN; the existing name-mode reader
+    (:func:`read_delta_table`) resolves the result unchanged."""
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "enable_column_mapping")
+    if snap.column_mapping_mode == "name":
+        return snap.version
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "enable_column_mapping: table is already mapped in mode "
+            f"{snap.column_mapping_mode!r} — only none→name is "
+            "implemented"
+        )
+    counter = [0]
+    mapped = _assign_mapping_metadata(snap.schema, counter)
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(counter[0])
+    md["configuration"] = conf
+    md["schemaString"] = json.dumps(mapped.jsonValue())
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    actions: list[dict] = []
+    reader_v = int(proto.get("minReaderVersion", 1))
+    writer_v = int(proto.get("minWriterVersion", 2))
+    changed = False
+    if proto.get("writerFeatures") is not None:
+        # table-features form: columnMapping must appear in BOTH lists
+        if "columnMapping" not in proto["writerFeatures"]:
+            proto["writerFeatures"] = list(proto["writerFeatures"]) + [
+                "columnMapping"
+            ]
+            changed = True
+        rfeats = list(proto.get("readerFeatures") or [])
+        if reader_v >= 3:
+            if "columnMapping" not in rfeats:
+                proto["readerFeatures"] = rfeats + ["columnMapping"]
+                changed = True
+        elif reader_v < 2:
+            proto["minReaderVersion"] = 2
+            changed = True
+    else:
+        if reader_v < 2:
+            proto["minReaderVersion"] = 2
+            changed = True
+        if writer_v < 5:
+            proto["minWriterVersion"] = 5
+            changed = True
+    if changed:
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    version = _next_version(path)
+    _write_commit(path, version, actions, operation="SET TBLPROPERTIES")
+    return version
+
+
+def _walk_to_struct(schema, dotted: str, op: str):
+    """Resolve ``a.b.c`` to (parent StructType path list, leaf name):
+    every prefix segment must be a struct field. Returns the list of
+    (container_struct, field_index) hops plus the leaf field name."""
+    parts = dotted.split(".")
+    hops = []
+    current = schema
+    for seg in parts[:-1]:
+        names = [f.name for f in current.fields]
+        if seg not in names:
+            raise ValueError(f"{op}: no column {seg!r} in {names}")
+        idx = names.index(seg)
+        dt = current.fields[idx].dataType
+        if dt.typeName() != "struct":
+            raise ValueError(
+                f"{op}: {seg!r} is {dt.typeName()}, not a struct — "
+                f"cannot descend into {dotted!r}"
+            )
+        hops.append((current, idx))
+        current = dt
+    return hops, current, parts[-1]
+
+
+def _rebuild_through_hops(hops, new_leaf_struct):
+    """Re-nest a modified leaf struct back through the hop chain,
+    preserving every untouched sibling field and its metadata."""
+    from pyspark.sql.types import StructField
+    from pyspark.sql.types import StructType as _ST
+
+    current = new_leaf_struct
+    for container, idx in reversed(hops):
+        f = container.fields[idx]
+        fields = list(container.fields)
+        fields[idx] = StructField(f.name, current, f.nullable, f.metadata)
+        current = _ST(fields)
+    return current
+
+
+def rename_delta_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN (r12): a metaData-ONLY commit that
+    changes the LOGICAL field name and keeps the columnMapping id and
+    physicalName — no data file is touched, which is the entire point
+    of name-mode mapping. Dotted paths rename nested struct fields
+    (``a.b`` → leaf ``b`` inside struct ``a``). Requires
+    :func:`enable_column_mapping` first (delta-spark's rule); refuses
+    when CHECK constraints or generated/identity columns could
+    reference the old name, and refuses a name collision among
+    siblings."""
+    from pyspark.sql.types import StructField
+
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "rename_delta_column")
+    if snap.column_mapping_mode != "name":
+        raise ValueError(
+            "rename_delta_column: delta.columnMapping.mode=name is "
+            "required — call enable_column_mapping(path) first "
+            "(delta-spark refuses un-mapped renames the same way)"
+        )
+    _refuse_mapping_ddl_hazards(snap, "rename_delta_column")
+    hops, container, leaf = _walk_to_struct(
+        snap.schema, old, "rename_delta_column"
+    )
+    names = [f.name for f in container.fields]
+    if leaf not in names:
+        raise ValueError(
+            f"rename_delta_column: no column {old!r} (siblings: {names})"
+        )
+    if new in names:
+        raise ValueError(
+            f"rename_delta_column: {new!r} already exists at that level"
+        )
+    idx = names.index(leaf)
+    f = container.fields[idx]
+    fields = list(container.fields)
+    fields[idx] = StructField(new, f.dataType, f.nullable, f.metadata)
+    new_schema = _rebuild_through_hops(
+        hops, type(container)(fields)
+    )
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = json.dumps(new_schema.jsonValue())
+    if not hops and leaf in snap.partition_columns:
+        md["partitionColumns"] = [
+            new if c == leaf else c for c in snap.partition_columns
+        ]
+    version = _next_version(path)
+    _write_commit(
+        path, version, [{"metaData": md}], operation="RENAME COLUMN"
+    )
+    return version
+
+
+def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN (r12): a metaData-ONLY commit that
+    removes the field from the logical schema — the physical data
+    stays in the files and simply stops being projected (delta's
+    semantics; VACUUM never rewrites it away, a column REORG would).
+    Dotted paths drop nested struct fields. Requires name-mode
+    mapping; refuses partition columns, the last remaining column at
+    a level, and tables with constraints / generated / identity
+    columns."""
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "drop_delta_column")
+    if snap.column_mapping_mode != "name":
+        raise ValueError(
+            "drop_delta_column: delta.columnMapping.mode=name is "
+            "required — call enable_column_mapping(path) first"
+        )
+    _refuse_mapping_ddl_hazards(snap, "drop_delta_column")
+    hops, container, leaf = _walk_to_struct(
+        snap.schema, name, "drop_delta_column"
+    )
+    names = [f.name for f in container.fields]
+    if leaf not in names:
+        raise ValueError(
+            f"drop_delta_column: no column {name!r} (siblings: {names})"
+        )
+    if not hops and leaf in snap.partition_columns:
+        raise ValueError(
+            f"drop_delta_column: {name!r} is a partition column — "
+            "changing the partitioning requires replacing the table"
+        )
+    if len(names) == 1:
+        raise ValueError(
+            "drop_delta_column: cannot drop the only field at this "
+            "level — drop the parent instead"
+        )
+    fields = [f for f in container.fields if f.name != leaf]
+    new_schema = _rebuild_through_hops(hops, type(container)(fields))
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = json.dumps(new_schema.jsonValue())
+    version = _next_version(path)
+    _write_commit(
+        path, version, [{"metaData": md}], operation="DROP COLUMNS"
+    )
+    return version
+
+
 def _write_cdc_files(
     spark: SparkSession, path: str, version: int, cdc_df
 ) -> list:
