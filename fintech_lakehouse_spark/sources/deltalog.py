@@ -434,8 +434,85 @@ def version_at_timestamp(path: str, timestamp_ms: int) -> int:
         raise ValueError(
             f"no Delta commit at or before timestamp {timestamp_ms} "
             f"(earliest known: {min(stamps.values()) if stamps else None})"
+            " — describe_delta_history(spark, path) lists the "
+            "surviving commits and their timestamps"
         )
     return max(eligible)
+
+
+def describe_delta_history(
+    spark: SparkSession, path: str, limit: int | None = None
+) -> DataFrame:
+    """DESCRIBE HISTORY (r12, carried VERDICT task): one row per
+    surviving JSON commit, NEWEST FIRST — ``version``, ``timestamp``
+    (the same ICT-preferring resolution as time travel),
+    ``operation`` (WRITE / DELETE / UPDATE / MERGE / OPTIMIZE /
+    RESTORE / CLONE / SET TBLPROPERTIES / ...), ``operationParameters``
+    (map, when the commit recorded any) and ``inCommitTimestamp``
+    (null before ICT enablement). Commits whose JSON was
+    retention-cleaned have no history rows, exactly like delta-spark
+    after a VACUUM of the log. ``limit`` keeps the newest N."""
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+    )
+    from pyspark.sql.types import StructType as _ST
+
+    log = os.path.join(path, LOG_DIR)
+    stamps = commit_timestamps(path)
+    rows = []
+    for v in sorted(stamps, reverse=True):
+        op = None
+        params = None
+        ict = None
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    info = a["commitInfo"]
+                    op = info.get("operation")
+                    params = info.get("operationParameters")
+                    if params is not None:
+                        params = {
+                            k: json.dumps(val)
+                            if not isinstance(val, str)
+                            else val
+                            for k, val in params.items()
+                        }
+                    raw_ict = info.get("inCommitTimestamp")
+                    ict = int(raw_ict) if raw_ict is not None else None
+                    break
+        rows.append((v, stamps[v], op, params, ict))
+        if limit is not None and len(rows) >= limit:
+            break
+    schema = _ST(
+        [
+            StructField("version", LongType(), False),
+            StructField("timestamp_ms", LongType(), False),
+            StructField("operation", StringType(), True),
+            StructField(
+                "operationParameters",
+                MapType(StringType(), StringType(), True),
+                True,
+            ),
+            StructField("inCommitTimestamp", LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn(
+        "timestamp", F.timestamp_millis(F.col("timestamp_ms"))
+    ).select(
+        "version",
+        "timestamp",
+        "operation",
+        "operationParameters",
+        "inCommitTimestamp",
+    )
 
 
 def delta_snapshot(
@@ -471,7 +548,8 @@ def delta_snapshot(
         if version not in set(versions) and ckpt != version:
             raise ValueError(
                 f"Delta version {version} not present under {log} "
-                f"(have {versions})"
+                f"(have {versions}) — describe_delta_history(spark, "
+                "path) lists the surviving commits"
             )
 
     state: dict = {
@@ -1834,7 +1912,10 @@ def write_delta_commit(
                     }
                 }
             )
-    _write_commit(path, version, actions, operation="WRITE")
+    _write_commit(
+        path, version, actions, operation="WRITE",
+        operation_parameters={"mode": mode, "partitionBy": partition_by},
+    )
     return version
 
 
@@ -2049,6 +2130,184 @@ def checkpoint_delta_table(
     with open(tmp, "w") as fh:
         fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
     os.replace(tmp, os.path.join(log, "_last_checkpoint"))
+    return snap.version
+
+
+def enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.checkpointPolicy=v2 (r12): the protocol
+    gate for V2 checkpoints — a reader+writer TABLE FEATURE, so the
+    protocol moves to the feature form on both sides (minReaderVersion
+    3 with every legacy-implied reader feature enumerated plus
+    ``v2Checkpoint``; minWriterVersion 7 likewise). Returns the
+    enabling commit's version (no-op when already enabled)."""
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "enable_v2_checkpoints")
+    conf0 = (snap.metadata_raw or {}).get("configuration") or {}
+    if str(conf0.get("delta.checkpointPolicy", "")).lower() == "v2":
+        return snap.version
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    reader_v = int(proto.get("minReaderVersion", 1))
+    rfeats = list(proto.get("readerFeatures") or [])
+    if reader_v < 3 and not rfeats:
+        # legacy reader versions imply their features (v2 = mapping)
+        rfeats = ["columnMapping"] if reader_v >= 2 else []
+    if "v2Checkpoint" not in rfeats:
+        rfeats.append("v2Checkpoint")
+    proto["minReaderVersion"] = 3
+    proto["readerFeatures"] = rfeats
+    wfeats = list(proto.get("writerFeatures") or [])
+    if not wfeats:
+        wfeats = _implied_writer_features(
+            int(proto.get("minWriterVersion", 2))
+        )
+    if "v2Checkpoint" not in wfeats:
+        wfeats.append("v2Checkpoint")
+    proto["minWriterVersion"] = 7
+    proto["writerFeatures"] = wfeats
+    md = dict(snap.metadata_raw)
+    conf = dict(conf0)
+    conf["delta.checkpointPolicy"] = "v2"
+    md["configuration"] = conf
+    version = _next_version(path)
+    _write_commit(
+        path,
+        version,
+        [{"protocol": proto}, {"metaData": md}],
+        operation="SET TBLPROPERTIES",
+    )
+    return version
+
+
+def checkpoint_delta_table_v2(
+    spark: SparkSession, path: str, sidecars: int = 1
+) -> int:
+    """Write a V2 CHECKPOINT of the latest snapshot (r12, carried
+    VERDICT task): a JSON MANIFEST
+    (``<v>.checkpoint.<uniqueStr>.json``) holding checkpointMetadata /
+    protocol / metaData plus ``sidecar`` actions, and ``sidecars``
+    parquet SIDECAR files under ``_delta_log/_sidecars/`` carrying the
+    live add actions (round-robin split) — the format delta-spark
+    writes under delta.checkpointPolicy=v2, already consumed by BOTH
+    readers here (``delta_snapshot``'s Spark replay and the
+    deltabridge no-Spark planner). Requires
+    :func:`enable_v2_checkpoints` first (the v2Checkpoint table
+    feature gates the format). After this, :func:`expire_delta_log`
+    may clean the covered JSON commits and replay survives through
+    the manifest. Returns the checkpointed version."""
+    import shutil
+    import uuid as _uuid
+
+    if sidecars < 1:
+        raise ValueError("sidecars must be >= 1")
+    snap = delta_snapshot(spark, path)
+    conf = (snap.metadata_raw or {}).get("configuration") or {}
+    if str(conf.get("delta.checkpointPolicy", "")).lower() != "v2":
+        raise ValueError(
+            "checkpoint_delta_table_v2: delta.checkpointPolicy=v2 is "
+            "not set — call enable_v2_checkpoints(path) first (the "
+            "v2Checkpoint table feature gates the format)"
+        )
+    log = os.path.join(path, LOG_DIR)
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    # sidecar rows reuse the classic checkpoint ADD struct (the spec's
+    # sidecar schema is the add/remove subset)
+    from pyspark.sql.types import StructField
+    from pyspark.sql.types import StructType as _ST
+
+    full = _checkpoint_schema()
+    side_schema = _ST(
+        [StructField("add", full["add"].dataType, True)]
+    )
+    add_rows: list[tuple] = []
+    for rel in sorted(snap.files):
+        add = snap.adds_raw.get(rel) or {}
+        dv = snap.deletion_vectors.get(rel)
+        dv_row = (
+            (
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                dv.get("offset"),
+                dv.get("sizeInBytes"),
+                dv.get("cardinality"),
+            )
+            if dv
+            else None
+        )
+        add_rows.append(
+            (
+                (
+                    add.get("path", rel),
+                    snap.files[rel],
+                    add.get("size"),
+                    add.get("modificationTime"),
+                    add.get("dataChange", True),
+                    add.get("stats"),
+                    add.get("tags"),
+                    dv_row,
+                ),
+            )
+        )
+    side_actions: list[dict] = []
+    for i in range(sidecars):
+        rows = add_rows[i::sidecars]
+        if not rows and i > 0:
+            continue  # fewer files than sidecars: skip empty tails
+        name = f"{_uuid.uuid4().hex}.parquet"
+        jdf = spark.createDataFrame(rows, side_schema)
+        stage = os.path.join(path, f"_stage_{_uuid.uuid4().hex}")
+        jdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            n for n in os.listdir(stage) if n.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), os.path.join(side_dir, name))
+        shutil.rmtree(stage)
+        side_actions.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(side_dir, name)
+                    ),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(side_dir, name))
+                        * 1000
+                    ),
+                }
+            }
+        )
+    proto = snap.protocol_raw or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    manifest_name = (
+        f"{snap.version:020d}.checkpoint.{_uuid.uuid4().hex}.json"
+    )
+    tmp = os.path.join(log, manifest_name + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(
+            json.dumps({"checkpointMetadata": {"version": snap.version}})
+            + "\n"
+        )
+        fh.write(json.dumps({"protocol": proto}) + "\n")
+        fh.write(json.dumps({"metaData": snap.metadata_raw}) + "\n")
+        for a in side_actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, os.path.join(log, manifest_name))
+    hint = os.path.join(log, "_last_checkpoint.tmp")
+    with open(hint, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "version": snap.version,
+                    "size": len(add_rows) + 2,
+                    "checkpointPolicy": "v2",
+                }
+            )
+        )
+    os.replace(hint, os.path.join(log, "_last_checkpoint"))
     return snap.version
 
 
@@ -2914,6 +3173,7 @@ def _cow_rewrite(
         version,
         actions,
         operation="DELETE" if "delete" in op_name else "UPDATE",
+        operation_parameters={"predicate": condition},
     )
     return version
 
@@ -3137,7 +3397,10 @@ def delete_from_delta_table(
                     ),
                 )
             )
-        _write_commit(path, version, actions, operation="DELETE")
+        _write_commit(
+            path, version, actions, operation="DELETE",
+            operation_parameters={"predicate": condition},
+        )
         return version
     return _cow_rewrite(
         spark,
@@ -3254,7 +3517,10 @@ def update_delta_table(
             updated.withColumn("_change_type", F.lit("update_postimage"))
         )
         actions.extend(_write_cdc_files(spark, path, version, cdc))
-    _write_commit(path, version, actions, operation="UPDATE")
+    _write_commit(
+        path, version, actions, operation="UPDATE",
+        operation_parameters={"predicate": condition},
+    )
     return version
 
 
@@ -3384,7 +3650,10 @@ def merge_into_delta_table(
             )
             cdc = cdc_parts if pre is None else pre.unionByName(cdc_parts)
             actions.extend(_write_cdc_files(spark, path, version, cdc))
-        _write_commit(path, version, actions, operation="MERGE")
+        _write_commit(
+            path, version, actions, operation="MERGE",
+            operation_parameters={"mergeKeys": merge_keys},
+        )
         return version
     return _merge_cow(spark, path, snap, source_df, merge_keys, cols)
 
@@ -3495,7 +3764,10 @@ def _merge_cow(
         )
         cdc = cdc_parts if pre is None else pre.unionByName(cdc_parts)
         actions.extend(_write_cdc_files(spark, path, version, cdc))
-    _write_commit(path, version, actions, operation="MERGE")
+    _write_commit(
+        path, version, actions, operation="MERGE",
+        operation_parameters={"mergeKeys": merge_keys},
+    )
     return version
 
 
@@ -3580,7 +3852,13 @@ def optimize_delta_table(
                 }
             }
         )
-    _write_commit(path, version, actions, operation="OPTIMIZE")
+    _write_commit(
+        path, version, actions, operation="OPTIMIZE",
+        operation_parameters={
+            "targetFiles": target_files,
+            "zOrderBy": zorder or [],
+        },
+    )
     return version
 
 
@@ -3662,7 +3940,10 @@ def restore_delta_table(
     if not actions:
         return current.version
     new_version = _next_version(path)
-    _write_commit(path, new_version, actions, operation="RESTORE")
+    _write_commit(
+        path, new_version, actions, operation="RESTORE",
+        operation_parameters={"version": target.version},
+    )
     return new_version
 
 
@@ -3805,6 +4086,8 @@ def shallow_clone_delta_table(
     _write_commit(
         dst_path, 0, actions, operation="CLONE",
         in_commit_timestamp=clone_ict,
+        operation_parameters={"source": src_path,
+                              "sourceVersion": snap.version},
     )
     return 0
 
@@ -3916,6 +4199,7 @@ def _write_commit(
     actions: list,
     operation: str | None = None,
     in_commit_timestamp: int | None = None,
+    operation_parameters: dict | None = None,
 ) -> None:
     import time as _time
     import uuid as _uuid
@@ -3947,6 +4231,11 @@ def _write_commit(
                 ),
                 "operation": operation,
             }
+            if operation_parameters:
+                info["operationParameters"] = {
+                    k: v if isinstance(v, str) else json.dumps(v)
+                    for k, v in operation_parameters.items()
+                }
             if ict is not None:
                 info["inCommitTimestamp"] = ict
             fh.write(json.dumps({"commitInfo": info}) + "\n")

@@ -33,10 +33,11 @@ drop exactly the indexed rows), and partition-column values attach
 from the log's partitionValues, typed per the table schema.
 
 Everything here runs WITHOUT a SparkSession (driver planning reads
-the log with os/json/pyarrow only), which is what lets the source
-derive its own schema from the table metaData. Fail-closed scope:
-column-mapped tables, v2 checkpoints, and partition/value types
-beyond long/double/string/boolean refuse at plan time.
+the log with os/json/pyarrow only — classic AND v2 checkpoints),
+which is what lets the source derive its own schema from the table
+metaData. Fail-closed scope: column-mapped tables and
+partition/value types beyond the simple scalar set refuse at plan
+time.
 """
 
 from __future__ import annotations
@@ -66,10 +67,103 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.types import StructType
 
 
+def _fix_pa_maps(action: dict) -> dict:
+    """pyarrow renders parquet MAP columns as key/value TUPLE LISTS;
+    the action machinery expects dicts (``conf.get`` etc. — a replay
+    of a checkpointed table with a non-empty configuration crashed
+    before this, r12). Dict-ify every map-typed action field."""
+
+    def fix(d: dict, key: str) -> None:
+        v = d.get(key)
+        if isinstance(v, list):
+            d[key] = dict(v)
+
+    md = action.get("metaData")
+    if isinstance(md, dict):
+        fix(md, "configuration")
+        fmt = md.get("format")
+        if isinstance(fmt, dict):
+            fix(fmt, "options")
+    for k in ("add", "remove", "cdc"):
+        a = action.get(k)
+        if isinstance(a, dict):
+            fix(a, "partitionValues")
+            fix(a, "tags")
+    return action
+
+
+def _pa_checkpoint_actions(p: str) -> list[dict]:
+    """One parquet checkpoint/sidecar file → action dicts (pure
+    pyarrow; nulls dropped, maps dict-ified, replay-irrelevant
+    commitInfo/txn stripped)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for row in pq.read_table(p).to_pylist():
+        action = {
+            k: ({vk: vv for vk, vv in v.items() if vv is not None}
+                if isinstance(v, dict) else v)
+            for k, v in row.items()
+            if v is not None
+        }
+        action.pop("commitInfo", None)
+        action.pop("txn", None)
+        if action:
+            out.append(_fix_pa_maps(action))
+    return out
+
+
+def _pure_v2_checkpoint_actions(log: str, ck_path: str) -> list[dict]:
+    """V2-checkpoint replay WITHOUT Spark (r12): parse the manifest
+    (json lines or parquet) for its own protocol/metaData actions and
+    sidecar references, then flatten every sidecar parquet under
+    ``_delta_log/_sidecars/``. Fails closed on a missing sidecar or a
+    checkpointMetadata version mismatch — the same contract as
+    deltalog's Spark-side ``_v2_checkpoint_actions``."""
+    v = int(os.path.basename(ck_path).split(".")[0])
+    raw: list[dict] = []
+    if ck_path.endswith(".json"):
+        with open(ck_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    raw.append(json.loads(line))
+    else:
+        raw = _pa_checkpoint_actions(ck_path)
+    out: list[dict] = []
+    sidecars: list[str] = []
+    for a in raw:
+        if "checkpointMetadata" in a:
+            cm_v = a["checkpointMetadata"].get("version")
+            if cm_v is not None and int(cm_v) != v:
+                raise ValueError(
+                    f"v2 checkpoint {ck_path}: checkpointMetadata "
+                    f"version {cm_v} != file version {v} — corrupt"
+                )
+            continue
+        if "sidecar" in a:
+            sidecars.append(a["sidecar"]["path"])
+            continue
+        a.pop("commitInfo", None)
+        a.pop("txn", None)
+        if a:
+            out.append(a)
+    for rel in sidecars:
+        full = os.path.join(log, "_sidecars", rel)
+        if not os.path.isfile(full):
+            raise ValueError(
+                f"v2 checkpoint {ck_path}: sidecar {rel!r} is missing "
+                "— refusing a partial snapshot"
+            )
+        out.extend(_pa_checkpoint_actions(full))
+    return out
+
+
 def _pure_snapshot(path: str, version: int | None = None) -> dict:
-    """Log replay WITHOUT a SparkSession: classic checkpoints read via
-    pyarrow, JSON commits via json — the same action machinery as
-    deltalog (gapless guard included). Returns the raw state dict."""
+    """Log replay WITHOUT a SparkSession: classic AND v2 checkpoints
+    read via pyarrow/json, JSON commits via json — the same action
+    machinery as deltalog (gapless guard included). Returns the raw
+    state dict."""
     log = os.path.join(path, LOG_DIR)
     versions = _commit_versions(log)
     found = _checkpoint_files(log, version if version is not None else 1 << 62)
@@ -90,22 +184,15 @@ def _pure_snapshot(path: str, version: int | None = None) -> dict:
         "metadata_raw": {},
         "adds_raw": {},
     }
-    if ck_paths and any(
-        len(os.path.basename(p).split(".")) == 4 for p in ck_paths
-    ):
-        raise NotImplementedError(
-            "deltabridge source: v2 checkpoints need the Spark-side "
-            "reader (deltalog.read_delta_table) — refusing"
-        )
     if ckpt is not None:
-        import pyarrow.parquet as pq
-
-        for p in ck_paths:
-            for row in pq.read_table(p).to_pylist():
-                action = {k: v for k, v in row.items() if v is not None}
-                action.pop("commitInfo", None)
-                action.pop("txn", None)
-                if action:
+        if len(ck_paths) == 1 and len(
+            os.path.basename(ck_paths[0]).split(".")
+        ) == 4:
+            for action in _pure_v2_checkpoint_actions(log, ck_paths[0]):
+                _apply_action(state, action)
+        else:
+            for p in ck_paths:
+                for action in _pa_checkpoint_actions(p):
                     _apply_action(state, action)
     start = (ckpt + 1) if ckpt is not None else 0
     replay = [v for v in versions if start <= v <= version]
