@@ -620,17 +620,24 @@ def foreach_batch_upsert(
     from fintech_lakehouse_spark.sources.writers import upsert_lake_table
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            # quiet trigger: without this guard the no-partition path
-            # would read, dedup and fully rewrite the target as a no-op
-            return
-        upsert_lake_table(
-            batch_df.sparkSession,
-            batch_df,
-            target_path,
-            merge_keys=merge_keys,
-            partition_by=partition_by,
-        )
+        # ONE job materializes the cache and answers the quiet-trigger
+        # guard (r12, VERDICT r11 item 1: the old isEmpty probe was an
+        # extra per-batch source scan); without the guard the
+        # no-partition path would read, dedup and fully rewrite the
+        # target as a no-op. The merge below re-reads the CACHE.
+        batch = batch_df.persist()
+        try:
+            if batch.count() == 0:
+                return
+            upsert_lake_table(
+                batch.sparkSession,
+                batch,
+                target_path,
+                merge_keys=merge_keys,
+                partition_by=partition_by,
+            )
+        finally:
+            batch.unpersist()
 
     return _write
 
@@ -654,16 +661,22 @@ def foreach_batch_scd2(
     from fintech_lakehouse_spark.sources.writers import scd2_upsert
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        scd2_upsert(
-            batch_df.sparkSession,
-            batch_df,
-            target_path,
-            key=key,
-            tracked_cols=tracked_cols,
-            ts_col=ts_col,
-        )
+        # one job = cache materialization + quiet-trigger guard (r12);
+        # the SCD2 merge re-reads the cache, not the source
+        batch = batch_df.persist()
+        try:
+            if batch.count() == 0:
+                return
+            scd2_upsert(
+                batch.sparkSession,
+                batch,
+                target_path,
+                key=key,
+                tracked_cols=tracked_cols,
+                ts_col=ts_col,
+            )
+        finally:
+            batch.unpersist()
 
     return _write
 
@@ -706,9 +719,18 @@ def foreach_batch_cdf(
     )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # one job = cache materialization + quiet-trigger guard (r12);
+        # the diff AND the upsert below both re-read the cache
+        batch_df = batch_df.persist()
+        try:
+            _write_inner(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _write_inner(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
-        if batch_df.isEmpty():
+        if batch_df.count() == 0:
             return
         spark = batch_df.sparkSession
         latest = batch_df
@@ -980,8 +1002,17 @@ def foreach_batch_ivm(
         vdir = f"{root}/version={batch_id}"
         if _dir_committed(spark, vdir):
             return  # retry of a committed batch: exactly-once skip
-        if batch_df.isEmpty():
-            return
+        # one job = cache materialization + quiet-trigger guard (r12);
+        # the delta aggregation below re-reads the cache
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            _ivm_inner(spark, batch_df, root, vdir, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _ivm_inner(spark, batch_df, root, vdir, batch_id) -> None:
         current = read_materialized_view(spark, root, version=batch_id - 1)
         delta = changelog_agg_delta(batch_df, group_cols, sum_cols)
         merged = apply_agg_delta(current, delta, group_cols, sum_aliases)
@@ -1035,8 +1066,17 @@ def foreach_batch_sketch_rollup(
         vdir = f"{root}/version={batch_id}"
         if _dir_committed(spark, vdir):
             return  # retry of a committed batch: exactly-once skip
-        if batch_df.isEmpty():
-            return
+        # one job = cache materialization + quiet-trigger guard (r12);
+        # the sketch partial below re-reads the cache
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            _sketch_inner(spark, batch_df, root, vdir, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _sketch_inner(spark, batch_df, root, vdir, batch_id) -> None:
         partial = batch_df.groupBy(*group_cols).agg(
             F.hll_sketch_agg(F.col(key_col).cast("string")).alias("hll_sk"),
             F.theta_sketch_agg(F.col(key_col).cast("string")).alias(
@@ -1589,8 +1629,17 @@ def foreach_batch_drift(view_path: str):
         vdir = f"{root}/version={batch_id}"
         if _dir_committed(spark, vdir):
             return  # retry of a committed batch: exactly-once skip
-        if batch_df.isEmpty():
-            return
+        # one job = cache materialization + quiet-trigger guard (r12);
+        # the bucket-count scan below re-reads the cache
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            _drift_inner(spark, batch_df, root, vdir, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _drift_inner(spark, batch_df, root, vdir, batch_id) -> None:
         partial = drift_bucket_counts(batch_df)
         current = read_materialized_view(spark, root, version=batch_id - 1)
         if current is not None:
