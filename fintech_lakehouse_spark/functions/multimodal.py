@@ -1194,6 +1194,53 @@ _MP3_HUFF_T1_DECODE = {
     (length, code): xy for xy, (length, code) in _MP3_HUFF_T1.items()
 }
 
+# COUNT1 quadruples table A (ISO 11172-3 Table B.7 "count1 table 0"):
+# quad value v·8+w·4+x·2+y → (hlen, hcod). A complete prefix code
+# (Kraft sum exactly 1 — validated in tests). Table B
+# (count1table_select=1) needs no table: every quad codes in 4 bits
+# as the one's complement of its value.
+_MP3_COUNT1_A = {
+    0: (1, 0b1),
+    1: (4, 0b0101),
+    2: (4, 0b0100),
+    3: (5, 0b00101),
+    4: (4, 0b0110),
+    5: (6, 0b000101),
+    6: (5, 0b00100),
+    7: (6, 0b000100),
+    8: (4, 0b0111),
+    9: (5, 0b00011),
+    10: (5, 0b00110),
+    11: (6, 0b000000),
+    12: (5, 0b00111),
+    13: (6, 0b000010),
+    14: (6, 0b000011),
+    15: (6, 0b000001),
+}
+_MP3_COUNT1_A_DECODE = {
+    (length, code): quad for quad, (length, code) in _MP3_COUNT1_A.items()
+}
+
+# Long-block SCALEFACTOR BAND boundaries per MPEG1 sample rate (ISO
+# 11172-3 Table B.8): 23 boundaries = 22 bands over the 576 spectral
+# lines; the first 8 boundaries (lines 0-30) coincide across all
+# three rates. Bands 0-20 carry scalefactors; band 21 has none
+# (scalefactor 0 by the spec's rule).
+_MP3_LONG_SFB = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 84, 106, 136,
+            170, 206, 248, 298, 356, 432, 576],
+}
+
+# preflag emphasis table (ISO 11172-3): added to the scalefactor per
+# band when preflag is set — zero through band 10, so low spectral
+# lines are unaffected.
+_MP3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+               1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
 
 # MPEG1 Layer III scalefac_compress → (slen1, slen2) bit widths (ISO
 # 11172-3 Table B.6-ish; the canonical 16-entry table every decoder
@@ -1212,6 +1259,11 @@ def synthesize_mp3_spectrum(
     sample_rate_idx: int = 0,
     scalefac_compress: int = 0,
     scalefactors: list[int] | None = None,
+    count1_values: list[int] | None = None,
+    count1table: int = 0,
+    global_gain: int = 128,
+    preflag: int = 0,
+    scalefac_scale: int = 0,
 ) -> bytes:
     """ONE mono MPEG1 Layer III frame whose granule 0 carries
     ``values`` (spectral line magnitudes in {-1, 0, 1}, even count)
@@ -1230,13 +1282,33 @@ def synthesize_mp3_spectrum(
     at the (slen1, slen2) widths the compress index selects
     (``_MP3_SLEN``: bands 0-10 at slen1, 11-20 at slen2); each value
     must fit its band's width (slen=0 admits only 0, the spec's
-    degenerate case)."""
+    degenerate case).
+
+    ``count1_values`` / ``count1table`` (r12, VERDICT r11 item 6): the
+    COUNT1 region follows big_values — quadruples (v,w,x,y) of ±1/0
+    coded with ISO Table B.7 quad table A (count1table=0, variable
+    length) or table B (=1, 4-bit one's complement), sign bit after
+    each nonzero; part2_3_length covers it, so the decoder's
+    consumed-bits check now spans all three parts. ``global_gain`` /
+    ``preflag`` / ``scalefac_scale`` land in the side info verbatim —
+    the inputs :func:`mp3_requantize` needs."""
     if len(values) % 2:
         raise ValueError("values must pair up (big_values codes x,y pairs)")
     if any(abs(v) > 1 for v in values):
         raise ValueError("table-1 subset codes magnitudes 0/1 only")
     if not 0 <= scalefac_compress < 16:
         raise ValueError("scalefac_compress is a 4-bit index")
+    c1 = list(count1_values or [])
+    if len(c1) % 4:
+        raise ValueError("count1 codes quadruples (length % 4 == 0)")
+    if any(abs(v) > 1 for v in c1):
+        raise ValueError("count1 quads code magnitudes 0/1 only")
+    if count1table not in (0, 1):
+        raise ValueError("count1table selects table A (0) or B (1)")
+    if not 0 <= global_gain < 256:
+        raise ValueError("global_gain is an 8-bit field")
+    if preflag not in (0, 1) or scalefac_scale not in (0, 1):
+        raise ValueError("preflag / scalefac_scale are 1-bit flags")
     slen1, slen2 = _MP3_SLEN[scalefac_compress]
     n_sfb = _MP3_SFB_SLEN1 + _MP3_SFB_SLEN2
     sfs = list(scalefactors or [0] * n_sfb)
@@ -1274,6 +1346,18 @@ def synthesize_mp3_spectrum(
             put_data(1 if x < 0 else 0, 1)
         if y != 0:
             put_data(1 if y < 0 else 0, 1)
+    # count1 region: quads after the big_values codes, inside part3
+    for i in range(0, len(c1), 4):
+        quad = c1[i : i + 4]
+        qval = sum((1 if q else 0) << (3 - j) for j, q in enumerate(quad))
+        if count1table == 0:
+            hlen, hcod = _MP3_COUNT1_A[qval]
+            put_data(hcod, hlen)
+        else:
+            put_data(qval ^ 0xF, 4)  # table B: 4-bit one's complement
+        for q in quad:
+            if q != 0:
+                put_data(1 if q < 0 else 0, 1)
     part2_3 = len(data_bits)
     big_values = len(values) // 2
 
@@ -1290,7 +1374,7 @@ def synthesize_mp3_spectrum(
         if gr == 0 and part2_3:
             put_side(part2_3, 12)
             put_side(big_values, 9)
-            put_side(128, 8)         # global_gain (any; programmed part2)
+            put_side(global_gain, 8)
             put_side(scalefac_compress, 4)
             put_side(0, 1)           # window_switching: long blocks
             for _ in range(3):
@@ -1299,11 +1383,14 @@ def synthesize_mp3_spectrum(
                 put_side(1 if big_values else 0, 5)
             put_side(0, 4)           # region0_count
             put_side(0, 3)           # region1_count
+            put_side(preflag, 1)
+            put_side(scalefac_scale, 1)
+            put_side(count1table, 1)
         else:
             put_side(0, 12 + 9)
             put_side(128, 8)
             put_side(0, 4 + 1 + 15 + 4 + 3)
-        put_side(0, 3)               # preflag, scalefac_scale, count1table
+            put_side(0, 3)           # preflag, scalefac_scale, count1table
     assert len(side_bits) == 136  # 17-byte mono side info
     bits = side_bits + data_bits
     body = bytes(
@@ -1383,19 +1470,21 @@ def read_mp3_granule(payload: bytes) -> dict | None:
     for _gr in range(2):
         p23 = take(12)
         bv = take(9)
-        take(8)  # global_gain
+        gg = take(8)  # global_gain
         sfc = take(4)
         if take(1) != 0:
             return None  # short blocks: unsupported
         tsel = [take(5) for _ in range(3)]
         take(4)  # region0_count
         take(3)  # region1_count
-        take(3)  # preflag, scalefac_scale, count1table
+        pre = take(1)   # preflag
+        sfsc = take(1)  # scalefac_scale
+        c1t = take(1)   # count1table_select
         if len(set(tsel)) != 1 or tsel[0] not in (0, 1):
             return None  # only uniform table 0/1 implemented
         if tsel[0] == 0 and bv:
             return None  # table 0 carries no codes
-        granules.append((p23, bv, sfc))
+        granules.append((p23, bv, sfc, gg, pre, sfsc, c1t))
     # main data begins right after the side info (main_data_begin = 0)
     data = payload[i + 4 + 17 :]
     dpos = 0
@@ -1412,8 +1501,10 @@ def read_mp3_granule(payload: bytes) -> dict | None:
     out: list[int] = []
     out_sfs: list[int] = []
     out_sfc = 0
+    out_c1: list[int] = []
+    out_side = (0, 0, 0, 0)
     try:
-        for gi, (p23, bv, sfc) in enumerate(granules):
+        for gi, (p23, bv, sfc, gg, pre, sfsc, c1t) in enumerate(granules):
             start = dpos
             # part2: the 21 long-block scalefactors at the compress
             # index's (slen1, slen2) widths (slen=0 codes value 0 in
@@ -1443,10 +1534,38 @@ def read_mp3_granule(payload: bytes) -> dict | None:
                 if y and dbit():
                     y = -y
                 vals.extend((x, y))
+            # COUNT1 region (r12): quadruples until part2_3_length is
+            # consumed — the spec's termination rule (no quad count is
+            # coded anywhere)
+            c1vals: list[int] = []
+            while dpos - start < p23:
+                if c1t == 0:
+                    code, length = 0, 0
+                    while True:
+                        code = (code << 1) | dbit()
+                        length += 1
+                        qhit = _MP3_COUNT1_A_DECODE.get((length, code))
+                        if qhit is not None:
+                            break
+                        if length >= 6:
+                            return None  # not a table-A code: corrupt
+                    qval = qhit
+                else:
+                    qval = 0
+                    for _ in range(4):
+                        qval = (qval << 1) | dbit()
+                    qval ^= 0xF  # table B: one's complement
+                quad = [(qval >> (3 - j)) & 1 for j in range(4)]
+                for j, q in enumerate(quad):
+                    if q and dbit():
+                        quad[j] = -1
+                c1vals.extend(quad)
             if dpos - start != p23:
-                return None  # count1 residue: unsupported
+                return None  # a quad straddled the boundary: corrupt
             if gi == 0:
                 out, out_sfs, out_sfc = vals, sfs, sfc
+                out_c1 = c1vals
+                out_side = (gg, pre, sfsc, c1t)
     except ValueError:
         return None
     return {
@@ -1454,7 +1573,59 @@ def read_mp3_granule(payload: bytes) -> dict | None:
         "scalefac_compress": out_sfc,
         "scalefactors": out_sfs,
         "values": out,
+        "count1_values": out_c1,
+        "global_gain": out_side[0],
+        "preflag": out_side[1],
+        "scalefac_scale": out_side[2],
+        "count1table": out_side[3],
     }
+
+
+def mp3_requantize(granule: dict) -> list[float]:
+    """REQUANTIZATION of a decoded granule (r12, VERDICT r11 item 6 —
+    the pure-arithmetic layer between Huffman decode and the IMDCT
+    seam): spectral value
+
+    ``xr[i] = sign(is) · |is|^(4/3)
+              · 2^((global_gain − 210) / 4)
+              · 2^(−(scalefac_scale + 1) / 2
+                   · (scalefactor[sfb] + preflag · pretab[sfb]))``
+
+    — ISO 11172-3 §2.4.3.4 for long blocks. The scalefactor band of
+    line ``i`` comes from the sample rate's Table B.8 boundaries
+    (``_MP3_LONG_SFB``); band 21 carries no scalefactor (0 by rule).
+    Input is :func:`read_mp3_granule`'s dict (big_values region then
+    count1 region, in spectral order); remaining lines up to 576 are
+    zero and omitted. IMDCT + synthesis filterbank (frequency →
+    PCM) stays the named seam above this."""
+    import bisect
+
+    bounds = _MP3_LONG_SFB.get(granule["sample_rate"])
+    if bounds is None:
+        raise ValueError(
+            f"no long-block scalefactor bands for sample rate "
+            f"{granule['sample_rate']}"
+        )
+    sfs = granule["scalefactors"]
+    gg = granule["global_gain"]
+    pre = granule.get("preflag", 0)
+    sfsc = granule.get("scalefac_scale", 0)
+    gain = 2.0 ** ((gg - 210) / 4.0)
+    out: list[float] = []
+    lines = list(granule["values"]) + list(granule.get("count1_values", []))
+    if len(lines) > 576:
+        raise ValueError("more than 576 spectral lines in one granule")
+    for i, isv in enumerate(lines):
+        if isv == 0:
+            out.append(0.0)
+            continue
+        sfb = bisect.bisect_right(bounds, i) - 1
+        sf = sfs[sfb] if sfb < len(sfs) else 0
+        ptab = _MP3_PRETAB[sfb] if sfb < len(_MP3_PRETAB) else 0
+        exp = -0.5 * (sfsc + 1) * (sf + pre * ptab)
+        mag = abs(isv) ** (4.0 / 3.0) * gain * 2.0 ** exp
+        out.append(-mag if isv < 0 else mag)
+    return out
 
 
 _MP4_SAMPLE_CONTAINERS = _MP4_CONTAINERS | {b"minf", b"stbl"}

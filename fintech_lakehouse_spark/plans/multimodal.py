@@ -903,3 +903,158 @@ def mp3_scalefactor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id long, scalefac_compress long, sf_sum long, "
         "sf_max long, n_values long, value_sum long",
     )
+
+
+@register(
+    "mp3_count1_requantize_roundtrip",
+    oracle="""
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    bv AS (
+      SELECT b.doc_id, j.j AS i, ((b.doc_id + j.j) % 3) - 1 AS v
+      FROM base b, LATERAL (
+        SELECT UNNEST(range(0, 2 * (2 + b.doc_id % 4)))) AS j(j)
+      WHERE b.doc_id % 23 <> 0
+    ),
+    c1 AS (
+      SELECT b.doc_id,
+             2 * (2 + b.doc_id % 4) + q.q * 4 + j.j AS i,
+             q.q AS q, j.j AS j,
+             CASE j.j
+               WHEN 0 THEN (b.doc_id + q.q) % 2
+               WHEN 1 THEN (b.doc_id + q.q + 1) % 2
+               WHEN 2 THEN ((b.doc_id + q.q) // 2) % 2
+               ELSE ((b.doc_id + q.q) // 3) % 2 END AS mag
+      FROM base b,
+           LATERAL (SELECT UNNEST(range(0, 1 + b.doc_id % 5))) AS q(q),
+           LATERAL (SELECT UNNEST(range(0, 4))) AS j(j)
+      WHERE b.doc_id % 23 <> 0
+    ),
+    c1v AS (
+      SELECT doc_id, i,
+             CASE WHEN mag <> 0 AND (doc_id + q + j) % 3 = 0 THEN -mag
+                  ELSE mag END AS v
+      FROM c1
+    ),
+    lines AS (
+      SELECT doc_id, i, v FROM bv
+      UNION ALL SELECT doc_id, i, v FROM c1v
+    ),
+    xr AS (
+      SELECT doc_id, i, v,
+             CASE WHEN v = 0 THEN 0
+                  ELSE CAST(SIGN(v) AS BIGINT)
+                       * CAST(POW(2.0, 25 - (doc_id % 20)
+                              - ((doc_id + LEAST(i // 4, 6)) % 4))
+                         AS BIGINT)
+             END AS xs
+      FROM lines
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i >= 2 * (2 + doc_id % 4)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_count1,
+             CAST(SUM(CASE WHEN i >= 2 * (2 + doc_id % 4)
+                      THEN v ELSE 0 END) AS BIGINT) AS c1_sum,
+             CAST(SUM(xs) AS BIGINT) AS xr_scaled,
+             CAST(SUM(ABS(xs)) AS BIGINT) AS xr_abs_scaled
+      FROM xr GROUP BY doc_id
+    )
+    SELECT b.doc_id AS asset_id, a.n_count1, a.c1_sum,
+           a.xr_scaled, a.xr_abs_scaled
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mp3_count1_requantize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MP3 COUNT1 + REQUANTIZATION roundtrip (r12, VERDICT r11 item 6
+    — the two layers that complete the entropy side of the mp3
+    subset): per doc, a mono frame carries a programmed big_values
+    prefix AND a programmed COUNT1 region (1 + id%5 quadruples of ±1/0
+    with per-component sign programming, coded with ISO Table B.7 quad
+    table A on even ids and 4-bit-complement table B on odd ids), all
+    inside part2_3_length; ``read_mp3_granule`` must land exactly on
+    the bit boundary after decoding BOTH regions. The decoded granule
+    then REQUANTIZES (``mp3_requantize``: global_gain/scalefactor
+    exponent law, ISO §2.4.3.4) under an exponent program chosen so
+    every xr is an exact power of two — global_gain = 210 − 4·(id%20)
+    and scalefac_scale=1 give integer exponents, so the 2^25-scaled
+    sums are exact BIGINTs in BOTH engines (the plans/_num.py
+    exactness-by-construction stance; no float rounding anywhere).
+    Lines stay below index 30 where all three sample rates share
+    Table B.8 boundaries and pretab is zero — the preflag/pretab and
+    4/3-power paths are pinned by unit tests instead
+    (tests/test_multimodal_r12.py). Every 23rd asset feeds a stereo
+    stream the mono decoder QUARANTINES to NULLs. IMDCT + synthesis
+    filterbank stay the named seam.
+
+    Scale shape: the roundtrip-family contract — two partition-
+    preserving Arrow stages over one scan, zero Exchange."""
+    import pandas as pd
+
+    from fintech_lakehouse_spark.functions.multimodal import (
+        mp3_requantize,
+        read_mp3_granule,
+        synthesize_mp3,
+        synthesize_mp3_spectrum,
+    )
+
+    def batches(iterator):
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "n_count1", "c1_sum", "xr_scaled",
+                "xr_abs_scaled",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 23 == 0:
+                    payload = synthesize_mp3(2, did % 3, global_gain=90)
+                else:
+                    bvals = [((did + j) % 3) - 1
+                             for j in range(2 * (2 + did % 4))]
+                    c1: list[int] = []
+                    for q in range(1 + did % 5):
+                        quad = [
+                            (did + q) % 2,
+                            (did + q + 1) % 2,
+                            ((did + q) // 2) % 2,
+                            ((did + q) // 3) % 2,
+                        ]
+                        c1.extend(
+                            -v if v and (did + q + j) % 3 == 0 else v
+                            for j, v in enumerate(quad)
+                        )
+                    payload = synthesize_mp3_spectrum(
+                        bvals, did % 3, scalefac_compress=10,
+                        scalefactors=[(did + k) % 4 for k in range(21)],
+                        count1_values=c1, count1table=did % 2,
+                        global_gain=210 - 4 * (did % 20),
+                        preflag=1 if did % 3 == 0 else 0,
+                        scalefac_scale=1,
+                    )
+                g = read_mp3_granule(payload)
+                rows["asset_id"].append(did)
+                if g is None:
+                    for k in ("n_count1", "c1_sum", "xr_scaled",
+                              "xr_abs_scaled"):
+                        rows[k].append(None)
+                    continue
+                xr = mp3_requantize(g)
+                rows["n_count1"].append(len(g["count1_values"]))
+                rows["c1_sum"].append(sum(g["count1_values"]))
+                rows["xr_scaled"].append(
+                    int(round(sum(xr) * (1 << 25)))
+                )
+                rows["xr_abs_scaled"].append(
+                    int(round(sum(abs(v) for v in xr) * (1 << 25)))
+                )
+            yield pd.DataFrame(rows, dtype="object")
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        "asset_id long, n_count1 long, c1_sum long, "
+        "xr_scaled long, xr_abs_scaled long",
+    )
