@@ -1702,11 +1702,11 @@ def write_delta_commit(
         _enforce_constraints(
             df, prev.metadata_raw.get("configuration"), "write_delta_commit"
         )
-        if prev.column_mapping:
+        if prev.column_mapping_mode == "id":
             raise NotImplementedError(
-                "write_delta_commit cannot append to a column-mapped "
-                "table: it writes LOGICAL column names, which would not "
-                "resolve against the table's physical names"
+                "write_delta_commit: id-mode column-mapped table — "
+                "writing would need parquet field-id stamping; only "
+                "name-mode tables are writable"
             )
         if partition_by != prev.partition_columns:
             # ADVICE r8: without this check, appending with a different
@@ -1818,10 +1818,51 @@ def write_delta_commit(
             create_schema = _schema_with_identity_hwm(create_schema, id_hwm)
             id_hwm = {}  # already folded into the create metaData
 
+    # NAME-MODE COLUMN-MAPPED tables (r12): project the logical frame
+    # to PHYSICAL names before staging — top-level via alias, nested
+    # via cast to the physical datatype (struct casts match fields by
+    # POSITION, so only the names change). Partition dirs (and thus
+    # the log's partitionValues keys) use physical names, which is
+    # what the mapped reader resolves them by. New trailing columns
+    # from mergeSchema get fresh columnMapping ids (maxColumnId
+    # advances in the same commit) with physicalName = logical name.
+    # Files carry no parquet field ids — complete for name mode;
+    # id-mode readers fall back to physicalName (the spec requires it
+    # alongside the id), which is why id-mode WRITES refuse above.
+    stage_partition_by = partition_by
+    new_max_id: int | None = None
+    if have_any and prev.column_mapping_mode == "name":
+        if new_fields:
+            conf_prev = prev.metadata_raw.get("configuration") or {}
+            counter = [int(conf_prev.get("delta.columnMapping.maxColumnId",
+                                         0))]
+            new_fields = list(
+                _assign_mapping_metadata(
+                    StructType(new_fields), counter
+                ).fields
+            )
+            new_max_id = counter[0]
+        mapped_by_name = {f.name: f for f in prev.schema.fields}
+        phys_cols = []
+        for name in df.columns:
+            f = mapped_by_name.get(name)
+            if f is None:
+                phys_cols.append(F.col(name))  # new col: phys == logical
+            else:
+                phys_cols.append(
+                    F.col(name)
+                    .cast(_physical_datatype(f.dataType, f.name))
+                    .alias(prev.column_mapping[f.name])
+                )
+        df = df.select(*phys_cols)
+        stage_partition_by = [
+            prev.column_mapping.get(c, c) for c in partition_by
+        ]
+
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if stage_partition_by:
+        writer = writer.partitionBy(*stage_partition_by)
     writer.parquet(stage)
 
     adds = []
@@ -1870,6 +1911,10 @@ def write_delta_commit(
             widened = _schema_with_identity_hwm(widened, id_hwm)
         md = dict(prev.metadata_raw)
         md["schemaString"] = json.dumps(widened.jsonValue())
+        if new_max_id is not None:
+            conf2 = dict(md.get("configuration") or {})
+            conf2["delta.columnMapping.maxColumnId"] = str(new_max_id)
+            md["configuration"] = conf2
         actions.append({"metaData": md})
     if version == 0:
         # legacy feature gates: identity columns 6 > generated columns 4

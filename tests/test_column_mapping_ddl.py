@@ -74,8 +74,7 @@ def test_rename_flat_column_reads_back(spark, tmp_path):
     out = read_delta_table(spark, root)
     assert [f.name for f in out.schema.fields] == ["id", "label", "d"]
     assert sorted(map(tuple, out.collect())) == [(1, "a", 7), (2, "b", 8)]
-    # appends after the rename must still write (refused — mapped
-    # table), so at least verify time travel across the rename
+    # time travel across the rename sees the OLD logical name
     before = read_delta_table(spark, root, version=0)
     assert [f.name for f in before.schema.fields] == ["id", "v", "d"]
 
@@ -168,3 +167,133 @@ def test_enable_on_table_features_protocol(spark, tmp_path):
     with open(os.path.join(log, latest)) as fh:
         first = json.loads(fh.readline())
     assert first["commitInfo"].get("inCommitTimestamp") is not None
+
+
+def test_append_after_rename(spark, tmp_path):
+    """r12: a rename must not lock the table out of appends — the
+    writer projects logical → physical names before staging."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, label string, d long"),
+        root,
+    )
+    out = read_delta_table(spark, root)
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 9),
+    ]
+    # the new file physically carries the ORIGINAL physical name
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(spark, root)
+    newest = max(
+        snap.files, key=lambda r: os.path.getmtime(os.path.join(root, r))
+    )
+    assert "v" in pq.read_schema(os.path.join(root, newest)).names
+
+
+def test_partitioned_mapped_append_and_overwrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root, partition_by=["d"])
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "d", "bucket")
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 9)], "id long, v string, bucket long"
+        ),
+        root,
+        partition_by=["bucket"],
+    )
+    out = read_delta_table(spark, root)
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 9),
+    ]
+    # partitionValues keys are PHYSICAL names
+    snap = delta_snapshot(spark, root)
+    assert all("d" in pv for pv in snap.files.values())
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(4, "x", 1)], "id long, v string, bucket long"
+        ),
+        root,
+        mode="overwrite",
+        partition_by=["bucket"],
+    )
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (4, "x", 1)
+    ]
+
+
+def test_nested_mapped_append_after_nested_rename(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root, nested=True)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "u.name", "who")
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(id=3, u=Row(who="cat", age=9), d=5)],
+            "id long, u struct<who:string, age:long>, d long",
+        ),
+        root,
+    )
+    out = read_delta_table(spark, root)
+    rows = sorted((r["id"], r["u"]["who"], r["u"]["age"]) for r in out.collect())
+    assert rows == [(1, "ann", 30), (2, "bob", 40), (3, "cat", 9)]
+
+
+def test_mapped_merge_schema_assigns_fresh_ids(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 9, 1.5)], "id long, v string, d long, score double"
+        ),
+        root,
+        merge_schema=True,
+    )
+    snap = delta_snapshot(spark, root)
+    f = snap.schema["score"]
+    assert f.metadata["delta.columnMapping.id"] == 4  # 3 existing + 1
+    assert f.metadata["delta.columnMapping.physicalName"] == "score"
+    conf = snap.metadata_raw["configuration"]
+    assert conf["delta.columnMapping.maxColumnId"] == "4"
+    out = read_delta_table(spark, root)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, "a", 7, None), (2, "b", 8, None), (3, "c", 9, 1.5)]
+
+
+def test_id_mode_write_refuses(spark, tmp_path):
+    """Only name-mode tables are writable; id-mode needs field-id
+    stamping and fails closed."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    snap = delta_snapshot(spark, root)
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "id"
+    md["configuration"] = conf
+    from fintech_lakehouse_spark.sources.deltalog import (
+        _next_version,
+        _write_commit,
+    )
+
+    proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    _write_commit(
+        root, _next_version(root),
+        [{"protocol": proto}, {"metaData": md}],
+        operation="SET TBLPROPERTIES",
+    )
+    with pytest.raises(NotImplementedError, match="id-mode"):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(9, "z", 0)], "id long, v string, d long"),
+            root,
+        )

@@ -420,3 +420,43 @@ def test_jl_project_rejects_expression_columns(spark):
     out = df.select(jl_project(F.col("emb"), [[1, -1]]).alias("p"))
     [(p,)] = out.collect()
     assert abs(p[0] - (1.0 - 2.0)) < 1e-12
+
+
+def test_threaded_writers_all_land_contiguously(spark, tmp_path):
+    """CONTENTION stress: 8 threads race 3 blind appends each through
+    commit_with_retry against one table — all 24 commits must land at
+    contiguous versions with every data file live (the serializable-
+    history guarantee the retry loop exists for)."""
+    import threading
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    base = _next_version(root)
+    errors: list = []
+
+    def writer(wid: int) -> None:
+        try:
+            for k in range(3):
+                name = f"w{wid}-{k}.parquet"
+                actions = [_blind_add(root, name)]
+                commit_with_retry(
+                    root, _next_version(root), actions,
+                    operation="WRITE", max_retries=50,
+                )
+        except Exception as exc:  # surface in the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    log = os.path.join(root, "_delta_log")
+    versions = sorted(
+        int(n[:-5]) for n in os.listdir(log) if n.endswith(".json")
+    )
+    assert versions == list(range(0, base + 24))
+    snap = delta_snapshot(spark, root)
+    expect = {f"w{w}-{k}.parquet" for w in range(8) for k in range(3)}
+    assert expect <= set(snap.files)
