@@ -158,6 +158,9 @@ class DeltaSnapshot:
     # checkpoint writer — ADVICE r9 medium: fabricating them breaks
     # external readers)
     adds_raw: dict = field(default_factory=dict)
+    # streaming-txn watermarks (r12): appId → last committed version,
+    # the protocol's exactly-once primitive for streaming sinks
+    txns: dict = field(default_factory=dict)
 
 
 def _commit_versions(log: str) -> list[int]:
@@ -272,7 +275,6 @@ def _v2_checkpoint_actions(spark: SparkSession, ck_path: str) -> list:
             sidecars.append(a["sidecar"]["path"])
             continue
         a.pop("commitInfo", None)
-        a.pop("txn", None)
         if a:
             out.append(a)
     for rel in sidecars:
@@ -287,7 +289,6 @@ def _v2_checkpoint_actions(spark: SparkSession, ck_path: str) -> list:
             d = row.asDict(recursive=True)
             action = {k: val for k, val in d.items() if val is not None}
             action.pop("commitInfo", None)
-            action.pop("txn", None)
             if action:
                 out.append(action)
     return out
@@ -393,6 +394,13 @@ def _apply_action(snap_state: dict, action: dict) -> None:
         snap_state["files"].pop(path, None)
         snap_state["adds_raw"].pop(path, None)
         snap_state["dvs"].pop(path, None)
+    if "txn" in action:
+        # SetTransaction: streaming sinks record (appId, version) so a
+        # REPLAYED micro-batch is recognized and skipped (r12); last
+        # writer wins per the protocol's replay rule
+        t = action["txn"]
+        if t.get("appId") is not None and t.get("version") is not None:
+            snap_state.setdefault("txns", {})[t["appId"]] = int(t["version"])
 
 
 def commit_timestamps(path: str) -> dict:
@@ -562,6 +570,7 @@ def delta_snapshot(
         "protocol_raw": {},
         "metadata_raw": {},
         "adds_raw": {},
+        "txns": {},
     }
     if ckpt is not None:
         # checkpoint rows are one action per row with struct columns;
@@ -581,7 +590,6 @@ def delta_snapshot(
                 d = row.asDict(recursive=True)
                 action = {k: v for k, v in d.items() if v is not None}
                 action.pop("commitInfo", None)  # replay-irrelevant
-                action.pop("txn", None)
                 _apply_action(state, action)
     start = (ckpt + 1) if ckpt is not None else 0
     # GAPLESS replay guard (ADVICE r8): the protocol's replay rule is
@@ -623,6 +631,7 @@ def delta_snapshot(
         protocol_raw=state["protocol_raw"],
         metadata_raw=state["metadata_raw"],
         adds_raw=state["adds_raw"],
+        txns=state["txns"],
     )
 
 
@@ -1992,8 +2001,16 @@ def _checkpoint_schema():
             StructField("cardinality", LongType(), True),
         ]
     )
+    txn_struct = _ST(
+        [
+            StructField("appId", StringType(), True),
+            StructField("version", LongType(), True),
+            StructField("lastUpdated", LongType(), True),
+        ]
+    )
     return _ST(
         [
+            StructField("txn", txn_struct, True),
             StructField(
                 "protocol",
                 _ST(
@@ -2094,6 +2111,7 @@ def checkpoint_delta_table(
     fmt = md.get("format") or {}
     rows: list[tuple] = [
         (
+            None,
             (
                 proto.get("minReaderVersion"),
                 proto.get("minWriterVersion"),
@@ -2104,6 +2122,7 @@ def checkpoint_delta_table(
             None,
         ),
         (
+            None,
             None,
             (
                 md.get("id"),
@@ -2118,6 +2137,10 @@ def checkpoint_delta_table(
             None,
         ),
     ]
+    # txn watermarks survive checkpointing (r12): without them a
+    # replayed micro-batch after log expiry would double-commit
+    for app_id in sorted(snap.txns):
+        rows.append(((app_id, snap.txns[app_id], None), None, None, None))
     for rel in sorted(snap.files):
         add = snap.adds_raw.get(rel) or {}
         dv = snap.deletion_vectors.get(rel)
@@ -2134,6 +2157,7 @@ def checkpoint_delta_table(
         )
         rows.append(
             (
+                None,
                 None,
                 None,
                 (
@@ -2338,6 +2362,10 @@ def checkpoint_delta_table_v2(
         )
         fh.write(json.dumps({"protocol": proto}) + "\n")
         fh.write(json.dumps({"metaData": snap.metadata_raw}) + "\n")
+        for app_id in sorted(snap.txns):
+            fh.write(json.dumps(
+                {"txn": {"appId": app_id, "version": snap.txns[app_id]}}
+            ) + "\n")
         for a in side_actions:
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, os.path.join(log, manifest_name))

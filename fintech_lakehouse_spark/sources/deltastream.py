@@ -26,6 +26,11 @@ Modes:
   ``availableNow`` snapshots the end offset ONCE, so a rate limit
   would end that run early (the engine-side trigger semantics).
 
+The STREAMING SINK (``df.writeStream.format("deltabridge")``, r12)
+publishes one log version per micro-batch with a SetTransaction
+action — txn-watermark exactly-once across restarts and log expiry
+(see :class:`DeltaBridgeStreamWriter`).
+
 The batch reader (``spark.read.format("deltabridge")``) serves the
 LIVE snapshot with one InputPartition per data file; deletion vectors
 decode in the partition reader (pure Python + pyarrow — executors
@@ -51,6 +56,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -95,7 +101,8 @@ def _fix_pa_maps(action: dict) -> dict:
 def _pa_checkpoint_actions(p: str) -> list[dict]:
     """One parquet checkpoint/sidecar file → action dicts (pure
     pyarrow; nulls dropped, maps dict-ified, replay-irrelevant
-    commitInfo/txn stripped)."""
+    commitInfo stripped — txn rows are KEPT, they carry the streaming
+    sink's exactly-once watermarks)."""
     import pyarrow.parquet as pq
 
     out = []
@@ -107,7 +114,6 @@ def _pa_checkpoint_actions(p: str) -> list[dict]:
             if v is not None
         }
         action.pop("commitInfo", None)
-        action.pop("txn", None)
         if action:
             out.append(_fix_pa_maps(action))
     return out
@@ -145,7 +151,6 @@ def _pure_v2_checkpoint_actions(log: str, ck_path: str) -> list[dict]:
             sidecars.append(a["sidecar"]["path"])
             continue
         a.pop("commitInfo", None)
-        a.pop("txn", None)
         if a:
             out.append(a)
     for rel in sidecars:
@@ -183,6 +188,7 @@ def _pure_snapshot(path: str, version: int | None = None) -> dict:
         "protocol_raw": {},
         "metadata_raw": {},
         "adds_raw": {},
+        "txns": {},
     }
     if ckpt is not None:
         if len(ck_paths) == 1 and len(
@@ -698,7 +704,13 @@ class DeltaBridgeWriter(DataSourceWriter):
         )
 
         log = os.path.join(self.path, LOG_DIR)
-        if not os.path.isdir(log) or not _commit_versions(log):
+        # the table EXISTS if any commit JSON survives OR a checkpoint
+        # covers the expired ones (r12: treating a checkpoint-only log
+        # as "table creation" skipped every gate AND the streaming
+        # sink's replay detection after expire_delta_log)
+        if not os.path.isdir(log) or not (
+            _commit_versions(log) or _checkpoint_files(log, 1 << 62)
+        ):
             self.part_cols = self._resolve_part_cols(None)
             return None  # table creation
         snap = _pure_snapshot(self.path)
@@ -753,6 +765,24 @@ class DeltaBridgeWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import shutil
+
+        try:
+            self._publish(messages)
+        finally:
+            shutil.rmtree(self.stage, ignore_errors=True)
+
+    def _publish(
+        self,
+        messages,
+        txn_app_id: str | None = None,
+        txn_batch_id: int | None = None,
+    ) -> bool:
+        """Promote staged files and publish ONE log version. With a
+        txn identity (streaming sink), the commit carries a SetTxn
+        action and a REPLAYED batch (batchId <= the table's recorded
+        watermark for the appId) is skipped — the protocol's
+        exactly-once rule. Returns True when a version was committed.
+        """
         import uuid
 
         from fintech_lakehouse_spark.sources.deltalog import (
@@ -761,93 +791,192 @@ class DeltaBridgeWriter(DataSourceWriter):
             commit_with_retry,
         )
 
-        try:
-            snap = self._validate()
-            os.makedirs(os.path.join(self.path, LOG_DIR), exist_ok=True)
-            version = _next_version(self.path)
-            actions: list = []
-            if version == 0:
-                actions.append(
-                    {
-                        "protocol": {
-                            "minReaderVersion": 1,
-                            "minWriterVersion": 2,
-                        }
-                    }
-                )
-                actions.append(
-                    {
-                        "metaData": {
-                            "id": uuid.uuid4().hex,
-                            "format": {
-                                "provider": "parquet",
-                                "options": {},
-                            },
-                            "schemaString": json.dumps(
-                                self.schema.jsonValue()
-                            ),
-                            "partitionColumns": list(self.part_cols),
-                            "configuration": {},
-                            "createdTime": int(
-                                os.path.getmtime(self.path) * 1000
-                            ),
-                        }
-                    }
-                )
-            n = 0
+        snap = self._validate()
+        if (
+            txn_app_id is not None
+            and snap is not None
+            and txn_batch_id is not None
+            and txn_batch_id <= snap["txns"].get(txn_app_id, -1)
+        ):
+            # REPLAYED micro-batch (engine retry after a commit):
+            # the table already recorded this (appId, batchId) —
+            # drop the staged files, publish nothing
             for m in messages:
-                if not m:
-                    continue
-                for tmp_path, pvals in m.files:
-                    # uuid in the PROMOTED name (ADVICE r11 medium):
-                    # two writers racing to the same version can never
-                    # collide on data paths — the losing commit's
-                    # orphaned files are harmless, and the retry below
-                    # may re-point these adds at a later version
-                    rel = f"part-{version:05d}-{n:05d}-{uuid.uuid4().hex}.parquet"
-                    os.replace(tmp_path, os.path.join(self.path, rel))
-                    add = {
-                        "path": rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(
-                            os.path.join(self.path, rel)
-                        ),
-                        "modificationTime": int(
-                            os.path.getmtime(os.path.join(self.path, rel))
-                            * 1000
-                        ),
-                        "dataChange": True,
+                for tmp_path, _ in (m.files if m else []):
+                    try:
+                        os.unlink(tmp_path)
+                    except OSError:
+                        pass
+            return False
+        os.makedirs(os.path.join(self.path, LOG_DIR), exist_ok=True)
+        version = _next_version(self.path)
+        actions: list = []
+        if version == 0:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
                     }
-                    stats = _file_stats_json(os.path.join(self.path, rel))
-                    if stats:
-                        add["stats"] = stats
-                    actions.append({"add": add})
-                    n += 1
-            if self.overwrite and snap is not None:
-                from urllib.parse import quote as _q
+                }
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": json.dumps(
+                            self.schema.jsonValue()
+                        ),
+                        "partitionColumns": list(self.part_cols),
+                        "configuration": {},
+                        "createdTime": int(
+                            os.path.getmtime(self.path) * 1000
+                        ),
+                    }
+                }
+            )
+        n = 0
+        for m in messages:
+            if not m:
+                continue
+            for tmp_path, pvals in m.files:
+                # uuid in the PROMOTED name (ADVICE r11 medium):
+                # two writers racing to the same version can never
+                # collide on data paths — the losing commit's
+                # orphaned files are harmless, and the retry below
+                # may re-point these adds at a later version
+                rel = f"part-{version:05d}-{n:05d}-{uuid.uuid4().hex}.parquet"
+                os.replace(tmp_path, os.path.join(self.path, rel))
+                add = {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(
+                        os.path.join(self.path, rel)
+                    ),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(self.path, rel))
+                        * 1000
+                    ),
+                    "dataChange": True,
+                }
+                stats = _file_stats_json(os.path.join(self.path, rel))
+                if stats:
+                    add["stats"] = stats
+                actions.append({"add": add})
+                n += 1
+        if self.overwrite and snap is not None:
+            from urllib.parse import quote as _q
 
-                now = int(os.path.getmtime(self.path) * 1000)
-                for rel in sorted(snap["files"]):
-                    actions.append(
-                        {
-                            "remove": {
-                                "path": _q(rel),
-                                "deletionTimestamp": now,
-                                "dataChange": True,
-                            }
+            now = int(os.path.getmtime(self.path) * 1000)
+            for rel in sorted(snap["files"]):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": _q(rel),
+                            "deletionTimestamp": now,
+                            "dataChange": True,
                         }
-                    )
-            # appends REBASE past concurrent data-only commits;
-            # overwrites and creation races classify as conflicts and
-            # raise (commit_with_retry's WriteSerializable rules)
-            commit_with_retry(self.path, version, actions, operation="WRITE")
-        finally:
-            shutil.rmtree(self.stage, ignore_errors=True)
+                    }
+                )
+        if txn_app_id is not None and txn_batch_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": int(txn_batch_id),
+                        "lastUpdated": int(
+                            os.path.getmtime(self.path) * 1000
+                        ),
+                    }
+                }
+            )
+        # appends REBASE past concurrent data-only commits (a txn
+        # action does not break blind-append class); overwrites
+        # and creation races classify as conflicts and raise
+        # (commit_with_retry's WriteSerializable rules)
+        commit_with_retry(
+            self.path,
+            version,
+            actions,
+            operation="STREAMING UPDATE"
+            if txn_app_id is not None
+            else "WRITE",
+        )
+        return True
 
     def abort(self, messages) -> None:
         import shutil
 
         shutil.rmtree(self.stage, ignore_errors=True)
+
+
+class DeltaBridgeStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("deltabridge")`` — the STREAMING sink
+    half of the bridge (r12): each micro-batch publishes ONE log
+    version through the batch writer's machinery (executors stage
+    parquet via pyarrow, the driver promotes + commits through
+    ``commit_with_retry``), and the commit carries the protocol's
+    **SetTransaction** action ``{appId, version=batchId}`` — delta's
+    exactly-once rule for streaming sinks. A restarted query that
+    REPLAYS its last micro-batch is recognized (the table's recorded
+    txn watermark for the appId is >= the incoming batchId) and the
+    batch is dropped instead of double-committed; the watermark
+    survives checkpoint + log expiry because both checkpoint writers
+    carry txn actions.
+
+    The txn appId resolves in delta-spark's precedence: an explicit
+    ``.option("txnAppId", ...)``, else a stable hash of the query's
+    ``checkpointLocation`` (the engine passes it through to the sink
+    options), else a per-run uuid (within-run retries still dedup;
+    cross-restart exactly-once then needs one of the stable forms).
+    Append output mode only — a streaming "complete" rewrite is the
+    foreachBatch MERGE/SCD2 sinks' job. Partitioned tables and all
+    the batch writer's fail-closed gates apply unchanged."""
+
+    def __init__(self, schema: "StructType", options: dict, overwrite: bool):
+        import hashlib
+        import uuid
+
+        if overwrite:
+            raise NotImplementedError(
+                "deltabridge streaming sink supports APPEND output mode "
+                "only (use foreachBatch upsert/SCD2 sinks for "
+                "complete-mode maintenance)"
+            )
+        self._writer = DeltaBridgeWriter(schema, options, overwrite=False)
+        explicit = options.get("txnappid") or options.get("txnAppId")
+        ck = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        if explicit:
+            self.app_id = str(explicit)
+        elif ck:
+            self.app_id = (
+                "deltabridge-"
+                + hashlib.md5(str(ck).encode("utf-8")).hexdigest()
+            )
+        else:
+            self.app_id = f"deltabridge-run-{uuid.uuid4().hex}"
+
+    def write(self, iterator) -> "_DeltaWriteCommit":
+        return self._writer.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        self._writer._publish(
+            messages, txn_app_id=self.app_id, txn_batch_id=int(batchId)
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            for tmp_path, _ in (m.files if m else []):
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
 
 
 class DeltaBridgeDataSource(DataSource):
@@ -890,6 +1019,11 @@ class DeltaBridgeDataSource(DataSource):
 
     def streamReader(self, schema: "StructType") -> DeltaBridgeStreamReader:
         return DeltaBridgeStreamReader(self._path(), dict(self.options))
+
+    def streamWriter(
+        self, schema: "StructType", overwrite: bool
+    ) -> DeltaBridgeStreamWriter:
+        return DeltaBridgeStreamWriter(schema, dict(self.options), overwrite)
 
 
 def register_deltabridge_source(spark) -> None:

@@ -1,0 +1,224 @@
+"""Streaming deltabridge SINK (r12): writeStream.format("deltabridge")
+— one log version per micro-batch, SetTransaction-based exactly-once
+(txn watermarks recognized on replay, preserved through checkpoints
+and log expiry)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fintech_lakehouse_spark.sources.deltalog import (
+    checkpoint_delta_table,
+    checkpoint_delta_table_v2,
+    delta_snapshot,
+    enable_v2_checkpoints,
+    expire_delta_log,
+    read_delta_table,
+    write_delta_commit,
+)
+from fintech_lakehouse_spark.sources.deltastream import (
+    DeltaBridgeStreamWriter,
+    _commit_actions,
+    _pure_snapshot,
+    register_deltabridge_source,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    register_deltabridge_source(spark)
+    return spark
+
+
+def _land(spark, root, n_files=3):
+    os.makedirs(root, exist_ok=True)
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(i * 10 + k, f"r{i}-{k}") for k in range(4)],
+            "id long, v string",
+        ).coalesce(1).write.mode("append").parquet(root)
+    return spark.read.parquet(root).schema
+
+
+def test_stream_sink_one_version_per_batch(registered, tmp_path):
+    spark = registered
+    landing = str(tmp_path / "landing")
+    schema = _land(spark, landing, n_files=3)
+    target = str(tmp_path / "target")
+    os.makedirs(target)
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.format("deltabridge")
+        .option("path", target)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    snap = delta_snapshot(spark, target)
+    # 3 batches → 3 commits (creation folded into batch 0's commit)
+    assert snap.version == 2
+    out = read_delta_table(spark, target)
+    assert out.count() == 12
+    back = spark.read.format("deltabridge").option("path", target).load()
+    assert back.count() == 12
+    # every commit carries the SetTransaction watermark for ONE appId
+    app_ids = set()
+    for v in range(3):
+        txns = [a["txn"] for a in _commit_actions(target, v) if "txn" in a]
+        assert len(txns) == 1 and txns[0]["version"] == v
+        app_ids.add(txns[0]["appId"])
+    assert len(app_ids) == 1
+    assert snap.txns[app_ids.pop()] == 2
+
+
+def test_stream_sink_replayed_batch_skipped(registered, tmp_path):
+    """A restarted query re-offers its last batch: the sink must
+    recognize the recorded (appId, batchId) watermark and publish
+    nothing — same appId because the checkpointLocation is stable."""
+    spark = registered
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType(), True)])
+    opts = {"path": target, "checkpointlocation": "/ck/stable"}
+    w1 = DeltaBridgeStreamWriter(schema, opts, overwrite=False)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def staged(writer, vals):
+        os.makedirs(writer._writer.stage, exist_ok=True)
+        tmp = os.path.join(writer._writer.stage, "x.parquet")
+        pq.write_table(pa.table({"id": pa.array(vals, pa.int64())}), tmp)
+        from fintech_lakehouse_spark.sources.deltastream import (
+            _DeltaWriteCommit,
+        )
+
+        return [_DeltaWriteCommit([(tmp, {})], len(vals))]
+
+    w1.commit(staged(w1, [1, 2]), 0)
+    assert read_delta_table(spark, target).count() == 2
+    # a NEW writer instance (restart) with the same checkpoint replays
+    # batch 0 — skipped, no new version, staged file cleaned
+    w2 = DeltaBridgeStreamWriter(schema, opts, overwrite=False)
+    assert w2.app_id == w1.app_id
+    msgs = staged(w2, [1, 2])
+    w2.commit(msgs, 0)
+    assert delta_snapshot(spark, target).version == 0
+    assert not os.path.exists(msgs[0].files[0][0])
+    # the NEXT batch commits normally
+    w2.commit(staged(w2, [3]), 1)
+    assert read_delta_table(spark, target).count() == 3
+    # a different txnAppId is a different lineage: batch 0 commits
+    w3 = DeltaBridgeStreamWriter(
+        schema, {**opts, "txnappid": "other-app"}, overwrite=False
+    )
+    w3.commit(staged(w3, [9]), 0)
+    assert read_delta_table(spark, target).count() == 4
+    snap = delta_snapshot(spark, target)
+    assert snap.txns["other-app"] == 0
+    assert snap.txns[w1.app_id] == 1
+
+
+def test_txn_watermark_survives_checkpoint_and_expiry(spark, tmp_path):
+    """Both checkpoint writers carry txn actions, so a replayed batch
+    is still recognized after every JSON commit is expired."""
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType(), True)])
+    w = DeltaBridgeStreamWriter(
+        schema, {"path": target, "txnappid": "appX"}, overwrite=False
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fintech_lakehouse_spark.sources.deltastream import (
+        _DeltaWriteCommit,
+    )
+
+    def staged(vals):
+        os.makedirs(w._writer.stage, exist_ok=True)
+        tmp = os.path.join(w._writer.stage, f"{vals[0]}.parquet")
+        pq.write_table(pa.table({"id": pa.array(vals, pa.int64())}), tmp)
+        return [_DeltaWriteCommit([(tmp, {})], len(vals))]
+
+    w.commit(staged([1]), 0)
+    w.commit(staged([2]), 1)
+    # classic checkpoint path
+    checkpoint_delta_table(spark, target)
+    expire_delta_log(spark, target)
+    assert _pure_snapshot(target)["txns"] == {"appX": 1}
+    assert delta_snapshot(spark, target).txns == {"appX": 1}
+    w.commit(staged([3]), 1)  # replay after expiry: skipped
+    assert delta_snapshot(spark, target).version == 1
+    w.commit(staged([4]), 2)
+    assert read_delta_table(spark, target).count() == 3
+    # v2 checkpoint path preserves it too
+    enable_v2_checkpoints(spark, target)
+    checkpoint_delta_table_v2(spark, target)
+    expire_delta_log(spark, target)
+    assert _pure_snapshot(target)["txns"]["appX"] == 2
+    w.commit(staged([5]), 2)  # still recognized through the manifest
+    assert delta_snapshot(spark, target).txns["appX"] == 2
+    assert read_delta_table(spark, target).count() == 3
+
+
+def test_stream_sink_complete_mode_refuses(registered, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType(), True)])
+    with pytest.raises(NotImplementedError, match="APPEND"):
+        DeltaBridgeStreamWriter(
+            schema, {"path": str(tmp_path)}, overwrite=True
+        )
+
+
+def test_stream_sink_into_existing_partitioned_table(registered, tmp_path):
+    """The batch writer's partition machinery applies to the stream
+    sink unchanged: values split per partition tuple, log carries
+    partitionValues."""
+    spark = registered
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(0, 7, "seed")], "id long, d long, v string"),
+        target,
+        partition_by=["d"],
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    spark.createDataFrame(
+        [(1, 7, "a"), (2, 8, "b")], "id long, d long, v string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .writeStream.format("deltabridge")
+        .option("path", target)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    snap = delta_snapshot(spark, target)
+    pvals = sorted(pv.get("d") for pv in snap.files.values())
+    assert pvals == ["7", "7", "8"]
+    assert read_delta_table(spark, target).count() == 3
+    # the streaming commit is labeled per delta's operation vocabulary
+    ops = [
+        a["commitInfo"]["operation"]
+        for a in _commit_actions(target, 1)
+        if "commitInfo" in a
+    ]
+    assert ops == ["STREAMING UPDATE"]
