@@ -154,6 +154,31 @@ def main() -> None:
 
         return start
 
+    def bridge_sink_stream(name, src_dir, src_schema):
+        from fintech_lakehouse_spark.sources.deltastream import (
+            register_deltabridge_source,
+        )
+
+        register_deltabridge_source(spark)
+        target = os.path.join(work, f"{name}_table")
+        os.makedirs(target, exist_ok=True)
+
+        def start():
+            stream = (
+                spark.readStream.schema(src_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            return (
+                stream.writeStream.format("deltabridge")
+                .option("path", target)
+                .option("checkpointLocation", ckpt(name))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        return start
+
     def fb_stream(name, src_dir, src_schema, sink):
         def start():
             stream = (
@@ -196,6 +221,8 @@ def main() -> None:
         ("foreach_batch_bm25_index", fb_stream(
             "foreach_batch_bm25_index", dc_dir, docs_schema,
             foreach_batch_bm25_index(os.path.join(work, "bm25_index")))),
+        ("deltabridge_stream_sink", bridge_sink_stream(
+            "deltabridge_stream_sink", od_dir, orders_schema)),
         ("foreach_batch_online_dedup", fb_stream(
             "foreach_batch_online_dedup", dc_dir, docs_schema,
             foreach_batch_online_dedup(
@@ -206,6 +233,7 @@ def main() -> None:
     n_orders = orders.count()
     n_docs = docs.count()
     inputs = {
+        "deltabridge_stream_sink": n_orders,
         "foreach_batch_drift": n_orders,
         "foreach_batch_bm25_index": n_docs,
         "foreach_batch_online_dedup": n_docs,
