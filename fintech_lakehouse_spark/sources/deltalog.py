@@ -1851,19 +1851,7 @@ def write_delta_commit(
                 ).fields
             )
             new_max_id = counter[0]
-        mapped_by_name = {f.name: f for f in prev.schema.fields}
-        phys_cols = []
-        for name in df.columns:
-            f = mapped_by_name.get(name)
-            if f is None:
-                phys_cols.append(F.col(name))  # new col: phys == logical
-            else:
-                phys_cols.append(
-                    F.col(name)
-                    .cast(_physical_datatype(f.dataType, f.name))
-                    .alias(prev.column_mapping[f.name])
-                )
-        df = df.select(*phys_cols)
+        df = _to_physical_frame(df, prev.schema, prev.column_mapping)
         stage_partition_by = [
             prev.column_mapping.get(c, c) for c in partition_by
         ]
@@ -3086,6 +3074,28 @@ def _dml_scan(
     return scan, by_bn
 
 
+def _to_physical_frame(df, schema: StructType, mapping: dict):
+    """Project a LOGICAL frame to the table's PHYSICAL column names
+    (r12, name-mode column mapping): top-level fields re-alias,
+    nested struct fields rename via a positional struct cast
+    (:func:`_physical_datatype`). Columns absent from ``schema`` (new
+    trailing columns under mergeSchema) pass through unchanged —
+    their physical name IS the logical name."""
+    by_name = {f.name: f for f in schema.fields}
+    cols = []
+    for name in df.columns:
+        f = by_name.get(name)
+        if f is None:
+            cols.append(F.col(name))
+        else:
+            cols.append(
+                F.col(name)
+                .cast(_physical_datatype(f.dataType, f.name))
+                .alias(mapping[f.name])
+            )
+    return df.select(*cols)
+
+
 def _stage_files(
     spark: SparkSession,
     path: str,
@@ -3868,10 +3878,11 @@ def optimize_delta_table(
     boundaries). Snapshot row content is unchanged — unit-asserted —
     and prior versions stay time-travelable until vacuumed."""
     snap = delta_snapshot(spark, path)
-    if snap.column_mapping:
+    if snap.column_mapping_mode == "id":
         raise NotImplementedError(
-            "optimize_delta_table cannot rewrite a column-mapped table: "
-            "its data files would need the table's PHYSICAL column names"
+            "optimize_delta_table: id-mode column-mapped table — "
+            "rewriting would need parquet field-id stamping; only "
+            "name-mode tables are compactable"
         )
     if zorder and set(zorder) & set(snap.partition_columns):
         raise ValueError(
@@ -3910,9 +3921,18 @@ def optimize_delta_table(
         # many small files into one input partition, and coalesce can
         # only DECREASE the count
         df = df.repartition(target_files)
+    stage_pcols = snap.partition_columns
+    if snap.column_mapping_mode == "name":
+        # compaction rewrites data files, which must carry PHYSICAL
+        # names on a mapped table (r12 — the zorder/repartition logic
+        # above ran on the logical frame; only the staging is physical)
+        df = _to_physical_frame(df, snap.schema, snap.column_mapping)
+        stage_pcols = [
+            snap.column_mapping.get(c, c) for c in snap.partition_columns
+        ]
     version = _next_version(path)
     actions = _stage_files(
-        spark, path, df, version, snap.partition_columns,
+        spark, path, df, version, stage_pcols,
         data_change=False,
     )
     for rel in sorted(snap.files):

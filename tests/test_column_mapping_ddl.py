@@ -297,3 +297,56 @@ def test_id_mode_write_refuses(spark, tmp_path):
             spark.createDataFrame([(9, "z", 0)], "id long, v string, d long"),
             root,
         )
+
+
+def test_optimize_mapped_table_after_rename(spark, tmp_path):
+    """r12: OPTIMIZE compacts a name-mapped table — the compacted
+    files carry PHYSICAL names, content is unchanged, ZORDER works on
+    logical names."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        optimize_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, v string, d long"),
+        root,
+    )
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    before = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    optimize_delta_table(spark, root, target_files=1, zorder=["id"])
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 1
+    import pyarrow.parquet as pq
+
+    rel = next(iter(snap.files))
+    assert "v" in pq.read_schema(os.path.join(root, rel)).names
+    after = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert after == before
+
+
+def test_optimize_mapped_partitioned_table(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        optimize_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root, partition_by=["d"])
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 7)], "id long, v string, d long"),
+        root,
+        partition_by=["d"],
+    )
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "d", "bucket")
+    before = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    optimize_delta_table(spark, root)
+    snap = delta_snapshot(spark, root)
+    # one compacted file per partition value, keyed by PHYSICAL name
+    assert sorted(pv.get("d") for pv in snap.files.values()) == ["7", "8"]
+    after = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert after == before
