@@ -3020,9 +3020,30 @@ def _dml_scan(
     data_fields = [
         f for f in snap.schema.fields if f.name not in set(part_cols)
     ]
-    data_schema = StructType(
-        [StructField(f.name, f.dataType, f.nullable) for f in data_fields]
-    )
+    mapped = snap.column_mapping_mode == "name"
+    if mapped:
+        # name-mode mapping (r12): the files carry PHYSICAL column
+        # names — a logical schema'd read would yield all-NULL columns
+        # and predicates silently matching nothing. Read physical,
+        # rename back to logical (positional struct casts restore
+        # nested names too).
+        data_schema = StructType(
+            [
+                StructField(
+                    snap.column_mapping[f.name],
+                    _physical_datatype(f.dataType, f.name),
+                    f.nullable,
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        data_schema = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
     scan = spark.read.schema(data_schema).parquet(
         *[os.path.join(path, rel) for rel in snap.files]
     ).withColumn(
@@ -3030,6 +3051,17 @@ def _dml_scan(
     )
     if with_row_index:
         scan = scan.withColumn("_dl_ri", F.col("_metadata.row_index"))
+    if mapped:
+        extras0 = ["_dl_file"] + (["_dl_ri"] if with_row_index else [])
+        scan = scan.select(
+            *[
+                F.col(snap.column_mapping[f.name])
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in data_fields
+            ],
+            *extras0,
+        )
     if part_cols:
         part_types = {
             f.name: f.dataType
@@ -3045,7 +3077,18 @@ def _dml_scan(
         )
         rows = sorted(
             {
-                (key, True, *(snap.files[rel].get(c) for c in part_cols))
+                (
+                    key,
+                    True,
+                    # partitionValues are keyed by PHYSICAL name on a
+                    # mapped table (r12) — a logical-key lookup returns
+                    # None and predicates on partition columns silently
+                    # match nothing
+                    *(
+                        snap.files[rel].get(snap.column_mapping.get(c, c))
+                        for c in part_cols
+                    ),
+                )
                 for key, rel in by_bn.items()
             }
         )
@@ -3184,10 +3227,16 @@ def _cow_rewrite(
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, op_name)
     _check_append_only(snap.metadata_raw, op_name)
-    if snap.column_mapping or snap.deletion_vectors:
+    if snap.column_mapping_mode == "id" or snap.deletion_vectors:
         raise NotImplementedError(
-            f"{op_name} on column-mapped / deletion-vector tables needs "
-            "a physical-name-aware writer — refusing"
+            f"{op_name} on id-mapped / deletion-vector tables needs "
+            "a field-id/DV-aware writer — refusing"
+        )
+    if snap.column_mapping and cdf_enabled(snap.metadata_raw):
+        raise NotImplementedError(
+            f"{op_name}: CDF files on a column-mapped table must carry "
+            "physical names end-to-end through the change reader — "
+            "refusing the combination"
         )
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
@@ -3221,8 +3270,14 @@ def _cow_rewrite(
         _enforce_constraints(
             keep, snap.metadata_raw.get("configuration"), op_name
         )
+    stage_pcols = snap.partition_columns
+    if snap.column_mapping_mode == "name":
+        keep = _to_physical_frame(keep, snap.schema, snap.column_mapping)
+        stage_pcols = [
+            snap.column_mapping.get(c, c) for c in snap.partition_columns
+        ]
     actions: list[dict] = _stage_files(
-        spark, path, keep, version, snap.partition_columns
+        spark, path, keep, version, stage_pcols
     )
     for rel in touched_rels:
         actions.append(
@@ -3631,10 +3686,16 @@ def merge_into_delta_table(
     table's columns by name. Returns the committed version (current
     version when the source is empty)."""
     snap = delta_snapshot(spark, path)
-    if snap.column_mapping:
+    if snap.column_mapping_mode == "id":
         raise NotImplementedError(
-            "merge_into_delta_table on column-mapped tables needs a "
-            "physical-name-aware writer — refusing"
+            "merge_into_delta_table on an id-mapped table needs parquet "
+            "field-id stamping — refusing"
+        )
+    if snap.column_mapping and cdf_enabled(snap.metadata_raw):
+        raise NotImplementedError(
+            "merge_into_delta_table: CDF files on a column-mapped table "
+            "must carry physical names end-to-end through the change "
+            "reader — refusing the combination"
         )
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
@@ -3807,10 +3868,16 @@ def _merge_cow(
                 .join(src_keys.alias("_src"), cond, "left_anti")
                 .drop("_dl_file")
             )
+            keep_out = keep.select(*cols)
+            if snap.column_mapping_mode == "name":
+                keep_out = _to_physical_frame(
+                    keep_out, snap.schema, snap.column_mapping
+                )
             actions.extend(
                 _stage_files(
-                    spark, path, keep.select(*cols), version,
-                    snap.partition_columns,
+                    spark, path, keep_out, version,
+                    [snap.column_mapping.get(c, c)
+                     for c in snap.partition_columns],
                 )
             )
             now_ms = int(os.path.getmtime(path) * 1000)
@@ -3824,13 +3891,18 @@ def _merge_cow(
                         }
                     }
                 )
+    src_out = source_df.select(*cols)
+    if snap.column_mapping_mode == "name":
+        src_out = _to_physical_frame(src_out, snap.schema,
+                                     snap.column_mapping)
     actions.extend(
         _stage_files(
             spark,
             path,
-            source_df.select(*cols),
+            src_out,
             version,
-            snap.partition_columns,
+            [snap.column_mapping.get(c, c)
+             for c in snap.partition_columns],
             start_n=sum(1 for a in actions if "add" in a),
         )
     )

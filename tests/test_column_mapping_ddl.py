@@ -350,3 +350,61 @@ def test_optimize_mapped_partitioned_table(spark, tmp_path):
     assert sorted(pv.get("d") for pv in snap.files.values()) == ["7", "8"]
     after = sorted(map(tuple, read_delta_table(spark, root).collect()))
     assert after == before
+
+
+def test_delete_update_on_mapped_table_after_rename(spark, tmp_path):
+    """r12: CoW DELETE/UPDATE work on a name-mapped table — the scan
+    reads physical names back to logical for predicate evaluation and
+    the rewrite stages physical files."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        update_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root, partition_by=["d"])
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 7), (4, "dd", 8)], "id long, v string, d long"
+        ),
+        root,
+        partition_by=["d"],
+    )
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    rename_delta_column(spark, root, "d", "bucket")
+    delete_from_delta_table(spark, root, "label = 'c'")
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(1, "a", 7), (2, "b", 8), (4, "dd", 8)]
+    update_delta_table(
+        spark, root, "bucket = 8", {"label": "upper(label)"}
+    )
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(1, "a", 7), (2, "B", 8), (4, "DD", 8)]
+    # rewritten files carry PHYSICAL names
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(spark, root)
+    newest = max(
+        snap.files, key=lambda r: os.path.getmtime(os.path.join(root, r))
+    )
+    assert "v" in pq.read_schema(os.path.join(root, newest)).names
+    assert all("d" in pv for pv in snap.files.values())
+
+
+def test_merge_on_mapped_table_after_rename(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        merge_into_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    src = spark.createDataFrame(
+        [(2, "B2", 8), (9, "new", 1)], "id long, label string, d long"
+    )
+    merge_into_delta_table(spark, root, src, merge_keys=["id"])
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(1, "a", 7), (2, "B2", 8), (9, "new", 1)]
