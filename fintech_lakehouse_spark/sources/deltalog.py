@@ -1870,7 +1870,12 @@ def write_delta_commit(
         for name in sorted(os.listdir(dirpath)):
             full = os.path.join(dirpath, name)
             if name.endswith(".parquet") and os.path.isfile(full):
-                rel = f"part-{version:05d}-{n:05d}.parquet"
+                # uuid suffix (r12, the bridge-writer ADVICE applied
+                # here too): concurrent writers computing the same
+                # version can never clobber each other's promoted
+                # data files - only the log decides visibility
+                rel = (f"part-{version:05d}-{n:05d}-"
+                       f"{uuid.uuid4().hex}.parquet")
                 os.replace(full, os.path.join(path, rel))
                 add = {
                     "path": rel,
@@ -1954,7 +1959,11 @@ def write_delta_commit(
                     }
                 }
             )
-    _write_commit(
+    # blind appends REBASE past concurrent data-only commits; schema
+    # changes / overwrites / creation classify and raise on conflict
+    # (commit_with_retry's WriteSerializable rules) — with the uuid'd
+    # file names above, a lost race never corrupts data
+    version = commit_with_retry(
         path, version, actions, operation="WRITE",
         operation_parameters={"mode": mode, "partitionBy": partition_by},
     )
@@ -3174,7 +3183,12 @@ def _stage_files(
                 and os.path.isfile(full)
                 and os.path.getsize(full) > 0
             ):
-                rel = f"part-{version:05d}-{n:05d}.parquet"
+                # uuid suffix (r12, the bridge-writer ADVICE applied
+                # here too): concurrent writers computing the same
+                # version can never clobber each other's promoted
+                # data files - only the log decides visibility
+                rel = (f"part-{version:05d}-{n:05d}-"
+                       f"{uuid.uuid4().hex}.parquet")
                 os.replace(full, os.path.join(path, rel))
                 add = {
                     "path": rel,
@@ -4459,6 +4473,7 @@ def commit_with_retry(
     actions: list,
     operation: str | None = None,
     max_retries: int = 10,
+    operation_parameters: dict | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit (r12): attempt the put-if-absent
     commit at ``version``; on :class:`DeltaConcurrentWriteError`,
@@ -4485,7 +4500,10 @@ def commit_with_retry(
     attempt = 0
     while True:
         try:
-            _write_commit(path, version, actions, operation=operation)
+            _write_commit(
+                path, version, actions, operation=operation,
+                operation_parameters=operation_parameters,
+            )
             return version
         except DeltaConcurrentWriteError:
             latest = _next_version(path) - 1

@@ -460,3 +460,35 @@ def test_threaded_writers_all_land_contiguously(spark, tmp_path):
     snap = delta_snapshot(spark, root)
     expect = {f"w{w}-{k}.parquet" for w in range(8) for k in range(3)}
     assert expect <= set(snap.files)
+
+
+def test_write_delta_commit_concurrent_appends(spark, tmp_path):
+    """r12: the MAIN writer also rides commit_with_retry — concurrent
+    write_delta_commit appends all land (uuid'd file names make a lost
+    race rebase-safe) and every row survives."""
+    import threading
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    errors: list = []
+
+    def writer(wid: int) -> None:
+        try:
+            write_delta_commit(
+                spark,
+                spark.createDataFrame(
+                    [(100 + wid, f"w{wid}")], "id long, v string"
+                ),
+                root,
+            )
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    out = read_delta_table(spark, root)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 100, 101, 102, 103]

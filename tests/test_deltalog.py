@@ -3279,8 +3279,11 @@ def test_concurrent_commit_conflict_fails_clean(spark, tmp_path):
     # their data file must exist for reads to stay green
     import shutil
 
-    src = next(
-        n for n in _os.listdir(root) if n.endswith(".parquet")
+    # the single-row write stages one part file per task; pick the
+    # NON-EMPTY one (r12: uuid-suffixed names shuffled listdir order)
+    src = max(
+        (n for n in _os.listdir(root) if n.endswith(".parquet")),
+        key=lambda n: _os.path.getsize(_os.path.join(root, n)),
     )
     shutil.copy(_os.path.join(root, src), _os.path.join(root, "theirs.parquet"))
     # stale version computation happens inside write_delta_commit; the
@@ -3298,6 +3301,9 @@ def test_concurrent_commit_conflict_fails_clean(spark, tmp_path):
 
     dl._commit_versions = stale_versions
     try:
+        # r12: a stale blind append REBASES — but the monkeypatched
+        # version view never advances, so the retry budget exhausts
+        # with a clean conflict error (and zero clobbered files)
         with pytest.raises(DeltaConcurrentWriteError, match="version 1"):
             write_delta_commit(
                 spark,
