@@ -40,9 +40,10 @@ from the log's partitionValues, typed per the table schema.
 Everything here runs WITHOUT a SparkSession (driver planning reads
 the log with os/json/pyarrow only — classic AND v2 checkpoints),
 which is what lets the source derive its own schema from the table
-metaData. Fail-closed scope: column-mapped tables and
-partition/value types beyond the simple scalar set refuse at plan
-time.
+metaData. NAME-mode column-mapped tables read and write (physical
+parquet names, logical emit — r12); fail-closed scope: id-mode
+mapping and partition/value types beyond the simple scalar set
+refuse at plan time.
 """
 
 from __future__ import annotations
@@ -215,10 +216,11 @@ def _pure_snapshot(path: str, version: int | None = None) -> dict:
                     _apply_action(state, json.loads(line))
     if state["schema"] is None:
         raise ValueError(f"no metaData action under {log}")
-    if state["column_mapping_mode"] != "none":
+    if state["column_mapping_mode"] == "id":
         raise NotImplementedError(
-            "deltabridge source: column-mapped tables need the "
-            "Spark-side reader — refusing"
+            "deltabridge source: id-mode column mapping needs the "
+            "Spark-side footer-field-id reader — refusing (name mode "
+            "is supported)"
         )
     state["version"] = version
     return state
@@ -295,12 +297,14 @@ def _read_partition(
     """Executor-side file read: pyarrow scan of the declared data
     columns (+ the cdc file's own _change_type when present), deletion
     vector indexes dropped, rows emitted in DECLARED schema order
-    (``row_plan``: (column, is_partition) pairs — partition values
-    come from the log, everything else from the file), CDF metadata
+    (``row_plan``: (logical, is_partition, physical) triples — data
+    files are read by PHYSICAL name (r12, name-mode column mapping;
+    physical == logical on unmapped tables), partition values come
+    from the log, everything emits under LOGICAL names), CDF metadata
     appended last when streaming changes."""
     import pyarrow.parquet as pq
 
-    cols = [c for c, is_pv in row_plan if not is_pv]
+    cols = [phys for c, is_pv, phys in row_plan if not is_pv]
     if part.has_change_col:
         cols.append("_change_type")
     table = pq.read_table(os.path.join(table_path, part.file_path), columns=cols)
@@ -329,7 +333,8 @@ def _read_partition(
     rows = table.to_pylist()
     for r in rows:
         base = [
-            part.pvals[c] if is_pv else r[c] for c, is_pv in row_plan
+            part.pvals[c] if is_pv else r[phys]
+            for c, is_pv, phys in row_plan
         ]
         if part.change_type is not None or part.has_change_col:
             ct = r.get("_change_type") if part.has_change_col else None
@@ -345,8 +350,14 @@ class DeltaBridgeReader(DataSourceReader):
         snap = _pure_snapshot(path)
         self.snap = snap
         self.part_cols = snap["partition_columns"]
+        mapping = snap["column_mapping"] or {}
+        self.mapping = mapping
         self.row_plan = [
-            (f.name, f.name in set(self.part_cols))
+            (
+                f.name,
+                f.name in set(self.part_cols),
+                mapping.get(f.name, f.name),
+            )
             for f in snap["schema"].fields
         ]
         self.part_types = {
@@ -360,8 +371,12 @@ class DeltaBridgeReader(DataSourceReader):
         for rel in sorted(self.snap["files"]):
             pv = self.snap["files"][rel]
             dv = self.snap["dvs"].get(rel)
+            # partitionValues are keyed by PHYSICAL name on a mapped
+            # table; the partition dict hands executors LOGICAL keys
             pvals = {
-                c: _typed_pv(pv.get(c), self.part_types[c], c)
+                c: _typed_pv(
+                    pv.get(self.mapping.get(c, c)), self.part_types[c], c
+                )
                 for c in self.part_cols
             }
             out.append(
@@ -385,12 +400,23 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         starting = options.get("startingversion")
         snap = _pure_snapshot(path)
         self.part_cols = snap["partition_columns"]
+        self.mapping = snap["column_mapping"] or {}
         if self.cdf and self.part_cols:
             raise NotImplementedError(
                 "deltabridge CDF stream: unpartitioned tables only"
             )
+        if self.cdf and self.mapping:
+            raise NotImplementedError(
+                "deltabridge CDF stream: column-mapped tables write no "
+                "cdc files (mapped DML refuses the combination) — "
+                "stream the append feed instead"
+            )
         self.row_plan = [
-            (f.name, f.name in set(self.part_cols))
+            (
+                f.name,
+                f.name in set(self.part_cols),
+                self.mapping.get(f.name, f.name),
+            )
             for f in snap["schema"].fields
         ]
         self.part_types = {
@@ -497,7 +523,9 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         for a in adds:
             pv = a.get("partitionValues") or {}
             pvals = {
-                c: _typed_pv(pv.get(c), self.part_types[c], c)
+                c: _typed_pv(
+                    pv.get(self.mapping.get(c, c)), self.part_types[c], c
+                )
                 for c in self.part_cols
             }
             out.append(DeltaFilePartition(unquote(a["path"]), None, pvals))
@@ -574,7 +602,7 @@ class DeltaBridgeWriter(DataSourceWriter):
     from the log.
 
     Fail-closed scope (each would corrupt silently if ignored):
-    column-mapped / constraint-carrying / generated- or
+    id-mapped / constraint-carrying / generated- or
     identity-column tables, schema mismatch vs the table, unsupported
     writerFeatures, delta.appendOnly under overwrite, overwrite of a
     DV-carrying table (the removes must carry DV descriptors),
@@ -671,10 +699,11 @@ class DeltaBridgeWriter(DataSourceWriter):
             return _DeltaWriteCommit([], 0)
         os.makedirs(self.stage, exist_ok=True)
         files = []
+        phys = getattr(self, "phys", {}) or {}
         for key in sorted(groups, key=lambda k: tuple(map(str, k))):
             rows = groups[key]
             arrays = {
-                f.name: pa.array(
+                phys.get(f.name, f.name): pa.array(
                     [r[i] for r in rows],
                     pa.type_for_alias(_PA_TYPES[f.dataType.typeName()]),
                 )
@@ -683,7 +712,7 @@ class DeltaBridgeWriter(DataSourceWriter):
             tmp = os.path.join(self.stage, f"{uuid.uuid4().hex}.parquet")
             pq.write_table(pa.table(arrays), tmp)
             pvals = {
-                c: _pv_string(
+                phys.get(c, c): _pv_string(
                     key[j],
                     self.schema[c].dataType.typeName(),
                     c,
@@ -712,6 +741,7 @@ class DeltaBridgeWriter(DataSourceWriter):
             _commit_versions(log) or _checkpoint_files(log, 1 << 62)
         ):
             self.part_cols = self._resolve_part_cols(None)
+            self.phys = {}
             return None  # table creation
         snap = _pure_snapshot(self.path)
         feats = (snap["protocol_raw"] or {}).get("writerFeatures") or []
@@ -723,10 +753,10 @@ class DeltaBridgeWriter(DataSourceWriter):
             )
         conf = (snap["metadata_raw"] or {}).get("configuration") or {}
         self.part_cols = self._resolve_part_cols(snap)
-        if snap["column_mapping"]:
-            raise NotImplementedError(
-                "deltabridge write: column-mapped table — refusing"
-            )
+        # name-mode mapping (r12): executors stage parquet under the
+        # PHYSICAL names and the add actions key partitionValues
+        # physically (the _pure_snapshot gate already refused id mode)
+        self.phys = dict(snap["column_mapping"] or {})
         if table_constraints(conf):
             raise NotImplementedError(
                 "deltabridge write: CHECK constraints need engine-side "

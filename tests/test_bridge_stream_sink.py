@@ -222,3 +222,49 @@ def test_stream_sink_into_existing_partitioned_table(registered, tmp_path):
         if "commitInfo" in a
     ]
     assert ops == ["STREAMING UPDATE"]
+
+
+def test_bridge_read_write_name_mapped_table(registered, tmp_path):
+    """r12: the bridge reads AND appends name-mapped tables — data
+    files carry physical names, the DataSource emits logical ones."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        enable_column_mapping,
+        rename_delta_column,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        partition_by=["d"],
+    )
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    rename_delta_column(spark, root, "d", "bucket")
+    back = spark.read.format("deltabridge").option("path", root).load()
+    assert [f.name for f in back.schema.fields] == ["id", "label", "bucket"]
+    assert sorted(map(tuple, back.collect())) == [(1, "a", 7), (2, "b", 8)]
+    # bridge write appends under physical names
+    df = spark.createDataFrame([(3, "c", 9)], "id long, label string, bucket long")
+    df.write.format("deltabridge").option("path", root).mode("append").save()
+    snap = delta_snapshot(spark, root)
+    newest = max(
+        snap.files, key=lambda r: os.path.getmtime(os.path.join(root, r))
+    )
+    import pyarrow.parquet as pq
+
+    assert "v" in pq.read_schema(os.path.join(root, newest)).names
+    assert snap.files[newest].get("d") == "9"
+    # both readers agree post-append
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 9),
+    ]
+    back2 = spark.read.format("deltabridge").option("path", root).load()
+    assert sorted(map(tuple, back2.collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 9),
+    ]

@@ -205,8 +205,8 @@ def test_stream_change_feed_mode(registered, tmp_path):
 
 
 def test_scope_guards_fail_closed(registered, tmp_path):
-    """Column-mapped tables refuse at plan time; a missing path option
-    refuses."""
+    """Id-mode column mapping refuses at plan time (name mode reads
+    since r12); a missing path option refuses."""
     import json
 
     spark = registered
@@ -234,7 +234,7 @@ def test_scope_guards_fail_closed(registered, tmp_path):
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema),
                 "partitionColumns": [],
-                "configuration": {"delta.columnMapping.mode": "name"},
+                "configuration": {"delta.columnMapping.mode": "id"},
                 "createdTime": 0,
             }
         },
@@ -244,7 +244,7 @@ def test_scope_guards_fail_closed(registered, tmp_path):
     ) as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(Exception, match="column-mapped"):
+    with pytest.raises(Exception, match="id-mode"):
         spark.read.format("deltabridge").option("path", root).load().collect()
     with pytest.raises(Exception, match="path"):
         spark.read.format("deltabridge").load().collect()
@@ -372,7 +372,7 @@ def test_stream_partitions_unquote_action_paths(spark, tmp_path):
         __import__(
             "fintech_lakehouse_spark.sources.deltastream",
             fromlist=["_read_partition"],
-        )._read_partition(root, parts[0], [("id", False)])
+        )._read_partition(root, parts[0], [("id", False, "id")])
     )
     assert sorted(rows) == [(1,), (2,)]
 
@@ -403,11 +403,11 @@ def test_read_partition_fails_closed_on_out_of_range_dv(spark, tmp_path):
     dv = make_dv_descriptor(root, [1, 99])  # 99 >= num_rows(3)
     part = DeltaFilePartition("f.parquet", _json.dumps(dv), {})
     with pytest.raises(ValueError, match="DV/file mismatch"):
-        list(_read_partition(root, part, [("id", False)]))
+        list(_read_partition(root, part, [("id", False, "id")]))
     # in-range DV still filters normally
     ok = make_dv_descriptor(root, [1])
     part2 = DeltaFilePartition("f.parquet", _json.dumps(ok), {})
-    assert sorted(_read_partition(root, part2, [("id", False)])) == [
+    assert sorted(_read_partition(root, part2, [("id", False, "id")])) == [
         (1,),
         (3,),
     ]
