@@ -2822,14 +2822,20 @@ def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
 
 
 def _write_cdc_files(
-    spark: SparkSession, path: str, version: int, cdc_df
+    spark: SparkSession, path: str, version: int, cdc_df, snap=None
 ) -> list:
     """Stage ``cdc_df`` (table columns + ``_change_type``) as parquet
     under ``_change_data/`` and return the commit's cdc actions
-    (``dataChange: false`` — CDF files never affect the live set)."""
+    (``dataChange: false`` — CDF files never affect the live set).
+    On a NAME-mapped table (``snap`` passed, r12) the change files
+    carry PHYSICAL column names like the data files do;
+    ``_change_type`` is the spec's unmapped extra column."""
     import shutil
     import uuid
 
+    if snap is not None and snap.column_mapping_mode == "name":
+        cdc_df = _to_physical_frame(cdc_df, snap.schema,
+                                    snap.column_mapping)
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     cdc_df.write.mode("overwrite").parquet(stage)
     os.makedirs(os.path.join(path, CDC_DIR), exist_ok=True)
@@ -2853,6 +2859,31 @@ def _write_cdc_files(
             n += 1
     shutil.rmtree(stage)
     return actions
+
+
+def _physical_schema_read(spark, paths, schema, mapping, extra=None):
+    """Schema'd parquet read of a NAME-mapped table's files: read by
+    PHYSICAL column names, rename back to logical via positional
+    casts (r12). ``extra`` appends unmapped trailing fields (the cdc
+    files' own ``_change_type``)."""
+    from pyspark.sql.types import StructField
+
+    fields = [
+        StructField(
+            mapping[f.name],
+            _physical_datatype(f.dataType, f.name),
+            f.nullable,
+        )
+        for f in schema.fields
+    ]
+    if extra:
+        fields += list(extra)
+    df = spark.read.schema(StructType(fields)).parquet(*paths)
+    cols = [
+        F.col(mapping[f.name]).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ] + [F.col(f.name) for f in (extra or [])]
+    return df.select(*cols)
 
 
 def read_delta_changes(
@@ -2926,15 +2957,20 @@ def read_delta_changes(
 
             paths = [os.path.join(path, unquote(c["path"])) for c in cdcs]
             snap_v = delta_snapshot(spark, path, version=v)
-            cdc_schema = StructType(
-                list(snap_v.schema.fields)
-                + [StructField("_change_type", StringType(), True)]
-            )
-            branches.append(
-                with_meta(
-                    spark.read.schema(cdc_schema).parquet(*paths), None, v
+            ct_field = StructField("_change_type", StringType(), True)
+            if snap_v.column_mapping_mode == "name":
+                # mapped tables write cdc files under PHYSICAL names
+                # (the spec's rule); _change_type itself is unmapped
+                cdc_df = _physical_schema_read(
+                    spark, paths, snap_v.schema, snap_v.column_mapping,
+                    extra=[ct_field],
                 )
-            )
+            else:
+                cdc_schema = StructType(
+                    list(snap_v.schema.fields) + [ct_field]
+                )
+                cdc_df = spark.read.schema(cdc_schema).parquet(*paths)
+            branches.append(with_meta(cdc_df, None, v))
             continue
         adds = [
             a["add"] for a in actions
@@ -2955,12 +2991,13 @@ def read_delta_changes(
             paths = [
                 os.path.join(path, unquote(a["path"])) for a in adds
             ]
-            branches.append(
-                with_meta(
-                    spark.read.schema(snap_v.schema).parquet(*paths),
-                    "insert", v,
+            if snap_v.column_mapping_mode == "name":
+                add_df = _physical_schema_read(
+                    spark, paths, snap_v.schema, snap_v.column_mapping
                 )
-            )
+            else:
+                add_df = spark.read.schema(snap_v.schema).parquet(*paths)
+            branches.append(with_meta(add_df, "insert", v))
         if removes:
             snap_prev = delta_snapshot(spark, path, version=v - 1)
             if snap_prev.deletion_vectors:
@@ -2972,12 +3009,16 @@ def read_delta_changes(
             paths = [
                 os.path.join(path, unquote(r["path"])) for r in removes
             ]
-            branches.append(
-                with_meta(
-                    spark.read.schema(snap_prev.schema).parquet(*paths),
-                    "delete", v,
+            if snap_prev.column_mapping_mode == "name":
+                rm_df = _physical_schema_read(
+                    spark, paths, snap_prev.schema,
+                    snap_prev.column_mapping,
                 )
-            )
+            else:
+                rm_df = spark.read.schema(snap_prev.schema).parquet(
+                    *paths
+                )
+            branches.append(with_meta(rm_df, "delete", v))
     if not branches:
         schema = StructType(list(start_snap.schema.fields))
         empty = spark.createDataFrame([], schema)
@@ -3246,12 +3287,7 @@ def _cow_rewrite(
             f"{op_name} on id-mapped / deletion-vector tables needs "
             "a field-id/DV-aware writer — refusing"
         )
-    if snap.column_mapping and cdf_enabled(snap.metadata_raw):
-        raise NotImplementedError(
-            f"{op_name}: CDF files on a column-mapped table must carry "
-            "physical names end-to-end through the change reader — "
-            "refusing the combination"
-        )
+
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
             f"{op_name}: change data feed on a partitioned table — "
@@ -3319,7 +3355,7 @@ def _cow_rewrite(
                     "_change_type", F.lit("update_postimage")
                 )
             )
-        actions.extend(_write_cdc_files(spark, path, version, cdc))
+        actions.extend(_write_cdc_files(spark, path, version, cdc, snap=snap))
     _write_commit(
         path,
         version,
@@ -3668,7 +3704,7 @@ def update_delta_table(
         ).unionByName(
             updated.withColumn("_change_type", F.lit("update_postimage"))
         )
-        actions.extend(_write_cdc_files(spark, path, version, cdc))
+        actions.extend(_write_cdc_files(spark, path, version, cdc, snap=snap))
     _write_commit(
         path, version, actions, operation="UPDATE",
         operation_parameters={"predicate": condition},
@@ -3705,12 +3741,7 @@ def merge_into_delta_table(
             "merge_into_delta_table on an id-mapped table needs parquet "
             "field-id stamping — refusing"
         )
-    if snap.column_mapping and cdf_enabled(snap.metadata_raw):
-        raise NotImplementedError(
-            "merge_into_delta_table: CDF files on a column-mapped table "
-            "must carry physical names end-to-end through the change "
-            "reader — refusing the combination"
-        )
+
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
             "merge_into_delta_table: change data feed on a partitioned "
@@ -3807,7 +3838,7 @@ def merge_into_delta_table(
                 else None
             )
             cdc = cdc_parts if pre is None else pre.unionByName(cdc_parts)
-            actions.extend(_write_cdc_files(spark, path, version, cdc))
+            actions.extend(_write_cdc_files(spark, path, version, cdc, snap=snap))
         _write_commit(
             path, version, actions, operation="MERGE",
             operation_parameters={"mergeKeys": merge_keys},
@@ -3932,7 +3963,7 @@ def _merge_cow(
             else None
         )
         cdc = cdc_parts if pre is None else pre.unionByName(cdc_parts)
-        actions.extend(_write_cdc_files(spark, path, version, cdc))
+        actions.extend(_write_cdc_files(spark, path, version, cdc, snap=snap))
     _write_commit(
         path, version, actions, operation="MERGE",
         operation_parameters={"mergeKeys": merge_keys},

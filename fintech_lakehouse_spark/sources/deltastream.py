@@ -405,12 +405,6 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             raise NotImplementedError(
                 "deltabridge CDF stream: unpartitioned tables only"
             )
-        if self.cdf and self.mapping:
-            raise NotImplementedError(
-                "deltabridge CDF stream: column-mapped tables write no "
-                "cdc files (mapped DML refuses the combination) — "
-                "stream the append feed instead"
-            )
         self.row_plan = [
             (
                 f.name,

@@ -408,3 +408,44 @@ def test_merge_on_mapped_table_after_rename(spark, tmp_path):
     merge_into_delta_table(spark, root, src, merge_keys=["id"])
     got = sorted(map(tuple, read_delta_table(spark, root).collect()))
     assert got == [(1, "a", 7), (2, "B2", 8), (9, "new", 1)]
+
+
+def test_cdf_on_mapped_table(spark, tmp_path):
+    """r12: change data feed works on a name-mapped table — change
+    files carry physical names, table_changes emits logical ones."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        enable_change_data_feed,
+        read_delta_changes,
+        update_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_change_data_feed(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    v_del = delete_from_delta_table(spark, root, "label = 'a'")
+    v_upd = update_delta_table(spark, root, "id = 2", {"label": "'B'"})
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, label string, d long"),
+        root,
+    )
+    changes = read_delta_changes(spark, root, v_del)
+    got = sorted(
+        (r["_change_type"], r["id"], r["label"]) for r in changes.collect()
+    )
+    assert got == [
+        ("delete", 1, "a"),
+        ("insert", 3, "c"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+    # the change files themselves are PHYSICAL-named
+    import pyarrow.parquet as pq
+
+    cdc_dir = os.path.join(root, "_change_data")
+    one = sorted(os.listdir(cdc_dir))[0]
+    names = pq.read_schema(os.path.join(cdc_dir, one)).names
+    assert "v" in names and "_change_type" in names and "label" not in names
