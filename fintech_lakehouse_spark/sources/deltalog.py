@@ -3397,10 +3397,10 @@ def _dv_mark_deleted(
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, op_name)
     _check_append_only(snap.metadata_raw, op_name)
-    if snap.column_mapping:
+    if snap.column_mapping_mode == "id":
         raise NotImplementedError(
-            f"{op_name} (deletion-vector mode) on column-mapped tables "
-            "needs a physical-name-aware scan — refusing"
+            f"{op_name} (deletion-vector mode) on an id-mapped table "
+            "needs the footer-field-id scan — refusing"
         )
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
@@ -3693,9 +3693,14 @@ def update_delta_table(
         updated, snap.metadata_raw.get("configuration"), "update_delta_table"
     )
     version = _next_version(path)
+    if snap.column_mapping_mode == "name":
+        updated = _to_physical_frame(updated, snap.schema,
+                                     snap.column_mapping)
     actions.extend(
         _stage_files(
-            spark, path, updated, version, snap.partition_columns
+            spark, path, updated, version,
+            [snap.column_mapping.get(c, c)
+             for c in snap.partition_columns],
         )
     )
     if deleted_rows is not None:
@@ -3823,10 +3828,15 @@ def merge_into_delta_table(
             spark, path, matched, "merge_into_delta_table"
         )
         version = _next_version(path)
+        merge_src = source_df.select(*cols)
+        if snap.column_mapping_mode == "name":
+            merge_src = _to_physical_frame(merge_src, snap.schema,
+                                           snap.column_mapping)
         actions.extend(
             _stage_files(
-                spark, path, source_df.select(*cols), version,
-                snap.partition_columns,
+                spark, path, merge_src, version,
+                [snap.column_mapping.get(c, c)
+                 for c in snap.partition_columns],
             )
         )
         if cdc_parts is not None:
@@ -4251,10 +4261,9 @@ def shallow_clone_delta_table(
             "resolve table-relative and would point into the wrong "
             "root — refusing"
         )
-    if snap.column_mapping:
-        raise NotImplementedError(
-            "shallow clone of a column-mapped table — refusing"
-        )
+    # column mapping is METADATA-only state: the clone copies the
+    # metaData (ids/physicalNames) verbatim and the absolute-path adds
+    # still resolve physically — nothing to translate (r12)
     if os.path.isdir(os.path.join(dst_path, LOG_DIR)) and _commit_versions(
         os.path.join(dst_path, LOG_DIR)
     ):

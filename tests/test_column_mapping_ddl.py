@@ -449,3 +449,70 @@ def test_cdf_on_mapped_table(spark, tmp_path):
     one = sorted(os.listdir(cdc_dir))[0]
     names = pq.read_schema(os.path.join(cdc_dir, one)).names
     assert "v" in names and "_change_type" in names and "label" not in names
+
+
+def test_dv_delete_on_mapped_table(spark, tmp_path):
+    """r12: deletion-vector DELETE/UPDATE on a name-mapped table —
+    the DML scan reads physically, the DV marks rows without touching
+    files, and the mapped+DV read path strips exactly those rows."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        update_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    delete_from_delta_table(spark, root, "label = 'a'",
+                            use_deletion_vectors=True)
+    snap = delta_snapshot(spark, root)
+    assert snap.deletion_vectors  # marked, not rewritten
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(2, "b", 8)]
+    update_delta_table(spark, root, "id = 2", {"label": "'B'"},
+                       use_deletion_vectors=True)
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(2, "B", 8)]
+
+
+def test_shallow_clone_of_mapped_table(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        shallow_clone_delta_table,
+    )
+
+    root = str(tmp_path / "src")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    dst = str(tmp_path / "dst")
+    shallow_clone_delta_table(spark, root, dst)
+    out = read_delta_table(spark, dst)
+    assert [f.name for f in out.schema.fields] == ["id", "label", "d"]
+    assert sorted(map(tuple, out.collect())) == [(1, "a", 7), (2, "b", 8)]
+    # the clone can keep renaming independently
+    rename_delta_column(spark, dst, "label", "tag")
+    assert [f.name for f in read_delta_table(spark, dst).schema.fields] == [
+        "id", "tag", "d",
+    ]
+    assert [f.name for f in read_delta_table(spark, root).schema.fields] == [
+        "id", "label", "d",
+    ]
+
+
+def test_dv_merge_on_mapped_table(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        merge_into_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "label")
+    src = spark.createDataFrame(
+        [(1, "A2", 70), (9, "new", 1)], "id long, label string, d long"
+    )
+    merge_into_delta_table(spark, root, src, merge_keys=["id"],
+                           use_deletion_vectors=True)
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(1, "A2", 70), (2, "b", 8), (9, "new", 1)]
