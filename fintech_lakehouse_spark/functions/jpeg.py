@@ -11,9 +11,14 @@ requires), so it decodes any baseline sequential 8-bit JPEG with
 per-component sampling factors up to 2×2 — 4:4:4, 4:2:0, 4:2:2,
 4:4:0, the layouts cameras and libjpeg actually emit (r9; chroma
 upsampling is spec-legal pixel replication) — not just this encoder's
-output; progressive (SOF2), arithmetic coding, 12-bit precision and
-sampling factors beyond 2×2 return None — quarantine, not crash, the
-same contract as ``decode_png_pixels``.
+output. PROGRESSIVE (SOF2) decodes in its spectral-selection form
+(r12): multi-scan coefficient accumulation, interleaved or single-
+component DC scans, per-component AC band scans with full EOBRUN
+handling — and ``encode_jpeg_progressive`` emits that layout with
+EOB-run coalescing. Successive approximation (Ah/Al ≠ 0), arithmetic
+coding, 12-bit precision and sampling factors beyond 2×2 return
+None — quarantine, not crash, the same contract as
+``decode_png_pixels``.
 
 Like PNG, entropy decode is inherently sequential WITHIN one image
 (DC prediction chains block to block), which is exactly why the Spark
@@ -137,6 +142,19 @@ def _uniform_dc_table() -> _HuffTable:
     bits = [0] * 16
     bits[3] = 12
     return _HuffTable(bits, list(range(12)))
+
+
+def _uniform_ac_table_progressive() -> _HuffTable:
+    """The progressive AC alphabet adds EOB1..EOB14 ((run<<4, size 0)
+    for run 1-14 — end-of-band RUN codes, T.81 §G.1.2.2) to the 162
+    baseline symbols; 176 codes at 8 bits keep the all-ones code
+    reserved."""
+    symbols = [run << 4 for run in range(16)] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    bits = [0] * 16
+    bits[7] = len(symbols)
+    return _HuffTable(bits, sorted(symbols))
 
 
 def _uniform_ac_table() -> _HuffTable:
@@ -498,6 +516,8 @@ def _decode(payload: bytes):
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(cid, qid)])
+    progressive = False
+    pstate: _ProgressiveState | None = None
     restart_interval = 0
     i = 2
     while i + 2 <= len(payload):
@@ -507,6 +527,19 @@ def _decode(payload: bytes):
             i += 1
         marker = payload[i + 1]
         if marker == 0xD9:
+            if pstate is not None:
+                # progressive EOI: every scan accumulated — dequantize
+                # and reconstruct (r12)
+                arrays, hv = [], []
+                for cid, qid, hc, vc in pstate.comps:
+                    if qid not in quant:
+                        return None
+                    arrays.append(pstate.coeffs[cid] * quant[qid])
+                    hv.append((hc, vc))
+                return _idct_assemble(
+                    arrays, hv, pstate.h, pstate.w,
+                    pstate.hmax, pstate.vmax,
+                )
             return None  # EOI before SOS
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             i += 2
@@ -547,7 +580,8 @@ def _decode(payload: bytes):
                     bits, list(seg[p + 17 : p + 17 + n])
                 )
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 return None  # 12-bit
             h = int.from_bytes(seg[1:3], "big")
@@ -563,8 +597,8 @@ def _decode(payload: bytes):
                     return None  # sampling factors beyond 2x2: refuse
                 comps.append((cid, qid, hc, vc))
             frame = (h, w, comps)
-        elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
-            return None  # progressive/arithmetic/etc.
+        elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
+            return None  # arithmetic/lossless/hierarchical: refuse
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -572,9 +606,40 @@ def _decode(payload: bytes):
                 return None
             ns = seg[0]
             h, w, comps = frame
+            byid = {cid: (qid, hc, vc) for cid, qid, hc, vc in comps}
+            if progressive:
+                if len(seg) < 4 + 2 * ns:
+                    return None
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if ahal != 0:
+                    # successive approximation: the remaining seam —
+                    # a wrong refinement decodes plausible-but-wrong
+                    # pixels, so quarantine
+                    return None
+                if not (ss <= se <= 63) or (ss == 0) != (se == 0):
+                    return None
+                scan_comps = []
+                for c in range(ns):
+                    cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
+                    if cid not in byid:
+                        return None
+                    if ss == 0:
+                        tab = huff.get((0, tsel >> 4))
+                        scan_comps.append((cid, tab, None))
+                    else:
+                        tab = huff.get((1, tsel & 0xF))
+                        scan_comps.append((cid, None, tab))
+                    if tab is None:
+                        return None
+                if pstate is None:
+                    pstate = _ProgressiveState(h, w, comps)
+                i = _decode_progressive_scan(
+                    payload, i + 2 + seglen, pstate, scan_comps,
+                    ss, se, huff, restart_interval,
+                )
+                continue
             if ns != len(comps):
                 return None
-            byid = {cid: (qid, hc, vc) for cid, qid, hc, vc in comps}
             tables = []
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
@@ -680,8 +745,19 @@ def _decode_scan(payload, pos, h, w, tables, restart_interval):
                         )
                         coeffs[c][y * vc + v, x * hc + u] = zz * q
             mcu += 1
+    return _idct_assemble(
+        coeffs, [(hc, vc) for _, _, _, hc, vc in tables], h, w, hmax, vmax
+    )
+
+
+def _idct_assemble(coeffs, hv, h, w, hmax, vmax):
+    """DEQUANTIZED zigzag coefficient arrays (one (by, bx, 64) per
+    component) → uint8 image: un-zigzag, IDCT, level shift, crop to
+    each component's true sampled dims, replicate chroma up, YCbCr→RGB
+    for 3 components. Shared by the baseline single-scan path and the
+    progressive multi-scan accumulator (r12)."""
     planes = []
-    for c, (_, _, _, hc, vc) in enumerate(tables):
+    for c, (hc, vc) in enumerate(hv):
         cy, cx = coeffs[c].shape[:2]
         raster = np.zeros((cy, cx, 64), dtype=np.float64)
         raster[..., _Z] = coeffs[c]
@@ -697,8 +773,284 @@ def _decode_scan(payload, pos, h, w, tables, restart_interval):
                 np.repeat(plane, vmax // vc, axis=0), hmax // hc, axis=1
             )
         planes.append(plane[:h, :w])
-    if ncomp == 1:
+    if len(hv) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
     ycbcr = np.stack(planes, axis=-1)
     rgb = _ycbcr_to_rgb(ycbcr)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2), spectral-selection subset (r12)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """Encode as PROGRESSIVE (SOF2) JPEG in the SPECTRAL-SELECTION
+    form: scan 1 carries every component's DC coefficients
+    (interleaved, Ss=Se=0), then one full-band AC scan per component
+    (Ss=1, Se=63, single-component as the spec requires), all at
+    Ah=Al=0 — the simplest spec-legal progressive layout (T.81 §G;
+    successive approximation stays the named seam). AC end-of-block
+    codes are EOB0 (run length 1), which the general decoder's EOBRUN
+    machinery also covers. 4:4:4 / grayscale only — progressive
+    chroma subsampling only changes the per-component block grids,
+    not the scan grammar, and the decode side already handles it."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive takes uint8 arrays")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    h, w = img.shape[:2]
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("dims out of JPEG range")
+    q = np.asarray(quant if quant is not None else FLAT_QUANT, dtype=np.uint16)
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        raise ValueError("quant must be 64 values in [1, 255]")
+
+    def _fdct(plane: np.ndarray) -> np.ndarray:
+        blocks = _to_blocks(plane) - 128.0
+        coeffs = np.einsum("ux,byxw,vw->byuv", _M, blocks, _M)
+        qz = np.rint(coeffs.reshape(*coeffs.shape[:2], 64)[..., _Z] / q)
+        return qz.astype(np.int64)
+
+    planes = (
+        [img.astype(np.float64)]
+        if gray
+        else list(np.moveaxis(_rgb_to_ycbcr(img.astype(np.float64)), -1, 0))
+    )
+    comp_coeffs = [_fdct(p) for p in planes]
+    by, bx = comp_coeffs[0].shape[:2]
+    ncomp = len(comp_coeffs)
+    dc_tab = _uniform_dc_table()
+    ac_tab = _uniform_ac_table_progressive()
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    )
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes(int(v) for v in q)
+    sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big"))
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    for tc, tab in ((0, dc_tab), (1, ac_tab)):
+        seg = bytes([tc << 4]) + bytes(tab.bits) + bytes(tab.huffval)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+
+    # scan 1: every component's DC, interleaved block raster
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 0, 0x00])  # Ss=0 Se=0 Ah=0 Al=0
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    for y in range(by):
+        for x in range(bx):
+            for c in range(ncomp):
+                diff = int(comp_coeffs[c][y, x, 0]) - pred[c]
+                pred[c] = int(comp_coeffs[c][y, x, 0])
+                size, bits = _magnitude_bits(diff)
+                code, length = dc_tab.encode[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+    writer.flush()
+    out += writer.out
+
+    # scans 2..: one full-band AC scan per component (non-interleaved).
+    # Consecutive blocks whose whole band is zero coalesce into EOBn
+    # codes (run = 2^RRRR - 1 + RRRR appended bits) — the progressive
+    # mode's actual compression lever and the decoder's EOBRUN path.
+    def _flush_eob(writer, n):
+        # one EOBn covers (1<<RRRR) + extra blocks, extra in RRRR bits
+        # (decoder: EOBRUN = (1<<RRRR) - 1 + extra skips EOBRUN blocks
+        # AFTER the one the code lands on)
+        while n:
+            rrrr = min(n.bit_length() - 1, 14)
+            take = min(n, (1 << rrrr) * 2 - 1)
+            code, length = ac_tab.encode[rrrr << 4]
+            writer.write(code, length)
+            if rrrr:
+                writer.write(take - (1 << rrrr), rrrr)
+            n -= take
+
+    for c in range(ncomp):
+        sos = bytearray([1, c + 1, 0x00, 1, 63, 0x00])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        writer = _BitWriter()
+        pending_eob = 0
+        for y in range(by):
+            for x in range(bx):
+                zz = comp_coeffs[c][y, x]
+                nz = [k for k in range(1, 64) if int(zz[k])]
+                if not nz:
+                    pending_eob += 1
+                    continue
+                _flush_eob(writer, pending_eob)
+                pending_eob = 0
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_tab.encode[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude_bits(v)
+                    code, length = ac_tab.encode[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if run:
+                    pending_eob = 1  # trailing zeros: this block EOBs
+        _flush_eob(writer, pending_eob)
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _ProgressiveState:
+    """Coefficient accumulator across a progressive frame's scans:
+    per-component zigzag arrays on the MCU-padded grid, plus the
+    frame geometry non-interleaved scans need."""
+
+    def __init__(self, h, w, comps):
+        self.h, self.w = h, w
+        self.comps = comps  # [(cid, qid, hc, vc)]
+        self.hmax = max(c[2] for c in comps)
+        self.vmax = max(c[3] for c in comps)
+        self.mx = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.my = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        total = sum(
+            self.my * vc * self.mx * hc * 64 for _, _, hc, vc in comps
+        )
+        if total > _MAX_DECODE_PIXELS * 3:
+            raise _Corrupt("declared dimensions exceed decode cap")
+        self.coeffs = {
+            cid: np.zeros((self.my * vc, self.mx * hc, 64))
+            for cid, _, hc, vc in comps
+        }
+
+    def comp_blocks(self, cid):
+        """A non-interleaved scan's TRUE block grid (ceil of the
+        component's sampled dims — NOT the MCU-padded grid)."""
+        _, _, hc, vc = next(c for c in self.comps if c[0] == cid)
+        ch = (self.h * vc + self.vmax - 1) // self.vmax
+        cw = (self.w * hc + self.hmax - 1) // self.hmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive_scan(
+    payload, pos, state, scan_comps, ss, se, huff, restart_interval
+):
+    """One progressive scan's entropy data into ``state`` (spectral
+    selection, Ah=Al=0): a DC scan (Ss=0) is interleaved over the MCU
+    grid when it carries several components and block-raster when one;
+    an AC scan (Ss>=1) is always single-component block-raster with
+    EOBRUN handling (EOBn codes n-block end-of-band runs). Returns the
+    byte position of the next marker."""
+    reader = _BitReader(payload, pos)
+    if ss == 0:
+        preds = {cid: 0 for cid, _, _ in scan_comps}
+        if len(scan_comps) > 1:
+            units = []  # interleaved MCU order
+            for y in range(state.my):
+                for x in range(state.mx):
+                    for cid, _, _ in scan_comps:
+                        _, _, hc, vc = next(
+                            c for c in state.comps if c[0] == cid
+                        )
+                        for v in range(vc):
+                            for u in range(hc):
+                                units.append((cid, y * vc + v, x * hc + u))
+            per_restart = len(scan_comps) and sum(
+                hc * vc
+                for cid, _, _ in scan_comps
+                for _, _, hc, vc in [
+                    next(c for c in state.comps if c[0] == cid)
+                ]
+            )
+        else:
+            cid = scan_comps[0][0]
+            cby, cbx = state.comp_blocks(cid)
+            units = [
+                (cid, y, x) for y in range(cby) for x in range(cbx)
+            ]
+            per_restart = 1
+        n_done = 0
+        for cid, y, x in units:
+            if (
+                restart_interval
+                and n_done
+                and n_done % (restart_interval * per_restart) == 0
+            ):
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise _Corrupt("expected RSTn")
+                preds = {k: 0 for k in preds}
+            dc_tab = next(t for c, t, _ in scan_comps if c == cid)
+            size = reader.decode_symbol(dc_tab)
+            if size > 11:
+                raise _Corrupt("DC category out of range")
+            preds[cid] += _extend(reader.receive(size), size)
+            state.coeffs[cid][y, x, 0] = preds[cid]
+            n_done += 1
+    else:
+        if len(scan_comps) != 1:
+            raise _Corrupt("progressive AC scan must be single-component")
+        cid, _, ac_tab = scan_comps[0]
+        cby, cbx = state.comp_blocks(cid)
+        eobrun = 0
+        n_done = 0
+        for y in range(cby):
+            for x in range(cbx):
+                if (
+                    restart_interval
+                    and n_done
+                    and n_done % restart_interval == 0
+                ):
+                    marker = reader.align_to_marker()
+                    if not 0xD0 <= marker <= 0xD7:
+                        raise _Corrupt("expected RSTn")
+                    eobrun = 0
+                n_done += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                zz = state.coeffs[cid][y, x]
+                k = ss
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        # EOBn: 2^run - 1 + extra MORE blocks end here
+                        eobrun = (1 << run) - 1 + (
+                            reader.receive(run) if run else 0
+                        )
+                        break
+                    k += run
+                    if k > se:
+                        raise _Corrupt("AC index past band end")
+                    zz[k] = _extend(reader.receive(size), size)
+                    k += 1
+    # entropy data done: bit-align and locate the next marker (skip
+    # 0xFF fill bytes, never treat a stuffed 0xFF00 as a marker)
+    j = reader.pos
+    while j + 1 < len(payload):
+        if payload[j] == 0xFF and payload[j + 1] not in (0x00, 0xFF):
+            return j
+        j += 1
+    raise _Corrupt("no marker after progressive scan")

@@ -1058,3 +1058,107 @@ def mp3_count1_requantize_roundtrip(
         "asset_id long, n_count1 long, c1_sum long, "
         "xr_scaled long, xr_abs_scaled long",
     )
+
+
+@register(
+    "jpeg_progressive_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(9 + doc_id % 21 AS BIGINT) AS width,
+           CAST(6 + doc_id % 17 AS BIGINT) AS height,
+           TRUE AS matches_baseline
+    FROM documents
+    WHERE doc_id < 150
+    """,
+)
+def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG roundtrip (r12 — the spectral-selection
+    half of the last JPEG seam): per doc a deterministic raster
+    (dims 9+id%21 × 6+id%17, never 8-multiples; gray/RGB on id%2;
+    every 3rd doc heavily quantized so consecutive all-zero AC blocks
+    exercise the EOBn run codes) is encoded PROGRESSIVELY — one
+    interleaved DC scan, then one full-band AC scan per component with
+    EOB-run coalescing — and decoded back through the multi-scan
+    coefficient accumulator. ``matches_baseline`` pins the strongest
+    possible contract: the progressive decode must equal the BASELINE
+    decode of the same coefficients BIT-FOR-BIT (both carry identical
+    quantized DCT data, so any divergence is an entropy/scan-grammar
+    bug, not rounding). Dims come from the decoded array shape.
+    Successive approximation (Ah/Al ≠ 0) stays the named seam —
+    unit-pinned to quarantine in tests/test_jpeg_progressive.py.
+
+    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    stay single binary cells, parallelism is ACROSS images."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("mode", StringType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("matches_baseline", BooleanType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        import numpy as np
+
+        from fintech_lakehouse_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "mode", "width", "height", "matches_baseline",
+            )}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 9 + i % 21, 6 + i % 17
+                gray = i % 2 == 0
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                if gray:
+                    img = ((xx * 5 + yy * 11 + i) % 256).astype(np.uint8)
+                else:
+                    img = np.stack(
+                        [((xx * 5 + yy * 11 + c * 37 + i) % 256)
+                         for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                if i % 3 == 0:
+                    q = np.full(64, 220, dtype=np.uint16)
+                    q[0] = 1  # DC survives; AC mostly zero -> EOB runs
+                else:
+                    q = None
+                prog = encode_jpeg_progressive(img, quant=q)
+                base = encode_jpeg(img, quant=q)
+                dp = decode_jpeg_pixels(prog)
+                db = decode_jpeg_pixels(base)
+                rows["asset_id"].append(i)
+                rows["mode"].append("gray" if gray else "rgb")
+                if dp is None or db is None or dp.shape[:2] != (h, w):
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["matches_baseline"].append(None)
+                    continue
+                rows["width"].append(dp.shape[1])
+                rows["height"].append(dp.shape[0])
+                rows["matches_baseline"].append(
+                    bool(np.array_equal(dp, db))
+                )
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)

@@ -1,0 +1,109 @@
+"""Progressive JPEG (r12, spectral-selection subset): multi-scan
+decode equals baseline bit-for-bit on the same coefficients, EOBn run
+codes, and the fail-closed boundary (successive approximation /
+arithmetic / malformed scans quarantine to None)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fintech_lakehouse_spark.functions.jpeg import (
+    _uniform_ac_table_progressive,
+    decode_jpeg_pixels,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+def _img(h, w, gray, seed=0):
+    xx = np.arange(w)[None, :]
+    yy = np.arange(h)[:, None]
+    if gray:
+        return ((xx * 5 + yy * 11 + seed) % 256).astype(np.uint8)
+    return np.stack(
+        [((xx * 5 + yy * 11 + c * 37 + seed) % 256) for c in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("gray", [True, False])
+@pytest.mark.parametrize("dims", [(8, 8), (17, 23), (40, 64), (6, 9)])
+def test_progressive_equals_baseline(gray, dims):
+    img = _img(*dims, gray)
+    dp = decode_jpeg_pixels(encode_jpeg_progressive(img))
+    db = decode_jpeg_pixels(encode_jpeg(img))
+    assert dp is not None and np.array_equal(dp, db)
+    assert dp.shape[:2] == dims
+
+
+def test_eob_runs_cover_long_zero_stretches():
+    """Heavy quantization zeroes the AC band of most blocks — the
+    encoder must coalesce them into EOBn codes and the decoder's
+    EOBRUN state must skip exactly that many blocks."""
+    q = np.full(64, 220, dtype=np.uint16)
+    q[0] = 1
+    # a GENUINELY smooth raster (no modular wrap edges): nearly every
+    # block's AC band quantizes to zero
+    xx = np.arange(128)[None, :]
+    yy = np.arange(96)[:, None]
+    img = (100 + xx // 16 + yy // 16).astype(np.uint8)
+    prog = encode_jpeg_progressive(img, quant=q)
+    base = encode_jpeg(img, quant=q)
+    assert len(prog) < len(base)  # the runs actually compressed
+    dp, db = decode_jpeg_pixels(prog), decode_jpeg_pixels(base)
+    assert np.array_equal(dp, db)
+    # the stream really contains an EOBn (run >= 1) code: decode the
+    # first AC scan's symbols cannot be asserted without a decoder,
+    # so assert structurally — with 192 all-zero-AC blocks the AC
+    # scan's entropy data must be far smaller than one code per block
+    ac = _uniform_ac_table_progressive()
+    assert ac.encode[0x40][1] == 8  # EOB4 exists in the alphabet
+
+
+def test_successive_approximation_quarantines():
+    """Flip the scan header's Ah/Al byte: the decoder must refuse
+    (wrong refinement = plausible-but-wrong pixels)."""
+    img = _img(16, 16, gray=True)
+    payload = bytearray(encode_jpeg_progressive(img))
+    # find the FIRST SOS and set its AhAl byte (last byte of the
+    # scan header: ns=1 components here is the DC scan with ns=1?
+    # gray → ns=1; header: [len2][ns][cid][tsel][Ss][Se][AhAl]
+    i = payload.find(b"\xff\xda")
+    seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+    payload[i + 2 + seglen - 1] = 0x01  # Al=1
+    assert decode_jpeg_pixels(bytes(payload)) is None
+
+
+def test_multi_component_ac_scan_refuses():
+    """An AC scan declaring several components is spec-illegal — the
+    decoder fails closed instead of desyncing."""
+    img = _img(16, 16, gray=False)
+    payload = bytearray(encode_jpeg_progressive(img))
+    # second SOS is component 1's AC scan: rewrite ns=1 → ns=3 with a
+    # fabricated header (keeps Ss=1 Se=63)
+    first = payload.find(b"\xff\xda")
+    second = payload.find(b"\xff\xda", first + 2)
+    old_len = int.from_bytes(payload[second + 2 : second + 4], "big")
+    new_seg = bytes([0, 10, 3, 1, 0, 2, 0, 3, 0, 1, 63, 0])
+    payload[second + 2 : second + 2 + old_len] = new_seg
+    assert decode_jpeg_pixels(bytes(payload)) is None
+
+
+def test_arithmetic_and_lossless_still_refuse():
+    img = _img(16, 16, gray=True)
+    payload = bytearray(encode_jpeg_progressive(img))
+    i = payload.find(b"\xff\xc2")
+    for marker in (0xC3, 0xC9, 0xCA, 0xCB):
+        p2 = bytearray(payload)
+        p2[i + 1] = marker
+        assert decode_jpeg_pixels(bytes(p2)) is None
+
+
+def test_progressive_encoder_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg_progressive(np.zeros((8, 8), dtype=np.int32))
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg_progressive(
+            _img(8, 8, True), quant=np.zeros(64, dtype=np.uint16)
+        )
