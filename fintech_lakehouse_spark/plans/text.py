@@ -3870,3 +3870,72 @@ def vocab_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k90",
         )
     )
+
+
+@register(
+    "cross_source_duplication_matrix",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               md5(array_to_string(string_split(text, ' ')[1:12], ' '))
+                   AS content_hash
+        FROM documents
+    ),
+    p AS (
+        SELECT LEAST(a.source, b.source) AS src_a,
+               GREATEST(a.source, b.source) AS src_b,
+               a.content_hash
+        FROM h a JOIN h b
+          ON a.content_hash = b.content_hash AND a.doc_id < b.doc_id
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_dup_groups
+    FROM p GROUP BY src_a, src_b
+    """,
+)
+def cross_source_duplication_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-SOURCE duplication matrix (r12 — the provenance
+    diagnostic a corpus curator reads before weighting sources: "how
+    much of crawl B is already in crawl A"): documents sharing the
+    same content fingerprint (the exact_dedup_docs 12-word-prefix md5,
+    so the two queries agree on what a duplicate IS) pair up, each
+    pair is attributed to its unordered (source, source) cell, and the
+    matrix reports pair and group counts per cell. Diagonal cells are
+    intra-source duplication; off-diagonal mass means shared upstream
+    content or mirror sites — the signal that downweights a source
+    BEFORE mixture balancing instead of letting dedup silently shift
+    the mix.
+
+    100 TB shape: the self-join is keyed on the content hash, so work
+    is Σ|group|² over true duplicate groups — bounded by real
+    duplication, never all-pairs. A pathological boilerplate prefix
+    shared by k docs fans out k² pairs; at that scale add the
+    hot-hash drop the shingle-join family uses (>100-doc groups are
+    boilerplate, not duplication — same threshold rationale as
+    ngram_jaccard_pairs)."""
+    documents = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 12), " "
+    )
+    h = documents.select(
+        "doc_id",
+        "source",
+        F.md5(prefix.cast("binary")).alias("content_hash"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.content_hash") == F.col("b.content_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.least("a.source", "b.source").alias("src_a"),
+        F.greatest("a.source", "b.source").alias("src_b"),
+        F.col("a.content_hash").alias("content_hash"),
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("content_hash").cast("long").alias("n_dup_groups"),
+    )
