@@ -2357,3 +2357,85 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_ts")
     )
+
+
+@register(
+    "order_volume_trend_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               DATEDIFF('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT)    AS n,
+               CAST(SUM(x) AS BIGINT)      AS sx,
+               CAST(SUM(y) AS BIGINT)      AS sy,
+               CAST(SUM(x * y) AS BIGINT)  AS sxy,
+               CAST(SUM(x * x) AS BIGINT)  AS sxx
+        FROM daily GROUP BY priority
+    )
+    SELECT priority,
+           n AS n_days,
+           sy AS total_orders,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm,
+           CAST((sy * sxx - sx * sxy) * 1000
+                // (n * sxx - sx * sx) AS BIGINT) AS intercept_milli
+    FROM s
+    """,
+)
+def order_volume_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR TREND FIT of daily order volume per priority (r12 —
+    the "is this segment growing or shrinking" regression every BI
+    layer runs): least squares over (x = days since 1992-01-01,
+    y = orders that day), solved from the closed-form normal
+    equations on EXACT BIGINT sums — slope = (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²) in integer ppm and the intercept in integer thousandths,
+    both via integral division (Spark ``DIV`` and DuckDB ``//`` both
+    truncate toward zero, probed). No ``regr_slope``: its streaming
+    covariance updates are float-order-dependent across engines,
+    while integer sums in int64 are exact and order-free — the
+    plans/_num.py stance applied to regression.
+
+    Scale note: the ×1e6/×1e3 scaled numerators stay under int64 up
+    to ~100× this data; beyond that the same formula runs in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) unchanged.
+
+    Scale shape: one scan → map-side-combinable daily groupBy →
+    5-row per-priority aggregate. Nothing retains per-order state."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("long").alias("x"),
+        )
+        .groupBy("priority", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    s = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "priority",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_orders"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx) AS LONG)"
+        ).alias("slope_ppm"),
+        F.expr(
+            "CAST((sy * sxx - sx * sxy) * 1000"
+            " DIV (n * sxx - sx * sx) AS LONG)"
+        ).alias("intercept_milli"),
+    )
