@@ -1712,11 +1712,35 @@ def write_delta_commit(
             df, prev.metadata_raw.get("configuration"), "write_delta_commit"
         )
         if prev.column_mapping_mode == "id":
-            raise NotImplementedError(
-                "write_delta_commit: id-mode column-mapped table — "
-                "writing would need parquet field-id stamping; only "
-                "name-mode tables are writable"
-            )
+            # id-mode WRITES (r12): data files must carry parquet
+            # field ids matching delta.columnMapping.id — Spark stamps
+            # them from the "parquet.field.id" field metadata when
+            # spark.sql.parquet.fieldId.write.enabled is on (probed:
+            # createDataFrame/alias metadata survives, .to() drops it).
+            # FLAT schemas only: nested parquet nodes would need ids
+            # at every level, which the alias mechanism can't attach.
+            for f in prev.schema.fields:
+                if f.dataType.typeName() in ("struct", "array", "map"):
+                    raise NotImplementedError(
+                        "write_delta_commit: id-mode table with nested "
+                        f"column {f.name!r} — field-id stamping is "
+                        "flat-schema only; refusing"
+                    )
+                meta = f.metadata or {}
+                if (
+                    "delta.columnMapping.id" not in meta
+                    or "delta.columnMapping.physicalName" not in meta
+                ):
+                    raise ValueError(
+                        "write_delta_commit: id-mode table field "
+                        f"{f.name!r} lacks columnMapping id/physicalName "
+                        "metadata — corrupt table metadata"
+                    )
+            if merge_schema:
+                raise NotImplementedError(
+                    "write_delta_commit: mergeSchema on an id-mode "
+                    "table needs fresh field-id assignment — refusing"
+                )
         if partition_by != prev.partition_columns:
             # ADVICE r8: without this check, appending with a different
             # partition_by commits data files that physically LACK the
@@ -1840,6 +1864,31 @@ def write_delta_commit(
     # alongside the id), which is why id-mode WRITES refuse above.
     stage_partition_by = partition_by
     new_max_id: int | None = None
+    field_id_write = False
+    if have_any and prev.column_mapping_mode == "id":
+        by_name = {f.name: f for f in prev.schema.fields}
+        phys_cols = []
+        for name in df.columns:
+            f = by_name[name]
+            meta = f.metadata or {}
+            phys_cols.append(
+                F.col(name)
+                .cast(f.dataType)
+                .alias(
+                    meta["delta.columnMapping.physicalName"],
+                    metadata={
+                        "parquet.field.id": int(
+                            meta["delta.columnMapping.id"]
+                        )
+                    },
+                )
+            )
+        df = df.select(*phys_cols)
+        stage_partition_by = [
+            (by_name[c].metadata or {})["delta.columnMapping.physicalName"]
+            for c in partition_by
+        ]
+        field_id_write = True
     if have_any and prev.column_mapping_mode == "name":
         if new_fields:
             conf_prev = prev.metadata_raw.get("configuration") or {}
@@ -1860,7 +1909,19 @@ def write_delta_commit(
     writer = df.write.mode("overwrite")
     if stage_partition_by:
         writer = writer.partitionBy(*stage_partition_by)
-    writer.parquet(stage)
+    if field_id_write:
+        prev_conf = spark.conf.get(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try:
+            writer.parquet(stage)
+        finally:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", prev_conf
+            )
+    else:
+        writer.parquet(stage)
 
     adds = []
     n = 0

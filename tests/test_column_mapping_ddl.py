@@ -270,32 +270,96 @@ def test_mapped_merge_schema_assigns_fresh_ids(spark, tmp_path):
     assert got == [(1, "a", 7, None), (2, "b", 8, None), (3, "c", 9, 1.5)]
 
 
-def test_id_mode_write_refuses(spark, tmp_path):
-    """Only name-mode tables are writable; id-mode needs field-id
-    stamping and fails closed."""
-    root = str(tmp_path / "t")
-    _mk(spark, root)
-    snap = delta_snapshot(spark, root)
-    md = dict(snap.metadata_raw)
-    conf = dict(md.get("configuration") or {})
-    conf["delta.columnMapping.mode"] = "id"
-    md["configuration"] = conf
+def _flip_to_id_mode(spark, root):
+    """Re-commit the table metaData in ID mapping mode with
+    columnMapping id/physicalName on every (flat) field — the state a
+    foreign id-mode writer leaves behind."""
+    import json as _json
+
     from fintech_lakehouse_spark.sources.deltalog import (
         _next_version,
         _write_commit,
     )
+    from pyspark.sql.types import StructField, StructType
 
+    snap = delta_snapshot(spark, root)
+    fields = []
+    for i, f in enumerate(snap.schema.fields, start=1):
+        meta = dict(f.metadata or {})
+        meta["delta.columnMapping.id"] = i
+        meta["delta.columnMapping.physicalName"] = f"col-{i}"
+        fields.append(StructField(f.name, f.dataType, f.nullable, meta))
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = _json.dumps(StructType(fields).jsonValue())
+    conf = dict(md.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "id"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    md["configuration"] = conf
     proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     _write_commit(
         root, _next_version(root),
         [{"protocol": proto}, {"metaData": md}],
         operation="SET TBLPROPERTIES",
     )
-    with pytest.raises(NotImplementedError, match="id-mode"):
+
+
+def test_id_mode_flat_append_with_field_ids(spark, tmp_path):
+    """r12: id-mode tables accept flat writes — the staged parquet
+    carries field ids matching delta.columnMapping.id, which the
+    footer-id read path resolves. The pre-flip files were written
+    unmapped (logical column names, no ids), so the test starts with
+    an OVERWRITE that replaces the live set with stamped files, then
+    appends on top."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    # overwrite: all live files are replaced by field-id-stamped ones
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    out = read_delta_table(spark, root)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "d"]
+    assert sorted(map(tuple, out.collect())) == [(1, "a", 7), (2, "b", 8)]
+    # the data files physically carry the PHYSICAL names + field ids
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(spark, root)
+    rel = sorted(snap.files)[0]
+    pf = pq.ParquetFile(os.path.join(root, rel))
+    names = pf.schema_arrow.names
+    assert names == ["col-1", "col-2", "col-3"]
+    assert "field_id=1" in str(pf.schema)
+    # plain appends stack on top
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, v string, d long"),
+        root,
+    )
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 9),
+    ]
+
+
+def test_id_mode_write_refusals(spark, tmp_path):
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "t")
+    _mk(spark, root, nested=True)
+    _flip_to_id_mode(spark, root)
+    with pytest.raises(NotImplementedError, match="flat-schema"):
         write_delta_commit(
             spark,
-            spark.createDataFrame([(9, "z", 0)], "id long, v string, d long"),
+            spark.createDataFrame(
+                [Row(id=3, u=Row(name="c", age=1), d=9)],
+                "id long, u struct<name:string, age:long>, d long",
+            ),
             root,
+            mode="overwrite",
         )
 
 
