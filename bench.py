@@ -77,6 +77,22 @@ HEADLINE = [
 ]
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line
+    — hypervisor steal is the dominant noise source on this class of
+    guest (BASELINE.md §2 r12 note: same-code headline readings spanned
+    19.2–32.4 s purely with ambient steal). (0, 0) when /proc/stat is
+    unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     # Every measured run is COLD with respect to session-scoped stage
     # caches: without the reset, repeat 2 of a stage-cached query
@@ -100,8 +116,14 @@ def timed(spark, name: str, sf_dir: str, repeats: int = 3) -> float:
     Min-of-3 since r6: min-of-2 let a 1.9× outlier through in r5
     (supplier_performance read 2.42 s; a cold ×5 re-measure pinned it
     at 1.03-1.74 s — sandbox contention, not the plan; BASELINE.md
-    §2 r6 note)."""
-    return min(run_query(spark, name, sf_dir) for _ in range(repeats))
+    §2 r6 note). r13 (VERDICT r12 item 4): returns
+    ``(best_sec, steal_ticks)`` — the /proc/stat steal ticks accrued
+    across the N repeats, so each BENCH entry is interpretable without
+    a forensic session."""
+    s0, _ = _cpu_stat()
+    best = min(run_query(spark, name, sf_dir) for _ in range(repeats))
+    s1, _ = _cpu_stat()
+    return best, s1 - s0
 
 
 def main() -> None:
@@ -123,13 +145,20 @@ def main() -> None:
             run_query(spark, name, "/root/testdata/sf0.001")
         except Exception:
             pass
+    steal0, total0 = _cpu_stat()
     timings: dict[str, float] = {}
+    steals: dict[str, int] = {}
     for name in HEADLINE:
-        timings[name] = round(timed(spark, name, sf_dir), 3)
+        timings[name], steals[name] = timed(spark, name, sf_dir)
+        timings[name] = round(timings[name], 3)
     total = round(sum(timings.values()), 3)
     v2: dict[str, float] = {}
     for name in HEADLINE_V2:
-        v2[name] = round(timed(spark, name, sf_dir), 3)
+        v2[name], steals[name] = timed(spark, name, sf_dir)
+        v2[name] = round(v2[name], 3)
+    steal1, total1 = _cpu_stat()
+    dsteal, dtotal = steal1 - steal0, total1 - total0
+    steal_fraction = round(dsteal / dtotal, 4) if dtotal else 0.0
     print(
         json.dumps(
             {
@@ -139,6 +168,16 @@ def main() -> None:
                 "queries": {**timings, **v2},
                 "value_v2": round(sum(v2.values()), 3),
                 "sf": sf,
+                # r13 steal-aware protocol (VERDICT r12 item 4): the
+                # machine-level hypervisor-steal fraction over the
+                # bench window, plus per-query steal ticks. RE-RUN
+                # RULE (BASELINE.md §2): a run with steal_fraction >
+                # 0.05 is contention-poisoned — re-run before reading
+                # any per-query delta as a regression.
+                "steal_fraction": steal_fraction,
+                "steal_ticks": dsteal,
+                "steal_poisoned": steal_fraction > 0.05,
+                "steal_ticks_per_query": steals,
             }
         )
     )

@@ -64,6 +64,8 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from urllib.parse import quote, unquote
 
@@ -1711,36 +1713,6 @@ def write_delta_commit(
         _enforce_constraints(
             df, prev.metadata_raw.get("configuration"), "write_delta_commit"
         )
-        if prev.column_mapping_mode == "id":
-            # id-mode WRITES (r12): data files must carry parquet
-            # field ids matching delta.columnMapping.id — Spark stamps
-            # them from the "parquet.field.id" field metadata when
-            # spark.sql.parquet.fieldId.write.enabled is on (probed:
-            # createDataFrame/alias metadata survives, .to() drops it).
-            # FLAT schemas only: nested parquet nodes would need ids
-            # at every level, which the alias mechanism can't attach.
-            for f in prev.schema.fields:
-                if f.dataType.typeName() in ("struct", "array", "map"):
-                    raise NotImplementedError(
-                        "write_delta_commit: id-mode table with nested "
-                        f"column {f.name!r} — field-id stamping is "
-                        "flat-schema only; refusing"
-                    )
-                meta = f.metadata or {}
-                if (
-                    "delta.columnMapping.id" not in meta
-                    or "delta.columnMapping.physicalName" not in meta
-                ):
-                    raise ValueError(
-                        "write_delta_commit: id-mode table field "
-                        f"{f.name!r} lacks columnMapping id/physicalName "
-                        "metadata — corrupt table metadata"
-                    )
-            if merge_schema:
-                raise NotImplementedError(
-                    "write_delta_commit: mergeSchema on an id-mode "
-                    "table needs fresh field-id assignment — refusing"
-                )
         if partition_by != prev.partition_columns:
             # ADVICE r8: without this check, appending with a different
             # partition_by commits data files that physically LACK the
@@ -1851,76 +1823,48 @@ def write_delta_commit(
             create_schema = _schema_with_identity_hwm(create_schema, id_hwm)
             id_hwm = {}  # already folded into the create metaData
 
-    # NAME-MODE COLUMN-MAPPED tables (r12): project the logical frame
-    # to PHYSICAL names before staging — top-level via alias, nested
-    # via cast to the physical datatype (struct casts match fields by
-    # POSITION, so only the names change). Partition dirs (and thus
-    # the log's partitionValues keys) use physical names, which is
-    # what the mapped reader resolves them by. New trailing columns
-    # from mergeSchema get fresh columnMapping ids (maxColumnId
-    # advances in the same commit) with physicalName = logical name.
-    # Files carry no parquet field ids — complete for name mode;
-    # id-mode readers fall back to physicalName (the spec requires it
-    # alongside the id), which is why id-mode WRITES refuse above.
+    # COLUMN-MAPPED tables (r12; id-mode completed r13): project the
+    # logical frame to PHYSICAL names before staging — top-level via
+    # alias, nested via cast to the physical datatype (name mode:
+    # struct casts match fields by POSITION, so only the names
+    # change) or a metadata-stamped struct rebuild (id mode: footers
+    # must carry parquet field ids at every struct level). Partition
+    # dirs (and thus the log's partitionValues keys) use physical
+    # names, which is what the mapped reader resolves them by. New
+    # trailing columns from mergeSchema get fresh columnMapping ids
+    # (maxColumnId advances in the same commit) and FRESH col-<uuid>
+    # physical names (ADVICE r12 high: reusing the logical name can
+    # collide with a renamed column's physicalName or resurrect a
+    # dropped column's stale data).
     stage_partition_by = partition_by
     new_max_id: int | None = None
     field_id_write = False
-    if have_any and prev.column_mapping_mode == "id":
-        by_name = {f.name: f for f in prev.schema.fields}
-        phys_cols = []
-        for name in df.columns:
-            f = by_name[name]
-            meta = f.metadata or {}
-            phys_cols.append(
-                F.col(name)
-                .cast(f.dataType)
-                .alias(
-                    meta["delta.columnMapping.physicalName"],
-                    metadata={
-                        "parquet.field.id": int(
-                            meta["delta.columnMapping.id"]
-                        )
-                    },
-                )
-            )
-        df = df.select(*phys_cols)
-        stage_partition_by = [
-            (by_name[c].metadata or {})["delta.columnMapping.physicalName"]
-            for c in partition_by
-        ]
-        field_id_write = True
-    if have_any and prev.column_mapping_mode == "name":
+    if have_any and prev.column_mapping_mode in ("name", "id"):
+        merged_schema = prev.schema
         if new_fields:
             conf_prev = prev.metadata_raw.get("configuration") or {}
             counter = [int(conf_prev.get("delta.columnMapping.maxColumnId",
                                          0))]
             new_fields = list(
                 _assign_mapping_metadata(
-                    StructType(new_fields), counter
+                    StructType(new_fields), counter, fresh_physical=True
                 ).fields
             )
             new_max_id = counter[0]
-        df = _to_physical_frame(df, prev.schema, prev.column_mapping)
-        stage_partition_by = [
-            prev.column_mapping.get(c, c) for c in partition_by
-        ]
+            merged_schema = StructType(
+                list(prev.schema.fields) + new_fields
+            )
+        # partition_by == prev.partition_columns here (checked above),
+        # so the helper's physical partition columns apply directly
+        df, stage_partition_by, field_id_write = _to_physical_write_frame(
+            df, prev, schema=merged_schema
+        )
 
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if stage_partition_by:
         writer = writer.partitionBy(*stage_partition_by)
-    if field_id_write:
-        prev_conf = spark.conf.get(
-            "spark.sql.parquet.fieldId.write.enabled", "true"
-        )
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        try:
-            writer.parquet(stage)
-        finally:
-            spark.conf.set(
-                "spark.sql.parquet.fieldId.write.enabled", prev_conf
-            )
-    else:
+    with _field_id_write_conf(spark, field_id_write):
         writer.parquet(stage)
 
     adds = []
@@ -2027,6 +1971,14 @@ def write_delta_commit(
     version = commit_with_retry(
         path, version, actions, operation="WRITE",
         operation_parameters={"mode": mode, "partitionBy": partition_by},
+        base_state=(
+            {
+                "metadata_raw": prev.metadata_raw,
+                "protocol_raw": prev.protocol_raw,
+            }
+            if have_any
+            else None
+        ),
     )
     return version
 
@@ -2616,14 +2568,21 @@ def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     return version
 
 
-def _assign_mapping_metadata(dt, next_id: list):
+def _assign_mapping_metadata(dt, next_id: list, fresh_physical: bool = False):
     """Recursively stamp ``delta.columnMapping.id`` /
     ``delta.columnMapping.physicalName`` on every struct field of a
     datatype. At ENABLEMENT the physical name is the field's CURRENT
     logical name — that is what every already-written data file uses,
     so old files keep resolving; later renames change only the
     logical name. ``next_id`` is a 1-element list carrying the
-    monotone id counter (the spec's maxColumnId)."""
+    monotone id counter (the spec's maxColumnId).
+
+    ``fresh_physical=True`` (r13, ADVICE r12 high) is for fields added
+    AFTER enablement (mergeSchema): they get delta-spark's
+    ``col-<uuid>`` physical names. Reusing the logical name would let
+    a rename→re-add sequence map two logical columns to one physical
+    column, or silently resurrect a dropped column's stale data from
+    old parquet files."""
     from pyspark.sql.types import ArrayType, MapType, StructField
     from pyspark.sql.types import StructType as _ST
 
@@ -2635,11 +2594,15 @@ def _assign_mapping_metadata(dt, next_id: list):
                 next_id[0] += 1
                 meta["delta.columnMapping.id"] = next_id[0]
             if "delta.columnMapping.physicalName" not in meta:
-                meta["delta.columnMapping.physicalName"] = f.name
+                meta["delta.columnMapping.physicalName"] = (
+                    f"col-{uuid.uuid4()}" if fresh_physical else f.name
+                )
             fields.append(
                 StructField(
                     f.name,
-                    _assign_mapping_metadata(f.dataType, next_id),
+                    _assign_mapping_metadata(
+                        f.dataType, next_id, fresh_physical
+                    ),
                     f.nullable,
                     meta,
                 )
@@ -2647,13 +2610,15 @@ def _assign_mapping_metadata(dt, next_id: list):
         return _ST(fields)
     if isinstance(dt, ArrayType):
         return ArrayType(
-            _assign_mapping_metadata(dt.elementType, next_id),
+            _assign_mapping_metadata(dt.elementType, next_id,
+                                     fresh_physical),
             dt.containsNull,
         )
     if isinstance(dt, MapType):
         return MapType(
-            _assign_mapping_metadata(dt.keyType, next_id),
-            _assign_mapping_metadata(dt.valueType, next_id),
+            _assign_mapping_metadata(dt.keyType, next_id, fresh_physical),
+            _assign_mapping_metadata(dt.valueType, next_id,
+                                     fresh_physical),
             dt.valueContainsNull,
         )
     return dt
@@ -2797,9 +2762,9 @@ def rename_delta_column(
 
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, "rename_delta_column")
-    if snap.column_mapping_mode != "name":
+    if snap.column_mapping_mode not in ("name", "id"):
         raise ValueError(
-            "rename_delta_column: delta.columnMapping.mode=name is "
+            "rename_delta_column: column mapping (mode name or id) is "
             "required — call enable_column_mapping(path) first "
             "(delta-spark refuses un-mapped renames the same way)"
         )
@@ -2847,9 +2812,9 @@ def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
     columns."""
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, "drop_delta_column")
-    if snap.column_mapping_mode != "name":
+    if snap.column_mapping_mode not in ("name", "id"):
         raise ValueError(
-            "drop_delta_column: delta.columnMapping.mode=name is "
+            "drop_delta_column: column mapping (mode name or id) is "
             "required — call enable_column_mapping(path) first"
         )
     _refuse_mapping_ddl_hazards(snap, "drop_delta_column")
@@ -2888,17 +2853,23 @@ def _write_cdc_files(
     """Stage ``cdc_df`` (table columns + ``_change_type``) as parquet
     under ``_change_data/`` and return the commit's cdc actions
     (``dataChange: false`` — CDF files never affect the live set).
-    On a NAME-mapped table (``snap`` passed, r12) the change files
-    carry PHYSICAL column names like the data files do;
-    ``_change_type`` is the spec's unmapped extra column."""
+    On a MAPPED table (``snap`` passed, r12; id mode r13) the change
+    files carry PHYSICAL column names like the data files do (id mode
+    additionally stamps footer field ids); ``_change_type`` is the
+    spec's unmapped extra column."""
     import shutil
     import uuid
 
+    field_ids = False
     if snap is not None and snap.column_mapping_mode == "name":
         cdc_df = _to_physical_frame(cdc_df, snap.schema,
                                     snap.column_mapping)
+    elif snap is not None and snap.column_mapping_mode == "id":
+        cdc_df = _to_physical_frame_ids(cdc_df, snap.schema)
+        field_ids = True
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
-    cdc_df.write.mode("overwrite").parquet(stage)
+    with _field_id_write_conf(spark, field_ids):
+        cdc_df.write.mode("overwrite").parquet(stage)
     os.makedirs(os.path.join(path, CDC_DIR), exist_ok=True)
     actions: list = []
     n = 0
@@ -2943,6 +2914,41 @@ def _physical_schema_read(spark, paths, schema, mapping, extra=None):
     cols = [
         F.col(mapping[f.name]).cast(f.dataType).alias(f.name)
         for f in schema.fields
+    ] + [F.col(f.name) for f in (extra or [])]
+    return df.select(*cols)
+
+
+def _mapped_schema_read(spark, paths, snap, extra=None):
+    """Mode-dispatching schema'd read of a MAPPED table's files (r13):
+    name mode resolves physical names from the schema metadata, id
+    mode from the files' parquet footer field ids (physicalName
+    fallback — the spec requires it alongside the id). ``extra``
+    appends unmapped trailing fields (``_change_type``)."""
+    from pyspark.sql.types import StructField
+
+    if snap.column_mapping_mode == "name":
+        return _physical_schema_read(
+            spark, paths, snap.schema, snap.column_mapping, extra=extra
+        )
+    idmap = _parquet_field_id_names(paths)
+    phys = {
+        f.name: _resolve_phys_by_id(f, idmap, f.name)
+        for f in snap.schema.fields
+    }
+    fields = [
+        StructField(
+            phys[f.name],
+            _physical_datatype_by_id(f.dataType, idmap, f.name),
+            f.nullable,
+        )
+        for f in snap.schema.fields
+    ]
+    if extra:
+        fields += list(extra)
+    df = spark.read.schema(StructType(fields)).parquet(*paths)
+    cols = [
+        F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+        for f in snap.schema.fields
     ] + [F.col(f.name) for f in (extra or [])]
     return df.select(*cols)
 
@@ -3019,12 +3025,11 @@ def read_delta_changes(
             paths = [os.path.join(path, unquote(c["path"])) for c in cdcs]
             snap_v = delta_snapshot(spark, path, version=v)
             ct_field = StructField("_change_type", StringType(), True)
-            if snap_v.column_mapping_mode == "name":
+            if snap_v.column_mapping_mode in ("name", "id"):
                 # mapped tables write cdc files under PHYSICAL names
                 # (the spec's rule); _change_type itself is unmapped
-                cdc_df = _physical_schema_read(
-                    spark, paths, snap_v.schema, snap_v.column_mapping,
-                    extra=[ct_field],
+                cdc_df = _mapped_schema_read(
+                    spark, paths, snap_v, extra=[ct_field]
                 )
             else:
                 cdc_schema = StructType(
@@ -3052,10 +3057,8 @@ def read_delta_changes(
             paths = [
                 os.path.join(path, unquote(a["path"])) for a in adds
             ]
-            if snap_v.column_mapping_mode == "name":
-                add_df = _physical_schema_read(
-                    spark, paths, snap_v.schema, snap_v.column_mapping
-                )
+            if snap_v.column_mapping_mode in ("name", "id"):
+                add_df = _mapped_schema_read(spark, paths, snap_v)
             else:
                 add_df = spark.read.schema(snap_v.schema).parquet(*paths)
             branches.append(with_meta(add_df, "insert", v))
@@ -3070,11 +3073,8 @@ def read_delta_changes(
             paths = [
                 os.path.join(path, unquote(r["path"])) for r in removes
             ]
-            if snap_prev.column_mapping_mode == "name":
-                rm_df = _physical_schema_read(
-                    spark, paths, snap_prev.schema,
-                    snap_prev.column_mapping,
-                )
+            if snap_prev.column_mapping_mode in ("name", "id"):
+                rm_df = _mapped_schema_read(spark, paths, snap_prev)
             else:
                 rm_df = spark.read.schema(snap_prev.schema).parquet(
                     *paths
@@ -3131,18 +3131,41 @@ def _dml_scan(
     data_fields = [
         f for f in snap.schema.fields if f.name not in set(part_cols)
     ]
-    mapped = snap.column_mapping_mode == "name"
-    if mapped:
+    mapped = snap.column_mapping_mode in ("name", "id")
+    if snap.column_mapping_mode == "name":
         # name-mode mapping (r12): the files carry PHYSICAL column
         # names — a logical schema'd read would yield all-NULL columns
         # and predicates silently matching nothing. Read physical,
         # rename back to logical (positional struct casts restore
         # nested names too).
+        phys_names = {
+            f.name: snap.column_mapping[f.name] for f in data_fields
+        }
         data_schema = StructType(
             [
                 StructField(
-                    snap.column_mapping[f.name],
+                    phys_names[f.name],
                     _physical_datatype(f.dataType, f.name),
+                    f.nullable,
+                )
+                for f in data_fields
+            ]
+        )
+    elif snap.column_mapping_mode == "id":
+        # id-mode (r13): resolve physical names from the files'
+        # parquet footer field ids, like the main read path
+        idmap = _parquet_field_id_names(
+            [os.path.join(path, rel) for rel in snap.files]
+        )
+        phys_names = {
+            f.name: _resolve_phys_by_id(f, idmap, f.name)
+            for f in data_fields
+        }
+        data_schema = StructType(
+            [
+                StructField(
+                    phys_names[f.name],
+                    _physical_datatype_by_id(f.dataType, idmap, f.name),
                     f.nullable,
                 )
                 for f in data_fields
@@ -3166,7 +3189,7 @@ def _dml_scan(
         extras0 = ["_dl_file"] + (["_dl_ri"] if with_row_index else [])
         scan = scan.select(
             *[
-                F.col(snap.column_mapping[f.name])
+                F.col(phys_names[f.name])
                 .cast(f.dataType)
                 .alias(f.name)
                 for f in data_fields
@@ -3250,6 +3273,164 @@ def _to_physical_frame(df, schema: StructType, mapping: dict):
     return df.select(*cols)
 
 
+def _contains_struct(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_struct(dt.elementType)
+    if isinstance(dt, MapType):
+        return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+    return False
+
+
+def _phys_value_expr(col, dt, where: str):
+    """Rebuild a LOGICAL-named value of datatype ``dt`` with PHYSICAL
+    names AND ``parquet.field.id`` metadata on every struct field
+    (r13, id-mode writes at all nesting levels). Spark's parquet
+    writer stamps footer field ids from that metadata key when
+    ``spark.sql.parquet.fieldId.write.enabled`` is on; CreateNamedStruct
+    propagates alias metadata into its result type (probed on this
+    Spark), so the rebuild reaches arbitrarily nested struct fields.
+    Structs rebuild behind an isNotNull guard (a bare F.struct of a
+    NULL struct's fields would yield a non-NULL all-NULL row). Array
+    element / map key+value parquet nodes themselves carry no id —
+    Spark's type system has no metadata slot there, and base
+    column-mapping assigns ids to struct fields only (inner-node ids
+    are icebergCompatV2's extension, out of scope)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        parts = []
+        for f in dt.fields:
+            meta = f.metadata or {}
+            fid = meta.get("delta.columnMapping.id")
+            phys = meta.get("delta.columnMapping.physicalName")
+            if fid is None or phys is None:
+                raise ValueError(
+                    f"id-mode write: field {where}.{f.name!r} lacks "
+                    "columnMapping id/physicalName metadata — corrupt "
+                    "table metadata"
+                )
+            parts.append(
+                _phys_value_expr(
+                    col.getField(f.name), f.dataType, f"{where}.{f.name}"
+                ).alias(phys, metadata={"parquet.field.id": int(fid)})
+            )
+        return F.when(col.isNotNull(), F.struct(*parts))
+    if isinstance(dt, ArrayType):
+        if not _contains_struct(dt.elementType):
+            return col
+        return F.transform(
+            col,
+            lambda e: _phys_value_expr(e, dt.elementType, where + "[]"),
+        )
+    if isinstance(dt, MapType):
+        if _contains_struct(dt.keyType):
+            raise NotImplementedError(
+                f"id-mode write: map KEY at {where} contains a struct — "
+                "key rebuild via map_from_arrays is not implemented"
+            )
+        if not _contains_struct(dt.valueType):
+            return col
+        return F.when(
+            col.isNotNull(),
+            F.map_from_arrays(
+                F.map_keys(col),
+                F.transform(
+                    F.map_values(col),
+                    lambda v: _phys_value_expr(
+                        v, dt.valueType, where + "<value>"
+                    ),
+                ),
+            ),
+        )
+    return col
+
+
+def _to_physical_frame_ids(df, schema: StructType):
+    """ID-mode twin of :func:`_to_physical_frame` (r13): project a
+    LOGICAL frame to the table's PHYSICAL column names with
+    ``parquet.field.id`` metadata at every struct level, so the staged
+    parquet footers carry the protocol's field ids (stage the result
+    under ``spark.sql.parquet.fieldId.write.enabled`` — see
+    :func:`_field_id_write_conf`). Columns absent from ``schema``
+    (the cdc files' ``_change_type``) pass through unmapped, the
+    spec's rule for CDF's own columns."""
+    by_name = {f.name: f for f in schema.fields}
+    cols = []
+    for name in df.columns:
+        f = by_name.get(name)
+        if f is None:
+            cols.append(F.col(name))
+            continue
+        meta = f.metadata or {}
+        fid = meta.get("delta.columnMapping.id")
+        phys = meta.get("delta.columnMapping.physicalName")
+        if fid is None or phys is None:
+            raise ValueError(
+                f"id-mode write: field {f.name!r} lacks columnMapping "
+                "id/physicalName metadata — corrupt table metadata"
+            )
+        cols.append(
+            _phys_value_expr(
+                F.col(name).cast(f.dataType), f.dataType, f.name
+            ).alias(phys, metadata={"parquet.field.id": int(fid)})
+        )
+    return df.select(*cols)
+
+
+@contextmanager
+def _field_id_write_conf(spark: SparkSession, enabled: bool):
+    """Scoped ``spark.sql.parquet.fieldId.write.enabled`` toggle for
+    id-mode staging writes; no-op (and no conf churn) when off."""
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _to_physical_write_frame(df, snap, schema: StructType | None = None):
+    """Mode-dispatching physical projection for STAGING (r13): returns
+    ``(frame, stage_partition_cols, field_ids_flag)`` — the frame
+    renamed to physical columns (id mode additionally metadata-stamped
+    for footer field ids), the partition columns translated to their
+    physical names, and whether the staging write needs
+    ``_field_id_write_conf``. ``schema`` overrides the snapshot schema
+    (the mergeSchema-widened schema, whose new fields already carry
+    fresh ids/physical names)."""
+    sch = schema if schema is not None else snap.schema
+    mode = snap.column_mapping_mode
+    if mode == "name":
+        mapping = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in sch.fields
+        }
+        pcols = [mapping.get(c, c) for c in snap.partition_columns]
+        return _to_physical_frame(df, sch, mapping), pcols, False
+    if mode == "id":
+        mapping = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in sch.fields
+        }
+        pcols = [mapping.get(c, c) for c in snap.partition_columns]
+        return _to_physical_frame_ids(df, sch), pcols, True
+    return df, list(snap.partition_columns), False
+
+
 def _stage_files(
     spark: SparkSession,
     path: str,
@@ -3258,13 +3439,16 @@ def _stage_files(
     partition_by: list,
     start_n: int = 0,
     data_change: bool = True,
+    field_ids: bool = False,
 ) -> list:
     """Stage ``df`` via a normal distributed parquet write (optionally
     partitionBy), move the non-empty part files to
     ``part-<version>-<n>`` at the table root, and return their add
     actions — partitionValues hive-UNESCAPED from the staging dir
     names (the writer's knowledge, not directory parsing of the
-    table), footer stats attached."""
+    table), footer stats attached. ``field_ids`` (r13) writes the
+    footers with parquet field ids from the frame's metadata — the
+    id-mode staging contract."""
     import shutil
     import uuid
 
@@ -3272,7 +3456,8 @@ def _stage_files(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(stage)
+    with _field_id_write_conf(spark, field_ids):
+        writer.parquet(stage)
     actions: list = []
     n = start_n
 
@@ -3343,10 +3528,11 @@ def _cow_rewrite(
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, op_name)
     _check_append_only(snap.metadata_raw, op_name)
-    if snap.column_mapping_mode == "id" or snap.deletion_vectors:
+    if snap.deletion_vectors:
         raise NotImplementedError(
-            f"{op_name} on id-mapped / deletion-vector tables needs "
-            "a field-id/DV-aware writer — refusing"
+            f"{op_name} (copy-on-write) on a deletion-vector-carrying "
+            "table needs a DV-aware rewrite — pass "
+            "use_deletion_vectors=True"
         )
 
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
@@ -3381,14 +3567,9 @@ def _cow_rewrite(
         _enforce_constraints(
             keep, snap.metadata_raw.get("configuration"), op_name
         )
-    stage_pcols = snap.partition_columns
-    if snap.column_mapping_mode == "name":
-        keep = _to_physical_frame(keep, snap.schema, snap.column_mapping)
-        stage_pcols = [
-            snap.column_mapping.get(c, c) for c in snap.partition_columns
-        ]
+    keep, stage_pcols, fids = _to_physical_write_frame(keep, snap)
     actions: list[dict] = _stage_files(
-        spark, path, keep, version, stage_pcols
+        spark, path, keep, version, stage_pcols, field_ids=fids
     )
     for rel in touched_rels:
         actions.append(
@@ -3458,11 +3639,6 @@ def _dv_mark_deleted(
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, op_name)
     _check_append_only(snap.metadata_raw, op_name)
-    if snap.column_mapping_mode == "id":
-        raise NotImplementedError(
-            f"{op_name} (deletion-vector mode) on an id-mapped table "
-            "needs the footer-field-id scan — refusing"
-        )
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
             f"{op_name}: change data feed on a partitioned table — "
@@ -3754,21 +3930,23 @@ def update_delta_table(
         updated, snap.metadata_raw.get("configuration"), "update_delta_table"
     )
     version = _next_version(path)
-    if snap.column_mapping_mode == "name":
-        updated = _to_physical_frame(updated, snap.schema,
-                                     snap.column_mapping)
+    updated_log = updated
+    updated, upd_pcols, fids = _to_physical_write_frame(updated, snap)
     actions.extend(
         _stage_files(
-            spark, path, updated, version,
-            [snap.column_mapping.get(c, c)
-             for c in snap.partition_columns],
+            spark, path, updated, version, upd_pcols, field_ids=fids
         )
     )
     if deleted_rows is not None:
+        # the LOGICAL post-update frame (updated_log) — the staged
+        # `updated` is already physical-named on mapped tables, and
+        # _write_cdc_files does its own logical→physical projection
         cdc = deleted_rows.withColumn(
             "_change_type", F.lit("update_preimage")
         ).unionByName(
-            updated.withColumn("_change_type", F.lit("update_postimage"))
+            updated_log.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
         )
         actions.extend(_write_cdc_files(spark, path, version, cdc, snap=snap))
     _write_commit(
@@ -3802,12 +3980,6 @@ def merge_into_delta_table(
     table's columns by name. Returns the committed version (current
     version when the source is empty)."""
     snap = delta_snapshot(spark, path)
-    if snap.column_mapping_mode == "id":
-        raise NotImplementedError(
-            "merge_into_delta_table on an id-mapped table needs parquet "
-            "field-id stamping — refusing"
-        )
-
     if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
         raise NotImplementedError(
             "merge_into_delta_table: change data feed on a partitioned "
@@ -3889,15 +4061,13 @@ def merge_into_delta_table(
             spark, path, matched, "merge_into_delta_table"
         )
         version = _next_version(path)
-        merge_src = source_df.select(*cols)
-        if snap.column_mapping_mode == "name":
-            merge_src = _to_physical_frame(merge_src, snap.schema,
-                                           snap.column_mapping)
+        merge_src, merge_pcols, fids = _to_physical_write_frame(
+            source_df.select(*cols), snap
+        )
         actions.extend(
             _stage_files(
-                spark, path, merge_src, version,
-                [snap.column_mapping.get(c, c)
-                 for c in snap.partition_columns],
+                spark, path, merge_src, version, merge_pcols,
+                field_ids=fids,
             )
         )
         if cdc_parts is not None:
@@ -3984,16 +4154,13 @@ def _merge_cow(
                 .join(src_keys.alias("_src"), cond, "left_anti")
                 .drop("_dl_file")
             )
-            keep_out = keep.select(*cols)
-            if snap.column_mapping_mode == "name":
-                keep_out = _to_physical_frame(
-                    keep_out, snap.schema, snap.column_mapping
-                )
+            keep_out, keep_pcols, fids = _to_physical_write_frame(
+                keep.select(*cols), snap
+            )
             actions.extend(
                 _stage_files(
-                    spark, path, keep_out, version,
-                    [snap.column_mapping.get(c, c)
-                     for c in snap.partition_columns],
+                    spark, path, keep_out, version, keep_pcols,
+                    field_ids=fids,
                 )
             )
             now_ms = int(os.path.getmtime(path) * 1000)
@@ -4007,19 +4174,18 @@ def _merge_cow(
                         }
                     }
                 )
-    src_out = source_df.select(*cols)
-    if snap.column_mapping_mode == "name":
-        src_out = _to_physical_frame(src_out, snap.schema,
-                                     snap.column_mapping)
+    src_out, src_pcols, fids = _to_physical_write_frame(
+        source_df.select(*cols), snap
+    )
     actions.extend(
         _stage_files(
             spark,
             path,
             src_out,
             version,
-            [snap.column_mapping.get(c, c)
-             for c in snap.partition_columns],
+            src_pcols,
             start_n=sum(1 for a in actions if "add" in a),
+            field_ids=fids,
         )
     )
     cdc_parts = _merge_cdc_parts(
@@ -4066,12 +4232,6 @@ def optimize_delta_table(
     boundaries). Snapshot row content is unchanged — unit-asserted —
     and prior versions stay time-travelable until vacuumed."""
     snap = delta_snapshot(spark, path)
-    if snap.column_mapping_mode == "id":
-        raise NotImplementedError(
-            "optimize_delta_table: id-mode column-mapped table — "
-            "rewriting would need parquet field-id stamping; only "
-            "name-mode tables are compactable"
-        )
     if zorder and set(zorder) & set(snap.partition_columns):
         raise ValueError(
             "optimize_delta_table: ZORDER columns overlap the partition "
@@ -4109,19 +4269,15 @@ def optimize_delta_table(
         # many small files into one input partition, and coalesce can
         # only DECREASE the count
         df = df.repartition(target_files)
-    stage_pcols = snap.partition_columns
-    if snap.column_mapping_mode == "name":
-        # compaction rewrites data files, which must carry PHYSICAL
-        # names on a mapped table (r12 — the zorder/repartition logic
-        # above ran on the logical frame; only the staging is physical)
-        df = _to_physical_frame(df, snap.schema, snap.column_mapping)
-        stage_pcols = [
-            snap.column_mapping.get(c, c) for c in snap.partition_columns
-        ]
+    # compaction rewrites data files, which must carry PHYSICAL names
+    # on a mapped table (r12; id mode stamps footer field ids, r13 —
+    # the zorder/repartition logic above ran on the logical frame;
+    # only the staging is physical)
+    df, stage_pcols, fids = _to_physical_write_frame(df, snap)
     version = _next_version(path)
     actions = _stage_files(
         spark, path, df, version, stage_pcols,
-        data_change=False,
+        data_change=False, field_ids=fids,
     )
     for rel in sorted(snap.files):
         actions.append(
@@ -4387,6 +4543,14 @@ class DeltaConcurrentWriteError(RuntimeError):
     """
 
 
+class DeltaConcurrentTransactionError(DeltaConcurrentWriteError):
+    """A concurrent commit carried a SetTransaction action with OUR
+    txn appId (r13, ADVICE r12 medium) — two runs of the same
+    streaming query (a zombie driver) raced; rebasing past the winner
+    would double-commit the micro-batch and break exactly-once.
+    delta-spark's ConcurrentTransactionException."""
+
+
 def _json_commit_ict(json_path: str):
     """``commitInfo.inCommitTimestamp`` of one commit JSON (None when
     the commit carries none)."""
@@ -4487,6 +4651,18 @@ def _write_commit(
     log = os.path.join(path, LOG_DIR)
     os.makedirs(log, exist_ok=True)
     commit = os.path.join(log, f"{version:020d}.json")
+    # r13: version ≤ the newest checkpoint is ALWAYS a lost race — the
+    # checkpoint proves a later state existed. Without this gate, log
+    # expiry (which deletes the covered JSONs) would make the
+    # put-if-absent link() below SUCCEED for a stale version, silently
+    # rewriting history below the checkpoint.
+    ckpt = _checkpoint_version(log, 1 << 62)
+    if ckpt is not None and version <= ckpt:
+        raise DeltaConcurrentWriteError(
+            f"version {version} of {path} is at or below the newest "
+            f"checkpoint ({ckpt}) — the log advanced past this "
+            "transaction (and expiry removed the winning JSONs)"
+        )
     tmp = commit + f".{_uuid.uuid4().hex}.tmp"
     # IN-COMMIT TIMESTAMPS (r11): once a table writes ICTs, EVERY later
     # commit must carry one, monotonically increasing — derived from
@@ -4568,6 +4744,78 @@ def _is_blind_append(actions: list) -> bool:
     return True
 
 
+def _classify_checkpoint_tail(
+    path: str,
+    latest: int,
+    ours_blind: bool,
+    txn_app_id: str | None,
+    base_state: dict | None,
+) -> None:
+    """Conflict classification when log expiry left a CHECKPOINT-ONLY
+    tail mid-retry (r13): the winning commits' JSONs are gone, so
+    compare the replayed state at ``latest`` (the no-Spark checkpoint
+    replay — classic or v2 manifest) against the snapshot the caller
+    built its actions from. Raises the classified error, or returns
+    when a blind append may safely rebase. Without ``base_state``
+    there is nothing to diff against — fail closed."""
+    from fintech_lakehouse_spark.sources.deltastream import _pure_snapshot
+
+    try:
+        cur = _pure_snapshot(path, version=latest)
+    except Exception as exc:  # noqa: BLE001 — classification itself failed
+        raise DeltaConcurrentWriteError(
+            f"log of {path} is checkpoint-only at version {latest} and "
+            f"the checkpoint replay failed ({exc}) — cannot classify "
+            "the concurrent commits; re-read the table and rebuild"
+        ) from None
+    if txn_app_id is not None:
+        base_txns = (base_state or {}).get("txns") or {}
+        if cur["txns"].get(txn_app_id, -1) != base_txns.get(
+            txn_app_id, -1
+        ):
+            raise DeltaConcurrentTransactionError(
+                f"concurrent SetTransaction for appId {txn_app_id!r} "
+                f"inside the checkpointed tail of {path} — another run "
+                "of this streaming query committed; re-committing "
+                "would break exactly-once"
+            ) from None
+    if base_state is None:
+        raise DeltaConcurrentWriteError(
+            f"log of {path} is checkpoint-only at version {latest} and "
+            "the writer supplied no base snapshot to diff against — "
+            "cannot classify the concurrent commits; re-read and "
+            "rebuild"
+        ) from None
+    same_meta = _state_meta_key(
+        base_state.get("metadata_raw"), base_state.get("protocol_raw")
+    ) == _state_meta_key(cur["metadata_raw"], cur["protocol_raw"])
+    if not same_meta:
+        raise DeltaConcurrentWriteError(
+            f"concurrent metadata/protocol change inside the "
+            f"checkpointed tail of {path} — this transaction was built "
+            "against a stale schema; re-read the table and rebuild"
+        ) from None
+    if not ours_blind:
+        raise DeltaConcurrentWriteError(
+            f"concurrent commits inside the checkpointed tail of "
+            f"{path} conflict with this transaction's file "
+            "removes/rewrites — the snapshot it read is stale; re-read "
+            "and rebuild"
+        ) from None
+    # blind append + unchanged metaData/protocol + no same-appId txn:
+    # every expired winner was (at most) a data change — safe to rebase
+
+
+def _state_meta_key(metadata_raw, protocol_raw) -> str:
+    """Canonical comparison key for a snapshot's metaData + protocol
+    (dict order must not matter)."""
+    return json.dumps(
+        {"m": metadata_raw or {}, "p": protocol_raw or {}},
+        sort_keys=True,
+        default=str,
+    )
+
+
 def commit_with_retry(
     path: str,
     version: int,
@@ -4575,6 +4823,8 @@ def commit_with_retry(
     operation: str | None = None,
     max_retries: int = 10,
     operation_parameters: dict | None = None,
+    txn_app_id: str | None = None,
+    base_state: dict | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit (r12): attempt the put-if-absent
     commit at ``version``; on :class:`DeltaConcurrentWriteError`,
@@ -4594,6 +4844,17 @@ def commit_with_retry(
       the read snapshot our remove set was derived from is stale —
       the CALLER must re-read and rebuild, this helper cannot).
 
+    r13 additions: ``txn_app_id`` (ADVICE r12 medium) raises
+    :class:`DeltaConcurrentTransactionError` when any winning commit
+    carries a SetTransaction action with the SAME appId — two
+    concurrent runs of one streaming query (a zombie driver) must not
+    both land their micro-batch (delta's
+    ConcurrentTransactionException). ``base_state`` (the snapshot
+    dict the write was built against: ``metadata_raw`` /
+    ``protocol_raw`` / ``txns`` keys) lets a checkpoint-only log tail
+    (log expiry raced the rebase) classify from the STATE DIFF via
+    the no-Spark checkpoint replay instead of re-raising blind.
+
     Returns the version actually committed. The losing writer's data
     files are never clobbered: promoted names embed a uuid (ADVICE
     r11 medium), so only the LOG decides visibility."""
@@ -4611,8 +4872,27 @@ def commit_with_retry(
             for v in range(version, latest + 1):
                 jpath = os.path.join(path, LOG_DIR, f"{v:020d}.json")
                 if not os.path.exists(jpath):
-                    raise  # checkpoint-only tail: cannot classify
+                    # checkpoint-only tail (r13, VERDICT r12 item 3):
+                    # log expiry raced the rebase — the per-commit
+                    # JSONs are gone, so classify from the replayed
+                    # STATE at the tail vs the caller's base snapshot
+                    _classify_checkpoint_tail(
+                        path, latest, ours_blind, txn_app_id, base_state
+                    )
+                    break
                 for a in _read_commit_actions(path, v):
+                    if (
+                        txn_app_id is not None
+                        and "txn" in a
+                        and a["txn"].get("appId") == txn_app_id
+                    ):
+                        raise DeltaConcurrentTransactionError(
+                            f"concurrent SetTransaction for appId "
+                            f"{txn_app_id!r} at version {v} of {path} — "
+                            "another run of this streaming query "
+                            "committed; re-committing would break "
+                            "exactly-once"
+                        ) from None
                     if "metaData" in a or "protocol" in a:
                         raise DeltaConcurrentWriteError(
                             f"concurrent metadata/protocol change at "

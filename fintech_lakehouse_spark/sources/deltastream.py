@@ -40,10 +40,12 @@ from the log's partitionValues, typed per the table schema.
 Everything here runs WITHOUT a SparkSession (driver planning reads
 the log with os/json/pyarrow only — classic AND v2 checkpoints),
 which is what lets the source derive its own schema from the table
-metaData. NAME-mode column-mapped tables read and write (physical
-parquet names, logical emit — r12); fail-closed scope: id-mode
-mapping and partition/value types beyond the simple scalar set
-refuse at plan time.
+metaData. Column-mapped tables read and write in BOTH modes: name
+(physical parquet names, logical emit — r12) and id (r13 — reads
+resolve each file's columns by parquet footer field id with
+physicalName fallback; writes stamp the footers via pyarrow field
+metadata); fail-closed scope: partition/value types beyond the
+simple scalar set refuse at plan time.
 """
 
 from __future__ import annotations
@@ -216,14 +218,29 @@ def _pure_snapshot(path: str, version: int | None = None) -> dict:
                     _apply_action(state, json.loads(line))
     if state["schema"] is None:
         raise ValueError(f"no metaData action under {log}")
-    if state["column_mapping_mode"] == "id":
-        raise NotImplementedError(
-            "deltabridge source: id-mode column mapping needs the "
-            "Spark-side footer-field-id reader — refusing (name mode "
-            "is supported)"
-        )
     state["version"] = version
     return state
+
+
+def _row_plan(snap: dict) -> list:
+    """(logical, is_partition, physical, field_id) per schema field.
+    field_id is set only in ID mapping mode (r13) — the executor-side
+    read resolves the ACTUAL per-file column name from the parquet
+    footer's field ids, falling back to physicalName (the spec
+    requires it alongside the id)."""
+    mapping = snap["column_mapping"] or {}
+    id_mode = snap["column_mapping_mode"] == "id"
+    part = set(snap["partition_columns"])
+    plan = []
+    for f in snap["schema"].fields:
+        fid = None
+        if id_mode:
+            raw = (f.metadata or {}).get("delta.columnMapping.id")
+            fid = int(raw) if raw is not None else None
+        plan.append(
+            (f.name, f.name in part, mapping.get(f.name, f.name), fid)
+        )
+    return plan
 
 
 def _commit_actions(path: str, v: int) -> list[dict]:
@@ -297,17 +314,31 @@ def _read_partition(
     """Executor-side file read: pyarrow scan of the declared data
     columns (+ the cdc file's own _change_type when present), deletion
     vector indexes dropped, rows emitted in DECLARED schema order
-    (``row_plan``: (logical, is_partition, physical) triples — data
-    files are read by PHYSICAL name (r12, name-mode column mapping;
-    physical == logical on unmapped tables), partition values come
-    from the log, everything emits under LOGICAL names), CDF metadata
-    appended last when streaming changes."""
+    (``row_plan``: (logical, is_partition, physical, field_id)
+    quadruples — data files are read by PHYSICAL name (r12, name-mode
+    column mapping; physical == logical on unmapped tables) or by the
+    footer's parquet FIELD ID (r13, id mode — per-file resolution,
+    physicalName fallback), partition values come from the log,
+    everything emits under LOGICAL names), CDF metadata appended last
+    when streaming changes."""
     import pyarrow.parquet as pq
 
-    cols = [phys for c, is_pv, phys in row_plan if not is_pv]
+    full = os.path.join(table_path, part.file_path)
+    read_name = {c: phys for c, is_pv, phys, fid in row_plan if not is_pv}
+    if any(fid is not None for _, is_pv, _, fid in row_plan if not is_pv):
+        by_id = {}
+        for fld in pq.read_schema(full):
+            md = fld.metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            if raw is not None:
+                by_id[int(raw)] = fld.name
+        for c, is_pv, phys, fid in row_plan:
+            if not is_pv and fid is not None and fid in by_id:
+                read_name[c] = by_id[fid]
+    cols = [read_name[c] for c, is_pv, _, _ in row_plan if not is_pv]
     if part.has_change_col:
         cols.append("_change_type")
-    table = pq.read_table(os.path.join(table_path, part.file_path), columns=cols)
+    table = pq.read_table(full, columns=cols)
     if part.dv_json:
         from fintech_lakehouse_spark.sources.deletionvectors import (
             decode_deletion_vector,
@@ -333,8 +364,8 @@ def _read_partition(
     rows = table.to_pylist()
     for r in rows:
         base = [
-            part.pvals[c] if is_pv else r[phys]
-            for c, is_pv, phys in row_plan
+            part.pvals[c] if is_pv else r[read_name[c]]
+            for c, is_pv, phys, fid in row_plan
         ]
         if part.change_type is not None or part.has_change_col:
             ct = r.get("_change_type") if part.has_change_col else None
@@ -352,14 +383,7 @@ class DeltaBridgeReader(DataSourceReader):
         self.part_cols = snap["partition_columns"]
         mapping = snap["column_mapping"] or {}
         self.mapping = mapping
-        self.row_plan = [
-            (
-                f.name,
-                f.name in set(self.part_cols),
-                mapping.get(f.name, f.name),
-            )
-            for f in snap["schema"].fields
-        ]
+        self.row_plan = _row_plan(snap)
         self.part_types = {
             f.name: f.dataType.typeName()
             for f in snap["schema"].fields
@@ -405,14 +429,7 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             raise NotImplementedError(
                 "deltabridge CDF stream: unpartitioned tables only"
             )
-        self.row_plan = [
-            (
-                f.name,
-                f.name in set(self.part_cols),
-                self.mapping.get(f.name, f.name),
-            )
-            for f in snap["schema"].fields
-        ]
+        self.row_plan = _row_plan(snap)
         self.part_types = {
             f.name: f.dataType.typeName()
             for f in snap["schema"].fields
@@ -596,7 +613,7 @@ class DeltaBridgeWriter(DataSourceWriter):
     from the log.
 
     Fail-closed scope (each would corrupt silently if ignored):
-    id-mapped / constraint-carrying / generated- or
+    constraint-carrying / generated- or
     identity-column tables, schema mismatch vs the table, unsupported
     writerFeatures, delta.appendOnly under overwrite, overwrite of a
     DV-carrying table (the removes must carry DV descriptors),
@@ -694,17 +711,35 @@ class DeltaBridgeWriter(DataSourceWriter):
         os.makedirs(self.stage, exist_ok=True)
         files = []
         phys = getattr(self, "phys", {}) or {}
+        field_ids = getattr(self, "field_ids", {}) or {}
+        pa_fields = []
+        for f in data_fields:
+            meta = None
+            if f.name in field_ids:
+                meta = {
+                    b"PARQUET:field_id": str(field_ids[f.name]).encode()
+                }
+            pa_fields.append(
+                pa.field(
+                    phys.get(f.name, f.name),
+                    pa.type_for_alias(_PA_TYPES[f.dataType.typeName()]),
+                    metadata=meta,
+                )
+            )
+        pa_schema = pa.schema(pa_fields)
         for key in sorted(groups, key=lambda k: tuple(map(str, k))):
             rows = groups[key]
-            arrays = {
-                phys.get(f.name, f.name): pa.array(
+            arrays = [
+                pa.array(
                     [r[i] for r in rows],
                     pa.type_for_alias(_PA_TYPES[f.dataType.typeName()]),
                 )
                 for i, f in enumerate(data_fields)
-            }
+            ]
             tmp = os.path.join(self.stage, f"{uuid.uuid4().hex}.parquet")
-            pq.write_table(pa.table(arrays), tmp)
+            pq.write_table(
+                pa.Table.from_arrays(arrays, schema=pa_schema), tmp
+            )
             pvals = {
                 phys.get(c, c): _pv_string(
                     key[j],
@@ -736,6 +771,7 @@ class DeltaBridgeWriter(DataSourceWriter):
         ):
             self.part_cols = self._resolve_part_cols(None)
             self.phys = {}
+            self.field_ids = {}
             return None  # table creation
         snap = _pure_snapshot(self.path)
         feats = (snap["protocol_raw"] or {}).get("writerFeatures") or []
@@ -747,10 +783,23 @@ class DeltaBridgeWriter(DataSourceWriter):
             )
         conf = (snap["metadata_raw"] or {}).get("configuration") or {}
         self.part_cols = self._resolve_part_cols(snap)
-        # name-mode mapping (r12): executors stage parquet under the
-        # PHYSICAL names and the add actions key partitionValues
-        # physically (the _pure_snapshot gate already refused id mode)
+        # column mapping (r12; id mode r13): executors stage parquet
+        # under the PHYSICAL names and the add actions key
+        # partitionValues physically; id mode additionally stamps the
+        # footers with parquet field ids (pyarrow maps the
+        # PARQUET:field_id field-metadata key on write)
         self.phys = dict(snap["column_mapping"] or {})
+        self.field_ids = {}
+        if snap["column_mapping_mode"] == "id":
+            for f in snap["schema"].fields:
+                raw = (f.metadata or {}).get("delta.columnMapping.id")
+                if raw is None:
+                    raise ValueError(
+                        f"deltabridge write: id-mode field {f.name!r} "
+                        "lacks columnMapping.id metadata — corrupt "
+                        "table metadata"
+                    )
+                self.field_ids[f.name] = int(raw)
         if table_constraints(conf):
             raise NotImplementedError(
                 "deltabridge write: CHECK constraints need engine-side "
@@ -921,7 +970,12 @@ class DeltaBridgeWriter(DataSourceWriter):
         # appends REBASE past concurrent data-only commits (a txn
         # action does not break blind-append class); overwrites
         # and creation races classify as conflicts and raise
-        # (commit_with_retry's WriteSerializable rules)
+        # (commit_with_retry's WriteSerializable rules). r13 (ADVICE
+        # r12 medium): the txn appId rides into the classification —
+        # a concurrent commit from another run of the SAME streaming
+        # query (zombie driver) raises ConcurrentTransaction instead
+        # of rebasing into a double-commit; base_state lets a
+        # checkpoint-only tail classify from the state diff.
         commit_with_retry(
             self.path,
             version,
@@ -929,6 +983,8 @@ class DeltaBridgeWriter(DataSourceWriter):
             operation="STREAMING UPDATE"
             if txn_app_id is not None
             else "WRITE",
+            txn_app_id=txn_app_id,
+            base_state=snap,
         )
         return True
 
@@ -990,17 +1046,32 @@ class DeltaBridgeStreamWriter(DataSourceStreamWriter):
         return self._writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
-        self._writer._publish(
-            messages, txn_app_id=self.app_id, txn_batch_id=int(batchId)
-        )
+        # rmtree like the batch writer's commit() (ADVICE r12 low:
+        # _publish alone left the _stage_<uuid> dir under the table
+        # root for the life of the query). Safe per micro-batch:
+        # staged files are promoted or unlinked before cleanup, and
+        # the next batch's executors re-mkdir the stage.
+        import shutil
+
+        try:
+            self._writer._publish(
+                messages, txn_app_id=self.app_id, txn_batch_id=int(batchId)
+            )
+        finally:
+            shutil.rmtree(self._writer.stage, ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        for m in messages:
-            for tmp_path, _ in (m.files if m else []):
-                try:
-                    os.unlink(tmp_path)
-                except OSError:
-                    pass
+        import shutil
+
+        try:
+            for m in messages:
+                for tmp_path, _ in (m.files if m else []):
+                    try:
+                        os.unlink(tmp_path)
+                    except OSError:
+                        pass
+        finally:
+            shutil.rmtree(self._writer.stage, ignore_errors=True)
 
 
 class DeltaBridgeDataSource(DataSource):

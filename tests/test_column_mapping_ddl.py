@@ -262,7 +262,12 @@ def test_mapped_merge_schema_assigns_fresh_ids(spark, tmp_path):
     snap = delta_snapshot(spark, root)
     f = snap.schema["score"]
     assert f.metadata["delta.columnMapping.id"] == 4  # 3 existing + 1
-    assert f.metadata["delta.columnMapping.physicalName"] == "score"
+    # ADVICE r12 high: post-enablement columns get FRESH col-<uuid>
+    # physical names (delta-spark's rule) — reusing the logical name
+    # can collide with a renamed column's physicalName or resurrect a
+    # dropped column's stale data from old files
+    phys = f.metadata["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-") and phys != "score"
     conf = snap.metadata_raw["configuration"]
     assert conf["delta.columnMapping.maxColumnId"] == "4"
     out = read_delta_table(spark, root)
@@ -270,30 +275,85 @@ def test_mapped_merge_schema_assigns_fresh_ids(spark, tmp_path):
     assert got == [(1, "a", 7, None), (2, "b", 8, None), (3, "c", 9, 1.5)]
 
 
+def test_mapped_merge_schema_after_rename_no_collision(spark, tmp_path):
+    """The ADVICE r12 failure shape: rename a→b keeps physical 'a';
+    mergeSchema-adding a new column named 'a' must NOT collide with
+    b's physicalName (which would silently map two logical columns to
+    one physical column)."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        rename_delta_column,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    enable_column_mapping(spark, root)
+    rename_delta_column(spark, root, "v", "w")  # physical stays "v"
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 9, "fresh")], "id long, w string, d long, v string"
+        ),
+        root,
+        merge_schema=True,
+    )
+    snap = delta_snapshot(spark, root)
+    phys = {
+        f.name: f.metadata["delta.columnMapping.physicalName"]
+        for f in snap.schema.fields
+    }
+    assert phys["w"] == "v"
+    assert phys["v"].startswith("col-") and phys["v"] != "v"
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    # old rows: w reads back the old physical-'v' data, new 'v' is NULL
+    assert got == [
+        (1, "a", 7, None), (2, "b", 8, None), (3, "c", 9, "fresh")
+    ]
+
+
 def _flip_to_id_mode(spark, root):
     """Re-commit the table metaData in ID mapping mode with
-    columnMapping id/physicalName on every (flat) field — the state a
-    foreign id-mode writer leaves behind."""
+    columnMapping id/physicalName on every field at EVERY nesting
+    level — the state a foreign id-mode writer leaves behind."""
     import json as _json
 
     from fintech_lakehouse_spark.sources.deltalog import (
         _next_version,
         _write_commit,
     )
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType
 
     snap = delta_snapshot(spark, root)
-    fields = []
-    for i, f in enumerate(snap.schema.fields, start=1):
-        meta = dict(f.metadata or {})
-        meta["delta.columnMapping.id"] = i
-        meta["delta.columnMapping.physicalName"] = f"col-{i}"
-        fields.append(StructField(f.name, f.dataType, f.nullable, meta))
+    counter = [0]
+
+    def stamp(dt):
+        if isinstance(dt, StructType):
+            fields = []
+            for f in dt.fields:
+                counter[0] += 1
+                meta = dict(f.metadata or {})
+                meta["delta.columnMapping.id"] = counter[0]
+                meta["delta.columnMapping.physicalName"] = (
+                    f"col-{counter[0]}"
+                )
+                fields.append(
+                    StructField(f.name, stamp(f.dataType), f.nullable, meta)
+                )
+            return StructType(fields)
+        if isinstance(dt, ArrayType):
+            return ArrayType(stamp(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                stamp(dt.keyType), stamp(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    stamped = stamp(snap.schema)
     md = dict(snap.metadata_raw)
-    md["schemaString"] = _json.dumps(StructType(fields).jsonValue())
+    md["schemaString"] = _json.dumps(stamped.jsonValue())
     conf = dict(md.get("configuration") or {})
     conf["delta.columnMapping.mode"] = "id"
-    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    conf["delta.columnMapping.maxColumnId"] = str(counter[0])
     md["configuration"] = conf
     proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     _write_commit(
@@ -345,22 +405,314 @@ def test_id_mode_flat_append_with_field_ids(spark, tmp_path):
     ]
 
 
-def test_id_mode_write_refusals(spark, tmp_path):
+def test_id_mode_nested_write_stamps_all_levels(spark, tmp_path):
+    """r13 (VERDICT r12 item 1): id-mode writes on NESTED schemas —
+    struct fields at every level get parquet footer field ids matching
+    delta.columnMapping.id, and the footer-id read path resolves the
+    roundtrip. (Replaces the r12 flat-schema-only refusal test.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     from pyspark.sql import Row
 
     root = str(tmp_path / "t")
     _mk(spark, root, nested=True)
     _flip_to_id_mode(spark, root)
-    with pytest.raises(NotImplementedError, match="flat-schema"):
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [
+                Row(id=1, u=Row(name="ann", age=30), d=7),
+                Row(id=3, u=None, d=9),
+            ],
+            "id long, u struct<name:string, age:long>, d long",
+        ),
+        root,
+        mode="overwrite",
+    )
+    out = read_delta_table(spark, root)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, ("ann", 30), 7), (3, None, 9)]
+    # footers carry physical names + field ids at every struct level
+    snap = delta_snapshot(spark, root)
+    rel = sorted(snap.files)[0]
+    ids = {}
+
+    def walk(fld):
+        md = fld.metadata or {}
+        if b"PARQUET:field_id" in md:
+            ids[fld.name] = int(md[b"PARQUET:field_id"])
+        if pa.types.is_struct(fld.type):
+            for i in range(fld.type.num_fields):
+                walk(fld.type.field(i))
+
+    for fld in pq.read_schema(os.path.join(root, rel)):
+        walk(fld)
+    # _flip_to_id_mode stamps DFS pre-order: id=1, u=2, name=3, age=4, d=5
+    assert ids == {
+        "col-1": 1, "col-2": 2, "col-3": 3, "col-4": 4, "col-5": 5
+    }
+    # appends stack on top and nested NULL structs stay NULL
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(id=4, u=Row(name="dee", age=50), d=2)],
+            "id long, u struct<name:string, age:long>, d long",
+        ),
+        root,
+    )
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(1, ("ann", 30), 7), (3, None, 9), (4, ("dee", 50), 2)]
+
+
+def test_id_mode_partitioned_append_overwrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root, partition_by=["d"])
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+        partition_by=["d"],
+    )
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 7)], "id long, v string, d long"),
+        root,
+        partition_by=["d"],
+    )
+    snap = delta_snapshot(spark, root)
+    # partitionValues are keyed by the PHYSICAL partition column name
+    assert all("col-3" in pv for pv in snap.files.values())
+    out = read_delta_table(spark, root)
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 7)
+    ]
+    got = out.filter("d = 7").select("id").orderBy("id")
+    assert [r.id for r in got.collect()] == [1, 3]
+
+
+def test_id_mode_merge_schema_fresh_ids(spark, tmp_path):
+    """r13: mergeSchema on an id-mode table assigns fresh ids AND
+    fresh col-<uuid> physical names; new files stamp the new id."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 9, 1.5)], "id long, v string, d long, score double"
+        ),
+        root,
+        merge_schema=True,
+    )
+    snap = delta_snapshot(spark, root)
+    f = snap.schema["score"]
+    assert f.metadata["delta.columnMapping.id"] == 4
+    phys = f.metadata["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-") and phys != "score"
+    assert snap.metadata_raw["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "4"
+    got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert got == [(1, "a", 7, None), (2, "b", 8, None), (3, "c", 9, 1.5)]
+
+
+def test_id_mode_rename_write_readback(spark, tmp_path):
+    """RENAME on an id-mode table is metaData-only; writes after the
+    rename stamp the SAME field id, so old and new files co-resolve."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        rename_delta_column,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    rename_delta_column(spark, root, "v", "w")
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, w string, d long"),
+        root,
+    )
+    out = read_delta_table(spark, root)
+    assert [f.name for f in out.schema.fields] == ["id", "w", "d"]
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 7), (2, "b", 8), (3, "c", 9)
+    ]
+
+
+def test_id_mode_delete_update_cow(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        update_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8), (3, "c", 9)],
+            "id long, v string, d long",
+        ),
+        root,
+        mode="overwrite",
+    )
+    delete_from_delta_table(spark, root, "id = 2")
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, "a", 7), (3, "c", 9)
+    ]
+    update_delta_table(spark, root, "id = 3", {"v": "'cc'"})
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, "a", 7), (3, "cc", 9)
+    ]
+
+
+def test_id_mode_dv_delete_update(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        update_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8), (3, "c", 9)],
+            "id long, v string, d long",
+        ),
+        root,
+        mode="overwrite",
+    )
+    files_before = set(delta_snapshot(spark, root).files)
+    delete_from_delta_table(
+        spark, root, "id = 2", use_deletion_vectors=True
+    )
+    snap = delta_snapshot(spark, root)
+    # DV delete rewrites nothing — same live files, one carries a DV
+    assert set(snap.files) == files_before
+    assert snap.deletion_vectors
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, "a", 7), (3, "c", 9)
+    ]
+    update_delta_table(
+        spark, root, "id = 3", {"v": "'cc'"}, use_deletion_vectors=True
+    )
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, "a", 7), (3, "cc", 9)
+    ]
+
+
+def test_id_mode_merge_cow_and_dv(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        merge_into_delta_table,
+    )
+
+    for dv in (False, True):
+        root = str(tmp_path / f"t_dv_{dv}")
+        _mk(spark, root)
+        _flip_to_id_mode(spark, root)
         write_delta_commit(
             spark,
             spark.createDataFrame(
-                [Row(id=3, u=Row(name="c", age=1), d=9)],
-                "id long, u struct<name:string, age:long>, d long",
+                [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
             ),
             root,
             mode="overwrite",
         )
+        merge_into_delta_table(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(2, "bb", 80), (4, "d", 10)], "id long, v string, d long"
+            ),
+            ["id"],
+            use_deletion_vectors=dv,
+        )
+        got = sorted(map(tuple, read_delta_table(spark, root).collect()))
+        assert got == [(1, "a", 7), (2, "bb", 80), (4, "d", 10)], f"dv={dv}"
+
+
+def test_id_mode_cdf(spark, tmp_path):
+    """CDF on an id-mode table: cdc files carry physical names +
+    field ids; table_changes resolves them back to logical."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        enable_change_data_feed,
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    v0 = enable_change_data_feed(spark, root)
+    delete_from_delta_table(spark, root, "id = 1")
+    changes = read_delta_changes(spark, root, v0 + 1)
+    rows = sorted(
+        (r.id, r.v, r.d, r._change_type) for r in changes.collect()
+    )
+    assert rows == [(1, "a", 7, "delete")]
+
+
+def test_id_mode_optimize(spark, tmp_path):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        optimize_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    for i in range(3, 6):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame(
+                [(i, "x", i * 10)], "id long, v string, d long"
+            ),
+            root,
+        )
+    before = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    optimize_delta_table(spark, root, target_files=1)
+    snap = delta_snapshot(spark, root)
+    assert len(snap.files) == 1
+    after = sorted(map(tuple, read_delta_table(spark, root).collect()))
+    assert after == before
 
 
 def test_optimize_mapped_table_after_rename(spark, tmp_path):

@@ -492,3 +492,150 @@ def test_write_delta_commit_concurrent_appends(spark, tmp_path):
     assert not errors, errors
     out = read_delta_table(spark, root)
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 100, 101, 102, 103]
+
+
+def test_same_appid_txn_conflict_raises(spark, tmp_path):
+    """r13 (ADVICE r12 medium): a winning commit carrying a
+    SetTransaction with OUR appId means another run of the same
+    streaming query committed first — rebasing would double-commit
+    the micro-batch; ConcurrentTransaction raises instead."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        DeltaConcurrentTransactionError,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    v = _next_version(root)
+    winner = [
+        _blind_add(root, "winner.parquet"),
+        {"txn": {"appId": "stream-abc", "version": 7, "lastUpdated": 1}},
+    ]
+    _write_commit(root, v, winner, operation="STREAMING UPDATE")
+    ours = [
+        _blind_add(root, "mine.parquet"),
+        {"txn": {"appId": "stream-abc", "version": 7, "lastUpdated": 2}},
+    ]
+    with pytest.raises(DeltaConcurrentTransactionError, match="stream-abc"):
+        commit_with_retry(
+            root, v, ours, operation="STREAMING UPDATE",
+            txn_app_id="stream-abc",
+        )
+    # a DIFFERENT appId's txn is a harmless blind append — rebases
+    got = commit_with_retry(
+        root,
+        v,
+        [
+            _blind_add(root, "other.parquet"),
+            {"txn": {"appId": "stream-xyz", "version": 1,
+                     "lastUpdated": 3}},
+        ],
+        operation="STREAMING UPDATE",
+        txn_app_id="stream-xyz",
+    )
+    assert got == v + 1
+
+
+def test_checkpoint_only_tail_classifies_blind_append(spark, tmp_path):
+    """r13 (VERDICT r12 item 3): log expiry between attempt and rebase
+    leaves a checkpoint-only tail — a blind append classifies from the
+    STATE diff (metaData/protocol unchanged) and still commits; a
+    remove-carrying txn still raises with the classified reason."""
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    snap = delta_snapshot(spark, root)
+    base_state = {
+        "metadata_raw": snap.metadata_raw,
+        "protocol_raw": snap.protocol_raw,
+        "txns": {},
+    }
+    # winners: two data-only commits, then checkpoint + expire so their
+    # JSONs vanish and only the checkpoint tail remains
+    v = _next_version(root)
+    for i in range(2):
+        _write_commit(
+            root, v + i, [_blind_add(root, f"w{i}.parquet")],
+            operation="WRITE",
+        )
+    checkpoint_delta_table(spark, root)
+    expire_delta_log(spark, root)
+    log = os.path.join(root, "_delta_log")
+    assert not os.path.exists(os.path.join(log, f"{v:020d}.json"))
+    # blind append at the raced version: classify via checkpoint replay
+    got = commit_with_retry(
+        root, v, [_blind_add(root, "mine.parquet")], operation="WRITE",
+        base_state=base_state,
+    )
+    assert got == v + 2
+    snap2 = delta_snapshot(spark, root)
+    assert snap2.version == v + 2
+    assert "mine.parquet" in snap2.files
+
+
+def test_checkpoint_only_tail_remove_txn_still_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    snap = delta_snapshot(spark, root)
+    base_state = {
+        "metadata_raw": snap.metadata_raw,
+        "protocol_raw": snap.protocol_raw,
+        "txns": {},
+    }
+    rel = sorted(snap.files)[0]
+    v = _next_version(root)
+    _write_commit(root, v, [_blind_add(root, "w.parquet")],
+                  operation="WRITE")
+    checkpoint_delta_table(spark, root)
+    expire_delta_log(spark, root)
+    ours = [
+        _blind_add(root, "repl.parquet"),
+        {"remove": {"path": rel, "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ]
+    with pytest.raises(DeltaConcurrentWriteError, match="checkpointed"):
+        commit_with_retry(
+            root, v, ours, operation="DELETE", base_state=base_state
+        )
+
+
+def test_checkpoint_only_tail_same_appid_raises(spark, tmp_path):
+    """The zombie-driver case THROUGH log expiry: the winner's txn
+    action survives only in the checkpoint; the state's txn map still
+    detects the same-appId commit."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        DeltaConcurrentTransactionError,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    snap = delta_snapshot(spark, root)
+    base_state = {
+        "metadata_raw": snap.metadata_raw,
+        "protocol_raw": snap.protocol_raw,
+        "txns": {},
+    }
+    v = _next_version(root)
+    _write_commit(
+        root,
+        v,
+        [
+            _blind_add(root, "w.parquet"),
+            {"txn": {"appId": "stream-abc", "version": 7,
+                     "lastUpdated": 1}},
+        ],
+        operation="STREAMING UPDATE",
+    )
+    checkpoint_delta_table(spark, root)
+    expire_delta_log(spark, root)
+    with pytest.raises(DeltaConcurrentTransactionError, match="stream-abc"):
+        commit_with_retry(
+            root,
+            v,
+            [
+                _blind_add(root, "mine.parquet"),
+                {"txn": {"appId": "stream-abc", "version": 7,
+                         "lastUpdated": 2}},
+            ],
+            operation="STREAMING UPDATE",
+            txn_app_id="stream-abc",
+            base_state=base_state,
+        )

@@ -205,49 +205,114 @@ def test_stream_change_feed_mode(registered, tmp_path):
 
 
 def test_scope_guards_fail_closed(registered, tmp_path):
-    """Id-mode column mapping refuses at plan time (name mode reads
-    since r12); a missing path option refuses."""
-    import json
-
+    """A missing path option refuses at plan time."""
     spark = registered
-    root = str(tmp_path / "g")
-    os.makedirs(os.path.join(root, "_delta_log"))
-    schema = {
-        "type": "struct",
-        "fields": [
-            {
-                "name": "id",
-                "type": "long",
-                "nullable": True,
-                "metadata": {
-                    "delta.columnMapping.id": 1,
-                    "delta.columnMapping.physicalName": "col-1",
-                },
-            }
-        ],
-    }
-    actions = [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {
-            "metaData": {
-                "id": "x",
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": json.dumps(schema),
-                "partitionColumns": [],
-                "configuration": {"delta.columnMapping.mode": "id"},
-                "createdTime": 0,
-            }
-        },
-    ]
-    with open(
-        os.path.join(root, "_delta_log", "0" * 20 + ".json"), "w"
-    ) as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    with pytest.raises(Exception, match="id-mode"):
-        spark.read.format("deltabridge").option("path", root).load().collect()
     with pytest.raises(Exception, match="path"):
         spark.read.format("deltabridge").load().collect()
+
+
+def test_id_mode_bridge_batch_read_write(registered, tmp_path):
+    """r13 (VERDICT r12 item 1, bridge half): the bridge READS an
+    id-mode table by resolving each file's columns via parquet footer
+    field ids, and WRITES id-mode files whose footers pyarrow stamps
+    from PARQUET:field_id metadata — engine and bridge agree both
+    ways."""
+    import pyarrow.parquet as pq
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_table,
+    )
+    from tests.test_column_mapping_ddl import _flip_to_id_mode
+
+    spark = registered
+    root = str(tmp_path / "idb")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+    )
+    _flip_to_id_mode(spark, root)
+    # engine overwrite → field-id-stamped files the bridge must read
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, d long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    df = spark.read.format("deltabridge").option("path", root).load()
+    assert [f.name for f in df.schema.fields] == ["id", "v", "d"]
+    assert sorted(map(tuple, df.collect())) == [(1, "a", 7), (2, "b", 8)]
+    # bridge write → footer field ids land, engine reads them back
+    spark.createDataFrame(
+        [(3, "c", 9)], "id long, v string, d long"
+    ).write.format("deltabridge").option("path", root).mode(
+        "append"
+    ).save()
+    assert sorted(
+        map(tuple, read_delta_table(spark, root).collect())
+    ) == [(1, "a", 7), (2, "b", 8), (3, "c", 9)]
+    assert sorted(
+        map(
+            tuple,
+            spark.read.format("deltabridge").option("path", root)
+            .load().collect(),
+        )
+    ) == [(1, "a", 7), (2, "b", 8), (3, "c", 9)]
+    snap = delta_snapshot(spark, root)
+    newest = sorted(snap.files)[-1]
+    pf = pq.ParquetFile(os.path.join(root, newest))
+    assert "field_id=1" in str(pf.schema)
+    assert pf.schema_arrow.names == ["col-1", "col-2", "col-3"]
+
+
+def test_id_mode_bridge_stream_read(registered, tmp_path):
+    """r13: the append STREAM over an id-mode table resolves footer
+    field ids per file and emits logical names."""
+    from tests.test_column_mapping_ddl import _flip_to_id_mode
+
+    spark = registered
+    root = str(tmp_path / "ids")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        root,
+    )
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+        mode="overwrite",
+    )
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        root,
+    )
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        root,
+    )
+    reader = (
+        spark.readStream.format("deltabridge")
+        .option("path", root)
+        # v0 pre-flip data, v1 flip, v2 overwrite (removes) — stream
+        # the id-mode appends v3..v4 only
+        .option("startingversion", 3)
+        .load()
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    got = _run_available_now(spark, reader, out, ck)
+    assert sorted(map(tuple, got.collect())) == [(3, "c"), (4, "d")]
 
 def test_max_versions_per_trigger_paces_batches(registered, tmp_path):
     """maxVersionsPerTrigger=1 admits one commit per micro-batch under
@@ -372,7 +437,7 @@ def test_stream_partitions_unquote_action_paths(spark, tmp_path):
         __import__(
             "fintech_lakehouse_spark.sources.deltastream",
             fromlist=["_read_partition"],
-        )._read_partition(root, parts[0], [("id", False, "id")])
+        )._read_partition(root, parts[0], [("id", False, "id", None)])
     )
     assert sorted(rows) == [(1,), (2,)]
 
@@ -403,11 +468,11 @@ def test_read_partition_fails_closed_on_out_of_range_dv(spark, tmp_path):
     dv = make_dv_descriptor(root, [1, 99])  # 99 >= num_rows(3)
     part = DeltaFilePartition("f.parquet", _json.dumps(dv), {})
     with pytest.raises(ValueError, match="DV/file mismatch"):
-        list(_read_partition(root, part, [("id", False, "id")]))
+        list(_read_partition(root, part, [("id", False, "id", None)]))
     # in-range DV still filters normally
     ok = make_dv_descriptor(root, [1])
     part2 = DeltaFilePartition("f.parquet", _json.dumps(ok), {})
-    assert sorted(_read_partition(root, part2, [("id", False, "id")])) == [
+    assert sorted(_read_partition(root, part2, [("id", False, "id", None)])) == [
         (1,),
         (3,),
     ]
