@@ -2953,6 +2953,80 @@ def _mapped_schema_read(spark, paths, snap, extra=None):
     return df.select(*cols)
 
 
+def _cdf_file_scan(spark, path, snap_x, rel):
+    """One data file's rows under ``snap_x``'s schema and mapping mode
+    plus ``_dl_ri`` (the parquet row index) — the substrate for
+    DV-diff CDF reconstruction (r13). Unpartitioned tables only (the
+    read_delta_changes scope)."""
+    from pyspark.sql.types import StructField
+
+    full = os.path.join(path, rel)
+    mode = snap_x.column_mapping_mode
+    if mode == "name":
+        phys = {f.name: snap_x.column_mapping[f.name]
+                for f in snap_x.schema.fields}
+        data_schema = StructType(
+            [
+                StructField(
+                    phys[f.name],
+                    _physical_datatype(f.dataType, f.name),
+                    f.nullable,
+                )
+                for f in snap_x.schema.fields
+            ]
+        )
+    elif mode == "id":
+        idmap = _parquet_field_id_names([full])
+        phys = {
+            f.name: _resolve_phys_by_id(f, idmap, f.name)
+            for f in snap_x.schema.fields
+        }
+        data_schema = StructType(
+            [
+                StructField(
+                    phys[f.name],
+                    _physical_datatype_by_id(f.dataType, idmap, f.name),
+                    f.nullable,
+                )
+                for f in snap_x.schema.fields
+            ]
+        )
+    else:
+        phys = {f.name: f.name for f in snap_x.schema.fields}
+        data_schema = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in snap_x.schema.fields
+            ]
+        )
+    scan = spark.read.schema(data_schema).parquet(full).withColumn(
+        "_dl_ri", F.col("_metadata.row_index")
+    )
+    return scan.select(
+        *[
+            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            for f in snap_x.schema.fields
+        ],
+        "_dl_ri",
+    )
+
+
+def _rows_at_indexes(spark, scan, indexes, keep: bool):
+    """Filter a ``_cdf_file_scan`` to exactly the given row indexes
+    (``keep=True``) or their complement (``keep=False``) via a
+    broadcast semi/anti join. Driver memory is bounded by the indexes
+    of rows THIS statement deleted/restored — the same contract as
+    the DV writer (:func:`_dv_mark_deleted`)."""
+    from pyspark.sql.types import LongType, StructField
+
+    lookup = spark.createDataFrame(
+        [(int(i),) for i in indexes],
+        StructType([StructField("_dl_ri", LongType(), False)]),
+    )
+    how = "left_semi" if keep else "left_anti"
+    return scan.join(F.broadcast(lookup), "_dl_ri", how).drop("_dl_ri")
+
+
 def read_delta_changes(
     spark: SparkSession,
     path: str,
@@ -2966,11 +3040,14 @@ def read_delta_changes(
     ``_commit_timestamp`` columns. Per the protocol's reconstruction
     rule, commits carrying cdc actions use EXACTLY those files; other
     commits synthesize inserts from dataChange adds and deletes from
-    dataChange removes (read at the PREVIOUS version). Fails closed:
-    CDF must be enabled at ``from_version``, unpartitioned tables only
-    (the bridge DML limitation class), and a no-cdc commit whose adds
-    carry deletion vectors (row-level changes not reconstructible from
-    the file grain) raises."""
+    dataChange removes (read at the PREVIOUS version). r13: a no-cdc
+    commit whose adds carry deletion vectors reconstructs row-level
+    changes from the per-file DV DIFF (newly masked → delete, newly
+    unmasked → insert), and a removed file that carried a DV
+    synthesizes deletes for its LIVE rows only. Fails closed: CDF must
+    be enabled at ``from_version``, unpartitioned tables only (the
+    bridge DML limitation class), and a dataChange plain re-add of a
+    prior-DV file (a restore shape no writer here produces) raises."""
     versions = _commit_versions(os.path.join(path, LOG_DIR))
     if to_version is None:
         to_version = max(versions) if versions else from_version
@@ -3046,40 +3123,123 @@ def read_delta_changes(
             a["remove"] for a in actions
             if "remove" in a and a["remove"].get("dataChange", True)
         ]
-        if any(a.get("deletionVector") for a in adds):
-            raise NotImplementedError(
-                f"version {v}: a commit without cdc actions re-adds a "
-                "deletion-vector file — row-level changes are not "
-                "reconstructible from the file grain; refusing"
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        plain_adds = [a for a in adds if not a.get("deletionVector")]
+        re_added = {unquote(a["path"]) for a in adds}
+        snap_prev = None
+        if dv_adds or removes:
+            snap_prev = delta_snapshot(spark, path, version=v - 1)
+        if dv_adds:
+            # r13 (VERDICT r12 item 2): a DV DELETE/UPDATE from a
+            # writer that emits no cdc files (delta-spark itself skips
+            # them for pure DV deletes) — row-level changes ARE
+            # reconstructible as the DV DIFF per file: newly masked
+            # indexes are deletes, newly unmasked inserts (RESTORE).
+            # Decode is driver-side, bounded by the rows this commit
+            # deleted (the _dv_mark_deleted contract).
+            from fintech_lakehouse_spark.sources.deletionvectors import (
+                decode_deletion_vector,
             )
-        if adds:
+
+            snap_v = delta_snapshot(spark, path, version=v)
+            for a in dv_adds:
+                rel = unquote(a["path"])
+                old = snap_prev.deletion_vectors.get(rel)
+                old_idx = (
+                    set(decode_deletion_vector(path, old))
+                    if old
+                    else set()
+                )
+                new_idx = set(
+                    decode_deletion_vector(path, a["deletionVector"])
+                )
+                scan = _cdf_file_scan(spark, path, snap_v, rel)
+                newly = sorted(new_idx - old_idx)
+                restored = sorted(old_idx - new_idx)
+                if newly:
+                    branches.append(
+                        with_meta(
+                            _rows_at_indexes(spark, scan, newly, True),
+                            "delete", v,
+                        )
+                    )
+                if restored:
+                    branches.append(
+                        with_meta(
+                            _rows_at_indexes(
+                                spark, scan, restored, True
+                            ),
+                            "insert", v,
+                        )
+                    )
+        for a in plain_adds:
+            rel = unquote(a["path"])
+            if snap_prev is not None and rel in snap_prev.deletion_vectors:
+                raise NotImplementedError(
+                    f"version {v}: plain re-add of {rel!r}, which "
+                    "carried a deletion vector at the previous version "
+                    "— a dataChange DV-drop restore is not a shape "
+                    "this module's writers produce; refusing"
+                )
+        if plain_adds:
             snap_v = delta_snapshot(spark, path, version=v)
             paths = [
-                os.path.join(path, unquote(a["path"])) for a in adds
+                os.path.join(path, unquote(a["path"]))
+                for a in plain_adds
             ]
             if snap_v.column_mapping_mode in ("name", "id"):
                 add_df = _mapped_schema_read(spark, paths, snap_v)
             else:
                 add_df = spark.read.schema(snap_v.schema).parquet(*paths)
             branches.append(with_meta(add_df, "insert", v))
-        if removes:
-            snap_prev = delta_snapshot(spark, path, version=v - 1)
-            if snap_prev.deletion_vectors:
-                raise NotImplementedError(
-                    f"version {v}: removed files carried deletion "
-                    "vectors at the previous version — synthesize "
-                    "would resurrect deleted rows; refusing"
-                )
-            paths = [
-                os.path.join(path, unquote(r["path"])) for r in removes
+        # removes paired with a same-commit re-add are the DV-swap
+        # halves handled above, not row deletions
+        live_removes = [
+            r for r in removes if unquote(r["path"]) not in re_added
+        ]
+        if live_removes:
+            from fintech_lakehouse_spark.sources.deletionvectors import (
+                decode_deletion_vector,
+            )
+
+            dv_removed = [
+                r for r in live_removes
+                if unquote(r["path"]) in snap_prev.deletion_vectors
             ]
-            if snap_prev.column_mapping_mode in ("name", "id"):
-                rm_df = _mapped_schema_read(spark, paths, snap_prev)
-            else:
-                rm_df = spark.read.schema(snap_prev.schema).parquet(
-                    *paths
+            plain_removed = [
+                r for r in live_removes
+                if unquote(r["path"]) not in snap_prev.deletion_vectors
+            ]
+            for r in dv_removed:
+                # r13: a removed file that carried a DV synthesizes
+                # deletes for its LIVE rows only — emitting all rows
+                # would resurrect previously DV-deleted ones (the old
+                # refusal's failure mode)
+                rel = unquote(r["path"])
+                old_idx = sorted(
+                    decode_deletion_vector(
+                        path, snap_prev.deletion_vectors[rel]
+                    )
                 )
-            branches.append(with_meta(rm_df, "delete", v))
+                scan = _cdf_file_scan(spark, path, snap_prev, rel)
+                branches.append(
+                    with_meta(
+                        _rows_at_indexes(spark, scan, old_idx, False),
+                        "delete", v,
+                    )
+                )
+            if plain_removed:
+                paths = [
+                    os.path.join(path, unquote(r["path"]))
+                    for r in plain_removed
+                ]
+                if snap_prev.column_mapping_mode in ("name", "id"):
+                    rm_df = _mapped_schema_read(spark, paths, snap_prev)
+                else:
+                    rm_df = spark.read.schema(
+                        snap_prev.schema
+                    ).parquet(*paths)
+                branches.append(with_meta(rm_df, "delete", v))
     if not branches:
         schema = StructType(list(start_snap.schema.fields))
         empty = spark.createDataFrame([], schema)

@@ -298,14 +298,18 @@ class DeltaFilePartition(InputPartition):
         version: int | None = None,
         ts_ms: int | None = None,
         has_change_col: bool = False,
+        keep_dv_json: str | None = None,
     ):
         self.file_path = file_path
-        self.dv_json = dv_json
+        self.dv_json = dv_json  # descriptor of row indexes to DROP
         self.pvals = pvals  # partition column -> typed value
         self.change_type = change_type
         self.version = version
         self.ts_ms = ts_ms
         self.has_change_col = has_change_col
+        # descriptor of the ONLY row indexes to emit (r13 — the CDF
+        # stream's DV-diff partitions: "the rows this commit deleted")
+        self.keep_dv_json = keep_dv_json
 
 
 def _read_partition(
@@ -339,7 +343,7 @@ def _read_partition(
     if part.has_change_col:
         cols.append("_change_type")
     table = pq.read_table(full, columns=cols)
-    if part.dv_json:
+    if part.dv_json or part.keep_dv_json:
         from fintech_lakehouse_spark.sources.deletionvectors import (
             decode_deletion_vector,
         )
@@ -347,19 +351,37 @@ def _read_partition(
         import numpy as np
         import pyarrow as pa
 
-        deleted = decode_deletion_vector(table_path, json.loads(part.dv_json))
         mask = np.ones(table.num_rows, dtype=bool)
-        idx = np.asarray(deleted, dtype=np.int64)
-        if idx.size and int(idx.max()) >= table.num_rows:
-            # ADVICE r10: an index past the file's row count means the
-            # DV and data file DISAGREE — fail closed like everywhere
-            # else instead of silently returning the extra rows
-            raise ValueError(
-                f"deletion vector for {part.file_path} marks row "
-                f"{int(idx.max())} but the file has only "
-                f"{table.num_rows} rows — DV/file mismatch"
+        if part.dv_json:
+            deleted = decode_deletion_vector(
+                table_path, json.loads(part.dv_json)
             )
-        mask[idx] = False
+            idx = np.asarray(deleted, dtype=np.int64)
+            if idx.size and int(idx.max()) >= table.num_rows:
+                # ADVICE r10: an index past the file's row count means
+                # the DV and data file DISAGREE — fail closed like
+                # everywhere else instead of silently returning the
+                # extra rows
+                raise ValueError(
+                    f"deletion vector for {part.file_path} marks row "
+                    f"{int(idx.max())} but the file has only "
+                    f"{table.num_rows} rows — DV/file mismatch"
+                )
+            mask[idx] = False
+        if part.keep_dv_json:
+            keep = decode_deletion_vector(
+                table_path, json.loads(part.keep_dv_json)
+            )
+            kidx = np.asarray(keep, dtype=np.int64)
+            if kidx.size and int(kidx.max()) >= table.num_rows:
+                raise ValueError(
+                    f"DV-diff for {part.file_path} selects row "
+                    f"{int(kidx.max())} but the file has only "
+                    f"{table.num_rows} rows — DV/file mismatch"
+                )
+            kmask = np.zeros(table.num_rows, dtype=bool)
+            kmask[kidx] = True
+            mask &= kmask
         table = table.filter(pa.array(mask))
     rows = table.to_pylist()
     for r in rows:
@@ -494,30 +516,97 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                     )
                     for c in cdcs
                 ]
-            if any(a.get("deletionVector") for a in adds):
-                raise NotImplementedError(
-                    f"deltabridge CDF stream: version {v} re-adds a "
-                    "deletion-vector file without cdc actions — row-"
-                    "level changes are not reconstructible; refusing"
-                )
-            parts = [
-                DeltaFilePartition(
-                    unquote(a["path"]), None, {}, "insert", v, ts
-                )
-                for a in adds
-            ]
-            if removes:
+            dv_adds = [a for a in adds if a.get("deletionVector")]
+            plain_adds = [a for a in adds if not a.get("deletionVector")]
+            re_added = {unquote(a["path"]) for a in adds}
+            prev = None
+            if dv_adds or removes:
                 prev = _pure_snapshot(self.path, version=v - 1)
-                if prev["dvs"]:
+            parts = []
+            if dv_adds:
+                # r13 (VERDICT r12 item 2): reconstruct row-level
+                # changes from the per-file DV DIFF — newly masked
+                # indexes are deletes, newly unmasked inserts. The
+                # diff ships to the executor as an INLINE roaring
+                # descriptor (keep_dv_json), decoded by the same
+                # machinery as real DVs.
+                from fintech_lakehouse_spark.sources.deletionvectors import (
+                    decode_deletion_vector,
+                    encode_roaring_bitmap_array,
+                    z85_encode,
+                )
+
+                def _keep_desc(indexes) -> str:
+                    bitmap = encode_roaring_bitmap_array(sorted(indexes))
+                    return json.dumps(
+                        {
+                            "storageType": "i",
+                            "pathOrInlineDv": z85_encode(bitmap),
+                            "offset": None,
+                            "sizeInBytes": len(bitmap),
+                            "cardinality": len(indexes),
+                        }
+                    )
+
+                for a in dv_adds:
+                    rel = unquote(a["path"])
+                    old = prev["dvs"].get(rel)
+                    old_idx = (
+                        set(decode_deletion_vector(self.path, old))
+                        if old
+                        else set()
+                    )
+                    new_idx = set(
+                        decode_deletion_vector(
+                            self.path, a["deletionVector"]
+                        )
+                    )
+                    newly = new_idx - old_idx
+                    restored = old_idx - new_idx
+                    if newly:
+                        parts.append(
+                            DeltaFilePartition(
+                                rel, None, {}, "delete", v, ts,
+                                keep_dv_json=_keep_desc(newly),
+                            )
+                        )
+                    if restored:
+                        parts.append(
+                            DeltaFilePartition(
+                                rel, None, {}, "insert", v, ts,
+                                keep_dv_json=_keep_desc(restored),
+                            )
+                        )
+            for a in plain_adds:
+                rel = unquote(a["path"])
+                if prev is not None and rel in prev["dvs"]:
                     raise NotImplementedError(
-                        f"deltabridge CDF stream: version {v} removes "
-                        "files that carried deletion vectors — refusing"
+                        f"deltabridge CDF stream: version {v} plain-"
+                        f"re-adds {rel!r}, which carried a deletion "
+                        "vector — a dataChange DV-drop restore is not "
+                        "a shape this module's writers produce; "
+                        "refusing"
                     )
-                parts.extend(
+                parts.append(
+                    DeltaFilePartition(rel, None, {}, "insert", v, ts)
+                )
+            for r in removes:
+                rel = unquote(r["path"])
+                if rel in re_added:
+                    continue  # the DV-swap half, handled above
+                # r13: a removed file that carried a DV synthesizes
+                # deletes for its LIVE rows only — its old descriptor
+                # rides as the DROP mask
+                old = prev["dvs"].get(rel) if prev else None
+                parts.append(
                     DeltaFilePartition(
-                        unquote(r["path"]), None, {}, "delete", v, ts
+                        rel,
+                        json.dumps(old) if old else None,
+                        {},
+                        "delete",
+                        v,
+                        ts,
                     )
-                    for r in removes
                 )
             return parts
         # append-stream mode
@@ -583,11 +672,14 @@ def _pv_string(value, type_name: str, col: str):
 
 class _DeltaWriteCommit(WriterCommitMessage):
     """One staged parquet per partition-value combination the task
-    saw: ``files`` is a list of (tmp_path, partitionValues-dict)."""
+    saw: ``files`` is a list of (tmp_path, partitionValues-dict).
+    ``id_bounds`` (r13): identity column → (min, max) over the task's
+    rows — the driver folds these into the table's high-water mark."""
 
-    def __init__(self, files: list, rows: int):
+    def __init__(self, files: list, rows: int, id_bounds: dict | None = None):
         self.files = files
         self.rows = rows
+        self.id_bounds = id_bounds or {}
 
 
 class DeltaBridgeWriter(DataSourceWriter):
@@ -612,9 +704,15 @@ class DeltaBridgeWriter(DataSourceWriter):
     actions' partitionValues); the bridge/Spark readers rebuild them
     from the log.
 
+    CHECK constraints and GENERATED columns validate executor-side
+    (r13: duckdb over the staged arrow rows — an expression the
+    offline evaluator cannot parse fails closed); IDENTITY columns
+    accept explicit values when allowExplicitInsert is declared and
+    the commit advances the high-water mark (GENERATED ALWAYS refuses
+    explicit values — delta's own rule).
+
     Fail-closed scope (each would corrupt silently if ignored):
-    constraint-carrying / generated- or
-    identity-column tables, schema mismatch vs the table, unsupported
+    schema mismatch vs the table, unsupported
     writerFeatures, delta.appendOnly under overwrite, overwrite of a
     DV-carrying table (the removes must carry DV descriptors),
     partition columns of non-simple types."""
@@ -701,13 +799,25 @@ class DeltaBridgeWriter(DataSourceWriter):
         # rows grouped by partition tuple; unpartitioned tables have
         # the single () group
         groups: dict[tuple, list] = {}
+        all_rows: list = []
+        check_rows = bool(
+            getattr(self, "constraints", None)
+            or getattr(self, "generated", None)
+            or getattr(self, "identity", None)
+        )
         n_rows = 0
         for row in iterator:
             key = tuple(row[i] for i in pidx)
             groups.setdefault(key, []).append(tuple(row[i] for i in didx))
+            if check_rows:
+                all_rows.append(tuple(row))
             n_rows += 1
         if n_rows == 0:
             return _DeltaWriteCommit([], 0)
+        id_bounds: dict = {}
+        if check_rows:
+            id_bounds = self._validate_rows(all_rows)
+        del all_rows
         os.makedirs(self.stage, exist_ok=True)
         files = []
         phys = getattr(self, "phys", {}) or {}
@@ -749,7 +859,75 @@ class DeltaBridgeWriter(DataSourceWriter):
                 for j, c in enumerate(part_cols)
             }
             files.append((tmp, pvals))
-        return _DeltaWriteCommit(files, n_rows)
+        return _DeltaWriteCommit(files, n_rows, id_bounds)
+
+    def _validate_rows(self, all_rows: list) -> dict:
+        """Executor-side row validation (r13): CHECK constraints and
+        generated-column derivations evaluate over the task's rows via
+        duckdb on an arrow batch — SQL-expression evaluation with no
+        SparkSession. An expression duckdb cannot parse (a
+        Spark-dialect-only function) fails CLOSED with a pointer to
+        the engine path, never silently accepts. Returns the identity
+        columns' (min, max) bounds for the driver's high-water-mark
+        fold."""
+        import duckdb
+        import pyarrow as pa
+
+        names = [f.name for f in self.schema.fields]
+        if self.constraints or self.generated:
+            arrays = {
+                f.name: pa.array(
+                    [r[i] for r in all_rows],
+                    pa.type_for_alias(_PA_TYPES[f.dataType.typeName()]),
+                )
+                for i, f in enumerate(self.schema.fields)
+            }
+            batch = pa.table(arrays)
+            con = duckdb.connect()
+            con.register("_dl_rows", batch)
+            checks = [
+                (
+                    f"CHECK constraint {name!r} ({expr})",
+                    f"NOT coalesce(({expr}), TRUE)",
+                )
+                for name, expr in sorted(self.constraints.items())
+            ] + [
+                (
+                    f"generated column {name!r} "
+                    f"(GENERATED ALWAYS AS ({expr}))",
+                    f'NOT ("{name}" IS NOT DISTINCT FROM ({expr}))',
+                )
+                for name, expr in sorted(self.generated.items())
+            ]
+            for label, predicate in checks:
+                try:
+                    bad = con.execute(
+                        f"SELECT * FROM _dl_rows WHERE {predicate} "
+                        "LIMIT 1"
+                    ).fetchall()
+                except Exception as exc:  # noqa: BLE001 — dialect gap
+                    raise NotImplementedError(
+                        f"deltabridge write: {label} is not evaluatable "
+                        f"offline ({exc}) — use "
+                        "deltalog.write_delta_commit"
+                    ) from None
+                if bad:
+                    raise ValueError(
+                        f"deltabridge write: {label} violated by row "
+                        f"{dict(zip(names, bad[0]))}"
+                    )
+        id_bounds: dict = {}
+        for name in sorted(self.identity):
+            i = names.index(name)
+            vals = [r[i] for r in all_rows if r[i] is not None]
+            if len(vals) != len(all_rows):
+                raise ValueError(
+                    f"deltabridge write: identity column {name!r} "
+                    "contains NULLs"
+                )
+            if vals:
+                id_bounds[name] = (min(vals), max(vals))
+        return id_bounds
 
     def _validate(self):
         """Driver-side fail-closed gates against the CURRENT log (pure
@@ -772,6 +950,9 @@ class DeltaBridgeWriter(DataSourceWriter):
             self.part_cols = self._resolve_part_cols(None)
             self.phys = {}
             self.field_ids = {}
+            self.constraints = {}
+            self.generated = {}
+            self.identity = {}
             return None  # table creation
         snap = _pure_snapshot(self.path)
         feats = (snap["protocol_raw"] or {}).get("writerFeatures") or []
@@ -800,18 +981,28 @@ class DeltaBridgeWriter(DataSourceWriter):
                         "table metadata"
                     )
                 self.field_ids[f.name] = int(raw)
-        if table_constraints(conf):
-            raise NotImplementedError(
-                "deltabridge write: CHECK constraints need engine-side "
-                "enforcement — use deltalog.write_delta_commit"
+        # r13 (VERDICT r12 items 6+8): CHECK constraints and generated
+        # columns validate EXECUTOR-side on the staged rows (duckdb
+        # over the arrow batch — no SparkSession exists anywhere in
+        # the bridge); identity columns accept explicit values when
+        # the column declares allowExplicitInsert (the bridge always
+        # writes every column, so values are always explicit — the
+        # GENERATED ALWAYS refusal below is delta's own rule, not a
+        # gap) and the commit advances the high-water mark.
+        self.constraints = table_constraints(conf)
+        self.generated = generated_columns(snap["schema"])
+        ids = identity_columns(snap["schema"])
+        always = sorted(
+            n for n, s in ids.items() if not s["allow_explicit"]
+        )
+        if always:
+            raise ValueError(
+                f"deltabridge write: identity columns {always} are "
+                "GENERATED ALWAYS AS IDENTITY — explicit values are "
+                "not allowed (append via deltalog.write_delta_commit "
+                "to have values assigned)"
             )
-        if generated_columns(snap["schema"]) or identity_columns(
-            snap["schema"]
-        ):
-            raise NotImplementedError(
-                "deltabridge write: generated/identity columns need "
-                "engine-side computation — use deltalog.write_delta_commit"
-            )
+        self.identity = ids
         if self.overwrite:
             if str(conf.get("delta.appendOnly", "false")).lower() == "true":
                 raise ValueError(
@@ -955,6 +1146,54 @@ class DeltaBridgeWriter(DataSourceWriter):
                         }
                     }
                 )
+        # r13: explicit identity inserts advance the table's
+        # high-water mark in the SAME commit (the engine path's rule —
+        # without it a later engine-side append would re-assign values
+        # the bridge already wrote)
+        id_specs = getattr(self, "identity", {}) or {}
+        if id_specs and snap is not None:
+            merged: dict = {}
+            for m in messages:
+                if not m:
+                    continue
+                for name, (lo, hi) in (
+                    getattr(m, "id_bounds", {}) or {}
+                ).items():
+                    cur = merged.get(name)
+                    merged[name] = (
+                        (min(lo, cur[0]), max(hi, cur[1]))
+                        if cur
+                        else (lo, hi)
+                    )
+            new_hwm: dict = {}
+            for name, spec in sorted(id_specs.items()):
+                if name not in merged:
+                    continue
+                lo, hi = merged[name]
+                cand = int(hi if spec["step"] > 0 else lo)
+                hwm = spec["high_water_mark"]
+                nh = (
+                    cand
+                    if hwm is None
+                    else (
+                        max(hwm, cand)
+                        if spec["step"] > 0
+                        else min(hwm, cand)
+                    )
+                )
+                if hwm is None or nh != hwm:
+                    new_hwm[name] = int(nh)
+            if new_hwm:
+                from fintech_lakehouse_spark.sources.deltalog import (
+                    _schema_with_identity_hwm,
+                )
+
+                widened = _schema_with_identity_hwm(
+                    snap["schema"], new_hwm
+                )
+                md = dict(snap["metadata_raw"])
+                md["schemaString"] = json.dumps(widened.jsonValue())
+                actions.append({"metaData": md})
         if txn_app_id is not None and txn_batch_id is not None:
             actions.append(
                 {

@@ -268,3 +268,205 @@ def test_bridge_read_write_name_mapped_table(registered, tmp_path):
     assert sorted(map(tuple, back2.collect())) == [
         (1, "a", 7), (2, "b", 8), (3, "c", 9),
     ]
+
+
+def test_bridge_write_enforces_check_constraint(registered, tmp_path):
+    """r13 (VERDICT r12 item 6): the bridge evaluates table CHECK
+    constraints on the staged rows (duckdb over the arrow batch) —
+    violating writes raise naming the constraint, clean writes land,
+    matching the engine path's enforcement."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        add_delta_constraint,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, 10)], "id long, amount long"),
+        root,
+    )
+    add_delta_constraint(spark, root, "amount_pos", "amount > 0")
+    # clean bridge write lands
+    spark.createDataFrame(
+        [(2, 20)], "id long, amount long"
+    ).write.format("deltabridge").option("path", root).mode(
+        "append"
+    ).save()
+    assert sorted(
+        (r.id, r.amount)
+        for r in read_delta_table(spark, root).collect()
+    ) == [(1, 10), (2, 20)]
+    # violating write raises, names the constraint, commits nothing
+    with pytest.raises(Exception, match="amount_pos"):
+        spark.createDataFrame(
+            [(3, -5)], "id long, amount long"
+        ).write.format("deltabridge").option("path", root).mode(
+            "append"
+        ).save()
+    assert sorted(
+        r.id for r in read_delta_table(spark, root).collect()
+    ) == [1, 2]
+    # engine-path parity: the same violating frame refuses there too
+    with pytest.raises(ValueError, match="amount_pos"):
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(3, -5)], "id long, amount long"),
+            root,
+        )
+
+
+def test_bridge_write_validates_generated_column(registered, tmp_path):
+    """r13 (VERDICT r12 item 8, generated half): provided generated-
+    column values validate against the declared expression; a
+    mismatch raises, a consistent write matches the engine path
+    row-for-row."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, 10)], "id long, amount long"),
+        root,
+        generated_columns_spec={"double_amount": "amount * 2"},
+    )
+    spark.createDataFrame(
+        [(2, 20, 40)], "id long, amount long, double_amount long"
+    ).write.format("deltabridge").option("path", root).mode(
+        "append"
+    ).save()
+    # engine appends the same shape; both paths agree row-for-row
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(3, 30, 60)], "id long, amount long, double_amount long"
+        ),
+        root,
+    )
+    assert sorted(
+        map(tuple, read_delta_table(spark, root).collect())
+    ) == [(1, 10, 20), (2, 20, 40), (3, 30, 60)]
+    with pytest.raises(Exception, match="double_amount"):
+        spark.createDataFrame(
+            [(4, 40, 99)], "id long, amount long, double_amount long"
+        ).write.format("deltabridge").option("path", root).mode(
+            "append"
+        ).save()
+
+
+def test_bridge_write_identity_explicit_advances_hwm(registered, tmp_path):
+    """r13 (VERDICT r12 item 8, identity half): explicit identity
+    values are accepted when allowExplicitInsert is declared, the
+    commit advances the high-water mark, and a later ENGINE append
+    assigns values past the bridge's — never re-issuing them."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delta_snapshot,
+        identity_columns,
+        read_delta_table,
+        write_delta_commit,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([("a", 1)], "v string, seq long"),
+        root,
+        identity_spec={
+            "seq": {"start": 1, "step": 1, "allow_explicit": True}
+        },
+    )
+    spark.createDataFrame(
+        [("b", 7)], "v string, seq long"
+    ).write.format("deltabridge").option("path", root).mode(
+        "append"
+    ).save()
+    snap = delta_snapshot(spark, root)
+    assert identity_columns(snap.schema)["seq"]["high_water_mark"] == 7
+    # engine append WITHOUT the column continues past the bridge's 7
+    write_delta_commit(
+        spark, spark.createDataFrame([("c",)], "v string"), root
+    )
+    got = sorted(
+        (r.v, r.seq) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [("a", 1), ("b", 7), ("c", 8)]
+
+
+def test_bridge_write_identity_always_refuses(registered, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY refuses explicit values — the
+    bridge always writes every column, so it must refuse (delta's own
+    rule, asserted for parity with the engine path)."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        write_delta_commit,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([("a",)], "v string"),
+        root,
+        identity_spec={"seq": {"start": 1, "step": 1}},
+    )
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        spark.createDataFrame(
+            [("b", 2)], "v string, seq long"
+        ).write.format("deltabridge").option("path", root).mode(
+            "append"
+        ).save()
+
+
+def test_bridge_write_unevaluatable_constraint_fails_closed(
+    registered, tmp_path
+):
+    """A constraint expression the offline evaluator cannot parse
+    (Spark-dialect-only function) refuses rather than silently
+    accepting the rows."""
+    import json as _json
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        _next_version,
+        _write_commit,
+        delta_snapshot,
+        write_delta_commit,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(1, "x")], "id long, v string"),
+        root,
+    )
+    snap = delta_snapshot(spark, root)
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    # crc32 exists in Spark SQL but not duckdb
+    conf["delta.constraints.sparkonly"] = "crc32(v) >= 0"
+    md["configuration"] = conf
+    _write_commit(
+        root, _next_version(root),
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            {"metaData": md},
+        ],
+        operation="ADD CONSTRAINT",
+    )
+    with pytest.raises(Exception, match="not evaluatable offline"):
+        spark.createDataFrame(
+            [(2, "y")], "id long, v string"
+        ).write.format("deltabridge").option("path", root).mode(
+            "append"
+        ).save()
