@@ -15,9 +15,12 @@ output. PROGRESSIVE (SOF2) decodes in its spectral-selection form
 (r12): multi-scan coefficient accumulation, interleaved or single-
 component DC scans, per-component AC band scans with full EOBRUN
 handling — and ``encode_jpeg_progressive`` emits that layout with
-EOB-run coalescing. Successive approximation (Ah/Al ≠ 0), arithmetic
-coding, 12-bit precision and sampling factors beyond 2×2 return
-None — quarantine, not crash, the same contract as
+EOB-run coalescing. SUCCESSIVE APPROXIMATION (Ah/Al ≠ 0) decodes too
+(r13): first scans at reduced precision, DC refinements as raw bits,
+AC refinements with correction bits and EOB-run buffering — and
+``encode_jpeg_progressive_sa`` emits a two-stage approximation.
+Arithmetic coding, 12-bit precision and sampling factors beyond 2×2
+return None — quarantine, not crash, the same contract as
 ``decode_png_pixels``.
 
 Like PNG, entropy decode is inherently sequential WITHIN one image
@@ -611,10 +614,14 @@ def _decode(payload: bytes):
                 if len(seg) < 4 + 2 * ns:
                     return None
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-                if ahal != 0:
-                    # successive approximation: the remaining seam —
-                    # a wrong refinement decodes plausible-but-wrong
-                    # pixels, so quarantine
+                ah, al = ahal >> 4, ahal & 0xF
+                # successive approximation (r13): a first scan has
+                # Ah=0 (values at reduced precision, shifted left Al
+                # on decode); a refinement scan has Ah=Al+1 and adds
+                # one magnitude bit per coefficient
+                if ah and ah != al + 1:
+                    return None
+                if al > 13:
                     return None
                 if not (ss <= se <= 63) or (ss == 0) != (se == 0):
                     return None
@@ -624,18 +631,23 @@ def _decode(payload: bytes):
                     if cid not in byid:
                         return None
                     if ss == 0:
-                        tab = huff.get((0, tsel >> 4))
+                        # DC refinement carries raw bits, no table
+                        tab = (
+                            None if ah else huff.get((0, tsel >> 4))
+                        )
                         scan_comps.append((cid, tab, None))
+                        if ah == 0 and tab is None:
+                            return None
                     else:
                         tab = huff.get((1, tsel & 0xF))
                         scan_comps.append((cid, None, tab))
-                    if tab is None:
-                        return None
+                        if tab is None:
+                            return None
                 if pstate is None:
                     pstate = _ProgressiveState(h, w, comps)
                 i = _decode_progressive_scan(
                     payload, i + 2 + seglen, pstate, scan_comps,
-                    ss, se, huff, restart_interval,
+                    ss, se, huff, restart_interval, ah, al,
                 )
                 continue
             if ns != len(comps):
@@ -792,7 +804,8 @@ def encode_jpeg_progressive(
     (interleaved, Ss=Se=0), then one full-band AC scan per component
     (Ss=1, Se=63, single-component as the spec requires), all at
     Ah=Al=0 — the simplest spec-legal progressive layout (T.81 §G;
-    successive approximation stays the named seam). AC end-of-block
+    :func:`encode_jpeg_progressive_sa` adds successive approximation,
+    r13). AC end-of-block
     codes are EOB0 (run length 1), which the general decoder's EOBRUN
     machinery also covers. 4:4:4 / grayscale only — progressive
     chroma subsampling only changes the per-component block grids,
@@ -919,6 +932,236 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def encode_jpeg_progressive_sa(
+    img: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """Encode as PROGRESSIVE (SOF2) JPEG with SUCCESSIVE APPROXIMATION
+    (r13, T.81 §G.1.2 — the other half of the progressive seam): a
+    two-stage approximation at Al=1 → Al=0. Scan 1 carries every
+    component's DC at Ah=0/Al=1 (point transform: arithmetic shift
+    right); scans 2..N are per-component full-band AC first scans at
+    Al=1 (magnitudes shifted toward zero, newly-nonzero grammar with
+    EOBn runs); then a DC refinement scan (Ah=1, one raw bit per
+    block) and per-component AC refinement scans (Ah=1 — correction
+    bits for already-nonzero coefficients, (r<<4)|1 symbols + sign
+    bit for newly-nonzero ones, EOB-run buffering: the libjpeg
+    encode_mcu_AC_refine contract). 4:4:4 / grayscale only, like the
+    spectral-selection encoder."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive_sa takes uint8 arrays")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    h, w = img.shape[:2]
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("dims out of JPEG range")
+    q = np.asarray(quant if quant is not None else FLAT_QUANT, dtype=np.uint16)
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        raise ValueError("quant must be 64 values in [1, 255]")
+
+    def _fdct(plane: np.ndarray) -> np.ndarray:
+        blocks = _to_blocks(plane) - 128.0
+        coeffs = np.einsum("ux,byxw,vw->byuv", _M, blocks, _M)
+        qz = np.rint(coeffs.reshape(*coeffs.shape[:2], 64)[..., _Z] / q)
+        return qz.astype(np.int64)
+
+    planes = (
+        [img.astype(np.float64)]
+        if gray
+        else list(np.moveaxis(_rgb_to_ycbcr(img.astype(np.float64)), -1, 0))
+    )
+    comp_coeffs = [_fdct(p) for p in planes]
+    by, bx = comp_coeffs[0].shape[:2]
+    ncomp = len(comp_coeffs)
+    dc_tab = _uniform_dc_table()
+    ac_tab = _uniform_ac_table_progressive()
+    AL = 1
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    )
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes(int(v) for v in q)
+    sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big"))
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    for tc, tab in ((0, dc_tab), (1, ac_tab)):
+        seg = bytes([tc << 4]) + bytes(tab.bits) + bytes(tab.huffval)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+
+    def _sos(comps_sel: list, ss: int, se: int, ah: int, al: int):
+        sos = bytearray([len(comps_sel)])
+        for cid in comps_sel:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(
+            b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        )
+
+    # scan 1: DC first, all components interleaved, Al=1
+    _sos(list(range(1, ncomp + 1)), 0, 0, 0, AL)
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    for y in range(by):
+        for x in range(bx):
+            for c in range(ncomp):
+                v = int(comp_coeffs[c][y, x, 0]) >> AL  # arithmetic
+                diff = v - pred[c]
+                pred[c] = v
+                size, bits = _magnitude_bits(diff)
+                code, length = dc_tab.encode[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+    writer.flush()
+    out += writer.out
+
+    def _flush_eob(writer, n):
+        while n:
+            rrrr = min(n.bit_length() - 1, 14)
+            take = min(n, (1 << rrrr) * 2 - 1)
+            code, length = ac_tab.encode[rrrr << 4]
+            writer.write(code, length)
+            if rrrr:
+                writer.write(take - (1 << rrrr), rrrr)
+            n -= take
+
+    # scans 2..: per-component AC FIRST scans at Al=1 — coefficients
+    # enter as sign * (|v| >> 1) (point transform toward zero)
+    for c in range(ncomp):
+        _sos([c + 1], 1, 63, 0, AL)
+        writer = _BitWriter()
+        pending_eob = 0
+        for y in range(by):
+            for x in range(bx):
+                zz = comp_coeffs[c][y, x]
+                vals = [
+                    (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> AL)
+                    for k in range(64)
+                ]
+                if not any(vals[1:]):
+                    pending_eob += 1
+                    continue
+                _flush_eob(writer, pending_eob)
+                pending_eob = 0
+                run = 0
+                for k in range(1, 64):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_tab.encode[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude_bits(v)
+                    code, length = ac_tab.encode[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if run:
+                    pending_eob = 1
+        _flush_eob(writer, pending_eob)
+        writer.flush()
+        out += writer.out
+
+    # DC refinement: Ah=1, Al=0 — one raw bit (the dropped LSB) per
+    # block, same interleaved order as scan 1
+    _sos(list(range(1, ncomp + 1)), 0, 0, AL, 0)
+    writer = _BitWriter()
+    for y in range(by):
+        for x in range(bx):
+            for c in range(ncomp):
+                writer.write(int(comp_coeffs[c][y, x, 0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    # AC refinement per component: Ah=1, Al=0
+    for c in range(ncomp):
+        _sos([c + 1], 1, 63, AL, 0)
+        writer = _BitWriter()
+        eobrun = 0
+        bebuf: list[int] = []  # correction bits pending behind an EOBn
+
+        def _emit_eobrun():
+            nonlocal eobrun, bebuf
+            if eobrun > 0:
+                rrrr = eobrun.bit_length() - 1
+                code, length = ac_tab.encode[rrrr << 4]
+                writer.write(code, length)
+                if rrrr:
+                    writer.write(eobrun - (1 << rrrr), rrrr)
+                eobrun = 0
+                for b in bebuf:
+                    writer.write(b, 1)
+                bebuf = []
+
+        for y in range(by):
+            for x in range(bx):
+                zz = comp_coeffs[c][y, x]
+                # the refinement scan's point transform is its OWN
+                # Al (= 0 here), not the first scan's: t == 1 means
+                # |v| == 1 — zero at the first scan's precision,
+                # newly nonzero now; t > 1 was already sent and needs
+                # only its bit-0 correction
+                absval = [abs(int(zz[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absval[k] == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absval[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    # flush ZRLs at EVERY nonzero position (not just
+                    # newly-nonzero ones) so buffered correction bits
+                    # stay in position order for the decoder's
+                    # interleaved advance; past the last newly-nonzero
+                    # (k > eob) they fold into the EOB run instead —
+                    # the libjpeg encode_mcu_AC_refine contract
+                    while r > 15 and k <= eob:
+                        _emit_eobrun()
+                        code, length = ac_tab.encode[0xF0]
+                        writer.write(code, length)
+                        r -= 16
+                        for b in br:
+                            writer.write(b, 1)
+                        br = []
+                    if t > 1:
+                        # already nonzero after the first scan: one
+                        # correction bit, buffered behind the next
+                        # emitted symbol
+                        br.append(absval[k] & 1)
+                        continue
+                    # newly nonzero at this precision
+                    _emit_eobrun()
+                    code, length = ac_tab.encode[(r << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    bebuf.extend(br)
+                    if eobrun == 0x7FFF:
+                        _emit_eobrun()
+        _emit_eobrun()
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _ProgressiveState:
     """Coefficient accumulator across a progressive frame's scans:
     per-component zigzag arrays on the MCU-padded grid, plus the
@@ -951,42 +1194,115 @@ class _ProgressiveState:
 
 
 def _decode_progressive_scan(
-    payload, pos, state, scan_comps, ss, se, huff, restart_interval
+    payload, pos, state, scan_comps, ss, se, huff, restart_interval,
+    ah=0, al=0,
 ):
-    """One progressive scan's entropy data into ``state`` (spectral
-    selection, Ah=Al=0): a DC scan (Ss=0) is interleaved over the MCU
-    grid when it carries several components and block-raster when one;
-    an AC scan (Ss>=1) is always single-component block-raster with
-    EOBRUN handling (EOBn codes n-block end-of-band runs). Returns the
-    byte position of the next marker."""
+    """One progressive scan's entropy data into ``state``: a DC scan
+    (Ss=0) is interleaved over the MCU grid when it carries several
+    components and block-raster when one; an AC scan (Ss>=1) is always
+    single-component block-raster with EOBRUN handling (EOBn codes
+    n-block end-of-band runs). r13 adds SUCCESSIVE APPROXIMATION
+    (T.81 §G.2): a first scan (Ah=0, Al>0) stores values shifted left
+    Al; a DC refinement (Ah>0, Ss=0) appends one raw bit per block;
+    an AC refinement (Ah>0, Ss>=1) decodes newly-nonzero coefficients
+    at magnitude 1<<Al and one correction bit per already-nonzero
+    coefficient (added toward the sign when the bit is newly set —
+    the libjpeg decode_mcu_AC_refine contract). Returns the byte
+    position of the next marker."""
     reader = _BitReader(payload, pos)
+    p1, m1 = 1 << al, -(1 << al)
+
+    def _refine_range(zz, a, b):
+        for kk in range(a, b + 1):
+            v = int(zz[kk])
+            if v != 0 and reader.read_bit():
+                if (v & p1) == 0:
+                    zz[kk] = v + (p1 if v > 0 else m1)
+
+    if ss == 0 and ah:
+        # DC refinement: one raw bit per block, same unit order as the
+        # first DC scan (interleaved when several components)
+        units = _dc_scan_units(state, scan_comps)
+        n_done = 0
+        per_restart = _dc_per_restart(state, scan_comps)
+        for cid, y, x in units:
+            if (
+                restart_interval
+                and n_done
+                and n_done % (restart_interval * per_restart) == 0
+            ):
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise _Corrupt("expected RSTn")
+            if reader.read_bit():
+                state.coeffs[cid][y, x, 0] += p1
+            n_done += 1
+        return _next_marker_pos(payload, reader)
+    if ss > 0 and ah:
+        # AC refinement
+        if len(scan_comps) != 1:
+            raise _Corrupt("progressive AC scan must be single-component")
+        cid, _, ac_tab = scan_comps[0]
+        cby, cbx = state.comp_blocks(cid)
+        eobrun = 0
+        n_done = 0
+        for y in range(cby):
+            for x in range(cbx):
+                if (
+                    restart_interval
+                    and n_done
+                    and n_done % restart_interval == 0
+                ):
+                    marker = reader.align_to_marker()
+                    if not 0xD0 <= marker <= 0xD7:
+                        raise _Corrupt("expected RSTn")
+                    eobrun = 0
+                n_done += 1
+                zz = state.coeffs[cid][y, x]
+                if eobrun:
+                    _refine_range(zz, ss, se)
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0 and run != 15:
+                        # EOBn: correction bits still cover the rest
+                        # of THIS block
+                        eobrun = (1 << run) - 1 + (
+                            reader.receive(run) if run else 0
+                        )
+                        _refine_range(zz, k, se)
+                        break
+                    if size == 0:
+                        val = 0  # ZRL: 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise _Corrupt(
+                                "AC refinement magnitude must be 1"
+                            )
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        v = int(zz[k])
+                        if v != 0:
+                            if reader.read_bit() and (v & p1) == 0:
+                                zz[k] = v + (p1 if v > 0 else m1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val != 0:
+                        if k > se:
+                            raise _Corrupt("AC refinement past band end")
+                        zz[k] = val
+                    k += 1
+        return _next_marker_pos(payload, reader)
     if ss == 0:
         preds = {cid: 0 for cid, _, _ in scan_comps}
-        if len(scan_comps) > 1:
-            units = []  # interleaved MCU order
-            for y in range(state.my):
-                for x in range(state.mx):
-                    for cid, _, _ in scan_comps:
-                        _, _, hc, vc = next(
-                            c for c in state.comps if c[0] == cid
-                        )
-                        for v in range(vc):
-                            for u in range(hc):
-                                units.append((cid, y * vc + v, x * hc + u))
-            per_restart = len(scan_comps) and sum(
-                hc * vc
-                for cid, _, _ in scan_comps
-                for _, _, hc, vc in [
-                    next(c for c in state.comps if c[0] == cid)
-                ]
-            )
-        else:
-            cid = scan_comps[0][0]
-            cby, cbx = state.comp_blocks(cid)
-            units = [
-                (cid, y, x) for y in range(cby) for x in range(cbx)
-            ]
-            per_restart = 1
+        units = _dc_scan_units(state, scan_comps)
+        per_restart = _dc_per_restart(state, scan_comps)
         n_done = 0
         for cid, y, x in units:
             if (
@@ -1003,7 +1319,9 @@ def _decode_progressive_scan(
             if size > 11:
                 raise _Corrupt("DC category out of range")
             preds[cid] += _extend(reader.receive(size), size)
-            state.coeffs[cid][y, x, 0] = preds[cid]
+            # first scan under successive approximation: values arrive
+            # point-transformed (arithmetic shift right Al on encode)
+            state.coeffs[cid][y, x, 0] = preds[cid] * (1 << al)
             n_done += 1
     else:
         if len(scan_comps) != 1:
@@ -1044,10 +1362,46 @@ def _decode_progressive_scan(
                     k += run
                     if k > se:
                         raise _Corrupt("AC index past band end")
-                    zz[k] = _extend(reader.receive(size), size)
+                    zz[k] = _extend(reader.receive(size), size) * (1 << al)
                     k += 1
-    # entropy data done: bit-align and locate the next marker (skip
-    # 0xFF fill bytes, never treat a stuffed 0xFF00 as a marker)
+    return _next_marker_pos(payload, reader)
+
+
+def _dc_scan_units(state, scan_comps) -> list:
+    """The unit order of a DC scan: interleaved MCU order when the
+    scan carries several components, block raster when one."""
+    if len(scan_comps) > 1:
+        units = []
+        for y in range(state.my):
+            for x in range(state.mx):
+                for cid, _, _ in scan_comps:
+                    _, _, hc, vc = next(
+                        c for c in state.comps if c[0] == cid
+                    )
+                    for v in range(vc):
+                        for u in range(hc):
+                            units.append((cid, y * vc + v, x * hc + u))
+        return units
+    cid = scan_comps[0][0]
+    cby, cbx = state.comp_blocks(cid)
+    return [(cid, y, x) for y in range(cby) for x in range(cbx)]
+
+
+def _dc_per_restart(state, scan_comps) -> int:
+    if len(scan_comps) > 1:
+        return sum(
+            hc * vc
+            for cid, _, _ in scan_comps
+            for _, _, hc, vc in [
+                next(c for c in state.comps if c[0] == cid)
+            ]
+        )
+    return 1
+
+
+def _next_marker_pos(payload, reader) -> int:
+    """Entropy data done: bit-align and locate the next marker (skip
+    0xFF fill bytes, never treat a stuffed 0xFF00 as a marker)."""
     j = reader.pos
     while j + 1 < len(payload):
         if payload[j] == 0xFF and payload[j + 1] not in (0x00, 0xFF):

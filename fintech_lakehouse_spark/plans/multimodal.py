@@ -1085,8 +1085,8 @@ def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode of the same coefficients BIT-FOR-BIT (both carry identical
     quantized DCT data, so any divergence is an entropy/scan-grammar
     bug, not rounding). Dims come from the decoded array shape.
-    Successive approximation (Ah/Al ≠ 0) stays the named seam —
-    unit-pinned to quarantine in tests/test_jpeg_progressive.py.
+    Successive approximation (Ah/Al ≠ 0) is implemented r13 — see
+    ``jpeg_successive_roundtrip``.
 
     Scale shape: one scan + one mapInPandas — zero Exchange; images
     stay single binary cells, parallelism is ACROSS images."""
@@ -1155,6 +1155,112 @@ def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["height"].append(dp.shape[0])
                 rows["matches_baseline"].append(
                     bool(np.array_equal(dp, db))
+                )
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "jpeg_successive_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(9 + doc_id % 21 AS BIGINT) AS width,
+           CAST(6 + doc_id % 17 AS BIGINT) AS height,
+           TRUE AS matches_baseline
+    FROM documents
+    WHERE doc_id < 150
+    """,
+)
+def jpeg_successive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE-APPROXIMATION (SOF2, Ah/Al) JPEG roundtrip (r13 —
+    VERDICT r12 item 5, the other progressive half): per doc the same
+    deterministic raster family as ``jpeg_progressive_roundtrip`` is
+    encoded as a TWO-STAGE approximation — DC and per-component
+    full-band AC first scans at Al=1 (values point-transformed right
+    one bit), then a DC refinement (one raw bit per block) and AC
+    refinement scans (Ah=1: correction bits for already-nonzero
+    coefficients interleaved with newly-nonzero (r<<4)|1 symbols and
+    EOB-run buffering — the libjpeg encode/decode_mcu_AC_refine
+    contract). ``matches_baseline`` pins the refinement to the
+    strongest contract available: after both stages the decode must
+    equal the BASELINE decode of the same quantized coefficients
+    BIT-FOR-BIT — a wrong correction bit or desynced EOB run flips
+    pixels, not just quality. Every 3rd doc heavily quantized so the
+    refinement's EOBRUN/ZRL buffering paths run; arithmetic coding
+    stays the named seam.
+
+    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    stay single binary cells, parallelism is ACROSS images."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("mode", StringType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("matches_baseline", BooleanType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        import numpy as np
+
+        from fintech_lakehouse_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+            encode_jpeg_progressive_sa,
+        )
+
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "mode", "width", "height", "matches_baseline",
+            )}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 9 + i % 21, 6 + i % 17
+                gray = i % 2 == 0
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                if gray:
+                    img = ((xx * 5 + yy * 11 + i) % 256).astype(np.uint8)
+                else:
+                    img = np.stack(
+                        [((xx * 5 + yy * 11 + c * 37 + i) % 256)
+                         for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                if i % 3 == 0:
+                    q = np.full(64, 220, dtype=np.uint16)
+                    q[0] = 1  # AC mostly zero → refinement EOB runs
+                else:
+                    q = None
+                dsa = decode_jpeg_pixels(
+                    encode_jpeg_progressive_sa(img, quant=q)
+                )
+                db = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+                rows["asset_id"].append(i)
+                rows["mode"].append("gray" if gray else "rgb")
+                if dsa is None or db is None or dsa.shape[:2] != (h, w):
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["matches_baseline"].append(None)
+                    continue
+                rows["width"].append(dsa.shape[1])
+                rows["height"].append(dsa.shape[0])
+                rows["matches_baseline"].append(
+                    bool(np.array_equal(dsa, db))
                 )
             yield pd.DataFrame(rows)
 

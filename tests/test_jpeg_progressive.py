@@ -61,17 +61,54 @@ def test_eob_runs_cover_long_zero_stretches():
     assert ac.encode[0x40][1] == 8  # EOB4 exists in the alphabet
 
 
-def test_successive_approximation_quarantines():
-    """Flip the scan header's Ah/Al byte: the decoder must refuse
-    (wrong refinement = plausible-but-wrong pixels)."""
+@pytest.mark.parametrize("gray", [True, False])
+@pytest.mark.parametrize("dims", [(8, 8), (17, 23), (40, 64), (6, 9)])
+def test_successive_approximation_equals_baseline(gray, dims):
+    """r13 (VERDICT r12 item 5): the two-stage successive
+    approximation (Al=1 first scans + Ah=1 refinements) decodes
+    bit-for-bit equal to the baseline decode of the same quantized
+    coefficients."""
+    from fintech_lakehouse_spark.functions.jpeg import (
+        encode_jpeg_progressive_sa,
+        quality_quant_table,
+    )
+
+    for quality in (20, 85):
+        q = quality_quant_table(quality)
+        img = _img(*dims, gray)
+        dsa = decode_jpeg_pixels(encode_jpeg_progressive_sa(img, quant=q))
+        db = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+        assert dsa is not None and np.array_equal(dsa, db)
+        assert dsa.shape[:2] == dims
+
+
+def test_sa_refinement_exercises_eob_and_zrl_paths():
+    """Heavy quantization (long zero runs, sparse newly-nonzero
+    coefficients) drives the refinement encoder's EOB-run buffering
+    and ZRL paths; the decode still matches baseline exactly."""
+    from fintech_lakehouse_spark.functions.jpeg import (
+        encode_jpeg_progressive_sa,
+    )
+
+    q = np.full(64, 180, dtype=np.uint16)
+    q[0] = 1
+    xx = np.arange(128)[None, :]
+    yy = np.arange(96)[:, None]
+    img = (100 + xx // 16 + yy // 16).astype(np.uint8)
+    dsa = decode_jpeg_pixels(encode_jpeg_progressive_sa(img, quant=q))
+    db = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+    assert np.array_equal(dsa, db)
+
+
+def test_invalid_successive_approximation_quarantines():
+    """Spec-invalid SA grammar still refuses: Ah must equal Al+1 in a
+    refinement scan (a wrong refinement decodes plausible-but-wrong
+    pixels)."""
     img = _img(16, 16, gray=True)
     payload = bytearray(encode_jpeg_progressive(img))
-    # find the FIRST SOS and set its AhAl byte (last byte of the
-    # scan header: ns=1 components here is the DC scan with ns=1?
-    # gray → ns=1; header: [len2][ns][cid][tsel][Ss][Se][AhAl]
     i = payload.find(b"\xff\xda")
     seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
-    payload[i + 2 + seglen - 1] = 0x01  # Al=1
+    payload[i + 2 + seglen - 1] = 0x31  # Ah=3, Al=1 — not Al+1
     assert decode_jpeg_pixels(bytes(payload)) is None
 
 
