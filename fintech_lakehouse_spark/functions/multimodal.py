@@ -1109,9 +1109,8 @@ def read_mp3_side_info(payload: bytes) -> tuple[int, int, int, int, int] | None:
     read_mp3_header's frame walk (r9, VERDICT r8 item 10): the 9-bit
     main_data_begin / per-granule-channel (part2_3_length, big_values,
     global_gain) fields are the granule-level structure every MP3
-    decoder reads before touching entropy data. Huffman + IMDCT PCM
-    reconstruction of non-empty granules stays the library-bound seam
-    (``extract_audio_features(decode='real')`` names it). MPEG1 only,
+    decoder reads before touching entropy data. Full frequency→PCM
+    reconstruction lives in ``functions.mp3_synthesis`` (r13). MPEG1 only,
     no-CRC frames; anything that never syncs (or truncates mid side
     info) quarantines to None — the parser contract."""
     if not payload:
@@ -1423,8 +1422,8 @@ def read_mp3_granule(payload: bytes) -> dict | None:
     (window_switching=0) — 21 scalefactors at the _MP3_SLEN widths —
     table_select ∈ {0, 1} uniform across regions, and an empty count1
     region (consumed bits must equal part2_3_length exactly).
-    IMDCT/synthesis-filterbank PCM reconstruction stays the named
-    seam above this."""
+    IMDCT/synthesis-filterbank PCM reconstruction: see
+    ``functions.mp3_synthesis`` (r13)."""
     if not payload:
         return None
     i, n = 0, len(payload)
@@ -1597,7 +1596,9 @@ def mp3_requantize(granule: dict) -> list[float]:
     Input is :func:`read_mp3_granule`'s dict (big_values region then
     count1 region, in spectral order); remaining lines up to 576 are
     zero and omitted. IMDCT + synthesis filterbank (frequency →
-    PCM) stays the named seam above this."""
+    PCM): ``functions.mp3_synthesis`` (r13 — alias reduction, all
+    four window types, polyphase synthesis; the tabulated ISO window
+    is the one remaining named constant)."""
     import bisect
 
     bounds = _MP3_LONG_SFB.get(granule["sample_rate"])
