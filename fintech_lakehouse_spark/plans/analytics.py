@@ -2439,3 +2439,59 @@ def order_volume_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n * sxx - sx * sx) AS LONG)"
         ).alias("intercept_milli"),
     )
+
+
+@register(
+    "daily_revenue_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_d
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY 1
+    )
+    SELECT day,
+           CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(MAX(rev_d) OVER w, 2) AS DOUBLE) AS peak,
+           CAST(ROUND(MAX(rev_d) OVER w - rev_d, 2) AS DOUBLE)
+               AS drawdown
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak DRAWDOWN of daily revenue (r13 — the
+    high-water-mark series the finance family lacked next to TWAP /
+    OHLC / trend fit): one year's daily revenue, its running maximum,
+    and how far each day sits below the best day so far. All
+    arithmetic stays in exact DECIMAL until the final round-then-cast
+    (the _num.py midpoint rule), so the window subtraction never
+    touches float rounding.
+
+    Scale shape: the groupBy key is the storage partition column
+    (partition-local aggregation after a pushed date-range filter);
+    the running-max window runs over the ~365 POST-AGGREGATION rows —
+    a single-partition exchange only after the data has collapsed,
+    the PLAN_AUDIT-sanctioned shape. At 100 TB the same plan holds:
+    the window input is bounded by days, not rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(money("o_totalprice")).alias("rev_d"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("rev_d").over(w)
+    return daily.select(
+        "day",
+        F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+        F.round(peak, 2).cast("double").alias("peak"),
+        F.round(peak - F.col("rev_d"), 2).cast("double").alias("drawdown"),
+    )

@@ -23,6 +23,11 @@ Env:   CHECK_ORACLES_JOBS=N  run N queries concurrently (default 1;
        4 roughly halves the full-registry wall — Spark schedules the
        concurrent actions fairly, DuckDB gets one connection per
        thread). Output order becomes nondeterministic above 1.
+       CHECK_ORACLES_MASTER / CHECK_ORACLES_SHUFFLE /
+       CHECK_ORACLES_CONF (k=v,k=v) perturb the Spark config — the
+       r13 stale-green re-sweep runs the same gate under a deliberately
+       different parallelism/AQE shape to catch plans that only pass
+       at the default config.
 """
 
 from __future__ import annotations
@@ -147,8 +152,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     jobs = int(os.environ.get("CHECK_ORACLES_JOBS", "1"))
-    spark = get_spark("oracle-check", master="local[8]",
-                      extra_conf={"spark.sql.shuffle.partitions": "8"})
+    master = os.environ.get("CHECK_ORACLES_MASTER", "local[8]")
+    shuffle = os.environ.get("CHECK_ORACLES_SHUFFLE", "8")
+    conf = {"spark.sql.shuffle.partitions": shuffle}
+    for kv in os.environ.get("CHECK_ORACLES_CONF", "").split(","):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            conf[k.strip()] = v.strip()
+    spark = get_spark("oracle-check", master=master, extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
     local = threading.local()
     todo = [(n, f) for n, f in QUERIES.items() if not only or n in only]
