@@ -3939,3 +3939,82 @@ def cross_source_duplication_matrix(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
         F.countDistinct("content_hash").cast("long").alias("n_dup_groups"),
     )
+
+
+@register(
+    "duplicate_window_fractions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+7], ' ')
+                       FOR i IN range(1, greatest(len(w) - 7, 0) + 1)])
+                   AS gram
+        FROM toks
+    ),
+    owners AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           SUM(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM g JOIN owners o USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def duplicate_window_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-INTERNAL duplicated-text fraction per document (r13 —
+    the Lee et al. "deduplicating training data" per-doc metric the
+    family lacked next to pairwise containment and test-set
+    contamination): every word-8-gram window of every doc, counted
+    WITH multiplicity, is 'duplicated' when the same gram occurs in at
+    least one OTHER document; the fraction of a doc's windows that are
+    duplicated is its cross-doc boilerplate share.
+
+    Scale shape: windows explode to ~tokens-per-doc rows (linear in
+    corpus token mass, never pairwise); one shuffle groups grams for
+    the distinct-owner count, one joins the owner count back on the
+    gram key. A universal gram is a hot JOIN key, not a pair
+    generator — its join output stays bounded by that gram's
+    occurrence count (AQE skew split handles the reduce side); there
+    is deliberately NO hot-gram drop here because dropping would
+    undercount the very boilerplate the metric measures."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 7, 0)),"
+                " i -> array_join(slice(w, i, 8), ' '))"
+            )
+        ).alias("gram"),
+    )
+    # no explicit repartition (the r6b multi-consumer rule does not
+    # apply): both consumers of g — the owner count and the join —
+    # exchange on the SAME key (gram), so at scale the sort-merge plan
+    # produces two identical hashpartitioning(gram) exchanges and
+    # runtime exchange reuse dedupes the explode; at bench SF the
+    # planner broadcasts the owner side instead, which skips the
+    # probe-side shuffle entirely (measured: adding the repartition
+    # cost 15% here and buys nothing at scale)
+    owners = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        g.join(owners, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_duplicated"),
+            (F.sum(dup) / F.count(F.lit(1)).cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+    )
