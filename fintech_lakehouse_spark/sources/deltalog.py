@@ -84,13 +84,44 @@ DV_BROADCAST_MAX_ROWS = int(
 )
 
 
+def _nullable_datatype(dt):
+    """Copy of ``dt`` with every NESTED struct field nullable — the
+    cast target for physical↔logical renames (r13: Spark refuses a
+    nullable→non-null nested cast, so a mapped table whose metaData
+    declares a NOT NULL nested field failed to read back; the cast is
+    a rename, not a constraint check)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        return _ST(
+            [
+                StructField(
+                    f.name, _nullable_datatype(f.dataType), True, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_datatype(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_datatype(dt.keyType),
+            _nullable_datatype(dt.valueType),
+            True,
+        )
+    return dt
+
+
 def _physical_datatype(dt, where: str):
     """Recursively rename a LOGICAL datatype to its PHYSICAL form under
     NAME/ID-mode column mapping (ADVICE r9 high): column-mapped parquet
     files use ``delta.columnMapping.physicalName`` at EVERY nesting
     level, so resolving only top-level names silently reads nested
     struct fields back as NULL. Raises on any nested field missing the
-    metadata — corrupt table metadata, fail closed."""
+    metadata — corrupt table metadata, fail closed. Nested fields are
+    emitted NULLABLE (r13): the result is a cast target / read schema,
+    and a nullable→non-null nested cast is unresolvable in Spark."""
     from pyspark.sql.types import ArrayType, MapType, StructField
     from pyspark.sql.types import StructType as _ST
 
@@ -108,7 +139,7 @@ def _physical_datatype(dt, where: str):
                 StructField(
                     phys,
                     _physical_datatype(f.dataType, f"{where}.{f.name}"),
-                    f.nullable,
+                    True,
                 )
             )
         return _ST(fields)
@@ -713,7 +744,7 @@ def _physical_datatype_by_id(dt, idmap: dict, where: str):
                     _physical_datatype_by_id(
                         f.dataType, idmap, f"{where}.{f.name}"
                     ),
-                    f.nullable,
+                    True,  # r13: cast-target/read-schema nullability
                 )
                 for f in dt.fields
             ]
@@ -855,7 +886,9 @@ def read_delta_table(
         # silently read nested values back as NULL)
         scan = scan.select(
             *[
-                scan[phys_names[f.name]].cast(f.dataType).alias(f.name)
+                scan[phys_names[f.name]]
+                .cast(_nullable_datatype(f.dataType))
+                .alias(f.name)
                 for f in data_fields
             ]
         )
@@ -1125,7 +1158,9 @@ def _read_grouped(
         df = df.select(
             *[
                 (
-                    df[phys_names[f.name]].cast(f.dataType)
+                    df[phys_names[f.name]].cast(
+                        _nullable_datatype(f.dataType)
+                    )
                     if mapped
                     else df[f.name]
                 ).alias(f.name)
@@ -2912,7 +2947,9 @@ def _physical_schema_read(spark, paths, schema, mapping, extra=None):
         fields += list(extra)
     df = spark.read.schema(StructType(fields)).parquet(*paths)
     cols = [
-        F.col(mapping[f.name]).cast(f.dataType).alias(f.name)
+        F.col(mapping[f.name])
+        .cast(_nullable_datatype(f.dataType))
+        .alias(f.name)
         for f in schema.fields
     ] + [F.col(f.name) for f in (extra or [])]
     return df.select(*cols)
@@ -2947,7 +2984,9 @@ def _mapped_schema_read(spark, paths, snap, extra=None):
         fields += list(extra)
     df = spark.read.schema(StructType(fields)).parquet(*paths)
     cols = [
-        F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+        F.col(phys[f.name])
+        .cast(_nullable_datatype(f.dataType))
+        .alias(f.name)
         for f in snap.schema.fields
     ] + [F.col(f.name) for f in (extra or [])]
     return df.select(*cols)
@@ -3004,7 +3043,9 @@ def _cdf_file_scan(spark, path, snap_x, rel):
     )
     return scan.select(
         *[
-            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            F.col(phys[f.name])
+        .cast(_nullable_datatype(f.dataType))
+        .alias(f.name)
             for f in snap_x.schema.fields
         ],
         "_dl_ri",
@@ -3350,7 +3391,7 @@ def _dml_scan(
         scan = scan.select(
             *[
                 F.col(phys_names[f.name])
-                .cast(f.dataType)
+                .cast(_nullable_datatype(f.dataType))
                 .alias(f.name)
                 for f in data_fields
             ],
@@ -3537,7 +3578,9 @@ def _to_physical_frame_ids(df, schema: StructType):
             )
         cols.append(
             _phys_value_expr(
-                F.col(name).cast(f.dataType), f.dataType, f.name
+                F.col(name).cast(_nullable_datatype(f.dataType)),
+                f.dataType,
+                f.name,
             ).alias(phys, metadata={"parquet.field.id": int(fid)})
         )
     return df.select(*cols)

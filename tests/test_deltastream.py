@@ -628,10 +628,15 @@ class TestDeltaBridgeWriter:
                 "deltabridge"
             ).option("path", root).mode("overwrite").save()
 
-    def test_writer_refuses_engine_side_features(self, registered, tmp_path):
+    def test_writer_validates_generated_columns(self, registered, tmp_path):
+        """r13 (was a refusal through r12): the bridge VALIDATES
+        provided generated-column values against the declared
+        expression — consistent writes land, a mismatch raises naming
+        the column (full coverage in test_bridge_stream_sink.py)."""
         import pytest as _pytest
 
         from fintech_lakehouse_spark.sources.deltalog import (
+            read_delta_table,
             write_delta_commit,
         )
 
@@ -646,9 +651,17 @@ class TestDeltaBridgeWriter:
             root,
             generated_columns_spec={"twice": "price * 2"},
         )
-        with _pytest.raises(Exception, match="generated/identity"):
+        spark.createDataFrame(
+            [(2, 3, 6)], "id long, price long, twice long"
+        ).write.format("deltabridge").option("path", root).mode(
+            "append"
+        ).save()
+        assert sorted(
+            map(tuple, read_delta_table(spark, root).collect())
+        ) == [(1, 2, 4), (2, 3, 6)]
+        with _pytest.raises(Exception, match="twice"):
             spark.createDataFrame(
-                [(2, 3, 6)], "id long, price long, twice long"
+                [(3, 4, 99)], "id long, price long, twice long"
             ).write.format("deltabridge").option("path", root).mode(
                 "append"
             ).save()
