@@ -35,7 +35,10 @@ The batch reader (``spark.read.format("deltabridge")``) serves the
 LIVE snapshot with one InputPartition per data file; deletion vectors
 decode in the partition reader (pure Python + pyarrow — executors
 drop exactly the indexed rows), and partition-column values attach
-from the log's partitionValues, typed per the table schema.
+from the log's partitionValues, typed per the table schema. TIME
+TRAVEL (r13): ``versionAsOf`` / ``timestampAsOf`` read options, the
+delta-spark batch contract (timestamp → greatest commit at-or-before
+it, ICT-aware; mutually exclusive; pre-first-commit raises).
 
 Everything here runs WITHOUT a SparkSession (driver planning reads
 the log with os/json/pyarrow only — classic AND v2 checkpoints),
@@ -397,10 +400,44 @@ def _read_partition(
         yield tuple(base)
 
 
+def _resolve_as_of(path: str, options: dict) -> int | None:
+    """TIME TRAVEL resolution for the batch bridge (r13, delta-spark's
+    ``versionAsOf`` / ``timestampAsOf`` read options): a timestamp
+    resolves to the greatest committed version whose commit timestamp
+    is ≤ the given epoch-milliseconds (ICT-aware via
+    :func:`_commit_ts_ms`); both options together, or a timestamp
+    before the first commit, raise like delta-spark does."""
+    v_opt = options.get("versionasof") or options.get("versionAsOf")
+    t_opt = options.get("timestampasof") or options.get("timestampAsOf")
+    if v_opt is not None and t_opt is not None:
+        raise ValueError(
+            "deltabridge read: versionAsOf and timestampAsOf are "
+            "mutually exclusive"
+        )
+    if v_opt is not None:
+        return int(v_opt)
+    if t_opt is None:
+        return None
+    ts = int(t_opt)
+    versions = _commit_versions(os.path.join(path, LOG_DIR))
+    best = None
+    for v in sorted(versions):
+        if _commit_ts_ms(path, v) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"deltabridge read: timestampAsOf={ts} precedes the first "
+            "available commit — nothing to time-travel to"
+        )
+    return best
+
+
 class DeltaBridgeReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, options: dict | None = None):
         self.path = path
-        snap = _pure_snapshot(path)
+        snap = _pure_snapshot(
+            path, version=_resolve_as_of(path, options or {})
+        )
         self.snap = snap
         self.part_cols = snap["partition_columns"]
         mapping = snap["column_mapping"] or {}
@@ -1335,7 +1372,10 @@ class DeltaBridgeDataSource(DataSource):
             StructType,
         )
 
-        snap = _pure_snapshot(self._path())
+        snap = _pure_snapshot(
+            self._path(),
+            version=_resolve_as_of(self._path(), dict(self.options)),
+        )
         fields = list(snap["schema"].fields)
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             fields += [
@@ -1346,7 +1386,7 @@ class DeltaBridgeDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema: "StructType") -> DeltaBridgeReader:
-        return DeltaBridgeReader(self._path())
+        return DeltaBridgeReader(self._path(), dict(self.options))
 
     def writer(self, schema: "StructType", overwrite: bool) -> DeltaBridgeWriter:
         return DeltaBridgeWriter(schema, dict(self.options), overwrite)

@@ -665,3 +665,49 @@ class TestDeltaBridgeWriter:
             ).write.format("deltabridge").option("path", root).mode(
                 "append"
             ).save()
+
+
+def test_bridge_batch_time_travel(registered, tmp_path):
+    """r13: the batch bridge supports delta-spark's versionAsOf /
+    timestampAsOf read options — resolved through the no-Spark
+    snapshot (timestamp → greatest commit at-or-before it)."""
+    import time
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        enable_in_commit_timestamps,
+    )
+
+    spark = registered
+    root = str(tmp_path / "tt")
+    os.makedirs(root)
+    write_delta_commit(  # v0
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    enable_in_commit_timestamps(spark, root)  # v1 (monotone stamps)
+    time.sleep(0.05)
+    write_delta_commit(  # v2
+        spark, spark.createDataFrame([(2, "b")], "id long, v string"), root
+    )
+    from fintech_lakehouse_spark.sources.deltastream import _commit_ts_ms
+
+    ts_v1 = _commit_ts_ms(root, 1)
+    write_delta_commit(  # v3
+        spark, spark.createDataFrame([(3, "c")], "id long, v string"), root
+    )
+
+    def read(**opts):
+        r = spark.read.format("deltabridge").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return sorted(x.id for x in r.load().collect())
+
+    assert read() == [1, 2, 3]
+    assert read(versionAsOf=0) == [1]
+    assert read(versionAsOf=2) == [1, 2]
+    # a timestamp at v1's commit resolves to v1 (rows of v0 only —
+    # v1 was the ICT property flip, no data)
+    assert read(timestampAsOf=ts_v1) == [1]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        read(versionAsOf=1, timestampAsOf=ts_v1)
+    with pytest.raises(Exception, match="precedes the first"):
+        read(timestampAsOf=1)
