@@ -4667,20 +4667,22 @@ def shallow_clone_delta_table(
     (fresh table id), subsequent writes land locally under
     ``dst_path``, DML tombstones the borrowed paths without touching
     the source, and VACUUM refuses to delete files outside the clone's
-    own root (the source owns them). Fail-closed scope: a source with
-    deletion vectors (table-relative descriptors would resolve against
-    the wrong root) or column mapping refuses.
+    own root (the source owns them). DELETION-VECTOR sources clone too
+    (r13): table-relative ``u`` descriptors would resolve against the
+    CLONE's root and miss, so they rewrite to ABSOLUTE-path ``p``
+    descriptors pointing at the source's .bin files (the protocol's
+    absolute storage form; inline ``i`` descriptors copy verbatim) —
+    the same zero-copy contract as the data files, with the source's
+    VACUUM remaining the owner of those bins.
 
     Scale note: a clone commit is O(live files) metadata — no data
     moves; this is how table forks for experimentation/backfill stay
     O(1) in data volume at 100 TB."""
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        _dv_file_path,
+    )
+
     snap = delta_snapshot(spark, src_path)
-    if snap.deletion_vectors:
-        raise NotImplementedError(
-            "shallow clone of a deletion-vector table: DV descriptors "
-            "resolve table-relative and would point into the wrong "
-            "root — refusing"
-        )
     # column mapping is METADATA-only state: the clone copies the
     # metaData (ids/physicalNames) verbatim and the absolute-path adds
     # still resolve physically — nothing to translate (r12)
@@ -4721,6 +4723,17 @@ def shallow_clone_delta_table(
         )
         add.setdefault("partitionValues", snap.files[rel])
         add["dataChange"] = True
+        dv = snap.deletion_vectors.get(rel)
+        if dv is not None and dv.get("storageType") == "u":
+            # r13: relative descriptor → absolute 'p' into the source
+            add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    _dv_file_path(src_path, dv)
+                ),
+                "offset": dv.get("offset"),
+            }
         actions.append({"add": add})
     _write_commit(
         dst_path, 0, actions, operation="CLONE",

@@ -3895,14 +3895,20 @@ class TestShallowClone:
             r["id"] for r in read_delta_table(spark, dst).collect()
         ) == [0, 2, 3, 4, 5]
 
-    def test_clone_refuses_dv_tables_and_existing_target(
+    def test_clone_of_dv_table_rewrites_descriptors_absolute(
         self, spark, tmp_path
     ):
-        import pytest as _pytest
-
+        """r13 (was a refusal through r12): a DV-carrying source
+        clones — relative 'u' descriptors rewrite to absolute 'p'
+        descriptors into the SOURCE's .bin files, so the clone reads
+        the same live rows; the source's bins stay owned by the
+        source (the clone's VACUUM never crosses roots)."""
         from fintech_lakehouse_spark.sources.deltalog import (
             delete_from_delta_table,
+            delta_snapshot,
+            read_delta_table,
             shallow_clone_delta_table,
+            vacuum_delta_table,
         )
 
         src = str(tmp_path / "src3")
@@ -3910,8 +3916,33 @@ class TestShallowClone:
         delete_from_delta_table(
             spark, src, "id = 0", use_deletion_vectors=True
         )
-        with _pytest.raises(NotImplementedError, match="deletion-vector"):
-            shallow_clone_delta_table(spark, src, str(tmp_path / "d3"))
+        want = sorted(
+            r["id"] for r in read_delta_table(spark, src).collect()
+        )
+        dst = str(tmp_path / "d3")
+        shallow_clone_delta_table(spark, src, dst)
+        got = sorted(
+            r["id"] for r in read_delta_table(spark, dst).collect()
+        )
+        assert got == want
+        dsnap = delta_snapshot(spark, dst)
+        for dv in dsnap.deletion_vectors.values():
+            assert dv["storageType"] in ("p", "i")
+            if dv["storageType"] == "p":
+                assert os.path.isabs(dv["pathOrInlineDv"])
+        # clone-side vacuum never deletes the source's files or bins
+        assert vacuum_delta_table(spark, dst) == []
+        assert got == sorted(
+            r["id"] for r in read_delta_table(spark, src).collect()
+        )
+
+    def test_clone_refuses_existing_target(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            shallow_clone_delta_table,
+        )
+
         src2 = str(tmp_path / "src4")
         self._src(spark, src2)
         dst = str(tmp_path / "dst4")
