@@ -2891,39 +2891,74 @@ def _write_cdc_files(
     On a MAPPED table (``snap`` passed, r12; id mode r13) the change
     files carry PHYSICAL column names like the data files do (id mode
     additionally stamps footer field ids); ``_change_type`` is the
-    spec's unmapped extra column."""
+    spec's unmapped extra column. PARTITIONED tables (r13): change
+    files mirror the data layout — partitionBy staging, partition
+    columns physically EXCLUDED, the cdc action's partitionValues
+    carrying them (keyed physically under mapping), exactly like add
+    actions; a delta-spark reader resolves our change feed the same
+    way it resolves our data."""
     import shutil
     import uuid
 
     field_ids = False
-    if snap is not None and snap.column_mapping_mode == "name":
-        cdc_df = _to_physical_frame(cdc_df, snap.schema,
-                                    snap.column_mapping)
-    elif snap is not None and snap.column_mapping_mode == "id":
-        cdc_df = _to_physical_frame_ids(cdc_df, snap.schema)
-        field_ids = True
+    stage_pcols: list = []
+    if snap is not None:
+        part_cols = list(snap.partition_columns)
+        mapping = snap.column_mapping or {}
+        if snap.column_mapping_mode == "name":
+            cdc_df = _to_physical_frame(cdc_df, snap.schema,
+                                        snap.column_mapping)
+            stage_pcols = [mapping.get(c, c) for c in part_cols]
+        elif snap.column_mapping_mode == "id":
+            cdc_df = _to_physical_frame_ids(cdc_df, snap.schema)
+            field_ids = True
+            stage_pcols = [mapping.get(c, c) for c in part_cols]
+        else:
+            stage_pcols = part_cols
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    writer = cdc_df.write.mode("overwrite")
+    if stage_pcols:
+        writer = writer.partitionBy(*stage_pcols)
     with _field_id_write_conf(spark, field_ids):
-        cdc_df.write.mode("overwrite").parquet(stage)
+        writer.parquet(stage)
     os.makedirs(os.path.join(path, CDC_DIR), exist_ok=True)
     actions: list = []
     n = 0
-    for name in sorted(os.listdir(stage)):
-        full = os.path.join(stage, name)
-        if name.endswith(".parquet") and os.path.getsize(full) > 0:
-            rel = f"{CDC_DIR}/cdc-{version:05d}-{n:05d}.parquet"
-            os.replace(full, os.path.join(path, rel))
-            actions.append(
-                {
-                    "cdc": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(path, rel)),
-                        "dataChange": False,
+
+    def collect(dirpath: str, pvals: dict) -> None:
+        nonlocal n
+        for name in sorted(os.listdir(dirpath)):
+            full = os.path.join(dirpath, name)
+            if (
+                name.endswith(".parquet")
+                and os.path.isfile(full)
+                and os.path.getsize(full) > 0
+            ):
+                rel = f"{CDC_DIR}/cdc-{version:05d}-{n:05d}.parquet"
+                os.replace(full, os.path.join(path, rel))
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(
+                                os.path.join(path, rel)
+                            ),
+                            "dataChange": False,
+                        }
                     }
-                }
-            )
-            n += 1
+                )
+                n += 1
+            elif os.path.isdir(full) and "=" in name:
+                col, _, raw = name.partition("=")
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+                collect(full, {**pvals, col: val})
+
+    collect(stage, {})
     shutil.rmtree(stage)
     return actions
 
@@ -2955,55 +2990,112 @@ def _physical_schema_read(spark, paths, schema, mapping, extra=None):
     return df.select(*cols)
 
 
-def _mapped_schema_read(spark, paths, snap, extra=None):
+def _mapped_schema_read(spark, paths, snap, extra=None, fields=None):
     """Mode-dispatching schema'd read of a MAPPED table's files (r13):
     name mode resolves physical names from the schema metadata, id
     mode from the files' parquet footer field ids (physicalName
     fallback — the spec requires it alongside the id). ``extra``
-    appends unmapped trailing fields (``_change_type``)."""
+    appends unmapped trailing fields (``_change_type``); ``fields``
+    restricts to a subset of the snapshot schema (the DATA fields of a
+    partitioned table — partition columns are not in the files)."""
     from pyspark.sql.types import StructField
 
+    want = list(fields) if fields is not None else list(snap.schema.fields)
     if snap.column_mapping_mode == "name":
         return _physical_schema_read(
-            spark, paths, snap.schema, snap.column_mapping, extra=extra
+            spark, paths, StructType(want), snap.column_mapping,
+            extra=extra,
         )
-    idmap = _parquet_field_id_names(paths)
-    phys = {
-        f.name: _resolve_phys_by_id(f, idmap, f.name)
-        for f in snap.schema.fields
-    }
-    fields = [
-        StructField(
-            phys[f.name],
-            _physical_datatype_by_id(f.dataType, idmap, f.name),
-            f.nullable,
-        )
-        for f in snap.schema.fields
-    ]
+    if snap.column_mapping_mode == "id":
+        idmap = _parquet_field_id_names(paths)
+        phys = {
+            f.name: _resolve_phys_by_id(f, idmap, f.name) for f in want
+        }
+        read_fields = [
+            StructField(
+                phys[f.name],
+                _physical_datatype_by_id(f.dataType, idmap, f.name),
+                f.nullable,
+            )
+            for f in want
+        ]
+    else:
+        phys = {f.name: f.name for f in want}
+        read_fields = [
+            StructField(f.name, f.dataType, f.nullable) for f in want
+        ]
     if extra:
-        fields += list(extra)
-    df = spark.read.schema(StructType(fields)).parquet(*paths)
+        read_fields = read_fields + list(extra)
+    df = spark.read.schema(StructType(read_fields)).parquet(*paths)
     cols = [
         F.col(phys[f.name])
         .cast(_nullable_datatype(f.dataType))
         .alias(f.name)
-        for f in snap.schema.fields
+        for f in want
     ] + [F.col(f.name) for f in (extra or [])]
     return df.select(*cols)
+
+
+def _changed_files_read(spark, path, snap_x, rel_pvals, extra=None):
+    """CDF branch read of a set of files with KNOWN per-file
+    partitionValues (r13, partitioned change feeds): files group by
+    their partition tuple (one schema'd scan per changed partition
+    value — bounded by the partitions a commit touched, not the
+    table), partition columns attach as typed literals, and the
+    result carries the full declared schema (+``extra``) in order.
+    ``rel_pvals`` is [(table-relative path, partitionValues dict)] —
+    partitionValues keyed PHYSICALLY under mapping, like the log."""
+    from collections import defaultdict
+
+    part_cols = snap_x.partition_columns
+    mapping = snap_x.column_mapping or {}
+    pv_phys = {c: mapping.get(c, c) for c in part_cols}
+    part_types = {
+        f.name: f.dataType
+        for f in snap_x.schema.fields
+        if f.name in set(part_cols)
+    }
+    data_fields = [
+        f for f in snap_x.schema.fields if f.name not in set(part_cols)
+    ]
+    out_cols = [f.name for f in snap_x.schema.fields] + [
+        f.name for f in (extra or [])
+    ]
+    groups: dict = defaultdict(list)
+    for rel, pv in rel_pvals:
+        key = tuple((c, (pv or {}).get(pv_phys[c])) for c in part_cols)
+        groups[key].append(os.path.join(path, rel))
+    branches = []
+    for key, paths in sorted(groups.items(), key=str):
+        df = _mapped_schema_read(
+            spark, sorted(paths), snap_x, extra=extra, fields=data_fields
+        )
+        for c, raw in key:
+            df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
+        branches.append(df.select(*out_cols))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def _cdf_file_scan(spark, path, snap_x, rel):
     """One data file's rows under ``snap_x``'s schema and mapping mode
     plus ``_dl_ri`` (the parquet row index) — the substrate for
-    DV-diff CDF reconstruction (r13). Unpartitioned tables only (the
-    read_delta_changes scope)."""
+    DV-diff CDF reconstruction (r13). PARTITIONED tables attach the
+    file's partition columns as typed literals from the snapshot's
+    partitionValues (data files physically lack them)."""
     from pyspark.sql.types import StructField
 
     full = os.path.join(path, rel)
     mode = snap_x.column_mapping_mode
+    part_cols = set(snap_x.partition_columns)
+    data_fields = [
+        f for f in snap_x.schema.fields if f.name not in part_cols
+    ]
     if mode == "name":
         phys = {f.name: snap_x.column_mapping[f.name]
-                for f in snap_x.schema.fields}
+                for f in data_fields}
         data_schema = StructType(
             [
                 StructField(
@@ -3011,14 +3103,14 @@ def _cdf_file_scan(spark, path, snap_x, rel):
                     _physical_datatype(f.dataType, f.name),
                     f.nullable,
                 )
-                for f in snap_x.schema.fields
+                for f in data_fields
             ]
         )
     elif mode == "id":
         idmap = _parquet_field_id_names([full])
         phys = {
             f.name: _resolve_phys_by_id(f, idmap, f.name)
-            for f in snap_x.schema.fields
+            for f in data_fields
         }
         data_schema = StructType(
             [
@@ -3027,29 +3119,44 @@ def _cdf_file_scan(spark, path, snap_x, rel):
                     _physical_datatype_by_id(f.dataType, idmap, f.name),
                     f.nullable,
                 )
-                for f in snap_x.schema.fields
+                for f in data_fields
             ]
         )
     else:
-        phys = {f.name: f.name for f in snap_x.schema.fields}
+        phys = {f.name: f.name for f in data_fields}
         data_schema = StructType(
             [
                 StructField(f.name, f.dataType, f.nullable)
-                for f in snap_x.schema.fields
+                for f in data_fields
             ]
         )
     scan = spark.read.schema(data_schema).parquet(full).withColumn(
         "_dl_ri", F.col("_metadata.row_index")
     )
-    return scan.select(
+    scan = scan.select(
         *[
             F.col(phys[f.name])
-        .cast(_nullable_datatype(f.dataType))
-        .alias(f.name)
-            for f in snap_x.schema.fields
+            .cast(_nullable_datatype(f.dataType))
+            .alias(f.name)
+            for f in data_fields
         ],
         "_dl_ri",
     )
+    if part_cols:
+        pv = snap_x.files.get(rel) or {}
+        mapping = snap_x.column_mapping or {}
+        for f in snap_x.schema.fields:
+            if f.name in part_cols:
+                scan = scan.withColumn(
+                    f.name,
+                    F.lit(pv.get(mapping.get(f.name, f.name))).cast(
+                        f.dataType
+                    ),
+                )
+        scan = scan.select(
+            *[f.name for f in snap_x.schema.fields], "_dl_ri"
+        )
+    return scan
 
 
 def _rows_at_indexes(spark, scan, indexes, keep: bool):
@@ -3085,10 +3192,13 @@ def read_delta_changes(
     commit whose adds carry deletion vectors reconstructs row-level
     changes from the per-file DV DIFF (newly masked → delete, newly
     unmasked → insert), and a removed file that carried a DV
-    synthesizes deletes for its LIVE rows only. Fails closed: CDF must
-    be enabled at ``from_version``, unpartitioned tables only (the
-    bridge DML limitation class), and a dataChange plain re-add of a
-    prior-DV file (a restore shape no writer here produces) raises."""
+    synthesizes deletes for its LIVE rows only. PARTITIONED tables
+    (r13): cdc/add/remove actions' partitionValues attach as typed
+    partition columns (one schema'd scan per changed partition value
+    per commit — bounded by the partitions a commit touched). Fails
+    closed: CDF must be enabled at ``from_version``, and a dataChange
+    plain re-add of a prior-DV file (a restore shape no writer here
+    produces) raises."""
     versions = _commit_versions(os.path.join(path, LOG_DIR))
     if to_version is None:
         to_version = max(versions) if versions else from_version
@@ -3100,10 +3210,6 @@ def read_delta_changes(
             "change data feed is not enabled at version "
             f"{from_version} (delta.enableChangeDataFeed) — the range "
             "cannot be reconstructed"
-        )
-    if start_snap.partition_columns:
-        raise NotImplementedError(
-            "read_delta_changes supports unpartitioned tables only"
         )
     missing = sorted(
         set(range(from_version, to_version + 1)) - set(versions)
@@ -3140,20 +3246,22 @@ def read_delta_changes(
         if cdcs:
             from pyspark.sql.types import StringType, StructField
 
-            paths = [os.path.join(path, unquote(c["path"])) for c in cdcs]
             snap_v = delta_snapshot(spark, path, version=v)
             ct_field = StructField("_change_type", StringType(), True)
-            if snap_v.column_mapping_mode in ("name", "id"):
-                # mapped tables write cdc files under PHYSICAL names
-                # (the spec's rule); _change_type itself is unmapped
-                cdc_df = _mapped_schema_read(
-                    spark, paths, snap_v, extra=[ct_field]
-                )
-            else:
-                cdc_schema = StructType(
-                    list(snap_v.schema.fields) + [ct_field]
-                )
-                cdc_df = spark.read.schema(cdc_schema).parquet(*paths)
+            # cdc files mirror the data layout: PHYSICAL names under
+            # mapping, partition columns excluded and attached from
+            # each cdc action's partitionValues (r13); _change_type
+            # itself is unmapped
+            cdc_df = _changed_files_read(
+                spark,
+                path,
+                snap_v,
+                [
+                    (unquote(c["path"]), c.get("partitionValues") or {})
+                    for c in cdcs
+                ],
+                extra=[ct_field],
+            )
             branches.append(with_meta(cdc_df, None, v))
             continue
         adds = [
@@ -3224,14 +3332,15 @@ def read_delta_changes(
                 )
         if plain_adds:
             snap_v = delta_snapshot(spark, path, version=v)
-            paths = [
-                os.path.join(path, unquote(a["path"]))
-                for a in plain_adds
-            ]
-            if snap_v.column_mapping_mode in ("name", "id"):
-                add_df = _mapped_schema_read(spark, paths, snap_v)
-            else:
-                add_df = spark.read.schema(snap_v.schema).parquet(*paths)
+            add_df = _changed_files_read(
+                spark,
+                path,
+                snap_v,
+                [
+                    (unquote(a["path"]), a.get("partitionValues") or {})
+                    for a in plain_adds
+                ],
+            )
             branches.append(with_meta(add_df, "insert", v))
         # removes paired with a same-commit re-add are the DV-swap
         # halves handled above, not row deletions
@@ -3270,16 +3379,22 @@ def read_delta_changes(
                     )
                 )
             if plain_removed:
-                paths = [
-                    os.path.join(path, unquote(r["path"]))
-                    for r in plain_removed
-                ]
-                if snap_prev.column_mapping_mode in ("name", "id"):
-                    rm_df = _mapped_schema_read(spark, paths, snap_prev)
-                else:
-                    rm_df = spark.read.schema(
-                        snap_prev.schema
-                    ).parquet(*paths)
+                # pvals from the PREVIOUS snapshot (the remove action
+                # may omit partitionValues in foreign logs)
+                rm_df = _changed_files_read(
+                    spark,
+                    path,
+                    snap_prev,
+                    [
+                        (
+                            unquote(r["path"]),
+                            snap_prev.files.get(unquote(r["path"]))
+                            or r.get("partitionValues")
+                            or {},
+                        )
+                        for r in plain_removed
+                    ],
+                )
                 branches.append(with_meta(rm_df, "delete", v))
     if not branches:
         schema = StructType(list(start_snap.schema.fields))
@@ -3738,11 +3853,6 @@ def _cow_rewrite(
             "use_deletion_vectors=True"
         )
 
-    if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
-        raise NotImplementedError(
-            f"{op_name}: change data feed on a partitioned table — "
-            "read_delta_changes is unpartitioned-only; refusing"
-        )
     if not snap.files:
         return snap.version  # nothing to do; no commit
     cond = F.expr(condition)
@@ -3842,11 +3952,6 @@ def _dv_mark_deleted(
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, op_name)
     _check_append_only(snap.metadata_raw, op_name)
-    if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
-        raise NotImplementedError(
-            f"{op_name}: change data feed on a partitioned table — "
-            "read_delta_changes is unpartitioned-only; refusing"
-        )
     if not snap.files:
         return snap, [], 0, None
     scan, by_bn = _dml_scan(
@@ -4023,6 +4128,7 @@ def delete_from_delta_table(
                     deleted_rows.withColumn(
                         "_change_type", F.lit("delete")
                     ),
+                    snap=snap,
                 )
             )
         _write_commit(
@@ -4183,11 +4289,6 @@ def merge_into_delta_table(
     table's columns by name. Returns the committed version (current
     version when the source is empty)."""
     snap = delta_snapshot(spark, path)
-    if cdf_enabled(snap.metadata_raw) and snap.partition_columns:
-        raise NotImplementedError(
-            "merge_into_delta_table: change data feed on a partitioned "
-            "table — read_delta_changes is unpartitioned-only; refusing"
-        )
     if snap.deletion_vectors and not use_deletion_vectors:
         raise NotImplementedError(
             "merge_into_delta_table (copy-on-write) on a DV-carrying "

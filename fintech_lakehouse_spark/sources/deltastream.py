@@ -484,10 +484,6 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         snap = _pure_snapshot(path)
         self.part_cols = snap["partition_columns"]
         self.mapping = snap["column_mapping"] or {}
-        if self.cdf and self.part_cols:
-            raise NotImplementedError(
-                "deltabridge CDF stream: unpartitioned tables only"
-            )
         self.row_plan = _row_plan(snap)
         self.part_types = {
             f.name: f.dataType.typeName()
@@ -530,6 +526,18 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             out.extend(self._version_partitions(v))
         return out
 
+    def _typed_pvals(self, pv: dict) -> dict:
+        """The log's (physically keyed) partitionValues → typed
+        values under LOGICAL names, the executor emit contract."""
+        return {
+            c: _typed_pv(
+                (pv or {}).get(self.mapping.get(c, c)),
+                self.part_types[c],
+                c,
+            )
+            for c in self.part_cols
+        }
+
     def _version_partitions(self, v: int) -> list:
         actions = _commit_actions(self.path, v)
         adds = [
@@ -548,7 +556,12 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             if cdcs:
                 return [
                     DeltaFilePartition(
-                        unquote(c["path"]), None, {}, None, v, ts,
+                        unquote(c["path"]),
+                        None,
+                        self._typed_pvals(c.get("partitionValues")),
+                        None,
+                        v,
+                        ts,
                         has_change_col=True,
                     )
                     for c in cdcs
@@ -600,17 +613,21 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                     )
                     newly = new_idx - old_idx
                     restored = old_idx - new_idx
+                    pvals = self._typed_pvals(
+                        a.get("partitionValues")
+                        or prev["files"].get(rel)
+                    )
                     if newly:
                         parts.append(
                             DeltaFilePartition(
-                                rel, None, {}, "delete", v, ts,
+                                rel, None, pvals, "delete", v, ts,
                                 keep_dv_json=_keep_desc(newly),
                             )
                         )
                     if restored:
                         parts.append(
                             DeltaFilePartition(
-                                rel, None, {}, "insert", v, ts,
+                                rel, None, pvals, "insert", v, ts,
                                 keep_dv_json=_keep_desc(restored),
                             )
                         )
@@ -625,7 +642,14 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                         "refusing"
                     )
                 parts.append(
-                    DeltaFilePartition(rel, None, {}, "insert", v, ts)
+                    DeltaFilePartition(
+                        rel,
+                        None,
+                        self._typed_pvals(a.get("partitionValues")),
+                        "insert",
+                        v,
+                        ts,
+                    )
                 )
             for r in removes:
                 rel = unquote(r["path"])
@@ -639,7 +663,10 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                     DeltaFilePartition(
                         rel,
                         json.dumps(old) if old else None,
-                        {},
+                        self._typed_pvals(
+                            (prev["files"].get(rel) if prev else None)
+                            or r.get("partitionValues")
+                        ),
                         "delete",
                         v,
                         ts,
