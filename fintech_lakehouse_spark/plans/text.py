@@ -4018,3 +4018,130 @@ def duplicate_window_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CODE_SWITCH_LANG_CASE = """
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_zh = best THEN 'zh' WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                WHEN s_de = best THEN 'de' END
+"""
+
+
+@register(
+    "code_switch_fractions",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest([list_distinct(w[i:i+39])
+                       FOR i IN range(1, len(w) + 1, 40)]) AS dw
+        FROM toks
+    ),
+    ws AS (
+        SELECT doc_id,
+               len(list_intersect(dw, ['the','a','and','of','to'])) AS s_en,
+               len(list_intersect(dw, ['der','die','und','das','ist'])) AS s_de,
+               len(list_intersect(dw, ['el','la','los','que','de'])) AS s_es,
+               len(list_intersect(dw, ['le','la','les','et','est'])) AS s_fr,
+               len(list_intersect(dw, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+        FROM wins
+    ),
+    wp AS (
+        SELECT doc_id, {_CODE_SWITCH_LANG_CASE} AS wlang
+        FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+              FROM ws)
+    ),
+    ds AS (
+        SELECT doc_id,
+               len(list_intersect(dt, ['the','a','and','of','to'])) AS s_en,
+               len(list_intersect(dt, ['der','die','und','das','ist'])) AS s_de,
+               len(list_intersect(dt, ['el','la','los','que','de'])) AS s_es,
+               len(list_intersect(dt, ['le','la','les','et','est'])) AS s_fr,
+               len(list_intersect(dt, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+        FROM (SELECT doc_id, list_distinct(w) AS dt FROM toks)
+    ),
+    doc AS (
+        SELECT doc_id, {_CODE_SWITCH_LANG_CASE} AS doc_lang
+        FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+              FROM ds)
+    )
+    SELECT w.doc_id,
+           d.doc_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN wlang <> 'und' AND wlang <> d.doc_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_switched,
+           SUM(CASE WHEN wlang <> 'und' AND wlang <> d.doc_lang
+                    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+               AS switch_frac
+    FROM wp w JOIN doc d USING (doc_id)
+    GROUP BY w.doc_id, d.doc_lang
+    """,
+)
+def code_switch_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CODE-SWITCHING fraction (r13 — the intra-doc twin
+    of the per-source ``source_lang_impurity``): the doc splits into
+    fixed 40-token windows, each window language-IDs independently via
+    the marker-set argmax (``LANGUAGE_MARKERS``, same tie rule as
+    ``lang_id_heuristic``: max score, ties to the greatest language
+    code, zero overlap → 'und'), and the fraction of windows whose
+    CONFIDENT prediction ('und' excluded) disagrees with the
+    doc-level prediction is the code-switch share — the mixed-language
+    contamination signal curation stacks gate on before monolingual
+    training mixes.
+
+    Scale shape: windows explode linearly in token mass; every score
+    is a JVM-side array_intersect over a 5-literal array (no UDF, no
+    shuffle until the per-doc groupBy); the doc-level argmax reuses
+    the same scan branch and joins back on doc_id — two shuffles
+    total at any SF."""
+    from fintech_lakehouse_spark.functions.text import LANGUAGE_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+
+    def best_lang(arr_col):
+        dw = F.array_distinct(arr_col)
+        scores = F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            dw, F.array(*[F.lit(m) for m in markers])
+                        )
+                    ).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, markers in LANGUAGE_MARKERS.items()
+            ]
+        )
+        best = F.array_max(scores)
+        return F.when(
+            best.getField("score") == 0, F.lit("und")
+        ).otherwise(best.getField("lang"))
+
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w), 40),"
+                   " i -> slice(w, i, 40))")
+        ).alias("wtoks"),
+    ).select("doc_id", best_lang(F.col("wtoks")).alias("wlang"))
+    doc = toks.select("doc_id", best_lang(F.col("w")).alias("doc_lang"))
+    switched = F.when(
+        (F.col("wlang") != "und") & (F.col("wlang") != F.col("doc_lang")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        wins.join(doc, "doc_id")
+        .groupBy("doc_id", "doc_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(switched).cast("long").alias("n_switched"),
+            (F.sum(switched) / F.count(F.lit(1)).cast("double")).alias(
+                "switch_frac"
+            ),
+        )
+    )
