@@ -2990,22 +2990,20 @@ def _physical_schema_read(spark, paths, schema, mapping, extra=None):
     return df.select(*cols)
 
 
-def _mapped_schema_read(spark, paths, snap, extra=None, fields=None):
+def _mapped_schema_read(spark, paths, snap, extra=None, fields=None,
+                        file_col=None):
     """Mode-dispatching schema'd read of a MAPPED table's files (r13):
     name mode resolves physical names from the schema metadata, id
     mode from the files' parquet footer field ids (physicalName
     fallback — the spec requires it alongside the id). ``extra``
     appends unmapped trailing fields (``_change_type``); ``fields``
     restricts to a subset of the snapshot schema (the DATA fields of a
-    partitioned table — partition columns are not in the files)."""
+    partitioned table — partition columns are not in the files);
+    ``file_col`` appends the source file's BASENAME (the
+    partitionValues-lookup key)."""
     from pyspark.sql.types import StructField
 
     want = list(fields) if fields is not None else list(snap.schema.fields)
-    if snap.column_mapping_mode == "name":
-        return _physical_schema_read(
-            spark, paths, StructType(want), snap.column_mapping,
-            extra=extra,
-        )
     if snap.column_mapping_mode == "id":
         idmap = _parquet_field_id_names(paths)
         phys = {
@@ -3019,6 +3017,16 @@ def _mapped_schema_read(spark, paths, snap, extra=None, fields=None):
             )
             for f in want
         ]
+    elif snap.column_mapping_mode == "name":
+        phys = {f.name: snap.column_mapping[f.name] for f in want}
+        read_fields = [
+            StructField(
+                phys[f.name],
+                _physical_datatype(f.dataType, f.name),
+                f.nullable,
+            )
+            for f in want
+        ]
     else:
         phys = {f.name: f.name for f in want}
         read_fields = [
@@ -3027,25 +3035,37 @@ def _mapped_schema_read(spark, paths, snap, extra=None, fields=None):
     if extra:
         read_fields = read_fields + list(extra)
     df = spark.read.schema(StructType(read_fields)).parquet(*paths)
-    cols = [
-        F.col(phys[f.name])
-        .cast(_nullable_datatype(f.dataType))
-        .alias(f.name)
-        for f in want
-    ] + [F.col(f.name) for f in (extra or [])]
+    if file_col:
+        df = df.withColumn(
+            file_col,
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+    cols = (
+        [
+            F.col(phys[f.name])
+            .cast(_nullable_datatype(f.dataType))
+            .alias(f.name)
+            for f in want
+        ]
+        + [F.col(f.name) for f in (extra or [])]
+        + ([F.col(file_col)] if file_col else [])
+    )
     return df.select(*cols)
 
 
-def _changed_files_read(spark, path, snap_x, rel_pvals, extra=None):
+def _changed_files_read(spark, path, snap_x, rel_pvals, extra=None,
+                        op: str = "read_delta_changes"):
     """CDF branch read of a set of files with KNOWN per-file
-    partitionValues (r13, partitioned change feeds): files group by
-    their partition tuple (one schema'd scan per changed partition
-    value — bounded by the partitions a commit touched, not the
-    table), partition columns attach as typed literals, and the
-    result carries the full declared schema (+``extra``) in order.
+    partitionValues (r13, partitioned change feeds): ONE schema'd scan
+    over all files, partition columns attached typed through a
+    broadcast ``input_file_name()``-basename → partitionValues lookup
+    with a raise_error guard — the read path's r8 shape (plan size
+    CONSTANT in the number of changed partition values; a
+    union-per-value form compiles one scan branch per value, the exact
+    planning blow-up r8 removed from the snapshot read).
     ``rel_pvals`` is [(table-relative path, partitionValues dict)] —
     partitionValues keyed PHYSICALLY under mapping, like the log."""
-    from collections import defaultdict
+    from pyspark.sql.types import BooleanType, StringType, StructField
 
     part_cols = snap_x.partition_columns
     mapping = snap_x.column_mapping or {}
@@ -3061,22 +3081,58 @@ def _changed_files_read(spark, path, snap_x, rel_pvals, extra=None):
     out_cols = [f.name for f in snap_x.schema.fields] + [
         f.name for f in (extra or [])
     ]
-    groups: dict = defaultdict(list)
-    for rel, pv in rel_pvals:
-        key = tuple((c, (pv or {}).get(pv_phys[c])) for c in part_cols)
-        groups[key].append(os.path.join(path, rel))
-    branches = []
-    for key, paths in sorted(groups.items(), key=str):
-        df = _mapped_schema_read(
-            spark, sorted(paths), snap_x, extra=extra, fields=data_fields
+    paths = sorted(os.path.join(path, rel) for rel, _ in rel_pvals)
+    if not part_cols:
+        return _mapped_schema_read(
+            spark, paths, snap_x, extra=extra, fields=data_fields
         )
-        for c, raw in key:
-            df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
-        branches.append(df.select(*out_cols))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    scan = _mapped_schema_read(
+        spark,
+        paths,
+        snap_x,
+        extra=extra,
+        fields=data_fields,
+        file_col="_dl_file",
+    )
+    by_bn: dict[str, tuple] = {}
+    for rel, pv in rel_pvals:
+        bn = os.path.basename(rel)
+        vals = tuple((pv or {}).get(pv_phys[c]) for c in part_cols)
+        for key in {bn, quote(bn), quote(bn, safe="")}:
+            if by_bn.setdefault(key, vals) != vals:
+                raise NotImplementedError(
+                    f"{op}: colliding changed-file basenames ({bn!r}) "
+                    "make the partitionValues resolution ambiguous; "
+                    "refusing"
+                )
+    lk_schema = StructType(
+        [
+            StructField("_dl_file", StringType(), False),
+            StructField("_dl_pv_ok", BooleanType(), False),
+        ]
+        + [StructField(c, StringType(), True) for c in part_cols]
+    )
+    rows = sorted({(k, True, *v) for k, v in by_bn.items()})
+    lookup = spark.createDataFrame(rows, lk_schema)
+    scan = scan.join(F.broadcast(lookup), "_dl_file", "left")
+    guard = F.when(
+        F.col("_dl_pv_ok").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: changed-file basename "),
+                F.col("_dl_file"),
+                F.lit(" missing from the partitionValues lookup — "
+                      "refusing"),
+            )
+        ),
+    )
+    first = part_cols[0]
+    scan = scan.withColumn(
+        first, guard.otherwise(F.col(first))
+    ).drop("_dl_pv_ok", "_dl_file")
+    for c in part_cols:
+        scan = scan.withColumn(c, F.col(c).cast(part_types[c]))
+    return scan.select(*out_cols)
 
 
 def _cdf_file_scan(spark, path, snap_x, rel):

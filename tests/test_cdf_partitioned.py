@@ -197,3 +197,30 @@ def test_unpartitioned_cdc_layout_unchanged(spark, tmp_path):
         (r.id, r.v, r._change_type)
         for r in read_delta_changes(spark, root, 2).collect()
     ) == [(1, "a", "delete")]
+
+
+def test_partitioned_cdf_plan_constant_in_partition_count(spark, tmp_path):
+    """The r8 lesson, pinned for the change feed: a commit touching
+    MANY partitions must read through ONE scan + a broadcast
+    partitionValues lookup, not one union branch per partition value
+    (which compiles minutes of plan at 500+ partitions)."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 60, f"v{i}") for i in range(240)],
+            "id long, p long, v string",
+        ),
+        root,
+        partition_by=["p"],
+    )
+    enable_change_data_feed(spark, root)
+    delete_from_delta_table(spark, root, "id % 4 = 0")  # touches all 60
+    df = read_delta_changes(spark, root, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+    got = sorted(
+        (r.id, r.p) for r in df.collect() if r._change_type == "delete"
+    )
+    assert got == [(i, i % 60) for i in range(0, 240, 4)]
