@@ -4659,6 +4659,23 @@ def optimize_delta_table(
     return version
 
 
+def reorg_delta_table_purge(
+    spark: SparkSession, path: str, target_files: int = 4
+) -> int:
+    """REORG TABLE ... APPLY (PURGE) (r13 — delta's post-DROP-COLUMN
+    hygiene command): rewrite every live file so physically-dead bytes
+    actually leave the storage — dropped columns' data (a DROP COLUMN
+    is metaData-only; the physical column lingers in old parquet until
+    a rewrite) and rows soft-deleted by deletion vectors. The rewrite
+    IS the optimize pass: the logical snapshot read projects only the
+    CURRENT schema and strips DV'd rows, so staging it back re-encodes
+    exactly the live bytes; the commit uses dataChange=false like
+    OPTIMIZE (streaming consumers skip it). A follow-up VACUUM
+    reclaims the superseded files and DV bins. Returns the committed
+    version."""
+    return optimize_delta_table(spark, path, target_files=target_files)
+
+
 def restore_delta_table(
     spark: SparkSession,
     path: str,

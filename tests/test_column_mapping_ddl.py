@@ -932,3 +932,49 @@ def test_dv_merge_on_mapped_table(spark, tmp_path):
                            use_deletion_vectors=True)
     got = sorted(map(tuple, read_delta_table(spark, root).collect()))
     assert got == [(1, "A2", 70), (2, "b", 8), (9, "new", 1)]
+
+
+def test_reorg_purge_sheds_dropped_column_and_dvs(spark, tmp_path):
+    """r13: REORG APPLY (PURGE) — after DROP COLUMN the old parquet
+    still physically carries the dropped column, and DV'd rows still
+    occupy bytes; the purge rewrite re-encodes exactly the live bytes
+    (current schema only, deletion vectors applied), and VACUUM then
+    reclaims the superseded files and bins."""
+    import pyarrow.parquet as pq
+
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+        drop_delta_column,
+        reorg_delta_table_purge,
+        vacuum_delta_table,
+    )
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)  # columns id, v, d
+    enable_column_mapping(spark, root)
+    drop_delta_column(spark, root, "v")
+    delete_from_delta_table(spark, root, "id = 2",
+                            use_deletion_vectors=True)
+    # pre-purge: the files still carry v's physical column + a DV
+    snap = delta_snapshot(spark, root)
+    assert snap.deletion_vectors
+    old_names = pq.read_schema(
+        os.path.join(root, sorted(snap.files)[0])
+    ).names
+    assert "v" in old_names
+    reorg_delta_table_purge(spark, root, target_files=1)
+    snap2 = delta_snapshot(spark, root)
+    assert not snap2.deletion_vectors
+    assert len(snap2.files) == 1
+    new_names = pq.read_schema(
+        os.path.join(root, sorted(snap2.files)[0])
+    ).names
+    assert "v" not in new_names  # dropped column physically gone
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, 7)
+    ]
+    reclaimed = vacuum_delta_table(spark, root)
+    assert any(r.endswith(".parquet") for r in reclaimed)
+    assert sorted(map(tuple, read_delta_table(spark, root).collect())) == [
+        (1, 7)
+    ]

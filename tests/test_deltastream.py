@@ -711,3 +711,36 @@ def test_bridge_batch_time_travel(registered, tmp_path):
         read(versionAsOf=1, timestampAsOf=ts_v1)
     with pytest.raises(Exception, match="precedes the first"):
         read(timestampAsOf=1)
+
+
+def test_id_mode_bridge_read_with_deletion_vectors(registered, tmp_path):
+    """r13 combo pin: id-mode footer-field-id resolution AND deletion
+    vectors in the same bridge partition read — the two executor-side
+    mechanisms compose."""
+    from fintech_lakehouse_spark.sources.deltalog import (
+        delete_from_delta_table,
+    )
+    from tests.test_column_mapping_ddl import _flip_to_id_mode
+
+    spark = registered
+    root = str(tmp_path / "iddv")
+    os.makedirs(root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame([(0, "seed")], "id long, v string"),
+        root,
+    )
+    _flip_to_id_mode(spark, root)
+    write_delta_commit(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1),
+        root,
+        mode="overwrite",
+    )
+    delete_from_delta_table(
+        spark, root, "id % 3 = 0", use_deletion_vectors=True
+    )
+    df = spark.read.format("deltabridge").option("path", root).load()
+    assert sorted(r.id for r in df.collect()) == [1, 2, 4, 5, 7, 8]
