@@ -224,3 +224,61 @@ def test_partitioned_cdf_plan_constant_in_partition_count(spark, tmp_path):
         (r.id, r.p) for r in df.collect() if r._change_type == "delete"
     )
     assert got == [(i, i % 60) for i in range(0, 240, 4)]
+
+
+def test_id_mode_partitioned_cdf_stream(spark, tmp_path):
+    """Triple combo pin: id-mode column mapping × partitioned table ×
+    CDF stream — cdc files carry field-id-stamped physical columns and
+    partition values ride the cdc actions; the stream resolves both."""
+    from fintech_lakehouse_spark.sources.deltastream import (
+        register_deltabridge_source,
+    )
+    from tests.test_column_mapping_ddl import _flip_to_id_mode
+
+    register_deltabridge_source(spark)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    write_delta_commit(  # v0
+        spark,
+        spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(6)],
+            "id long, p long, v string",
+        ).coalesce(1),
+        root,
+        partition_by=["p"],
+    )
+    _flip_to_id_mode(spark, root)  # v1
+    write_delta_commit(  # v2: field-id-stamped files replace the set
+        spark,
+        spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(6)],
+            "id long, p long, v string",
+        ).coalesce(1),
+        root,
+        mode="overwrite",
+        partition_by=["p"],
+    )
+    enable_change_data_feed(spark, root)  # v3
+    delete_from_delta_table(spark, root, "id = 4")  # v4: cdc
+    batch = _changes(spark, root, 4)
+    assert batch == [(4, 0, "v4", "delete", 4)]
+    reader = (
+        spark.readStream.format("deltabridge")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "4")
+        .load()
+    )
+    q = (
+        reader.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r.id, r.p, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == batch
