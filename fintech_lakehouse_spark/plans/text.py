@@ -4145,3 +4145,106 @@ def code_switch_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               lower(substr(text, 1, 24)) AS sk,
+               substr(lower(text), 1, 6) AS blk,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    nbr AS (
+        SELECT doc_id, blk, sk,
+               lead(doc_id, 1) OVER w AS n1,
+               lead(doc_id, 2) OVER w AS n2,
+               lead(doc_id, 3) OVER w AS n3
+        FROM keyed
+        WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+    ),
+    cand AS (
+        SELECT doc_id AS doc_a, unnest([n1, n2, n3]) AS doc_b
+        FROM nbr
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(1000000 * len(list_intersect(a.toks, b.toks))
+                    // len(list_distinct(a.toks || b.toks)) AS BIGINT)
+                   AS jac_ppm
+        FROM cand c
+        JOIN keyed a ON a.doc_id = c.doc_a
+        JOIN keyed b ON b.doc_id = c.doc_b
+        WHERE c.doc_b IS NOT NULL
+    )
+    SELECT doc_a, doc_b, jac_ppm
+    FROM verified
+    WHERE jac_ppm >= 200000
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD near-duplicate candidates (r13 — the
+    SORT-based blocking mechanism of the entity-resolution literature,
+    next to the family's hash-based generators: minhash bands, shingle
+    inverted indexes, winnowing, simhash): docs sort by a normalized
+    24-char prefix key WITHIN 6-char prefix blocks, each doc pairs
+    with its next 3 sort neighbors (window leads — no self-join), and
+    candidates verify by exact token-set Jaccard in integer ppm,
+    emitted at ≥ 0.2.
+
+    Scale shape: the sort window partitions by the BLOCK prefix, so
+    there is no global sort — one shuffle on the block key, W−1 lead
+    columns, then a verify bounded to |docs|·(W−1) candidate pairs
+    (never all-pairs; the classic SNM cost model). Distributed SNM's
+    boundary effect is handled the standard way: neighborhoods never
+    cross block boundaries (blocking + SNM-within-block), trading
+    recall at block edges for shuffle-partitionable sorts — the same
+    trade every blocking scheme in the family makes explicit."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 24)).alias("sk"),
+        F.substring(F.lower("text"), 1, 6).alias("blk"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    nbr = keyed.select(
+        "doc_id",
+        F.array(
+            F.lead("doc_id", 1).over(w),
+            F.lead("doc_id", 2).over(w),
+            F.lead("doc_id", 3).over(w),
+        ).alias("nbrs"),
+    )
+    cand = (
+        nbr.select(
+            F.col("doc_id").alias("doc_a"),
+            F.explode("nbrs").alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(1000000 * size(array_intersect(toks_a, toks_b))"
+                " DIV size(array_union(toks_a, toks_b)) AS LONG)"
+            ).alias("jac_ppm"),
+        )
+    )
+    return verified.filter(F.col("jac_ppm") >= 200000).select(
+        "doc_a", "doc_b", "jac_ppm"
+    )
