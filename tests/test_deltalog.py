@@ -4037,3 +4037,107 @@ def test_optimize_on_clone_localizes_data(spark, tmp_path):
     } == src_files
     assert read_delta_table(spark, src).count() == 6
     assert sorted(map(tuple, read_delta_table(spark, dst).collect())) == want
+
+
+class TestConvertToDelta:
+    """CONVERT TO DELTA (r13): a _delta_log committed OVER existing
+    parquet without rewriting a byte."""
+
+    def test_convert_flat_directory(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            convert_parquet_to_delta,
+            delta_snapshot,
+            read_delta_table,
+            write_delta_commit,
+        )
+
+        root = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).repartition(3).write.parquet(root)
+        before = sorted(
+            map(tuple, spark.read.parquet(root).collect())
+        )
+        assert convert_parquet_to_delta(spark, root) == 0
+        got = sorted(
+            map(tuple, read_delta_table(spark, root).collect())
+        )
+        assert got == before
+        snap = delta_snapshot(spark, root)
+        assert len(snap.files) == 3  # the ORIGINAL files, not rewrites
+        # the converted table is a real Delta table: appends work
+        write_delta_commit(
+            spark,
+            spark.createDataFrame([(100, "new")], "id long, v string"),
+            root,
+        )
+        assert (100, "new") in set(
+            map(tuple, read_delta_table(spark, root).collect())
+        )
+
+    def test_convert_hive_partitioned(self, spark, tmp_path):
+        from fintech_lakehouse_spark.sources.deltalog import (
+            convert_parquet_to_delta,
+            delete_from_delta_table,
+            delta_snapshot,
+            read_delta_table,
+        )
+
+        root = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(12)],
+            "id long, p long, v string",
+        ).write.partitionBy("p").parquet(root)
+        before = sorted(
+            map(tuple, spark.read.parquet(root)
+                .select("id", "p", "v").collect())
+        )
+        convert_parquet_to_delta(spark, root, {"p": "bigint"})
+        snap = delta_snapshot(spark, root)
+        assert snap.partition_columns == ["p"]
+        out = read_delta_table(spark, root).select("id", "p", "v")
+        assert sorted(map(tuple, out.collect())) == before
+        # partition pruning works from the converted partitionValues
+        assert sorted(
+            r.id for r in out.filter("p = 1").collect()
+        ) == [1, 4, 7, 10]
+        # Spark's partitionBy writes the SAME part-file basename in
+        # every partition dir, so the converted table hits the DML
+        # basename-collision guard — fail CLOSED with the documented
+        # message (reads resolve through the grouped fallback; the
+        # repo's own writer never produces collisions)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="colliding"):
+            delete_from_delta_table(spark, root, "id = 0")
+
+    def test_convert_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fintech_lakehouse_spark.sources.deltalog import (
+            convert_parquet_to_delta,
+            write_delta_commit,
+        )
+
+        # already a Delta table
+        root = str(tmp_path / "d")
+        os.makedirs(root)
+        write_delta_commit(
+            spark, spark.createDataFrame([(1,)], "id long"), root
+        )
+        with _pytest.raises(ValueError, match="already has a Delta log"):
+            convert_parquet_to_delta(spark, root)
+        # partitioned layout without a partition_schema
+        root2 = str(tmp_path / "p")
+        spark.createDataFrame(
+            [(1, 1)], "id long, p long"
+        ).write.partitionBy("p").parquet(root2)
+        with _pytest.raises(ValueError, match="must agree exactly"):
+            convert_parquet_to_delta(spark, root2)
+        # stray non-parquet data file
+        root3 = str(tmp_path / "s")
+        spark.createDataFrame([(1,)], "id long").write.parquet(root3)
+        with open(os.path.join(root3, "stray.csv"), "w") as fh:
+            fh.write("x\n")
+        with _pytest.raises(ValueError, match="non-parquet"):
+            convert_parquet_to_delta(spark, root3)
