@@ -159,6 +159,29 @@ def main() -> None:
     steal1, total1 = _cpu_stat()
     dsteal, dtotal = steal1 - steal0, total1 - total0
     steal_fraction = round(dsteal / dtotal, 4) if dtotal else 0.0
+    # r13 steal-aware protocol (VERDICT r12 item 4): machine-level
+    # hypervisor-steal over the bench window. RE-RUN RULE
+    # (BASELINE.md §2): a run with steal_fraction > 0.05 is
+    # contention-poisoned — re-run before reading any per-query delta
+    # as a regression.
+    #
+    # Output packaging (VERDICT r13 item 1): the driver tail-captures
+    # stdout and keeps ONE line, so the per-query steal-tick map —
+    # which grew the single line past the capture window in r13 and
+    # cut off the headline `value` — goes on a PRECEDING line and in a
+    # side file; the compact headline JSON is the FINAL stdout line.
+    steal_detail = {
+        "steal_ticks_per_query": steals,
+        "steal_ticks": dsteal,
+        "steal_fraction": steal_fraction,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_STEAL.json"), "w") as fh:
+            json.dump(steal_detail, fh)
+    except OSError:
+        pass
+    print(json.dumps(steal_detail))
     print(
         json.dumps(
             {
@@ -168,16 +191,8 @@ def main() -> None:
                 "queries": {**timings, **v2},
                 "value_v2": round(sum(v2.values()), 3),
                 "sf": sf,
-                # r13 steal-aware protocol (VERDICT r12 item 4): the
-                # machine-level hypervisor-steal fraction over the
-                # bench window, plus per-query steal ticks. RE-RUN
-                # RULE (BASELINE.md §2): a run with steal_fraction >
-                # 0.05 is contention-poisoned — re-run before reading
-                # any per-query delta as a regression.
                 "steal_fraction": steal_fraction,
-                "steal_ticks": dsteal,
                 "steal_poisoned": steal_fraction > 0.05,
-                "steal_ticks_per_query": steals,
             }
         )
     )

@@ -21,7 +21,7 @@ of the log breaks on nulls and special characters).
 
 The READ path covers protocol reader versions 1-3 (v3 with
 ``readerFeatures`` ⊆ {``columnMapping``, ``deletionVectors``,
-``v2Checkpoint``}): NAME-mode column mapping resolves each logical
+``v2Checkpoint``, ``timestampNtz``}): NAME-mode column mapping resolves each logical
 field — at EVERY nesting level (r10) — to the physical parquet column
 named in ``delta.columnMapping.physicalName`` (partitionValues are
 keyed by physical name too, per the protocol); ID-mode mapping (r10)
@@ -62,6 +62,7 @@ without one.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import uuid
@@ -156,6 +157,47 @@ def _physical_datatype(dt, where: str):
     return dt
 
 
+def _schema_has_ntz(dt) -> bool:
+    """True when ``dt`` contains a TIMESTAMP_NTZ anywhere (top level or
+    nested in struct/array/map) — the trigger for the ``timestampNtz``
+    table feature (Delta PROTOCOL.md: a table with TIMESTAMP_NTZ
+    columns MUST declare the feature on both reader and writer sides,
+    so pre-feature readers that would misread the un-adjusted int64 as
+    a UTC-adjusted timestamp refuse instead)."""
+    from pyspark.sql.types import ArrayType, MapType, TimestampNTZType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, TimestampNTZType):
+        return True
+    if isinstance(dt, _ST):
+        return any(_schema_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _schema_has_ntz(dt.elementType)
+    if isinstance(dt, MapType):
+        return _schema_has_ntz(dt.keyType) or _schema_has_ntz(dt.valueType)
+    return False
+
+
+def _creation_protocol(schema, writer_v: int = 2) -> dict:
+    """The protocol action payload for a NEW table whose schema is
+    ``schema``: the legacy ``(1, writer_v)`` form unless the schema
+    needs a table feature — TIMESTAMP_NTZ columns (r14) force the
+    feature form ``(3, 7)`` with ``timestampNtz`` in BOTH feature
+    lists plus every writer feature the legacy ``writer_v`` implied
+    (the spec's upgrade rule: moving to v7 must enumerate what the
+    previous version granted implicitly)."""
+    if _schema_has_ntz(schema):
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": sorted(
+                set(_implied_writer_features(writer_v)) | {"timestampNtz"}
+            ),
+        }
+    return {"minReaderVersion": 1, "minWriterVersion": writer_v}
+
+
 def has_delta_log(path: str) -> bool:
     """True when ``path`` is a local Delta table root (a ``_delta_log``
     directory with at least one commit or checkpoint in it)."""
@@ -194,6 +236,10 @@ class DeltaSnapshot:
     # streaming-txn watermarks (r12): appId → last committed version,
     # the protocol's exactly-once primitive for streaming sinks
     txns: dict = field(default_factory=dict)
+    # domainMetadata (r14, the rowTracking substrate): domain name →
+    # configuration JSON string, latest writer wins, removed tombstones
+    # drop the entry (the protocol's replay rule for metadata domains)
+    domain_metadata: dict = field(default_factory=dict)
 
 
 def _commit_versions(log: str) -> list[int]:
@@ -341,8 +387,9 @@ def _apply_action(snap_state: dict, action: dict) -> None:
             # v3 is feature-gated: readerFeatures enumerates what the
             # reader MUST understand (the protocol REQUIRES the list at
             # v3 — its absence is malformed, fail closed). columnMapping
-            # is implemented; anything else (deletionVectors,
-            # timestampNtz, v2Checkpoint, typeWidening, ...) raises.
+            # / deletionVectors / v2Checkpoint / timestampNtz (r14) are
+            # implemented; anything else (typeWidening, rowTracking,
+            # ...) raises.
             feats = p.get("readerFeatures")
             if feats is None:
                 raise NotImplementedError(
@@ -352,7 +399,8 @@ def _apply_action(snap_state: dict, action: dict) -> None:
                 )
             unsupported = sorted(
                 set(feats)
-                - {"columnMapping", "deletionVectors", "v2Checkpoint"}
+                - {"columnMapping", "deletionVectors", "v2Checkpoint",
+                   "timestampNtz"}
             )
             if unsupported:
                 raise NotImplementedError(
@@ -434,6 +482,21 @@ def _apply_action(snap_state: dict, action: dict) -> None:
         t = action["txn"]
         if t.get("appId") is not None and t.get("version") is not None:
             snap_state.setdefault("txns", {})[t["appId"]] = int(t["version"])
+    if "domainMetadata" in action:
+        # metadata domains (r14): latest writer wins per domain;
+        # removed=true tombstones the domain. Row tracking stores its
+        # rowIdHighWaterMark under the "delta.rowTracking" domain.
+        dm = action["domainMetadata"]
+        domain = dm.get("domain")
+        if domain:
+            if dm.get("removed"):
+                snap_state.setdefault("domain_metadata", {}).pop(
+                    domain, None
+                )
+            else:
+                snap_state.setdefault("domain_metadata", {})[domain] = (
+                    dm.get("configuration")
+                )
 
 
 def commit_timestamps(path: str) -> dict:
@@ -604,6 +667,7 @@ def delta_snapshot(
         "metadata_raw": {},
         "adds_raw": {},
         "txns": {},
+        "domain_metadata": {},
     }
     if ckpt is not None:
         # checkpoint rows are one action per row with struct columns;
@@ -665,6 +729,7 @@ def delta_snapshot(
         metadata_raw=state["metadata_raw"],
         adds_raw=state["adds_raw"],
         txns=state["txns"],
+        domain_metadata=state["domain_metadata"],
     )
 
 
@@ -1218,6 +1283,13 @@ def _file_stats_json(full_path: str) -> str | None:
                     except UnicodeDecodeError:
                         complete[name] = False
                         continue
+                if isinstance(lo, (_dt.datetime, _dt.date)):
+                    # timestamp / timestamp_ntz / date stats (r14):
+                    # serialize ISO-8601 — lexicographic order on the
+                    # fixed-width format equals chronological order,
+                    # so prune_delta_files' string comparisons stay
+                    # sound (datetime literals TypeError → keep file)
+                    lo, hi = lo.isoformat(), hi.isoformat()
                 if not isinstance(lo, (int, float, str, bool)):
                     complete[name] = False
                     continue
@@ -1951,6 +2023,37 @@ def write_delta_commit(
         widened = StructType(list(prev.schema.fields) + new_fields)
         if id_hwm:
             widened = _schema_with_identity_hwm(widened, id_hwm)
+        # mergeSchema adding a TIMESTAMP_NTZ column to a pre-feature
+        # table (r14): the SAME commit must upgrade the protocol to
+        # declare timestampNtz on both sides, else a feature-aware
+        # reader refuses / a naive one misreads the new column
+        if any(_schema_has_ntz(f.dataType) for f in new_fields):
+            proto_prev = dict(
+                prev.protocol_raw
+                or {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
+            rf = set(proto_prev.get("readerFeatures") or [])
+            if (
+                int(proto_prev.get("minReaderVersion", 1)) < 3
+                or "timestampNtz" not in rf
+            ):
+                wf = set(proto_prev.get("writerFeatures") or [])
+                if int(proto_prev.get("minWriterVersion", 2)) < 7:
+                    wf |= set(
+                        _implied_writer_features(
+                            int(proto_prev.get("minWriterVersion", 2))
+                        )
+                    )
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(rf | {"timestampNtz"}),
+                            "writerFeatures": sorted(wf | {"timestampNtz"}),
+                        }
+                    }
+                )
         md = dict(prev.metadata_raw)
         md["schemaString"] = json.dumps(widened.jsonValue())
         if new_max_id is not None:
@@ -1959,16 +2062,16 @@ def write_delta_commit(
             md["configuration"] = conf2
         actions.append({"metaData": md})
     if version == 0:
-        # legacy feature gates: identity columns 6 > generated columns 4
+        # legacy feature gates: identity columns 6 > generated columns 4;
+        # a TIMESTAMP_NTZ column anywhere forces the feature form (r14)
         writer_v = 2
         if create_schema is not None:
             writer_v = 6 if identity_columns(create_schema) else 4
         actions.append(
             {
-                "protocol": {
-                    "minReaderVersion": 1,
-                    "minWriterVersion": writer_v,
-                }
+                "protocol": _creation_protocol(
+                    create_schema or df.schema, writer_v
+                )
             }
         )
         actions.append(
@@ -2480,7 +2583,8 @@ _LEGACY_WRITER_FEATURES = {
 # closed — writing through an ununderstood feature corrupts the table)
 _SUPPORTED_WRITER_FEATURES = frozenset(
     f for feats in _LEGACY_WRITER_FEATURES.values() for f in feats
-) | frozenset({"inCommitTimestamp", "deletionVectors", "v2Checkpoint"})
+) | frozenset({"inCommitTimestamp", "deletionVectors", "v2Checkpoint",
+               "timestampNtz", "domainMetadata", "rowTracking"})
 
 
 def _implied_writer_features(writer_version: int) -> list:
@@ -2572,6 +2676,194 @@ def _gate_writer_features(protocol_raw: dict, op: str) -> None:
             f"{op}: table declares writerFeatures {unknown} this writer "
             "does not implement — refusing to commit"
         )
+
+
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+# output column names the row-id read surface exposes (delta-spark
+# surfaces these through _metadata.row_id / _metadata.row_commit_version;
+# the offline bridge appends them as plain output columns on request)
+ROW_ID_COL = "_row_id"
+ROW_COMMIT_COL = "_row_commit_version"
+
+
+def row_tracking_enabled(metadata_raw: dict) -> bool:
+    """True when the table's ``delta.enableRowTracking`` is set."""
+    conf = (metadata_raw or {}).get("configuration") or {}
+    return str(conf.get("delta.enableRowTracking", "false")).lower() == "true"
+
+
+def _rt_materialized_names(metadata_raw: dict) -> tuple:
+    """(row-id column, row-commit-version column) PHYSICAL names the
+    table materializes preserved values under — recorded in the config
+    at enablement (the protocol's
+    ``delta.rowTracking.materializedRowIdColumnName`` /
+    ``materializedRowCommitVersionColumnName`` keys). Raises when row
+    tracking is on but the names are missing (corrupt metadata — a
+    writer could not have preserved anything)."""
+    conf = (metadata_raw or {}).get("configuration") or {}
+    rid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    rcv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not rid or not rcv:
+        raise ValueError(
+            "delta.enableRowTracking=true but the materialized column "
+            "names are missing from the table configuration — corrupt "
+            "table metadata"
+        )
+    return rid, rcv
+
+
+def _rt_hwm(domain_metadata: dict) -> int:
+    """The row-id HIGH WATER MARK from the ``delta.rowTracking``
+    metadata domain (-1 when the domain is absent — no ids assigned
+    yet, the protocol's initial state)."""
+    raw = (domain_metadata or {}).get(ROW_TRACKING_DOMAIN)
+    if not raw:
+        return -1
+    try:
+        return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"unparseable {ROW_TRACKING_DOMAIN} domain configuration "
+            f"{raw!r} — refusing to assign possibly-colliding row ids"
+        ) from None
+
+
+def _rt_domain_action(hwm: int) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": int(hwm)}),
+            "removed": False,
+        }
+    }
+
+
+def _rt_add_num_records(add: dict, table_path: str) -> int:
+    """numRecords for one add action — from its stats (the writer
+    just computed them), else the parquet footer. Raises when neither
+    is available: assigning a baseRowId without knowing the file's row
+    count would let the NEXT file's range overlap (silent row-id
+    collision, the one thing the feature must never do)."""
+    stats = add.get("stats")
+    if stats:
+        try:
+            n = json.loads(stats).get("numRecords")
+            if n is not None:
+                return int(n)
+        except (TypeError, ValueError):
+            pass
+    full = os.path.join(table_path, unquote(add["path"]))
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(full).metadata.num_rows)
+    except Exception as exc:
+        raise ValueError(
+            f"row tracking: cannot determine numRecords for "
+            f"{add.get('path')!r} (no stats, unreadable footer: {exc}) "
+            "— refusing to assign a baseRowId range of unknown width"
+        ) from None
+
+
+def _assign_fresh_row_ids(
+    actions: list, hwm: int, version: int, table_path: str
+) -> list:
+    """Assign ``baseRowId`` / ``defaultRowCommitVersion`` to every add
+    action that lacks one (fresh files; preserved re-adds keep their
+    original values untouched) and append the advanced high-water-mark
+    domainMetadata — the protocol's fresh-row-id rule: each file owns
+    the id range [baseRowId, baseRowId + numRecords). Mutates the add
+    dicts in place; returns ``actions`` with the domain action
+    appended when anything was assigned."""
+    assigned = False
+    for a in actions:
+        add = a.get("add")
+        if add is None or add.get("baseRowId") is not None:
+            continue
+        n = _rt_add_num_records(add, table_path)
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = int(version)
+        hwm += n
+        assigned = True
+    if assigned:
+        actions.append(_rt_domain_action(hwm))
+    return actions
+
+
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE SET TBLPROPERTIES delta.enableRowTracking=true
+    (r14, VERDICT r13 item 3): upgrade the protocol to the feature
+    form with ``rowTracking`` + its prerequisite ``domainMetadata``
+    in writerFeatures (row tracking is a WRITER feature — readers
+    that ignore it still get correct rows), record the materialized
+    row-id / row-commit-version column names in the configuration,
+    BACKFILL every live file with a ``baseRowId`` range (re-adds with
+    ``dataChange: false`` — a CDF consumer sees no change, exactly
+    delta-spark's backfill commit), and store the high-water mark in
+    the ``delta.rowTracking`` metadata domain. Every later write
+    through this module assigns fresh ranges above the mark; OPTIMIZE
+    and copy-on-write DML preserve ids via the materialized columns.
+
+    Refused on column-mapped tables for now: the physical-frame
+    machinery projects by schema and would drop the materialized
+    columns (documented fail-closed seam, not a silent wrong answer).
+    Returns the committed version."""
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "enable_row_tracking")
+    if row_tracking_enabled(snap.metadata_raw):
+        return snap.version
+    if snap.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError(
+            "enable_row_tracking: row tracking on a column-mapped table "
+            "is not implemented (the physical-write projection would "
+            "drop the materialized row-id columns) — refusing"
+        )
+    version = _next_version(path)
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    writer_v = int(proto.get("minWriterVersion", 2))
+    feats = set(proto.get("writerFeatures") or [])
+    if writer_v < 7:
+        feats |= set(_implied_writer_features(writer_v))
+    feats |= {"rowTracking", "domainMetadata"}
+    proto["minWriterVersion"] = 7
+    proto["writerFeatures"] = sorted(feats)
+    md = dict(snap.metadata_raw)
+    conf = dict(md.get("configuration") or {})
+    conf["delta.enableRowTracking"] = "true"
+    taken = {f.name for f in snap.schema.fields}
+    rid_col = f"_row-id-col-{uuid.uuid4().hex}"
+    rcv_col = f"_row-commit-version-col-{uuid.uuid4().hex}"
+    assert not ({rid_col, rcv_col} & taken)
+    conf["delta.rowTracking.materializedRowIdColumnName"] = rid_col
+    conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        rcv_col
+    )
+    md["configuration"] = conf
+    actions: list[dict] = [{"protocol": proto}, {"metaData": md}]
+    # backfill: every live file gets its id range now, so reads after
+    # this commit see stable ids for pre-existing rows too
+    hwm = _rt_hwm(snap.domain_metadata)
+    for rel in sorted(snap.files):
+        add = dict(snap.adds_raw.get(rel) or {})
+        add.setdefault("path", quote(rel))
+        add.setdefault("partitionValues", snap.files[rel])
+        add["dataChange"] = False
+        if add.get("baseRowId") is None:
+            n = _rt_add_num_records(add, path)
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = version
+            hwm += n
+        actions.append({"add": add})
+    actions.append(_rt_domain_action(hwm))
+    _write_commit(
+        path, version, actions, operation="SET TBLPROPERTIES",
+        operation_parameters={"delta.enableRowTracking": "true"},
+    )
+    return version
 
 
 def enable_change_data_feed(spark: SparkSession, path: str) -> int:
@@ -4925,7 +5217,7 @@ def convert_parquet_to_delta(
     import uuid as _uuid
 
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": _creation_protocol(StructType(fields), 2)},
         {
             "metaData": {
                 "id": _uuid.uuid4().hex,

@@ -195,6 +195,7 @@ def _pure_snapshot(path: str, version: int | None = None) -> dict:
         "metadata_raw": {},
         "adds_raw": {},
         "txns": {},
+        "domain_metadata": {},
     }
     if ckpt is not None:
         if len(ck_paths) == 1 and len(
@@ -1114,6 +1115,7 @@ class DeltaBridgeWriter(DataSourceWriter):
         import uuid
 
         from fintech_lakehouse_spark.sources.deltalog import (
+            _creation_protocol,
             _file_stats_json,
             _next_version,
             commit_with_retry,
@@ -1140,14 +1142,10 @@ class DeltaBridgeWriter(DataSourceWriter):
         version = _next_version(self.path)
         actions: list = []
         if version == 0:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 1,
-                        "minWriterVersion": 2,
-                    }
-                }
-            )
+            # TIMESTAMP_NTZ anywhere in the sink schema forces the
+            # timestampNtz feature form (r14) — same rule as the
+            # engine writer
+            actions.append({"protocol": _creation_protocol(self.schema, 2)})
             actions.append(
                 {
                     "metaData": {
