@@ -9,6 +9,8 @@ the documents table is the 100 TB web-corpus stand-in.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4185,25 +4187,45 @@ def code_switch_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SORTED-NEIGHBORHOOD near-duplicate candidates (r13 — the
-    SORT-based blocking mechanism of the entity-resolution literature,
-    next to the family's hash-based generators: minhash bands, shingle
-    inverted indexes, winnowing, simhash): docs sort by a normalized
-    24-char prefix key WITHIN 6-char prefix blocks, each doc pairs
-    with its next 3 sort neighbors (window leads — no self-join), and
-    candidates verify by exact token-set Jaccard in integer ppm,
-    emitted at ≥ 0.2.
+    """SORTED-NEIGHBORHOOD near-duplicate candidates (r13; skew-proofed
+    r14 — the SORT-based blocking mechanism of the entity-resolution
+    literature, next to the family's hash-based generators: minhash
+    bands, shingle inverted indexes, winnowing, simhash): docs sort by
+    a normalized 24-char prefix key WITHIN 6-char prefix blocks, each
+    doc pairs with its next 3 sort neighbors, and candidates verify by
+    exact token-set Jaccard in integer ppm, emitted at ≥ 0.2.
 
-    Scale shape: the sort window partitions by the BLOCK prefix, so
-    there is no global sort — one shuffle on the block key, W−1 lead
-    columns, then a verify bounded to |docs|·(W−1) candidate pairs
-    (never all-pairs; the classic SNM cost model). Distributed SNM's
-    boundary effect is handled the standard way: neighborhoods never
-    cross block boundaries (blocking + SNM-within-block), trading
-    recall at block edges for shuffle-partitionable sorts — the same
-    trade every blocking scheme in the family makes explicit."""
+    Scale shape (r14, VERDICT r13 item 5 — the oversized-block guard):
+    r13 windowed the whole block in ONE task, so a boilerplate prefix
+    ("copyright…", "<!doctype…") concentrating a block serialized the
+    sort — the classic SNM skew case. Now each doc's GLOBAL rank
+    within its block is assembled from bounded pieces and neighbors
+    resolve by a (block, rank) EQUI-JOIN, so no task ever holds more
+    than ``FLS_SNM_BLOCK_CAP`` rows (default 100k, env-overridable —
+    set above bench block sizes so plans stay comparable):
+
+    * blocks at or under the cap rank in one window task as before;
+    * HOT blocks sub-split by the FULL 24-char sort key (sub-blocks
+      are contiguous runs of the block's sort order, so ranks stay
+      exact): within-sub ``row_number`` (task bounded by the ties on
+      the full key) + a prefix-sum of sub-block sizes over the tiny
+      per-sub table = the exact global rank;
+    * pair generation is ``explode(rank+1..rank+3)`` equi-joined on
+      (block, rank) — near-unique join keys, perfectly partitionable,
+      and AQE splits any residual join skew (a WINDOW task cannot be
+      split; a JOIN task can — that is the whole fix);
+    * tokens ride the join, so the verify needs no extra doc joins.
+
+    The answer is IDENTICAL to the r13 window-lead form (same global
+    (sort-key, doc_id) order, same W=4 neighborhood, same verify) —
+    the oracle is unchanged. Residual worst case, documented: > cap
+    docs sharing an IDENTICAL full 24-char key still rank in one task
+    (any order among full ties is the same answer, but the protocol
+    here keeps doc_id order for determinism).
+    """
     from pyspark.sql.window import Window
 
+    cap = int(os.environ.get("FLS_SNM_BLOCK_CAP", "100000"))
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
@@ -4211,39 +4233,51 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.lower("text"), 1, 6).alias("blk"),
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    w = Window.partitionBy("blk").orderBy("sk", "doc_id")
-    nbr = keyed.select(
+    blk_n = keyed.groupBy("blk").agg(F.count("*").alias("_n_blk"))
+    # sub-block key: whole block when cold, the full sort key when hot
+    # — sub-blocks are CONTIGUOUS runs of the (sk, doc_id) block order,
+    # which is what makes offset + within-rank an exact global rank
+    keyed = keyed.join(blk_n, "blk").withColumn(
+        "sub", F.when(F.col("_n_blk") > cap, F.col("sk")).otherwise(F.lit(""))
+    )
+    w_sub = Window.partitionBy("blk", "sub").orderBy("sk", "doc_id")
+    ranked = keyed.withColumn("r", F.row_number().over(w_sub))
+    sizes = ranked.groupBy("blk", "sub").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("blk")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("blk", "sub", "off")
+    pos = ranked.join(offsets, ["blk", "sub"]).select(
+        "blk",
         "doc_id",
-        F.array(
-            F.lead("doc_id", 1).over(w),
-            F.lead("doc_id", 2).over(w),
-            F.lead("doc_id", 3).over(w),
-        ).alias("nbrs"),
+        "toks",
+        (F.col("off") + F.col("r")).alias("p"),
     )
-    cand = (
-        nbr.select(
-            F.col("doc_id").alias("doc_a"),
-            F.explode("nbrs").alias("doc_b"),
-        )
-        .filter(F.col("doc_b").isNotNull())
+    left = pos.select(
+        "blk",
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.explode(
+            F.array(F.col("p") + 1, F.col("p") + 2, F.col("p") + 3)
+        ).alias("p"),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    right = pos.select(
+        "blk",
+        "p",
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
     )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
-    )
-    verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "CAST(1000000 * size(array_intersect(toks_a, toks_b))"
-                " DIV size(array_union(toks_a, toks_b)) AS LONG)"
-            ).alias("jac_ppm"),
-        )
+    verified = left.join(right, ["blk", "p"]).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST(1000000 * size(array_intersect(toks_a, toks_b))"
+            " DIV size(array_union(toks_a, toks_b)) AS LONG)"
+        ).alias("jac_ppm"),
     )
     return verified.filter(F.col("jac_ppm") >= 200000).select(
         "doc_a", "doc_b", "jac_ppm"

@@ -387,9 +387,9 @@ def _apply_action(snap_state: dict, action: dict) -> None:
             # v3 is feature-gated: readerFeatures enumerates what the
             # reader MUST understand (the protocol REQUIRES the list at
             # v3 — its absence is malformed, fail closed). columnMapping
-            # / deletionVectors / v2Checkpoint / timestampNtz (r14) are
-            # implemented; anything else (typeWidening, rowTracking,
-            # ...) raises.
+            # / deletionVectors / v2Checkpoint / timestampNtz /
+            # typeWidening (r14) are implemented; anything else
+            # (rowTracking-as-reader-feature, variantType, ...) raises.
             feats = p.get("readerFeatures")
             if feats is None:
                 raise NotImplementedError(
@@ -400,7 +400,7 @@ def _apply_action(snap_state: dict, action: dict) -> None:
             unsupported = sorted(
                 set(feats)
                 - {"columnMapping", "deletionVectors", "v2Checkpoint",
-                   "timestampNtz"}
+                   "timestampNtz", "typeWidening", "typeWidening-preview"}
             )
             if unsupported:
                 raise NotImplementedError(
@@ -828,12 +828,78 @@ def _physical_datatype_by_id(dt, idmap: dict, where: str):
     return dt
 
 
+def _attach_row_ids(spark, snap, scan, rt_cols) -> DataFrame:
+    """Resolve ``_row_id`` / ``_row_commit_version`` (r14): one
+    broadcast join from the captured file basename (``_rt_bn``) to the
+    add actions' (baseRowId, defaultRowCommitVersion), then
+    ``coalesce(materialized, fresh)`` per the protocol — fresh row id
+    is ``baseRowId + physical row index``. Same fail-closed basename
+    guard as the partition attach: an unresolvable basename raises
+    instead of fabricating ids. Drops the temporaries."""
+    from urllib.parse import quote as _q
+
+    from pyspark.sql.types import BooleanType, LongType, StringType
+    from pyspark.sql.types import StructType as _ST
+
+    rows: dict[str, tuple] = {}
+    for rel in snap.files:
+        add = snap.adds_raw.get(rel) or {}
+        bn = os.path.basename(rel)
+        vals = (
+            int(add["baseRowId"]),
+            int(add.get("defaultRowCommitVersion") or 0),
+        )
+        for key in {bn, _q(bn), _q(bn, safe="")}:
+            rows[key] = vals
+    lk = spark.createDataFrame(
+        [(k, True, *v) for k, v in sorted(rows.items())],
+        _ST(
+            [
+                StructField("_rt_bn", StringType(), False),
+                StructField("_rt_ok", BooleanType(), False),
+                StructField("_rt_base", LongType(), False),
+                StructField("_rt_dcv", LongType(), False),
+            ]
+        ),
+    )
+    out = scan.join(F.broadcast(lk), "_rt_bn", "left")
+    guard = F.when(
+        F.col("_rt_ok").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("row tracking: data-file basename "),
+                F.col("_rt_bn"),
+                F.lit(
+                    " missing from the snapshot lookup — refusing to "
+                    "return wrong row ids"
+                ),
+            )
+        ),
+    )
+    out = out.withColumn(
+        ROW_ID_COL,
+        guard.otherwise(
+            F.coalesce(
+                F.col(rt_cols[0]), F.col("_rt_base") + F.col("_rt_ri")
+            )
+        ),
+    ).withColumn(
+        ROW_COMMIT_COL,
+        F.coalesce(F.col(rt_cols[1]), F.col("_rt_dcv")),
+    )
+    return out.drop(
+        "_rt_bn", "_rt_ri", "_rt_ok", "_rt_base", "_rt_dcv",
+        rt_cols[0], rt_cols[1],
+    )
+
+
 def read_delta_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
     skip_filters: list | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read a Delta table end-to-end through the pure-Python snapshot:
     live files only (remove-actions honored), partition columns
@@ -856,7 +922,18 @@ def read_delta_table(
     raises instead of silently dropping rows. The grouped-union form
     survives only as ``_read_grouped``, the fallback for basename
     collisions across partition directories (never produced by this
-    module's own writer)."""
+    module's own writer).
+
+    ``row_ids=True`` (r14, row tracking): append ``_row_id`` and
+    ``_row_commit_version`` output columns — delta-spark's
+    ``_metadata.row_id`` surface. Per the protocol, a row's id is its
+    MATERIALIZED value when the file carries one (preserved rows after
+    OPTIMIZE / copy-on-write DML), else ``baseRowId + row_index``
+    (fresh rows); the commit version resolves the same way against
+    ``defaultRowCommitVersion``. Resolution is one extra broadcast
+    join from the file basename to the add actions' (baseRowId,
+    defaultRowCommitVersion) — plan cost constant in file count, no
+    extra scan."""
     from pyspark.sql.types import BooleanType, StructField, StringType
 
     snap = delta_snapshot(spark, path, version, timestamp_ms=timestamp_ms)
@@ -897,8 +974,49 @@ def read_delta_table(
         f.name: f.dataType for f in snap.schema.fields if f.name in part_cols
     }
     out_cols = [f.name for f in snap.schema.fields]
+    rt_cols = None
+    if row_ids:
+        from pyspark.sql.types import LongType
+
+        if not row_tracking_enabled(snap.metadata_raw):
+            raise ValueError(
+                "row_ids=True but the table does not declare "
+                "delta.enableRowTracking — enable_row_tracking(spark, "
+                "path) first"
+            )
+        if mode in ("name", "id"):
+            raise NotImplementedError(
+                "row_ids on a column-mapped table is not implemented "
+                "(same seam as enable_row_tracking) — refusing"
+            )
+        rt_cols = _rt_materialized_names(snap.metadata_raw)
+        no_base = sorted(
+            r
+            for r in snap.files
+            if (snap.adds_raw.get(r) or {}).get("baseRowId") is None
+        )
+        if no_base:
+            raise ValueError(
+                f"row tracking enabled but live files {no_base[:3]} "
+                "carry no baseRowId — corrupt or partially-backfilled "
+                "table, refusing to fabricate row ids"
+            )
+        out_cols = out_cols + [ROW_ID_COL, ROW_COMMIT_COL]
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+        if not row_ids:
+            return spark.createDataFrame([], snap.schema)
+        from pyspark.sql.types import LongType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(snap.schema.fields)
+                + [
+                    StructField(ROW_ID_COL, LongType(), True),
+                    StructField(ROW_COMMIT_COL, LongType(), True),
+                ]
+            ),
+        )
 
     paths = sorted(os.path.join(path, rel) for rel in snap.files)
     # files store PHYSICAL column names (at all nesting levels) when
@@ -941,8 +1059,31 @@ def read_delta_table(
                 for f in data_fields
             ]
         )
+    if rt_cols is not None:
+        # the MATERIALIZED row-id / row-commit-version columns are
+        # physical-only (hidden from the logical schema); files that
+        # predate any preservation rewrite simply lack them and the
+        # schema'd read fills NULL — exactly the "use the fresh value"
+        # signal the protocol defines
+        from pyspark.sql.types import LongType
+
+        data_schema = StructType(
+            list(data_schema.fields)
+            + [
+                StructField(rt_cols[0], LongType(), True),
+                StructField(rt_cols[1], LongType(), True),
+            ]
+        )
 
     scan = spark.read.schema(data_schema).parquet(*paths)
+    if rt_cols is not None:
+        # capture basename + physical row index AT SCAN LEVEL (the
+        # row_index metadata column exists only on the direct parquet
+        # relation; DV stripping below removes rows but never renumbers
+        # the survivors' physical indexes)
+        scan = scan.withColumn(
+            "_rt_bn", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).withColumn("_rt_ri", F.col("_metadata.row_index"))
     if snap.deletion_vectors:
         scan = _strip_deleted_rows(spark, path, snap, scan)
     if mode in ("name", "id"):
@@ -958,7 +1099,16 @@ def read_delta_table(
             ]
         )
     else:
-        scan = scan.select(*[scan[f.name].alias(f.name) for f in data_fields])
+        extras = (
+            [rt_cols[0], rt_cols[1], "_rt_bn", "_rt_ri"]
+            if rt_cols is not None
+            else []
+        )
+        scan = scan.select(
+            *[scan[f.name].alias(f.name) for f in data_fields], *extras
+        )
+    if rt_cols is not None:
+        scan = _attach_row_ids(spark, snap, scan, rt_cols)
     if not part_cols:
         return scan.select(*out_cols)
 
@@ -981,6 +1131,11 @@ def read_delta_table(
                 collide = True
             lookup_rows[key] = vals
     if collide:
+        if rt_cols is not None:
+            raise NotImplementedError(
+                "row_ids with colliding data-file basenames (writer-"
+                "external layout) is not implemented — refusing"
+            )
         return _read_grouped(
             spark, path, snap, data_schema, data_fields, phys_names,
             part_types, out_cols,
@@ -1276,7 +1431,15 @@ def _file_stats_json(full_path: str) -> str | None:
                 continue
             nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
-                lo, hi = st.min, st.max
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # pyarrow can't cast stats for some physical types
+                    # (e.g. INT32-backed small-precision decimals raise
+                    # ArrowNotImplementedError) — stats are per-column
+                    # optional, omit rather than fail the write (r14)
+                    complete[name] = False
+                    continue
                 if isinstance(lo, bytes):
                     try:
                         lo, hi = lo.decode(), hi.decode()
@@ -2102,6 +2265,14 @@ def write_delta_commit(
                     }
                 }
             )
+    if have_any and row_tracking_enabled(prev.metadata_raw):
+        # fresh row-id ranges for the new files + the advanced
+        # high-water mark, in the SAME commit (r14). A rebase inside
+        # commit_with_retry re-points defaultRowCommitVersion and
+        # shifts the ranges above any winner's mark.
+        _assign_fresh_row_ids(
+            actions, _rt_hwm(prev.domain_metadata), version, path
+        )
     # blind appends REBASE past concurrent data-only commits; schema
     # changes / overwrites / creation classify and raise on conflict
     # (commit_with_retry's WriteSerializable rules) — with the uuid'd
@@ -2218,6 +2389,24 @@ def _checkpoint_schema():
                         StructField("stats", StringType(), True),
                         StructField("tags", str_map, True),
                         StructField("deletionVector", dv_struct, True),
+                        # row tracking (r14): id ranges must survive
+                        # checkpointing or every row silently renumbers
+                        # after log expiry
+                        StructField("baseRowId", LongType(), True),
+                        StructField(
+                            "defaultRowCommitVersion", LongType(), True
+                        ),
+                    ]
+                ),
+                True,
+            ),
+            StructField(
+                "domainMetadata",
+                _ST(
+                    [
+                        StructField("domain", StringType(), True),
+                        StructField("configuration", StringType(), True),
+                        StructField("removed", BooleanType(), True),
                     ]
                 ),
                 True,
@@ -2268,6 +2457,7 @@ def checkpoint_delta_table(
             ),
             None,
             None,
+            None,
         ),
         (
             None,
@@ -2283,12 +2473,27 @@ def checkpoint_delta_table(
                 md.get("createdTime"),
             ),
             None,
+            None,
         ),
     ]
     # txn watermarks survive checkpointing (r12): without them a
     # replayed micro-batch after log expiry would double-commit
     for app_id in sorted(snap.txns):
-        rows.append(((app_id, snap.txns[app_id], None), None, None, None))
+        rows.append(
+            ((app_id, snap.txns[app_id], None), None, None, None, None)
+        )
+    # metadata domains survive too (r14): losing delta.rowTracking's
+    # high-water mark would let post-expiry writes reissue LIVE row ids
+    for domain in sorted(snap.domain_metadata):
+        rows.append(
+            (
+                None,
+                None,
+                None,
+                None,
+                (domain, snap.domain_metadata[domain], False),
+            )
+        )
     for rel in sorted(snap.files):
         add = snap.adds_raw.get(rel) or {}
         dv = snap.deletion_vectors.get(rel)
@@ -2317,7 +2522,10 @@ def checkpoint_delta_table(
                     add.get("stats"),
                     add.get("tags"),
                     dv_row,
+                    add.get("baseRowId"),
+                    add.get("defaultRowCommitVersion"),
                 ),
+                None,
             )
         )
     import shutil
@@ -2464,6 +2672,8 @@ def checkpoint_delta_table_v2(
                     add.get("stats"),
                     add.get("tags"),
                     dv_row,
+                    add.get("baseRowId"),
+                    add.get("defaultRowCommitVersion"),
                 ),
             )
         )
@@ -2513,6 +2723,16 @@ def checkpoint_delta_table_v2(
         for app_id in sorted(snap.txns):
             fh.write(json.dumps(
                 {"txn": {"appId": app_id, "version": snap.txns[app_id]}}
+            ) + "\n")
+        for domain in sorted(snap.domain_metadata):
+            fh.write(json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": snap.domain_metadata[domain],
+                        "removed": False,
+                    }
+                }
             ) + "\n")
         for a in side_actions:
             fh.write(json.dumps(a) + "\n")
@@ -2584,7 +2804,8 @@ _LEGACY_WRITER_FEATURES = {
 _SUPPORTED_WRITER_FEATURES = frozenset(
     f for feats in _LEGACY_WRITER_FEATURES.values() for f in feats
 ) | frozenset({"inCommitTimestamp", "deletionVectors", "v2Checkpoint",
-               "timestampNtz", "domainMetadata", "rowTracking"})
+               "timestampNtz", "domainMetadata", "rowTracking",
+               "typeWidening", "typeWidening-preview"})
 
 
 def _implied_writer_features(writer_version: int) -> list:
@@ -2790,6 +3011,54 @@ def _assign_fresh_row_ids(
     if assigned:
         actions.append(_rt_domain_action(hwm))
     return actions
+
+
+def _rebase_row_tracking(
+    actions: list, old_version: int, new_version: int, winner_hwm: int
+) -> None:
+    """Repair row-tracking assignments after an optimistic-commit
+    REBASE (r14): the adds assigned in THIS transaction (recognized by
+    ``defaultRowCommitVersion == old_version`` — preserved re-adds
+    carry older versions) re-point to the final commit version, and
+    when a winning commit consumed row ids (its high-water mark
+    reaches into our assigned ranges) every assigned ``baseRowId``
+    shifts above it, with our domain action's mark advancing by the
+    same amount. Mutates ``actions`` in place."""
+    ours = [
+        a["add"]
+        for a in actions
+        if "add" in a
+        and a["add"].get("baseRowId") is not None
+        and a["add"].get("defaultRowCommitVersion") == old_version
+    ]
+    for add in ours:
+        add["defaultRowCommitVersion"] = int(new_version)
+    if not ours or winner_hwm < 0:
+        return
+    dm = next(
+        (
+            a["domainMetadata"]
+            for a in actions
+            if a.get("domainMetadata", {}).get("domain")
+            == ROW_TRACKING_DOMAIN
+        ),
+        None,
+    )
+    start = min(add["baseRowId"] for add in ours)
+    if winner_hwm < start:
+        return  # our ranges still sit above every winner's
+    shift = winner_hwm + 1 - start
+    for add in ours:
+        add["baseRowId"] += shift
+    if dm is not None:
+        our_hwm = int(
+            json.loads(dm.get("configuration") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+        )
+        dm["configuration"] = json.dumps(
+            {"rowIdHighWaterMark": our_hwm + shift}
+        )
 
 
 def enable_row_tracking(spark: SparkSession, path: str) -> int:
@@ -3170,6 +3439,145 @@ def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
     version = _next_version(path)
     _write_commit(
         path, version, [{"metaData": md}], operation="DROP COLUMNS"
+    )
+    return version
+
+
+# integer digits each integral type needs a decimal target to hold
+# (the typeWidening spec's no-overflow rule)
+_TW_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+_TW_INT_ORDER = ["byte", "short", "integer", "long"]
+
+
+def _widening_allowed(from_dt, to_dt) -> bool:
+    """The typeWidening feature's ALLOWED conversion matrix (Delta
+    PROTOCOL.md): integral upcasts, integral/float → double, date →
+    timestampNtz, and decimal growth where neither the scale nor the
+    integer-digit capacity shrinks. Everything else — including every
+    narrowing — is false."""
+    from pyspark.sql.types import DecimalType
+
+    ft, tt = from_dt.typeName(), to_dt.typeName()
+    if ft in _TW_INT_ORDER and tt in _TW_INT_ORDER:
+        return _TW_INT_ORDER.index(tt) > _TW_INT_ORDER.index(ft)
+    if ft in ("byte", "short", "integer") and tt == "double":
+        return True
+    if ft == "float" and tt == "double":
+        return True
+    if ft == "date" and tt == "timestamp_ntz":
+        return True
+    if isinstance(to_dt, DecimalType):
+        if ft in _TW_INT_DIGITS:
+            return to_dt.precision - to_dt.scale >= _TW_INT_DIGITS[ft]
+        if isinstance(from_dt, DecimalType):
+            return (
+                to_dt.scale >= from_dt.scale
+                and to_dt.precision - to_dt.scale
+                >= from_dt.precision - from_dt.scale
+                and (to_dt.precision, to_dt.scale)
+                != (from_dt.precision, from_dt.scale)
+            )
+    return False
+
+
+def widen_delta_column(
+    spark: SparkSession, path: str, name: str, new_type: str
+) -> int:
+    """ALTER TABLE ... CHANGE COLUMN ... TYPE <wider> (r14, VERDICT
+    r13 item 4 — the typeWidening table feature's WRITE side): a
+    metaData-only commit that widens one column's logical type without
+    rewriting any data file. Old files keep their narrow parquet type;
+    the schema'd scan up-casts them at read time (Spark 4's parquet
+    readers implement exactly the feature's conversion matrix —
+    int32→int64, int→double, float→double, date→timestampNtz, decimal
+    growth — probed and unit-pinned here). The commit:
+
+    * validates the conversion against :func:`_widening_allowed`
+      (narrowings and cross-family casts refuse — they'd corrupt);
+    * appends the spec's ``delta.typeChanges`` entry
+      (``fromType`` / ``toType`` / ``tableVersion``) to the field
+      metadata so other engines can resolve per-file types;
+    * upgrades the protocol to (3, 7) with ``typeWidening`` in BOTH
+      feature lists (+ ``timestampNtz`` when widening date →
+      timestampNtz — the target type has its own feature).
+
+    Dotted paths widen nested struct fields. Refused while CHECK
+    constraints / generated / identity columns exist (their SQL
+    semantics could silently change — delta-spark refuses too).
+    Returns the committed version."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "widen_delta_column")
+    _refuse_mapping_ddl_hazards(snap, "widen_delta_column")
+    to_dt = _parse_datatype_string(new_type)
+    hops, container, leaf = _walk_to_struct(
+        snap.schema, name, "widen_delta_column"
+    )
+    names = [f.name for f in container.fields]
+    if leaf not in names:
+        raise ValueError(
+            f"widen_delta_column: no column {name!r} (siblings: {names})"
+        )
+    idx = names.index(leaf)
+    f = container.fields[idx]
+    if not _widening_allowed(f.dataType, to_dt):
+        raise ValueError(
+            f"widen_delta_column: {f.dataType.simpleString()} → "
+            f"{to_dt.simpleString()} is not an allowed widening (the "
+            "typeWidening matrix permits only conversions every old "
+            "value survives exactly)"
+        )
+    version = _next_version(path)
+    meta = dict(f.metadata or {})
+    changes = list(meta.get("delta.typeChanges") or [])
+    changes.append(
+        {
+            "fromType": f.dataType.jsonValue(),
+            "toType": to_dt.jsonValue(),
+            "tableVersion": version,
+        }
+    )
+    meta["delta.typeChanges"] = changes
+    fields = list(container.fields)
+    fields[idx] = StructField(leaf, to_dt, f.nullable, meta)
+    new_schema = _rebuild_through_hops(hops, type(container)(fields))
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = json.dumps(new_schema.jsonValue())
+    actions: list[dict] = []
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    rf = set(proto.get("readerFeatures") or [])
+    need = {"typeWidening"}
+    if to_dt.typeName() == "timestamp_ntz":
+        need.add("timestampNtz")
+    if int(proto.get("minReaderVersion", 1)) < 3 or not need <= rf:
+        if int(proto.get("minReaderVersion", 1)) == 2:
+            # legacy reader v2 implied column mapping — enumerate it
+            # when moving to the feature form (the spec's upgrade rule)
+            rf = rf | {"columnMapping"}
+        wf = set(proto.get("writerFeatures") or [])
+        if int(proto.get("minWriterVersion", 2)) < 7:
+            wf |= set(
+                _implied_writer_features(
+                    int(proto.get("minWriterVersion", 2))
+                )
+            )
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf | need),
+                    "writerFeatures": sorted(wf | need),
+                }
+            }
+        )
+    actions.append({"metaData": md})
+    _write_commit(
+        path, version, actions, operation="CHANGE COLUMN",
+        operation_parameters={"column": name, "toType": new_type},
     )
     return version
 
@@ -3778,6 +4186,7 @@ def _dml_scan(
     snap,
     op_name: str,
     with_row_index: bool = False,
+    extra_long_cols: list | None = None,
 ) -> tuple:
     """Live-file scan for DML predicate evaluation (r10 — the piece
     that unlocks PARTITIONED DELETE/UPDATE/MERGE): data columns from
@@ -3842,6 +4251,15 @@ def _dml_scan(
                 for f in data_fields
             ]
         )
+    if extra_long_cols:
+        # physical-only long columns (r14: the materialized row-id /
+        # row-commit-version columns) — files lacking them read NULL
+        from pyspark.sql.types import LongType
+
+        data_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(c, LongType(), True) for c in extra_long_cols]
+        )
     scan = spark.read.schema(data_schema).parquet(
         *[os.path.join(path, rel) for rel in snap.files]
     ).withColumn(
@@ -3850,7 +4268,11 @@ def _dml_scan(
     if with_row_index:
         scan = scan.withColumn("_dl_ri", F.col("_metadata.row_index"))
     if mapped:
-        extras0 = ["_dl_file"] + (["_dl_ri"] if with_row_index else [])
+        extras0 = (
+            ["_dl_file"]
+            + (["_dl_ri"] if with_row_index else [])
+            + list(extra_long_cols or [])
+        )
         scan = scan.select(
             *[
                 F.col(phys_names[f.name])
@@ -3908,7 +4330,11 @@ def _dml_scan(
         ).drop("_dl_pv_ok")
         for c in part_cols:
             scan = scan.withColumn(c, F.col(c).cast(part_types[c]))
-    extras = ["_dl_file"] + (["_dl_ri"] if with_row_index else [])
+    extras = (
+        ["_dl_file"]
+        + (["_dl_ri"] if with_row_index else [])
+        + list(extra_long_cols or [])
+    )
     scan = scan.select(
         *[f.name for f in snap.schema.fields], *extras
     )
@@ -4203,8 +4629,32 @@ def _cow_rewrite(
 
     if not snap.files:
         return snap.version  # nothing to do; no commit
+    rt = row_tracking_enabled(snap.metadata_raw)
+    if rt and snap.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError(
+            f"{op_name}: row tracking on a column-mapped table is not "
+            "implemented — refusing"
+        )
     cond = F.expr(condition)
-    scan, by_bn = _dml_scan(spark, path, snap, op_name)
+    rt_cols0 = (
+        list(_rt_materialized_names(snap.metadata_raw)) if rt else None
+    )
+    scan, by_bn = _dml_scan(
+        spark, path, snap, op_name, with_row_index=rt,
+        extra_long_cols=rt_cols0,
+    )
+    rt_cols = None
+    if rt:
+        # PRESERVED row tracking (r14): resolve each scanned row's id
+        # and original commit version now, so the rewritten files can
+        # materialize them — copied (non-matching) rows keep BOTH;
+        # UPDATE-modified rows keep the id and take the new commit's
+        # version (materialized commit version nulled below)
+        rt_cols = _rt_materialized_names(snap.metadata_raw)
+        scan = scan.withColumn("_rt_bn", F.col("_dl_file")).withColumn(
+            "_rt_ri", F.col("_dl_ri")
+        )
+        scan = _attach_row_ids(spark, snap, scan, rt_cols).drop("_dl_ri")
     touched = [
         r["_dl_file"]
         for r in scan.filter(cond).select("_dl_file").distinct().collect()
@@ -4219,10 +4669,22 @@ def _cow_rewrite(
     if not touched_rels:
         return snap.version  # no matching rows; no commit
     version = _next_version(path)
-    keep = transform(
-        scan.filter(F.col("_dl_file").isin(*touched)).drop("_dl_file"),
-        cond,
-    )
+    base = scan.filter(F.col("_dl_file").isin(*touched)).drop("_dl_file")
+    if rt:
+        # the modified-row verdict must come from the PRE-update row
+        base = base.withColumn("_rt_mod", cond)
+    keep = transform(base, cond)
+    if rt:
+        keep = (
+            keep.withColumn(rt_cols[0], F.col(ROW_ID_COL))
+            .withColumn(
+                rt_cols[1],
+                F.when(
+                    F.col("_rt_mod"), F.lit(None).cast("long")
+                ).otherwise(F.col(ROW_COMMIT_COL)),
+            )
+            .drop(ROW_ID_COL, ROW_COMMIT_COL, "_rt_mod")
+        )
     if "update" in op_name:
         # a DELETE cannot create a violating row; an UPDATE can
         _enforce_constraints(
@@ -4232,6 +4694,10 @@ def _cow_rewrite(
     actions: list[dict] = _stage_files(
         spark, path, keep, version, stage_pcols, field_ids=fids
     )
+    if rt:
+        _assign_fresh_row_ids(
+            actions, _rt_hwm(snap.domain_metadata), version, path
+        )
     for rel in touched_rels:
         actions.append(
             {
@@ -4248,6 +4714,9 @@ def _cow_rewrite(
             .filter(cond)
             .drop("_dl_file")
         )
+        if rt:
+            # CDC rows carry the LOGICAL schema only
+            matched = matched.drop(ROW_ID_COL, ROW_COMMIT_COL)
         if "delete" in op_name:
             cdc = matched.withColumn("_change_type", F.lit("delete"))
         else:
@@ -4404,6 +4873,15 @@ def _dv_mark_deleted(
             "dataChange": True,
             "deletionVector": descriptors[rel],
         }
+        if old_add.get("baseRowId") is not None:
+            # row tracking (r14): a DV re-add is the SAME physical file
+            # — the protocol requires the re-add to carry the original
+            # baseRowId/defaultRowCommitVersion so surviving rows keep
+            # their ids
+            readd["baseRowId"] = old_add["baseRowId"]
+            readd["defaultRowCommitVersion"] = old_add.get(
+                "defaultRowCommitVersion"
+            )
         if old_add.get("stats"):
             # stats stay PHYSICAL (they describe the file, not the
             # survivor set) — the protocol's convention; pruning stays
@@ -4572,9 +5050,26 @@ def update_delta_table(
     # updated row images FIRST (against the pre-commit snapshot; the
     # DV-aware read already excludes previously deleted rows)
     cond = F.expr(condition)
-    updated = apply_set(
-        read_delta_table(spark, path).filter(cond), F.lit(True)
-    )
+    rt = row_tracking_enabled(_upd_snap.metadata_raw)
+    if rt:
+        # DV-update moves the updated images to NEW files; preserved
+        # row tracking (r14) materializes each image's original row id
+        # (commit version takes the new commit's default — the row WAS
+        # modified)
+        rid_col, rcv_col = _rt_materialized_names(_upd_snap.metadata_raw)
+        updated = apply_set(
+            read_delta_table(spark, path, row_ids=True).filter(cond),
+            F.lit(True),
+        )
+        updated = (
+            updated.withColumn(rid_col, F.col(ROW_ID_COL))
+            .withColumn(rcv_col, F.lit(None).cast("long"))
+            .drop(ROW_ID_COL, ROW_COMMIT_COL)
+        )
+    else:
+        updated = apply_set(
+            read_delta_table(spark, path).filter(cond), F.lit(True)
+        )
     snap, actions, n_new, deleted_rows = _dv_mark_deleted(
         spark,
         path,
@@ -4587,13 +5082,19 @@ def update_delta_table(
         updated, snap.metadata_raw.get("configuration"), "update_delta_table"
     )
     version = _next_version(path)
-    updated_log = updated
+    updated_log = (
+        updated.drop(rid_col, rcv_col) if rt else updated
+    )
     updated, upd_pcols, fids = _to_physical_write_frame(updated, snap)
     actions.extend(
         _stage_files(
             spark, path, updated, version, upd_pcols, field_ids=fids
         )
     )
+    if rt:
+        _assign_fresh_row_ids(
+            actions, _rt_hwm(snap.domain_metadata), version, path
+        )
     if deleted_rows is not None:
         # the LOGICAL post-update frame (updated_log) — the staged
         # `updated` is already physical-named on mapped tables, and
@@ -4645,6 +5146,15 @@ def merge_into_delta_table(
     cols = [f.name for f in snap.schema.fields]
     _gate_writer_features(snap.protocol_raw, "merge_into_delta_table")
     _check_append_only(snap.metadata_raw, "merge_into_delta_table")
+    if row_tracking_enabled(snap.metadata_raw):
+        raise NotImplementedError(
+            "merge_into_delta_table on a row-tracked table: preserving "
+            "each MATCHED row's id through the merge requires a per-key "
+            "source↔target id carry this writer doesn't implement (a "
+            "multi-match source key makes the mapping ambiguous) — "
+            "refusing rather than silently renumbering rows. DELETE / "
+            "UPDATE / OPTIMIZE / append all preserve ids."
+        )
     if identity_columns(snap.schema):
         raise NotImplementedError(
             "merge_into_delta_table on a table with IDENTITY columns: "
@@ -4889,7 +5399,21 @@ def optimize_delta_table(
             "optimize_delta_table: ZORDER columns overlap the partition "
             "columns — partition pruning already covers them"
         )
-    df = read_delta_table(spark, path)
+    rt = row_tracking_enabled(snap.metadata_raw)
+    if rt:
+        # PRESERVED row tracking (r14): compaction copies rows, so the
+        # rewritten files must MATERIALIZE every row's id and commit
+        # version into the hidden physical columns — fresh
+        # baseRowId-based ids would renumber the table. dataChange is
+        # false, so commit versions are preserved too.
+        rid_col, rcv_col = _rt_materialized_names(snap.metadata_raw)
+        df = (
+            read_delta_table(spark, path, row_ids=True)
+            .withColumnRenamed(ROW_ID_COL, rid_col)
+            .withColumnRenamed(ROW_COMMIT_COL, rcv_col)
+        )
+    else:
+        df = read_delta_table(spark, path)
     if zorder and snap.partition_columns:
         from fintech_lakehouse_spark.sources.writers import zorder_key
 
@@ -4931,6 +5455,13 @@ def optimize_delta_table(
         spark, path, df, version, stage_pcols,
         data_change=False, field_ids=fids,
     )
+    if rt:
+        # the compacted files still need fresh baseRowId ranges (every
+        # add must carry one once the feature is on) — the materialized
+        # columns above are what makes the copied rows KEEP their ids
+        _assign_fresh_row_ids(
+            actions, _rt_hwm(snap.domain_metadata), version, path
+        )
     for rel in sorted(snap.files):
         actions.append(
             {
@@ -5671,6 +6202,10 @@ def commit_with_retry(
     files are never clobbered: promoted names embed a uuid (ADVICE
     r11 medium), so only the LOG decides visibility."""
     ours_blind = _is_blind_append(actions)
+    ours_row_ids = any(
+        a.get("domainMetadata", {}).get("domain") == ROW_TRACKING_DOMAIN
+        for a in actions
+    )
     attempt = 0
     while True:
         try:
@@ -5681,6 +6216,7 @@ def commit_with_retry(
             return version
         except DeltaConcurrentWriteError:
             latest = _next_version(path) - 1
+            winner_hwm = -1
             for v in range(version, latest + 1):
                 jpath = os.path.join(path, LOG_DIR, f"{v:020d}.json")
                 if not os.path.exists(jpath):
@@ -5691,8 +6227,41 @@ def commit_with_retry(
                     _classify_checkpoint_tail(
                         path, latest, ours_blind, txn_app_id, base_state
                     )
+                    if ours_row_ids:
+                        # (r14) the winners' row-id high-water mark is
+                        # unknowable without their commit JSONs — a
+                        # blind rebase could commit OVERLAPPING id
+                        # ranges, the one corruption row tracking must
+                        # never allow
+                        raise DeltaConcurrentWriteError(
+                            f"concurrent commits at {path} were "
+                            "checkpoint-expired before this row-id-"
+                            "assigning transaction could rebase — "
+                            "re-read the table and rebuild the write"
+                        ) from None
                     break
                 for a in _read_commit_actions(path, v):
+                    dm = a.get("domainMetadata")
+                    if (
+                        dm
+                        and dm.get("domain") == ROW_TRACKING_DOMAIN
+                        and not dm.get("removed")
+                    ):
+                        try:
+                            winner_hwm = max(
+                                winner_hwm,
+                                int(
+                                    json.loads(
+                                        dm.get("configuration") or "{}"
+                                    ).get("rowIdHighWaterMark", -1)
+                                ),
+                            )
+                        except (TypeError, ValueError):
+                            raise DeltaConcurrentWriteError(
+                                f"winning commit {v} carries an "
+                                "unparseable rowTracking domain — "
+                                "cannot rebase row-id assignment"
+                            ) from None
                     if (
                         txn_app_id is not None
                         and "txn" in a
@@ -5728,4 +6297,8 @@ def commit_with_retry(
                     "contention too high"
                 ) from None
             attempt += 1
+            if ours_row_ids:
+                _rebase_row_tracking(
+                    actions, version, latest + 1, winner_hwm
+                )
             version = latest + 1

@@ -1256,6 +1256,24 @@ class DeltaBridgeWriter(DataSourceWriter):
                 md = dict(snap["metadata_raw"])
                 md["schemaString"] = json.dumps(widened.jsonValue())
                 actions.append({"metaData": md})
+        if snap is not None:
+            from fintech_lakehouse_spark.sources.deltalog import (
+                _assign_fresh_row_ids,
+                _rt_hwm,
+                row_tracking_enabled,
+            )
+
+            if row_tracking_enabled(snap.get("metadata_raw")):
+                # row tracking (r14): bridge-written files get fresh
+                # baseRowId ranges + the advanced high-water mark in
+                # the same commit, like the engine writer; a rebase
+                # inside commit_with_retry re-points them
+                _assign_fresh_row_ids(
+                    actions,
+                    _rt_hwm(snap.get("domain_metadata")),
+                    version,
+                    self.path,
+                )
         if txn_app_id is not None and txn_batch_id is not None:
             actions.append(
                 {

@@ -663,14 +663,14 @@ def test_reader_v3_column_mapping_feature_ok_others_refused(
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            # deletionVectors (r9) and v2Checkpoint (r10) became
-            # supported — typeWidening is a still-unimplemented
-            # feature that must fail closed
-            "readerFeatures": ["columnMapping", "typeWidening"],
+            # deletionVectors (r9), v2Checkpoint (r10), timestampNtz +
+            # typeWidening (r14) became supported — variantType is a
+            # still-unimplemented feature that must fail closed
+            "readerFeatures": ["columnMapping", "variantType"],
         }
     }
     _commit(root2, 0, [bad, _meta(), _add("f1.parquet")])
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         read_delta_table(spark, root2)
 
 
