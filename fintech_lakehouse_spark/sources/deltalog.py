@@ -3951,10 +3951,14 @@ def read_delta_changes(
     synthesizes deletes for its LIVE rows only. PARTITIONED tables
     (r13): cdc/add/remove actions' partitionValues attach as typed
     partition columns (one schema'd scan per changed partition value
-    per commit — bounded by the partitions a commit touched). Fails
-    closed: CDF must be enabled at ``from_version``, and a dataChange
-    plain re-add of a prior-DV file (a restore shape no writer here
-    produces) raises."""
+    per commit — bounded by the partitions a commit touched). r14
+    (VERDICT r13 item 6): the RESTORE shape — a dataChange plain
+    re-add of a live prior-DV file — reconstructs as inserts of
+    exactly the previously-masked rows (dead→live); the refusal
+    remains only when the re-add also changed the file's size (the
+    bytes were rewritten, the old DV indexes are meaningless — truly
+    ambiguous). Fails closed: CDF must be enabled at
+    ``from_version``."""
     versions = _commit_versions(os.path.join(path, LOG_DIR))
     if to_version is None:
         to_version = max(versions) if versions else from_version
@@ -4032,7 +4036,9 @@ def read_delta_changes(
         plain_adds = [a for a in adds if not a.get("deletionVector")]
         re_added = {unquote(a["path"]) for a in adds}
         snap_prev = None
-        if dv_adds or removes:
+        if (dv_adds or removes or plain_adds) and v > 0:
+            # plain adds need it too (r14): a RESTORE re-adds a live
+            # prior-DV file with no remove action alongside
             snap_prev = delta_snapshot(spark, path, version=v - 1)
         if dv_adds:
             # r13 (VERDICT r12 item 2): a DV DELETE/UPDATE from a
@@ -4077,16 +4083,55 @@ def read_delta_changes(
                             "insert", v,
                         )
                     )
+        restored_adds = []
+        fresh_adds = []
         for a in plain_adds:
             rel = unquote(a["path"])
             if snap_prev is not None and rel in snap_prev.deletion_vectors:
-                raise NotImplementedError(
-                    f"version {v}: plain re-add of {rel!r}, which "
-                    "carried a deletion vector at the previous version "
-                    "— a dataChange DV-drop restore is not a shape "
-                    "this module's writers produce; refusing"
+                # RESTORE shape (r14, VERDICT r13 item 6): a dataChange
+                # re-add of a live prior-DV file WITHOUT a descriptor —
+                # the DV dropped, so exactly the previously-masked rows
+                # transition dead→live (inserts). Reconstructible only
+                # when the path still holds the SAME bytes; a size
+                # change means the file was rewritten wholesale and the
+                # old DV's indexes name unknowable rows — truly
+                # ambiguous, refuse.
+                old_add = snap_prev.adds_raw.get(rel) or {}
+                if (
+                    old_add.get("size") is not None
+                    and a.get("size") is not None
+                    and old_add["size"] != a["size"]
+                ):
+                    raise NotImplementedError(
+                        f"version {v}: re-add of {rel!r} drops its "
+                        "deletion vector AND changes the file size "
+                        f"({old_add['size']} → {a['size']}) — the old "
+                        "DV's row indexes no longer name known rows; "
+                        "refusing an ambiguous reconstruction"
+                    )
+                restored_adds.append(rel)
+            else:
+                fresh_adds.append(a)
+        if restored_adds:
+            from fintech_lakehouse_spark.sources.deletionvectors import (
+                decode_deletion_vector,
+            )
+
+            snap_v = delta_snapshot(spark, path, version=v)
+            for rel in restored_adds:
+                old_idx = sorted(
+                    decode_deletion_vector(
+                        path, snap_prev.deletion_vectors[rel]
+                    )
                 )
-        if plain_adds:
+                scan = _cdf_file_scan(spark, path, snap_v, rel)
+                branches.append(
+                    with_meta(
+                        _rows_at_indexes(spark, scan, old_idx, True),
+                        "insert", v,
+                    )
+                )
+        if fresh_adds:
             snap_v = delta_snapshot(spark, path, version=v)
             add_df = _changed_files_read(
                 spark,
@@ -4094,7 +4139,7 @@ def read_delta_changes(
                 snap_v,
                 [
                     (unquote(a["path"]), a.get("partitionValues") or {})
-                    for a in plain_adds
+                    for a in fresh_adds
                 ],
             )
             branches.append(with_meta(add_df, "insert", v))
@@ -4419,25 +4464,31 @@ def _phys_value_expr(col, dt, where: str):
             lambda e: _phys_value_expr(e, dt.elementType, where + "[]"),
         )
     if isinstance(dt, MapType):
-        if _contains_struct(dt.keyType):
-            raise NotImplementedError(
-                f"id-mode write: map KEY at {where} contains a struct — "
-                "key rebuild via map_from_arrays is not implemented"
-            )
-        if not _contains_struct(dt.valueType):
+        key_structs = _contains_struct(dt.keyType)
+        val_structs = _contains_struct(dt.valueType)
+        if not key_structs and not val_structs:
             return col
-        return F.when(
-            col.isNotNull(),
-            F.map_from_arrays(
-                F.map_keys(col),
-                F.transform(
-                    F.map_values(col),
-                    lambda v: _phys_value_expr(
-                        v, dt.valueType, where + "<value>"
-                    ),
+        keys = F.map_keys(col)
+        if key_structs:
+            # r14 (VERDICT r13 item 8): struct-bearing map KEYS rebuild
+            # through the same transform as values — map keys are never
+            # NULL, so the struct guard inside _phys_value_expr is a
+            # constant-true branch, and map_from_arrays re-pairs the
+            # transformed key array with the (possibly transformed)
+            # value array positionally
+            keys = F.transform(
+                keys,
+                lambda k: _phys_value_expr(k, dt.keyType, where + "<key>"),
+            )
+        vals = F.map_values(col)
+        if val_structs:
+            vals = F.transform(
+                vals,
+                lambda v: _phys_value_expr(
+                    v, dt.valueType, where + "<value>"
                 ),
-            ),
-        )
+            )
+        return F.when(col.isNotNull(), F.map_from_arrays(keys, vals))
     return col
 
 

@@ -571,9 +571,27 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             plain_adds = [a for a in adds if not a.get("deletionVector")]
             re_added = {unquote(a["path"]) for a in adds}
             prev = None
-            if dv_adds or removes:
+            if (dv_adds or removes or plain_adds) and v > 0:
                 prev = _pure_snapshot(self.path, version=v - 1)
             parts = []
+            from fintech_lakehouse_spark.sources.deletionvectors import (
+                decode_deletion_vector,
+                encode_roaring_bitmap_array,
+                z85_encode,
+            )
+
+            def _keep_desc(indexes) -> str:
+                bitmap = encode_roaring_bitmap_array(sorted(indexes))
+                return json.dumps(
+                    {
+                        "storageType": "i",
+                        "pathOrInlineDv": z85_encode(bitmap),
+                        "offset": None,
+                        "sizeInBytes": len(bitmap),
+                        "cardinality": len(indexes),
+                    }
+                )
+
             if dv_adds:
                 # r13 (VERDICT r12 item 2): reconstruct row-level
                 # changes from the per-file DV DIFF — newly masked
@@ -581,24 +599,6 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                 # diff ships to the executor as an INLINE roaring
                 # descriptor (keep_dv_json), decoded by the same
                 # machinery as real DVs.
-                from fintech_lakehouse_spark.sources.deletionvectors import (
-                    decode_deletion_vector,
-                    encode_roaring_bitmap_array,
-                    z85_encode,
-                )
-
-                def _keep_desc(indexes) -> str:
-                    bitmap = encode_roaring_bitmap_array(sorted(indexes))
-                    return json.dumps(
-                        {
-                            "storageType": "i",
-                            "pathOrInlineDv": z85_encode(bitmap),
-                            "offset": None,
-                            "sizeInBytes": len(bitmap),
-                            "cardinality": len(indexes),
-                        }
-                    )
-
                 for a in dv_adds:
                     rel = unquote(a["path"])
                     old = prev["dvs"].get(rel)
@@ -635,13 +635,47 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             for a in plain_adds:
                 rel = unquote(a["path"])
                 if prev is not None and rel in prev["dvs"]:
-                    raise NotImplementedError(
-                        f"deltabridge CDF stream: version {v} plain-"
-                        f"re-adds {rel!r}, which carried a deletion "
-                        "vector — a dataChange DV-drop restore is not "
-                        "a shape this module's writers produce; "
-                        "refusing"
+                    # RESTORE shape (r14, VERDICT r13 item 6): the DV
+                    # dropped from a live file — the previously-masked
+                    # rows transition dead→live, so exactly they are
+                    # the inserts (keep_dv_json mask). Refuse only the
+                    # truly ambiguous case: the file's bytes changed
+                    # too, so the old DV names unknowable rows.
+                    old_add = prev["adds_raw"].get(rel) or {}
+                    if (
+                        old_add.get("size") is not None
+                        and a.get("size") is not None
+                        and old_add["size"] != a["size"]
+                    ):
+                        raise NotImplementedError(
+                            f"deltabridge CDF stream: version {v} "
+                            f"re-adds {rel!r} without its deletion "
+                            "vector AND with a different size — the "
+                            "old DV's indexes no longer name known "
+                            "rows; refusing an ambiguous "
+                            "reconstruction"
+                        )
+                    restored = sorted(
+                        decode_deletion_vector(
+                            self.path, prev["dvs"][rel]
+                        )
                     )
+                    if restored:
+                        parts.append(
+                            DeltaFilePartition(
+                                rel,
+                                None,
+                                self._typed_pvals(
+                                    a.get("partitionValues")
+                                    or prev["files"].get(rel)
+                                ),
+                                "insert",
+                                v,
+                                ts,
+                                keep_dv_json=_keep_desc(restored),
+                            )
+                        )
+                    continue
                 parts.append(
                     DeltaFilePartition(
                         rel,
