@@ -19,8 +19,12 @@ EOB-run coalescing. SUCCESSIVE APPROXIMATION (Ah/Al ≠ 0) decodes too
 (r13): first scans at reduced precision, DC refinements as raw bits,
 AC refinements with correction bits and EOB-run buffering — and
 ``encode_jpeg_progressive_sa`` emits a two-stage approximation.
-Arithmetic coding, 12-bit precision and sampling factors beyond 2×2
-return None — quarantine, not crash, the same contract as
+SEQUENTIAL ARITHMETIC (SOF9) decodes too (r14): the QM-coder and the
+Annex F DC/AC statistical models live in ``functions/jpeg_arith.py``,
+with ``encode_jpeg_arith`` as the matching encoder — ``_decode``
+routes SOF9 scans there and reads DAC conditioning segments.
+Progressive arithmetic (SOF10), 12-bit precision and sampling factors
+beyond 2×2 return None — quarantine, not crash, the same contract as
 ``decode_png_pixels``.
 
 Like PNG, entropy decode is inherently sequential WITHIN one image
@@ -520,6 +524,8 @@ def _decode(payload: bytes):
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(cid, qid)])
     progressive = False
+    arith = False  # SOF9 sequential arithmetic (r14)
+    conditioning: dict[tuple[int, int], int] = {}  # DAC (Tc,Tb) → value
     pstate: _ProgressiveState | None = None
     restart_interval = 0
     i = 2
@@ -583,8 +589,11 @@ def _decode(payload: bytes):
                     bits, list(seg[p + 17 : p + 17 + n])
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
+            # ARITHMETIC (r14 — functions/jpeg_arith.py)
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             if seg[0] != 8:
                 return None  # 12-bit
             h = int.from_bytes(seg[1:3], "big")
@@ -600,8 +609,14 @@ def _decode(payload: bytes):
                     return None  # sampling factors beyond 2x2: refuse
                 comps.append((cid, qid, hc, vc))
             frame = (h, w, comps)
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (r14)
+            p = 0
+            while p + 2 <= len(seg):
+                conditioning[(seg[p] >> 4, seg[p] & 0xF)] = seg[p + 1]
+                p += 2
         elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
-            return None  # arithmetic/lossless/hierarchical: refuse
+            # progressive-arithmetic (SOF10) / lossless / hierarchical
+            return None  # quarantine, not crash
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -652,6 +667,28 @@ def _decode(payload: bytes):
                 continue
             if ns != len(comps):
                 return None
+            if arith:
+                # sequential arithmetic (r14): 1×1 factors only, no
+                # restart markers — the subset encode_jpeg_arith emits
+                if restart_interval:
+                    return None
+                from fintech_lakehouse_spark.functions.jpeg_arith import (
+                    decode_scan_arith,
+                )
+
+                scan = []
+                for c in range(ns):
+                    cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
+                    if cid not in byid:
+                        return None
+                    qid, hc, vc = byid[cid]
+                    if (hc, vc) != (1, 1) or qid not in quant:
+                        return None
+                    scan.append((cid, qid, tsel >> 4, tsel & 0xF))
+                return decode_scan_arith(
+                    payload, i + 2 + seglen, h, w, scan, quant,
+                    conditioning,
+                )
             tables = []
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c : 3 + 2 * c]

@@ -2495,3 +2495,64 @@ def daily_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(peak, 2).cast("double").alias("peak"),
         F.round(peak - F.col("rev_d"), 2).cast("double").alias("drawdown"),
     )
+
+
+@register(
+    "event_ntz_timeline",
+    oracle="""
+    WITH sec AS (
+        SELECT event_type, date_trunc('second', ts) AS ts
+        FROM events
+    )
+    SELECT event_type,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS span_seconds,
+           MIN(ts) + to_seconds(
+               CAST(date_diff('second', MIN(ts), MAX(ts)) // 2 AS BIGINT)
+           ) AS mid_ts
+    FROM sec
+    GROUP BY event_type
+    """,
+)
+def event_ntz_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ value surface (r14, the timestampNtz feature's
+    query-side twin — VERDICT r13 item 2's oracle criterion): per
+    event type, the first/last NAIVE timestamps, the span in whole
+    seconds, and the midpoint reconstructed by ntz ARITHMETIC
+    (timestampadd over the ntz column — no session-timezone term may
+    enter, which is the entire point of the type; the DuckDB oracle's
+    naive TIMESTAMP arithmetic is the independent semantics check,
+    and the value-hash compare pins the actual ntz values, not just
+    derived scalars). Both sides truncate to whole seconds BEFORE
+    aggregating: the source carries nanosecond ticks, which Spark
+    preserves and DuckDB's µs TIMESTAMP cannot — second truncation
+    makes the two engines' inputs identical instead of papering over
+    a real precision difference in the comparator.
+
+    Scale shape: one scan, one hash aggregation on a low-cardinality
+    key, map-side partial agg — the minimal shape for a full-table
+    min/max profile; no window, no join, output bounded by event
+    types."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("second", "ts").cast("timestamp_ntz").alias("ts"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    span = F.expr(
+        "CAST(timestampdiff(SECOND, first_ts, last_ts) AS BIGINT)"
+    )
+    return agg.select(
+        "event_type",
+        "first_ts",
+        "last_ts",
+        span.alias("span_seconds"),
+        F.expr(
+            "timestampadd(SECOND, CAST(timestampdiff(SECOND, first_ts,"
+            " last_ts) DIV 2 AS BIGINT), first_ts)"
+        ).alias("mid_ts"),
+    )

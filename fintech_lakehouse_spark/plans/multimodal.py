@@ -1268,3 +1268,119 @@ def jpeg_successive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "jpeg_arithmetic_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(9 + doc_id % 21 AS BIGINT) AS width,
+           CAST(6 + doc_id % 17 AS BIGINT) AS height,
+           TRUE AS matches_baseline,
+           TRUE AS has_arith_markers
+    FROM documents
+    WHERE doc_id < 150
+    """,
+)
+def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded (SOF9, QM-coder) JPEG roundtrip (r14 — VERDICT
+    r13 item 7, the last named T.81 seam): per doc the same
+    deterministic raster family as the progressive queries is encoded
+    through ``functions/jpeg_arith.py`` — T.81 Annex D interval
+    arithmetic with adaptive per-context probability states, the
+    Annex F §F.1.4 sequential DC/AC statistical models, DAC
+    conditioning segments and 0xFF stuffing — then decoded back.
+    ``matches_baseline`` pins the strongest contract available
+    offline: the arithmetic decode must equal the Huffman decode of
+    the IDENTICAL quantized coefficients bit-for-bit (shared
+    DCT/quant pipeline — only the entropy layer differs, exactly the
+    seam the arithmetic option occupies in the standard).
+    ``has_arith_markers`` asserts the stream really is the arithmetic
+    format (SOF9 + DAC present, no DHT). Every 3rd doc heavily
+    quantized so long zero runs exercise the EOB-decision contexts.
+
+    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    stay single binary cells, parallelism is ACROSS images (the only
+    distribution that makes sense for per-asset codecs at 100 TB)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("mode", StringType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("matches_baseline", BooleanType(), True),
+            StructField("has_arith_markers", BooleanType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        import numpy as np
+
+        from fintech_lakehouse_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+        from fintech_lakehouse_spark.functions.jpeg_arith import (
+            encode_jpeg_arith,
+        )
+
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "mode", "width", "height",
+                "matches_baseline", "has_arith_markers",
+            )}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 9 + i % 21, 6 + i % 17
+                gray = i % 2 == 0
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                if gray:
+                    img = ((xx * 5 + yy * 11 + i) % 256).astype(np.uint8)
+                else:
+                    img = np.stack(
+                        [((xx * 5 + yy * 11 + c * 37 + i) % 256)
+                         for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                if i % 3 == 0:
+                    q = np.full(64, 220, dtype=np.uint16)
+                    q[0] = 1  # AC mostly zero → EOB-decision paths
+                else:
+                    q = None
+                stream = encode_jpeg_arith(img, quant=q)
+                da = decode_jpeg_pixels(stream)
+                db = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+                rows["asset_id"].append(i)
+                rows["mode"].append("gray" if gray else "rgb")
+                if da is None or db is None or da.shape[:2] != (h, w):
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["matches_baseline"].append(None)
+                    rows["has_arith_markers"].append(None)
+                    continue
+                rows["width"].append(da.shape[1])
+                rows["height"].append(da.shape[0])
+                rows["matches_baseline"].append(
+                    bool(np.array_equal(da, db))
+                )
+                rows["has_arith_markers"].append(
+                    b"\xff\xc9" in stream
+                    and b"\xff\xcc" in stream
+                    and b"\xff\xc4" not in stream
+                )
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)
