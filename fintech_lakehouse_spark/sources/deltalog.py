@@ -400,7 +400,8 @@ def _apply_action(snap_state: dict, action: dict) -> None:
             unsupported = sorted(
                 set(feats)
                 - {"columnMapping", "deletionVectors", "v2Checkpoint",
-                   "timestampNtz", "typeWidening", "typeWidening-preview"}
+                   "timestampNtz", "typeWidening", "typeWidening-preview",
+                   "vacuumProtocolCheck"}
             )
             if unsupported:
                 raise NotImplementedError(
@@ -2805,7 +2806,8 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
     f for feats in _LEGACY_WRITER_FEATURES.values() for f in feats
 ) | frozenset({"inCommitTimestamp", "deletionVectors", "v2Checkpoint",
                "timestampNtz", "domainMetadata", "rowTracking",
-               "typeWidening", "typeWidening-preview"})
+               "typeWidening", "typeWidening-preview", "clustering",
+               "vacuumProtocolCheck"})
 
 
 def _implied_writer_features(writer_version: int) -> list:
@@ -3131,6 +3133,97 @@ def enable_row_tracking(spark: SparkSession, path: str) -> int:
     _write_commit(
         path, version, actions, operation="SET TBLPROPERTIES",
         operation_parameters={"delta.enableRowTracking": "true"},
+    )
+    return version
+
+
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def clustering_columns(domain_metadata: dict) -> list:
+    """The table's LIQUID CLUSTERING columns from the
+    ``delta.clustering`` metadata domain ([] when unclustered). The
+    domain configuration stores column PATHS as arrays (the spec's
+    nested-column form); this module clusters top-level columns, so
+    paths join on '.' for display and refuse at depth > 1 on use."""
+    raw = (domain_metadata or {}).get(CLUSTERING_DOMAIN)
+    if not raw:
+        return []
+    try:
+        paths = json.loads(raw).get("clusteringColumns") or []
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"unparseable {CLUSTERING_DOMAIN} domain configuration "
+            f"{raw!r} — refusing to guess the clustering key"
+        ) from None
+    return [".".join(p) if isinstance(p, list) else str(p) for p in paths]
+
+
+def enable_liquid_clustering(
+    spark: SparkSession, path: str, columns: list
+) -> int:
+    """ALTER TABLE ... CLUSTER BY (r14 — the ``clustering`` writer
+    feature, delta's liquid-clustering successor to static
+    partitioning + ZORDER): record the clustering columns in the
+    ``delta.clustering`` metadata domain and upgrade the protocol
+    (``clustering`` + its prerequisite ``domainMetadata``). Clustering
+    is a LAYOUT hint, not a read-path feature: data files are not
+    rewritten here — the next :func:`optimize_delta_table` picks the
+    domain up and Morton-clusters on these columns automatically
+    (delta's OPTIMIZE-driven incremental clustering, minus the
+    incremental file selection). Refused on PARTITIONED tables
+    (delta's own rule: liquid clustering replaces hive partitioning,
+    the two don't compose). Returns the committed version."""
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "enable_liquid_clustering")
+    columns = list(columns)
+    if not columns:
+        raise ValueError("enable_liquid_clustering: no columns given")
+    if snap.partition_columns:
+        raise ValueError(
+            "enable_liquid_clustering: table is hive-partitioned by "
+            f"{snap.partition_columns} — liquid clustering replaces "
+            "partitioning; they do not compose (delta refuses too)"
+        )
+    known = {f.name for f in snap.schema.fields}
+    unknown = sorted(set(columns) - known)
+    if unknown:
+        raise ValueError(
+            f"enable_liquid_clustering: unknown columns {unknown}"
+        )
+    if clustering_columns(snap.domain_metadata) == columns:
+        return snap.version
+    version = _next_version(path)
+    actions: list[dict] = []
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    feats = set(proto.get("writerFeatures") or [])
+    need = {"clustering", "domainMetadata"}
+    if int(proto.get("minWriterVersion", 2)) < 7 or not need <= feats:
+        if int(proto.get("minWriterVersion", 2)) < 7:
+            feats |= set(
+                _implied_writer_features(
+                    int(proto.get("minWriterVersion", 2))
+                )
+            )
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(feats | need)
+        actions.append({"protocol": proto})
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": CLUSTERING_DOMAIN,
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in columns]}
+                ),
+                "removed": False,
+            }
+        }
+    )
+    _write_commit(
+        path, version, actions, operation="CLUSTER BY",
+        operation_parameters={"clusterBy": columns},
     )
     return version
 
@@ -5197,14 +5290,12 @@ def merge_into_delta_table(
     cols = [f.name for f in snap.schema.fields]
     _gate_writer_features(snap.protocol_raw, "merge_into_delta_table")
     _check_append_only(snap.metadata_raw, "merge_into_delta_table")
-    if row_tracking_enabled(snap.metadata_raw):
+    if row_tracking_enabled(snap.metadata_raw) and snap.column_mapping_mode in (
+        "name", "id"
+    ):
         raise NotImplementedError(
-            "merge_into_delta_table on a row-tracked table: preserving "
-            "each MATCHED row's id through the merge requires a per-key "
-            "source↔target id carry this writer doesn't implement (a "
-            "multi-match source key makes the mapping ambiguous) — "
-            "refusing rather than silently renumbering rows. DELETE / "
-            "UPDATE / OPTIMIZE / append all preserve ids."
+            "merge_into_delta_table: row tracking on a column-mapped "
+            "table is not implemented — refusing"
         )
     if identity_columns(snap.schema):
         raise NotImplementedError(
@@ -5270,12 +5361,20 @@ def merge_into_delta_table(
         cdc_parts = _merge_cdc_parts(
             spark, path, snap, source_df, merge_keys, cols
         )
+        if row_tracking_enabled(snap.metadata_raw):
+            # resolve the target id carry BEFORE the matched targets
+            # are DV-deleted (r14 preserved rule; same helper as CoW)
+            src_frame = _merge_rt_source(
+                spark, path, snap, source_df, merge_keys, cols
+            )
+        else:
+            src_frame = source_df.select(*cols)
         snap, actions, _, deleted_rows = _dv_mark_deleted(
             spark, path, matched, "merge_into_delta_table"
         )
         version = _next_version(path)
         merge_src, merge_pcols, fids = _to_physical_write_frame(
-            source_df.select(*cols), snap
+            src_frame, snap
         )
         actions.extend(
             _stage_files(
@@ -5283,6 +5382,10 @@ def merge_into_delta_table(
                 field_ids=fids,
             )
         )
+        if row_tracking_enabled(snap.metadata_raw):
+            _assign_fresh_row_ids(
+                actions, _rt_hwm(snap.domain_metadata), version, path
+            )
         if cdc_parts is not None:
             pre = (
                 deleted_rows.withColumn(
@@ -5325,6 +5428,49 @@ def _merge_cdc_parts(
     )
 
 
+def _merge_rt_source(spark, path, snap, source_df, merge_keys, cols):
+    """Row-tracked MERGE source frame (r14): each MATCHED source row
+    carries its target row's MATERIALIZED id (the protocol's preserved
+    rule for updates — the merge key is the identity carrier), each
+    unmatched source row a NULL (fresh id from the new add's
+    baseRowId). Materialized commit versions are NULL for both: every
+    source-derived row is new-or-modified in this commit. Refuses the
+    genuinely ambiguous shapes up front: a source key matching MORE
+    THAN ONE target row (which target's id would survive?) and
+    duplicate source keys among matched rows (two updates of one row
+    in one statement)."""
+    rid_col, rcv_col = _rt_materialized_names(snap.metadata_raw)
+    tgt = read_delta_table(spark, path, row_ids=True).select(
+        *merge_keys, F.col(ROW_ID_COL).alias("_rt_tgt_id")
+    )
+    cond = None
+    for k in merge_keys:
+        eq = F.col(f"_src.{k}").eqNullSafe(F.col(f"_tgt.{k}"))
+        cond = eq if cond is None else cond & eq
+    src = source_df.select(*cols).alias("_src")
+    joined = src.join(tgt.alias("_tgt"), cond, "left").select(
+        *[F.col(f"_src.{c}").alias(c) for c in cols], "_rt_tgt_id"
+    )
+    dup = (
+        joined.filter(F.col("_rt_tgt_id").isNotNull())
+        .groupBy(*merge_keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into_delta_table: row tracking requires an "
+            "UNAMBIGUOUS source↔target id carry, but a merge key "
+            "matches multiple rows (duplicate source keys or multiple "
+            "target rows per key) — deduplicate first"
+        )
+    return joined.withColumn(
+        rid_col, F.col("_rt_tgt_id")
+    ).withColumn(rcv_col, F.lit(None).cast("long")).drop("_rt_tgt_id")
+
+
 def _merge_cow(
     spark: SparkSession, path: str, snap, source_df, merge_keys, cols
 ) -> int:
@@ -5333,10 +5479,24 @@ def _merge_cow(
     matched rows, land all source rows in new files, commit adds +
     removes atomically. Untouched files are never read again after
     the touch resolution."""
+    rt = row_tracking_enabled(snap.metadata_raw)
+    rt_cols = _rt_materialized_names(snap.metadata_raw) if rt else None
     if snap.files:
         scan, by_bn = _dml_scan(
-            spark, path, snap, "merge_into_delta_table"
+            spark, path, snap, "merge_into_delta_table",
+            with_row_index=rt,
+            extra_long_cols=list(rt_cols) if rt else None,
         )
+        if rt:
+            # copied (unmatched) rows in rewritten files keep BOTH the
+            # row id and the original commit version (r14 preserved
+            # rule) — resolve them now, same as _cow_rewrite
+            scan = scan.withColumn("_rt_bn", F.col("_dl_file")).withColumn(
+                "_rt_ri", F.col("_dl_ri")
+            )
+            scan = _attach_row_ids(spark, snap, scan, rt_cols).drop(
+                "_dl_ri"
+            )
     else:
         scan, by_bn = None, {}
     version = _next_version(path)
@@ -5367,8 +5527,14 @@ def _merge_cow(
                 .join(src_keys.alias("_src"), cond, "left_anti")
                 .drop("_dl_file")
             )
+            keep_cols = list(cols)
+            if rt:
+                keep = keep.withColumn(
+                    rt_cols[0], F.col(ROW_ID_COL)
+                ).withColumn(rt_cols[1], F.col(ROW_COMMIT_COL))
+                keep_cols = keep_cols + list(rt_cols)
             keep_out, keep_pcols, fids = _to_physical_write_frame(
-                keep.select(*cols), snap
+                keep.select(*keep_cols), snap
             )
             actions.extend(
                 _stage_files(
@@ -5387,9 +5553,15 @@ def _merge_cow(
                         }
                     }
                 )
-    src_out, src_pcols, fids = _to_physical_write_frame(
-        source_df.select(*cols), snap
-    )
+    if rt:
+        # matched source rows carry their target's materialized id;
+        # inserts NULL (fresh). Commit versions are fresh for both.
+        src_frame = _merge_rt_source(
+            spark, path, snap, source_df, merge_keys, cols
+        )
+    else:
+        src_frame = source_df.select(*cols)
+    src_out, src_pcols, fids = _to_physical_write_frame(src_frame, snap)
     actions.extend(
         _stage_files(
             spark,
@@ -5401,12 +5573,18 @@ def _merge_cow(
             field_ids=fids,
         )
     )
+    if rt:
+        _assign_fresh_row_ids(
+            actions, _rt_hwm(snap.domain_metadata), version, path
+        )
     cdc_parts = _merge_cdc_parts(
         spark, path, snap, source_df, merge_keys, cols
     )
     if cdc_parts is not None:
         pre = (
-            matched_rows.drop("_dl_file").withColumn(
+            matched_rows.drop(
+                "_dl_file", ROW_ID_COL, ROW_COMMIT_COL
+            ).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
             if scan is not None
@@ -5445,6 +5623,19 @@ def optimize_delta_table(
     boundaries). Snapshot row content is unchanged — unit-asserted —
     and prior versions stay time-travelable until vacuumed."""
     snap = delta_snapshot(spark, path)
+    if zorder is None:
+        # LIQUID CLUSTERING (r14): an un-arg'd OPTIMIZE on a clustered
+        # table clusters on the delta.clustering domain's columns —
+        # delta's OPTIMIZE-driven clustering contract
+        clustered = clustering_columns(snap.domain_metadata)
+        if clustered:
+            deep = [c for c in clustered if "." in c]
+            if deep:
+                raise NotImplementedError(
+                    f"optimize_delta_table: nested clustering columns "
+                    f"{deep} are not implemented — refusing"
+                )
+            zorder = clustered
     if zorder and set(zorder) & set(snap.partition_columns):
         raise ValueError(
             "optimize_delta_table: ZORDER columns overlap the partition "
@@ -5658,6 +5849,13 @@ def vacuum_delta_table(
     versions = _commit_versions(log)
     if not versions:
         return []
+    # vacuumProtocolCheck (r14): the feature's entire contract is that
+    # a VACUUM implementation must validate the protocol before
+    # deleting anything — an ununderstood writer feature may reference
+    # files this logic would misclassify as garbage. Fail closed.
+    _gate_writer_features(
+        delta_snapshot(spark, path).protocol_raw, "vacuum_delta_table"
+    )
     retained = versions[-keep_versions:]
     live: set[str] = set()
     live_dv_files: set[str] = set()

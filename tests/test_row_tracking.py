@@ -206,12 +206,51 @@ def test_ids_survive_checkpoint_and_log_expiry(spark, tmp_path):
     assert after[10][0] == hwm_before + 1
 
 
-def test_merge_refuses_on_row_tracked_table(spark, tmp_path):
+@pytest.mark.parametrize("dv", [False, True])
+def test_merge_preserves_matched_ids_inserts_fresh(spark, tmp_path, dv):
+    """r14: MERGE on a row-tracked table carries each MATCHED target
+    row's id onto its updated image (materialized) and assigns fresh
+    ids to inserts; copied rows in rewritten files keep id AND commit
+    version."""
+    root = _mk(
+        spark, tmp_path,
+        rows_per_commit=[[(i, f"v{i}") for i in range(4)]],
+    )
+    enable_row_tracking(spark, root)
+    before = _ids(spark, root)
+    src = spark.createDataFrame(
+        [(1, "UPD"), (9, "NEW")], "id long, v string"
+    )
+    v = merge_into_delta_table(
+        spark, root, src, ["id"], use_deletion_vectors=dv
+    )
+    after = _ids(spark, root)
+    assert set(after) == {0, 1, 2, 3, 9}
+    assert after[1][0] == before[1][0]  # updated row KEEPS its id
+    assert after[1][1] == v  # ...with the merge commit's version
+    for k in (0, 2, 3):  # untouched/copied rows keep both
+        assert after[k] == before[k]
+    # fresh id above the backfill mark (positional within the new
+    # file: the updated row's slot may consume a fresh id it doesn't
+    # use — the protocol's rule, ids are unique, not dense)
+    assert after[9][0] > 3
+    assert after[9][1] == v
+    assert len({rid for rid, _ in after.values()}) == len(after)
+    rows = {r["id"]: r["v"] for r in read_delta_table(spark, root).collect()}
+    assert rows[1] == "UPD" and rows[9] == "NEW"
+
+
+def test_merge_refuses_ambiguous_id_carry(spark, tmp_path):
     root = _mk(spark, tmp_path)
     enable_row_tracking(spark, root)
-    src = spark.createDataFrame([(1, "upd")], "id long, v string")
-    with pytest.raises(NotImplementedError, match="row-tracked"):
-        merge_into_delta_table(spark, root, src, ["id"])
+    dup_src = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, v string"
+    )
+    # duplicate source keys trip the pre-existing cardinality gate;
+    # the rt-specific UNAMBIGUOUS check still guards the multi-target
+    # shape the cardinality gate can't see
+    with pytest.raises(ValueError, match="ambiguous|UNAMBIGUOUS"):
+        merge_into_delta_table(spark, root, dup_src, ["id"])
 
 
 def test_row_ids_param_guards(spark, tmp_path):
