@@ -3352,6 +3352,16 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
             f"{snap.column_mapping_mode!r} — only none→name is "
             "implemented"
         )
+    if row_tracking_enabled(snap.metadata_raw):
+        # r14: the row-tracking machinery refuses mapped tables (the
+        # physical projection would drop the materialized columns) —
+        # refusing the DDL in the other direction keeps the pair of
+        # refusals consistent instead of stranding a half-usable table
+        raise NotImplementedError(
+            "enable_column_mapping: table has delta.enableRowTracking "
+            "— row tracking + column mapping is not implemented; the "
+            "combination would strand the materialized row-id columns"
+        )
     counter = [0]
     mapped = _assign_mapping_metadata(snap.schema, counter)
     md = dict(snap.metadata_raw)

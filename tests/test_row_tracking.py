@@ -319,3 +319,16 @@ def test_partitioned_row_tracking_roundtrip(spark, tmp_path):
     assert set(after) == {1, 2}
     for k in after:
         assert after[k] == before[k]
+
+
+def test_enable_column_mapping_refuses_on_row_tracked_table(
+    spark, tmp_path
+):
+    from fintech_lakehouse_spark.sources.deltalog import (
+        enable_column_mapping,
+    )
+
+    root = _mk(spark, tmp_path)
+    enable_row_tracking(spark, root)
+    with pytest.raises(NotImplementedError, match="enableRowTracking"):
+        enable_column_mapping(spark, root)
