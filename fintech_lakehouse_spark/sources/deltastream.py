@@ -303,6 +303,8 @@ class DeltaFilePartition(InputPartition):
         ts_ms: int | None = None,
         has_change_col: bool = False,
         keep_dv_json: str | None = None,
+        rt_base: int | None = None,
+        rt_dcv: int | None = None,
     ):
         self.file_path = file_path
         self.dv_json = dv_json  # descriptor of row indexes to DROP
@@ -311,13 +313,20 @@ class DeltaFilePartition(InputPartition):
         self.version = version
         self.ts_ms = ts_ms
         self.has_change_col = has_change_col
+        # row tracking (r14): the add's baseRowId /
+        # defaultRowCommitVersion when the read asked for row ids
+        self.rt_base = rt_base
+        self.rt_dcv = rt_dcv
         # descriptor of the ONLY row indexes to emit (r13 — the CDF
         # stream's DV-diff partitions: "the rows this commit deleted")
         self.keep_dv_json = keep_dv_json
 
 
 def _read_partition(
-    table_path: str, part: DeltaFilePartition, row_plan: list
+    table_path: str,
+    part: DeltaFilePartition,
+    row_plan: list,
+    rt_cols: tuple | None = None,
 ) -> Iterator[tuple]:
     """Executor-side file read: pyarrow scan of the declared data
     columns (+ the cdc file's own _change_type when present), deletion
@@ -346,7 +355,24 @@ def _read_partition(
     cols = [read_name[c] for c, is_pv, _, _ in row_plan if not is_pv]
     if part.has_change_col:
         cols.append("_change_type")
+    rt = part.rt_base is not None
+    rt_present: list[str] = []
+    if rt:
+        # row-id read (r14): the MATERIALIZED columns ride along when
+        # the file physically has them (preserved rows after OPTIMIZE /
+        # CoW DML); fresh files simply lack them → fresh resolution
+        in_file = {f.name for f in pq.read_schema(full)}
+        rt_present = [c for c in (rt_cols or ()) if c in in_file]
+        cols = cols + rt_present
     table = pq.read_table(full, columns=cols)
+    if rt:
+        import pyarrow as pa
+
+        # physical row index captured BEFORE any DV filtering — DV
+        # masks remove rows but never renumber the survivors
+        table = table.append_column(
+            "_rt_idx", pa.array(range(table.num_rows), type=pa.int64())
+        )
     if part.dv_json or part.keep_dv_json:
         from fintech_lakehouse_spark.sources.deletionvectors import (
             decode_deletion_vector,
@@ -398,6 +424,14 @@ def _read_partition(
             base.append(ct if ct is not None else part.change_type)
             base.append(part.version)
             base.append(part.ts_ms)
+        if rt:
+            rid_col, rcv_col = rt_cols
+            rid = r.get(rid_col) if rid_col in rt_present else None
+            rcv = r.get(rcv_col) if rcv_col in rt_present else None
+            base.append(
+                rid if rid is not None else part.rt_base + r["_rt_idx"]
+            )
+            base.append(rcv if rcv is not None else part.rt_dcv)
         yield tuple(base)
 
 
@@ -436,8 +470,9 @@ def _resolve_as_of(path: str, options: dict) -> int | None:
 class DeltaBridgeReader(DataSourceReader):
     def __init__(self, path: str, options: dict | None = None):
         self.path = path
+        options = options or {}
         snap = _pure_snapshot(
-            path, version=_resolve_as_of(path, options or {})
+            path, version=_resolve_as_of(path, options)
         )
         self.snap = snap
         self.part_cols = snap["partition_columns"]
@@ -449,6 +484,38 @@ class DeltaBridgeReader(DataSourceReader):
             for f in snap["schema"].fields
             if f.name in self.part_cols
         }
+        # rowIds=true (r14): append _row_id/_row_commit_version — the
+        # same materialized-or-fresh resolution as the engine's
+        # read_delta_table(row_ids=True), executor-side
+        self.rt_cols: tuple | None = None
+        if str(options.get("rowids", "false")).lower() == "true":
+            from fintech_lakehouse_spark.sources.deltalog import (
+                _rt_materialized_names,
+                row_tracking_enabled,
+            )
+
+            if not row_tracking_enabled(snap["metadata_raw"]):
+                raise ValueError(
+                    "deltabridge read: rowIds=true but the table does "
+                    "not declare delta.enableRowTracking"
+                )
+            if snap["column_mapping_mode"] in ("name", "id"):
+                raise NotImplementedError(
+                    "deltabridge read: rowIds on a column-mapped table "
+                    "is not implemented — refusing"
+                )
+            no_base = sorted(
+                r
+                for r in snap["files"]
+                if (snap["adds_raw"].get(r) or {}).get("baseRowId")
+                is None
+            )
+            if no_base:
+                raise ValueError(
+                    f"deltabridge read: live files {no_base[:3]} carry "
+                    "no baseRowId — refusing to fabricate row ids"
+                )
+            self.rt_cols = _rt_materialized_names(snap["metadata_raw"])
 
     def partitions(self):
         out = []
@@ -463,15 +530,26 @@ class DeltaBridgeReader(DataSourceReader):
                 )
                 for c in self.part_cols
             }
+            kwargs = {}
+            if self.rt_cols is not None:
+                add = self.snap["adds_raw"].get(rel) or {}
+                kwargs = {
+                    "rt_base": int(add["baseRowId"]),
+                    "rt_dcv": int(
+                        add.get("defaultRowCommitVersion") or 0
+                    ),
+                }
             out.append(
                 DeltaFilePartition(
-                    rel, json.dumps(dv) if dv else None, pvals
+                    rel, json.dumps(dv) if dv else None, pvals, **kwargs
                 )
             )
         return out
 
     def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
-        return _read_partition(self.path, partition, self.row_plan)
+        return _read_partition(
+            self.path, partition, self.row_plan, rt_cols=self.rt_cols
+        )
 
 
 class DeltaBridgeStreamReader(DataSourceStreamReader):
@@ -1459,6 +1537,11 @@ class DeltaBridgeDataSource(DataSource):
                 StructField("_change_type", StringType(), True),
                 StructField("_commit_version", LongType(), True),
                 StructField("_commit_timestamp_ms", LongType(), True),
+            ]
+        if str(self.options.get("rowids", "false")).lower() == "true":
+            fields += [
+                StructField("_row_id", LongType(), True),
+                StructField("_row_commit_version", LongType(), True),
             ]
         return StructType(fields)
 

@@ -332,3 +332,39 @@ def test_enable_column_mapping_refuses_on_row_tracked_table(
     enable_row_tracking(spark, root)
     with pytest.raises(NotImplementedError, match="enableRowTracking"):
         enable_column_mapping(spark, root)
+
+
+def test_bridge_row_ids_option_matches_engine(spark, tmp_path):
+    """r14: the deltabridge batch reader's rowIds=true option exposes
+    _row_id/_row_commit_version with the engine's exact resolution —
+    including preserved (materialized) ids after OPTIMIZE and a DV
+    delete, and the refusal on non-row-tracked tables."""
+    from fintech_lakehouse_spark.sources.deltastream import (
+        register_deltabridge_source,
+    )
+
+    register_deltabridge_source(spark)
+    root = _mk(
+        spark, tmp_path,
+        rows_per_commit=[[(i, f"v{i}") for i in range(6)]],
+    )
+    # refusal before enablement
+    with pytest.raises(Exception, match="enableRowTracking"):
+        spark.read.format("deltabridge").option("path", root).option(
+            "rowIds", "true"
+        ).load().collect()
+    enable_row_tracking(spark, root)
+    optimize_delta_table(spark, root, target_files=2)  # materializes
+    delete_from_delta_table(
+        spark, root, "id = 4", use_deletion_vectors=True
+    )
+    engine = _ids(spark, root)
+    bridge = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in spark.read.format("deltabridge")
+        .option("path", root)
+        .option("rowIds", "true")
+        .load()
+        .collect()
+    }
+    assert bridge == engine
