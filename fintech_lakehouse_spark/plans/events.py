@@ -1068,3 +1068,59 @@ def event_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_props_variant_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(k)   AS min_k,
+           MAX(k)   AS max_k,
+           {sql_isum('k')} AS total_k,
+           {sql_isum('missing_null')} AS n_missing_null
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN json_extract(props, '$.nope') IS NULL
+                    THEN 1 ELSE 0 END AS missing_null
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def event_props_variant_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VARIANT-typed semi-structured extraction (r14 — the variantType
+    feature's query-side twin, next to ``event_props_extract``'s
+    from_json form): ``parse_json`` lifts events.props into a real
+    VARIANT column, ``variant_get`` path-extracts with a type cast,
+    and a missing path yields SQL NULL (pinned by ``n_missing_null``
+    == n_events). The DuckDB oracle extracts through its own JSON
+    path machinery — two independent semi-structured engines agreeing
+    on values, not a string comparison of representations.
+
+    Scale shape: parse once in the scan stage (the variant binary
+    never shuffles — extraction happens before the aggregate), then
+    one low-cardinality hash agg with map-side partials. At 100 TB
+    variant columns beat repeated JSON string parsing precisely
+    because the parse cost is paid once at ingest/scan."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    extracted = events.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr(
+            "CASE WHEN variant_get(v, '$.nope', 'long') IS NULL "
+            "THEN 1 ELSE 0 END"
+        ).alias("missing_null"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("total_k"),
+        F.sum("missing_null").alias("n_missing_null"),
+    )

@@ -157,42 +157,56 @@ def _physical_datatype(dt, where: str):
     return dt
 
 
-def _schema_has_ntz(dt) -> bool:
-    """True when ``dt`` contains a TIMESTAMP_NTZ anywhere (top level or
-    nested in struct/array/map) — the trigger for the ``timestampNtz``
-    table feature (Delta PROTOCOL.md: a table with TIMESTAMP_NTZ
-    columns MUST declare the feature on both reader and writer sides,
-    so pre-feature readers that would misread the un-adjusted int64 as
-    a UTC-adjusted timestamp refuse instead)."""
+def _type_features(dt) -> set:
+    """The reader+writer table features the DATA TYPES in ``dt``
+    require (any nesting level): ``timestampNtz`` for TIMESTAMP_NTZ
+    (Delta PROTOCOL.md: pre-feature readers would misread the
+    un-adjusted int64 as UTC-adjusted — they must refuse instead) and
+    ``variantType`` for VARIANT (r14: the binary metadata/value pair
+    is meaningless to a reader that doesn't know the encoding)."""
     from pyspark.sql.types import ArrayType, MapType, TimestampNTZType
     from pyspark.sql.types import StructType as _ST
 
+    try:
+        from pyspark.sql.types import VariantType
+    except ImportError:  # pragma: no cover - older Spark
+        VariantType = ()  # noqa: N806
     if isinstance(dt, TimestampNTZType):
-        return True
+        return {"timestampNtz"}
+    if VariantType and isinstance(dt, VariantType):
+        return {"variantType"}
     if isinstance(dt, _ST):
-        return any(_schema_has_ntz(f.dataType) for f in dt.fields)
+        out: set = set()
+        for f in dt.fields:
+            out |= _type_features(f.dataType)
+        return out
     if isinstance(dt, ArrayType):
-        return _schema_has_ntz(dt.elementType)
+        return _type_features(dt.elementType)
     if isinstance(dt, MapType):
-        return _schema_has_ntz(dt.keyType) or _schema_has_ntz(dt.valueType)
-    return False
+        return _type_features(dt.keyType) | _type_features(dt.valueType)
+    return set()
+
+
+def _schema_has_ntz(dt) -> bool:
+    return "timestampNtz" in _type_features(dt)
 
 
 def _creation_protocol(schema, writer_v: int = 2) -> dict:
     """The protocol action payload for a NEW table whose schema is
     ``schema``: the legacy ``(1, writer_v)`` form unless the schema
-    needs a table feature — TIMESTAMP_NTZ columns (r14) force the
-    feature form ``(3, 7)`` with ``timestampNtz`` in BOTH feature
-    lists plus every writer feature the legacy ``writer_v`` implied
-    (the spec's upgrade rule: moving to v7 must enumerate what the
-    previous version granted implicitly)."""
-    if _schema_has_ntz(schema):
+    needs a table feature — TIMESTAMP_NTZ / VARIANT columns (r14)
+    force the feature form ``(3, 7)`` with the type features in BOTH
+    feature lists plus every writer feature the legacy ``writer_v``
+    implied (the spec's upgrade rule: moving to v7 must enumerate
+    what the previous version granted implicitly)."""
+    need = _type_features(schema)
+    if need:
         return {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["timestampNtz"],
+            "readerFeatures": sorted(need),
             "writerFeatures": sorted(
-                set(_implied_writer_features(writer_v)) | {"timestampNtz"}
+                set(_implied_writer_features(writer_v)) | need
             ),
         }
     return {"minReaderVersion": 1, "minWriterVersion": writer_v}
@@ -401,7 +415,8 @@ def _apply_action(snap_state: dict, action: dict) -> None:
                 set(feats)
                 - {"columnMapping", "deletionVectors", "v2Checkpoint",
                    "timestampNtz", "typeWidening", "typeWidening-preview",
-                   "vacuumProtocolCheck"}
+                   "vacuumProtocolCheck", "variantType",
+                   "variantType-preview"}
             )
             if unsupported:
                 raise NotImplementedError(
@@ -2187,11 +2202,15 @@ def write_delta_commit(
         widened = StructType(list(prev.schema.fields) + new_fields)
         if id_hwm:
             widened = _schema_with_identity_hwm(widened, id_hwm)
-        # mergeSchema adding a TIMESTAMP_NTZ column to a pre-feature
-        # table (r14): the SAME commit must upgrade the protocol to
-        # declare timestampNtz on both sides, else a feature-aware
-        # reader refuses / a naive one misreads the new column
-        if any(_schema_has_ntz(f.dataType) for f in new_fields):
+        # mergeSchema adding a TIMESTAMP_NTZ / VARIANT column to a
+        # pre-feature table (r14): the SAME commit must upgrade the
+        # protocol to declare the type features on both sides, else a
+        # feature-aware reader refuses / a naive one misreads the new
+        # column
+        need = set()
+        for f in new_fields:
+            need |= _type_features(f.dataType)
+        if need:
             proto_prev = dict(
                 prev.protocol_raw
                 or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -2199,7 +2218,7 @@ def write_delta_commit(
             rf = set(proto_prev.get("readerFeatures") or [])
             if (
                 int(proto_prev.get("minReaderVersion", 1)) < 3
-                or "timestampNtz" not in rf
+                or not need <= rf
             ):
                 wf = set(proto_prev.get("writerFeatures") or [])
                 if int(proto_prev.get("minWriterVersion", 2)) < 7:
@@ -2213,8 +2232,8 @@ def write_delta_commit(
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": sorted(rf | {"timestampNtz"}),
-                            "writerFeatures": sorted(wf | {"timestampNtz"}),
+                            "readerFeatures": sorted(rf | need),
+                            "writerFeatures": sorted(wf | need),
                         }
                     }
                 )
@@ -2807,7 +2826,8 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
 ) | frozenset({"inCommitTimestamp", "deletionVectors", "v2Checkpoint",
                "timestampNtz", "domainMetadata", "rowTracking",
                "typeWidening", "typeWidening-preview", "clustering",
-               "vacuumProtocolCheck"})
+               "vacuumProtocolCheck", "variantType",
+               "variantType-preview"})
 
 
 def _implied_writer_features(writer_version: int) -> list:

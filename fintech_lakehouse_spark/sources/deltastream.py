@@ -478,6 +478,21 @@ class DeltaBridgeReader(DataSourceReader):
         self.part_cols = snap["partition_columns"]
         mapping = snap["column_mapping"] or {}
         self.mapping = mapping
+        variant_cols = [
+            f.name
+            for f in snap["schema"].fields
+            if f.dataType.typeName() == "variant"
+        ]
+        if variant_cols:
+            # r14: the pure-pyarrow row emission can't rebuild Spark
+            # VARIANT values from the binary metadata/value pair —
+            # fail closed; the engine path (read_delta_table) reads
+            # variant tables natively
+            raise NotImplementedError(
+                f"deltabridge read: VARIANT columns {variant_cols} are "
+                "not supported by the no-Spark reader — use "
+                "deltalog.read_delta_table"
+            )
         self.row_plan = _row_plan(snap)
         self.part_types = {
             f.name: f.dataType.typeName()
