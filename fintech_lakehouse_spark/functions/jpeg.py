@@ -19,13 +19,15 @@ EOB-run coalescing. SUCCESSIVE APPROXIMATION (Ah/Al ≠ 0) decodes too
 (r13): first scans at reduced precision, DC refinements as raw bits,
 AC refinements with correction bits and EOB-run buffering — and
 ``encode_jpeg_progressive_sa`` emits a two-stage approximation.
-SEQUENTIAL ARITHMETIC (SOF9) decodes too (r14): the QM-coder and the
-Annex F DC/AC statistical models live in ``functions/jpeg_arith.py``,
-with ``encode_jpeg_arith`` as the matching encoder — ``_decode``
-routes SOF9 scans there and reads DAC conditioning segments.
-Progressive arithmetic (SOF10), 12-bit precision and sampling factors
-beyond 2×2 return None — quarantine, not crash, the same contract as
-``decode_png_pixels``.
+ARITHMETIC coding decodes too (r14): the QM-coder and the Annex F
+DC/AC statistical models live in ``functions/jpeg_arith.py``, with
+``encode_jpeg_arith`` (SOF9 sequential) and
+``encode_jpeg_progressive_arith`` (SOF10, two-stage successive
+approximation) as the matching encoders — ``_decode`` routes SOF9
+scans and SOF10 progressive scans there and reads DAC conditioning
+segments. Lossless frames (SOF3/7/11), 12-bit precision and sampling
+factors beyond 2×2 return None — quarantine, not crash, the same
+contract as ``decode_png_pixels``.
 
 Like PNG, entropy decode is inherently sequential WITHIN one image
 (DC prediction chains block to block), which is exactly why the Spark
@@ -589,11 +591,12 @@ def _decode(payload: bytes):
                     bits, list(seg[p + 17 : p + 17 + n])
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
-            # ARITHMETIC (r14 — functions/jpeg_arith.py)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            # ARITHMETIC, SOF10 progressive arithmetic (r14 —
+            # functions/jpeg_arith.py)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             if seg[0] != 8:
                 return None  # 12-bit
             h = int.from_bytes(seg[1:3], "big")
@@ -640,6 +643,32 @@ def _decode(payload: bytes):
                     return None
                 if not (ss <= se <= 63) or (ss == 0) != (se == 0):
                     return None
+                if arith:
+                    # SOF10 (r14): arithmetic progressive scans decode
+                    # through the QM coder into the SAME accumulator;
+                    # 1×1 factors + no restarts (the encoder's subset)
+                    if restart_interval:
+                        return None
+                    from fintech_lakehouse_spark.functions.jpeg_arith import (
+                        decode_progressive_scan_arith,
+                    )
+
+                    a_comps = []
+                    for c in range(ns):
+                        cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
+                        if cid not in byid:
+                            return None
+                        qid, hc, vc = byid[cid]
+                        if (hc, vc) != (1, 1):
+                            return None
+                        a_comps.append((cid, tsel >> 4, tsel & 0xF))
+                    if pstate is None:
+                        pstate = _ProgressiveState(h, w, comps)
+                    i = decode_progressive_scan_arith(
+                        payload, i + 2 + seglen, pstate, a_comps,
+                        ss, se, ah, al, conditioning,
+                    )
+                    continue
                 scan_comps = []
                 for c in range(ns):
                     cid, tsel = seg[1 + 2 * c : 3 + 2 * c]

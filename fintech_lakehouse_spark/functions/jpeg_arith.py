@@ -4,9 +4,10 @@ sequential DC/AC arithmetic statistical models (Annex F §F.1.4), as a
 real encoder AND decoder — SOF9 frames with DAC conditioning segments,
 0xFF byte stuffing, adaptive per-context probability states.
 
-Scope: 8-bit sequential (the SOF0-equivalent), grayscale and 4:4:4
-color, no restart markers. Progressive arithmetic (SOF10) stays a
-documented refusal in ``decode_jpeg_pixels``. The pixel pipeline
+Scope: 8-bit sequential (SOF9, the SOF0-equivalent) AND progressive
+(SOF10: successive-approximation DC first/refine + full-band AC first
+and refinement scans per G.1.3), grayscale and 4:4:4 color, no
+restart markers. The pixel pipeline
 (FDCT/quant/zigzag, marker framing, IDCT assembly) is shared with
 ``functions/jpeg.py`` — only the entropy layer differs, which is
 exactly the seam the arithmetic option occupies in the standard.
@@ -343,29 +344,34 @@ def _decode_dc(dec, dc_stats, ctx, cond):
     return (-v if sign else v), nxt
 
 
-def _encode_ac(enc, ac_stats, fixed, zz, kx):
-    """Figure F.5 Encode_AC_Coefficients over a ZIGZAG block (index
-    1..63); ``kx`` splits the low/high-frequency X2 bin arrays (Table
-    F.5: 189 vs 217)."""
-    ke = 63
-    while ke and not zz[ke]:
+def _encode_ac(enc, ac_stats, fixed, zz, kx, lo=1, hi=63, al=0):
+    """Figure F.5 Encode_AC_Coefficients over a ZIGZAG block (band
+    [lo, hi]); ``kx`` splits the low/high-frequency X2 bin arrays
+    (Table F.5: 189 vs 217). ``al`` is the successive-approximation
+    point transform of a progressive FIRST scan (G.1.3.2: magnitudes
+    code as |v| >> al with the sign; a coefficient whose shifted
+    magnitude is zero is a zero)."""
+
+    def mag(kk):
+        return abs(int(zz[kk])) >> al
+
+    ke = hi
+    while ke >= lo and not mag(ke):
         ke -= 1
-    k = 1
+    k = lo
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_stats, st, 0)  # not EOB
-        while not zz[k]:
+        while not mag(k):
             enc.encode(ac_stats, st + 1, 0)
             st += 3
             k += 1
         enc.encode(ac_stats, st + 1, 1)
-        v = int(zz[k])
-        if v > 0:
+        if int(zz[k]) > 0:
             enc.encode(fixed, 0, 0)
-            sign = 0
         else:
             enc.encode(fixed, 0, 1)
-            v = -v
+        v = mag(k)
         st += 2
         m = 0
         v -= 1
@@ -388,20 +394,20 @@ def _encode_ac(enc, ac_stats, fixed, zz, kx):
         while m := m >> 1:
             enc.encode(ac_stats, st, 1 if (m & v) else 0)
         k += 1
-    if ke < 63:
+    if ke < hi:
         enc.encode(ac_stats, 3 * ke, 1)  # EOB
 
 
-def _decode_ac(dec, ac_stats, fixed, zz, kx):
-    k = 1
-    while k <= 63:
+def _decode_ac(dec, ac_stats, fixed, zz, kx, lo=1, hi=63, al=0):
+    k = lo
+    while k <= hi:
         st = 3 * (k - 1)
         if dec.decode(ac_stats, st):
             return  # EOB
         while dec.decode(ac_stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > hi:
                 raise ValueError("corrupt arithmetic AC run")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -423,7 +429,7 @@ def _decode_ac(dec, ac_stats, fixed, zz, kx):
             if dec.decode(ac_stats, st):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
 
 
@@ -585,3 +591,299 @@ def decode_scan_arith(payload, pos, h, w, comps, quant, conditioning):
     return _idct_assemble(
         coeffs, [(1, 1)] * ncomp, h, w, 1, 1
     )
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF10): successive approximation + spectral selection
+
+
+def _next_marker_from(payload: bytes, start: int) -> int:
+    """Byte position of the next REAL marker at or after ``start``
+    (skips 0xFF 0x00 stuffing and 0xFF fill bytes)."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        j = i + 1
+        while j < n and payload[j] == 0xFF:
+            j += 1
+        if j < n and payload[j] == 0x00:
+            i = j + 1
+            continue
+        return j - 1  # the final 0xFF before the marker code
+    return n
+
+
+def _refine_ac_block(coder, ac_stats, fixed, zz, ss, se, al, encode):
+    """One block of the AC SUCCESSIVE-APPROXIMATION refinement scan
+    (G.1.3.3 / the libjpeg *_mcu_AC_refine walk): previously-nonzero
+    coefficients take one correction bit (SC bin, st+2), zero-history
+    positions run through the SE bins until a newly-nonzero (±1 at
+    this precision, sign via the fixed bin), EOB decisions only at
+    positions past the previous stage's end-of-block index. Encoder
+    and decoder share this walk via ``encode`` — the symmetry is the
+    correctness argument, and the roundtrip tests pin it against the
+    independent Huffman SA implementation."""
+    p1 = 1 << al
+    ah = al + 1
+    kex = se
+    while kex >= 1 and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    if encode:
+        ke_new = -1
+        for kk in range(ss, se + 1):
+            if (abs(int(zz[kk])) >> ah) == 0 and (
+                abs(int(zz[kk])) >> al
+            ) == 1:
+                ke_new = kk
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if encode:
+                eob = 1 if ke_new < k else 0
+                coder.encode(ac_stats, st, eob)
+                if eob:
+                    return
+            else:
+                if coder.decode(ac_stats, st):
+                    return
+        while True:
+            prev = (abs(int(zz[k])) >> ah) != 0
+            if prev:
+                if encode:
+                    coder.encode(
+                        ac_stats, st + 2, (abs(int(zz[k])) >> al) & 1
+                    )
+                else:
+                    if coder.decode(ac_stats, st + 2):
+                        zz[k] = int(zz[k]) + (
+                            p1 if int(zz[k]) > 0 else -p1
+                        )
+                break
+            if encode:
+                newly = 1 if (abs(int(zz[k])) >> al) == 1 else 0
+                coder.encode(ac_stats, st + 1, newly)
+                if newly:
+                    coder.encode(fixed, 0, 1 if int(zz[k]) < 0 else 0)
+                    break
+            else:
+                if coder.decode(ac_stats, st + 1):
+                    sign = coder.decode(fixed, 0)
+                    zz[k] = -p1 if sign else p1
+                    break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic AC refinement run")
+        k += 1
+
+
+def encode_jpeg_progressive_arith(
+    img: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """PROGRESSIVE arithmetic JPEG (SOF10, r14 — the second half of
+    the T.81 arithmetic option): a two-stage successive approximation
+    — interleaved DC first scan at Al=1, per-component full-band AC
+    first scans at Al=1 (point-transformed magnitudes through the
+    same Annex F AC model), then the DC refinement (one fixed-bin bit
+    per block) and per-component AC refinement scans (correction bits
+    / newly-nonzero walk, G.1.3.3). Each scan runs its own QM coder
+    with freshly-initialized statistics areas, the spec's per-scan
+    rule. 4:4:4 / grayscale; decode lands in ``decode_jpeg_pixels``
+    via the shared progressive coefficient accumulator."""
+    from fintech_lakehouse_spark.functions.jpeg import (
+        FLAT_QUANT,
+        _M,
+        _Z,
+        _rgb_to_ycbcr,
+        _to_blocks,
+    )
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive_arith takes uint8")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    h, w = img.shape[:2]
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("dims out of JPEG range")
+    q = np.asarray(
+        quant if quant is not None else FLAT_QUANT, dtype=np.uint16
+    )
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        raise ValueError("quant must be 64 values in [1, 255]")
+    planes = (
+        [img.astype(np.float64)]
+        if gray
+        else list(np.moveaxis(_rgb_to_ycbcr(img.astype(np.float64)), -1, 0))
+    )
+    comp_coeffs = []
+    for p in planes:
+        blocks = _to_blocks(p) - 128.0
+        coeffs = np.einsum("ux,byxw,vw->byuv", _M, blocks, _M)
+        zz = np.rint(coeffs.reshape(*coeffs.shape[:2], 64)[..., _Z] / q)
+        comp_coeffs.append(zz.astype(np.int64))
+    by, bx = comp_coeffs[0].shape[:2]
+    ncomp = len(comp_coeffs)
+    tbl_of = [0 if c == 0 else 1 for c in range(ncomp)]
+    ntbl = max(tbl_of) + 1
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    )
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes(int(v) for v in q)
+    sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big"))
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += b"\xff\xca" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF10
+    low, up = _DEFAULT_DC_COND
+    dac = bytearray()
+    for t in range(ntbl):
+        dac += bytes([t, (up << 4) | low])
+        dac += bytes([0x10 | t, _DEFAULT_AC_KX])
+    out += b"\xff\xcc" + (len(dac) + 2).to_bytes(2, "big") + dac
+
+    def sos_header(cids, ss, se, ah, al):
+        seg = bytearray([len(cids)])
+        for cid in cids:
+            t = tbl_of[cid - 1]
+            seg += bytes([cid, (t << 4) | t])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(seg) + 2).to_bytes(2, "big") + bytes(seg)
+
+    AL = 1
+
+    # scan 1: interleaved DC FIRST at Al=1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, AL)
+    enc = _QMEncoder()
+    dc_stats = [bytearray(_DC_STAT_BINS) for _ in range(ntbl)]
+    fixed = bytearray([_FIXED_STATE])
+    pred = [0] * ncomp
+    ctx = [0] * ncomp
+    for y in range(by):
+        for x in range(bx):
+            for c in range(ncomp):
+                tdc = int(comp_coeffs[c][y, x, 0]) >> AL
+                ctx[c] = _encode_dc(
+                    enc, dc_stats[tbl_of[c]], fixed, ctx[c],
+                    tdc - pred[c], _DEFAULT_DC_COND,
+                )
+                pred[c] = tdc
+    out += enc.flush()
+
+    # per-component AC FIRST scans at Al=1
+    for c in range(ncomp):
+        out += sos_header([c + 1], 1, 63, 0, AL)
+        enc = _QMEncoder()
+        ac_stats = bytearray(_AC_STAT_BINS)
+        fixed = bytearray([_FIXED_STATE])
+        for y in range(by):
+            for x in range(bx):
+                _encode_ac(
+                    enc, ac_stats, fixed, comp_coeffs[c][y, x],
+                    _DEFAULT_AC_KX, 1, 63, AL,
+                )
+        out += enc.flush()
+
+    # DC refinement: one fixed-bin bit per block, interleaved
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, AL, 0)
+    enc = _QMEncoder()
+    fixed = bytearray([_FIXED_STATE])
+    for y in range(by):
+        for x in range(bx):
+            for c in range(ncomp):
+                enc.encode(
+                    fixed, 0, int(comp_coeffs[c][y, x, 0]) & 1
+                )
+    out += enc.flush()
+
+    # per-component AC refinement scans
+    for c in range(ncomp):
+        out += sos_header([c + 1], 1, 63, AL, 0)
+        enc = _QMEncoder()
+        ac_stats = bytearray(_AC_STAT_BINS)
+        fixed = bytearray([_FIXED_STATE])
+        for y in range(by):
+            for x in range(bx):
+                _refine_ac_block(
+                    enc, ac_stats, fixed, comp_coeffs[c][y, x],
+                    1, 63, 0, encode=True,
+                )
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_progressive_scan_arith(
+    payload, pos, state, scan_comps, ss, se, ah, al, conditioning
+):
+    """One SOF10 arithmetic scan's entropy data into the shared
+    progressive coefficient accumulator (``jpeg._ProgressiveState``).
+    ``scan_comps``: [(cid, dc_tbl, ac_tbl)] in scan order; all
+    sampling factors must be 1×1 (the encoder's subset). Fresh QM
+    coder + statistics areas per scan, the spec's rule. Returns the
+    byte position of the next marker."""
+    dec = _QMDecoder(payload, pos)
+    fixed = bytearray([_FIXED_STATE])
+    if ss == 0 and ah == 0:
+        # DC first: the sequential DC model over point-transformed
+        # values, interleaved MCU order (1×1 → one block per comp)
+        dc_stats: dict[int, bytearray] = {}
+        conds = []
+        for _, dtb, _ in scan_comps:
+            dc_stats.setdefault(dtb, bytearray(_DC_STAT_BINS))
+            raw = conditioning.get((0, dtb))
+            conds.append(
+                _DEFAULT_DC_COND if raw is None else (raw & 0xF, raw >> 4)
+            )
+        pred = [0] * len(scan_comps)
+        ctx = [0] * len(scan_comps)
+        for y in range(state.my):
+            for x in range(state.mx):
+                for c, (cid, dtb, _) in enumerate(scan_comps):
+                    diff, ctx[c] = _decode_dc(
+                        dec, dc_stats[dtb], ctx[c], conds[c]
+                    )
+                    pred[c] += diff
+                    state.coeffs[cid][y, x, 0] = pred[c] << al
+    elif ss == 0 and ah:
+        # DC refinement: one fixed-bin bit per block, same unit order
+        p1 = 1 << al
+        for y in range(state.my):
+            for x in range(state.mx):
+                for cid, _, _ in scan_comps:
+                    if dec.decode(fixed, 0):
+                        state.coeffs[cid][y, x, 0] = (
+                            int(state.coeffs[cid][y, x, 0]) + p1
+                        )
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component"
+            )
+        cid, _, atb = scan_comps[0]
+        kx = conditioning.get((1, atb))
+        kx = _DEFAULT_AC_KX if kx is None else kx
+        ac_stats = bytearray(_AC_STAT_BINS)
+        cby, cbx = state.comp_blocks(cid)
+        zz = np.zeros(64, dtype=np.int64)
+        for y in range(cby):
+            for x in range(cbx):
+                zz[:] = state.coeffs[cid][y, x].astype(np.int64)
+                if ah == 0:
+                    _decode_ac(dec, ac_stats, fixed, zz, kx, ss, se, al)
+                else:
+                    _refine_ac_block(
+                        dec, ac_stats, fixed, zz, ss, se, al,
+                        encode=False,
+                    )
+                state.coeffs[cid][y, x] = zz
+    return _next_marker_from(payload, dec.pos)

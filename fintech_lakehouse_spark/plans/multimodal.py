@@ -1278,7 +1278,8 @@ def jpeg_successive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(9 + doc_id % 21 AS BIGINT) AS width,
            CAST(6 + doc_id % 17 AS BIGINT) AS height,
            TRUE AS matches_baseline,
-           TRUE AS has_arith_markers
+           TRUE AS has_arith_markers,
+           TRUE AS progressive_matches
     FROM documents
     WHERE doc_id < 150
     """,
@@ -1297,8 +1298,13 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCT/quant pipeline — only the entropy layer differs, exactly the
     seam the arithmetic option occupies in the standard).
     ``has_arith_markers`` asserts the stream really is the arithmetic
-    format (SOF9 + DAC present, no DHT). Every 3rd doc heavily
-    quantized so long zero runs exercise the EOB-decision contexts.
+    format (SOF9 + DAC present, no DHT). ``progressive_matches``
+    (r14, the item's second half) runs the SAME coefficients through
+    the SOF10 two-stage successive approximation — DC first/refine,
+    point-transformed AC first scans and the G.1.3.3 AC refinement
+    walk — and pins that decode bit-for-bit too. Every 3rd doc
+    heavily quantized so long zero runs exercise the EOB-decision
+    contexts of both frame types.
 
     Scale shape: one scan + one mapInPandas — zero Exchange; images
     stay single binary cells, parallelism is ACROSS images (the only
@@ -1319,6 +1325,7 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("height", LongType(), True),
             StructField("matches_baseline", BooleanType(), True),
             StructField("has_arith_markers", BooleanType(), True),
+            StructField("progressive_matches", BooleanType(), True),
         ]
     )
 
@@ -1331,12 +1338,14 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from fintech_lakehouse_spark.functions.jpeg_arith import (
             encode_jpeg_arith,
+            encode_jpeg_progressive_arith,
         )
 
         for pdf in iterator:
             rows = {k: [] for k in (
                 "asset_id", "mode", "width", "height",
                 "matches_baseline", "has_arith_markers",
+                "progressive_matches",
             )}
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
@@ -1359,6 +1368,9 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q = None
                 stream = encode_jpeg_arith(img, quant=q)
                 da = decode_jpeg_pixels(stream)
+                dp = decode_jpeg_pixels(
+                    encode_jpeg_progressive_arith(img, quant=q)
+                )
                 db = decode_jpeg_pixels(encode_jpeg(img, quant=q))
                 rows["asset_id"].append(i)
                 rows["mode"].append("gray" if gray else "rgb")
@@ -1367,6 +1379,7 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["height"].append(None)
                     rows["matches_baseline"].append(None)
                     rows["has_arith_markers"].append(None)
+                    rows["progressive_matches"].append(None)
                     continue
                 rows["width"].append(da.shape[1])
                 rows["height"].append(da.shape[0])
@@ -1377,6 +1390,9 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b"\xff\xc9" in stream
                     and b"\xff\xcc" in stream
                     and b"\xff\xc4" not in stream
+                )
+                rows["progressive_matches"].append(
+                    dp is not None and bool(np.array_equal(dp, db))
                 )
             yield pd.DataFrame(rows)
 

@@ -110,13 +110,46 @@ def test_natural_image_roundtrips_near_lossless():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
 
 
-def test_progressive_arithmetic_still_refused():
-    """SOF10 (progressive arithmetic) stays a quarantined refusal."""
+def test_lossless_arithmetic_still_refused():
+    """SOF11 (lossless arithmetic) stays a quarantined refusal; a
+    SEQUENTIAL scan header inside a relabeled SOF10 frame is malformed
+    (progressive Ss/Se rules) and quarantines too."""
     img = np.zeros((8, 8), dtype=np.uint8)
     a = bytearray(encode_jpeg_arith(img))
     i = a.find(b"\xff\xc9")
-    a[i + 1] = 0xCA  # rewrite the frame marker to SOF10
-    assert decode_jpeg_pixels(bytes(a)) is None
+    for marker in (0xCB, 0xCA):
+        a2 = bytearray(a)
+        a2[i + 1] = marker
+        assert decode_jpeg_pixels(bytes(a2)) is None
+
+
+@pytest.mark.parametrize(
+    "shape", [(24, 40), (33, 17, 3), (8, 8), (48, 48, 3)]
+)
+def test_progressive_arith_decode_equals_huffman_decode(shape):
+    """SOF10 (r14, the second half of item 7): the two-stage
+    successive-approximation arithmetic encode decodes BIT-FOR-BIT
+    equal to the baseline Huffman decode of identical coefficients —
+    DC first/refine, AC first (point-transformed magnitudes through
+    the Annex F model) and the G.1.3.3 AC refinement walk all pinned.
+    Heavy quantization exercises the EOB-decision contexts."""
+    from fintech_lakehouse_spark.functions.jpeg_arith import (
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(sum(shape) + 1)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    quants = [None, quality_quant_table(85)]
+    heavy = np.full(64, 220, dtype=np.uint16)
+    heavy[0] = 1  # AC mostly zero → refinement EOB-run paths
+    quants.append(heavy)
+    for q in quants:
+        hp = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+        stream = encode_jpeg_progressive_arith(img, quant=q)
+        pa = decode_jpeg_pixels(stream)
+        assert pa is not None
+        assert np.array_equal(hp, pa)
+        assert b"\xff\xca" in stream and b"\xff\xc4" not in stream
 
 
 def test_arith_table_selectors_share_statistics():

@@ -127,15 +127,15 @@ def test_multi_component_ac_scan_refuses():
     assert decode_jpeg_pixels(bytes(payload)) is None
 
 
-def test_lossless_and_progressive_arithmetic_still_refuse():
-    """r14: SOF9 (sequential arithmetic) is now IMPLEMENTED
-    (functions/jpeg_arith.py, tests/test_jpeg_arith.py), so it left
-    this refusal list; SOF3/10/11 (lossless, progressive-arithmetic,
-    lossless-arithmetic) stay quarantined."""
+def test_lossless_frames_still_refuse():
+    """r14: SOF9/SOF10 (sequential + progressive arithmetic) are now
+    IMPLEMENTED (functions/jpeg_arith.py, tests/test_jpeg_arith.py),
+    so they left this refusal list; SOF3/7/11 (lossless variants)
+    stay quarantined."""
     img = _img(16, 16, gray=True)
     payload = bytearray(encode_jpeg_progressive(img))
     i = payload.find(b"\xff\xc2")
-    for marker in (0xC3, 0xCA, 0xCB):
+    for marker in (0xC3, 0xC7, 0xCB):
         p2 = bytearray(payload)
         p2[i + 1] = marker
         assert decode_jpeg_pixels(bytes(p2)) is None
