@@ -663,14 +663,15 @@ def test_reader_v3_column_mapping_feature_ok_others_refused(
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            # deletionVectors (r9), v2Checkpoint (r10), timestampNtz +
-            # typeWidening (r14) became supported — variantType is a
+            # deletionVectors (r9), v2Checkpoint (r10), timestampNtz /
+            # typeWidening / variantType / vacuumProtocolCheck (r14)
+            # became supported — icebergCompatV2 is a
             # still-unimplemented feature that must fail closed
-            "readerFeatures": ["columnMapping", "variantType"],
+            "readerFeatures": ["columnMapping", "icebergCompatV2"],
         }
     }
     _commit(root2, 0, [bad, _meta(), _add("f1.parquet")])
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         read_delta_table(spark, root2)
 
 
