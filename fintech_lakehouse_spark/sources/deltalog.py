@@ -1000,11 +1000,6 @@ def read_delta_table(
                 "delta.enableRowTracking — enable_row_tracking(spark, "
                 "path) first"
             )
-        if mode in ("name", "id"):
-            raise NotImplementedError(
-                "row_ids on a column-mapped table is not implemented "
-                "(same seam as enable_row_tracking) — refusing"
-            )
         rt_cols = _rt_materialized_names(snap.metadata_raw)
         no_base = sorted(
             r
@@ -1102,24 +1097,28 @@ def read_delta_table(
         ).withColumn("_rt_ri", F.col("_metadata.row_index"))
     if snap.deletion_vectors:
         scan = _strip_deleted_rows(spark, path, snap, scan)
+    extras = (
+        [rt_cols[0], rt_cols[1], "_rt_bn", "_rt_ri"]
+        if rt_cols is not None
+        else []
+    )
     if mode in ("name", "id"):
         # physical → logical rename; the cast renames NESTED struct
         # fields positionally (ADVICE r9 high: top-level-only renames
-        # silently read nested values back as NULL)
+        # silently read nested values back as NULL). The MATERIALIZED
+        # row-tracking columns (r15, VERDICT r14 item 6) are
+        # physical-only names — they ride through unmapped, exactly as
+        # the files store them
         scan = scan.select(
             *[
                 scan[phys_names[f.name]]
                 .cast(_nullable_datatype(f.dataType))
                 .alias(f.name)
                 for f in data_fields
-            ]
+            ],
+            *extras,
         )
     else:
-        extras = (
-            [rt_cols[0], rt_cols[1], "_rt_bn", "_rt_ri"]
-            if rt_cols is not None
-            else []
-        )
         scan = scan.select(
             *[scan[f.name].alias(f.name) for f in data_fields], *extras
         )
@@ -1670,6 +1669,44 @@ def generated_columns(schema: StructType) -> dict:
     return out
 
 
+def column_defaults(schema: StructType) -> dict:
+    """field name → default-value SQL expression for every column with
+    a declared default (protocol: Column Default Values — writer
+    feature ``allowColumnDefaults``; the expression rides in the field
+    metadata key ``CURRENT_DEFAULT``, the key Spark/delta-spark write
+    for ``CREATE TABLE ... DEFAULT`` / ``ALTER COLUMN ... SET
+    DEFAULT``)."""
+    out = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("CURRENT_DEFAULT")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _apply_column_defaults(df, schema: StructType, op: str):
+    """r15 (VERDICT r14 item 5): a write that OMITS a column with a
+    declared default gets the default expression, not NULL — the
+    protocol's ``allowColumnDefaults`` INSERT semantics. Provided
+    columns are untouched (defaults apply only when the column is
+    absent, unlike generated columns which validate). Output reorders
+    to schema order when the sets match, same as the generated-column
+    helper, so the writer's order check stays happy."""
+    defaults = column_defaults(schema)
+    if not defaults:
+        return df
+    by_name = {f.name: f for f in schema.fields}
+    for name, expr in sorted(defaults.items()):
+        if name not in df.columns:
+            df = df.withColumn(
+                name, F.expr(expr).cast(by_name[name].dataType)
+            )
+    names = [f.name for f in schema.fields]
+    if sorted(df.columns) == sorted(names):
+        df = df.select(*names)
+    return df
+
+
 def _apply_generated_columns(df, schema: StructType, op: str):
     """delta-spark's write-side GENERATED COLUMN semantics: a missing
     generated column is COMPUTED from its expression; a provided one
@@ -1995,6 +2032,9 @@ def write_delta_commit(
         df, id_hwm = _apply_identity_columns(
             df, prev.schema, "write_delta_commit"
         )
+        # defaults before generation: a generation expression may
+        # reference a defaulted column
+        df = _apply_column_defaults(df, prev.schema, "write_delta_commit")
         df = _apply_generated_columns(df, prev.schema, "write_delta_commit")
         _enforce_constraints(
             df, prev.metadata_raw.get("configuration"), "write_delta_commit"
@@ -2827,7 +2867,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
                "timestampNtz", "domainMetadata", "rowTracking",
                "typeWidening", "typeWidening-preview", "clustering",
                "vacuumProtocolCheck", "variantType",
-               "variantType-preview"})
+               "variantType-preview", "allowColumnDefaults"})
 
 
 def _implied_writer_features(writer_version: int) -> list:
@@ -3097,20 +3137,16 @@ def enable_row_tracking(spark: SparkSession, path: str) -> int:
     through this module assigns fresh ranges above the mark; OPTIMIZE
     and copy-on-write DML preserve ids via the materialized columns.
 
-    Refused on column-mapped tables for now: the physical-frame
-    machinery projects by schema and would drop the materialized
-    columns (documented fail-closed seam, not a silent wrong answer).
-    Returns the committed version."""
+    Column-mapped tables compose (r15, VERDICT r14 item 6): the
+    materialized row-id columns are PHYSICAL-only names — the mapped
+    read carries them through unmapped alongside the physical→logical
+    rename, and the physical-write projections pass unknown columns
+    through unchanged, so preservation works on name- and id-mode
+    tables alike. Returns the committed version."""
     snap = delta_snapshot(spark, path)
     _gate_writer_features(snap.protocol_raw, "enable_row_tracking")
     if row_tracking_enabled(snap.metadata_raw):
         return snap.version
-    if snap.column_mapping_mode in ("name", "id"):
-        raise NotImplementedError(
-            "enable_row_tracking: row tracking on a column-mapped table "
-            "is not implemented (the physical-write projection would "
-            "drop the materialized row-id columns) — refusing"
-        )
     version = _next_version(path)
     proto = dict(
         snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -3274,6 +3310,89 @@ def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     actions.append({"metaData": md})
     version = _next_version(path)
     _write_commit(path, version, actions, operation="SET TBLPROPERTIES")
+    return version
+
+
+def set_column_default(
+    spark: SparkSession, path: str, column: str, default_sql: str | None
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN <column> SET DEFAULT <expr>``
+    (r15, VERDICT r14 item 5 — protocol: Column Default Values): stamp
+    the expression into the field's ``CURRENT_DEFAULT`` metadata and
+    declare the ``allowColumnDefaults`` writer feature in the SAME
+    commit (upgrading to the v7 feature form when needed — the spec
+    forbids writing defaults through a protocol that doesn't declare
+    them). ``default_sql=None`` is DROP DEFAULT (metadata key removed;
+    the feature declaration stays — features are never retired by one
+    column).
+
+    delta-spark's structural limits enforced: the column must already
+    EXIST (the protocol forbids ADD COLUMN with a default — existing
+    rows would need backfill semantics the log can't express), must be
+    top-level, and can't be generated/identity (those derive their
+    values). The expression must be literal-evaluable (delta requires
+    constant-foldable defaults): probed here with a one-row eval so a
+    bad expression fails the DDL, not some later write."""
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, "set_column_default")
+    names = [f.name for f in snap.schema.fields]
+    if column not in names:
+        raise ValueError(
+            f"set_column_default: column {column!r} does not exist — the "
+            "protocol forbids ADD COLUMN with a default (add the column "
+            "first, then SET DEFAULT; existing rows keep NULL)"
+        )
+    if column in generated_columns(snap.schema) or column in identity_columns(
+        snap.schema
+    ):
+        raise ValueError(
+            f"set_column_default: column {column!r} is generated/identity "
+            "— its values derive from the table spec, not a default"
+        )
+    fields = []
+    for f in snap.schema.fields:
+        if f.name != column:
+            fields.append(f)
+            continue
+        meta = dict(f.metadata or {})
+        if default_sql is None:
+            meta.pop("CURRENT_DEFAULT", None)
+        else:
+            # constant-foldability probe (delta's rule: defaults are
+            # literal expressions, no column references)
+            try:
+                spark.range(1).select(
+                    F.expr(default_sql).cast(f.dataType)
+                ).collect()
+            except Exception as exc:  # noqa: BLE001
+                raise ValueError(
+                    f"set_column_default: default expression "
+                    f"{default_sql!r} for column {column!r} is not "
+                    f"constant-evaluable: {exc}"
+                ) from exc
+            meta["CURRENT_DEFAULT"] = default_sql
+        fields.append(StructField(f.name, f.dataType, f.nullable, meta))
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = json.dumps(StructType(fields).jsonValue())
+    actions: list[dict] = []
+    proto = dict(
+        snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    wf = set(proto.get("writerFeatures") or [])
+    if default_sql is not None and "allowColumnDefaults" not in wf:
+        if int(proto.get("minWriterVersion", 2)) < 7:
+            wf |= set(
+                _implied_writer_features(int(proto.get("minWriterVersion", 2)))
+            )
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(wf | {"allowColumnDefaults"})
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    version = _next_version(path)
+    _write_commit(
+        path, version, actions, operation="CHANGE COLUMN",
+        operation_parameters={"column": column},
+    )
     return version
 
 
@@ -4804,11 +4923,6 @@ def _cow_rewrite(
     if not snap.files:
         return snap.version  # nothing to do; no commit
     rt = row_tracking_enabled(snap.metadata_raw)
-    if rt and snap.column_mapping_mode in ("name", "id"):
-        raise NotImplementedError(
-            f"{op_name}: row tracking on a column-mapped table is not "
-            "implemented — refusing"
-        )
     cond = F.expr(condition)
     rt_cols0 = (
         list(_rt_materialized_names(snap.metadata_raw)) if rt else None
@@ -4912,6 +5026,179 @@ def _cow_rewrite(
     return version
 
 
+def _dv_encode_matches(
+    spark, path: str, snap, matches, by_bn: dict, op_name: str
+) -> list[tuple]:
+    """Per-file DV bitmap encode over the matched (basename, row_index)
+    frame. Returns ``[(rel, bitmap_bytes, cardinality, n_newly), ...]``
+    for every file that gains at least one NEWLY deleted row —
+    ``bitmap_bytes`` is the roaring-encoded replacement bitmap (old DV
+    indexes ∪ new), ``cardinality`` its total set size.
+
+    r15 (VERDICT r14 item 1): the encode runs ON THE EXECUTORS — the
+    matched rows shuffle once by file (``groupBy(_dl_file)`` +
+    ``applyInPandas``), each task decodes that file's existing DV,
+    unions the new indexes and roaring-encodes the replacement, and the
+    driver collects only the COMPRESSED bitmap bytes. Driver memory is
+    bounded by touched-FILE count × compressed bitmap size, not by
+    matched-ROW count (the prior driver-side ``toPandas()`` of every
+    matched pair was the one remaining driver-bound in DV DML). Per-task
+    memory is one file's index set — the same bound delta-spark's own
+    per-file DV writer has. Set ``FLS_DV_DRIVER_ENCODE=1`` to force the
+    legacy driver-side encode (kept as the bit-identity twin for the
+    probe in ``scripts/dv_encode_probe.py``)."""
+    import pandas as _pd
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_deletion_vector,
+        encode_roaring_bitmap_array,
+    )
+
+    if os.environ.get("FLS_DV_DRIVER_ENCODE") == "1":
+        pdf = matches.toPandas()
+        matched_by_rel: dict[str, set] = {}
+        for bn, ri in zip(pdf["_dl_file"], pdf["_dl_ri"]):
+            rel = by_bn.get(bn)
+            if rel is None:
+                raise ValueError(
+                    f"{op_name}: scanned basename {bn!r} is missing from "
+                    "the snapshot lookup (unanticipated URI encoding?) — "
+                    "refusing"
+                )
+            matched_by_rel.setdefault(rel, set()).add(int(ri))
+        out = []
+        for rel in sorted(matched_by_rel):
+            old = (
+                set(decode_deletion_vector(path, snap.deletion_vectors[rel]))
+                if rel in snap.deletion_vectors
+                else set()
+            )
+            newly = matched_by_rel[rel] - old
+            if not newly:
+                continue
+            rows = sorted(old | newly)
+            out.append(
+                (rel, encode_roaring_bitmap_array(rows), len(rows),
+                 len(newly))
+            )
+        return out
+    # basename → (rel, existing-DV descriptor JSON), broadcast so a
+    # million-file snapshot ships once per executor, not per task
+    meta = {
+        bn: (
+            rel,
+            json.dumps(snap.deletion_vectors[rel])
+            if rel in snap.deletion_vectors
+            else None,
+        )
+        for bn, rel in by_bn.items()
+    }
+    meta_bc = spark.sparkContext.broadcast(meta)
+    table_path = path
+
+    def _encode_file_group(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        import pandas as __pd
+
+        bn = pdf["_dl_file"].iloc[0]
+        ent = meta_bc.value.get(bn)
+        if ent is None:
+            raise ValueError(
+                f"{op_name}: scanned basename {bn!r} is missing from the "
+                "snapshot lookup (unanticipated URI encoding?) — refusing"
+            )
+        rel, dvj = ent
+        old = (
+            set(decode_deletion_vector(table_path, json.loads(dvj)))
+            if dvj
+            else set()
+        )
+        newly = {int(x) for x in pdf["_dl_ri"].to_numpy()} - old
+        if not newly:
+            return __pd.DataFrame(
+                {"rel": __pd.Series([], dtype=object),
+                 "bitmap": __pd.Series([], dtype=object),
+                 "cardinality": __pd.Series([], dtype="int64"),
+                 "n_newly": __pd.Series([], dtype="int64")}
+            )
+        rows = sorted(old | newly)
+        return __pd.DataFrame(
+            {"rel": [rel],
+             "bitmap": [encode_roaring_bitmap_array(rows)],
+             "cardinality": [len(rows)], "n_newly": [len(newly)]}
+        )
+
+    encoded = (
+        matches.groupBy("_dl_file")
+        .applyInPandas(
+            _encode_file_group,
+            schema="rel string, bitmap binary, cardinality long, "
+                   "n_newly long",
+        )
+        .collect()
+    )
+    return [
+        (r["rel"], bytes(r["bitmap"]), int(r["cardinality"]),
+         int(r["n_newly"]))
+        for r in encoded
+    ]
+
+
+def _old_dv_pairs(spark, path: str, snap):
+    """Lazy (``_dl_file`` basename, ``_dl_ri``) frame of every row the
+    snapshot's EXISTING deletion vectors already delete — decoded on
+    the executors (one task per DV, ``mapInPandas`` chunked expansion,
+    the same shape as the read path's large branch) so the driver never
+    holds the index sets. Used to subtract already-deleted rows from
+    the CDF preimage frame without a driver-side newly-set."""
+    import pandas as _pd
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    from fintech_lakehouse_spark.sources.deletionvectors import (
+        decode_deletion_vector,
+    )
+
+    pair_schema = _ST(
+        [
+            StructField("_dl_file", StringType(), False),
+            StructField("_dl_ri", LongType(), False),
+        ]
+    )
+    descs = [
+        (os.path.basename(rel), json.dumps(dv))
+        for rel, dv in sorted(snap.deletion_vectors.items())
+    ]
+    if not descs:
+        return spark.createDataFrame([], pair_schema)
+    desc_df = spark.createDataFrame(
+        descs,
+        _ST(
+            [
+                StructField("_dl_file", StringType(), False),
+                StructField("_dl_dv_json", StringType(), False),
+            ]
+        ),
+    ).repartition(len(descs))
+    table_path = path
+
+    def _decode_iter(batches):
+        import numpy as _np
+        import pandas as __pd
+
+        for pdf in batches:
+            for bn, dvj in zip(pdf["_dl_file"], pdf["_dl_dv_json"]):
+                idxs = decode_deletion_vector(table_path, json.loads(dvj))
+                arr = _np.asarray(idxs, dtype=_np.int64)
+                for lo in range(0, len(arr), 1_000_000):
+                    part = arr[lo: lo + 1_000_000]
+                    yield __pd.DataFrame(
+                        {"_dl_file": _np.repeat(bn, len(part)),
+                         "_dl_ri": part}
+                    )
+
+    return desc_df.mapInPandas(_decode_iter, schema=pair_schema)
+
+
 def _dv_mark_deleted(
     spark: SparkSession, path: str, matcher, op_name: str
 ) -> tuple:
@@ -4927,15 +5214,14 @@ def _dv_mark_deleted(
     matching-row count, a lazy DataFrame of the newly deleted ROWS —
     the CDF preimages — or None when nothing matched).
 
-    Scale contract: the NEWLY deleted index set is materialized
-    driver-side to encode the bitmaps — bounded by rows deleted in
-    THIS statement, not table size (Delta's own DV writer has the same
-    per-file bitmap materialization). The matching scan itself is one
-    distributed file-grain pass, untouched files are never rewritten —
-    that is the point of DVs over copy-on-write."""
+    Scale contract (r15, VERDICT r14 item 1): bitmap encode runs on
+    the EXECUTORS (:func:`_dv_encode_matches`) — the driver collects
+    only compressed bitmap bytes per touched file, so a DELETE
+    matching billions of rows is bounded by touched-file count ×
+    compressed bitmap size driver-side. The matching scan itself is
+    one distributed file-grain pass, untouched files are never
+    rewritten — that is the point of DVs over copy-on-write."""
     from fintech_lakehouse_spark.sources.deletionvectors import (
-        decode_deletion_vector,
-        encode_roaring_bitmap_array,
         write_deletion_vector_file,
         z85_encode,
     )
@@ -4948,45 +5234,29 @@ def _dv_mark_deleted(
     scan, by_bn = _dml_scan(
         spark, path, snap, op_name, with_row_index=True
     )
-    matches = matcher(scan).select("_dl_file", "_dl_ri").toPandas()
-    matched_by_rel: dict[str, set] = {}
-    for bn, ri in zip(matches["_dl_file"], matches["_dl_ri"]):
-        rel = by_bn.get(bn)
-        if rel is None:
-            raise ValueError(
-                f"{op_name}: scanned basename {bn!r} is missing from the "
-                "snapshot lookup (unanticipated URI encoding?) — refusing"
-            )
-        matched_by_rel.setdefault(rel, set()).add(int(ri))
-    old_by_rel = {
-        rel: set(decode_deletion_vector(path, snap.deletion_vectors[rel]))
-        if rel in snap.deletion_vectors
-        else set()
-        for rel in matched_by_rel
-    }
-    newly = {
-        rel: idxs - old_by_rel[rel]
-        for rel, idxs in matched_by_rel.items()
-        if idxs - old_by_rel[rel]
-    }
-    if not newly:
+    matches = matcher(scan).select("_dl_file", "_dl_ri")
+    encoded = _dv_encode_matches(spark, path, snap, matches, by_bn, op_name)
+    if not encoded:
         return snap, [], 0, None
+    newly_rels = sorted(r[0] for r in encoded)
+    bitmap_by_rel = {r[0]: r[1] for r in encoded}
+    card_by_rel = {r[0]: r[2] for r in encoded}
+    n_new = sum(r[3] for r in encoded)
     # encode: one inline descriptor per small bitmap, one SHARED DV
     # file for the rest
     INLINE_MAX = 1024
     descriptors: dict[str, dict] = {}
     packed_rels: list[str] = []
     packed_bitmaps: list[bytes] = []
-    for rel in sorted(newly):
-        rows = sorted(old_by_rel[rel] | newly[rel])
-        bitmap = encode_roaring_bitmap_array(rows)
+    for rel in newly_rels:
+        bitmap = bitmap_by_rel[rel]
         if len(bitmap) <= INLINE_MAX:
             descriptors[rel] = {
                 "storageType": "i",
                 "pathOrInlineDv": z85_encode(bitmap),
                 "offset": None,
                 "sizeInBytes": len(bitmap),
-                "cardinality": len(rows),
+                "cardinality": card_by_rel[rel],
             }
         else:
             packed_rels.append(rel)
@@ -4994,13 +5264,12 @@ def _dv_mark_deleted(
     if packed_rels:
         payload, offsets = write_deletion_vector_file(path, packed_bitmaps)
         for rel, bitmap, off in zip(packed_rels, packed_bitmaps, offsets):
-            rows_n = len(old_by_rel[rel] | newly[rel])
             descriptors[rel] = {
                 "storageType": "u",
                 "pathOrInlineDv": payload,
                 "offset": off,
                 "sizeInBytes": len(bitmap),
-                "cardinality": rows_n,
+                "cardinality": card_by_rel[rel],
             }
     now_ms = int(os.path.getmtime(path) * 1000)
     actions: list[dict] = []
@@ -5022,7 +5291,7 @@ def _dv_mark_deleted(
                 }
             }
         )
-    for rel in sorted(newly):
+    for rel in newly_rels:
         # the protocol's DV update: remove the file's previous entry
         # (carrying its old DV, so VACUUM can reclaim the old DV file),
         # then re-add the same path with the new descriptor. Sequential
@@ -5062,34 +5331,19 @@ def _dv_mark_deleted(
             # sound because physical stats over-approximate
             readd["stats"] = old_add["stats"]
         actions.append({"add": readd})
-    n_new = sum(len(v) for v in newly.values())
     if not cdf_enabled(snap.metadata_raw):
         return snap, actions, n_new, None
-    # the newly deleted ROWS (CDF preimages), resolved lazily via a
-    # broadcast (file, row_index) semi-join over the same scan
-    import pandas as _pd
-    from pyspark.sql.types import LongType, StringType, StructField
-    from pyspark.sql.types import StructType as _ST
-
-    files_l: list = []
-    ris_l: list = []
-    for rel in sorted(newly):
-        bn = os.path.basename(rel)
-        for ri in sorted(newly[rel]):
-            files_l.append(bn)
-            ris_l.append(ri)
-    lk = spark.createDataFrame(
-        _pd.DataFrame({"_dl_file": files_l, "_dl_ri": ris_l}),
-        schema=_ST(
-            [
-                StructField("_dl_file", StringType(), False),
-                StructField("_dl_ri", LongType(), False),
-            ]
-        ),
-    )
-    deleted_rows = scan.join(
-        F.broadcast(lk), ["_dl_file", "_dl_ri"], "left_semi"
-    ).drop("_dl_file", "_dl_ri")
+    # the newly deleted ROWS (CDF preimages), resolved lazily: the
+    # matched rows minus anything an EXISTING DV already deleted —
+    # fully distributed (r15), no driver-side index set
+    deleted_rows = matcher(scan)
+    if snap.deletion_vectors:
+        deleted_rows = deleted_rows.join(
+            _old_dv_pairs(spark, path, snap),
+            ["_dl_file", "_dl_ri"],
+            "left_anti",
+        )
+    deleted_rows = deleted_rows.drop("_dl_file", "_dl_ri")
     return snap, actions, n_new, deleted_rows
 
 
@@ -5294,23 +5548,57 @@ def merge_into_delta_table(
     source_df,
     merge_keys: list,
     use_deletion_vectors: bool = False,
+    clauses: list | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE INTO against the REAL offline log (r10 — the last DML the
     bridge lacked; the mock-Delta/parquet ``upsert_lake_table`` path
     covers tables without a ``_delta_log``): delta-spark's
     ``whenMatchedUpdateAll / whenNotMatchedInsertAll`` on null-safe
-    key equality. Copy-on-write default: live files holding a matched
-    key are rewritten without those rows, and ALL source rows (updates
-    + inserts) land in new files, one commit — cost proportional to
-    touched files. With ``use_deletion_vectors=True`` the matched
-    target rows are DV-deleted instead (no rewrite at all) and the
-    source rows append — delta-spark's low-shuffle-merge shape.
+    key equality by default. Copy-on-write default: live files holding
+    a matched key are rewritten without those rows, and ALL source
+    rows (updates + inserts) land in new files, one commit — cost
+    proportional to touched files. With ``use_deletion_vectors=True``
+    the matched target rows are DV-deleted instead (no rewrite at all)
+    and the source rows append — delta-spark's low-shuffle-merge shape.
+
+    ``clauses`` (r15, VERDICT r14 item 2) unlocks delta-spark's FULL
+    clause surface — an ordered list of dicts, first-true wins within
+    each group::
+
+        {"when": "matched", "action": "update",
+         "condition": "source.v > target.v",      # optional
+         "set": {"v": "source.v"}}                # None → updateAll
+        {"when": "matched", "action": "delete", "condition": ...}
+        {"when": "not_matched", "action": "insert",
+         "values": {...}}                         # None → insertAll
+        {"when": "not_matched_by_source", "action": "update",
+         "set": {...}}                            # sync-style touch
+        {"when": "not_matched_by_source", "action": "delete"}
+
+    Conditions and assignment expressions are SQL referencing
+    ``source.<col>`` / ``target.<col>``. ``schema_evolution=True``
+    (r15, item 3) lets new TRAILING source columns widen the table
+    metaData in the same commit (delta's mergeSchema-for-MERGE);
+    unmatched target rows read NULL for them.
 
     Duplicate source keys raise (delta's
     MERGE_CARDINALITY_VIOLATION): two source rows matching one target
-    row makes the update ambiguous. Source schema must match the
-    table's columns by name. Returns the committed version (current
-    version when the source is empty)."""
+    row makes the update ambiguous (with ``clauses``, only pairs whose
+    matched conditions actually fire count — delta's rule). Without
+    ``clauses``, source schema must match the table's columns by name.
+    Returns the committed version (current version when the source is
+    empty)."""
+    if clauses is not None or schema_evolution:
+        if clauses is None:
+            clauses = [
+                {"when": "matched", "action": "update"},
+                {"when": "not_matched", "action": "insert"},
+            ]
+        return _merge_general(
+            spark, path, source_df, merge_keys, clauses,
+            use_deletion_vectors, schema_evolution,
+        )
     snap = delta_snapshot(spark, path)
     if snap.deletion_vectors and not use_deletion_vectors:
         raise NotImplementedError(
@@ -5320,13 +5608,6 @@ def merge_into_delta_table(
     cols = [f.name for f in snap.schema.fields]
     _gate_writer_features(snap.protocol_raw, "merge_into_delta_table")
     _check_append_only(snap.metadata_raw, "merge_into_delta_table")
-    if row_tracking_enabled(snap.metadata_raw) and snap.column_mapping_mode in (
-        "name", "id"
-    ):
-        raise NotImplementedError(
-            "merge_into_delta_table: row tracking on a column-mapped "
-            "table is not implemented — refusing"
-        )
     if identity_columns(snap.schema):
         raise NotImplementedError(
             "merge_into_delta_table on a table with IDENTITY columns: "
@@ -5337,14 +5618,19 @@ def merge_into_delta_table(
         )
     # generated columns: compute the ones the source omits, validate
     # the ones it provides (delta-spark's MERGE semantics) — BEFORE
-    # the column-set check so a source without them is legal
+    # the column-set check so a source without them is legal. Column
+    # DEFAULTS deliberately do NOT fill here: delta applies defaults
+    # to explicit INSERT clauses only; updateAll/insertAll still
+    # require every column (delta-spark refuses a missing one too)
     source_df = _apply_generated_columns(
         source_df, snap.schema, "merge_into_delta_table"
     )
     if sorted(source_df.columns) != sorted(cols):
         raise ValueError(
             f"merge source columns {sorted(source_df.columns)} != table "
-            f"columns {sorted(cols)}"
+            f"columns {sorted(cols)} — pass schema_evolution=True to widen "
+            "the table with new source columns, or clauses=[...] for "
+            "explicit assignments"
         )
     missing = sorted(set(merge_keys) - set(cols))
     if missing:
@@ -5627,6 +5913,620 @@ def _merge_cow(
         operation_parameters={"mergeKeys": merge_keys},
     )
     return version
+
+
+def _merge_validate_clauses(clauses: list) -> tuple:
+    """Validate + normalize the generalized MERGE clause list (r15,
+    VERDICT r14 item 2 — delta-spark's full clause surface:
+    ``whenMatchedUpdate[All]/Delete``, ``whenNotMatchedInsert[All]``,
+    ``whenNotMatchedBySourceUpdate/Delete``, each with an optional
+    condition). Returns ``(matched, inserts, by_source)`` — lists of
+    ``(tag, clause)`` in user order, where ``tag`` is the internal
+    action id (``m0u``/``m1d``/``i0``/``b0u``/``b0d``) the
+    classification plan embeds.
+
+    delta-spark's structural rules enforced here: group-specific
+    actions only (matched → update/delete, not-matched → insert,
+    not-matched-by-source → update/delete); within each group only the
+    LAST clause may omit its condition (an unconditional clause
+    shadows everything after it); by-source update requires an
+    explicit ``set`` (there is no source row to copy from)."""
+    if not clauses:
+        raise ValueError("merge_into_delta_table: empty clause list")
+    matched: list = []
+    inserts: list = []
+    by_source: list = []
+    allowed = {
+        "matched": ("update", "delete"),
+        "not_matched": ("insert",),
+        "not_matched_by_source": ("update", "delete"),
+    }
+    for cl in clauses:
+        if not isinstance(cl, dict):
+            raise ValueError(
+                "merge clause must be a dict with keys when/action"
+                f"/condition/set/values, got {type(cl).__name__}"
+            )
+        unknown = set(cl) - {"when", "action", "condition", "set", "values"}
+        if unknown:
+            raise ValueError(f"merge clause has unknown keys {sorted(unknown)}")
+        when = cl.get("when")
+        action = cl.get("action")
+        if when not in allowed:
+            raise ValueError(
+                f"merge clause 'when' must be one of {sorted(allowed)}, "
+                f"got {when!r}"
+            )
+        if action not in allowed[when]:
+            raise ValueError(
+                f"merge clause when={when!r} allows actions "
+                f"{allowed[when]}, got {action!r}"
+            )
+        if action != "update" and cl.get("set") is not None:
+            raise ValueError(f"merge {when}/{action} clause cannot carry 'set'")
+        if action != "insert" and cl.get("values") is not None:
+            raise ValueError(
+                f"merge {when}/{action} clause cannot carry 'values'"
+            )
+        if when == "not_matched_by_source" and action == "update" and not cl.get("set"):
+            raise ValueError(
+                "whenNotMatchedBySource update requires an explicit 'set' "
+                "— there is no source row to copy columns from"
+            )
+        if when == "matched":
+            tag = f"m{len(matched)}" + ("u" if action == "update" else "d")
+            matched.append((tag, cl))
+        elif when == "not_matched":
+            tag = f"i{len(inserts)}"
+            inserts.append((tag, cl))
+        else:
+            tag = f"b{len(by_source)}" + ("u" if action == "update" else "d")
+            by_source.append((tag, cl))
+    for group, gname in ((matched, "whenMatched"), (inserts, "whenNotMatched"),
+                         (by_source, "whenNotMatchedBySource")):
+        for i, (tag, cl) in enumerate(group):
+            if cl.get("condition") is None and i != len(group) - 1:
+                raise ValueError(
+                    f"{gname} clause {i} has no condition but is not the "
+                    "last of its group — an unconditional clause shadows "
+                    "every clause after it (delta-spark refuses too)"
+                )
+    return matched, inserts, by_source
+
+
+def _widen_schema_actions(snap, extra_fields: list) -> tuple:
+    """MERGE schema evolution (r15, VERDICT r14 item 3): commit
+    actions that widen the table metaData with new TRAILING nullable
+    columns — the same machinery the append path's mergeSchema uses
+    (fresh columnMapping ids + physical names on mapped tables,
+    maxColumnId advanced in-commit; a TIMESTAMP_NTZ/VARIANT addition
+    upgrades the protocol to declare its type feature). Returns
+    ``(actions, merged_schema)``."""
+    new_fields = [
+        StructField(f.name, f.dataType, True, f.metadata)
+        for f in extra_fields
+    ]
+    md = dict(snap.metadata_raw)
+    if snap.column_mapping_mode in ("name", "id"):
+        conf_prev = snap.metadata_raw.get("configuration") or {}
+        counter = [int(conf_prev.get("delta.columnMapping.maxColumnId", 0))]
+        new_fields = list(
+            _assign_mapping_metadata(
+                StructType(new_fields), counter, fresh_physical=True
+            ).fields
+        )
+        conf2 = dict(md.get("configuration") or {})
+        conf2["delta.columnMapping.maxColumnId"] = str(counter[0])
+        md["configuration"] = conf2
+    merged = StructType(list(snap.schema.fields) + new_fields)
+    actions: list = []
+    need: set = set()
+    for f in new_fields:
+        need |= _type_features(f.dataType)
+    if need:
+        proto_prev = dict(
+            snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        rf = set(proto_prev.get("readerFeatures") or [])
+        if int(proto_prev.get("minReaderVersion", 1)) < 3 or not need <= rf:
+            wf = set(proto_prev.get("writerFeatures") or [])
+            if int(proto_prev.get("minWriterVersion", 2)) < 7:
+                wf |= set(
+                    _implied_writer_features(
+                        int(proto_prev.get("minWriterVersion", 2))
+                    )
+                )
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf | need),
+                        "writerFeatures": sorted(wf | need),
+                    }
+                }
+            )
+    md["schemaString"] = json.dumps(merged.jsonValue())
+    actions.append({"metaData": md})
+    return actions, merged
+
+
+def _merge_general(
+    spark: SparkSession,
+    path: str,
+    source_df,
+    merge_keys: list,
+    clauses: list,
+    use_deletion_vectors: bool,
+    schema_evolution: bool,
+) -> int:
+    """Generalized MERGE core (r15, VERDICT r14 items 2+3): arbitrary
+    ordered clause lists — conditional matched update/delete,
+    conditional insert, ``whenNotMatchedBySource`` update/delete — in
+    copy-on-write AND deletion-vector modes, with optional schema
+    evolution (new source columns widen the metaData in the same
+    commit; unmatched target rows read NULL for them).
+
+    Shape: ONE join of the live target scan against the source
+    (full-outer only when a by-source clause needs target-only rows,
+    right-outer otherwise), ONE classification select that computes the
+    winning clause per row (first-true in user order, delta's rule) and
+    every update/insert image column as a CASE over the action id —
+    persisted, then consumed by the cardinality check, the touched-file
+    resolution, the new-file staging, and CDF. Target rows never flow
+    to the driver; touched-file resolution collects file NAMES only.
+    Cardinality: a target row that more than one source row would
+    modify raises (delta's MERGE_CARDINALITY_VIOLATION); pairs whose
+    clause conditions all fail don't count (delta's rule)."""
+    op = "merge_into_delta_table"
+    snap = delta_snapshot(spark, path)
+    _gate_writer_features(snap.protocol_raw, op)
+    _check_append_only(snap.metadata_raw, op)
+    if snap.deletion_vectors and not use_deletion_vectors:
+        raise NotImplementedError(
+            "merge_into_delta_table (copy-on-write) on a DV-carrying "
+            "table: pass use_deletion_vectors=True"
+        )
+    if identity_columns(snap.schema):
+        raise NotImplementedError(
+            "merge_into_delta_table on a table with IDENTITY columns: "
+            "assigning fresh values to the INSERT half of a merge while "
+            "leaving matched rows' values intact needs the merge-output "
+            "split this writer doesn't track — refusing (append new rows "
+            "via write_delta_commit, which assigns identity values)"
+        )
+    matched_cl, insert_cl, bysrc_cl = _merge_validate_clauses(clauses)
+    cols = [f.name for f in snap.schema.fields]
+    missing_keys = sorted(set(merge_keys) - set(cols))
+    if missing_keys:
+        raise ValueError(f"merge keys {missing_keys} not in table columns")
+    missing_src = sorted(set(merge_keys) - set(source_df.columns))
+    if missing_src:
+        raise ValueError(f"merge keys {missing_src} not in source columns")
+    reserved = {"_dl_file", "_dl_ri", "_tgt_present", "_src_present",
+                "_m_action", ROW_ID_COL, ROW_COMMIT_COL}
+    bad = sorted(reserved & set(cols)) + sorted(
+        {"_tgt_present", "_src_present", "_m_action"} & set(source_df.columns)
+    )
+    if bad:
+        raise ValueError(
+            f"merge_into_delta_table: columns {bad} collide with the "
+            "merge's internal names"
+        )
+    has_all_clause = any(
+        cl.get("set") is None for _, cl in matched_cl
+        if cl["action"] == "update"
+    ) or any(cl.get("values") is None for _, cl in insert_cl)
+    extra = [c for c in source_df.columns if c not in cols]
+    gen = generated_columns(snap.schema)
+    for _, cl in matched_cl + insert_cl + bysrc_cl:
+        assigned = cl.get("set") or cl.get("values") or {}
+        bad_gen = sorted(set(assigned) & set(gen))
+        if bad_gen:
+            raise ValueError(
+                f"merge_into_delta_table: columns {bad_gen} are GENERATED "
+                "ALWAYS AS — they recompute from their expressions and "
+                "cannot be set/inserted explicitly"
+            )
+    if extra and schema_evolution:
+        src_fields = {f.name: f for f in source_df.schema.fields}
+        ev_actions, merged_schema = _widen_schema_actions(
+            snap, [src_fields[c] for c in extra]
+        )
+        if cdf_enabled(snap.metadata_raw) and snap.column_mapping_mode in (
+            "name", "id"
+        ):
+            raise NotImplementedError(
+                "merge_into_delta_table: schema evolution on a "
+                "column-mapped table with CDF enabled is not implemented "
+                "(change files would need the widened physical names) — "
+                "refusing"
+            )
+    elif extra and has_all_clause:
+        raise ValueError(
+            f"merge source has columns {extra} the table lacks and an "
+            "updateAll/insertAll clause — pass schema_evolution=True to "
+            "widen the table, or name the assignments explicitly"
+        )
+    else:
+        ev_actions, merged_schema = [], snap.schema
+    all_cols = [f.name for f in merged_schema.fields]
+    dtypes = {f.name: f.dataType for f in merged_schema.fields}
+    evolved = [c for c in all_cols if c not in set(cols)]
+    defaults = column_defaults(snap.schema)
+    if has_all_clause and gen:
+        # updateAll/insertAll copy the source row wholesale — compute
+        # the generated columns the source omits, validate provided
+        # ones (delta-spark's MERGE rule)
+        source_df = _apply_generated_columns(source_df, snap.schema, op)
+    if has_all_clause:
+        missing_cols = sorted(
+            set(all_cols) - set(source_df.columns) - set(evolved)
+        ) if evolved else sorted(set(cols) - set(source_df.columns))
+        if missing_cols:
+            raise ValueError(
+                "merge updateAll/insertAll needs every table column in "
+                f"the source; missing {missing_cols}"
+            )
+    # cast shared source columns to the table's types up front so key
+    # joins and image CASEs are type-stable
+    source_df = source_df.select(
+        *[
+            F.col(c).cast(dtypes[c]).alias(c) if c in dtypes else F.col(c)
+            for c in source_df.columns
+        ]
+    )
+    if not bysrc_cl and source_df.isEmpty():
+        return snap.version
+    rt = row_tracking_enabled(snap.metadata_raw)
+    rt_cols = _rt_materialized_names(snap.metadata_raw) if rt else None
+    if snap.files:
+        scan, by_bn = _dml_scan(
+            spark, path, snap, op, with_row_index=True,
+            extra_long_cols=list(rt_cols) if rt else None,
+        )
+        if rt:
+            scan = scan.withColumn("_rt_bn", F.col("_dl_file")).withColumn(
+                "_rt_ri", F.col("_dl_ri")
+            )
+            scan = _attach_row_ids(spark, snap, scan, rt_cols)
+        if snap.deletion_vectors:
+            # MERGE classifies against LIVE rows only — a row an
+            # existing DV already deleted is NOT a match target
+            scan = scan.join(
+                _old_dv_pairs(spark, path, snap),
+                ["_dl_file", "_dl_ri"],
+                "left_anti",
+            )
+    else:
+        from pyspark.sql.types import LongType, StringType
+
+        fields = [
+            StructField(f.name, f.dataType, True) for f in snap.schema.fields
+        ] + [
+            StructField("_dl_file", StringType(), True),
+            StructField("_dl_ri", LongType(), True),
+        ]
+        if rt:
+            fields += [
+                StructField(ROW_ID_COL, LongType(), True),
+                StructField(ROW_COMMIT_COL, LongType(), True),
+            ]
+        scan, by_bn = spark.createDataFrame([], StructType(fields)), {}
+    for c in evolved:
+        # evolution: existing target rows read NULL for the new columns
+        scan = scan.withColumn(c, F.lit(None).cast(dtypes[c]))
+    want_cdf = cdf_enabled(snap.metadata_raw)
+
+    m_upd = [t for t, cl in matched_cl if cl["action"] == "update"]
+    m_del = [t for t, cl in matched_cl if cl["action"] == "delete"]
+    b_upd = [t for t, cl in bysrc_cl if cl["action"] == "update"]
+    b_del = [t for t, cl in bysrc_cl if cl["action"] == "delete"]
+    i_tags = [t for t, _ in insert_cl]
+    upd_tags = m_upd + b_upd
+    modify_tags = m_upd + m_del + b_upd + b_del
+    img_tags = upd_tags + i_tags
+
+    def classify(scan_live):
+        tgt = scan_live.withColumn("_tgt_present", F.lit(True)).alias(
+            "target"
+        )
+        src = source_df.withColumn("_src_present", F.lit(True)).alias(
+            "source"
+        )
+        jcond = None
+        for k in merge_keys:
+            eq = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
+            jcond = eq if jcond is None else jcond & eq
+        # by-source clauses are the only consumers of target-only rows
+        # — without one, a right-outer join skips shuffling the whole
+        # unmatched target side through the plan
+        how = "full_outer" if bysrc_cl else "right_outer"
+        joined = tgt.join(src, jcond, how)
+
+        def chain(group, default):
+            expr = F.lit(default)
+            for tag, cl in reversed(group):
+                cond = (
+                    F.expr(cl["condition"])
+                    if cl.get("condition") is not None
+                    else F.lit(True)
+                )
+                expr = F.when(cond, F.lit(tag)).otherwise(expr)
+            return expr
+
+        is_matched = (
+            F.col("_tgt_present").isNotNull()
+            & F.col("_src_present").isNotNull()
+        )
+        src_only = F.col("_tgt_present").isNull()
+        action = (
+            F.when(is_matched, chain(matched_cl, "keep"))
+            .when(src_only, chain(insert_cl, "drop"))
+            .otherwise(chain(bysrc_cl, "keep"))
+        )
+        joined = joined.withColumn("_m_action", action)
+
+        def img_expr(c):
+            e = F.lit(None).cast(dtypes[c])
+            for tag, cl in matched_cl:
+                if cl["action"] != "update":
+                    continue
+                st = cl.get("set")
+                if st is None:
+                    val = (
+                        F.col(f"source.{c}")
+                        if c in source_df.columns
+                        else F.col(f"target.{c}")
+                    )
+                else:
+                    val = (
+                        F.expr(st[c]) if c in st else F.col(f"target.{c}")
+                    )
+                e = F.when(F.col("_m_action") == tag, val).otherwise(e)
+            for tag, cl in bysrc_cl:
+                if cl["action"] != "update":
+                    continue
+                st = cl["set"]
+                val = F.expr(st[c]) if c in st else F.col(f"target.{c}")
+                e = F.when(F.col("_m_action") == tag, val).otherwise(e)
+            for tag, cl in insert_cl:
+                vals = cl.get("values")
+                # an insert clause not naming a DEFAULT-bearing column
+                # inserts the default, not NULL (allowColumnDefaults)
+                fallback = (
+                    F.expr(defaults[c]) if c in defaults
+                    else F.lit(None).cast(dtypes[c])
+                )
+                if vals is None:
+                    val = (
+                        F.col(f"source.{c}")
+                        if c in source_df.columns
+                        else fallback
+                    )
+                else:
+                    val = F.expr(vals[c]) if c in vals else fallback
+                e = F.when(F.col("_m_action") == tag, val).otherwise(e)
+            return e.cast(dtypes[c])
+
+        sel = [
+            F.col("_m_action"),
+            F.col("target._dl_file").alias("_dl_file"),
+            F.col("target._dl_ri").alias("_dl_ri"),
+        ]
+        if rt:
+            sel.append(F.col(f"target.{ROW_ID_COL}").alias("_rt_id"))
+        sel += [img_expr(c).alias(f"_img_{c}") for c in all_cols]
+        if want_cdf:
+            sel += [
+                F.col(f"target.{c}").alias(f"_t_{c}") for c in all_cols
+            ]
+        return joined.select(*sel)
+
+    classified = classify(scan).persist()
+    try:
+        act_counts = {
+            r["_m_action"]: r["count"]
+            for r in classified.groupBy("_m_action").count().collect()
+        }
+        n_mod = sum(act_counts.get(t, 0) for t in modify_tags)
+        n_img = sum(act_counts.get(t, 0) for t in img_tags)
+        if n_mod == 0 and n_img == 0 and not ev_actions:
+            return snap.version
+        if sum(act_counts.get(t, 0) for t in m_upd + m_del):
+            viol = (
+                classified.filter(F.col("_m_action").isin(m_upd + m_del))
+                .groupBy("_dl_file", "_dl_ri")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if viol:
+                raise ValueError(
+                    "merge_into_delta_table: MERGE_CARDINALITY_VIOLATION "
+                    "— multiple source rows match (and would modify) the "
+                    "same target row; deduplicate the source or tighten "
+                    "the matched conditions"
+                )
+        mod_ids = classified.filter(
+            F.col("_m_action").isin(modify_tags) if modify_tags
+            else F.lit(False)
+        ).select("_dl_file", "_dl_ri")
+
+        def finish_images(df):
+            # generated columns recompute against the post-image row
+            # (explicit clauses never assign them — refused above; for
+            # updateAll/insertAll rows the recompute reproduces the
+            # already-validated source value)
+            for g, gexpr in sorted(gen.items()):
+                df = df.withColumn(g, F.expr(gexpr).cast(dtypes[g]))
+            return df
+
+        images = classified.filter(F.col("_m_action").isin(img_tags)
+                                   if img_tags else F.lit(False))
+        rows_new = finish_images(
+            images.select(
+                *[F.col(f"_img_{c}").alias(c) for c in all_cols],
+                *(
+                    [
+                        F.when(
+                            F.col("_m_action").isin(upd_tags),
+                            F.col("_rt_id"),
+                        ).alias("_rt_carry")
+                    ]
+                    if rt
+                    else []
+                ),
+            )
+        )
+        if n_img:
+            _enforce_constraints(
+                rows_new.drop("_rt_carry") if rt else rows_new,
+                snap.metadata_raw.get("configuration"),
+                op,
+            )
+        if rt:
+            rid_col, rcv_col = rt_cols
+            rows_stage = (
+                rows_new.withColumn(rid_col, F.col("_rt_carry"))
+                .withColumn(rcv_col, F.lit(None).cast("long"))
+                .drop("_rt_carry")
+            )
+        else:
+            rows_stage = rows_new
+        op_params = {
+            "mergeKeys": merge_keys,
+            "clauses": [
+                {k: v for k, v in cl.items() if v is not None}
+                for cl in clauses
+            ],
+        }
+        actions: list = list(ev_actions)
+        if use_deletion_vectors:
+            snap2, dv_actions, _, _ = _dv_mark_deleted(
+                spark,
+                path,
+                lambda scan2: scan2.join(
+                    mod_ids, ["_dl_file", "_dl_ri"], "left_semi"
+                ),
+                op,
+            )
+            actions.extend(dv_actions)
+            version = _next_version(path)
+            if n_img:
+                out, pcols, fids = _to_physical_write_frame(
+                    rows_stage, snap, schema=merged_schema
+                )
+                actions.extend(
+                    _stage_files(
+                        spark, path, out, version, pcols, field_ids=fids
+                    )
+                )
+        else:
+            version = _next_version(path)
+            touched_bns = [
+                r["_dl_file"]
+                for r in mod_ids.select("_dl_file").distinct().collect()
+            ]
+            unknown = sorted(set(touched_bns) - set(by_bn))
+            if unknown:
+                raise ValueError(
+                    f"merge_into_delta_table: scanned basenames {unknown} "
+                    "missing from the snapshot lookup — refusing"
+                )
+            touched_rels = sorted({by_bn[bn] for bn in touched_bns})
+            if touched_rels:
+                keep = scan.filter(
+                    F.col("_dl_file").isin(*touched_bns)
+                ).join(mod_ids, ["_dl_file", "_dl_ri"], "left_anti")
+                keep_cols = list(all_cols)
+                if rt:
+                    rid_col, rcv_col = rt_cols
+                    keep = keep.withColumn(
+                        rid_col, F.col(ROW_ID_COL)
+                    ).withColumn(rcv_col, F.col(ROW_COMMIT_COL))
+                    keep_cols += [rid_col, rcv_col]
+                keep_out, keep_pcols, fids = _to_physical_write_frame(
+                    keep.select(*keep_cols), snap, schema=merged_schema
+                )
+                actions.extend(
+                    _stage_files(
+                        spark, path, keep_out, version, keep_pcols,
+                        field_ids=fids,
+                    )
+                )
+                now_ms = int(os.path.getmtime(path) * 1000)
+                for rel in touched_rels:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": quote(rel),
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            if n_img:
+                out, pcols, fids = _to_physical_write_frame(
+                    rows_stage, snap, schema=merged_schema
+                )
+                actions.extend(
+                    _stage_files(
+                        spark, path, out, version, pcols,
+                        start_n=sum(1 for a in actions if "add" in a),
+                        field_ids=fids,
+                    )
+                )
+        if rt:
+            _assign_fresh_row_ids(
+                actions, _rt_hwm(snap.domain_metadata), version, path
+            )
+        if want_cdf:
+            tsel = [F.col(f"_t_{c}").alias(c) for c in all_cols]
+            isel = [F.col(f"_img_{c}").alias(c) for c in all_cols]
+            parts = []
+            if sum(act_counts.get(t, 0) for t in upd_tags):
+                parts.append(
+                    classified.filter(F.col("_m_action").isin(upd_tags))
+                    .select(*tsel)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                parts.append(
+                    finish_images(
+                        classified.filter(
+                            F.col("_m_action").isin(upd_tags)
+                        ).select(*isel)
+                    ).withColumn("_change_type", F.lit("update_postimage"))
+                )
+            if sum(act_counts.get(t, 0) for t in m_del + b_del):
+                parts.append(
+                    classified.filter(F.col("_m_action").isin(m_del + b_del))
+                    .select(*tsel)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            if sum(act_counts.get(t, 0) for t in i_tags):
+                parts.append(
+                    finish_images(
+                        classified.filter(
+                            F.col("_m_action").isin(i_tags)
+                        ).select(*isel)
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            if parts:
+                cdc = parts[0]
+                for p in parts[1:]:
+                    cdc = cdc.unionByName(p)
+                actions.extend(
+                    _write_cdc_files(spark, path, version, cdc, snap=snap)
+                )
+        _write_commit(
+            path, version, actions, operation="MERGE",
+            operation_parameters=op_params,
+        )
+        return version
+    finally:
+        classified.unpersist()
 
 
 def optimize_delta_table(
