@@ -527,6 +527,8 @@ def _decode(payload: bytes):
     frame = None  # (h, w, [(cid, qid)])
     progressive = False
     arith = False  # SOF9 sequential arithmetic (r14)
+    lossless = False  # SOF3 (r15)
+    precision = 8
     conditioning: dict[tuple[int, int], int] = {}  # DAC (Tc,Tb) → value
     pstate: _ProgressiveState | None = None
     restart_interval = 0
@@ -591,13 +593,18 @@ def _decode(payload: bytes):
                     bits, list(seg[p + 17 : p + 17 + n])
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
-            # ARITHMETIC, SOF10 progressive arithmetic (r14 —
-            # functions/jpeg_arith.py)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 LOSSLESS (r15),
+            # SOF9 sequential ARITHMETIC, SOF10 progressive arithmetic
+            # (r14 — functions/jpeg_arith.py)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-            if seg[0] != 8:
+            lossless = marker == 0xC3
+            precision = seg[0]
+            if lossless:
+                if not 2 <= precision <= 16:
+                    return None  # T.81: lossless allows P in [2, 16]
+            elif precision != 8:
                 return None  # 12-bit
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -617,8 +624,10 @@ def _decode(payload: bytes):
             while p + 2 <= len(seg):
                 conditioning[(seg[p] >> 4, seg[p] & 0xF)] = seg[p + 1]
                 p += 2
-        elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
-            # progressive-arithmetic (SOF10) / lossless / hierarchical
+        elif 0xC5 <= marker <= 0xCF and marker != 0xC8 and marker != 0xCC:
+            # SOF5/6 differential, SOF7/11 lossless-arithmetic /
+            # differential-lossless, SOF13-15 differential-arithmetic:
+            # hierarchical frame types stay refused
             return None  # quarantine, not crash
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -628,6 +637,35 @@ def _decode(payload: bytes):
             ns = seg[0]
             h, w, comps = frame
             byid = {cid: (qid, hc, vc) for cid, qid, hc, vc in comps}
+            if lossless:
+                # SOF3 (r15): one interleaved scan, 1×1 sampling, no
+                # restarts — the encode_jpeg_lossless subset
+                if ns != len(comps) or len(seg) < 4 + 2 * ns:
+                    return None
+                if restart_interval:
+                    return None
+                pred_sel, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if not 1 <= pred_sel <= 7 or se != 0 or ah != 0:
+                    return None
+                if not 0 <= al < precision:
+                    return None
+                tabs = []
+                for c in range(ns):
+                    cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
+                    if cid not in byid:
+                        return None
+                    _, hc, vc = byid[cid]
+                    if (hc, vc) != (1, 1):
+                        return None
+                    tab = huff.get((0, tsel >> 4))
+                    if tab is None:
+                        return None
+                    tabs.append(tab)
+                return _decode_lossless_scan(
+                    payload, i + 2 + seglen, h, w, tabs, pred_sel, al,
+                    precision,
+                )
             if progressive:
                 if len(seg) < 4 + 2 * ns:
                     return None
@@ -1474,3 +1512,167 @@ def _next_marker_pos(payload, reader) -> int:
             return j
         j += 1
     raise _Corrupt("no marker after progressive scan")
+
+
+# ---------------------------------------------------------------------------
+# lossless sequential (SOF3), r15 — VERDICT r14 item 7. T.81 Annex H:
+# predictive coding on the causal neighborhood, Huffman-coded
+# differences reusing the DC SSSS machinery. The reference repo has no
+# codec layer; the public T.81 spec is the source.
+
+
+def _lossless_dc_table() -> _HuffTable:
+    """17 difference categories 0..16, all 5-bit codes (17 < 31 keeps
+    the all-ones code reserved). Category 16 is the lossless escape for
+    a difference of exactly ±32768 — no appended bits (T.81 §H.1.2.2:
+    differences are taken modulo 65536)."""
+    bits = [0] * 16
+    bits[4] = 17
+    return _HuffTable(bits, list(range(17)))
+
+
+def _lossless_predict(p, y: int, x: int, predictor: int, default: int) -> int:
+    """T.81 §H.1.2.1 prediction: the first sample of the scan predicts
+    the midpoint default, the rest of the first LINE predicts Ra
+    (left), the first COLUMN predicts Rb (above), and interior samples
+    use the selected predictor 1-7 over Ra/Rb/Rc (above-left). All in
+    the point-transformed domain, over RECONSTRUCTED neighbors."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(p[0, x - 1])
+    if x == 0:
+        return int(p[y - 1, 0])
+    ra = int(p[y, x - 1])
+    rb = int(p[y - 1, x])
+    rc = int(p[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def encode_jpeg_lossless(
+    img, predictor: int = 1, point_transform: int = 0
+) -> bytes:
+    """Encode as LOSSLESS sequential (SOF3) JPEG — T.81 Annex H.
+    Predictor 1-7 over the causal neighborhood; differences modulo
+    65536, Huffman-coded with DC-style SSSS categories (16 = the
+    ±32768 escape, no appended bits). Components are stored DIRECTLY
+    (lossless JPEG defines no color transform), 8-bit (uint8) or
+    16-bit (uint16) precision, 1×1 sampling, one interleaved scan.
+    ``point_transform`` Pt shifts samples right Pt before prediction
+    and the decoder shifts them back left — the mode's only lossy
+    knob, off by default: at Pt=0 decode is bit-for-bit identical to
+    the input."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1-7")
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        precision = 16
+    elif img.dtype == np.uint8:
+        precision = 8
+    else:
+        raise ValueError(
+            "lossless encode expects uint8 or uint16 samples, got "
+            f"{img.dtype}"
+        )
+    if not 0 <= point_transform < precision:
+        raise ValueError("point_transform must be in [0, precision)")
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] in (1, 3):
+        planes = [img[:, :, c] for c in range(img.shape[2])]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 1|3) samples")
+    h, w = planes[0].shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("dimensions out of JPEG range")
+    pt = point_transform
+    shifted = [p.astype(np.int64) >> pt for p in planes]
+    tab = _lossless_dc_table()
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes(tab.bits) + bytes(tab.huffval)
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    nf = len(planes)
+    sof = (
+        bytes([precision])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([nf])
+    )
+    for c in range(nf):
+        # Tq is meaningless in lossless (no quantization): 0
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    sos = bytes([nf])
+    for c in range(nf):
+        sos += bytes([c + 1, 0x00])
+    # Ss carries the predictor, Se must be 0, Al the point transform
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    writer = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for p in shifted:
+                px = _lossless_predict(p, y, x, predictor, default)
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                if diff == -32768:
+                    code, length = tab.encode[16]
+                    writer.write(code, length)
+                    continue
+                size, bits_v = _magnitude_bits(diff)
+                code, length = tab.encode[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits_v, size)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless_scan(
+    payload, pos, h, w, tabs, predictor, pt, precision
+):
+    """Decode one interleaved SOF3 scan → uint8/uint16 array (h, w)
+    or (h, w, 3). Reconstruction Rx = (Px + diff) mod 65536 in the
+    point-transformed domain, output shifted back left Pt (T.81
+    §H.2)."""
+    if h * w * len(tabs) > 3 * _MAX_DECODE_PIXELS:
+        return None
+    reader = _BitReader(payload, pos)
+    default = 1 << (precision - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in tabs]
+    try:
+        for y in range(h):
+            for x in range(w):
+                for p, tab in zip(planes, tabs):
+                    ssss = reader.decode_symbol(tab)
+                    if ssss == 16:
+                        diff = 32768
+                    elif ssss:
+                        diff = _extend(reader.receive(ssss), ssss)
+                    else:
+                        diff = 0
+                    px = _lossless_predict(p, y, x, predictor, default)
+                    p[y, x] = (px + diff) & 0xFFFF
+    except _MarkerHit:
+        return None
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    outs = [(p << pt).astype(dtype) for p in planes]
+    if len(outs) == 1:
+        return outs[0]
+    return np.stack(outs, axis=-1)

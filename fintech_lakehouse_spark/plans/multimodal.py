@@ -1400,3 +1400,132 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "jpeg_lossless_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(9 + doc_id % 21 AS BIGINT) AS width,
+           CAST(6 + doc_id % 17 AS BIGINT) AS height,
+           CAST(1 + doc_id % 7 AS BIGINT) AS predictor,
+           TRUE AS exact_match,
+           TRUE AS pt_matches,
+           TRUE AS deep_matches,
+           TRUE AS has_lossless_markers
+    FROM documents
+    WHERE doc_id < 150
+    """,
+)
+def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS (SOF3, T.81 Annex H) JPEG roundtrip (r15 — VERDICT r14
+    item 7, closing the last named T.81 frame family): per doc the
+    deterministic raster family of the other codec queries is encoded
+    predictively — predictor ``1 + doc_id % 7`` walks all seven Annex H
+    predictors across the corpus — and decoded back.
+
+    Contracts pinned per asset: ``exact_match`` is the mode's defining
+    property, decode ≡ source samples BIT-FOR-BIT (no DCT, no
+    quantization, no color transform); ``pt_matches`` re-encodes with
+    point transform 2 and pins decode ≡ (src >> 2) << 2, the spec's
+    only lossy knob; ``deep_matches`` re-encodes the 16-BIT widening of
+    the raster (precision 16) and pins bit-exactness there too;
+    ``has_lossless_markers`` asserts the stream is really SOF3 (no DQT
+    — lossless has no quantization tables).
+
+    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    stay single binary cells, parallelism is ACROSS images (the only
+    distribution that makes sense for per-asset codecs at 100 TB)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("mode", StringType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("predictor", LongType(), False),
+            StructField("exact_match", BooleanType(), True),
+            StructField("pt_matches", BooleanType(), True),
+            StructField("deep_matches", BooleanType(), True),
+            StructField("has_lossless_markers", BooleanType(), True),
+        ]
+    )
+
+    def batches(iterator):
+        import numpy as np
+
+        from fintech_lakehouse_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_lossless,
+        )
+
+        for pdf in iterator:
+            rows = {k: [] for k in (
+                "asset_id", "mode", "width", "height", "predictor",
+                "exact_match", "pt_matches", "deep_matches",
+                "has_lossless_markers",
+            )}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 9 + i % 21, 6 + i % 17
+                gray = i % 2 == 0
+                pred = 1 + i % 7
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                if gray:
+                    img = ((xx * 5 + yy * 11 + i) % 256).astype(np.uint8)
+                else:
+                    img = np.stack(
+                        [((xx * 5 + yy * 11 + c * 37 + i) % 256)
+                         for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                stream = encode_jpeg_lossless(img, predictor=pred)
+                d = decode_jpeg_pixels(stream)
+                dpt = decode_jpeg_pixels(
+                    encode_jpeg_lossless(img, predictor=pred,
+                                         point_transform=2)
+                )
+                img16 = (img.astype(np.uint16) * 257)  # widen 8→16 bit
+                d16 = decode_jpeg_pixels(
+                    encode_jpeg_lossless(img16, predictor=pred)
+                )
+                rows["asset_id"].append(i)
+                rows["mode"].append("gray" if gray else "rgb")
+                rows["predictor"].append(pred)
+                if d is None or d.shape[:2] != (h, w):
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["exact_match"].append(None)
+                    rows["pt_matches"].append(None)
+                    rows["deep_matches"].append(None)
+                    rows["has_lossless_markers"].append(None)
+                    continue
+                rows["width"].append(d.shape[1])
+                rows["height"].append(d.shape[0])
+                rows["exact_match"].append(bool(np.array_equal(d, img)))
+                rows["pt_matches"].append(
+                    dpt is not None
+                    and bool(np.array_equal(dpt, (img >> 2) << 2))
+                )
+                rows["deep_matches"].append(
+                    d16 is not None and d16.dtype == np.uint16
+                    and bool(np.array_equal(d16, img16))
+                )
+                rows["has_lossless_markers"].append(
+                    b"\xff\xc3" in stream and b"\xff\xdb" not in stream
+                )
+            yield pd.DataFrame(rows)
+
+    documents = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)
