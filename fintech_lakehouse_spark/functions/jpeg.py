@@ -593,13 +593,14 @@ def _decode(payload: bytes):
                     bits, list(seg[p + 17 : p + 17 + n])
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0/1 baseline, SOF2 progressive, SOF3 LOSSLESS (r15),
             # SOF9 sequential ARITHMETIC, SOF10 progressive arithmetic
-            # (r14 — functions/jpeg_arith.py)
+            # (r14 — functions/jpeg_arith.py), SOF11 lossless
+            # arithmetic (r15)
             progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            arith = marker in (0xC9, 0xCA, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
             precision = seg[0]
             if lossless:
                 if not 2 <= precision <= 16:
@@ -650,6 +651,26 @@ def _decode(payload: bytes):
                     return None
                 if not 0 <= al < precision:
                     return None
+                if arith:
+                    # SOF11 (r15): the same predictive front end, QM
+                    # coder entropy layer
+                    from fintech_lakehouse_spark.functions.jpeg_arith import (
+                        decode_lossless_scan_arith,
+                    )
+
+                    comp_tbls = []
+                    for c in range(ns):
+                        cid, tsel = seg[1 + 2 * c : 3 + 2 * c]
+                        if cid not in byid:
+                            return None
+                        _, hc, vc = byid[cid]
+                        if (hc, vc) != (1, 1):
+                            return None
+                        comp_tbls.append(tsel >> 4)
+                    return decode_lossless_scan_arith(
+                        payload, i + 2 + seglen, h, w, comp_tbls,
+                        pred_sel, al, precision, conditioning,
+                    )
                 tabs = []
                 for c in range(ns):
                     cid, tsel = seg[1 + 2 * c : 3 + 2 * c]

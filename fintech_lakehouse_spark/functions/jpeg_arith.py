@@ -887,3 +887,246 @@ def decode_progressive_scan_arith(
                     )
                 state.coeffs[cid][y, x] = zz
     return _next_marker_from(payload, dec.pos)
+
+
+# ---------------------------------------------------------------------------
+# lossless arithmetic (SOF11), r15 — T.81 Annex H with the QM coder.
+# Statistical model per §H.1.2.3: each difference is conditioned on a
+# TWO-DIMENSIONAL context — the 5-category classification (zero,
+# small±, large±, same (L, U) thresholds as the sequential DC model)
+# of Da (difference coded for the sample to the LEFT) and Db (for the
+# sample ABOVE) — 25 contexts × 4 decision bins, plus TWO banks of
+# magnitude bins (X1-X15 chain + M bins) selected by whether Db is in
+# a large category: 100 + 2×29 = 158 statistics bins, the spec's
+# count. Cross-implementation parity is unverifiable offline (no
+# arithmetic-capable codec ships in this container — same caveat as
+# SOF9/SOF10); the pinned contract is decode(encode(x)) ≡ x
+# bit-for-bit, which exercises every context and the full interval
+# machinery, plus sample-parity with the SOF3 Huffman path.
+
+_LL_STAT_BINS = 158
+
+
+def _h_category(diff: int, low: int, up: int) -> int:
+    """5-category difference classification (0 zero, 1 small+,
+    2 small-, 3 large+, 4 large-) with the sequential DC model's
+    (L, U) thresholds over the MSB of |diff|-1 — the same arithmetic
+    `_encode_dc` uses for its follow-on context."""
+    if diff == 0:
+        return 0
+    v = abs(diff) - 1
+    m = (1 << (v.bit_length() - 1)) if v else 0
+    sign = 1 if diff < 0 else 0
+    if m < ((1 << low) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _ll_ctx(da: int, db: int, low: int, up: int) -> tuple[int, int]:
+    """(decision-bin base, magnitude-bin base) for one sample given
+    its neighbors' coded differences."""
+    ca = _h_category(da, low, up)
+    cb = _h_category(db, low, up)
+    st = 4 * (5 * ca + cb)
+    magbase = 100 + (29 if cb >= 3 else 0)
+    return st, magbase
+
+
+def _encode_lossless_diff(enc, stats, st, magbase, diff) -> None:
+    """Figure H.3 difference coding: zero/sign decisions in the
+    2-D-context bins, magnitude category chain + mantissa bits in the
+    selected bank (the sequential §F.1.4 value machinery)."""
+    if diff == 0:
+        enc.encode(stats, st, 0)
+        return
+    enc.encode(stats, st, 1)
+    if diff > 0:
+        enc.encode(stats, st + 1, 0)
+        st += 2
+    else:
+        enc.encode(stats, st + 1, 1)
+        st += 3
+        diff = -diff
+    m = 0
+    v = diff - 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        st = magbase
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    st += 14
+    while m := m >> 1:
+        enc.encode(stats, st, 1 if (m & v) else 0)
+
+
+def _decode_lossless_diff(dec, stats, st, magbase) -> int:
+    """Mirror of :func:`_encode_lossless_diff`."""
+    if dec.decode(stats, st) == 0:
+        return 0
+    sign = dec.decode(stats, st + 1)
+    st += 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = magbase
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("corrupt arithmetic lossless magnitude")
+            st += 1
+    v = m
+    st += 14
+    while m := m >> 1:
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def encode_jpeg_lossless_arith(
+    img: np.ndarray, predictor: int = 1, point_transform: int = 0
+) -> bytes:
+    """Encode as LOSSLESS ARITHMETIC (SOF11) JPEG: the Annex H
+    predictive front end of ``encode_jpeg_lossless`` (predictors 1-7,
+    differences mod 65536, optional point transform, components stored
+    directly, 8/16-bit) with the QM coder replacing Huffman. DAC
+    conditioning uses the DC defaults (L=0, U=1); luma names table 0,
+    chroma table 1 — statistics areas belong to the TABLE, like the
+    SOF9 encoder."""
+    from fintech_lakehouse_spark.functions.jpeg import (
+        _lossless_predict,
+    )
+
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1-7")
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        precision = 16
+    elif img.dtype == np.uint8:
+        precision = 8
+    else:
+        raise ValueError(
+            "lossless encode expects uint8 or uint16 samples, got "
+            f"{img.dtype}"
+        )
+    if not 0 <= point_transform < precision:
+        raise ValueError("point_transform must be in [0, precision)")
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] in (1, 3):
+        planes = [img[:, :, c] for c in range(img.shape[2])]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 1|3) samples")
+    h, w = planes[0].shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("dimensions out of JPEG range")
+    pt = point_transform
+    shifted = [p.astype(np.int64) >> pt for p in planes]
+    nf = len(planes)
+    tbl_of = [0 if c == 0 else 1 for c in range(nf)]
+    ntbl = max(tbl_of) + 1
+    low, up = _DEFAULT_DC_COND
+
+    out = bytearray(b"\xff\xd8")
+    sof = (
+        bytes([precision])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([nf])
+    )
+    for c in range(nf):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xcb" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF11
+    dac = bytearray()
+    for t in range(ntbl):
+        dac += bytes([t, (up << 4) | low])
+    out += b"\xff\xcc" + (len(dac) + 2).to_bytes(2, "big") + dac
+    sos = bytearray([nf])
+    for c in range(nf):
+        sos += bytes([c + 1, tbl_of[c] << 4])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    enc = _QMEncoder()
+    stats = [bytearray(_LL_STAT_BINS) for _ in range(ntbl)]
+    default = 1 << (precision - pt - 1)
+    # per-component neighbor DIFFS for the 2-D context
+    above = [np.zeros(w, dtype=np.int64) for _ in range(nf)]
+    cur = [np.zeros(w, dtype=np.int64) for _ in range(nf)]
+    for y in range(h):
+        for x in range(w):
+            for c in range(nf):
+                p = shifted[c]
+                px = _lossless_predict(p, y, x, predictor, default)
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                da = int(cur[c][x - 1]) if x > 0 else 0
+                db = int(above[c][x]) if y > 0 else 0
+                st, magbase = _ll_ctx(da, db, low, up)
+                _encode_lossless_diff(
+                    enc, stats[tbl_of[c]], st, magbase, diff
+                )
+                cur[c][x] = diff
+        for c in range(nf):
+            above[c], cur[c] = cur[c], above[c]
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_lossless_scan_arith(
+    payload, pos, h, w, comp_tbls, predictor, pt, precision, conditioning
+):
+    """Decode one SOF11 interleaved scan → uint8/uint16 array (h, w)
+    or (h, w, 3). ``comp_tbls``: DC conditioning-table selector per
+    component in scan order."""
+    from fintech_lakehouse_spark.functions.jpeg import (
+        _MAX_DECODE_PIXELS,
+        _lossless_predict,
+    )
+
+    nf = len(comp_tbls)
+    if h * w * nf > 3 * _MAX_DECODE_PIXELS:
+        return None
+    dec = _QMDecoder(payload, pos)
+    stats: dict[int, bytearray] = {}
+    conds: list[tuple] = []
+    for t in comp_tbls:
+        raw = conditioning.get((0, t))
+        conds.append(
+            _DEFAULT_DC_COND if raw is None else (raw & 0xF, raw >> 4)
+        )
+        stats.setdefault(t, bytearray(_LL_STAT_BINS))
+    default = 1 << (precision - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nf)]
+    above = [np.zeros(w, dtype=np.int64) for _ in range(nf)]
+    cur = [np.zeros(w, dtype=np.int64) for _ in range(nf)]
+    for y in range(h):
+        for x in range(w):
+            for c in range(nf):
+                low, up = conds[c]
+                da = int(cur[c][x - 1]) if x > 0 else 0
+                db = int(above[c][x]) if y > 0 else 0
+                st, magbase = _ll_ctx(da, db, low, up)
+                diff = _decode_lossless_diff(
+                    dec, stats[comp_tbls[c]], st, magbase
+                )
+                p = planes[c]
+                px = _lossless_predict(p, y, x, predictor, default)
+                p[y, x] = (px + diff) & 0xFFFF
+                cur[c][x] = diff
+        for c in range(nf):
+            above[c], cur[c] = cur[c], above[c]
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    outs = [(p << pt).astype(dtype) for p in planes]
+    if nf == 1:
+        return outs[0]
+    return np.stack(outs, axis=-1)

@@ -22,6 +22,7 @@ from fintech_lakehouse_spark.plans import multimodal  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import events  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import windows  # noqa: E402,F401
 from fintech_lakehouse_spark.plans import relational  # noqa: E402,F401
+from fintech_lakehouse_spark.plans import delta_dml  # noqa: E402,F401
 
 from fintech_lakehouse_spark.plans.rotation import (  # noqa: E402
     reorder_for_driver,

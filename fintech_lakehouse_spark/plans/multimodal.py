@@ -1413,6 +1413,7 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS exact_match,
            TRUE AS pt_matches,
            TRUE AS deep_matches,
+           TRUE AS arith_matches,
            TRUE AS has_lossless_markers
     FROM documents
     WHERE doc_id < 150
@@ -1431,6 +1432,10 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     point transform 2 and pins decode ≡ (src >> 2) << 2, the spec's
     only lossy knob; ``deep_matches`` re-encodes the 16-BIT widening of
     the raster (precision 16) and pins bit-exactness there too;
+    ``arith_matches`` (r15, same round) re-encodes through the
+    LOSSLESS-ARITHMETIC frame (SOF11 — the QM coder over Annex H's
+    two-dimensional difference contexts) and pins its decode
+    bit-for-bit equal to both the source and the Huffman twin;
     ``has_lossless_markers`` asserts the stream is really SOF3 (no DQT
     — lossless has no quantization tables).
 
@@ -1455,6 +1460,7 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("exact_match", BooleanType(), True),
             StructField("pt_matches", BooleanType(), True),
             StructField("deep_matches", BooleanType(), True),
+            StructField("arith_matches", BooleanType(), True),
             StructField("has_lossless_markers", BooleanType(), True),
         ]
     )
@@ -1466,12 +1472,15 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             decode_jpeg_pixels,
             encode_jpeg_lossless,
         )
+        from fintech_lakehouse_spark.functions.jpeg_arith import (
+            encode_jpeg_lossless_arith,
+        )
 
         for pdf in iterator:
             rows = {k: [] for k in (
                 "asset_id", "mode", "width", "height", "predictor",
                 "exact_match", "pt_matches", "deep_matches",
-                "has_lossless_markers",
+                "arith_matches", "has_lossless_markers",
             )}
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
@@ -1507,6 +1516,7 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["exact_match"].append(None)
                     rows["pt_matches"].append(None)
                     rows["deep_matches"].append(None)
+                    rows["arith_matches"].append(None)
                     rows["has_lossless_markers"].append(None)
                     continue
                 rows["width"].append(d.shape[1])
@@ -1519,6 +1529,12 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["deep_matches"].append(
                     d16 is not None and d16.dtype == np.uint16
                     and bool(np.array_equal(d16, img16))
+                )
+                da = decode_jpeg_pixels(
+                    encode_jpeg_lossless_arith(img, predictor=pred)
+                )
+                rows["arith_matches"].append(
+                    da is not None and bool(np.array_equal(da, img))
                 )
                 rows["has_lossless_markers"].append(
                     b"\xff\xc3" in stream and b"\xff\xdb" not in stream

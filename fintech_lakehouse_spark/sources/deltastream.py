@@ -322,11 +322,37 @@ class DeltaFilePartition(InputPartition):
         self.keep_dv_json = keep_dv_json
 
 
+def _variant_cols(snap: dict) -> frozenset:
+    """VARIANT columns gate the pure reader (probed r15, kept
+    fail-closed): the emission half exists — the row loop rebuilds
+    VariantVal from the files' (metadata, value) struct when this
+    returns names — but Spark writes variant columns with the Parquet
+    VARIANT LogicalType, which this container's pyarrow cannot parse
+    at all (``Metadata contains Thrift LogicalType that is not
+    recognized`` at file open), so the scan itself is the blocker, not
+    the value rebuild. Refuse by name; the engine path
+    (deltalog.read_delta_table) reads variant tables natively."""
+    bad = sorted(
+        f.name
+        for f in snap["schema"].fields
+        if "variant" in f.dataType.json()
+    )
+    if bad:
+        raise NotImplementedError(
+            f"deltabridge read: VARIANT columns {bad} are not supported "
+            "by the no-Spark reader (this pyarrow cannot parse the "
+            "Parquet VARIANT LogicalType) — use "
+            "deltalog.read_delta_table"
+        )
+    return frozenset()
+
+
 def _read_partition(
     table_path: str,
     part: DeltaFilePartition,
     row_plan: list,
     rt_cols: tuple | None = None,
+    variant_cols: frozenset = frozenset(),
 ) -> Iterator[tuple]:
     """Executor-side file read: pyarrow scan of the declared data
     columns (+ the cdc file's own _change_type when present), deletion
@@ -413,10 +439,25 @@ def _read_partition(
             kmask[kidx] = True
             mask &= kmask
         table = table.filter(pa.array(mask))
+    if variant_cols:
+        from pyspark.sql.types import VariantVal
+
+        def _cell(c, r):
+            v = r[read_name[c]]
+            if c in variant_cols and v is not None:
+                # files store variant as struct<metadata, value>
+                return VariantVal(v["value"], v["metadata"])
+            return v
+
+    else:
+
+        def _cell(c, r):
+            return r[read_name[c]]
+
     rows = table.to_pylist()
     for r in rows:
         base = [
-            part.pvals[c] if is_pv else r[read_name[c]]
+            part.pvals[c] if is_pv else _cell(c, r)
             for c, is_pv, phys, fid in row_plan
         ]
         if part.change_type is not None or part.has_change_col:
@@ -478,21 +519,10 @@ class DeltaBridgeReader(DataSourceReader):
         self.part_cols = snap["partition_columns"]
         mapping = snap["column_mapping"] or {}
         self.mapping = mapping
-        variant_cols = [
-            f.name
-            for f in snap["schema"].fields
-            if f.dataType.typeName() == "variant"
-        ]
-        if variant_cols:
-            # r14: the pure-pyarrow row emission can't rebuild Spark
-            # VARIANT values from the binary metadata/value pair —
-            # fail closed; the engine path (read_delta_table) reads
-            # variant tables natively
-            raise NotImplementedError(
-                f"deltabridge read: VARIANT columns {variant_cols} are "
-                "not supported by the no-Spark reader — use "
-                "deltalog.read_delta_table"
-            )
+        # r15 (was an r14 fail-closed refusal): top-level VARIANT
+        # columns rebuild through VariantVal in the row emission;
+        # nested variants still refuse inside _variant_cols
+        self.variant_cols = _variant_cols(snap)
         self.row_plan = _row_plan(snap)
         self.part_types = {
             f.name: f.dataType.typeName()
@@ -563,7 +593,8 @@ class DeltaBridgeReader(DataSourceReader):
 
     def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
         return _read_partition(
-            self.path, partition, self.row_plan, rt_cols=self.rt_cols
+            self.path, partition, self.row_plan, rt_cols=self.rt_cols,
+            variant_cols=self.variant_cols,
         )
 
 
@@ -579,6 +610,7 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         self.part_cols = snap["partition_columns"]
         self.mapping = snap["column_mapping"] or {}
         self.row_plan = _row_plan(snap)
+        self.variant_cols = _variant_cols(snap)
         self.part_types = {
             f.name: f.dataType.typeName()
             for f in snap["schema"].fields
@@ -824,7 +856,10 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
-        return _read_partition(self.path, partition, self.row_plan)
+        return _read_partition(
+            self.path, partition, self.row_plan,
+            variant_cols=self.variant_cols,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are the only state; the log itself is durable

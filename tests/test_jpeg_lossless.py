@@ -107,3 +107,83 @@ def test_lossless_stream_shape():
     sos = payload.index(b"\xff\xda")
     ns = payload[sos + 4]
     assert payload[sos + 5 + 2 * ns] == 5  # Ss = predictor
+
+
+# ---------------------------------------------------------------------------
+# SOF11 — lossless ARITHMETIC (QM coder over the same predictive front
+# end; T.81 Annex H §H.1.2.3 two-dimensional contexts)
+
+
+def test_lossless_arith_roundtrip_all_predictors():
+    from fintech_lakehouse_spark.functions.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    img = RNG.integers(0, 256, (33, 29), dtype=np.uint8)
+    for pred in range(1, 8):
+        got = decode_jpeg_pixels(
+            encode_jpeg_lossless_arith(img, predictor=pred)
+        )
+        assert got is not None and np.array_equal(got, img), pred
+
+
+def test_lossless_arith_rgb_16bit_pt_and_extremes():
+    from fintech_lakehouse_spark.functions.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rgb = RNG.integers(0, 256, (14, 11, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_lossless_arith(rgb, predictor=4)),
+        rgb,
+    )
+    im16 = RNG.integers(0, 65536, (12, 13), dtype=np.uint16)
+    got = decode_jpeg_pixels(encode_jpeg_lossless_arith(im16, predictor=7))
+    assert got.dtype == np.uint16 and np.array_equal(got, im16)
+    img = RNG.integers(0, 256, (10, 9), dtype=np.uint8)
+    got = decode_jpeg_pixels(
+        encode_jpeg_lossless_arith(img, predictor=2, point_transform=3)
+    )
+    assert np.array_equal(got, (img >> 3) << 3)
+    board = np.zeros((8, 8), dtype=np.uint16)
+    board[::2, 1::2] = 65535
+    board[1::2, ::2] = 65535
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_lossless_arith(board)), board
+    )
+
+
+def test_lossless_arith_stream_shape_and_quarantine():
+    from fintech_lakehouse_spark.functions.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    img = RNG.integers(0, 256, (9, 8), dtype=np.uint8)
+    payload = encode_jpeg_lossless_arith(img, predictor=6)
+    # really SOF11: arithmetic conditioning present, no DHT, no DQT
+    assert b"\xff\xcb" in payload
+    assert b"\xff\xcc" in payload
+    assert b"\xff\xc4" not in payload and b"\xff\xdb" not in payload
+    # truncation: the QM decoder zero-feeds past the end (spec
+    # behavior), so a cut stream may still decode — but never to the
+    # original samples, and never crash
+    trunc = decode_jpeg_pixels(payload[: len(payload) // 2])
+    assert trunc is None or not np.array_equal(trunc, img)
+    # SOF15 (differential lossless arithmetic) stays refused
+    sof15 = payload.replace(b"\xff\xcb", b"\xff\xcf", 1)
+    assert decode_jpeg_pixels(sof15) is None
+
+
+def test_lossless_arith_matches_huffman_samples():
+    """The two entropy layers over the identical predictive front end
+    decode to identical samples — the seam-equivalence contract the
+    sequential (SOF0≡SOF9) family pins."""
+    from fintech_lakehouse_spark.functions.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    img = RNG.integers(0, 256, (25, 31), dtype=np.uint8)
+    for pred in (1, 4, 7):
+        a = decode_jpeg_pixels(encode_jpeg_lossless_arith(img, predictor=pred))
+        hf = decode_jpeg_pixels(encode_jpeg_lossless(img, predictor=pred))
+        assert np.array_equal(a, hf) and np.array_equal(a, img)
