@@ -65,6 +65,7 @@ def iterate_edges(
     *,
     checkpoint_every: int = 1,
     checkpoint_input: bool = False,
+    checkpoint_last: bool = True,
     stop: Callable[[DataFrame], bool] | None = None,
 ) -> tuple[DataFrame, int, bool]:
     """Run ``frame = step(frame, i)`` for up to ``rounds`` rounds with
@@ -91,10 +92,23 @@ def iterate_edges(
     given, checkpoints happen every round regardless of
     ``checkpoint_every`` — the predicate needs a materialized frame.
 
+    ``checkpoint_last=False`` (r15 optimization round) suppresses the
+    implicit final-round checkpoint (checkpoints still happen at
+    ``checkpoint_every`` boundaries and whenever ``stop`` is given):
+    with a SMALL FIXED round count whose step references only
+    checkpoint leaves plus the previous frame, the lazy tail compiles
+    to a linear (not exponential) plan, and skipping the eager
+    materializations lets the one consuming action pipeline the whole
+    tail — measured min-of-5 cold 4.16 s → 3.17 s on
+    dup_graph_pagerank at sf0.1 (3 rounds; each saved checkpoint is
+    one full job + barrier on the critical path). Use
+    the default for unbounded/convergence loops: their tails must stay
+    O(one step).
+
     Returns ``(final_frame, rounds_run, stopped_early)``. The final
-    frame is always a checkpoint leaf; its blocks stay alive until the
-    session ends or the caller releases them (the dedup_clusters
-    contract). Raises nothing on exhaustion — convergence-or-raise
+    frame is a checkpoint leaf unless ``checkpoint_last=False`` left
+    a lazy tail; leaf blocks stay alive until the session ends or the
+    caller releases them (the dedup_clusters contract). Raises nothing on exhaustion — convergence-or-raise
     policy belongs to the caller, which knows what non-convergence
     means for its algorithm.
 
@@ -122,7 +136,7 @@ def iterate_edges(
         boundary = (
             stop is not None
             or (i + 1) % checkpoint_every == 0
-            or i == rounds - 1
+            or (i == rounds - 1 and checkpoint_last)
         )
         if boundary:
             frame = frame.localCheckpoint()

@@ -203,7 +203,13 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = (
         fps.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        # count(*) ≡ countDistinct(doc_id) here: fps explode
+        # winnow_selected's array_sort(array_distinct(mins)), so
+        # (doc_id, fp) rows are unique by construction — the plain
+        # count skips the distinct-aggregate expansion (r15
+        # optimization round; oracle keeps COUNT(DISTINCT doc_id),
+        # same integers).
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") > WINNOW_HOT_DOCS)
         .select("fp")
     )
@@ -757,7 +763,20 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("doc_id"), "pr")
         )
 
-    ranks, _, _ = iterate_edges(ranks, _power_step, PR_ITERS)
+    # Fixed small round count + a step that references only the edge
+    # checkpoint leaf and the previous rank vector → the lazy tail is
+    # a LINEAR 3-step plan (the 3^rounds pathology needs a step that
+    # re-references its input through multiple branches). Skipping the
+    # per-round eager localCheckpoint removes 3 jobs + barriers from
+    # the critical path; the one consuming action pipelines the whole
+    # tail (r15 optimization round, A/B below in OPTIMIZATION_r15.md).
+    ranks, _, _ = iterate_edges(
+        ranks,
+        _power_step,
+        PR_ITERS,
+        checkpoint_every=PR_ITERS + 1,
+        checkpoint_last=False,
+    )
     return ranks.join(deg, ranks["doc_id"] == deg["src"]).select(
         "doc_id", F.col("deg").cast("long").alias("degree"), F.col("pr").alias("pr_micro")
     )

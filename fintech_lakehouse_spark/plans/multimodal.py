@@ -21,6 +21,22 @@ from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of the tiny per-asset driver table
+    (doc_id + arithmetically derived params) so the Python codec work
+    in the following pandas stage runs on every core (r15 optimization
+    round, guide §2.5 "input skew: repartition immediately after the
+    read"): the test lake is ONE parquet file, so the scan is ONE task
+    and every mapInPandas/pandas_udf downstream of it ran the whole
+    150-200-asset codec batch SERIALLY in a single Python worker
+    (measured: jpeg_lossless_roundtrip 37.1 s → 10.2 s at sf0.01 in
+    the oracle gate, first-query session warmup included both times). The exchange moves only the id/param longs — payload
+    bytes are synthesized AFTER the spread — and at 100 TB the same
+    repartition is a no-op-cost insurance against single-file or
+    few-row-group asset tables."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 @register(
     "image_decode_roundtrip",
     oracle="""
@@ -74,7 +90,7 @@ def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("bmp"))
         .otherwise(F.lit("png"))
     )
-    assets = documents.select(
+    assets = _spread(documents.select("doc_id")).select(
         F.col("doc_id").alias("asset_id"),
         fmt.alias("format"),
         (1 + F.col("doc_id") % 16).cast("int").alias("w"),
@@ -127,7 +143,7 @@ def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — the oracle pins duration, rate AND the loudness math.
 
     Scale shape: identical to the image twin — two partition-
-    preserving Arrow stages over one scan, zero Exchange."""
+    preserving Arrow stages over one scan, the only Exchange is _spread's id-only repartition."""
     from pyspark.sql.types import BinaryType
 
     from fintech_lakehouse_spark.functions.multimodal import (
@@ -145,7 +161,7 @@ def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    assets = documents.select(
+    assets = _spread(documents.select("doc_id")).select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("modality"),
         F.lit("wav").alias("format"),
@@ -204,7 +220,7 @@ def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not null) — a typed-null column would flip the comparator dtype.
 
     Scale shape: same as the other roundtrips — partition-preserving
-    Arrow stages per modality branch, zero Exchange; jpeg rides
+    Arrow stages per modality branch, the only Exchange is _spread's id-only repartition; jpeg rides
     extract_image_features, mp4 extract_video_features, mp3
     extract_audio_features, and the union is a partition-local
     concatenation (no shuffle)."""
@@ -235,7 +251,7 @@ def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     documents = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    assets = documents.select(
+    assets = _spread(documents.select("doc_id")).select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("jpeg"))
         .when(F.col("doc_id") % 3 == 1, F.lit("mp4"))
@@ -323,7 +339,7 @@ def jpeg_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, so a red row means the entropy coder, the IDCT, the MCU
     padding, or the restart handling broke.
 
-    Scale shape: one scan + one mapInPandas — zero Exchange; whole
+    Scale shape: one scan + one mapInPandas — the only Exchange is _spread's id-only repartition; whole
     images stay single binary cells (entropy decode is sequential
     within an image because DC prediction chains block-to-block), and
     parallelism is ACROSS images, the same contract as PNG."""
@@ -390,7 +406,7 @@ def jpeg_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    return _spread(documents.select("doc_id")).mapInPandas(batches, schema)
 
 
 @register(
@@ -430,7 +446,7 @@ def mp4_sample_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAYLOAD decode stays the codec-bound seam; everything above it is
     now hash-checked.
 
-    Scale shape: one scan + one Arrow-batched stage, zero Exchange —
+    Scale shape: one scan + one Arrow-batched stage, the only Exchange is _spread's id-only repartition —
     the standard multimodal roundtrip contract."""
     from pyspark.sql.types import (
         LongType,
@@ -489,7 +505,7 @@ def mp4_sample_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    return _spread(documents.select("doc_id")).mapInPandas(batches, schema)
 
 
 FRAME_SAMPLE_K = 4
@@ -610,7 +626,7 @@ def video_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 150
     )
     return (
-        documents.select("doc_id")
+        _spread(documents.select("doc_id"))
         .mapInPandas(batches, schema)
         .orderBy("asset_id", "sample_slot")
     )
@@ -648,7 +664,7 @@ def mp3_granule_sideinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     grammar, granule accounting — is real decode, oracle-pinned.
 
     Scale shape: the roundtrip-family contract — two partition-
-    preserving Arrow stages over one scan, zero Exchange."""
+    preserving Arrow stages over one scan, the only Exchange is _spread's id-only repartition."""
     from fintech_lakehouse_spark.functions.multimodal import (
         read_mp3_side_info,
         synthesize_mp3,
@@ -680,7 +696,7 @@ def mp3_granule_sideinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
-    return documents.select("doc_id").mapInPandas(
+    return _spread(documents.select("doc_id")).mapInPandas(
         batches,
         "asset_id long, n_frames long, sample_rate long, "
         "n_granule_channels long, global_gain_sum long, "
@@ -731,7 +747,7 @@ def mp3_bigvalues_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents the extension point).
 
     Scale shape: the roundtrip-family contract — two partition-
-    preserving Arrow stages over one scan, zero Exchange."""
+    preserving Arrow stages over one scan, the only Exchange is _spread's id-only repartition."""
     import pandas as pd
 
     from fintech_lakehouse_spark.functions.multimodal import (
@@ -771,7 +787,7 @@ def mp3_bigvalues_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
-    return documents.select("doc_id").mapInPandas(
+    return _spread(documents.select("doc_id")).mapInPandas(
         batches,
         "asset_id long, sample_rate long, n_values long, "
         "value_sum long, abs_sum long",
@@ -848,7 +864,7 @@ def mp3_scalefactor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     modular scalefactor program in exact integer SQL.
 
     Scale shape: the roundtrip-family contract — two partition-
-    preserving Arrow stages over one scan, zero Exchange."""
+    preserving Arrow stages over one scan, the only Exchange is _spread's id-only repartition."""
     import pandas as pd
 
     from fintech_lakehouse_spark.functions.multimodal import (
@@ -898,7 +914,7 @@ def mp3_scalefactor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
-    return documents.select("doc_id").mapInPandas(
+    return _spread(documents.select("doc_id")).mapInPandas(
         batches,
         "asset_id long, scalefac_compress long, sf_sum long, "
         "sf_max long, n_values long, value_sum long",
@@ -989,7 +1005,7 @@ def mp3_count1_requantize_roundtrip(
     filterbank stay the named seam.
 
     Scale shape: the roundtrip-family contract — two partition-
-    preserving Arrow stages over one scan, zero Exchange."""
+    preserving Arrow stages over one scan, the only Exchange is _spread's id-only repartition."""
     import pandas as pd
 
     from fintech_lakehouse_spark.functions.multimodal import (
@@ -1053,7 +1069,7 @@ def mp3_count1_requantize_roundtrip(
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
-    return documents.select("doc_id").mapInPandas(
+    return _spread(documents.select("doc_id")).mapInPandas(
         batches,
         "asset_id long, n_count1 long, c1_sum long, "
         "xr_scaled long, xr_abs_scaled long",
@@ -1088,7 +1104,7 @@ def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Successive approximation (Ah/Al ≠ 0) is implemented r13 — see
     ``jpeg_successive_roundtrip``.
 
-    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    Scale shape: one scan + one mapInPandas — the only Exchange is _spread's id-only repartition; images
     stay single binary cells, parallelism is ACROSS images."""
     from pyspark.sql.types import (
         BooleanType,
@@ -1161,7 +1177,7 @@ def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    return _spread(documents.select("doc_id")).mapInPandas(batches, schema)
 
 
 @register(
@@ -1194,7 +1210,7 @@ def jpeg_successive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement's EOBRUN/ZRL buffering paths run; arithmetic coding
     stays the named seam.
 
-    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    Scale shape: one scan + one mapInPandas — the only Exchange is _spread's id-only repartition; images
     stay single binary cells, parallelism is ACROSS images."""
     from pyspark.sql.types import (
         BooleanType,
@@ -1267,7 +1283,7 @@ def jpeg_successive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    return _spread(documents.select("doc_id")).mapInPandas(batches, schema)
 
 
 @register(
@@ -1306,7 +1322,7 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavily quantized so long zero runs exercise the EOB-decision
     contexts of both frame types.
 
-    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    Scale shape: one scan + one mapInPandas — the only Exchange is _spread's id-only repartition; images
     stay single binary cells, parallelism is ACROSS images (the only
     distribution that makes sense for per-asset codecs at 100 TB)."""
     from pyspark.sql.types import (
@@ -1399,7 +1415,7 @@ def jpeg_arithmetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    return _spread(documents.select("doc_id")).mapInPandas(batches, schema)
 
 
 @register(
@@ -1439,7 +1455,7 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``has_lossless_markers`` asserts the stream is really SOF3 (no DQT
     — lossless has no quantization tables).
 
-    Scale shape: one scan + one mapInPandas — zero Exchange; images
+    Scale shape: one scan + one mapInPandas — the only Exchange is _spread's id-only repartition; images
     stay single binary cells, parallelism is ACROSS images (the only
     distribution that makes sense for per-asset codecs at 100 TB)."""
     from pyspark.sql.types import (
@@ -1544,4 +1560,4 @@ def jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 150
     )
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    return _spread(documents.select("doc_id")).mapInPandas(batches, schema)

@@ -1323,7 +1323,13 @@ def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = (
         grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        # count(*) ≡ countDistinct(doc_id) here: grams come from
+        # word_shingles' array_distinct, so (doc_id, gram) rows are
+        # unique by construction — the plain count skips the
+        # distinct-aggregate expansion (one extra hash-aggregate pass
+        # over the whole gram index; r15 optimization round). The
+        # DuckDB oracle keeps COUNT(DISTINCT doc_id): same integers.
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") > 100)
         .select("gram")
     )
@@ -1872,7 +1878,13 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = (
         grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        # count(*) ≡ countDistinct(doc_id) here: grams come from
+        # word_shingles' array_distinct, so (doc_id, gram) rows are
+        # unique by construction — the plain count skips the
+        # distinct-aggregate expansion (one extra hash-aggregate pass
+        # over the whole gram index; r15 optimization round). The
+        # DuckDB oracle keeps COUNT(DISTINCT doc_id): same integers.
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") > 100)
         .select("gram")
     )
@@ -2668,7 +2680,13 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = (
         grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        # count(*) ≡ countDistinct(doc_id) here: grams come from
+        # word_shingles' array_distinct, so (doc_id, gram) rows are
+        # unique by construction — the plain count skips the
+        # distinct-aggregate expansion (one extra hash-aggregate pass
+        # over the whole gram index; r15 optimization round). The
+        # DuckDB oracle keeps COUNT(DISTINCT doc_id): same integers.
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") > 100)
         .select("gram")
     )

@@ -941,14 +941,34 @@ def test_triangle_count_reuses_pair_subtree(spark, sf_dir):
         "media_header_roundtrip",
     ],
 )
-def test_multimodal_roundtrips_zero_shuffle(spark, sf_dir, query):
-    """The multimodal roundtrip queries promise pure per-partition
-    pipelines: synthesis UDF → mapInPandas decode with NO Exchange —
-    the property that makes binary decode a flat map over a 100 TB
-    asset table. A join sneaking back in (e.g. to re-fetch a column
-    the key already determines) shows up here."""
+def test_multimodal_roundtrips_single_id_spread(spark, sf_dir, query):
+    """The multimodal roundtrip queries promise per-partition codec
+    pipelines with EXACTLY ONE exchange: the deliberate round-robin
+    ``_spread`` of the tiny id table (r15 optimization round) that
+    fans the per-asset Python codec work across cores — the test lake
+    is one parquet file, so without it the whole asset batch decodes
+    serially in a single Python worker. The contract pinned here:
+    one RoundRobinPartitioning exchange, placed BELOW payload
+    synthesis (it moves only the id/param longs, never binary
+    payloads), and still no join sneaking back in (e.g. to re-fetch a
+    column the key already determines)."""
+    import re
+
     plan = _plan(QUERIES[query](spark, sf_dir))
-    assert "Exchange" not in plan, plan[:2000]
+    # "(n) Exchange" appears once per exchange in the formatted detail
+    # section (the tree line would double-count it); union-of-codecs
+    # queries spread each branch, so: at least one, ALL round-robin,
+    # ALL over the pruned id-only projection.
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: ([^,\n]*)",
+        plan,
+    )
+    assert exchanges, plan[:2000]
+    for cols, partitioning in exchanges:
+        assert "RoundRobinPartitioning" in partitioning, plan[:2000]
+        assert "payload" not in cols and "text" not in cols, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
 
 
