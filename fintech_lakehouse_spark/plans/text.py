@@ -1848,9 +1848,20 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _with_repetition_metrics(documents).withColumn(
         "b", hash_bucket("doc_id", "split")
     )
-    quality = m.filter(
-        (F.col("b") < 9000) & (F.col("n_tokens") >= 10) & ~_is_repetitive()
-    )
+    # Cheap predicates stay a plain filter (they prune BEFORE the
+    # fold-heavy metrics evaluate); the EXPENSIVE repetition flag must
+    # NOT be a filter below the dedup window: physical scan-operation
+    # collapse substitutes the metric aliases into the Filter node,
+    # inlining split(text) ~16× into one interpreted (CodegenFallback
+    # HOF) predicate tree — the same pathology word_shingles documents
+    # for pushed generator filters. Measured: the collapsed filter
+    # cost 4.5 s vs 0.98 s for the identical metrics as a projection
+    # (sf0.1, min-of-3). Instead the flag is a PROJECTED column below
+    # the window exchange (evaluated once per row, with the token
+    # array staged in its own projection) and quality membership folds
+    # into the window: survivor = quality row holding the group's
+    # minimum quality doc_id (r15 optimization round).
+    base = m.filter((F.col("b") < 9000) & (F.col("n_tokens") >= 10))
     # keep-lowest-doc_id per prefix hash via a keyed window rather
     # than groupBy + semi-join-back: the join-back would reference the
     # `quality` subtree twice, recomputing the expression-heavy
@@ -1859,12 +1870,23 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.array_join(F.slice(F.col("t"), 1, 12), " ")
     from pyspark.sql.window import Window as _W
 
-    dedup_w = _W.partitionBy("_h").orderBy("doc_id")
+    flagged = base.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(prefix.cast("binary")).alias("_h"),
+        (~_is_repetitive()).alias("_keep"),
+    )
+    # min over quality rows only: when() excludes non-quality rows, so
+    # doc_id == _kmin picks exactly the row row_number()=1 picked over
+    # the quality-filtered input (doc_id is unique; a group with no
+    # quality row yields _kmin NULL and the filter drops it).
+    keep_min = F.min(F.when(F.col("_keep"), F.col("doc_id"))).over(
+        _W.partitionBy("_h")
+    )
     deduped = (
-        quality.withColumn("_h", F.md5(prefix.cast("binary")))
-        .withColumn("_rn", F.row_number().over(dedup_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+        flagged.withColumn("_kmin", keep_min)
+        .filter(F.col("_keep") & (F.col("doc_id") == F.col("_kmin")))
+        .drop("_h", "_keep", "_kmin")
     )
 
     # repartition("gram"): fact-20 exchange-reuse fix, same as

@@ -972,6 +972,32 @@ def test_multimodal_roundtrips_single_id_spread(spark, sf_dir, query):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
 
 
+def test_curated_quality_flag_not_inlined_into_filter(spark, sf_dir):
+    """r15 optimization pin: curated_corpus_shards evaluates the
+    fold-heavy repetition flag ONCE, as a projected column below the
+    dedup-window exchange — never inlined into a Filter. Physical
+    scan-operation collapse used to substitute the metric aliases into
+    the quality Filter, inlining split(text) ~16× into one interpreted
+    (CodegenFallback HOF) predicate (measured 4.5 s vs 0.98 s for the
+    same metrics as a projection, sf0.1). Contract: no Filter node
+    carries an aggregate() fold; exactly one Project does; the window
+    form (min over quality rows) replaced the filtered row_number."""
+    import re
+
+    df = QUERIES["curated_corpus_shards"](spark, sf_dir)
+    plan = _plan(df)
+    nodes = re.finditer(
+        r"\((\d+)\) (\w+)[^\n]*\n((?:(?!\n\(\d+\) ).)*)", plan, re.S
+    )
+    fold_filters, fold_projects = [], []
+    for m in nodes:
+        _, op, detail = m.groups()
+        if "aggregate(" in detail:
+            (fold_filters if op == "Filter" else fold_projects).append(op)
+    assert not fold_filters, plan[:3000]
+    assert len(fold_projects) == 1, (fold_projects, plan[:3000])
+
+
 def test_hot_key_guard_trips_and_passes(spark):
     """The skew gate for exact range windows (VERDICT r6 item 3), both
     modes: lazily-gated plans build for free and fail AT EXECUTION on
@@ -1208,13 +1234,19 @@ def test_kcore_plan_is_checkpoint_bounded(spark, sf_dir):
 
 
 def test_pagerank_plan_is_checkpoint_bounded(spark, sf_dir):
-    """Same contract for the power iteration: the final plan joins the
-    last rank checkpoint to the degree table (itself derived from the
-    adjacency checkpoint leaf) — the winnowing pair subtree appears
-    ZERO times statically."""
+    """Same contract for the power iteration, updated for the r15 lazy
+    tail (iterate_edges checkpoint_last=False): the heavy winnowing
+    pair subtree still appears ZERO times statically — every leaf is
+    the edge localCheckpoint — while the 3 unrolled power rounds
+    contribute a LINEAR number of exchanges (one join + one agg per
+    round, the degree subtree deduped by ReusedExchange at runtime),
+    not the 3^rounds subtree blow-up the checkpoint harness exists to
+    prevent. Bound: rounds × ~5 + the final degree join, comfortably
+    under the 599-exchange pathology plan (VERDICT r7)."""
     df = QUERIES["dup_graph_pagerank"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    assert plan.count("Exchange") <= 8, plan[:3000]
+    assert plan.count("Exchange") <= 24, plan[:3000]
+    assert "ReusedExchange" in plan, plan[:3000]
     assert "Scan parquet" not in plan, plan[:3000]
