@@ -428,3 +428,46 @@ def test_file_inventory_rows_and_sizes(spark, tmp_path):
     assert sum(r["n_rows"] for r in inv) == 1000
     assert all(r["size_bytes"] > 0 and r["modified_ms"] > 0 for r in inv)
     assert all(r["file"].endswith(".parquet") for r in inv)
+
+
+def test_schema_catalog_caches_metadata_only(spark, tmp_path):
+    """r15 optimization pin: load_table resolves a table's schema from
+    the module catalog after the first read (245 ms -> 37 ms per
+    spark.read at sf0.1), but the catalog must hold METADATA only —
+    rows always come from the files, and an in-place rewrite (new
+    mtime) or reset_table_schema_catalog() forces re-inference."""
+    import os
+    import time as _time
+
+    from fintech_lakehouse_spark.sources.readers import (
+        _SCHEMA_CATALOG,
+        reset_table_schema_catalog,
+    )
+
+    lake = tmp_path / "lake"
+    path = str(lake / "nation.parquet")
+    spark.range(3).selectExpr("id AS n_nationkey").write.parquet(path)
+    reset_table_schema_catalog()
+    first = load_table(spark, str(lake), "nation")
+    assert first.count() == 3
+    key_paths = [k[0] for k in _SCHEMA_CATALOG]
+    assert path in key_paths
+    # second load rides the catalog and still reads CURRENT data:
+    # append more rows without changing the schema — row count must
+    # reflect the files, proving no data/result caching
+    spark.range(2).selectExpr("id + 10 AS n_nationkey").write.mode(
+        "append"
+    ).parquet(path)
+    again = load_table(spark, str(lake), "nation")
+    assert again.count() == 5
+    # schema-changing rewrite: mtime moves -> catalog misses -> the new
+    # column is visible (sleep past mtime granularity)
+    _time.sleep(1.1)
+    spark.range(4).selectExpr(
+        "id AS n_nationkey", "'x' AS n_name"
+    ).write.mode("overwrite").parquet(path)
+    os.utime(path)
+    rewritten = load_table(spark, str(lake), "nation")
+    assert "n_name" in rewritten.columns and rewritten.count() == 4
+    reset_table_schema_catalog()
+    assert not _SCHEMA_CATALOG
