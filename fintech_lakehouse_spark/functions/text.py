@@ -448,10 +448,119 @@ def winnow_selected(
     fingerprint. Docs with fewer than w grams select the single global
     minimum; docs with no full gram select nothing.
 
-    Zero-Exchange scan: grams, hashes, window minima are higher-order
-    functions inside the row. Each intermediate array is materialized
-    in its own projection (see word_shingles: inlining split() into
-    the gram lambda re-splits the text per element, measured ~20×)."""
+    r16 optimization round: vectorized ``mapInArrow`` implementation
+    (guide §4.2/§4.3). The original all-JVM expression form (kept
+    below as :func:`winnow_selected_expr` — the bit-equivalence twin)
+    pays interpreted-HOF cost per row: higher-order functions are
+    CodegenFallback, so the gram build, the per-gram md5→conv chain
+    and the O(n·w) slice/array_min walk all run on the interpreted
+    path (~0.9 s of the 2.0–2.4 s winnowing stage at sf0.1 — VERDICT
+    r15 item 1). Here the same walk is hashlib.md5 (C) + one NumPy
+    sliding-window min per document, with ONLY (doc_id, text) crossing
+    the Python boundary (§4.1 column pruning). The fingerprint family
+    is bit-identical — int.from_bytes(md5(gram)[:6], 'big') ==
+    conv(substring(md5_hex, 1, 12), 16, 10) — pinned against the
+    expression twin on corpus + adversarial docs by
+    tests/test_functions.py::test_winnow_arrow_matches_expr_twin and
+    end-to-end by the DuckDB oracles of every winnowing consumer.
+
+    Zero-Exchange scan either way: one PythonMapInArrow node inside
+    the scan stage, no shuffle."""
+    arrow_fn = _winnow_batches(k, w, text_col)
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), text_col
+    ).mapInArrow(arrow_fn, "doc_id long, n_grams long, selected array<long>")
+
+
+def _winnow_batches(k: int, w: int, text_col: str):
+    """Arrow-batch winnowing kernel factory (executor-side body of
+    :func:`winnow_selected`). Per document: split on single spaces
+    (Python str.split(' ') ≡ Spark split(text, ' ') — both keep
+    leading/trailing/consecutive-space empty tokens), hash each
+    k-token gram to the first 48 bits of its md5 (big-endian — the
+    same integer as conv(substring(md5_hex,1,12),16,10)), take the
+    min of each w-wide sliding window (whole-array min when fewer
+    than w grams), and emit the sorted distinct selection."""
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        out_schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("n_grams", pa.int64()),
+                pa.field("selected", pa.list_(pa.int64())),
+            ]
+        )
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            n_rows = len(texts)
+            n_grams = np.zeros(n_rows, dtype=np.int64)
+            offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            sel_parts = []
+            for r, t in enumerate(texts):
+                toks = t.split(" ") if t is not None else []
+                ng = len(toks) - k + 1
+                if ng <= 0:
+                    offsets[r + 1] = offsets[r]
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(" ".join(toks[i : i + k]).encode()).digest()[:6],
+                            "big",
+                        )
+                        for i in range(ng)
+                    ),
+                    dtype=np.int64,
+                    count=ng,
+                )
+                n_grams[r] = ng
+                if ng >= w:
+                    sel = np.unique(swv(hs, w).min(axis=1))
+                else:
+                    sel = hs.min(keepdims=True)
+                sel_parts.append(sel)
+                offsets[r + 1] = offsets[r] + sel.size
+            values = (
+                np.concatenate(sel_parts)
+                if sel_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(n_grams),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(values, type=pa.int64()),
+                    ),
+                ],
+                schema=out_schema,
+            )
+
+    return fn
+
+
+def winnow_selected_expr(
+    documents: DataFrame, k: int = 4, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """The original all-JVM expression form of :func:`winnow_selected`
+    — grams, hashes and window minima as higher-order functions inside
+    the row. Retained as the bit-equivalence twin for the vectorized
+    mapInArrow path (and as the fallback for environments without
+    Arrow): the r16 unit pin runs both over the same corpus and
+    asserts identical rows. Interpreted-HOF cost makes it ~2× slower
+    per scanned row (VERDICT r15 item 1); semantics are identical.
+
+    Each intermediate array is materialized in its own projection (see
+    word_shingles: inlining split() into the gram lambda re-splits the
+    text per element, measured ~20×)."""
     toks = F.col("_toks")
     tokenized = documents.select(
         "doc_id", tokens(text_col).alias("_toks")

@@ -111,7 +111,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each intermediate array is materialized in its own projection —
     inlining the token split into the gram lambda re-splits the text
     per element (functions/text.py::word_shingles, measured ~20×)."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     winnowed = winnow_selected(documents, k=WINNOW_K, w=WINNOW_W)
     sel = F.col("selected")
     # size() is INT in Spark but len() is BIGINT in DuckDB, and the
@@ -195,7 +195,7 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint index through different subtrees; with it the
     scan→winnow→explode derivation runs once and the pair join needs
     no further exchange."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     fps = (
         winnow_selected(documents, k=WINNOW_K, w=WINNOW_W)
         .select("doc_id", F.explode("selected").alias("fp"))
@@ -227,6 +227,19 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_PAIRS_CACHE: dict[tuple, tuple] = {}
 
+# Right-sizing constant for the cached pair view (r16, guide
+# §2.2/§2.6): rows per partition of the coalesced consumer view. The
+# cached aggregate keeps spark.sql.shuffle.partitions partitions
+# (cached plans are exempt from AQE partition coalescing —
+# spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
+# false), so at bench scale 280 pair rows sat in 32 partitions and
+# every downstream exchange of every graph consumer scheduled 32–64
+# near-empty map tasks. coalesce() below is narrow (never a shuffle)
+# and can only REDUCE the partition count, so at production scale —
+# where pairs/PAIRS_PER_PARTITION exceeds the cached partitioning —
+# it is a no-op and the full parallelism is kept.
+PAIRS_PER_PARTITION = 65_536
+
 
 def winnowing_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The winnowing candidate-pair table, materialized ONCE per
@@ -239,26 +252,36 @@ def winnowing_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified_pairs_stage pattern: at 100 TB this is "write the pair
     table to storage once per corpus snapshot and point every graph
     consumer at it". reset_stage_caches() clears it (bench cold-run
-    protocol); production sessions keep the amortization."""
+    protocol); production sessions keep the amortization.
+
+    Consumers receive a size-coalesced VIEW of the cache (r16): the
+    materialized count picks ceil(n / PAIRS_PER_PARTITION) partitions,
+    clamped to the cached partitioning, so a few-hundred-edge dup
+    graph iterates over 1 partition instead of 32 (VERDICT r15 item 2:
+    pagerank ran FASTER on 8 cores than 32 — per-task scheduling
+    overhead exceeded the per-partition work on every tail
+    exchange)."""
     key = (id(spark), sf_dir)
     hit = _WINNOW_PAIRS_CACHE.get(key)
     if hit is not None:
-        return hit[1]
+        return hit[2]
     pairs = (
         winnowing_candidate_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .cache()
     )
-    pairs.count()  # materialize before consumers branch
-    _WINNOW_PAIRS_CACHE[key] = (spark, pairs)
-    return pairs
+    n = pairs.count()  # materialize before consumers branch
+    target = max(1, min(pairs.rdd.getNumPartitions(), -(-n // PAIRS_PER_PARTITION)))
+    view = pairs.coalesce(target)
+    _WINNOW_PAIRS_CACHE[key] = (spark, pairs, view)
+    return view
 
 
 def reset_winnow_pairs_cache() -> None:
     """Unpersist and drop the per-snapshot winnowing pair tables
     (called by plans.text.reset_stage_caches — the one cold-run
     reset entry point)."""
-    for _, pairs in _WINNOW_PAIRS_CACHE.values():
+    for _, pairs, _view in _WINNOW_PAIRS_CACHE.values():
         try:
             pairs.unpersist()
         except Exception:
@@ -521,7 +544,7 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives included. No hot-gram drop here (that would need a
     corpus-wide gram count — a shuffle, defeating the point);
     boilerplate grams cost false flags, not misses."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     grams = (
         word_shingles(documents, n=DECON_GRAM_N)
         .select("doc_id", F.explode("shingles").alias("gram"))
@@ -612,7 +635,7 @@ def bigram_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave-one-out subtraction rides the same row."""
     from pyspark.sql import Window as _W
 
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     toks = F.col("_toks")
     tokenized = documents.select(
         "doc_id",

@@ -339,7 +339,7 @@ def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode into a cross product. streaming/events.py::
     purchase_click_stream_join runs the same condition with
     watermarked state."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", spread="event_id")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),

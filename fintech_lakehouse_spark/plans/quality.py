@@ -58,7 +58,7 @@ def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation (the SURVEY §4.1 rewrite of the reference's
     N-scan loop). Uniqueness needs its own shuffle (it is a group-by),
     joined back as a 1×1 broadcast."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem", spread="l_orderkey")
     stats = lineitem.agg(
         F.count(F.lit(1)).alias("total_rows"),
         *[

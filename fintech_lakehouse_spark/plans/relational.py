@@ -61,7 +61,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen'd; partial aggregation makes the shuffle tiny
     (6 groups regardless of input size). Quantities are integral so a
     double sum is already exact; money goes through decimals."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem", spread="l_orderkey")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -104,8 +104,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort materialization at scale. Revenue is decimal-exact so the
     top-10 cut is engine-deterministic."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders", spread="o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem", spread="l_orderkey")
     return (
         customer.filter(F.col("c_mktsegment") == "BUILDING")
         .join(
@@ -147,8 +147,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders", spread="o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem", spread="l_orderkey")
     dims = F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -435,7 +435,7 @@ def customer_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Negative coordinates are avoided by keeping the [0,180M)/[0,360M)
     frame: Spark DIV truncates toward zero while DuckDB // floors, so
     floor-division parity only holds for non-negative operands."""
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer", spread="c_custkey")
     r = GEO_RADIUS_MICRO
 
     def md5_coord(salt: str, mod: int):

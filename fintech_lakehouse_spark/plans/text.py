@@ -1314,7 +1314,7 @@ def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation ran once per consumer; with it the derivation feeds one
     reused shuffle and the contamination join needs no further
     exchange (both sides already hash-partitioned on gram)."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     grams = (
         word_shingles(documents, n=8)
         .select("doc_id", F.explode("shingles").alias("gram"))
@@ -1725,7 +1725,7 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Comparison safety: fractions are exact-integer ÷ exact-integer in
     IEEE double on both engines (identical bit results), so the
     threshold booleans and ROUND(…, 4) displays cannot diverge."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     # single-token docs have no bigrams/adjacency: their denominators
     # NULL out (nullif) instead of dividing by zero under ANSI mode,
     # and the flag coalesces those terms to false — mirrored verbatim
@@ -1844,7 +1844,7 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     both keyed on doc_id, both candidate-bounded. Catalyst fuses the
     scan for stages 1-3 (quality metrics and the dedup key come from
     the same row read)."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     m = _with_repetition_metrics(documents).withColumn(
         "b", hash_bucket("doc_id", "split")
     )
@@ -2693,7 +2693,7 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-gram fan-out is exactly 1, so the join output is bounded by
     eval-side gram count regardless of corpus duplication; the
     fraction is int/int IEEE division (deterministic, unrounded)."""
-    documents = load_table(spark, sf_dir, "documents")
+    documents = load_table(spark, sf_dir, "documents", spread="doc_id")
     grams = (
         word_shingles(documents, n=8)
         .select("doc_id", F.explode("shingles").alias("gram"))

@@ -28,8 +28,15 @@ from fintech_lakehouse_spark.plans.registry import register
 from fintech_lakehouse_spark.sources.readers import load_table
 
 
-def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def _embeddings_double(
+    spark: SparkSession, sf_dir: str, spread: str | None = None
+) -> DataFrame:
+    # ``spread`` is per-CALLER, not blanket: the r16 A/B measured the
+    # conditional scan spread (readers.load_table) a 1.21× win for the
+    # brute-force kNN scan but a regression for the bucketed/probed
+    # consumers (lsh_bucketed_neighbors 0.71×, quantization 0.78×),
+    # whose cheap scans don't amortize the extra exchange.
+    emb = load_table(spark, sf_dir, "embeddings", spread=spread)
     return emb.select(
         "vec_id",
         "label",
@@ -62,7 +69,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus streams once with no shuffle; per-query top-k via a
     keyed window. At 100 TB the same plan holds for any small query
     batch; large query batches go through lsh_bucketed_neighbors."""
-    emb = _embeddings_double(spark, sf_dir)
+    emb = _embeddings_double(spark, sf_dir, spread="vec_id")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

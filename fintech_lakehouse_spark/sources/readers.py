@@ -136,8 +136,46 @@ def read_orc_to_df(
 # unaffected: every repeat still computes from the parquet inputs.
 # The mtime key invalidates on rewrite (a new file/dir timestamp →
 # fresh inference), matching Spark's own session-level file-index
-# cache semantics.
-_SCHEMA_CATALOG: dict[tuple[str, float | None], "StructType"] = {}
+# cache semantics. r16 (ADVICE r15): inserting a key EVICTS older
+# entries for the same path (the catalog stays one entry per live
+# table instead of growing per rewrite), and an unstattable path
+# (mtime None) is never cached — a later successful stat must always
+# re-infer. The value carries (schema, estimated scan splits): the
+# split estimate is pure file metadata (sizes + Spark's split-packing
+# arithmetic) used by the conditional scan spread below.
+_SCHEMA_CATALOG: dict[tuple[str, float | None], tuple["StructType", int]] = {}
+
+# Spark's file-split packing constants (spark.sql.files.*): splits ≈
+# ceil((bytes + n_files·openCost) / maxPartitionBytes), floored at 1.
+_MAX_PARTITION_BYTES = 128 << 20
+_OPEN_COST_BYTES = 4 << 20
+
+
+def _estimate_scan_splits(path: str) -> int:
+    """Estimated scan-task count for a parquet path from file metadata
+    alone (no Spark job): Spark packs files into splits of
+    maxPartitionBytes, charging openCostInBytes per file. The estimate
+    only feeds a LESS-THAN-CORES comparison, so row-group granularity
+    (which can only reduce effective parallelism further) never flips
+    the decision the wrong way."""
+    import os as _os
+
+    total = 0
+    n_files = 0
+    try:
+        if _os.path.isfile(path):
+            total, n_files = _os.path.getsize(path), 1
+        else:
+            for dirpath, _dirs, files in _os.walk(path):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    total += _os.path.getsize(_os.path.join(dirpath, f))
+                    n_files += 1
+    except OSError:
+        return 1
+    padded = total + n_files * _OPEN_COST_BYTES
+    return max(1, -(-padded // _MAX_PARTITION_BYTES))
 
 
 def reset_table_schema_catalog() -> None:
@@ -146,8 +184,31 @@ def reset_table_schema_catalog() -> None:
     _SCHEMA_CATALOG.clear()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: str | None = None,
+) -> DataFrame:
     """One driver test table (TESTDATA.md): ``{sf_dir}/{name}.parquet``.
+
+    ``spread`` (r16 optimization round, guide §2.5 "input skew: one
+    huge unsplittable file → repartition immediately after the read"):
+    when set to a column name AND the table's file layout yields fewer
+    scan splits than the session's core count, the frame is hash-
+    repartitioned on that column to ``defaultParallelism``. The test
+    lake stores every table as ONE single-row-group parquet file, so
+    every scan — and everything Spark pipelines into the scan stage:
+    shingle/gram derivations, partial aggregations, winnowing — ran as
+    ONE task on one core (measured 1.10–1.99× whole-query wins across
+    ten bench queries from this one change; scripts/r16_spread_ab.py).
+    The condition is pure file metadata (cached in the schema
+    catalog): at production scale the same table has splits ≥ cores
+    and the repartition VANISHES from the plan, so this is layout
+    remediation, not a local-mode constant — a real cluster reading a
+    few small files gets the same protection. Hash on a provided
+    unique key (not round-robin) keeps the exchange deterministic
+    under retry (§2.5) and skips round-robin's sort-before-repartition.
 
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark reads only as LongType nanos (legacy.parquet.nanosAsLong) —
@@ -181,11 +242,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         mtime = None
     key = (path, mtime)
-    schema = _SCHEMA_CATALOG.get(key)
-    if schema is None:
+    hit = _SCHEMA_CATALOG.get(key) if mtime is not None else None
+    if hit is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CATALOG[key] = df.schema
+        splits = _estimate_scan_splits(path)
+        if mtime is not None:
+            # evict stale same-path entries before inserting (ADVICE
+            # r15: the catalog must not grow per rewrite, and a stale
+            # mtime key must never be served again)
+            for old in [k for k in _SCHEMA_CATALOG if k[0] == path]:
+                del _SCHEMA_CATALOG[old]
+            _SCHEMA_CATALOG[key] = (df.schema, splits)
     else:
+        schema, splits = hit
         df = spark.read.schema(schema).parquet(path)
     if name == "events":
         from pyspark.sql.types import LongType
@@ -210,6 +279,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "THEN 1 ELSE 0 END) AS DECIMAL(20, 0)) / 1000000)"
                 ),
             )
+    if spread is not None and splits < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism, F.col(spread))
     return df
 
 

@@ -890,6 +890,48 @@ def test_winnowing_guarantee_and_density(spark):
     assert rows[5]["n_grams"] == 1 and len(rows[5]["selected"]) == 1
 
 
+def test_winnow_arrow_matches_expr_twin(spark, sf_dir):
+    """r16 optimization pin: the vectorized mapInArrow winnowing path
+    must be BIT-IDENTICAL to the retained all-JVM expression twin —
+    same doc_id set, same n_grams, same sorted-distinct selected
+    arrays — on the real corpus plus adversarial token shapes
+    (empty text, lone/leading/trailing/consecutive spaces → empty
+    tokens, unicode, sub-k docs, k<=n<w docs, duplicate window
+    minima). The md5-prefix fingerprint family is oracle-pinned, so
+    any drift here is a correctness bug, not a perf regression."""
+    from fintech_lakehouse_spark.functions.text import (
+        winnow_selected,
+        winnow_selected_expr,
+    )
+    from fintech_lakehouse_spark.sources.readers import load_table
+
+    adversarial = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, " "),
+            (3, "  leading and  doubled spaces trailing  "),
+            (4, "短い 完全 different 内容 ünïcödé tokens mixed in here"),
+            (5, "a b c"),  # n < k: no grams
+            (6, "a b c d"),  # exactly one gram (< w)
+            (7, "a b c d e f"),  # k <= n_grams < w
+            (8, " ".join(["rep"] * 40)),  # all-equal grams: dup minima
+            (9, None),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for docs in (adversarial, corpus):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["selected"])
+            for r in winnow_selected(docs, k=4, w=5).collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_grams"], r["selected"])
+            for r in winnow_selected_expr(docs, k=4, w=5).collect()
+        }
+        assert got == want
+
+
 def test_winnowing_shift_invariance(spark):
     """Selected fingerprint VALUES of a shared run do not depend on
     where the run sits in the document (position-robustness — the

@@ -172,10 +172,25 @@ def test_plan_shapes(spark, sf_dir, query, required):
 
 def test_repetition_scores_zero_shuffle(spark, sf_dir):
     """doc_repetition_scores promises a pure scan: every histogram max
-    is an in-row fold, so the plan must contain NO exchange at all —
-    the property that makes it a flat map over a 100 TB corpus."""
+    is an in-row fold — a flat map over a 100 TB corpus. r16: the
+    single-file test lake triggers load_table's conditional scan
+    spread (guide §2.5 input skew), so the plan may carry EXACTLY the
+    one hashpartitioning(doc_id) exchange that fans the serial scan
+    across cores — it vanishes when the layout yields >= cores splits.
+    Any other exchange is still a regression."""
+    import re
+
     plan = _plan(QUERIES["doc_repetition_scores"](spark, sf_dir))
-    assert "Exchange" not in plan, plan[:2000]
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*\]\n"
+        r"Arguments: (\w+partitioning)\(([^,)]*)",
+        plan,
+    )
+    assert exchanges, plan[:2000]  # the spread fires on the test lake
+    assert all(
+        part == "hashpartitioning" and col.startswith("doc_id")
+        for part, col in exchanges
+    ), plan[:2000]
 
 
 def test_column_pruning(spark, sf_dir):
@@ -541,11 +556,28 @@ def test_cluster_balanced_two_phase_exact(spark, sf_dir):
 
 
 def test_winnowing_zero_shuffle(spark, sf_dir):
-    """winnowing_fingerprints promises a pure scan (the 100 TB flat-map
-    property): grams, hashes, window minima and the digest are all
-    in-row higher-order functions — no Exchange anywhere."""
+    """winnowing_fingerprints promises a pure scan (the 100 TB
+    flat-map property): the selection is one in-row pass — since r16 a
+    vectorized PythonMapInArrow over (doc_id, text) only. The
+    single-file test lake triggers load_table's conditional scan
+    spread, so EXACTLY the one hashpartitioning(doc_id) exchange may
+    appear (it vanishes when the layout yields >= cores splits); any
+    other exchange is a regression."""
+    import re
+
     plan = _plan(QUERIES["winnowing_fingerprints"](spark, sf_dir))
-    assert "Exchange" not in plan, plan[:2000]
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*\]\n"
+        r"Arguments: (\w+partitioning)\(([^,)]*)",
+        plan,
+    )
+    assert exchanges, plan[:2000]  # the spread fires on the test lake
+    assert all(
+        part == "hashpartitioning" and col.startswith("doc_id")
+        for part, col in exchanges
+    ), plan[:2000]
+    # the Python boundary sees only the two columns it needs (§4.1)
+    assert "MapInArrow" in plan, plan[:2000]
 
 
 def test_vocab_oov_broadcasts_vocab(spark, sf_dir):
