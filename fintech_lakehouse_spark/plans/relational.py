@@ -247,7 +247,7 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_merchant_performance analog (ref: src/config/base.py:94).
     Supplier dim is tiny → broadcast; lineitem aggregates after a
     map-side partial agg on suppkey."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem", spread="l_orderkey")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
         lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))

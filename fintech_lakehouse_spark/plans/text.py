@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fintech_lakehouse_spark.functions.text import (
+    drop_hot_keys,
     language_best_guess,
     lsh_band_pairs_md5,
     md5_hex,
@@ -226,13 +227,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).repartition("shingle")
-    hot = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 100)
-        .select("shingle")
-    )
-    exploded = exploded.join(hot, "shingle", "left_anti")
+    # hot-shingle drop as a COUNT window over the shingle partition
+    # (r16; see functions/text.py::drop_hot_keys — one pass, no join,
+    # window sort pre-orders the index for the self-join below).
+    # count(*) ≡ countDistinct(doc_id): shingles are per-doc distinct.
+    exploded = drop_hot_keys(exploded, "shingle", 100)
     sizes = exploded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -315,13 +314,8 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).repartition("shingle")
-    hot = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 100)
-        .select("shingle")
-    )
-    exploded = exploded.join(hot, "shingle", "left_anti")
+    # hot-shingle drop as a COUNT window (r16; drop_hot_keys rationale)
+    exploded = drop_hot_keys(exploded, "shingle", 100)
     sizes = exploded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -533,7 +527,17 @@ def verified_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     signatures = minhash_signatures_md5(shingle_rows(documents, n=3), n_hashes=32)
     candidates = lsh_band_pairs_md5(signatures, n_hashes=32, n_bands=8)
-    pairs = verified_jaccard_pairs(documents, candidates, n=3, threshold=0.5).cache()
+    # materialize=False (r16, VERDICT r15 item 3): the candidate cache
+    # stays lazy — `pairs.count()` below is the ONE consumer of the
+    # candidate table here, so the eager candidate count was a whole
+    # extra Spark job on the critical path for nothing (the lazy cache
+    # still computes candidates once inside the count action: cached
+    # partitions are block-locked, so the id semi-join branch and the
+    # pair-join branch share one evaluation). Interleaved min-of-5
+    # A/B on the composed pipeline: 1.620 → 1.342 s at sf0.1.
+    pairs = verified_jaccard_pairs(
+        documents, candidates, n=3, threshold=0.5, materialize=False
+    ).cache()
     pairs.count()  # materialize before consumers branch (lineage runs once)
     # the candidate table was only needed to build `pairs` — free it
     # now (an eviction-triggered recompute of pairs rebuilds it)
@@ -1321,19 +1325,13 @@ def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b", hash_bucket("doc_id", "split"))
         .repartition("gram")
     )
-    hot = (
-        grams.groupBy("gram")
-        # count(*) ≡ countDistinct(doc_id) here: grams come from
-        # word_shingles' array_distinct, so (doc_id, gram) rows are
-        # unique by construction — the plain count skips the
-        # distinct-aggregate expansion (one extra hash-aggregate pass
-        # over the whole gram index; r15 optimization round). The
-        # DuckDB oracle keeps COUNT(DISTINCT doc_id): same integers.
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > 100)
-        .select("gram")
-    )
-    clean = grams.join(hot, "gram", "left_anti")
+    # hot-gram drop as a COUNT window over the gram partition (r16;
+    # functions/text.py::drop_hot_keys — one pass, no anti join, the
+    # window sort pre-orders the index for the contamination join).
+    # count(*) ≡ countDistinct(doc_id): grams are per-doc distinct by
+    # construction (word_shingles' array_distinct; r15 rewrite, DuckDB
+    # oracle keeps COUNT(DISTINCT doc_id) — same integers).
+    clean = drop_hot_keys(grams, "gram", 100)
     test = clean.filter(F.col("b") >= 9000).select(
         F.col("doc_id").alias("test_doc_id"), "gram"
     )
@@ -1898,19 +1896,9 @@ def curated_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b", hash_bucket("doc_id", "split"))
         .repartition("gram")
     )
-    hot = (
-        grams.groupBy("gram")
-        # count(*) ≡ countDistinct(doc_id) here: grams come from
-        # word_shingles' array_distinct, so (doc_id, gram) rows are
-        # unique by construction — the plain count skips the
-        # distinct-aggregate expansion (one extra hash-aggregate pass
-        # over the whole gram index; r15 optimization round). The
-        # DuckDB oracle keeps COUNT(DISTINCT doc_id): same integers.
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > 100)
-        .select("gram")
-    )
-    clean = grams.join(hot, "gram", "left_anti")
+    # hot-gram drop as a COUNT window (r16; drop_hot_keys rationale —
+    # count(*) ≡ countDistinct(doc_id) via per-doc-distinct grams)
+    clean = drop_hot_keys(grams, "gram", 100)
     test = clean.filter(F.col("b") >= 9000).select(
         F.col("doc_id").alias("test_doc_id"), "gram"
     )
@@ -2700,19 +2688,9 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b", hash_bucket("doc_id", "split"))
         .repartition("gram")
     )
-    hot = (
-        grams.groupBy("gram")
-        # count(*) ≡ countDistinct(doc_id) here: grams come from
-        # word_shingles' array_distinct, so (doc_id, gram) rows are
-        # unique by construction — the plain count skips the
-        # distinct-aggregate expansion (one extra hash-aggregate pass
-        # over the whole gram index; r15 optimization round). The
-        # DuckDB oracle keeps COUNT(DISTINCT doc_id): same integers.
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > 100)
-        .select("gram")
-    )
-    clean = grams.join(hot, "gram", "left_anti")
+    # hot-gram drop as a COUNT window (r16; drop_hot_keys rationale —
+    # count(*) ≡ countDistinct(doc_id) via per-doc-distinct grams)
+    clean = drop_hot_keys(grams, "gram", 100)
     corpus_grams = (
         clean.filter(F.col("b") < 9000).select("gram").distinct()
         .withColumn("_hit", F.lit(1))

@@ -1282,3 +1282,36 @@ def test_pagerank_plan_is_checkpoint_bounded(spark, sf_dir):
     assert plan.count("Exchange") <= 24, plan[:3000]
     assert "ReusedExchange" in plan, plan[:3000]
     assert "Scan parquet" not in plan, plan[:3000]
+
+
+def test_hot_count_rewrite_distinctness_premise(spark, sf_dir):
+    """VERDICT r15 item 8: the r15 count(*) ≡ countDistinct(doc_id)
+    rewrites in the hot-gram/hot-fingerprint subqueries
+    (test_set_decontamination, curated_corpus_shards,
+    doc_contamination_fraction, the winnowing pair stage) rest on
+    exploded (doc_id, gram/fp) rows being per-doc DISTINCT by
+    construction — word_shingles returns array_distinct and
+    winnow_selected returns a sorted distinct selection. Pin that
+    premise directly on the explode outputs, so a future edit to
+    either helper cannot silently inflate the hot counts relative to
+    the DuckDB oracles (which still say COUNT(DISTINCT doc_id))."""
+    from fintech_lakehouse_spark.functions.text import (
+        winnow_selected,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # adversarial repetition: every token equal -> all grams equal
+    rep = docs.sparkSession.createDataFrame(
+        [(10_000_001, " ".join(["rep"] * 50))], ["doc_id", "text"]
+    )
+    corpus = docs.select("doc_id", "text").unionByName(rep)
+    for n in (3, 8):
+        grams = word_shingles(corpus, n=n).select(
+            "doc_id", F.explode("shingles").alias("g")
+        )
+        assert grams.count() == grams.distinct().count(), f"n={n}"
+    fps = winnow_selected(corpus, k=4, w=5).select(
+        "doc_id", F.explode("selected").alias("fp")
+    )
+    assert fps.count() == fps.distinct().count()
