@@ -237,9 +237,26 @@ def ivf_assign_fixed(
     (the production IVF shape: train once on a sample, broadcast the
     tiny codebook, assign the full corpus with zero shuffles). The
     codebook rides into the executors as plan literals — parsed from
-    one SQL string (see :func:`centroid_candidates_sql`)."""
+    one SQL string (see :func:`centroid_candidates_sql`).
+
+    The assignment is wrapped in an always-true NONDETERMINISTIC guard
+    (guide §4.4, r16 optimization round): every downstream equi-join
+    on the assignment infers ``isnotnull(list_id)`` and pushes it
+    below this projection, duplicating the 16-centroid argmin fold
+    into a Filter that re-evaluates it per row (r15 measured the
+    duplication <2% and deferred; at sf0.1 post-catalog it reads
+    8–20% of the consumer queries — interleaved min-of-4 A/B:
+    ann_recall_eval 1.796→1.493 s, ivf_approx_neighbors 1.475→1.366 s,
+    retrieval_mrr_eval 1.575→1.453 s, semantic_dedup_clusters flat).
+    ``spark_partition_id()`` is flagged nondeterministic, so the
+    optimizer may not substitute the projection into pushed filters —
+    one evaluation per row. The guard never changes the value (the
+    predicate is constant-true on every partition); callers apply
+    their own scan filters BELOW the assignment, so nothing pushable
+    is lost."""
     cands = F.expr(centroid_candidates_sql(vec, centroids, centroid_sq))
-    return df.withColumn(out, F.array_min(cands).getField("list_id"))
+    assigned = F.array_min(cands).getField("list_id")
+    return df.withColumn(out, F.when(F.spark_partition_id() >= 0, assigned))
 
 
 def ivf_probes_fixed(
